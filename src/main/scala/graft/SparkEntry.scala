@@ -1,13 +1,26 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` covers the SURVEY §2 operator inventory over the driver
+  * testdata plus the LLM-pipeline extensions (dedup, similarity,
+  * text analysis, multimodal, events) and the 4 reference-parity
+  * queries on deterministic fixtures. `oracleSql` carries the DuckDB
+  * twin for every ANSI-SQL-expressible query.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    QueryDef.all.map(q => q.name -> q.fn).toMap
+
+  /** DuckDB twins, same column names/types as the Spark results. */
+  def oracleSql: Map[String, String] =
+    QueryDef.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

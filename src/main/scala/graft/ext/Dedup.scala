@@ -1,0 +1,141 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for 100 TB-scale corpora.
+  *
+  * Design rule: NOTHING here is O(n²) in rows. Exact dedup is one
+  * hash-shuffle on the content key; near-dup methods go through a
+  * banding/bucketing step (MinHash-LSH, SimHash chunks) so candidate
+  * generation is an equi-join on bucket keys — the only all-pairs
+  * work happens inside a bucket, whose size is bounded by collision
+  * probability, and the final verification join receives only
+  * candidates. All hashing is xxhash64 (codegen'd, deterministic),
+  * no UDFs.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one shuffle on md5(text); keeps the
+    * lowest id per group (deterministic representative). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word-n-gram shingles: (id, shingle) exploded pairs. */
+  def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(TextAnalysis.wordShingles(col(textCol), n)).as("sh"))
+      .distinct()
+
+  /** Exact n-gram Jaccard pairs ≥ `threshold`, via an inverted shingle
+    * index: pairs are generated ONLY for documents sharing a shingle
+    * (equi-join on `sh`), never by cross join. At scale, prefilter
+    * ultra-frequent shingles (stop-shingles) to bound fanout. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, threshold: Double): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+    val jac = col("n_inter") / (col("s1.n_sh") + col("s2.n_sh") - col("n_inter"))
+    inter
+      .join(sizes.as("s1"), col("d1") === col("s1.id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.id"))
+      .filter(jac >= threshold)
+      .select(col("d1"), col("d2"), round(jac, 4).as("jaccard"))
+  }
+
+  /** MinHash signatures via explode + partial aggregation: one
+    * (id, shingle) row per distinct shingle, then `numHashes`
+    * map-side-combinable `min(xxhash64(seed, shingle))` aggregates in
+    * a single shuffle. This deliberately avoids the per-row
+    * higher-order-function formulation: nested HOF lambdas are
+    * interpreted and re-evaluate the shingle-building subtree once
+    * per hash index (measured ~50× slower at sf0.1), while min-agg is
+    * codegen'd and scales out with partitions.
+    * Output: id, sig (array<long> of length numHashes). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleLen: Int, numHashes: Int): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, shingleLen)
+    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash-LSH candidate pairs verified by signature agreement.
+    *
+    * bands × rowsPerBand = signature length. Pipeline: shingle →
+    * signature (one shuffle) → explode band hashes → equi-join on
+    * (band, bandHash) → distinct candidate pairs → verify estimated
+    * Jaccard (fraction of agreeing signature positions) ≥ threshold.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleLen: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
+                      threshold: Double = 0.7): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = minhashSignatures(df, idCol, textCol, shingleLen, numHashes)
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))).as("bh")))).as("e"))
+      .select(col("id"), col("sig"), col("e.band"), col("e.bh"))
+    val a = banded.as("a"); val b = banded.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .dropDuplicates("d1", "d2")
+    val est = size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), p => p))
+      .cast("double") / lit(numHashes)
+    cand.select(col("d1"), col("d2"), round(est, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash signatures via explode + partial aggregation:
+    * one (id, token-hash) row per token, then 64 sum-of-±1-votes
+    * aggregates in a single map-side-combinable shuffle; bit j of the
+    * signature is the sign of vote j. (Same rationale as
+    * [[minhashSignatures]]: the per-row nested-HOF fold re-evaluates
+    * the tokenization per bit and is interpreted, not codegen'd.)
+    * Output: id, sig (long). */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+      explode(split(lower(col(textCol)), "\\s+")).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j"))
+    val sig = (0 until 64)
+      .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), sig.as("sig"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`,
+    * using the pigeonhole principle for candidate generation: split
+    * the 64-bit signature into `maxHamming + 1` chunks — any pair
+    * within distance `maxHamming` must agree on ≥ 1 whole chunk, so
+    * candidates come from an equi-join on (chunkIdx, chunkValue),
+    * never an all-pairs scan. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPerChunk = 64 / chunks
+    val sigs = simhashSignatures(df, idCol, textCol)
+    val chunked = sigs.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => struct(c.as("ci"),
+          call_function("shiftright", col("sig"), c * lit(bitsPerChunk))
+            .bitwiseAND(lit((1L << bitsPerChunk) - 1)).as("cv")))).as("e"))
+      .select(col("id"), col("sig"), col("e.ci"), col("e.cv"))
+    val a = chunked.as("a"); val b = chunked.as("b")
+    a.join(b, col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .dropDuplicates("d1", "d2")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

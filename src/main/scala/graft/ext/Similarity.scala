@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — a single broadcast of the
+  * query vector, one pass over the corpus, TakeOrderedAndProject for
+  * the top-k (no full sort). Scale path: random-hyperplane LSH —
+  * a 16-bit deterministic bucket signature per vector; candidate
+  * generation becomes an equi-join on the bucket id, so the all-pairs
+  * cost is confined to single buckets (~n/2^16 of the corpus each).
+  */
+object Similarity {
+
+  /** Elementwise dot product as a sequential double fold (index order,
+    * deterministic and oracle-reproducible). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k to one query vector.
+    * @param queryVec single-row DataFrame with column `embedding` —
+    *   broadcast, so the corpus is scanned exactly once. */
+  def topK(corpus: DataFrame, queryVec: DataFrame, k: Int,
+           idCol: String = "vec_id"): DataFrame = {
+    val q = broadcast(queryVec.select(col("embedding").as("q_emb")))
+    val cos = cosine(col("embedding"), col("q_emb"))
+    corpus.crossJoin(q)
+      .select(col(idCol), cos.as("cos_raw"))
+      .orderBy(desc("cos_raw"), col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("cos_raw"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j,
+    * dim k): ±1 derived from xxhash64 — reproducible across runs and
+    * engines without storing a model. */
+  private def planeSign(j: Column, k: Column): Column =
+    (xxhash64(j, k).bitwiseAND(lit(1L)) * 2 - 1).cast("double")
+
+  /** `bits`-bit LSH bucket signature: bit j = sign of the projection
+    * onto deterministic hyperplane j. Per-row HOF fold, no shuffle. */
+  def lshBucket(vec: Column, bits: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(bits - 1)),
+      lit(0L),
+      (acc, j) => {
+        val proj = aggregate(
+          zip_with(vec, sequence(lit(0), size(vec) - 1),
+            (v, k) => v.cast("double") * planeSign(j, k)),
+          lit(0.0), (a, x) => a + x)
+        acc + when(proj > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
+      })
+
+  /** ANN via LSH buckets: search only the query's bucket. Recall is
+    * tunable via `bits` (fewer bits → bigger buckets → higher recall);
+    * multi-probe (flipping low-order bits) is the standard extension. */
+  def annLsh(corpus: DataFrame, queryVec: DataFrame, k: Int,
+             bits: Int = 8, idCol: String = "vec_id"): DataFrame = {
+    val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding"), bits))
+    val q = broadcast(queryVec.select(col("embedding").as("q_emb"),
+      lshBucket(col("embedding"), bits).as("q_bucket")))
+    val cos = cosine(col("embedding"), col("q_emb"))
+    bucketed.join(q, col("bucket") === col("q_bucket"))
+      .select(col(idCol), cos.as("cos_raw"))
+      .orderBy(desc("cos_raw"), col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("cos_raw"), 6).as("cosine"))
+  }
+
+  /** All near-duplicate pairs with cosine ≥ threshold. Brute-force
+    * variant (cross join) for oracle-checkable correctness at small
+    * scale; [[lshPairs]] is the scale path. */
+  def cosinePairs(corpus: DataFrame, threshold: Double,
+                  idCol: String = "vec_id"): DataFrame = {
+    val a = corpus.select(col(idCol).as("d1"), col("embedding").as("e1"))
+    val b = corpus.select(col(idCol).as("d2"), col("embedding").as("e2"))
+    val cos = cosine(col("e1"), col("e2"))
+    a.join(b, col("d1") < col("d2"))
+      .filter(cos >= threshold)
+      .select(col("d1"), col("d2"), round(cos, 4).as("cosine"))
+  }
+
+  /** Near-duplicate pairs via shared LSH bucket (equi-join candidate
+    * generation), then exact cosine verification. */
+  def lshPairs(corpus: DataFrame, threshold: Double, bits: Int = 8,
+               idCol: String = "vec_id"): DataFrame = {
+    val bucketed = corpus.select(col(idCol).as("id"), col("embedding"),
+      lshBucket(col("embedding"), bits).as("bucket"))
+    val a = bucketed.as("a"); val b = bucketed.as("b")
+    val cos = cosine(col("a.embedding"), col("b.embedding"))
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .filter(cos >= threshold)
+      .select(col("a.id").as("d1"), col("b.id").as("d2"), round(cos, 4).as("cosine"))
+  }
+}

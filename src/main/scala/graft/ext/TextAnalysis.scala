@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines, all expressed
+  * as codegen-friendly built-in expressions (no UDFs) so they stay
+  * inside WholeStageCodegen and scale linearly with partitions.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = size(split(text, "\\s+"))
+
+  /** BPE-ish regex token count: words + individual punctuation marks
+    * (the pre-tokenization split most BPE vocabularies use). */
+  def tokenCountRegex(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Occurrences of any of `words` as whole words, case-insensitive. */
+  def markerCount(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(lower(text), lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+
+  /** Language markers: tiny per-language stopword lists. Heuristic
+    * n-gram/stopword language ID — deterministic, codegen'd. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "une"),
+    "de" -> Seq("der", "die", "und", "das", "ein"),
+    "es" -> Seq("el", "los", "las", "que", "una"),
+  )
+
+  /** Predict language by max marker count; ties resolve in the fixed
+    * order of [[langMarkers]] ("other" when all scores are 0). */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, ws) => l -> markerCount(text, ws) }
+    // fold with when(): start from the first language, replace only on
+    // strictly-greater score, so ties keep the earlier language
+    val (firstLang, firstScore) = scores.head
+    val (predLang, predScore) = scores.tail.foldLeft((lit(firstLang), firstScore)) {
+      case ((pl, ps), (l, s)) => (when(s > ps, lit(l)).otherwise(pl), when(s > ps, s).otherwise(ps))
+    }
+    when(predScore > 0, predLang).otherwise(lit("other"))
+  }
+
+  /** Punctuation-character count. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^\\w\\s]"), lit(0)))
+
+  /** Stopword ratio, word-length stats and a combined quality score in
+    * [0,1] — the usual cheap pre-filter before expensive pipeline
+    * stages. All ratios are plain double arithmetic (deterministic
+    * and oracle-reproducible). */
+  def qualityScore(text: Column): Column = {
+    val chars = length(text).cast("double")
+    val words = tokenCountWs(text).cast("double")
+    val stop = markerCount(text, Seq("the", "a", "of", "and", "to", "is", "in")).cast("double")
+    val punct = punctCount(text).cast("double")
+    val avgWordLen = chars / words
+    // well-formed text: some stopwords, low punctuation, 3-8 char words
+    val stopScore = least(stop / words * lit(5.0), lit(1.0))
+    val punctScore = greatest(lit(1.0) - punct / chars * lit(10.0), lit(0.0))
+    val lenScore = when(avgWordLen.between(3.0, 8.0), 1.0).otherwise(0.5)
+    (stopScore + punctScore + lenScore) / lit(3.0)
+  }
+
+  /** Per-shingle polynomial rolling-hash fingerprint of a document:
+    * min over word-5-gram hashes (a 1-hash MinHash; cheap dedup key).
+    * Uses xxhash64 (codegen'd) rather than a Scala UDF. */
+  def fingerprint(text: Column): Column =
+    array_min(transform(wordShingles(text, 5), s => xxhash64(s)))
+
+  /** Word n-gram shingles; empty array when the doc has < n words. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = split(lower(text), "\\s+")
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's general relational operator surface (SURVEY.md §2).
+  *
+  * Every helper is a thin, declarative wrapper over Catalyst-planned
+  * primitives — no driver-side materialization anywhere, so each op
+  * scales with partition count. Semantics notes cite the reference
+  * workload (`/root/reference/Student_23098644/1.CourseworkOne/`).
+  */
+object RelationalOps {
+
+  /** Conditional aggregation (manual pivot), as in SQLQueries.sql:19-24:
+    * `avg(case when country = 'US' then daily_return end)`.
+    * Spark's `avg` ignores the NULLs produced by the unmatched branch,
+    * matching PostgreSQL. */
+  def avgIf(cond: Column, value: Column): Column = avg(when(cond, value))
+
+  /** `GROUP BY`-as-dedup (SQLQueries.sql:42,51): valid because the
+    * select list ⊆ group keys, so `dropDuplicates` is equivalent and
+    * is the idiomatic (partial-aggregation-friendly) Spark mapping. */
+  def dedupRows(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*).dropDuplicates(cols)
+
+  /** Top-k: sort + limit, planned by Spark as TakeOrderedAndProject
+    * (true top-k per partition + driver merge of k rows — no full
+    * sort, no full shuffle), as the Mongo `$sort`+`$limit` pipeline
+    * (NoSQLQueries.js:11-12) is optimized by mongod. Pass a unique
+    * tie-break column for determinism. */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** Argmin-per-group: the reference's `$sort` + `$group`/`$first`
+    * (NoSQLQueries.js:49-50). Spark's `first()` after `orderBy` is
+    * NOT stable across partitions (SURVEY §7.4 Q3), so this is a
+    * window row_number — deterministic given a total `order`. */
+  def argminBy(df: DataFrame, partitionCols: Seq[Column], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionCols: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Clean dirty numeric columns: the reference's documents hold "NA"
+    * or null in numeric fields (NoSQLQueries.js:29-33). Drops rows
+    * where any column is the sentinel or null, then casts to double.
+    * Mirrors `$match: {f: {$nin: ["NA", null]}}` + implicit cast. */
+  def cleanNumeric(df: DataFrame, cols: Seq[String], sentinel: String = "NA"): DataFrame = {
+    val cleaned = cols.foldLeft(df) { (d, c) =>
+      d.filter(col(c).isNotNull && col(c) =!= sentinel)
+    }
+    cols.foldLeft(cleaned)((d, c) => d.withColumn(c, col(c).cast("double")))
+  }
+
+  /** Permissive numeric read: cast-with-null (try_cast) so non-numeric
+    * values become NULL and are skipped by avg/sum — Mongo `$avg`
+    * semantics (it silently skips non-numeric values; SURVEY §7.4 Q2). */
+  def numericOrNull(c: Column): Column = c.cast("string").try_cast("double")
+
+  /** Per-group sorted value list rendered to a deterministic string —
+    * the order-stable form of `$push` (NoSQLQueries.js:40) for tests
+    * and oracles. Unbounded per-group state: document the group-size
+    * bound before using at scale (SURVEY §7.4 Q8). */
+  def sortedList(c: Column, sep: String = ","): Column =
+    array_join(sort_array(collect_list(c)), sep)
+}

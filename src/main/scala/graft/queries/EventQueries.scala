@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event/time-series gate queries over the `events` table — the batch
+  * twins of the Structured Streaming operators in
+  * [[graft.streaming.EventStreams]] (same windowing/sessionization
+  * semantics; the streaming forms add watermarks + incremental state
+  * and are exercised in StreamingSpec).
+  */
+object EventQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir).table(n)
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Tumbling 1-hour window aggregation (batch twin of the streaming
+    // windowed count; window() → time_bucket in the oracle)
+    QueryDef("q_ev_hourly",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total"))
+        .orderBy("hour", "event_type"),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type,
+             |  count(*) AS n, round(sum(value), 2) AS total
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin), bench = true),
+
+    // Sessionization (30-min inactivity gap): lag → gap flag →
+    // running session counter → per-session aggregates. All-integer
+    // (microsecond) time arithmetic so both engines agree exactly.
+    QueryDef("q_ev_sessions",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("prev_us", lag("us", 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull || col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sess_id",
+            sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy("user_id", "sess_id")
+          .agg(count(lit(1)).as("n_events"),
+            min("ts").as("sess_start"),
+            (max("us") - min("us")).as("sess_len_us"))
+          .orderBy("user_id", "sess_id")
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+             |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800 * 1000000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, ts, us,
+             |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+             |  FROM flagged)
+             |SELECT user_id, sess_id, count(*) AS n_events,
+             |  min(ts) AS sess_start, max(us) - min(us) AS sess_len_us
+             |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin), bench = true),
+
+    // Per-type daily top spender (join of window + agg patterns on the
+    // event stream's batch view)
+    QueryDef("q_ev_top_users",
+      (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(round(sum("value"), 2).as("total"), count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(desc("total"), col("user_id"))
+        daily.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("event_type"), col("rn"), col("user_id"), col("total"), col("n"))
+          .orderBy("event_type", "rn")
+      },
+      Some("""WITH daily AS (
+             |  SELECT user_id, event_type, round(sum(value), 2) AS total, count(*) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type,
+             |  row_number() OVER (PARTITION BY event_type ORDER BY total DESC, user_id) AS rn,
+             |  user_id, total, n
+             |FROM daily
+             |QUALIFY rn <= 3
+             |ORDER BY event_type, rn""".stripMargin)),
+  )
+}

@@ -1,0 +1,405 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ops.RelationalOps
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational operator inventory (SURVEY.md §2) expressed over
+  * the driver testdata, each with a DuckDB oracle. Query names cite
+  * the §2 operator ids they cover.
+  *
+  * Determinism rules (needed for hash-equality against the oracle):
+  * every result is fully ordered by a unique key; every
+  * order-dependent double aggregate is rounded; every top-k has a
+  * unique tie-break column.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir).table(n)
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // S2/P1/O1: scan + projection + total sort
+    QueryDef("q_scan_project",
+      (s, d) => t(s, d, "region").select(col("r_regionkey"), col("r_name"))
+        .orderBy("r_regionkey"),
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")),
+
+    // P2/P4: row-level arithmetic expression + aliasing (unrounded —
+    // bit-identical across engines because the expression tree is identical)
+    QueryDef("q_arith_project",
+      (s, d) => t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        ((col("l_extendedprice") * (lit(1) - col("l_discount"))) * (lit(1) + col("l_tax")))
+          .as("charge"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // P5: searched multi-branch CASE WHEN (SQLQueries.sql:22-26 shape)
+    QueryDef("q_case_when",
+      (s, d) => t(s, d, "orders").select(
+        when(col("o_totalprice") > 200000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("price_band"))
+        .groupBy("price_band").agg(count(lit(1)).as("n"))
+        .orderBy("price_band"),
+      Some("""SELECT CASE WHEN o_totalprice > 200000 THEN 'high'
+             |            WHEN o_totalprice > 100000 THEN 'mid'
+             |            ELSE 'low' END AS price_band, count(*) AS n
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // P7/P8: IN-list + BETWEEN on dates (SQLQueries.sql:15,41 shape)
+    QueryDef("q_in_between",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R") &&
+          col("l_shipdate").between("1996-01-01", "1998-12-31"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+             |FROM lineitem
+             |WHERE l_returnflag IN ('A','R')
+             |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // P9: <> filter (NULL-excluding 3-valued logic, SQLQueries.sql:50)
+    QueryDef("q_neq_filter",
+      (s, d) => t(s, d, "customer").filter(col("c_mktsegment") =!= "BUILDING")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n FROM customer
+             |WHERE c_mktsegment <> 'BUILDING' GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // J1: LEFT OUTER equi-join onto a broadcast dim (SQLQueries.sql:13-14)
+    QueryDef("q_left_join_dim",
+      (s, d) => t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"), "left")
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey, n_name, r_name FROM nation
+             |LEFT JOIN region ON n_regionkey = r_regionkey
+             |ORDER BY n_nationkey""".stripMargin)),
+
+    // J2: LEFT OUTER fact fan-out + null-skipping aggregates (SQLQueries.sql:39-40)
+    QueryDef("q_left_join_fanout",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_mktsegment")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          countDistinct(col("c_custkey")).as("n_cust"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(o_orderkey) AS n_orders,
+             |  count(DISTINCT c_custkey) AS n_cust, round(sum(o_totalprice), 2) AS total
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // J3: RIGHT OUTER join on a compound key (SQLQueries.sql:48 shape)
+    QueryDef("q_right_join_compound",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        // alias the grouped side's keys: groupBy keeps the source's
+        // attribute ids, so an unaliased self-join would be ambiguous
+        val g = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("n_same"))
+          .select(col("user_id").as("g_uid"), col("event_type").as("g_type"), col("n_same"))
+        g.join(ev, col("g_uid") === col("user_id") && col("g_type") === col("event_type"), "right")
+          .select(col("event_id"), col("n_same"))
+          .orderBy("event_id")
+      },
+      Some("""WITH g AS (SELECT user_id, event_type, count(*) AS n_same
+             |           FROM events GROUP BY 1, 2)
+             |SELECT e.event_id, g.n_same
+             |FROM g RIGHT JOIN events e
+             |  ON g.user_id = e.user_id AND g.event_type = e.event_type
+             |ORDER BY e.event_id""".stripMargin)),
+
+    // J4/J5: multi-way join through two broadcast dims (TPC-H Q5 shape) — bench headline
+    QueryDef("q_multiway_revenue",
+      (s, d) => t(s, d, "lineitem")
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          countDistinct(col("n_nationkey")).as("n_nations"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             |  count(DISTINCT n_nationkey) AS n_nations
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin), bench = true),
+
+    // O2/O5 + J5: join + agg + deterministic top-k (TPC-H Q3 shape) — bench headline
+    QueryDef("q_topk_revenue",
+      (s, d) => t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(desc("revenue"), col("l_orderkey"))
+        .limit(10),
+      Some("""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM customer, orders, lineitem
+             |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+             |  AND o_orderdate < TIMESTAMP '1997-01-01' AND o_orderkey = l_orderkey
+             |GROUP BY 1, 2
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin), bench = true),
+
+    // A1/P3: grouped aggregation battery (TPC-H Q1; flagship) — bench headline
+    QueryDef("q_pricing_summary",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum(l_quantity) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  round(avg(l_extendedprice), 4) AS avg_price,
+             |  round(avg(l_discount), 4) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin), bench = true),
+
+    // A2: conditional aggregation / manual pivot (SQLQueries.sql:19-26 shape)
+    QueryDef("q_conditional_avg",
+      (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          round(RelationalOps.avgIf(col("c_mktsegment") === "BUILDING", col("c_acctbal")), 4)
+            .as("building_avg"),
+          round(RelationalOps.avgIf(col("c_mktsegment") === "AUTOMOBILE", col("c_acctbal")), 4)
+            .as("automobile_avg"),
+          when(RelationalOps.avgIf(col("c_mktsegment") === "BUILDING", col("c_acctbal")) >
+            RelationalOps.avgIf(col("c_mktsegment") === "AUTOMOBILE", col("c_acctbal")), "BUILDING")
+            .when(RelationalOps.avgIf(col("c_mktsegment") === "BUILDING", col("c_acctbal")) <
+              RelationalOps.avgIf(col("c_mktsegment") === "AUTOMOBILE", col("c_acctbal")), "AUTOMOBILE")
+            .otherwise("N/A").as("leader"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name,
+             |  round(avg(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END), 4) AS building_avg,
+             |  round(avg(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END), 4) AS automobile_avg,
+             |  CASE WHEN avg(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END) >
+             |            avg(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END) THEN 'BUILDING'
+             |       WHEN avg(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END) <
+             |            avg(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END) THEN 'AUTOMOBILE'
+             |       ELSE 'N/A' END AS leader
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A3: HAVING on count(distinct) (SQLQueries.sql:30)
+    QueryDef("q_having_distinct",
+      (s, d) => t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(countDistinct(col("o_orderpriority")).as("n_prio"), count(lit(1)).as("n_orders"))
+        .filter(col("n_prio") > 3)
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_prio, count(*) AS n_orders
+             |FROM orders GROUP BY 1
+             |HAVING count(DISTINCT o_orderpriority) > 3
+             |ORDER BY 1""".stripMargin)),
+
+    // A4: GROUP BY-as-dedup ≡ dropDuplicates (SQLQueries.sql:42,51)
+    QueryDef("q_dedup_groupby",
+      (s, d) => RelationalOps.dedupRows(t(s, d, "lineitem"), Seq("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2")),
+
+    // A5: 3-key grouped avg (SQLQueries.sql:54-56 shape)
+    QueryDef("q_group3_avg",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"),
+          year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(round(avg("l_quantity"), 4).as("avg_qty"), count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus", "ship_year"),
+      Some("""SELECT l_returnflag, l_linestatus, year(l_shipdate) AS ship_year,
+             |  round(avg(l_quantity), 4) AS avg_qty, count(*) AS n
+             |FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // A7/H4: $push → collect_list, rendered order-stable (NoSQLQueries.js:40)
+    QueryDef("q_collect_sorted",
+      (s, d) => t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(RelationalOps.sortedList(col("n_name")).as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             |  count(*) AS n_nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A8/O6: argmin-per-group via window (NoSQLQueries.js:49-50; SURVEY §7.4 Q3)
+    QueryDef("q_argmin_group",
+      (s, d) => RelationalOps.argminBy(
+        t(s, d, "customer"),
+        Seq(col("c_nationkey")),
+        Seq(col("c_acctbal"), col("c_custkey")))
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+        .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal FROM customer
+             |QUALIFY row_number() OVER (PARTITION BY c_nationkey
+             |                           ORDER BY c_acctbal, c_custkey) = 1
+             |ORDER BY c_nationkey""".stripMargin)),
+
+    // O5: $sort + $limit 1 → TakeOrderedAndProject (NoSQLQueries.js:11-12)
+    QueryDef("q_top1",
+      (s, d) => RelationalOps.topK(
+        t(s, d, "supplier").select(col("s_suppkey"), col("s_name"), col("s_acctbal")),
+        1, desc("s_acctbal"), col("s_suppkey")),
+      Some("""SELECT s_suppkey, s_name, s_acctbal FROM supplier
+             |ORDER BY s_acctbal DESC, s_suppkey LIMIT 1""".stripMargin)),
+
+    // C1/C2: nested CTE via spark.sql (SQLQueries.sql:35-52 shape)
+    QueryDef("q_nested_cte",
+      (s, d) => {
+        Tables(s, d).registerAll()
+        s.sql("""
+          WITH perf AS (
+            WITH cust_orders AS (
+              SELECT o_custkey, o_orderkey, o_totalprice
+              FROM orders
+              WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31')
+            SELECT c.c_mktsegment, co.o_totalprice
+            FROM cust_orders co
+            LEFT JOIN customer c ON co.o_custkey = c.c_custkey)
+          SELECT c_mktsegment, round(avg(o_totalprice), 4) AS avg_price, count(*) AS n
+          FROM perf GROUP BY 1
+          ORDER BY avg_price DESC, c_mktsegment""")
+      },
+      Some("""WITH perf AS (
+             |  WITH cust_orders AS (
+             |    SELECT o_custkey, o_orderkey, o_totalprice
+             |    FROM orders
+             |    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31')
+             |  SELECT c.c_mktsegment, co.o_totalprice
+             |  FROM cust_orders co
+             |  LEFT JOIN customer c ON co.o_custkey = c.c_custkey)
+             |SELECT c_mktsegment, round(avg(o_totalprice), 4) AS avg_price, count(*) AS n
+             |FROM perf GROUP BY 1
+             |ORDER BY avg_price DESC, c_mktsegment""".stripMargin)),
+
+    // H1-H3: higher-order array filter + element_at (NoSQLQueries.js:43-47)
+    // — pick the lowest above-average supplier per nation
+    QueryDef("q_array_pick",
+      (s, d) => {
+        val g = t(s, d, "supplier").groupBy("s_nationkey")
+          .agg(avg("s_acctbal").as("avg_bal"),
+            collect_list(struct(col("s_acctbal").as("bal"), col("s_suppkey").as("id"),
+              col("s_name").as("name"))).as("sups"))
+        g.withColumn("qual",
+            sort_array(filter(col("sups"), x => x.getField("bal") > col("avg_bal"))))
+          .withColumn("chosen", try_element_at(col("qual"), lit(1)))
+          .filter(col("chosen").isNotNull)
+          .select(col("s_nationkey"), col("chosen.id").as("s_suppkey"),
+            col("chosen.bal").as("s_acctbal"), col("chosen.name").as("s_name"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, s_suppkey, s_acctbal, s_name
+             |FROM (SELECT *, avg(s_acctbal) OVER (PARTITION BY s_nationkey) AS avg_bal
+             |      FROM supplier)
+             |WHERE s_acctbal > avg_bal
+             |QUALIFY row_number() OVER (PARTITION BY s_nationkey
+             |                           ORDER BY s_acctbal, s_suppkey) = 1
+             |ORDER BY s_nationkey""".stripMargin)),
+
+    // Windows beyond the reference (§2.8): rank-per-group
+    QueryDef("q_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_custkey"), row_number().over(w).as("rn"),
+            col("o_orderkey"), col("o_totalprice"))
+          .filter(col("rn") <= 2)
+          .orderBy("o_custkey", "rn")
+      },
+      Some("""SELECT o_custkey,
+             |  row_number() OVER (PARTITION BY o_custkey
+             |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             |  o_orderkey, o_totalprice
+             |FROM orders
+             |QUALIFY rn <= 2
+             |ORDER BY o_custkey, rn""".stripMargin)),
+
+    // Windows: running sum + lag over daily totals
+    QueryDef("q_window_running",
+      (s, d) => {
+        val daily = t(s, d, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("order_date"))
+          .agg(round(sum("o_totalprice"), 2).as("daily_total"))
+        val w = Window.orderBy("order_date")
+        daily
+          .withColumn("running_total",
+            round(sum("daily_total").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+          .withColumn("prev_total", lag("daily_total", 1).over(w))
+          .orderBy("order_date")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS order_date,
+             |         round(sum(o_totalprice), 2) AS daily_total
+             |  FROM orders GROUP BY 1)
+             |SELECT order_date, daily_total,
+             |  round(sum(daily_total) OVER (ORDER BY order_date
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+             |  lag(daily_total, 1) OVER (ORDER BY order_date) AS prev_total
+             |FROM daily ORDER BY order_date""".stripMargin)),
+
+    // Set operators (§2.8): EXCEPT / INTERSECT / UNION ALL
+    QueryDef("q_set_ops",
+      (s, d) => {
+        val a = t(s, d, "customer").filter(col("c_acctbal") > 9000)
+          .select(col("c_nationkey").as("nk")).distinct()
+        val b = t(s, d, "supplier").filter(col("s_acctbal") > 9000)
+          .select(col("s_nationkey").as("nk")).distinct()
+        a.except(b).agg(count(lit(1)).as("n")).withColumn("src", lit("cust_only"))
+          .unionByName(b.except(a).agg(count(lit(1)).as("n")).withColumn("src", lit("supp_only")))
+          .unionByName(a.intersect(b).agg(count(lit(1)).as("n")).withColumn("src", lit("both")))
+          .select(col("src"), col("n"))
+          .orderBy("src")
+      },
+      Some("""SELECT 'cust_only' AS src, count(*) AS n FROM (
+             |  SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal > 9000
+             |  EXCEPT SELECT DISTINCT s_nationkey FROM supplier WHERE s_acctbal > 9000)
+             |UNION ALL
+             |SELECT 'supp_only', count(*) FROM (
+             |  SELECT DISTINCT s_nationkey FROM supplier WHERE s_acctbal > 9000
+             |  EXCEPT SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal > 9000)
+             |UNION ALL
+             |SELECT 'both', count(*) FROM (
+             |  SELECT DISTINCT c_nationkey FROM customer WHERE c_acctbal > 9000
+             |  INTERSECT SELECT DISTINCT s_nationkey FROM supplier WHERE s_acctbal > 9000)
+             |ORDER BY src""".stripMargin)),
+
+    // Semi/anti joins (§2.3 "for free" set): customers with no orders
+    QueryDef("q_anti_join",
+      (s, d) => t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+  )
+}

@@ -1,0 +1,78 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ext.{Multimodal, Similarity}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity-search gate queries over the `embeddings` table, plus
+  * the multimodal metadata query. Cosine is computed as a sequential
+  * double fold in index order on both engines, so values agree to
+  * ~1e-14 and survive rounding.
+  */
+object SimilarityQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir).table(n)
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Brute-force cosine top-10 to vec_id 0 (baseline ANN)
+    QueryDef("q_sim_topk",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.topK(emb.filter(col("vec_id") =!= 0),
+          emb.filter(col("vec_id") === 0), k = 10)
+      },
+      Some("""WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+             |scored AS (
+             |  SELECT vec_id,
+             |    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(q_emb AS DOUBLE[]))
+             |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+             |         * sqrt(list_dot_product(CAST(q_emb AS DOUBLE[]), CAST(q_emb AS DOUBLE[])))) AS cos_raw
+             |  FROM embeddings, q WHERE vec_id <> 0)
+             |SELECT vec_id, round(cos_raw, 6) AS cosine
+             |FROM scored ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin),
+      bench = true),
+
+    // Embedding-cosine near-dup pairs (brute-force baseline, oracled)
+    QueryDef("q_sim_cos_pairs",
+      (s, d) => Similarity.cosinePairs(t(s, d, "embeddings"), threshold = 0.8)
+        .orderBy("d1", "d2"),
+      Some("""SELECT a.vec_id AS d1, b.vec_id AS d2,
+             |  round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cosine
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+             |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+             |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.8
+             |ORDER BY d1, d2""".stripMargin)),
+
+    // LSH-bucketed ANN (the 100 TB scale path; recall vs brute force
+    // is asserted in SimilaritySpec) — rows-only gate
+    QueryDef("q_sim_ann_lsh",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.annLsh(emb.filter(col("vec_id") =!= 0),
+          emb.filter(col("vec_id") === 0), k = 10, bits = 4)
+      },
+      None, bench = true),
+
+    // Multimodal: binary payload + metadata plumbing (decode stubbed)
+    QueryDef("q_mm_meta",
+      (s, d) => Multimodal.mediaFromDocuments(t(s, d, "documents"))
+        .select(col("media_id"), col("modality"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          sha2(col("payload"), 256).as("sha"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |       WHEN doc_id % 3 = 1 THEN 'audio'
+             |       ELSE 'video' END AS modality,
+             |  octet_length(encode(text)) AS n_bytes,
+             |  sha256(text) AS sha
+             |FROM documents ORDER BY media_id""".stripMargin)),
+  )
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events schema
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * Batch twins live in [[graft.queries.EventQueries]]; these are the
+  * incremental forms: watermarked tumbling-window aggregation and
+  * stateful sessionization via flatMapGroupsWithState. Both are
+  * keyed-state operators that scale horizontally — state is
+  * partitioned by group key, nothing accumulates on the driver.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(start: Long, lastSeen: Long, nEvents: Long, total: Double)
+
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        n_events: Long, duration_sec: Double, total_value: Double)
+
+  /** Watermarked tumbling-window count/sum per event type. Late data
+    * beyond 10 minutes is dropped; state for closed windows is purged
+    * automatically — bounded state at any corpus rate. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total"))
+
+  /** Sessionization with a 30-minute inactivity gap, emitted on
+    * timeout — custom keyed state via flatMapGroupsWithState.
+    * Events may arrive unordered within a batch; the state tracks
+    * min(start)/max(lastSeen) so ordering does not matter. */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+                 gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val evs = batch.toSeq
+          if (evs.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new java.sql.Timestamp(s.start), s.nEvents,
+              (s.lastSeen - s.start) / 1000.0, math.round(s.total * 100) / 100.0))
+          } else if (evs.isEmpty) Iterator.empty
+          else {
+            val sorted = evs.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                    nEvents = s.nEvents + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new java.sql.Timestamp(s.start), s.nEvents,
+                    (s.lastSeen - s.start) / 1000.0, math.round(s.total * 100) / 100.0)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}
