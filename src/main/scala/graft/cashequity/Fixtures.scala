@@ -109,8 +109,8 @@ object Fixtures {
       ("T3", "US5", 30.0, 3500.0),
       ("T4", "FR6", 20.0, 2400.0),
       ("T4", "US7", 90.0, 11000.0),
-      ("T5", "FR8", 70.0, 11000.0),   // expensive entry → negative change
-      ("T5", "FR9", 25.0, 4300.0),
+      ("T5", "FR8", 70.0, 16000.0),   // entry above market value → % loss
+      ("T5", "FR9", 25.0, 6200.0),
       ("null", "US1", 10.0, 1000.0))  // literal 'null' string (SQL:50)
       .map { case (t, sym, q, a) => (t, sym, q, a, posDate) }
       .toDF("trader", "symbol", "net_quantity", "net_amount", "position_date")

@@ -37,10 +37,12 @@ object EventStreams {
     * timeout — custom keyed state via flatMapGroupsWithState.
     * Events may arrive unordered within a batch; the state tracks
     * min(start)/max(lastSeen) so ordering does not matter. */
-  def sessionize(spark: SparkSession, events: Dataset[Event],
-                 gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 gapMs: Long = 30 * 60 * 1000L,
+                 watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
     import spark.implicits._
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", watermarkDelay).as[Event]
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>

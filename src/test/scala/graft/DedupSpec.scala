@@ -1,0 +1,87 @@
+package graft
+
+import graft.ext.Dedup
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup operators on an engineered corpus: exact duplicates, a
+  * near-duplicate pair (one word changed), and unrelated documents.
+  * All methods must find the planted pairs and no cross-topic pairs. */
+class DedupSpec extends AnyFunSuite with SharedSpark {
+
+  private def mk(words: Seq[String]): String = words.mkString(" ")
+
+  private lazy val corpus: DataFrame = {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i")            // 40-word doc
+    val near = base.updated(20, "CHANGED")           // 1-word edit
+    val other = (1 to 40).map(i => s"z$i")           // disjoint vocab
+    Seq(
+      (0L, mk(base)),
+      (1L, mk(base)),            // exact dup of 0
+      (2L, mk(near)),            // near dup of 0/1
+      (3L, mk(other)),           // unrelated
+      (4L, "tiny doc")           // < 5 words → no shingles
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps lowest id") {
+    val out = Dedup.exact(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap  // keep_id -> n_copies
+    assert(out(0L) === 2)                            // docs 0,1 merged
+    assert(out.values.sum === 5)
+    assert(!out.contains(1L), "representative is min(doc_id)")
+  }
+
+  test("jaccard pairs: finds exact and near dup, not unrelated") {
+    val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)), "exact dup pair")
+    val exact = pairs.find(p => (p._1, p._2) == ((0L, 1L))).get
+    assert(exact._3 === 1.0)
+    // near-dup: 1-word edit in 40 words kills 5 of 36 shingles →
+    // jaccard = 31/41 ≈ 0.756
+    assert(keys.contains((0L, 2L)) && keys.contains((1L, 2L)))
+    assert(pairs.forall(p => p._2 != 3L && p._1 != 3L), "unrelated doc never pairs")
+  }
+
+  test("minhash-LSH pairs find the same planted dups") {
+    val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)))
+    val exact = pairs.find(p => (p._1, p._2) == ((0L, 1L))).get
+    assert(exact._3 === 1.0, "identical docs have identical signatures")
+    assert(keys.contains((0L, 2L)), "near dup caught by LSH banding")
+    assert(pairs.forall(p => p._2 != 3L && p._1 != 3L))
+  }
+
+  test("minhash estimate approximates true jaccard") {
+    val est = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val truth = 31.0 / 41.0
+    est.get((0L, 2L)).foreach(e => assert(math.abs(e - truth) < 0.3))
+  }
+
+  test("simhash: identical docs → distance 0; near dup within threshold; unrelated apart") {
+    val sigs = Dedup.simhashSignatures(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) === sigs(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(2L)) <= 16, "1-word edit moves few bits")
+    assert(ham(sigs(0L), sigs(3L)) > 16, "disjoint vocab far apart")
+
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("signatures are deterministic across runs and partitioning") {
+    val a = Dedup.minhashSignatures(corpus, "doc_id", "text", 5, 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = Dedup.minhashSignatures(corpus.repartition(7), "doc_id", "text", 5, 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(a === b)
+  }
+}

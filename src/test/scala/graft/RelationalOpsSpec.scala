@@ -1,0 +1,94 @@
+package graft
+
+import graft.ops.RelationalOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class RelationalOpsSpec extends AnyFunSuite with SharedSpark {
+
+  private lazy val people = {
+    import spark.implicits._
+    Seq(
+      ("a", "US", 10.0), ("b", "US", 20.0), ("c", "FR", 30.0),
+      ("d", "FR", 40.0), ("e", "DE", 50.0)
+    ).toDF("name", "country", "v")
+  }
+
+  test("avgIf ignores non-matching rows via NULL (SQL:19-24 semantics)") {
+    val row = people.agg(
+      RelationalOps.avgIf(col("country") === "US", col("v")).as("us"),
+      RelationalOps.avgIf(col("country") === "UK", col("v")).as("uk")).head()
+    assert(row.getDouble(0) === 15.0)
+    assert(row.isNullAt(1), "no matching rows → NULL, like SQL avg over empty")
+  }
+
+  test("dedupRows equals GROUP BY with bare select list (SURVEY §7.4 Q7)") {
+    val dup = people.union(people)
+    val viaDedup = RelationalOps.dedupRows(dup, Seq("country")).collect().map(_.getString(0)).sorted
+    val viaGroup = dup.groupBy("country").agg(lit(1)).select("country")
+      .collect().map(_.getString(0)).sorted
+    assert(viaDedup.sameElements(viaGroup))
+    // idempotence
+    val once = RelationalOps.dedupRows(dup, Seq("name", "country"))
+    assert(once.count() === RelationalOps.dedupRows(once, Seq("name", "country")).count())
+  }
+
+  test("argminBy is deterministic under ties (SURVEY §7.4 Q3)") {
+    import spark.implicits._
+    // two rows tie on v; unique tiebreak on name must always pick "a"
+    val df = Seq(("a", "g1", 1.0), ("b", "g1", 1.0), ("c", "g2", 5.0))
+      .toDF("name", "grp", "v").repartition(8)
+    (1 to 5).foreach { _ =>
+      val got = RelationalOps.argminBy(df, Seq(col("grp")), Seq(col("v"), col("name")))
+        .orderBy("grp").collect().map(_.getString(0)).toSeq
+      assert(got === Seq("a", "c"))
+    }
+  }
+
+  test("topK returns the k smallest/largest with stable tiebreak") {
+    val top2 = RelationalOps.topK(people, 2, desc("v"), col("name"))
+      .collect().map(_.getString(0)).toSeq
+    assert(top2 === Seq("e", "d"))
+  }
+
+  test("cleanNumeric drops NA/null rows then casts (NOSQL:29-33)") {
+    import spark.implicits._
+    val dirty = Seq(("x", "1.5"), ("y", "NA"), ("z", null)).toDF("id", "m")
+    val cleaned = RelationalOps.cleanNumeric(dirty, Seq("m"))
+    assert(cleaned.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq === Seq(("x", 1.5)))
+    assert(cleaned.schema("m").dataType.typeName === "double")
+  }
+
+  test("numericOrNull reproduces Mongo $avg skip-non-numeric (SURVEY §7.4 Q2)") {
+    import spark.implicits._
+    val dirty = Seq("10.0", "NA", null, "20.0").toDF("m")
+    val avgVal = dirty.agg(avg(RelationalOps.numericOrNull(col("m")))).head().getDouble(0)
+    assert(avgVal === 15.0)
+  }
+
+  test("sortedList is order-stable regardless of partitioning") {
+    val a = people.repartition(8).groupBy(lit(1)).agg(RelationalOps.sortedList(col("name")))
+      .head().getString(1)
+    assert(a === "a,b,c,d,e")
+  }
+
+  test("property: dedupRows output has no duplicate keys (10 random corpora)") {
+    import spark.implicits._
+    val gen = Gen.listOfN(50, Gen.chooseNum(0, 5))
+    (1 to 10).foreach { i =>
+      val xs = gen.apply(Gen.Parameters.default, Seed(42L + i)).get
+      val out = RelationalOps.dedupRows(xs.toDF("k"), Seq("k")).collect().map(_.getInt(0))
+      assert(out.length === out.distinct.length)
+      assert(out.sorted.toSeq === xs.distinct.sorted)
+    }
+  }
+
+  test("round is HALF_UP away from zero, matching PostgreSQL (SURVEY §7.4 Q1)") {
+    import spark.implicits._
+    val vals = Seq(0.03125, 2.56495, -0.03125, 572.09249).toDF("v")
+      .select(round(col("v"), 4).as("r")).collect().map(_.getDouble(0)).toSeq
+    assert(vals === Seq(0.0313, 2.565, -0.0313, 572.0925))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.ext.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with SharedSpark {
+
+  private lazy val emb = Tables0.embeddings
+
+  private object Tables0 {
+    lazy val embeddings = graft.sources.Tables(spark, sf0001).table("embeddings")
+  }
+
+  test("cosine matches a driver-side computation on real vectors") {
+    val two = emb.filter(col("vec_id").isin(0, 1)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val a = two(0L); val b = two(1L)
+    def dot(x: Array[Double], y: Array[Double]) = x.zip(y).map(p => p._1 * p._2).sum
+    val expected = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val got = emb.filter(col("vec_id") === 0).select(col("embedding").as("e1"))
+      .crossJoin(emb.filter(col("vec_id") === 1).select(col("embedding").as("e2")))
+      .select(Similarity.cosine(col("e1"), col("e2"))).head().getDouble(0)
+    assert(math.abs(got - expected) < 1e-12)
+  }
+
+  test("brute-force topK is ordered and excludes nothing it shouldn't") {
+    val q = emb.filter(col("vec_id") === 0)
+    val top = Similarity.topK(emb.filter(col("vec_id") =!= 0), q, k = 10).collect()
+    assert(top.length === 10)
+    val cosines = top.map(_.getDouble(1)).toSeq
+    assert(cosines === cosines.sorted.reverse, "descending by cosine")
+    assert(top.forall(_.getLong(0) != 0L))
+  }
+
+  test("LSH ANN returns a subset of the query bucket, ranked by cosine; recall > 0") {
+    val q = emb.filter(col("vec_id") === 0)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val ann = Similarity.annLsh(corpus, q, k = 10, bits = 4).collect()
+    assert(ann.nonEmpty, "4-bit buckets on 500 vectors are non-empty w.h.p.")
+    val annCos = ann.map(_.getDouble(1)).toSeq
+    assert(annCos === annCos.sorted.reverse)
+    // recall vs brute force (4 bits → 16 buckets → ~31 candidates;
+    // random-hyperplane LSH concentrates near neighbours in-bucket)
+    val brute = Similarity.topK(corpus, q, k = 10).collect().map(_.getLong(0)).toSet
+    val recall = ann.map(_.getLong(0)).count(brute) / 10.0
+    assert(recall > 0.0, s"ANN should recover some true neighbours, got $recall")
+  }
+
+  test("lshPairs ⊆ cosinePairs (candidate pruning never invents pairs)") {
+    val small = emb.limit(120)
+    val brute = Similarity.cosinePairs(small, threshold = 0.2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshPairs(small, threshold = 0.2, bits = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+  }
+
+  test("bucket assignment is deterministic across partitioning") {
+    val a = emb.limit(50).select(col("vec_id"), Similarity.lshBucket(col("embedding"), 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = emb.limit(50).repartition(7)
+      .select(col("vec_id"), Similarity.lshBucket(col("embedding"), 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+}

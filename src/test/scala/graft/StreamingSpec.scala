@@ -1,0 +1,64 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite with SharedSpark {
+
+  private def ts(minutes: Long) = new java.sql.Timestamp(1700000000000L + minutes * 60000L)
+
+  test("hourlyCounts: watermarked tumbling window emits closed windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.hourlyCounts(mem.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("hourly").start()
+    try {
+      mem.addData(
+        Event(1, ts(0), 10, "click", 1.0),
+        Event(2, ts(10), 10, "click", 2.0),
+        Event(3, ts(5), 11, "view", 3.0))
+      q.processAllAvailable()
+      // advance event time beyond window end + 10-min watermark
+      mem.addData(Event(4, ts(75), 10, "click", 4.0))
+      q.processAllAvailable()
+      mem.addData(Event(5, ts(200), 10, "click", 0.5))
+      q.processAllAvailable()
+      val out = spark.table("hourly").collect()
+        .map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(out.contains(("click", 2L, 3.0)), s"first-hour click window, got ${out.toSeq}")
+      assert(out.contains(("view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: 30-min gap splits sessions; totals and durations correct") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionize(spark, mem.toDF(), gapMs = 30 * 60 * 1000L,
+      watermarkDelay = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    try {
+      // user 1: two bursts 90 minutes apart → 2 sessions
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(10), 1, "click", 2.0),
+        Event(3, ts(100), 1, "click", 5.0))
+      q.processAllAvailable()
+      // push watermark far ahead so the second session times out too
+      mem.addData(Event(9, ts(1000), 2, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(10, ts(2000), 2, "view", 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sessions").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      val user1 = out.filter(_._1 == 1L).sortBy(_._2)
+      assert(user1.length === 2, s"two sessions for user 1, got ${out.toSeq}")
+      assert(user1.head === ((1L, ts(0).getTime, 2L, 600.0, 3.0)), "burst 1: 2 events, 10 min, value 3")
+      assert(user1.last === ((1L, ts(100).getTime, 1L, 0.0, 5.0)), "burst 2: single event")
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any = {
+    import spark.implicits._
+    Seq(text).toDF("text").select(c).head().get(0)
+  }
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    assert(one("hello world", TextAnalysis.tokenCountWs(col("text"))) === 2)
+    assert(one("hello, world!", TextAnalysis.tokenCountWs(col("text"))) === 2)
+    // regex splits punctuation: [hello][,][world][!]
+    assert(one("hello, world!", TextAnalysis.tokenCountRegex(col("text"))) === 4)
+  }
+
+  test("langId picks the language with most markers; ties keep list order") {
+    assert(one("le chat et la maison et les arbres", TextAnalysis.langId(col("text"))) === "fr")
+    assert(one("the cat and the house of the trees", TextAnalysis.langId(col("text"))) === "en")
+    assert(one("der Hund und die Katze und das Haus", TextAnalysis.langId(col("text"))) === "de")
+    assert(one("xyzzy plugh qwerty", TextAnalysis.langId(col("text"))) === "other")
+  }
+
+  test("qualityScore stays in [0,1] and ranks clean text above junk") {
+    val clean = one("the quick brown fox jumps over the lazy dog and runs to the hills",
+      TextAnalysis.qualityScore(col("text"))).asInstanceOf[Double]
+    val junk = one("!!! ??? ### $$$ %%% ^^^ &&& *** ((()))",
+      TextAnalysis.qualityScore(col("text"))).asInstanceOf[Double]
+    assert(clean >= 0.0 && clean <= 1.0 && junk >= 0.0 && junk <= 1.0)
+    assert(clean > junk)
+  }
+
+  test("wordShingles: n-grams in order; short docs yield empty") {
+    import spark.implicits._
+    val sh = Seq("a b c d e f").toDF("text")
+      .select(TextAnalysis.wordShingles(col("text"), 5)).head().getSeq[String](0)
+    assert(sh === Seq("a b c d e", "b c d e f"))
+    val short = Seq("a b c").toDF("text")
+      .select(TextAnalysis.wordShingles(col("text"), 5)).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("fingerprint is deterministic and separates different docs") {
+    import spark.implicits._
+    val df = Seq((1L, "one two three four five six seven"),
+      (2L, "one two three four five six seven"),
+      (3L, "totally different words here now ok yes")).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), TextAnalysis.fingerprint(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(1L) !== fps(3L))
+  }
+}
