@@ -24,13 +24,20 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine for the hot paths: the fused codegen'd Catalyst
+    * expression ([[graft.functions.CosineSimilarity]]) — identical
+    * semantics to [[cosine]] (index-order double accumulation), one
+    * tight loop instead of interpreted lambdas. */
+  private def fastCos(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosineNative(a, b)
+
   /** Brute-force cosine top-k to one query vector.
     * @param queryVec single-row DataFrame with column `embedding` —
     *   broadcast, so the corpus is scanned exactly once. */
   def topK(corpus: DataFrame, queryVec: DataFrame, k: Int,
            idCol: String = "vec_id"): DataFrame = {
     val q = broadcast(queryVec.select(col("embedding").as("q_emb")))
-    val cos = cosine(col("embedding"), col("q_emb"))
+    val cos = fastCos(col("embedding"), col("q_emb"))
     corpus.crossJoin(q)
       .select(col(idCol), cos.as("cos_raw"))
       .orderBy(desc("cos_raw"), col(idCol))
@@ -66,7 +73,7 @@ object Similarity {
     val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding"), bits))
     val q = broadcast(queryVec.select(col("embedding").as("q_emb"),
       lshBucket(col("embedding"), bits).as("q_bucket")))
-    val cos = cosine(col("embedding"), col("q_emb"))
+    val cos = fastCos(col("embedding"), col("q_emb"))
     bucketed.join(q, col("bucket") === col("q_bucket"))
       .select(col(idCol), cos.as("cos_raw"))
       .orderBy(desc("cos_raw"), col(idCol))
@@ -81,7 +88,7 @@ object Similarity {
                   idCol: String = "vec_id"): DataFrame = {
     val a = corpus.select(col(idCol).as("d1"), col("embedding").as("e1"))
     val b = corpus.select(col(idCol).as("d2"), col("embedding").as("e2"))
-    val cos = cosine(col("e1"), col("e2"))
+    val cos = fastCos(col("e1"), col("e2"))
     a.join(b, col("d1") < col("d2"))
       .filter(cos >= threshold)
       .select(col("d1"), col("d2"), round(cos, 4).as("cosine"))
@@ -94,7 +101,7 @@ object Similarity {
     val bucketed = corpus.select(col(idCol).as("id"), col("embedding"),
       lshBucket(col("embedding"), bits).as("bucket"))
     val a = bucketed.as("a"); val b = bucketed.as("b")
-    val cos = cosine(col("a.embedding"), col("b.embedding"))
+    val cos = fastCos(col("a.embedding"), col("b.embedding"))
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .filter(cos >= threshold)
       .select(col("a.id").as("d1"), col("b.id").as("d2"), round(cos, 4).as("cosine"))

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Schema-first readers for the reference's document model
+  * (RDME:40-42): 3-level nested securities documents whose numeric
+  * fields may hold the string "NA" or null (NOSQL:29-33).
+  *
+  * Policy (SURVEY §7.4 Q2): numerics are read as STRING and cast
+  * after cleaning (`RelationalOps.cleanNumeric` /`numericOrNull`),
+  * never inferred — inference would type a clean sample as double and
+  * corrupt-record the dirty rows. `columnNameOfCorruptRecord` keeps
+  * malformed JSON lines observable instead of silently dropped.
+  */
+object DocumentSource {
+
+  /** The securities document schema; dirty numerics as StringType. */
+  val securitySchema: StructType = StructType(Seq(
+    StructField("Symbol", StringType),
+    StructField("StaticData", StructType(Seq(
+      StructField("SecurityName", StringType),
+      StructField("SECFilings", StringType),
+      StructField("GICSSector", StringType),
+      StructField("GICSSubIndustry", StringType)))),
+    StructField("MarketData", StructType(Seq(
+      StructField("Price", StringType),
+      StructField("MarketCap", StringType),
+      StructField("Beta", StringType)))),
+    StructField("FinancialRatios", StructType(Seq(
+      StructField("DividendYield", StringType),
+      StructField("PERatio", StringType),
+      StructField("PayoutRatio", StringType)))),
+    StructField("_corrupt_record", StringType)))
+
+  /** Read newline-delimited JSON securities with the explicit schema.
+    * PERMISSIVE + corrupt-record column: a malformed line yields a row
+    * with only `_corrupt_record` set. */
+  def securitiesJson(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(securitySchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** Generic schema-first CSV reader (header, explicit schema). */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** Partitioned parquet writer — the engine's sink for derived
+    * tables. `partitionBy` columns become directory partitions so
+    * downstream date/key filters prune at the file level. */
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+}

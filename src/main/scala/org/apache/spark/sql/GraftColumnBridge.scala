@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column ⇄ Expression converters —
+  * the supported pattern for libraries that ship custom Catalyst
+  * expressions without forking Spark (the converters live in
+  * `org.apache.spark.sql.classic.ExpressionUtils`, package-private
+  * since Spark 4's unified Column API). */
+object GraftColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

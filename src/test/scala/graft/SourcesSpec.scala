@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.RelationalOps
+import graft.sources.DocumentSource
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class SourcesSpec extends AnyFunSuite with SharedSpark {
+
+  test("securities JSON: schema-first read, dirty numerics survive, corrupt rows observable") {
+    val dir = Files.createTempDirectory("graft-json").toFile
+    val f = new java.io.File(dir, "securities.jsonl")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"Symbol":"AAA","StaticData":{"SecurityName":"A Corp","SECFilings":"10-K","GICSSector":"Energy","GICSSubIndustry":"Oil"},"MarketData":{"Price":120.5,"MarketCap":200000,"Beta":1.1},"FinancialRatios":{"DividendYield":2.5,"PERatio":15.2,"PayoutRatio":0.4}}""")
+    w.println("""{"Symbol":"BBB","StaticData":{"SecurityName":"B Corp","SECFilings":"10-Q","GICSSector":"Energy","GICSSubIndustry":"Gas"},"MarketData":{"Price":"NA","MarketCap":null,"Beta":0.9},"FinancialRatios":{"DividendYield":"NA","PERatio":8.1,"PayoutRatio":null}}""")
+    w.println("""this is not json at all""")
+    w.close()
+
+    val df = DocumentSource.securitiesJson(spark, f.getAbsolutePath).cache()
+    assert(df.count() === 3)
+    // dirty numeric read as string: both the number and the sentinel survive
+    val bySym = df.filter(col("Symbol").isNotNull).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(bySym("AAA").getStruct(2).getString(0) === "120.5")
+    assert(bySym("BBB").getStruct(2).getString(0) === "NA")
+    assert(bySym("BBB").getStruct(2).isNullAt(1))
+    // corrupt line observable, not dropped
+    assert(df.filter(col("_corrupt_record").isNotNull).count() === 1)
+    // Mongo-$avg semantics over the dirty read (SURVEY §7.4 Q2)
+    val avgPrice = df.agg(avg(RelationalOps.numericOrNull(col("MarketData.Price"))))
+      .head().getDouble(0)
+    assert(avgPrice === 120.5)
+  }
+
+  test("CSV: schema-first read") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-csv").toFile
+    val f = new java.io.File(dir, "rates.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("from_currency,to_currency,rate"); w.println("EUR,USD,1.09"); w.close()
+    val schema = StructType(Seq(StructField("from_currency", StringType),
+      StructField("to_currency", StringType), StructField("rate", DoubleType)))
+    val df = DocumentSource.csv(spark, f.getAbsolutePath, schema)
+    assert(df.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq(("EUR", "USD", 1.09)))
+  }
+
+  test("parquet sink round-trips with directory partitioning") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pq").toFile.getAbsolutePath + "/out"
+    val df = Seq((1, "a", "2024-01-01"), (2, "b", "2024-01-02")).toDF("id", "v", "dt")
+    DocumentSource.writeParquet(df, dir, partitionBy = Seq("dt"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() === 2)
+    // partition pruning: only one directory read when filtering on dt
+    val pruned = back.filter(col("dt") === "2024-01-01")
+    assert(pruned.count() === 1)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+}

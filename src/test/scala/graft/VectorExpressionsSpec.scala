@@ -1,0 +1,46 @@
+package graft
+
+import graft.ext.Similarity
+import graft.functions.VectorExpressions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorExpressionsSpec extends AnyFunSuite with SharedSpark {
+
+  private lazy val emb = graft.sources.Tables(spark, sf0001).table("embeddings")
+
+  test("native cosine equals the HOF composition on every real vector pair sample") {
+    val pairs = emb.limit(30).select(col("vec_id").as("d1"), col("embedding").as("e1"))
+      .crossJoin(emb.limit(30).select(col("vec_id").as("d2"), col("embedding").as("e2")))
+      .filter(col("d1") < col("d2"))
+      .select(
+        VectorExpressions.cosineNative(col("e1"), col("e2")).as("fast"),
+        Similarity.cosine(col("e1"), col("e2")).as("slow"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("native cosine: nulls and mismatched lengths yield NULL, zero vector yields NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f)),   // length mismatch
+      (Array(0.0f, 0.0f), Array(1.0f, 2.0f))          // zero norm
+    ).toDF("a", "b")
+    val out = df.select(VectorExpressions.cosineNative(col("a"), col("b"))).collect()
+    assert(out.forall(_.isNullAt(0)))
+    val withNull = Seq((Option.empty[Array[Float]], Option(Array(1.0f)))).toDF("a", "b")
+      .select(VectorExpressions.cosineNative(col("a"), col("b"))).collect()
+    assert(withNull.head.isNullAt(0))
+  }
+
+  test("native cosine participates in whole-stage codegen") {
+    val plan = emb.select(VectorExpressions.cosineNative(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // "*(n)" marks a WholeStageCodegen stage; the project containing
+    // the expression must be inside one (no codegen fallback)
+    assert(plan.contains("*(1) Project [cosinesimilarity"), plan)
+  }
+}
