@@ -58,6 +58,22 @@ object RelationalOps {
     * semantics (it silently skips non-numeric values; SURVEY §7.4 Q2). */
   def numericOrNull(c: Column): Column = c.cast("string").try_cast("double")
 
+  /** Skew-safe equi-join of a skewed fact against a dimension: fact
+    * rows get a salt in [0, salt), the dim side is replicated `salt`
+    * times, and the join key becomes (key, salt) — a single hot key
+    * spreads over `salt` reducers instead of one straggler task.
+    * Result is identical to `fact.join(dim, key)` (inner). AQE's
+    * skew-join handles moderate skew automatically; explicit salting
+    * is for the pathological keys AQE splits can't fix (one key >
+    * executor memory). */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salt: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salt)).cast("int"))
+    val expandedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    saltedFact.join(expandedDim, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Per-group sorted value list rendered to a deterministic string —
     * the order-stable form of `$push` (NoSQLQueries.js:40) for tests
     * and oracles. Unbounded per-group state: document the group-size

@@ -392,6 +392,31 @@ object RelationalQueries {
              |  INTERSECT SELECT DISTINCT s_nationkey FROM supplier WHERE s_acctbal > 9000)
              |ORDER BY src""".stripMargin)),
 
+    // Hierarchical aggregation (engine-completeness beyond §2): ROLLUP
+    QueryDef("q_rollup",
+      (s, d) => t(s, d, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // Exact interpolated percentiles per group
+    QueryDef("q_percentile",
+      (s, d) => t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+             |  round(quantile_cont(l_quantity, 0.95), 4) AS p95,
+             |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Semi/anti joins (§2.3 "for free" set): customers with no orders
     QueryDef("q_anti_join",
       (s, d) => t(s, d, "customer")

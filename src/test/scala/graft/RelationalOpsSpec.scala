@@ -85,6 +85,20 @@ class RelationalOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("saltedJoin returns exactly the rows of the plain join on skewed data") {
+    import spark.implicits._
+    // 10k rows of one hot key + a tail, joined to a small dim
+    val fact = ((1 to 10000).map(i => ("hot", i.toDouble)) ++
+      (1 to 100).map(i => (s"k$i", i.toDouble))).toDF("k", "v")
+    val dim = (Seq("hot") ++ (1 to 100).map(i => s"k$i")).map(k => (k, s"d_$k")).toDF("k", "d")
+    val plain = fact.join(dim, Seq("k")).groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = RelationalOps.saltedJoin(fact, dim, "k", salt = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted === plain)
+  }
+
   test("round is HALF_UP away from zero, matching PostgreSQL (SURVEY §7.4 Q1)") {
     import spark.implicits._
     val vals = Seq(0.03125, 2.56495, -0.03125, 572.09249).toDF("v")
