@@ -81,6 +81,43 @@ object Similarity {
       .select(col(idCol), round(col("cos_raw"), 6).as("cosine"))
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nCentroids`
+    * clusters, search only the `nProbe` clusters nearest the query.
+    *
+    * Centroids are a deterministic hash-ordered sample of the corpus
+    * (no iterative k-means — reproducible and one-pass; refining with
+    * Lloyd iterations is a drop-in improvement). Assignment is a
+    * broadcast of the centroid set + per-row argmax — the standard
+    * one-pass IVF build; at scale the assignment is computed once and
+    * persisted alongside the embeddings, making queries touch only
+    * ~nProbe/nCentroids of the data. */
+  def annIvf(corpus: DataFrame, queryVec: DataFrame, k: Int,
+             nCentroids: Int = 16, nProbe: Int = 2,
+             idCol: String = "vec_id"): DataFrame = {
+    val centroids = broadcast(
+      corpus.select(col(idCol).as("cid"), col("embedding").as("c_emb"))
+        .orderBy(xxhash64(col("cid")), col("cid")).limit(nCentroids))
+    // per-row nearest centroid (argmax cosine via max(struct))
+    val assigned = corpus.crossJoin(centroids)
+      .groupBy(col(idCol))
+      .agg(max(struct(fastCos(col("embedding"), col("c_emb")).as("sim"),
+        col("cid"))).as("best"))
+      .select(col(idCol).as("a_id"), col("best.cid").as("cluster"))
+    val clustered = corpus.join(assigned, col(idCol) === col("a_id")).drop("a_id")
+    // the query's nProbe nearest clusters
+    val probed = broadcast(
+      queryVec.select(col("embedding").as("q_emb")).crossJoin(centroids)
+        .orderBy(fastCos(col("q_emb"), col("c_emb")).desc, col("cid"))
+        .limit(nProbe)
+        .select(col("cid").as("p_cid"), col("q_emb")))
+    val cos = fastCos(col("embedding"), col("q_emb"))
+    clustered.join(probed, col("cluster") === col("p_cid"))
+      .select(col(idCol), cos.as("cos_raw"))
+      .orderBy(desc("cos_raw"), col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("cos_raw"), 6).as("cosine"))
+  }
+
   /** All near-duplicate pairs with cosine ≥ threshold. Brute-force
     * variant (cross join) for oracle-checkable correctness at small
     * scale; [[lshPairs]] is the scale path. */

@@ -60,6 +60,15 @@ object SimilarityQueries {
       },
       None, bench = true),
 
+    // IVF ANN (deterministic one-pass build; probes 2 of 16 clusters)
+    QueryDef("q_sim_ann_ivf",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.annIvf(emb.filter(col("vec_id") =!= 0),
+          emb.filter(col("vec_id") === 0), k = 10)
+      },
+      None, bench = true),
+
     // Multimodal: binary payload + metadata plumbing (decode stubbed)
     QueryDef("q_mm_meta",
       (s, d) => Multimodal.mediaFromDocuments(t(s, d, "documents"))

@@ -23,6 +23,33 @@ object EventStreams {
   case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
                         n_events: Long, duration_sec: Double, total_value: Double)
 
+  /** File-source stream over an events parquet directory: explicit
+    * schema (streaming reads never infer), nanosecond timestamps
+    * read as long and truncated to µs exactly like the batch path
+    * ([[graft.sources.Tables]]), so streaming and batch results agree. */
+  def streamFromParquet(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // file streams require a directory; the testdata layout is one
+    // parquet file per table, so glob-filter to the events file
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Streaming exact dedup on a key, with bounded state: duplicates
+    * arriving within the watermark horizon are dropped; state for
+    * keys older than the watermark is purged — the streaming twin of
+    * [[graft.ext.Dedup.exact]]. */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   /** Watermarked tumbling-window count/sum per event type. Late data
     * beyond 10 minutes is dropped; state for closed windows is purged
     * automatically — bounded state at any corpus rate. */

@@ -1,0 +1,85 @@
+package graft
+
+import graft.ext.Similarity
+import graft.ops.RelationalOps
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-posture checks: plan shapes that must hold for the 100 TB
+  * deployment — bucketed co-located joins (no exchange), broadcast
+  * dim joins, pushdown/pruning at the scan, IVF probe pruning,
+  * sketch-based distinct. */
+class ScaleSpec extends AnyFunSuite with SharedSpark {
+
+  private lazy val t = Tables(spark, sf0001)
+
+  test("bucketed tables join with zero shuffle (co-located sort-merge)") {
+    import java.nio.file.{Files, Paths}
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    t.lineitem.select("l_orderkey", "l_quantity").write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_bucketed")
+    t.orders.select("o_orderkey", "o_totalprice").write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("o_bucketed")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+
+  test("filter and projection reach the parquet scan (pushdown + pruning)") {
+    val q = t.lineitem.filter(col("l_quantity") > 40).select("l_orderkey", "l_quantity")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"), scan)
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), scan)
+  }
+
+  test("dim joins broadcast; fact side is not exchanged before partial agg") {
+    val q = SparkEntry.queries("q_multiway_revenue")(spark, sf0001)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // first Exchange must appear only after the partial HashAggregate
+    val firstExchange = plan.indexOf("Exchange hashpartitioning")
+    val firstAgg = plan.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && (firstExchange == -1 || firstAgg < firstExchange ||
+      plan.indexOf("BroadcastExchange") < firstExchange), plan)
+  }
+
+  test("IVF ANN: probes a cluster subset, results ordered, recall > 0") {
+    val emb = t.embeddings
+    val q = emb.filter(col("vec_id") === 0)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val ivf = Similarity.annIvf(corpus, q, k = 10, nCentroids = 8, nProbe = 2).collect()
+    assert(ivf.nonEmpty)
+    val cos = ivf.map(_.getDouble(1)).toSeq
+    assert(cos === cos.sorted.reverse)
+    val brute = Similarity.topK(corpus, q, k = 10).collect().map(_.getLong(0)).toSet
+    assert(ivf.map(_.getLong(0)).exists(brute), "IVF with 2/8 probes should recover some true top-10")
+  }
+
+  test("HLL sketch distinct approximates exact distinct within 5%") {
+    val exact = t.lineitem.select(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val est = t.lineitem
+      .select(expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey))")).head().getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.05, s"est=$est exact=$exact")
+  }
+
+  test("saltedJoin spreads a hot key across reducers (plan sanity at the API level)") {
+    import spark.implicits._
+    val fact = (1 to 1000).map(i => ("hot", i)).toDF("k", "v")
+    val dim = Seq(("hot", "d")).toDF("k", "d")
+    val out = RelationalOps.saltedJoin(fact, dim, "k", salt = 4)
+    assert(out.count() === 1000)
+    assert(out.columns.toSeq === Seq("k", "v", "d"))
+  }
+}

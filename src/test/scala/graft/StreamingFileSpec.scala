@@ -1,0 +1,48 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingFileSpec extends AnyFunSuite with SharedSpark {
+
+  test("file-source stream (AvailableNow) reproduces the batch hourly aggregation") {
+    val stream = EventStreams.streamFromParquet(spark, sf0001)
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.outputMode("append").format("memory").queryName("file_hourly")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("file_hourly")
+      .select("hour", "event_type", "n", "total").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = SparkEntry.queries("q_ev_hourly")(spark, sf0001).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // append mode emits only watermark-closed windows: a subset of the
+    // batch result, equal on every emitted window, and non-trivial
+    assert(streamed.nonEmpty)
+    assert(streamed.subsetOf(batch),
+      s"streamed windows must match batch exactly; diff=${streamed.diff(batch).take(3)}")
+    assert(streamed.size >= batch.size - 50, "only the tail windows may be unclosed")
+  }
+
+  test("streaming dedup within watermark drops duplicate keys, keeps state bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Long) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupStream(mem.toDF(), Seq("event_id"), "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_stream").start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "a", 1.0), Event(1, ts(1), 1, "a", 1.0),
+        Event(2, ts(2), 1, "b", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(3), 1, "a", 1.0))   // dup within watermark
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).toSeq
+      assert(ids.sorted === Seq(1L, 2L), s"got $ids")
+    } finally q.stop()
+  }
+}
