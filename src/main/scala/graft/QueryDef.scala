@@ -19,6 +19,7 @@ object QueryDef {
   /** Registry assembled from every query group in the library. */
   def all: Seq[QueryDef] =
     graft.queries.RelationalQueries.defs ++
+      graft.queries.ScalarQueries.defs ++
       graft.queries.TextQueries.defs ++
       graft.queries.DedupQueries.defs ++
       graft.queries.SimilarityQueries.defs ++
