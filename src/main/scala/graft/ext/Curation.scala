@@ -1,0 +1,53 @@
+package graft.ext
+
+import graft.ops.RelationalOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation pipeline — the composition a
+  * 100 TB corpus actually runs, built entirely from the engine's own
+  * operators so every stage inherits their scale properties:
+  *
+  *   1. score: language ID + quality + token counts (per-row, codegen)
+  *   2. filter: quality ≥ minQuality, language identified
+  *   3. exact dedup: min-id representative per identical text
+  *   4. near-dup removal: inverted-index Jaccard pairs, drop the
+  *      higher id of each pair (candidates from shared shingles only)
+  *   5. corpus stats per language
+  *
+  * Shuffle budget: one window shuffle (3), one shingle-join (4), one
+  * final agg — nothing quadratic, nothing on the driver.
+  */
+object Curation {
+
+  /** Per-document scores; reused by [[curate]] and queryable alone. */
+  def score(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"), col("text"),
+      TextAnalysis.langId(col("text")).as("pred_lang"),
+      TextAnalysis.qualityScore(col("text")).as("quality"),
+      TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+
+  /** The curated corpus (documents surviving all four stages). */
+  def curatedDocs(docs: DataFrame, minQuality: Double = 0.5,
+                  jaccardThreshold: Double = 0.6): DataFrame = {
+    val filtered = score(docs)
+      .filter(col("quality") >= minQuality && col("pred_lang") =!= "other")
+    val exactKept = RelationalOps.argminBy(
+      filtered, Seq(col("text")), Seq(col("doc_id")))
+    val nearDupLosers = Dedup.jaccardPairs(exactKept, "doc_id", "text",
+      n = 5, threshold = jaccardThreshold)
+      .select(col("d2").as("loser")).distinct()
+    exactKept.join(nearDupLosers, col("doc_id") === col("loser"), "left_anti")
+  }
+
+  /** Per-language stats of the curated corpus. */
+  def curate(docs: DataFrame, minQuality: Double = 0.5,
+             jaccardThreshold: Double = 0.6): DataFrame =
+    curatedDocs(docs, minQuality, jaccardThreshold)
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        round(avg("quality"), 4).as("avg_quality"))
+      .orderBy("pred_lang")
+}

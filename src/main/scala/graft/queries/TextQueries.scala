@@ -37,17 +37,10 @@ object TextQueries {
         TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_words"),
         round(TextAnalysis.qualityScore(col("text")), 4).as("quality"))
         .orderBy("doc_id"),
-      Some("""SELECT doc_id, length(text) AS n_chars,
-             |  len(string_split_regex(text, '\s+')) AS n_words,
-             |  round((
-             |    least(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|is|in)\b')) * 1.0
-             |          / len(string_split_regex(text, '\s+')) * 5.0, 1.0)
-             |    + greatest(1.0 - len(regexp_extract_all(text, '[^\w\s]')) * 1.0
-             |               / length(text) * 10.0, 0.0)
-             |    + CASE WHEN length(text) * 1.0 / len(string_split_regex(text, '\s+'))
-             |           BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END
-             |  ) / 3.0, 4) AS quality
-             |FROM documents ORDER BY doc_id""".stripMargin)),
+      Some(s"""SELECT doc_id, length(text) AS n_chars,
+              |  len(string_split_regex(text, '\\s+')) AS n_words,
+              |  round($qualitySqlExpr, 4) AS quality
+              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // Language ID: stopword-marker heuristic, deterministic tie-break
     QueryDef("q_tx_langid",
@@ -57,6 +50,13 @@ object TextQueries {
         col("lang").as("labeled_lang"))
         .orderBy("doc_id"),
       Some(langIdOracle)),
+
+    // End-to-end curation pipeline (flagship for the LLM-data story):
+    // score → quality/lang filter → exact dedup → near-dup removal →
+    // per-language stats. Oracle composes the same stages in SQL.
+    QueryDef("q_curate_pipeline",
+      (s, d) => graft.ext.Curation.curate(t(s, d, "documents")),
+      Some(curateOracle), bench = true),
 
     // Document fingerprinting (rolling min-hash over shingles) — no
     // portable SQL analogue of xxhash64, so rows-only gate; exactness
@@ -69,9 +69,10 @@ object TextQueries {
       None),
   )
 
-  /** DuckDB mirror of [[TextAnalysis.langId]]: same marker lists, same
-    * strictly-greater fold order, so predictions agree exactly. */
-  private def langIdOracle: String = {
+  /** DuckDB scalar expression mirroring [[TextAnalysis.langId]]: same
+    * marker lists, same strictly-greater fold order, so predictions
+    * agree exactly. */
+  private[queries] def langIdSqlExpr: String = {
     val scores = TextAnalysis.langMarkers.map { case (l, ws) =>
       l -> s"len(regexp_extract_all(lower(text), '\\b(${ws.mkString("|")})\\b'))"
     }
@@ -82,9 +83,62 @@ object TextQueries {
         (s"CASE WHEN $sc > $ps THEN '$l' ELSE $pl END",
           s"CASE WHEN $sc > $ps THEN $sc ELSE $ps END")
     }
+    s"CASE WHEN $scoreExpr > 0 THEN $predExpr ELSE 'other' END"
+  }
+
+  /** DuckDB scalar expression mirroring [[TextAnalysis.qualityScore]]
+    * (unrounded — identical expression tree, identical doubles). */
+  private[queries] def qualitySqlExpr: String =
+    """(
+      |    least(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|is|in)\b')) * 1.0
+      |          / len(string_split_regex(text, '\s+')) * 5.0, 1.0)
+      |    + greatest(1.0 - len(regexp_extract_all(text, '[^\w\s]')) * 1.0
+      |               / length(text) * 10.0, 0.0)
+      |    + CASE WHEN length(text) * 1.0 / len(string_split_regex(text, '\s+'))
+      |           BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.5 END
+      |  ) / 3.0""".stripMargin
+
+  private def langIdOracle: String =
     s"""SELECT doc_id,
-       |  CASE WHEN $scoreExpr > 0 THEN $predExpr ELSE 'other' END AS pred_lang,
+       |  $langIdSqlExpr AS pred_lang,
        |  lang AS labeled_lang
        |FROM documents ORDER BY doc_id""".stripMargin
-  }
+
+  /** DuckDB mirror of [[graft.ext.Curation.curate]] stage by stage. */
+  private def curateOracle: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, text,
+       |    $langIdSqlExpr AS pred_lang,
+       |    $qualitySqlExpr AS quality,
+       |    len(string_split_regex(text, '\\s+')) AS n_tokens
+       |  FROM documents),
+       |filtered AS (
+       |  SELECT * FROM scored WHERE quality >= 0.5 AND pred_lang <> 'other'),
+       |exact_kept AS (
+       |  SELECT * FROM filtered
+       |  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tokens
+       |  FROM exact_kept),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(1, greatest(len(tokens) - 3, 1)),
+       |                            i -> array_to_string(tokens[i:i+4], ' '))) AS s
+       |    FROM toks)),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |losers AS (
+       |  SELECT DISTINCT d2 FROM (
+       |    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+       |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |    GROUP BY 1, 2) i
+       |  JOIN sz s1 ON d1 = s1.doc_id
+       |  JOIN sz s2 ON d2 = s2.doc_id
+       |  WHERE n_inter / (s1.n_sh + s2.n_sh - n_inter) >= 0.6),
+       |kept AS (
+       |  SELECT * FROM exact_kept WHERE doc_id NOT IN (SELECT d2 FROM losers))
+       |SELECT pred_lang, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  round(avg(quality), 4) AS avg_quality
+       |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
 }
