@@ -67,6 +67,35 @@ object EventQueries {
              |  min(ts) AS sess_start, max(us) - min(us) AS sess_len_us
              |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin), bench = true),
 
+    // Backward as-of join: each purchase picks up the user's latest
+    // click at-or-before it (right side pre-aggregated to unique
+    // (user, ts) so ties are deterministic on both engines)
+    QueryDef("q_ev_asof_join",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+        graft.ops.AsofJoin.asofJoin(purchases, clicks,
+          key = "user_id", leftTime = "ts", rightTime = "ts",
+          valueCols = Seq("click_value"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_ts").as("click_ts"), col("asof_click_value").as("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH purchases AS (
+             |  SELECT event_id, user_id, ts, value FROM events
+             |  WHERE event_type = 'purchase'),
+             |clicks AS (
+             |  SELECT user_id, ts, max(value) AS click_value FROM events
+             |  WHERE event_type = 'click' GROUP BY 1, 2)
+             |SELECT p.event_id, p.user_id, p.ts,
+             |  c.ts AS click_ts, c.click_value
+             |FROM purchases p ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
     // Per-type daily top spender (join of window + agg patterns on the
     // event stream's batch view)
     QueryDef("q_ev_top_users",
