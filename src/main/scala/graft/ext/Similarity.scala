@@ -65,16 +65,25 @@ object Similarity {
         acc + when(proj > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
       })
 
-  /** ANN via LSH buckets: search only the query's bucket. Recall is
-    * tunable via `bits` (fewer bits → bigger buckets → higher recall);
-    * multi-probe (flipping low-order bits) is the standard extension. */
+  /** ANN via LSH buckets: search only the query's bucket — or, with
+    * `multiProbe`, also every bucket at Hamming distance 1 (a vector
+    * near a hyperplane lands on either side; probing the 1-bit
+    * neighbours recovers most of that lost recall for bits+1 bucket
+    * lookups instead of a bigger-bucket scan). */
   def annLsh(corpus: DataFrame, queryVec: DataFrame, k: Int,
-             bits: Int = 8, idCol: String = "vec_id"): DataFrame = {
+             bits: Int = 8, idCol: String = "vec_id",
+             multiProbe: Boolean = false): DataFrame = {
     val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding"), bits))
-    val q = broadcast(queryVec.select(col("embedding").as("q_emb"),
-      lshBucket(col("embedding"), bits).as("q_bucket")))
+    val base = queryVec.select(col("embedding").as("q_emb"),
+      lshBucket(col("embedding"), bits).as("q_bucket"))
+    val probes =
+      if (!multiProbe) base.withColumn("q_probe", col("q_bucket"))
+      else base.withColumn("q_probe", explode(array(
+        col("q_bucket") +: (0 until bits).map(j =>
+          col("q_bucket").bitwiseXOR(lit(1L << j))): _*)))
+    val q = broadcast(probes)
     val cos = fastCos(col("embedding"), col("q_emb"))
-    bucketed.join(q, col("bucket") === col("q_bucket"))
+    bucketed.join(q, col("bucket") === col("q_probe"))
       .select(col(idCol), cos.as("cos_raw"))
       .orderBy(desc("cos_raw"), col(idCol))
       .limit(k)

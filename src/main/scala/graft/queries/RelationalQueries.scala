@@ -392,6 +392,37 @@ object RelationalQueries {
              |  INTERSECT SELECT DISTINCT s_nationkey FROM supplier WHERE s_acctbal > 9000)
              |ORDER BY src""".stripMargin)),
 
+    // A2 via the built-in pivot operator (same semantics as the manual
+    // CASE pivot; oracle uses the CASE form — results must agree)
+    QueryDef("q_pivot",
+      (s, d) => t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .pivot("c_mktsegment", Seq("BUILDING", "AUTOMOBILE"))
+        .agg(round(avg("c_acctbal"), 4))
+        .withColumnRenamed("BUILDING", "building_avg")
+        .withColumnRenamed("AUTOMOBILE", "automobile_avg")
+        .orderBy("n_name"),
+      Some("""SELECT n_name,
+             |  round(avg(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END), 4) AS building_avg,
+             |  round(avg(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END), 4) AS automobile_avg
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Typed UDAF (Aggregator tier): geometric mean; oracle uses the
+    // algebraic identity exp(avg(ln x))
+    QueryDef("q_geomean",
+      (s, d) => t(s, d, "supplier")
+        .filter(col("s_acctbal") > 0)
+        .groupBy("s_nationkey")
+        .agg(round(graft.functions.GeometricMean.asColumn(col("s_acctbal")), 4).as("geo_bal"),
+          count(lit(1)).as("n"))
+        .orderBy("s_nationkey"),
+      Some("""SELECT s_nationkey, round(exp(avg(ln(s_acctbal))), 4) AS geo_bal,
+             |  count(*) AS n
+             |FROM supplier WHERE s_acctbal > 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Hierarchical aggregation (engine-completeness beyond §2): ROLLUP
     QueryDef("q_rollup",
       (s, d) => t(s, d, "orders")

@@ -47,6 +47,20 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(recall > 0.0, s"ANN should recover some true neighbours, got $recall")
   }
 
+  test("multi-probe LSH recall ≥ single-probe recall, both ⊆ brute-force ranking") {
+    val q = emb.filter(col("vec_id") === 0)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val single = Similarity.annLsh(corpus, q, k = 10, bits = 8).collect()
+    val multi = Similarity.annLsh(corpus, q, k = 10, bits = 8, multiProbe = true).collect()
+    // probe set includes the base bucket → candidate superset → the
+    // returned top-k can only get better (more results or ≥ cosines)
+    assert(multi.length >= single.length)
+    val sumS = single.map(_.getDouble(1)).sum
+    val sumM = multi.take(single.length).map(_.getDouble(1)).sum
+    assert(sumM >= sumS - 1e-9, s"multi-probe quality $sumM < single $sumS")
+    assert(multi.nonEmpty)
+  }
+
   test("lshPairs ⊆ cosinePairs (candidate pruning never invents pairs)") {
     val small = emb.limit(120)
     val brute = Similarity.cosinePairs(small, threshold = 0.2).collect()
