@@ -69,6 +69,21 @@ object SimilarityQueries {
       },
       None, bench = true),
 
+    // Per-label embedding centroid: elementwise mean via posexplode +
+    // (label, pos) aggregation — the scalable vector-aggregate shape
+    // (no per-group array materialization); output exploded to
+    // scalars so the hash compare is list-free
+    QueryDef("q_emb_centroid",
+      (s, d) => t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("v"))
+        .orderBy("label", "pos"),
+      Some("""SELECT label, i - 1 AS pos,
+             |  round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS v
+             |FROM embeddings, range(1, 65) t(i)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Multimodal: binary payload + metadata plumbing (decode stubbed)
     QueryDef("q_mm_meta",
       (s, d) => Multimodal.mediaFromDocuments(t(s, d, "documents"))
