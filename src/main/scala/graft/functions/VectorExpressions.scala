@@ -83,4 +83,10 @@ object VectorExpressions {
   /** Column API for [[CosineSimilarity]] (inputs: two array<float>). */
   def cosineNative(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+
+  /** Make the expression available to `spark.sql` as
+    * `cosine_native(a, b)`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    GraftColumnBridge.registerFunction(spark, "cosine_native",
+      exprs => CosineSimilarity(exprs(0), exprs(1)))
 }

@@ -36,6 +36,17 @@ class VectorExpressionsSpec extends AnyFunSuite with SharedSpark {
     assert(withNull.head.isNullAt(0))
   }
 
+  test("cosine_native is callable from spark.sql after registration") {
+    VectorExpressions.register(spark)
+    emb.limit(20).createOrReplaceTempView("emb_sql_test")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, cosine_native(a.embedding, b.embedding) AS c
+        |FROM emb_sql_test a JOIN emb_sql_test b ON b.vec_id = a.vec_id + 1
+        |ORDER BY a.vec_id""".stripMargin).collect()
+    assert(viaSql.length === 19)
+    assert(viaSql.forall(r => math.abs(r.getDouble(1)) <= 1.0 + 1e-12))
+  }
+
   test("native cosine participates in whole-stage codegen") {
     val plan = emb.select(VectorExpressions.cosineNative(col("embedding"), col("embedding")))
       .queryExecution.executedPlan.toString
