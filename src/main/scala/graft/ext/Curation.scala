@@ -28,7 +28,16 @@ object Curation {
       TextAnalysis.qualityScore(col("text")).as("quality"),
       TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
 
-  /** The curated corpus (documents surviving all four stages). */
+  /** The curated corpus (documents surviving all four stages).
+    *
+    * The plan is diamond-shaped: the scored+deduped frame feeds the
+    * Jaccard self-join twice AND the final anti-join. Deliberately
+    * NOT persisted: AQE's exchange reuse already shares the window
+    * shuffle across consumers, and a measured persist() barrier made
+    * the single-shot run slower (cache build + lost whole-stage
+    * fusion > the saved regex re-evaluations). At 100 TB, checkpoint
+    * the scored corpus to parquet between stages instead — an
+    * explicit materialization, not an in-memory cache. */
   def curatedDocs(docs: DataFrame, minQuality: Double = 0.5,
                   jaccardThreshold: Double = 0.6): DataFrame = {
     val filtered = score(docs)

@@ -17,9 +17,16 @@ object TextAnalysis {
   def tokenCountRegex(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
 
-  /** Occurrences of any of `words` as whole words, case-insensitive. */
+  /** Occurrences of any of `words` as whole words, case-insensitive.
+    * Native one-pass sweep ([[graft.functions.WordSetsCount]]) —
+    * equivalent to `\b(w1|w2|...)\b` regex counting for word-char
+    * markers, without the per-set regex scan. */
   def markerCount(text: Column, words: Seq[String]): Column =
-    size(regexp_extract_all(lower(text), lit("\\b(" + words.mkString("|") + ")\\b"), lit(0)))
+    graft.functions.TextExpressions.wordSetsCount(lower(text), Seq(words)).getItem(0)
+
+  /** All language marker-set counts in one text sweep. */
+  private def langScores(text: Column): Column =
+    graft.functions.TextExpressions.wordSetsCount(lower(text), langMarkers.map(_._2))
 
   /** Language markers: tiny per-language stopword lists. Heuristic
     * n-gram/stopword language ID — deterministic, codegen'd. */
@@ -33,7 +40,8 @@ object TextAnalysis {
   /** Predict language by max marker count; ties resolve in the fixed
     * order of [[langMarkers]] ("other" when all scores are 0). */
   def langId(text: Column): Column = {
-    val scores = langMarkers.map { case (l, ws) => l -> markerCount(text, ws) }
+    val all = langScores(text)
+    val scores = langMarkers.zipWithIndex.map { case ((l, _), i) => l -> all.getItem(i) }
     // fold with when(): start from the first language, replace only on
     // strictly-greater score, so ties keep the earlier language
     val (firstLang, firstScore) = scores.head
