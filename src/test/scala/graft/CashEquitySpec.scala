@@ -129,6 +129,46 @@ class CashEquitySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("typed Dataset model binds to the fixtures and agrees with the SQL form") {
+    assert(registered)
+    import graft.cashequity.Model
+    import spark.implicits._
+    // typed computation of SQL1's inner CTE: avg daily return for
+    // (Energy, US) via case-class methods, vs the SQL value
+    val typed = Model.statics(spark)
+      .filter(s => s.country == "US" && s.gics_sector == "Energy")
+      .joinWith(Model.prices(spark), $"symbol" === $"symbol_id", "inner")
+      .map { case (_, p) => p.dailyReturnPct }
+    val typedAvg = typed.reduce(_ + _) / typed.count()
+    val sqlAvg = spark.sql(
+      """SELECT avg(((close_price - open_price) / open_price) * 100)
+        |FROM equity_static LEFT JOIN equity_prices ON symbol = symbol_id
+        |WHERE country = 'US' AND gics_sector = 'Energy'""".stripMargin)
+      .head().getDouble(0)
+    assert(math.abs(typedAvg - sqlAvg) < 1e-9)
+  }
+
+  test("S1: catalog namespace — CREATE DATABASE cash_equity + USE resolves bare names") {
+    assert(registered)
+    import org.apache.spark.sql.functions._
+    spark.sql("CREATE DATABASE IF NOT EXISTS cash_equity")
+    try {
+      Fixtures.equityStatic(spark).write.mode("overwrite")
+        .saveAsTable("cash_equity.equity_static_t")
+      // qualified access
+      assert(spark.table("cash_equity.equity_static_t").count() === 22)
+      // search_path analogue (SQL:7): USE, then bare-name resolution
+      spark.sql("USE cash_equity")
+      try {
+        val n = spark.sql("SELECT count(*) AS n FROM equity_static_t").head().getLong(0)
+        assert(n === 22)
+      } finally spark.sql("USE default")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS cash_equity.equity_static_t")
+      spark.sql("DROP DATABASE IF EXISTS cash_equity")
+    }
+  }
+
   test("fixture dirt: securities numerics contain NA and null (NOSQL:29-33)") {
     assert(registered)
     import org.apache.spark.sql.functions._
