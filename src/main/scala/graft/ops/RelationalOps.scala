@@ -58,6 +58,20 @@ object RelationalOps {
     * semantics (it silently skips non-numeric values; SURVEY §7.4 Q2). */
   def numericOrNull(c: Column): Column = c.cast("string").try_cast("double")
 
+  /** Bounded-state per-group top-k (see
+    * [[graft.functions.TopKStructs]]): k smallest `orderStruct`s per
+    * key, exploded back to rows. Unlike the window-row_number idiom
+    * this never sorts a whole group and shuffles ≤ k rows per
+    * (map partition, group). `orderStruct` should end with a unique
+    * tie-break field. */
+  def topKPerGroup(df: DataFrame, keyCols: Seq[Column], orderStruct: Column,
+                   k: Int): DataFrame =
+    df.groupBy(keyCols: _*)
+      .agg(graft.functions.TopKStructs.topKStructs(orderStruct, k).as("__topk"))
+      .withColumn("__e", explode(col("__topk")))
+      .drop("__topk")
+      .select(col("*"), col("__e.*")).drop("__e")
+
   /** Skew-safe equi-join of a skewed fact against a dimension: fact
     * rows get a salt in [0, salt), the dim side is replicated `salt`
     * times, and the join key becomes (key, salt) — a single hot key

@@ -263,6 +263,21 @@ object RelationalQueries {
              |                           ORDER BY c_acctbal, c_custkey) = 1
              |ORDER BY c_nationkey""".stripMargin)),
 
+    // Bounded-state per-group top-k (custom TypedImperativeAggregate;
+    // state ≤ k rows/group vs the window idiom's full-group sort)
+    QueryDef("q_topk_per_group",
+      (s, d) => RelationalOps.topKPerGroup(
+        t(s, d, "customer"),
+        keyCols = Seq(col("c_nationkey")),
+        orderStruct = struct(col("c_acctbal"), col("c_custkey")),
+        k = 3)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"))
+        .orderBy("c_nationkey", "c_acctbal", "c_custkey"),
+      Some("""SELECT c_nationkey, c_custkey, c_acctbal FROM customer
+             |QUALIFY row_number() OVER (PARTITION BY c_nationkey
+             |                           ORDER BY c_acctbal, c_custkey) <= 3
+             |ORDER BY c_nationkey, c_acctbal, c_custkey""".stripMargin)),
+
     // O5: $sort + $limit 1 → TakeOrderedAndProject (NoSQLQueries.js:11-12)
     QueryDef("q_top1",
       (s, d) => RelationalOps.topK(
