@@ -88,6 +88,29 @@ object RelationalOps {
     saltedFact.join(expandedDim, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Scalable running total: a global-window cumulative sum executes
+    * in ONE task (Spark moves everything to a single partition for an
+    * unpartitioned window). This two-phase form computes the cumsum
+    * within `bucket` partitions (parallel), then adds each bucket's
+    * prefix offset — a window over the tiny bucket-totals frame,
+    * broadcast back. Same result, parallelism = number of buckets.
+    * Choose `bucket` as a coarse prefix of the sort order (e.g. month
+    * truncation of the date ordering). */
+  def runningTotal(df: DataFrame, bucket: Column, order: Seq[Column],
+                   value: Column, resultName: String): DataFrame = {
+    val wIn = Window.partitionBy(bucket).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val inner = df.withColumn("__bucket", bucket)
+      .withColumn("__cum_in", sum(value).over(wIn))
+    val wPrefix = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df.groupBy(bucket.as("__bucket")).agg(sum(value).as("__btot"))
+      .withColumn("__off", coalesce(sum(col("__btot")).over(wPrefix), lit(0.0)))
+      .select(col("__bucket"), col("__off"))
+    inner.join(broadcast(offsets), "__bucket")
+      .withColumn(resultName, col("__cum_in") + col("__off"))
+      .drop("__bucket", "__cum_in", "__off")
+  }
+
   /** Per-group sorted value list rendered to a deterministic string —
     * the order-stable form of `$push` (NoSQLQueries.js:40) for tests
     * and oracles. Unbounded per-group state: document the group-size

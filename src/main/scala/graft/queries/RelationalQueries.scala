@@ -358,16 +358,21 @@ object RelationalQueries {
              |QUALIFY rn <= 2
              |ORDER BY o_custkey, rn""".stripMargin)),
 
-    // Windows: running sum + lag over daily totals
+    // Windows: running sum + lag over daily totals. The cumsum uses
+    // the scalable two-phase form (per-month partitions + prefix
+    // offsets) and must still match the oracle's single global window
     QueryDef("q_window_running",
       (s, d) => {
         val daily = t(s, d, "orders")
           .groupBy(col("o_orderdate").cast("date").as("order_date"))
           .agg(round(sum("o_totalprice"), 2).as("daily_total"))
         val w = Window.orderBy("order_date")
-        daily
-          .withColumn("running_total",
-            round(sum("daily_total").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        val withRunning = RelationalOps.runningTotal(daily,
+          bucket = date_trunc("month", col("order_date")),
+          order = Seq(col("order_date")),
+          value = col("daily_total"), resultName = "__rt")
+        withRunning
+          .withColumn("running_total", round(col("__rt"), 2)).drop("__rt")
           .withColumn("prev_total", lag("daily_total", 1).over(w))
           .orderBy("order_date")
       },

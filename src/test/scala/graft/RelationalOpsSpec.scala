@@ -85,6 +85,22 @@ class RelationalOpsSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("two-phase runningTotal equals the single-partition global window") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = (1 to 5000).map(i => (i, (i % 12) + 1, (i * 37 % 100) / 4.0))
+      .toDF("seq", "bucket", "v")
+    val globalW = Window.orderBy("seq").rowsBetween(Window.unboundedPreceding, 0)
+    val expected = rows.withColumn("rt", sum("v").over(globalW))
+      .select("seq", "rt").collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // bucket = seq prefix (coarse ranges), a valid sort-order prefix
+    val got = RelationalOps.runningTotal(rows,
+      bucket = (col("seq") / 500).cast("int"), order = Seq(col("seq")),
+      value = col("v"), resultName = "rt")
+      .select("seq", "rt").collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    expected.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-6, s"seq $k") }
+  }
+
   test("saltedJoin returns exactly the rows of the plain join on skewed data") {
     import spark.implicits._
     // 10k rows of one hot key + a tail, joined to a small dim
