@@ -84,6 +84,16 @@ object SimilarityQueries {
              |FROM embeddings, range(1, 65) t(i)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Multimodal feature extraction through mapPartitions (stub
+    // decode, deterministic checksum/features) — rows-only gate
+    QueryDef("q_mm_features",
+      (s, d) => Multimodal.extractFeatures(s,
+        Multimodal.mediaFromDocuments(t(s, d, "documents")))
+        .toDF()
+        .select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"))
+        .orderBy("media_id"),
+      None),
+
     // Multimodal: binary payload + metadata plumbing (decode stubbed)
     QueryDef("q_mm_meta",
       (s, d) => Multimodal.mediaFromDocuments(t(s, d, "documents"))

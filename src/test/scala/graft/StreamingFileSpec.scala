@@ -28,6 +28,24 @@ class StreamingFileSpec extends AnyFunSuite with SharedSpark {
     assert(streamed.size >= batch.size - 50, "only the tail windows may be unclosed")
   }
 
+  test("streaming sessionize agrees with the batch sessionization on real events") {
+    val stream = EventStreams.streamFromParquet(spark, sf0001)
+    val q = EventStreams.sessionize(spark, stream, gapMs = 30 * 60 * 1000L,
+      watermarkDelay = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("file_sessions")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("file_sessions").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
+    // batch twin: (user_id, sess_start, n_events)
+    val batch = SparkEntry.queries("q_ev_sessions")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(3).getTime, r.getLong(2))).toSet
+    assert(streamed.nonEmpty, "AvailableNow + event-time timeout must close past sessions")
+    val unmatched = streamed.diff(batch)
+    assert(unmatched.isEmpty,
+      s"every closed streaming session must appear in the batch result; diff=${unmatched.take(3)}")
+  }
+
   test("streaming dedup within watermark drops duplicate keys, keeps state bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
