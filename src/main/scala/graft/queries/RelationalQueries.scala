@@ -117,7 +117,7 @@ object RelationalQueries {
              |SELECT e.event_id, g.n_same
              |FROM g RIGHT JOIN events e
              |  ON g.user_id = e.user_id AND g.event_type = e.event_type
-             |ORDER BY e.event_id""".stripMargin)),
+             |ORDER BY e.event_id""".stripMargin), bench = true),
 
     // J4/J5: multi-way join through two broadcast dims (TPC-H Q5 shape) — bench headline
     QueryDef("q_multiway_revenue",
@@ -276,7 +276,7 @@ object RelationalQueries {
       Some("""SELECT c_nationkey, c_custkey, c_acctbal FROM customer
              |QUALIFY row_number() OVER (PARTITION BY c_nationkey
              |                           ORDER BY c_acctbal, c_custkey) <= 3
-             |ORDER BY c_nationkey, c_acctbal, c_custkey""".stripMargin)),
+             |ORDER BY c_nationkey, c_acctbal, c_custkey""".stripMargin), bench = true),
 
     // O5: $sort + $limit 1 → TakeOrderedAndProject (NoSQLQueries.js:11-12)
     QueryDef("q_top1",
@@ -384,7 +384,7 @@ object RelationalQueries {
              |  round(sum(daily_total) OVER (ORDER BY order_date
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
              |  lag(daily_total, 1) OVER (ORDER BY order_date) AS prev_total
-             |FROM daily ORDER BY order_date""".stripMargin)),
+             |FROM daily ORDER BY order_date""".stripMargin), bench = true),
 
     // Set operators (§2.8): EXCEPT / INTERSECT / UNION ALL
     QueryDef("q_set_ops",

@@ -29,7 +29,7 @@ object ScalarQueries {
              |  count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
              |             THEN 1 END) AS n_high,
              |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin), bench = true),
 
     // String functions battery over customer names
     QueryDef("q_string_funcs",
