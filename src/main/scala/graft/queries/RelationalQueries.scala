@@ -479,6 +479,47 @@ object RelationalQueries {
              |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
              |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Multiset set ops: EXCEPT ALL keeps duplicates (bag semantics)
+    QueryDef("q_set_ops_all",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+          .exceptAll(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+          .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, count(*) AS n FROM (
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |  EXCEPT ALL
+             |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Array function battery: distinct/intersect/except/union over
+    // token arrays (canonicalized by sort before rendering)
+    QueryDef("q_array_funcs",
+      (s, d) => {
+        val stop = array(Seq("the", "a", "of", "and", "to", "in", "is").map(lit): _*)
+        val toks = array_distinct(split(lower(col("text")), "\\s+"))
+        t(s, d, "documents").select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_distinct"),
+          array_join(array_sort(array_intersect(toks, stop)), ",").as("stops_present"),
+          size(array_except(toks, stop)).cast("long").as("n_content"),
+          size(array_union(toks, stop)).cast("long").as("n_union"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  len(list_distinct(string_split_regex(lower(text), '\s+'))) AS n_distinct,
+             |  coalesce(array_to_string(list_sort(list_intersect(
+             |    list_distinct(string_split_regex(lower(text), '\s+')),
+             |    ['the','a','of','and','to','in','is'])), ','), '') AS stops_present,
+             |  len(list_filter(list_distinct(string_split_regex(lower(text), '\s+')),
+             |    t -> NOT list_contains(['the','a','of','and','to','in','is'], t))) AS n_content,
+             |  len(list_distinct(list_concat(
+             |    list_distinct(string_split_regex(lower(text), '\s+')),
+             |    ['the','a','of','and','to','in','is']))) AS n_union
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Semi/anti joins (§2.3 "for free" set): customers with no orders
     QueryDef("q_anti_join",
       (s, d) => t(s, d, "customer")
