@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and splitting for training-data pipelines.
+  *
+  * `DataFrame.sample`/`randomSplit` are partition-order dependent —
+  * a repartition or a different file split silently changes which
+  * rows are sampled, which is unacceptable for reproducible training
+  * mixes. Everything here derives membership from `xxhash64(key,
+  * salt)` only: stable across runs, partitionings, and cluster sizes,
+  * and embarrassingly parallel (a per-row filter, no shuffle).
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from a key column. */
+  private def bucket(key: Column, salt: Int, buckets: Int = 1000000): Column =
+    pmod(xxhash64(key, lit(salt)), lit(buckets))
+
+  /** Keep ~`fraction` of rows, selected by key hash. */
+  def hashSample(df: DataFrame, key: Column, fraction: Double, salt: Int = 0): DataFrame =
+    df.filter(bucket(key, salt) < (fraction * 1000000).toLong)
+
+  /** Disjoint named splits with the given weights (normalized), e.g.
+    * `split(df, $"doc_id", Seq("train" -> 0.9, "eval" -> 0.1))` adds
+    * a `split` column. A row's split depends only on its key. */
+  def split(df: DataFrame, key: Column, weights: Seq[(String, Double)],
+            salt: Int = 0): DataFrame = {
+    val total = weights.map(_._2).sum
+    val b = bucket(key, salt)
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .map(f => (f * 1000000).toLong)
+    val expr = weights.zipWithIndex.foldLeft(lit(weights.last._1)) {
+      case (acc, ((name, _), i)) =>
+        when(b >= lit(cuts(i)) && b < lit(cuts(i + 1)), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** Per-stratum sampling: different fraction per value of `stratum`
+    * (e.g. downsample dominant languages, keep all of rare ones).
+    * Unlisted strata keep `defaultFraction`. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 1.0, salt: Int = 0): DataFrame = {
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (value, f)) => when(stratum === value, lit(f)).otherwise(acc)
+    }
+    df.filter(bucket(key, salt) < (frac * 1000000).cast("long"))
+  }
+}

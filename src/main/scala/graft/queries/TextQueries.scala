@@ -58,6 +58,16 @@ object TextQueries {
       (s, d) => graft.ext.Curation.curate(t(s, d, "documents")),
       Some(curateOracle), bench = true),
 
+    // Deterministic train/eval split + per-split stats (hash-based
+    // membership: stable across partitionings; no SQL oracle — xxhash)
+    QueryDef("q_sample_split",
+      (s, d) => graft.ext.Sampling.split(
+        t(s, d, "documents"), col("doc_id"), Seq("train" -> 0.9, "eval" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("split"),
+      None),
+
     // Document fingerprinting (rolling min-hash over shingles) — no
     // portable SQL analogue of xxhash64, so rows-only gate; exactness
     // is covered by FingerprintSpec instead.

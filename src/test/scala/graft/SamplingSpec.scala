@@ -1,0 +1,51 @@
+package graft
+
+import graft.ext.Sampling
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite with SharedSpark {
+
+  private lazy val docs = graft.sources.Tables(spark, sf0001).table("documents")
+
+  test("hashSample: deterministic across runs and partitionings, fraction ≈ target") {
+    val a = Sampling.hashSample(docs, col("doc_id"), 0.3).collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs.repartition(7), col("doc_id"), 0.3)
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    val frac = a.size.toDouble / docs.count()
+    assert(math.abs(frac - 0.3) < 0.1, s"got $frac")
+    // different salt → different (deterministic) subset
+    val c = Sampling.hashSample(docs, col("doc_id"), 0.3, salt = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(c !== a)
+  }
+
+  test("split: disjoint, exhaustive, weight-proportional") {
+    val out = Sampling.split(docs, col("doc_id"), Seq("train" -> 0.8, "eval" -> 0.2))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "eval"))
+    assert(counts.values.sum === docs.count())
+    val evalFrac = counts("eval").toDouble / docs.count()
+    assert(math.abs(evalFrac - 0.2) < 0.08, s"got $evalFrac")
+    // stability: same row → same split, regardless of partitioning
+    val m1 = out.select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val m2 = Sampling.split(docs.repartition(5), col("doc_id"), Seq("train" -> 0.8, "eval" -> 0.2))
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m1 === m2)
+  }
+
+  test("stratifiedSample downsamples listed strata only") {
+    val before = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 0.2))
+    val after = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("en") < before("en") * 0.5, s"en should shrink: ${after("en")}/${before("en")}")
+    (before.keySet - "en").foreach { l =>
+      assert(after.getOrElse(l, 0L) === before(l), s"stratum $l must be untouched")
+    }
+  }
+}

@@ -67,6 +67,20 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     assert(ivf.map(_.getLong(0)).exists(brute), "IVF with 2/8 probes should recover some true top-10")
   }
 
+  test("no gate query plans a CartesianProduct (brute-force pair baselines excepted)") {
+    // these are documented O(n²) baselines (broadcast-nested-loop by design)
+    val allowed = Set("q_sim_cos_pairs", "q_sim_topk", "q_sim_ann_lsh", "q_sim_ann_ivf")
+    QueryDef.all.filterNot(q => allowed(q.name)).foreach { q =>
+      val plan = q.fn(spark, sf0001).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian product:\n${plan.take(800)}")
+    }
+  }
+
+  test("GraftExtensions installs without error") {
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("HLL sketch distinct approximates exact distinct within 5%") {
     val exact = t.lineitem.select(countDistinct(col("l_orderkey"))).head().getLong(0)
     val est = t.lineitem
