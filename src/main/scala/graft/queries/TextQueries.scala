@@ -58,6 +58,15 @@ object TextQueries {
       (s, d) => graft.ext.Curation.curate(t(s, d, "documents")),
       Some(curateOracle), bench = true),
 
+    // The curated corpus itself, per document (same stages as
+    // q_curate_pipeline before the final rollup)
+    QueryDef("q_curate_docs",
+      (s, d) => graft.ext.Curation.curatedDocs(t(s, d, "documents"))
+        .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
+          round(col("quality"), 4).as("quality"))
+        .orderBy("doc_id"),
+      Some(curateDocsOracle)),
+
     // Deterministic train/eval split + per-split stats (hash-based
     // membership: stable across partitionings; no SQL oracle — xxhash)
     QueryDef("q_sample_split",
@@ -116,6 +125,20 @@ object TextQueries {
 
   /** DuckDB mirror of [[graft.ext.Curation.curate]] stage by stage. */
   private def curateOracle: String =
+    s"""$curateKeptCte
+       |SELECT pred_lang, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  round(avg(quality), 4) AS avg_quality
+       |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DuckDB mirror of [[graft.ext.Curation.curatedDocs]]. */
+  private def curateDocsOracle: String =
+    s"""$curateKeptCte
+       |SELECT doc_id, pred_lang, n_tokens, round(quality, 4) AS quality
+       |FROM kept ORDER BY doc_id""".stripMargin
+
+  /** Shared CTE chain: score → filter → exact dedup → near-dup drop. */
+  private def curateKeptCte: String =
     s"""WITH scored AS (
        |  SELECT doc_id, text,
        |    $langIdSqlExpr AS pred_lang,
@@ -146,9 +169,5 @@ object TextQueries {
        |  JOIN sz s2 ON d2 = s2.doc_id
        |  WHERE n_inter / (s1.n_sh + s2.n_sh - n_inter) >= 0.6),
        |kept AS (
-       |  SELECT * FROM exact_kept WHERE doc_id NOT IN (SELECT d2 FROM losers))
-       |SELECT pred_lang, count(*) AS n_docs,
-       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-       |  round(avg(quality), 4) AS avg_quality
-       |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
+       |  SELECT * FROM exact_kept WHERE doc_id NOT IN (SELECT d2 FROM losers))""".stripMargin
 }
