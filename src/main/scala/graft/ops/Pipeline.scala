@@ -19,9 +19,12 @@ final case class Pipeline(df: DataFrame) {
   def matchStage(cond: Column): Pipeline = Pipeline(df.filter(cond))
 
   /** `$group` — `id` becomes the `_id` column; accumulators are named
-    * aggregate Columns (e.g. `avg($"MarketData.Price").as("average")`). */
+    * aggregate Columns (e.g. `avg($"MarketData.Price").as("average")`).
+    * With no accumulators this is Mongo's distinct-ids idiom
+    * (`$group: {_id: ...}` alone) → dropDuplicates. */
   def group(id: Column, accumulators: Column*): Pipeline =
-    Pipeline(df.groupBy(id.as("_id")).agg(accumulators.head, accumulators.tail: _*))
+    if (accumulators.isEmpty) Pipeline(df.select(id.as("_id")).dropDuplicates())
+    else Pipeline(df.groupBy(id.as("_id")).agg(accumulators.head, accumulators.tail: _*))
 
   /** `$project` — keep / compute the given columns. */
   def project(cols: Column*): Pipeline = Pipeline(df.select(cols: _*))

@@ -40,6 +40,12 @@ class PipelineSpec extends AnyFunSuite with SharedSpark {
       docs.collect().map(_.getString(0)).toSet)
   }
 
+  test("$group with only _id is distinct (Mongo dedup idiom)") {
+    val out = Pipeline(docs).group(col("sector")).result
+    assert(out.columns.toSeq === Seq("_id"))
+    assert(out.collect().map(_.getString(0)).sorted.toSeq === Seq("energy", "tech", "util"))
+  }
+
   test("$addFields + $project") {
     val out = Pipeline(docs)
       .addFields("pb" -> col("price") * col("beta"))
