@@ -78,6 +78,21 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     array_min(transform(wordShingles(text, 5), s => xxhash64(s)))
 
+  /** Token-window chunks for context-length-bounded training: chunk i
+    * covers tokens [i·step, i·step + chunkTokens) with
+    * step = chunkTokens − overlap; the final chunk may be partial.
+    * Returns array<struct<chunk_id, chunk>> — explode downstream.
+    * Per-row expression only (no shuffle): chunking 100 TB is a map. */
+  def chunkTokens(text: Column, chunkTokens: Int, overlap: Int): Column = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val step = chunkTokens - overlap
+    val toks = split(text, "\\s+")
+    val nChunks = ceil((greatest(size(toks) - overlap, lit(1))).cast("double") / step).cast("int")
+    transform(sequence(lit(0), nChunks - 1), i =>
+      struct(i.as("chunk_id"),
+        concat_ws(" ", slice(toks, i * lit(step) + lit(1), lit(chunkTokens))).as("chunk")))
+  }
+
   /** Word n-gram shingles; empty array when the doc has < n words.
     *
     * Built by zipping the token array with its n-1 shifted copies and

@@ -58,6 +58,26 @@ object TextQueries {
       (s, d) => graft.ext.Curation.curate(t(s, d, "documents")),
       Some(curateOracle), bench = true),
 
+    // Context-window chunking: 64-token chunks, 16-token overlap
+    QueryDef("q_chunk_docs",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.chunkTokens(col("text"), 64, 16)).as("c"))
+        .select(col("doc_id"), col("c.chunk_id"),
+          md5(col("c.chunk")).as("chunk_md5"),
+          size(split(col("c.chunk"), "\\s+")).cast("long").as("n_tokens"))
+        .orderBy("doc_id", "chunk_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents),
+             |chunks AS (
+             |  SELECT doc_id, CAST(i AS INT) AS chunk_id,
+             |    array_to_string(t[i*48+1:i*48+64], ' ') AS chunk
+             |  FROM toks, range(0, 4096) r(i)
+             |  WHERE i < CAST(ceil(greatest(len(t) - 16, 1) / 48.0) AS BIGINT))
+             |SELECT doc_id, chunk_id, md5(chunk) AS chunk_md5,
+             |  len(string_split_regex(chunk, '\s+')) AS n_tokens
+             |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // The curated corpus itself, per document (same stages as
     // q_curate_pipeline before the final rollup)
     QueryDef("q_curate_docs",

@@ -44,6 +44,23 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     assert(short.isEmpty)
   }
 
+  test("chunkTokens: overlapping windows cover every token; final chunk partial") {
+    import spark.implicits._
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")   // 10 tokens
+    val chunks = Seq(text).toDF("text")
+      .select(explode(TextAnalysis.chunkTokens(col("text"), 8, 4)).as("c"))
+      .select("c.chunk_id", "c.chunk").collect()
+      .map(r => r.getInt(0) -> r.getString(1))
+    assert(chunks.toSeq === Seq(
+      0 -> (1 to 8).map(i => s"t$i").mkString(" "),
+      1 -> (5 to 10).map(i => s"t$i").mkString(" ")))
+    // short doc → exactly one (partial) chunk
+    val one = Seq("a b c").toDF("text")
+      .select(explode(TextAnalysis.chunkTokens(col("text"), 8, 4)).as("c"))
+      .select("c.chunk").collect().map(_.getString(0))
+    assert(one.toSeq === Seq("a b c"))
+  }
+
   test("fingerprint is deterministic and separates different docs") {
     import spark.implicits._
     val df = Seq((1L, "one two three four five six seven"),
