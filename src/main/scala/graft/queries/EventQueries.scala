@@ -96,6 +96,42 @@ object EventQueries {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
 
+    // Funnel: signup → first subsequent purchase, conversion rate and
+    // mean days-to-convert (conditional temporal join + null-skipping
+    // aggregates)
+    QueryDef("q_ev_funnel",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val signups = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("signup_ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_uid"), col("ts").as("p_ts"))
+        val firstPurchase = signups
+          .join(purchases,
+            col("user_id") === col("p_uid") && col("p_ts") >= col("signup_ts"), "left")
+          .groupBy("user_id", "signup_ts").agg(min("p_ts").as("first_p"))
+        firstPurchase.agg(
+          count(lit(1)).as("n_signed"),
+          count(col("first_p")).as("n_converted"),
+          round(avg((unix_micros(col("first_p")) - unix_micros(col("signup_ts")))
+            / lit(86400000000.0)), 4).as("avg_days"),
+          round(count(col("first_p")) / count(lit(1)), 4).as("conversion_rate"))
+      },
+      Some("""WITH s AS (
+             |  SELECT user_id, min(ts) AS signup_ts FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |fp AS (
+             |  SELECT s.user_id, s.signup_ts, min(e.ts) AS first_p
+             |  FROM s LEFT JOIN events e
+             |    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+             |   AND e.ts >= s.signup_ts
+             |  GROUP BY 1, 2)
+             |SELECT count(*) AS n_signed, count(first_p) AS n_converted,
+             |  round(avg((epoch_us(first_p) - epoch_us(signup_ts)) / 86400000000.0), 4)
+             |    AS avg_days,
+             |  round(count(first_p) * 1.0 / count(*), 4) AS conversion_rate
+             |FROM fp""".stripMargin)),
+
     // Per-type daily top spender (join of window + agg patterns on the
     // event stream's batch view)
     QueryDef("q_ev_top_users",

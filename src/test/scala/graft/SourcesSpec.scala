@@ -46,6 +46,26 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
       Seq(("EUR", "USD", 1.09)))
   }
 
+  test("clustered write: files hold disjoint ranges of the cluster column") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-clust").toFile.getAbsolutePath + "/li"
+    val li = graft.sources.Tables(spark, sf0001).table("lineitem")
+    graft.sources.DocumentSource.writeClustered(li, dir, Seq("l_shipdate"), numFiles = 4)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 4)
+    val ranges = files.map { f =>
+      // l_shipdate is TIMESTAMP_NTZ → LocalDateTime in rows
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("l_shipdate"), max("l_shipdate")).head()
+      (r.getAs[java.time.LocalDateTime](0), r.getAs[java.time.LocalDateTime](1))
+    }.sortBy(_._1)(Ordering.fromLessThan(_ isBefore _))
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(!hi.isAfter(lo2), "file ranges must not interleave")
+      case _ =>
+    }
+  }
+
   test("parquet sink round-trips with directory partitioning") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pq").toFile.getAbsolutePath + "/out"
