@@ -27,6 +27,7 @@ object Sampling {
     * a `split` column. A row's split depends only on its key. */
   def split(df: DataFrame, key: Column, weights: Seq[(String, Double)],
             salt: Int = 0): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "need positive weights")
     val total = weights.map(_._2).sum
     val b = bucket(key, salt)
     val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }

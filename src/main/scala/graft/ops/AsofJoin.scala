@@ -36,7 +36,7 @@ object AsofJoin {
 
     val lp = left.select(
       col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__side"),
-      struct(left.columns.map(col): _*).as("__l"),
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
       lit(null).cast(rStruct).as("__r"))
     val rp = right.select(
       col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__side"),
