@@ -29,6 +29,30 @@ class AsofJoinSpec extends AnyFunSuite with SharedSpark {
       "t3" -> Some(12.0), "t4" -> None, "t5" -> None))
   }
 
+  test("randomized cross-check vs brute-force point-in-time lookup") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val right = (1 to 300).map(_ => (rnd.nextInt(8), rnd.nextInt(1000).toLong, rnd.nextDouble()))
+      .distinct.toDF("k", "t", "v")
+    val left = (1 to 150).map(i => (rnd.nextInt(10), rnd.nextInt(1200).toLong, s"L$i"))
+      .toDF("k", "t", "id")
+    val got = AsofJoin.asofJoin(left, right, "k", "t", "t", Seq("v"))
+      .collect().map(r => r.getAs[String]("id") ->
+        (if (r.isNullAt(r.fieldIndex("asof_v"))) None else Some(r.getAs[Double]("asof_v")))).toMap
+    // driver-side reference: latest right (t, v) with t <= leftT per key,
+    // max by (t, v) to break equal-timestamp ties the same way
+    val rightRows = right.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    left.collect().foreach { lr =>
+      val (k, t, id) = (lr.getInt(0), lr.getLong(1), lr.getString(2))
+      val cands = rightRows.filter(r => r._1 == k && r._2 <= t)
+      val expected = if (cands.isEmpty) None
+        else Some(cands.maxBy(r => (r._2, r._3))._3)
+      val tied = cands.nonEmpty && cands.count(_._2 == cands.maxBy(_._2)._2) > 1
+      if (!tied) assert(got(id) === expected, s"left row $id (k=$k t=$t)")
+      else assert(got(id).isDefined, s"tied row $id must still match something")
+    }
+  }
+
   test("as-of join is partition-invariant") {
     import spark.implicits._
     val right = (1 to 200).map(i => (i % 5, i.toLong, i * 1.0)).toDF("k", "t", "v")

@@ -77,6 +77,29 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("randomized cross-check: inverted-index jaccard equals brute-force jaccard") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 30).map(i => s"w$i")
+    // overlapping random docs (drawn from a small vocab → real overlaps)
+    val docs = (0 until 40).map { i =>
+      (i.toLong, (1 to 20).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(df, "doc_id", "text", n = 3, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // driver-side reference
+    def shingles(t: String): Set[String] =
+      t.toLowerCase.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val ref = for {
+      (i, ti) <- docs; (j, tj) <- docs if i < j
+      si = shingles(ti); sj = shingles(tj)
+      inter = (si & sj).size if inter > 0
+      jac = inter.toDouble / (si | sj).size if jac >= 0.2
+    } yield (i, j) -> math.rint(jac * 10000) / 10000
+    assert(got === ref.toMap)
+  }
+
   test("signatures are deterministic across runs and partitioning") {
     val a = Dedup.minhashSignatures(corpus, "doc_id", "text", 5, 32)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
