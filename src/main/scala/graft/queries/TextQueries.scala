@@ -58,6 +58,35 @@ object TextQueries {
       (s, d) => graft.ext.Curation.curate(t(s, d, "documents")),
       Some(curateOracle), bench = true),
 
+    // Corpus heavy hitters: top-20 tokens by document frequency
+    QueryDef("q_tx_top_tokens",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), explode(array_distinct(
+          split(lower(col("text")), "\\s+"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("doc_freq"))
+        .orderBy(desc("doc_freq"), col("token"))
+        .limit(20),
+      Some("""SELECT token, count(*) AS doc_freq FROM (
+             |  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS token
+             |  FROM documents)
+             |GROUP BY 1 ORDER BY doc_freq DESC, token LIMIT 20""".stripMargin)),
+
+    // Corpus vocabulary stats: size, totals, type-token ratio
+    QueryDef("q_tx_vocab",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        toks.agg(
+          countDistinct(col("token")).as("vocab_size"),
+          count(lit(1)).as("total_tokens"),
+          round(countDistinct(col("token")) / count(lit(1)), 6).as("type_token_ratio"))
+      },
+      Some("""SELECT count(DISTINCT token) AS vocab_size, count(*) AS total_tokens,
+             |  round(count(DISTINCT token) * 1.0 / count(*), 6) AS type_token_ratio
+             |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+             |      FROM documents)""".stripMargin)),
+
     // Context-window chunking: 64-token chunks, 16-token overlap
     QueryDef("q_chunk_docs",
       (s, d) => t(s, d, "documents")
