@@ -87,6 +87,44 @@ object TextQueries {
              |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
              |      FROM documents)""".stripMargin)),
 
+    // TF-IDF: top-3 highest-scoring terms per document (first 50 docs)
+    QueryDef("q_tx_tfidf",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("token"))
+        val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val df_ = toks.select("doc_id", "token").distinct()
+          .groupBy("token").agg(count(lit(1)).as("df"))
+        val nDocs = t(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+        val scored = tf.join(df_, "token").crossJoin(broadcast(nDocs))
+          .withColumn("tfidf",
+            col("tf") * (log((col("n_docs") + 1) / (col("df") + 1)) + 1))
+        val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("token"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3 && col("doc_id") < 50)
+          .select(col("doc_id"), col("rn").cast("long").as("rn"), col("token"),
+            round(col("tfidf"), 6).as("tfidf"))
+          .orderBy("doc_id", "rn")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+             |  FROM documents),
+             |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+             |df AS (SELECT token, count(*) AS df FROM (
+             |         SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |scored AS (
+             |  SELECT tf.doc_id, tf.token,
+             |    tf.tf * (ln((n.n_docs + 1) * 1.0 / (df.df + 1)) + 1) AS tfidf
+             |  FROM tf JOIN df USING (token), n)
+             |SELECT doc_id,
+             |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn,
+             |  token, round(tfidf, 6) AS tfidf
+             |FROM scored
+             |QUALIFY rn <= 3 AND doc_id < 50
+             |ORDER BY doc_id, rn""".stripMargin)),
+
     // Context-window chunking: 64-token chunks, 16-token overlap
     QueryDef("q_chunk_docs",
       (s, d) => t(s, d, "documents")
