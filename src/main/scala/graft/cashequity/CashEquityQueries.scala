@@ -103,9 +103,12 @@ object CashEquityQueries {
         round(((col("close_price") * col("net_quantity") - col("net_amount"))
           / col("net_amount")) * 100, 4))
 
-    // final rollup (SQL:54-57)
+    // final rollup (SQL:54-57). The average is rounded to 6 dp: the
+    // true value has exactly 5 decimals (a sum of 4-decimal changes
+    // over 10 rows), so round(·,6) projects away cross-engine
+    // float-summation-order ulps without touching the real value.
     traderPerformance.groupBy("trader_name", "fund_name", "fund_focus")
-      .agg(avg("amount_change").as("average_change"))
+      .agg(round(avg("amount_change"), 6).as("average_change"))
       .orderBy(desc("average_change"))
   }
 
@@ -132,7 +135,8 @@ object CashEquityQueries {
       WHERE portfolio_equity.trader <> 'null'
       GROUP BY portfolio_equity.cob_date, portfolio_equity.currency, trader, fund_name,
                fund_focus, trader_name, symbol, net_amount, net_quantity, close_price)
-    SELECT trader_name, fund_name, fund_focus, avg(amount_change) AS average_change
+    SELECT trader_name, fund_name, fund_focus,
+           round(avg(amount_change), 6) AS average_change
     FROM trader_performance
     GROUP BY trader_name, fund_name, fund_focus
     ORDER BY average_change DESC"""
@@ -198,12 +202,174 @@ object CashEquityQueries {
       .orderBy("_id")
   }
 
+  /** DuckDB re-derivation of the [[Fixtures]] equity tables: the same
+    * closed-form arithmetic (index-join + CASE returns) expressed as
+    * CTEs, so the driver's oracle can hash-check the four parity
+    * queries end to end. Every float literal is cast `::DOUBLE`
+    * (DuckDB parses bare decimals as DECIMAL, whose arithmetic
+    * diverges from Spark's double) and every expression mirrors the
+    * Scala evaluation order, keeping results bit-identical. */
+  private val equityFixtureSql: String = """
+    dual_sectors(i, sec) AS (VALUES
+      (0, 'Communication Services'), (1, 'Consumer Discretionary'),
+      (2, 'Consumer Staples'), (3, 'Energy'), (4, 'Financials'),
+      (5, 'Health Care'), (6, 'Industrials'), (7, 'Materials'),
+      (8, 'Real Estate'), (9, 'Utilities')),
+    statics(symbol, sec, ctry, si) AS (
+      SELECT 'US' || i, sec, 'US', 2 * i FROM dual_sectors
+      UNION ALL
+      SELECT 'FR' || i, sec, 'FR', 2 * i + 1 FROM dual_sectors
+      UNION ALL
+      SELECT * FROM (VALUES ('UX0', 'Information Technology', 'US', 20),
+                            ('UX1', 'Technology', 'US', 21))),
+    dates(dt, di) AS (VALUES
+      (DATE '2021-05-10', 0), (DATE '2023-10-27', 1), (DATE '2023-10-28', 2),
+      (DATE '2023-11-03', 3), (DATE '2023-11-10', 4), (DATE '2023-11-17', 5),
+      (DATE '2023-11-24', 6)),
+    equity_static AS (
+      SELECT symbol, sec AS gics_sector, ctry AS country FROM statics),
+    equity_prices AS (
+      SELECT symbol AS symbol_id, dt AS cob_date,
+        100.0::DOUBLE + si * 5 + di AS open_price,
+        (100.0::DOUBLE + si * 5 + di) *
+          (1.0::DOUBLE +
+            (CASE WHEN ctry = 'FR' THEN 0.4::DOUBLE + di * 0.01::DOUBLE
+                  WHEN sec IN ('Energy', 'Financials') THEN 0.8::DOUBLE + di * 0.01::DOUBLE
+                  ELSE 0.1::DOUBLE + di * 0.01::DOUBLE END) / 100.0::DOUBLE) AS close_price,
+        CASE WHEN ctry = 'FR' THEN 'EUR' ELSE 'USD' END AS currency
+      FROM statics CROSS JOIN dates)"""
+
+  private val sql1Oracle: String = s"""
+    WITH $equityFixtureSql,
+    sector_return AS (
+      SELECT gics_sector, country,
+             round(avg(((close_price - open_price) / open_price) * 100), 4) AS daily_return
+      FROM equity_static
+      LEFT JOIN equity_prices ON equity_static.symbol = equity_prices.symbol_id
+      WHERE country IN ('US', 'FR')
+      GROUP BY gics_sector, country)
+    SELECT gics_sector,
+      round(avg(CASE WHEN country = 'US' THEN daily_return END), 4) AS us_return,
+      round(avg(CASE WHEN country = 'FR' THEN daily_return END), 4) AS fr_return,
+      CASE
+        WHEN avg(CASE WHEN country = 'US' THEN daily_return END) >
+             avg(CASE WHEN country = 'FR' THEN daily_return END) THEN 'US'
+        WHEN avg(CASE WHEN country = 'US' THEN daily_return END) <
+             avg(CASE WHEN country = 'FR' THEN daily_return END) THEN 'FR'
+        ELSE 'N/A'
+      END AS comparison
+    FROM sector_return
+    GROUP BY gics_sector
+    HAVING count(DISTINCT country) > 1
+    ORDER BY gics_sector"""
+
+  private val sql2Oracle: String = s"""
+    WITH $equityFixtureSql,
+    positions(trader, symbol, net_quantity, net_amount) AS (VALUES
+      ('T1', 'US3', 100.0::DOUBLE, 9000.0::DOUBLE),
+      ('T1', 'US4', 50.0::DOUBLE, 4800.0::DOUBLE),
+      ('T2', 'US0', 80.0::DOUBLE, 8800.0::DOUBLE),
+      ('T2', 'FR1', 40.0::DOUBLE, 4450.0::DOUBLE),
+      ('T3', 'FR2', 60.0::DOUBLE, 6900.0::DOUBLE),
+      ('T3', 'US5', 30.0::DOUBLE, 3500.0::DOUBLE),
+      ('T4', 'FR6', 20.0::DOUBLE, 2400.0::DOUBLE),
+      ('T4', 'US7', 90.0::DOUBLE, 11000.0::DOUBLE),
+      ('T5', 'FR8', 70.0::DOUBLE, 16000.0::DOUBLE),
+      ('T5', 'FR9', 25.0::DOUBLE, 6200.0::DOUBLE),
+      ('null', 'US1', 10.0::DOUBLE, 1000.0::DOUBLE)),
+    traders(trader_id, trader_name, fund_name, fund_focus) AS (VALUES
+      ('T1', 'Dan Green', 'Global Tech', 'Hedge'),
+      ('T2', 'Ann Blue', 'Blue Harbor', 'Mutual'),
+      ('T3', 'Joe Black', 'Black Rock Lite', 'Hedge'),
+      ('T4', 'Sue White', 'White Alpha', 'Mutual'),
+      ('T5', 'Matt Red', 'European High Momentum', 'Hedge')),
+    portfolio_equity AS (
+      SELECT equity_prices.cob_date, equity_prices.currency,
+             trader, symbol, net_amount, net_quantity
+      FROM equity_prices
+      LEFT JOIN positions ON equity_prices.symbol_id = positions.symbol
+      WHERE equity_prices.cob_date BETWEEN DATE '2023-10-28' AND DATE '2023-11-24'
+      GROUP BY equity_prices.cob_date, equity_prices.currency, trader, symbol,
+               net_amount, net_quantity),
+    trader_performance AS (
+      SELECT portfolio_equity.cob_date, portfolio_equity.currency, trader, fund_name,
+             fund_focus, trader_name, portfolio_equity.symbol AS symbol,
+             net_amount, net_quantity, close_price,
+             round((((close_price * net_quantity) - net_amount) / net_amount) * 100, 4)
+               AS amount_change
+      FROM portfolio_equity
+      RIGHT JOIN equity_prices ON portfolio_equity.cob_date = equity_prices.cob_date
+                              AND portfolio_equity.symbol = equity_prices.symbol_id
+      LEFT JOIN traders ON portfolio_equity.trader = traders.trader_id
+      WHERE trader <> 'null'
+      GROUP BY portfolio_equity.cob_date, portfolio_equity.currency, trader, fund_name,
+               fund_focus, trader_name, portfolio_equity.symbol, net_amount,
+               net_quantity, close_price)
+    SELECT trader_name, fund_name, fund_focus,
+           round(avg(amount_change), 6) AS average_change
+    FROM trader_performance
+    GROUP BY trader_name, fund_name, fund_focus
+    ORDER BY average_change DESC"""
+
+  /** DuckDB re-derivation of [[Fixtures.securities]]: the dirty-string
+    * wrapper collapses to "numeric, NULL when either mod-condition
+    * fires" because the oracle only ever consumes the try_cast'd
+    * numeric view of each field. */
+  private val securitiesFixtureSql: String = """
+    securities_n AS (
+      SELECT range AS id, 'SEC' || range AS symbol,
+        (['Communication Services', 'Consumer Discretionary', 'Consumer Staples',
+          'Energy', 'Financials', 'Health Care', 'Industrials', 'Materials',
+          'Real Estate', 'Utilities', 'Information Technology'])[(range % 11)::INT + 1]
+          AS sector,
+        CASE WHEN range % 97 = 3 OR range % 89 = 7 THEN NULL
+             ELSE 50.0::DOUBLE + (range * 37) % 900 + (range % 4) * 0.25::DOUBLE
+          END AS price,
+        CASE WHEN range % 31 = 3 OR range % 41 = 7 THEN NULL
+             ELSE 40000.0::DOUBLE + (range * 131) % 200000 END AS mcap,
+        CASE WHEN range % 37 = 3 OR range % 43 = 7 THEN NULL
+             ELSE ((range * 17) % 300 - 100.0::DOUBLE) / 100.0::DOUBLE END AS beta,
+        CASE WHEN range % 29 = 3 OR range % 47 = 7 THEN NULL
+             ELSE ((range * 13) % 80) / 10.0::DOUBLE END AS dy,
+        CASE WHEN range % 53 = 3 OR range % 59 = 7 THEN NULL
+             ELSE 5.0::DOUBLE + ((range * 11) % 400) / 10.0::DOUBLE END AS pe
+      FROM range(505))"""
+
+  private val nosql1Oracle: String = s"""
+    WITH $securitiesFixtureSql
+    SELECT sector AS _id, avg(price) AS average
+    FROM securities_n
+    WHERE mcap > 100000
+    GROUP BY sector
+    ORDER BY average DESC, _id
+    LIMIT 1"""
+
+  private val nosql2Oracle: String = s"""
+    WITH $securitiesFixtureSql,
+    cleaned AS (
+      SELECT * FROM securities_n
+      WHERE mcap IS NOT NULL AND beta IS NOT NULL AND dy IS NOT NULL AND pe IS NOT NULL),
+    stats AS (
+      SELECT sector, avg(pe) AS avgpe, avg(dy) AS avgdy, avg(mcap) AS avgmcap
+      FROM cleaned GROUP BY sector),
+    quals AS (
+      SELECT c.sector, c.symbol, c.beta,
+             row_number() OVER (PARTITION BY c.sector ORDER BY c.beta, c.symbol) AS rn
+      FROM cleaned c JOIN stats s USING (sector)
+      WHERE c.mcap > s.avgmcap AND c.pe > s.avgpe AND c.dy > s.avgdy)
+    SELECT s.sector AS _id, q.symbol AS symbol, q.beta AS beta
+    FROM stats s
+    LEFT JOIN (SELECT * FROM quals WHERE rn = 1) q ON s.sector = q.sector
+    ORDER BY _id"""
+
   /** Driver-gate entries: run on the deterministic fixtures (sfDir is
-    * ignored — the testdata has no cash_equity tables). */
+    * ignored — the testdata has no cash_equity tables); the oracles
+    * re-derive those fixtures inside DuckDB, so all four parity
+    * queries are hash-checked end to end. */
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("cw_sql1", (s, _) => { Fixtures.registerAll(s); sql1(s) }, None),
-    QueryDef("cw_sql2", (s, _) => { Fixtures.registerAll(s); sql2(s) }, None),
-    QueryDef("cw_nosql1", (s, _) => { Fixtures.registerAll(s); nosql1(s) }, None),
-    QueryDef("cw_nosql2", (s, _) => { Fixtures.registerAll(s); nosql2(s) }, None),
+    QueryDef("cw_sql1", (s, _) => { Fixtures.registerAll(s); sql1(s) }, Some(sql1Oracle)),
+    QueryDef("cw_sql2", (s, _) => { Fixtures.registerAll(s); sql2(s) }, Some(sql2Oracle)),
+    QueryDef("cw_nosql1", (s, _) => { Fixtures.registerAll(s); nosql1(s) }, Some(nosql1Oracle)),
+    QueryDef("cw_nosql2", (s, _) => { Fixtures.registerAll(s); nosql2(s) }, Some(nosql2Oracle)),
   )
 }

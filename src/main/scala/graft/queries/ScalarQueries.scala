@@ -28,7 +28,7 @@ object ScalarQueries {
       Some("""SELECT event_type,
              |  count(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
              |             THEN 1 END) AS n_high,
-             |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin), bench = true),
 
     // String functions battery over customer names
