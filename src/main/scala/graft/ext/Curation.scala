@@ -31,19 +31,28 @@ object Curation {
   /** The curated corpus (documents surviving all four stages).
     *
     * The plan is diamond-shaped: the scored+deduped frame feeds the
-    * Jaccard self-join twice AND the final anti-join. Deliberately
-    * NOT persisted: AQE's exchange reuse already shares the window
-    * shuffle across consumers, and a measured persist() barrier made
-    * the single-shot run slower (cache build + lost whole-stage
-    * fusion > the saved regex re-evaluations). At 100 TB, checkpoint
-    * the scored corpus to parquet between stages instead — an
-    * explicit materialization, not an in-memory cache. */
+    * Jaccard self-join's shingle index AND the final anti-join, so
+    * without materialization the regex-heavy scoring subtree
+    * re-evaluates once per consumer. `checkpointDir` cuts the
+    * diamond: the scored+exact-deduped corpus is written to parquet
+    * once and every downstream stage reads that — an explicit
+    * materialization, not an in-memory cache (a measured persist()
+    * barrier was slower: cache build + lost whole-stage fusion
+    * exceeded the saved regex work, and at 100 TB an executor-memory
+    * cache of the corpus is not an option anyway). With
+    * `checkpointDir = None` the single-pass diamond plan is kept. */
   def curatedDocs(docs: DataFrame, minQuality: Double = 0.5,
-                  jaccardThreshold: Double = 0.6): DataFrame = {
+                  jaccardThreshold: Double = 0.6,
+                  checkpointDir: Option[String] = None): DataFrame = {
     val filtered = score(docs)
       .filter(col("quality") >= minQuality && col("pred_lang") =!= "other")
-    val exactKept = RelationalOps.argminBy(
+    val exactKept0 = RelationalOps.argminBy(
       filtered, Seq(col("text")), Seq(col("doc_id")))
+    val exactKept = checkpointDir.fold(exactKept0) { dir =>
+      val path = s"$dir/curation_scored"
+      exactKept0.write.mode("overwrite").parquet(path)
+      docs.sparkSession.read.parquet(path)
+    }
     val nearDupLosers = Dedup.jaccardPairs(exactKept, "doc_id", "text",
       n = 5, threshold = jaccardThreshold)
       .select(col("d2").as("loser")).distinct()
@@ -52,8 +61,9 @@ object Curation {
 
   /** Per-language stats of the curated corpus. */
   def curate(docs: DataFrame, minQuality: Double = 0.5,
-             jaccardThreshold: Double = 0.6): DataFrame =
-    curatedDocs(docs, minQuality, jaccardThreshold)
+             jaccardThreshold: Double = 0.6,
+             checkpointDir: Option[String] = None): DataFrame =
+    curatedDocs(docs, minQuality, jaccardThreshold, checkpointDir)
       .groupBy("pred_lang")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("sum_tokens"),

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for 100 TB-scale corpora.
@@ -28,23 +29,54 @@ object Dedup {
         explode(TextAnalysis.wordShingles(col(textCol), n)).as("sh"))
       .distinct()
 
-  /** Exact n-gram Jaccard pairs ≥ `threshold`, via an inverted shingle
-    * index: pairs are generated ONLY for documents sharing a shingle
-    * (equi-join on `sh`), never by cross join. At scale, prefilter
-    * ultra-frequent shingles (stop-shingles) to bound fanout. */
+  /** Exact n-gram Jaccard pairs ≥ `threshold`, via a prefix-filtered
+    * inverted shingle index (the PPJoin/All-Pairs candidate scheme).
+    *
+    * Candidate generation joins only each document's PREFIX — its
+    * `|d| - ceil(t·|d|) + 1` rarest shingles under the global
+    * (document-frequency, shingle) order. This is exact, not
+    * approximate: if J(A,B) ≥ t, the first element of A∩B in that
+    * order lies within both prefixes (at most |A\B| ≤ |A| - ceil(t|A|)
+    * elements of A precede it), so the prefix equi-join cannot miss a
+    * qualifying pair. A hot boilerplate shingle shared by d documents
+    * no longer yields d²/2 candidate rows — it appears in a prefix
+    * only where it is among that document's rarest shingles, which
+    * bounds the fanout that made the naive self-join quadratic.
+    * Survivors pass a length filter (J ≥ t ⇒ min|·| ≥ t·max|·|) and
+    * are verified with an exact intersection count over the full
+    * shingle sets, so the result is identical to the all-pairs form.
+    * The 1e-9 slack on the two ceil/length bounds only ever widens
+    * them, absorbing float rounding of t·n at integer boundaries. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int, threshold: Double): DataFrame = {
     val sh = shingleTable(df, idCol, textCol, n)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df_sh"))
+    // set size and rarity rank share one hash-partitioning on id (two
+    // window functions, same shuffle) — no separate sizes aggregate,
+    // and prefix rows carry n_sh so the candidate pairs need no
+    // size-lookup joins afterwards
+    val byId = Window.partitionBy("id")
+    val byRarity = byId.orderBy(col("df_sh"), col("sh"))
+    val prefixLen = col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1
+    val prefix = sh.join(dfreq, "sh")
+      .withColumn("n_sh", count(lit(1)).over(byId))
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= prefixLen)
+      .select(col("id"), col("sh"), col("n_sh"))
+    val cand = prefix.as("pa").join(prefix.as("pb"),
+        col("pa.sh") === col("pb.sh") && col("pa.id") < col("pb.id"))
+      .select(col("pa.id").as("d1"), col("pb.id").as("d2"),
+        col("pa.n_sh").as("n1"), col("pb.n_sh").as("n2"))
+      .filter(least(col("n1"), col("n2")) >=
+        lit(threshold) * greatest(col("n1"), col("n2")) - lit(1e-9))
+      .dropDuplicates("d1", "d2")
+    val inter = cand
+      .join(sh.as("x"), col("d1") === col("x.id"))
+      .join(sh.as("y"), col("d2") === col("y.id") && col("x.sh") === col("y.sh"))
+      .groupBy("d1", "d2", "n1", "n2")
       .agg(count(lit(1)).as("n_inter"))
-    val jac = col("n_inter") / (col("s1.n_sh") + col("s2.n_sh") - col("n_inter"))
-    inter
-      .join(sizes.as("s1"), col("d1") === col("s1.id"))
-      .join(sizes.as("s2"), col("d2") === col("s2.id"))
-      .filter(jac >= threshold)
+    val jac = col("n_inter") / (col("n1") + col("n2") - col("n_inter"))
+    inter.filter(jac >= threshold)
       .select(col("d1"), col("d2"), round(jac, 4).as("jaccard"))
   }
 

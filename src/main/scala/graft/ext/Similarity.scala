@@ -45,25 +45,14 @@ object Similarity {
       .select(col(idCol), round(col("cos_raw"), 6).as("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane j,
-    * dim k): ±1 derived from xxhash64 — reproducible across runs and
-    * engines without storing a model. */
-  private def planeSign(j: Column, k: Column): Column =
-    (xxhash64(j, k).bitwiseAND(lit(1L)) * 2 - 1).cast("double")
-
   /** `bits`-bit LSH bucket signature: bit j = sign of the projection
-    * onto deterministic hyperplane j. Per-row HOF fold, no shuffle. */
+    * onto deterministic hyperplane j. Per-row, no shuffle — a single
+    * fused loop ([[graft.functions.HyperplaneLshBucket]]); the
+    * equivalent HOF fold (`aggregate(sequence(...), ...)` over
+    * `zip_with(vec, planeSign)`) is interpreted per (plane, dim) pair
+    * and was measured ~O(bits·dim) lambda dispatches slower. */
   def lshBucket(vec: Column, bits: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0L),
-      (acc, j) => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (v, k) => v.cast("double") * planeSign(j, k)),
-          lit(0.0), (a, x) => a + x)
-        acc + when(proj > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
-      })
+    graft.functions.VectorExpressions.lshBucketNative(vec, bits)
 
   /** ANN via LSH buckets: search only the query's bucket — or, with
     * `multiProbe`, also every bucket at Hamming distance 1 (a vector

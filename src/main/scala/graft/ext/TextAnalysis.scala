@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace token count. */
-  def tokenCountWs(text: Column): Column = size(split(text, "\\s+"))
+  /** Whitespace token count (`size(split(text, "\\s+"))` semantics,
+    * one-pass native sweep — no token array materialized). */
+  def tokenCountWs(text: Column): Column =
+    graft.functions.TextExpressions.wsTokenCount(text)
 
   /** BPE-ish regex token count: words + individual punctuation marks
     * (the pre-tokenization split most BPE vocabularies use). */
@@ -51,9 +53,10 @@ object TextAnalysis {
     when(predScore > 0, predLang).otherwise(lit("other"))
   }
 
-  /** Punctuation-character count. */
+  /** Punctuation-character count (`[^\w\s]` matches, one-pass native
+    * sweep). */
   def punctCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[^\\w\\s]"), lit(0)))
+    graft.functions.TextExpressions.punctCount(text)
 
   /** Stopword ratio, word-length stats and a combined quality score in
     * [0,1] — the usual cheap pre-filter before expensive pipeline
@@ -95,20 +98,14 @@ object TextAnalysis {
 
   /** Word n-gram shingles; empty array when the doc has < n words.
     *
-    * Built by zipping the token array with its n-1 shifted copies and
-    * concatenating per element. The naive formulation —
-    * `transform(sequence(...), i => concat_ws(slice(toks, i, n)))` —
-    * re-evaluates the regex split once per index because lambda
-    * bodies are interpreted without subtree caching (measured 7.2s →
-    * 0.9s for 250k shingles at sf0.1). Here every `slice` is a
-    * top-level expression evaluated once per row, and the lambda only
-    * reads fields of its own element. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(lower(text), "\\s+")
-    // arrays_zip pads to the longest input; keep only full windows
-    val zipped = arrays_zip(
-      (0 until n).map(i => slice(toks, lit(i + 1), size(toks)).as(s"t$i")): _*)
-    val full = slice(zipped, lit(1), greatest(size(toks) - (n - 1), lit(0)))
-    transform(full, s => concat_ws(" ", (0 until n).map(i => s.getField(s"t$i")): _*))
-  }
+    * Native one-pass expression ([[graft.functions.WordShingles]]):
+    * the shingle strings are emitted directly from token spans in a
+    * single sweep. Two prior formulations were measured and rejected:
+    * `transform(sequence(...), i => concat_ws(slice(toks, i, n)))`
+    * re-evaluates the regex split once per index (interpreted lambda
+    * bodies have no subtree caching; 7.2s at sf0.1), and the
+    * zip-of-shifted-slices form pays 1 + n + 2 intermediate array
+    * allocations per row (0.9s). */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.functions.TextExpressions.wordShingles(lower(text), n)
 }

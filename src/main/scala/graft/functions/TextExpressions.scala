@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Count, for each of `sets`, how many word-runs of the input are
@@ -65,9 +65,140 @@ case class WordSetsCount(child: Expression, sets: Seq[Seq[String]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `size(split(text, "\\s+"))` as a one-pass counter: the token count
+  * of a Java-regex split with limit -1 is (number of maximal
+  * whitespace runs) + 1 — leading whitespace contributes an empty
+  * first token and trailing whitespace an empty last token, exactly
+  * as the regex split does, so the DuckDB `string_split_regex`
+  * oracles keep matching. Whitespace is Java's ASCII `\s`
+  * ([ \t\n\x0B\f\r]); no token array is materialized. */
+case class WsTokenCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var runs = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (TextScan.isSpace(s.charAt(i))) {
+        runs += 1
+        while (i < n && TextScan.isSpace(s.charAt(i))) i += 1
+      } else i += 1
+    }
+    runs + 1
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** `size(regexp_extract_all(text, "[^\\w\\s]"))` as a one-pass
+  * counter: code points that are neither ASCII word characters
+  * ([A-Za-z0-9_], Java/RE2 `\w`) nor ASCII whitespace. Counted per
+  * code point (surrogate pairs advance as one), matching the regex
+  * engine's per-match counting. */
+case class PunctCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var count = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (!TextScan.isWordCp(cp) && !TextScan.isSpaceCp(cp)) count += 1
+      i += Character.charCount(cp)
+    }
+    count
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Word n-gram shingles in one pass — the native form of the
+  * zip-of-shifted-slices construction in
+  * [[graft.ext.TextAnalysis.wordShingles]] (same output: split the
+  * input on whitespace runs keeping leading/trailing empty tokens,
+  * join each window of `n` consecutive tokens with a single space;
+  * empty array when there are fewer than `n` tokens). The composable
+  * form allocates 1 + n + 2 intermediate arrays per row through
+  * interpreted higher-order lambdas; this emits the shingle strings
+  * directly from the token spans. Caller lowercases the child. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val len = s.length
+    // token spans of split("\s+", -1): runs of whitespace separate
+    // tokens; a leading run yields an empty first token, a trailing
+    // run an empty last token
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    var tokenStart = 0
+    while (i < len) {
+      if (TextScan.isSpace(s.charAt(i))) {
+        starts.add(tokenStart); ends.add(i)
+        while (i < len && TextScan.isSpace(s.charAt(i))) i += 1
+        tokenStart = i
+      } else i += 1
+    }
+    starts.add(tokenStart); ends.add(len)
+    val m = starts.size()
+    val nShingles = math.max(m - (n - 1), 0)
+    val out = new Array[Any](nShingles)
+    val sb = new java.lang.StringBuilder()
+    var k = 0
+    while (k < nShingles) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(s, starts.get(k + j), ends.get(k + j))
+        j += 1
+      }
+      out(k) = UTF8String.fromString(sb.toString)
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Shared character-class predicates (Java regex ASCII semantics). */
+object TextScan {
+  def isSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  def isSpaceCp(cp: Int): Boolean = cp < 128 && isSpace(cp.toChar)
+  def isWordCp(cp: Int): Boolean =
+    (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+      (cp >= '0' && cp <= '9') || cp == '_'
+}
+
 object TextExpressions {
   import GraftColumnBridge.{column, expression}
   /** One-pass membership counts of word-runs for several word sets. */
   def wordSetsCount(text: Column, sets: Seq[Seq[String]]): Column =
     column(WordSetsCount(expression(text), sets))
+
+  /** One-pass whitespace token count (== size(split(text, "\\s+"))). */
+  def wsTokenCount(text: Column): Column =
+    column(WsTokenCount(expression(text)))
+
+  /** One-pass punctuation count (== size of all [^\w\s] matches). */
+  def punctCount(text: Column): Column =
+    column(PunctCount(expression(text)))
+
+  /** One-pass word n-gram shingles (caller lowercases). */
+  def wordShingles(text: Column, n: Int): Column =
+    column(WordShingles(expression(text), n))
 }

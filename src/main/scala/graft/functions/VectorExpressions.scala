@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Native cosine similarity over two `array<float>` columns.
   *
@@ -78,11 +78,62 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `bits`-bit random-hyperplane LSH bucket of an `array<float>`
+  * vector, in one fused loop — the native form of
+  * [[graft.ext.Similarity.lshBucket]]'s nested-HOF fold. Semantics
+  * are identical: bit j is set iff the projection
+  * `Σ_k vec(k) · sign(j,k)` (index-order double accumulation) is
+  * positive, where `sign(j,k) = (xxhash64(j,k) & 1) · 2 − 1` chains
+  * Spark's XxHash64 over the two int arguments from its fixed seed
+  * 42 — deterministic across runs, engines and implementations, no
+  * stored model. The HOF form re-enters an interpreted lambda per
+  * (plane, dim) pair; here the whole signature is one tight loop of
+  * two `XXH64.hashInt` calls and a multiply-add per pair. A null
+  * vector yields null; a null element makes every projection null,
+  * which the fold maps to bucket 0 — reproduced exactly. */
+case class HyperplaneLshBucket(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    var k = 0
+    while (k < dim) {
+      if (vec.isNullAt(k)) return 0L
+      k += 1
+    }
+    var acc = 0L
+    var j = 0
+    while (j < bits) {
+      var proj = 0.0
+      var i = 0
+      while (i < dim) {
+        val h = XXH64.hashInt(i, XXH64.hashInt(j, 42L))
+        val sign = (h & 1L) * 2L - 1L
+        proj += vec.getFloat(i).toDouble * sign.toDouble
+        i += 1
+      }
+      if (proj > 0) acc += 1L << j
+      j += 1
+    }
+    acc
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   import GraftColumnBridge.{column, expression}
   /** Column API for [[CosineSimilarity]] (inputs: two array<float>). */
   def cosineNative(a: Column, b: Column): Column =
     column(CosineSimilarity(expression(a), expression(b)))
+
+  /** Column API for [[HyperplaneLshBucket]] (input: array<float>). */
+  def lshBucketNative(vec: Column, bits: Int): Column =
+    column(HyperplaneLshBucket(expression(vec), bits))
 
   /** Make the expression available to `spark.sql` as
     * `cosine_native(a, b)`. */

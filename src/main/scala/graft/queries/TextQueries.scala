@@ -15,6 +15,11 @@ object TextQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir).table(n)
 
+  /** Fresh scratch dir for the curation parquet checkpoint (per run,
+    * so concurrent gate/bench invocations never collide). */
+  private def ckptDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+
   def defs: Seq[QueryDef] = Seq(
 
     // Token counting: whitespace + BPE-ish regex pre-tokenization
@@ -55,7 +60,8 @@ object TextQueries {
     // score → quality/lang filter → exact dedup → near-dup removal →
     // per-language stats. Oracle composes the same stages in SQL.
     QueryDef("q_curate_pipeline",
-      (s, d) => graft.ext.Curation.curate(t(s, d, "documents")),
+      (s, d) => graft.ext.Curation.curate(t(s, d, "documents"),
+        checkpointDir = Some(ckptDir())),
       Some(curateOracle), bench = true),
 
     // Corpus heavy hitters: top-20 tokens by document frequency
@@ -148,7 +154,8 @@ object TextQueries {
     // The curated corpus itself, per document (same stages as
     // q_curate_pipeline before the final rollup)
     QueryDef("q_curate_docs",
-      (s, d) => graft.ext.Curation.curatedDocs(t(s, d, "documents"))
+      (s, d) => graft.ext.Curation.curatedDocs(t(s, d, "documents"),
+        checkpointDir = Some(ckptDir()))
         .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
           round(col("quality"), 4).as("quality"))
         .orderBy("doc_id"),

@@ -1,0 +1,91 @@
+package graft
+
+import graft.functions.{TextExpressions, VectorExpressions}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Drop-in equivalence proofs for the native one-pass expressions:
+  * each must return exactly what the composable built-in formulation
+  * it replaced returns, on randomized text (words, punctuation,
+  * messy whitespace, unicode) and on the edge cases Java's
+  * `split("\\s+", -1)` is famous for (empty string, leading/trailing
+  * whitespace). The DuckDB gate then re-proves the same equivalences
+  * against a second engine on the real corpus.
+  */
+class NativeExprEquivalenceSpec extends AnyFunSuite with SharedSpark {
+
+  private val rng = new scala.util.Random(42)
+  private val pieces = Seq("the", "cat", "héllo", "a_b", "x9", "—", "!!", ",", "π",
+    " ", "  ", "\t", "\n", "", "\f", "\r", "")
+  private def randText(): String =
+    (0 until rng.nextInt(40)).map(_ => pieces(rng.nextInt(pieces.length))).mkString
+  private val corpus: Seq[String] =
+    Seq("", " ", "  ", "a", " a", "a ", " a b  c\t", "a\nb", "one two three four five six") ++
+      (0 until 200).map(_ => randText())
+
+  private def compare(label: String, native: Column, reference: Column): Unit = {
+    import spark.implicits._
+    val rows = corpus.toDF("text")
+      .select(native.as("native"), reference.as("reference"))
+      .collect()
+    rows.zip(corpus).foreach { case (r, text) =>
+      assert(r.get(0) === r.get(1), s"$label diverges on ${text.inspect}")
+    }
+  }
+
+  private implicit class Inspect(s: String) {
+    def inspect: String = s.map(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString).mkString("\"", "", "\"")
+  }
+
+  test("WsTokenCount == size(split(text, \\s+))") {
+    compare("WsTokenCount",
+      TextExpressions.wsTokenCount(col("text")),
+      size(split(col("text"), "\\s+")))
+  }
+
+  test("PunctCount == size(regexp_extract_all(text, [^\\w\\s]))") {
+    compare("PunctCount",
+      TextExpressions.punctCount(col("text")),
+      size(regexp_extract_all(col("text"), lit("[^\\w\\s]"), lit(0))))
+  }
+
+  test("WordShingles == zip-of-shifted-slices formulation") {
+    def referenceShingles(text: Column, n: Int): Column = {
+      val toks = split(lower(text), "\\s+")
+      val zipped = arrays_zip(
+        (0 until n).map(i => slice(toks, lit(i + 1), size(toks)).as(s"t$i")): _*)
+      val full = slice(zipped, lit(1), greatest(size(toks) - (n - 1), lit(0)))
+      transform(full, s => concat_ws(" ", (0 until n).map(i => s.getField(s"t$i")): _*))
+    }
+    for (n <- Seq(2, 3, 5))
+      compare(s"WordShingles(n=$n)",
+        TextExpressions.wordShingles(lower(col("text")), n),
+        referenceShingles(col("text"), n))
+  }
+
+  test("HyperplaneLshBucket == interpreted HOF fold") {
+    import spark.implicits._
+    def planeSign(j: Column, k: Column): Column =
+      (xxhash64(j, k).bitwiseAND(lit(1L)) * 2 - 1).cast("double")
+    def hofBucket(vec: Column, bits: Int): Column =
+      aggregate(
+        sequence(lit(0), lit(bits - 1)),
+        lit(0L),
+        (acc, j) => {
+          val proj = aggregate(
+            zip_with(vec, sequence(lit(0), size(vec) - 1),
+              (v, k) => v.cast("double") * planeSign(j, k)),
+            lit(0.0), (a, x) => a + x)
+          acc + when(proj > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
+        })
+    val vecs = (0 until 50).map(_ => (0 until 16).map(_ => rng.nextFloat() * 2 - 1).toArray)
+    val df = vecs.toDF("embedding").select(col("embedding").cast("array<float>").as("embedding"))
+    for (bits <- Seq(4, 8, 16)) {
+      val rows = df.select(
+        VectorExpressions.lshBucketNative(col("embedding"), bits).as("native"),
+        hofBucket(col("embedding"), bits).as("hof")).collect()
+      rows.foreach(r => assert(r.getLong(0) === r.getLong(1), s"bits=$bits"))
+    }
+  }
+}
