@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan snapshots for the load-bearing optimizer choices the
+  * engine's scale story depends on. The reference coursework is
+  * plan-reading ("SQL Explain", `/root/reference/README.md:2`); this
+  * is the engine-side analogue — if a future change regresses a
+  * broadcast to a shuffle join, a top-k to a full sort, or loses a
+  * parquet filter pushdown, these assertions catch it before any
+  * benchmark does. Plans are finalized under AQE by executing the
+  * query first (sf0.001 — plan shape, not data volume, is under
+  * test; broadcasts are explicit hints, so they do not depend on
+  * size estimates).
+  */
+class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def finalPlan(name: String): String = {
+    val df = QueryDef.all.find(_.name == name)
+      .getOrElse(fail(s"no gate query named $name")).fn(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("dim joins execute as BroadcastHashJoin, not shuffle joins") {
+    val plan = finalPlan("q_multiway_revenue")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"dim join fell back to a shuffle join:\n$plan")
+    assert(finalPlan("q_left_join_dim").contains("BroadcastHashJoin"))
+  }
+
+  test("sort+limit top-k plans as TakeOrderedAndProject (no full sort)") {
+    val plan = finalPlan("q_topk_revenue")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(finalPlan("q_top1").contains("TakeOrderedAndProject"))
+  }
+
+  test("filters reach the parquet scan (PushedFilters non-empty)") {
+    val plan = finalPlan("q_in_between")
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(!plan.matches("(?s).*PushedFilters: \\[\\].*"),
+      s"scan reads unfiltered:\n$plan")
+  }
+
+  test("aggregations are partial (map-side combine) before the shuffle") {
+    val plan = finalPlan("q_pricing_summary")
+    // partial + final HashAggregate pair around one exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("jaccard candidates come from the ranked prefix, never a cross join") {
+    // (AQE reuses the identical shingle shuffle stages at runtime, but
+    // its plan rendering expands every occurrence, so exchange reuse
+    // is not string-assertable here — the shape of candidate
+    // generation is.)
+    val plan = finalPlan("q_dd_jaccard")
+    assert(plan.contains("row_number"), s"prefix ranking window missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate generation degenerated to a cross join:\n$plan")
+  }
+
+  test("curation pipeline stays off CartesianProduct and off full sorts") {
+    val plan = finalPlan("q_curate_pipeline")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
