@@ -20,6 +20,7 @@ object QueryDef {
   def all: Seq[QueryDef] =
     graft.queries.RelationalQueries.defs ++
       graft.queries.ScalarQueries.defs ++
+      graft.queries.SourceQueries.defs ++
       graft.queries.TextQueries.defs ++
       graft.queries.DedupQueries.defs ++
       graft.queries.SimilarityQueries.defs ++

@@ -81,6 +81,13 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     array_min(transform(wordShingles(text, 5), s => xxhash64(s)))
 
+  /** Whole-document polynomial rolling hash mod 1e9+7
+    * ([[graft.functions.RollingHash]]): order-sensitive fingerprint,
+    * portably re-derivable in plain SQL — the oracle-checkable
+    * complement of the xxhash-based [[fingerprint]]. */
+  def rollingHash(text: Column): Column =
+    graft.functions.TextExpressions.rollingHash(text)
+
   /** Token-window chunks for context-length-bounded training: chunk i
     * covers tokens [i·step, i·step + chunkTokens) with
     * step = chunkTokens − overlap; the final chunk may be partial.

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Count, for each of `sets`, how many word-runs of the input are
@@ -174,6 +174,35 @@ case class WordShingles(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Polynomial rolling-hash fingerprint of a document:
+  * `h = (h·31 + codePoint) mod 1_000_000_007` over the text's code
+  * points, h₀ = 0 — the classic 31-polynomial (Java `hashCode`
+  * family) reduced mod a prime so every intermediate fits a 64-bit
+  * signed integer on ANY engine ((p−1)·31 + 0x10FFFF < 2⁶³). Unlike
+  * the xxhash64-based [[graft.ext.TextAnalysis.fingerprint]], this is
+  * portably re-derivable in plain SQL (DuckDB: `list_reduce` over
+  * `unicode(substr(…))`), so the driver gate can value-check it. */
+case class RollingHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Shared character-class predicates (Java regex ASCII semantics). */
 object TextScan {
   def isSpace(c: Char): Boolean =
@@ -201,4 +230,8 @@ object TextExpressions {
   /** One-pass word n-gram shingles (caller lowercases). */
   def wordShingles(text: Column, n: Int): Column =
     column(WordShingles(expression(text), n))
+
+  /** Polynomial rolling hash mod 1e9+7 (SQL-portable fingerprint). */
+  def rollingHash(text: Column): Column =
+    column(RollingHash(expression(text)))
 }

@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.cashequity.Fixtures
+import graft.ops.RelationalOps
+import graft.sources.DocumentSource
+import org.apache.spark.sql.functions._
+
+/** Gate queries exercising the SOURCE layer end to end — proving the
+  * schema-first dirty-JSON collection scan (SURVEY §2 S3) against the
+  * DuckDB oracle rather than only against ScalaTests.
+  *
+  * `q_src_json` round-trips the deterministic securities fixtures
+  * through newline-delimited JSON on disk: write (with two
+  * deliberately malformed lines injected), re-read via
+  * [[DocumentSource.securitiesJson]] (explicit schema, PERMISSIVE,
+  * corrupt-record column), then aggregate per sector with
+  * cast-with-null numeric cleaning. The oracle re-derives the same
+  * fixture arithmetic in SQL and appends the corrupt-line group —
+  * so schema application, null propagation for absent fields, dirty
+  * numeric handling AND corrupt-line capture are all value-checked.
+  */
+object SourceQueries {
+
+  private val corruptLines = Seq("{\"Symbol\": not-json", "[1, 2")
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q_src_json", (s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_json_").toString
+      val json = Fixtures.securities(s).select(to_json(struct(
+        col("Symbol"), col("StaticData"), col("MarketData"), col("FinancialRatios"))).as("value"))
+      import s.implicits._
+      json.unionAll(corruptLines.toDF("value"))
+        .coalesce(1).write.mode("overwrite").text(dir)
+      DocumentSource.securitiesJson(s, dir)
+        .groupBy(col("StaticData.GICSSector").as("_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(RelationalOps.numericOrNull(col("FinancialRatios.PERatio"))), 4)
+            .as("avg_pe"),
+          count(col("_corrupt_record")).as("n_corrupt"))
+        .orderBy("_id")
+    },
+      // same securities re-derivation as the cw_nosql oracles, plus
+      // the corrupt-line group (GICSSector null, only _corrupt_record
+      // populated on the Spark side)
+      Some("""
+        WITH securities_n AS (
+          SELECT range AS id,
+            (['Communication Services', 'Consumer Discretionary', 'Consumer Staples',
+              'Energy', 'Financials', 'Health Care', 'Industrials', 'Materials',
+              'Real Estate', 'Utilities', 'Information Technology'])[(range % 11)::INT + 1]
+              AS sector,
+            CASE WHEN range % 53 = 3 OR range % 59 = 7 THEN NULL
+                 ELSE 5.0::DOUBLE + ((range * 11) % 400) / 10.0::DOUBLE END AS pe
+          FROM range(505))
+        SELECT sector AS _id, count(*) AS n_docs,
+               round(avg(pe), 4) AS avg_pe, 0::BIGINT AS n_corrupt
+        FROM securities_n GROUP BY sector
+        UNION ALL
+        SELECT NULL, 2::BIGINT, NULL::DOUBLE, 2::BIGINT
+        ORDER BY _id"""))
+  )
+}

@@ -161,6 +161,21 @@ object TextQueries {
         .orderBy("doc_id"),
       Some(curateDocsOracle)),
 
+    // Whole-document rolling-hash fingerprint (31-polynomial mod
+    // 1e9+7) — unlike the xxhash shingle fingerprint this IS
+    // SQL-portable, so it gets a full value oracle
+    QueryDef("q_tx_rollhash",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rh"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  list_reduce(
+             |    list_prepend(0::BIGINT,
+             |      list_transform(range(1, length(text) + 1),
+             |                     i -> unicode(substr(text, i, 1))::BIGINT)),
+             |    (h, c) -> (h * 31 + c) % 1000000007) AS rh
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Deterministic train/eval split + per-split stats (hash-based
     // membership: stable across partitionings; no SQL oracle — xxhash)
     QueryDef("q_sample_split",
