@@ -15,11 +15,27 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * does the same through the function registry.)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  private def inject(e: SparkSessionExtensions, name: String, clazz: Class[_],
+                     builder: Seq[Expression] => Expression): Unit =
+    e.injectFunction((FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name), builder))
+
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("cosine_native"),
-      new ExpressionInfo(classOf[graft.functions.CosineSimilarity].getName, "cosine_native"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.CosineSimilarity(exprs(0), exprs(1))))
+    inject(e, "cosine_native", classOf[graft.functions.CosineSimilarity],
+      exprs => graft.functions.CosineSimilarity(exprs(0), exprs(1)))
+    inject(e, "lsh_bucket", classOf[graft.functions.HyperplaneLshBucket],
+      exprs => graft.functions.HyperplaneLshBucket(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]))
+    inject(e, "ws_token_count", classOf[graft.functions.WsTokenCount],
+      exprs => graft.functions.WsTokenCount(exprs(0)))
+    inject(e, "punct_count", classOf[graft.functions.PunctCount],
+      exprs => graft.functions.PunctCount(exprs(0)))
+    inject(e, "word_shingles", classOf[graft.functions.WordShingles],
+      exprs => graft.functions.WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]))
+    inject(e, "rolling_hash", classOf[graft.functions.RollingHash],
+      exprs => graft.functions.RollingHash(exprs(0)))
   }
 }

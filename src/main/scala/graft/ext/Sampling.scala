@@ -18,6 +18,17 @@ object Sampling {
   private def bucket(key: Column, salt: Int, buckets: Int = 1000000): Column =
     pmod(xxhash64(key, lit(salt)), lit(buckets))
 
+  /** SQL-portable bucket for integer keys: Lehmer/MINSTD,
+    * `(((key mod m) · 48271) mod m) mod buckets` with m = 2³¹−1. The
+    * key is reduced BEFORE the multiply so every intermediate fits a
+    * signed 64-bit integer for any bigint key (safe under ANSI
+    * overflow checking, and the identical expression evaluates in any
+    * SQL engine — the driver gate value-checks it against DuckDB).
+    * Weaker mixing than xxhash64; use when sampling decisions must be
+    * re-derivable outside Spark (audits, cross-engine pipelines). */
+  def minstdBucket(key: Column, buckets: Int): Column =
+    pmod(pmod(pmod(key, lit(2147483647L)) * 48271L, lit(2147483647L)), lit(buckets))
+
   /** Keep ~`fraction` of rows, selected by key hash. */
   def hashSample(df: DataFrame, key: Column, fraction: Double, salt: Int = 0): DataFrame =
     df.filter(bucket(key, salt) < (fraction * 1000000).toLong)

@@ -234,4 +234,18 @@ object TextExpressions {
   /** Polynomial rolling hash mod 1e9+7 (SQL-portable fingerprint). */
   def rollingHash(text: Column): Column =
     column(RollingHash(expression(text)))
+
+  /** Make the text expressions available to `spark.sql` as
+    * `ws_token_count(t)`, `punct_count(t)`, `word_shingles(t, n)`,
+    * `rolling_hash(t)` (builder-time path: [[graft.GraftExtensions]]). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    GraftColumnBridge.registerFunction(spark, "ws_token_count",
+      exprs => WsTokenCount(exprs(0)))
+    GraftColumnBridge.registerFunction(spark, "punct_count",
+      exprs => PunctCount(exprs(0)))
+    GraftColumnBridge.registerFunction(spark, "word_shingles",
+      exprs => WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]))
+    GraftColumnBridge.registerFunction(spark, "rolling_hash",
+      exprs => RollingHash(exprs(0)))
+  }
 }

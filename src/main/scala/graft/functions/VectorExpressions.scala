@@ -135,9 +135,12 @@ object VectorExpressions {
   def lshBucketNative(vec: Column, bits: Int): Column =
     column(HyperplaneLshBucket(expression(vec), bits))
 
-  /** Make the expression available to `spark.sql` as
-    * `cosine_native(a, b)`. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Make the expressions available to `spark.sql` as
+    * `cosine_native(a, b)` and `lsh_bucket(vec, bits)`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     GraftColumnBridge.registerFunction(spark, "cosine_native",
       exprs => CosineSimilarity(exprs(0), exprs(1)))
+    GraftColumnBridge.registerFunction(spark, "lsh_bucket",
+      exprs => HyperplaneLshBucket(exprs(0), exprs(1).eval().asInstanceOf[Int]))
+  }
 }

@@ -429,6 +429,26 @@ object RelationalQueries {
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Skew-mitigation salted join: fact rows get a random-but-bounded
+    // salt, the dim side is exploded across all salts, and the join
+    // key becomes (key, salt) — spreading one hot key over `salt`
+    // reducers. The oracle is the PLAIN join: salting must be
+    // semantically invisible, and this proves it on real data
+    QueryDef("q_salted_join",
+      (s, d) => RelationalOps.saltedJoin(
+          t(s, d, "lineitem").select(col("l_suppkey").as("suppkey"),
+            col("l_extendedprice"), col("l_discount")),
+          t(s, d, "supplier").select(col("s_suppkey").as("suppkey"), col("s_nationkey")),
+          "suppkey", salt = 8)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("s_nationkey"),
+      Some("""SELECT s_nationkey, count(*) AS n_items,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Typed UDAF (Aggregator tier): geometric mean; oracle uses the
     // algebraic identity exp(avg(ln x))
     QueryDef("q_geomean",

@@ -176,6 +176,25 @@ object TextQueries {
              |    (h, c) -> (h * 31 + c) % 1000000007) AS rh
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic split via the SQL-portable Lehmer bucket — same
+    // stability guarantees as the xxhash split but with a full value
+    // oracle (the membership arithmetic re-evaluates in DuckDB)
+    QueryDef("q_sample_portable",
+      (s, d) => t(s, d, "documents")
+        .withColumn("split",
+          when(graft.ext.Sampling.minstdBucket(col("doc_id"), 10) < 8, "train")
+            .otherwise("eval"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"))
+        .orderBy("split"),
+      Some("""SELECT
+             |  CASE WHEN ((doc_id % 2147483647) * 48271) % 2147483647 % 10 < 8
+             |       THEN 'train' ELSE 'eval' END AS split,
+             |  count(*) AS n_docs,
+             |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Deterministic train/eval split + per-split stats (hash-based
     // membership: stable across partitionings; no SQL oracle — xxhash)
     QueryDef("q_sample_split",

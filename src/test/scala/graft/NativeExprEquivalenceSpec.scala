@@ -64,6 +64,27 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SharedSpark {
         referenceShingles(col("text"), n))
   }
 
+  test("native expressions are callable from spark.sql after registration") {
+    import spark.implicits._
+    TextExpressions.register(spark)
+    VectorExpressions.register(spark)
+    Seq(("the quick brown fox, obviously!", Array(0.5f, -0.25f, 1.0f)))
+      .toDF("text", "vec").createOrReplaceTempView("native_fn_test")
+    val row = spark.sql(
+      """SELECT ws_token_count(text) AS n, punct_count(text) AS p,
+        |       size(word_shingles(lower(text), 2)) AS sh,
+        |       rolling_hash(text) AS rh,
+        |       lsh_bucket(vec, 8) AS b,
+        |       cosine_native(vec, vec) AS c
+        |FROM native_fn_test""".stripMargin).head()
+    assert(row.getInt(0) === 5)
+    assert(row.getInt(1) === 2)
+    assert(row.getInt(2) === 4)
+    assert(row.getLong(3) > 0)
+    assert(row.getLong(4) >= 0 && row.getLong(4) < 256)
+    assert(math.abs(row.getDouble(5) - 1.0) < 1e-12)
+  }
+
   test("HyperplaneLshBucket == interpreted HOF fold") {
     import spark.implicits._
     def planeSign(j: Column, k: Column): Column =
