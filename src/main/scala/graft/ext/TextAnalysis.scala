@@ -88,6 +88,35 @@ object TextAnalysis {
   def rollingHash(text: Column): Column =
     graft.functions.TextExpressions.rollingHash(text)
 
+  /** PII patterns (emails, URLs) — conservative, RE2-compatible, so
+    * the DuckDB oracle applies the identical regexes. */
+  val emailPattern: String = "[\\w.+-]+@[\\w-]+(\\.[\\w-]+)+"
+  val urlPattern: String = "https?://[^\\s]+"
+
+  /** Count of PII matches (emails + URLs) in the text. */
+  def piiCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(emailPattern), lit(0))) +
+      size(regexp_extract_all(text, lit(urlPattern), lit(0)))
+
+  /** Redact PII: URLs first (an email-shaped userinfo inside a URL is
+    * then already gone), then emails — the standard pre-training
+    * scrub pass; pure per-row map, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, urlPattern, "<URL>"),
+      emailPattern, "<EMAIL>")
+
+  /** Duplicate word-3-gram ratio (a Gopher-style repetition signal):
+    * 1 − distinct/total over the doc's 3-gram shingles; 0 for docs
+    * shorter than 3 words. High values flag boilerplate/looped text
+    * for removal before training. */
+  def repetitionScore(text: Column): Column = {
+    val sh = wordShingles(text, 3)
+    when(size(sh) > 0,
+      lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Token-window chunks for context-length-bounded training: chunk i
     * covers tokens [i·step, i·step + chunkTokens) with
     * step = chunkTokens − overlap; the final chunk may be partial.

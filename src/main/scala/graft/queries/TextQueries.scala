@@ -161,6 +161,43 @@ object TextQueries {
         .orderBy("doc_id"),
       Some(curateDocsOracle)),
 
+    // PII scrub: count email/URL matches and hash the redacted text —
+    // identical regexes run in DuckDB, so redaction is value-checked
+    QueryDef("q_tx_redact",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.piiCount(col("text")).cast("long").as("n_pii"),
+          md5(TextAnalysis.redactPii(col("text"))).as("red_md5"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '[\w.+-]+@[\w-]+(\.[\w-]+)+'))
+             |       + len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_pii,
+             |  md5(regexp_replace(
+             |        regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+             |        '[\w.+-]+@[\w-]+(\.[\w-]+)+', '<EMAIL>', 'g')) AS red_md5
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Repetition signal: duplicate word-3-gram ratio per document
+    QueryDef("q_tx_repetition",
+      (s, d) => {
+        val sh = TextAnalysis.wordShingles(col("text"), 3)
+        t(s, d, "documents")
+          .select(col("doc_id"), size(sh).cast("long").as("n_3grams"),
+            round(TextAnalysis.repetitionScore(col("text")), 4).as("rep3"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id,
+             |    list_transform(range(1, greatest(len(t) - 1, 1)),
+             |                   i -> array_to_string(t[i:i+2], ' ')) AS shingles
+             |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+             |        FROM documents))
+             |SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_3grams,
+             |  round(CASE WHEN len(shingles) > 0
+             |             THEN 1 - len(list_distinct(shingles))::DOUBLE / len(shingles)
+             |             ELSE 0.0 END, 4) AS rep3
+             |FROM sh ORDER BY doc_id""".stripMargin)),
+
     // Whole-document rolling-hash fingerprint (31-polynomial mod
     // 1e9+7) — unlike the xxhash shingle fingerprint this IS
     // SQL-portable, so it gets a full value oracle

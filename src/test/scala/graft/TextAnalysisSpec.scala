@@ -25,6 +25,23 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     assert(one("xyzzy plugh qwerty", TextAnalysis.langId(col("text"))) === "other")
   }
 
+  test("redactPii scrubs planted emails/URLs and counts them") {
+    val text = "mail a.user+tag@example.co.uk or see https://x.example/path?q=1 now"
+    assert(one(text, TextAnalysis.piiCount(col("text"))) === 2)
+    assert(one(text, TextAnalysis.redactPii(col("text"))) ===
+      "mail <EMAIL> or see <URL> now")
+    assert(one("no pii here", TextAnalysis.piiCount(col("text"))) === 0)
+  }
+
+  test("repetitionScore flags looped text, 0 for short or unique docs") {
+    val looped = Seq.fill(10)("buy now click here").mkString(" ")
+    val unique = "every word in this sentence appears exactly once today"
+    val rep = one(looped, TextAnalysis.repetitionScore(col("text"))).asInstanceOf[Double]
+    assert(rep > 0.8, s"looped text scored $rep")
+    assert(one(unique, TextAnalysis.repetitionScore(col("text"))) === 0.0)
+    assert(one("two words", TextAnalysis.repetitionScore(col("text"))) === 0.0)
+  }
+
   test("qualityScore stays in [0,1] and ranks clean text above junk") {
     val clean = one("the quick brown fox jumps over the lazy dog and runs to the hills",
       TextAnalysis.qualityScore(col("text"))).asInstanceOf[Double]
