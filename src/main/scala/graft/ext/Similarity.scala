@@ -116,6 +116,26 @@ object Similarity {
       .select(col(idCol), round(col("cos_raw"), 6).as("cosine"))
   }
 
+  /** Per-vector symmetric int8 quantization scale: 127 / max|v|
+    * (0 for an all-zero vector). Compute this ONCE as a column and
+    * feed it to [[quantizeInt8]] — referencing it inside the
+    * quantize lambda as an attribute costs nothing per element,
+    * whereas inlining the max-abs subtree would re-evaluate it per
+    * element (interpreted HOF lambdas have no subtree caching). */
+  def int8Scale(vec: Column): Column = {
+    val maxAbs = array_max(transform(vec, v => abs(v.cast("double"))))
+    when(maxAbs > 0, lit(127.0) / maxAbs).otherwise(lit(0.0))
+  }
+
+  /** Symmetric int8 quantization of an embedding given its
+    * [[int8Scale]]: `floor(v·scale + 0.5)` per element — floor+0.5
+    * instead of round() because floor has identical semantics in
+    * every engine (round's half-way rule does not), keeping the
+    * DuckDB oracle exact. The standard 4× compression for
+    * billion-scale ANN corpora; dequantize with v ≈ q / scale. */
+  def quantizeInt8(vec: Column, scale: Column): Column =
+    transform(vec, v => floor(v.cast("double") * scale + lit(0.5)).cast("int"))
+
   /** All near-duplicate pairs with cosine ≥ threshold. Brute-force
     * variant (cross join) for oracle-checkable correctness at small
     * scale; [[lshPairs]] is the scale path. */

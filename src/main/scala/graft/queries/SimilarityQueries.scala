@@ -84,6 +84,28 @@ object SimilarityQueries {
              |FROM embeddings, range(1, 65) t(i)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Symmetric int8 quantization (the standard 4x compression for
+    // billion-scale ANN): per-vector scale + quantized components,
+    // serialized to CSV text so the value compare is exact
+    QueryDef("q_emb_quantize",
+      (s, d) => t(s, d, "embeddings")
+        .withColumn("scale_raw", Similarity.int8Scale(col("embedding")))
+        .select(col("vec_id"),
+          round(col("scale_raw"), 6).as("scale"),
+          array_join(Similarity.quantizeInt8(col("embedding"), col("scale_raw")), ",")
+            .as("q_csv"))
+        .orderBy("vec_id"),
+      Some("""WITH scaled AS (
+             |  SELECT vec_id, embedding,
+             |    CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) > 0
+             |         THEN 127.0::DOUBLE / list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+             |         ELSE 0.0::DOUBLE END AS scale_raw
+             |  FROM embeddings)
+             |SELECT vec_id, round(scale_raw, 6) AS scale,
+             |  array_to_string(list_transform(embedding,
+             |    x -> CAST(floor(x::DOUBLE * scale_raw + 0.5) AS INT)), ',') AS q_csv
+             |FROM scaled ORDER BY vec_id""".stripMargin)),
+
     // Multimodal feature extraction through mapPartitions (stub
     // decode, deterministic checksum/features) — rows-only gate
     QueryDef("q_mm_features",

@@ -70,6 +70,27 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(lsh.subsetOf(brute))
   }
 
+  test("int8 quantization round-trips within half a quantization step") {
+    val rows = emb.limit(100)
+      .withColumn("scale", Similarity.int8Scale(col("embedding")))
+      .select(col("embedding"), col("scale"),
+        Similarity.quantizeInt8(col("embedding"), col("scale")).as("q"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val scale = r.getDouble(1)
+      val q = r.getSeq[Int](2)
+      assert(q.forall(x => x >= -127 && x <= 127))
+      if (scale > 0) {
+        val step = 1.0 / scale
+        v.zip(q).foreach { case (orig, quant) =>
+          assert(math.abs(orig - quant / scale) <= step / 2 + 1e-9,
+            s"dequantized $quant/$scale too far from $orig")
+        }
+      }
+    }
+  }
+
   test("bucket assignment is deterministic across partitioning") {
     val a = emb.limit(50).select(col("vec_id"), Similarity.lshBucket(col("embedding"), 8).as("b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
