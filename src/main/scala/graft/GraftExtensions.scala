@@ -37,5 +37,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval().asInstanceOf[Int]))
     inject(e, "rolling_hash", classOf[graft.functions.RollingHash],
       exprs => graft.functions.RollingHash(exprs(0)))
+    e.injectOptimizerRule(_ => graft.plans.NativeTextRewrites)
   }
 }

@@ -85,6 +85,42 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(row.getDouble(5) - 1.0) < 1e-12)
   }
 
+  test("NativeTextRewrites rewrites textbook forms to native expressions") {
+    import spark.implicits._
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.plans.NativeTextRewrites
+    try {
+      // parquet-backed (a local-relation view would be wholly
+      // constant-folded by ConvertToLocalRelation before our rule
+      // could be observed)
+      graft.sources.Tables(spark, "/root/testdata/sf0.001").table("documents")
+        .createOrReplaceTempView("rewrite_test")
+      val df = spark.sql(
+        """SELECT size(split(text, '\\s+')) AS n,
+          |       size(regexp_extract_all(text, '[^\\w\\s]', 0)) AS p
+          |FROM rewrite_test""".stripMargin)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("wstokencount"), optimized)
+      assert(optimized.contains("punctcount"), optimized)
+      // and a non-matching shape (limit 2) is left alone
+      val untouched = spark.sql(
+        "SELECT size(split(text, '\\\\s+', 2)) AS n FROM rewrite_test")
+        .queryExecution.optimizedPlan.toString
+      assert(!untouched.contains("wstokencount"), untouched)
+      // results equal the unrewritten formulation
+      val got = df.collect().map(r => (r.getInt(0), r.getInt(1)))
+      spark.experimental.extraOptimizations = Nil
+      val want = spark.sql(
+        """SELECT size(split(text, '\\s+')) AS n,
+          |       size(regexp_extract_all(text, '[^\\w\\s]', 0)) AS p
+          |FROM rewrite_test""".stripMargin)
+        .collect().map(r => (r.getInt(0), r.getInt(1)))
+      assert(got.sorted.toSeq === want.sorted.toSeq)
+    } finally {
+      spark.experimental.extraOptimizations = Nil
+    }
+  }
+
   test("HyperplaneLshBucket == interpreted HOF fold") {
     import spark.implicits._
     def planeSign(j: Column, k: Column): Column =
