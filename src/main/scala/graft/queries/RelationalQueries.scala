@@ -360,7 +360,11 @@ object RelationalQueries {
 
     // Windows: running sum + lag over daily totals. The cumsum uses
     // the scalable two-phase form (per-month partitions + prefix
-    // offsets) and must still match the oracle's single global window
+    // offsets) and must still match the oracle's single global window.
+    // The lag's unpartitioned window is deliberate and safe: it runs
+    // AFTER the groupBy collapses the input to one row per date, so
+    // the single-task frame is |dates| (~10k rows for 30 years of
+    // data) no matter how large the fact table is
     QueryDef("q_window_running",
       (s, d) => {
         val daily = t(s, d, "orders")
