@@ -554,6 +554,25 @@ object RelationalQueries {
              |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Correlated scalar subquery — Catalyst decorrelates the per-row
+    // subquery into an aggregate + join (RewriteCorrelatedScalarSubquery),
+    // so the "runs once per outer row" surface form executes as two
+    // scans and one join at any scale. Same SQL text runs in DuckDB
+    QueryDef("q_correlated_subq",
+      (s, d) => {
+        Tables(s, d).registerAll()
+        s.sql("""SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+                |FROM customer c
+                |WHERE c_acctbal > 2 * (SELECT avg(c2.c_acctbal) FROM customer c2
+                |                       WHERE c2.c_nationkey = c.c_nationkey)
+                |ORDER BY c_custkey""".stripMargin)
+      },
+      Some("""SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+             |FROM customer c
+             |WHERE c_acctbal > 2 * (SELECT avg(c2.c_acctbal) FROM customer c2
+             |                       WHERE c2.c_nationkey = c.c_nationkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
     // LEFT SEMI join (EXISTS): customers holding at least one urgent
     // order — dedup-free existence check, no fan-out
     QueryDef("q_semi_join",

@@ -62,6 +62,13 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
       s"candidate generation degenerated to a cross join:\n$plan")
   }
 
+  test("correlated scalar subquery decorrelates into an aggregate + join") {
+    val plan = finalPlan("q_correlated_subq")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ScalarSubquery"),
+      s"subquery executed per outer row instead of decorrelating:\n$plan")
+  }
+
   test("curation pipeline stays off CartesianProduct and off full sorts") {
     val plan = finalPlan("q_curate_pipeline")
     assert(!plan.contains("CartesianProduct"), plan)
