@@ -50,6 +50,30 @@ object EventStreams {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
+  /** Stream-stream interval join (click attribution): each purchase
+    * joins the same user's clicks from the preceding `attributionWindow`.
+    * Both sides carry watermarks and the join condition bounds the
+    * event-time distance, so Spark can purge click state older than
+    * (watermark + window) and purchase state older than the watermark —
+    * bounded state for an unbounded stream pair, the streaming twin of
+    * the batch as-of/interval join ([[graft.ops.AsofJoin]]). */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+                       attributionWindow: String = "1 hour",
+                       watermarkDelay: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases.withWatermark("ts", watermarkDelay)
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $attributionWindow"))
+      .select(col("purchase_id"), col("p_user").as("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"), col("value"))
+  }
+
   /** Watermarked tumbling-window count/sum per event type. Late data
     * beyond 10 minutes is dropped; state for closed windows is purged
     * automatically — bounded state at any corpus rate. */

@@ -61,4 +61,41 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
       assert(user1.last === ((1L, ts(100).getTime, 1L, 0.0, 5.0)), "burst 2: single event")
     } finally q.stop()
   }
+
+  test("clickAttribution: stream-stream interval join within the window only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.clickAttribution(clicks.toDF(), purchases.toDF(),
+      attributionWindow = "1 hour", watermarkDelay = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("attrib").start()
+    try {
+      clicks.addData(
+        Event(1, ts(0), 1, "click", 0.0),    // 30 min before purchase → attributed
+        Event(2, ts(25), 1, "click", 0.0),   // 5 min before → attributed
+        Event(3, ts(35), 1, "click", 0.0),   // AFTER the purchase → not attributed
+        Event(4, ts(0), 2, "click", 0.0))    // other user → not attributed
+      purchases.addData(Event(100, ts(30), 1, "purchase", 9.99))
+      q.processAllAvailable()
+      // advance both watermarks so the joined rows are emitted
+      clicks.addData(Event(5, ts(500), 3, "click", 0.0))
+      purchases.addData(Event(101, ts(500), 3, "purchase", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("attrib").collect()
+        .filter(_.getLong(0) == 100L)
+        .map(r => (r.getLong(3), r.getDouble(5)))
+      assert(out.toSet === Set((1L, 9.99), (2L, 9.99)),
+        s"purchase 100 attributes to clicks 1 and 2 only, got ${out.toSeq}")
+      // a purchase 90 minutes after the user's only click → outside window
+      clicks.addData(Event(6, ts(600), 4, "click", 0.0))
+      purchases.addData(Event(102, ts(690), 4, "purchase", 5.0))
+      q.processAllAvailable()
+      clicks.addData(Event(7, ts(2000), 5, "click", 0.0))
+      purchases.addData(Event(103, ts(2000), 5, "purchase", 0.0))
+      q.processAllAvailable()
+      assert(!spark.table("attrib").collect().exists(_.getLong(0) == 102L),
+        "purchase outside the attribution window must not join")
+    } finally q.stop()
+  }
 }
