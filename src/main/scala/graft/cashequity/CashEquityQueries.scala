@@ -209,7 +209,7 @@ object CashEquityQueries {
     * (DuckDB parses bare decimals as DECIMAL, whose arithmetic
     * diverges from Spark's double) and every expression mirrors the
     * Scala evaluation order, keeping results bit-identical. */
-  private val equityFixtureSql: String = """
+  private[graft] val equityFixtureSql: String = """
     dual_sectors(i, sec) AS (VALUES
       (0, 'Communication Services'), (1, 'Consumer Discretionary'),
       (2, 'Consumer Staples'), (3, 'Energy'), (4, 'Financials'),

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column handling: image/audio/video as opaque `binary`
@@ -52,6 +52,22 @@ object Multimodal {
       i += 1
     }
     f
+  }
+
+  /** Frame sampling: every `stride`-th fixed-size block of the media
+    * content — the shape of key-frame extraction for video training
+    * data (sample, don't decode everything). The deterministic
+    * stand-in defines a "frame" as a `frameChars`-character block of
+    * the text payload (a real build swaps block slicing for codec
+    * keyframe offsets; the sampling arithmetic, lazy per-row
+    * evaluation and downstream schema stay identical). Pure map, no
+    * shuffle — sampling 100 TB of video touches each row once and
+    * reads only the sampled blocks. */
+  def sampleFrames(content: Column, frameChars: Int, stride: Int): Column = {
+    val nFrames = ceil(length(content).cast("double") / frameChars).cast("int")
+    val idx = filter(sequence(lit(0), greatest(nFrames - 1, lit(0))),
+      i => i % stride === 0 && i < nFrames)
+    transform(idx, i => content.substr(i * frameChars + 1, lit(frameChars)))
   }
 
   /** Feature extraction over the media table — Dataset + mapPartitions

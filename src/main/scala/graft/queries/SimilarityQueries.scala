@@ -106,6 +106,37 @@ object SimilarityQueries {
              |    x -> CAST(floor(x::DOUBLE * scale_raw + 0.5) AS INT)), ',') AS q_csv
              |FROM scaled ORDER BY vec_id""".stripMargin)),
 
+    // Multimodal frame sampling: every 4th 256-char block of "video"
+    // media — the sampling arithmetic, per-modality filter and block
+    // slicing are value-checked in DuckDB (only codec decode is the
+    // stand-in)
+    QueryDef("q_mm_frames",
+      (s, d) => {
+        val media = Multimodal.mediaFromDocuments(t(s, d, "documents"))
+          .filter(col("modality") === "video")
+        val sampled = Multimodal.sampleFrames(col("text_content"), 256, 4)
+        media.join(t(s, d, "documents").select(col("doc_id"), col("text").as("text_content")),
+            col("media_id") === col("doc_id"))
+          .select(col("media_id"),
+            ceil(length(col("text_content")).cast("double") / 256).cast("long").as("n_frames"),
+            size(sampled).cast("long").as("n_sampled"),
+            md5(concat_ws("", sampled)).as("sample_md5"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT media_id, nf AS n_frames,
+             |  CAST(len(sampled) AS BIGINT) AS n_sampled,
+             |  md5(array_to_string(sampled, '')) AS sample_md5
+             |FROM (
+             |  SELECT media_id, nf,
+             |    list_transform(
+             |      list_filter(range(0, greatest(nf, 1)), i -> i % 4 = 0 AND i < nf),
+             |      i -> substr(text, (i * 256 + 1)::INT, 256)) AS sampled
+             |  FROM (
+             |    SELECT doc_id AS media_id, text,
+             |      CAST(ceil(length(text) / 256.0::DOUBLE) AS BIGINT) AS nf
+             |    FROM documents WHERE doc_id % 3 = 2))
+             |ORDER BY media_id""".stripMargin)),
+
     // Multimodal feature extraction through mapPartitions (stub
     // decode, deterministic checksum/features) — rows-only gate
     QueryDef("q_mm_features",

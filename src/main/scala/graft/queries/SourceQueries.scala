@@ -1,10 +1,11 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.cashequity.Fixtures
+import graft.cashequity.{CashEquityQueries, Fixtures}
 import graft.ops.RelationalOps
 import graft.sources.DocumentSource
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Gate queries exercising the SOURCE layer end to end — proving the
   * schema-first dirty-JSON collection scan (SURVEY §2 S3) against the
@@ -58,6 +59,37 @@ object SourceQueries {
         FROM securities_n GROUP BY sector
         UNION ALL
         SELECT NULL, 2::BIGINT, NULL::DOUBLE, 2::BIGINT
-        ORDER BY _id"""))
+        ORDER BY _id""")),
+
+    // Typed CSV round-trip: the deterministic equity-prices fixture is
+    // written as headered CSV and re-read through the schema-first CSV
+    // reader (dates and doubles round-trip through text), then
+    // aggregated with order-independent measures only — open_price
+    // sums are exact (integer-valued doubles) and min/max need no
+    // ordering, so the value compare is airtight
+    QueryDef("q_src_csv", (s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_csv_").toString
+      Fixtures.equityPrices(s)
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      val schema = StructType(Seq(
+        StructField("symbol_id", StringType), StructField("cob_date", DateType),
+        StructField("open_price", DoubleType), StructField("close_price", DoubleType),
+        StructField("currency", StringType), StructField("volume", LongType)))
+      DocumentSource.csv(s, dir, schema)
+        .groupBy("currency")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("open_price"), 4).as("sum_open"),
+          round(min("close_price"), 6).as("min_close"),
+          round(max("close_price"), 6).as("max_close"))
+        .orderBy("currency")
+    },
+      Some(s"""
+        WITH ${CashEquityQueries.equityFixtureSql}
+        SELECT currency, count(*) AS n_rows,
+               round(sum(open_price), 4) AS sum_open,
+               round(min(close_price), 6) AS min_close,
+               round(max(close_price), 6) AS max_close
+        FROM equity_prices
+        GROUP BY currency ORDER BY currency""")),
   )
 }
