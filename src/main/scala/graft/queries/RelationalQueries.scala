@@ -390,6 +390,35 @@ object RelationalQueries {
              |  lag(daily_total, 1) OVER (ORDER BY order_date) AS prev_total
              |FROM daily ORDER BY order_date""".stripMargin), bench = true),
 
+    // Window frames beyond the default: bounded ROWS moving average,
+    // first_value over the growing frame, ntile quartiles — all per
+    // priority partition (parallel; no global window)
+    QueryDef("q_window_moving",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = t(s, d, "orders")
+          .groupBy(col("o_orderdate").cast("date").as("order_date"),
+            col("o_orderpriority"))
+          .agg(round(sum("o_totalprice"), 2).as("daily_total"))
+        val byPrio = Window.partitionBy("o_orderpriority").orderBy("order_date")
+        daily.select(col("o_orderpriority"), col("order_date"), col("daily_total"),
+            round(avg("daily_total").over(byPrio.rowsBetween(-6, 0)), 4).as("ma7"),
+            first_value(col("daily_total")).over(byPrio).as("first_total"),
+            ntile(4).over(byPrio).as("quartile"))
+          .orderBy("o_orderpriority", "order_date")
+      },
+      Some("""WITH daily AS (
+             |  SELECT CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+             |         round(sum(o_totalprice), 2) AS daily_total
+             |  FROM orders GROUP BY 1, 2)
+             |SELECT o_orderpriority, order_date, daily_total,
+             |  round(avg(daily_total) OVER (PARTITION BY o_orderpriority ORDER BY order_date
+             |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7,
+             |  first_value(daily_total) OVER (PARTITION BY o_orderpriority ORDER BY order_date)
+             |    AS first_total,
+             |  ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY order_date) AS quartile
+             |FROM daily ORDER BY o_orderpriority, order_date""".stripMargin)),
+
     // Set operators (§2.8): EXCEPT / INTERSECT / UNION ALL
     QueryDef("q_set_ops",
       (s, d) => {
