@@ -482,6 +482,26 @@ object RelationalQueries {
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Argmax via max(struct(order, payload)): the single-shuffle,
+    // partial-aggregation form of per-group argmax (the IVF
+    // assignment pattern) — unlike the window argmin it never sorts a
+    // group; the struct's lexicographic order makes ties
+    // deterministic (max order, then max payload). Oracle uses the
+    // equivalent deterministic window form
+    QueryDef("q_argmax_struct",
+      (s, d) => t(s, d, "supplier")
+        .groupBy("s_nationkey")
+        .agg(max(struct(col("s_acctbal"), col("s_suppkey"))).as("m"))
+        .select(col("s_nationkey"), col("m.s_suppkey").as("best_supp"),
+          round(col("m.s_acctbal"), 2).as("best_bal"))
+        .orderBy("s_nationkey"),
+      Some("""SELECT s_nationkey, s_suppkey AS best_supp, round(s_acctbal, 2) AS best_bal
+             |FROM (SELECT s_nationkey, s_suppkey, s_acctbal,
+             |        row_number() OVER (PARTITION BY s_nationkey
+             |          ORDER BY s_acctbal DESC, s_suppkey DESC) AS rn
+             |      FROM supplier)
+             |WHERE rn = 1 ORDER BY s_nationkey""".stripMargin)),
+
     // Typed UDAF (Aggregator tier): geometric mean; oracle uses the
     // algebraic identity exp(avg(ln x))
     QueryDef("q_geomean",
