@@ -7,10 +7,16 @@ import org.apache.spark.sql.SparkSession
   * executed via a noop-format write: every result row is produced and
   * handed to the sink, so Catalyst cannot prune projection work the
   * way it can under count(), and nothing is collected to the driver.
-  * A warmup run of the flagship query absorbs JVM/codegen startup so
-  * per-query numbers reflect steady state.
+  * A warmup pass over every headline query absorbs JVM/codegen
+  * startup, then each query is measured REPS times and the reported
+  * number is the per-query MEDIAN — a single ambient-load spike on a
+  * shared box cannot masquerade as a regression (min/max go to
+  * stderr for dispersion checks). A query that throws reports -1.0,
+  * never a misleading short wall time.
   */
 object Bench {
+  private val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,13 +41,22 @@ object Bench {
     System.err.println(f"[bench] warmup pass ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
     val results = benchQueries.map { q =>
-      val t0 = System.nanoTime()
-      try { run(q) }
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to Reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { run(q); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e"); -1.0 }
+      }
+      // any failed rep poisons the query's number — a broken query
+      // must not look fast
+      val med =
+        if (times.contains(-1.0)) -1.0
+        else times.sorted.apply(Reps / 2)
+      System.err.println(
+        f"[bench] ${q.name}%-22s median $med%7.3f s  (min ${times.min}%.3f / max ${times.max}%.3f)")
+      q.name -> med
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

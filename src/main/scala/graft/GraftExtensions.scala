@@ -27,14 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => graft.functions.CosineSimilarity(exprs(0), exprs(1)))
     inject(e, "lsh_bucket", classOf[graft.functions.HyperplaneLshBucket],
       exprs => graft.functions.HyperplaneLshBucket(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]))
+        graft.functions.FunctionArgs.foldableInt("lsh_bucket", "bits", exprs(1))))
     inject(e, "ws_token_count", classOf[graft.functions.WsTokenCount],
       exprs => graft.functions.WsTokenCount(exprs(0)))
     inject(e, "punct_count", classOf[graft.functions.PunctCount],
       exprs => graft.functions.PunctCount(exprs(0)))
     inject(e, "word_shingles", classOf[graft.functions.WordShingles],
       exprs => graft.functions.WordShingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Int]))
+        graft.functions.FunctionArgs.foldableInt("word_shingles", "n", exprs(1))))
     inject(e, "rolling_hash", classOf[graft.functions.RollingHash],
       exprs => graft.functions.RollingHash(exprs(0)))
     e.injectOptimizerRule(_ => graft.plans.NativeTextRewrites)

@@ -74,7 +74,7 @@ object StressDedup {
       shufflePartitions = cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val scratch = java.nio.file.Files.createTempDirectory("graft_stress_").toString
+    val scratch = Scratch.tempDir("graft_stress_")
     val docs = graft.sources.Tables(spark, sfDir).table("documents")
       .select("doc_id", "text")
     corpus(docs, 1).write.mode("overwrite").parquet(s"$scratch/x1")

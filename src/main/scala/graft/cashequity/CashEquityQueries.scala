@@ -72,6 +72,23 @@ object CashEquityQueries {
     * no-ops in standard SQL and omitted (SURVEY §7.4 Q5); the GROUP
     * BYs with bare select lists are dedups (§7.4 Q7). */
   def sql2(spark: SparkSession): DataFrame = {
+    val traderPerformance = sql2TraderPerformance(spark)
+
+    // final rollup (SQL:54-57). The average is rounded to 6 dp: the
+    // true value has exactly 5 decimals (a sum of 4-decimal changes
+    // over 10 rows), so round(·,6) projects away cross-engine
+    // float-summation-order ulps without touching the real value.
+    // CashEquitySpec asserts the 10-rows-per-group invariant this
+    // exactness argument depends on, so a fixture change that breaks
+    // it fails loudly instead of silently becoming lossy rounding.
+    traderPerformance.groupBy("trader_name", "fund_name", "fund_focus")
+      .agg(round(avg("amount_change"), 6).as("average_change"))
+      .orderBy(desc("average_change"))
+  }
+
+  /** The trader_performance CTE of [[sql2]] (SQL:44-52), exposed so
+    * the spec can assert the rounding-exactness invariant. */
+  private[graft] def sql2TraderPerformance(spark: SparkSession): DataFrame = {
     val prices = spark.table("equity_prices")
     val positions = spark.table("portfolio_positions")
     val traders = spark.table("trader_static")
@@ -97,19 +114,11 @@ object CashEquityQueries {
         col("pe.symbol").as("symbol"), col("net_amount"), col("net_quantity"), col("close_price")),
       Seq("cob_date", "currency", "trader", "fund_name", "fund_focus", "trader_name",
         "symbol", "net_amount", "net_quantity", "close_price"))
-    val traderPerformance = deduped.withColumn("new_net_amount",
+    deduped.withColumn("new_net_amount",
         col("close_price") * col("net_quantity"))
       .withColumn("amount_change",
         round(((col("close_price") * col("net_quantity") - col("net_amount"))
           / col("net_amount")) * 100, 4))
-
-    // final rollup (SQL:54-57). The average is rounded to 6 dp: the
-    // true value has exactly 5 decimals (a sum of 4-decimal changes
-    // over 10 rows), so round(·,6) projects away cross-engine
-    // float-summation-order ulps without touching the real value.
-    traderPerformance.groupBy("trader_name", "fund_name", "fund_focus")
-      .agg(round(avg("amount_change"), 6).as("average_change"))
-      .orderBy(desc("average_change"))
   }
 
   val sql2Text: String = """

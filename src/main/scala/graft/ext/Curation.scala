@@ -40,7 +40,15 @@ object Curation {
     * barrier was slower: cache build + lost whole-stage fusion
     * exceeded the saved regex work, and at 100 TB an executor-memory
     * cache of the corpus is not an option anyway). With
-    * `checkpointDir = None` the single-pass diamond plan is kept. */
+    * `checkpointDir = None` the single-pass diamond plan is kept.
+    *
+    * NOTE: with `checkpointDir` set, construction is EAGER — the
+    * scoring + exact-dedup job runs (and overwrites
+    * `dir/curation_scored`) when this method is CALLED, not when the
+    * returned frame is first evaluated. Callers should pass a fresh
+    * per-run dir (see [[graft.Scratch.tempDir]], which also cleans
+    * it up on JVM exit) and not share one path across concurrent
+    * invocations. */
   def curatedDocs(docs: DataFrame, minQuality: Double = 0.5,
                   jaccardThreshold: Double = 0.6,
                   checkpointDir: Option[String] = None): DataFrame = {

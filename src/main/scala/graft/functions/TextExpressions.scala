@@ -244,7 +244,8 @@ object TextExpressions {
     GraftColumnBridge.registerFunction(spark, "punct_count",
       exprs => PunctCount(exprs(0)))
     GraftColumnBridge.registerFunction(spark, "word_shingles",
-      exprs => WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int]))
+      exprs => WordShingles(exprs(0),
+        FunctionArgs.foldableInt("word_shingles", "n", exprs(1))))
     GraftColumnBridge.registerFunction(spark, "rolling_hash",
       exprs => RollingHash(exprs(0)))
   }

@@ -110,8 +110,9 @@ case class HyperplaneLshBucket(child: Expression, bits: Int)
     while (j < bits) {
       var proj = 0.0
       var i = 0
+      val planeSeed = XXH64.hashInt(j, 42L) // per-plane, not per-dimension
       while (i < dim) {
-        val h = XXH64.hashInt(i, XXH64.hashInt(j, 42L))
+        val h = XXH64.hashInt(i, planeSeed)
         val sign = (h & 1L) * 2L - 1L
         proj += vec.getFloat(i).toDouble * sign.toDouble
         i += 1
@@ -141,6 +142,7 @@ object VectorExpressions {
     GraftColumnBridge.registerFunction(spark, "cosine_native",
       exprs => CosineSimilarity(exprs(0), exprs(1)))
     GraftColumnBridge.registerFunction(spark, "lsh_bucket",
-      exprs => HyperplaneLshBucket(exprs(0), exprs(1).eval().asInstanceOf[Int]))
+      exprs => HyperplaneLshBucket(exprs(0),
+        FunctionArgs.foldableInt("lsh_bucket", "bits", exprs(1))))
   }
 }

@@ -16,9 +16,9 @@ object TextQueries {
     Tables(s, dir).table(n)
 
   /** Fresh scratch dir for the curation parquet checkpoint (per run,
-    * so concurrent gate/bench invocations never collide). */
-  private def ckptDir(): String =
-    java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    * so concurrent gate/bench invocations never collide; deleted on
+    * JVM exit by [[graft.Scratch]]). */
+  private def ckptDir(): String = graft.Scratch.tempDir("graft_ckpt_")
 
   def defs: Seq[QueryDef] = Seq(
 

@@ -70,6 +70,27 @@ class CashEquitySpec extends AnyFunSuite with SharedSpark {
     assert(changes === changes.sorted.reverse)
   }
 
+  test("SQL2 rounding invariant: every fund group averages exactly 10 four-decimal rows") {
+    assert(registered)
+    // sql2's round(avg(amount_change), 6) is EXACT only because each
+    // group's average is a sum of 4-decimal values over 10 rows
+    // (→ at most 5 decimals). If a fixture change breaks either half
+    // of that invariant, the parity query silently becomes lossy
+    // rounding — this test makes it loud instead.
+    import org.apache.spark.sql.functions._
+    val tp = CashEquityQueries.sql2TraderPerformance(spark)
+    val groupSizes = tp.groupBy("trader_name", "fund_name", "fund_focus")
+      .count().collect()
+    assert(groupSizes.nonEmpty)
+    groupSizes.foreach(r => assert(r.getLong(3) === 10L,
+      s"group ${r.getString(0)}/${r.getString(1)} has ${r.getLong(3)} rows, not 10"))
+    // amount_change really is on the 1e-4 grid
+    val offGrid = tp.filter(
+      abs(col("amount_change") * 10000 - round(col("amount_change") * 10000, 0)) > lit(1e-6))
+      .count()
+    assert(offGrid === 0L, "amount_change values must have at most 4 decimals")
+  }
+
   test("NoSQL1: top-1 sector by avg price among MarketCap > 100000 (NOSQL:8-12)") {
     assert(registered)
     val out = CashEquityQueries.nosql1(spark).collect()

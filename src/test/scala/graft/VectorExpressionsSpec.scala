@@ -47,6 +47,27 @@ class VectorExpressionsSpec extends AnyFunSuite with SharedSpark {
     assert(viaSql.forall(r => math.abs(r.getDouble(1)) <= 1.0 + 1e-12))
   }
 
+  test("lsh_bucket/word_shingles raise NON_FOLDABLE_ARGUMENT on bad size args") {
+    VectorExpressions.register(spark)
+    graft.functions.TextExpressions.register(spark)
+    emb.limit(5).createOrReplaceTempView("emb_arg_test")
+    // non-foldable column argument → comprehensible analysis error,
+    // not a raw ClassCastException/NPE at plan time
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT lsh_bucket(embedding, vec_id) FROM emb_arg_test").collect()
+    }
+    assert(e1.getMessage.contains("lsh_bucket"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT word_shingles('a b c', 'x')").collect()
+    }
+    assert(e2.getMessage.contains("word_shingles"))
+    // in-range bigint literals are accepted (3L ≡ 3)
+    assert(spark.sql("SELECT size(word_shingles('a b c d', 3L)) AS n").collect()
+      .head.getInt(0) === 2)
+    assert(spark.sql("SELECT lsh_bucket(array(1.0f, 2.0f), 4L) AS b").collect()
+      .head.getLong(0) >= 0L)
+  }
+
   test("native cosine participates in whole-stage codegen") {
     val plan = emb.select(VectorExpressions.cosineNative(col("embedding"), col("embedding")))
       .queryExecution.executedPlan.toString
