@@ -371,6 +371,33 @@ object CashEquityQueries {
     LEFT JOIN (SELECT * FROM quals WHERE rn = 1) q ON s.sector = q.sector
     ORDER BY _id"""
 
+  /** FX conversion: EUR close prices → USD via the `exchange_rates`
+    * dim (modeled by the reference, RDME:32, but never queried there
+    * — this completes the 6-table model). The rate table is tiny and
+    * broadcast; the equi-join on (currency, date) is how a real
+    * price-conversion pipeline keys its FX lookups. */
+  def fxConvert(spark: SparkSession): DataFrame = {
+    val prices = spark.table("equity_prices")
+    val fx = spark.table("exchange_rates")
+    prices.join(broadcast(fx),
+        prices("currency") === fx("from_currency") &&
+          prices("cob_date") === fx("cob_date"))
+      .select(col("symbol_id"), prices("cob_date").as("cob_date"),
+        col("close_price"), col("to_currency"),
+        round(col("close_price") * col("rate"), 4).as("close_converted"))
+      .orderBy("symbol_id")
+  }
+
+  private val fxOracle: String = s"""
+    WITH $equityFixtureSql,
+    exchange_rates(from_currency, to_currency, fx_date, rate) AS (VALUES
+      ('EUR', 'USD', DATE '2023-11-24', 1.09::DOUBLE))
+    SELECT symbol_id, cob_date, close_price, to_currency,
+           round(close_price * rate, 4) AS close_converted
+    FROM equity_prices
+    JOIN exchange_rates ON currency = from_currency AND cob_date = fx_date
+    ORDER BY symbol_id"""
+
   /** Driver-gate entries: run on the deterministic fixtures (sfDir is
     * ignored — the testdata has no cash_equity tables); the oracles
     * re-derive those fixtures inside DuckDB, so all four parity
@@ -380,5 +407,6 @@ object CashEquityQueries {
     QueryDef("cw_sql2", (s, _) => { Fixtures.registerAll(s); sql2(s) }, Some(sql2Oracle)),
     QueryDef("cw_nosql1", (s, _) => { Fixtures.registerAll(s); nosql1(s) }, Some(nosql1Oracle)),
     QueryDef("cw_nosql2", (s, _) => { Fixtures.registerAll(s); nosql2(s) }, Some(nosql2Oracle)),
+    QueryDef("cw_fx_convert", (s, _) => { Fixtures.registerAll(s); fxConvert(s) }, Some(fxOracle)),
   )
 }

@@ -88,11 +88,30 @@ object Dedup {
     * interpreted and re-evaluate the shingle-building subtree once
     * per hash index (measured ~50× slower at sf0.1), while min-agg is
     * codegen'd and scales out with partitions.
+    *
+    * `portable = true` swaps the per-index hash for the universal
+    * family `h_i(x) = (A_i·x + B_i) mod 1e9+7` over the shingle's
+    * 31-polynomial rolling hash x ([[graft.functions.RollingHash]]),
+    * with A_i/B_i MINSTD-derived constants
+    * ([[Sampling.minstd2]]) — every step is plain 64-bit integer
+    * arithmetic a SQL oracle re-derives exactly. Same shape, same
+    * single shuffle; only the hash arithmetic changes.
     * Output: id, sig (array<long> of length numHashes). */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleLen: Int, numHashes: Int): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, shingleLen)
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+                        shingleLen: Int, numHashes: Int,
+                        portable: Boolean = false): DataFrame = {
+    val sh0 = shingleTable(df, idCol, textCol, shingleLen)
+    val sh = if (portable)
+      sh0.select(col("id"),
+        graft.functions.TextExpressions.rollingHash(col("sh")).as("rh"))
+    else sh0
+    val mins = (0 until numHashes).map { i =>
+      val h = if (portable)
+        pmod(lit(Sampling.minstd2(2 * i + 1)) * col("rh") + lit(Sampling.minstd2(2 * i + 2)),
+          lit(1000000007L))
+      else xxhash64(lit(i), col("sh"))
+      min(h).as(s"h$i")
+    }
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
@@ -106,13 +125,22 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleLen: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
-                      threshold: Double = 0.7): DataFrame = {
+                      threshold: Double = 0.7, portable: Boolean = false): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = minhashSignatures(df, idCol, textCol, shingleLen, numHashes)
+    val sigs = minhashSignatures(df, idCol, textCol, shingleLen, numHashes, portable)
+    // band hash: xxhash64 of the band's slice, or (portable) a
+    // 31-polynomial fold mod 1e9+7 of the band's values in order —
+    // extra bucket collisions only add candidates, which the
+    // signature-agreement verify filters identically on both engines
+    def bandHash(b: Column): Column = {
+      val bandVals = slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))
+      if (portable)
+        aggregate(bandVals, lit(0L), (h, v) => pmod(h * 31L + v, lit(1000000007L)))
+      else xxhash64(bandVals)
+    }
     val banded = sigs.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))).as("bh")))).as("e"))
+        b => struct(b.as("band"), bandHash(b).as("bh")))).as("e"))
       .select(col("id"), col("sig"), col("e.band"), col("e.bh"))
     val a = banded.as("a"); val b = banded.as("b")
     val cand = a.join(b,
@@ -133,12 +161,24 @@ object Dedup {
     * [[minhashSignatures]]: the per-row nested-HOF fold re-evaluates
     * the tokenization per bit and is interpreted, not codegen'd.)
     * Output: id, sig (long). */
-  def simhashSignatures(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
+  /** `portable = true` derives bit j's vote from the parity of
+    * `(A_j·rh(token) + B_j) mod 1e9+7` (rolling-hash token base,
+    * MINSTD constants — see [[minhashSignatures]]) instead of bit j
+    * of xxhash64, making the signature re-derivable in plain SQL. */
+  def simhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        portable: Boolean = false): DataFrame = {
+    val raw = df.select(col(idCol).as("id"),
       explode(split(lower(col(textCol)), "\\s+")).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val votes = (0 until 64).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"v$j"))
+    val tok =
+      if (portable) raw.select(col("id"),
+        graft.functions.TextExpressions.rollingHash(col("t")).as("h"))
+      else raw.select(col("id"), xxhash64(col("t")).as("h"))
+    def bit(j: Int): Column =
+      if (portable)
+        pmod(lit(Sampling.minstd2(2 * j + 1)) * col("h") + lit(Sampling.minstd2(2 * j + 2)),
+          lit(1000000007L)).bitwiseAND(lit(1L))
+      else shiftright(col("h"), j).bitwiseAND(lit(1L))
+    val votes = (0 until 64).map(j => sum(bit(j) * 2 - 1).as(s"v$j"))
     val sig = (0 until 64)
       .map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
@@ -153,10 +193,10 @@ object Dedup {
     * candidates come from an equi-join on (chunkIdx, chunkValue),
     * never an all-pairs scan. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPerChunk = 64 / chunks
-    val sigs = simhashSignatures(df, idCol, textCol)
+    val sigs = simhashSignatures(df, idCol, textCol, portable)
     val chunked = sigs.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(chunks - 1)),
         c => struct(c.as("ci"),

@@ -71,14 +71,23 @@ object Multimodal {
   }
 
   /** Feature extraction over the media table — Dataset + mapPartitions
-    * (the Scala analogue of mapInPandas batch processing). */
+    * (the Scala analogue of mapInPandas batch processing). The
+    * checksum is the 31-polynomial rolling hash of the payload bytes
+    * mod 1e9+7 — for ASCII payloads it coincides with
+    * [[graft.functions.RollingHash]] over the text, which is what
+    * lets the driver gate value-check the mapPartitions plumbing in
+    * DuckDB (an unreduced 64-bit product would wrap, and BIGINT
+    * overflow is an error, not a wrap, in ANSI engines). */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
       rows.map { r =>
         var crc = 0L
         var i = 0
-        while (i < r.payload.length) { crc = crc * 31 + (r.payload(i) & 0xff); i += 1 }
+        while (i < r.payload.length) {
+          crc = (crc * 31 + (r.payload(i) & 0xff)) % 1000000007L
+          i += 1
+        }
         MediaFeatures(r.media_id, r.modality, r.payload.length, crc, decodeStub(r.payload))
       }
     }

@@ -29,18 +29,35 @@ object Sampling {
   def minstdBucket(key: Column, buckets: Int): Column =
     pmod(pmod(pmod(key, lit(2147483647L)) * 48271L, lit(2147483647L)), lit(buckets))
 
+  /** Twice-iterated MINSTD of a small positive Int, evaluated at
+    * plan-build time — the driver-side constant generator behind the
+    * portable universal-hash family `h_i(x) = (A_i·x + B_i) mod P`
+    * (P = 1e9+7) used by the portable MinHash/SimHash variants. One
+    * iteration is NOT enough: 16807·n stays below the modulus for all
+    * constant indexes used here, so its low bits are just n's — the
+    * second multiplication wraps and mixes. Returns a value in
+    * [1, 2³¹−2]; with x < P the product A·x < 2³¹·P ≈ 2.3·10¹⁸ stays
+    * inside a signed 64-bit integer on any engine. */
+  def minstd2(n: Int): Long = {
+    val m = 2147483647L
+    (16807L * ((16807L * n) % m)) % m
+  }
+
   /** Keep ~`fraction` of rows, selected by key hash. */
   def hashSample(df: DataFrame, key: Column, fraction: Double, salt: Int = 0): DataFrame =
     df.filter(bucket(key, salt) < (fraction * 1000000).toLong)
 
   /** Disjoint named splits with the given weights (normalized), e.g.
     * `split(df, $"doc_id", Seq("train" -> 0.9, "eval" -> 0.1))` adds
-    * a `split` column. A row's split depends only on its key. */
+    * a `split` column. A row's split depends only on its key.
+    * `portable = true` swaps the xxhash64 bucket for the MINSTD
+    * bucket so the membership arithmetic re-derives in any SQL
+    * engine (integer keys only; the driver gate value-checks it). */
   def split(df: DataFrame, key: Column, weights: Seq[(String, Double)],
-            salt: Int = 0): DataFrame = {
+            salt: Int = 0, portable: Boolean = false): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0), "need positive weights")
     val total = weights.map(_._2).sum
-    val b = bucket(key, salt)
+    val b = if (portable) minstdBucket(key, 1000000) else bucket(key, salt)
     val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
       .map(f => (f * 1000000).toLong)
     val expr = weights.zipWithIndex.foldLeft(lit(weights.last._1)) {

@@ -61,10 +61,12 @@ object Similarity {
     * lookups instead of a bigger-bucket scan). */
   def annLsh(corpus: DataFrame, queryVec: DataFrame, k: Int,
              bits: Int = 8, idCol: String = "vec_id",
-             multiProbe: Boolean = false): DataFrame = {
-    val bucketed = corpus.withColumn("bucket", lshBucket(col("embedding"), bits))
+             multiProbe: Boolean = false, portable: Boolean = false): DataFrame = {
+    def bucketOf(vec: Column): Column =
+      graft.functions.VectorExpressions.lshBucketNative(vec, bits, 0, portable)
+    val bucketed = corpus.withColumn("bucket", bucketOf(col("embedding")))
     val base = queryVec.select(col("embedding").as("q_emb"),
-      lshBucket(col("embedding"), bits).as("q_bucket"))
+      bucketOf(col("embedding")).as("q_bucket"))
     val probes =
       if (!multiProbe) base.withColumn("q_probe", col("q_bucket"))
       else base.withColumn("q_probe", explode(array(
@@ -91,10 +93,16 @@ object Similarity {
     * ~nProbe/nCentroids of the data. */
   def annIvf(corpus: DataFrame, queryVec: DataFrame, k: Int,
              nCentroids: Int = 16, nProbe: Int = 2,
-             idCol: String = "vec_id"): DataFrame = {
+             idCol: String = "vec_id", portable: Boolean = false): DataFrame = {
+    // `portable` orders the centroid sample by the MINSTD bucket
+    // instead of xxhash64 — same deterministic one-pass seeding, but
+    // re-derivable in plain SQL for the oracle gate
+    val sampleOrder =
+      if (portable) pmod(pmod(col("cid"), lit(2147483647L)) * 48271L, lit(2147483647L))
+      else xxhash64(col("cid"))
     val centroids = broadcast(
       corpus.select(col(idCol).as("cid"), col("embedding").as("c_emb"))
-        .orderBy(xxhash64(col("cid")), col("cid")).limit(nCentroids))
+        .orderBy(sampleOrder, col("cid")).limit(nCentroids))
     // per-row nearest centroid (argmax cosine via max(struct))
     val assigned = corpus.crossJoin(centroids)
       .groupBy(col(idCol))
@@ -150,15 +158,42 @@ object Similarity {
   }
 
   /** Near-duplicate pairs via shared LSH bucket (equi-join candidate
-    * generation), then exact cosine verification. */
+    * generation), then exact cosine verification — the scale path
+    * [[cosinePairs]]'s quadratic self-join cannot take.
+    *
+    * `tables` independent `bits`-bit hash tables (plane offsets 0,
+    * bits, 2·bits, …) amplify recall the standard way: a pair with
+    * per-bit collision probability p = 1 − θ/π is a candidate with
+    * probability 1 − (1 − p^bits)^tables. Candidate generation is a
+    * self-join of the NARROW (id, table, bucket) signature frame —
+    * the embeddings themselves are not exploded per table; they are
+    * re-joined only for the deduplicated candidate pairs, so the
+    * wide rows flow once, the way a 100 TB corpus must.
+    *
+    * `portable = true` uses the MINSTD-parity hyperplanes
+    * ([[graft.functions.HyperplaneLshBucket]]) so a SQL oracle can
+    * re-derive the exact same buckets; the default XXH64 planes are
+    * otherwise equivalent. */
   def lshPairs(corpus: DataFrame, threshold: Double, bits: Int = 8,
+               tables: Int = 1, portable: Boolean = false,
                idCol: String = "vec_id"): DataFrame = {
-    val bucketed = corpus.select(col(idCol).as("id"), col("embedding"),
-      lshBucket(col("embedding"), bits).as("bucket"))
-    val a = bucketed.as("a"); val b = bucketed.as("b")
-    val cos = fastCos(col("a.embedding"), col("b.embedding"))
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    val sigs = corpus.select(col(idCol).as("id"),
+      explode(array((0 until tables).map(l =>
+        struct(lit(l).as("tbl"),
+          graft.functions.VectorExpressions
+            .lshBucketNative(col("embedding"), bits, l * bits, portable)
+            .as("bucket"))): _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = sigs.as("a").join(sigs.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("d1"), col("b.id").as("d2"))
+      .dropDuplicates("d1", "d2")
+    val ea = corpus.select(col(idCol).as("ia"), col("embedding").as("e1"))
+    val eb = corpus.select(col(idCol).as("ib"), col("embedding").as("e2"))
+    val cos = fastCos(col("e1"), col("e2"))
+    cand.join(ea, col("d1") === col("ia")).join(eb, col("d2") === col("ib"))
       .filter(cos >= threshold)
-      .select(col("a.id").as("d1"), col("b.id").as("d2"), round(cos, 4).as("cosine"))
+      .select(col("d1"), col("d2"), round(cos, 4).as("cosine"))
   }
 }

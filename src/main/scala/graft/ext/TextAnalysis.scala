@@ -81,6 +81,15 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     array_min(transform(wordShingles(text, 5), s => xxhash64(s)))
 
+  /** SQL-portable shingle fingerprint: min over 5-token shingles of
+    * the 31-polynomial rolling hash mod 1e9+7 — the same MinHash-style
+    * sketch as [[fingerprint]] but re-derivable in plain SQL, so the
+    * driver gate value-checks it (NULL for docs under 5 tokens, like
+    * the xxhash form). */
+  def fingerprintPortable(text: Column): Column =
+    array_min(transform(wordShingles(text, 5),
+      s => graft.functions.TextExpressions.rollingHash(s)))
+
   /** Whole-document polynomial rolling hash mod 1e9+7
     * ([[graft.functions.RollingHash]]): order-sensitive fingerprint,
     * portably re-derivable in plain SQL — the oracle-checkable

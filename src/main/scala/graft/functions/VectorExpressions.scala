@@ -90,8 +90,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * (plane, dim) pair; here the whole signature is one tight loop of
   * two `XXH64.hashInt` calls and a multiply-add per pair. A null
   * vector yields null; a null element makes every projection null,
-  * which the fold maps to bucket 0 — reproduced exactly. */
-case class HyperplaneLshBucket(child: Expression, bits: Int)
+  * which the fold maps to bucket 0 — reproduced exactly.
+  *
+  * `planeOffset` shifts the plane index (plane j of this bucket is
+  * global plane `planeOffset + j`), so L independent hash tables are
+  * just L instances with offsets 0, bits, 2·bits, … — the standard
+  * multi-table LSH construction for recall amplification.
+  *
+  * `portable = true` swaps XXH64 for a twice-iterated MINSTD parity
+  * (`x₁ = 16807·(idx+1) mod 2³¹−1; x₂ = 16807·x₁ mod 2³¹−1;
+  * sign = ±1 by x₂ parity`, where `idx = planeIdx·dim + k`) — exact
+  * integer arithmetic any engine reproduces in plain SQL, which is
+  * what lets the scale-path LSH pair query be value-checked against
+  * a DuckDB oracle (xxhash64 has no DuckDB twin). One MINSTD step is
+  * NOT enough: 16807·(idx+1) stays below the modulus for all
+  * realistic idx, so its parity is just idx's parity and every
+  * hyperplane would alternate signs identically; the second
+  * multiplication wraps and mixes. */
+case class HyperplaneLshBucket(child: Expression, bits: Int,
+                               planeOffset: Int = 0, portable: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
@@ -110,12 +127,23 @@ case class HyperplaneLshBucket(child: Expression, bits: Int)
     while (j < bits) {
       var proj = 0.0
       var i = 0
-      val planeSeed = XXH64.hashInt(j, 42L) // per-plane, not per-dimension
-      while (i < dim) {
-        val h = XXH64.hashInt(i, planeSeed)
-        val sign = (h & 1L) * 2L - 1L
-        proj += vec.getFloat(i).toDouble * sign.toDouble
-        i += 1
+      if (portable) {
+        val base = (planeOffset + j).toLong * dim
+        while (i < dim) {
+          val x1 = (16807L * (base + i + 1)) % 2147483647L
+          val x2 = (16807L * x1) % 2147483647L
+          val sign = if ((x2 & 1L) == 1L) 1.0 else -1.0
+          proj += vec.getFloat(i).toDouble * sign
+          i += 1
+        }
+      } else {
+        val planeSeed = XXH64.hashInt(planeOffset + j, 42L) // per-plane, not per-dimension
+        while (i < dim) {
+          val h = XXH64.hashInt(i, planeSeed)
+          val sign = (h & 1L) * 2L - 1L
+          proj += vec.getFloat(i).toDouble * sign.toDouble
+          i += 1
+        }
       }
       if (proj > 0) acc += 1L << j
       j += 1
@@ -133,8 +161,9 @@ object VectorExpressions {
     column(CosineSimilarity(expression(a), expression(b)))
 
   /** Column API for [[HyperplaneLshBucket]] (input: array<float>). */
-  def lshBucketNative(vec: Column, bits: Int): Column =
-    column(HyperplaneLshBucket(expression(vec), bits))
+  def lshBucketNative(vec: Column, bits: Int, planeOffset: Int = 0,
+                      portable: Boolean = false): Column =
+    column(HyperplaneLshBucket(expression(vec), bits, planeOffset, portable))
 
   /** Make the expressions available to `spark.sql` as
     * `cosine_native(a, b)` and `lsh_bucket(vec, bits)`. */

@@ -96,6 +96,29 @@ object EventQueries {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
 
+    // Click attribution: each purchase joined to the same user's
+    // clicks within the preceding hour — the BATCH run of the very
+    // same interval-join builder the streaming path uses
+    // (EventStreams.clickAttribution; withWatermark is a no-op on
+    // batch frames), so this DuckDB hash check covers the
+    // attribution semantics in both modes. StreamingSpec separately
+    // asserts the incremental run emits identical rows.
+    QueryDef("q_ev_attribution",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        graft.streaming.EventStreams.clickAttribution(
+          clicks = ev.filter(col("event_type") === "click"),
+          purchases = ev.filter(col("event_type") === "purchase"))
+          .orderBy("purchase_id", "click_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS p_ts,
+             |  c.event_id AS click_id, c.ts AS c_ts, p.value AS value
+             |FROM events p JOIN events c
+             |  ON c.user_id = p.user_id AND c.event_type = 'click'
+             | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+             |WHERE p.event_type = 'purchase'
+             |ORDER BY purchase_id, click_id""".stripMargin), bench = true),
+
     // Funnel: signup → first subsequent purchase, conversion rate and
     // mean days-to-convert (conditional temporal join + null-skipping
     // aggregates)

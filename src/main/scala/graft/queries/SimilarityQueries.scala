@@ -50,6 +50,47 @@ object SimilarityQueries {
              |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.8
              |ORDER BY d1, d2""".stripMargin)),
 
+    // Near-dup pairs via the SCALE PATH: multi-table LSH-bucketed
+    // candidates (equi-join on (table, bucket)) + exact cosine
+    // verification. Portable MINSTD hyperplanes let DuckDB re-derive
+    // the buckets bit-for-bit, so this hash-checks the bucketed
+    // algorithm a 100 TB corpus would actually run — not just the
+    // brute-force baseline (q_sim_cos_pairs). Threshold 0.4 because
+    // the synthetic embeddings top out at cosine ~0.5: a 0.8 gate
+    // would verify the empty set.
+    QueryDef("q_sim_lsh_pairs",
+      (s, d) => Similarity.lshPairs(t(s, d, "embeddings"), threshold = 0.4,
+        bits = 8, tables = 8, portable = true)
+        .orderBy("d1", "d2"),
+      Some("""WITH elems AS (
+             |  SELECT vec_id, k, CAST(embedding[k+1] AS DOUBLE) AS v
+             |  FROM embeddings, range(0, 64) t(k)),
+             |signs AS (
+             |  SELECT l, j, k,
+             |    CASE WHEN ((16807 * ((16807 * ((l * 8 + j) * 64 + k + 1)) % 2147483647)) % 2147483647) % 2 = 1
+             |         THEN 1.0 ELSE -1.0 END AS s
+             |  FROM range(0, 8) tl(l), range(0, 8) tj(j), range(0, 64) tk(k)),
+             |projs AS (
+             |  SELECT vec_id, l, j, sum(v * s) AS proj
+             |  FROM elems JOIN signs USING (k) GROUP BY vec_id, l, j),
+             |buckets AS (
+             |  SELECT vec_id, l, sum(CASE WHEN proj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+             |  FROM projs GROUP BY vec_id, l),
+             |cand AS (
+             |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+             |  FROM buckets a JOIN buckets b
+             |    ON a.l = b.l AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+             |verified AS (
+             |  SELECT d1, d2,
+             |    list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+             |    / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+             |     * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))) AS c
+             |  FROM cand JOIN embeddings ea ON ea.vec_id = d1
+             |            JOIN embeddings eb ON eb.vec_id = d2)
+             |SELECT d1, d2, round(c, 4) AS cosine FROM verified
+             |WHERE c >= 0.4 ORDER BY d1, d2""".stripMargin),
+      bench = true),
+
     // LSH-bucketed ANN (the 100 TB scale path; recall vs brute force
     // is asserted in SimilaritySpec) — rows-only gate
     QueryDef("q_sim_ann_lsh",

@@ -70,6 +70,43 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(lsh.subsetOf(brute))
   }
 
+  test("multi-table portable lshPairs ⊆ cosinePairs with identical verified cosines") {
+    val brute = Similarity.cosinePairs(emb, threshold = 0.35).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshPairs(emb, threshold = 0.35, bits = 8, tables = 8,
+      portable = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(lsh.nonEmpty, "8 tables x 8 bits over 500 vectors must surface some pairs")
+    lsh.foreach { case (pair, cos) =>
+      assert(brute.contains(pair), s"LSH invented pair $pair")
+      assert(math.abs(brute(pair) - cos) < 1e-9, s"cosine mismatch on $pair")
+    }
+  }
+
+  test("lshPairs recall ≥ 0.95 on a planted near-dup corpus (the operating regime)") {
+    // Random low-threshold pairs are LSH's worst case; REAL near-dup
+    // corpora have cosine ≥ 0.9 pairs, where 8x8-bit tables recover
+    // essentially everything: p = 1 - acos(0.9)/pi = 0.856,
+    // 1 - (1 - p^8)^8 = 0.965. Build such a corpus: 60 base vectors,
+    // each with a planted near-dup (tiny deterministic perturbation).
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 60).map(i => i.toLong -> Array.fill(64)(rnd.nextGaussian().toFloat))
+    val dups = base.map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.08f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base ++ dups).toDF("vec_id", "embedding")
+    val truePairs = Similarity.cosinePairs(corpus, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truePairs.size >= 50, s"corpus should contain >= 50 planted pairs, got ${truePairs.size}")
+    val found = Similarity.lshPairs(corpus, threshold = 0.9, bits = 8, tables = 8,
+      portable = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.subsetOf(truePairs))
+    val recall = found.size.toDouble / truePairs.size
+    assert(recall >= 0.95, s"recall $recall below 0.95 (${found.size}/${truePairs.size})")
+  }
+
   test("int8 quantization round-trips within half a quantization step") {
     val rows = emb.limit(100)
       .withColumn("scale", Similarity.int8Scale(col("embedding")))

@@ -46,6 +46,30 @@ class StreamingFileSpec extends AnyFunSuite with SharedSpark {
       s"every closed streaming session must appear in the batch result; diff=${unmatched.take(3)}")
   }
 
+  test("streaming clickAttribution agrees with the batch interval join on real events") {
+    val stream = EventStreams.streamFromParquet(spark, sf0001)
+    val q = EventStreams.clickAttribution(
+      clicks = stream.filter(col("event_type") === "click"),
+      purchases = stream.filter(col("event_type") === "purchase"),
+      watermarkDelay = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("file_attrib")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val streamed = spark.table("file_attrib").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet // (purchase_id, click_id)
+    // batch twin is the SAME builder run on batch frames (the gate
+    // query q_ev_attribution, DuckDB-hash-checked)
+    val batch = SparkEntry.queries("q_ev_attribution")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(streamed.nonEmpty, "attribution stream must emit pairs on real events")
+    // append mode may hold back pairs near the final watermark; every
+    // emitted pair must be a batch pair, and nearly all must be emitted
+    assert(streamed.subsetOf(batch),
+      s"streaming must not invent pairs; diff=${streamed.diff(batch).take(3)}")
+    assert(streamed.size >= (batch.size * 9) / 10,
+      s"only tail pairs may be unemitted: ${streamed.size}/${batch.size}")
+  }
+
   test("streaming dedup within watermark drops duplicate keys, keeps state bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
