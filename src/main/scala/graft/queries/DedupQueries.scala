@@ -6,11 +6,15 @@ import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Deduplication gate queries over the `documents` table.
-  * Exact dedup and n-gram Jaccard have full DuckDB oracles; the
-  * hash-based methods (MinHash-LSH, SimHash) have no portable SQL
-  * analogue of xxhash64, so they are rows-only here and get exact
-  * golden tests in DedupSpec (engineered near-duplicate corpora).
+/** Deduplication gate queries over the `documents` table — every one
+  * carries a full DuckDB oracle. The sketch methods (MinHash-LSH,
+  * SimHash) run their `portable = true` variants here: the universal
+  * hash family `(A_i·rh + B_i) mod 1e9+7` over 31-polynomial rolling
+  * hashes with MINSTD-derived constants re-derives bit-for-bit in
+  * plain SQL, so the gate value-checks the full shingle → signature →
+  * band/chunk → bucket-join → verify pipeline, not just row counts.
+  * The xxhash64 default variants get exact golden tests in DedupSpec
+  * (engineered near-duplicate corpora) instead.
   */
 object DedupQueries {
 
@@ -52,16 +56,102 @@ object DedupQueries {
              |WHERE n_inter / (s1.n_sh + s2.n_sh - n_inter) >= 0.6
              |ORDER BY d1, d2""".stripMargin), bench = true),
 
-    // MinHash + LSH banding (shingle → signature → band → bucket join)
+    // MinHash + LSH banding (shingle → signature → band → bucket
+    // join), portable-hash variant: the oracle re-derives the 32
+    // min-hashes (universal family over rolling-hash shingles), the
+    // 31-poly band fold, the (band, hash) bucket self-join and the
+    // signature-agreement verify — a full value check of the LSH
+    // pipeline. Constants A_i/B_i are minstd2(2i+1)/minstd2(2i+2),
+    // inlined as the same two-step MINSTD formula.
     QueryDef("q_dd_minhash_lsh",
-      (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text")
-        .orderBy("d1", "d2"),
-      None, bench = true),
+      (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        portable = true).orderBy("d1", "d2"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, s FROM (
+             |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+             |                          i -> array_to_string(t[i:i+4], ' '))) AS s
+             |    FROM toks)),
+             |rh AS (
+             |  SELECT doc_id, list_reduce(
+             |    list_prepend(0::BIGINT, list_transform(range(1, length(s) + 1),
+             |                            i -> unicode(substr(s, i, 1))::BIGINT)),
+             |    (h, c) -> (h * 31 + c) % 1000000007) AS rh
+             |  FROM sh),
+             |consts AS (
+             |  SELECT i,
+             |    (16807 * ((16807 * (2*i + 1)) % 2147483647)) % 2147483647 AS a,
+             |    (16807 * ((16807 * (2*i + 2)) % 2147483647)) % 2147483647 AS b
+             |  FROM range(0, 32) t(i)),
+             |sig AS (
+             |  SELECT doc_id, list(h ORDER BY i) AS sig FROM (
+             |    SELECT doc_id, i, min((a * rh + b) % 1000000007) AS h
+             |    FROM rh CROSS JOIN consts GROUP BY doc_id, i)
+             |  GROUP BY doc_id),
+             |banded AS (
+             |  SELECT doc_id, b,
+             |    list_reduce(list_prepend(0::BIGINT, sig[(4*b+1):(4*b+4)]),
+             |                (h, v) -> (h * 31 + v) % 1000000007) AS bh
+             |  FROM sig, range(0, 8) tb(b)),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+             |  FROM banded x JOIN banded y
+             |    ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+             |est AS (
+             |  SELECT d1, d2,
+             |    round(len(list_filter(range(1, 33), i -> s1.sig[i] = s2.sig[i]))::DOUBLE / 32,
+             |          4) AS est_jaccard
+             |  FROM cand JOIN sig s1 ON s1.doc_id = d1 JOIN sig s2 ON s2.doc_id = d2)
+             |SELECT d1, d2, est_jaccard FROM est
+             |WHERE est_jaccard >= 0.7 ORDER BY d1, d2""".stripMargin),
+      bench = true),
 
-    // SimHash with pigeonhole-chunk candidate generation
+    // SimHash with pigeonhole-chunk candidate generation, portable
+    // variant: bit j of the signature is the majority vote over
+    // tokens of parity((A_j·rh(token) + B_j) mod 1e9+7). The oracle
+    // rebuilds the per-doc bit vector, the 4×16-bit pigeonhole chunks
+    // (the equi-join candidate keys) and the Hamming verify — never
+    // materializing a signed 64-bit signature, which is the same
+    // value the Spark side's shiftright+mask chunking extracts.
     QueryDef("q_dd_simhash",
-      (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text")
+      (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+        portable = true)
+        .select(col("d1"), col("d2"), col("hamming").cast("long").as("hamming"))
         .orderBy("d1", "d2"),
-      None),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tk
+             |  FROM documents),
+             |rh AS (
+             |  SELECT doc_id, list_reduce(
+             |    list_prepend(0::BIGINT, list_transform(range(1, length(tk) + 1),
+             |                            i -> unicode(substr(tk, i, 1))::BIGINT)),
+             |    (h, c) -> (h * 31 + c) % 1000000007) AS h
+             |  FROM tok),
+             |consts AS (
+             |  SELECT j,
+             |    (16807 * ((16807 * (2*j + 1)) % 2147483647)) % 2147483647 AS a,
+             |    (16807 * ((16807 * (2*j + 2)) % 2147483647)) % 2147483647 AS b
+             |  FROM range(0, 64) t(j)),
+             |bits AS (
+             |  SELECT doc_id, j,
+             |    CASE WHEN sum(CASE WHEN ((a * h + b) % 1000000007) % 2 = 1
+             |                       THEN 1 ELSE -1 END) > 0
+             |         THEN 1 ELSE 0 END AS bit
+             |  FROM rh CROSS JOIN consts GROUP BY doc_id, j),
+             |chunks AS (
+             |  SELECT doc_id, j // 16 AS ci, sum(bit::BIGINT << (j % 16)) AS cv
+             |  FROM bits GROUP BY doc_id, ci),
+             |cand AS (
+             |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+             |  FROM chunks x JOIN chunks y
+             |    ON x.ci = y.ci AND x.cv = y.cv AND x.doc_id < y.doc_id),
+             |ham AS (
+             |  SELECT d1, d2,
+             |    CAST(sum(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+             |  FROM cand JOIN bits p ON p.doc_id = d1
+             |            JOIN bits q ON q.doc_id = d2 AND q.j = p.j
+             |  GROUP BY d1, d2)
+             |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin)),
   )
 }

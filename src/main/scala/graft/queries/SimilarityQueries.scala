@@ -179,14 +179,27 @@ object SimilarityQueries {
              |ORDER BY media_id""".stripMargin)),
 
     // Multimodal feature extraction through mapPartitions (stub
-    // decode, deterministic checksum/features) — rows-only gate
+    // decode, deterministic checksum). The checksum is the 31-poly
+    // rolling hash of the payload BYTES mod 1e9+7; the corpus is
+    // ASCII so it coincides with the code-point rolling hash the
+    // oracle computes — a full value check of the mapPartitions
+    // plumbing (row→case-class→iterator→row round trip included).
     QueryDef("q_mm_features",
       (s, d) => Multimodal.extractFeatures(s,
         Multimodal.mediaFromDocuments(t(s, d, "documents")))
         .toDF()
-        .select(col("media_id"), col("modality"), col("n_bytes"), col("checksum"))
+        .select(col("media_id"), col("modality"),
+          col("n_bytes").cast("long").as("n_bytes"), col("checksum"))
         .orderBy("media_id"),
-      None),
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |       WHEN doc_id % 3 = 1 THEN 'audio'
+             |       ELSE 'video' END AS modality,
+             |  octet_length(encode(text)) AS n_bytes,
+             |  list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text) + 1),
+             |                           i -> unicode(substr(text, i, 1))::BIGINT)),
+             |              (h, c) -> (h * 31 + c) % 1000000007) AS checksum
+             |FROM documents ORDER BY media_id""".stripMargin)),
 
     // Multimodal: binary payload + metadata plumbing (decode stubbed)
     QueryDef("q_mm_meta",

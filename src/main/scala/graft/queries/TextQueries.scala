@@ -232,25 +232,48 @@ object TextQueries {
              |  CAST(sum(length(text)) AS BIGINT) AS n_chars
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // Deterministic train/eval split + per-split stats (hash-based
-    // membership: stable across partitionings; no SQL oracle — xxhash)
+    // Deterministic train/eval split + per-split stats, through the
+    // full Sampling.split weights→cuts→CASE machinery in portable
+    // (MINSTD-bucket) mode — the oracle re-derives the membership
+    // arithmetic, so the cut-point bookkeeping is value-checked (the
+    // xxhash64 default path shares everything but the bucket hash).
     QueryDef("q_sample_split",
       (s, d) => graft.ext.Sampling.split(
-        t(s, d, "documents"), col("doc_id"), Seq("train" -> 0.9, "eval" -> 0.1))
+        t(s, d, "documents"), col("doc_id"), Seq("train" -> 0.9, "eval" -> 0.1),
+        portable = true)
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
         .orderBy("split"),
-      None),
+      Some("""SELECT
+             |  CASE WHEN ((doc_id % 2147483647) * 48271) % 2147483647 % 1000000 < 900000
+             |       THEN 'train' ELSE 'eval' END AS split,
+             |  count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // Document fingerprinting (rolling min-hash over shingles) — no
-    // portable SQL analogue of xxhash64, so rows-only gate; exactness
-    // is covered by FingerprintSpec instead.
+    // Document fingerprinting (min-hash over 5-token shingles),
+    // portable variant: min over the shingles' 31-polynomial rolling
+    // hashes mod 1e9+7 — the oracle recomputes every shingle hash, so
+    // the sketch itself is value-checked. The xxhash64 form
+    // (TextAnalysis.fingerprint) is exactness-covered by
+    // FingerprintSpec.
     QueryDef("q_tx_fingerprint",
       (s, d) => t(s, d, "documents").select(
         col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        TextAnalysis.fingerprintPortable(col("text")).as("fingerprint"))
         .orderBy("doc_id"),
-      None),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+             |sh AS (
+             |  SELECT doc_id, list_transform(range(1, greatest(len(t) - 3, 1)),
+             |                 i -> array_to_string(t[i:i+4], ' ')) AS shingles
+             |  FROM toks)
+             |SELECT doc_id,
+             |  list_min(list_transform(shingles, s ->
+             |    list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(s) + 1),
+             |                             i -> unicode(substr(s, i, 1))::BIGINT)),
+             |                (h, c) -> (h * 31 + c) % 1000000007))) AS fingerprint
+             |FROM sh ORDER BY doc_id""".stripMargin)),
   )
 
   /** DuckDB scalar expression mirroring [[TextAnalysis.langId]]: same
