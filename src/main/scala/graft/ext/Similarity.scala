@@ -84,31 +84,57 @@ object Similarity {
   /** IVF (inverted-file) ANN: partition the corpus into `nCentroids`
     * clusters, search only the `nProbe` clusters nearest the query.
     *
-    * Centroids are a deterministic hash-ordered sample of the corpus
-    * (no iterative k-means — reproducible and one-pass; refining with
-    * Lloyd iterations is a drop-in improvement). Assignment is a
-    * broadcast of the centroid set + per-row argmax — the standard
-    * one-pass IVF build; at scale the assignment is computed once and
-    * persisted alongside the embeddings, making queries touch only
+    * Centroids seed from a deterministic hash-ordered sample of the
+    * corpus (reproducible, one-pass), then `lloydIters` k-means
+    * iterations refine them: assign every vector to its nearest
+    * centroid (broadcast + per-row argmax), recompute each centroid
+    * as the elementwise mean of its members (posexplode +
+    * (cluster, pos) aggregation — never a per-group array
+    * materialization), repeat. Each iteration is one corpus scan plus
+    * one narrow shuffle of (cluster, pos, mean) rows, so 1–2
+    * iterations cost a small constant factor and fix the hash-seed
+    * pathology where clumped seeds leave true clusters smeared across
+    * arbitrary cells (see SimilaritySpec's engineered corpus: probe
+    * recall fails without refinement). Assignment is a broadcast of
+    * the centroid set + per-row argmax — the standard IVF build; at
+    * scale the final assignment is computed once and persisted
+    * alongside the embeddings, making queries touch only
     * ~nProbe/nCentroids of the data. */
   def annIvf(corpus: DataFrame, queryVec: DataFrame, k: Int,
              nCentroids: Int = 16, nProbe: Int = 2,
-             idCol: String = "vec_id", portable: Boolean = false): DataFrame = {
+             idCol: String = "vec_id", portable: Boolean = false,
+             lloydIters: Int = 0): DataFrame = {
     // `portable` orders the centroid sample by the MINSTD bucket
     // instead of xxhash64 — same deterministic one-pass seeding, but
     // re-derivable in plain SQL for the oracle gate
     val sampleOrder =
       if (portable) pmod(pmod(col("cid"), lit(2147483647L)) * 48271L, lit(2147483647L))
       else xxhash64(col("cid"))
-    val centroids = broadcast(
+    // per-row nearest centroid (argmax cosine via max(struct))
+    def assign(cents: DataFrame): DataFrame =
+      corpus.crossJoin(cents)
+        .groupBy(col(idCol))
+        .agg(max(struct(fastCos(col("embedding"), col("c_emb")).as("sim"),
+          col("cid"))).as("best"))
+        .select(col(idCol).as("a_id"), col("best.cid").as("cluster"))
+    var centroids = broadcast(
       corpus.select(col(idCol).as("cid"), col("embedding").as("c_emb"))
         .orderBy(sampleOrder, col("cid")).limit(nCentroids))
-    // per-row nearest centroid (argmax cosine via max(struct))
-    val assigned = corpus.crossJoin(centroids)
-      .groupBy(col(idCol))
-      .agg(max(struct(fastCos(col("embedding"), col("c_emb")).as("sim"),
-        col("cid"))).as("best"))
-      .select(col(idCol).as("a_id"), col("best.cid").as("cluster"))
+    for (_ <- 1 to lloydIters) {
+      // Lloyd step: elementwise member mean per cell. Cells that
+      // capture no members drop out (the standard empty-cluster
+      // handling); means cast back to float so the fused cosine
+      // kernel applies unchanged.
+      val refined = corpus.join(assign(centroids), col(idCol) === col("a_id"))
+        .select(col("cluster").as("cid"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(avg(col("v").cast("double")).as("mv"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          s => s.getField("mv").cast("float")).as("c_emb"))
+      centroids = broadcast(refined)
+    }
+    val assigned = assign(centroids)
     val clustered = corpus.join(assigned, col(idCol) === col("a_id")).drop("a_id")
     // the query's nProbe nearest clusters
     val probed = broadcast(

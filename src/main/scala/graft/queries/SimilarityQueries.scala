@@ -92,21 +92,95 @@ object SimilarityQueries {
       bench = true),
 
     // LSH-bucketed ANN (the 100 TB scale path; recall vs brute force
-    // is asserted in SimilaritySpec) — rows-only gate
+    // is asserted in SimilaritySpec). Portable MINSTD hyperplanes let
+    // the oracle re-derive the 4-bit buckets, the query's bucket
+    // lookup, and the cosine-ranked top-10 — full value check of the
+    // bucketed ANN pipeline (cosine is an index-order double fold on
+    // both engines, same as q_sim_topk).
     QueryDef("q_sim_ann_lsh",
       (s, d) => {
         val emb = t(s, d, "embeddings")
         Similarity.annLsh(emb.filter(col("vec_id") =!= 0),
-          emb.filter(col("vec_id") === 0), k = 10, bits = 4)
+          emb.filter(col("vec_id") === 0), k = 10, bits = 4, portable = true)
       },
-      None, bench = true),
+      Some("""WITH elems AS (
+             |  SELECT vec_id, k, CAST(embedding[k+1] AS DOUBLE) AS v
+             |  FROM embeddings, range(0, 64) t(k)),
+             |signs AS (
+             |  SELECT j, k,
+             |    CASE WHEN ((16807 * ((16807 * (j * 64 + k + 1)) % 2147483647)) % 2147483647) % 2 = 1
+             |         THEN 1.0 ELSE -1.0 END AS s
+             |  FROM range(0, 4) tj(j), range(0, 64) tk(k)),
+             |buckets AS (
+             |  SELECT vec_id, sum(CASE WHEN proj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+             |  FROM (SELECT vec_id, j, sum(v * s) AS proj
+             |        FROM elems JOIN signs USING (k) GROUP BY vec_id, j)
+             |  GROUP BY vec_id),
+             |q AS (SELECT b.bucket AS qb, e.embedding AS q_emb
+             |      FROM buckets b JOIN embeddings e USING (vec_id) WHERE b.vec_id = 0),
+             |scored AS (
+             |  SELECT c.vec_id,
+             |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[]))
+             |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+             |         * sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))) AS cos_raw
+             |  FROM buckets c JOIN embeddings e ON e.vec_id = c.vec_id CROSS JOIN q
+             |  WHERE c.vec_id <> 0 AND c.bucket = q.qb)
+             |SELECT vec_id, round(cos_raw, 6) AS cosine
+             |FROM scored ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin),
+      bench = true),
 
-    // IVF ANN (deterministic one-pass build; probes 2 of 16 clusters)
+    // Multi-probe ANN: also probe every bucket at Hamming distance 1
+    // from the query's — the recall story at scale (SimilaritySpec
+    // asserts the aggregate recall delta vs single-probe). The oracle
+    // re-derives the 8-bit buckets AND the 9-bucket probe set
+    // (q_bucket plus each 1-bit flip).
+    QueryDef("q_sim_ann_lsh_mp",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.annLsh(emb.filter(col("vec_id") =!= 3),
+          emb.filter(col("vec_id") === 3), k = 10, bits = 8,
+          multiProbe = true, portable = true)
+      },
+      Some("""WITH elems AS (
+             |  SELECT vec_id, k, CAST(embedding[k+1] AS DOUBLE) AS v
+             |  FROM embeddings, range(0, 64) t(k)),
+             |signs AS (
+             |  SELECT j, k,
+             |    CASE WHEN ((16807 * ((16807 * (j * 64 + k + 1)) % 2147483647)) % 2147483647) % 2 = 1
+             |         THEN 1.0 ELSE -1.0 END AS s
+             |  FROM range(0, 8) tj(j), range(0, 64) tk(k)),
+             |buckets AS (
+             |  SELECT vec_id, sum(CASE WHEN proj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+             |  FROM (SELECT vec_id, j, sum(v * s) AS proj
+             |        FROM elems JOIN signs USING (k) GROUP BY vec_id, j)
+             |  GROUP BY vec_id),
+             |q AS (SELECT b.bucket AS qb, e.embedding AS q_emb
+             |      FROM buckets b JOIN embeddings e USING (vec_id) WHERE b.vec_id = 3),
+             |probes AS (
+             |  SELECT qb AS probe FROM q
+             |  UNION SELECT xor(qb, 1::BIGINT << j) FROM q, range(0, 8) tj(j)),
+             |scored AS (
+             |  SELECT c.vec_id,
+             |    list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[]))
+             |      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+             |         * sqrt(list_dot_product(CAST(q.q_emb AS DOUBLE[]), CAST(q.q_emb AS DOUBLE[])))) AS cos_raw
+             |  FROM buckets c JOIN embeddings e ON e.vec_id = c.vec_id CROSS JOIN q
+             |  WHERE c.vec_id <> 3 AND c.bucket IN (SELECT probe FROM probes))
+             |SELECT vec_id, round(cos_raw, 6) AS cosine
+             |FROM scored ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // IVF ANN (deterministic hash seed + 2 Lloyd refinement
+    // iterations; probes 2 of 16 clusters). Rows-only gate, and
+    // deliberately so: the refined centroids are avg() of float
+    // vectors, whose double accumulation order depends on Spark's
+    // partial aggregation — a ulp difference vs an oracle's sum can
+    // flip an argmax assignment, so there is no portable value twin.
+    // IvfLloydSpec covers refinement correctness instead.
     QueryDef("q_sim_ann_ivf",
       (s, d) => {
         val emb = t(s, d, "embeddings")
         Similarity.annIvf(emb.filter(col("vec_id") =!= 0),
-          emb.filter(col("vec_id") === 0), k = 10)
+          emb.filter(col("vec_id") === 0), k = 10, lloydIters = 2)
       },
       None, bench = true),
 

