@@ -20,6 +20,26 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // Thermal/ambient isolation: the driver invokes Bench minutes
+    // after an 80+-query correctness sweep, and captures taken in
+    // that heat shadow have read 2-7x quiet-box medians two rounds
+    // running (r2/r3 verdicts). Gate on the 1-minute load average
+    // decaying below half the hardware cores (immediate on a quiet
+    // box), capped at 3 minutes so a genuinely busy host can't stall
+    // the capture forever. SPARK_GRAFT_BENCH_NO_COOLDOWN=1 skips.
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_NO_COOLDOWN")) {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      val target = Runtime.getRuntime.availableProcessors() * 0.5
+      val deadline = System.nanoTime() + 180L * 1000000000L
+      var load = os.getSystemLoadAverage
+      while (load > target && System.nanoTime() < deadline) {
+        System.err.println(f"[bench] cool-down: 1-min load $load%.1f > target $target%.1f, waiting")
+        Thread.sleep(10000)
+        load = os.getSystemLoadAverage
+      }
+      System.err.println(f"[bench] starting at 1-min load $load%.1f (target $target%.1f)")
+    }
     val spark = GraftSession.tuned(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-bench"),
       shufflePartitions = cpus.toInt).getOrCreate()

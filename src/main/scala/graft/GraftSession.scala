@@ -29,6 +29,17 @@ object GraftSession {
       // events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
       // default; read as long and convert in Tables (ns → µs)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // keep `Window.partitionBy(lit(0))` as a real (constant)
+      // partition key: it is this library's explicit idiom for
+      // "single-partition window over a frame bounded by
+      // construction" (post-agg prefix sums, lag over daily totals).
+      // EliminateWindowPartitions would fold it back to an empty
+      // partitionSpec, whose only effects here are WindowExec's
+      // move-everything warning on known-bounded frames — burying
+      // real unpartitioned-window mistakes — and saving one constant
+      // hash column. Execution is a single task either way.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.EliminateWindowPartitions")
       .config("spark.ui.enabled", "false")
 
   /** Local session: one JVM, `cores` executor threads. */

@@ -102,7 +102,12 @@ object RelationalOps {
       .rowsBetween(Window.unboundedPreceding, 0)
     val inner = df.withColumn("__bucket", bucket)
       .withColumn("__cum_in", sum(value).over(wIn))
-    val wPrefix = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    // partitionBy(lit(0)): same single-task execution over the TINY
+    // bucket-totals frame (one row per bucket, bounded by
+    // construction), but a non-empty partitionSpec — so WindowExec's
+    // move-everything warning stays meaningful elsewhere
+    val wPrefix = Window.partitionBy(lit(0)).orderBy("__bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = df.groupBy(bucket.as("__bucket")).agg(sum(value).as("__btot"))
       .withColumn("__off", coalesce(sum(col("__btot")).over(wPrefix), lit(0.0)))
       .select(col("__bucket"), col("__off"))

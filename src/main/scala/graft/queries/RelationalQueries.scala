@@ -361,16 +361,18 @@ object RelationalQueries {
     // Windows: running sum + lag over daily totals. The cumsum uses
     // the scalable two-phase form (per-month partitions + prefix
     // offsets) and must still match the oracle's single global window.
-    // The lag's unpartitioned window is deliberate and safe: it runs
-    // AFTER the groupBy collapses the input to one row per date, so
-    // the single-task frame is |dates| (~10k rows for 30 years of
-    // data) no matter how large the fact table is
+    // The lag's single-partition window is deliberate and safe: it
+    // runs AFTER the groupBy collapses the input to one row per date,
+    // so the single-task frame is |dates| (~10k rows for 30 years of
+    // data) no matter how large the fact table is — partitionBy a
+    // constant so the bounded-by-construction case doesn't trip
+    // WindowExec's move-everything warning
     QueryDef("q_window_running",
       (s, d) => {
         val daily = t(s, d, "orders")
           .groupBy(col("o_orderdate").cast("date").as("order_date"))
           .agg(round(sum("o_totalprice"), 2).as("daily_total"))
-        val w = Window.orderBy("order_date")
+        val w = Window.partitionBy(lit(0)).orderBy("order_date")
         val withRunning = RelationalOps.runningTotal(daily,
           bucket = date_trunc("month", col("order_date")),
           order = Seq(col("order_date")),
