@@ -315,7 +315,10 @@ object CashEquityQueries {
                fund_focus, trader_name, portfolio_equity.symbol, net_amount,
                net_quantity, close_price)
     SELECT trader_name, fund_name, fund_focus,
-           round(avg(amount_change), 6) AS average_change
+           CASE WHEN count(*) = 10 THEN round(avg(amount_change), 6)
+                ELSE error('cw_sql2 fixture drift: a trader group no longer has exactly '
+                           || '10 four-decimal rows, so round(avg, 6) stops being exact')
+             END AS average_change
     FROM trader_performance
     GROUP BY trader_name, fund_name, fund_focus
     ORDER BY average_change DESC"""

@@ -70,6 +70,59 @@ class StreamingFileSpec extends AnyFunSuite with SharedSpark {
       s"only tail pairs may be unemitted: ${streamed.size}/${batch.size}")
   }
 
+  test("attribution lateness is a derivation: exactly the sub-watermark pairs are withheld") {
+    // Pins WHICH pairs append mode may withhold, so the file-stream
+    // test's >= 90% floor is a tolerance for a mechanism demonstrated
+    // exactly here: an inner interval join emits every pair whose two
+    // sides are live at match time; it loses a pair iff one side
+    // arrives below the global watermark (late-row drop) or its
+    // partner's state was already purged by that watermark.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStreams.clickAttribution(clicks.toDF(), purchases.toDF(),
+      attributionWindow = "1 hour", watermarkDelay = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("late_attrib").start()
+    def emitted(): Set[(Long, Long)] = spark.table("late_attrib").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet // (purchase_id, click_id)
+    try {
+      // batch 1: C1(9:50) + P1(10:00) — both live, pair emits NOW
+      // (inner-join emission does not wait for window closure)
+      clicks.addData(Event(101, ts(590), 1, "click", 0.0))
+      purchases.addData(Event(201, ts(600), 1, "purchase", 5.0))
+      q.processAllAvailable()
+      assert(emitted() === Set((201L, 101L)),
+        "matched pair must emit in its own micro-batch, before any watermark closes")
+      // batch 2: advance both sources to ~11:30 — the global watermark
+      // (min over sources of max-event-time minus delay) moves past
+      // P1 and C1, purging their join state. CA/PA pair on arrival.
+      clicks.addData(Event(102, ts(690), 1, "click", 0.0))
+      purchases.addData(Event(202, ts(695), 1, "purchase", 7.0))
+      q.processAllAvailable()
+      // batch 3: two sub-watermark stragglers — C2(9:55) matches P1's
+      // interval but P1's state is purged AND C2 is a late-row drop;
+      // P2(10:05) matches C1's interval but C1 is purged and P2 is
+      // late. One on-time pair C3(11:34)+P3(11:36) still emits.
+      clicks.addData(Event(103, ts(595), 1, "click", 0.0),
+        Event(104, ts(694), 1, "click", 0.0))
+      purchases.addData(Event(203, ts(605), 1, "purchase", 9.0),
+        Event(204, ts(696), 1, "purchase", 11.0))
+      q.processAllAvailable()
+      val expected = Set(
+        (201L, 101L),           // batch-1 on-time pair
+        (202L, 102L),           // batch-2 advance pair
+        (204L, 104L), (204L, 102L), // batch-3 purchase x both live clicks
+        (202L, 104L))           // batch-3 click x still-live batch-2 purchase
+      assert(emitted() === expected,
+        s"emitted set must be exactly the live-at-match pairs; got ${emitted()}")
+      // the withheld pairs are exactly the sub-watermark ones
+      assert(!emitted().contains((201L, 103L)), "late click against purged purchase")
+      assert(!emitted().contains((203L, 101L)), "late purchase against purged click")
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops duplicate keys, keeps state bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
