@@ -124,11 +124,22 @@ object Similarity {
       // Lloyd step: elementwise member mean per cell. Cells that
       // capture no members drop out (the standard empty-cluster
       // handling); means cast back to float so the fused cosine
-      // kernel applies unchanged.
+      // kernel applies unchanged. The portable path quantizes each
+      // component to 2⁻²⁰ before summing: integer sums are EXACT in
+      // any order, so the refined centroids — and with them every
+      // downstream assignment/probe argmax — no longer depend on
+      // Spark's partial-aggregation order, and a SQL oracle
+      // re-derives them bit-for-bit. The 2⁻²⁰ grid sits ~10⁵ below
+      // the corpus noise scale, so cluster geometry is unaffected.
+      val mean =
+        if (portable)
+          sum(floor(col("v").cast("double") * lit(1048576.0) + lit(0.5)).cast("long"))
+            .cast("double") / (count(lit(1)) * lit(1048576.0))
+        else avg(col("v").cast("double"))
       val refined = corpus.join(assign(centroids), col(idCol) === col("a_id"))
         .select(col("cluster").as("cid"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(avg(col("v").cast("double")).as("mv"))
+        .groupBy("cid", "pos").agg(mean.as("mv"))
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
           s => s.getField("mv").cast("float")).as("c_emb"))

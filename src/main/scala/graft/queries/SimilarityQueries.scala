@@ -16,6 +16,66 @@ object SimilarityQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir).table(n)
 
+  /** Index-order double-fold cosine between two float-list columns —
+    * the DuckDB twin of [[graft.functions.CosineSimilarity]]. */
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))" +
+      s" / (sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))" +
+      s" * sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))"
+
+  /** One unrolled Lloyd iteration `i` of the portable IVF oracle:
+    * nearest-centroid assignment against cents{i-1} (max-struct
+    * tie-break = cosine DESC then cid DESC), then exact
+    * integer-quantized member means -> cents{i} float centroids. */
+  private def lloydStepSql(i: Int): String = {
+    val prev = s"cents${i - 1}"
+    s"""a$i AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rk
+       |  FROM (SELECT c.vec_id, k.cid, ${cosSql("c.embedding", "k.c_emb")} AS sim
+       |        FROM corpus c CROSS JOIN $prev k)),
+       |asg$i AS (SELECT vec_id, cid AS cluster FROM a$i WHERE rk = 1),
+       |m$i AS (
+       |  SELECT cluster AS cid, k AS pos,
+       |    CAST(sum(CAST(floor(CAST(embedding[k+1] AS DOUBLE) * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / (count(*) * 1048576.0) AS mv
+       |  FROM corpus JOIN asg$i USING (vec_id), range(0, 64) t(k)
+       |  GROUP BY cluster, k),
+       |cents$i AS (
+       |  SELECT cid, list(CAST(mv AS FLOAT) ORDER BY pos) AS c_emb
+       |  FROM m$i GROUP BY cid)""".stripMargin
+  }
+
+  /** Full portable IVF oracle: MINSTD-ordered 16-vector seed, two
+    * Lloyd steps, final assignment, query probe of the top-2 cells,
+    * cosine top-10 over the probed subset. */
+  private val ivfOracleSql: String =
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+       |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |cents0 AS (
+       |  SELECT vec_id AS cid, embedding AS c_emb,
+       |    row_number() OVER (ORDER BY ((vec_id % 2147483647) * 48271) % 2147483647, vec_id) AS rn
+       |  FROM corpus QUALIFY rn <= 16),
+       |${lloydStepSql(1)},
+       |${lloydStepSql(2)},
+       |afin AS (
+       |  SELECT vec_id, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rk
+       |  FROM (SELECT c.vec_id, k.cid, ${cosSql("c.embedding", "k.c_emb")} AS sim
+       |        FROM corpus c CROSS JOIN cents2 k)),
+       |asgfin AS (SELECT vec_id, cid AS cluster FROM afin WHERE rk = 1),
+       |probes AS (
+       |  SELECT cid FROM (
+       |    SELECT k.cid, ${cosSql("q.q_emb", "k.c_emb")} AS sim
+       |    FROM qv q CROSS JOIN cents2 k)
+       |  ORDER BY sim DESC, cid LIMIT 2),
+       |scored AS (
+       |  SELECT c.vec_id, ${cosSql("c.embedding", "q.q_emb")} AS cos_raw
+       |  FROM corpus c JOIN asgfin USING (vec_id) CROSS JOIN qv q
+       |  WHERE asgfin.cluster IN (SELECT cid FROM probes))
+       |SELECT vec_id, round(cos_raw, 6) AS cosine
+       |FROM scored ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-10 to vec_id 0 (baseline ANN)
@@ -169,20 +229,22 @@ object SimilarityQueries {
              |SELECT vec_id, round(cos_raw, 6) AS cosine
              |FROM scored ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin)),
 
-    // IVF ANN (deterministic hash seed + 2 Lloyd refinement
-    // iterations; probes 2 of 16 clusters). Rows-only gate, and
-    // deliberately so: the refined centroids are avg() of float
-    // vectors, whose double accumulation order depends on Spark's
-    // partial aggregation — a ulp difference vs an oracle's sum can
-    // flip an argmax assignment, so there is no portable value twin.
-    // IvfLloydSpec covers refinement correctness instead.
+    // IVF ANN (MINSTD-seeded + 2 Lloyd refinement iterations; probes
+    // 2 of 16 clusters), with a full DuckDB oracle: the portable path
+    // quantizes Lloyd means to a 2^-20 grid so the centroid sums are
+    // exact integers in any accumulation order — the one source of
+    // engine divergence — and the oracle then unrolls seed ->
+    // assign -> re-center -> assign -> re-center -> final assignment
+    // -> probe top-2 -> cosine top-10, value-checking the ENTIRE
+    // index build, not just the query scan.
     QueryDef("q_sim_ann_ivf",
       (s, d) => {
         val emb = t(s, d, "embeddings")
         Similarity.annIvf(emb.filter(col("vec_id") =!= 0),
-          emb.filter(col("vec_id") === 0), k = 10, lloydIters = 2)
+          emb.filter(col("vec_id") === 0), k = 10, portable = true,
+          lloydIters = 2)
       },
-      None, bench = true),
+      Some(ivfOracleSql), bench = true),
 
     // Per-label embedding centroid: elementwise mean via posexplode +
     // (label, pos) aggregation — the scalable vector-aggregate shape
