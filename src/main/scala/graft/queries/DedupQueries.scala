@@ -21,6 +21,32 @@ object DedupQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir).table(n)
 
+  /** Shared oracle CTE chain deriving the exact 5-gram Jaccard ≥ 0.6
+    * pair list (`jpairs(d1, d2, jaccard)`) — the DuckDB twin of
+    * [[Dedup.jaccardPairs]], reused by the pair and cluster gates. */
+  private val jaccardPairsCte: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS tokens
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(range(1, greatest(len(tokens) - 3, 1)),
+      |                            i -> array_to_string(tokens[i:i+4], ' '))) AS s
+      |    FROM toks)),
+      |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jpairs AS (
+      |  SELECT d1, d2,
+      |    round(n_inter / (s1.n_sh + s2.n_sh - n_inter), 4) AS jaccard
+      |  FROM inter
+      |  JOIN sz s1 ON d1 = s1.doc_id
+      |  JOIN sz s2 ON d2 = s2.doc_id
+      |  WHERE n_inter / (s1.n_sh + s2.n_sh - n_inter) >= 0.6)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: one shuffle on md5(text), lowest-id representative
@@ -34,27 +60,39 @@ object DedupQueries {
     QueryDef("q_dd_jaccard",
       (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
         n = 5, threshold = 0.6).orderBy("d1", "d2"),
-      Some("""WITH toks AS (
-             |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS tokens
-             |  FROM documents),
-             |sh AS (
-             |  SELECT DISTINCT doc_id, s FROM (
-             |    SELECT doc_id,
-             |      unnest(list_transform(range(1, greatest(len(tokens) - 3, 1)),
-             |                            i -> array_to_string(tokens[i:i+4], ' '))) AS s
-             |    FROM toks)),
-             |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-             |inter AS (
-             |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
-             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-             |  GROUP BY 1, 2)
-             |SELECT d1, d2,
-             |  round(n_inter / (s1.n_sh + s2.n_sh - n_inter), 4) AS jaccard
-             |FROM inter
-             |JOIN sz s1 ON d1 = s1.doc_id
-             |JOIN sz s2 ON d2 = s2.doc_id
-             |WHERE n_inter / (s1.n_sh + s2.n_sh - n_inter) >= 0.6
-             |ORDER BY d1, d2""".stripMargin), bench = true),
+      Some(s"""WITH $jaccardPairsCte
+              |SELECT d1, d2, jaccard FROM jpairs ORDER BY d1, d2""".stripMargin),
+      bench = true),
+
+    // Near-dup CLUSTERS: connected components over the Jaccard pair
+    // graph (min-label propagation), the transitive-closure step that
+    // pairs alone cannot express — A~B and B~C collapse to one
+    // representative even without an A~C pair. The oracle re-derives
+    // the components with a recursive CTE (min reachable id).
+    QueryDef("q_dd_clusters",
+      (s, d) => {
+        val pairs = Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          n = 5, threshold = 0.6)
+        Dedup.clusters(pairs)
+          .groupBy("rep")
+          .agg(count(lit(1)).as("n_members"),
+            array_join(transform(sort_array(collect_list(col("id"))),
+              _.cast("string")), ",").as("members"))
+          .orderBy("rep")
+      },
+      Some(s"""WITH RECURSIVE $jaccardPairsCte,
+              |edges AS (
+              |  SELECT d1 AS a, d2 AS b FROM jpairs
+              |  UNION SELECT d2, d1 FROM jpairs),
+              |nodes AS (SELECT DISTINCT a AS id FROM edges),
+              |reach(id, r) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+              |lab AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+              |SELECT rep, CAST(count(*) AS BIGINT) AS n_members,
+              |  array_to_string(list(id ORDER BY id), ',') AS members
+              |FROM lab GROUP BY rep ORDER BY rep""".stripMargin)),
 
     // MinHash + LSH banding (shingle → signature → band → bucket
     // join), portable-hash variant: the oracle re-derives the 32

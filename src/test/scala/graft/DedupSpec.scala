@@ -107,4 +107,26 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(a === b)
   }
+
+  test("clusters: transitive closure merges chained pairs, separates components") {
+    import spark.implicits._
+    // A~B, B~C but no A~C pair: must still be ONE cluster — the case
+    // a pairs-only dedup under-deletes
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("clusters: converges on a long path graph (multi-round propagation)") {
+    import spark.implicits._
+    // path 0-1-2-...-19 forces label 0 to travel the full diameter;
+    // hash-to-min halves the frontier distance per round, so this
+    // also guards the convergence detection (label-sum fixpoint)
+    val pairs = (0L until 19L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 20)
+    assert(got.values.toSet === Set(0L), s"all labels must reach 0: $got")
+  }
 }
