@@ -81,6 +81,35 @@ object Similarity {
       .select(col(idCol), round(col("cos_raw"), 6).as("cosine"))
   }
 
+  /** Batch ANN: top-k per query for a whole FRAME of queries — the
+    * shape a production similarity-search job actually runs (one
+    * query vector at a time cannot amortize the corpus scan). Both
+    * sides are bucketed by the same deterministic hyperplanes;
+    * candidates come from the bucket equi-join (shuffle on bucket id,
+    * no broadcast needed — both sides may be arbitrarily large), and
+    * each query keeps its k best by cosine via a per-query window.
+    * At 100 TB this is the plan that works: the corpus is re-read
+    * once per batch of queries, not once per query. */
+  def annLshBatch(corpus: DataFrame, queries: DataFrame, k: Int,
+                  bits: Int = 8, idCol: String = "vec_id",
+                  portable: Boolean = false): DataFrame = {
+    def bucketOf(vec: Column): Column =
+      graft.functions.VectorExpressions.lshBucketNative(vec, bits, 0, portable)
+    val c = corpus.select(col(idCol).as("id"), col("embedding"),
+      bucketOf(col("embedding")).as("bucket"))
+    val q = queries.select(col(idCol).as("q_id"), col("embedding").as("q_emb"),
+      bucketOf(col("embedding")).as("q_bucket"))
+    val cos = fastCos(col("embedding"), col("q_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(desc("cos_raw"), col("id"))
+    c.join(q, col("bucket") === col("q_bucket"))
+      .select(col("q_id"), col("id"), cos.as("cos_raw"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("id").as(idCol),
+        round(col("cos_raw"), 6).as("cosine"))
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into `nCentroids`
     * clusters, search only the `nProbe` clusters nearest the query.
     *

@@ -246,6 +246,46 @@ object SimilarityQueries {
       },
       Some(ivfOracleSql), bench = true),
 
+    // Batch ANN: top-3 per query for 10 query vectors in ONE bucketed
+    // equi-join + per-query window — the amortized many-queries plan
+    // a production search job runs (no broadcast, both sides scale).
+    // Portable hyperplanes give the full value oracle.
+    QueryDef("q_sim_ann_batch",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.annLshBatch(emb.filter(col("vec_id") >= 10),
+          emb.filter(col("vec_id") < 10), k = 3, bits = 6, portable = true)
+          .orderBy("q_id", "cosine")
+      },
+      Some("""WITH elems AS (
+             |  SELECT vec_id, k, CAST(embedding[k+1] AS DOUBLE) AS v
+             |  FROM embeddings, range(0, 64) t(k)),
+             |signs AS (
+             |  SELECT j, k,
+             |    CASE WHEN ((16807 * ((16807 * (j * 64 + k + 1)) % 2147483647)) % 2147483647) % 2 = 1
+             |         THEN 1.0 ELSE -1.0 END AS s
+             |  FROM range(0, 6) tj(j), range(0, 64) tk(k)),
+             |buckets AS (
+             |  SELECT vec_id, sum(CASE WHEN proj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+             |  FROM (SELECT vec_id, j, sum(v * s) AS proj
+             |        FROM elems JOIN signs USING (k) GROUP BY vec_id, j)
+             |  GROUP BY vec_id),
+             |joined AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id,
+             |    list_dot_product(CAST(ce.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[]))
+             |      / (sqrt(list_dot_product(CAST(ce.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])))
+             |         * sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))) AS cos_raw
+             |  FROM buckets c JOIN buckets q ON c.bucket = q.bucket
+             |  JOIN embeddings ce ON ce.vec_id = c.vec_id
+             |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+             |  WHERE c.vec_id >= 10 AND q.vec_id < 10),
+             |ranked AS (
+             |  SELECT q_id, vec_id, cos_raw,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rn
+             |  FROM joined)
+             |SELECT q_id, vec_id, round(cos_raw, 6) AS cosine
+             |FROM ranked WHERE rn <= 3 ORDER BY q_id, cosine""".stripMargin)),
+
     // Per-label embedding centroid: elementwise mean via posexplode +
     // (label, pos) aggregation — the scalable vector-aggregate shape
     // (no per-group array materialization); output exploded to

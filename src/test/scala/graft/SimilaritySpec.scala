@@ -84,6 +84,16 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       s"expected a decisive recall gap, got $singleHits -> $multiHits")
   }
 
+  test("batch ANN with a single query reproduces the single-query ANN exactly") {
+    val q = emb.filter(col("vec_id") === 0)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val single = Similarity.annLsh(corpus, q, k = 10, bits = 6).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val batch = Similarity.annLshBatch(corpus, q, k = 10, bits = 6).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(batch === single, "the amortized batch plan must not change results")
+  }
+
   test("lshPairs ⊆ cosinePairs (candidate pruning never invents pairs)") {
     val small = emb.limit(120)
     val brute = Similarity.cosinePairs(small, threshold = 0.2).collect()
