@@ -61,6 +61,12 @@ object Curation {
       exactKept0.write.mode("overwrite").parquet(path)
       docs.sparkSession.read.parquet(path)
     }
+    // pairwise loser-removal policy: any doc that lost a comparison
+    // (appeared as d2 of a qualifying pair) is dropped. For the
+    // transitive-collapse policy — one representative per CONNECTED
+    // COMPONENT of the pair graph, which also merges A~B~C chains
+    // where A~C itself never qualified — feed the pairs through
+    // [[Dedup.clusters]] and anti-join on `id <> rep` instead.
     val nearDupLosers = Dedup.jaccardPairs(exactKept, "doc_id", "text",
       n = 5, threshold = jaccardThreshold)
       .select(col("d2").as("loser")).distinct()

@@ -69,13 +69,17 @@ object Sampling {
 
   /** Per-stratum sampling: different fraction per value of `stratum`
     * (e.g. downsample dominant languages, keep all of rare ones).
-    * Unlisted strata keep `defaultFraction`. */
+    * Unlisted strata keep `defaultFraction`. `portable = true` swaps
+    * the xxhash64 bucket for the MINSTD bucket (integer keys, SQL
+    * re-derivable — see [[minstdBucket]]). */
   def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
                        fractions: Map[String, Double],
-                       defaultFraction: Double = 1.0, salt: Int = 0): DataFrame = {
+                       defaultFraction: Double = 1.0, salt: Int = 0,
+                       portable: Boolean = false): DataFrame = {
     val frac = fractions.foldLeft(lit(defaultFraction)) {
       case (acc, (value, f)) => when(stratum === value, lit(f)).otherwise(acc)
     }
-    df.filter(bucket(key, salt) < (frac * 1000000).cast("long"))
+    val b = if (portable) minstdBucket(key, 1000000) else bucket(key, salt)
+    df.filter(b < (frac * 1000000).cast("long"))
   }
 }

@@ -251,6 +251,26 @@ object TextQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Stratified sampling composed with language-ID: downsample the
+    // dominant language to 50%, keep the rest — the standard mixture
+    // rebalancing step before training. Portable MINSTD membership +
+    // the shared langId oracle expression give a full value check of
+    // the per-stratum fraction arithmetic.
+    QueryDef("q_sample_stratified",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+          .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+        graft.ext.Sampling.stratifiedSample(docs, col("doc_id"), col("pred_lang"),
+          Map("en" -> 0.5), defaultFraction = 1.0, portable = true)
+          .groupBy("pred_lang").agg(count(lit(1)).as("n_docs"))
+          .orderBy("pred_lang")
+      },
+      Some(s"""WITH langs AS (SELECT doc_id, $langIdSqlExpr AS pred_lang FROM documents)
+              |SELECT pred_lang, count(*) AS n_docs FROM langs
+              |WHERE ((doc_id % 2147483647) * 48271) % 2147483647 % 1000000 <
+              |      CAST((CASE WHEN pred_lang = 'en' THEN 0.5 ELSE 1.0 END) * 1000000 AS BIGINT)
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Document fingerprinting (min-hash over 5-token shingles),
     // portable variant: min over the shingles' 31-polynomial rolling
     // hashes mod 1e9+7 — the oracle recomputes every shingle hash, so
