@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
@@ -109,7 +109,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * multiplication wraps and mixes. */
 case class HyperplaneLshBucket(child: Expression, bits: Int,
                                planeOffset: Int = 0, portable: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
@@ -149,6 +149,63 @@ case class HyperplaneLshBucket(child: Expression, bits: Int,
       j += 1
     }
     acc
+  }
+
+  /** Full codegen (this expression scans the WHOLE corpus in every
+    * LSH query — CodegenFallback's per-row boxing/dispatch is exactly
+    * the overhead worth removing on the hot path): the same two
+    * loops as [[nullSafeEval]], emitted as straight-line Java with
+    * `bits`/`planeOffset`/`portable` baked in as constants. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, vec => {
+      val dim = ctx.freshName("dim")
+      val hasNull = ctx.freshName("hasNull")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val proj = ctx.freshName("proj")
+      val inner =
+        if (portable) {
+          val base = ctx.freshName("base")
+          val x1 = ctx.freshName("x1")
+          val x2 = ctx.freshName("x2")
+          s"""
+             |long $base = ((long) ($planeOffset + $j)) * $dim;
+             |for (int $i = 0; $i < $dim; $i++) {
+             |  long $x1 = (16807L * ($base + $i + 1)) % 2147483647L;
+             |  long $x2 = (16807L * $x1) % 2147483647L;
+             |  $proj += ((double) $vec.getFloat($i)) * ((($x2 & 1L) == 1L) ? 1.0 : -1.0);
+             |}
+           """.stripMargin
+        } else {
+          val seed = ctx.freshName("planeSeed")
+          val h = ctx.freshName("h")
+          val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+          s"""
+             |long $seed = $xxh.hashInt($planeOffset + $j, 42L);
+             |for (int $i = 0; $i < $dim; $i++) {
+             |  long $h = $xxh.hashInt($i, $seed);
+             |  $proj += ((double) $vec.getFloat($i)) * (double) (($h & 1L) * 2L - 1L);
+             |}
+           """.stripMargin
+        }
+      s"""
+         |int $dim = $vec.numElements();
+         |boolean $hasNull = false;
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  if ($vec.isNullAt($i)) { $hasNull = true; break; }
+         |}
+         |long $acc = 0L;
+         |if (!$hasNull) {
+         |  for (int $j = 0; $j < $bits; $j++) {
+         |    double $proj = 0.0;
+         |    $inner
+         |    if ($proj > 0) $acc += 1L << $j;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -145,4 +145,29 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SharedSpark {
       rows.foreach(r => assert(r.getLong(0) === r.getLong(1), s"bits=$bits"))
     }
   }
+
+  test("HyperplaneLshBucket codegen == interpreted eval, both hash variants") {
+    // the DataFrame path runs the generated Java (doGenCode); calling
+    // eval() on the expression directly runs the interpreted loop —
+    // the two implementations must agree bit-for-bit on every
+    // (variant, planeOffset) combination
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val vecs = (0 until 40).map(i =>
+      i.toLong -> (0 until 24).map(_ => rng.nextFloat() * 2 - 1).toArray)
+    val df = vecs.toDF("id", "embedding")
+      .select(col("id"), col("embedding").cast("array<float>").as("embedding"))
+    for (portable <- Seq(false, true); offset <- Seq(0, 8)) {
+      val viaCodegen = df.select(col("id"),
+        VectorExpressions.lshBucketNative(col("embedding"), 8, offset, portable))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaInterp = vecs.map { case (id, v) =>
+        id -> graft.functions.HyperplaneLshBucket(
+          Literal.create(v, ArrayType(FloatType)), 8, offset, portable)
+          .eval(null).asInstanceOf[Long]
+      }.toMap
+      assert(viaCodegen === viaInterp, s"portable=$portable offset=$offset")
+    }
+  }
 }
