@@ -110,22 +110,45 @@ object Similarity {
         round(col("cos_raw"), 6).as("cosine"))
   }
 
+  /** Shuffle-free IVF cluster assignment: the ≤nCentroids centroid
+    * rows are folded into ONE `array<struct<cid, c_emb>>` row and
+    * broadcast; each corpus row then picks its nearest centroid with
+    * the fused [[graft.functions.NearestCentroid]] argmax (index-order
+    * double cosine, ties to the larger cid — `max(struct(sim, cid))`
+    * semantics, so the oracle's `ORDER BY sim DESC, cid DESC` twin
+    * reproduces it). The corpus is never exchanged: no crossJoin row
+    * explosion, no `groupBy(id)` argmax — the two full-corpus shuffles
+    * the naive assignment pays per Lloyd iteration. The argmax is
+    * invariant to the collect_list order, so the nondeterministic
+    * array order cannot leak into results. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+                idCol: String = "vec_id"): DataFrame = {
+    val centsRow = broadcast(centroids.agg(
+      collect_list(struct(col("cid").cast("long").as("cid"), col("c_emb")))
+        .as("cents")))
+    corpus.crossJoin(centsRow)
+      .withColumn("cluster",
+        graft.functions.VectorExpressions
+          .nearestCentroidNative(col("embedding"), col("cents")))
+      .drop("cents")
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into `nCentroids`
     * clusters, search only the `nProbe` clusters nearest the query.
     *
     * Centroids seed from a deterministic hash-ordered sample of the
     * corpus (reproducible, one-pass), then `lloydIters` k-means
     * iterations refine them: assign every vector to its nearest
-    * centroid (broadcast + per-row argmax), recompute each centroid
+    * centroid ([[ivfAssign]] — a broadcast centroid array + per-row
+    * fused argmax, zero corpus shuffle), recompute each centroid
     * as the elementwise mean of its members (posexplode +
     * (cluster, pos) aggregation — never a per-group array
     * materialization), repeat. Each iteration is one corpus scan plus
-    * one narrow shuffle of (cluster, pos, mean) rows, so 1–2
-    * iterations cost a small constant factor and fix the hash-seed
-    * pathology where clumped seeds leave true clusters smeared across
-    * arbitrary cells (see SimilaritySpec's engineered corpus: probe
-    * recall fails without refinement). Assignment is a broadcast of
-    * the centroid set + per-row argmax — the standard IVF build; at
+    * one NARROW shuffle (map-side-combined partials of ≤nCentroids×dim
+    * (cluster, pos) groups), so 1–2 iterations cost a small constant
+    * factor and fix the hash-seed pathology where clumped seeds leave
+    * true clusters smeared across arbitrary cells (see IvfLloydSpec's
+    * engineered corpus: probe recall fails without refinement). At
     * scale the final assignment is computed once and persisted
     * alongside the embeddings, making queries touch only
     * ~nProbe/nCentroids of the data. */
@@ -139,16 +162,9 @@ object Similarity {
     val sampleOrder =
       if (portable) pmod(pmod(col("cid"), lit(2147483647L)) * 48271L, lit(2147483647L))
       else xxhash64(col("cid"))
-    // per-row nearest centroid (argmax cosine via max(struct))
-    def assign(cents: DataFrame): DataFrame =
-      corpus.crossJoin(cents)
-        .groupBy(col(idCol))
-        .agg(max(struct(fastCos(col("embedding"), col("c_emb")).as("sim"),
-          col("cid"))).as("best"))
-        .select(col(idCol).as("a_id"), col("best.cid").as("cluster"))
-    var centroids = broadcast(
+    var centroids =
       corpus.select(col(idCol).as("cid"), col("embedding").as("c_emb"))
-        .orderBy(sampleOrder, col("cid")).limit(nCentroids))
+        .orderBy(sampleOrder, col("cid")).limit(nCentroids)
     for (_ <- 1 to lloydIters) {
       // Lloyd step: elementwise member mean per cell. Cells that
       // capture no members drop out (the standard empty-cluster
@@ -165,20 +181,19 @@ object Similarity {
           sum(floor(col("v").cast("double") * lit(1048576.0) + lit(0.5)).cast("long"))
             .cast("double") / (count(lit(1)) * lit(1048576.0))
         else avg(col("v").cast("double"))
-      val refined = corpus.join(assign(centroids), col(idCol) === col("a_id"))
+      val refined = ivfAssign(corpus, centroids, idCol)
         .select(col("cluster").as("cid"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cid", "pos").agg(mean.as("mv"))
         .groupBy("cid")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
           s => s.getField("mv").cast("float")).as("c_emb"))
-      centroids = broadcast(refined)
+      centroids = refined
     }
-    val assigned = assign(centroids)
-    val clustered = corpus.join(assigned, col(idCol) === col("a_id")).drop("a_id")
+    val clustered = ivfAssign(corpus, centroids, idCol)
     // the query's nProbe nearest clusters
     val probed = broadcast(
-      queryVec.select(col("embedding").as("q_emb")).crossJoin(centroids)
+      queryVec.select(col("embedding").as("q_emb")).crossJoin(broadcast(centroids))
         .orderBy(fastCos(col("q_emb"), col("c_emb")).desc, col("cid"))
         .limit(nProbe)
         .select(col("cid").as("p_cid"), col("q_emb")))

@@ -211,6 +211,135 @@ case class HyperplaneLshBucket(child: Expression, bits: Int,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-row nearest centroid by cosine: argmax over an
+  * `array<struct<cid: bigint, c_emb: array<float>>>` centroid set,
+  * returning the winning `cid` (ties broken toward the LARGER cid —
+  * exactly `max(struct(cos, cid))` / `row_number() OVER (ORDER BY sim
+  * DESC, cid DESC) = 1` semantics, so the IVF oracle's unrolled
+  * assignment reproduces it bit-for-bit).
+  *
+  * This is the shuffle-free form of IVF cluster assignment: the
+  * centroid set rides in as a single broadcast row (a
+  * `collect_list(struct(...))` over ≤nCentroids rows), so assigning
+  * the whole corpus is a per-row fused loop — no crossJoin row
+  * explosion, no `groupBy(id)` argmax re-shuffling the corpus once
+  * per Lloyd iteration. Cosine semantics match [[CosineSimilarity]]
+  * exactly (index-order double accumulation; a centroid with
+  * mismatched length or zero norm — or a zero-norm input vector — is
+  * skipped). Null if either input is null or no centroid qualifies.
+  */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    var nx = 0.0
+    var i = 0
+    while (i < n) { val xi = vec.getFloat(i).toDouble; nx += xi * xi; i += 1 }
+    var bestSim = 0.0
+    var bestCid = 0L
+    var found = false
+    var c = 0
+    val m = cents.numElements()
+    while (c < m) {
+      if (!cents.isNullAt(c)) {
+        val st = cents.getStruct(c, 2)
+        if (!st.isNullAt(0) && !st.isNullAt(1)) {
+          val cid = st.getLong(0)
+          val ce = st.getArray(1)
+          if (ce.numElements() == n && nx != 0.0) {
+            var dot = 0.0
+            var ny = 0.0
+            var k = 0
+            while (k < n) {
+              val xk = vec.getFloat(k).toDouble
+              val yk = ce.getFloat(k).toDouble
+              dot += xk * yk; ny += yk * yk
+              k += 1
+            }
+            if (ny != 0.0) {
+              val sim = dot / (math.sqrt(nx) * math.sqrt(ny))
+              if (!found || sim > bestSim || (sim == bestSim && cid > bestCid)) {
+                found = true; bestSim = sim; bestCid = cid
+              }
+            }
+          }
+        }
+      }
+      c += 1
+    }
+    if (found) bestCid else null
+  }
+
+  /** Full codegen — this expression replaces a corpus-wide shuffle,
+    * so it IS the hot path of every IVF build/assignment scan. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (vec, cents) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val nx = ctx.freshName("nx")
+      val xi = ctx.freshName("xi")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val k = ctx.freshName("k")
+      val st = ctx.freshName("st")
+      val cid = ctx.freshName("cid")
+      val ce = ctx.freshName("ce")
+      val dot = ctx.freshName("dot")
+      val ny = ctx.freshName("ny")
+      val xk = ctx.freshName("xk")
+      val yk = ctx.freshName("yk")
+      val sim = ctx.freshName("sim")
+      val bestSim = ctx.freshName("bestSim")
+      val bestCid = ctx.freshName("bestCid")
+      val found = ctx.freshName("found")
+      val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
+      val arrCls = "org.apache.spark.sql.catalyst.util.ArrayData"
+      s"""
+         |int $n = $vec.numElements();
+         |double $nx = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $vec.getFloat($i);
+         |  $nx += $xi * $xi;
+         |}
+         |double $bestSim = 0.0;
+         |long $bestCid = 0L;
+         |boolean $found = false;
+         |int $m = $cents.numElements();
+         |for (int $c = 0; $c < $m; $c++) {
+         |  if ($cents.isNullAt($c)) continue;
+         |  $rowCls $st = $cents.getStruct($c, 2);
+         |  if ($st.isNullAt(0) || $st.isNullAt(1)) continue;
+         |  long $cid = $st.getLong(0);
+         |  $arrCls $ce = $st.getArray(1);
+         |  if ($ce.numElements() != $n || $nx == 0.0) continue;
+         |  double $dot = 0.0;
+         |  double $ny = 0.0;
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    double $xk = (double) $vec.getFloat($k);
+         |    double $yk = (double) $ce.getFloat($k);
+         |    $dot += $xk * $yk; $ny += $yk * $yk;
+         |  }
+         |  if ($ny == 0.0) continue;
+         |  double $sim = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  if (!$found || $sim > $bestSim || ($sim == $bestSim && $cid > $bestCid)) {
+         |    $found = true; $bestSim = $sim; $bestCid = $cid;
+         |  }
+         |}
+         |if ($found) { ${ev.value} = $bestCid; } else { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   import GraftColumnBridge.{column, expression}
   /** Column API for [[CosineSimilarity]] (inputs: two array<float>). */
@@ -222,13 +351,21 @@ object VectorExpressions {
                       portable: Boolean = false): Column =
     column(HyperplaneLshBucket(expression(vec), bits, planeOffset, portable))
 
+  /** Column API for [[NearestCentroid]] (inputs: array<float>,
+    * array<struct<cid: bigint, c_emb: array<float>>>). */
+  def nearestCentroidNative(vec: Column, cents: Column): Column =
+    column(NearestCentroid(expression(vec), expression(cents)))
+
   /** Make the expressions available to `spark.sql` as
-    * `cosine_native(a, b)` and `lsh_bucket(vec, bits)`. */
+    * `cosine_native(a, b)`, `lsh_bucket(vec, bits)` and
+    * `nearest_centroid(vec, cents)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     GraftColumnBridge.registerFunction(spark, "cosine_native",
       exprs => CosineSimilarity(exprs(0), exprs(1)))
     GraftColumnBridge.registerFunction(spark, "lsh_bucket",
       exprs => HyperplaneLshBucket(exprs(0),
         FunctionArgs.foldableInt("lsh_bucket", "bits", exprs(1))))
+    GraftColumnBridge.registerFunction(spark, "nearest_centroid",
+      exprs => NearestCentroid(exprs(0), exprs(1)))
   }
 }

@@ -170,4 +170,56 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SharedSpark {
       assert(viaCodegen === viaInterp, s"portable=$portable offset=$offset")
     }
   }
+
+  test("NearestCentroid codegen == interpreted eval == max(struct) argmax") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    val dim = 16
+    val vecs = (0 until 40).map(i => i.toLong -> Array.fill(dim)(rng.nextFloat() * 2 - 1))
+    // a duplicated centroid under a second, larger cid exercises the
+    // tie-break (identical arithmetic → bitwise-equal cosine → the
+    // larger cid must win, as max(struct(sim, cid)) would pick)
+    val cents = (0 until 8).map(c => c.toLong -> Array.fill(dim)(rng.nextFloat() * 2 - 1))
+    val centsAll = cents :+ (99L -> cents.head._2.clone())
+    val centsDf = centsAll.toDF("cid", "c_emb")
+      .select(col("cid"), col("c_emb").cast("array<float>").as("c_emb"))
+    val corpus = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    // codegen path — the plan ivfAssign actually runs
+    val got = graft.ext.Similarity.ivfAssign(corpus, centsDf, "vec_id")
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference semantics: the crossJoin + max(struct) argmax it replaced
+    val want = corpus.crossJoin(centsDf)
+      .groupBy("vec_id")
+      .agg(max(struct(
+        VectorExpressions.cosineNative(col("embedding"), col("c_emb")).as("sim"),
+        col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    // cid 0's centroid also exists as cid 99: every tie must resolve
+    // to 99, so no vector may ever be assigned to cluster 0
+    assert(!got.values.exists(_ == 0L), got.toString)
+    // interpreted eval agrees bit-for-bit with the generated Java
+    val centsType = ArrayType(StructType(Seq(
+      StructField("cid", LongType), StructField("c_emb", ArrayType(FloatType)))))
+    val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(centsType)
+    val centsLit = Literal(
+      toCatalyst(centsAll.map { case (c, e) => org.apache.spark.sql.Row(c, e.toSeq) }),
+      centsType)
+    vecs.foreach { case (id, v) =>
+      val interp = graft.functions.NearestCentroid(
+        Literal.create(v, ArrayType(FloatType)), centsLit).eval(null)
+      assert(interp === got(id), s"vec $id")
+    }
+    // degenerate inputs: zero-norm vector and empty centroid set → NULL
+    val zeroV = Literal.create(Array.fill(dim)(0.0f), ArrayType(FloatType))
+    assert(graft.functions.NearestCentroid(zeroV, centsLit).eval(null) == null)
+    val emptyCents = Literal(toCatalyst(Seq.empty[org.apache.spark.sql.Row]), centsType)
+    assert(graft.functions.NearestCentroid(
+      Literal.create(vecs.head._2, ArrayType(FloatType)), emptyCents).eval(null) == null)
+  }
 }

@@ -67,6 +67,22 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     assert(ivf.map(_.getLong(0)).exists(brute), "IVF with 2/8 probes should recover some true top-10")
   }
 
+  test("IVF assignment is shuffle-free: broadcast centroid row, zero corpus exchange") {
+    val emb = t.embeddings
+    val cents = emb.select(col("vec_id").as("cid"), col("embedding").as("c_emb")).limit(8)
+    val assigned = Similarity.ivfAssign(emb, cents)
+    assigned.collect() // finalize under AQE so codegen stages are visible
+    val plan = assigned.queryExecution.executedPlan.toString
+    // centroid set rides in as one broadcast row; the corpus side is
+    // scan → project, never hash-exchanged (the naive crossJoin +
+    // groupBy(id) argmax paid 2 full-corpus shuffles per assignment)
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"IVF assignment must not exchange the corpus:\n$plan")
+    // and the argmax runs inside whole-stage codegen
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[.*nearestcentroid.*"), plan)
+  }
+
   test("no gate query plans a CartesianProduct (brute-force pair baselines excepted)") {
     // these are documented O(n²) baselines (broadcast-nested-loop by design)
     val allowed = Set("q_sim_cos_pairs", "q_sim_topk", "q_sim_ann_lsh", "q_sim_ann_ivf")
