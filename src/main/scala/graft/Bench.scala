@@ -60,6 +60,37 @@ object Bench {
     }
     System.err.println(f"[bench] warmup pass ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
+    // Calibration gate: the load-average cool-down is necessary but
+    // not sufficient — r2–r4 captures ran in the correctness sweep's
+    // heat/page-cache shadow and read 2–7x quiet-box medians with
+    // min≈median (the whole window degraded, not one cold rep). So
+    // measurement starts only once a known-stable query (q_sim_topk,
+    // steady state ~0.14 s at sf0.1/local[32]) lands within 1.5x of
+    // its recorded reference; otherwise sleep and retry, and after the
+    // retry budget flag the capture as calibration_failed in the JSON
+    // so a reader knows to rerun rather than read a false regression.
+    val calibRef = sys.env.getOrElse("SPARK_GRAFT_BENCH_CALIB_REF", "0.14").toDouble
+    val calibGate = calibRef * 1.5
+    var calibrationFailed = false
+    QueryDef.all.find(_.name == "q_sim_topk").foreach { q =>
+      def once(): Double = {
+        val t = System.nanoTime(); run(q); (System.nanoTime() - t) / 1e9
+      }
+      var best = once()
+      var attempts = 0
+      while (best > calibGate && attempts < 10) {
+        System.err.println(
+          f"[bench] calibration: q_sim_topk $best%.3f s > gate $calibGate%.3f s, sleeping 15 s")
+        Thread.sleep(15000)
+        attempts += 1
+        best = math.min(best, once())
+      }
+      calibrationFailed = best > calibGate
+      System.err.println(
+        f"[bench] calibration ${if (calibrationFailed) "FAILED" else "ok"}: " +
+          f"q_sim_topk $best%.3f s (ref $calibRef%.3f s x 1.5)")
+    }
+
     val results = benchQueries.map { q =>
       val times = (1 to Reps).map { _ =>
         val t0 = System.nanoTime()
@@ -77,7 +108,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","calibration_failed":$calibrationFailed}""")
     spark.stop()
   }
 }

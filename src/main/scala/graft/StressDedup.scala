@@ -98,6 +98,37 @@ object StressDedup {
     time(s"curate-${rep}x") {
       Curation.curate(xN, checkpointDir = Some(s"$scratch/ckpt")).count()
     }
+
+    // Connected-components stress: disjoint chain graphs where the
+    // component diameter (pathLen) and edge volume scale
+    // independently. Expected shape: rounds stay ~log2(diameter)
+    // (identical 1x vs 10x at the same diameter — pointer jumping is
+    // data-size-independent), wall near-linear in edges; the deep
+    // graph at 1x volume shows rounds growing only logarithmically
+    // with a 100x diameter.
+    def ccStress(label: String, nChains: Int, pathLen: Int): Unit = {
+      val path = s"$scratch/cc_$label"
+      chainPairs(spark, nChains, pathLen).write.mode("overwrite").parquet(path)
+      val pairs = spark.read.parquet(path)
+      val t0 = System.nanoTime()
+      val (labels, rounds) = Dedup.clustersWithRounds(pairs,
+        scratchDir = Some(s"$path/out"))
+      val comps = labels.select("rep").distinct().count()
+      println(f"STRESS cc-$label%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  " +
+        f"($nChains components found $comps, $rounds rounds)")
+    }
+    ccStress("1x-diam10", 20000, 10)
+    ccStress(s"${rep}x-diam10", 20000 * rep, 10)
+    ccStress("1x-diam1000", 200, 1000)
     spark.stop()
+  }
+
+  /** nChains disjoint paths of pathLen nodes each: edge k connects
+    * consecutive nodes of chain k/(pathLen−1). */
+  private def chainPairs(spark: SparkSession, nChains: Int, pathLen: Int): DataFrame = {
+    val perChain = pathLen - 1
+    spark.range(nChains.toLong * perChain)
+      .select((floor(col("id") / perChain) * pathLen + col("id") % perChain).as("d1"))
+      .withColumn("d2", col("d1") + 1)
   }
 }

@@ -177,9 +177,45 @@ object Dedup {
     * previous labels THREE times, so without truncation the logical
     * plan grows 3^rounds and analysis itself OOMs — checkpointing is
     * load-bearing here, not an optimization (on a multi-node cluster
-    * swap in reliable `checkpoint` if executor loss matters). */
+    * swap in reliable `checkpoint` if executor loss matters).
+    *
+    * Reuse contract at scale: the pair graph is usually also wanted
+    * on its own (audit, pair-level policies), and re-deriving it
+    * means re-shingling the corpus. Persist the pair frame ONCE
+    * (parquet, not executor cache — the Curation rationale) and feed
+    * the persisted frame to both consumers; `scratchDir` does the
+    * same for the OUTPUT labels: when set, the final labels are
+    * written to `scratchDir/cc_labels` and the returned frame is the
+    * parquet read-back — flat file lineage, and every in-memory label
+    * checkpoint from the loop is unpersisted before returning, so
+    * repeated invocations cannot accumulate cached frames. With
+    * `scratchDir = None` the returned frame IS the last eager
+    * localCheckpoint (do not unpersist it while still consuming). */
   def clusters(pairs: DataFrame, d1: String = "d1", d2: String = "d2",
-               maxRounds: Int = 20): DataFrame = {
+               maxRounds: Int = 20,
+               scratchDir: Option[String] = None): DataFrame =
+    clustersWithRounds(pairs, d1, d2, maxRounds, scratchDir)._1
+
+  /** RDD-level unpersist for a localCheckpoint'ed frame.
+    * `Dataset.unpersist()` only uncaches CacheManager entries and is
+    * a silent NO-OP for the checkpoint's underlying RDD (probed
+    * empirically: getPersistentRDDs unchanged after it) — the cached
+    * blocks must be dropped through the `LogicalRDD` the checkpoint
+    * wraps. A local checkpoint has no lineage to recompute from, so
+    * this is only safe once the frame's data lives somewhere else
+    * (the next round's checkpoint, or parquet). */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
+  /** [[clusters]] plus the number of propagation rounds it took to
+    * converge — the O(log diameter) claim made observable (stress
+    * harness + specs assert on it). */
+  def clustersWithRounds(pairs: DataFrame, d1: String = "d1", d2: String = "d2",
+                         maxRounds: Int = 20,
+                         scratchDir: Option[String] = None): (DataFrame, Int) = {
     val fwd = pairs.select(col(d1).as("a"), col(d2).as("b"))
     val edges = fwd.unionAll(fwd.select(col("b").as("a"), col("a").as("b")))
       .distinct()
@@ -202,17 +238,29 @@ object Dedup {
         .groupBy("id").agg(min("rep").as("rep"))
         .localCheckpoint(true)
       val s = labelSum(prop)
-      labels.unpersist()
+      unpersistCheckpoint(labels) // prop is already eagerly materialized
       labels = prop
       converged = s == prevSum
       prevSum = s
       round += 1
     }
     edges.unpersist()
-    // the returned frame is a materialized localCheckpoint: flat
-    // lineage, (id, rep) payload only — callers that care can
-    // unpersist after consuming
-    labels
+    val out = scratchDir match {
+      case Some(dir) =>
+        // materialize to parquet and drop the in-memory checkpoint:
+        // the caller gets a plain file-backed frame and the session
+        // keeps zero cached label RDDs
+        val path = s"$dir/cc_labels"
+        labels.write.mode("overwrite").parquet(path)
+        unpersistCheckpoint(labels) // data now lives in parquet
+        pairs.sparkSession.read.parquet(path)
+      case None =>
+        // the returned frame is a materialized localCheckpoint: flat
+        // lineage, (id, rep) payload only — callers that care can
+        // unpersist after consuming
+        labels
+    }
+    (out, round)
   }
 
   /** 64-bit SimHash signatures via explode + partial aggregation:

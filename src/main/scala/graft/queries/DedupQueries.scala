@@ -69,11 +69,20 @@ object DedupQueries {
     // pairs alone cannot express — A~B and B~C collapse to one
     // representative even without an A~C pair. The oracle re-derives
     // the components with a recursive CTE (min reachable id).
+    // The pair graph is materialized to parquet ONCE and the CC loop
+    // consumes the persisted frame — the shared-pair-frame contract
+    // (at scale the same persisted pairs feed q_dd_jaccard-style
+    // audits AND clustering without re-shingling the corpus); the
+    // scratch dir also takes the final labels, so the query leaves
+    // zero cached RDDs behind (CacheHygieneSpec pins this).
     QueryDef("q_dd_clusters",
       (s, d) => {
-        val pairs = Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        val scratch = graft.Scratch.tempDir("graft_cc_")
+        Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
           n = 5, threshold = 0.6)
-        Dedup.clusters(pairs)
+          .write.mode("overwrite").parquet(s"$scratch/pairs")
+        val pairs = s.read.parquet(s"$scratch/pairs")
+        Dedup.clusters(pairs, scratchDir = Some(scratch))
           .groupBy("rep")
           .agg(count(lit(1)).as("n_members"),
             array_join(transform(sort_array(collect_list(col("id"))),
@@ -92,7 +101,8 @@ object DedupQueries {
               |lab AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
               |SELECT rep, CAST(count(*) AS BIGINT) AS n_members,
               |  array_to_string(list(id ORDER BY id), ',') AS members
-              |FROM lab GROUP BY rep ORDER BY rep""".stripMargin)),
+              |FROM lab GROUP BY rep ORDER BY rep""".stripMargin),
+      bench = true),
 
     // MinHash + LSH banding (shingle → signature → band → bucket
     // join), portable-hash variant: the oracle re-derives the 32

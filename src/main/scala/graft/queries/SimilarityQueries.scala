@@ -227,7 +227,8 @@ object SimilarityQueries {
              |  FROM buckets c JOIN embeddings e ON e.vec_id = c.vec_id CROSS JOIN q
              |  WHERE c.vec_id <> 3 AND c.bucket IN (SELECT probe FROM probes))
              |SELECT vec_id, round(cos_raw, 6) AS cosine
-             |FROM scored ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin)),
+             |FROM scored ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin),
+      bench = true),
 
     // IVF ANN (MINSTD-seeded + 2 Lloyd refinement iterations; probes
     // 2 of 16 clusters), with a full DuckDB oracle: the portable path
@@ -284,7 +285,8 @@ object SimilarityQueries {
              |    row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rn
              |  FROM joined)
              |SELECT q_id, vec_id, round(cos_raw, 6) AS cosine
-             |FROM ranked WHERE rn <= 3 ORDER BY q_id, cosine""".stripMargin)),
+             |FROM ranked WHERE rn <= 3 ORDER BY q_id, cosine""".stripMargin),
+      bench = true),
 
     // Per-label embedding centroid: elementwise mean via posexplode +
     // (label, pos) aggregation — the scalable vector-aggregate shape

@@ -269,7 +269,8 @@ object TextQueries {
               |SELECT pred_lang, count(*) AS n_docs FROM langs
               |WHERE ((doc_id % 2147483647) * 48271) % 2147483647 % 1000000 <
               |      CAST((CASE WHEN pred_lang = 'en' THEN 0.5 ELSE 1.0 END) * 1000000 AS BIGINT)
-              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
 
     // Document fingerprinting (min-hash over 5-token shingles),
     // portable variant: min over the shingles' 31-polynomial rolling
