@@ -123,35 +123,95 @@ object Dedup {
     * (band, bandHash) → distinct candidate pairs → verify estimated
     * Jaccard (fraction of agreeing signature positions) ≥ threshold.
     */
-  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      shingleLen: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
-                      threshold: Double = 0.7, portable: Boolean = false): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sigs = minhashSignatures(df, idCol, textCol, shingleLen, numHashes, portable)
-    // band hash: xxhash64 of the band's slice, or (portable) a
-    // 31-polynomial fold mod 1e9+7 of the band's values in order —
-    // extra bucket collisions only add candidates, which the
-    // signature-agreement verify filters identically on both engines
+  /** Banded signature rows (id, sig, band, bh) derived from an
+    * (id, sig) signature frame — a bounded per-row fold over the
+    * STORED signature, no text access and no shingle explode, which
+    * is what makes the banding re-derivable from a persisted
+    * signature store ([[incremental]]). Band hash: xxhash64 of the
+    * band's slice, or (portable) a 31-polynomial fold mod 1e9+7 of
+    * the band's values in order — extra bucket collisions only add
+    * candidates, which the signature-agreement verify filters
+    * identically on both engines. */
+  private def bandedSignatures(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                               portable: Boolean): DataFrame = {
     def bandHash(b: Column): Column = {
       val bandVals = slice(col("sig"), b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))
       if (portable)
         aggregate(bandVals, lit(0L), (h, v) => pmod(h * 31L + v, lit(1000000007L)))
       else xxhash64(bandVals)
     }
-    val banded = sigs.select(col("id"), col("sig"),
+    sigs.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), bandHash(b).as("bh")))).as("e"))
       .select(col("id"), col("sig"), col("e.band"), col("e.bh"))
+  }
+
+  /** Estimated Jaccard between two signature columns: fraction of
+    * agreeing positions. */
+  private def sigAgreement(a: Column, b: Column, numHashes: Int): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), p => p))
+      .cast("double") / lit(numHashes)
+
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleLen: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
+                      threshold: Double = 0.7, portable: Boolean = false): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = minhashSignatures(df, idCol, textCol, shingleLen, numHashes, portable)
+    val banded = bandedSignatures(sigs, bands, rowsPerBand, portable)
     val a = banded.as("a"); val b = banded.as("b")
     val cand = a.join(b,
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("d1"), col("b.id").as("d2"),
         col("a.sig").as("sig1"), col("b.sig").as("sig2"))
       .dropDuplicates("d1", "d2")
-    val est = size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), p => p))
-      .cast("double") / lit(numHashes)
+    val est = sigAgreement(col("sig1"), col("sig2"), numHashes)
     cand.select(col("d1"), col("d2"), round(est, 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Incremental (delta) near-dup detection: a NEW batch of documents
+    * against a persisted signature STORE — the shape a 100 TB corpus
+    * actually runs, where re-shingling the existing corpus on every
+    * arriving batch is not an option. The store is just
+    * [[minhashSignatures]] output (id, sig) persisted once (parquet /
+    * a table); this operator shingles ONLY the delta, re-derives
+    * band buckets on both sides from signatures alone (a bounded
+    * per-row fold — the store's documents' text is never touched),
+    * equi-joins on (band, bandHash) and verifies candidates by
+    * signature agreement, exactly [[minhashLshPairs]] semantics
+    * across the delta↔store cut.
+    *
+    * Output: one row per delta document and qualifying store match —
+    * (d_new, d_old, est_jaccard, status='dup') — plus one
+    * (d_new, null, null, 'new') row for each delta document with no
+    * match (the store-append candidates). Batch-internal duplicates
+    * are deliberately out of scope: run [[minhashLshPairs]] on the
+    * (small) delta itself for those.
+    *
+    * Store-side parameters must match the ones the store was built
+    * with (`bands · rowsPerBand` = stored signature length). */
+  def incremental(delta: DataFrame, store: DataFrame,
+                  idCol: String, textCol: String,
+                  shingleLen: Int = 5, bands: Int = 8, rowsPerBand: Int = 4,
+                  threshold: Double = 0.7, portable: Boolean = false): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val deltaSigs = minhashSignatures(delta, idCol, textCol, shingleLen, numHashes, portable)
+    val dB = bandedSignatures(deltaSigs, bands, rowsPerBand, portable)
+      .select(col("id").as("d_new"), col("sig").as("sig_new"), col("band"), col("bh"))
+    val sB = bandedSignatures(store.select(col("id"), col("sig")),
+        bands, rowsPerBand, portable)
+      .select(col("id").as("d_old"), col("sig").as("sig_old"), col("band"), col("bh"))
+    val cand = dB.join(sB, Seq("band", "bh"))
+      .select(col("d_new"), col("d_old"), col("sig_new"), col("sig_old"))
+      .dropDuplicates("d_new", "d_old")
+    val est = sigAgreement(col("sig_new"), col("sig_old"), numHashes)
+    val matched = cand
+      .select(col("d_new"), col("d_old"), round(est, 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+    delta.select(col(idCol).as("d_new"))
+      .join(matched, Seq("d_new"), "left")
+      .select(col("d_new"), col("d_old"), col("est_jaccard"),
+        when(col("d_old").isNull, lit("new")).otherwise(lit("dup")).as("status"))
   }
 
   /** Connected components over a near-dup pair list: the step that

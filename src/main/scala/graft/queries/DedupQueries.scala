@@ -47,6 +47,41 @@ object DedupQueries {
       |  JOIN sz s2 ON d2 = s2.doc_id
       |  WHERE n_inter / (s1.n_sh + s2.n_sh - n_inter) >= 0.6)""".stripMargin
 
+  /** Shared oracle CTE chain re-deriving the portable 32-hash MinHash
+    * signatures and their 8×4 band buckets for every document
+    * (`sig(doc_id, sig)`, `banded(doc_id, b, bh)`) — the DuckDB twin
+    * of [[Dedup.minhashSignatures]] + banding, reused by the pair and
+    * incremental gates. */
+  private val minhashBandedCte: String =
+    """toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+      |                          i -> array_to_string(t[i:i+4], ' '))) AS s
+      |    FROM toks)),
+      |rh AS (
+      |  SELECT doc_id, list_reduce(
+      |    list_prepend(0::BIGINT, list_transform(range(1, length(s) + 1),
+      |                            i -> unicode(substr(s, i, 1))::BIGINT)),
+      |    (h, c) -> (h * 31 + c) % 1000000007) AS rh
+      |  FROM sh),
+      |consts AS (
+      |  SELECT i,
+      |    (16807 * ((16807 * (2*i + 1)) % 2147483647)) % 2147483647 AS a,
+      |    (16807 * ((16807 * (2*i + 2)) % 2147483647)) % 2147483647 AS b
+      |  FROM range(0, 32) t(i)),
+      |sig AS (
+      |  SELECT doc_id, list(h ORDER BY i) AS sig FROM (
+      |    SELECT doc_id, i, min((a * rh + b) % 1000000007) AS h
+      |    FROM rh CROSS JOIN consts GROUP BY doc_id, i)
+      |  GROUP BY doc_id),
+      |banded AS (
+      |  SELECT doc_id, b,
+      |    list_reduce(list_prepend(0::BIGINT, sig[(4*b+1):(4*b+4)]),
+      |                (h, v) -> (h * 31 + v) % 1000000007) AS bh
+      |  FROM sig, range(0, 8) tb(b))""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: one shuffle on md5(text), lowest-id representative
@@ -114,46 +149,57 @@ object DedupQueries {
     QueryDef("q_dd_minhash_lsh",
       (s, d) => Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
         portable = true).orderBy("d1", "d2"),
-      Some("""WITH toks AS (
-             |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
-             |sh AS (
-             |  SELECT DISTINCT doc_id, s FROM (
-             |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
-             |                          i -> array_to_string(t[i:i+4], ' '))) AS s
-             |    FROM toks)),
-             |rh AS (
-             |  SELECT doc_id, list_reduce(
-             |    list_prepend(0::BIGINT, list_transform(range(1, length(s) + 1),
-             |                            i -> unicode(substr(s, i, 1))::BIGINT)),
-             |    (h, c) -> (h * 31 + c) % 1000000007) AS rh
-             |  FROM sh),
-             |consts AS (
-             |  SELECT i,
-             |    (16807 * ((16807 * (2*i + 1)) % 2147483647)) % 2147483647 AS a,
-             |    (16807 * ((16807 * (2*i + 2)) % 2147483647)) % 2147483647 AS b
-             |  FROM range(0, 32) t(i)),
-             |sig AS (
-             |  SELECT doc_id, list(h ORDER BY i) AS sig FROM (
-             |    SELECT doc_id, i, min((a * rh + b) % 1000000007) AS h
-             |    FROM rh CROSS JOIN consts GROUP BY doc_id, i)
-             |  GROUP BY doc_id),
-             |banded AS (
-             |  SELECT doc_id, b,
-             |    list_reduce(list_prepend(0::BIGINT, sig[(4*b+1):(4*b+4)]),
-             |                (h, v) -> (h * 31 + v) % 1000000007) AS bh
-             |  FROM sig, range(0, 8) tb(b)),
-             |cand AS (
-             |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-             |  FROM banded x JOIN banded y
-             |    ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
-             |est AS (
-             |  SELECT d1, d2,
-             |    round(len(list_filter(range(1, 33), i -> s1.sig[i] = s2.sig[i]))::DOUBLE / 32,
-             |          4) AS est_jaccard
-             |  FROM cand JOIN sig s1 ON s1.doc_id = d1 JOIN sig s2 ON s2.doc_id = d2)
-             |SELECT d1, d2, est_jaccard FROM est
-             |WHERE est_jaccard >= 0.7 ORDER BY d1, d2""".stripMargin),
+      Some(s"""WITH $minhashBandedCte,
+              |cand AS (
+              |  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+              |  FROM banded x JOIN banded y
+              |    ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id),
+              |est AS (
+              |  SELECT d1, d2,
+              |    round(len(list_filter(range(1, 33), i -> s1.sig[i] = s2.sig[i]))::DOUBLE / 32,
+              |          4) AS est_jaccard
+              |  FROM cand JOIN sig s1 ON s1.doc_id = d1 JOIN sig s2 ON s2.doc_id = d2)
+              |SELECT d1, d2, est_jaccard FROM est
+              |WHERE est_jaccard >= 0.7 ORDER BY d1, d2""".stripMargin),
       bench = true),
+
+    // Incremental (delta) dedup: the new batch (doc_id % 5 = 0)
+    // checked against a PERSISTED signature store built from the rest
+    // of the corpus — the production 100 TB shape where each arriving
+    // batch shingles only itself and the corpus side is a narrow
+    // (id, sig) parquet scan (IncrementalDedupSpec pins the plan:
+    // exactly one shingle subtree). The oracle re-derives both sides'
+    // signatures, the delta↔store band-bucket join, the agreement
+    // verify, and the left join that surfaces no-match delta docs as
+    // 'new' (the store-append candidates).
+    QueryDef("q_dd_incremental",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val scratch = graft.Scratch.tempDir("graft_inc_")
+        Dedup.minhashSignatures(docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", shingleLen = 5, numHashes = 32, portable = true)
+          .write.mode("overwrite").parquet(s"$scratch/sigstore")
+        val store = s.read.parquet(s"$scratch/sigstore")
+        Dedup.incremental(docs.filter(col("doc_id") % 5 === 0), store,
+          "doc_id", "text", portable = true)
+          .orderBy("d_new", "d_old")
+      },
+      Some(s"""WITH $minhashBandedCte,
+              |cand AS (
+              |  SELECT DISTINCT x.doc_id AS d_new, y.doc_id AS d_old
+              |  FROM banded x JOIN banded y ON x.b = y.b AND x.bh = y.bh
+              |  WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0),
+              |est AS (
+              |  SELECT d_new, d_old,
+              |    round(len(list_filter(range(1, 33), i -> s1.sig[i] = s2.sig[i]))::DOUBLE / 32,
+              |          4) AS est_jaccard
+              |  FROM cand JOIN sig s1 ON s1.doc_id = d_new JOIN sig s2 ON s2.doc_id = d_old),
+              |matched AS (SELECT * FROM est WHERE est_jaccard >= 0.7)
+              |SELECT d.doc_id AS d_new, m.d_old, m.est_jaccard,
+              |  CASE WHEN m.d_old IS NULL THEN 'new' ELSE 'dup' END AS status
+              |FROM documents d LEFT JOIN matched m ON m.d_new = d.doc_id
+              |WHERE d.doc_id % 5 = 0
+              |ORDER BY d_new, d_old""".stripMargin)),
 
     // SimHash with pigeonhole-chunk candidate generation, portable
     // variant: bit j of the signature is the majority vote over
