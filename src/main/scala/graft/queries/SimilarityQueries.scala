@@ -379,6 +379,54 @@ object SimilarityQueries {
              |              (h, c) -> (h * 31 + c) % 1000000007) AS checksum
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // Multimodal declared-vs-parsed metadata validation: payloads
+    // carry REAL container headers (spec-conformant PNG IHDR + CRC,
+    // canonical RIFF/WAVE fmt), the parse reads dimensions / channel
+    // layout back from the BYTES (big/little-endian field extraction
+    // + CRC-32 recheck, all codegen'd built-ins), and a deliberately
+    // corrupted declared-metadata subset (media_id % 50 = 0: width+1
+    // for images, 22050 Hz for audio) must surface as 'mismatch'.
+    // The oracle derives the expected parse from the fixture formulas
+    // INDEPENDENTLY of the byte plumbing, so a construction/parse bug
+    // that round-trips internally still hash-fails the gate.
+    // MediaHeaderSpec additionally proves the parsers against
+    // payloads written by the JDK's own PNG/WAVE encoders.
+    QueryDef("q_mm_validate",
+      (s, d) => {
+        val media = Multimodal.mediaWithHeaders(t(s, d, "documents"))
+        val corrupt = pmod(col("media_id"), lit(50)) === 0
+        val declW = (col("width") + when(corrupt, 1).otherwise(0)).cast("long")
+        val declSr = when(corrupt, 22050L).otherwise(col("sample_rate").cast("long"))
+        val pw = Multimodal.pngWidth(col("payload"))
+        val ph = Multimodal.pngHeight(col("payload"))
+        val wc = Multimodal.wavChannels(col("payload"))
+        val wsr = Multimodal.wavSampleRate(col("payload"))
+        media.select(col("media_id"), col("modality"),
+          pw.as("parsed_w"), ph.as("parsed_h"),
+          wc.as("parsed_channels"), wsr.as("parsed_sr"),
+          when(col("modality") === "image",
+            when(pw.isNull || ph.isNull, "corrupt")
+              .when(pw === declW && ph === col("height").cast("long"), "ok")
+              .otherwise("mismatch"))
+            .when(col("modality") === "audio",
+              when(wc.isNull || wsr.isNull, "corrupt")
+                .when(wc === col("channels").cast("long") && wsr === declSr, "ok")
+                .otherwise("mismatch"))
+            .otherwise("unparsed").as("status"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+             |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+             |  CASE WHEN doc_id % 3 = 0 THEN (doc_id % 16) * 64 + 256 END AS parsed_w,
+             |  CASE WHEN doc_id % 3 = 0 THEN (doc_id % 9) * 64 + 256 END AS parsed_h,
+             |  CASE WHEN doc_id % 3 = 1 THEN doc_id % 2 + 1 END AS parsed_channels,
+             |  CASE WHEN doc_id % 3 = 1 THEN CAST(16000 AS BIGINT) END AS parsed_sr,
+             |  CASE WHEN doc_id % 3 = 2 THEN 'unparsed'
+             |       WHEN doc_id % 50 = 0 THEN 'mismatch'
+             |       ELSE 'ok' END AS status
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
     // Multimodal: binary payload + metadata plumbing (decode stubbed)
     QueryDef("q_mm_meta",
       (s, d) => Multimodal.mediaFromDocuments(t(s, d, "documents"))
