@@ -73,6 +73,25 @@ object Curation {
     exactKept.join(nearDupLosers, col("doc_id") === col("loser"), "left_anti")
   }
 
+  /** Keep documents at or above the per-language `q`-quantile of the
+    * quality score — mixture-aware quality gating (one global cutoff
+    * over-prunes low-resource languages whose score distribution sits
+    * lower; per-stratum cutoffs prune each language against itself).
+    * The cutoffs are an EXACT percentile aggregate per stratum — a
+    * tiny (lang, cutoff) frame broadcast back onto the scored corpus,
+    * so the data flows once and nothing is approximate (the DuckDB
+    * oracle re-derives quantile_cont identically). At 100 TB swap the
+    * exact percentile for `approx_percentile` if the per-stratum sort
+    * memory bites; the plan shape is unchanged. */
+  def qualityCutoff(docs: DataFrame, q: Double): DataFrame = {
+    val scored = score(docs)
+    val cuts = scored.groupBy("pred_lang")
+      .agg(expr(s"percentile(quality, $q)").as("__cut"))
+    scored.join(broadcast(cuts), "pred_lang")
+      .filter(col("quality") >= col("__cut"))
+      .drop("__cut")
+  }
+
   /** Per-language stats of the curated corpus. */
   def curate(docs: DataFrame, minQuality: Double = 0.5,
              jaccardThreshold: Double = 0.6,

@@ -214,6 +214,21 @@ object Dedup {
         when(col("d_old").isNull, lit("new")).otherwise(lit("dup")).as("status"))
   }
 
+  /** Exact-duplicate variant of [[incremental]]: the store is the
+    * persisted [[exact]] output (text_hash, keep_id, …) — one narrow
+    * content-hash table, no text on the store side at all. The
+    * arriving batch is hashed per-row and left-joined: 'dup' rows
+    * carry the store's representative id, 'new' rows are the
+    * append set. One equi-join, broadcastable when the delta is
+    * small relative to the store's hash table partitioning. */
+  def incrementalExact(delta: DataFrame, hashStore: DataFrame,
+                       idCol: String, textCol: String): DataFrame =
+    delta.select(col(idCol).as("d_new"), md5(col(textCol)).as("text_hash"))
+      .join(hashStore.select(col("text_hash"), col("keep_id").as("d_old")),
+        Seq("text_hash"), "left")
+      .select(col("d_new"), col("d_old"),
+        when(col("d_old").isNull, lit("new")).otherwise(lit("dup")).as("status"))
+
   /** Connected components over a near-dup pair list: the step that
     * turns pairwise matches into an actionable keep-set (pairs alone
     * under-delete — A~B and B~C must collapse to ONE representative

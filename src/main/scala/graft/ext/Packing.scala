@@ -1,0 +1,51 @@
+package graft.ext
+
+import graft.ops.RelationalOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining: documents in a fixed
+  * deterministic order are conceptually concatenated into one token
+  * stream and cut into fixed-size context windows — the standard
+  * "concat-and-chunk" packing that turns a ragged corpus into
+  * training shards with zero padding waste.
+  *
+  * The plan for each document — which window its first token lands
+  * in, at what offset, and how many windows it spans — is pure
+  * prefix-sum arithmetic, so the whole operator reduces to ONE
+  * scalable exclusive running total
+  * ([[RelationalOps.runningTotal]]: per-bucket window cumsum +
+  * broadcast prefix offsets — never the single-task global window)
+  * plus per-row integer arithmetic. 100 TB posture: one narrow
+  * shuffle on the order-bucket prefix and one broadcast of bucket
+  * totals; a shard writer then groups by `bin_id` (one more shuffle)
+  * to emit the packed windows. Token prefix sums stay below 2^53
+  * (~9e15 — far above any real corpus), so the double-typed running
+  * total is exact.
+  */
+object Packing {
+
+  /** Per-document packing plan: adds `bin_id` (context window of the
+    * document's first token), `bin_offset` (token offset within that
+    * window) and `n_bins_spanned` (how many windows the document
+    * crosses — a shard writer reads consecutive windows for
+    * boundary-crossing docs).
+    *
+    * `orderBucket` must be a coarse order-preserving prefix of
+    * `order` (e.g. `floor(id / 10000)`) with a broadcastable bucket
+    * count — the [[RelationalOps.runningTotal]] contract. */
+  def packPlan(docs: DataFrame, order: Column, orderBucket: Column,
+               nTokens: Column, contextLen: Int): DataFrame = {
+    val withCum = RelationalOps.runningTotal(
+      docs.withColumn("__n", nTokens.cast("double")),
+      orderBucket, Seq(order), col("__n"), "__cum")
+    val cumBefore = (col("__cum") - col("__n")).cast("long")
+    val n = col("__n").cast("long")
+    withCum
+      .withColumn("bin_id", floor(cumBefore / contextLen))
+      .withColumn("bin_offset", cumBefore % contextLen)
+      .withColumn("n_bins_spanned",
+        floor((cumBefore + n - lit(1)) / contextLen) - col("bin_id") + lit(1))
+      .drop("__n", "__cum")
+  }
+}

@@ -163,6 +163,29 @@ object DedupQueries {
               |WHERE est_jaccard >= 0.7 ORDER BY d1, d2""".stripMargin),
       bench = true),
 
+    // Exact-dup incremental: the new batch hashed per-row and
+    // left-joined against the persisted exact-dedup output — the
+    // store side is one narrow (text_hash, keep_id) table, no text.
+    QueryDef("q_dd_inc_exact",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val scratch = graft.Scratch.tempDir("graft_incx_")
+        Dedup.exact(docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+          .write.mode("overwrite").parquet(s"$scratch/hashstore")
+        val store = s.read.parquet(s"$scratch/hashstore")
+        Dedup.incrementalExact(docs.filter(col("doc_id") % 5 === 0), store,
+          "doc_id", "text")
+          .orderBy("d_new")
+      },
+      Some("""WITH store AS (
+             |  SELECT md5(text) AS text_hash, min(doc_id) AS d_old
+             |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY text)
+             |SELECT d.doc_id AS d_new, s.d_old,
+             |  CASE WHEN s.d_old IS NULL THEN 'new' ELSE 'dup' END AS status
+             |FROM documents d LEFT JOIN store s ON md5(d.text) = s.text_hash
+             |WHERE d.doc_id % 5 = 0
+             |ORDER BY d_new""".stripMargin)),
+
     // Incremental (delta) dedup: the new batch (doc_id % 5 = 0)
     // checked against a PERSISTED signature store built from the rest
     // of the corpus — the production 100 TB shape where each arriving

@@ -272,6 +272,60 @@ object TextQueries {
               |GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true),
 
+    // Sequence packing ("concat-and-chunk"): every document's context
+    // window assignment, offset and span under 2048-token windows,
+    // derived from ONE scalable exclusive prefix sum (per-bucket
+    // cumsum + broadcast prefix offsets — the q_window_running
+    // machinery, never a single-task global window). The oracle
+    // recomputes the prefix sum with a plain window and the same
+    // integer arithmetic.
+    QueryDef("q_pack_docs",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+        graft.ext.Packing.packPlan(docs, col("doc_id"),
+          floor(col("doc_id") / 100), col("n_tokens"), contextLen = 2048)
+          .select(col("doc_id"), col("n_tokens"), col("bin_id"),
+            col("bin_offset"), col("n_bins_spanned"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tc AS (
+             |  SELECT doc_id, len(string_split_regex(text, '\s+')) AS n
+             |  FROM documents),
+             |cum AS (
+             |  SELECT doc_id, n,
+             |    CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+             |  FROM tc)
+             |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+             |  cb // 2048 AS bin_id, cb % 2048 AS bin_offset,
+             |  ((cb + n - 1) // 2048) - (cb // 2048) + 1 AS n_bins_spanned
+             |FROM cum ORDER BY doc_id""".stripMargin)),
+
+    // Per-language quality-percentile gating: keep docs at or above
+    // their own language's median quality — mixture-aware pruning
+    // (a global cutoff over-prunes low-resource strata). Exact
+    // percentile cutoffs, broadcast back; quantile_cont is the DuckDB
+    // twin of Spark's percentile (interpolation agrees exactly at
+    // data points and midpoints of equal neighbours, and strictly
+    // interior cutoffs make the >= comparison ulp-insensitive).
+    QueryDef("q_curate_cutoff",
+      (s, d) => graft.ext.Curation.qualityCutoff(t(s, d, "documents"), 0.5)
+        .groupBy("pred_lang")
+        .agg(count(lit(1)).as("n_kept"), round(min("quality"), 4).as("min_quality"))
+        .orderBy("pred_lang"),
+      Some(s"""WITH scored AS (
+              |  SELECT doc_id, $langIdSqlExpr AS pred_lang, $qualitySqlExpr AS quality
+              |  FROM documents),
+              |cuts AS (
+              |  SELECT pred_lang, quantile_cont(quality, 0.5) AS cut
+              |  FROM scored GROUP BY 1)
+              |SELECT s.pred_lang, count(*) AS n_kept,
+              |  round(min(s.quality), 4) AS min_quality
+              |FROM scored s JOIN cuts c ON s.pred_lang = c.pred_lang
+              |WHERE s.quality >= c.cut
+              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Document fingerprinting (min-hash over 5-token shingles),
     // portable variant: min over the shingles' 31-polynomial rolling
     // hashes mod 1e9+7 — the oracle recomputes every shingle hash, so

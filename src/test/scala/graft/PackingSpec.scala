@@ -1,0 +1,38 @@
+package graft
+
+import graft.ext.{Packing, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sequence packing: the distributed prefix-sum plan must equal a
+  * local reference concatenation exactly — every token accounted for,
+  * no window overflow, spans consistent with offsets. (The underlying
+  * two-phase running total's plan shape is pinned by q_window_running;
+  * this spec owns the packing arithmetic.)
+  */
+class PackingSpec extends AnyFunSuite with SharedSpark {
+
+  test("pack plan equals the local reference concatenation") {
+    val C = 512
+    val docs = graft.sources.Tables(spark, sf0001).table("documents")
+      .select(col("doc_id"), TextAnalysis.tokenCountWs(col("text")).cast("long").as("n"))
+    val got = Packing.packPlan(docs, col("doc_id"), floor(col("doc_id") / 50),
+        col("n"), C)
+      .select("doc_id", "n", "bin_id", "bin_offset", "n_bins_spanned")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.nonEmpty)
+    // local reference: exclusive running sum in doc_id order
+    var cum = 0L
+    got.foreach { case (id, n, bin, off, spans) =>
+      assert(bin === cum / C, s"doc $id bin")
+      assert(off === cum % C, s"doc $id offset")
+      assert(spans === (cum % C + n - 1) / C + 1, s"doc $id span")
+      assert(off >= 0 && off < C)
+      cum += n
+    }
+    // conservation: last doc's end == total token count
+    val total = got.map(_._2).sum
+    assert(cum === total)
+  }
+}
