@@ -151,6 +151,67 @@ object SimilarityQueries {
              |WHERE c >= 0.4 ORDER BY d1, d2""".stripMargin),
       bench = true),
 
+    // Embedding near-dup CLUSTERS: connected components over the
+    // LSH-candidate cosine pair graph — semantically-duplicate groups
+    // with one representative, the actionable output of embedding
+    // dedup (pairs alone under-delete transitive chains). Same
+    // persisted-pair + scratch-label contract as q_dd_clusters; the
+    // oracle chains the full LSH pair derivation into a recursive-CTE
+    // component search.
+    QueryDef("q_sim_clusters",
+      (s, d) => {
+        val scratch = graft.Scratch.tempDir("graft_simcc_")
+        Similarity.lshPairs(t(s, d, "embeddings"), threshold = 0.4,
+          bits = 8, tables = 8, portable = true)
+          .write.mode("overwrite").parquet(s"$scratch/pairs")
+        val pairs = s.read.parquet(s"$scratch/pairs")
+        graft.ext.Dedup.clusters(pairs, scratchDir = Some(scratch))
+          .groupBy("rep")
+          .agg(count(lit(1)).as("n_members"),
+            array_join(transform(sort_array(collect_list(col("id"))),
+              _.cast("string")), ",").as("members"))
+          .orderBy("rep")
+      },
+      Some("""WITH RECURSIVE elems AS (
+             |  SELECT vec_id, k, CAST(embedding[k+1] AS DOUBLE) AS v
+             |  FROM embeddings, range(0, 64) t(k)),
+             |signs AS (
+             |  SELECT l, j, k,
+             |    CASE WHEN ((16807 * ((16807 * ((l * 8 + j) * 64 + k + 1)) % 2147483647)) % 2147483647) % 2 = 1
+             |         THEN 1.0 ELSE -1.0 END AS s
+             |  FROM range(0, 8) tl(l), range(0, 8) tj(j), range(0, 64) tk(k)),
+             |projs AS (
+             |  SELECT vec_id, l, j, sum(v * s) AS proj
+             |  FROM elems JOIN signs USING (k) GROUP BY vec_id, l, j),
+             |buckets AS (
+             |  SELECT vec_id, l, sum(CASE WHEN proj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+             |  FROM projs GROUP BY vec_id, l),
+             |cand AS (
+             |  SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+             |  FROM buckets a JOIN buckets b
+             |    ON a.l = b.l AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+             |jpairs AS (
+             |  SELECT d1, d2 FROM (
+             |    SELECT d1, d2,
+             |      list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))
+             |      / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))
+             |       * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))) AS c
+             |    FROM cand JOIN embeddings ea ON ea.vec_id = d1
+             |              JOIN embeddings eb ON eb.vec_id = d2)
+             |  WHERE c >= 0.4),
+             |edges AS (
+             |  SELECT d1 AS a, d2 AS b FROM jpairs
+             |  UNION SELECT d2, d1 FROM jpairs),
+             |nodes AS (SELECT DISTINCT a AS id FROM edges),
+             |reach(id, r) AS (
+             |  SELECT id, id FROM nodes
+             |  UNION
+             |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+             |lab AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+             |SELECT rep, CAST(count(*) AS BIGINT) AS n_members,
+             |  array_to_string(list(id ORDER BY id), ',') AS members
+             |FROM lab GROUP BY rep ORDER BY rep""".stripMargin)),
+
     // LSH-bucketed ANN (the 100 TB scale path; recall vs brute force
     // is asserted in SimilaritySpec). Portable MINSTD hyperplanes let
     // the oracle re-derive the 4-bit buckets, the query's bucket
