@@ -297,9 +297,14 @@ object Dedup {
       .persist()
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("rep"), lit(0L))).head().getLong(0)
+    // LAZY checkpoints: the convergence-sum action doubles as the
+    // materializing action, so each round costs ONE job instead of an
+    // eager-checkpoint job plus a sum job — on small graphs the loop
+    // is pure scheduling overhead and this halves it; on large graphs
+    // it saves a full pass per round.
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("rep", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var prevSum = labelSum(labels)
     var converged = false
     var round = 0
@@ -311,8 +316,8 @@ object Dedup {
         .select(col("x.id").as("id"), col("y.rep").as("rep"))
       val prop = viaEdges.unionAll(viaPointer).unionAll(labels)
         .groupBy("id").agg(min("rep").as("rep"))
-        .localCheckpoint(true)
-      val s = labelSum(prop)
+        .localCheckpoint(false)
+      val s = labelSum(prop) // materializes prop's checkpoint
       unpersistCheckpoint(labels) // prop is already eagerly materialized
       labels = prop
       converged = s == prevSum

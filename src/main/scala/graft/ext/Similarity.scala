@@ -152,13 +152,13 @@ object Similarity {
     * scale the final assignment is computed once and persisted
     * alongside the embeddings, making queries touch only
     * ~nProbe/nCentroids of the data. */
-  def annIvf(corpus: DataFrame, queryVec: DataFrame, k: Int,
-             nCentroids: Int = 16, nProbe: Int = 2,
-             idCol: String = "vec_id", portable: Boolean = false,
-             lloydIters: Int = 0): DataFrame = {
-    // `portable` orders the centroid sample by the MINSTD bucket
-    // instead of xxhash64 — same deterministic one-pass seeding, but
-    // re-derivable in plain SQL for the oracle gate
+  /** Deterministic IVF centroid build shared by [[annIvf]] and
+    * [[annIvfBatch]]: hash-ordered seed sample + `lloydIters` k-means
+    * refinement rounds. `portable` orders the seed sample by the
+    * MINSTD bucket instead of xxhash64 — same deterministic one-pass
+    * seeding, but re-derivable in plain SQL for the oracle gates. */
+  def ivfCentroids(corpus: DataFrame, nCentroids: Int, idCol: String,
+                   portable: Boolean, lloydIters: Int): DataFrame = {
     val sampleOrder =
       if (portable) pmod(pmod(col("cid"), lit(2147483647L)) * 48271L, lit(2147483647L))
       else xxhash64(col("cid"))
@@ -190,6 +190,14 @@ object Similarity {
           s => s.getField("mv").cast("float")).as("c_emb"))
       centroids = refined
     }
+    centroids
+  }
+
+  def annIvf(corpus: DataFrame, queryVec: DataFrame, k: Int,
+             nCentroids: Int = 16, nProbe: Int = 2,
+             idCol: String = "vec_id", portable: Boolean = false,
+             lloydIters: Int = 0): DataFrame = {
+    val centroids = ivfCentroids(corpus, nCentroids, idCol, portable, lloydIters)
     val clustered = ivfAssign(corpus, centroids, idCol)
     // the query's nProbe nearest clusters
     val probed = broadcast(
@@ -203,6 +211,39 @@ object Similarity {
       .orderBy(desc("cos_raw"), col(idCol))
       .limit(k)
       .select(col(idCol), round(col("cos_raw"), 6).as("cosine"))
+  }
+
+  /** Batch IVF ANN: top-k per query for a whole FRAME of queries over
+    * ONE shared index — the amortized production shape ([[annLshBatch]]
+    * rationale: the index build and the corpus scan are paid once per
+    * batch, not once per query). Per-query probe sets come from a
+    * window top-nProbe over the broadcast centroids; candidates from
+    * the (cluster == probed cid) equi-join — both sides may be
+    * arbitrarily large, no broadcast of queries required; each query
+    * keeps its k best by cosine via a per-query window. */
+  def annIvfBatch(corpus: DataFrame, queries: DataFrame, k: Int,
+                  nCentroids: Int = 16, nProbe: Int = 2,
+                  idCol: String = "vec_id", portable: Boolean = false,
+                  lloydIters: Int = 0): DataFrame = {
+    val centroids = ivfCentroids(corpus, nCentroids, idCol, portable, lloydIters)
+    val clustered = ivfAssign(corpus, centroids, idCol)
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(fastCos(col("q_emb"), col("c_emb")).desc, col("cid"))
+    val qProbes = queries
+      .select(col(idCol).as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("cid").as("p_cid"))
+    val cos = fastCos(col("embedding"), col("q_emb"))
+    val wTopK = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(desc("cos_raw"), col(idCol))
+    clustered.join(qProbes, col("cluster") === col("p_cid"))
+      .select(col("q_id"), col(idCol), cos.as("cos_raw"))
+      .withColumn("rn", row_number().over(wTopK))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col(idCol), round(col("cos_raw"), 6).as("cosine"))
   }
 
   /** Per-vector symmetric int8 quantization scale: 127 / max|v|

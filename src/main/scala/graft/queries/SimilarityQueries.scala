@@ -46,12 +46,11 @@ object SimilarityQueries {
        |  FROM m$i GROUP BY cid)""".stripMargin
   }
 
-  /** Full portable IVF oracle: MINSTD-ordered 16-vector seed, two
-    * Lloyd steps, final assignment, query probe of the top-2 cells,
-    * cosine top-10 over the probed subset. */
-  private val ivfOracleSql: String =
-    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
-       |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+  /** Shared IVF index-build oracle chain over a parameterized corpus
+    * subset: MINSTD-ordered 16-vector seed, two Lloyd steps, final
+    * assignment (`asgfin(vec_id, cluster)`, centroids in `cents2`). */
+  private def ivfIndexCte(corpusWhere: String): String =
+    s"""corpus AS (SELECT vec_id, embedding FROM embeddings WHERE $corpusWhere),
        |cents0 AS (
        |  SELECT vec_id AS cid, embedding AS c_emb,
        |    row_number() OVER (ORDER BY ((vec_id % 2147483647) * 48271) % 2147483647, vec_id) AS rn
@@ -63,7 +62,13 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid DESC) AS rk
        |  FROM (SELECT c.vec_id, k.cid, ${cosSql("c.embedding", "k.c_emb")} AS sim
        |        FROM corpus c CROSS JOIN cents2 k)),
-       |asgfin AS (SELECT vec_id, cid AS cluster FROM afin WHERE rk = 1),
+       |asgfin AS (SELECT vec_id, cid AS cluster FROM afin WHERE rk = 1)""".stripMargin
+
+  /** Full portable IVF oracle: the shared index build, query probe of
+    * the top-2 cells, cosine top-10 over the probed subset. */
+  private val ivfOracleSql: String =
+    s"""WITH ${ivfIndexCte("vec_id <> 0")},
+       |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
        |probes AS (
        |  SELECT cid FROM (
        |    SELECT k.cid, ${cosSql("q.q_emb", "k.c_emb")} AS sim
@@ -75,6 +80,31 @@ object SimilarityQueries {
        |  WHERE asgfin.cluster IN (SELECT cid FROM probes))
        |SELECT vec_id, round(cos_raw, 6) AS cosine
        |FROM scored ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Batch IVF oracle: same index build over the batch corpus cut,
+    * then per-query probe top-2 + cosine top-3 windows. */
+  private val ivfBatchOracleSql: String =
+    s"""WITH ${ivfIndexCte("vec_id >= 10")},
+       |qs AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       |qprobes AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT q_id, cid,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, cid) AS rk
+       |    FROM (SELECT q.q_id, k.cid, ${cosSql("q.q_emb", "k.c_emb")} AS sim
+       |          FROM qs q CROSS JOIN cents2 k))
+       |  WHERE rk <= 2),
+       |scored AS (
+       |  SELECT p.q_id, c.vec_id, ${cosSql("c.embedding", "q.q_emb")} AS cos_raw
+       |  FROM corpus c
+       |  JOIN asgfin USING (vec_id)
+       |  JOIN qprobes p ON asgfin.cluster = p.cid
+       |  JOIN qs q ON q.q_id = p.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, cos_raw,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rn
+       |  FROM scored)
+       |SELECT q_id, vec_id, round(cos_raw, 6) AS cosine
+       |FROM ranked WHERE rn <= 3 ORDER BY q_id, vec_id""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -307,6 +337,22 @@ object SimilarityQueries {
           lloydIters = 2)
       },
       Some(ivfOracleSql), bench = true),
+
+    // Batch IVF: 10 queries share ONE Lloyd-refined index — the index
+    // build and corpus scan amortize over the batch (the annLshBatch
+    // rationale applied to IVF). Per-query probe top-2 via a window
+    // over broadcast centroids, candidates from the cluster equi-join,
+    // per-query cosine top-3. The oracle re-derives the entire index
+    // on the batch corpus cut plus both per-query windows.
+    QueryDef("q_sim_ann_ivf_batch",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.annIvfBatch(emb.filter(col("vec_id") >= 10),
+          emb.filter(col("vec_id") < 10), k = 3, portable = true,
+          lloydIters = 2)
+          .orderBy("q_id", "vec_id")
+      },
+      Some(ivfBatchOracleSql)),
 
     // Batch ANN: top-3 per query for 10 query vectors in ONE bucketed
     // equi-join + per-query window — the amortized many-queries plan

@@ -161,6 +161,18 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("annIvfBatch with a single query equals annIvf (shared index, same probes)") {
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val q = emb.filter(col("vec_id") === 0)
+    val single = Similarity.annIvf(corpus, q, k = 10, portable = true, lloydIters = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = Similarity.annIvfBatch(corpus, q, k = 10, portable = true, lloydIters = 1)
+      .orderBy(desc("cosine"), col("vec_id"))
+      .select("vec_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(batch === single)
+  }
+
   test("bucket assignment is deterministic across partitioning") {
     val a = emb.limit(50).select(col("vec_id"), Similarity.lshBucket(col("embedding"), 8).as("b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
