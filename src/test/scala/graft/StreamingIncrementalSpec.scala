@@ -1,0 +1,91 @@
+package graft
+
+import graft.ext.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The incremental-dedup operators in streaming form — the production
+  * deployment where new documents ARRIVE rather than sit in a batch:
+  *
+  *  - [[Dedup.incrementalExact]] is stateless DataFrame algebra
+  *    (hash + stream-static left join), so the SAME function runs
+  *    unchanged on a streaming frame: the static store keeps no
+  *    stream state, bounded at any arrival rate.
+  *  - [[Dedup.incremental]] (near-dup) aggregates (shingle →
+  *    signature min-aggs), which continuous mode cannot express
+  *    incrementally against a static side — the deployment shape is
+  *    `foreachBatch`, running the batch operator per micro-batch
+  *    delta. The spec pins exactly that pattern.
+  */
+class StreamingIncrementalSpec extends AnyFunSuite with SharedSpark {
+
+  test("incrementalExact runs unchanged as a stream-static left join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = Dedup.exact(
+      Seq((1L, "aa bb cc"), (2L, "dd ee ff"), (3L, "aa bb cc")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = Dedup.incrementalExact(mem.toDF().toDF("doc_id", "text"), store,
+        "doc_id", "text")
+      .writeStream.outputMode("append").format("memory").queryName("inc_exact").start()
+    try {
+      mem.addData((10L, "aa bb cc"), (11L, "zz yy xx"))
+      q.processAllAvailable()
+      mem.addData((12L, "dd ee ff"))
+      q.processAllAvailable()
+      val out = spark.table("inc_exact").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+        .sortBy(_._1)
+      assert(out === Array(
+        (10L, 1L, "dup"),   // matches the store's min-id representative
+        (11L, -1L, "new"),
+        (12L, 2L, "dup")))
+    } finally q.stop()
+  }
+
+  private val words =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split(" ")
+  private def doc(seed: Int): String =
+    (0 until 120).map { i =>
+      val h = scala.util.hashing.MurmurHash3.productHash((seed, i))
+      words(math.floorMod(h, words.length))
+    }.mkString(" ")
+  // one word changed in 120 → true 5-gram Jaccard ~0.92, comfortably
+  // above the 0.7 gate even under 32-hash MinHash estimation noise
+  private def nearDup(seed: Int): String = {
+    val t = doc(seed).split(" "); t(60) = "zulu"; t.mkString(" ")
+  }
+
+  test("near-dup incremental runs per micro-batch via foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val storeDocs = (0 until 10).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val store = Dedup.minhashSignatures(storeDocs, "doc_id", "text",
+      shingleLen = 5, numHashes = 32)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val out = Dedup.incremental(batch, store, "doc_id", "text").collect()
+        results.synchronized {
+          results ++= out.map(r =>
+            (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(3)))
+        }
+        ()
+      }
+      .start()
+    try {
+      mem.addData((100L, nearDup(2)), (101L, doc(55)))
+      q.processAllAvailable()
+      mem.addData((102L, nearDup(7)))
+      q.processAllAvailable()
+      val out = results.synchronized(results.sortBy(_._1).toSeq)
+      assert(out === Seq(
+        (100L, 2L, "dup"),
+        (101L, -1L, "new"),
+        (102L, 7L, "dup")), s"got $out")
+    } finally q.stop()
+  }
+}
