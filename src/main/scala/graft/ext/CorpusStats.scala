@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics operators for training-data curation: quality
+  * signals derived from the corpus's own token distribution (the
+  * rule-based [[TextAnalysis.qualityScore]] is content-blind to
+  * rarity; these see it), and distribution-drift monitoring between
+  * corpus cuts.
+  *
+  * Both operators sum per-token doubles across arbitrary partition
+  * orders, so each per-row term is quantized to an integer grid
+  * BEFORE aggregation — integer sums are exact in any accumulation
+  * order (the portable-IVF trick), which is what lets a SQL oracle
+  * re-derive the results bit-for-bit and keeps repeated runs
+  * byte-identical under any partitioning. The grids (2⁻²⁰ per-token
+  * log-prob, 2⁻³⁰ per-vocab KL term) sit far below any decision
+  * threshold a pipeline would apply.
+  */
+object CorpusStats {
+
+  private def tokens(df: DataFrame, textCol: String, extra: Column*): DataFrame =
+    df.select(extra :+ explode(split(lower(col(textCol)), "\\s+")).as("token"): _*)
+
+  /** Per-document mean unigram log-probability under the corpus's own
+    * empirical distribution — rare-token-heavy (noisy) documents score
+    * low, boilerplate scores high. Two passes over the token stream:
+    * one shuffle builds the frequency table, one join scores it; the
+    * grand total rides along as a broadcast single row. */
+  def unigramLogProb(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val toks = tokens(docs, textCol, col(idCol).as("id"))
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    val tot = broadcast(freq.agg(sum("tf").as("t")))
+    toks.join(freq, "token").crossJoin(tot)
+      .select(col("id"),
+        floor(log(col("tf").cast("double") / col("t").cast("double"))
+          * lit(1048576.0) + lit(0.5)).cast("long").as("qlp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum("qlp").as("sq"))
+      .select(col("id").as(idCol), col("n_tokens"),
+        round(col("sq").cast("double") / (col("n_tokens") * lit(1048576.0)), 6)
+          .as("avg_logprob"))
+  }
+
+  /** Add-one-smoothed unigram KL divergence KL(P‖Q) between two
+    * corpus cuts (P = `a`, Q = `b`) over their union vocabulary —
+    * the standard drift monitor between train/eval splits, corpus
+    * snapshots, or data sources. One full outer join of the two
+    * frequency tables, totals broadcast, one quantized sum. Output:
+    * a single (vocab, kl) row. */
+  def tokenKl(a: DataFrame, b: DataFrame, textCol: String = "text"): DataFrame = {
+    def freq(df: DataFrame, name: String) =
+      tokens(df, textCol).groupBy("token").agg(count(lit(1)).as(name))
+    val joined = freq(a, "tfa").join(freq(b, "tfb"), Seq("token"), "full")
+      .select(col("token"),
+        coalesce(col("tfa"), lit(0L)).as("tfa"),
+        coalesce(col("tfb"), lit(0L)).as("tfb"))
+    val totals = broadcast(joined.agg(
+      sum("tfa").as("ta"), sum("tfb").as("tb"), count(lit(1)).as("v")))
+    joined.crossJoin(totals)
+      .select(
+        ((col("tfa") + 1).cast("double") / (col("ta") + col("v")).cast("double")).as("p"),
+        ((col("tfb") + 1).cast("double") / (col("tb") + col("v")).cast("double")).as("q"))
+      .select(floor(col("p") * log(col("p") / col("q")) * lit(1073741824.0) + lit(0.5))
+        .cast("long").as("qt"))
+      .agg(count(lit(1)).as("vocab"),
+        round(sum("qt").cast("double") / lit(1073741824.0), 6).as("kl"))
+  }
+}

@@ -272,6 +272,71 @@ object TextQueries {
               |GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true),
 
+    // Corpus-statistics quality: per-doc mean unigram log-probability
+    // under the corpus's own distribution (rare-token-heavy docs score
+    // low). Per-token log-probs are quantized to 2^-20 before the
+    // mean, so Spark's partial-agg order and DuckDB's join order
+    // cannot diverge — the oracle re-derives every value exactly.
+    QueryDef("q_tx_logprob",
+      (s, d) => graft.ext.CorpusStats.unigramLogProb(t(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+             |  FROM documents),
+             |freq AS (SELECT token, count(*) AS tf FROM toks GROUP BY 1),
+             |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS t FROM freq),
+             |ql AS (
+             |  SELECT doc_id,
+             |    CAST(floor(ln(tf * 1.0 / t) * 1048576.0 + 0.5) AS BIGINT) AS qlp
+             |  FROM toks JOIN freq USING (token) CROSS JOIN tot)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |  round(CAST(sum(qlp) AS DOUBLE) / (count(*) * 1048576.0), 6) AS avg_logprob
+             |FROM ql GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Distribution drift: add-one-smoothed unigram KL(train || eval)
+    // across the portable 90/10 split — the monitor a pipeline runs
+    // between corpus snapshots. Per-vocab-term quantization (2^-30)
+    // makes the sum order-independent; the oracle rebuilds the split,
+    // both frequency tables, the union vocabulary and the same
+    // smoothed terms.
+    QueryDef("q_tx_kl",
+      (s, d) => {
+        val split = graft.ext.Sampling.split(t(s, d, "documents"), col("doc_id"),
+          Seq("train" -> 0.9, "eval" -> 0.1), portable = true)
+        graft.ext.CorpusStats.tokenKl(
+          split.filter(col("split") === "train"),
+          split.filter(col("split") === "eval"))
+      },
+      Some("""WITH lab AS (
+             |  SELECT doc_id, text,
+             |    CASE WHEN ((doc_id % 2147483647) * 48271) % 2147483647 % 1000000 < 900000
+             |         THEN 'train' ELSE 'eval' END AS split
+             |  FROM documents),
+             |fa AS (
+             |  SELECT token, count(*) AS tfa FROM (
+             |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+             |    FROM lab WHERE split = 'train') GROUP BY 1),
+             |fb AS (
+             |  SELECT token, count(*) AS tfb FROM (
+             |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+             |    FROM lab WHERE split = 'eval') GROUP BY 1),
+             |j AS (
+             |  SELECT COALESCE(tfa, 0) AS tfa, COALESCE(tfb, 0) AS tfb
+             |  FROM fa FULL OUTER JOIN fb USING (token)),
+             |tot AS (
+             |  SELECT CAST(sum(tfa) AS BIGINT) AS ta, CAST(sum(tfb) AS BIGINT) AS tb,
+             |         count(*) AS v
+             |  FROM j),
+             |terms AS (
+             |  SELECT CAST(floor(
+             |    ((tfa + 1) * 1.0 / (ta + v))
+             |      * ln(((tfa + 1) * 1.0 / (ta + v)) / ((tfb + 1) * 1.0 / (tb + v)))
+             |      * 1073741824.0 + 0.5) AS BIGINT) AS qt
+             |  FROM j CROSS JOIN tot)
+             |SELECT count(*) AS vocab,
+             |  round(CAST(sum(qt) AS DOUBLE) / 1073741824.0, 6) AS kl
+             |FROM terms""".stripMargin)),
+
     // Sequence packing ("concat-and-chunk"): every document's context
     // window assignment, offset and span under 2048-token windows,
     // derived from ONE scalable exclusive prefix sum (per-bucket
