@@ -52,26 +52,61 @@ object Curation {
   def curatedDocs(docs: DataFrame, minQuality: Double = 0.5,
                   jaccardThreshold: Double = 0.6,
                   checkpointDir: Option[String] = None): DataFrame = {
-    val filtered = score(docs)
-      .filter(col("quality") >= minQuality && col("pred_lang") =!= "other")
-    val exactKept0 = RelationalOps.argminBy(
-      filtered, Seq(col("text")), Seq(col("doc_id")))
-    val exactKept = checkpointDir.fold(exactKept0) { dir =>
-      val path = s"$dir/curation_scored"
-      exactKept0.write.mode("overwrite").parquet(path)
-      docs.sparkSession.read.parquet(path)
-    }
+    val exactKept = scoredExactKept(docs, minQuality, checkpointDir)
     // pairwise loser-removal policy: any doc that lost a comparison
-    // (appeared as d2 of a qualifying pair) is dropped. For the
-    // transitive-collapse policy — one representative per CONNECTED
-    // COMPONENT of the pair graph, which also merges A~B~C chains
-    // where A~C itself never qualified — feed the pairs through
-    // [[Dedup.clusters]] and anti-join on `id <> rep` instead.
+    // (appeared as d2 of a qualifying pair) is dropped. See
+    // [[curatedDocsTransitive]] for the connected-component policy.
     val nearDupLosers = Dedup.jaccardPairs(exactKept, "doc_id", "text",
       n = 5, threshold = jaccardThreshold)
       .select(col("d2").as("loser")).distinct()
     exactKept.join(nearDupLosers, col("doc_id") === col("loser"), "left_anti")
   }
+
+  /** Shared stages 1–3 (score → filter → exact dedup), with the
+    * optional parquet checkpoint cutting the plan diamond. */
+  private def scoredExactKept(docs: DataFrame, minQuality: Double,
+                              checkpointDir: Option[String]): DataFrame = {
+    val filtered = score(docs)
+      .filter(col("quality") >= minQuality && col("pred_lang") =!= "other")
+    val exactKept0 = RelationalOps.argminBy(
+      filtered, Seq(col("text")), Seq(col("doc_id")))
+    checkpointDir.fold(exactKept0) { dir =>
+      val path = s"$dir/curation_scored"
+      exactKept0.write.mode("overwrite").parquet(path)
+      docs.sparkSession.read.parquet(path)
+    }
+  }
+
+  /** The transitive-collapse near-dup policy: ONE representative per
+    * connected component of the qualifying pair graph. The pairwise
+    * loser-drop of [[curatedDocs]] under-deletes A~B~C chains where
+    * A~C itself never qualified (it keeps A AND C); here the pair
+    * graph runs through [[Dedup.clusters]] and every non-representative
+    * member is dropped — the policy a 100 TB dedup pass actually
+    * wants. With `checkpointDir` set the cluster labels also
+    * materialize to parquet (zero cache residue, the
+    * [[Dedup.clusters]] scratch contract). */
+  def curatedDocsTransitive(docs: DataFrame, minQuality: Double = 0.5,
+                            jaccardThreshold: Double = 0.6,
+                            checkpointDir: Option[String] = None): DataFrame = {
+    val exactKept = scoredExactKept(docs, minQuality, checkpointDir)
+    val pairs = Dedup.jaccardPairs(exactKept, "doc_id", "text",
+      n = 5, threshold = jaccardThreshold)
+    val labels = Dedup.clusters(pairs, scratchDir = checkpointDir.map(d => s"$d/cc"))
+    val losers = labels.filter(col("id") =!= col("rep")).select(col("id").as("loser"))
+    exactKept.join(losers, col("doc_id") === col("loser"), "left_anti")
+  }
+
+  /** Per-language stats under the transitive-collapse policy. */
+  def curateTransitive(docs: DataFrame, minQuality: Double = 0.5,
+                       jaccardThreshold: Double = 0.6,
+                       checkpointDir: Option[String] = None): DataFrame =
+    curatedDocsTransitive(docs, minQuality, jaccardThreshold, checkpointDir)
+      .groupBy("pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        round(avg("quality"), 4).as("avg_quality"))
+      .orderBy("pred_lang")
 
   /** Keep documents at or above the per-language `q`-quantile of the
     * quality score — mixture-aware quality gating (one global cutoff

@@ -64,6 +64,17 @@ object TextQueries {
         checkpointDir = Some(ckptDir())),
       Some(curateOracle), bench = true),
 
+    // Same pipeline under the TRANSITIVE-COLLAPSE near-dup policy:
+    // one representative per connected component of the pair graph
+    // (the pairwise loser-drop keeps both endpoints of an A~B~C
+    // chain's outer pair when A~C never qualified). The oracle runs
+    // the shared scored/pairs chain into a recursive-CTE component
+    // search and drops every non-representative.
+    QueryDef("q_curate_transitive",
+      (s, d) => graft.ext.Curation.curateTransitive(t(s, d, "documents"),
+        checkpointDir = Some(ckptDir())),
+      Some(curateTransitiveOracle)),
+
     // Corpus heavy hitters: top-20 tokens by document frequency
     QueryDef("q_tx_top_tokens",
       (s, d) => t(s, d, "documents")
@@ -465,9 +476,11 @@ object TextQueries {
        |SELECT doc_id, pred_lang, n_tokens, round(quality, 4) AS quality
        |FROM kept ORDER BY doc_id""".stripMargin
 
-  /** Shared CTE chain: score → filter → exact dedup → near-dup drop. */
-  private def curateKeptCte: String =
-    s"""WITH scored AS (
+  /** Shared CTE chain: score → filter → exact dedup → qualifying
+    * near-dup pair list (`qpairs(d1, d2)`). Both near-dup policies
+    * (pairwise loser drop, transitive collapse) build on it. */
+  private def curateScoredCte: String =
+    s"""scored AS (
        |  SELECT doc_id, text,
        |    $langIdSqlExpr AS pred_lang,
        |    $qualitySqlExpr AS quality,
@@ -488,14 +501,40 @@ object TextQueries {
        |                            i -> array_to_string(tokens[i:i+4], ' '))) AS s
        |    FROM toks)),
        |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-       |losers AS (
-       |  SELECT DISTINCT d2 FROM (
+       |qpairs AS (
+       |  SELECT d1, d2 FROM (
        |    SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
        |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
        |    GROUP BY 1, 2) i
        |  JOIN sz s1 ON d1 = s1.doc_id
        |  JOIN sz s2 ON d2 = s2.doc_id
-       |  WHERE n_inter / (s1.n_sh + s2.n_sh - n_inter) >= 0.6),
+       |  WHERE n_inter / (s1.n_sh + s2.n_sh - n_inter) >= 0.6)""".stripMargin
+
+  /** Pairwise-loser-drop policy tail over [[curateScoredCte]]. */
+  private def curateKeptCte: String =
+    s"""WITH $curateScoredCte,
        |kept AS (
-       |  SELECT * FROM exact_kept WHERE doc_id NOT IN (SELECT d2 FROM losers))""".stripMargin
+       |  SELECT * FROM exact_kept
+       |  WHERE doc_id NOT IN (SELECT DISTINCT d2 FROM qpairs))""".stripMargin
+
+  /** Transitive-collapse policy: connected components of the pair
+    * graph via a recursive CTE, drop every non-representative. */
+  private[queries] def curateTransitiveOracle: String =
+    s"""WITH RECURSIVE $curateScoredCte,
+       |edges AS (
+       |  SELECT d1 AS a, d2 AS b FROM qpairs
+       |  UNION SELECT d2, d1 FROM qpairs),
+       |nodes AS (SELECT DISTINCT a AS id FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+       |lab AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+       |kept AS (
+       |  SELECT * FROM exact_kept
+       |  WHERE doc_id NOT IN (SELECT id FROM lab WHERE id <> rep))
+       |SELECT pred_lang, count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       |  round(avg(quality), 4) AS avg_quality
+       |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
 }
