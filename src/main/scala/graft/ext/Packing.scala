@@ -48,4 +48,21 @@ object Packing {
         floor((cumBefore + n - lit(1)) / contextLen) - col("bin_id") + lit(1))
       .drop("__n", "__cum")
   }
+
+  /** Shard-writer manifest from a [[packPlan]]: one row per
+    * (window, document) intersection with the document-local token
+    * range [tok_from, tok_to) that lands in that window — exactly
+    * what a packed-shard writer consumes after one `groupBy(bin_id)`
+    * shuffle. Pure per-row explode + integer arithmetic; every
+    * window's ranges sum to `contextLen` (except the final partial
+    * window) and every document's ranges sum to its token count
+    * (PackingSpec pins both invariants). */
+  def binManifest(plan: DataFrame, contextLen: Int): DataFrame =
+    plan.select(col("doc_id"), col("n_tokens"), col("bin_id"), col("bin_offset"),
+        explode(sequence(lit(0L), col("n_bins_spanned") - 1)).as("k"))
+      .select(
+        (col("bin_id") + col("k")).as("bin_id"),
+        col("doc_id"),
+        greatest(lit(0L), col("k") * contextLen - col("bin_offset")).as("tok_from"),
+        least(col("n_tokens"), (col("k") + 1) * contextLen - col("bin_offset")).as("tok_to"))
 }

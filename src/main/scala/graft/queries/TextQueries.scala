@@ -378,6 +378,38 @@ object TextQueries {
              |  ((cb + n - 1) // 2048) - (cb // 2048) + 1 AS n_bins_spanned
              |FROM cum ORDER BY doc_id""".stripMargin)),
 
+    // Packing shard manifest: each (window, document) intersection
+    // with the doc-local token range that lands in the window — the
+    // shard writer's input. The oracle re-derives the prefix sums and
+    // the same per-window range arithmetic.
+    QueryDef("q_pack_manifest",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+        val plan = graft.ext.Packing.packPlan(docs, col("doc_id"),
+          floor(col("doc_id") / 100), col("n_tokens"), contextLen = 2048)
+        graft.ext.Packing.binManifest(plan, contextLen = 2048)
+          .orderBy("bin_id", "doc_id")
+      },
+      Some("""WITH tc AS (
+             |  SELECT doc_id, len(string_split_regex(text, '\s+')) AS n
+             |  FROM documents),
+             |cum AS (
+             |  SELECT doc_id, n,
+             |    CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+             |  FROM tc),
+             |plan AS (
+             |  SELECT doc_id, CAST(n AS BIGINT) AS n,
+             |    cb // 2048 AS bin0, cb % 2048 AS off,
+             |    ((cb + n - 1) // 2048) - (cb // 2048) + 1 AS spans
+             |  FROM cum)
+             |SELECT bin0 + k AS bin_id, doc_id,
+             |  CAST(greatest(0, k * 2048 - off) AS BIGINT) AS tok_from,
+             |  CAST(least(n, (k + 1) * 2048 - off) AS BIGINT) AS tok_to
+             |FROM (SELECT doc_id, n, bin0, off, unnest(range(0, spans)) AS k FROM plan)
+             |ORDER BY bin_id, doc_id""".stripMargin)),
+
     // Per-language quality-percentile gating: keep docs at or above
     // their own language's median quality — mixture-aware pruning
     // (a global cutoff over-prunes low-resource strata). Exact

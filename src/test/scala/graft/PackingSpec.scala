@@ -35,4 +35,33 @@ class PackingSpec extends AnyFunSuite with SharedSpark {
     val total = got.map(_._2).sum
     assert(cum === total)
   }
+
+  test("bin manifest: every window fills to C and every doc is fully covered") {
+    val C = 512
+    val docs = graft.sources.Tables(spark, sf0001).table("documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+    val plan = Packing.packPlan(docs, col("doc_id"), floor(col("doc_id") / 50),
+      col("n_tokens"), C)
+    val rows = Packing.binManifest(plan, C)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // per-document coverage: ranges tile [0, n) without gap or overlap
+    val n = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).foreach { case (doc, spans) =>
+      val sorted = spans.sortBy(_._1)
+      assert(sorted.head._3 === 0L, s"doc $doc starts at 0")
+      assert(sorted.last._4 === n(doc), s"doc $doc ends at n")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 === b._3, s"doc $doc gap between windows")
+        case _ =>
+      }
+    }
+    // per-window fill: exactly C tokens per window except the last
+    val fills = rows.groupBy(_._1).view.mapValues(_.map(s => s._4 - s._3).sum).toMap
+    val lastBin = fills.keys.max
+    fills.foreach { case (bin, fill) =>
+      if (bin != lastBin) assert(fill === C.toLong, s"window $bin fill $fill")
+      else assert(fill > 0 && fill <= C, s"final window $bin fill $fill")
+    }
+  }
 }
