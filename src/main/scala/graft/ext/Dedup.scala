@@ -399,4 +399,36 @@ object Dedup {
       .dropDuplicates("d1", "d2")
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Benchmark decontamination: flag corpus documents sharing at least
+    * one word-`n`-gram with any document of `evalSet` — the standard
+    * train/eval overlap scrub run before pretraining (eval benchmarks
+    * leak into web scrapes; contaminated docs inflate downstream
+    * scores).
+    *
+    * Returns every corpus row as (doc_id, hit_shingles, contaminated)
+    * where `hit_shingles` counts the document's DISTINCT n-grams that
+    * appear anywhere in the eval set.
+    *
+    * 100 TB posture: the eval side is benchmarks — MBs, not TBs — so
+    * its distinct shingle set is collected into a broadcast hash join
+    * (`broadcast()` hint); the corpus side is a shuffle-free explode
+    * feeding that map-side join, and only the (rare) hits reach the
+    * `groupBy(id)` count, which partial-aggregates map-side. The
+    * final left join attaches zero counts to clean docs. No stage
+    * moves the corpus text more than once. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val evalShingles = evalSet
+      .select(explode(TextAnalysis.wordShingles(col(textCol), n)).as("sh"))
+      .distinct()
+    val hits = shingleTable(corpus, idCol, textCol, n)
+      .join(broadcast(evalShingles), "sh")
+      .groupBy("id").agg(count(lit(1)).as("hit_shingles"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hit_shingles"), lit(0L)).as("hit_shingles"),
+        (coalesce(col("hit_shingles"), lit(0L)) > 0).as("contaminated"))
+  }
 }

@@ -270,5 +270,36 @@ object DedupQueries {
              |            JOIN bits q ON q.doc_id = d2 AND q.j = p.j
              |  GROUP BY d1, d2)
              |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin)),
+
+    // Benchmark decontamination: corpus docs sharing any word-5-gram
+    // with the held-out "eval" slice (doc_id % 89 == 0). The oracle
+    // re-derives both shingle sets and the distinct-hit counts.
+    QueryDef("q_dd_decontam",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val evalSet = docs.filter(col("doc_id") % 89 === 0)
+        val corpus = docs.filter(col("doc_id") % 89 =!= 0)
+        Dedup.decontaminate(corpus, evalSet, "doc_id", "text", n = 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, s FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+             |                            i -> array_to_string(t[i:i+4], ' '))) AS s
+             |    FROM toks)),
+             |eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 89 = 0),
+             |hits AS (
+             |  SELECT doc_id, count(*) AS hit_shingles
+             |  FROM sh JOIN eval_sh USING (s)
+             |  WHERE doc_id % 89 <> 0 GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  COALESCE(h.hit_shingles, 0) AS hit_shingles,
+             |  COALESCE(h.hit_shingles, 0) > 0 AS contaminated
+             |FROM documents d LEFT JOIN hits h USING (doc_id)
+             |WHERE d.doc_id % 89 <> 0 ORDER BY doc_id""".stripMargin)),
   )
 }

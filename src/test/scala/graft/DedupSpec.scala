@@ -129,4 +129,26 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(got.size === 20)
     assert(got.values.toSet === Set(0L), s"all labels must reach 0: $got")
   }
+
+  test("decontaminate: flags exactly the docs sharing an eval n-gram; eval side broadcasts") {
+    import spark.implicits._
+    val evalSet = Seq((100L, mk((1 to 10).map(i => s"e$i")))).toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares the eval doc's tokens 3..7 as one 5-gram, rest disjoint
+      (0L, mk(Seq("x1", "x2") ++ (3 to 7).map(i => s"e$i") ++ Seq("x3", "x4"))),
+      (1L, mk((1 to 12).map(i => s"c$i"))),      // clean
+      (2L, mk((1 to 10).map(i => s"e$i"))),      // verbatim eval copy
+      (3L, "tiny doc")                           // < 5 words → no shingles
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, evalSet, "doc_id", "text", n = 5)
+    val got = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(got(0L) === ((1L, true)), "single shared 5-gram")
+    assert(got(1L) === ((0L, false)))
+    assert(got(2L) === ((6L, true)), "all 6 shingles of the verbatim copy hit")
+    assert(got(3L) === ((0L, false)), "sub-shingle doc is clean by construction")
+    // the eval shingle set must reach the corpus as a broadcast join
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"eval side should broadcast:\n$plan")
+  }
 }
