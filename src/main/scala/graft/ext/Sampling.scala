@@ -82,4 +82,46 @@ object Sampling {
     val b = if (portable) minstdBucket(key, 1000000) else bucket(key, salt)
     df.filter(b < (frac * 1000000).cast("long"))
   }
+
+  /** Temperature-scaled domain mixing: sample so each stratum's share
+    * of the output follows `p(s) ∝ n_s^alpha` (alpha = 1 keeps natural
+    * proportions, alpha → 0 flattens toward uniform — the standard
+    * multilingual/domain rebalancing knob). With target output size
+    * `targetFraction · N`, stratum s keeps fraction
+    * `f_s = min(1, targetFraction · N · p(s) / n_s)`; capped strata
+    * (rare domains whose flattened share exceeds their size) keep
+    * everything and the output lands slightly under target —
+    * documented, not renormalized, so f_s stays a pure per-stratum
+    * formula.
+    *
+    * Scale: one small `groupBy(stratum)` count, a 1-row total, and a
+    * broadcast join of per-stratum fractions back onto the corpus —
+    * the corpus itself is touched by exactly one map-side filter.
+    * Determinism: membership is a pure key-hash test (see class doc);
+    * `alpha = 0.5` uses IEEE-exact `sqrt` and the weights are
+    * quantized to a 2⁻²⁰ integer grid before the total, so the whole
+    * fraction derivation is bit-reproducible in any SQL engine
+    * (`portable = true` + the gate's DuckDB twin re-derive it). */
+  def temperatureSample(df: DataFrame, key: Column, stratum: Column, alpha: Double,
+                        targetFraction: Double, salt: Int = 0,
+                        portable: Boolean = false): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "need 0 < alpha <= 1")
+    require(targetFraction > 0 && targetFraction <= 1, "need 0 < targetFraction <= 1")
+    val n = col("__n").cast("double")
+    // 2^-20-grid integer weight: exact to sum in any order/engine
+    val w = if (alpha == 0.5) sqrt(n) else pow(n, lit(alpha))
+    val weighted = df.groupBy(stratum.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__wq", floor(w * lit(1048576.0) + lit(0.5)).cast("long"))
+    val tot = weighted.agg(sum("__n").as("__totN"), sum("__wq").as("__totW"))
+    val fracs = weighted.crossJoin(broadcast(tot))
+      .select(col("__stratum"),
+        least(lit(1.0),
+          lit(targetFraction) * col("__totN") * (col("__wq") / col("__totW")) / col("__n"))
+          .as("__frac"))
+    val b = if (portable) minstdBucket(key, 1000000) else bucket(key, salt)
+    df.join(broadcast(fracs), stratum === col("__stratum"))
+      .filter(b < floor(col("__frac") * 1000000).cast("long"))
+      .drop("__stratum", "__frac")
+  }
 }

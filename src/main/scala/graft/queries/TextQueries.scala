@@ -283,6 +283,28 @@ object TextQueries {
               |GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true),
 
+    // Temperature-scaled domain mixing (alpha = 0.5, target 25%):
+    // per-language keep fractions follow p(s) ∝ sqrt(n_s); the oracle
+    // re-derives the 2^-20-grid weights, the fraction formula, and
+    // every row's MINSTD membership test.
+    QueryDef("q_sample_temperature",
+      (s, d) => graft.ext.Sampling.temperatureSample(
+        t(s, d, "documents").select("doc_id", "lang"),
+        col("doc_id"), col("lang"), alpha = 0.5, targetFraction = 0.25,
+        portable = true)
+        .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+             |w AS (SELECT lang, n,
+             |  CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1048576 + 0.5) AS BIGINT) AS wq
+             |  FROM c),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS totn, CAST(sum(wq) AS BIGINT) AS totw FROM w),
+             |fr AS (SELECT lang, least(1.0, 0.25 * totn * (wq / totw) / n) AS f
+             |       FROM w CROSS JOIN tot)
+             |SELECT d.doc_id, d.lang FROM documents d JOIN fr USING (lang)
+             |WHERE ((doc_id % 2147483647) * 48271) % 2147483647 % 1000000 <
+             |      CAST(floor(f * 1000000) AS BIGINT)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Corpus-statistics quality: per-doc mean unigram log-probability
     // under the corpus's own distribution (rare-token-heavy docs score
     // low). Per-token log-probs are quantized to 2^-20 before the
@@ -377,6 +399,26 @@ object TextQueries {
              |  cb // 2048 AS bin_id, cb % 2048 AS bin_offset,
              |  ((cb + n - 1) // 2048) - (cb // 2048) + 1 AS n_bins_spanned
              |FROM cum ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic shuffle + shard assignment: shard and within-shard
+    // position are pure MINSTD functions of doc_id; the oracle
+    // re-derives both hashes and ranks with a per-shard row_number.
+    QueryDef("q_pack_shards",
+      (s, d) => graft.ext.Packing.shardAssign(
+        t(s, d, "documents").select("doc_id"), col("doc_id"), nShards = 8)
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos"),
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    ((doc_id % 2147483647) * 48271) % 2147483647 AS h1
+             |  FROM documents),
+             |s AS (
+             |  SELECT doc_id, h1 % 8 AS shard,
+             |    ((h1 * 48271) % 2147483647) % 1000000 AS oh
+             |  FROM h)
+             |SELECT doc_id, shard,
+             |  row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id) - 1 AS pos
+             |FROM s ORDER BY shard, pos""".stripMargin)),
 
     // Packing shard manifest: each (window, document) intersection
     // with the doc-local token range that lands in the window — the

@@ -48,4 +48,31 @@ class SamplingSpec extends AnyFunSuite with SharedSpark {
       assert(after.getOrElse(l, 0L) === before(l), s"stratum $l must be untouched")
     }
   }
+
+  test("temperatureSample: alpha=1 keeps natural proportions; alpha=0.5 flattens toward rare strata") {
+    import spark.implicits._
+    // 800 "big" docs vs 50 "rare" docs, unique integer keys
+    val df = ((0 until 800).map(i => (i.toLong, "big")) ++
+      (800 until 850).map(i => (i.toLong, "rare"))).toDF("id", "s")
+    // alpha = 1: p(s) ∝ n_s, so every stratum keeps ~targetFraction
+    val nat = Sampling.temperatureSample(df, col("id"), col("s"),
+      alpha = 1.0, targetFraction = 0.5)
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(nat("big") > 300 && nat("big") < 500, s"~50% of big: $nat")
+    assert(nat("rare") > 10 && nat("rare") < 40, s"~50% of rare: $nat")
+    // alpha = 0.5: rare stratum's keep fraction rises (here to the
+    // cap f=1: 0.5·850·(sqrt50/(sqrt800+sqrt50))/50 ≈ 1.7 → capped),
+    // the big stratum funds it by dropping below 50%
+    val flat = Sampling.temperatureSample(df, col("id"), col("s"),
+      alpha = 0.5, targetFraction = 0.5)
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(flat("rare") === 50L, s"capped rare stratum keeps everything: $flat")
+    assert(flat("big") < nat("big"), s"big stratum shrinks under flattening: $flat vs $nat")
+    // determinism: same inputs → identical membership across runs
+    val again = Sampling.temperatureSample(df.repartition(7), col("id"), col("s"),
+      alpha = 0.5, targetFraction = 0.5).select("id").collect().map(_.getLong(0)).toSet
+    val first = Sampling.temperatureSample(df, col("id"), col("s"),
+      alpha = 0.5, targetFraction = 0.5).select("id").collect().map(_.getLong(0)).toSet
+    assert(again === first, "membership is partition-order independent")
+  }
 }
