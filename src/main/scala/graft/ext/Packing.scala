@@ -57,6 +57,39 @@ object Packing {
     * window's ranges sum to `contextLen` (except the final partial
     * window) and every document's ranges sum to its token count
     * (PackingSpec pins both invariants). */
+  /** Deterministic corpus shuffle + shard assignment: every row gets a
+    * `shard` in [0, nShards) and a 0-based `pos` within its shard,
+    * both pure functions of `key` — the "global random shuffle" step
+    * before packed-shard writing, reproducible across runs, cluster
+    * sizes, and partitionings (unlike `repartition` +
+    * `monotonically_increasing_id`, whose assignment is
+    * partition-order dependent).
+    *
+    * shard and the within-shard order come from two chained MINSTD
+    * steps of the key (SQL-portable — the gate re-derives every
+    * position in DuckDB). `pos` is ranked via
+    * [[RelationalOps.runningTotal]] over a fine-grained
+    * (shard, hash-range) order bucket, so no single-task global sort
+    * and no per-shard single-partition window: parallelism is
+    * 64·nShards regardless of shard size. */
+  def shardAssign(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    require(nShards > 0, "need nShards > 0")
+    val m = 2147483647L
+    val h1 = pmod(pmod(key, lit(m)) * 48271L, lit(m))
+    val bucketed = df
+      .withColumn("shard", pmod(h1, lit(nShards.toLong)))
+      .withColumn("__oh", pmod(pmod(h1 * 48271L, lit(m)), lit(1000000L)))
+    // coarse prefix of the (shard, oh, key) order: oh < 1e6 → oh»14
+    // fits [0, 62), so shard·64 + oh»14 sorts identically
+    val orderBucket = col("shard") * 64 + floor(col("__oh") / 16384)
+    val ranked = RelationalOps.runningTotal(bucketed, orderBucket,
+      Seq(col("__oh"), key), lit(1L), "__rank")
+    val starts = ranked.groupBy("shard").agg(min("__rank").as("__start"))
+    ranked.join(broadcast(starts), "shard")
+      .withColumn("pos", (col("__rank") - col("__start")).cast("long"))
+      .drop("__oh", "__rank", "__start")
+  }
+
   def binManifest(plan: DataFrame, contextLen: Int): DataFrame =
     plan.select(col("doc_id"), col("n_tokens"), col("bin_id"), col("bin_offset"),
         explode(sequence(lit(0L), col("n_bins_spanned") - 1)).as("k"))

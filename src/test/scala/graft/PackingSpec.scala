@@ -64,4 +64,26 @@ class PackingSpec extends AnyFunSuite with SharedSpark {
       else assert(fill > 0 && fill <= C, s"final window $bin fill $fill")
     }
   }
+
+  test("shardAssign: contiguous per-shard positions, partition-order independent") {
+    import spark.implicits._
+    val df = (0L until 1000L).toDF("id")
+    val out = Packing.shardAssign(df, col("id"), nShards = 8)
+      .select("id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet.size === 1000, "every key assigned exactly once")
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.toSeq === (0L until rows.length).toSeq,
+        s"shard $shard positions must be 0..${rows.length - 1}")
+    }
+    // no shard hogs the corpus (MINSTD spreads uniformly)
+    val sizes = out.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.values.max < 2 * sizes.values.min + 16, s"balanced: ${sizes.toMap}")
+    // same assignment after a repartition
+    val again = Packing.shardAssign(df.repartition(13), col("id"), nShards = 8)
+      .select("id", "shard", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(again.toSeq === out.sortBy(_._1).toSeq)
+  }
 }
