@@ -318,4 +318,160 @@ object Similarity {
       .filter(cos >= threshold)
       .select(col("d1"), col("d2"), round(cos, 4).as("cosine"))
   }
+
+  // ---------------------------------------------------------------
+  // Product quantization (PQ): compress each vector to `m` small
+  // centroid codes (one per dim/m-sized subspace) and answer top-k
+  // with asymmetric distance computation (ADC) — the memory-scale
+  // path when even int8 vectors are too big (m·log2(k) bits/vector;
+  // 4 subspaces × 16 centroids = 2 bytes for a 64-dim float vector).
+  // ---------------------------------------------------------------
+
+  /** Per-subspace k-means codebook: `(s, cid, c_sub)` rows, subspace
+    * s covering dims [s·dim/m, (s+1)·dim/m). Seeds are the hash-
+    * ordered first `kPerSub` corpus vectors' sub-slices (same
+    * deterministic sample as [[ivfCentroids]], `cid` = seed vec id),
+    * refined by `lloydIters` Lloyd rounds. Assignment is the fused
+    * [[graft.functions.NearestCentroidL2]] argmin over a BROADCAST
+    * per-subspace centroid array — the corpus is never shuffled; the
+    * re-center is one narrow (s, cid, pos) aggregation per round with
+    * the 2⁻²⁰-grid integer mean (`portable` Lloyd trick: exact in any
+    * accumulation order, so a SQL oracle re-derives the codebook
+    * bit-for-bit; the grid sits far below corpus noise). */
+  def pqCodebook(corpus: DataFrame, dim: Int, m: Int, kPerSub: Int,
+                 idCol: String = "vec_id", portable: Boolean = false,
+                 lloydIters: Int = 1): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val subDim = dim / m
+    val sampleOrder =
+      if (portable) pmod(pmod(col(idCol), lit(2147483647L)) * 48271L, lit(2147483647L))
+      else xxhash64(col(idCol))
+    val seeds = corpus.orderBy(sampleOrder, col(idCol)).limit(kPerSub)
+    def subSlices(emb: Column, out: String): Column =
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(emb, s * subDim + 1, lit(subDim)))).as(Seq("s", out))
+    var codebook = seeds.select(col(idCol).cast("long").as("cid"),
+        subSlices(col("embedding"), "c_sub"))
+      .select(col("s"), col("cid"), col("c_sub"))
+    val subVecs = corpus.select(col(idCol).as("vid"), subSlices(col("embedding"), "sv"))
+    for (_ <- 1 to lloydIters) {
+      val mean =
+        if (portable)
+          sum(floor(col("v").cast("double") * lit(1048576.0) + lit(0.5)).cast("long"))
+            .cast("double") / (count(lit(1)) * lit(1048576.0))
+        else avg(col("v").cast("double"))
+      codebook = pqAssign(subVecs, codebook, "sv")
+        .select(col("s"), col("cluster").as("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("s", "cid", "pos").agg(mean.as("mv"))
+        .groupBy("s", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          p => p.getField("mv").cast("float")).as("c_sub"))
+    }
+    codebook
+  }
+
+  /** Nearest-centroid-per-subspace assignment: joins the exploded
+    * (vid, s, subvec) frame with the BROADCAST per-subspace centroid
+    * arrays and adds `cluster` via the fused per-row L2 argmin (ties
+    * to the smaller cid — `ORDER BY dist ASC, cid ASC` semantics). */
+  private def pqAssign(subVecs: DataFrame, codebook: DataFrame,
+                       vecCol: String): DataFrame = {
+    val centsBySub = broadcast(codebook.groupBy("s")
+      .agg(collect_list(struct(col("cid"), col("c_sub"))).as("cents")))
+    subVecs.join(centsBySub, "s")
+      .withColumn("cluster",
+        graft.functions.VectorExpressions
+          .nearestCentroidL2Native(col(vecCol), col("cents")))
+      .drop("cents")
+  }
+
+  /** PQ-encode the corpus: `(idCol, codes)` with `codes(s)` = the
+    * nearest subspace-s centroid id. Pure per-row work against the
+    * broadcast codebook (array-of-arrays, subspace-indexed) — no
+    * explode, no shuffle: exactly the map a 100 TB encode job is. */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame, dim: Int, m: Int,
+               idCol: String = "vec_id"): DataFrame = {
+    val subDim = dim / m
+    val centsRow = broadcast(codebook.groupBy("s")
+      .agg(collect_list(struct(col("cid"), col("c_sub"))).as("cs"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("cs")))),
+        e => e.getField("cs")).as("allcents")))
+    corpus.crossJoin(centsRow)
+      .select(col(idCol),
+        transform(sequence(lit(0), lit(m - 1)), s =>
+          graft.functions.VectorExpressions.nearestCentroidL2Native(
+            slice(col("embedding"), s * subDim + 1, lit(subDim)),
+            element_at(col("allcents"), (s + 1).cast("int")))).as("codes"))
+  }
+
+  /** ADC top-k: score every encoded corpus vector against ONE query
+    * by summing per-subspace squared-L2 distances query→centroid,
+    * looked up from a broadcast distance table — the corpus side
+    * touches only its 2-byte codes (never the embeddings), which is
+    * the entire point of PQ at 100 TB. Distances quantize to the
+    * 2⁻²⁰ integer grid before the m-way sum, so the total is exact in
+    * any order and a SQL oracle re-derives every score. Returns
+    * (idCol, adist) — approximate squared L2, smaller = closer —
+    * via TakeOrderedAndProject (no global sort). */
+  def pqTopK(corpus: DataFrame, queryVec: DataFrame, k: Int, dim: Int,
+             m: Int, kPerSub: Int, idCol: String = "vec_id",
+             portable: Boolean = false, lloydIters: Int = 1): DataFrame =
+    pqAdcScores(corpus, queryVec, dim, m, kPerSub, idCol, portable, lloydIters)
+      .orderBy(col("adq"), col(idCol)).limit(k)
+      .select(col(idCol), round(col("adq") / lit(1048576.0), 6).as("adist"))
+
+  /** PQ with exact re-ranking — the production retrieval shape: the
+    * 2–4-byte codes prune the corpus to a `shortlist`, then ONLY the
+    * shortlist's float vectors are re-read for the exact squared-L2
+    * top-k. ADC error caps recall when codes are this small; a
+    * 5–10× oversampled shortlist recovers it while still touching
+    * `shortlist/|corpus|` of the embedding bytes — at 100 TB the
+    * embeddings never move: the broadcast shortlist id set prunes at
+    * the scan. */
+  def pqTopKRerank(corpus: DataFrame, queryVec: DataFrame, k: Int,
+                   shortlist: Int, dim: Int, m: Int, kPerSub: Int,
+                   idCol: String = "vec_id", portable: Boolean = false,
+                   lloydIters: Int = 1): DataFrame = {
+    val short = pqAdcScores(corpus, queryVec, dim, m, kPerSub, idCol, portable, lloydIters)
+      .orderBy(col("adq"), col(idCol)).limit(shortlist)
+      .select(col(idCol))
+    val d2full = aggregate(
+      zip_with(col("embedding"), col("q_emb"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    corpus.join(broadcast(short), idCol)
+      .crossJoin(broadcast(queryVec.select(col("embedding").as("q_emb"))))
+      .select(col(idCol), d2full.as("d2"))
+      .orderBy(col("d2"), col(idCol)).limit(k)
+      .select(col(idCol), round(col("d2"), 6).as("dist"))
+  }
+
+  /** Shared ADC scorer: `(idCol, adq)` — integer-grid approximate
+    * squared L2 of every corpus vector to the single query, computed
+    * from codes + a broadcast (s, cid) → distance map only. */
+  private def pqAdcScores(corpus: DataFrame, queryVec: DataFrame, dim: Int,
+                          m: Int, kPerSub: Int, idCol: String,
+                          portable: Boolean, lloydIters: Int): DataFrame = {
+    val subDim = dim / m
+    val codebook = pqCodebook(corpus, dim, m, kPerSub, idCol, portable, lloydIters)
+    val codes = pqEncode(corpus, codebook, dim, m, idCol)
+    // distance table: query sub-slice → every (s, cid) centroid,
+    // index-order fold, quantized to the integer grid
+    val qSubs = queryVec.select(
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("embedding"), s * subDim + 1, lit(subDim)))).as(Seq("s", "qv")))
+    val d2 = aggregate(
+      zip_with(col("qv"), col("c_sub"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val dMap = broadcast(codebook.join(qSubs, "s")
+      .select((col("cid") * m + col("s")).as("key"),
+        floor(d2 * lit(1048576.0) + lit(0.5)).cast("long").as("dq"))
+      .agg(map_from_entries(collect_list(struct(col("key"), col("dq")))).as("dmap")))
+    codes.crossJoin(dMap)
+      .select(col(idCol),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+          (acc, s) => acc + element_at(col("dmap"),
+            element_at(col("codes"), (s + 1).cast("int")) * m + s)).as("adq"))
+  }
 }

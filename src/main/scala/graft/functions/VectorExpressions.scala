@@ -340,6 +340,101 @@ case class NearestCentroid(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Nearest centroid by SQUARED L2 distance — the product-quantization
+  * assignment kernel ([[graft.ext.Similarity]] PQ operators). Same
+  * shape as [[NearestCentroid]] (broadcast
+  * `array<struct<cid, c_emb>>`, per-row fused argmin, full codegen)
+  * but metric `Σ_k (x_k − y_k)²` in index order and ties to the
+  * SMALLER cid — `min(struct(dist, cid))` semantics, so an oracle's
+  * `ORDER BY dist ASC, cid ASC` twin reproduces it. Null when the
+  * vector is null or no centroid matches the vector's length. */
+case class NearestCentroidL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val vec = a.asInstanceOf[ArrayData]
+    val cents = b.asInstanceOf[ArrayData]
+    val n = vec.numElements()
+    var bestD = 0.0
+    var bestCid = 0L
+    var found = false
+    var c = 0
+    val m = cents.numElements()
+    while (c < m) {
+      if (!cents.isNullAt(c)) {
+        val st = cents.getStruct(c, 2)
+        if (!st.isNullAt(0) && !st.isNullAt(1)) {
+          val cid = st.getLong(0)
+          val ce = st.getArray(1)
+          if (ce.numElements() == n) {
+            var d = 0.0
+            var k = 0
+            while (k < n) {
+              val diff = vec.getFloat(k).toDouble - ce.getFloat(k).toDouble
+              d += diff * diff
+              k += 1
+            }
+            if (!found || d < bestD || (d == bestD && cid < bestCid)) {
+              found = true; bestD = d; bestCid = cid
+            }
+          }
+        }
+      }
+      c += 1
+    }
+    if (found) bestCid else null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (vec, cents) => {
+      val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val k = ctx.freshName("k")
+      val st = ctx.freshName("st")
+      val cid = ctx.freshName("cid")
+      val ce = ctx.freshName("ce")
+      val d = ctx.freshName("d")
+      val diff = ctx.freshName("diff")
+      val bestD = ctx.freshName("bestD")
+      val bestCid = ctx.freshName("bestCid")
+      val found = ctx.freshName("found")
+      val rowCls = "org.apache.spark.sql.catalyst.InternalRow"
+      val arrCls = "org.apache.spark.sql.catalyst.util.ArrayData"
+      s"""
+         |int $n = $vec.numElements();
+         |double $bestD = 0.0;
+         |long $bestCid = 0L;
+         |boolean $found = false;
+         |int $m = $cents.numElements();
+         |for (int $c = 0; $c < $m; $c++) {
+         |  if ($cents.isNullAt($c)) continue;
+         |  $rowCls $st = $cents.getStruct($c, 2);
+         |  if ($st.isNullAt(0) || $st.isNullAt(1)) continue;
+         |  long $cid = $st.getLong(0);
+         |  $arrCls $ce = $st.getArray(1);
+         |  if ($ce.numElements() != $n) continue;
+         |  double $d = 0.0;
+         |  for (int $k = 0; $k < $n; $k++) {
+         |    double $diff = (double) $vec.getFloat($k) - (double) $ce.getFloat($k);
+         |    $d += $diff * $diff;
+         |  }
+         |  if (!$found || $d < $bestD || ($d == $bestD && $cid < $bestCid)) {
+         |    $found = true; $bestD = $d; $bestCid = $cid;
+         |  }
+         |}
+         |if ($found) { ${ev.value} = $bestCid; } else { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   import GraftColumnBridge.{column, expression}
   /** Column API for [[CosineSimilarity]] (inputs: two array<float>). */
@@ -356,6 +451,10 @@ object VectorExpressions {
   def nearestCentroidNative(vec: Column, cents: Column): Column =
     column(NearestCentroid(expression(vec), expression(cents)))
 
+  /** Column API for [[NearestCentroidL2]] (same input shapes). */
+  def nearestCentroidL2Native(vec: Column, cents: Column): Column =
+    column(NearestCentroidL2(expression(vec), expression(cents)))
+
   /** Make the expressions available to `spark.sql` as
     * `cosine_native(a, b)`, `lsh_bucket(vec, bits)` and
     * `nearest_centroid(vec, cents)`. */
@@ -367,5 +466,7 @@ object VectorExpressions {
         FunctionArgs.foldableInt("lsh_bucket", "bits", exprs(1))))
     GraftColumnBridge.registerFunction(spark, "nearest_centroid",
       exprs => NearestCentroid(exprs(0), exprs(1)))
+    GraftColumnBridge.registerFunction(spark, "nearest_centroid_l2",
+      exprs => NearestCentroidL2(exprs(0), exprs(1)))
   }
 }

@@ -106,6 +106,85 @@ object SimilarityQueries {
        |SELECT q_id, vec_id, round(cos_raw, 6) AS cosine
        |FROM ranked WHERE rn <= 3 ORDER BY q_id, vec_id""".stripMargin
 
+  /** Squared-L2 between two DOUBLE[] lists in index order — the
+    * DuckDB twin of [[graft.functions.NearestCentroidL2]]'s metric
+    * and the PQ distance-table fold (left fold over nonnegative
+    * terms ≡ Spark's 0.0-seeded `aggregate`). */
+  private def l2Sql(a: String, b: String, sub: Int): String =
+    s"list_reduce(list_transform(range(1, ${sub + 1}), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
+
+  /** Shared portable PQ oracle chain (through `scored(vec_id, adq)`):
+    * MINSTD 16-seed per subspace, one integer-grid Lloyd round,
+    * encode, quantized query distance table, exact integer ADC sums.
+    * Mirrors Similarity.pqAdcScores (dim 64, m = 4 subspaces of 16,
+    * kPerSub = 16, lloydIters = 1). */
+  private val pqChainCte: String =
+    s"""corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+       |seeds AS (
+       |  SELECT vec_id AS cid, embedding,
+       |    row_number() OVER (ORDER BY ((vec_id % 2147483647) * 48271) % 2147483647, vec_id) AS rn
+       |  FROM corpus QUALIFY rn <= 16),
+       |svl AS (
+       |  SELECT vec_id, s, CAST(embedding[(s*16+1):(s*16+16)] AS DOUBLE[]) AS sv
+       |  FROM corpus, range(0, 4) ts(s)),
+       |c0 AS (
+       |  SELECT s, cid, CAST(embedding[(s*16+1):(s*16+16)] AS DOUBLE[]) AS cv
+       |  FROM seeds, range(0, 4) ts(s)),
+       |a1 AS (
+       |  SELECT vec_id, s, cid,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rk
+       |  FROM (SELECT v.vec_id, v.s, c.cid, ${l2Sql("v.sv", "c.cv", 16)} AS d
+       |        FROM svl v JOIN c0 c ON v.s = c.s)),
+       |m1 AS (
+       |  SELECT a.s, a.cid, k,
+       |    CAST(sum(CAST(floor(v.sv[k+1] * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
+       |      / (count(*) * 1048576.0) AS mv
+       |  FROM a1 a JOIN svl v ON v.vec_id = a.vec_id AND v.s = a.s, range(0, 16) t(k)
+       |  WHERE a.rk = 1
+       |  GROUP BY a.s, a.cid, k),
+       |c1 AS (
+       |  SELECT s, cid, list(CAST(CAST(mv AS FLOAT) AS DOUBLE) ORDER BY k) AS cv
+       |  FROM m1 GROUP BY s, cid),
+       |af AS (
+       |  SELECT vec_id, s, cid,
+       |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rk
+       |  FROM (SELECT v.vec_id, v.s, c.cid, ${l2Sql("v.sv", "c.cv", 16)} AS d
+       |        FROM svl v JOIN c1 c ON v.s = c.s)),
+       |enc AS (SELECT vec_id, s, cid FROM af WHERE rk = 1),
+       |qsv AS (
+       |  SELECT s, CAST(embedding[(s*16+1):(s*16+16)] AS DOUBLE[]) AS qv
+       |  FROM embeddings, range(0, 4) ts(s) WHERE vec_id = 0),
+       |dt AS (
+       |  SELECT c.s, c.cid,
+       |    CAST(floor(${l2Sql("q.qv", "c.cv", 16)} * 1048576.0 + 0.5) AS BIGINT) AS dq
+       |  FROM c1 c JOIN qsv q ON c.s = q.s),
+       |scored AS (
+       |  SELECT e.vec_id, CAST(sum(d.dq) AS BIGINT) AS adq
+       |  FROM enc e JOIN dt d ON d.s = e.s AND d.cid = e.cid
+       |  GROUP BY e.vec_id)""".stripMargin
+
+  private val pqOracleSql: String =
+    s"""WITH $pqChainCte
+       |SELECT vec_id, round(CAST(adq AS DOUBLE) / 1048576.0, 6) AS adist
+       |FROM scored ORDER BY adq, vec_id LIMIT 10""".stripMargin
+
+  /** PQ + exact re-rank oracle: ADC top-50 shortlist from the shared
+    * chain, then exact full-vector squared L2 (index-order fold) for
+    * the final top-10 — mirrors Similarity.pqTopKRerank. */
+  private val pqRerankOracleSql: String =
+    s"""WITH $pqChainCte,
+       |short AS (SELECT vec_id FROM scored ORDER BY adq, vec_id LIMIT 50),
+       |qfull AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0),
+       |rer AS (
+       |  SELECT c.vec_id,
+       |    ${l2Sql("c.ce", "q.qe", 64)} AS d2
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+       |        FROM corpus JOIN short USING (vec_id)) c
+       |  CROSS JOIN qfull q)
+       |SELECT vec_id, round(d2, 6) AS dist
+       |FROM rer ORDER BY d2, vec_id LIMIT 10""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-10 to vec_id 0 (baseline ANN)
@@ -353,6 +432,34 @@ object SimilarityQueries {
           .orderBy("q_id", "vec_id")
       },
       Some(ivfBatchOracleSql)),
+
+    // Product quantization ADC top-10: per-subspace k-means codebook
+    // (MINSTD seed, one integer-grid Lloyd round), 2-byte codes, and
+    // asymmetric-distance scoring from a broadcast query→centroid
+    // table. The oracle re-derives the entire pipeline: seeds →
+    // per-subspace assignment (L2², tie cid ASC) → grid means →
+    // encode → quantized distance table → exact integer ADC sums.
+    QueryDef("q_sim_pq",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.pqTopK(emb.filter(col("vec_id") =!= 0),
+          emb.filter(col("vec_id") === 0), k = 10, dim = 64, m = 4,
+          kPerSub = 16, portable = true, lloydIters = 1)
+      },
+      Some(pqOracleSql), bench = true),
+
+    // PQ + exact re-rank: ADC top-50 shortlist, exact squared-L2
+    // top-10 over only the shortlist's float vectors — the
+    // production two-stage retrieval. Oracle extends the PQ chain
+    // with the same shortlist cut and full-vector re-rank.
+    QueryDef("q_sim_pq_rerank",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.pqTopKRerank(emb.filter(col("vec_id") =!= 0),
+          emb.filter(col("vec_id") === 0), k = 10, shortlist = 50,
+          dim = 64, m = 4, kPerSub = 16, portable = true, lloydIters = 1)
+      },
+      Some(pqRerankOracleSql)),
 
     // Batch ANN: top-3 per query for 10 query vectors in ONE bucketed
     // equi-join + per-query window — the amortized many-queries plan

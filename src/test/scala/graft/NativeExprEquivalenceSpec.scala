@@ -222,4 +222,56 @@ class NativeExprEquivalenceSpec extends AnyFunSuite with SharedSpark {
     assert(graft.functions.NearestCentroid(
       Literal.create(vecs.head._2, ArrayType(FloatType)), emptyCents).eval(null) == null)
   }
+
+  test("NearestCentroidL2 codegen == interpreted eval == min(struct) argmin") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType, StructField, StructType}
+    val dim = 16
+    val vecs = (0 until 40).map(i => i.toLong -> Array.fill(dim)(rng.nextFloat() * 2 - 1))
+    // centroid 0 duplicated under cid 99: bitwise-equal distances, and
+    // the SMALLER cid must win (min(struct(dist, cid)) semantics — the
+    // opposite tie-break of the cosine argmax)
+    val cents = (0 until 8).map(c => c.toLong -> Array.fill(dim)(rng.nextFloat() * 2 - 1))
+    val centsAll = cents :+ (99L -> cents.head._2.clone())
+    val centsDf = centsAll.toDF("cid", "c_emb")
+      .select(col("cid"), col("c_emb").cast("array<float>").as("c_emb"))
+    val corpus = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val centsRow = broadcast(centsDf.agg(
+      collect_list(struct(col("cid"), col("c_emb"))).as("cents")))
+    val got = corpus.crossJoin(centsRow)
+      .select(col("vec_id"),
+        VectorExpressions.nearestCentroidL2Native(col("embedding"), col("cents")).as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: crossJoin + min(struct(dist, cid)) argmin over the
+    // HOF index-order fold of Σ(x−y)²
+    val d2 = aggregate(
+      zip_with(col("embedding"), col("c_emb"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val want = corpus.crossJoin(centsDf)
+      .groupBy("vec_id")
+      .agg(min(struct(d2.as("d"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(!got.values.exists(_ == 99L), s"ties must pick the smaller cid: $got")
+    // interpreted eval agrees bit-for-bit with the generated Java
+    val centsType = ArrayType(StructType(Seq(
+      StructField("cid", LongType), StructField("c_emb", ArrayType(FloatType)))))
+    val toCatalyst = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(centsType)
+    val centsLit = Literal(
+      toCatalyst(centsAll.map { case (c, e) => org.apache.spark.sql.Row(c, e.toSeq) }),
+      centsType)
+    vecs.foreach { case (id, v) =>
+      val interp = graft.functions.NearestCentroidL2(
+        Literal.create(v, ArrayType(FloatType)), centsLit).eval(null)
+      assert(interp === got(id), s"vec $id")
+    }
+    val emptyCents = Literal(toCatalyst(Seq.empty[org.apache.spark.sql.Row]), centsType)
+    assert(graft.functions.NearestCentroidL2(
+      Literal.create(vecs.head._2, ArrayType(FloatType)), emptyCents).eval(null) == null)
+  }
 }
