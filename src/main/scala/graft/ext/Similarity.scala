@@ -446,6 +446,42 @@ object Similarity {
       .select(col(idCol), round(col("d2"), 6).as("dist"))
   }
 
+  /** Batch PQ ADC: top-k per query for a FRAME of queries sharing ONE
+    * codebook — the index build and the code scan amortize over the
+    * batch (the annLshBatch/annIvfBatch rationale applied to PQ).
+    * Per-query distance tables are broadcast (m·kPerSub·|queries|
+    * rows); the corpus side explodes its m codes once, joins the
+    * broadcast tables map-side, and partial-aggregates the exact
+    * integer ADC sums before the one (q_id, vec_id) shuffle; a
+    * per-query window keeps the k best. The embeddings themselves
+    * never move — only codes do, which is the PQ contract at 100 TB. */
+  def pqTopKBatch(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                  m: Int, kPerSub: Int, idCol: String = "vec_id",
+                  portable: Boolean = false, lloydIters: Int = 1): DataFrame = {
+    val subDim = dim / m
+    val codebook = pqCodebook(corpus, dim, m, kPerSub, idCol, portable, lloydIters)
+    val codes = pqEncode(corpus, codebook, dim, m, idCol)
+    val qSubs = queries.select(col(idCol).as("q_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("embedding"), s * subDim + 1, lit(subDim)))).as(Seq("s", "qv")))
+    val d2 = aggregate(
+      zip_with(col("qv"), col("c_sub"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val dt = broadcast(codebook.join(qSubs, "s")
+      .select(col("q_id"), col("s"), col("cid"),
+        floor(d2 * lit(1048576.0) + lit(0.5)).cast("long").as("dq")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adq"), col(idCol))
+    codes.select(col(idCol), posexplode(col("codes")).as(Seq("s", "cid")))
+      .join(dt, Seq("s", "cid"))
+      .groupBy(col("q_id"), col(idCol)).agg(sum(col("dq")).as("adq"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col(idCol),
+        round(col("adq") / lit(1048576.0), 6).as("adist"))
+  }
+
   /** Shared ADC scorer: `(idCol, adq)` — integer-grid approximate
     * squared L2 of every corpus vector to the single query, computed
     * from codes + a broadcast (s, cid) → distance map only. */

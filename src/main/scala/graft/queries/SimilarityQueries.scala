@@ -114,13 +114,13 @@ object SimilarityQueries {
     s"list_reduce(list_transform(range(1, ${sub + 1}), " +
       s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), (x, y) -> x + y)"
 
-  /** Shared portable PQ oracle chain (through `scored(vec_id, adq)`):
-    * MINSTD 16-seed per subspace, one integer-grid Lloyd round,
-    * encode, quantized query distance table, exact integer ADC sums.
-    * Mirrors Similarity.pqAdcScores (dim 64, m = 4 subspaces of 16,
-    * kPerSub = 16, lloydIters = 1). */
-  private val pqChainCte: String =
-    s"""corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+  /** Shared portable PQ index chain (through `enc(vec_id, s, cid)` +
+    * codebook `c1`): MINSTD 16-seed per subspace, one integer-grid
+    * Lloyd round, per-subspace encode. Mirrors
+    * Similarity.pqCodebook/pqEncode (dim 64, m = 4 subspaces of 16,
+    * kPerSub = 16, lloydIters = 1) over a parameterized corpus cut. */
+  private def pqIndexCte(corpusWhere: String): String =
+    s"""corpus AS (SELECT vec_id, embedding FROM embeddings WHERE $corpusWhere),
        |seeds AS (
        |  SELECT vec_id AS cid, embedding,
        |    row_number() OVER (ORDER BY ((vec_id % 2147483647) * 48271) % 2147483647, vec_id) AS rn
@@ -151,8 +151,12 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rk
        |  FROM (SELECT v.vec_id, v.s, c.cid, ${l2Sql("v.sv", "c.cv", 16)} AS d
        |        FROM svl v JOIN c1 c ON v.s = c.s)),
-       |enc AS (SELECT vec_id, s, cid FROM af WHERE rk = 1),
-       |qsv AS (
+       |enc AS (SELECT vec_id, s, cid FROM af WHERE rk = 1)""".stripMargin
+
+  /** Single-query ADC tail (query = vec_id 0) through
+    * `scored(vec_id, adq)`. */
+  private val pqScoredCte: String =
+    s"""qsv AS (
        |  SELECT s, CAST(embedding[(s*16+1):(s*16+16)] AS DOUBLE[]) AS qv
        |  FROM embeddings, range(0, 4) ts(s) WHERE vec_id = 0),
        |dt AS (
@@ -164,10 +168,37 @@ object SimilarityQueries {
        |  FROM enc e JOIN dt d ON d.s = e.s AND d.cid = e.cid
        |  GROUP BY e.vec_id)""".stripMargin
 
+  private val pqChainCte: String =
+    s"${pqIndexCte("vec_id <> 0")},\n$pqScoredCte"
+
   private val pqOracleSql: String =
     s"""WITH $pqChainCte
        |SELECT vec_id, round(CAST(adq AS DOUBLE) / 1048576.0, 6) AS adist
        |FROM scored ORDER BY adq, vec_id LIMIT 10""".stripMargin
+
+  /** Batch PQ oracle: index over the batch corpus cut, per-query
+    * distance tables, exact integer ADC sums, per-query top-3 —
+    * mirrors Similarity.pqTopKBatch. */
+  private val pqBatchOracleSql: String =
+    s"""WITH ${pqIndexCte("vec_id >= 10")},
+       |qsvb AS (
+       |  SELECT vec_id AS q_id, s,
+       |    CAST(embedding[(s*16+1):(s*16+16)] AS DOUBLE[]) AS qv
+       |  FROM embeddings, range(0, 4) ts(s) WHERE vec_id < 10),
+       |dtb AS (
+       |  SELECT q.q_id, c.s, c.cid,
+       |    CAST(floor(${l2Sql("q.qv", "c.cv", 16)} * 1048576.0 + 0.5) AS BIGINT) AS dq
+       |  FROM c1 c JOIN qsvb q ON c.s = q.s),
+       |scoredb AS (
+       |  SELECT d.q_id, e.vec_id, CAST(sum(d.dq) AS BIGINT) AS adq
+       |  FROM enc e JOIN dtb d ON d.s = e.s AND d.cid = e.cid
+       |  GROUP BY d.q_id, e.vec_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, adq,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adq, vec_id) AS rn
+       |  FROM scoredb)
+       |SELECT q_id, vec_id, round(CAST(adq AS DOUBLE) / 1048576.0, 6) AS adist
+       |FROM ranked WHERE rn <= 3 ORDER BY q_id, vec_id""".stripMargin
 
   /** PQ + exact re-rank oracle: ADC top-50 shortlist from the shared
     * chain, then exact full-vector squared L2 (index-order fold) for
@@ -460,6 +491,20 @@ object SimilarityQueries {
           dim = 64, m = 4, kPerSub = 16, portable = true, lloydIters = 1)
       },
       Some(pqRerankOracleSql)),
+
+    // Batch PQ: 10 queries share one codebook; per-query broadcast
+    // distance tables, exploded-code map-side join, exact integer ADC
+    // sums, per-query top-3. The oracle re-derives the shared index
+    // and every per-query score.
+    QueryDef("q_sim_pq_batch",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.pqTopKBatch(emb.filter(col("vec_id") >= 10),
+          emb.filter(col("vec_id") < 10), k = 3, dim = 64, m = 4,
+          kPerSub = 16, portable = true, lloydIters = 1)
+          .orderBy("q_id", "vec_id")
+      },
+      Some(pqBatchOracleSql)),
 
     // Batch ANN: top-3 per query for 10 query vectors in ONE bucketed
     // equi-join + per-query window — the amortized many-queries plan

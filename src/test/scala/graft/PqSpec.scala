@@ -71,6 +71,16 @@ class PqSpec extends AnyFunSuite with SharedSpark {
     assert(hits >= 5, s"shortlist hits = $hits/10")
   }
 
+  test("batch ADC for a single query equals the single-query path") {
+    val single = Similarity.pqTopK(corpus, query, k = 10, dim, m, kSub,
+      portable = true, lloydIters = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val batch = Similarity.pqTopKBatch(corpus, query, k = 10, dim, m, kSub,
+      portable = true, lloydIters = 1)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(batch.sortBy(_._1) === single.sortBy(_._1))
+  }
+
   test("rerank with finer codes (m = 8) recovers most of the exact top-10") {
     // 4-byte codes + exact re-rank of a 50-shortlist: the production
     // two-stage shape. Deterministic measurement: 7/10.

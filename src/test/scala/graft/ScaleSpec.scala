@@ -83,6 +83,29 @@ class ScaleSpec extends AnyFunSuite with SharedSpark {
     assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[.*nearestcentroid.*"), plan)
   }
 
+  test("PQ encode + ADC never exchange the corpus: codes ride a broadcast codebook") {
+    val emb = t.embeddings
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val cb = Similarity.pqCodebook(corpus, dim = 64, m = 4, kPerSub = 16)
+    val codes = Similarity.pqEncode(corpus, cb, dim = 64, m = 4)
+    codes.collect() // finalize under AQE so codegen stages are visible
+    val plan = codes.queryExecution.executedPlan.toString
+    // the codebook folds to one broadcast row (BNLJ). Exchanges exist
+    // only in the broadcast (codebook-build) subtree — the STREAMED
+    // corpus branch, printed between the join node and its build-side
+    // `BroadcastQueryStage`/`BroadcastExchange`, must be scan → filter
+    // with no exchange of any kind
+    val joinAt = plan.indexOf("BroadcastNestedLoopJoin")
+    assert(joinAt >= 0, plan)
+    val buildAt = plan.indexOf("Broadcast", joinAt + 1)
+    val corpusBranch = plan.substring(joinAt, buildAt)
+    assert(!corpusBranch.contains("Exchange"),
+      s"corpus side must not exchange:\n$corpusBranch")
+    assert(corpusBranch.contains("FileScan parquet"), corpusBranch)
+    // the per-subspace argmin runs inside whole-stage codegen
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[.*nearestcentroidl2.*"), plan)
+  }
+
   test("no gate query plans a CartesianProduct (brute-force pair baselines excepted)") {
     // these are documented O(n²) baselines (broadcast-nested-loop by design)
     val allowed = Set("q_sim_cos_pairs", "q_sim_topk", "q_sim_ann_lsh", "q_sim_ann_ivf")
