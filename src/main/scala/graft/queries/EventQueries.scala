@@ -178,5 +178,32 @@ object EventQueries {
              |FROM daily
              |QUALIFY rn <= 3
              |ORDER BY event_type, rn""".stripMargin)),
+
+    // Cohort retention matrix: users grouped by first-activity week,
+    // distinct actives per (cohort, week-offset) cell — the standard
+    // product-analytics view. Both engines truncate to ISO Monday
+    // weeks and difference in whole days / 7, so every cell is exact
+    // integer arithmetic. Scale: one (user, week) distinct shuffle +
+    // one cohort agg reusing it; the matrix itself is tiny.
+    QueryDef("q_ev_retention",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("week"))
+        val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+        ev.distinct().join(cohort, "user_id")
+          .groupBy(col("cohort_week"),
+            (datediff(col("week"), col("cohort_week")) / 7).cast("long").as("week_offset"))
+          .agg(countDistinct("user_id").as("n_users"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+             |cohort AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+             |active AS (SELECT DISTINCT user_id, week FROM ev)
+             |SELECT c.cohort_week,
+             |  CAST(date_diff('day', c.cohort_week, a.week) // 7 AS BIGINT) AS week_offset,
+             |  count(DISTINCT a.user_id) AS n_users
+             |FROM active a JOIN cohort c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }
