@@ -482,15 +482,50 @@ object Similarity {
         round(col("adq") / lit(1048576.0), 6).as("adist"))
   }
 
+  /** IVF-PQ: the two index structures composed the way large vector
+    * stores deploy them — coarse IVF cells prune the corpus to
+    * ~nProbe/nCentroids of its rows, then PQ codes rank ONLY the
+    * survivors by integer-grid ADC. Both prune and rank touch codes
+    * and cluster ids, never candidate embeddings; both index builds
+    * are the portable deterministic ones, so the full composition is
+    * SQL-oracle-checkable. Returns (idCol, adist) like [[pqTopK]]. */
+  def pqIvfTopK(corpus: DataFrame, queryVec: DataFrame, k: Int, dim: Int,
+                m: Int, kPerSub: Int, nCentroids: Int = 16, nProbe: Int = 2,
+                idCol: String = "vec_id", portable: Boolean = false,
+                lloydIters: Int = 1, ivfLloydIters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(corpus, nCentroids, idCol, portable, ivfLloydIters)
+    val clustered = ivfAssign(corpus, centroids, idCol)
+    val probed = broadcast(
+      queryVec.select(col("embedding").as("q_emb")).crossJoin(broadcast(centroids))
+        .orderBy(fastCos(col("q_emb"), col("c_emb")).desc, col("cid"))
+        .limit(nProbe)
+        .select(col("cid").as("p_cid")))
+    val cand = clustered.join(probed, col("cluster") === col("p_cid"))
+      .select(col(idCol), col("embedding"))
+    val codebook = pqCodebook(corpus, dim, m, kPerSub, idCol, portable, lloydIters)
+    val codes = pqEncode(cand, codebook, dim, m, idCol)
+    adcScoreCodes(codes, codebook, queryVec, dim, m, idCol)
+      .orderBy(col("adq"), col(idCol)).limit(k)
+      .select(col(idCol), round(col("adq") / lit(1048576.0), 6).as("adist"))
+  }
+
   /** Shared ADC scorer: `(idCol, adq)` — integer-grid approximate
     * squared L2 of every corpus vector to the single query, computed
     * from codes + a broadcast (s, cid) → distance map only. */
   private def pqAdcScores(corpus: DataFrame, queryVec: DataFrame, dim: Int,
                           m: Int, kPerSub: Int, idCol: String,
                           portable: Boolean, lloydIters: Int): DataFrame = {
-    val subDim = dim / m
     val codebook = pqCodebook(corpus, dim, m, kPerSub, idCol, portable, lloydIters)
     val codes = pqEncode(corpus, codebook, dim, m, idCol)
+    adcScoreCodes(codes, codebook, queryVec, dim, m, idCol)
+  }
+
+  /** ADC scoring of pre-encoded codes against one query: broadcast
+    * (s, cid) → quantized-distance map, per-row m-way integer sum. */
+  private def adcScoreCodes(codes: DataFrame, codebook: DataFrame,
+                            queryVec: DataFrame, dim: Int, m: Int,
+                            idCol: String): DataFrame = {
+    val subDim = dim / m
     // distance table: query sub-slice → every (s, cid) centroid,
     // index-order fold, quantized to the integer grid
     val qSubs = queryVec.select(

@@ -120,38 +120,44 @@ object SimilarityQueries {
     * Similarity.pqCodebook/pqEncode (dim 64, m = 4 subspaces of 16,
     * kPerSub = 16, lloydIters = 1) over a parameterized corpus cut. */
   private def pqIndexCte(corpusWhere: String): String =
-    s"""corpus AS (SELECT vec_id, embedding FROM embeddings WHERE $corpusWhere),
-       |seeds AS (
+    s"corpus AS (SELECT vec_id, embedding FROM embeddings WHERE $corpusWhere),\n" +
+      pqIndexBody
+
+  /** The PQ index body alone (expects a `corpus` CTE in scope; all
+    * names pq-prefixed so it composes with the IVF chain in the
+    * IVF-PQ oracle). */
+  private val pqIndexBody: String =
+    s"""pqseeds AS (
        |  SELECT vec_id AS cid, embedding,
        |    row_number() OVER (ORDER BY ((vec_id % 2147483647) * 48271) % 2147483647, vec_id) AS rn
        |  FROM corpus QUALIFY rn <= 16),
-       |svl AS (
+       |pqsvl AS (
        |  SELECT vec_id, s, CAST(embedding[(s*16+1):(s*16+16)] AS DOUBLE[]) AS sv
        |  FROM corpus, range(0, 4) ts(s)),
-       |c0 AS (
+       |pqc0 AS (
        |  SELECT s, cid, CAST(embedding[(s*16+1):(s*16+16)] AS DOUBLE[]) AS cv
-       |  FROM seeds, range(0, 4) ts(s)),
-       |a1 AS (
+       |  FROM pqseeds, range(0, 4) ts(s)),
+       |pqa1 AS (
        |  SELECT vec_id, s, cid,
        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rk
        |  FROM (SELECT v.vec_id, v.s, c.cid, ${l2Sql("v.sv", "c.cv", 16)} AS d
-       |        FROM svl v JOIN c0 c ON v.s = c.s)),
-       |m1 AS (
+       |        FROM pqsvl v JOIN pqc0 c ON v.s = c.s)),
+       |pqm1 AS (
        |  SELECT a.s, a.cid, k,
        |    CAST(sum(CAST(floor(v.sv[k+1] * 1048576.0 + 0.5) AS BIGINT)) AS DOUBLE)
        |      / (count(*) * 1048576.0) AS mv
-       |  FROM a1 a JOIN svl v ON v.vec_id = a.vec_id AND v.s = a.s, range(0, 16) t(k)
+       |  FROM pqa1 a JOIN pqsvl v ON v.vec_id = a.vec_id AND v.s = a.s, range(0, 16) t(k)
        |  WHERE a.rk = 1
        |  GROUP BY a.s, a.cid, k),
-       |c1 AS (
+       |pqc1 AS (
        |  SELECT s, cid, list(CAST(CAST(mv AS FLOAT) AS DOUBLE) ORDER BY k) AS cv
-       |  FROM m1 GROUP BY s, cid),
-       |af AS (
+       |  FROM pqm1 GROUP BY s, cid),
+       |pqaf AS (
        |  SELECT vec_id, s, cid,
        |    row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rk
        |  FROM (SELECT v.vec_id, v.s, c.cid, ${l2Sql("v.sv", "c.cv", 16)} AS d
-       |        FROM svl v JOIN c1 c ON v.s = c.s)),
-       |enc AS (SELECT vec_id, s, cid FROM af WHERE rk = 1)""".stripMargin
+       |        FROM pqsvl v JOIN pqc1 c ON v.s = c.s)),
+       |pqenc AS (SELECT vec_id, s, cid FROM pqaf WHERE rk = 1)""".stripMargin
 
   /** Single-query ADC tail (query = vec_id 0) through
     * `scored(vec_id, adq)`. */
@@ -162,10 +168,10 @@ object SimilarityQueries {
        |dt AS (
        |  SELECT c.s, c.cid,
        |    CAST(floor(${l2Sql("q.qv", "c.cv", 16)} * 1048576.0 + 0.5) AS BIGINT) AS dq
-       |  FROM c1 c JOIN qsv q ON c.s = q.s),
+       |  FROM pqc1 c JOIN qsv q ON c.s = q.s),
        |scored AS (
        |  SELECT e.vec_id, CAST(sum(d.dq) AS BIGINT) AS adq
-       |  FROM enc e JOIN dt d ON d.s = e.s AND d.cid = e.cid
+       |  FROM pqenc e JOIN dt d ON d.s = e.s AND d.cid = e.cid
        |  GROUP BY e.vec_id)""".stripMargin
 
   private val pqChainCte: String =
@@ -173,6 +179,36 @@ object SimilarityQueries {
 
   private val pqOracleSql: String =
     s"""WITH $pqChainCte
+       |SELECT vec_id, round(CAST(adq AS DOUBLE) / 1048576.0, 6) AS adist
+       |FROM scored ORDER BY adq, vec_id LIMIT 10""".stripMargin
+
+  /** IVF-PQ oracle: the IVF chain (2 Lloyd rounds, final assignment)
+    * prunes to the query's top-2 cells; the PQ body ranks only those
+    * candidates by exact integer ADC — mirrors Similarity.pqIvfTopK. */
+  private val pqIvfOracleSql: String =
+    s"""WITH ${ivfIndexCte("vec_id <> 0")},
+       |$pqIndexBody,
+       |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+       |probes AS (
+       |  SELECT cid FROM (
+       |    SELECT k.cid, ${cosSql("q.q_emb", "k.c_emb")} AS sim
+       |    FROM qv q CROSS JOIN cents2 k)
+       |  ORDER BY sim DESC, cid LIMIT 2),
+       |qsv AS (
+       |  SELECT s, CAST(embedding[(s*16+1):(s*16+16)] AS DOUBLE[]) AS qv2
+       |  FROM embeddings, range(0, 4) ts(s) WHERE vec_id = 0),
+       |dt AS (
+       |  SELECT c.s, c.cid,
+       |    CAST(floor(${l2Sql("q.qv2", "c.cv", 16)} * 1048576.0 + 0.5) AS BIGINT) AS dq
+       |  FROM pqc1 c JOIN qsv q ON c.s = q.s),
+       |cand AS (
+       |  SELECT e.vec_id, e.s, e.cid FROM pqenc e
+       |  JOIN asgfin g ON g.vec_id = e.vec_id
+       |  WHERE g.cluster IN (SELECT cid FROM probes)),
+       |scored AS (
+       |  SELECT c.vec_id, CAST(sum(d.dq) AS BIGINT) AS adq
+       |  FROM cand c JOIN dt d ON d.s = c.s AND d.cid = c.cid
+       |  GROUP BY c.vec_id)
        |SELECT vec_id, round(CAST(adq AS DOUBLE) / 1048576.0, 6) AS adist
        |FROM scored ORDER BY adq, vec_id LIMIT 10""".stripMargin
 
@@ -188,10 +224,10 @@ object SimilarityQueries {
        |dtb AS (
        |  SELECT q.q_id, c.s, c.cid,
        |    CAST(floor(${l2Sql("q.qv", "c.cv", 16)} * 1048576.0 + 0.5) AS BIGINT) AS dq
-       |  FROM c1 c JOIN qsvb q ON c.s = q.s),
+       |  FROM pqc1 c JOIN qsvb q ON c.s = q.s),
        |scoredb AS (
        |  SELECT d.q_id, e.vec_id, CAST(sum(d.dq) AS BIGINT) AS adq
-       |  FROM enc e JOIN dtb d ON d.s = e.s AND d.cid = e.cid
+       |  FROM pqenc e JOIN dtb d ON d.s = e.s AND d.cid = e.cid
        |  GROUP BY d.q_id, e.vec_id),
        |ranked AS (
        |  SELECT q_id, vec_id, adq,
@@ -491,6 +527,20 @@ object SimilarityQueries {
           dim = 64, m = 4, kPerSub = 16, portable = true, lloydIters = 1)
       },
       Some(pqRerankOracleSql)),
+
+    // IVF-PQ composition: coarse cells prune to ~2/16 of the corpus,
+    // 2-byte codes rank the survivors — the layout a large vector
+    // store actually deploys. Oracle chains the full IVF index build
+    // into the PQ body and re-derives every pruned candidate's score.
+    QueryDef("q_sim_pq_ivf",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.pqIvfTopK(emb.filter(col("vec_id") =!= 0),
+          emb.filter(col("vec_id") === 0), k = 10, dim = 64, m = 4,
+          kPerSub = 16, nCentroids = 16, nProbe = 2, portable = true,
+          lloydIters = 1, ivfLloydIters = 2)
+      },
+      Some(pqIvfOracleSql)),
 
     // Batch PQ: 10 queries share one codebook; per-query broadcast
     // distance tables, exploded-code map-side join, exact integer ADC

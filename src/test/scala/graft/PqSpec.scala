@@ -81,6 +81,22 @@ class PqSpec extends AnyFunSuite with SharedSpark {
     assert(batch.sortBy(_._1) === single.sortBy(_._1))
   }
 
+  test("IVF-PQ: pruning never changes a survivor's ADC score") {
+    val ivfpq = Similarity.pqIvfTopK(corpus, query, k = 10, dim, m, kSub,
+      nCentroids = 8, nProbe = 2, portable = true,
+      lloydIters = 1, ivfLloydIters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ivfpq.size === 10)
+    // the unpruned ADC ranking over the whole corpus: every IVF-PQ
+    // survivor must carry exactly the score the full scan gives it
+    val full = Similarity.pqTopK(corpus, query, k = 1000, dim, m, kSub,
+      portable = true, lloydIters = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivfpq.foreach { case (id, d) =>
+      assert(full(id) === d, s"vec $id: pruned=$d full=${full(id)}")
+    }
+  }
+
   test("rerank with finer codes (m = 8) recovers most of the exact top-10") {
     // 4-byte codes + exact re-rank of a 50-shortlist: the production
     // two-stage shape. Deterministic measurement: 7/10.
