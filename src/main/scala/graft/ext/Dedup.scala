@@ -417,6 +417,38 @@ object Dedup {
     * `groupBy(id)` count, which partial-aggregates map-side. The
     * final left join attaches zero counts to clean docs. No stage
     * moves the corpus text more than once. */
+  /** Per-document n-gram novelty: the fraction of a document's
+    * DISTINCT word-n-grams that appear in NO other document — the
+    * aggregate complement of pair-level near-dup detection, used as a
+    * curation signal (low novelty = boilerplate-heavy or templated
+    * text even when no single pair crosses a Jaccard threshold).
+    *
+    * One shuffle on the shingle for document frequencies, then a
+    * map-side-combined per-doc aggregate; the ratio is an exact
+    * integer-count division both engines reproduce bit-for-bit. A
+    * sub-n-token document has no shingles → novelty NULL. */
+  def shingleNovelty(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df_sh"))
+    val perDoc = sh.join(dfreq, "sh")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df_sh") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .withColumn("novelty",
+        round(col("n_unique").cast("double") / col("n_shingles"), 6))
+    df.select(col(idCol).as("doc_id")).join(perDoc, Seq("doc_id"), "left")
+  }
+
+  /** Boilerplate n-grams: shingles appearing in ≥ `minDocs` distinct
+    * documents, with their document counts — the corpus-wide template
+    * detector (header/footer/license text shows up here first). One
+    * shuffle; output is bounded by the boilerplate vocabulary. */
+  def boilerplateShingles(df: DataFrame, idCol: String, textCol: String,
+                          n: Int, minDocs: Int): DataFrame =
+    shingleTable(df, idCol, textCol, n)
+      .groupBy("sh").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
     val evalShingles = evalSet

@@ -271,6 +271,48 @@ object DedupQueries {
              |  GROUP BY d1, d2)
              |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin)),
 
+    // Per-doc 5-gram novelty: fraction of a doc's distinct shingles
+    // appearing in no other doc. Exact integer counts both sides.
+    QueryDef("q_dd_novelty",
+      (s, d) => Dedup.shingleNovelty(t(s, d, "documents"), "doc_id", "text", n = 5)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, s FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+             |                            i -> array_to_string(t[i:i+4], ' '))) AS s
+             |    FROM toks)),
+             |dfreq AS (SELECT s, count(*) AS df_sh FROM sh GROUP BY s),
+             |per_doc AS (
+             |  SELECT doc_id, count(*) AS n_shingles,
+             |    CAST(sum(CASE WHEN df_sh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+             |  FROM sh JOIN dfreq USING (s) GROUP BY doc_id)
+             |SELECT d.doc_id, p.n_shingles, p.n_unique,
+             |  round(CAST(p.n_unique AS DOUBLE) / p.n_shingles, 6) AS novelty
+             |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Boilerplate shingles: 5-grams shared by ≥ 3 documents, with
+    // their distinct-document counts — the template detector.
+    QueryDef("q_dd_boilerplate",
+      (s, d) => Dedup.boilerplateShingles(t(s, d, "documents"), "doc_id", "text",
+          n = 5, minDocs = 3)
+        .orderBy("sh"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, s FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+             |                            i -> array_to_string(t[i:i+4], ' '))) AS s
+             |    FROM toks))
+             |SELECT s AS sh, count(*) AS n_docs FROM sh
+             |GROUP BY s HAVING count(*) >= 3 ORDER BY sh""".stripMargin)),
+
     // Benchmark decontamination: corpus docs sharing any word-5-gram
     // with the held-out "eval" slice (doc_id % 89 == 0). The oracle
     // re-derives both shingle sets and the distinct-hit counts.

@@ -130,6 +130,27 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(got.values.toSet === Set(0L), s"all labels must reach 0: $got")
   }
 
+  test("shingleNovelty: dups score 0, disjoint docs 1, near-dup the exact shared fraction") {
+    val got = Dedup.shingleNovelty(corpus, "doc_id", "text", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(got(0L) === Some(0.0), "exact dup shares every shingle")
+    assert(got(1L) === Some(0.0))
+    // 1-word edit in 40 words: 5 of 36 shingles are unique to doc 2
+    assert(got(2L) === Some(math.round(5.0 / 36.0 * 1e6) / 1e6))
+    assert(got(3L) === Some(1.0), "disjoint vocabulary is fully novel")
+    assert(got(4L) === None, "sub-5-token doc has no shingles")
+  }
+
+  test("boilerplateShingles: finds exactly the shingles shared by the dup trio") {
+    val got = Dedup.boilerplateShingles(corpus, "doc_id", "text", n = 5, minDocs = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // docs 0, 1, 2 share all shingles except the 5 covering the edit
+    assert(got.nonEmpty && got.values.forall(_ === 3L))
+    assert(got.size === 36 - 5, s"${got.size} shingles in ≥3 docs")
+    assert(got.keys.forall(!_.contains("changed")), "edited window is not boilerplate")
+  }
+
   test("decontaminate: flags exactly the docs sharing an eval n-gram; eval side broadcasts") {
     import spark.implicits._
     val evalSet = Seq((100L, mk((1 to 10).map(i => s"e$i")))).toDF("doc_id", "text")
