@@ -86,6 +86,22 @@ object StressSimilarity {
     time(s"lsh-pairs-${rep}x") {
       Similarity.lshPairs(xN, threshold, bits = 12, tables = 8).count()
     }
+
+    // PQ: codebook train + full-corpus encode is one broadcast-join
+    // scan — wall must scale near-linearly in vectors; the ADC query
+    // over pre-encoded codes touches only 2-byte codes
+    val query = emb.filter(col("vec_id") === 0)
+    time("pq-train+encode-1x") {
+      Similarity.pqEncode(x1,
+        Similarity.pqCodebook(x1, dim, m = 8, kPerSub = 16), dim, m = 8).count()
+    }
+    time(s"pq-train+encode-${rep}x") {
+      Similarity.pqEncode(xN,
+        Similarity.pqCodebook(xN, dim, m = 8, kPerSub = 16), dim, m = 8).count()
+    }
+    time(s"pq-adc-top10-${rep}x") {
+      Similarity.pqTopK(xN, query, k = 10, dim, m = 8, kPerSub = 16).count()
+    }
     spark.stop()
   }
 }

@@ -88,4 +88,41 @@ class StreamingIncrementalSpec extends AnyFunSuite with SharedSpark {
         (102L, 7L, "dup")), s"got $out")
     } finally q.stop()
   }
+
+  test("PQ ADC serves streaming query vectors per micro-batch via foreachBatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.sources.Tables(spark, sf0001).table("embeddings")
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().toDF("qid").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // each micro-batch of query ids is resolved to vectors and
+        // answered by the batch ADC operator against the static corpus
+        val queries = batch.join(emb, batch("qid") === emb("vec_id"))
+          .select("vec_id", "embedding")
+        val out = graft.ext.Similarity.pqTopKBatch(corpus, queries, k = 3,
+          dim = 64, m = 4, kPerSub = 16, portable = true, lloydIters = 1).collect()
+        results.synchronized {
+          results ++= out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
+        ()
+      }
+      .start()
+    try {
+      mem.addData(0L, 1L)
+      q.processAllAvailable()
+      mem.addData(2L)
+      q.processAllAvailable()
+      val got = results.synchronized(results.sortBy(r => (r._1, r._2)).toSeq)
+      // streamed answers must equal the one-shot batch answers
+      val want = graft.ext.Similarity.pqTopKBatch(corpus,
+          emb.filter(col("vec_id") < 3), k = 3,
+          dim = 64, m = 4, kPerSub = 16, portable = true, lloydIters = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(r => (r._1, r._2)).toSeq
+      assert(got === want, s"stream $got vs batch $want")
+    } finally q.stop()
+  }
 }
