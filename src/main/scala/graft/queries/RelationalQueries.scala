@@ -655,5 +655,51 @@ object RelationalQueries {
              |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
              |                        (o_orderstatus), ())
              |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    // UNPIVOT: measures → long form (the inverse of q_pivot), then
+    // per-measure stats. Sums quantize to integer cents (2-dp doubles
+    // ×100 are exact) so accumulation order cannot leak in.
+    QueryDef("q_unpivot",
+      (s, d) => t(s, d, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "measure", "val")
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("val") * 100 + lit(0.5)).cast("long")).as("sum_cents"),
+          round(min("val"), 6).as("min_v"), round(max("val"), 6).as("max_v"))
+        .orderBy("measure"),
+      Some("""WITH u AS (
+             |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+             |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+             |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+             |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+             |SELECT measure, count(*) AS n,
+             |  CAST(sum(CAST(floor(val * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+             |  round(min(val), 6) AS min_v, round(max(val), 6) AS max_v
+             |FROM u GROUP BY measure ORDER BY measure""".stripMargin)),
+
+    // Correlated LATERAL subquery in FROM (cross apply): one
+    // aggregate row per outer nation — the decorrelation path beyond
+    // scalar subqueries (q_correlated_subq). Identical SQL text runs
+    // on both engines.
+    QueryDef("q_lateral",
+      (s, d) => {
+        Tables(s, d).registerAll()
+        s.sql("""
+          SELECT n_name, t.n_orders, t.max_price
+          FROM nation, LATERAL (
+            SELECT count(*) AS n_orders, max(o_totalprice) AS max_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_nationkey = n_nationkey) t
+          ORDER BY n_name""")
+      },
+      Some("""SELECT n_name, t.n_orders, t.max_price
+             |FROM nation, LATERAL (
+             |  SELECT count(*) AS n_orders, max(o_totalprice) AS max_price
+             |  FROM orders JOIN customer ON o_custkey = c_custkey
+             |  WHERE c_nationkey = n_nationkey) t
+             |ORDER BY n_name""".stripMargin)),
   )
 }

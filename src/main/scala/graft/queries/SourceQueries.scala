@@ -3,7 +3,7 @@ package graft.queries
 import graft.QueryDef
 import graft.cashequity.{CashEquityQueries, Fixtures}
 import graft.ops.RelationalOps
-import graft.sources.DocumentSource
+import graft.sources.{DocumentSource, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -91,5 +91,25 @@ object SourceQueries {
                round(max(close_price), 6) AS max_close
         FROM equity_prices
         GROUP BY currency ORDER BY currency""")),
+
+    // ORC round-trip: the columnar non-parquet format Spark ships
+    // natively. documents → ORC → re-read → per-language token stats;
+    // values must survive the format change bit-for-bit, so the
+    // oracle runs on the ORIGINAL parquet — any ORC encode/decode
+    // drift fails the hash
+    QueryDef("q_src_orc", (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_orc_").toString
+      Tables(s, d).table("documents").write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("total_chars"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("lang")
+    },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+             |  min(doc_id) AS min_id, max(doc_id) AS max_id
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
   )
 }

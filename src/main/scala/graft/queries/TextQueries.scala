@@ -400,6 +400,21 @@ object TextQueries {
              |  ((cb + n - 1) // 2048) - (cb // 2048) + 1 AS n_bins_spanned
              |FROM cum ORDER BY doc_id""".stripMargin)),
 
+    // Token frequency spectrum (count-of-counts): how many distinct
+    // tokens occur exactly tf times — the Zipf diagnostic tokenizer
+    // design reads. Two exact-integer aggregations.
+    QueryDef("q_tx_zipf",
+      (s, d) => t(s, d, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("tf"))
+        .groupBy("tf").agg(count(lit(1)).as("n_tokens"))
+        .orderBy("tf"),
+      Some("""WITH tok AS (
+             |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+             |  FROM documents),
+             |tf AS (SELECT token, count(*) AS tf FROM tok GROUP BY token)
+             |SELECT tf, count(*) AS n_tokens FROM tf GROUP BY tf ORDER BY tf""".stripMargin)),
+
     // Deterministic shuffle + shard assignment: shard and within-shard
     // position are pure MINSTD functions of doc_id; the oracle
     // re-derives both hashes and ranks with a per-shard row_number.
