@@ -90,6 +90,34 @@ object Packing {
       .drop("__oh", "__rank", "__start")
   }
 
+  /** Materialized packed windows: the full concat-and-chunk pipeline
+    * ending in actual training rows — (bin_id, n_tokens, payload)
+    * with every payload exactly `contextLen` tokens (the final window
+    * may be partial). Composition of [[packPlan]] → [[binManifest]] →
+    * a token-slice join back to the text → one `groupBy(bin_id)`
+    * assembly (boundary-crossing docs contribute a piece to each
+    * window they span; pieces concatenate in document order). That
+    * last shuffle is THE shard-writer shuffle — everything upstream
+    * is the single running-total pass plus per-row arithmetic. */
+  def packWindows(docs: DataFrame, orderBucket: Column, contextLen: Int,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+      TextAnalysis.tokenCountWs(col(textCol)).cast("long").as("n_tokens"))
+    val plan = packPlan(base, col("doc_id"), orderBucket, col("n_tokens"), contextLen)
+    val mani = binManifest(plan, contextLen)
+    val pieces = mani.join(base.select("doc_id", "__text"), "doc_id")
+      .select(col("bin_id"), col("doc_id"),
+        slice(split(col("__text"), "\\s+"),
+          (col("tok_from") + 1).cast("int"),
+          (col("tok_to") - col("tok_from")).cast("int")).as("piece"))
+    pieces.groupBy("bin_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("piece")))),
+        e => e.getField("piece"))).as("toks"))
+      .select(col("bin_id"), size(col("toks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("toks")).as("payload"))
+  }
+
   def binManifest(plan: DataFrame, contextLen: Int): DataFrame =
     plan.select(col("doc_id"), col("n_tokens"), col("bin_id"), col("bin_offset"),
         explode(sequence(lit(0L), col("n_bins_spanned") - 1)).as("k"))

@@ -435,6 +435,39 @@ object TextQueries {
              |  row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id) - 1 AS pos
              |FROM s ORDER BY shard, pos""".stripMargin)),
 
+    // Materialized packed windows: the end-to-end concat-and-chunk
+    // output — every window's payload re-derived token-for-token by
+    // the oracle (prefix sums → manifest → slices → ordered reassembly)
+    QueryDef("q_pack_windows",
+      (s, d) => graft.ext.Packing.packWindows(
+        t(s, d, "documents"), floor(col("doc_id") / 100), contextLen = 2048)
+        .orderBy("bin_id"),
+      Some("""WITH tc AS (
+             |  SELECT doc_id, string_split_regex(text, '\s+') AS t,
+             |    len(string_split_regex(text, '\s+')) AS n
+             |  FROM documents),
+             |cum AS (
+             |  SELECT doc_id, t, n,
+             |    CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+             |  FROM tc),
+             |plan AS (
+             |  SELECT doc_id, t, CAST(n AS BIGINT) AS n,
+             |    cb // 2048 AS bin0, cb % 2048 AS off,
+             |    ((cb + n - 1) // 2048) - (cb // 2048) + 1 AS spans
+             |  FROM cum),
+             |mani AS (
+             |  SELECT bin0 + k AS bin_id, doc_id, t,
+             |    greatest(0, k * 2048 - off) AS tok_from,
+             |    least(n, (k + 1) * 2048 - off) AS tok_to
+             |  FROM (SELECT doc_id, t, n, bin0, off, unnest(range(0, spans)) AS k FROM plan)),
+             |pieces AS (
+             |  SELECT bin_id, doc_id, t[(tok_from + 1):(tok_to)] AS piece FROM mani)
+             |SELECT bin_id,
+             |  CAST(len(flatten(list(piece ORDER BY doc_id))) AS BIGINT) AS n_tokens,
+             |  array_to_string(flatten(list(piece ORDER BY doc_id)), ' ') AS payload
+             |FROM pieces GROUP BY bin_id ORDER BY bin_id""".stripMargin)),
+
     // Packing shard manifest: each (window, document) intersection
     // with the doc-local token range that lands in the window — the
     // shard writer's input. The oracle re-derives the prefix sums and

@@ -65,6 +65,23 @@ class PackingSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("packWindows: full windows, and concatenating windows reproduces the corpus stream") {
+    val C = 512
+    val docs = graft.sources.Tables(spark, sf0001).table("documents")
+    val wins = Packing.packWindows(docs, floor(col("doc_id") / 50), C)
+      .orderBy("bin_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    wins.init.foreach { case (bin, n, p) =>
+      assert(n === C.toLong && p.split(" ").length === C, s"window $bin")
+    }
+    assert(wins.last._2 > 0 && wins.last._2 <= C)
+    // lossless: the packed stream IS the doc_id-ordered corpus stream
+    val packed = wins.map(_._3).mkString(" ")
+    val original = docs.orderBy("doc_id").collect()
+      .map(_.getAs[String]("text").split("\\s+").mkString(" ")).mkString(" ")
+    assert(packed === original)
+  }
+
   test("shardAssign: contiguous per-shard positions, partition-order independent") {
     import spark.implicits._
     val df = (0L until 1000L).toDF("id")
