@@ -68,4 +68,32 @@ object CorpusStats {
       .agg(count(lit(1)).as("vocab"),
         round(sum("qt").cast("double") / lit(1073741824.0), 6).as("kl"))
   }
+
+  /** Schema profile: one row per listed column with row/null/distinct
+    * counts — the cheap first look every ingestion pipeline takes
+    * before trusting a new source. All counts are exact integers
+    * (type-free, so the long-form output has one stable schema for
+    * any column mix). One aggregation pass per column, unioned; each
+    * is a map-side-combined count — no wide shuffle. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.map { c =>
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_null"), col("n_distinct"))
+    }.reduce(_.unionAll(_))
+
+  /** Key-skew diagnostic: the `k` heaviest values of `key` with their
+    * exact corpus share — the pre-flight check before choosing join
+    * strategy (a share over ~1/shuffle-partitions flags a key that
+    * needs salting or AQE skew handling). One count shuffle + a tiny
+    * top-k; share is an exact integer ratio rounded once. */
+  def keySkew(df: DataFrame, key: Column, k: Int): DataFrame = {
+    val counts = df.groupBy(key.as("key")).agg(count(lit(1)).as("cnt"))
+    val tot = broadcast(counts.agg(sum("cnt").as("total")))
+    counts.crossJoin(tot)
+      .select(col("key"), col("cnt"),
+        round(col("cnt").cast("double") / col("total").cast("double"), 6).as("share"))
+      .orderBy(desc("cnt"), col("key")).limit(k)
+  }
 }

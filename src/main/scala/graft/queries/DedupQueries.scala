@@ -293,7 +293,7 @@ object DedupQueries {
              |SELECT d.doc_id, p.n_shingles, p.n_unique,
              |  round(CAST(p.n_unique AS DOUBLE) / p.n_shingles, 6) AS novelty
              |FROM documents d LEFT JOIN per_doc p USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin)),
+             |ORDER BY d.doc_id""".stripMargin), bench = true),
 
     // Boilerplate shingles: 5-grams shared by ≥ 3 documents, with
     // their distinct-document counts — the template detector.
@@ -342,6 +342,6 @@ object DedupQueries {
              |  COALESCE(h.hit_shingles, 0) AS hit_shingles,
              |  COALESCE(h.hit_shingles, 0) > 0 AS contaminated
              |FROM documents d LEFT JOIN hits h USING (doc_id)
-             |WHERE d.doc_id % 89 <> 0 ORDER BY doc_id""".stripMargin)),
+             |WHERE d.doc_id % 89 <> 0 ORDER BY doc_id""".stripMargin), bench = true),
   )
 }

@@ -701,5 +701,31 @@ object RelationalQueries {
              |  FROM orders JOIN customer ON o_custkey = c_custkey
              |  WHERE c_nationkey = n_nationkey) t
              |ORDER BY n_name""".stripMargin)),
+
+    // Schema profile: row/null/distinct counts per column — the
+    // ingestion pre-flight. Exact integers, one stable long-form
+    // schema for any column mix.
+    QueryDef("q_profile",
+      (s, d) => graft.ext.CorpusStats.profile(t(s, d, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("column"),
+      Some("""SELECT col AS column, count(*) AS n_rows,
+             |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |  count(DISTINCT v) AS n_distinct
+             |FROM (
+             |  SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS v FROM orders
+             |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+             |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+             |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders)
+             |GROUP BY col ORDER BY col""".stripMargin)),
+
+    // Key-skew diagnostic: the 5 heaviest event users with exact
+    // corpus share — the pre-flight before picking a join strategy.
+    QueryDef("q_skew_profile",
+      (s, d) => graft.ext.CorpusStats.keySkew(t(s, d, "events"), col("user_id"), k = 5),
+      Some("""WITH c AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY 1),
+             |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+             |SELECT key, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share
+             |FROM c CROSS JOIN t ORDER BY cnt DESC, key LIMIT 5""".stripMargin)),
   )
 }

@@ -466,7 +466,7 @@ object TextQueries {
              |SELECT bin_id,
              |  CAST(len(flatten(list(piece ORDER BY doc_id))) AS BIGINT) AS n_tokens,
              |  array_to_string(flatten(list(piece ORDER BY doc_id)), ' ') AS payload
-             |FROM pieces GROUP BY bin_id ORDER BY bin_id""".stripMargin)),
+             |FROM pieces GROUP BY bin_id ORDER BY bin_id""".stripMargin), bench = true),
 
     // Packing shard manifest: each (window, document) intersection
     // with the doc-local token range that lands in the window — the
