@@ -80,6 +80,48 @@ object Dedup {
       .select(col("d1"), col("d2"), round(jac, 4).as("jaccard"))
   }
 
+  /** Exact DIRECTED containment pairs `C(A→B) = |A∩B| / |A| ≥ t` —
+    * quote/subset detection: a short document living inside a long
+    * one scores 1.0 while the pair's Jaccard can be arbitrarily low,
+    * so symmetric near-dup passes never see it.
+    *
+    * Same inverted-index prefix filter as [[jaccardPairs]], made
+    * asymmetric: only the CONTAINED side prunes to its
+    * `|A| − ceil(t·|A|) + 1` rarest shingles (if `|A∩B| ≥ t·|A|`
+    * then `|A\B| ≤ |A| − ceil(t·|A|)` < prefix length, so a prefix
+    * shingle must land in B), while the containing side indexes ALL
+    * its shingles. Candidates pass `|B| ≥ t·|A|` (since
+    * `|A∩B| ≤ |B|`) and are verified with an exact intersection
+    * count — the result is identical to the all-pairs form. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshold: Double): DataFrame = {
+    val sh = shingleTable(df, idCol, textCol, n)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df_sh"))
+    val byId = Window.partitionBy("id")
+    val byRarity = byId.orderBy(col("df_sh"), col("sh"))
+    val withSizes = sh.join(dfreq, "sh")
+      .withColumn("n_sh", count(lit(1)).over(byId))
+      .withColumn("rk", row_number().over(byRarity))
+    val prefixLen = col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1
+    val prefix = withSizes.filter(col("rk") <= prefixLen)
+      .select(col("id"), col("sh"), col("n_sh"))
+    val full = withSizes.select(col("id"), col("sh"), col("n_sh"))
+    val cand = prefix.as("pa").join(full.as("fb"),
+        col("pa.sh") === col("fb.sh") && col("pa.id") =!= col("fb.id"))
+      .filter(col("fb.n_sh") >= lit(threshold) * col("pa.n_sh") - lit(1e-9))
+      .select(col("pa.id").as("d1"), col("fb.id").as("d2"),
+        col("pa.n_sh").as("n1"))
+      .dropDuplicates("d1", "d2")
+    val inter = cand
+      .join(sh.as("x"), col("d1") === col("x.id"))
+      .join(sh.as("y"), col("d2") === col("y.id") && col("x.sh") === col("y.sh"))
+      .groupBy("d1", "d2", "n1")
+      .agg(count(lit(1)).as("n_inter"))
+    val cont = col("n_inter") / col("n1")
+    inter.filter(cont >= threshold)
+      .select(col("d1"), col("d2"), round(cont, 4).as("containment"))
+  }
+
   /** MinHash signatures via explode + partial aggregation: one
     * (id, shingle) row per distinct shingle, then `numHashes`
     * map-side-combinable `min(xxhash64(seed, shingle))` aggregates in

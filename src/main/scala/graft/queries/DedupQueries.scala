@@ -271,6 +271,32 @@ object DedupQueries {
              |  GROUP BY d1, d2)
              |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin)),
 
+    // Directed containment pairs C(A→B) = |A∩B|/|A| ≥ 0.8 — quote /
+    // subset detection the symmetric Jaccard passes miss. The oracle
+    // is the naive all-pairs form; the prefix-filtered plan must
+    // reproduce it exactly.
+    QueryDef("q_dd_containment",
+      (s, d) => Dedup.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 5, threshold = 0.8).orderBy("d1", "d2"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, s FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+             |                            i -> array_to_string(t[i:i+4], ' '))) AS s
+             |    FROM toks)),
+             |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT d1, d2, round(n_inter / s1.n_sh, 4) AS containment
+             |FROM inter JOIN sz s1 ON d1 = s1.doc_id
+             |WHERE n_inter / s1.n_sh >= 0.8
+             |ORDER BY d1, d2""".stripMargin)),
+
     // Per-doc 5-gram novelty: fraction of a doc's distinct shingles
     // appearing in no other doc. Exact integer counts both sides.
     QueryDef("q_dd_novelty",

@@ -130,6 +130,23 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(got.values.toSet === Set(0L), s"all labels must reach 0: $got")
   }
 
+  test("containmentPairs: finds the quoted fragment that Jaccard misses, directed") {
+    import spark.implicits._
+    val big = (1 to 40).map(i => s"w$i")
+    val frag = big.slice(10, 24) // 14 words → 10 shingles, all inside big
+    val df = Seq(
+      (1L, mk(big)),
+      (2L, mk(frag)),
+      (3L, mk((1 to 12).map(i => s"q$i")))).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", n = 5, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // only the fragment→container direction qualifies (C = 10/10);
+    // the reverse is 10/36 and the unrelated doc never pairs
+    assert(got === Seq((2L, 1L, 1.0)), s"got $got")
+    assert(Dedup.jaccardPairs(df, "doc_id", "text", n = 5, threshold = 0.6)
+      .collect().isEmpty, "symmetric Jaccard pass must miss the quote (J = 10/36)")
+  }
+
   test("shingleNovelty: dups score 0, disjoint docs 1, near-dup the exact shared fraction") {
     val got = Dedup.shingleNovelty(corpus, "doc_id", "text", n = 5)
       .collect().map(r => r.getLong(0) ->
