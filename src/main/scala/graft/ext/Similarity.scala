@@ -509,6 +509,40 @@ object Similarity {
       .select(col(idCol), round(col("adq") / lit(1048576.0), 6).as("adist"))
   }
 
+  /** Persisted ANN index lifecycle: build once, serve later — the
+    * production separation between the index job (heavy, scheduled)
+    * and query jobs (light, interactive). Layout under `dir`:
+    * `codebook/` (PQ subspace centroids), `codes/` (per-vector PQ
+    * codes), `centroids/` (IVF cells), `assign/` (per-vector cell) —
+    * all plain parquet, so any later session (or engine) reads them
+    * without rebuilding. Determinism of the builds makes a rebuild
+    * bit-identical to a reload. */
+  def saveIndex(corpus: DataFrame, dir: String, dim: Int, m: Int,
+                kPerSub: Int, nCentroids: Int = 16,
+                idCol: String = "vec_id", portable: Boolean = false,
+                lloydIters: Int = 1, ivfLloydIters: Int = 2): Unit = {
+    val codebook = pqCodebook(corpus, dim, m, kPerSub, idCol, portable, lloydIters)
+    codebook.write.mode("overwrite").parquet(s"$dir/codebook")
+    pqEncode(corpus, codebook, dim, m, idCol)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    val centroids = ivfCentroids(corpus, nCentroids, idCol, portable, ivfLloydIters)
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    ivfAssign(corpus, centroids, idCol).select(col(idCol), col("cluster"))
+      .write.mode("overwrite").parquet(s"$dir/assign")
+  }
+
+  /** ADC top-k served purely from a persisted index: reads codes +
+    * codebook, touches no corpus embeddings at all. */
+  def queryIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 queryVec: DataFrame, k: Int, dim: Int, m: Int,
+                 idCol: String = "vec_id"): DataFrame = {
+    val codebook = spark.read.parquet(s"$dir/codebook")
+    val codes = spark.read.parquet(s"$dir/codes")
+    adcScoreCodes(codes, codebook, queryVec, dim, m, idCol)
+      .orderBy(col("adq"), col(idCol)).limit(k)
+      .select(col(idCol), round(col("adq") / lit(1048576.0), 6).as("adist"))
+  }
+
   /** Shared ADC scorer: `(idCol, adq)` — integer-grid approximate
     * squared L2 of every corpus vector to the single query, computed
     * from codes + a broadcast (s, cid) → distance map only. */

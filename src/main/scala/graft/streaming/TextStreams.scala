@@ -1,0 +1,28 @@
+package graft.streaming
+
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming text-pipeline monitors: the batch text-analysis
+  * expressions applied over watermarked event-time windows, so an
+  * ingestion stream surfaces quality regressions (a scraper gone bad,
+  * a source flipping language) while the data is still arriving.
+  * All scoring is the SAME codegen'd expressions the batch gates
+  * verify — streaming here is purely a windowing concern.
+  */
+object TextStreams {
+
+  /** Per-window document count + mean quality score over a stream of
+    * (ts, doc_id, text). Watermarked tumbling windows → append mode:
+    * each window emits once, when the watermark passes its end.
+    * State is one partial aggregate per open window — bounded by the
+    * watermark regardless of stream rate. */
+  def qualityMonitor(docs: DataFrame, windowLen: String = "1 minute",
+                     watermarkDelay: String = "30 seconds"): DataFrame =
+    docs.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(TextAnalysis.qualityScore(col("text"))), 4).as("mean_quality"))
+      .select(col("window.start").as("win_start"), col("n_docs"), col("mean_quality"))
+}

@@ -81,6 +81,28 @@ class PqSpec extends AnyFunSuite with SharedSpark {
     assert(batch.sortBy(_._1) === single.sortBy(_._1))
   }
 
+  test("persisted index: queries served from disk equal the in-session build") {
+    val dir = graft.Scratch.tempDir("graft_pq_index_")
+    Similarity.saveIndex(corpus, dir, dim, m, kSub, portable = true)
+    val fromDisk = Similarity.queryIndex(spark, dir, query, k = 10, dim, m)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inSession = Similarity.pqTopK(corpus, query, k = 10, dim, m, kSub,
+      portable = true, lloydIters = 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(fromDisk === inSession)
+    // with a literal query vector, the plan over the stored index
+    // never reads the embeddings table at all
+    import spark.implicits._
+    val qLit = query.select("vec_id", "embedding").collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val plan = Similarity.queryIndex(spark, dir, qLit, k = 10, dim, m)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("embeddings.parquet"),
+      s"index queries must not touch corpus embeddings:\n$plan")
+  }
+
   test("IVF-PQ: pruning never changes a survivor's ADC score") {
     val ivfpq = Similarity.pqIvfTopK(corpus, query, k = 10, dim, m, kSub,
       nCentroids = 8, nProbe = 2, portable = true,

@@ -34,6 +34,32 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("qualityMonitor: closed windows emit the batch-identical mean quality") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (ts(0), 1L, "the cat and the dog of a to is in good text"),
+      (ts(0), 2L, "zz zz zz zz zz zz zz zz zz zz zz zz"),
+      (ts(0), 3L, "the a of and to is in fine words here now"))
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = graft.streaming.TextStreams.qualityMonitor(
+        mem.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.outputMode("append").format("memory").queryName("txq").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      // push the watermark past the first window's end
+      mem.addData((ts(10), 99L, "flush row far in the future"))
+      q.processAllAvailable()
+      val got = spark.table("txq").collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      val want = docs.toDF("ts", "doc_id", "text")
+        .agg(count(lit(1)), round(avg(graft.ext.TextAnalysis.qualityScore(col("text"))), 4))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).head
+      assert(got === Seq(want), s"stream $got vs batch $want")
+    } finally q.stop()
+  }
+
   test("sessionize: 30-min gap splits sessions; totals and durations correct") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
