@@ -83,6 +83,28 @@ object Sampling {
     df.filter(b < (frac * 1000000).cast("long"))
   }
 
+  /** Leakage-free train/eval split: near-duplicate CLUSTERS are
+    * assigned to splits atomically, keyed on the cluster
+    * representative — a doc and its near-duplicates can never land on
+    * opposite sides of the cut (hash-splitting raw ids leaks ~10% of
+    * every eval set back into training via near-dups, silently
+    * inflating eval scores). Pairs → connected components →
+    * [[split]] on the component representative (singletons are their
+    * own representative, so clean docs split exactly as before).
+    * Output: the input plus `rep` and `split`. */
+  def leakFreeSplit(df: DataFrame, idCol: String, textCol: String,
+                    weights: Seq[(String, Double)], n: Int, threshold: Double,
+                    scratchDir: Option[String] = None): DataFrame = {
+    val pairs = Dedup.jaccardPairs(df, idCol, textCol, n, threshold)
+      .select("d1", "d2")
+    val labels = Dedup.clusters(pairs, scratchDir = scratchDir)
+      .withColumnRenamed("id", "__cc_id")
+    val withRep = df.join(labels, col(idCol) === col("__cc_id"), "left")
+      .withColumn("rep", coalesce(col("rep"), col(idCol)))
+      .drop("__cc_id")
+    split(withRep, col("rep"), weights, portable = true)
+  }
+
   /** Temperature-scaled domain mixing: sample so each stratum's share
     * of the output follows `p(s) ∝ n_s^alpha` (alpha = 1 keeps natural
     * proportions, alpha → 0 flattens toward uniform — the standard

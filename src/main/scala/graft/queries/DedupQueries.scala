@@ -271,6 +271,36 @@ object DedupQueries {
              |  GROUP BY d1, d2)
              |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3 ORDER BY d1, d2""".stripMargin)),
 
+    // Leakage-free split: near-dup clusters split atomically by their
+    // component representative (90/10 train/eval). Oracle re-derives
+    // pairs → components → the MINSTD cut on the representative.
+    QueryDef("q_sample_leakfree",
+      (s, d) => {
+        val scratch = graft.Scratch.tempDir("graft_lfs_")
+        graft.ext.Sampling.leakFreeSplit(
+          t(s, d, "documents").select("doc_id", "text"),
+          "doc_id", "text", Seq("train" -> 0.9, "eval" -> 0.1),
+          n = 5, threshold = 0.6, scratchDir = Some(scratch))
+          .select("doc_id", "rep", "split")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE $jaccardPairsCte,
+              |edges AS (
+              |  SELECT d1 AS a, d2 AS b FROM jpairs
+              |  UNION SELECT d2, d1 FROM jpairs),
+              |nodes AS (SELECT DISTINCT a AS id FROM edges),
+              |reach(id, r) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+              |lab AS (SELECT id, min(r) AS rep FROM reach GROUP BY id)
+              |SELECT d.doc_id, COALESCE(l.rep, d.doc_id) AS rep,
+              |  CASE WHEN ((COALESCE(l.rep, d.doc_id) % 2147483647) * 48271)
+              |            % 2147483647 % 1000000 < 900000
+              |       THEN 'train' ELSE 'eval' END AS split
+              |FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
+              |ORDER BY d.doc_id""".stripMargin)),
+
     // Directed containment pairs C(A→B) = |A∩B|/|A| ≥ 0.8 — quote /
     // subset detection the symmetric Jaccard passes miss. The oracle
     // is the naive all-pairs form; the prefix-filtered plan must

@@ -49,6 +49,22 @@ class SamplingSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("leakFreeSplit: no near-dup pair ever straddles the train/eval cut") {
+    val corpus = docs.select("doc_id", "text")
+    val out = Sampling.leakFreeSplit(corpus, "doc_id", "text",
+      Seq("train" -> 0.9, "eval" -> 0.1), n = 5, threshold = 0.6)
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size === corpus.count())
+    val pairs = graft.ext.Dedup.jaccardPairs(corpus, "doc_id", "text",
+      n = 5, threshold = 0.6).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dups for this to test anything")
+    pairs.foreach { case (a, b) =>
+      assert(out(a) === out(b), s"pair ($a, $b) straddles the split")
+    }
+    assert(out.values.toSet === Set("train", "eval"), "both splits populated")
+  }
+
   test("temperatureSample: alpha=1 keeps natural proportions; alpha=0.5 flattens toward rare strata") {
     import spark.implicits._
     // 800 "big" docs vs 50 "rare" docs, unique integer keys
