@@ -99,6 +99,21 @@ object StressDedup {
       Curation.curate(xN, checkpointDir = Some(s"$scratch/ckpt")).count()
     }
 
+    // decontamination: a fixed small eval set cut from the 1x corpus
+    // against the growing corpus — the shared boilerplate preamble
+    // makes every doc flag (the realistic mass-contamination shape);
+    // the eval shingle set broadcasts, so wall must scale
+    // near-linearly with corpus size
+    val evalSet = x1.filter(col("doc_id") % 89 === 0)
+    time("decontam-1x") {
+      Dedup.decontaminate(x1, evalSet, "doc_id", "text", n = 5)
+        .filter(col("contaminated")).count()
+    }
+    time(s"decontam-${rep}x") {
+      Dedup.decontaminate(xN, evalSet, "doc_id", "text", n = 5)
+        .filter(col("contaminated")).count()
+    }
+
     // Connected-components stress: disjoint chain graphs where the
     // component diameter (pathLen) and edge volume scale
     // independently. Expected shape: rounds stay ~log2(diameter)

@@ -23,6 +23,20 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup keeping the BEST copy per content group rather than
+    * the first: representative = argmax of `priority` (ties to the
+    * smaller id via `max(struct(priority, -id))` — deterministic
+    * under any partitioning). Same single shuffle as [[exact]]; use
+    * when copies differ in provenance metadata (crawl date, source
+    * quality) and "first seen" throws away the better one. */
+  def exactBest(df: DataFrame, idCol: String, textCol: String,
+                priority: Column): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(max(struct(priority.as("p"), (-col(idCol)).as("negId"))).as("best"),
+        count(lit(1)).as("n_copies"))
+      .select(col("text_hash"), (-col("best.negId")).as("keep_id"),
+        col("best.p").as("keep_priority"), col("n_copies"))
+
   /** Distinct word-n-gram shingles: (id, shingle) exploded pairs. */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),

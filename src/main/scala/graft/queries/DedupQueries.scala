@@ -91,6 +91,26 @@ object DedupQueries {
       Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
              |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin), bench = true),
 
+    // Exact dedup keeping the BEST copy (argmax priority, ties to the
+    // smaller id) — here a portable MINSTD "source score" stands in
+    // for provenance metadata; the oracle replays the same argmax.
+    QueryDef("q_dd_exact_best",
+      (s, d) => Dedup.exactBest(t(s, d, "documents"), "doc_id", "text",
+          priority = pmod(pmod(col("doc_id"), lit(2147483647L)) * 48271L,
+            lit(2147483647L)) % 1000)
+        .orderBy("keep_id"),
+      Some("""WITH p AS (
+             |  SELECT doc_id, text,
+             |    ((doc_id % 2147483647) * 48271) % 2147483647 % 1000 AS prio
+             |  FROM documents),
+             |r AS (
+             |  SELECT md5(text) AS text_hash, doc_id, prio,
+             |    row_number() OVER (PARTITION BY text ORDER BY prio DESC, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY text) AS n_copies
+             |  FROM p)
+             |SELECT text_hash, doc_id AS keep_id, prio AS keep_priority, n_copies
+             |FROM r WHERE rn = 1 ORDER BY keep_id""".stripMargin)),
+
     // N-gram Jaccard near-dup pairs via inverted shingle index
     QueryDef("q_dd_jaccard",
       (s, d) => Dedup.jaccardPairs(t(s, d, "documents"), "doc_id", "text",
