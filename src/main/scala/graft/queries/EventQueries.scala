@@ -179,6 +179,37 @@ object EventQueries {
              |QUALIFY rn <= 3
              |ORDER BY event_type, rn""".stripMargin)),
 
+    // Gap-filled hourly series: every hour between the corpus bounds
+    // appears, zero-filled when no events landed — the dense-series
+    // shape downstream time-series models need (Spark expresses it
+    // as sequence + explode + left join; no generator table exists).
+    QueryDef("q_ev_gapfill",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("hour"))
+          .agg(count(lit(1)).as("n"))
+        val bounds = ev.agg(
+          date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        val spine = bounds.select(explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+        spine.join(hourly, Seq("hour"), "left")
+          .select(col("hour"), coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("hour")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+             |  FROM events GROUP BY 1),
+             |bounds AS (
+             |  SELECT date_trunc('hour', min(ts)) AS lo,
+             |         date_trunc('hour', max(ts)) AS hi FROM events),
+             |spine AS (
+             |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+             |  FROM bounds)
+             |SELECT s.hour, COALESCE(h.n, 0) AS n
+             |FROM spine s LEFT JOIN hourly h USING (hour)
+             |ORDER BY s.hour""".stripMargin)),
+
     // Cohort retention matrix: users grouped by first-activity week,
     // distinct actives per (cohort, week-offset) cell — the standard
     // product-analytics view. Both engines truncate to ISO Monday

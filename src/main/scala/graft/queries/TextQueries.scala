@@ -435,6 +435,98 @@ object TextQueries {
              |  row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id) - 1 AS pos
              |FROM s ORDER BY shard, pos""".stripMargin)),
 
+    // FLAGSHIP composition — the whole training-data pipeline in one
+    // oracle-checked gate: eval-set decontamination → leakage-free
+    // train/eval split (near-dup clusters atomic) → pack the train
+    // split into 1024-token windows. Every stage's arithmetic is one
+    // of the already-gated fragments; this proves they COMPOSE
+    // (wrong dedup → wrong split membership → different payload
+    // bytes → hash fail).
+    QueryDef("q_pipeline_e2e",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id", "text")
+        val evalSet = docs.filter(col("doc_id") % 89 === 0)
+        val corpus = docs.filter(col("doc_id") % 89 =!= 0)
+        val clean = graft.ext.Dedup.decontaminate(corpus, evalSet, "doc_id", "text", n = 5)
+          .filter(!col("contaminated")).select("doc_id")
+          .join(corpus, "doc_id")
+        val scratch = graft.Scratch.tempDir("graft_e2e_")
+        val train = graft.ext.Sampling.leakFreeSplit(clean, "doc_id", "text",
+            Seq("train" -> 0.9, "eval" -> 0.1), n = 5, threshold = 0.6,
+            scratchDir = Some(scratch))
+          .filter(col("split") === "train").select("doc_id", "text")
+        graft.ext.Packing.packWindows(train, floor(col("doc_id") / 100),
+          contextLen = 1024).orderBy("bin_id")
+      },
+      Some("""WITH RECURSIVE toks0 AS (
+             |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+             |  FROM documents),
+             |sh0 AS (
+             |  SELECT DISTINCT doc_id, s FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+             |                            i -> array_to_string(t[i:i+4], ' '))) AS s
+             |    FROM toks0)),
+             |eval_sh AS (SELECT DISTINCT s FROM sh0 WHERE doc_id % 89 = 0),
+             |contam AS (
+             |  SELECT DISTINCT doc_id FROM sh0 JOIN eval_sh USING (s)
+             |  WHERE doc_id % 89 <> 0),
+             |clean AS (
+             |  SELECT doc_id, text FROM documents
+             |  WHERE doc_id % 89 <> 0
+             |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+             |sh AS (SELECT doc_id, s FROM sh0
+             |       WHERE doc_id IN (SELECT doc_id FROM clean)),
+             |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+             |inter AS (
+             |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+             |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2),
+             |jpairs AS (
+             |  SELECT d1, d2 FROM inter
+             |  JOIN sz s1 ON d1 = s1.doc_id
+             |  JOIN sz s2 ON d2 = s2.doc_id
+             |  WHERE n_inter / (s1.n_sh + s2.n_sh - n_inter) >= 0.6),
+             |edges AS (
+             |  SELECT d1 AS a, d2 AS b FROM jpairs
+             |  UNION SELECT d2, d1 FROM jpairs),
+             |nodes AS (SELECT DISTINCT a AS id FROM edges),
+             |reach(id, r) AS (
+             |  SELECT id, id FROM nodes
+             |  UNION
+             |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+             |lab AS (SELECT id, min(r) AS rep FROM reach GROUP BY id),
+             |train AS (
+             |  SELECT c.doc_id, c.text FROM clean c
+             |  LEFT JOIN lab l ON c.doc_id = l.id
+             |  WHERE ((COALESCE(l.rep, c.doc_id) % 2147483647) * 48271)
+             |        % 2147483647 % 1000000 < 900000),
+             |tc AS (
+             |  SELECT doc_id, string_split_regex(text, '\s+') AS t,
+             |    len(string_split_regex(text, '\s+')) AS n
+             |  FROM train),
+             |cum AS (
+             |  SELECT doc_id, t, n,
+             |    CAST(COALESCE(sum(n) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+             |  FROM tc),
+             |plan AS (
+             |  SELECT doc_id, t, CAST(n AS BIGINT) AS n,
+             |    cb // 1024 AS bin0, cb % 1024 AS off,
+             |    ((cb + n - 1) // 1024) - (cb // 1024) + 1 AS spans
+             |  FROM cum),
+             |mani AS (
+             |  SELECT bin0 + k AS bin_id, doc_id, t,
+             |    greatest(0, k * 1024 - off) AS tok_from,
+             |    least(n, (k + 1) * 1024 - off) AS tok_to
+             |  FROM (SELECT doc_id, t, n, bin0, off, unnest(range(0, spans)) AS k FROM plan)),
+             |pieces AS (
+             |  SELECT bin_id, doc_id, t[(tok_from + 1):(tok_to)] AS piece FROM mani)
+             |SELECT bin_id,
+             |  CAST(len(flatten(list(piece ORDER BY doc_id))) AS BIGINT) AS n_tokens,
+             |  array_to_string(flatten(list(piece ORDER BY doc_id)), ' ') AS payload
+             |FROM pieces GROUP BY bin_id ORDER BY bin_id""".stripMargin), bench = true),
+
     // Materialized packed windows: the end-to-end concat-and-chunk
     // output — every window's payload re-derived token-for-token by
     // the oracle (prefix sums → manifest → slices → ordered reassembly)
