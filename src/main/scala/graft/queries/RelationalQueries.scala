@@ -358,6 +358,42 @@ object RelationalQueries {
              |QUALIFY rn <= 2
              |ORDER BY o_custkey, rn""".stripMargin)),
 
+    // Analytic-function battery: rank / dense_rank / percent_rank /
+    // cume_dist / ntile in one pass (ties engineered by ranking on
+    // order status within priority). The ratio functions are exact
+    // integer formulas, so values agree bit-for-bit.
+    QueryDef("q_window_analytic",
+      (s, d) => {
+        // wTied ranks on status alone (3 values → real tie groups:
+        // rank jumps, dense_rank compacts, percent_rank/cume_dist are
+        // per-group constants); ntile needs a TOTAL order — its
+        // assignment is positional and would be engine-dependent
+        // under ties
+        val wTied = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_orderstatus"))
+        val wTotal = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_orderstatus"), col("o_orderkey"))
+        t(s, d, "orders").filter(col("o_orderkey") < 2000)
+          .select(col("o_orderpriority"), col("o_orderkey"),
+            rank().over(wTied).cast("long").as("rnk"),
+            dense_rank().over(wTied).cast("long").as("drnk"),
+            round(percent_rank().over(wTied), 6).as("prnk"),
+            round(cume_dist().over(wTied), 6).as("cd"),
+            ntile(4).over(wTotal).cast("long").as("quartile"))
+          .orderBy("o_orderpriority", "o_orderkey")
+      },
+      Some("""SELECT o_orderpriority, o_orderkey,
+             |  rank() OVER wt AS rnk,
+             |  dense_rank() OVER wt AS drnk,
+             |  round(percent_rank() OVER wt, 6) AS prnk,
+             |  round(cume_dist() OVER wt, 6) AS cd,
+             |  ntile(4) OVER wo AS quartile
+             |FROM orders WHERE o_orderkey < 2000
+             |WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY o_orderstatus),
+             |       wo AS (PARTITION BY o_orderpriority
+             |              ORDER BY o_orderstatus, o_orderkey)
+             |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+
     // Windows: running sum + lag over daily totals. The cumsum uses
     // the scalable two-phase form (per-month partitions + prefix
     // offsets) and must still match the oracle's single global window.
