@@ -345,7 +345,7 @@ object DedupQueries {
              |SELECT d1, d2, round(n_inter / s1.n_sh, 4) AS containment
              |FROM inter JOIN sz s1 ON d1 = s1.doc_id
              |WHERE n_inter / s1.n_sh >= 0.8
-             |ORDER BY d1, d2""".stripMargin)),
+             |ORDER BY d1, d2""".stripMargin), bench = true),
 
     // Per-doc 5-gram novelty: fraction of a doc's distinct shingles
     // appearing in no other doc. Exact integer counts both sides.

@@ -540,7 +540,7 @@ object SimilarityQueries {
           kPerSub = 16, nCentroids = 16, nProbe = 2, portable = true,
           lloydIters = 1, ivfLloydIters = 2)
       },
-      Some(pqIvfOracleSql)),
+      Some(pqIvfOracleSql), bench = true),
 
     // Batch PQ: 10 queries share one codebook; per-query broadcast
     // distance tables, exploded-code map-side join, exact integer ADC

@@ -62,6 +62,13 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
       s"candidate generation degenerated to a cross join:\n$plan")
   }
 
+  test("containment candidates: prefix on the contained side only, never a cross join") {
+    val plan = finalPlan("q_dd_containment")
+    assert(plan.contains("row_number"), s"prefix ranking window missing:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"candidate generation degenerated to a cross join:\n$plan")
+  }
+
   test("correlated scalar subquery decorrelates into an aggregate + join") {
     val plan = finalPlan("q_correlated_subq")
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
