@@ -473,6 +473,26 @@ object Dedup {
     * `groupBy(id)` count, which partial-aggregates map-side. The
     * final left join attaches zero counts to clean docs. No stage
     * moves the corpus text more than once. */
+  /** Per-benchmark contamination attribution: like [[decontaminate]]
+    * but the eval side carries a benchmark id, and the output says
+    * WHICH benchmark leaked into which corpus document —
+    * (doc_id, bench_id, hit_shingles), hits only. The release
+    * question is never just "is it contaminated" but "against what",
+    * since each affected eval score needs its own correction. Same
+    * broadcast shape: eval (bench, shingle) pairs are small;
+    * the corpus explodes once, map-side. */
+  def decontaminateBy(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                      textCol: String, benchCol: String, n: Int): DataFrame = {
+    val evalShingles = evalSet
+      .select(col(benchCol).as("bench_id"),
+        explode(TextAnalysis.wordShingles(col(textCol), n)).as("sh"))
+      .distinct()
+    shingleTable(corpus, idCol, textCol, n)
+      .join(broadcast(evalShingles), "sh")
+      .groupBy(col("id").as("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("hit_shingles"))
+  }
+
   /** Per-document n-gram novelty: the fraction of a document's
     * DISTINCT word-n-grams that appear in NO other document — the
     * aggregate complement of pair-level near-dup detection, used as a

@@ -347,6 +347,36 @@ object DedupQueries {
              |WHERE n_inter / s1.n_sh >= 0.8
              |ORDER BY d1, d2""".stripMargin), bench = true),
 
+    // Per-benchmark contamination attribution: WHICH eval benchmark
+    // (eval docs bucketed into 3 by doc_id % 3) leaked into which
+    // corpus doc. Oracle re-derives the (benchmark, shingle) sets
+    // and every per-(doc, benchmark) hit count.
+    QueryDef("q_dd_decontam_by",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val evalSet = docs.filter(col("doc_id") % 89 === 0)
+          .withColumn("bench_id", col("doc_id") % 3)
+        Dedup.decontaminateBy(docs.filter(col("doc_id") % 89 =!= 0), evalSet,
+          "doc_id", "text", "bench_id", n = 5)
+          .orderBy("doc_id", "bench_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+             |  FROM documents),
+             |sh AS (
+             |  SELECT DISTINCT doc_id, s FROM (
+             |    SELECT doc_id,
+             |      unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+             |                            i -> array_to_string(t[i:i+4], ' '))) AS s
+             |    FROM toks)),
+             |eval_sh AS (
+             |  SELECT DISTINCT doc_id % 3 AS bench_id, s FROM sh
+             |  WHERE doc_id % 89 = 0)
+             |SELECT c.doc_id, e.bench_id, count(*) AS hit_shingles
+             |FROM sh c JOIN eval_sh e USING (s)
+             |WHERE c.doc_id % 89 <> 0
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Per-doc 5-gram novelty: fraction of a doc's distinct shingles
     // appearing in no other doc. Exact integer counts both sides.
     QueryDef("q_dd_novelty",
