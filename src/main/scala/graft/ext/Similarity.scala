@@ -509,6 +509,28 @@ object Similarity {
       .select(col(idCol), round(col("adq") / lit(1048576.0), 6).as("adist"))
   }
 
+  /** Embedding dedup via PQ codes: vectors whose m codes all agree
+    * quantize to the same cell in every subspace — a semantic-hash
+    * grouping that costs ONE shuffle on a tiny code tuple (the
+    * pairwise cosine alternatives need candidate joins). Coarse by
+    * construction (codes are lossy), so it is the cheap first pass
+    * before an exact verify, exactly like exact-dedup's md5 role for
+    * text. Returns one row per group with ≥ `minGroup` members. */
+  def codeDedupGroups(corpus: DataFrame, dim: Int, m: Int, kPerSub: Int,
+                      idCol: String = "vec_id", portable: Boolean = false,
+                      lloydIters: Int = 1, minGroup: Int = 2): DataFrame = {
+    val codebook = pqCodebook(corpus, dim, m, kPerSub, idCol, portable, lloydIters)
+    pqEncode(corpus, codebook, dim, m, idCol)
+      .groupBy(col("codes"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col(idCol)).as("rep"),
+        array_join(transform(array_sort(collect_list(col(idCol))),
+          _.cast("string")), ",").as("members"))
+      .filter(col("n_members") >= minGroup)
+      .select(array_join(transform(col("codes"), _.cast("string")), ",").as("code_key"),
+        col("rep"), col("n_members"), col("members"))
+  }
+
   /** Persisted ANN index lifecycle: build once, serve later — the
     * production separation between the index job (heavy, scheduled)
     * and query jobs (light, interactive). Layout under `dir`:

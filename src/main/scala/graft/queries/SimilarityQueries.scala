@@ -542,6 +542,25 @@ object SimilarityQueries {
       },
       Some(pqIvfOracleSql), bench = true),
 
+    // Embedding dedup via PQ codes: vectors agreeing in all 4
+    // subspace cells form one group — the one-shuffle semantic-hash
+    // first pass. Oracle re-derives the codes and the group rollup.
+    QueryDef("q_sim_code_dedup",
+      (s, d) => Similarity.codeDedupGroups(
+        t(s, d, "embeddings").filter(col("vec_id") =!= 0),
+        dim = 64, m = 4, kPerSub = 16, portable = true, lloydIters = 1)
+        .orderBy("rep"),
+      Some(s"""WITH ${pqIndexCte("vec_id <> 0")},
+              |keys AS (
+              |  SELECT vec_id,
+              |    array_to_string(list(cid ORDER BY s), ',') AS code_key
+              |  FROM pqenc GROUP BY vec_id)
+              |SELECT code_key, min(vec_id) AS rep,
+              |  count(*) AS n_members,
+              |  array_to_string(list(vec_id ORDER BY vec_id), ',') AS members
+              |FROM keys GROUP BY code_key
+              |HAVING count(*) >= 2 ORDER BY rep""".stripMargin)),
+
     // Batch PQ: 10 queries share one codebook; per-query broadcast
     // distance tables, exploded-code map-side join, exact integer ADC
     // sums, per-query top-3. The oracle re-derives the shared index
