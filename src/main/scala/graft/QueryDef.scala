@@ -25,5 +25,6 @@ object QueryDef {
       graft.queries.DedupQueries.defs ++
       graft.queries.SimilarityQueries.defs ++
       graft.queries.EventQueries.defs ++
+      graft.queries.SketchQueries.defs ++
       graft.cashequity.CashEquityQueries.defs
 }

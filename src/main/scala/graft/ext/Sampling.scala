@@ -146,4 +146,21 @@ object Sampling {
       .filter(b < floor(col("__frac") * 1000000).cast("long"))
       .drop("__stratum", "__frac")
   }
+
+  /** Per-group frequency cap (domain capping: "at most `cap` docs
+    * per source/domain", the standard web-corpus rebalancing rule).
+    * Keeps the `cap` rows with the smallest (MINSTD bucket of key,
+    * key) per group — deterministic across runs and partitionings,
+    * and re-derivable in SQL (the gate's DuckDB twin replays it with
+    * `row_number()`).
+    *
+    * Scale: the window-row_number idiom sorts every group in full;
+    * this rides [[graft.ops.RelationalOps.topKPerGroup]]'s size-cap
+    * heap — state ≤ cap rows per group, map-side combine, the shuffle
+    * carries ≤ cap rows per (partition, group). Output is the narrow
+    * (group, hb, key) frame; rejoin on the key for payload columns so
+    * heavy text/binary never rides the aggregation shuffle. */
+  def capPerGroup(df: DataFrame, group: Column, key: Column, cap: Int): DataFrame =
+    graft.ops.RelationalOps.topKPerGroup(df, Seq(group),
+      struct(minstdBucket(key, 1000000).as("hb"), key), cap)
 }

@@ -1,0 +1,119 @@
+package graft.ext
+
+import graft.functions.SketchAggregates
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable sketch operators for corpus-scale cardinality and
+  * frequency estimation — the 100 TB answer to `COUNT(DISTINCT)` and
+  * exact token counting, whose state grows with the key space.
+  *
+  * Two hash regimes, mirroring the dedup/sampling split elsewhere in
+  * the library:
+  *   - production: `xxhash64` (strong mixing), estimates NOT
+  *     re-derivable outside Spark;
+  *   - portable: the universal family `(A_i·x + B_i) mod 1e9+7` with
+  *     MINSTD-derived constants over a 31-polynomial rolling hash —
+  *     weaker mixing, but the whole sketch re-derives in plain SQL,
+  *     which is what the driver gate value-checks against DuckDB.
+  */
+object Sketches {
+
+  val P = 1000000007L
+
+  /** i-th member of the portable universal hash family over a long in
+    * `[0, P)`. Returns a value in `[0, P)`; every intermediate fits a
+    * signed 64-bit integer (`A_i < 2^31`, `x < 2^30`). */
+  def uhash(x: Column, idx: Int): Column =
+    pmod(lit(Sampling.minstd2(2 * idx + 1)) * x + lit(Sampling.minstd2(2 * idx + 2)), lit(P))
+
+  /** HLL distinct estimate of any column: xxhash64, 63 usable bits,
+    * `2^p` registers (default 2^14 = 16 KiB/group, ~0.8% error). */
+  def hllDistinct(anyCol: Column, p: Int = 14): Column =
+    SketchAggregates.hllSketch(
+      xxhash64(anyCol).bitwiseAND(lit(Long.MaxValue)), p, hashBits = 63)
+
+  /** SQL-portable HLL: input is a portable hash in `[0, P) ⊂ [0,
+    * 2^30)` (e.g. [[uhash]] of a rolling hash), fixed `m = 64`
+    * registers so `alpha_m` is the published 0.709 literal and every
+    * `2^-register` term stays exact. Runs the RAW estimator (the
+    * linear-counting correction needs `ln`, which isn't bit-portable
+    * across engines), so it expects cardinalities ≳ 2.5·64 and reads
+    * biased-high below that — ~13% standard error in its regime. Use
+    * [[hllDistinct]] when cross-engine audits don't bind. */
+  def hllDistinctPortable(portableHashCol: Column): Column =
+    SketchAggregates.hllSketch(portableHashCol, p = 6, hashBits = 30, correct = false)
+
+  /** CMS counter matrix (row-major `d×w` array) over a portable hash
+    * column; merge-friendly aggregate state of `d·w` longs. */
+  def cmsSketch(portableHashCol: Column, d: Int = 4, w: Int = 512): Column =
+    SketchAggregates.cmsSketch(portableHashCol, d, w)
+
+  /** Reduce any integer key into the universal family's domain
+    * `[0, P)` — the identity for keys already below P. */
+  def keyHash(key: Column): Column = pmod(key, lit(P))
+
+  /** Bloom bitset over a portable hash column (default 64 Kibit =
+    * 8 KiB, k = 4: <0.1% false positives at ~3k keys, ~3% at 12k). */
+  def bloomSketch(portableHashCol: Column, mBits: Int = 65536, k: Int = 4): Column =
+    SketchAggregates.bloomSketch(portableHashCol, mBits, k)
+
+  /** Membership probe against a [[bloomSketch]] array column. Plain
+    * column expression: broadcast the 1-row sketch frame, crossJoin,
+    * and probe — the probe side is filtered BEFORE any shuffle, which
+    * is the whole point (semi-join reduction: ship 8 KiB instead of
+    * shuffling the fact table). No false negatives; follow with the
+    * exact join to cull false positives. */
+  def bloomContains(bloom: Column, keyHash: Column, mBits: Int = 65536, k: Int = 4): Column =
+    (0 until k).map { i =>
+      val pos = pmod(uhash(keyHash, 180 + i), lit(mBits.toLong))
+      val word = element_at(bloom, shiftright(pos, 6).cast("int") + 1)
+      call_function("shiftright", word, (pos % 64).cast("int"))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }.reduce(_ && _)
+
+  /** Fixed-grid histogram quantile: one-pass mergeable alternative to
+    * exact `percentile` (which buffers whole groups) and
+    * `percentile_approx` (whose sketch isn't re-derivable outside
+    * Spark). Bins `value` on a fixed `[lo, hi)` grid — pick a
+    * power-of-two width so the bin arithmetic is EXACT in IEEE
+    * doubles and re-derives in any engine — then returns, per key,
+    * the first bin whose cumulative count reaches `ceil(q·n)` and its
+    * midpoint as the estimate (error ≤ half a bin width by
+    * construction).
+    *
+    * Scale: state is ≤ `bins` counters per group (a groupBy(key, bin)
+    * count with map-side combine); the window cumsum runs over the
+    * tiny (key × bins) counter frame, never over the data. Out-of-
+    * range values clamp into the edge bins — size the grid from
+    * domain knowledge or a prior [[hllDistinct]]-style profile pass.
+    * Output: key, n, qbin, q_est. */
+  def histogramQuantile(df: DataFrame, key: Column, value: Column,
+                        lo: Double, hi: Double, bins: Int, q: Double): DataFrame = {
+    require(bins >= 2 && hi > lo && q > 0 && q < 1, "need bins>=2, hi>lo, 0<q<1")
+    val step = (hi - lo) / bins
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((value - lit(lo)) / lit(step)).cast("int")))
+    val counts = df.groupBy(key.as("k"), bin.as("bin")).agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum("c").over(Window.partitionBy("k").orderBy("bin")))
+      .withColumn("n", sum("c").over(Window.partitionBy("k")))
+    cum.filter(col("cum") >= ceil(col("n") * lit(q)))
+      .groupBy(col("k"))
+      .agg(min(col("bin")).as("qbin"), min(col("n")).as("n"))
+      .select(col("k"), col("n"),
+        col("qbin"), (lit(lo) + (col("qbin") + lit(0.5)) * lit(step)).as("q_est"))
+  }
+
+  /** Point estimate for `keyHash` from a [[cmsSketch]] array column:
+    * min over the d row counters the key hashes to. Always ≥ the true
+    * count. Plain column expression — composes with a broadcast of
+    * the 1-row sketch frame over any key frame. */
+  def cmsEstimate(sketch: Column, keyHash: Column, d: Int = 4, w: Int = 512): Column = {
+    val rows = (0 until d).map { i =>
+      element_at(sketch, (lit(i * w) + pmod(uhash(keyHash, 150 + i), lit(w))).cast("int") + 1)
+    }
+    if (rows.size == 1) rows.head else least(rows: _*)
+  }
+}

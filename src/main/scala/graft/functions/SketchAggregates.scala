@@ -1,0 +1,282 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** HyperLogLog distinct-count sketch (Flajolet et al. 2007, public
+  * algorithm) as a [[TypedImperativeAggregate]].
+  *
+  * Why not `approx_count_distinct`: Spark's built-in HLL++ hashes with
+  * a fixed internal scheme, so its estimate cannot be re-derived by
+  * another engine — unacceptable when the cardinality feeds an
+  * audited data-retention or dedup-budget decision. This sketch takes
+  * an ALREADY-HASHED non-negative long column (caller picks the hash)
+  * and uses only integer splits + exact power-of-two arithmetic, so
+  * the identical estimate re-derives in plain SQL (the driver gate
+  * value-checks it against DuckDB bit-for-bit; every term
+  * `2^-register` is an exact double and all partial sums are exact,
+  * so even summation order cannot perturb the result).
+  *
+  * 100 TB posture: the buffer is `m = 2^p` bytes per group regardless
+  * of input size, merges by register-max (commutative, associative →
+  * partial aggregation map-side), and the shuffle carries one m-byte
+  * sketch per (partition, group) instead of the distinct keys —
+  * exactly the shape `COUNT(DISTINCT)` cannot achieve.
+  *
+  * Register split of a hash `h < 2^hashBits`: index `j = h mod m`,
+  * remainder `w = h div m < 2^(hashBits-p)`, register value
+  * `rho = (hashBits-p) - floor(log2 w)` (i.e. leading-zero count of
+  * `w` in a `hashBits-p`-wide window, plus one; `w = 0` →
+  * `hashBits-p+1`). Estimate: `alpha_m * m^2 / sum_j 2^-M_j`, with
+  * the published linear-counting correction `m·ln(m/V)` (V = zero
+  * registers) when the raw estimate ≤ 2.5m — WITHOUT it the raw
+  * estimator saturates near `alpha_m·m` for n ≪ m and is useless.
+  * `correct = false` disables it for the SQL-portable variant:
+  * `ln`'s libm rounding is not identical across engines, so the
+  * portable contract instead requires n ≳ 2.5m (pick m small enough
+  * for the cardinalities being audited) and accepts the raw
+  * estimator's published bias below that.
+  */
+case class HllSketch(child: Expression, p: Int, hashBits: Int, correct: Boolean = true,
+                     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(p >= 4 && p <= 16, "precision p must be in [4, 16]")
+  require(hashBits > p && hashBits <= 63, "hashBits must be in (p, 63]")
+
+  private val m = 1 << p
+  private val capBits = hashBits - p
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val j = (h % m).toInt
+      val w = h / m
+      val rho =
+        if (w == 0L) capBits + 1
+        else capBits - (63 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > buf(j)) buf(j) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var j = 0
+    while (j < m) { if (other(j) > buf(j)) buf(j) = other(j); j += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    var sum = 0.0
+    var zeros = 0
+    var j = 0
+    while (j < m) {
+      sum += 1.0 / (1L << buf(j))
+      if (buf(j) == 0) zeros += 1
+      j += 1
+    }
+    val raw = alpha * m * m / sum
+    if (correct && raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+    else raw
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): HllSketch = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllSketch = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+/** Count–min sketch (Cormode & Muthukrishnan 2005, public algorithm)
+  * as a [[TypedImperativeAggregate]]: `d` hash rows × `w` counters
+  * over an already-hashed non-negative long key, row hashes from the
+  * portable universal family `(A_i·x + B_i) mod (1e9+7) mod w` with
+  * MINSTD-derived constants (same family as the portable MinHash —
+  * see [[graft.ext.Sampling.minstd2]]), so counters and estimates
+  * re-derive in plain SQL.
+  *
+  * 100 TB posture: fixed `d·w·8` bytes of state however many items
+  * stream in, merge = elementwise add (partial aggregation map-side;
+  * the shuffle carries one sketch per partition, not the item
+  * stream). Point estimate = min over rows — always ≥ the true count,
+  * over by at most ε·N with prob 1−δ for `w = e/ε`, `d = ln(1/δ)`.
+  *
+  * `eval` returns the raw `d·w` counter matrix (row-major) so
+  * estimation composes as a plain column expression over the array —
+  * see [[graft.ext.Sketches.cmsEstimate]].
+  */
+case class CountMinSketchAgg(child: Expression, d: Int, w: Int,
+                             constIndexBase: Int = 150,
+                             mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(d >= 1 && d <= 16, "depth d must be in [1, 16]")
+  require(w >= 2 && w <= (1 << 20), "width w must be in [2, 2^20]")
+
+  private val P = 1000000007L
+  // (A_i, B_i) for row i — twice-iterated MINSTD of small odd/even
+  // indexes, identical to the SQL twin's `consts` CTE
+  @transient private lazy val consts: Array[(Long, Long)] =
+    Array.tabulate(d) { i =>
+      val idx = constIndexBase + i
+      (graft.ext.Sampling.minstd2(2 * idx + 1), graft.ext.Sampling.minstd2(2 * idx + 2))
+    }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](d * w)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      var i = 0
+      while (i < d) {
+        val (a, b) = consts(i)
+        val bkt = (((a * x + b) % P) % w).toInt
+        buf(i * w + bkt) += 1L
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): CountMinSketchAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CountMinSketchAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+/** Bloom filter as a [[TypedImperativeAggregate]]: `mBits` bits, `k`
+  * set positions per key from the same portable universal family as
+  * [[CountMinSketchAgg]] (constant indexes `constIndexBase+i`), over
+  * an already-hashed non-negative long < 2^30.
+  *
+  * The 100 TB use is semi-join reduction: aggregate the (filtered)
+  * build side's keys into one `mBits/8`-byte bitset — partial
+  * aggregation ORs per-partition bitsets map-side, so the shuffle
+  * carries one bitset per partition, not the key stream — broadcast
+  * the 1-row result, and prefilter the probe side with
+  * [[graft.ext.Sketches.bloomContains]] BEFORE its shuffle. False
+  * positives are culled by the exact join that follows; false
+  * negatives are impossible, so the composition is exact (the gate
+  * checks it against a plain semi-join oracle).
+  */
+case class BloomFilterAgg(child: Expression, mBits: Int, k: Int,
+                          constIndexBase: Int = 180,
+                          mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(mBits >= 64 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
+  require(k >= 1 && k <= 16, "k must be in [1, 16]")
+
+  private val P = 1000000007L
+  @transient private lazy val consts: Array[(Long, Long)] =
+    Array.tabulate(k) { i =>
+      val idx = constIndexBase + i
+      (graft.ext.Sampling.minstd2(2 * idx + 1), graft.ext.Sampling.minstd2(2 * idx + 2))
+    }
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](mBits / 64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      var i = 0
+      while (i < k) {
+        val (a, b) = consts(i)
+        val pos = (((a * x + b) % P) % mBits).toInt
+        buf(pos >> 6) |= 1L << (pos & 63)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) |= other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): BloomFilterAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BloomFilterAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+object SketchAggregates {
+  import GraftColumnBridge._
+
+  /** HLL over an already-hashed long column in `[0, 2^hashBits)`. */
+  def hllSketch(hashCol: Column, p: Int, hashBits: Int, correct: Boolean = true): Column =
+    column(HllSketch(expression(hashCol), p, hashBits, correct).toAggregateExpression())
+
+  /** CMS counter matrix over an already-hashed long column. */
+  def cmsSketch(hashCol: Column, d: Int, w: Int, constIndexBase: Int = 150): Column =
+    column(CountMinSketchAgg(expression(hashCol), d, w, constIndexBase).toAggregateExpression())
+
+  /** Bloom bitset (array of mBits/64 longs) over an already-hashed
+    * long column. */
+  def bloomSketch(hashCol: Column, mBits: Int, k: Int, constIndexBase: Int = 180): Column =
+    column(BloomFilterAgg(expression(hashCol), mBits, k, constIndexBase).toAggregateExpression())
+}

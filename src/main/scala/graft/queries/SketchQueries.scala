@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ext.{Sketches, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch gate queries — the portable-hash variants of the HLL and
+  * CMS aggregates, value-checked against DuckDB twins that re-derive
+  * the full sketch (registers / counter matrix) in plain SQL. The
+  * xxhash64 production variants get property tests in SketchesSpec
+  * (accuracy, partition independence, merge) instead.
+  */
+object SketchQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir).table(n)
+
+  /** Shared rolling-hash SQL fragment: 31-polynomial over codepoints
+    * mod 1e9+7 — the DuckDB twin of
+    * [[graft.functions.TextExpressions.rollingHash]]. */
+  private def rhSql(expr: String): String =
+    s"""list_reduce(
+       |      list_prepend(0::BIGINT, list_transform(range(1, length($expr) + 1),
+       |                   i -> unicode(substr($expr, i, 1))::BIGINT)),
+       |      (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Portable HyperLogLog: per-language distinct-text estimate from
+    // a 64-register sketch vs the exact count. The oracle re-derives
+    // register indexes, leading-zero ranks, and the raw estimate —
+    // every 2^-register term is an exact double, so the doubles
+    // match bit-for-bit before the round(4).
+    QueryDef("q_agg_hll",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        docs.select(col("lang"), col("text"),
+            Sketches.uhash(TextAnalysis.rollingHash(col("text")), 100).as("h"))
+          .groupBy("lang")
+          .agg(countDistinct(col("text")).as("n_exact"),
+               round(Sketches.hllDistinctPortable(col("h")), 4).as("hll_est"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH hx AS (
+              |  SELECT lang, text,
+              |    ((16807::BIGINT * ((16807::BIGINT * 201) % 2147483647)) % 2147483647
+              |       * ${rhSql("text")}
+              |     + (16807::BIGINT * ((16807::BIGINT * 202) % 2147483647)) % 2147483647)
+              |    % 1000000007 AS h
+              |  FROM documents),
+              |reg AS (
+              |  SELECT lang, (h % 64) AS j,
+              |    max(CASE WHEN h // 64 = 0 THEN 25
+              |        ELSE 24 - floor(log2(h // 64))::INT END) AS rho
+              |  FROM hx GROUP BY 1, 2),
+              |grid AS (
+              |  SELECT l.lang, g.j
+              |  FROM (SELECT DISTINCT lang FROM documents) l
+              |  CROSS JOIN range(0, 64) g(j)),
+              |est AS (
+              |  SELECT grid.lang,
+              |    round(0.709 * 64 * 64
+              |          / sum(1.0 / (1::BIGINT << coalesce(rho, 0))), 4) AS hll_est
+              |  FROM grid LEFT JOIN reg ON grid.lang = reg.lang AND grid.j = reg.j
+              |  GROUP BY 1),
+              |ex AS (SELECT lang, count(DISTINCT text) AS n_exact
+              |       FROM documents GROUP BY lang)
+              |SELECT est.lang AS lang, n_exact, hll_est
+              |FROM est JOIN ex ON est.lang = ex.lang ORDER BY est.lang""".stripMargin)),
+
+    // Portable count–min sketch: one 4×512 counter matrix over the
+    // full token stream (8 KiB of aggregate state however many tokens
+    // stream in), then point estimates for the 20 most frequent
+    // tokens. The oracle rebuilds the counter matrix and takes the
+    // same min-over-rows — estimates are exact integers, and the gate
+    // proves est ≥ true by construction on both sides.
+    QueryDef("q_agg_cms",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .withColumn("x", TextAnalysis.rollingHash(col("tok")))
+        val sk = toks.agg(Sketches.cmsSketch(col("x"), d = 4, w = 512).as("sk"))
+        val top = toks.groupBy("tok")
+          .agg(count(lit(1)).as("true_cnt"), min(col("x")).as("x"))
+          .orderBy(desc("true_cnt"), asc("tok")).limit(20)
+        top.crossJoin(broadcast(sk))
+          .select(col("tok"), col("true_cnt"),
+            Sketches.cmsEstimate(col("sk"), col("x"), d = 4, w = 512).as("cms_est"))
+          .orderBy(desc("true_cnt"), asc("tok"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+              |                            t -> len(t) > 0)) AS tok
+              |  FROM documents),
+              |cnt AS (SELECT tok, count(*) AS true_cnt FROM toks GROUP BY tok),
+              |hx AS (
+              |  SELECT tok, true_cnt, ${rhSql("tok")} AS x
+              |  FROM cnt),
+              |consts AS (
+              |  SELECT i,
+              |    (16807 * ((16807 * (301 + 2*i)) % 2147483647)) % 2147483647 AS a,
+              |    (16807 * ((16807 * (302 + 2*i)) % 2147483647)) % 2147483647 AS b
+              |  FROM range(0, 4) t(i)),
+              |tb AS (
+              |  SELECT tok, true_cnt, i, ((a * x + b) % 1000000007) % 512 AS bkt
+              |  FROM hx CROSS JOIN consts),
+              |counters AS (
+              |  SELECT i, bkt, sum(true_cnt)::BIGINT AS c FROM tb GROUP BY 1, 2),
+              |est AS (
+              |  SELECT tok, max(true_cnt) AS true_cnt, min(c) AS cms_est
+              |  FROM tb JOIN counters USING (i, bkt) GROUP BY tok)
+              |SELECT tok, true_cnt, cms_est FROM est
+              |ORDER BY true_cnt DESC, tok LIMIT 20""".stripMargin)),
+
+    // Histogram median: 64 power-of-two-width bins (2048 = 2^11, so
+    // every divide/floor is IEEE-exact and re-derives in DuckDB),
+    // cumulative counts over the tiny (key × bin) frame, midpoint
+    // estimate. The one-pass mergeable shape exact `percentile`
+    // can't achieve — state is 64 counters per group.
+    QueryDef("q_agg_histq",
+      (s, d) => Sketches.histogramQuantile(
+          t(s, d, "lineitem"), col("l_returnflag"), col("l_extendedprice"),
+          lo = 0.0, hi = 131072.0, bins = 64, q = 0.5)
+        .withColumnRenamed("k", "l_returnflag")
+        .orderBy("l_returnflag"),
+      Some("""WITH b AS (
+             |  SELECT l_returnflag AS k,
+             |    least(63, greatest(0, floor(l_extendedprice / 2048.0)::INT)) AS bin
+             |  FROM lineitem),
+             |c AS (SELECT k, bin, count(*) AS c FROM b GROUP BY 1, 2),
+             |cc AS (
+             |  SELECT k, bin, c,
+             |    sum(c) OVER (PARTITION BY k ORDER BY bin) AS cum,
+             |    sum(c) OVER (PARTITION BY k) AS n
+             |  FROM c),
+             |sel AS (
+             |  SELECT k, min(bin) AS qbin, min(n)::BIGINT AS n
+             |  FROM cc WHERE cum >= ceil(n * 0.5) GROUP BY k)
+             |SELECT k AS l_returnflag, n, qbin,
+             |  (0.0 + (qbin + 0.5) * 2048.0) AS q_est
+             |FROM sel ORDER BY k""".stripMargin)),
+
+    // Bloom-prefiltered semi join: the urgent-order keys fold into an
+    // 8 KiB bitset (one aggregate, map-side OR-merge), the bitset
+    // broadcasts, and lineitem is pruned BEFORE any shuffle; the
+    // exact semi join then culls bloom false positives, so the result
+    // equals the plain semi join — which is exactly what the oracle
+    // states. At 100 TB this ships 8 KiB to every executor instead of
+    // shuffling the fact table for the join.
+    QueryDef("q_join_bloom",
+      (s, d) => {
+        val keys = t(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        val bloom = keys.agg(
+          Sketches.bloomSketch(Sketches.keyHash(col("o_orderkey"))).as("bf"))
+        t(s, d, "lineitem")
+          .crossJoin(broadcast(bloom))
+          .filter(Sketches.bloomContains(col("bf"), Sketches.keyHash(col("l_orderkey"))))
+          .drop("bf")
+          .join(keys, col("l_orderkey") === col("o_orderkey"), "left_semi")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+               round(sum(col("l_extendedprice")), 2).as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_items,
+             |  round(sum(l_extendedprice), 2) AS revenue
+             |FROM lineitem
+             |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+             |                     WHERE o_orderpriority = '1-URGENT')
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

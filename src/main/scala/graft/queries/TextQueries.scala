@@ -305,6 +305,24 @@ object TextQueries {
              |      CAST(floor(f * 1000000) AS BIGINT)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Per-source frequency cap: at most 10 docs per source, chosen by
+    // portable hash order — bounded-state top-k per group (size-10
+    // heaps, map-side combine), NOT a window sort; the oracle replays
+    // the same selection with row_number().
+    QueryDef("q_sample_cap",
+      (s, d) => graft.ext.Sampling.capPerGroup(
+        t(s, d, "documents"), col("source"), col("doc_id"), cap = 10)
+        .orderBy("source", "doc_id"),
+      Some("""WITH ranked AS (
+             |  SELECT source, doc_id,
+             |    ((doc_id % 2147483647) * 48271) % 2147483647 % 1000000 AS hb,
+             |    row_number() OVER (PARTITION BY source
+             |      ORDER BY ((doc_id % 2147483647) * 48271) % 2147483647 % 1000000,
+             |               doc_id) AS rn
+             |  FROM documents)
+             |SELECT source, hb, doc_id FROM ranked WHERE rn <= 10
+             |ORDER BY source, doc_id""".stripMargin)),
+
     // Corpus-statistics quality: per-doc mean unigram log-probability
     // under the corpus's own distribution (rare-token-heavy docs score
     // low). Per-token log-probs are quantized to 2^-20 before the

@@ -1,0 +1,148 @@
+package graft
+
+import graft.ext.{Sketches, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HLL / CMS sketch properties the oracle gate can't express:
+  * accuracy bounds, partition-order independence (which exercises
+  * partial-aggregate merge + buffer serialization through a real
+  * shuffle), and the CMS over-count guarantee under engineered
+  * collisions.
+  */
+class SketchesSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("hllDistinct estimates 10k distinct longs within 3% at p=14") {
+    val df = spark.range(10000).select(col("id"))
+    val est = df.agg(Sketches.hllDistinct(col("id"), p = 14)).as[Double].head()
+    assert(math.abs(est - 10000.0) / 10000.0 < 0.03, s"estimate $est")
+  }
+
+  test("hllDistinct is partition-independent (merge + serde through shuffle)") {
+    val base = spark.range(5000).select((col("id") % 1234).as("k"))
+    val one = base.repartition(1).agg(Sketches.hllDistinct(col("k"))).as[Double].head()
+    val many = base.repartition(16).agg(Sketches.hllDistinct(col("k"))).as[Double].head()
+    assert(one == many, s"one-partition $one != 16-partition $many")
+  }
+
+  test("hllDistinct counts hash-distinct values: duplicates don't inflate") {
+    val dups = spark.range(20000).select((col("id") % 100).as("k"))
+    val est = dups.agg(Sketches.hllDistinct(col("k"), p = 14)).as[Double].head()
+    assert(est > 80 && est < 120, s"estimate $est for 100 distinct")
+  }
+
+  test("portable HLL matches a register-level re-derivation in Scala") {
+    // Re-derive the m=64 raw estimate independently from first
+    // principles over the same portable hashes, then compare exactly.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val hashes = docs
+      .select(Sketches.uhash(TextAnalysis.rollingHash(col("text")), 100).as("h"))
+      .as[Long].collect()
+    val regs = new Array[Int](64)
+    for (h <- hashes) {
+      val j = (h % 64).toInt
+      val w = h / 64
+      val rho = if (w == 0L) 25 else 24 - (63 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > regs(j)) regs(j) = rho
+    }
+    val expected = 0.709 * 64 * 64 / regs.map(r => 1.0 / (1L << r)).sum
+    val est = docs
+      .select(Sketches.uhash(TextAnalysis.rollingHash(col("text")), 100).as("h"))
+      .agg(Sketches.hllDistinctPortable(col("h"))).as[Double].head()
+    assert(est == expected, s"sketch $est != re-derivation $expected")
+  }
+
+  test("CMS estimate >= true count for every key, == without collisions") {
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("x", TextAnalysis.rollingHash(col("tok")))
+    val sk = toks.agg(Sketches.cmsSketch(col("x"), d = 4, w = 512).as("sk"))
+    val checked = toks.groupBy("tok").agg(count(lit(1)).as("n"), min(col("x")).as("x"))
+      .crossJoin(broadcast(sk))
+      .select(col("n"), Sketches.cmsEstimate(col("sk"), col("x"), d = 4, w = 512).as("est"))
+      .as[(Long, Long)].collect()
+    assert(checked.nonEmpty)
+    assert(checked.forall { case (n, est) => est >= n },
+      "CMS must never under-count")
+    // vocab << 4*512 counters: w=512 should be collision-free here
+    assert(checked.forall { case (n, est) => est == n },
+      s"expected exact at w=512; worst ${checked.maxBy { case (n, e) => e - n }}")
+  }
+
+  test("CMS over-counts but stays bounded when w is squeezed") {
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("x", TextAnalysis.rollingHash(col("tok")))
+    val n = toks.count()
+    val sk = toks.agg(Sketches.cmsSketch(col("x"), d = 4, w = 8).as("sk"))
+    val checked = toks.groupBy("tok").agg(count(lit(1)).as("cnt"), min(col("x")).as("x"))
+      .crossJoin(broadcast(sk))
+      .select(col("cnt"), Sketches.cmsEstimate(col("sk"), col("x"), d = 4, w = 8).as("est"))
+      .as[(Long, Long)].collect()
+    assert(checked.exists { case (cnt, est) => est > cnt },
+      "w=8 with a bigger vocab must collide somewhere")
+    // trivial upper bound: an estimate can never exceed the stream size
+    assert(checked.forall { case (_, est) => est <= n })
+  }
+
+  test("bloom filter: no false negatives, strong pruning of non-members") {
+    val members = spark.range(100).select(col("id").as("k"))
+    val bloom = members.agg(
+      ext.Sketches.bloomSketch(ext.Sketches.keyHash(col("k")), mBits = 4096, k = 4).as("bf"))
+    val probes = spark.range(10000).select((col("id") + 50).as("k"))
+    val passed = probes.crossJoin(broadcast(bloom))
+      .filter(ext.Sketches.bloomContains(col("bf"), ext.Sketches.keyHash(col("k")),
+        mBits = 4096, k = 4))
+      .select("k").as[Long].collect().toSet
+    // every true member that was probed must pass
+    assert((50L until 100L).forall(passed.contains), "bloom false negative")
+    // 4096 bits / 100 keys: non-members should almost all be pruned
+    val falsePos = passed.count(_ >= 100)
+    assert(falsePos < 500, s"$falsePos false positives out of 9950 non-members")
+  }
+
+  test("bloom filter is partition-independent (OR-merge through shuffle)") {
+    val members = spark.range(1000).select(col("id").as("k"))
+    def build(parts: Int) = members.repartition(parts)
+      .agg(ext.Sketches.bloomSketch(ext.Sketches.keyHash(col("k"))))
+      .as[Seq[Long]].head()
+    assert(build(1) == build(16))
+  }
+
+  test("capPerGroup keeps exactly cap rows per group, deterministically") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val capped = ext.Sampling.capPerGroup(docs, col("source"), col("doc_id"), cap = 3)
+    val sizes = capped.groupBy("source").count().as[(String, Long)].collect()
+    assert(sizes.forall(_._2 <= 3), s"over cap: ${sizes.filter(_._2 > 3).mkString(",")}")
+    val a = capped.orderBy("source", "doc_id").collect().toSeq
+    val b = ext.Sampling.capPerGroup(docs.repartition(16), col("source"), col("doc_id"), 3)
+      .orderBy("source", "doc_id").collect().toSeq
+    assert(a == b, "kept set must not depend on partitioning")
+  }
+
+  test("histogramQuantile lands within half a bin of the exact median") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val approx = ext.Sketches.histogramQuantile(li, col("l_returnflag"),
+        col("l_extendedprice"), lo = 0.0, hi = 131072.0, bins = 64, q = 0.5)
+      .select(col("k"), col("q_est")).as[(String, Double)].collect().toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+      .as[(String, Double)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, est) <- approx)
+      assert(math.abs(est - exact(k)) <= 1024.0 + 1e-9,
+        s"key $k: est $est vs exact ${exact(k)}")
+  }
+
+  test("CMS is partition-independent (merge + serde through shuffle)") {
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .withColumn("x", TextAnalysis.rollingHash(col("tok")))
+    val a = toks.repartition(1).agg(Sketches.cmsSketch(col("x"))).as[Seq[Long]].head()
+    val b = toks.repartition(16).agg(Sketches.cmsSketch(col("x"))).as[Seq[Long]].head()
+    assert(a == b)
+  }
+}
