@@ -106,6 +106,34 @@ object Sketches {
         col("qbin"), (lit(lo) + (col("qbin") + lit(0.5)) * lit(step)).as("q_est"))
   }
 
+  /** Multi-quantile variant of [[histogramQuantile]]: every requested
+    * quantile reads off the SAME per-group counter frame in one agg
+    * pass (exact `percentile(..., array(...))` still buffers whole
+    * groups; here extra quantiles are free). Output: key, n, and one
+    * `<name>` midpoint-estimate column per requested quantile. */
+  def histogramQuantiles(df: DataFrame, key: Column, value: Column,
+                         lo: Double, hi: Double, bins: Int,
+                         qs: Seq[(String, Double)]): DataFrame = {
+    require(bins >= 2 && hi > lo && qs.nonEmpty && qs.forall(q => q._2 > 0 && q._2 < 1),
+      "need bins>=2, hi>lo, quantiles in (0,1)")
+    val step = (hi - lo) / bins
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((value - lit(lo)) / lit(step)).cast("int")))
+    val counts = df.groupBy(key.as("k"), bin.as("bin")).agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum("c").over(Window.partitionBy("k").orderBy("bin")))
+      .withColumn("n", sum("c").over(Window.partitionBy("k")))
+    val qCols = qs.map { case (name, q) =>
+      min(when(col("cum") >= ceil(col("n") * lit(q)), col("bin"))).as(s"__b_$name")
+    }
+    val aggCols = min(col("n")).as("n") +: qCols
+    val est = cum.groupBy(col("k")).agg(aggCols.head, aggCols.tail: _*)
+    qs.foldLeft(est) { case (d, (name, _)) =>
+      d.withColumn(name, lit(lo) + (col(s"__b_$name") + lit(0.5)) * lit(step))
+        .drop(s"__b_$name")
+    }
+  }
+
   /** Point estimate for `keyHash` from a [[cmsSketch]] array column:
     * min over the d row counters the key hashes to. Always ≥ the true
     * count. Plain column expression — composes with a broadcast of

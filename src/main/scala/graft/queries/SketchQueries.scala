@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.QueryDef
-import graft.ext.{Sketches, TextAnalysis}
+import graft.ext.{Layout, Sketches, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -143,6 +143,39 @@ object SketchQueries {
              |  (0.0 + (qbin + 0.5) * 2048.0) AS q_est
              |FROM sel ORDER BY k""".stripMargin)),
 
+    // Multi-quantile read-off from one counter frame: p25/p50/p95 of
+    // l_extendedprice per return flag, all from the same 64-bin
+    // histogram — extra quantiles cost one conditional-min each, not
+    // another pass over the data.
+    QueryDef("q_agg_histq_multi",
+      (s, d) => Sketches.histogramQuantiles(
+          t(s, d, "lineitem"), col("l_returnflag"), col("l_extendedprice"),
+          lo = 0.0, hi = 131072.0, bins = 64,
+          qs = Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95))
+        .withColumnRenamed("k", "l_returnflag")
+        .orderBy("l_returnflag"),
+      Some("""WITH b AS (
+             |  SELECT l_returnflag AS k,
+             |    least(63, greatest(0, floor(l_extendedprice / 2048.0)::INT)) AS bin
+             |  FROM lineitem),
+             |c AS (SELECT k, bin, count(*) AS c FROM b GROUP BY 1, 2),
+             |cc AS (
+             |  SELECT k, bin, c,
+             |    sum(c) OVER (PARTITION BY k ORDER BY bin) AS cum,
+             |    sum(c) OVER (PARTITION BY k) AS n
+             |  FROM c),
+             |sel AS (
+             |  SELECT k, min(n)::BIGINT AS n,
+             |    min(CASE WHEN cum >= ceil(n * 0.25) THEN bin END) AS b25,
+             |    min(CASE WHEN cum >= ceil(n * 0.5)  THEN bin END) AS b50,
+             |    min(CASE WHEN cum >= ceil(n * 0.95) THEN bin END) AS b95
+             |  FROM cc GROUP BY k)
+             |SELECT k AS l_returnflag, n,
+             |  (0.0 + (b25 + 0.5) * 2048.0) AS p25,
+             |  (0.0 + (b50 + 0.5) * 2048.0) AS p50,
+             |  (0.0 + (b95 + 0.5) * 2048.0) AS p95
+             |FROM sel ORDER BY k""".stripMargin)),
+
     // Bloom-prefiltered semi join: the urgent-order keys fold into an
     // 8 KiB bitset (one aggregate, map-side OR-merge), the bitset
     // broadcasts, and lineitem is pruned BEFORE any shuffle; the
@@ -172,6 +205,36 @@ object SketchQueries {
              |FROM lineitem
              |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
              |                     WHERE o_orderpriority = '1-URGENT')
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Z-order clustering key: the Morton interleave of (l_partkey,
+    // l_suppkey) — pure shift/mask built-ins, re-derived bit-for-bit
+    // by the oracle's stepwise CTE. LayoutSpec proves the locality
+    // property (files clustered by z cover compact rectangles in both
+    // key dimensions); this gate pins the arithmetic.
+    QueryDef("q_zorder",
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Layout.zorder2(col("l_partkey"), col("l_suppkey")).as("zval"))
+        .orderBy("zval", "l_orderkey", "l_linenumber")
+        .limit(2000),
+      Some("""WITH s1 AS (
+             |  SELECT l_orderkey, l_linenumber,
+             |    l_partkey & 65535 AS xa, l_suppkey & 65535 AS ya
+             |  FROM lineitem),
+             |s2 AS (SELECT l_orderkey, l_linenumber,
+             |  (xa | (xa << 8)) & 16711935 AS xb,
+             |  (ya | (ya << 8)) & 16711935 AS yb FROM s1),
+             |s3 AS (SELECT l_orderkey, l_linenumber,
+             |  (xb | (xb << 4)) & 252645135 AS xc,
+             |  (yb | (yb << 4)) & 252645135 AS yc FROM s2),
+             |s4 AS (SELECT l_orderkey, l_linenumber,
+             |  (xc | (xc << 2)) & 858993459 AS xd,
+             |  (yc | (yc << 2)) & 858993459 AS yd FROM s3),
+             |s5 AS (SELECT l_orderkey, l_linenumber,
+             |  (xd | (xd << 1)) & 1431655765 AS xe,
+             |  (yd | (yd << 1)) & 1431655765 AS ye FROM s4)
+             |SELECT l_orderkey, l_linenumber, (xe | (ye << 1)) AS zval
+             |FROM s5 ORDER BY zval, l_orderkey, l_linenumber LIMIT 2000""".stripMargin))
   )
 }

@@ -25,4 +25,24 @@ object TextStreams {
       .agg(count(lit(1)).as("n_docs"),
         round(avg(TextAnalysis.qualityScore(col("text"))), 4).as("mean_quality"))
       .select(col("window.start").as("win_start"), col("n_docs"), col("mean_quality"))
+
+  /** Per-window distinct-key estimate via the mergeable HLL sketch —
+    * streaming `COUNT(DISTINCT)` is unsupported (Spark would have to
+    * hold every key per open window in state), and the usual
+    * `approx_count_distinct` workaround's estimate can't be re-derived
+    * offline. The HLL aggregate keeps 2^p bytes per open window (the
+    * state-store entry is the serialized register array), merges
+    * across micro-batches by register-max, and — because the sketch
+    * is deterministic in the input SET — a streaming window's
+    * estimate EQUALS the batch estimate over the same rows, which is
+    * exactly what StreamingSpec asserts. */
+  def distinctMonitor(events: DataFrame, keyCol: String,
+                      windowLen: String = "1 hour",
+                      watermarkDelay: String = "30 minutes",
+                      p: Int = 12): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n_events"),
+        round(graft.ext.Sketches.hllDistinct(col(keyCol), p), 4).as("approx_distinct"))
+      .select(col("window.start").as("win_start"), col("n_events"), col("approx_distinct"))
 }

@@ -1,0 +1,64 @@
+package graft
+
+import graft.ext.Layout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order layout: bit-exactness of the interleave and the locality
+  * property that makes it worth doing — files clustered by z cover
+  * compact rectangles in BOTH key dimensions, so min-max pruning
+  * works for filters on either.
+  */
+class LayoutSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def mortonRef(x: Long, y: Long): Long = {
+    var z = 0L
+    for (i <- 0 until 16) {
+      z |= ((x >> i) & 1L) << (2 * i)
+      z |= ((y >> i) & 1L) << (2 * i + 1)
+    }
+    z
+  }
+
+  test("zorder2 matches a bit-by-bit Morton reference") {
+    val pairs = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (40000L, 70000L)) // >16-bit inputs: low bits only
+    val got = pairs.toDF("x", "y")
+      .select(Layout.zorder2(col("x"), col("y"))).as[Long].collect()
+    val want = pairs.map { case (x, y) => mortonRef(x & 0xFFFF, y & 0xFFFF) }
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+  }
+
+  test("writeZOrdered: per-file ranges are compact in BOTH dimensions") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_partkey", "l_suppkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_").toString
+    try {
+      Layout.writeZOrdered(li, col("l_partkey"), col("l_suppkey"), dir, files = 16)
+      val back = spark.read.parquet(dir)
+      assert(back.count() == li.count())
+      // per-file bounding boxes: with a z-layout each of the 16 files
+      // should span a small fraction of each key's global range; a
+      // single-column sort would give ~1/16 on one dim and ~1.0 on
+      // the other
+      val stats = back.withColumn("f", input_file_name())
+        .groupBy("f")
+        .agg((max("l_partkey") - min("l_partkey")).as("xr"),
+             (max("l_suppkey") - min("l_suppkey")).as("yr"))
+        .agg(avg("xr"), avg("yr")).as[(Double, Double)].head()
+      val (gx, gy) = li.agg(max("l_partkey") - min("l_partkey"),
+        max("l_suppkey") - min("l_suppkey")).as[(Long, Long)].head()
+      // 16 files ≈ a 4x4 grid over the normalized square: both
+      // fractions should sit near 1/4; a single-column sort reads
+      // ~1/16 on one dim and ~1.0 on the other
+      val (fx, fy) = (stats._1 / gx, stats._2 / gy)
+      assert(fx < 0.6 && fy < 0.6,
+        f"per-file range fractions x=$fx%.2f y=$fy%.2f — no locality")
+      assert(fx + fy < 1.0,
+        f"combined $fx%.2f + $fy%.2f not better than single-dim sort")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+}

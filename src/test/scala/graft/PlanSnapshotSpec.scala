@@ -80,4 +80,16 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
     val plan = finalPlan("q_curate_pipeline")
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("bloom prefilter: bitset broadcasts, probe filter precedes a broadcast semi join") {
+    val plan = finalPlan("q_join_bloom")
+    // the 1-row bloom frame rides a broadcast nested-loop cross join,
+    // the probe test (variable-shift bit probe) filters lineitem, and
+    // the exactness-restoring semi join stays broadcast — nothing
+    // shuffles the fact side before the filter
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("shiftright"), s"bloom probe filter missing:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("SortMergeJoin"), s"semi join fell back to a shuffle join:\n$plan")
+  }
 }

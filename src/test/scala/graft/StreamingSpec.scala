@@ -60,6 +60,44 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("distinctMonitor: streaming HLL estimate equals the batch sketch exactly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 120 events, 40 distinct users in the first hour window — the
+    // streaming estimate must equal the batch estimate bit-for-bit
+    // (same register set; micro-batch merge = register max), proving
+    // sketch state survives the state store serde across batches
+    val firstHour = (0 until 120).map(i =>
+      Event(i.toLong, ts(i % 50), (i % 40).toLong, "click", 1.0))
+    val mem = MemoryStream[Event]
+    val q = graft.streaming.TextStreams.distinctMonitor(mem.toDF(), "user_id",
+        windowLen = "1 hour", watermarkDelay = "10 minutes", p = 12)
+      .writeStream.outputMode("append").format("memory").queryName("hll").start()
+    try {
+      // two chunks → at least two micro-batches update the same window
+      mem.addData(firstHour.take(60): _*)
+      q.processAllAvailable()
+      mem.addData(firstHour.drop(60): _*)
+      q.processAllAvailable()
+      mem.addData(Event(999, ts(200), 1, "click", 1.0)) // flush watermark
+      q.processAllAvailable()
+      val got = spark.table("hll").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      // the base timestamp is not hour-aligned, so the 50 minutes of
+      // event time straddle two hour windows — compare the full
+      // per-window set against the batch sketch over the same rows
+      val want = firstHour.toDF()
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)), round(graft.ext.Sketches.hllDistinct(col("user_id"), 12), 4))
+        .collect().map(r => (r.getStruct(0).getTimestamp(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got === want, s"stream $got vs batch $want")
+      // and the big window's estimate is close to the true 40
+      val est = got.maxBy(_._2)._3
+      assert(math.abs(est - 40.0) / 40.0 < 0.05, s"estimate $est for 40 distinct")
+    } finally q.stop()
+  }
+
   test("sessionize: 30-min gap splits sessions; totals and durations correct") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
