@@ -601,4 +601,28 @@ object Similarity {
           (acc, s) => acc + element_at(col("dmap"),
             element_at(col("codes"), (s + 1).cast("int")) * m + s)).as("adq"))
   }
+
+  /** Per-dimension corpus statistics — the profiling pass before
+    * standardization/whitening (PQ and IVF both assume comparably
+    * scaled dimensions). Values are quantized to the 2⁻²⁰ integer
+    * grid BEFORE summing (the same trick as the portable Lloyd
+    * means): integer sums are exact in any aggregation order, so
+    * `sum_q`/`sum_q2` are engine-portable, and the derived mean/std
+    * doubles follow deterministically from exact integer inputs.
+    * One posexplode + one (pos) aggregation: the corpus is read once.
+    * (Gate-scale note: `sum_q2` holds n·2⁴⁰-magnitude integers — at
+    * corpus scales beyond ~2²² rows per dimension, widen to
+    * DECIMAL(38,0) before the sum.) */
+  def dimStats(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame =
+    embeddings
+      .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("pos").cast("long").as("pos"),
+        floor(col("v").cast("double") * lit(1048576.0) + lit(0.5)).cast("long").as("q"))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"),
+        sum(col("q") * col("q")).as("sum_q2"))
+      .select(col("pos"), col("n"), col("sum_q"), col("sum_q2"),
+        round((col("sum_q") / lit(1048576.0)) / col("n"), 6).as("mean"),
+        round(sqrt((col("n") * col("sum_q2") - col("sum_q") * col("sum_q")).cast("double"))
+          / (col("n") * lit(1048576.0)), 6).as("std"))
 }

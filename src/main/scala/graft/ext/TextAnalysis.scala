@@ -151,6 +151,16 @@ object TextAnalysis {
     * bodies have no subtree caching; 7.2s at sf0.1), and the
     * zip-of-shifted-slices form pays 1 + n + 2 intermediate array
     * allocations per row (0.9s). */
+  /** Adjacent-bigram stream of a document, shuffle-free: zip the
+    * token array against itself shifted by one (`slice` +
+    * `arrays_zip`), no self-join and no per-doc window sort. Returns
+    * array<struct<w1,w2>> ready to explode. */
+  def bigrams(text: Column): Column = {
+    val toks = split(lower(text), "\\s+")
+    val n = size(toks)
+    arrays_zip(slice(toks, lit(1), n - 1).as("w1"), slice(toks, lit(2), n - 1).as("w2"))
+  }
+
   def wordShingles(text: Column, n: Int): Column =
     graft.functions.TextExpressions.wordShingles(lower(text), n)
 }

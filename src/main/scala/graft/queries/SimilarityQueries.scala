@@ -653,6 +653,26 @@ object SimilarityQueries {
              |    x -> CAST(floor(x::DOUBLE * scale_raw + 0.5) AS INT)), ',') AS q_csv
              |FROM scaled ORDER BY vec_id""".stripMargin)),
 
+    // Per-dimension statistics on the 2^-20 integer grid: exact
+    // integer sums (aggregation-order-proof), derived mean/std
+    // doubles deterministic from exact inputs — the profiling pass
+    // before standardization/whitening feeds PQ/IVF.
+    QueryDef("q_emb_dimstats",
+      (s, d) => Similarity.dimStats(t(s, d, "embeddings")).orderBy("pos"),
+      Some("""WITH q AS (
+             |  SELECT i - 1 AS pos,
+             |    CAST(floor(embedding[i]::DOUBLE * 1048576 + 0.5) AS BIGINT) AS q
+             |  FROM embeddings, range(1, 65) r(i)),
+             |agg AS (
+             |  SELECT pos, count(*)::BIGINT AS n, sum(q)::BIGINT AS sum_q,
+             |    sum(q * q)::BIGINT AS sum_q2
+             |  FROM q GROUP BY pos)
+             |SELECT pos, n, sum_q, sum_q2,
+             |  round((sum_q / 1048576.0) / n, 6) AS mean,
+             |  round(sqrt((n * sum_q2 - sum_q * sum_q)::DOUBLE)
+             |        / (n * 1048576.0), 6) AS std
+             |FROM agg ORDER BY pos""".stripMargin)),
+
     // Multimodal frame sampling: every 4th 256-char block of "video"
     // media — the sampling arithmetic, per-modality filter and block
     // slicing are value-checked in DuckDB (only codec decode is the

@@ -323,6 +323,52 @@ object TextQueries {
              |SELECT source, hb, doc_id FROM ranked WHERE rn <= 10
              |ORDER BY source, doc_id""".stripMargin)),
 
+    // Collocation detection: top bigrams by integer-scaled PMI
+    // (c_xy·N·10^6 div c_x·c_y — exact integer arithmetic, so the
+    // score and ORDER are engine-portable with no log/float). Bigrams
+    // come shuffle-free from zipping the token array against itself
+    // shifted by one ([[TextAnalysis.bigrams]]) — no self-join, no
+    // per-doc window sort.
+    QueryDef("q_tx_colloc",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val uni = docs.select(explode(split(lower(col("text")), "\\s+")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val nTok = uni.agg(sum(col("c")).as("n"))
+        val bi = docs.select(explode(TextAnalysis.bigrams(col("text"))).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+          .filter(col("c_xy") >= 5)
+        bi.join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+          .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+          .crossJoin(broadcast(nTok))
+          .select(col("w1"), col("w2"), col("c_xy"),
+            call_function("div", col("c_xy") * col("n") * 1000000L,
+              col("c_x") * col("c_y")).as("pmi_score"))
+          .orderBy(desc("pmi_score"), col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT string_split_regex(lower(text), '\s+') AS t FROM documents),
+             |uni AS (
+             |  SELECT w, count(*) AS c
+             |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+             |ntok AS (SELECT sum(c)::BIGINT AS n FROM uni),
+             |bi0 AS (
+             |  SELECT unnest(list_transform(range(1, len(t)),
+             |    i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS p
+             |  FROM toks),
+             |bi AS (
+             |  SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c_xy
+             |  FROM bi0 GROUP BY 1, 2 HAVING count(*) >= 5)
+             |SELECT w1, w2, c_xy,
+             |  (c_xy * n * 1000000) // (cx.c * cy.c) AS pmi_score
+             |FROM bi
+             |JOIN uni cx ON bi.w1 = cx.w
+             |JOIN uni cy ON bi.w2 = cy.w
+             |CROSS JOIN ntok
+             |ORDER BY pmi_score DESC, w1, w2 LIMIT 20""".stripMargin)),
+
     // Corpus-statistics quality: per-doc mean unigram log-probability
     // under the corpus's own distribution (rare-token-heavy docs score
     // low). Per-token log-probs are quantized to 2^-20 before the
