@@ -279,4 +279,25 @@ object SketchAggregates {
     * long column. */
   def bloomSketch(hashCol: Column, mBits: Int, k: Int, constIndexBase: Int = 180): Column =
     column(BloomFilterAgg(expression(hashCol), mBits, k, constIndexBase).toAggregateExpression())
+
+  /** Make the sketch aggregates available to `spark.sql` as
+    * `hll_distinct(hash, p, hashBits)`, `cms_sketch(hash, d, w)` and
+    * `bloom_sketch(hash, mBits, k)` — the analyzer wraps a registered
+    * AggregateFunction in its AggregateExpression, so these compose
+    * with SQL GROUP BY like any built-in aggregate. Size parameters
+    * must be foldable literals (plan-time sketch shapes). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    GraftColumnBridge.registerFunction(spark, "hll_distinct",
+      exprs => HllSketch(exprs(0),
+        FunctionArgs.foldableInt("hll_distinct", "p", exprs(1)),
+        FunctionArgs.foldableInt("hll_distinct", "hashBits", exprs(2))))
+    GraftColumnBridge.registerFunction(spark, "cms_sketch",
+      exprs => CountMinSketchAgg(exprs(0),
+        FunctionArgs.foldableInt("cms_sketch", "d", exprs(1)),
+        FunctionArgs.foldableInt("cms_sketch", "w", exprs(2))))
+    GraftColumnBridge.registerFunction(spark, "bloom_sketch",
+      exprs => BloomFilterAgg(exprs(0),
+        FunctionArgs.foldableInt("bloom_sketch", "mBits", exprs(1)),
+        FunctionArgs.foldableInt("bloom_sketch", "k", exprs(2))))
+  }
 }

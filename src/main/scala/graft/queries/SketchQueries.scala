@@ -113,7 +113,8 @@ object SketchQueries {
               |  SELECT tok, max(true_cnt) AS true_cnt, min(c) AS cms_est
               |  FROM tb JOIN counters USING (i, bkt) GROUP BY tok)
               |SELECT tok, true_cnt, cms_est FROM est
-              |ORDER BY true_cnt DESC, tok LIMIT 20""".stripMargin)),
+              |ORDER BY true_cnt DESC, tok LIMIT 20""".stripMargin),
+      bench = true),
 
     // Histogram median: 64 power-of-two-width bins (2048 = 2^11, so
     // every divide/floor is IEEE-exact and re-derives in DuckDB),
@@ -205,7 +206,8 @@ object SketchQueries {
              |FROM lineitem
              |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
              |                     WHERE o_orderpriority = '1-URGENT')
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
 
     // Z-order clustering key: the Morton interleave of (l_partkey,
     // l_suppkey) — pure shift/mask built-ins, re-derived bit-for-bit

@@ -367,7 +367,8 @@ object TextQueries {
              |JOIN uni cx ON bi.w1 = cx.w
              |JOIN uni cy ON bi.w2 = cy.w
              |CROSS JOIN ntok
-             |ORDER BY pmi_score DESC, w1, w2 LIMIT 20""".stripMargin)),
+             |ORDER BY pmi_score DESC, w1, w2 LIMIT 20""".stripMargin),
+      bench = true),
 
     // Corpus-statistics quality: per-doc mean unigram log-probability
     // under the corpus's own distribution (rare-token-heavy docs score

@@ -123,6 +123,19 @@ class SketchesSpec extends AnyFunSuite with SharedSpark {
     assert(a == b, "kept set must not depend on partitioning")
   }
 
+  test("sketch aggregates are callable from spark.sql after registration") {
+    graft.functions.SketchAggregates.register(spark)
+    spark.read.parquet(s"$sf0001/documents.parquet").createOrReplaceTempView("docs_sql")
+    val sqlEst = spark.sql(
+      """SELECT lang, hll_distinct(xxhash64(text) & 9223372036854775807, 14, 63) AS est
+        |FROM docs_sql GROUP BY lang""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val apiEst = spark.read.parquet(s"$sf0001/documents.parquet")
+      .groupBy("lang").agg(ext.Sketches.hllDistinct(col("text"), 14).as("est"))
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(sqlEst == apiEst, s"sql $sqlEst vs api $apiEst")
+  }
+
   test("histogramQuantile lands within half a bin of the exact median") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
     val approx = ext.Sketches.histogramQuantile(li, col("l_returnflag"),
