@@ -50,6 +50,27 @@ object Sketches {
   def cmsSketch(portableHashCol: Column, d: Int = 4, w: Int = 512): Column =
     SketchAggregates.cmsSketch(portableHashCol, d, w)
 
+  /** Materialized portable HLL state: the 64 register values as an
+    * array column — persist these per batch/partition/day (64 ints)
+    * and combine arbitrary subsets later with [[hllMergeRegisters]]
+    * without touching raw data. */
+  def hllRegistersPortable(portableHashCol: Column): Column =
+    SketchAggregates.hllRegisters(portableHashCol, p = 6, hashBits = 30)
+
+  /** Elementwise-max merge of materialized register arrays —
+    * `merge(regs(A), regs(B)) = regs(A ∪ B)` exactly. */
+  def hllMergeRegisters(regsCol: Column): Column =
+    SketchAggregates.hllMerge(regsCol)
+
+  /** Raw m=64 estimate from a register array, as a plain column
+    * expression (`aggregate` HOF: every `2^-register` term is an
+    * exact double, so this re-derives in SQL — same contract as
+    * [[hllDistinctPortable]]). */
+  def hllEstimateFromRegisters(regs: Column): Column =
+    lit(0.709) * 64 * 64 / aggregate(regs, lit(0.0),
+      (acc, r) => acc +
+        lit(1.0) / call_function("shiftleft", lit(1L), r.cast("int")).cast("double"))
+
   /** Reduce any integer key into the universal family's domain
     * `[0, P)` — the identity for keys already below P. */
   def keyHash(key: Column): Column = pmod(key, lit(P))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** HyperLogLog distinct-count sketch (Flajolet et al. 2007, public
   * algorithm) as a [[TypedImperativeAggregate]].
@@ -44,6 +44,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * estimator's published bias below that.
   */
 case class HllSketch(child: Expression, p: Int, hashBits: Int, correct: Boolean = true,
+                     emitRegisters: Boolean = false,
                      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Byte]] {
 
@@ -75,7 +76,29 @@ case class HllSketch(child: Expression, p: Int, hashBits: Int, correct: Boolean 
     buf
   }
 
-  override def eval(buf: Array[Byte]): Any = {
+  override def eval(buf: Array[Byte]): Any =
+    if (emitRegisters) new GenericArrayData(buf.map(_.toInt))
+    else HllSketch.estimate(buf, m, correct)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+
+  override def dataType: DataType =
+    if (emitRegisters) ArrayType(IntegerType, containsNull = false) else DoubleType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): HllSketch = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllSketch = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+object HllSketch {
+  /** Raw / linear-counting HLL estimate from a register array —
+    * shared by the aggregate's eval and the register-frame scalar
+    * path ([[graft.ext.Sketches.hllEstimateFromRegisters]] is the
+    * column-expression twin of this). */
+  def estimate(regs: Array[Byte], m: Int, correct: Boolean): Double = {
     val alpha = m match {
       case 16 => 0.673
       case 32 => 0.697
@@ -86,23 +109,70 @@ case class HllSketch(child: Expression, p: Int, hashBits: Int, correct: Boolean 
     var zeros = 0
     var j = 0
     while (j < m) {
-      sum += 1.0 / (1L << buf(j))
-      if (buf(j) == 0) zeros += 1
+      sum += 1.0 / (1L << regs(j))
+      if (regs(j) == 0) zeros += 1
       j += 1
     }
     val raw = alpha * m * m / sum
     if (correct && raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
     else raw
   }
+}
 
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
+/** Merge of MATERIALIZED HLL register arrays: elementwise max. This
+  * is the sketch lifecycle's second half — persist per-batch/per-day
+  * register arrays (cheap: m ints), then combine arbitrary subsets
+  * later without touching raw data. Union semantics hold exactly:
+  * merge(regs(A), regs(B)) = regs(A ∪ B) because register max
+  * commutes with the per-key max that built each side.
+  */
+case class HllMergeAgg(child: Expression,
+                       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Int]] {
 
-  override def dataType: DataType = DoubleType
+  override def createAggregationBuffer(): Array[Int] = Array.empty
+
+  override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+      mergeArrays(buf, arr)
+    }
+  }
+
+  private def mergeArrays(a: Array[Int], b: Array[Int]): Array[Int] =
+    if (a.isEmpty) b.clone()
+    else {
+      require(a.length == b.length,
+        s"cannot merge HLL sketches of different sizes: ${a.length} vs ${b.length}")
+      var j = 0
+      while (j < a.length) { if (b(j) > a(j)) a(j) = b(j); j += 1 }
+      a
+    }
+
+  override def merge(buf: Array[Int], other: Array[Int]): Array[Int] =
+    if (other.isEmpty) buf else mergeArrays(buf, other)
+
+  override def eval(buf: Array[Int]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 4)
+    bb.asIntBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](bytes.length / 4)
+    ByteBuffer.wrap(bytes).asIntBuffer().get(out)
+    out
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(child)
-  override def withNewMutableAggBufferOffset(o: Int): HllSketch = copy(mutableAggBufferOffset = o)
-  override def withNewInputAggBufferOffset(o: Int): HllSketch = copy(inputAggBufferOffset = o)
+  override def withNewMutableAggBufferOffset(o: Int): HllMergeAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllMergeAgg = copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(child = c.head)
 }
@@ -270,6 +340,15 @@ object SketchAggregates {
   /** HLL over an already-hashed long column in `[0, 2^hashBits)`. */
   def hllSketch(hashCol: Column, p: Int, hashBits: Int, correct: Boolean = true): Column =
     column(HllSketch(expression(hashCol), p, hashBits, correct).toAggregateExpression())
+
+  /** HLL register-array aggregate (materializable sketch state). */
+  def hllRegisters(hashCol: Column, p: Int, hashBits: Int): Column =
+    column(HllSketch(expression(hashCol), p, hashBits,
+      emitRegisters = true).toAggregateExpression())
+
+  /** Merge aggregate over materialized register arrays. */
+  def hllMerge(regsCol: Column): Column =
+    column(HllMergeAgg(expression(regsCol)).toAggregateExpression())
 
   /** CMS counter matrix over an already-hashed long column. */
   def cmsSketch(hashCol: Column, d: Int, w: Int, constIndexBase: Int = 150): Column =

@@ -70,6 +70,48 @@ object SketchQueries {
               |SELECT est.lang AS lang, n_exact, hll_est
               |FROM est JOIN ex ON est.lang = ex.lang ORDER BY est.lang""".stripMargin)),
 
+    // Sketch lifecycle: per-language register ARRAYS materialize
+    // (what a daily pipeline would persist — 64 ints per stratum),
+    // then merge by elementwise max into one global sketch whose
+    // estimate must equal the direct whole-corpus sketch exactly
+    // (register max commutes with the per-key max that built each
+    // side). The oracle re-derives per-language registers, max-merges
+    // across languages, and applies the same raw estimator.
+    QueryDef("q_agg_hll_merge",
+      (s, d) => {
+        val hashed = t(s, d, "documents")
+          .select(col("lang"),
+            Sketches.uhash(TextAnalysis.rollingHash(col("text")), 100).as("h"))
+        val perLang = hashed.groupBy("lang")
+          .agg(Sketches.hllRegistersPortable(col("h")).as("regs"))
+        val merged = perLang
+          .agg(Sketches.hllMergeRegisters(col("regs")).as("m"))
+          .select(round(Sketches.hllEstimateFromRegisters(col("m")), 4).as("merged_est"))
+        val direct = hashed
+          .agg(round(Sketches.hllDistinctPortable(col("h")), 4).as("direct_est"))
+        merged.crossJoin(direct)
+      },
+      Some(s"""WITH hx AS (
+              |  SELECT lang,
+              |    ((16807::BIGINT * ((16807::BIGINT * 201) % 2147483647)) % 2147483647
+              |       * ${rhSql("text")}
+              |     + (16807::BIGINT * ((16807::BIGINT * 202) % 2147483647)) % 2147483647)
+              |    % 1000000007 AS h
+              |  FROM documents),
+              |reg AS (
+              |  SELECT lang, (h % 64) AS j,
+              |    max(CASE WHEN h // 64 = 0 THEN 25
+              |        ELSE 24 - floor(log2(h // 64))::INT END) AS rho
+              |  FROM hx GROUP BY 1, 2),
+              |merged AS (SELECT j, max(rho) AS rho FROM reg GROUP BY j),
+              |grid AS (SELECT g.j, coalesce(m.rho, 0) AS rho
+              |         FROM range(0, 64) g(j) LEFT JOIN merged m ON g.j = m.j),
+              |est AS (
+              |  SELECT round(0.709 * 64 * 64
+              |               / sum(1.0 / (1::BIGINT << rho)), 4) AS e
+              |  FROM grid)
+              |SELECT e AS merged_est, e AS direct_est FROM est""".stripMargin)),
+
     // Portable count–min sketch: one 4×512 counter matrix over the
     // full token stream (8 KiB of aggregate state however many tokens
     // stream in), then point estimates for the 20 most frequent

@@ -136,6 +136,31 @@ class SketchesSpec extends AnyFunSuite with SharedSpark {
     assert(sqlEst == apiEst, s"sql $sqlEst vs api $apiEst")
   }
 
+  test("HLL lifecycle: persisted register arrays merge to the union sketch") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("source"),
+        ext.Sketches.uhash(TextAnalysis.rollingHash(col("text")), 100).as("h"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_").toString
+    try {
+      // day-1 pipeline: persist one 64-int register array per source
+      docs.groupBy("source")
+        .agg(ext.Sketches.hllRegistersPortable(col("h")).as("regs"))
+        .write.mode("overwrite").parquet(dir)
+      // day-N consumer: reload, merge arbitrary subsets, estimate —
+      // never touching raw data
+      val merged = spark.read.parquet(dir)
+        .agg(ext.Sketches.hllMergeRegisters(col("regs")).as("m"))
+        .select(ext.Sketches.hllEstimateFromRegisters(col("m")))
+        .as[Double].head()
+      val direct = docs.agg(ext.Sketches.hllDistinctPortable(col("h")))
+        .as[Double].head()
+      assert(merged == direct,
+        s"merged-from-parquet $merged != direct $direct — union property broken")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("histogramQuantile lands within half a bin of the exact median") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
     val approx = ext.Sketches.histogramQuantile(li, col("l_returnflag"),
