@@ -71,6 +71,14 @@ object Sketches {
       (acc, r) => acc +
         lit(1.0) / call_function("shiftleft", lit(1L), r.cast("int")).cast("double"))
 
+  /** CMS lifecycle merge: counter matrices combine by elementwise
+    * sum (linearity of counting — `merge(cms(A), cms(B)) =
+    * cms(A ⊎ B)` over the multiset union). Persist per-batch
+    * matrices ([[cmsSketch]] already emits the full `d×w` array),
+    * then combine arbitrary subsets without the raw token stream. */
+  def cmsMerge(sketchCol: Column): Column =
+    SketchAggregates.arraySum(sketchCol)
+
   /** Reduce any integer key into the universal family's domain
     * `[0, P)` — the identity for keys already below P. */
   def keyHash(key: Column): Column = pmod(key, lit(P))

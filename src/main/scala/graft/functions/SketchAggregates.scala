@@ -258,6 +258,60 @@ case class CountMinSketchAgg(child: Expression, d: Int, w: Int,
     copy(child = c.head)
 }
 
+/** Elementwise sum of long-array columns — the merge half of the CMS
+  * lifecycle (counter matrices combine by addition, by linearity of
+  * counting: `sum(cms(A), cms(B)) = cms(A ⊎ B)` over the multiset
+  * union), and a general mergeable vector accumulator. Arrays must
+  * agree in length; empty buffer adopts the first input's shape.
+  */
+case class ArraySumAgg(child: Expression,
+                       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def createAggregationBuffer(): Array[Long] = Array.empty
+
+  private def add(a: Array[Long], b: Array[Long]): Array[Long] =
+    if (a.isEmpty) b.clone()
+    else {
+      require(a.length == b.length,
+        s"cannot sum arrays of different lengths: ${a.length} vs ${b.length}")
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else add(buf, v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray())
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] =
+    if (other.isEmpty) buf else add(buf, other)
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): ArraySumAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ArraySumAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
 /** Bloom filter as a [[TypedImperativeAggregate]]: `mBits` bits, `k`
   * set positions per key from the same portable universal family as
   * [[CountMinSketchAgg]] (constant indexes `constIndexBase+i`), over
@@ -349,6 +403,11 @@ object SketchAggregates {
   /** Merge aggregate over materialized register arrays. */
   def hllMerge(regsCol: Column): Column =
     column(HllMergeAgg(expression(regsCol)).toAggregateExpression())
+
+  /** Elementwise-sum aggregate over long arrays — the CMS combine
+    * rule (counters add; HLL registers max, Bloom bitsets OR). */
+  def arraySum(arrCol: Column): Column =
+    column(ArraySumAgg(expression(arrCol)).toAggregateExpression())
 
   /** CMS counter matrix over an already-hashed long column. */
   def cmsSketch(hashCol: Column, d: Int, w: Int, constIndexBase: Int = 150): Column =

@@ -158,6 +158,55 @@ object SketchQueries {
               |ORDER BY true_cnt DESC, tok LIMIT 20""".stripMargin),
       bench = true),
 
+    // CMS lifecycle: per-language counter matrices merge by
+    // elementwise sum into the global sketch (linearity of counting),
+    // so estimates off the merged matrix equal estimates off a
+    // direct whole-corpus sketch. Output: the top-10 tokens'
+    // estimates from BOTH paths — the gate fails if merge loses a
+    // single count anywhere that affects any estimate.
+    QueryDef("q_agg_cms_merge",
+      (s, d) => {
+        val toks = t(s, d, "documents")
+          .select(col("lang"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .withColumn("x", TextAnalysis.rollingHash(col("tok")))
+        val merged = toks.groupBy("lang")
+          .agg(Sketches.cmsSketch(col("x"), d = 4, w = 512).as("sk"))
+          .agg(Sketches.cmsMerge(col("sk")).as("sk"))
+        val direct = toks.agg(Sketches.cmsSketch(col("x"), d = 4, w = 512).as("skd"))
+        val top = toks.groupBy("tok")
+          .agg(count(lit(1)).as("true_cnt"), min(col("x")).as("x"))
+          .orderBy(desc("true_cnt"), asc("tok")).limit(10)
+        top.crossJoin(broadcast(merged)).crossJoin(broadcast(direct))
+          .select(col("tok"), col("true_cnt"),
+            Sketches.cmsEstimate(col("sk"), col("x"), 4, 512).as("merged_est"),
+            Sketches.cmsEstimate(col("skd"), col("x"), 4, 512).as("direct_est"))
+          .orderBy(desc("true_cnt"), asc("tok"))
+      },
+      Some(s"""WITH toks AS (
+              |  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+              |                            t -> len(t) > 0)) AS tok
+              |  FROM documents),
+              |cnt AS (SELECT tok, count(*) AS true_cnt FROM toks GROUP BY tok),
+              |hx AS (
+              |  SELECT tok, true_cnt, ${rhSql("tok")} AS x
+              |  FROM cnt),
+              |consts AS (
+              |  SELECT i,
+              |    (16807 * ((16807 * (301 + 2*i)) % 2147483647)) % 2147483647 AS a,
+              |    (16807 * ((16807 * (302 + 2*i)) % 2147483647)) % 2147483647 AS b
+              |  FROM range(0, 4) t(i)),
+              |tb AS (
+              |  SELECT tok, true_cnt, i, ((a * x + b) % 1000000007) % 512 AS bkt
+              |  FROM hx CROSS JOIN consts),
+              |counters AS (
+              |  SELECT i, bkt, sum(true_cnt)::BIGINT AS c FROM tb GROUP BY 1, 2),
+              |est AS (
+              |  SELECT tok, max(true_cnt) AS true_cnt, min(c) AS e
+              |  FROM tb JOIN counters USING (i, bkt) GROUP BY tok)
+              |SELECT tok, true_cnt, e AS merged_est, e AS direct_est FROM est
+              |ORDER BY true_cnt DESC, tok LIMIT 10""".stripMargin)),
+
     // Histogram median: 64 power-of-two-width bins (2048 = 2^11, so
     // every divide/floor is IEEE-exact and re-derives in DuckDB),
     // cumulative counts over the tiny (key × bin) frame, midpoint

@@ -161,6 +161,24 @@ class SketchesSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("CMS lifecycle: persisted counter matrices sum-merge to the union sketch") {
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .withColumn("x", TextAnalysis.rollingHash(col("tok")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_").toString
+    try {
+      toks.groupBy("source")
+        .agg(ext.Sketches.cmsSketch(col("x")).as("sk"))
+        .write.mode("overwrite").parquet(dir)
+      val merged = spark.read.parquet(dir)
+        .agg(ext.Sketches.cmsMerge(col("sk"))).as[Seq[Long]].head()
+      val direct = toks.agg(ext.Sketches.cmsSketch(col("x"))).as[Seq[Long]].head()
+      assert(merged == direct, "merged-from-parquet counters != direct counters")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("histogramQuantile lands within half a bin of the exact median") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
     val approx = ext.Sketches.histogramQuantile(li, col("l_returnflag"),
