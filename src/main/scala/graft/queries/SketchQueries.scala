@@ -70,6 +70,47 @@ object SketchQueries {
               |SELECT est.lang AS lang, n_exact, hll_est
               |FROM est JOIN ex ON est.lang = ex.lang ORDER BY est.lang""".stripMargin)),
 
+    // HLL over INTEGER keys (distinct users per event type) — the
+    // analytics shape: no rolling hash, just the universal family
+    // over the reduced key. Same oracle structure as q_agg_hll with
+    // `user_id mod P` in place of the text hash.
+    QueryDef("q_agg_hll_events",
+      (s, d) => t(s, d, "events")
+        .select(col("event_type"), col("user_id"),
+          Sketches.uhash(Sketches.keyHash(col("user_id")), 100).as("h"))
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+             round(Sketches.hllDistinctPortable(col("h")), 4).as("hll_est"))
+        .orderBy("event_type"),
+      Some("""WITH hx AS (
+             |  SELECT event_type, user_id,
+             |    ((16807::BIGINT * ((16807::BIGINT * 201) % 2147483647)) % 2147483647
+             |       * (user_id % 1000000007)
+             |     + (16807::BIGINT * ((16807::BIGINT * 202) % 2147483647)) % 2147483647)
+             |    % 1000000007 AS h
+             |  FROM events),
+             |reg AS (
+             |  SELECT event_type, (h % 64) AS j,
+             |    max(CASE WHEN h // 64 = 0 THEN 25
+             |        ELSE 24 - floor(log2(h // 64))::INT END) AS rho
+             |  FROM hx GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT e.event_type, g.j
+             |  FROM (SELECT DISTINCT event_type FROM events) e
+             |  CROSS JOIN range(0, 64) g(j)),
+             |est AS (
+             |  SELECT grid.event_type,
+             |    round(0.709 * 64 * 64
+             |          / sum(1.0 / (1::BIGINT << coalesce(rho, 0))), 4) AS hll_est
+             |  FROM grid LEFT JOIN reg
+             |    ON grid.event_type = reg.event_type AND grid.j = reg.j
+             |  GROUP BY 1),
+             |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+             |       FROM events GROUP BY event_type)
+             |SELECT est.event_type AS event_type, n_exact, hll_est
+             |FROM est JOIN ex ON est.event_type = ex.event_type
+             |ORDER BY est.event_type""".stripMargin)),
+
     // Sketch lifecycle: per-language register ARRAYS materialize
     // (what a daily pipeline would persist — 64 ints per stratum),
     // then merge by elementwise max into one global sketch whose
