@@ -71,6 +71,19 @@ object Sketches {
       (acc, r) => acc +
         lit(1.0) / call_function("shiftleft", lit(1L), r.cast("int")).cast("double"))
 
+  /** Misra–Gries heavy hitters over a long key column: at most `k`
+    * (key, cnt) counters of state per group however many items
+    * stream in (vs `groupBy(key)`'s full-vocabulary shuffle).
+    * Returns array<struct<key, cnt>> sorted (cnt desc, key asc).
+    * Guarantees (spec-asserted): every key with true frequency
+    * > N/(k+1) present; stored ≤ true ≤ stored + N/(k+1). Pair with
+    * [[cmsSketch]] to refine the survivors' counts upward. */
+  def heavyHitters(keyCol: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.MisraGriesAgg(
+        org.apache.spark.sql.GraftColumnBridge.expression(keyCol), k)
+        .toAggregateExpression())
+
   /** CMS lifecycle merge: counter matrices combine by elementwise
     * sum (linearity of counting — `merge(cms(A), cms(B)) =
     * cms(A ⊎ B)` over the multiset union). Persist per-batch

@@ -258,6 +258,122 @@ case class CountMinSketchAgg(child: Expression, d: Int, w: Int,
     copy(child = c.head)
 }
 
+/** Misra–Gries heavy-hitters summary (Misra & Gries 1982; merge rule
+  * from Agarwal et al. 2013 — both public algorithms): at most `k`
+  * (key, count) counters however many items stream in.
+  *
+  *   - update: increment a tracked key; start an untracked key at 1
+  *     if a slot is free; otherwise decrement EVERY counter (dropping
+  *     zeros) — the classic majority-vote generalization.
+  *   - merge: add counts keywise, then subtract the (k+1)-largest
+  *     count from all and keep positives — state stays ≤ k and the
+  *     error bound composes across partitions.
+  *
+  * Guarantees (what the spec asserts; the summary itself is
+  * processing-order-dependent WITHIN these bounds, so this is a
+  * property-tested operator, not an oracle-gated one):
+  *   - every key with true frequency > N/(k+1) is present;
+  *   - stored count ≤ true count ≤ stored count + N/(k+1).
+  *
+  * The 100 TB story: heavy hitters over a token/URL/domain stream
+  * with `k·16` bytes of state per group and map-side partial merge —
+  * `groupBy(token)` at that scale shuffles the full vocabulary;
+  * this shuffles ≤ k counters per partition.
+  */
+case class MisraGriesAgg(child: Expression, k: Int,
+                         mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashMap[Long, Long]] {
+
+  require(k >= 1 && k <= 4096, "k must be in [1, 4096]")
+
+  override def createAggregationBuffer(): java.util.HashMap[Long, Long] =
+    new java.util.HashMap[Long, Long](k * 2)
+
+  override def update(buf: java.util.HashMap[Long, Long],
+                      input: InternalRow): java.util.HashMap[Long, Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      val cur = buf.get(x)
+      if (cur != 0L || buf.containsKey(x)) buf.put(x, cur + 1L)
+      else if (buf.size < k) buf.put(x, 1L)
+      else {
+        val it = buf.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue == 1L) it.remove() else e.setValue(e.getValue - 1L)
+        }
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.HashMap[Long, Long],
+                     other: java.util.HashMap[Long, Long]): java.util.HashMap[Long, Long] = {
+    val oit = other.entrySet().iterator()
+    while (oit.hasNext) {
+      val e = oit.next()
+      buf.merge(e.getKey, e.getValue, (a, b) => a + b)
+    }
+    if (buf.size > k) {
+      // subtract the (k+1)-largest count, keep positives
+      val counts = new Array[Long](buf.size)
+      var i = 0
+      val cit = buf.values().iterator()
+      while (cit.hasNext) { counts(i) = cit.next(); i += 1 }
+      java.util.Arrays.sort(counts)
+      val sub = counts(buf.size - k - 1)
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue <= sub) it.remove() else e.setValue(e.getValue - sub)
+      }
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.HashMap[Long, Long]): Any = {
+    val entries = new Array[(Long, Long)](buf.size)
+    var i = 0
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
+    // deterministic OUTPUT order for a given summary: count desc, key asc
+    val sorted = entries.sortBy { case (key, cnt) => (-cnt, key) }
+    new GenericArrayData(sorted.map { case (key, cnt) =>
+      InternalRow(key, cnt)
+    }.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: java.util.HashMap[Long, Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); bb.putLong(e.getKey); bb.putLong(e.getValue) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Long, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) { buf.put(bb.getLong, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): MisraGriesAgg = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MisraGriesAgg = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
 /** Elementwise sum of long-array columns — the merge half of the CMS
   * lifecycle (counter matrices combine by addition, by linearity of
   * counting: `sum(cms(A), cms(B)) = cms(A ⊎ B)` over the multiset

@@ -193,6 +193,32 @@ class SketchesSpec extends AnyFunSuite with SharedSpark {
         s"key $k: est $est vs exact ${exact(k)}")
   }
 
+  test("Misra-Gries heavy hitters: guarantees hold under any partitioning") {
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("x", TextAnalysis.rollingHash(col("tok")))
+    val n = toks.count()
+    val trueCounts = toks.groupBy("x").count().as[(Long, Long)].collect().toMap
+    val k = 16
+    for (parts <- Seq(1, 16)) {
+      val hh = toks.repartition(parts)
+        .agg(ext.Sketches.heavyHitters(col("x"), k))
+        .as[Seq[(Long, Long)]].head().toMap
+      assert(hh.size <= k, s"state exceeded k: ${hh.size}")
+      val bound = n / (k + 1)
+      // completeness: every key over the threshold must be tracked
+      for ((key, c) <- trueCounts if c > bound)
+        assert(hh.contains(key), s"missed heavy hitter $key (true $c > bound $bound)")
+      // soundness: under-count only, by at most the bound
+      for ((key, est) <- hh) {
+        val t = trueCounts(key)
+        assert(est <= t, s"over-count: key $key est $est > true $t")
+        assert(t - est <= bound, s"error beyond bound: key $key true $t est $est")
+      }
+    }
+  }
+
   test("CMS is partition-independent (merge + serde through shuffle)") {
     val toks = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
