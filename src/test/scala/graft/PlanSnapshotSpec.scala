@@ -81,6 +81,14 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("collocations: bigrams come from array-zip, never a self-join or window sort") {
+    val plan = finalPlan("q_tx_colloc")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("row_number"), s"bigram generation used a window sort:\n$plan")
+    // the 1-row token total rides a broadcast nested loop, not a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("bloom prefilter: bitset broadcasts, probe filter precedes a broadcast semi join") {
     val plan = finalPlan("q_join_bloom")
     // the 1-row bloom frame rides a broadcast nested-loop cross join,
