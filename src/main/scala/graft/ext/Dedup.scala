@@ -62,8 +62,18 @@ object Dedup {
     * The 1e-9 slack on the two ceil/length bounds only ever widens
     * them, absorbing float rounding of t·n at integer boundaries. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int, threshold: Double): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n)
+                   n: Int, threshold: Double): DataFrame =
+    jaccardPairsFromShingles(shingleTable(df, idCol, textCol, n), threshold)
+
+  /** [[jaccardPairs]] from a PRE-COMPUTED `(id, sh)` shingle table —
+    * the composition entry point: a pipeline that also runs
+    * decontamination/novelty over the same corpus shingles ONCE
+    * (ideally materialized — this plan references the frame four
+    * times: document frequencies, prefix build, and both sides of
+    * the verify join) and feeds every consumer, instead of each
+    * operator re-exploding the full text. Semantics identical to
+    * [[jaccardPairs]]. */
+  def jaccardPairsFromShingles(sh: DataFrame, threshold: Double): DataFrame = {
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df_sh"))
     // set size and rarity rank share one hash-partitioning on id (two
     // window functions, same shuffle) — no separate sizes aggregate,
@@ -530,10 +540,24 @@ object Dedup {
     val evalShingles = evalSet
       .select(explode(TextAnalysis.wordShingles(col(textCol), n)).as("sh"))
       .distinct()
-    val hits = shingleTable(corpus, idCol, textCol, n)
+    decontaminateFromShingles(corpus.select(col(idCol)), idCol,
+      shingleTable(corpus, idCol, textCol, n), evalShingles)
+  }
+
+  /** [[decontaminate]] from pre-computed frames: `corpusShingles` is
+    * the corpus's `(id, sh)` table, `evalShingles` the eval set's
+    * distinct `sh` column, `corpusIds` one row per corpus document
+    * (so clean documents appear with zero hits). The composition
+    * entry point — a pipeline shingles its corpus ONCE and feeds
+    * decontamination, near-dup pairing, and novelty from the same
+    * materialized frame. */
+  def decontaminateFromShingles(corpusIds: DataFrame, idCol: String,
+                                corpusShingles: DataFrame,
+                                evalShingles: DataFrame): DataFrame = {
+    val hits = corpusShingles
       .join(broadcast(evalShingles), "sh")
       .groupBy("id").agg(count(lit(1)).as("hit_shingles"))
-    corpus.select(col(idCol).as("doc_id"))
+    corpusIds.select(col(idCol).as("doc_id"))
       .join(hits.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("hit_shingles"), lit(0L)).as("hit_shingles"),

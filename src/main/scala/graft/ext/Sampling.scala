@@ -94,10 +94,19 @@ object Sampling {
     * Output: the input plus `rep` and `split`. */
   def leakFreeSplit(df: DataFrame, idCol: String, textCol: String,
                     weights: Seq[(String, Double)], n: Int, threshold: Double,
-                    scratchDir: Option[String] = None): DataFrame = {
-    val pairs = Dedup.jaccardPairs(df, idCol, textCol, n, threshold)
-      .select("d1", "d2")
-    val labels = Dedup.clusters(pairs, scratchDir = scratchDir)
+                    scratchDir: Option[String] = None): DataFrame =
+    leakFreeSplitFromPairs(df, idCol,
+      Dedup.jaccardPairs(df, idCol, textCol, n, threshold), weights, scratchDir)
+
+  /** [[leakFreeSplit]] from a PRE-COMPUTED near-dup pair frame
+    * (`d1`, `d2` columns) — the composition entry point: a pipeline
+    * that already built pairs from a shared shingle frame (see
+    * [[Dedup.jaccardPairsFromShingles]]) splits without re-shingling
+    * or re-pairing the corpus. */
+  def leakFreeSplitFromPairs(df: DataFrame, idCol: String, pairs: DataFrame,
+                             weights: Seq[(String, Double)],
+                             scratchDir: Option[String] = None): DataFrame = {
+    val labels = Dedup.clusters(pairs.select("d1", "d2"), scratchDir = scratchDir)
       .withColumnRenamed("id", "__cc_id")
     val withRep = df.join(labels, col(idCol) === col("__cc_id"), "left")
       .withColumn("rep", coalesce(col("rep"), col(idCol)))

@@ -510,15 +510,28 @@ object TextQueries {
     QueryDef("q_pipeline_e2e",
       (s, d) => {
         val docs = t(s, d, "documents").select("doc_id", "text")
-        val evalSet = docs.filter(col("doc_id") % 89 === 0)
+        val scratch = graft.Scratch.tempDir("graft_e2e_")
+        // Shingle the WHOLE corpus exactly once and materialize: every
+        // downstream stage (eval shingle set, decontamination hits,
+        // near-dup pairing — which references the frame four times) is
+        // a narrow scan of this parquet, never a re-explode of text.
+        // At 100 TB the text pass dominates; this composition pays it
+        // once where the naive stage-by-stage form paid it twice plus
+        // re-derivations inside the pair join.
+        graft.ext.Dedup.shingleTable(docs, "doc_id", "text", n = 5)
+          .write.parquet(s"$scratch/shingles")
+        val sh = s.read.parquet(s"$scratch/shingles")
+        val evalSh = sh.filter(col("id") % 89 === 0).select("sh").distinct()
+        val corpusSh = sh.filter(col("id") % 89 =!= 0)
         val corpus = docs.filter(col("doc_id") % 89 =!= 0)
-        val clean = graft.ext.Dedup.decontaminate(corpus, evalSet, "doc_id", "text", n = 5)
+        val clean = graft.ext.Dedup.decontaminateFromShingles(
+            corpus.select("doc_id"), "doc_id", corpusSh, evalSh)
           .filter(!col("contaminated")).select("doc_id")
           .join(corpus, "doc_id")
-        val scratch = graft.Scratch.tempDir("graft_e2e_")
-        val train = graft.ext.Sampling.leakFreeSplit(clean, "doc_id", "text",
-            Seq("train" -> 0.9, "eval" -> 0.1), n = 5, threshold = 0.6,
-            scratchDir = Some(scratch))
+        val cleanSh = corpusSh.join(clean.select(col("doc_id").as("id")), "id")
+        val pairs = graft.ext.Dedup.jaccardPairsFromShingles(cleanSh, threshold = 0.6)
+        val train = graft.ext.Sampling.leakFreeSplitFromPairs(clean, "doc_id",
+            pairs, Seq("train" -> 0.9, "eval" -> 0.1), scratchDir = Some(scratch))
           .filter(col("split") === "train").select("doc_id", "text")
         graft.ext.Packing.packWindows(train, floor(col("doc_id") / 100),
           contextLen = 1024).orderBy("bin_id")
