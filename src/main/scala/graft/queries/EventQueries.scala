@@ -31,6 +31,23 @@ object EventQueries {
              |  count(*) AS n, round(sum(value), 2) AS total
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin), bench = true),
 
+    // Hopping (sliding) windows: 1-hour windows every 15 minutes —
+    // each event lands in exactly 4 overlapping windows. The oracle
+    // unrolls the hop explicitly: the k-th 15-minute-aligned window
+    // start at or before the event, k = 0..3. Integer epoch-second
+    // arithmetic on both sides.
+    QueryDef("q_ev_sliding",
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"), col("total"))
+        .orderBy("win_start", "event_type"),
+      Some("""SELECT make_timestamp((epoch_us(ts) // 900000000 - k) * 900000000) AS win_start,
+             |  event_type, count(*) AS n, round(sum(value), 2) AS total
+             |FROM events CROSS JOIN range(0, 4) r(k)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Sessionization (30-min inactivity gap): lag → gap flag →
     // running session counter → per-session aggregates. All-integer
     // (microsecond) time arithmetic so both engines agree exactly.
