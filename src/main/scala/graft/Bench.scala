@@ -10,9 +10,13 @@ import org.apache.spark.sql.SparkSession
   * A warmup pass over every headline query absorbs JVM/codegen
   * startup, then each query is measured REPS times and the reported
   * number is the per-query MEDIAN — a single ambient-load spike on a
-  * shared box cannot masquerade as a regression (min/max go to
-  * stderr for dispersion checks). A query that throws reports -1.0,
-  * never a misleading short wall time.
+  * shared box cannot masquerade as a regression. The output JSON is
+  * self-diagnosing: per-query mins ("queries_min"), per-query
+  * hypervisor steal ("queries_steal"), which queries were auto
+  * re-measured after a suspect window ("queries_remeasured"), and
+  * which ran while the canary read degraded ("queries_contended").
+  * A query that throws reports -1.0, never a misleading short wall
+  * time.
   */
 object Bench {
   private val Reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
@@ -92,7 +96,7 @@ object Bench {
       calibrationFailed = best > calibGate
       System.err.println(
         f"[bench] calibration ${if (calibrationFailed) "FAILED" else "ok"}: " +
-          f"q_sim_topk $best%.3f s (ref $calibRef%.3f s x 1.5)")
+          f"q_sim_topk $best%.3f s (ref $calibRef%.3f s, gate $calibGate%.3f s)")
     }
 
     // Hypervisor CPU-steal accounting (/proc/stat col 9, USER_HZ
@@ -120,31 +124,95 @@ object Bench {
     // (Janino compilation and JIT of that query's generated classes
     // are absorbed) without a half-session of unrelated churn between
     // warm-up and measure.
-    val steal0 = stealTicks()
-    val results = benchQueries.map { q =>
-      try run(q)
-      catch { case e: Throwable => System.err.println(s"[bench] warmup ${q.name}: $e") }
+    // The start-only calibration gate cannot catch a steal window that
+    // opens MID-capture (r5: five of 32 medians read 2-60x their quiet
+    // values after a clean calibration, and only a judge rerun could
+    // adjudicate because per-query steal went to stderr and the driver
+    // keeps just the log tail). Three mid-run defenses, all visible in
+    // the output JSON so the artifact is self-diagnosing:
+    //   1. per-query steal ticks land in "queries_steal";
+    //   2. a measurement bearing the steal-window signature — median
+    //      above 3x its own min with a material gap, or a per-query
+    //      steal spike — is re-measured once after a 30 s settle, and
+    //      the lower-steal set wins;
+    //   3. after any heavy or re-measured query the canary is
+    //      re-timed; while it reads above the calibration gate the box
+    //      is contended and entries measured in that window are named
+    //      in "queries_contended".
+    val StealSuspect =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_STEAL_SUSPECT", "200").toLong
+    val HeavySec = 2.0
+
+    case class Sample(times: Seq[Double], steal: Long) {
+      val ok: Boolean = !times.contains(-1.0)
+      val median: Double = if (!ok) -1.0 else times.sorted.apply(Reps / 2)
+      val min: Double =
+        times.filterNot(_ == -1.0).foldLeft(-1.0)((a, t) => if (a < 0 || t < a) t else a)
+      // dispersion signature needs an absolute floor: a 0.1 s query's
+      // scheduler jitter can triple its min without meaning anything
+      def suspect: Boolean =
+        (ok && min > 0 && median > 3 * min && median - min > 0.5) ||
+          (steal >= 0 && steal > StealSuspect)
+    }
+
+    def measure(q: QueryDef): Sample = {
       val s0 = stealTicks()
       val times = (1 to Reps).map { _ =>
         val t0 = System.nanoTime()
         try { run(q); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e"); -1.0 }
       }
-      val qSteal = stealTicks() - s0
-      // any failed rep poisons the query's number — a broken query
-      // must not look fast
-      val med =
-        if (times.contains(-1.0)) -1.0
-        else times.sorted.apply(Reps / 2)
-      System.err.println(
-        f"[bench] ${q.name}%-22s median $med%7.3f s  (min ${times.min}%.3f / max ${times.max}%.3f, steal $qSteal%d ticks)")
-      (q.name, med, times.filterNot(_ == -1.0).foldLeft(-1.0)((a, t) => if (a < 0 || t < a) t else a))
+      Sample(times, if (s0 < 0) -1L else stealTicks() - s0)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qsMin = results.map { case (k, _, mn) => "\"" + k + "\":" + mn }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+
+    val canaryQ = QueryDef.all.find(_.name == "q_sim_topk")
+    def canaryDegraded(): Boolean = canaryQ.exists { q =>
+      val t0 = System.nanoTime(); run(q)
+      val t = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] canary q_sim_topk $t%.3f s (gate $calibGate%.3f s)")
+      t > calibGate
+    }
+
+    val steal0 = stealTicks()
+    var contended = false // most recent canary reading was degraded
+    val results = benchQueries.map { q =>
+      val contendedBefore = contended
+      try run(q) // per-query warmup: absorb this query's codegen/JIT
+      catch { case e: Throwable => System.err.println(s"[bench] warmup ${q.name}: $e") }
+      val first = measure(q)
+      var remeasured = false
+      val kept =
+        if (first.suspect) {
+          System.err.println(
+            f"[bench] ${q.name}: suspect capture (median ${first.median}%.3f / min ${first.min}%.3f, steal ${first.steal}%d), re-measuring after settle")
+          Thread.sleep(30000)
+          remeasured = true
+          val second = measure(q)
+          // the lower-steal window is the truer one; tie → lower median
+          if (!first.ok) second
+          else if (!second.ok) first
+          else if (first.steal >= 0 && second.steal >= 0 && first.steal != second.steal) {
+            if (second.steal < first.steal) second else first
+          } else if (second.median < first.median) second
+          else first
+        } else first
+      // any failed rep poisons the query's number — a broken query
+      // must not look fast (Sample.median already returns -1.0)
+      if (kept.median >= HeavySec || remeasured || contendedBefore)
+        contended = canaryDegraded()
+      val flagged = contendedBefore || contended
+      System.err.println(
+        f"[bench] ${q.name}%-22s median ${kept.median}%7.3f s  (min ${kept.min}%.3f / max ${kept.times.max}%.3f, steal ${kept.steal}%d ticks${if (remeasured) ", remeasured" else ""}${if (flagged) ", CONTENDED" else ""})")
+      (q.name, kept, remeasured, flagged)
+    }
+    val qs = results.map { case (k, s, _, _) => "\"" + k + "\":" + s.median }.mkString("{", ",", "}")
+    val qsMin = results.map { case (k, s, _, _) => "\"" + k + "\":" + s.min }.mkString("{", ",", "}")
+    val qsSteal = results.map { case (k, s, _, _) => "\"" + k + "\":" + s.steal }.mkString("{", ",", "}")
+    val qsRemeasured = results.collect { case (k, _, true, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val qsContended = results.collect { case (k, _, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.map(_._2.median).filter(_ >= 0).sum
     val stealTotal = if (steal0 < 0) -1L else stealTicks() - steal0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","calibration_failed":$calibrationFailed,"steal_ticks":$stealTotal}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_steal":$qsSteal,"queries_remeasured":$qsRemeasured,"queries_contended":$qsContended,"sf":"$sfDir","calibration_failed":$calibrationFailed,"steal_ticks":$stealTotal}""")
     spark.stop()
   }
 }
