@@ -59,10 +59,18 @@ object Layout {
     * reader-side changes needed. */
   def writeZOrdered(df: DataFrame, x: Column, y: Column,
                     path: String, files: Int): Unit = {
-    val Array(xLo, xHi, yLo, yHi) = df
+    val boundsRow = df
       .agg(min(x).cast("long"), max(x).cast("long"),
            min(y).cast("long"), max(y).cast("long"))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      .collect()(0)
+    // empty input (or all-null keys): min/max are null — there is
+    // nothing to cluster, but the write contract (an overwritten
+    // parquet dir with df's schema) must still hold
+    if (boundsRow.anyNull) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
+    val Array(xLo, xHi, yLo, yHi) = boundsRow.toSeq.map(_.asInstanceOf[Long]).toArray
     df.withColumn("__z",
         zorder2(normalize16(x, xLo, xHi), normalize16(y, yLo, yHi)))
       .repartitionByRange(files, col("__z"))

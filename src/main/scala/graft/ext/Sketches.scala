@@ -65,11 +65,14 @@ object Sketches {
   /** Raw m=64 estimate from a register array, as a plain column
     * expression (`aggregate` HOF: every `2^-register` term is an
     * exact double, so this re-derives in SQL — same contract as
-    * [[hllDistinctPortable]]). */
+    * [[hllDistinctPortable]]). An empty or null array — the
+    * merge-aggregate state for a group that saw zero rows — is an
+    * empty set: estimate 0.0, not a divide-by-zero Infinity. */
   def hllEstimateFromRegisters(regs: Column): Column =
-    lit(0.709) * 64 * 64 / aggregate(regs, lit(0.0),
-      (acc, r) => acc +
-        lit(1.0) / call_function("shiftleft", lit(1L), r.cast("int")).cast("double"))
+    when(regs.isNull || size(regs) === 0, lit(0.0))
+      .otherwise(lit(0.709) * 64 * 64 / aggregate(regs, lit(0.0),
+        (acc, r) => acc +
+          lit(1.0) / call_function("shiftleft", lit(1L), r.cast("int")).cast("double")))
 
   /** Misra–Gries heavy hitters over a long key column: at most `k`
     * (key, cnt) counters of state per group however many items

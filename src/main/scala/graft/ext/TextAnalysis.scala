@@ -141,16 +141,6 @@ object TextAnalysis {
         concat_ws(" ", slice(toks, i * lit(step) + lit(1), lit(chunkTokens))).as("chunk")))
   }
 
-  /** Word n-gram shingles; empty array when the doc has < n words.
-    *
-    * Native one-pass expression ([[graft.functions.WordShingles]]):
-    * the shingle strings are emitted directly from token spans in a
-    * single sweep. Two prior formulations were measured and rejected:
-    * `transform(sequence(...), i => concat_ws(slice(toks, i, n)))`
-    * re-evaluates the regex split once per index (interpreted lambda
-    * bodies have no subtree caching; 7.2s at sf0.1), and the
-    * zip-of-shifted-slices form pays 1 + n + 2 intermediate array
-    * allocations per row (0.9s). */
   /** Adjacent-bigram stream of a document, shuffle-free: zip the
     * token array against itself shifted by one (`slice` +
     * `arrays_zip`), no self-join and no per-doc window sort. Returns
@@ -161,6 +151,16 @@ object TextAnalysis {
     arrays_zip(slice(toks, lit(1), n - 1).as("w1"), slice(toks, lit(2), n - 1).as("w2"))
   }
 
+  /** Word n-gram shingles; empty array when the doc has < n words.
+    *
+    * Native one-pass expression ([[graft.functions.WordShingles]]):
+    * the shingle strings are emitted directly from token spans in a
+    * single sweep. Two prior formulations were measured and rejected:
+    * `transform(sequence(...), i => concat_ws(slice(toks, i, n)))`
+    * re-evaluates the regex split once per index (interpreted lambda
+    * bodies have no subtree caching; 7.2s at sf0.1), and the
+    * zip-of-shifted-slices form pays 1 + n + 2 intermediate array
+    * allocations per row (0.9s). */
   def wordShingles(text: Column, n: Int): Column =
     graft.functions.TextExpressions.wordShingles(lower(text), n)
 }

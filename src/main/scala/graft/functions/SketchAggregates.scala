@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
@@ -46,7 +46,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType,
 case class HllSketch(child: Expression, p: Int, hashBits: Int, correct: Boolean = true,
                      emitRegisters: Boolean = false,
                      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Byte]] {
+    extends TypedImperativeAggregate[Array[Byte]] with ImplicitCastInputTypes {
 
   require(p >= 4 && p <= 16, "precision p must be in [4, 16]")
   require(hashBits > p && hashBits <= 63, "hashBits must be in (p, 63]")
@@ -54,12 +54,25 @@ case class HllSketch(child: Expression, p: Int, hashBits: Int, correct: Boolean 
   private val m = 1 << p
   private val capBits = hashBits - p
 
+  // SQL-registered (`hll_distinct`) as well as column-API constructed:
+  // the analyzer coerces integral inputs up to LONG and rejects
+  // non-numeric ones at analysis time instead of a ClassCastException
+  // mid-execution
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+
   override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
 
   override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
+      // the contract is an ALREADY-HASHED value in [0, 2^hashBits): a
+      // negative or oversized input would index out of bounds (or
+      // silently never update a register) — fail with the contract,
+      // not an array index
+      if (h < 0 || (hashBits < 63 && (h >>> hashBits) != 0))
+        throw new IllegalArgumentException(
+          s"hll_distinct expects a non-negative pre-hashed long < 2^$hashBits, got $h")
       val j = (h % m).toInt
       val w = h / m
       val rho =
@@ -128,7 +141,9 @@ object HllSketch {
   */
 case class HllMergeAgg(child: Expression,
                        mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Int]] {
+    extends TypedImperativeAggregate[Array[Int]] with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(IntegerType))
 
   override def createAggregationBuffer(): Array[Int] = Array.empty
 
@@ -198,10 +213,12 @@ case class HllMergeAgg(child: Expression,
 case class CountMinSketchAgg(child: Expression, d: Int, w: Int,
                              constIndexBase: Int = 150,
                              mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] {
+    extends TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes {
 
   require(d >= 1 && d <= 16, "depth d must be in [1, 16]")
   require(w >= 2 && w <= (1 << 20), "width w must be in [2, 2^20]")
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   private val P = 1000000007L
   // (A_i, B_i) for row i — twice-iterated MINSTD of small odd/even
@@ -218,6 +235,13 @@ case class CountMinSketchAgg(child: Expression, d: Int, w: Int,
     val v = child.eval(input)
     if (v != null) {
       val x = v.asInstanceOf[Long]
+      // negative input makes Java's % negative → negative counter
+      // index, and a key ≥ P overflows a·x+b — the contract is a
+      // pre-hashed key in [0, P) (graft.ext.Sketches.keyHash pmods
+      // any long into range)
+      if (x < 0 || x >= P)
+        throw new IllegalArgumentException(
+          s"cms_sketch expects a pre-hashed long key in [0, ${P}), got $x")
       var i = 0
       while (i < d) {
         val (a, b) = consts(i)
@@ -446,10 +470,12 @@ case class ArraySumAgg(child: Expression,
 case class BloomFilterAgg(child: Expression, mBits: Int, k: Int,
                           constIndexBase: Int = 180,
                           mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Long]] {
+    extends TypedImperativeAggregate[Array[Long]] with ImplicitCastInputTypes {
 
   require(mBits >= 64 && mBits % 64 == 0, "mBits must be a positive multiple of 64")
   require(k >= 1 && k <= 16, "k must be in [1, 16]")
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   private val P = 1000000007L
   @transient private lazy val consts: Array[(Long, Long)] =
@@ -464,6 +490,11 @@ case class BloomFilterAgg(child: Expression, mBits: Int, k: Int,
     val v = child.eval(input)
     if (v != null) {
       val x = v.asInstanceOf[Long]
+      // same [0, P) contract as cms_sketch: negatives index out of
+      // bounds, keys ≥ P overflow the universal-hash arithmetic
+      if (x < 0 || x >= P)
+        throw new IllegalArgumentException(
+          s"bloom_sketch expects a pre-hashed long key in [0, ${P}), got $x")
       var i = 0
       while (i < k) {
         val (a, b) = consts(i)

@@ -61,4 +61,20 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("writeZOrdered on an empty frame still writes a readable parquet dir") {
+    val empty = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_partkey", "l_suppkey").filter(lit(false))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder_empty_").toString
+    try {
+      // min/max bounds are null on zero rows — must not NPE; the
+      // write contract (overwritten dir, same schema) still holds
+      Layout.writeZOrdered(empty, col("l_partkey"), col("l_suppkey"), dir, files = 4)
+      val back = spark.read.parquet(dir)
+      assert(back.count() == 0)
+      assert(back.columns.toSeq == Seq("l_partkey", "l_suppkey"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

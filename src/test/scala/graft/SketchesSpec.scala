@@ -136,6 +136,44 @@ class SketchesSpec extends AnyFunSuite with SharedSpark {
     assert(sqlEst == apiEst, s"sql $sqlEst vs api $apiEst")
   }
 
+  test("empty register array estimates 0.0, not a divide-by-zero Infinity") {
+    // the merge-aggregate state for a group that saw zero rows
+    val est = Seq(Seq.empty[Int]).toDF("regs")
+      .select(Sketches.hllEstimateFromRegisters(col("regs"))).as[Double].head()
+    assert(est === 0.0)
+  }
+
+  test("sketch aggregates reject bad inputs with clear errors, not index crashes") {
+    graft.functions.SketchAggregates.register(spark)
+    def chainMessages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    // negative / out-of-contract values: a clear contract message
+    val e1 = intercept[Exception] {
+      Seq(-5L).toDF("h").agg(Sketches.hllDistinctPortable(col("h"))).collect()
+    }
+    assert(chainMessages(e1).contains("non-negative"), chainMessages(e1))
+    val e2 = intercept[Exception] {
+      Seq(-1L).toDF("h").agg(Sketches.cmsSketch(col("h"))).collect()
+    }
+    assert(chainMessages(e2).contains("cms_sketch expects"), chainMessages(e2))
+    // non-numeric input through the SQL registration: the declared
+    // LONG input type makes the analyzer wrap it in a standard
+    // (ANSI) cast, so "abc" dies with a clear cast error — never the
+    // old ClassCastException / array-index crash from inside update()
+    Seq("abc").toDF("s").createOrReplaceTempView("bad_input_sql")
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT cms_sketch(s, 4, 512) FROM bad_input_sql").collect()
+    }
+    val chain3 = Iterator.iterate(e3: Throwable)(_.getCause).takeWhile(_ != null).toList
+    assert(!chain3.exists(t => t.isInstanceOf[ClassCastException] ||
+      t.isInstanceOf[ArrayIndexOutOfBoundsException]), chainMessages(e3))
+    // integral widening still works: an INT column is usable directly
+    val ok = spark.sql("SELECT hll_distinct(CAST(7 AS INT), 14, 63) FROM bad_input_sql")
+      .collect()
+    assert(ok.length == 1)
+  }
+
   test("HLL lifecycle: persisted register arrays merge to the union sketch") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("source"),
