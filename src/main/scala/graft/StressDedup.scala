@@ -59,6 +59,21 @@ object StressDedup {
       .select(col("d1"), col("d2"), round(jac, 4).as("jaccard"))
   }
 
+  /** All-pairs containment baseline: the containing side indexes all
+    * shingles AND nothing prunes the match loop, so the shared
+    * preamble alone costs |corpus|² join rows. */
+  private def naiveContainmentPairs(df: DataFrame, threshold: Double): DataFrame = {
+    val sh = Dedup.shingleTable(df, "doc_id", "text", 5)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("d1"), col("b.id").as("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter.join(sizes.as("s1"), col("d1") === col("s1.id"))
+      .filter(col("n_inter") / col("s1.n_sh") >= threshold)
+      .select(col("d1"), col("d2"))
+  }
+
   private def time(label: String)(f: => Long): Unit = {
     val t0 = System.nanoTime()
     val rows = f
@@ -91,6 +106,21 @@ object StressDedup {
     }
     time(s"jaccard-prefix-${rep}x") {
       Dedup.jaccardPairs(xN, "doc_id", "text", 5, 0.6).count()
+    }
+    // Directed containment on the same adversarial corpus: the
+    // preamble shingles are held by EVERY document, the exact shape
+    // whose full-side fanout the positional+length join bounds exist
+    // to cap. Sub-quadratic growth shows as rep×'s wall scaling
+    // ~linearly with the corpus (vs the naive baseline's quadratic
+    // 1× cost).
+    time("containment-naive-1x") {
+      naiveContainmentPairs(x1, 0.9).count()
+    }
+    time("containment-prefix-1x") {
+      Dedup.containmentPairs(x1, "doc_id", "text", 5, 0.9).count()
+    }
+    time(s"containment-prefix-${rep}x") {
+      Dedup.containmentPairs(xN, "doc_id", "text", 5, 0.9).count()
     }
     time(s"minhash-lsh-${rep}x") {
       Dedup.minhashLshPairs(xN, "doc_id", "text").count()

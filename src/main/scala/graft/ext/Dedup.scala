@@ -114,9 +114,31 @@ object Dedup {
     * `|A| − ceil(t·|A|) + 1` rarest shingles (if `|A∩B| ≥ t·|A|`
     * then `|A\B| ≤ |A| − ceil(t·|A|)` < prefix length, so a prefix
     * shingle must land in B), while the containing side indexes ALL
-    * its shingles. Candidates pass `|B| ≥ t·|A|` (since
-    * `|A∩B| ≤ |B|`) and are verified with an exact intersection
-    * count — the result is identical to the all-pairs form. */
+    * its shingles. That full-side index is what makes the join
+    * dangerous on a boilerplate-heavy corpus — a shingle present in
+    * d documents fans out d candidate rows for every prefix
+    * occurrence — so two exact bounds ride IN the join condition,
+    * pruning matches inside the join loop before they reach the
+    * dedup shuffle:
+    *
+    *   - length: `|B| ≥ t·|A|` (since `|A∩B| ≤ |B|`);
+    *   - positional (PPJoin's filter): both sides rank shingles by
+    *     the same global (document-frequency, shingle) total order,
+    *     so the globally-minimal element s* of A∩B has minimal rank
+    *     within BOTH documents, and every intersection element sits
+    *     at rank ≥ rk(s*) in each — hence
+    *     `|A∩B| ≤ min(|A| − rkA, |B| − rkB) + 1` for the s*-match.
+    *     Requiring that bound ≥ ceil(t·|A|) cannot lose a true pair
+    *     (rkA(s*) ≤ prefixLen, so the s*-row itself is generated and
+    *     survives), while a hot boilerplate shingle — by definition
+    *     high-df, therefore ranked near the END of every document
+    *     that holds it — has `|B| − rkB` too small to satisfy any
+    *     non-trivial overlap requirement, capping exactly the
+    *     hot-shingle fanout the symmetric prefix filter prevents for
+    *     Jaccard.
+    *
+    * Survivors are verified with an exact intersection count — the
+    * result is identical to the all-pairs form. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int, threshold: Double): DataFrame = {
     val sh = shingleTable(df, idCol, textCol, n)
@@ -128,11 +150,13 @@ object Dedup {
       .withColumn("rk", row_number().over(byRarity))
     val prefixLen = col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1
     val prefix = withSizes.filter(col("rk") <= prefixLen)
-      .select(col("id"), col("sh"), col("n_sh"))
-    val full = withSizes.select(col("id"), col("sh"), col("n_sh"))
+      .select(col("id"), col("sh"), col("n_sh"), col("rk"))
+    val full = withSizes.select(col("id"), col("sh"), col("n_sh"), col("rk"))
+    val needed = ceil(lit(threshold) * col("pa.n_sh") - lit(1e-9))
     val cand = prefix.as("pa").join(full.as("fb"),
-        col("pa.sh") === col("fb.sh") && col("pa.id") =!= col("fb.id"))
-      .filter(col("fb.n_sh") >= lit(threshold) * col("pa.n_sh") - lit(1e-9))
+        col("pa.sh") === col("fb.sh") && col("pa.id") =!= col("fb.id") &&
+          col("fb.n_sh") >= lit(threshold) * col("pa.n_sh") - lit(1e-9) &&
+          least(col("pa.n_sh") - col("pa.rk"), col("fb.n_sh") - col("fb.rk")) + 1 >= needed)
       .select(col("pa.id").as("d1"), col("fb.id").as("d2"),
         col("pa.n_sh").as("n1"))
       .dropDuplicates("d1", "d2")
