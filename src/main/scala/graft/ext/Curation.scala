@@ -56,10 +56,27 @@ object Curation {
     // pairwise loser-removal policy: any doc that lost a comparison
     // (appeared as d2 of a qualifying pair) is dropped. See
     // [[curatedDocsTransitive]] for the connected-component policy.
-    val nearDupLosers = Dedup.jaccardPairs(exactKept, "doc_id", "text",
-      n = 5, threshold = jaccardThreshold)
+    val nearDupLosers = nearDupPairs(exactKept, jaccardThreshold, checkpointDir)
       .select(col("d2").as("loser")).distinct()
     exactKept.join(nearDupLosers, col("doc_id") === col("loser"), "left_anti")
+  }
+
+  /** Qualifying near-dup pairs for stages 4+, shingling the corpus
+    * EXACTLY once when a checkpoint dir is available: the pair join's
+    * plan references the shingle frame four times (document
+    * frequencies, prefix build, both verify sides —
+    * [[Dedup.jaccardPairsFromShingles]] documents this), so without
+    * materialization the explode+distinct re-runs per reference.
+    * Same eager-write contract as the scored checkpoint. */
+  private def nearDupPairs(exactKept: DataFrame, jaccardThreshold: Double,
+                           checkpointDir: Option[String]): DataFrame = {
+    val sh0 = Dedup.shingleTable(exactKept, "doc_id", "text", n = 5)
+    val sh = checkpointDir.fold(sh0) { dir =>
+      val path = s"$dir/curation_shingles"
+      sh0.write.mode("overwrite").parquet(path)
+      exactKept.sparkSession.read.parquet(path)
+    }
+    Dedup.jaccardPairsFromShingles(sh, jaccardThreshold)
   }
 
   /** Shared stages 1–3 (score → filter → exact dedup), with the
@@ -90,8 +107,7 @@ object Curation {
                             jaccardThreshold: Double = 0.6,
                             checkpointDir: Option[String] = None): DataFrame = {
     val exactKept = scoredExactKept(docs, minQuality, checkpointDir)
-    val pairs = Dedup.jaccardPairs(exactKept, "doc_id", "text",
-      n = 5, threshold = jaccardThreshold)
+    val pairs = nearDupPairs(exactKept, jaccardThreshold, checkpointDir)
     val labels = Dedup.clusters(pairs, scratchDir = checkpointDir.map(d => s"$d/cc"))
     val losers = labels.filter(col("id") =!= col("rep")).select(col("id").as("loser"))
     exactKept.join(losers, col("doc_id") === col("loser"), "left_anti")

@@ -81,6 +81,33 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("curation shingles the corpus exactly once (pair join scans the materialized table)") {
+    // the checkpointed form materializes the shingle table to parquet
+    // in one eager job; the returned plan must READ that parquet for
+    // the pair join (which references the shingle frame four times)
+    // and never re-run the text explode
+    val plan = finalPlan("q_curate_pipeline")
+    assert(plan.contains("curation_shingles"),
+      s"pair join does not scan the materialized shingle table:\n$plan")
+    assert(!plan.toLowerCase.contains("wordshingles"),
+      s"a stage re-derives shingles from text:\n$plan")
+  }
+
+  test("e2e pipeline: every stage scans the materialized shingles; packing has no global window") {
+    val plan = finalPlan("q_pipeline_e2e")
+    // the corpus is shingled once into <scratch>/shingles; decontam,
+    // pairing and the split all read it back
+    assert(plan.contains("shingles"),
+      s"no stage scans the materialized shingle parquet:\n$plan")
+    assert(!plan.toLowerCase.contains("wordshingles"),
+      s"a stage silently re-explodes text into shingles:\n$plan")
+    // the packing running total is the two-phase distributed prefix
+    // sum — a plan-wide single-partition exchange would mean it
+    // regressed to a global window
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"packing regressed to a single-partition global window:\n$plan")
+  }
+
   test("collocations: bigrams come from array-zip, never a self-join or window sort") {
     val plan = finalPlan("q_tx_colloc")
     assert(!plan.contains("CartesianProduct"), plan)
