@@ -610,19 +610,34 @@ object Similarity {
     * `sum_q`/`sum_q2` are engine-portable, and the derived mean/std
     * doubles follow deterministically from exact integer inputs.
     * One posexplode + one (pos) aggregation: the corpus is read once.
-    * (Gate-scale note: `sum_q2` holds n·2⁴⁰-magnitude integers — at
-    * corpus scales beyond ~2²² rows per dimension, widen to
-    * DECIMAL(38,0) before the sum.) */
-  def dimStats(embeddings: DataFrame, vecCol: String = "embedding"): DataFrame =
+    *
+    * `sum_q2` holds n·2⁴⁰-magnitude integers, so the BIGINT sum is
+    * exact only to ~2²² rows per dimension (beyond it, ANSI mode
+    * fails the job rather than wrapping). `wide = true` runs both
+    * sums in DECIMAL(38,0) — exact to ~10²⁵ rows — at a modest
+    * per-row cost; the derived mean/std then combine the sums in
+    * double space (they are doubles regardless). The narrow default
+    * keeps the gate's integer-for-integer oracle comparison. */
+  def dimStats(embeddings: DataFrame, vecCol: String = "embedding",
+               wide: Boolean = false): DataFrame = {
+    val q = col("q")
+    val (sumQ, sumQ2) =
+      if (wide) (sum(q.cast("decimal(38,0)")),
+        sum(q.cast("decimal(38,0)") * q.cast("decimal(38,0)")))
+      else (sum(q), sum(q * q))
+    val variance =
+      if (wide)
+        col("n").cast("double") * col("sum_q2").cast("double") -
+          col("sum_q").cast("double") * col("sum_q").cast("double")
+      else (col("n") * col("sum_q2") - col("sum_q") * col("sum_q")).cast("double")
     embeddings
       .select(posexplode(col(vecCol)).as(Seq("pos", "v")))
       .select(col("pos").cast("long").as("pos"),
         floor(col("v").cast("double") * lit(1048576.0) + lit(0.5)).cast("long").as("q"))
       .groupBy("pos")
-      .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"),
-        sum(col("q") * col("q")).as("sum_q2"))
+      .agg(count(lit(1)).as("n"), sumQ.as("sum_q"), sumQ2.as("sum_q2"))
       .select(col("pos"), col("n"), col("sum_q"), col("sum_q2"),
         round((col("sum_q") / lit(1048576.0)) / col("n"), 6).as("mean"),
-        round(sqrt((col("n") * col("sum_q2") - col("sum_q") * col("sum_q")).cast("double"))
-          / (col("n") * lit(1048576.0)), 6).as("std"))
+        round(sqrt(variance) / (col("n") * lit(1048576.0)), 6).as("std"))
+  }
 }

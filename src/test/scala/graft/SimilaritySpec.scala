@@ -181,4 +181,22 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  test("dimStats wide=true stays exact where the BIGINT sum_q2 would overflow") {
+    // 9M rows of 1.0f in one dimension: q = 2^20, q² = 2^40, and
+    // 9e6·2^40 ≈ 9.9e18 exceeds Long.MaxValue ≈ 9.22e18 — past the
+    // documented ~2^22-rows/dim bound of the narrow path
+    val overflowScale = spark.range(9000000L).select(array(lit(1.0f)).as("embedding"))
+    val row = Similarity.dimStats(overflowScale, wide = true).collect().head
+    assert(row.getLong(1) === 9000000L)
+    val expectedQ2 = BigDecimal(1099511627776L) * BigDecimal(9000000L) // (2^40)·n
+    assert(BigDecimal(row.getDecimal(3)) === expectedQ2, "sum_q2 exact in DECIMAL(38,0)")
+    assert(row.getDouble(4) === 1.0, "mean of constant-1.0 inputs")
+    assert(row.getDouble(5) === 0.0, "std of constant inputs")
+    // the narrow default fails loudly (ANSI long-sum overflow) instead
+    // of silently wrapping — the reason `wide` exists
+    intercept[Exception] {
+      Similarity.dimStats(overflowScale).collect()
+    }
+  }
 }
