@@ -515,6 +515,26 @@ object SimilarityQueries {
       },
       Some(pqOracleSql), bench = true),
 
+    // Persisted ANN index lifecycle: build the PQ index ONCE to plain
+    // parquet (codebook/codes/centroids/assign), then serve the ADC
+    // top-10 purely from the on-disk codes + codebook — the
+    // production split between the scheduled index job and the
+    // interactive query job (which never touches corpus embeddings).
+    // The builds are deterministic, so a rebuild is bit-identical to
+    // a reload and the oracle is the same full PQ-chain SQL as
+    // q_sim_pq: a drift anywhere in save → parquet round-trip → load
+    // → score hash-fails the gate.
+    QueryDef("q_sim_index_query",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        val dir = graft.Scratch.tempDir("graft_annidx_")
+        Similarity.saveIndex(emb.filter(col("vec_id") =!= 0), dir,
+          dim = 64, m = 4, kPerSub = 16, portable = true, lloydIters = 1)
+        Similarity.queryIndex(s, dir, emb.filter(col("vec_id") === 0),
+          k = 10, dim = 64, m = 4)
+      },
+      Some(pqOracleSql)),
+
     // PQ + exact re-rank: ADC top-50 shortlist, exact squared-L2
     // top-10 over only the shortlist's float vectors — the
     // production two-stage retrieval. Oracle extends the PQ chain

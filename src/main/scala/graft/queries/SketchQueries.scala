@@ -369,6 +369,49 @@ object SketchQueries {
              |  (xd | (xd << 1)) & 1431655765 AS xe,
              |  (yd | (yd << 1)) & 1431655765 AS ye FROM s4)
              |SELECT l_orderkey, l_linenumber, (xe | (ye << 1)) AS zval
-             |FROM s5 ORDER BY zval, l_orderkey, l_linenumber LIMIT 2000""".stripMargin))
+             |FROM s5 ORDER BY zval, l_orderkey, l_linenumber LIMIT 2000""".stripMargin)),
+
+    // Misra–Gries heavy hitters, gated on its GUARANTEES rather than
+    // its (stream-order-dependent) summary: per language, every
+    // token-length key with true frequency > N/(k+1) must be present
+    // in the k-counter summary with stored ≤ true ≤ stored + N/(k+1).
+    // The emitted rows are the deterministic guaranteed-heavy set —
+    // per lang 6 distinct lengths compete for k=3 counters, so
+    // decrements genuinely occur and the two >25% keys (lengths 4, 5)
+    // must survive them. The oracle re-derives the true counts and
+    // asserts the booleans as TRUE: a dropped guaranteed key or a
+    // violated bound hash-fails the gate.
+    QueryDef("q_agg_heavy_hitters",
+      (s, d) => {
+        val k = 3
+        val toks = t(s, d, "documents")
+          .select(col("lang"), explode(split(lower(col("text")), "\\s+")).as("w"))
+          .select(col("lang"), length(col("w")).cast("long").as("len"))
+        val mg = toks.groupBy("lang")
+          .agg(Sketches.heavyHitters(col("len"), k).as("hh"),
+               count(lit(1)).as("n"))
+        val truth = toks.groupBy("lang", "len").agg(count(lit(1)).as("true_cnt"))
+        val stored = try_element_at(
+          filter(col("hh"), e => e.getField("key") === col("len")), lit(1))
+          .getField("cnt")
+        truth.join(mg, "lang")
+          .filter(col("true_cnt") * (k + 1) > col("n"))
+          .select(col("lang"), col("len"), col("true_cnt"),
+            stored.isNotNull.as("present"),
+            (stored.isNotNull && stored <= col("true_cnt") &&
+              col("true_cnt") <= stored + floor(col("n") / (k + 1))).as("bounds_ok"))
+          .orderBy("lang", "len")
+      },
+      Some("""WITH tok AS (
+             |  SELECT lang, unnest(string_split_regex(lower(text), '\s+')) AS w
+             |  FROM documents),
+             |cnt AS (SELECT lang, length(w)::BIGINT AS len, count(*) AS true_cnt
+             |        FROM tok GROUP BY 1, 2),
+             |tot AS (SELECT lang, sum(true_cnt)::BIGINT AS n FROM cnt GROUP BY 1)
+             |SELECT cnt.lang AS lang, len, true_cnt,
+             |  true AS present, true AS bounds_ok
+             |FROM cnt JOIN tot ON cnt.lang = tot.lang
+             |WHERE true_cnt * 4 > n
+             |ORDER BY lang, len""".stripMargin))
   )
 }
