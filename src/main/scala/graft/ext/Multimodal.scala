@@ -84,8 +84,12 @@ object Multimodal {
   // specifications; MediaHeaderSpec proves the parsers against
   // payloads written by the JDK's own ImageIO / AudioSystem encoders.
 
+  /** `bytes`-byte big-endian encoding of a non-negative int column. */
+  private def be(x: Column, bytes: Int): Column =
+    unhex(lpad(hex(x.cast("long")), bytes * 2, "0"))
+
   /** 4-byte big-endian encoding of a non-negative int column. */
-  private def be4(x: Column): Column = unhex(lpad(hex(x.cast("long")), 8, "0"))
+  private def be4(x: Column): Column = be(x, 4)
 
   /** `bytes`-byte little-endian encoding of a non-negative int column. */
   private def le(x: Column, bytes: Int): Column = {
@@ -145,6 +149,91 @@ object Multimodal {
     * 23/25); null for anything that is not a canonical PCM WAVE. */
   def wavChannels(p: Column): Column = when(wavValid(p), leInt(p, 23, 2))
   def wavSampleRate(p: Column): Column = when(wavValid(p), leInt(p, 25, 4))
+
+  // ---- JPEG: SOF segment walk ---------------------------------------
+  //
+  // Unlike PNG (dimensions at a fixed IHDR offset) a JPEG's SOF frame
+  // header sits behind a variable prefix of APPn/DQT/COM segments, so
+  // parsing dimensions requires an actual segment walk: each segment
+  // is FF <code> <len:2 BE> <payload>, `len` counting itself. The
+  // walk is a bounded `aggregate` HOF fold over (pos, sofPos) state —
+  // per-row work capped at `maxSegs` tiny substring reads, zero
+  // shuffle, no UDF. Layout follows the public JPEG/JFIF
+  // specification (ITU T.81 §B.2); standalone markers (RSTn/TEM,
+  // which carry no length) never precede SOF in a conforming file, so
+  // the walk treats any non-FF byte as the end of the parseable
+  // header. MediaHeaderSpec proves the walk against the JDK ImageIO
+  // JPEG encoder's output (APP0 + DQT×2 + SOF0 + DHT×4 + SOS).
+
+  /** Big-endian int read from `bytes` bytes at a DYNAMIC 1-indexed
+    * position column (hex of a multi-byte slice is already
+    * big-endian); null when the slice runs past the payload. */
+  private def beIntAt(p: Column, pos: Column, bytes: Int): Column = {
+    val h = hex(p.substr(pos, lit(bytes)))
+    when(length(h) === bytes * 2, conv(h, 16, 10).cast("long"))
+  }
+
+  /** 1-indexed position of the SOF0–SOF3 marker (FF C0..C3), or 0
+    * when no SOF segment appears within the first `maxSegs` segments.
+    * SOF0 = baseline, SOF2 = progressive — both carry dimensions at
+    * the same offsets. */
+  def jpegSofPos(p: Column, maxSegs: Int = 16): Column =
+    aggregate(sequence(lit(1), lit(maxSegs)),
+      struct(lit(3L).as("pos"), lit(0L).as("sof")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val sof = st.getField("sof")
+        // marker byte + code, read as one 2-byte slice ('' past end)
+        val twoAt = hex(p.substr(pos, lit(2)))
+        val isMarker = substring(twoAt, 1, 2) === lit("FF")
+        val code = conv(substring(twoAt, 3, 2), 16, 10).cast("long")
+        val isSof = coalesce(code >= 0xC0L && code <= 0xC3L, lit(false))
+        // jump past a non-SOF segment; a truncated length field jumps
+        // off the end, which the next iteration reads as done
+        val segLen = coalesce(beIntAt(p, pos + 2, 2), lit(1L << 30))
+        val halt = sof > 0 || !isMarker || isSof
+        struct(
+          when(halt, pos).otherwise(pos + 2 + segLen).as("pos"),
+          when(sof > 0, sof)
+            .when(isMarker && isSof, pos)
+            .otherwise(lit(0L)).as("sof"))
+      }).getField("sof")
+
+  /** JPEG structural validity: SOI signature and an SOF0–SOF3 frame
+    * header found by the segment walk. */
+  def jpegValid(p: Column): Column =
+    hex(p.substr(lit(1), lit(2))) === lit("FFD8") && jpegSofPos(p) > 0
+
+  /** Parsed frame dimensions (big-endian at SOF+7 / SOF+5 — after
+    * marker(2), length(2), precision(1), height(2)); null for
+    * anything that is not a walkable JPEG. Each accessor re-runs the
+    * bounded walk — batch the three into one select when all are
+    * needed; the per-row cost stays `maxSegs` substring reads. */
+  def jpegWidth(p: Column): Column =
+    when(jpegValid(p), beIntAt(p, jpegSofPos(p) + 7, 2))
+  def jpegHeight(p: Column): Column =
+    when(jpegValid(p), beIntAt(p, jpegSofPos(p) + 5, 2))
+
+  /** True for a progressive (SOF2) frame, false for baseline et al.;
+    * null when not a walkable JPEG. */
+  def jpegProgressive(p: Column): Column =
+    when(jpegValid(p), beIntAt(p, jpegSofPos(p) + 1, 1) === 0xC2L)
+
+  /** A conformant JPEG header prefix — SOI, APP0/JFIF, a flat DQT,
+    * and an SOF0 (or SOF2 when `progressive`) frame header for a
+    * 3-component 4:4:4 image — followed by `body` as the opaque
+    * remainder (entropy-coded data stands in, exactly like the PNG
+    * body). */
+  def jpegPayload(width: Column, height: Column, body: Column,
+                  progressive: Column = lit(false)): Column = {
+    val app0 = "FFE000104A46494600010100000100010000"
+    val dqt = "FFDB004300" + "10" * 64
+    val sof = concat(
+      unhex(when(progressive, lit("C2")).otherwise(lit("C0"))),
+      unhex(lit("001108")), be(height, 2), be(width, 2),
+      unhex(lit("03011100021101031101")))
+    concat(unhex(lit("FFD8" + app0 + dqt + "FF")), sof, body)
+  }
 
   /** Media table with REAL container headers: image rows carry a
     * valid PNG prefix (dimensions from the declared-metadata formula),

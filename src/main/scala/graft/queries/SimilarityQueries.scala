@@ -795,6 +795,49 @@ object SimilarityQueries {
              |       ELSE 'ok' END AS status
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // JPEG SOF dimension parsing — the third container of the header
+    // trio (PNG fixed-offset IHDR, WAVE fmt chunk, and now JPEG's
+    // variable-prefix segment walk). Payloads are conformant JPEG
+    // header prefixes (SOI + APP0 + DQT + SOF0, or SOF2 for the
+    // doc_id%7 progressive subset); a doc_id%11 subset is not a JPEG
+    // at all (parse must null → 'corrupt'), and the doc_id%50
+    // declared-width corruption must surface as 'mismatch'. The
+    // oracle derives every parsed value from the fixture formulas
+    // independently of the byte plumbing; MediaHeaderSpec proves the
+    // walk against real ImageIO JPEG bytes.
+    QueryDef("q_mm_jpeg",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val w = (pmod(col("doc_id"), lit(16)) * 64 + 256).cast("int")
+        val h = (pmod(col("doc_id"), lit(9)) * 64 + 256).cast("int")
+        val progressive = pmod(col("doc_id"), lit(7)) === 0
+        val body = encode(col("text"), "UTF-8")
+        val media = docs.select(col("doc_id").as("media_id"),
+          when(pmod(col("doc_id"), lit(11)) === 0, body)
+            .otherwise(Multimodal.jpegPayload(w, h, body, progressive))
+            .as("payload"),
+          w.as("width"), h.as("height"))
+        val corrupt = pmod(col("media_id"), lit(50)) === 0
+        val declW = (col("width") + when(corrupt, 1).otherwise(0)).cast("long")
+        val jw = Multimodal.jpegWidth(col("payload"))
+        val jh = Multimodal.jpegHeight(col("payload"))
+        media.select(col("media_id"),
+          jw.as("parsed_w"), jh.as("parsed_h"),
+          Multimodal.jpegProgressive(col("payload")).as("progressive"),
+          when(jw.isNull || jh.isNull, "corrupt")
+            .when(jw === declW && jh === col("height").cast("long"), "ok")
+            .otherwise("mismatch").as("status"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 11 <> 0 THEN (doc_id % 16) * 64 + 256 END AS parsed_w,
+             |  CASE WHEN doc_id % 11 <> 0 THEN (doc_id % 9) * 64 + 256 END AS parsed_h,
+             |  CASE WHEN doc_id % 11 <> 0 THEN doc_id % 7 = 0 END AS progressive,
+             |  CASE WHEN doc_id % 11 = 0 THEN 'corrupt'
+             |       WHEN doc_id % 50 = 0 THEN 'mismatch'
+             |       ELSE 'ok' END AS status
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
     // Multimodal: binary payload + metadata plumbing (decode stubbed)
     QueryDef("q_mm_meta",
       (s, d) => Multimodal.mediaFromDocuments(t(s, d, "documents"))

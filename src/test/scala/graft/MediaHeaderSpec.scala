@@ -54,6 +54,53 @@ class MediaHeaderSpec extends AnyFunSuite with SharedSpark {
       }
   }
 
+  test("JPEG segment walk reads ImageIO-written files (independent encoder)") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // ImageIO's JPEG layout is SOI, APP0, DQT×2, SOF0, DHT×4, SOS —
+    // the walk must skip a variable multi-segment prefix, not read a
+    // fixed offset
+    val rows = Seq((37, 23), (1280, 832), (1, 1)).map { case (w, h) =>
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB), "jpg", bos)
+      (w, h, bos.toByteArray)
+    }
+    rows.toDF("w", "h", "payload")
+      .select(col("w").cast("long"), col("h").cast("long"),
+        Multimodal.jpegWidth(col("payload")).as("jw"),
+        Multimodal.jpegHeight(col("payload")).as("jh"),
+        Multimodal.jpegProgressive(col("payload")).as("prog"))
+      .collect().foreach { r =>
+        assert(r.getLong(2) === r.getLong(0), "width")
+        assert(r.getLong(3) === r.getLong(1), "height")
+        assert(!r.getBoolean(4), "ImageIO writes baseline SOF0")
+      }
+  }
+
+  test("synthesized JPEG round-trips; SOF2 flags progressive; non-JPEG nulls") {
+    import spark.implicits._
+    val row = Seq((640, 480)).toDF("w", "h")
+      .select(
+        Multimodal.jpegPayload(col("w"), col("h"),
+          encode(lit("entropy-coded stand-in"), "UTF-8")).as("base"),
+        Multimodal.jpegPayload(col("w"), col("h"),
+          encode(lit("x"), "UTF-8"), progressive = lit(true)).as("prog"),
+        encode(lit("just text, no SOI"), "UTF-8").as("raw"))
+      .select(
+        Multimodal.jpegWidth(col("base")), Multimodal.jpegHeight(col("base")),
+        Multimodal.jpegProgressive(col("base")),
+        Multimodal.jpegProgressive(col("prog")),
+        Multimodal.jpegWidth(col("raw")))
+      .head()
+    assert(row.getLong(0) === 640L)
+    assert(row.getLong(1) === 480L)
+    assert(!row.getBoolean(2), "SOF0 is baseline")
+    assert(row.getBoolean(3), "SOF2 flags progressive")
+    assert(row.isNullAt(4), "non-JPEG bytes parse to null")
+  }
+
   test("synthesized payloads round-trip; a flipped header byte fails the CRC") {
     import spark.implicits._
     val row = Seq((640, 480, "hello media body")).toDF("w", "h", "body")
