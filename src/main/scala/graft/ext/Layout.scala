@@ -78,4 +78,21 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Write `df` as a managed parquet table hash-bucketed (and sorted
+    * within buckets) on `key`. Two tables bucketed on their join key
+    * with the SAME bucket count sort-merge join with ZERO exchange on
+    * either side — the shuffle happened once, at write time, and
+    * every subsequent join of the pair reads aligned buckets. At
+    * 100 TB this is the difference between re-shuffling the fact
+    * table per query and never shuffling it again: bucket the big
+    * fact tables on their primary join key at ingest, pick
+    * `nBuckets` so each bucket file lands near ~1 GiB, and size
+    * both sides of a co-located pair identically (bucket counts must
+    * match for the exchange to be elided). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .saveAsTable(table)
 }

@@ -371,6 +371,35 @@ object SketchQueries {
              |SELECT l_orderkey, l_linenumber, (xe | (ye << 1)) AS zval
              |FROM s5 ORDER BY zval, l_orderkey, l_linenumber LIMIT 2000""".stripMargin)),
 
+    // Co-located join over bucketed tables: orders and lineitem are
+    // written bucketed (and bucket-sorted) on the join key with the
+    // same bucket count, so the sort-merge join reads aligned buckets
+    // with ZERO exchange on either side — the write-once shuffle that
+    // makes every later fact-fact join at 100 TB shuffle-free.
+    // LayoutSpec pins the no-Exchange plan; this gate value-checks
+    // that the bucketed round-trip (write → catalog → aligned-bucket
+    // join) computes exactly what the plain join does.
+    QueryDef("q_join_bucketed",
+      (s, d) => {
+        Layout.writeBucketed(t(s, d, "orders")
+          .select("o_orderkey", "o_orderpriority"),
+          "bkt_orders", "o_orderkey", nBuckets = 8)
+        Layout.writeBucketed(t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice")),
+          "bkt_lineitem", "l_orderkey", nBuckets = 8)
+        s.table("bkt_orders").hint("merge")
+          .join(s.table("bkt_lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_items,
+             |  round(sum(l_extendedprice), 2) AS revenue
+             |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Misra–Gries heavy hitters, gated on its GUARANTEES rather than
     // its (stream-order-dependent) summary: per language, every
     // token-length key with true frequency > N/(k+1) must be present
