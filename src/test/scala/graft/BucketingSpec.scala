@@ -19,12 +19,8 @@ class BucketingSpec extends AnyFunSuite with SharedSpark {
     val orders = graft.sources.Tables(spark, sfDir).table("orders")
     val lineitem = graft.sources.Tables(spark, sfDir).table("lineitem")
 
-    orders.write.mode("overwrite")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("orders_bkt")
-    lineitem.write.mode("overwrite")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("lineitem_bkt")
+    graft.ext.Layout.writeBucketed(orders, "orders_bkt", "o_orderkey", nBuckets = 8)
+    graft.ext.Layout.writeBucketed(lineitem, "lineitem_bkt", "l_orderkey", nBuckets = 8)
 
     val joined = spark.table("orders_bkt")
       .join(spark.table("lineitem_bkt"),

@@ -62,29 +62,6 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("bucketed tables sort-merge join with zero exchange on either side") {
-    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
-      .select("o_orderkey", "o_orderpriority")
-    val lineitem = spark.read.parquet(s"$sf0001/lineitem.parquet")
-      .select("l_orderkey", "l_extendedprice")
-    Layout.writeBucketed(orders, "spec_bkt_orders", "o_orderkey", nBuckets = 4)
-    Layout.writeBucketed(lineitem, "spec_bkt_lineitem", "l_orderkey", nBuckets = 4)
-    val joined = spark.table("spec_bkt_orders").hint("merge")
-      .join(spark.table("spec_bkt_lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
-    joined.write.format("noop").mode("overwrite").save()
-    val plan = joined.queryExecution.executedPlan.toString
-    assert(plan.contains("SortMergeJoin"), plan)
-    // matching bucket counts mean BOTH inputs arrive pre-partitioned
-    // on the join key: any Exchange in the join plan would mean the
-    // write-time shuffle is being paid again per query
-    assert(!plan.contains("Exchange"),
-      s"bucketed join re-shuffles a side:\n$plan")
-    // and the value result matches the plain parquet join
-    val expected = orders.join(lineitem, col("o_orderkey") === col("l_orderkey")).count()
-    assert(joined.count() === expected)
-  }
-
   test("writeZOrdered on an empty frame still writes a readable parquet dir") {
     val empty = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select("l_partkey", "l_suppkey").filter(lit(false))
