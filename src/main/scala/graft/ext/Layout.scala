@@ -89,10 +89,19 @@ object Layout {
     * fact tables on their primary join key at ingest, pick
     * `nBuckets` so each bucket file lands near ~1 GiB, and size
     * both sides of a co-located pair identically (bucket counts must
-    * match for the exchange to be elided). */
+    * match for the exchange to be elided).
+    *
+    * `path` makes the table external at that location — pass a fresh
+    * directory when the catalog is session-scoped (a managed table's
+    * warehouse directory outlives an in-memory catalog, and Spark
+    * refuses to re-create a managed table over a leftover location).
+    * The table is dropped from the catalog first either way, so the
+    * same name is reusable within a session. */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    nBuckets: Int): Unit =
-    df.write.mode("overwrite").format("parquet")
+                    nBuckets: Int, path: Option[String] = None): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $table")
+    val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, key).sortBy(key)
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 }

@@ -111,6 +111,50 @@ object SketchQueries {
              |FROM est JOIN ex ON est.event_type = ex.event_type
              |ORDER BY est.event_type""".stripMargin)),
 
+    // Batch twin of the STREAMING distinct monitor, through the very
+    // function the stream runs (`TextStreams.distinctMonitor` —
+    // withWatermark is analyzer-eliminated on a static frame, so the
+    // gated plan is the streaming plan minus the state store), in its
+    // portable-sketch form: per-hour event counts + m=64 HLL distinct
+    // users. The oracle re-derives every hourly register set; paired
+    // with StreamingSpec's stream-equals-batch assertion this closes
+    // the loop driver-gate → batch twin → streaming monitor.
+    QueryDef("q_ev_distinct_monitor",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("ts"),
+          Sketches.uhash(Sketches.keyHash(col("user_id")), 100).as("h"))
+        graft.streaming.TextStreams.distinctMonitor(ev, "h",
+          windowLen = "1 hour", portable = true)
+          .orderBy("win_start")
+      },
+      Some("""WITH hx AS (
+             |  SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+             |    ((16807::BIGINT * ((16807::BIGINT * 201) % 2147483647)) % 2147483647
+             |       * (user_id % 1000000007)
+             |     + (16807::BIGINT * ((16807::BIGINT * 202) % 2147483647)) % 2147483647)
+             |    % 1000000007 AS h
+             |  FROM events),
+             |reg AS (
+             |  SELECT win_start, (h % 64) AS j,
+             |    max(CASE WHEN h // 64 = 0 THEN 25
+             |        ELSE 24 - floor(log2(h // 64))::INT END) AS rho
+             |  FROM hx GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT w.win_start, g.j
+             |  FROM (SELECT DISTINCT win_start FROM hx) w
+             |  CROSS JOIN range(0, 64) g(j)),
+             |est AS (
+             |  SELECT grid.win_start,
+             |    round(0.709 * 64 * 64
+             |          / sum(1.0 / (1::BIGINT << coalesce(rho, 0))), 4) AS approx_distinct
+             |  FROM grid LEFT JOIN reg
+             |    ON grid.win_start = reg.win_start AND grid.j = reg.j
+             |  GROUP BY 1),
+             |n AS (SELECT win_start, count(*) AS n_events FROM hx GROUP BY 1)
+             |SELECT est.win_start AS win_start, n_events, approx_distinct
+             |FROM est JOIN n ON est.win_start = n.win_start
+             |ORDER BY est.win_start""".stripMargin)),
+
     // Sketch lifecycle: per-language register ARRAYS materialize
     // (what a daily pipeline would persist — 64 ints per stratum),
     // then merge by elementwise max into one global sketch whose
@@ -381,12 +425,18 @@ object SketchQueries {
     // join) computes exactly what the plain join does.
     QueryDef("q_join_bucketed",
       (s, d) => {
+        // external tables in per-run scratch: the in-memory catalog
+        // dies with the session but a managed table's warehouse dir
+        // would not, and Spark refuses to recreate over the leftovers
+        val scratch = graft.Scratch.tempDir("graft_bkt_")
         Layout.writeBucketed(t(s, d, "orders")
           .select("o_orderkey", "o_orderpriority"),
-          "bkt_orders", "o_orderkey", nBuckets = 8)
+          "bkt_orders", "o_orderkey", nBuckets = 8,
+          path = Some(s"$scratch/orders"))
         Layout.writeBucketed(t(s, d, "lineitem")
           .select(col("l_orderkey"), col("l_extendedprice")),
-          "bkt_lineitem", "l_orderkey", nBuckets = 8)
+          "bkt_lineitem", "l_orderkey", nBuckets = 8,
+          path = Some(s"$scratch/lineitem"))
         s.table("bkt_orders").hint("merge")
           .join(s.table("bkt_lineitem"),
             col("o_orderkey") === col("l_orderkey"))

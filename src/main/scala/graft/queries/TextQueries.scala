@@ -47,6 +47,32 @@ object TextQueries {
               |  round($qualitySqlExpr, 4) AS quality
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Batch twin of the STREAMING quality monitor, through the very
+    // function the stream runs (withWatermark is analyzer-eliminated
+    // on a static frame): documents get a deterministic synthetic
+    // ingest timestamp (epoch + doc_id%180 minutes → three 1-hour
+    // windows), and each window reports its document count and mean
+    // quality score. Paired with StreamingSpec's stream-equals-batch
+    // assertion this gates the monitor's aggregation end-to-end.
+    QueryDef("q_tx_quality_monitor",
+      (s, d) => {
+        val stamped = t(s, d, "documents").select(
+          timestamp_seconds(lit(1704067200L) + pmod(col("doc_id"), lit(180)) * 60)
+            .as("ts"),
+          col("doc_id"), col("text"))
+        graft.streaming.TextStreams.qualityMonitor(stamped, windowLen = "1 hour")
+          .orderBy("win_start")
+      },
+      Some(s"""WITH stamped AS (
+              |  SELECT TIMESTAMP '2024-01-01 00:00:00'
+              |           + ((doc_id % 180) * 60) * INTERVAL 1 SECOND AS ts,
+              |    text
+              |  FROM documents)
+              |SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+              |  count(*) AS n_docs,
+              |  round(avg($qualitySqlExpr), 4) AS mean_quality
+              |FROM stamped GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Language ID: stopword-marker heuristic, deterministic tie-break
     QueryDef("q_tx_langid",
       (s, d) => t(s, d, "documents").select(

@@ -39,10 +39,21 @@ object TextStreams {
   def distinctMonitor(events: DataFrame, keyCol: String,
                       windowLen: String = "1 hour",
                       watermarkDelay: String = "30 minutes",
-                      p: Int = 12): DataFrame =
+                      p: Int = 12, portable: Boolean = false): DataFrame = {
+    // portable = keyCol is an ALREADY-HASHED column in the universal
+    // family's domain and the m=64 portable sketch runs instead of
+    // the xxhash64 production one — the variant whose registers a SQL
+    // oracle re-derives bit-for-bit (the batch-twin gate
+    // q_ev_distinct_monitor runs this exact function on a static
+    // frame: withWatermark is analyzer-eliminated outside streaming,
+    // so the gated plan IS the streaming plan minus the state store)
+    val est =
+      if (portable) graft.ext.Sketches.hllDistinctPortable(col(keyCol))
+      else graft.ext.Sketches.hllDistinct(col(keyCol), p)
     events.withWatermark("ts", watermarkDelay)
       .groupBy(window(col("ts"), windowLen))
       .agg(count(lit(1)).as("n_events"),
-        round(graft.ext.Sketches.hllDistinct(col(keyCol), p), 4).as("approx_distinct"))
+        round(est, 4).as("approx_distinct"))
       .select(col("window.start").as("win_start"), col("n_events"), col("approx_distinct"))
+  }
 }
