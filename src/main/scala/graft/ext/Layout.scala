@@ -104,4 +104,34 @@ object Layout {
       .bucketBy(nBuckets, key).sortBy(key)
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
+
+  /** Small-file compaction: rewrite a parquet directory into files
+    * near `targetBytes` each. Streaming sinks, per-partition
+    * incremental appends, and over-parallel writers all leave
+    * directories of kilobyte files, and at 100 TB the resulting
+    * footer/open overheads and starved scan parallelism dominate
+    * query time — periodic compaction back to ~1 GiB files is
+    * routine lakehouse maintenance. File count is derived from the
+    * ACTUAL on-disk byte size (Hadoop listing — bounded driver work:
+    * one number per input file), the rewrite is one
+    * `repartition(n)` round-robin exchange with no skew by
+    * construction, and the output lands in `outPath` — compaction
+    * must never read and overwrite the same live directory.
+    * Returns (inputFiles, outputFiles). */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+              outPath: String, targetBytes: Long = 1L << 30): (Int, Int) = {
+    require(inPath != outPath, "compact must not rewrite its input in place")
+    val hPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(hPath)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    val outParts = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
+      .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    (parts.length, outParts)
+  }
 }

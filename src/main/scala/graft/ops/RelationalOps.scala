@@ -122,4 +122,16 @@ object RelationalOps {
     * bound before using at scale (SURVEY §7.4 Q8). */
   def sortedList(c: Column, sep: String = ","): Column =
     array_join(sort_array(collect_list(c)), sep)
+
+  /** Keyed upsert (MERGE: matched → replace, unmatched → insert) of a
+    * delta batch into a store snapshot: delta rows win on key
+    * collision, new keys append, untouched store rows pass through.
+    * One left-anti equi-join on the key — the store side shuffles on
+    * the same key every batch, so a store laid out bucketed on `keys`
+    * ([[graft.ext.Layout.writeBucketed]]) upserts with zero store-side
+    * exchange. The delta must be key-unique (enforce upstream with
+    * [[dedupByGrouping]]); schemas must match by name. */
+  def upsert(store: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
+    store.join(delta.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(delta)
 }

@@ -763,5 +763,30 @@ object RelationalQueries {
              |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
              |SELECT key, cnt, round(CAST(cnt AS DOUBLE) / total, 6) AS share
              |FROM c CROSS JOIN t ORDER BY cnt DESC, key LIMIT 5""".stripMargin)),
+
+    // Keyed upsert (MERGE semantics: matched → replace, unmatched →
+    // insert): an old snapshot (doc_id < 400) takes a delta batch
+    // (doc_id ∈ [200, 600), text uppercased to mark the new version);
+    // delta rows must win every key collision, new keys append,
+    // untouched rows pass through byte-identical. The oracle encodes
+    // the expected MERGE result directly (store-only slice ∪ delta
+    // slice) — a row won by the wrong side flips its md5.
+    QueryDef("q_upsert",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val store = docs.filter(col("doc_id") < 400)
+          .select(col("doc_id"), col("text"), col("lang"))
+        val delta = docs.filter(col("doc_id") >= 200 && col("doc_id") < 600)
+          .select(col("doc_id"), upper(col("text")).as("text"), col("lang"))
+        RelationalOps.upsert(store, delta, Seq("doc_id"))
+          .select(col("doc_id"), md5(col("text")).as("text_md5"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS text_md5, lang FROM (
+             |  SELECT doc_id, text, lang FROM documents WHERE doc_id < 200
+             |  UNION ALL
+             |  SELECT doc_id, upper(text), lang FROM documents
+             |  WHERE doc_id >= 200 AND doc_id < 600)
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

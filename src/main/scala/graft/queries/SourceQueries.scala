@@ -111,5 +111,34 @@ object SourceQueries {
              |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
              |  min(doc_id) AS min_id, max(doc_id) AS max_id
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Small-file compaction: documents deliberately shattered into 64
+    // kilobyte files (the debris an incremental writer leaves), then
+    // [[graft.ext.Layout.compact]] rewrites toward a byte target
+    // derived from the ACTUAL on-disk size. The gate reads the
+    // compacted directory back and value-checks content preservation
+    // against the ORIGINAL table — any row lost, duplicated, or
+    // mangled in the rewrite fails the hash. LayoutSpec asserts the
+    // file-count arithmetic itself.
+    QueryDef("q_src_compact", (s, d) => {
+      val scratch = graft.Scratch.tempDir("graft_compact_")
+      Tables(s, d).table("documents").repartition(64)
+        .write.mode("overwrite").parquet(s"$scratch/small")
+      graft.ext.Layout.compact(s, s"$scratch/small", s"$scratch/big",
+        targetBytes = 1L << 20)
+      s.read.parquet(s"$scratch/big")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_id")).as("n_distinct"),
+          sum(col("n_chars")).as("sum_chars"),
+          md5(array_join(transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string")), ",")).as("ids_md5"))
+        .orderBy("lang")
+    },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  count(DISTINCT doc_id) AS n_distinct,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |  md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS ids_md5
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
   )
 }

@@ -62,6 +62,32 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("compact rewrites small files toward the byte target and preserves rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_spec_").toString
+    try {
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      docs.repartition(16).write.mode("overwrite").parquet(s"$dir/small")
+      val fs = new java.io.File(s"$dir/small")
+      val smallBytes = fs.listFiles.filter(f => f.isFile && !f.getName.startsWith("_"))
+        .map(_.length).sum
+      // target = half the total → expect exactly 2 output files
+      val (nIn, nOut) = Layout.compact(spark, s"$dir/small", s"$dir/big",
+        targetBytes = smallBytes / 2 + 1)
+      assert(nIn === 16)
+      assert(nOut === 2, s"expected ceil(total/target)=2 files, got $nOut")
+      val back = spark.read.parquet(s"$dir/big")
+      assert(back.count() === docs.count())
+      // content identical: same doc_id multiset
+      assert(back.agg(sum("doc_id")).head.getLong(0) ===
+        docs.agg(sum("doc_id")).head.getLong(0))
+      intercept[IllegalArgumentException] {
+        Layout.compact(spark, s"$dir/big", s"$dir/big")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("writeZOrdered on an empty frame still writes a readable parquet dir") {
     val empty = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select("l_partkey", "l_suppkey").filter(lit(false))

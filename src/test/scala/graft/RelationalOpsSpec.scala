@@ -121,4 +121,18 @@ class RelationalOpsSpec extends AnyFunSuite with SharedSpark {
       .select(round(col("v"), 4).as("r")).collect().map(_.getDouble(0)).toSeq
     assert(vals === Seq(0.0313, 2.565, -0.0313, 572.0925))
   }
+
+  test("upsert: delta wins collisions, new keys append, others pass through") {
+    import spark.implicits._
+    val store = Seq((1L, "one-v1"), (2L, "two-v1"), (3L, "three-v1"))
+      .toDF("k", "v")
+    val delta = Seq((2L, "two-v2"), (4L, "four-v1")).toDF("k", "v")
+    val got = RelationalOps.upsert(store, delta, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "one-v1", 2L -> "two-v2",
+      3L -> "three-v1", 4L -> "four-v1"))
+    // empty delta is the identity; empty store is the delta
+    assert(RelationalOps.upsert(store, delta.filter(lit(false)), Seq("k")).count() === 3)
+    assert(RelationalOps.upsert(store.filter(lit(false)), delta, Seq("k")).count() === 2)
+  }
 }
