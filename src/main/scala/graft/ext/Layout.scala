@@ -123,15 +123,21 @@ object Layout {
     require(inPath != outPath, "compact must not rewrite its input in place")
     val hPath = new org.apache.hadoop.fs.Path(inPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(hPath)
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    // flat directories only: a hive-partitioned dataset should be
+    // compacted per partition directory (its data sits in subdirs
+    // this listing deliberately skips); `_`/`.` entries are commit
+    // markers and checksum side-files, not data
+    def dataFiles(p: org.apache.hadoop.fs.Path) =
+      fs.listStatus(p).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    val parts = dataFiles(hPath)
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath)
       .repartition(nOut)
       .write.mode("overwrite").parquet(outPath)
-    val outParts = fs.listStatus(new org.apache.hadoop.fs.Path(outPath))
-      .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
-    (parts.length, outParts)
+    (parts.length, dataFiles(new org.apache.hadoop.fs.Path(outPath)).length)
   }
 }
