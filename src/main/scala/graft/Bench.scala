@@ -166,11 +166,20 @@ object Bench {
     }
 
     val canaryQ = QueryDef.all.find(_.name == "q_sim_topk")
+    // a canary failure must not abort the run and discard every
+    // measured result (the per-rep try/catch already embodies that
+    // contract); a throwing canary reads as a degraded box
     def canaryDegraded(): Boolean = canaryQ.exists { q =>
-      val t0 = System.nanoTime(); run(q)
-      val t = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] canary q_sim_topk $t%.3f s (gate $calibGate%.3f s)")
-      t > calibGate
+      try {
+        val t0 = System.nanoTime(); run(q)
+        val t = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] canary q_sim_topk $t%.3f s (gate $calibGate%.3f s)")
+        t > calibGate
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] canary threw ($e): treating as contended")
+          true
+      }
     }
 
     val steal0 = stealTicks()
@@ -188,10 +197,14 @@ object Bench {
           Thread.sleep(30000)
           remeasured = true
           val second = measure(q)
-          // the lower-steal window is the truer one; tie → lower median
+          // the lower-steal window is the truer one — but only when
+          // the steal gap is MATERIAL (a handful of background ticks
+          // must not let a 3x-inflated first capture beat a clean
+          // re-measurement); otherwise lower median wins
           if (!first.ok) second
           else if (!second.ok) first
-          else if (first.steal >= 0 && second.steal >= 0 && first.steal != second.steal) {
+          else if (first.steal >= 0 && second.steal >= 0 &&
+                   math.abs(first.steal - second.steal) >= StealSuspect) {
             if (second.steal < first.steal) second else first
           } else if (second.median < first.median) second
           else first

@@ -61,21 +61,29 @@ object Curation {
     exactKept.join(nearDupLosers, col("doc_id") === col("loser"), "left_anti")
   }
 
+  /** EAGER parquet checkpoint: write `df` to `dir/name` (overwrite)
+    * and return the read-back frame. Cuts plan diamonds — every
+    * consumer scans the materialized parquet instead of re-running
+    * the producing subtree. The write job runs when this is CALLED,
+    * not when the returned frame is evaluated; callers pass a fresh
+    * per-run dir and never share one path across concurrent
+    * invocations (the [[curatedDocs]] contract). */
+  private def checkpoint(df: DataFrame, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name"
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   /** Qualifying near-dup pairs for stages 4+, shingling the corpus
     * EXACTLY once when a checkpoint dir is available: the pair join's
     * plan references the shingle frame four times (document
     * frequencies, prefix build, both verify sides —
     * [[Dedup.jaccardPairsFromShingles]] documents this), so without
-    * materialization the explode+distinct re-runs per reference.
-    * Same eager-write contract as the scored checkpoint. */
+    * materialization the explode+distinct re-runs per reference. */
   private def nearDupPairs(exactKept: DataFrame, jaccardThreshold: Double,
                            checkpointDir: Option[String]): DataFrame = {
     val sh0 = Dedup.shingleTable(exactKept, "doc_id", "text", n = 5)
-    val sh = checkpointDir.fold(sh0) { dir =>
-      val path = s"$dir/curation_shingles"
-      sh0.write.mode("overwrite").parquet(path)
-      exactKept.sparkSession.read.parquet(path)
-    }
+    val sh = checkpointDir.fold(sh0)(checkpoint(sh0, _, "curation_shingles"))
     Dedup.jaccardPairsFromShingles(sh, jaccardThreshold)
   }
 
@@ -87,11 +95,7 @@ object Curation {
       .filter(col("quality") >= minQuality && col("pred_lang") =!= "other")
     val exactKept0 = RelationalOps.argminBy(
       filtered, Seq(col("text")), Seq(col("doc_id")))
-    checkpointDir.fold(exactKept0) { dir =>
-      val path = s"$dir/curation_scored"
-      exactKept0.write.mode("overwrite").parquet(path)
-      docs.sparkSession.read.parquet(path)
-    }
+    checkpointDir.fold(exactKept0)(checkpoint(exactKept0, _, "curation_scored"))
   }
 
   /** The transitive-collapse near-dup policy: ONE representative per

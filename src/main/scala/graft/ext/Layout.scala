@@ -120,9 +120,15 @@ object Layout {
     * Returns (inputFiles, outputFiles). */
   def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
               outPath: String, targetBytes: Long = 1L << 30): (Int, Int) = {
-    require(inPath != outPath, "compact must not rewrite its input in place")
     val hPath = new org.apache.hadoop.fs.Path(inPath)
+    val hOut = new org.apache.hadoop.fs.Path(outPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualified-Path equality, not string equality: "/data/x" and
+    // "/data/x/" (or a relative spelling) alias the same live
+    // directory, and overwrite-mode deleting the input mid-read is
+    // the failure this guard exists for
+    require(fs.makeQualified(hPath) != fs.makeQualified(hOut),
+      "compact must not rewrite its input in place")
     // flat directories only: a hive-partitioned dataset should be
     // compacted per partition directory (its data sits in subdirs
     // this listing deliberately skips); `_`/`.` entries are commit
@@ -132,7 +138,15 @@ object Layout {
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
+    val all = fs.listStatus(hPath)
+    // enforce the flat-directory contract rather than silently funnel
+    // a partition-discovered multi-TB dataset through repartition(1):
+    // subdirs mean hive partitions (compact each one), zero data
+    // files mean there is nothing to size the output by
+    require(!all.exists(st => st.isDirectory && !st.getPath.getName.startsWith("_")),
+      s"compact expects a flat parquet directory; $inPath has partition subdirectories — compact each partition directory instead")
     val parts = dataFiles(hPath)
+    require(parts.nonEmpty, s"compact: no data files in $inPath")
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     spark.read.parquet(inPath)

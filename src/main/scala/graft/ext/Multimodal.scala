@@ -84,16 +84,30 @@ object Multimodal {
   // specifications; MediaHeaderSpec proves the parsers against
   // payloads written by the JDK's own ImageIO / AudioSystem encoders.
 
+  /** Hex of a non-negative int column, left-padded to exactly
+    * `bytes` bytes. An out-of-range value fails the job with a clear
+    * message instead of silently truncating (lpad KEEPS the first
+    * 2·bytes chars of a longer string, which would corrupt the
+    * encoded field — e.g. width 70000 in a 2-byte field would write
+    * 4375 with no error and send a test chasing a phantom parser
+    * bug). */
+  private def hexN(x: Column, bytes: Int): Column = {
+    val v = x.cast("long")
+    val checked = when(v >= 0L && v < lit(1L << (8 * bytes)), v)
+      .otherwise(raise_error(concat(
+        lit(s"media header field out of range for $bytes byte(s): "), v.cast("string"))))
+    lpad(hex(checked), bytes * 2, "0")
+  }
+
   /** `bytes`-byte big-endian encoding of a non-negative int column. */
-  private def be(x: Column, bytes: Int): Column =
-    unhex(lpad(hex(x.cast("long")), bytes * 2, "0"))
+  private def be(x: Column, bytes: Int): Column = unhex(hexN(x, bytes))
 
   /** 4-byte big-endian encoding of a non-negative int column. */
   private def be4(x: Column): Column = be(x, 4)
 
   /** `bytes`-byte little-endian encoding of a non-negative int column. */
   private def le(x: Column, bytes: Int): Column = {
-    val h = lpad(hex(x.cast("long")), bytes * 2, "0")
+    val h = hexN(x, bytes)
     unhex(concat((0 until bytes).map(b => substring(h, (bytes - 1 - b) * 2 + 1, 2)): _*))
   }
 
@@ -200,24 +214,26 @@ object Multimodal {
       }).getField("sof")
 
   /** JPEG structural validity: SOI signature and an SOF0–SOF3 frame
-    * header found by the segment walk. */
-  def jpegValid(p: Column): Column =
-    hex(p.substr(lit(1), lit(2))) === lit("FFD8") && jpegSofPos(p) > 0
+    * header found by the segment walk. `maxSegs` bounds the walk —
+    * raise it for files with long metadata prefixes (an ICC profile
+    * over 64 KB is chunked across many APP2 segments). */
+  def jpegValid(p: Column, maxSegs: Int = 16): Column =
+    hex(p.substr(lit(1), lit(2))) === lit("FFD8") && jpegSofPos(p, maxSegs) > 0
 
   /** Parsed frame dimensions (big-endian at SOF+7 / SOF+5 — after
     * marker(2), length(2), precision(1), height(2)); null for
     * anything that is not a walkable JPEG. Each accessor re-runs the
     * bounded walk — batch the three into one select when all are
     * needed; the per-row cost stays `maxSegs` substring reads. */
-  def jpegWidth(p: Column): Column =
-    when(jpegValid(p), beIntAt(p, jpegSofPos(p) + 7, 2))
-  def jpegHeight(p: Column): Column =
-    when(jpegValid(p), beIntAt(p, jpegSofPos(p) + 5, 2))
+  def jpegWidth(p: Column, maxSegs: Int = 16): Column =
+    when(jpegValid(p, maxSegs), beIntAt(p, jpegSofPos(p, maxSegs) + 7, 2))
+  def jpegHeight(p: Column, maxSegs: Int = 16): Column =
+    when(jpegValid(p, maxSegs), beIntAt(p, jpegSofPos(p, maxSegs) + 5, 2))
 
   /** True for a progressive (SOF2) frame, false for baseline et al.;
     * null when not a walkable JPEG. */
-  def jpegProgressive(p: Column): Column =
-    when(jpegValid(p), beIntAt(p, jpegSofPos(p) + 1, 1) === 0xC2L)
+  def jpegProgressive(p: Column, maxSegs: Int = 16): Column =
+    when(jpegValid(p, maxSegs), beIntAt(p, jpegSofPos(p, maxSegs) + 1, 1) === 0xC2L)
 
   /** A conformant JPEG header prefix — SOI, APP0/JFIF, a flat DQT,
     * and an SOF0 (or SOF2 when `progressive`) frame header for a

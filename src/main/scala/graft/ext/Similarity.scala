@@ -627,8 +627,15 @@ object Similarity {
       else (sum(q), sum(q * q))
     val variance =
       if (wide)
-        col("n").cast("double") * col("sum_q2").cast("double") -
-          col("sum_q").cast("double") * col("sum_q").cast("double")
+        // the ~1e26-magnitude products round independently in double
+        // space, so a near-constant dimension can land the difference
+        // slightly NEGATIVE by cancellation (sqrt → NaN); the true
+        // value is provably ≥ 0, so clamp. The narrow path is exact
+        // integer arithmetic and needs no clamp.
+        greatest(
+          col("n").cast("double") * col("sum_q2").cast("double") -
+            col("sum_q").cast("double") * col("sum_q").cast("double"),
+          lit(0.0))
       else (col("n") * col("sum_q2") - col("sum_q") * col("sum_q")).cast("double")
     embeddings
       .select(posexplode(col(vecCol)).as(Seq("pos", "v")))

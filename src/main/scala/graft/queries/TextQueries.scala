@@ -351,12 +351,14 @@ object TextQueries {
 
     // Collocation detection: top bigrams by integer-scaled PMI
     // (c_xy·N·10^6 div c_x·c_y — exact integer arithmetic, so the
-    // score and ORDER are engine-portable with no log/float). The
-    // numerator is widened to DECIMAL(38,0) (HUGEINT in the oracle)
-    // before the multiply: c_xy·N·10^6 wraps a BIGINT once
-    // c_xy·N > ~9.2·10^12, i.e. on any real corpus. The integral
-    // quotient itself is ≤ 10^6·N / max(c_x,c_y), back in BIGINT
-    // range until N ~ 10^13 tokens. Bigrams come shuffle-free from
+    // score and ORDER are engine-portable with no log/float). BOTH
+    // sides of the divide are widened to DECIMAL(38,0) (HUGEINT in
+    // the oracle) before their multiplies: c_xy·N·10^6 wraps a
+    // BIGINT once c_xy·N > ~9.2·10^12, and the denominator c_x·c_y
+    // wraps once two stopwords each exceed ~3·10^9 occurrences —
+    // both reachable on a real corpus. The integral quotient itself
+    // is ≤ 10^6·N / max(c_x,c_y), back in BIGINT range until
+    // N ~ 10^13 tokens. Bigrams come shuffle-free from
     // zipping the token array against itself shifted by one
     // ([[TextAnalysis.bigrams]]) — no self-join, no per-doc window
     // sort.
@@ -376,7 +378,7 @@ object TextQueries {
           .select(col("w1"), col("w2"), col("c_xy"),
             call_function("div",
               col("c_xy").cast("decimal(38,0)") * col("n") * 1000000L,
-              col("c_x") * col("c_y")).as("pmi_score"))
+              col("c_x").cast("decimal(38,0)") * col("c_y")).as("pmi_score"))
           .orderBy(desc("pmi_score"), col("w1"), col("w2"))
           .limit(20)
       },
@@ -394,7 +396,7 @@ object TextQueries {
              |  SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS c_xy
              |  FROM bi0 GROUP BY 1, 2 HAVING count(*) >= 5)
              |SELECT w1, w2, c_xy,
-             |  ((c_xy::HUGEINT * n * 1000000) // (cx.c * cy.c))::BIGINT AS pmi_score
+             |  ((c_xy::HUGEINT * n * 1000000) // (cx.c::HUGEINT * cy.c))::BIGINT AS pmi_score
              |FROM bi
              |JOIN uni cx ON bi.w1 = cx.w
              |JOIN uni cy ON bi.w2 = cy.w
