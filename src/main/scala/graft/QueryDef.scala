@@ -25,6 +25,7 @@ object QueryDef {
       graft.queries.DedupQueries.defs ++
       graft.queries.SimilarityQueries.defs ++
       graft.queries.EventQueries.defs ++
+      graft.queries.GraphQueries.defs ++
       graft.queries.SketchQueries.defs ++
       graft.cashequity.CashEquityQueries.defs
 }

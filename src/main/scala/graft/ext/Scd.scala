@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension (type 2) history build: turn an
+  * append-only change log `(key, ts, tracked attrs...)` into
+  * versioned validity intervals — the lakehouse dimension-table twin
+  * of [[graft.ops.RelationalOps.upsert]] (which keeps only the latest
+  * version) and the batch twin of a streaming CDC apply.
+  *
+  * Two steps, ONE shuffle: both windows partition by the key with
+  * the same ordering, so Catalyst plans a single exchange + sort and
+  * chains the window operators over it.
+  *  1. collapse no-op updates — a log row whose tracked attributes
+  *     equal the previous row's is noise, not a new version (struct
+  *     equality, null-safe via `<=>`);
+  *  2. close each surviving version at the NEXT version's timestamp
+  *     (`lead`): `valid_from = ts`, `valid_to = lead(ts)` (null =
+  *     still current), `version` = per-key ordinal.
+  *
+  * Scale: per-key state is a sort within the key's partition — no
+  * driver involvement, no global sort. Keys are independent, so the
+  * build scales with the shuffle; a mega-key (one entity with
+  * millions of log rows) is window skew, the same shape as
+  * sessionization, and splits the same way (sub-key bucketing by
+  * time range) if it ever dominates.
+  *
+  * `tieBreak` orders same-timestamp log rows deterministically
+  * (e.g. a log sequence number); ties land in ONE version chain
+  * either way, but which row wins must not depend on partition
+  * layout.
+  */
+object Scd {
+
+  def scd2(changes: DataFrame, keyCols: Seq[String], tsCol: String,
+           trackedCols: Seq[String], tieBreak: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && trackedCols.nonEmpty, "need key and tracked columns")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: tieBreak).map(col): _*)
+    val tracked = struct(trackedCols.map(col): _*)
+    val versions = changes
+      .withColumn("__prev", lag(tracked, 1).over(w))
+      // first row per key has a null __prev: genuinely new, keep
+      .filter(!(tracked <=> col("__prev")))
+      .drop("__prev")
+    versions
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .withColumn("version", row_number().over(w))
+  }
+
+  /** Point-in-time view of an SCD2 frame built by [[scd2]]: the one
+    * version per key whose `[valid_from, valid_to)` interval covers
+    * `at`. A per-row filter — no shuffle; at 100 TB pair it with the
+    * history table partitioned/z-ordered on `valid_from` so the scan
+    * prunes closed history files. */
+  def snapshotAt(scd: DataFrame, at: Column): DataFrame =
+    scd.filter(col("valid_from") <= at &&
+      (col("valid_to").isNull || col("valid_to") > at))
+}

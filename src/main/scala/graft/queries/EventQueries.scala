@@ -253,5 +253,65 @@ object EventQueries {
              |  count(DISTINCT a.user_id) AS n_users
              |FROM active a JOIN cohort c USING (user_id)
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // SCD type-2 history build ([[graft.ext.Scd]]): the event log as
+    // a change log (key = user, tracked attr = event_type), no-op
+    // updates collapsed, each version closed at its successor's
+    // timestamp. Integer-µs times on both sides; ONE shuffle (both
+    // windows share the key partitioning).
+    QueryDef("q_scd2",
+      (s, d) => {
+        val log = t(s, d, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+        graft.ext.Scd.scd2(log, Seq("user_id"), "us",
+            trackedCols = Seq("event_type"), tieBreak = Seq("event_id"))
+          .select(col("user_id"), col("event_type").as("status"),
+            col("valid_from"), col("valid_to"), col("is_current"), col("version"))
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+             |  FROM events),
+             |v AS (SELECT user_id, us, event_id, event_type FROM c
+             |      WHERE prev IS NULL OR prev <> event_type)
+             |SELECT user_id, event_type AS status,
+             |  us AS valid_from,
+             |  lead(us) OVER w AS valid_to,
+             |  (lead(us) OVER w IS NULL) AS is_current,
+             |  CAST(row_number() OVER w AS INT) AS version
+             |FROM v WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+             |ORDER BY user_id, version""".stripMargin)),
+
+    // Point-in-time snapshot of the SCD2 history (mid-log instant):
+    // the one open version per user at 2024-01-15T00:00:00Z,
+    // aggregated to a status census. The filter is per-row — at
+    // 100 TB the history table partitioned on valid_from prunes
+    // closed-history files before the scan.
+    QueryDef("q_scd2_snapshot",
+      (s, d) => {
+        val log = t(s, d, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+        val hist = graft.ext.Scd.scd2(log, Seq("user_id"), "us",
+          trackedCols = Seq("event_type"), tieBreak = Seq("event_id"))
+        graft.ext.Scd.snapshotAt(hist, lit(1705276800000000L))
+          .groupBy(col("event_type").as("status"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("status")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+             |  FROM events),
+             |v AS (SELECT user_id, us, event_id, event_type FROM c
+             |      WHERE prev IS NULL OR prev <> event_type),
+             |h AS (SELECT user_id, event_type, us AS valid_from,
+             |        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to
+             |      FROM v)
+             |SELECT event_type AS status, count(*) AS n_users
+             |FROM h
+             |WHERE valid_from <= 1705276800000000
+             |  AND (valid_to IS NULL OR valid_to > 1705276800000000)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -1,0 +1,96 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ext.GraphRank
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Link-graph gate queries ([[graft.ext.GraphRank]]) over a
+  * deterministic trade graph derived from the TPC-H tables: nation
+  * A → nation B when customers of A placed ≥ `EdgeMin` lineitems
+  * with suppliers of B (the threshold sparsifies what would
+  * otherwise be the complete graph at gate scale — 177 directed
+  * edges over 25 nodes instead of all 600). Stand-in for the real
+  * workload's host/domain link graph.
+  */
+object GraphQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir).table(n)
+
+  private val EdgeMin = 120
+
+  /** Directed (src, dst) nation trade edges, volume-thresholded. */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+               col("s_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= EdgeMin)
+      .select("src", "dst")
+
+  private val edgeSql =
+    s"""WITH e AS (
+       |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+       |         CAST(s.s_nationkey AS BIGINT) AS dst
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey <> s.s_nationkey
+       |  GROUP BY 1, 2 HAVING count(*) >= $EdgeMin)""".stripMargin
+
+  /** One unrolled fixed-point PageRank iteration (the DuckDB twin of
+    * the loop body in [[GraphRank.pageRank]]); sums cast back to
+    * BIGINT (DuckDB sum(BIGINT) widens to HUGEINT). */
+  private def iterSql(prev: String, cur: String): String =
+    s"""$cur AS (SELECT nd.node,
+       |    (1000000000000 * 15 // 100 // p.n) + 85 * COALESCE(s.s, 0) // 100 AS rank_fp
+       |  FROM nodes nd CROSS JOIN p
+       |  LEFT JOIN (
+       |    SELECT e.dst AS node, CAST(sum(r.rank_fp // d.outdeg) AS BIGINT) AS s
+       |    FROM e JOIN d ON e.src = d.src JOIN $prev r ON e.src = r.node
+       |    GROUP BY 1) s ON nd.node = s.node)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Fixed-point PageRank (damping 85/100, 5 synchronous
+    // iterations) over the trade graph — integer floor division
+    // throughout, so scores and ORDER re-derive exactly in the
+    // oracle's unrolled-CTE power iteration.
+    QueryDef("q_graph_pagerank",
+      (s, d) => GraphRank.pageRank(tradeEdges(s, d), col("src"), col("dst"), iters = 5)
+        .withColumnRenamed("rank", "rank_fp")
+        .join(t(s, d, "nation"), col("node") === col("n_nationkey").cast("long"))
+        .select(col("n_name").as("nation"), col("rank_fp"))
+        .orderBy(desc("rank_fp"), col("nation")),
+      Some((Seq(edgeSql,
+        """nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          |d AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+          |r0 AS (SELECT node, 1000000000000 // n AS rank_fp FROM nodes, p)""".stripMargin) ++
+        (1 to 5).map(i => iterSql(s"r${i - 1}", s"r$i")))
+        .mkString(",\n") +
+        """
+          |SELECT nn.n_name AS nation, r.rank_fp AS rank_fp
+          |FROM r5 r JOIN nation nn ON r.node = CAST(nn.n_nationkey AS BIGINT)
+          |ORDER BY rank_fp DESC, nation""".stripMargin), bench = true),
+
+    // Exact triangle count of the undirected trade graph —
+    // degree-oriented wedge join in Spark, id-oriented in the
+    // oracle; any total-order orientation counts each triangle once.
+    QueryDef("q_graph_triangles",
+      (s, d) => GraphRank.triangleCount(tradeEdges(s, d), col("src"), col("dst")),
+      Some(edgeSql +
+        """,
+          |eu AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e)
+          |SELECT count(*) AS n_triangles
+          |FROM eu e1 JOIN eu e2 ON e1.v = e2.u
+          |JOIN eu e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin)),
+  )
+}

@@ -788,5 +788,39 @@ object RelationalQueries {
              |  SELECT doc_id, upper(text), lang FROM documents
              |  WHERE doc_id >= 200 AND doc_id < 600)
              |ORDER BY doc_id""".stripMargin)),
+
+    // Point-in-interval range join ([[graft.ops.IntervalJoin]]):
+    // shipments landing inside each order's 7-day dispatch window,
+    // via the interval-binning equi-join (bucket = 7 days, so each
+    // interval registers in ≤ 2 buckets) — the naive predicate form
+    // is a BroadcastNestedLoopJoin evaluating |L|·|O| pairs
+    // (PlanSnapshotSpec pins the equi-join shape). ~2.5 M matched
+    // pairs at sf0.01 aggregate to 5 rows; quantities are whole
+    // numbers stored as double, so the sums are exact.
+    QueryDef("q_join_range",
+      (s, d) => {
+        // orderdate/shipdate read as TIMESTAMP_NTZ; the UTC session
+        // cast to LTZ makes unix_micros the same instant the oracle's
+        // epoch_us computes on the naive value
+        val o = t(s, d, "orders").select(col("o_orderpriority"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("lo"),
+          (unix_micros(col("o_orderdate").cast("timestamp")) + 604800000000L).as("hi"))
+        val l = t(s, d, "lineitem")
+          .select(col("l_quantity"),
+            unix_micros(col("l_shipdate").cast("timestamp")).as("pt"))
+        graft.ops.IntervalJoin
+          .joinPointsToIntervals(l, col("pt"), o, col("lo"), col("hi"),
+            bucketWidth = 604800000000L)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity")).cast("bigint").as("qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(l_quantity) AS BIGINT) AS qty
+             |FROM lineitem l JOIN orders o
+             |  ON epoch_us(l.l_shipdate) >= epoch_us(o.o_orderdate)
+             | AND epoch_us(l.l_shipdate) < epoch_us(o.o_orderdate) + 604800000000
+             |GROUP BY 1 ORDER BY 1""".stripMargin), bench = true),
   )
 }

@@ -1,0 +1,80 @@
+package graft
+
+import graft.ext.GraphRank
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphRankSpec extends AnyFunSuite with SharedSpark {
+
+  private def edges(pairs: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    pairs.toDF("src", "dst")
+  }
+
+  private def ranks(e: DataFrame, iters: Int): Map[Long, Long] =
+    GraphRank.pageRank(e, col("src"), col("dst"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private val Scale = 1000000000000L
+
+  test("pageRank: symmetric cycle stays uniform at every iteration count") {
+    val cycle = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    for (it <- Seq(0, 1, 5)) {
+      val r = ranks(cycle, it)
+      assert(r.values.toSet.size === 1, s"iters=$it: $r")
+      assert(r(1L) <= Scale / 3 && r(1L) > Scale / 3 - 100)
+    }
+  }
+
+  test("pageRank: star center out-ranks leaves; duplicate edges collapse") {
+    // 3 leaves all pointing at node 0, plus 0 -> 1 so 0 is not
+    // dangling. 30 iterations: the 0<->1 cycle oscillates with period
+    // 2 and contracts by 0.85^2 per round, so by 30 the steady state
+    // (r0 ~ 0.48, r1 ~ 0.45, leaves at base) dominates the parity.
+    val star = edges(1L -> 0L, 2L -> 0L, 3L -> 0L, 0L -> 1L, 1L -> 0L)
+    val r = ranks(star, 30)
+    assert(r(0L) > r(1L) && r(1L) > r(2L), r.toString)
+    assert(r(2L) === r(3L)) // symmetric leaves tie exactly
+    // duplicate 1->0 edge must not double 1's contribution
+    val r2 = ranks(edges(1L -> 0L, 2L -> 0L, 3L -> 0L, 0L -> 1L), 30)
+    assert(r === r2)
+  }
+
+  test("pageRank: mass stays <= scale and only drains (dangling + floor div)") {
+    val g = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 4L) // 4 is dangling
+    val totals = Seq(1, 3, 8).map(it => ranks(g, it).values.sum)
+    assert(totals.forall(t => t > 0 && t <= Scale), totals.toString)
+    // dangling drain is monotone: more iterations, never more mass
+    assert(totals === totals.sorted.reverse, totals.toString)
+  }
+
+  test("triangleCount: known graphs") {
+    def tri(e: DataFrame): Long =
+      GraphRank.triangleCount(e, col("src"), col("dst")).collect()(0).getLong(0)
+    // K4 has 4 triangles; direction/duplicates/self-loops must not matter
+    val k4 = edges((for { a <- 0L to 3L; b <- 0L to 3L if a != b } yield a -> b): _*)
+    assert(tri(k4) === 4L)
+    assert(tri(edges(1L -> 2L, 2L -> 3L, 3L -> 4L)) === 0L) // path
+    assert(tri(edges(1L -> 2L, 2L -> 1L, 1L -> 1L)) === 0L) // dup + self-loop
+    assert(tri(edges(1L -> 2L, 2L -> 3L, 1L -> 3L,
+      3L -> 4L, 4L -> 5L, 5L -> 3L)) === 2L) // two triangles sharing node 3
+  }
+
+  test("triangleCount: degree orientation matches brute force on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val pairs = (0 until 200).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val e = pairs.toDF("src", "dst")
+    val got = GraphRank.triangleCount(e, col("src"), col("dst")).collect()(0).getLong(0)
+    // brute force over the canonical undirected edge set
+    val und = pairs.collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = und.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val brute = (for {
+      i <- nodes.indices; j <- i + 1 until nodes.size; k <- j + 1 until nodes.size
+      a = nodes(i); b = nodes(j); c = nodes(k)
+      if und((a, b)) && und((b, c)) && und((a, c))
+    } yield 1).size.toLong
+    assert(got === brute)
+  }
+}

@@ -116,6 +116,18 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("range join: interval binning plans as a hash equi-join, never nested-loop") {
+    // the naive lo <= pt < hi predicate has no equi-condition, so
+    // Spark would plan BroadcastNestedLoopJoin evaluating |L|·|R|
+    // pairs; the binning decomposition must keep it an equi-join on
+    // the bucket (hash or sort-merge, either is shuffle-partitioned)
+    val plan = finalPlan("q_join_range")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("bloom prefilter: bitset broadcasts, probe filter precedes a broadcast semi join") {
     val plan = finalPlan("q_join_bloom")
     // the 1-row bloom frame rides a broadcast nested-loop cross join,

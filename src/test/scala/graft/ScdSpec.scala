@@ -1,0 +1,68 @@
+package graft
+
+import graft.ext.Scd
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScdSpec extends AnyFunSuite with SharedSpark {
+
+  // (key, ts, seq, status) change log: k1 has a no-op update at t=20
+  // and a revert at t=40; k2 never changes after its first row.
+  private def log = {
+    import spark.implicits._
+    Seq(
+      ("k1", 10L, 1L, "bronze"),
+      ("k1", 20L, 2L, "bronze"), // no-op: same tracked value
+      ("k1", 30L, 3L, "silver"),
+      ("k1", 40L, 4L, "bronze"), // revert IS a new version
+      ("k2", 15L, 5L, "gold"),
+      ("k2", 25L, 6L, "gold")    // no-op
+    ).toDF("k", "ts", "seq", "status")
+  }
+
+  private def hist = Scd.scd2(log, Seq("k"), "ts",
+    trackedCols = Seq("status"), tieBreak = Seq("seq"))
+
+  test("no-op updates collapse; reverts open new versions; intervals chain") {
+    val rows = hist.orderBy("k", "version")
+      .select("k", "status", "valid_from", "valid_to", "is_current", "version")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4), r.getInt(5)))
+    assert(rows.toSeq === Seq(
+      ("k1", "bronze", 10L, 30L, false, 1),
+      ("k1", "silver", 30L, 40L, false, 2),
+      ("k1", "bronze", 40L, -1L, true, 3),
+      ("k2", "gold", 15L, -1L, true, 1)))
+  }
+
+  test("exactly one current version per key; intervals partition the timeline") {
+    val cur = hist.filter(col("is_current")).groupBy("k").count().collect()
+    assert(cur.forall(_.getLong(1) == 1L))
+    // each version's valid_to equals the next version's valid_from
+    val chain = hist.withColumn("next_from",
+        lead(col("valid_from"), 1).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy("version")))
+      .filter(col("next_from").isNotNull)
+      .filter(col("valid_to") =!= col("next_from"))
+    assert(chain.count() === 0L)
+  }
+
+  test("snapshotAt returns the one covering version per key") {
+    def statusAt(at: Long): Map[String, String] =
+      Scd.snapshotAt(hist, lit(at)).select("k", "status")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(statusAt(10L) === Map("k1" -> "bronze"))          // k2 not yet born
+    assert(statusAt(29L) === Map("k1" -> "bronze", "k2" -> "gold"))
+    assert(statusAt(35L) === Map("k1" -> "silver", "k2" -> "gold"))
+    assert(statusAt(1000L) === Map("k1" -> "bronze", "k2" -> "gold"))
+  }
+
+  test("same-timestamp ties resolve by the tie-break column, not partition order") {
+    import spark.implicits._
+    val tied = Seq(("k", 10L, 2L, "b"), ("k", 10L, 1L, "a"), ("k", 20L, 3L, "c"))
+      .toDF("k", "ts", "seq", "status").repartition(8)
+    val h = Scd.scd2(tied, Seq("k"), "ts", Seq("status"), Seq("seq"))
+      .orderBy("version").select("status").collect().map(_.getString(0))
+    assert(h.toSeq === Seq("a", "b", "c"))
+  }
+}
