@@ -8,22 +8,24 @@ import org.apache.spark.sql.functions._
 
 /** Link-graph gate queries ([[graft.ext.GraphRank]]) over a
   * deterministic trade graph derived from the TPC-H tables: nation
-  * A → nation B when customers of A placed ≥ `EdgeMin` lineitems
-  * with suppliers of B (the threshold sparsifies what would
-  * otherwise be the complete graph at gate scale — 177 directed
-  * edges over 25 nodes instead of all 600). Stand-in for the real
-  * workload's host/domain link graph.
+  * A → nation B when customers of A placed MORE than their
+  * volume-proportional share of lineitems with suppliers of B
+  * (`cnt · 480 ≥ total`, i.e. 1.25× the 600-pair uniform share —
+  * RELATIVE, so the graph sparsifies identically at every sf where
+  * a fixed count would go empty at sf0.001 or complete at sf0.1;
+  * ~170 directed edges over 25 nodes at sf0.01 instead of all 600).
+  * Stand-in for the real workload's host/domain link graph; the
+  * 1-row total rides a broadcast, the same pattern as the
+  * collocation token total.
   */
 object GraphQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir).table(n)
 
-  private val EdgeMin = 120
-
   /** Directed (src, dst) nation trade edges, volume-thresholded. */
-  private def tradeEdges(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = t(s, d, "lineitem")
       .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
       .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
@@ -31,19 +33,23 @@ object GraphQueries {
       .groupBy(col("c_nationkey").cast("long").as("src"),
                col("s_nationkey").cast("long").as("dst"))
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= EdgeMin)
+    pairs.crossJoin(broadcast(pairs.agg(sum("cnt").as("total"))))
+      .filter(col("cnt") * 480L >= col("total"))
       .select("src", "dst")
+  }
 
   private val edgeSql =
-    s"""WITH e AS (
+    s"""WITH p AS (
        |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
-       |         CAST(s.s_nationkey AS BIGINT) AS dst
+       |         CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS cnt
        |  FROM lineitem l
        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
        |  JOIN customer c ON o.o_custkey = c.c_custkey
        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
        |  WHERE c.c_nationkey <> s.s_nationkey
-       |  GROUP BY 1, 2 HAVING count(*) >= $EdgeMin)""".stripMargin
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM p),
+       |e AS (SELECT src, dst FROM p CROSS JOIN tot WHERE cnt * 480 >= total)""".stripMargin
 
   /** One unrolled fixed-point PageRank iteration (the DuckDB twin of
     * the loop body in [[GraphRank.pageRank]]); sums cast back to
@@ -51,7 +57,7 @@ object GraphQueries {
   private def iterSql(prev: String, cur: String): String =
     s"""$cur AS (SELECT nd.node,
        |    (1000000000000 * 15 // 100 // p.n) + 85 * COALESCE(s.s, 0) // 100 AS rank_fp
-       |  FROM nodes nd CROSS JOIN p
+       |  FROM nodes nd CROSS JOIN prm p
        |  LEFT JOIN (
        |    SELECT e.dst AS node, CAST(sum(r.rank_fp // d.outdeg) AS BIGINT) AS s
        |    FROM e JOIN d ON e.src = d.src JOIN $prev r ON e.src = r.node
@@ -71,9 +77,9 @@ object GraphQueries {
         .orderBy(desc("rank_fp"), col("nation")),
       Some((Seq(edgeSql,
         """nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-          |p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+          |prm AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
           |d AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
-          |r0 AS (SELECT node, 1000000000000 // n AS rank_fp FROM nodes, p)""".stripMargin) ++
+          |r0 AS (SELECT node, 1000000000000 // n AS rank_fp FROM nodes, prm)""".stripMargin) ++
         (1 to 5).map(i => iterSql(s"r${i - 1}", s"r$i")))
         .mkString(",\n") +
         """
