@@ -251,6 +251,87 @@ object Multimodal {
     concat(unhex(lit("FFD8" + app0 + dqt + "FF")), sof, body)
   }
 
+  // ---- MP4 / ISO-BMFF (ISO/IEC 14496-12): the fourth container.
+  // An MP4 file is a sequence of length-prefixed boxes —
+  // size(4, big-endian, includes the 8-byte header) + type(4 ascii)
+  // — nested by containment. The movie header (moov/mvhd) carries
+  // timescale and duration; reading them is pure box-walk byte
+  // arithmetic, the same substring/conv technique as the JPEG
+  // segment walk. 64-bit "largesize" boxes (size field = 1) and
+  // mvhd version 1 (64-bit times) parse as null — an honest bound,
+  // like the JPEG walk's maxSegs.
+
+  /** 1-indexed position of the first box of `tpe` in `[start,
+    * start+limit)`, walking at most `maxBoxes` sibling boxes; 0 when
+    * absent. A malformed size (< 8, or a truncated read) halts the
+    * walk. */
+  private def boxPosIn(p: Column, start: Column, limit: Column,
+                       tpe: String, maxBoxes: Int): Column =
+    aggregate(sequence(lit(1), lit(maxBoxes)),
+      struct(start.as("pos"), lit(0L).as("hit")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val hit = st.getField("hit")
+        val size = beIntAt(p, pos, 4)
+        val ok = coalesce(size >= 8 && pos < start + limit, lit(false))
+        val isHit = ok && p.substr(pos + 4, lit(4)).cast("string") === lit(tpe)
+        val halt = hit > 0 || !ok || isHit
+        struct(
+          when(halt, pos).otherwise(pos + size).as("pos"),
+          when(hit > 0, hit).when(isHit, pos).otherwise(lit(0L)).as("hit"))
+      }).getField("hit")
+
+  /** 1-indexed position of moov/mvhd, or 0 when the box tree lacks
+    * it (within `maxBoxes` siblings at each of the two levels). */
+  def mp4MvhdPos(p: Column, maxBoxes: Int = 8): Column = {
+    val moov = boxPosIn(p, lit(1L), octet_length(p).cast("long"), "moov", maxBoxes)
+    when(moov > 0,
+      boxPosIn(p, moov + 8, beIntAt(p, moov, 4) - 8, "mvhd", maxBoxes))
+      .otherwise(lit(0L))
+  }
+
+  /** MP4 structural validity: leading ftyp box and a version-0 mvhd
+    * reachable by the box walk. */
+  def mp4Valid(p: Column, maxBoxes: Int = 8): Column = {
+    val mvhd = mp4MvhdPos(p, maxBoxes)
+    p.substr(lit(5), lit(4)).cast("string") === lit("ftyp") &&
+      mvhd > 0 && coalesce(beIntAt(p, mvhd + 8, 1) === 0L, lit(false))
+  }
+
+  /** mvhd fields (version 0: timescale at box offset 20, duration in
+    * timescale ticks at 24); null for anything that is not a
+    * walkable MP4. Batch into one select when all are needed — each
+    * accessor re-runs the bounded walk. */
+  def mp4Timescale(p: Column, maxBoxes: Int = 8): Column =
+    when(mp4Valid(p, maxBoxes), beIntAt(p, mp4MvhdPos(p, maxBoxes) + 20, 4))
+  def mp4Duration(p: Column, maxBoxes: Int = 8): Column =
+    when(mp4Valid(p, maxBoxes), beIntAt(p, mp4MvhdPos(p, maxBoxes) + 24, 4))
+
+  /** Duration in integer milliseconds — `ticks * 1000 div timescale`
+    * (floor division, engine-portable like the PMI/PageRank scores). */
+  def mp4DurationMs(p: Column, maxBoxes: Int = 8): Column =
+    call_function("div", mp4Duration(p, maxBoxes) * 1000L, mp4Timescale(p, maxBoxes))
+
+  /** A conformant MP4 header — ftyp(isom) + moov containing a full
+    * 108-byte version-0 mvhd (identity matrix, rate 1.0) — followed
+    * by `body` wrapped as the mdat box payload. */
+  def mp4Payload(timescale: Column, durationTicks: Column, body: Column): Column = {
+    val ftyp = "00000014" + "66747970" + "69736F6D" + "00000200" + "69736F6D"
+    // moov size 116 = 8 + mvhd 108; mvhd: header, v0+flags, ctime,
+    // mtime, then timescale/duration columns, then rate, volume+
+    // reserved, reserved(8), unity matrix, pre_defined(24), next id
+    val moovPre = "00000074" + "6D6F6F76" +
+      "0000006C" + "6D766864" + "00000000" + "00000000" + "00000000"
+    val mvhdPost = "00010000" + "01000000" + "00000000" + "00000000" +
+      "00010000" + "00000000" + "00000000" +
+      "00000000" + "00010000" + "00000000" +
+      "00000000" + "00000000" + "40000000" +
+      "00000000" * 6 + "00000002"
+    concat(unhex(lit(ftyp + moovPre)), be4(timescale), be4(durationTicks),
+      unhex(lit(mvhdPost)),
+      be4(octet_length(body).cast("long") + 8L), unhex(lit("6D646174")), body)
+  }
+
   /** Media table with REAL container headers: image rows carry a
     * valid PNG prefix (dimensions from the declared-metadata formula),
     * audio rows a canonical WAVE header, video rows stay opaque (no

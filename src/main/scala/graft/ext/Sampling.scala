@@ -83,6 +83,27 @@ object Sampling {
     df.filter(b < (frac * 1000000).cast("long"))
   }
 
+  /** Weighted sampling WITHOUT replacement, k items with inclusion
+    * probability ≈ proportional to `weight` — Duffield–Lund–Thorup
+    * priority sampling: per-row priority `u / w` from a key-derived
+    * uniform `u`, keep the k SMALLEST. All-integer (`u · scale div
+    * w`, MINSTD bucket for u), so the sample membership re-derives
+    * exactly in any SQL engine — same portability contract as the
+    * [[minstdBucket]] splits. A doubled weight exactly halves a
+    * row's priority, so inclusion odds scale linearly.
+    *
+    * Scale: the sort is a top-k (TakeOrderedAndProject — per-
+    * partition k-heaps, no full sort), and the priority is a per-row
+    * map: the whole operator is one bounded-state pass, the same
+    * shape as the per-group cap. Weights are integer ≥ 1 (quantize
+    * upstream); `u·scale ≤ 10⁶·10¹²` stays far inside int64. */
+  def prioritySample(df: DataFrame, key: Column, weight: Column, k: Int,
+                     scale: Long = 1000000000000L): DataFrame =
+    df.withColumn("priority",
+        call_function("div", (minstdBucket(key, 1000000) + 1L) * lit(scale),
+          greatest(weight.cast("long"), lit(1L))))
+      .orderBy(col("priority"), key).limit(k)
+
   /** Leakage-free train/eval split: near-duplicate CLUSTERS are
     * assigned to splits atomically, keyed on the cluster
     * representative — a doc and its near-duplicates can never land on

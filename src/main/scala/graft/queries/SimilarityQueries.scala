@@ -838,6 +838,48 @@ object SimilarityQueries {
              |       ELSE 'ok' END AS status
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // MP4/ISO-BMFF box walk — the FOURTH container (PNG fixed-offset,
+    // WAVE chunk scan, JPEG segment walk, now nested length-prefixed
+    // boxes): ftyp check, moov→mvhd descent, timescale/duration
+    // parse, integer-ms derivation. doc_id%11 payloads are not MP4
+    // (→ 'corrupt'); the doc_id%50 declared-duration corruption must
+    // surface as 'mismatch'. The oracle re-derives every parsed
+    // value from the fixture formulas independently of the byte
+    // plumbing; MediaHeaderSpec proves the walk against bytes built
+    // from the ISO 14496-12 layout by hand.
+    QueryDef("q_mm_mp4",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val timescale = (pmod(col("doc_id"), lit(5)) * 2500L + 1000L)
+        val ticks = (pmod(col("doc_id"), lit(1000)) + 1L) * 37L
+        val body = encode(col("text"), "UTF-8")
+        val media = docs.select(col("doc_id").as("media_id"),
+          when(pmod(col("doc_id"), lit(11)) === 0, body)
+            .otherwise(Multimodal.mp4Payload(timescale, ticks, body))
+            .as("payload"),
+          timescale.as("decl_timescale"), ticks.as("decl_ticks"))
+        val corrupt = pmod(col("media_id"), lit(50)) === 0
+        val declTicks = col("decl_ticks") + when(corrupt, 1L).otherwise(0L)
+        val ts = Multimodal.mp4Timescale(col("payload"))
+        val dur = Multimodal.mp4Duration(col("payload"))
+        media.select(col("media_id"),
+          ts.as("parsed_timescale"), dur.as("parsed_ticks"),
+          Multimodal.mp4DurationMs(col("payload")).as("parsed_ms"),
+          when(ts.isNull || dur.isNull, "corrupt")
+            .when(ts === col("decl_timescale") && dur === declTicks, "ok")
+            .otherwise("mismatch").as("status"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 11 <> 0 THEN (doc_id % 5) * 2500 + 1000 END AS parsed_timescale,
+             |  CASE WHEN doc_id % 11 <> 0 THEN (doc_id % 1000 + 1) * 37 END AS parsed_ticks,
+             |  CASE WHEN doc_id % 11 <> 0
+             |       THEN ((doc_id % 1000 + 1) * 37 * 1000) // ((doc_id % 5) * 2500 + 1000) END AS parsed_ms,
+             |  CASE WHEN doc_id % 11 = 0 THEN 'corrupt'
+             |       WHEN doc_id % 50 = 0 THEN 'mismatch'
+             |       ELSE 'ok' END AS status
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
     // Multimodal: binary payload + metadata plumbing (decode stubbed)
     QueryDef("q_mm_meta",
       (s, d) => Multimodal.mediaFromDocuments(t(s, d, "documents"))

@@ -349,6 +349,22 @@ object TextQueries {
              |SELECT source, hb, doc_id FROM ranked WHERE rn <= 10
              |ORDER BY source, doc_id""".stripMargin)),
 
+    // Weighted sampling without replacement (DLT priority sampling):
+    // 200 docs with inclusion odds ∝ n_chars — integer priority
+    // u·10¹² div w from the MINSTD bucket, k smallest kept, so the
+    // oracle re-derives the exact member set. The top-k is a
+    // TakeOrderedAndProject (per-partition heaps), not a full sort.
+    QueryDef("q_sample_weighted",
+      (s, d) => graft.ext.Sampling.prioritySample(
+        t(s, d, "documents").select("doc_id", "n_chars"),
+        col("doc_id"), col("n_chars"), k = 200)
+        .orderBy("priority", "doc_id"),
+      Some("""SELECT doc_id, n_chars,
+             |  (((doc_id % 2147483647) * 48271) % 2147483647 % 1000000 + 1)
+             |    * 1000000000000 // GREATEST(n_chars, 1) AS priority
+             |FROM documents
+             |ORDER BY priority, doc_id LIMIT 200""".stripMargin)),
+
     // Collocation detection: top bigrams by integer-scaled PMI
     // (c_xy·N·10^6 div c_x·c_y — exact integer arithmetic, so the
     // score and ORDER are engine-portable with no log/float). BOTH

@@ -125,4 +125,62 @@ class MediaHeaderSpec extends AnyFunSuite with SharedSpark {
     assert(wrow.getLong(1) === 16000L)
     assert(wrow.getInt(2) === 44 + 64, "canonical 44-byte WAVE header")
   }
+
+  test("MP4 box walk reads hand-built ISO 14496-12 bytes (independent of the synthesizer)") {
+    import spark.implicits._
+    import java.nio.ByteBuffer
+    // Build the box tree with ByteBuffer straight from the spec —
+    // ftyp, then free (the walk must skip unknown siblings), then
+    // moov containing iods BEFORE mvhd (the child walk must skip it
+    // too). Nothing here shares code with Multimodal.mp4Payload.
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val b = ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length).put(tpe.getBytes("US-ASCII")).put(payload)
+      b.array()
+    }
+    val mvhdBody = {
+      val b = ByteBuffer.allocate(100)
+      b.putInt(0)          // version 0 + flags
+      b.putInt(0).putInt(0)
+      b.putInt(90000)      // timescale
+      b.putInt(123000)     // duration ticks
+      b.putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+      b.array()            // rest (matrix etc.) stays zero — walk ignores it
+    }
+    val iods = box("iods", Array[Byte](0, 0, 0, 0))
+    val moov = box("moov", iods ++ box("mvhd", mvhdBody))
+    val bytes = box("ftyp", "isomiso2".getBytes("US-ASCII")) ++
+      box("free", new Array[Byte](16)) ++ moov
+    val row = Seq(Tuple1(bytes)).toDF("p")
+      .select(Multimodal.mp4Valid(col("p")),
+        Multimodal.mp4Timescale(col("p")), Multimodal.mp4Duration(col("p")),
+        Multimodal.mp4DurationMs(col("p")),
+        Multimodal.mp4Valid(col("p").substr(lit(9), lit(1 << 20))).as("noftyp"))
+      .head()
+    assert(row.getBoolean(0), "valid MP4")
+    assert(row.getLong(1) === 90000L)
+    assert(row.getLong(2) === 123000L)
+    assert(row.getLong(3) === 123000L * 1000L / 90000L)
+    assert(!row.getBoolean(4), "stripping ftyp must invalidate")
+  }
+
+  test("synthesized MP4 round-trips; version-1 mvhd and non-MP4 bytes parse to null") {
+    import spark.implicits._
+    val row = Seq((48000L, 96000L, "opaque samples")).toDF("ts", "dur", "body")
+      .select(Multimodal.mp4Payload(col("ts"), col("dur"),
+        encode(col("body"), "UTF-8")).as("p"))
+      .select(Multimodal.mp4Timescale(col("p")), Multimodal.mp4Duration(col("p")),
+        Multimodal.mp4DurationMs(col("p")),
+        // flip the mvhd version byte (moov at 21, mvhd header 8 in,
+        // version byte right after: offset 36 0-indexed → pos 37)
+        Multimodal.mp4Timescale(concat(substring(col("p"), 1, 36),
+          unhex(lit("01")), substring(col("p"), 38, 1 << 20))).as("v1"),
+        Multimodal.mp4Timescale(encode(lit("not a container"), "UTF-8")).as("junk"))
+      .head()
+    assert(row.getLong(0) === 48000L)
+    assert(row.getLong(1) === 96000L)
+    assert(row.getLong(2) === 2000L)
+    assert(row.isNullAt(3), "version-1 mvhd is out of scope and must null")
+    assert(row.isNullAt(4), "junk bytes must null")
+  }
 }

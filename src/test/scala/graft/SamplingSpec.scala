@@ -91,4 +91,31 @@ class SamplingSpec extends AnyFunSuite with SharedSpark {
       alpha = 0.5, targetFraction = 0.5).select("id").collect().map(_.getLong(0)).toSet
     assert(again === first, "membership is partition-order independent")
   }
+
+  test("prioritySample: inclusion odds track weights; deterministic; top-k plan") {
+    import spark.implicits._
+    // 10k keys, weight 9 for even ids and 1 for odd: a 9:1 odds ratio
+    // means k=1000 picks ~900 heavy rows (DLT inclusion ∝ w)
+    val df = (0L until 10000L).map(id => (id * 7919L + 13L, if (id % 2 == 0) 9L else 1L))
+      .toDF("id", "w")
+    val got = Sampling.prioritySample(df, col("id"), col("w"), k = 1000)
+    val heavy = got.filter(col("w") === 9L).count()
+    assert(heavy > 820 && heavy < 960, s"heavy rows in sample: $heavy (expect ~900)")
+    // doubled weight exactly halves the priority
+    val p = Sampling.prioritySample(df.withColumn("w", lit(4L)), col("id"), col("w"), 10)
+      .select("id", "priority").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val p2 = Sampling.prioritySample(df.withColumn("w", lit(8L)), col("id"), col("w"), 10)
+      .select("id", "priority").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p.keySet === p2.keySet, "membership is weight-scale invariant")
+    p.foreach { case (id, pri) => assert(p2(id) === pri / 2, s"id $id") }
+    // partition-order independence
+    val again = Sampling.prioritySample(df.repartition(7), col("id"), col("w"), 1000)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again === got.select("id").collect().map(_.getLong(0)).toSet)
+    // bounded-state top-k, not a full sort
+    val q = Sampling.prioritySample(df, col("id"), col("w"), 1000)
+    q.write.format("noop").mode("overwrite").save()
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      q.queryExecution.executedPlan.toString)
+  }
 }
