@@ -104,6 +104,48 @@ object Sampling {
           greatest(weight.cast("long"), lit(1L))))
       .orderBy(col("priority"), key).limit(k)
 
+  /** k deterministic NEGATIVE candidates per query for contrastive
+    * training pairs, without a cross join: the corpus gets a dense
+    * `0..N-1` numbering from the two-phase prefix sum (never the
+    * single-task global window — [[graft.ops.RelationalOps.runningTotal]]),
+    * each query explodes into k slots whose target index is a MINSTD
+    * draw mod N, and the pairing is ONE equi-join on the index. The
+    * draw arithmetic is all-integer and reduces every operand below
+    * 2³¹ before multiplying, so the pair set re-derives in any SQL
+    * engine. Self-pairs (a query drawing its own id) are dropped —
+    * a query yields k or k−1 negatives; re-draw upstream if exact-k
+    * matters. In-batch duplicates (two slots drawing the same doc)
+    * are kept: they are what an in-batch-negatives trainer sees.
+    *
+    * Both keys must be non-negative integers from the same id space.
+    * `orderBucket` must be a coarse order-preserving prefix of the
+    * corpus key (default `key div 2¹⁰` — the runningTotal contract).
+    * Scale: one corpus shuffle for the numbering (do it once at
+    * ingest and persist alongside the corpus when serving many query
+    * batches), one broadcast 1-row count, one equi-join on `__idx`.
+    *
+    * Returns `(q_key, slot, neg_key)`. */
+  def negativePairs(queries: DataFrame, qKey: Column,
+                    corpus: DataFrame, cKey: Column, k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val P = 2147483647L
+    val numbered = graft.ops.RelationalOps.runningTotal(
+        corpus.select(cKey.as("__ckey")),
+        call_function("div", col("__ckey"), lit(1024L)),
+        Seq(col("__ckey")), lit(1L), "__cum")
+      .select(col("__ckey"), (col("__cum").cast("long") - 1L).as("__idx"))
+    val total = corpus.agg(count(lit(1)).as("__n"))
+    queries.select(qKey.as("q_key"))
+      .crossJoin(broadcast(total))
+      .withColumn("slot", explode(sequence(lit(0L), lit(k - 1L))))
+      .withColumn("__idx", pmod(pmod(
+        pmod(pmod(col("q_key"), lit(P)) * 1000003L + col("slot") * 7919L, lit(P))
+          * 48271L, lit(P)), col("__n")))
+      .join(numbered, "__idx")
+      .filter(col("__ckey") =!= col("q_key"))
+      .select(col("q_key"), col("slot"), col("__ckey").as("neg_key"))
+  }
+
   /** Leakage-free train/eval split: near-duplicate CLUSTERS are
     * assigned to splits atomically, keyed on the cluster
     * representative — a doc and its near-duplicates can never land on

@@ -365,6 +365,35 @@ object TextQueries {
              |FROM documents
              |ORDER BY priority, doc_id LIMIT 200""".stripMargin)),
 
+    // Contrastive negative mining: 4 deterministic negatives per
+    // query doc (doc_id < 50) drawn over the prefix-sum-numbered
+    // corpus — ONE equi-join, no cross join, MINSTD draws the oracle
+    // replays exactly (its row_number numbering matches the
+    // two-phase prefix sum by construction: both order by doc_id).
+    QueryDef("q_sample_negatives",
+      (s, d) => {
+        val docs = t(s, d, "documents").select("doc_id")
+        graft.ext.Sampling.negativePairs(
+          docs.filter(col("doc_id") < 50), col("doc_id"), docs, col("doc_id"), k = 4)
+          .orderBy("q_key", "slot")
+      },
+      Some("""WITH numbered AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx
+             |  FROM documents),
+             |n AS (SELECT count(*) AS cnt FROM documents),
+             |slots AS (
+             |  SELECT d.doc_id AS q_key, s.j AS slot
+             |  FROM documents d CROSS JOIN range(0, 4) s(j) WHERE d.doc_id < 50),
+             |draws AS (
+             |  SELECT q_key, slot,
+             |    ((((q_key % 2147483647) * 1000003 + slot * 7919) % 2147483647)
+             |      * 48271) % 2147483647 % cnt AS idx
+             |  FROM slots CROSS JOIN n)
+             |SELECT q_key, slot, nu.doc_id AS neg_key
+             |FROM draws JOIN numbered nu USING (idx)
+             |WHERE nu.doc_id <> q_key
+             |ORDER BY q_key, slot""".stripMargin)),
+
     // Collocation detection: top bigrams by integer-scaled PMI
     // (c_xy·N·10^6 div c_x·c_y — exact integer arithmetic, so the
     // score and ORDER are engine-portable with no log/float). BOTH

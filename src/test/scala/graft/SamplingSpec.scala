@@ -118,4 +118,30 @@ class SamplingSpec extends AnyFunSuite with SharedSpark {
     assert(q.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
       q.queryExecution.executedPlan.toString)
   }
+
+  test("negativePairs: k or k-1 per query, corpus-covering, deterministic, no cross join") {
+    import spark.implicits._
+    val corpus = (0L until 500L).map(i => i * 3L).toDF("id") // sparse ids
+    val queries = (0L until 100L).map(i => i * 3L).toDF("id")
+    val pairs = Sampling.negativePairs(queries, col("id"), corpus, col("id"), k = 5)
+    val rows = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every query yields 5 negatives, minus any dropped self-pair
+    val perQ = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(perQ.size === 100)
+    assert(perQ.values.forall(n => n == 5 || n == 4), perQ.filter(_._2 < 4).toString)
+    // negatives are real corpus members and never the query itself
+    val corpusIds = (0L until 500L).map(_ * 3L).toSet
+    assert(rows.forall { case (q, _, n) => corpusIds(n) && n != q })
+    // draws spread over the corpus, not a corner of it
+    assert(rows.map(_._3).distinct.length > 200, "draws cover the corpus")
+    // deterministic across partitionings
+    val again = Sampling.negativePairs(queries.repartition(7), col("id"),
+      corpus.repartition(5), col("id"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === rows.toSet)
+    // one equi-join on the index; the only nested-loop is the 1-row count broadcast
+    pairs.write.format("noop").mode("overwrite").save()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
