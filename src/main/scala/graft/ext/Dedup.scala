@@ -187,6 +187,49 @@ object Dedup {
     * arithmetic a SQL oracle re-derives exactly. Same shape, same
     * single shuffle; only the hash arithmetic changes.
     * Output: id, sig (array<long> of length numHashes). */
+  /** Exact edit-distance (Levenshtein ≤ `tau`) similarity join over
+    * short strings — typo-tolerant entity matching (names, titles,
+    * URLs), where token-set measures are blind (one character edit
+    * leaves Jaccard ≈ 1 on long docs but breaks short keys entirely).
+    *
+    * Ed-Join-style q-gram prefix filter (Xiao, Wang & Lin's published
+    * candidate bound): one edit destroys at most `q` distinct
+    * q-grams, so ED ≤ tau forces `|G(a) ∩ G(b)| ≥ max(|G|) − q·tau`
+    * — a set-overlap bound whose prefix length is `q·tau + 1` grams
+    * in the global (document-frequency, gram) order, the same
+    * machinery as [[jaccardPairsFromShingles]]. Candidates must also
+    * pass the length filter `||a|−|b|| ≤ tau`, applied IN the join
+    * condition. Verification is the codegen'd `levenshtein` builtin
+    * on the surviving pairs only; strings ride the prefix frame
+    * (they are short keys by assumption — do not point this at
+    * document bodies; use the shingle measures there).
+    *
+    * Returns `(d1, d2, dist)`, `d1 < d2`. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        tau: Int, q: Int = 2): DataFrame = {
+    require(tau >= 1 && q >= 1, "need tau >= 1 and q >= 1")
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .withColumn("len", length(col("s")))
+    val gr = base.withColumn("g", explode(array_distinct(
+      transform(sequence(lit(1), greatest(col("len") - (q - 1), lit(1))),
+        i => col("s").substr(i, lit(q))))))
+    val dfreq = gr.groupBy("g").agg(count(lit(1)).as("df_g"))
+    val byRarity = Window.partitionBy("id").orderBy(col("df_g"), col("g"))
+    val prefix = gr.join(dfreq, "g")
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= q * tau + 1)
+      .select(col("id"), col("g"), col("s"), col("len"))
+    prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          abs(col("a.len") - col("b.len")) <= tau)
+      .select(col("a.id").as("d1"), col("b.id").as("d2"),
+        col("a.s").as("s1"), col("b.s").as("s2"))
+      .dropDuplicates("d1", "d2")
+      .withColumn("dist", levenshtein(col("s1"), col("s2")))
+      .filter(col("dist") <= tau)
+      .select("d1", "d2", "dist")
+  }
+
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleLen: Int, numHashes: Int,
                         portable: Boolean = false): DataFrame = {

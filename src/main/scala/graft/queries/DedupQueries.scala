@@ -449,5 +449,20 @@ object DedupQueries {
              |  COALESCE(h.hit_shingles, 0) > 0 AS contaminated
              |FROM documents d LEFT JOIN hits h USING (doc_id)
              |WHERE d.doc_id % 89 <> 0 ORDER BY doc_id""".stripMargin), bench = true),
+
+    // Edit-distance join (Ed-Join q-gram prefix filter + levenshtein
+    // verify) over customer names: typo-tolerant entity matching,
+    // the string-key complement of the shingle measures. The oracle
+    // is the naive all-pairs levenshtein join (gate-scale only);
+    // 19.5k true pairs at tau=1 among 1.5k names.
+    QueryDef("q_dd_editdist",
+      (s, d) => Dedup.editDistancePairs(t(s, d, "customer"), "c_custkey", "c_name",
+        tau = 1).orderBy("d1", "d2"),
+      Some("""SELECT a.c_custkey AS d1, b.c_custkey AS d2,
+             |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+             |FROM customer a JOIN customer b
+             |  ON a.c_custkey < b.c_custkey
+             | AND levenshtein(a.c_name, b.c_name) <= 1
+             |ORDER BY 1, 2""".stripMargin)),
   )
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.ext.Dedup
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, levenshtein}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Dedup operators on an engineered corpus: exact duplicates, a
@@ -188,5 +189,34 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"eval side should broadcast:\n$plan")
+  }
+
+  test("editDistancePairs: equals the naive levenshtein join; engineered edge cases") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcdef"
+    // random short strings plus planted near-misses
+    val strs = (0 until 300).map(i =>
+      (i.toLong, (0 until 6 + rnd.nextInt(4)).map(_ => alphabet(rnd.nextInt(6))).mkString)) ++
+      Seq((1000L, "abcdefgh"), (1001L, "abcdefgx"),   // substitution: dist 1
+          (1002L, "abcdefg"),                          // deletion: dist 1 from 1000
+          (1003L, "xbcdefgh"),                         // first-char sub: dist 1
+          (1004L, "abxdyfgh"))                         // dist 2 from 1000 — excluded at tau=1
+    val df = strs.toDF("id", "s")
+    for (tau <- Seq(1, 2)) {
+      val fast = Dedup.editDistancePairs(df, "id", "s", tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val naive = df.as("a").join(df.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"),
+          levenshtein(col("a.s"), col("b.s")).as("dist"))
+        .filter(col("dist") <= tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(fast === naive, s"tau=$tau")
+    }
+    val t1 = Dedup.editDistancePairs(df, "id", "s", tau = 1)
+      .filter(col("d1") >= 1000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t1((1000L, 1001L)) && t1((1000L, 1002L)) && t1((1000L, 1003L)))
+    assert(!t1((1000L, 1004L)), "distance-2 pair must not appear at tau=1")
   }
 }
