@@ -22,6 +22,7 @@ object QueryDef {
       graft.queries.ScalarQueries.defs ++
       graft.queries.SourceQueries.defs ++
       graft.queries.TextQueries.defs ++
+      graft.queries.RetrievalQueries.defs ++
       graft.queries.DedupQueries.defs ++
       graft.queries.SimilarityQueries.defs ++
       graft.queries.EventQueries.defs ++

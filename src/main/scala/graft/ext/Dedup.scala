@@ -602,6 +602,50 @@ object Dedup {
       .groupBy("sh").agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
+  /** C4-style span-level boilerplate REMOVAL: cut the corpus into
+    * consecutive `spanWords`-token blocks, drop every block whose
+    * exact text occurs in ≥ `minDocs` distinct documents, and
+    * reconstruct each document's remaining text in original order
+    * (C4 does this per line; this corpus is single-line, so the unit
+    * is a fixed-width token block). Unlike [[boilerplateShingles]],
+    * which REPORTS the templates, this rewrites the corpus — the
+    * dedup pass that strips headers/footers/license walls while
+    * keeping the documents themselves.
+    *
+    * Returns every input row as (doc_id, cleaned) — empty string when
+    * all blocks were boilerplate.
+    *
+    * 100 TB posture: block formation is a shuffle-free per-row slice
+    * of the token array (no self-join, no window). Block document
+    * frequencies are one shuffle with partial aggregation; the
+    * boilerplate set — bounded by the repeated-block vocabulary,
+    * which `minDocs` keeps far below corpus size — broadcasts into a
+    * map-side anti-join, so the corpus itself is never re-shuffled on
+    * the (skew-prone) block text. Reassembly shuffles once on doc_id.
+    * If the template vocabulary ever outgrows a broadcast, dropping
+    * the hint falls back to a shuffle anti-join with the same
+    * semantics. */
+  def stripBoilerplateSpans(df: DataFrame, idCol: String, textCol: String,
+                            spanWords: Int, minDocs: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val nSpans = ceil(size(toks) / lit(spanWords.toDouble)).cast("int")
+    val spans = df.select(col(idCol).as("doc_id"),
+      posexplode(transform(sequence(lit(0), nSpans - 1),
+        i => array_join(slice(toks, i * spanWords + 1, lit(spanWords)), " ")))
+        .as(Seq("span_id", "span")))
+    val boiler = spans.groupBy("span")
+      .agg(countDistinct("doc_id").as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("span")
+    val kept = spans.join(broadcast(boiler), Seq("span"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("span_id"), col("span")))),
+          s => s.getField("span")), " ").as("cleaned"))
+    df.select(col(idCol).as("doc_id")).join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
     val evalShingles = evalSet

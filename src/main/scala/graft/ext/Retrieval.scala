@@ -1,0 +1,150 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Inverted-index retrieval over a document corpus: posting lists,
+  * document statistics, and BM25 ranking — the lexical-search
+  * complement of the embedding ANN stack in [[Similarity]] (RAG
+  * training pipelines mine hard negatives and dedup retrieval sets
+  * with exactly this pair of engines).
+  *
+  * 100 TB posture: the index build is ONE shuffle on (term, doc) with
+  * map-side partial aggregation, and the document length rides inside
+  * the posting row, so scoring never joins back to the corpus. Query
+  * scoring prunes the postings to the query's terms BEFORE any
+  * exchange (a plan-time literal filter, or a broadcast semi-join
+  * that Catalyst pushes below the postings aggregate for the batch
+  * form), then attaches per-term document frequency via a BROADCAST
+  * of the tiny (term, df) aggregate — deliberately not a per-term
+  * window, whose single partition for a stopword-hot term would be
+  * the classic skew trap.
+  *
+  * The convenience forms that take the raw corpus derive the postings
+  * twice (score side + df side — both semi-pruned before their
+  * exchange, but still two corpus scans). The scale path is the
+  * production one: persist [[postings]] as parquet ONCE per corpus
+  * version and serve every query from [[bm25TopKFromPostings]] /
+  * [[bm25BatchFromPostings]], where each consumer reads the compact
+  * index — term filters reach the parquet scan as pushed filters —
+  * and the text is never re-tokenized.
+  */
+object Retrieval {
+
+  /** Whitespace/lowercase tokenizer — the same normalization the
+    * text-analysis battery uses, reproduced verbatim in the DuckDB
+    * oracles. */
+  private def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Posting lists: one row per (term, doc_id) with term frequency
+    * and the document's token count (BM25's length normalization —
+    * kept denormalized in the posting so queries never rejoin the
+    * corpus). The groupBy partial-aggregates map-side, so the one
+    * shuffle moves (term, doc, dl, count) tuples, not raw token
+    * occurrences. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokenCountWs(col(textCol)).cast("long").as("dl"),
+        explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+
+  /** Corpus normalizers (n_docs, avgdl) recovered from a postings
+    * frame: a distinct over the narrow (doc_id, dl) projection — on a
+    * persisted index this is a 2-column parquet scan. Pipelines that
+    * already track corpus stats can pass their own 1-row frame to the
+    * FromPostings entry points instead. */
+  def postingsStats(post: DataFrame): DataFrame =
+    post.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl").cast("double")).as("avgdl"))
+
+  /** Corpus stats straight from the raw corpus (narrow 2-column
+    * scan) — used by the convenience forms so stats stay correct even
+    * though their scoring side sees term-pruned postings. */
+  private def corpusStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+      avg(TextAnalysis.tokenCountWs(col(textCol)).cast("double")).as("avgdl"))
+
+  /** Lucene-style BM25 idf: ln(1 + (N − df + 0.5)/(df + 0.5)) —
+    * always positive, so a term in most documents dampens rather
+    * than flips the score. */
+  private def idf(dfCol: Column, nDocs: Column): Column =
+    log(lit(1.0) + (nDocs - dfCol + lit(0.5)) / (dfCol + lit(0.5)))
+
+  private def bm25Term(tf: Column, dl: Column, avgdl: Column,
+                       k1: Double, b: Double): Column =
+    tf * (lit(k1) + 1.0) / (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * dl / avgdl))
+
+  /** Score pruned postings (already restricted to the query's terms)
+    * and keep top `k` per query. `keyed` must carry (query_id, term,
+    * doc_id, dl, tf, df). */
+  private def score(keyed: DataFrame, stats: DataFrame, k: Int,
+                    k1: Double, b: Double): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
+    keyed.crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        // each term's contribution is quantized to 9 decimals BEFORE
+        // the per-document sum, so partial-aggregation order cannot
+        // move the 6-decimal reported score (the oracle twins this)
+        round(idf(col("df"), col("n_docs")) *
+          bm25Term(col("tf"), col("dl"), col("avgdl"), k1, b), 9).as("s"))
+      .groupBy("query_id", "doc_id").agg(round(sum(col("s")), 6).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** BM25 top-`k` from a (possibly persisted) postings frame. The
+    * query's DISTINCT terms are a plan-time literal `isin` filter —
+    * static pruning, no join, pushed to the index's parquet scan.
+    * Returns (doc_id, score, rank) ordered by rank. */
+  def bm25TopKFromPostings(post: DataFrame, stats: DataFrame, query: String,
+                           k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "bm25: query has no terms")
+    val pruned = post.filter(col("term").isin(terms: _*))
+    val dfT = pruned.groupBy("term").agg(count(lit(1)).as("df"))
+    score(pruned.join(broadcast(dfT), "term").withColumn("query_id", lit(0L)),
+        stats, k, k1, b)
+      .select(col("doc_id"), col("score"), col("rank"))
+      .orderBy("rank")
+  }
+
+  /** Batch BM25 from a (possibly persisted) postings frame: top-`k`
+    * per query for a whole frame of (query_id, query_text) rows — the
+    * retrieval-mining shape (hard-negative candidates for a
+    * contrastive set, decontamination lookups).
+    *
+    * The query side is benchmarks/training prompts — MBs against an
+    * index of TBs — so its term set broadcasts: first a semi-join
+    * that prunes the postings map-side, then the (query_id, term)
+    * attach that fans each posting out to the queries containing its
+    * term. Document frequency comes from the pruned postings BEFORE
+    * the query attach (the fan-out would double-count df). */
+  def bm25BatchFromPostings(post: DataFrame, stats: DataFrame,
+                            queries: DataFrame, qidCol: String, qtextCol: String,
+                            k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = queries
+      .select(col(qidCol).as("query_id"), explode(tokens(col(qtextCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val pruned = post.join(broadcast(qTerms.select("term").distinct()),
+      Seq("term"), "left_semi")
+    val dfT = pruned.groupBy("term").agg(count(lit(1)).as("df"))
+    score(pruned.join(broadcast(dfT), "term").join(broadcast(qTerms), "term"),
+      stats, k, k1, b)
+  }
+
+  /** Convenience single-query form over the raw corpus. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String, query: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKFromPostings(postings(docs, idCol, textCol),
+      corpusStats(docs, idCol, textCol), query, k, k1, b)
+
+  /** Convenience batch form over the raw corpus. */
+  def bm25Batch(docs: DataFrame, idCol: String, textCol: String,
+                queries: DataFrame, qidCol: String, qtextCol: String,
+                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25BatchFromPostings(postings(docs, idCol, textCol),
+      corpusStats(docs, idCol, textCol), queries, qidCol, qtextCol, k, k1, b)
+}

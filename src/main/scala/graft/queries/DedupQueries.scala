@@ -450,6 +450,29 @@ object DedupQueries {
              |FROM documents d LEFT JOIN hits h USING (doc_id)
              |WHERE d.doc_id % 89 <> 0 ORDER BY doc_id""".stripMargin), bench = true),
 
+    // C4-style span-level boilerplate removal: 10-token blocks present
+    // in >= 2 distinct docs are cut, documents reassembled in order
+    // (empty string when nothing survives).
+    QueryDef("q_dd_spans",
+      (s, d) => Dedup.stripBoilerplateSpans(t(s, d, "documents"), "doc_id", "text",
+        spanWords = 10, minDocs = 2).orderBy("doc_id"),
+      Some("""WITH tokd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |spans AS (
+             |  SELECT doc_id, r.i AS span_id,
+             |         array_to_string(toks[(r.i*10+1):(r.i*10+10)], ' ') AS span
+             |  FROM tokd, LATERAL (SELECT unnest(range(0,
+             |    CAST(ceil(len(toks)/10.0) AS BIGINT)))) AS r(i)),
+             |boiler AS (
+             |  SELECT span FROM spans GROUP BY span
+             |  HAVING count(DISTINCT doc_id) >= 2),
+             |kept AS (
+             |  SELECT s.doc_id, string_agg(s.span, ' ' ORDER BY s.span_id) AS cleaned
+             |  FROM spans s ANTI JOIN boiler b USING (span)
+             |  GROUP BY s.doc_id)
+             |SELECT d.doc_id, COALESCE(k.cleaned, '') AS cleaned
+             |FROM documents d LEFT JOIN kept k USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Edit-distance join (Ed-Join q-gram prefix filter + levenshtein
     // verify) over customer names: typo-tolerant entity matching,
     // the string-key complement of the shingle measures. The oracle

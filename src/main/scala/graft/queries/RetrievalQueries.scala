@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.QueryDef
+import graft.ext.Retrieval
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Inverted-index / BM25 retrieval gate queries. The DuckDB oracles
+  * reproduce the scoring arithmetic with the identical expression
+  * trees (same parenthesization, natural log, double math); each
+  * term's contribution is rounded to 9 decimals on both sides before
+  * the per-document sum so aggregation ORDER can never move the
+  * 6-decimal reported score.
+  */
+object RetrievalQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir).table(n)
+
+  /** Shared oracle scaffolding: postings with in-row document length,
+    * document frequency, corpus stats — the SQL twin of
+    * [[Retrieval.postings]] / corpusStats. `termFilter` restricts the
+    * postings (SQL boolean over `term`). */
+  private def oraclePost(termFilter: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, len(string_split_regex(text, '\\s+')) AS dl,
+       |         unnest(string_split_regex(lower(text), '\\s+')) AS term
+       |  FROM documents),
+       |post AS (
+       |  SELECT term, doc_id, dl, count(*) AS tf
+       |  FROM toks WHERE len(term) > 0 AND ($termFilter)
+       |  GROUP BY 1, 2, 3),
+       |dfT AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+       |stats AS (
+       |  SELECT count(*) AS n_docs,
+       |         avg(len(string_split_regex(text, '\\s+')) * 1.0) AS avgdl
+       |  FROM documents)""".stripMargin
+
+  /** Per-(term, doc) BM25 contribution, k1 = 1.2, b = 0.75 — textual
+    * twin of Retrieval.idf × Retrieval.bm25Term, rounded to 9. */
+  private val oracleTermScore: String =
+    """round(ln(1.0 + (s.n_docs - df + 0.5) / (df + 0.5)) *
+      |  tf * (1.2 + 1.0) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / s.avgdl)), 9)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Single-query BM25 top-10: literal term pruning reaches the
+    // postings before any exchange; ranking is TakeOrderedAndProject.
+    QueryDef("q_ir_bm25",
+      (s, d) => Retrieval.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        "spark join window table", k = 10),
+      Some(s"""WITH ${oraclePost("term IN ('spark','join','window','table')")},
+             |scored AS (
+             |  SELECT doc_id, round(sum($oracleTermScore), 6) AS score
+             |  FROM post JOIN dfT USING (term), stats s
+             |  GROUP BY doc_id)
+             |SELECT doc_id, score, rank FROM (
+             |  SELECT doc_id, score,
+             |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored)
+             |WHERE rank <= 10 ORDER BY rank""".stripMargin), bench = true),
+
+    // Persisted-index lifecycle: build the postings, write them as
+    // parquet, read them back, and serve the query from the persisted
+    // frame (stats recovered from the index's narrow (doc_id, dl)
+    // projection). Deterministic build makes rebuild ≡ reload, so the
+    // oracle is the same scoring SQL — any drift in write → scan →
+    // score hash-fails the gate.
+    QueryDef("q_ir_index",
+      (s, d) => {
+        val dir = graft.Scratch.tempDir("graft_iridx_")
+        Retrieval.postings(t(s, d, "documents"), "doc_id", "text")
+          .write.mode("overwrite").parquet(dir)
+        val post = s.read.parquet(dir)
+        Retrieval.bm25TopKFromPostings(post, Retrieval.postingsStats(post),
+          "customer order data group", k = 10)
+      },
+      Some(s"""WITH ${oraclePost("term IN ('customer','order','data','group')")},
+             |scored AS (
+             |  SELECT doc_id, round(sum($oracleTermScore), 6) AS score
+             |  FROM post JOIN dfT USING (term), stats s
+             |  GROUP BY doc_id)
+             |SELECT doc_id, score, rank FROM (
+             |  SELECT doc_id, score,
+             |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored)
+             |WHERE rank <= 10 ORDER BY rank""".stripMargin)),
+
+    // Batch BM25: every 97th document's 8-token prefix becomes a
+    // query; top-5 per query via broadcast term pruning + window.
+    QueryDef("q_ir_bm25_batch",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val queries = docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(split(col("text"), " "), 1, 8), " ").as("qtext"))
+        Retrieval.bm25Batch(docs, "doc_id", "text", queries, "query_id", "qtext", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH queries AS (
+             |  SELECT doc_id AS query_id,
+             |         array_to_string(string_split(text, ' ')[1:8], ' ') AS qtext
+             |  FROM documents WHERE doc_id % 97 = 0),
+             |qterms AS (
+             |  SELECT DISTINCT query_id,
+             |         unnest(string_split_regex(lower(qtext), '\\s+')) AS term
+             |  FROM queries),
+             |${oraclePost("term IN (SELECT term FROM qterms)")},
+             |scored AS (
+             |  SELECT q.query_id, p.doc_id, round(sum($oracleTermScore), 6) AS score
+             |  FROM post p JOIN dfT USING (term) JOIN qterms q USING (term), stats s
+             |  WHERE len(q.term) > 0
+             |  GROUP BY 1, 2)
+             |SELECT query_id, doc_id, score, rank FROM (
+             |  SELECT query_id, doc_id, score,
+             |         row_number() OVER (PARTITION BY query_id
+             |                            ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored)
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+  )
+}

@@ -139,4 +139,26 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"), plan)
     assert(!plan.contains("SortMergeJoin"), s"semi join fell back to a shuffle join:\n$plan")
   }
+
+  test("bm25: query-term pruning broadcasts; persisted index pushes the term filter to the scan") {
+    val batch = finalPlan("q_ir_bm25_batch")
+    // query terms and per-term df both broadcast — a shuffle join on
+    // term would re-partition the postings on the skew-prone key
+    assert(batch.contains("LeftSemi"), batch)
+    assert(!batch.contains("SortMergeJoin"), s"postings re-shuffled on term:\n$batch")
+    assert(!batch.contains("CartesianProduct"), batch)
+    // the persisted-index path: the literal IN filter must reach the
+    // postings parquet scan as a pushed filter, so serving a query
+    // reads only the matched term stripes, never the whole index
+    val idx = finalPlan("q_ir_index")
+    assert(idx.contains("PushedFilters: [In(term"),
+      s"term filter not pushed to the index scan:\n$idx")
+  }
+
+  test("span stripper: boilerplate set broadcasts into the anti join") {
+    val plan = finalPlan("q_dd_spans")
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"anti join re-shuffled the corpus on the span text:\n$plan")
+  }
 }

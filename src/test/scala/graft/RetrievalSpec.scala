@@ -1,0 +1,86 @@
+package graft
+
+import graft.ext.{Dedup, Retrieval}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral checks for the inverted-index/BM25 stack and the
+  * span-level boilerplate stripper on hand-built corpora where the
+  * right answer is obvious by construction.
+  */
+class RetrievalSpec extends AnyFunSuite with SharedSpark {
+
+  private lazy val corpus: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "spark shuffle join spark spark"), // tf-heavy on "spark"
+      (1L, "spark join"),                     // short doc, both terms
+      (2L, "join join join join join join"),  // one term only
+      (3L, "window sort order by"),           // no query terms
+      (4L, "spark")                           // single term, shortest
+    ).toDF("doc_id", "text")
+  }
+
+  test("postings carry tf and in-row doc length") {
+    val p = Retrieval.postings(corpus, "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(p(("spark", 0L)) === (5L, 3L)) // dl=5, tf=3
+    assert(p(("join", 2L)) === (6L, 6L))
+    assert(!p.contains(("window", 0L)))
+  }
+
+  test("bm25 ranks docs matching more query terms above single-term docs") {
+    val top = Retrieval.bm25TopK(corpus, "doc_id", "text", "spark join", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val ids = top.map(_._1)
+    assert(!ids.contains(3L), "doc without any query term must not score")
+    assert(top.forall(_._2 > 0), "BM25 with the +1 idf is strictly positive")
+    // doc 1 has both terms at minimal length; doc 3 has neither
+    assert(ids.head === 1L, s"expected the short both-term doc first, got ${ids.toSeq}")
+    assert(ids.length === 4)
+  }
+
+  test("batch bm25 matches the single-query path per query") {
+    import spark.implicits._
+    val queries = Seq((10L, "spark join"), (11L, "window")).toDF("qid", "qtext")
+    val batch = Retrieval.bm25Batch(corpus, "doc_id", "text", queries, "qid", "qtext", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    for ((q, text) <- Seq(10L -> "spark join", 11L -> "window")) {
+      val single = Retrieval.bm25TopK(corpus, "doc_id", "text", text, k = 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      for ((doc, score, rank) <- single)
+        assert(batch((q, doc)) === ((score, rank)),
+          s"query $q doc $doc: batch ${batch.get((q, doc))} vs single ($score, $rank)")
+      assert(batch.keys.count(_._1 == q) === single.length)
+    }
+  }
+
+  test("span stripper removes cross-doc boilerplate, keeps order, empties full-boiler docs") {
+    import spark.implicits._
+    val pre = "HEADER LICENSE COPY"                  // 3-token boilerplate block
+    val docs = Seq(
+      (0L, s"$pre alpha beta gamma"),
+      (1L, s"$pre delta epsilon zeta"),
+      (2L, "eta theta iota kappa lambda mu"),        // unique throughout
+      (3L, pre)                                      // boilerplate only
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplateSpans(docs, "doc_id", "text", spanWords = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) === "alpha beta gamma")
+    assert(out(1L) === "delta epsilon zeta")
+    assert(out(2L) === "eta theta iota kappa lambda mu")
+    assert(out(3L) === "", "all-boilerplate doc reduces to empty, not a dropped row")
+  }
+
+  test("span stripper reassembles multi-span docs in original span order") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g h"),                       // spans: (a b c)(d e f)(g h)
+      (1L, "d e f x y z")                            // shares (d e f)
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplateSpans(docs, "doc_id", "text", spanWords = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) === "a b c g h")
+    assert(out(1L) === "x y z")
+  }
+}
