@@ -313,5 +313,86 @@ object EventQueries {
              |WHERE valid_from <= 1705276800000000
              |  AND (valid_to IS NULL OR valid_to > 1705276800000000)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // CDC snapshot diff ([[graft.ext.Scd.snapshotDiff]]): two
+    // date-sliced lineitem states (new side carries a simulated
+    // quantity correction on returned rows), full-outer joined on the
+    // compound key and classified added/removed/changed; the
+    // unchanged majority never leaves the join. Gate reports the
+    // per-class census so the whole diff is hash-checked.
+    QueryDef("q_cdc_diff",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_quantity"), col("l_shipdate"))
+        val oldS = li.filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+        val newS = li.filter(col("l_shipdate") >= lit("1996-06-01").cast("timestamp"))
+          .withColumn("l_quantity", when(col("l_returnflag") === "R",
+            col("l_quantity") + 1).otherwise(col("l_quantity")))
+        graft.ext.Scd.snapshotDiff(oldS, newS, Seq("l_orderkey", "l_linenumber"),
+            trackedCols = Seq("l_returnflag", "l_quantity"))
+          .groupBy("change_type")
+          .agg(count(lit(1)).as("n"),
+            round(sum(coalesce(col("new_vals.l_quantity"),
+              col("old_vals.l_quantity"))), 2).as("qty"))
+          .orderBy("change_type")
+      },
+      Some("""WITH old_s AS (
+             |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+             |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'),
+             |new_s AS (
+             |  SELECT l_orderkey, l_linenumber, l_returnflag,
+             |    CASE WHEN l_returnflag = 'R' THEN l_quantity + 1
+             |         ELSE l_quantity END AS l_quantity
+             |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-06-01'),
+             |diff AS (
+             |  SELECT CASE WHEN o.l_orderkey IS NULL THEN 'added'
+             |              WHEN n.l_orderkey IS NULL THEN 'removed'
+             |              WHEN o.l_returnflag <> n.l_returnflag
+             |                OR o.l_quantity <> n.l_quantity THEN 'changed'
+             |         END AS change_type,
+             |         COALESCE(n.l_quantity, o.l_quantity) AS q
+             |  FROM old_s o FULL OUTER JOIN new_s n USING (l_orderkey, l_linenumber))
+             |SELECT change_type, count(*) AS n, round(sum(q), 2) AS qty
+             |FROM diff WHERE change_type IS NOT NULL
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Hourly anomaly detection: per-type z-scores of hourly event
+    // counts, outliers beyond 2 sigma. The variance comes from EXACT
+    // integer sums (sum n, sum n^2 per type) rather than a stddev
+    // aggregate, so aggregation order can never move the reported
+    // z-score — both engines then evaluate the identical double
+    // expression tree (IEEE-deterministic). Per-type stats are a tiny
+    // broadcast; the hourly frame shuffles once.
+    QueryDef("q_ev_anomaly",
+      (s, d) => {
+        val hourly = t(s, d, "events")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("hour"), col("event_type"), col("n"))
+        val stats = hourly.groupBy("event_type").agg(
+          count(lit(1)).as("c"), sum("n").as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+        val mean = col("s1").cast("double") / col("c")
+        val variance = col("s2").cast("double") / col("c") - mean * mean
+        hourly.join(broadcast(stats), "event_type")
+          .withColumn("z", round((col("n") - mean) / sqrt(variance), 6))
+          .filter(variance > 0 && abs(col("z")) > 2)
+          .select(col("event_type"), col("hour"), col("n"), col("z"))
+          .orderBy("event_type", "hour")
+      },
+      Some("""WITH hourly AS (
+             |  SELECT time_bucket(INTERVAL '1 hour', ts) AS hour, event_type,
+             |         count(*) AS n
+             |  FROM events GROUP BY 1, 2),
+             |stats AS (
+             |  SELECT event_type, count(*) AS c,
+             |         CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n*n) AS BIGINT) AS s2
+             |  FROM hourly GROUP BY 1)
+             |SELECT event_type, hour, n,
+             |  round((n - s1*1.0/c) / sqrt(s2*1.0/c - (s1*1.0/c)*(s1*1.0/c)), 6) AS z
+             |FROM hourly JOIN stats USING (event_type)
+             |WHERE s2*1.0/c - (s1*1.0/c)*(s1*1.0/c) > 0
+             |  AND abs((n - s1*1.0/c) / sqrt(s2*1.0/c - (s1*1.0/c)*(s1*1.0/c))) > 2
+             |ORDER BY event_type, hour""".stripMargin)),
   )
 }

@@ -65,4 +65,25 @@ class ScdSpec extends AnyFunSuite with SharedSpark {
       .orderBy("version").select("status").collect().map(_.getString(0))
     assert(h.toSeq === Seq("a", "b", "c"))
   }
+
+  test("snapshotDiff classifies added/removed/changed and drops the unchanged majority") {
+    import spark.implicits._
+    val oldS = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("id", "flag", "amount")
+    val newS = Seq((2L, "b", 20.0), (3L, "c", 31.0), (4L, "D", 40.0), (5L, "e", 50.0))
+      .toDF("id", "flag", "amount")
+    val out = Scd.snapshotDiff(oldS, newS, Seq("id"), Seq("flag", "amount"))
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("change_type"))).toMap
+    assert(out === Map(1L -> "removed", 3L -> "changed", 4L -> "changed", 5L -> "added"),
+      s"got $out") // id 2 unchanged: filtered out
+  }
+
+  test("snapshotDiff treats null tracked values null-safely") {
+    import spark.implicits._
+    val oldS = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("id", "v")
+    val newS = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("id", "v")
+    val out = Scd.snapshotDiff(oldS, newS, Seq("id"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("change_type"))).toMap
+    assert(out === Map(2L -> "changed"), s"null==null must not read as a change: $out")
+  }
 }
