@@ -44,6 +44,53 @@ object CorpusStats {
           .as("avg_logprob"))
   }
 
+  /** Per-document cross-entropy under the corpus's own add-one-
+    * smoothed BIGRAM model, −mean ln p(w2|w1) with p = (c(w1,w2)+1)
+    * / (c(w1·)+V) — the sequence-aware upgrade of
+    * [[unigramLogProb]]: scrambled or template-stitched text scores
+    * high (its bigrams are rare even when its unigrams are common),
+    * fluent text low. The cheap stand-in for LM-perplexity filtering
+    * when no model is at hand.
+    *
+    * Determinism: each bigram TYPE's ln p is quantized on the 2⁻²⁰
+    * grid once, then summed per document weighted by the doc's own
+    * bigram count — integer sums, exact in any order.
+    *
+    * 100 TB posture: bigrams come from the shuffle-free array zip
+    * ([[TextAnalysis.bigrams]]); per-doc bigram counts reduce the
+    * stream BEFORE the model join, so a hot bigram joins once per
+    * containing doc, not once per occurrence; the bigram-type model
+    * table joins on the (w1, w2) compound key (its skew is the
+    * doc-frequency of a bigram type — the same bounded shape as the
+    * unigram score's token join); the unigram-prefix table is
+    * vocab-sized and BROADCAST (if a web-scale vocab ever outgrows
+    * that, drop the hint and it degrades to one more equi-join).
+    * Documents with < 2 tokens carry a NULL entropy. */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val bi = docs.select(col(idCol).as("id"),
+        explode(TextAnalysis.bigrams(col(textCol))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val d12 = bi.groupBy("id", "w1", "w2").agg(count(lit(1)).as("cd"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = broadcast(
+      tokens(docs, textCol).agg(countDistinct("token").as("v")))
+    val scored = d12.join(c12, Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(vocab)
+      .select(col("id"), col("cd"),
+        floor(log((col("c12") + 1).cast("double") / (col("c1") + col("v")).cast("double"))
+          * lit(1048576.0) + lit(0.5)).cast("long").as("qlp"))
+      .groupBy("id")
+      .agg(sum("cd").as("n_bigrams"), sum(col("qlp") * col("cd")).as("sq"))
+      .select(col("id"), col("n_bigrams"),
+        round(-col("sq").cast("double") / (col("n_bigrams") * lit(1048576.0)), 6)
+          .as("cross_entropy"))
+    docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_bigrams"), col("cross_entropy"))
+  }
+
   /** Add-one-smoothed unigram KL divergence KL(P‖Q) between two
     * corpus cuts (P = `a`, Q = `b`) over their union vocabulary —
     * the standard drift monitor between train/eval splits, corpus

@@ -90,6 +90,42 @@ object Packing {
       .drop("__oh", "__rank", "__start")
   }
 
+  /** Length-bucketed batching: the INFERENCE-side counterpart of
+    * concat-and-chunk packing. Where packing concatenates documents
+    * into fixed windows (zero waste, boundaries crossed), batched
+    * inference must keep documents whole and pads every sequence in a
+    * batch to the batch maximum — so the curator's lever is grouping
+    * similar lengths together. Documents are bucketed by
+    * `bucketWidth` tokens, ranked inside their bucket by (length,
+    * id), and cut into `batchSize`-document batches; the report per
+    * batch is its size, max length and padding waste
+    * (n·max − Σlen), the number the serving bill actually scales
+    * with.
+    *
+    * 100 TB posture: the within-bucket rank uses the same two-phase
+    * running total as [[shardAssign]] with the fine (bucket, length)
+    * compound as the order bucket — parallelism is the number of
+    * DISTINCT (bucket, length) pairs, never one task per length
+    * bucket — then subtracts each bucket's broadcast start offset.
+    * No global window, no per-doc text movement at all (only lengths
+    * travel). */
+  def lengthBucketedBatches(docs: DataFrame, idCol: String, textCol: String,
+                            bucketWidth: Int, batchSize: Int): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0, "need positive bucketWidth and batchSize")
+    val base = docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokenCountWs(col(textCol)).cast("long").as("dl"))
+      .withColumn("bucket", floor(col("dl") / bucketWidth).cast("long"))
+    val ranked = RelationalOps.runningTotal(base,
+      struct(col("bucket"), col("dl")), Seq(col("doc_id")), lit(1L), "__grank")
+    val starts = ranked.groupBy("bucket").agg(min("__grank").as("__start"))
+    ranked.join(broadcast(starts), "bucket")
+      .withColumn("batch_id",
+        floor((col("__grank") - col("__start")) / batchSize).cast("long"))
+      .groupBy("bucket", "batch_id")
+      .agg(count(lit(1)).as("n_docs"), max("dl").as("max_dl"),
+        (count(lit(1)) * max("dl") - sum("dl")).cast("long").as("waste"))
+  }
+
   /** Materialized packed windows: the full concat-and-chunk pipeline
     * ending in actual training rows — (bin_id, n_tokens, payload)
     * with every payload exactly `contextLen` tokens (the final window

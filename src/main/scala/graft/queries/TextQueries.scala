@@ -470,6 +470,40 @@ object TextQueries {
              |  round(CAST(sum(qlp) AS DOUBLE) / (count(*) * 1048576.0), 6) AS avg_logprob
              |FROM ql GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Bigram-LM cross-entropy: -mean ln p(w2|w1) per doc under the
+    // corpus's own add-one-smoothed bigram model — the sequence-aware
+    // fluency score (scrambled text scores high even when its
+    // unigrams are common). Same 2^-20 quantized-sum determinism as
+    // q_tx_logprob; the oracle rebuilds the bigram stream, both count
+    // tables, the vocabulary and the identical smoothed terms.
+    QueryDef("q_tx_bigram_ce",
+      (s, d) => graft.ext.CorpusStats.bigramCrossEntropy(t(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH tokd AS (
+             |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+             |  FROM documents),
+             |bi AS (
+             |  SELECT doc_id, t[r.i] AS w1, t[r.i + 1] AS w2
+             |  FROM tokd, LATERAL (SELECT unnest(range(1, len(t)))) AS r(i)),
+             |d12 AS (SELECT doc_id, w1, w2, count(*) AS cd FROM bi GROUP BY 1, 2, 3),
+             |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+             |c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+             |v AS (SELECT count(DISTINCT tok) AS v FROM (
+             |        SELECT unnest(t) AS tok FROM tokd)),
+             |scored AS (
+             |  SELECT d.doc_id, d.cd,
+             |    CAST(floor(ln((c12.c12 + 1) * 1.0 / (c1.c1 + v.v)) * 1048576.0 + 0.5)
+             |      AS BIGINT) AS qlp
+             |  FROM d12 d JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+             |per_doc AS (
+             |  SELECT doc_id, CAST(sum(cd) AS BIGINT) AS n_bigrams,
+             |    round(-CAST(sum(qlp * cd) AS DOUBLE)
+             |      / (CAST(sum(cd) AS BIGINT) * 1048576.0), 6) AS cross_entropy
+             |  FROM scored GROUP BY doc_id)
+             |SELECT d.doc_id, p.n_bigrams, p.cross_entropy
+             |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Distribution drift: add-one-smoothed unigram KL(train || eval)
     // across the portable 90/10 split — the monitor a pipeline runs
     // between corpus snapshots. Per-vocab-term quantization (2^-30)
@@ -578,6 +612,29 @@ object TextQueries {
              |SELECT doc_id, shard,
              |  row_number() OVER (PARTITION BY shard ORDER BY oh, doc_id) - 1 AS pos
              |FROM s ORDER BY shard, pos""".stripMargin)),
+
+    // Length-bucketed inference batching: 16-token-wide length
+    // buckets, 8-doc batches in (length, id) order, per-batch padding
+    // waste (n*max - sum len). The within-bucket rank comes from the
+    // two-phase running total over the fine (bucket, length) order
+    // bucket — the oracle re-ranks with a plain window, which is
+    // exactly the equivalence worth pinning.
+    QueryDef("q_pack_batches",
+      (s, d) => graft.ext.Packing.lengthBucketedBatches(
+        t(s, d, "documents"), "doc_id", "text", bucketWidth = 16, batchSize = 8)
+        .orderBy("bucket", "batch_id"),
+      Some("""WITH lens AS (
+             |  SELECT doc_id, len(string_split_regex(text, '\s+')) AS dl
+             |  FROM documents),
+             |r AS (
+             |  SELECT doc_id, dl, CAST(floor(dl / 16.0) AS BIGINT) AS bucket,
+             |    row_number() OVER (PARTITION BY CAST(floor(dl / 16.0) AS BIGINT)
+             |                       ORDER BY dl, doc_id) - 1 AS rk
+             |  FROM lens)
+             |SELECT bucket, CAST(floor(rk / 8.0) AS BIGINT) AS batch_id,
+             |  count(*) AS n_docs, max(dl) AS max_dl,
+             |  CAST(count(*) * max(dl) - sum(dl) AS BIGINT) AS waste
+             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // FLAGSHIP composition — the whole training-data pipeline in one
     // oracle-checked gate: eval-set decontamination → leakage-free

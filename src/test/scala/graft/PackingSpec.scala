@@ -103,4 +103,29 @@ class PackingSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(again.toSeq === out.sortBy(_._1).toSeq)
   }
+
+  test("lengthBucketedBatches: batches bounded, docs conserved, waste bounded by bucket width") {
+    val docs = graft.sources.Tables(spark, sf0001).table("documents")
+    val W = 16; val B = 8
+    val out = Packing.lengthBucketedBatches(docs, "doc_id", "text", W, B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nDocs = docs.count()
+    assert(out.map(_._3).sum === nDocs, "every doc lands in exactly one batch")
+    assert(out.forall(_._3 <= B), "no batch exceeds batchSize")
+    // batches fill in order: within a bucket only the LAST batch may be partial
+    out.groupBy(_._1).foreach { case (bucket, batches) =>
+      val partial = batches.filter(_._3 < B).map(_._2)
+      assert(partial.length <= 1 &&
+        partial.forall(_ == batches.map(_._2).max),
+        s"bucket $bucket: non-terminal partial batch")
+    }
+    // the whole point: padding waste inside a batch is bounded by the
+    // bucket width (all members share the same floor(dl/W))
+    assert(out.forall { case (_, _, n, _, waste) => waste <= n * (W - 1) },
+      "waste exceeds the bucket-width bound")
+    // determinism under repartition
+    val again = Packing.lengthBucketedBatches(docs.repartition(13), "doc_id", "text", W, B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.sortBy(t => (t._1, t._2)).toSeq === out.sortBy(t => (t._1, t._2)).toSeq)
+  }
 }
