@@ -471,7 +471,7 @@ object DedupQueries {
              |  GROUP BY s.doc_id)
              |SELECT d.doc_id, COALESCE(k.cleaned, '') AS cleaned
              |FROM documents d LEFT JOIN kept k USING (doc_id)
-             |ORDER BY doc_id""".stripMargin)),
+             |ORDER BY doc_id""".stripMargin), bench = true),
 
     // Edit-distance join (Ed-Join q-gram prefix filter + levenshtein
     // verify) over customer names: typo-tolerant entity matching,

@@ -87,6 +87,37 @@ object RetrievalQueries {
              |  FROM scored)
              |WHERE rank <= 10 ORDER BY rank""".stripMargin)),
 
+    // Incremental index maintenance: postings for the first corpus
+    // cut are persisted, the late-arriving delta's postings APPEND to
+    // the same index directory (no rebuild, no read of the existing
+    // postings — the delta tokenizes itself and nothing else), and
+    // the merged index serves queries identically to a full rebuild:
+    // the oracle scores the WHOLE corpus. df/avgdl derive from the
+    // merged postings at query time, so they are exact after any
+    // number of appends.
+    QueryDef("q_ir_inc",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val dir = graft.Scratch.tempDir("graft_irinc_")
+        Retrieval.postings(docs.filter(col("doc_id") < 400), "doc_id", "text")
+          .write.mode("overwrite").parquet(dir)
+        Retrieval.postings(docs.filter(col("doc_id") >= 400), "doc_id", "text")
+          .write.mode("append").parquet(dir)
+        val post = s.read.parquet(dir)
+        Retrieval.bm25TopKFromPostings(post, Retrieval.postingsStats(post),
+          "spark join window table", k = 10)
+      },
+      Some(s"""WITH ${oraclePost("term IN ('spark','join','window','table')")},
+             |scored AS (
+             |  SELECT doc_id, round(sum($oracleTermScore), 6) AS score
+             |  FROM post JOIN dfT USING (term), stats s
+             |  GROUP BY doc_id)
+             |SELECT doc_id, score, rank FROM (
+             |  SELECT doc_id, score,
+             |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored)
+             |WHERE rank <= 10 ORDER BY rank""".stripMargin)),
+
     // Batch BM25: every 97th document's 8-token prefix becomes a
     // query; top-5 per query via broadcast term pruning + window.
     QueryDef("q_ir_bm25_batch",

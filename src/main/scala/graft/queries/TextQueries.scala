@@ -502,7 +502,7 @@ object TextQueries {
              |  FROM scored GROUP BY doc_id)
              |SELECT d.doc_id, p.n_bigrams, p.cross_entropy
              |FROM documents d LEFT JOIN per_doc p USING (doc_id)
-             |ORDER BY doc_id""".stripMargin)),
+             |ORDER BY doc_id""".stripMargin), bench = true),
 
     // Distribution drift: add-one-smoothed unigram KL(train || eval)
     // across the portable 90/10 split — the monitor a pipeline runs
