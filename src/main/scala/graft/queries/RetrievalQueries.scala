@@ -118,6 +118,62 @@ object RetrievalQueries {
              |  FROM scored)
              |WHERE rank <= 10 ORDER BY rank""".stripMargin)),
 
+    // HYBRID retrieval composition — the RAG mining pattern: a cheap
+    // lexical BM25 pass shortlists 20 candidates (never touching the
+    // embedding column), then the dense re-rank scores ONLY the
+    // shortlist by cosine to the query document's embedding (codegen
+    // CosineSimilarity; the embedding scan is pruned to 21 rows by
+    // the broadcast semi-join on the shortlist ids). Query = doc 42:
+    // its 8-token prefix is the lexical query, its vector the dense
+    // one. Cross-module: a drift in EITHER the BM25 chain or the
+    // cosine kernel hash-fails this gate.
+    QueryDef("q_ir_hybrid",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val q = docs.filter(col("doc_id") === 42)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(split(col("text"), " "), 1, 8), " ").as("qtext"))
+        val shortlist = Retrieval.bm25Batch(docs, "doc_id", "text",
+            q, "query_id", "qtext", k = 21)
+          .filter(col("doc_id") =!= 42)
+          .select(col("doc_id"), col("score").as("bm25"))
+        val emb = t(s, d, "embeddings")
+        val qEmb = broadcast(emb.filter(col("vec_id") === 42)
+          .select(col("embedding").as("q_emb")))
+        emb.join(broadcast(shortlist), emb("vec_id") === shortlist("doc_id"))
+          .crossJoin(qEmb)
+          .select(col("doc_id"), col("bm25"),
+            round(graft.functions.VectorExpressions.cosineNative(
+              col("embedding"), col("q_emb")), 6).as("cosine"))
+          .orderBy(desc("cosine"), col("doc_id")).limit(5)
+      },
+      Some(s"""WITH queries AS (
+             |  SELECT doc_id AS query_id,
+             |         array_to_string(string_split(text, ' ')[1:8], ' ') AS qtext
+             |  FROM documents WHERE doc_id = 42),
+             |qterms AS (
+             |  SELECT DISTINCT query_id,
+             |         unnest(string_split_regex(lower(qtext), '\\s+')) AS term
+             |  FROM queries),
+             |${oraclePost("term IN (SELECT term FROM qterms)")},
+             |scored AS (
+             |  SELECT p.doc_id, round(sum($oracleTermScore), 6) AS bm25
+             |  FROM post p JOIN dfT USING (term) JOIN qterms q USING (term), stats s
+             |  GROUP BY 1),
+             |shortlist AS (
+             |  SELECT doc_id, bm25 FROM (
+             |    SELECT doc_id, bm25,
+             |           row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+             |    FROM scored) WHERE rank <= 21 AND doc_id <> 42),
+             |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 42)
+             |SELECT sl.doc_id, sl.bm25,
+             |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(qv.q_emb AS DOUBLE[]))
+             |    / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+             |       * sqrt(list_dot_product(CAST(qv.q_emb AS DOUBLE[]), CAST(qv.q_emb AS DOUBLE[])))), 6)
+             |    AS cosine
+             |FROM shortlist sl JOIN embeddings e ON e.vec_id = sl.doc_id, qv
+             |ORDER BY cosine DESC, sl.doc_id LIMIT 5""".stripMargin)),
+
     // Batch BM25: every 97th document's 8-token prefix becomes a
     // query; top-5 per query via broadcast term pruning + window.
     QueryDef("q_ir_bm25_batch",
