@@ -135,6 +135,52 @@ object Retrieval {
       stats, k, k1, b)
   }
 
+  /** POSITIONAL posting lists: like [[postings]] plus the sorted
+    * 0-based token positions of each term in the document — the index
+    * layout phrase and proximity queries need. Same ONE shuffle; the
+    * positions array adds O(tf) ints per posting row (the classic
+    * positional-index overhead). */
+  def positionalPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokenCountWs(col(textCol)).cast("long").as("dl"),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(length(col("term")) > 0)
+      .groupBy("term", "doc_id", "dl")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"),
+        count(lit(1)).as("tf"))
+
+  /** Exact-phrase search over a positional postings frame: documents
+    * containing `phrase`'s terms ADJACENTLY, with the occurrence
+    * count — (doc_id, n_occurrences), hits only.
+    *
+    * The phrase's terms prune the postings with a plan-time literal
+    * filter (pushed to a persisted index's scan); each term's posting
+    * then equi-joins on doc_id — k−1 narrow joins among lists already
+    * restricted to the phrase's terms, never a corpus scan. The
+    * adjacency test is per-row array arithmetic: an occurrence is a
+    * position p of the first term with term i at p+i for every i. */
+  def phraseSearch(post: DataFrame, phrase: String): DataFrame = {
+    val terms = phrase.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, "phraseSearch: empty phrase")
+    val pruned = post.filter(col("term").isin(terms.distinct: _*))
+    def termPos(i: Int): DataFrame = pruned
+      .filter(col("term") === terms(i))
+      .select(col("doc_id"), col("positions").as(s"p$i"))
+    val joined = (1 until terms.length).foldLeft(termPos(0)) {
+      (acc, i) => acc.join(termPos(i), "doc_id")
+    }
+    val matched = (1 until terms.length).foldLeft(col("p0")) {
+      (acc, i) => filter(acc, p => array_contains(col(s"p$i"), p + i))
+    }
+    joined.select(col("doc_id"), size(matched).cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+  }
+
+  /** Convenience phrase search straight off a corpus frame. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: String): DataFrame =
+    phraseSearch(positionalPostings(docs, idCol, textCol), phrase)
+
   /** Convenience single-query form over the raw corpus. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String, query: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =

@@ -118,6 +118,32 @@ object RetrievalQueries {
              |  FROM scored)
              |WHERE rank <= 10 ORDER BY rank""".stripMargin)),
 
+    // Exact-phrase search over the positional index: documents where
+    // "table value" occurs ADJACENTLY, with occurrence counts. The
+    // phrase's terms prune the positional postings before their one
+    // shuffle; adjacency is per-row array arithmetic.
+    QueryDef("q_ir_phrase",
+      (s, d) => Retrieval.phraseSearch(t(s, d, "documents"), "doc_id", "text",
+        "table value").orderBy("doc_id"),
+      Some("""WITH tokd AS (
+             |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+             |  FROM documents),
+             |tp AS (
+             |  SELECT doc_id, t[r.i + 1] AS term, r.i AS pos
+             |  FROM tokd, LATERAL (SELECT unnest(range(0, len(t)))) AS r(i)
+             |  WHERE len(t[r.i + 1]) > 0),
+             |pos AS (
+             |  SELECT doc_id, term, list(pos ORDER BY pos) AS ps
+             |  FROM tp GROUP BY 1, 2),
+             |a AS (SELECT doc_id, ps AS p0 FROM pos WHERE term = 'table'),
+             |b AS (SELECT doc_id, ps AS p1 FROM pos WHERE term = 'value')
+             |SELECT a.doc_id,
+             |  CAST(len(list_filter(a.p0, p -> list_contains(b.p1, p + 1)))
+             |    AS BIGINT) AS n_occurrences
+             |FROM a JOIN b USING (doc_id)
+             |WHERE len(list_filter(a.p0, p -> list_contains(b.p1, p + 1))) > 0
+             |ORDER BY doc_id""".stripMargin)),
+
     // HYBRID retrieval composition — the RAG mining pattern: a cheap
     // lexical BM25 pass shortlists 20 candidates (never touching the
     // embedding column), then the dense re-rank scores ONLY the

@@ -55,6 +55,25 @@ class RetrievalSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("phrase search: adjacency only, occurrence counts, repeated-term phrases") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "big data spark big data tools"),  // "big data" twice
+      (1L, "data big spark"),                 // reversed: no match
+      (2L, "big red data"),                   // gap: no match
+      (3L, "go go go stop")                   // repeated-term phrase target
+    ).toDF("doc_id", "text")
+    val out = Retrieval.phraseSearch(docs, "doc_id", "text", "big data")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 2L), s"adjacent-only with counts, got $out")
+    val rep = Retrieval.phraseSearch(docs, "doc_id", "text", "go go")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep === Map(3L -> 2L), s"'go go' occurs at positions 0 and 1, got $rep")
+    val tri = Retrieval.phraseSearch(docs, "doc_id", "text", "big data spark")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(tri === Map(0L -> 1L), s"3-term phrase, got $tri")
+  }
+
   test("span stripper removes cross-doc boilerplate, keeps order, empties full-boiler docs") {
     import spark.implicits._
     val pre = "HEADER LICENSE COPY"                  // 3-token boilerplate block
