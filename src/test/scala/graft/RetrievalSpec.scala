@@ -2,6 +2,7 @@ package graft
 
 import graft.ext.{Dedup, Retrieval}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Behavioral checks for the inverted-index/BM25 stack and the
@@ -72,6 +73,34 @@ class RetrievalSpec extends AnyFunSuite with SharedSpark {
     val tri = Retrieval.phraseSearch(docs, "doc_id", "text", "big data spark")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(tri === Map(0L -> 1L), s"3-term phrase, got $tri")
+  }
+
+  test("streaming index maintenance: foreachBatch appends; merged index equals batch rebuild") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = graft.Scratch.tempDir("graft_iridx_stream_")
+    val seed = Seq((0L, "spark shuffle join spark"), (1L, "window sort order"))
+      .toDF("doc_id", "text")
+    Retrieval.postings(seed, "doc_id", "text").write.mode("overwrite").parquet(dir)
+    val arriving = Seq((2L, "spark join window"), (3L, "join join join"), (4L, "spark window"))
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Retrieval.postings(batch, "doc_id", "text").write.mode("append").parquet(dir)
+      }.start()
+    try {
+      mem.addData(arriving.take(2): _*); q.processAllAvailable()
+      mem.addData(arriving.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val post = spark.read.parquet(dir)
+    val got = Retrieval.bm25TopKFromPostings(post, Retrieval.postingsStats(post),
+        "spark join", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val want = Retrieval.bm25TopK(seed.unionAll(arriving.toDF("doc_id", "text")),
+        "doc_id", "text", "spark join", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got === want, s"streamed-appended index diverges from batch rebuild:\n$got\n$want")
+    assert(got.nonEmpty)
   }
 
   test("span stripper removes cross-doc boilerplate, keeps order, empties full-boiler docs") {
