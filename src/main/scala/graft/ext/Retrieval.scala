@@ -149,19 +149,25 @@ object Retrieval {
       .agg(sort_array(collect_list(col("pos"))).as("positions"),
         count(lit(1)).as("tf"))
 
-  /** Exact-phrase search over a positional postings frame: documents
-    * containing `phrase`'s terms ADJACENTLY, with the occurrence
-    * count — (doc_id, n_occurrences), hits only.
+  /** Phrase search over a positional postings frame: documents
+    * containing `phrase`'s terms in order, with the occurrence
+    * count — (doc_id, n_occurrences), hits only. `slop = 0` is the
+    * exact adjacent phrase; `slop > 0` is ordered proximity — term i
+    * may land anywhere in [p+i, p+i+slop] (each later term allowed up
+    * to `slop` extra positions of slack after the previous ideal
+    * spot).
     *
     * The phrase's terms prune the postings with a plan-time literal
     * filter (pushed to a persisted index's scan); each term's posting
     * then equi-joins on doc_id — k−1 narrow joins among lists already
     * restricted to the phrase's terms, never a corpus scan. The
-    * adjacency test is per-row array arithmetic: an occurrence is a
-    * position p of the first term with term i at p+i for every i. */
-  def phraseSearch(post: DataFrame, phrase: String): DataFrame = {
+    * position test is per-row array arithmetic: an occurrence is a
+    * position p of the first term with every later term inside its
+    * window. */
+  def phraseSearch(post: DataFrame, phrase: String, slop: Int = 0): DataFrame = {
     val terms = phrase.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, "phraseSearch: empty phrase")
+    require(slop >= 0, "phraseSearch: negative slop")
     val pruned = post.filter(col("term").isin(terms.distinct: _*))
     def termPos(i: Int): DataFrame = pruned
       .filter(col("term") === terms(i))
@@ -169,8 +175,11 @@ object Retrieval {
     val joined = (1 until terms.length).foldLeft(termPos(0)) {
       (acc, i) => acc.join(termPos(i), "doc_id")
     }
+    def inWindow(pi: Column, p: Column, i: Int): Column =
+      if (slop == 0) array_contains(pi, p + i)
+      else exists(pi, q => q >= p + i && q <= p + i + slop)
     val matched = (1 until terms.length).foldLeft(col("p0")) {
-      (acc, i) => filter(acc, p => array_contains(col(s"p$i"), p + i))
+      (acc, i) => filter(acc, p => inWindow(col(s"p$i"), p, i))
     }
     joined.select(col("doc_id"), size(matched).cast("long").as("n_occurrences"))
       .filter(col("n_occurrences") > 0)
@@ -180,6 +189,11 @@ object Retrieval {
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
                    phrase: String): DataFrame =
     phraseSearch(positionalPostings(docs, idCol, textCol), phrase)
+
+  /** Convenience ordered-proximity search off a corpus frame. */
+  def proximitySearch(docs: DataFrame, idCol: String, textCol: String,
+                      phrase: String, slop: Int): DataFrame =
+    phraseSearch(positionalPostings(docs, idCol, textCol), phrase, slop)
 
   /** Convenience single-query form over the raw corpus. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String, query: String,

@@ -230,6 +230,6 @@ object RetrievalQueries {
              |         row_number() OVER (PARTITION BY query_id
              |                            ORDER BY score DESC, doc_id) AS rank
              |  FROM scored)
-             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin), bench = true),
   )
 }

@@ -73,6 +73,11 @@ class RetrievalSpec extends AnyFunSuite with SharedSpark {
     val tri = Retrieval.phraseSearch(docs, "doc_id", "text", "big data spark")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(tri === Map(0L -> 1L), s"3-term phrase, got $tri")
+    // ordered proximity: slop=1 admits one intervening token ("big
+    // red data"), but never the reversed order of doc 1
+    val prox = Retrieval.proximitySearch(docs, "doc_id", "text", "big data", slop = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prox === Map(0L -> 2L, 2L -> 1L), s"slop=1, got $prox")
   }
 
   test("streaming index maintenance: foreachBatch appends; merged index equals batch rebuild") {
