@@ -195,6 +195,31 @@ object Retrieval {
                       phrase: String, slop: Int): DataFrame =
     phraseSearch(positionalPostings(docs, idCol, textCol), phrase, slop)
 
+  /** Boolean retrieval over a postings frame: documents containing
+    * EVERY term of `must`, at least one of `should` (ignored when
+    * empty), and none of `mustNot` — pure posting-list algebra
+    * (k semi-joins + one anti-join on doc_id among lists already
+    * pruned to the query's terms), the filter stage a retrieval
+    * pipeline runs before any scoring. Returns distinct doc_ids. */
+  def booleanSearch(post: DataFrame, must: Seq[String],
+                    should: Seq[String] = Nil, mustNot: Seq[String] = Nil): DataFrame = {
+    require(must.nonEmpty || should.nonEmpty, "booleanSearch: no positive terms")
+    def docsWith(term: String): DataFrame =
+      post.filter(col("term") === term.toLowerCase).select("doc_id")
+    val positive =
+      if (must.nonEmpty) must.map(docsWith).reduce(_.join(_, Seq("doc_id"), "left_semi"))
+      else should.map(docsWith).reduce(_ unionAll _).distinct()
+    val withShould =
+      if (must.nonEmpty && should.nonEmpty)
+        positive.join(should.map(docsWith).reduce(_ unionAll _),
+          Seq("doc_id"), "left_semi")
+      else positive
+    val negative = mustNot.map(docsWith)
+    val base = withShould.distinct()
+    if (negative.isEmpty) base
+    else base.join(negative.reduce(_ unionAll _), Seq("doc_id"), "left_anti")
+  }
+
   /** Convenience single-query form over the raw corpus. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String, query: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =

@@ -118,6 +118,26 @@ object RetrievalQueries {
              |  FROM scored)
              |WHERE rank <= 10 ORDER BY rank""".stripMargin)),
 
+    // Boolean retrieval: (spark AND join) AND (stream OR batch) AND
+    // NOT window — posting-list algebra only (semi/anti joins over
+    // term-pruned lists), the pre-scoring filter stage.
+    QueryDef("q_ir_boolean",
+      (s, d) => Retrieval.booleanSearch(
+        Retrieval.postings(t(s, d, "documents"), "doc_id", "text"),
+        must = Seq("spark", "join"), should = Seq("stream", "batch"),
+        mustNot = Seq("window")).orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT DISTINCT doc_id,
+             |         unnest(string_split_regex(lower(text), '\s+')) AS term
+             |  FROM documents)
+             |SELECT doc_id FROM documents
+             |WHERE doc_id IN (SELECT doc_id FROM toks WHERE term = 'spark')
+             |  AND doc_id IN (SELECT doc_id FROM toks WHERE term = 'join')
+             |  AND doc_id IN (SELECT doc_id FROM toks
+             |                 WHERE term = 'stream' OR term = 'batch')
+             |  AND doc_id NOT IN (SELECT doc_id FROM toks WHERE term = 'window')
+             |ORDER BY doc_id""".stripMargin)),
+
     // Exact-phrase search over the positional index: documents where
     // "table value" occurs ADJACENTLY, with occurrence counts. The
     // phrase's terms prune the positional postings before their one
