@@ -123,16 +123,57 @@ object Retrieval {
     * the query attach (the fan-out would double-count df). */
   def bm25BatchFromPostings(post: DataFrame, stats: DataFrame,
                             queries: DataFrame, qidCol: String, qtextCol: String,
-                            k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val qTerms = queries
-      .select(col(qidCol).as("query_id"), explode(tokens(col(qtextCol))).as("term"))
-      .filter(length(col("term")) > 0)
-      .distinct()
+                            k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25BatchFromTerms(post, stats,
+      queries
+        .select(col(qidCol).as("query_id"), explode(tokens(col(qtextCol))).as("term"))
+        .filter(length(col("term")) > 0)
+        .distinct(),
+      k, k1, b)
+
+  /** Batch BM25 from a pre-built DISTINCT (query_id, term) frame —
+    * the entry point expansion techniques compose on (the term set
+    * need not come from query text). Same broadcast shapes as
+    * [[bm25BatchFromPostings]]. */
+  def bm25BatchFromTerms(post: DataFrame, stats: DataFrame, qTerms: DataFrame,
+                         k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val pruned = post.join(broadcast(qTerms.select("term").distinct()),
       Seq("term"), "left_semi")
     val dfT = pruned.groupBy("term").agg(count(lit(1)).as("df"))
     score(pruned.join(broadcast(dfT), "term").join(broadcast(qTerms), "term"),
       stats, k, k1, b)
+  }
+
+  /** Pseudo-relevance feedback (RM3-lite): run BM25, harvest the
+    * `fbTerms` most frequent NON-query terms from each query's top
+    * `fbDocs` documents (tf summed over the feedback docs, ties to
+    * the lexicographically smaller term), union them into the term
+    * set, and re-score — the classic recall lever when queries are
+    * short and the corpus vocabulary drifts from query language.
+    *
+    * Scale: the feedback-doc frame is queries × fbDocs rows —
+    * broadcast into a map-side join that prunes the postings to the
+    * feedback docs (no shuffle of the postings on doc_id); both
+    * scoring passes are the standard broadcast-pruned batch path. */
+  def bm25Prf(post: DataFrame, stats: DataFrame,
+              queries: DataFrame, qidCol: String, qtextCol: String, k: Int,
+              fbDocs: Int = 5, fbTerms: Int = 3,
+              k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = queries
+      .select(col(qidCol).as("query_id"), explode(tokens(col(qtextCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val topDocs = bm25BatchFromTerms(post, stats, qTerms, fbDocs, k1, b)
+      .select(col("query_id"), col("doc_id"))
+    val w = Window.partitionBy("query_id").orderBy(desc("fb_tf"), col("term"))
+    val expansion = post.join(broadcast(topDocs), "doc_id")
+      .join(qTerms, Seq("query_id", "term"), "left_anti") // non-query terms only
+      .groupBy("query_id", "term").agg(sum("tf").as("fb_tf"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= fbTerms)
+      .select("query_id", "term")
+    bm25BatchFromTerms(post, stats, qTerms.unionByName(expansion).distinct(),
+      k, k1, b)
   }
 
   /** POSITIONAL posting lists: like [[postings]] plus the sorted

@@ -118,6 +118,72 @@ object RetrievalQueries {
              |  FROM scored)
              |WHERE rank <= 10 ORDER BY rank""".stripMargin)),
 
+    // Pseudo-relevance feedback (RM3-lite): first BM25 pass, harvest
+    // the 3 most frequent non-query terms from each query's top-5
+    // docs, re-score with the expanded term set. The oracle replays
+    // BOTH passes including the feedback harvest — an expansion
+    // drift anywhere flips the final ranking and hash-fails.
+    QueryDef("q_ir_prf",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val q = docs.filter(col("doc_id") % 251 === 0)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(split(col("text"), " "), 1, 8), " ").as("qtext"))
+        val post = Retrieval.postings(docs, "doc_id", "text")
+        val stats = Retrieval.postingsStats(post)
+        Retrieval.bm25Prf(post, stats, q, "query_id", "qtext", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH queries AS (
+             |  SELECT doc_id AS query_id,
+             |         array_to_string(string_split(text, ' ')[1:8], ' ') AS qtext
+             |  FROM documents WHERE doc_id % 251 = 0),
+             |qterms AS (
+             |  SELECT DISTINCT query_id,
+             |         unnest(string_split_regex(lower(qtext), '\\s+')) AS term
+             |  FROM queries),
+             |${oraclePost("TRUE")},
+             |df1 AS (SELECT term, count(*) AS df FROM post
+             |        WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
+             |s1 AS (
+             |  SELECT q.query_id, p.doc_id, round(sum($oracleTermScore), 6) AS score
+             |  FROM post p JOIN df1 df_t USING (term) JOIN qterms q USING (term),
+             |       stats s
+             |  GROUP BY 1, 2),
+             |top1 AS (
+             |  SELECT query_id, doc_id FROM (
+             |    SELECT query_id, doc_id,
+             |           row_number() OVER (PARTITION BY query_id
+             |                              ORDER BY score DESC, doc_id) AS rk
+             |    FROM s1) WHERE rk <= 5),
+             |fb AS (
+             |  SELECT t.query_id, p.term, sum(p.tf) AS fb_tf
+             |  FROM post p JOIN top1 t USING (doc_id)
+             |  ANTI JOIN qterms q2 ON q2.query_id = t.query_id AND q2.term = p.term
+             |  GROUP BY 1, 2),
+             |exp AS (
+             |  SELECT query_id, term FROM (
+             |    SELECT query_id, term,
+             |           row_number() OVER (PARTITION BY query_id
+             |                              ORDER BY fb_tf DESC, term) AS rn
+             |    FROM fb) WHERE rn <= 3),
+             |allterms AS (
+             |  SELECT query_id, term FROM qterms
+             |  UNION SELECT query_id, term FROM exp),
+             |df2 AS (SELECT term, count(*) AS df FROM post
+             |        WHERE term IN (SELECT term FROM allterms) GROUP BY 1),
+             |s2 AS (
+             |  SELECT a.query_id, p.doc_id, round(sum($oracleTermScore), 6) AS score
+             |  FROM post p JOIN df2 df_t USING (term) JOIN allterms a USING (term),
+             |       stats s
+             |  GROUP BY 1, 2)
+             |SELECT query_id, doc_id, score, rank FROM (
+             |  SELECT query_id, doc_id, score,
+             |         row_number() OVER (PARTITION BY query_id
+             |                            ORDER BY score DESC, doc_id) AS rank
+             |  FROM s2)
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // Boolean retrieval: (spark AND join) AND (stream OR batch) AND
     // NOT window — posting-list algebra only (semi/anti joins over
     // term-pruned lists), the pre-scoring filter stage.

@@ -80,6 +80,26 @@ class RetrievalSpec extends AnyFunSuite with SharedSpark {
     assert(prox === Map(0L -> 2L, 2L -> 1L), s"slop=1, got $prox")
   }
 
+  test("pseudo-relevance feedback pulls in docs matching only expansion terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta beta beta"),  // matches the query; rich in "beta"
+      (1L, "beta beta gamma"),       // no query term — only reachable via expansion
+      (2L, "gamma delta epsilon")    // unrelated
+    ).toDF("doc_id", "text")
+    val post = Retrieval.postings(docs, "doc_id", "text")
+    val stats = Retrieval.postingsStats(post)
+    val q = Seq((7L, "alpha")).toDF("query_id", "qtext")
+    val base = Retrieval.bm25BatchFromPostings(post, stats, q, "query_id", "qtext", k = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(base === Set(0L), "without feedback only the literal match scores")
+    val prf = Retrieval.bm25Prf(post, stats, q, "query_id", "qtext", k = 5,
+        fbDocs = 1, fbTerms = 1)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(prf.contains(1L), s"expansion term 'beta' must reach doc 1: $prf")
+    assert(prf(0L) === 1L, "the literal match still ranks first")
+  }
+
   test("streaming index maintenance: foreachBatch appends; merged index equals batch rebuild") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
