@@ -155,6 +155,14 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
       s"term filter not pushed to the index scan:\n$idx")
   }
 
+  test("prf: both scoring passes and the feedback harvest stay on broadcast joins") {
+    val plan = finalPlan("q_ir_prf")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a PRF stage re-shuffled the postings:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("LeftAnti"), s"query-term exclusion missing:\n$plan")
+  }
+
   test("span stripper: boilerplate set broadcasts into the anti join") {
     val plan = finalPlan("q_dd_spans")
     assert(plan.contains("LeftAnti"), plan)
