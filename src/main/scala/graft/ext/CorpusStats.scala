@@ -91,6 +91,66 @@ object CorpusStats {
       .select(col("id").as(idCol), col("n_bigrams"), col("cross_entropy"))
   }
 
+  /** DSIR-style importance resampling: select the `k` raw documents
+    * whose hashed-unigram profile looks most like a target domain
+    * (Xie et al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023). Tokens hash into `buckets` slots
+    * ([[TextAnalysis.rollingHash]] mod `buckets` — a per-row
+    * expression, no vocabulary join); each side's bucket distribution
+    * is add-one smoothed over the full bucket space, and a document's
+    * importance weight is its tokens' summed log-ratio
+    * ln p̂_target(b) − ln p̂_raw(b).
+    *
+    * This is the deterministic top-k variant (the paper's Gumbel
+    * resampling adds noise; a reproducible pipeline wants the same
+    * selection on every run). Each bucket's two log terms are
+    * quantized to the 2⁻²⁰ integer grid BEFORE the per-document sum,
+    * and the top-k orders on the INTEGER score (ties → id), so the
+    * selected set is bit-stable under any partitioning and exactly
+    * re-derivable by a SQL oracle — no float comparison anywhere in
+    * the selection.
+    *
+    * 100 TB posture: the raw corpus is exploded ONCE — the per-doc
+    * (id, bucket) counts roll up into the raw bucket distribution
+    * rather than re-scanning; the target side only ever materializes
+    * its ≤`buckets`-row histogram; the log-ratio table (≤`buckets`
+    * rows) broadcasts into the scoring join; selection is a
+    * TakeOrderedAndProject (per-partition top-k, k rows to the
+    * driver), never a global sort. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, k: Int,
+                 buckets: Int = 1024, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val grid = lit(1048576.0)
+    def qlog(num: Column, den: Column): Column =
+      floor(log(num.cast("double") / den.cast("double")) * grid + lit(0.5))
+        .cast("long")
+    // raw side: one explode, reduced straight to per-doc bucket counts
+    val docBuckets = tokens(raw, textCol, col(idCol).as("id"))
+      .select(col("id"),
+        (TextAnalysis.rollingHash(col("token")) % buckets).as("bucket"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("cnt"))
+    val rawHist = docBuckets.groupBy("bucket").agg(sum("cnt").as("cr"))
+    val tgtHist = tokens(target, textCol)
+      .select((TextAnalysis.rollingHash(col("token")) % buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val nt = broadcast(tgtHist.agg(coalesce(sum("ct"), lit(0L)).as("nt")))
+    val nr = broadcast(rawHist.agg(coalesce(sum("cr"), lit(0L)).as("nr")))
+    // buckets absent from the raw corpus can never score a raw doc,
+    // so the left join from the raw histogram loses nothing
+    val logRatio = rawHist.join(tgtHist, Seq("bucket"), "left")
+      .crossJoin(nt).crossJoin(nr)
+      .select(col("bucket"),
+        (qlog(coalesce(col("ct"), lit(0L)) + 1, col("nt") + buckets) -
+          qlog(col("cr") + 1, col("nr") + buckets)).as("lam"))
+    docBuckets.join(broadcast(logRatio), "bucket")
+      .groupBy("id")
+      .agg(sum("cnt").as("n_tokens"), sum(col("cnt") * col("lam")).as("sq"))
+      .orderBy(desc("sq"), col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("n_tokens"),
+        round(col("sq").cast("double") / grid, 6).as("score"))
+  }
+
   /** Add-one-smoothed unigram KL divergence KL(P‖Q) between two
     * corpus cuts (P = `a`, Q = `b`) over their union vocabulary —
     * the standard drift monitor between train/eval splits, corpus

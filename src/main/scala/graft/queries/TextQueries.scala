@@ -365,6 +365,59 @@ object TextQueries {
              |FROM documents
              |ORDER BY priority, doc_id LIMIT 200""".stripMargin)),
 
+    // DSIR importance resampling (Xie et al. 2023): pick the 100 raw
+    // docs (18 sources) whose hashed-unigram profile best matches the
+    // src0/src1 target domain. The oracle replays the full derivation
+    // — per-token rolling-hash bucket, both smoothed histograms, the
+    // 2^-20-quantized log-ratio table, and the integer-score top-k —
+    // so a drift anywhere in the chain hash-fails.
+    QueryDef("q_sample_dsir",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.ext.CorpusStats.dsirSelect(
+          docs.where(!col("source").isin("src0", "src1")),
+          docs.where(col("source").isin("src0", "src1")),
+          k = 100, buckets = 1024)
+      },
+      Some("""WITH rtok AS (
+             |  SELECT doc_id,
+             |    (list_reduce(
+             |       list_prepend(0::BIGINT,
+             |         list_transform(range(1, length(token) + 1),
+             |                        i -> unicode(substr(token, i, 1))::BIGINT)),
+             |       (h, c) -> (h * 31 + c) % 1000000007) % 1024) AS bucket
+             |  FROM (SELECT doc_id,
+             |          unnest(string_split_regex(lower(text), '\s+')) AS token
+             |        FROM documents WHERE source NOT IN ('src0', 'src1'))),
+             |ttok AS (
+             |  SELECT (list_reduce(
+             |       list_prepend(0::BIGINT,
+             |         list_transform(range(1, length(token) + 1),
+             |                        i -> unicode(substr(token, i, 1))::BIGINT)),
+             |       (h, c) -> (h * 31 + c) % 1000000007) % 1024) AS bucket
+             |  FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+             |        FROM documents WHERE source IN ('src0', 'src1'))),
+             |db AS (SELECT doc_id, bucket, count(*) AS cnt FROM rtok GROUP BY 1, 2),
+             |rb AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cr FROM db GROUP BY 1),
+             |tb AS (SELECT bucket, count(*) AS ct FROM ttok GROUP BY 1),
+             |nt AS (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) AS nt FROM tb),
+             |nr AS (SELECT CAST(coalesce(sum(cr), 0) AS BIGINT) AS nr FROM rb),
+             |lam AS (
+             |  SELECT rb.bucket,
+             |    CAST(floor(ln((coalesce(tb.ct, 0) + 1) * 1.0 / (nt.nt + 1024))
+             |      * 1048576.0 + 0.5) AS BIGINT)
+             |  - CAST(floor(ln((rb.cr + 1) * 1.0 / (nr.nr + 1024))
+             |      * 1048576.0 + 0.5) AS BIGINT) AS lam
+             |  FROM rb LEFT JOIN tb USING (bucket) CROSS JOIN nt CROSS JOIN nr),
+             |sc AS (
+             |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             |    CAST(sum(cnt * lam) AS BIGINT) AS sq
+             |  FROM db JOIN lam USING (bucket) GROUP BY 1)
+             |SELECT doc_id, n_tokens,
+             |  round(CAST(sq AS DOUBLE) / 1048576.0, 6) AS score
+             |FROM sc ORDER BY sq DESC, doc_id LIMIT 100""".stripMargin),
+      bench = true),
+
     // Contrastive negative mining: 4 deterministic negatives per
     // query doc (doc_id < 50) drawn over the prefix-sum-numbered
     // corpus — ONE equi-join, no cross join, MINSTD draws the oracle

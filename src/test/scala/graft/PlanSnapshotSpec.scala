@@ -163,6 +163,14 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("LeftAnti"), s"query-term exclusion missing:\n$plan")
   }
 
+  test("dsir: log-ratio table broadcasts into scoring; top-k is TakeOrdered") {
+    val plan = finalPlan("q_sample_dsir")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"selection fell back to a global sort:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the <=1024-row log-ratio table re-shuffled the doc buckets:\n$plan")
+  }
+
   test("span stripper: boilerplate set broadcasts into the anti join") {
     val plan = finalPlan("q_dd_spans")
     assert(plan.contains("LeftAnti"), plan)

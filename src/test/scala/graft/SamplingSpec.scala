@@ -144,4 +144,27 @@ class SamplingSpec extends AnyFunSuite with SharedSpark {
     val plan = pairs.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("dsirSelect ranks target-domain-like docs first, deterministically") {
+    import spark.implicits._
+    // target domain speaks one vocabulary; the raw pool mixes docs in
+    // that vocabulary with docs in a disjoint one
+    val target = (0L until 20L)
+      .map(i => (i, s"alpha beta gamma delta epsilon zeta eta theta iota v$i"))
+      .toDF("doc_id", "text")
+    val inDomain = (100L until 110L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val offDomain = (200L until 230L)
+      .map(i => (i, "uno dos tres cuatro cinco seis siete ocho"))
+    val raw = (inDomain ++ offDomain).toDF("doc_id", "text")
+    val picked = graft.ext.CorpusStats.dsirSelect(raw, target, k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked === inDomain.map(_._1).toSet,
+      s"selection leaked off-domain docs: $picked")
+    // scores are partition-order independent (integer-grid sums)
+    val again = graft.ext.CorpusStats
+      .dsirSelect(raw.repartition(7), target.repartition(3), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === picked)
+  }
 }
