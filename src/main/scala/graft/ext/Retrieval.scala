@@ -261,6 +261,48 @@ object Retrieval {
     else base.join(negative.reduce(_ unionAll _), Seq("doc_id"), "left_anti")
   }
 
+  /** BM25 hard-negative mining — the retrieval-training data shape
+    * (Karpukhin et al., "Dense Passage Retrieval", EMNLP 2020): for
+    * each (query, positive) pair, the `negPerQuery` highest-BM25
+    * documents that are NOT the positive. Lexically-close-but-wrong
+    * documents are what a contrastive ranker must learn to push
+    * below the positive; random negatives (the
+    * [[Sampling.negativePairs]] draw) are too easy.
+    *
+    * `queries` carries (qidCol, qtextCol, posCol). Candidates come
+    * from the top `candK` of the batch scorer, so a positive inside
+    * the shortlist still leaves candK−1 candidates.
+    *
+    * Scale: candidate generation is [[bm25BatchFromPostings]] — the
+    * postings prune map-side against the broadcast query-term set
+    * and never shuffle on doc_id; the (query, positive) frame is
+    * queries-sized and broadcasts into the exclusion join; the
+    * re-rank window partitions on query_id over ≤candK rows. */
+  def hardNegatives(post: DataFrame, stats: DataFrame, queries: DataFrame,
+                    qidCol: String, qtextCol: String, posCol: String,
+                    negPerQuery: Int, candK: Int,
+                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(candK > negPerQuery, "hardNegatives: candK must exceed negPerQuery")
+    val ranked = bm25BatchFromPostings(post, stats, queries, qidCol, qtextCol,
+      candK, k1, b)
+    val pos = queries.select(col(qidCol).as("query_id"), col(posCol).as("pos_id"))
+    val w = Window.partitionBy("query_id").orderBy("rank")
+    ranked.join(broadcast(pos), "query_id")
+      .filter(col("doc_id") =!= col("pos_id"))
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= negPerQuery)
+      .select(col("query_id"), col("pos_id"), col("doc_id").as("neg_id"),
+        col("neg_rank"), col("score"))
+  }
+
+  /** Convenience hard-negative form over the raw corpus. */
+  def hardNegatives(docs: DataFrame, idCol: String, textCol: String,
+                    queries: DataFrame, qidCol: String, qtextCol: String,
+                    posCol: String, negPerQuery: Int, candK: Int): DataFrame =
+    hardNegatives(postings(docs, idCol, textCol),
+      corpusStats(docs, idCol, textCol), queries, qidCol, qtextCol, posCol,
+      negPerQuery, candK)
+
   /** Convenience single-query form over the raw corpus. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String, query: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =

@@ -317,5 +317,48 @@ object RetrievalQueries {
              |                            ORDER BY score DESC, doc_id) AS rank
              |  FROM scored)
              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin), bench = true),
+
+    // DPR-style hard-negative mining: per query doc, the 3 top-BM25
+    // docs that are not the positive (the query's own source doc),
+    // drawn from a 10-candidate shortlist. The oracle replays the
+    // whole chain — batch scoring, shortlist rank, positive
+    // exclusion, re-rank.
+    QueryDef("q_ir_negatives",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val queries = docs.filter(col("doc_id") % 97 === 0)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(split(col("text"), " "), 1, 8), " ").as("qtext"),
+            col("doc_id").as("pos_id"))
+        Retrieval.hardNegatives(docs, "doc_id", "text",
+            queries, "query_id", "qtext", "pos_id", negPerQuery = 3, candK = 10)
+          .orderBy("query_id", "neg_rank")
+      },
+      Some(s"""WITH queries AS (
+             |  SELECT doc_id AS query_id,
+             |         array_to_string(string_split(text, ' ')[1:8], ' ') AS qtext
+             |  FROM documents WHERE doc_id % 97 = 0),
+             |qterms AS (
+             |  SELECT DISTINCT query_id,
+             |         unnest(string_split_regex(lower(qtext), '\\s+')) AS term
+             |  FROM queries),
+             |${oraclePost("term IN (SELECT term FROM qterms)")},
+             |scored AS (
+             |  SELECT q.query_id, p.doc_id, round(sum($oracleTermScore), 6) AS score
+             |  FROM post p JOIN dfT USING (term) JOIN qterms q USING (term), stats s
+             |  WHERE len(q.term) > 0
+             |  GROUP BY 1, 2),
+             |topk AS (
+             |  SELECT query_id, doc_id, score,
+             |         row_number() OVER (PARTITION BY query_id
+             |                            ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored),
+             |negs AS (
+             |  SELECT query_id, query_id AS pos_id, doc_id AS neg_id, score,
+             |         row_number() OVER (PARTITION BY query_id
+             |                            ORDER BY rank) AS neg_rank
+             |  FROM topk WHERE rank <= 10 AND doc_id <> query_id)
+             |SELECT query_id, pos_id, neg_id, neg_rank, score FROM negs
+             |WHERE neg_rank <= 3 ORDER BY query_id, neg_rank""".stripMargin)),
   )
 }

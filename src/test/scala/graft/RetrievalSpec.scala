@@ -3,6 +3,7 @@ package graft
 import graft.ext.{Dedup, Retrieval}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Behavioral checks for the inverted-index/BM25 stack and the
@@ -155,5 +156,31 @@ class RetrievalSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(0L) === "a b c g h")
     assert(out(1L) === "x y z")
+  }
+
+  test("hardNegatives: top-scored non-positives, positive excluded, count honored") {
+    import spark.implicits._
+    val docs = graft.sources.Tables(spark, sf0001).table("documents")
+    val queries = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(split(col("text"), " "), 1, 8), " ").as("qtext"),
+        col("doc_id").as("pos_id"))
+    val negs = Retrieval.hardNegatives(docs, "doc_id", "text",
+        queries, "query_id", "qtext", "pos_id", negPerQuery = 3, candK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(negs.nonEmpty)
+    assert(negs.forall { case (_, pos, neg, _) => neg != pos },
+      "a positive leaked into its own negatives")
+    val perQ = negs.groupBy(_._1).view.mapValues(_.map(_._4).sorted.toSeq).toMap
+    assert(perQ.values.forall(_ == Seq(1L, 2L, 3L)),
+      s"per-query neg_rank not dense 1..3: $perQ")
+    // negatives are exactly the shortlist's best non-positives
+    val shortlist = Retrieval.bm25Batch(docs, "doc_id", "text",
+        queries, "query_id", "qtext", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val expect = shortlist.groupBy(_._1).view.mapValues(
+      _.filter { case (q, d, _) => d != q }.sortBy(_._3).take(3).map(_._2).toSet).toMap
+    val got = negs.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(got === expect.filter(_._2.nonEmpty))
   }
 }
