@@ -235,4 +235,57 @@ object Sampling {
   def capPerGroup(df: DataFrame, group: Column, key: Column, cap: Int): DataFrame =
     graft.ops.RelationalOps.topKPerGroup(df, Seq(group),
       struct(minstdBucket(key, 1000000).as("hb"), key), cap)
+
+  /** Exact integer water-filling of a token `budget` across groups:
+    * every group contributes min(its capacity, the water level),
+    * where the level is the largest value that spends the whole
+    * budget — the mixture-budgeting step that turns "train on B
+    * tokens, as uniformly as possible" into per-source take counts
+    * (the hard-cap complement of [[temperatureMix]]'s soft
+    * reweighting). Classic closed form over capacity-sorted groups:
+    * a group is capped iff taking it in full — and at least as much
+    * from every larger group — still fits the budget; the remaining
+    * budget divides evenly among the uncapped, the integer remainder
+    * going to the first `rem` of them in (capacity, group) order.
+    * All-integer and total-order deterministic: repartitioning can
+    * never move an allocation, and a SQL oracle replays it exactly.
+    *
+    * Returns one row per group: (group, cap, alloc), with
+    * Σ alloc = min(budget, Σ cap) and 0 ≤ alloc ≤ cap.
+    *
+    * Scale: one shuffle builds the per-group capacities; rank and
+    * prefix sums ride [[graft.ops.RelationalOps.runningTotal]]'s
+    * two-phase form (a log₂-capacity order bucket — no single-task
+    * global window even at web-domain group counts); the
+    * capped-side totals are ONE broadcast row. `cap·n_groups` must
+    * stay under 2⁶³ and prefix sums under 2⁵³ (the running total
+    * accumulates in doubles) — ~10³ times today's public crawls. */
+  def budgetWaterfill(df: DataFrame, group: Column, weight: Column,
+                      budget: Long): DataFrame = {
+    require(budget >= 0, "need budget >= 0")
+    val caps = df.groupBy(group.as("source"))
+      .agg(sum(weight).cast("long").as("cap"))
+    val bucket = floor(log(2.0, col("cap").cast("double") + 1.0))
+    val ranked = graft.ops.RelationalOps.runningTotal(
+      graft.ops.RelationalOps.runningTotal(
+        caps, bucket, Seq(col("cap"), col("source")), lit(1.0), "__k"),
+      bucket, Seq(col("cap"), col("source")), col("cap").cast("double"), "__pfx")
+    val flagged = ranked
+      .select(col("source"), col("cap"), col("__k").cast("long").as("k"),
+        (col("__pfx").cast("long") - col("cap")).as("pb"))
+      .crossJoin(broadcast(caps.agg(count(lit(1)).as("n"))))
+      .withColumn("capped",
+        col("pb") + col("cap") * (col("n") - col("k") + 1L) <= budget)
+    val st = broadcast(flagged.agg(
+      coalesce(sum(when(col("capped"), col("cap"))), lit(0L)).as("pm"),
+      coalesce(sum(when(col("capped"), 1L)), lit(0L)).as("m")))
+    val u = greatest(col("n") - col("m"), lit(1L))
+    flagged.crossJoin(st)
+      .select(col("source"), col("cap"),
+        when(col("capped"), col("cap"))
+          .otherwise(call_function("div", lit(budget) - col("pm"), u) +
+            when(col("k") - col("m") <= pmod(lit(budget) - col("pm"), u), 1L)
+              .otherwise(0L))
+          .as("alloc"))
+  }
 }

@@ -365,6 +365,43 @@ object TextQueries {
              |FROM documents
              |ORDER BY priority, doc_id LIMIT 200""".stripMargin)),
 
+    // Token-budget waterfill: spend 140k chars across the 20 sources
+    // as uniformly as caps allow — small sources are taken whole, the
+    // rest cut to the integer water level (remainder to the first few
+    // uncapped in capacity order). The oracle replays rank, prefix,
+    // cap flags, and remainder placement with window functions.
+    QueryDef("q_sample_waterfill",
+      (s, d) => graft.ext.Sampling.budgetWaterfill(
+        t(s, d, "documents"), col("source"), col("n_chars"), budget = 140000L)
+        .orderBy("source"),
+      Some("""WITH caps AS (
+             |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS cap
+             |  FROM documents GROUP BY 1),
+             |ord AS (
+             |  SELECT source, cap,
+             |    row_number() OVER (ORDER BY cap, source) AS k,
+             |    CAST(coalesce(sum(cap) OVER (ORDER BY cap, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS pb,
+             |    count(*) OVER () AS n
+             |  FROM caps),
+             |flag AS (
+             |  SELECT *, (pb + cap * (n - k + 1) <= 140000) AS capped FROM ord),
+             |st AS (
+             |  SELECT CAST(coalesce(sum(CASE WHEN capped THEN cap END), 0)
+             |           AS BIGINT) AS pm,
+             |         CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0)
+             |           AS BIGINT) AS m
+             |  FROM flag)
+             |SELECT f.source, f.cap,
+             |  CASE WHEN f.capped THEN f.cap
+             |       ELSE (140000 - st.pm) // GREATEST(f.n - st.m, 1)
+             |          + (CASE WHEN f.k - st.m <=
+             |               (140000 - st.pm) % GREATEST(f.n - st.m, 1)
+             |             THEN 1 ELSE 0 END)
+             |  END AS alloc
+             |FROM flag f, st ORDER BY f.source""".stripMargin)),
+
     // DSIR importance resampling (Xie et al. 2023): pick the 100 raw
     // docs (18 sources) whose hashed-unigram profile best matches the
     // src0/src1 target domain. The oracle replays the full derivation

@@ -167,4 +167,27 @@ class SamplingSpec extends AnyFunSuite with SharedSpark {
       .collect().map(_.getLong(0)).toSet
     assert(again === picked)
   }
+
+  test("budgetWaterfill: spends the budget exactly, respects caps, levels the rest") {
+    import spark.implicits._
+    def run(caps: Seq[(String, Long)], budget: Long): Map[String, (Long, Long)] =
+      Sampling.budgetWaterfill(
+          caps.toDF("src", "w").repartition(3), col("src"), col("w"), budget)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // mixed capped/uncapped with a remainder
+    val out = run(Seq("a" -> 10L, "b" -> 100L, "c" -> 100L, "d" -> 3L), 60L)
+    assert(out.forall { case (_, (cap, alloc)) => alloc >= 0 && alloc <= cap })
+    assert(out.values.map(_._2).sum === 60L)
+    assert(out("d")._2 === 3L && out("a")._2 === 10L, "small sources taken whole")
+    // remainder goes to the first uncapped in (cap, source) order: level
+    // is (60-13)/2 = 23 rem 1 -> b gets 24, c gets 23
+    assert(out("b")._2 === 24L && out("c")._2 === 23L)
+    // budget above total capacity: everything capped, nothing invented
+    val all = run(Seq("a" -> 5L, "b" -> 7L), 100L)
+    assert(all("a")._2 === 5L && all("b")._2 === 7L)
+    // equal caps, indivisible budget: remainder is deterministic by name
+    val eq = run(Seq("x" -> 9L, "y" -> 9L, "z" -> 9L), 7L)
+    assert(eq.values.map(_._2).sum === 7L)
+    assert(eq("x")._2 === 3L && eq("y")._2 === 2L && eq("z")._2 === 2L)
+  }
 }
