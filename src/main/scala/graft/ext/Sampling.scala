@@ -288,4 +288,39 @@ object Sampling {
               .otherwise(0L))
           .as("alloc"))
   }
+
+  /** Materialize a [[budgetWaterfill]] allocation as an actual
+    * document subset: within each group, take whole documents in
+    * deterministic MINSTD-hash order until the next one would
+    * overrun the group's allocation (documents are atomic, so a
+    * group may undershoot by less than one document — the budget is
+    * never exceeded). The end-to-end "train on ≤B tokens, spread
+    * across sources" selector; same determinism contract as
+    * everything here: the subset is a pure function of the keys.
+    *
+    * Returns the narrow (source, id, w, cum_w) frame — rejoin on the
+    * key for payloads so text never rides the prefix-sum shuffle.
+    *
+    * Scale: the per-group cumulative is a GLOBAL two-phase running
+    * total over a (group, hash-range) order bucket minus each
+    * group's broadcast start offset (the [[Packing.shardAssign]]
+    * idiom) — 64-way parallel inside even the hottest group, no
+    * per-group single-task window; the ≤n_groups-row allocation
+    * table broadcasts into the cutoff filter. */
+  def waterfillSample(df: DataFrame, group: Column, key: Column,
+                      weight: Column, budget: Long): DataFrame = {
+    val alloc = budgetWaterfill(df, group, weight, budget)
+      .select(col("source"), col("alloc"))
+    val narrow = df.select(group.as("source"), key.as("id"),
+      weight.cast("long").as("w"), minstdBucket(key, 1000000).as("hb"))
+    val bucket = struct(col("source"), call_function("div", col("hb"), lit(16384L)))
+    val cum = graft.ops.RelationalOps.runningTotal(narrow, bucket,
+      Seq(col("hb"), col("id")), col("w").cast("double"), "__gcum")
+    val starts = cum.groupBy("source").agg(min(col("__gcum") - col("w")).as("__s0"))
+    cum.join(broadcast(starts), "source")
+      .withColumn("cum_w", (col("__gcum") - col("__s0")).cast("long"))
+      .join(broadcast(alloc), "source")
+      .filter(col("cum_w") <= col("alloc"))
+      .select(col("source"), col("id"), col("w"), col("cum_w"))
+  }
 }

@@ -402,6 +402,55 @@ object TextQueries {
              |  END AS alloc
              |FROM flag f, st ORDER BY f.source""".stripMargin)),
 
+    // Waterfill materialized: the actual ≤100k-char training subset —
+    // per source, whole docs in MINSTD order until the allocation
+    // would overrun. Oracle replays the waterfill AND the per-source
+    // greedy prefix.
+    QueryDef("q_sample_waterfill_docs",
+      (s, d) => graft.ext.Sampling.waterfillSample(
+        t(s, d, "documents"), col("source"), col("doc_id"), col("n_chars"),
+        budget = 100000L)
+        .orderBy("source", "id"),
+      Some("""WITH caps AS (
+             |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS cap
+             |  FROM documents GROUP BY 1),
+             |ord AS (
+             |  SELECT source, cap,
+             |    row_number() OVER (ORDER BY cap, source) AS k,
+             |    CAST(coalesce(sum(cap) OVER (ORDER BY cap, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS pb,
+             |    count(*) OVER () AS n
+             |  FROM caps),
+             |flag AS (
+             |  SELECT *, (pb + cap * (n - k + 1) <= 100000) AS capped FROM ord),
+             |st AS (
+             |  SELECT CAST(coalesce(sum(CASE WHEN capped THEN cap END), 0)
+             |           AS BIGINT) AS pm,
+             |         CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0)
+             |           AS BIGINT) AS m
+             |  FROM flag),
+             |alloc AS (
+             |  SELECT f.source,
+             |    CASE WHEN f.capped THEN f.cap
+             |         ELSE (100000 - st.pm) // GREATEST(f.n - st.m, 1)
+             |            + (CASE WHEN f.k - st.m <=
+             |                 (100000 - st.pm) % GREATEST(f.n - st.m, 1)
+             |               THEN 1 ELSE 0 END)
+             |    END AS alloc
+             |  FROM flag f, st),
+             |cum AS (
+             |  SELECT source, doc_id AS id, CAST(n_chars AS BIGINT) AS w,
+             |    CAST(sum(n_chars) OVER (PARTITION BY source
+             |      ORDER BY ((doc_id % 2147483647) * 48271) % 2147483647 % 1000000,
+             |               doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum_w
+             |  FROM documents)
+             |SELECT c.source, c.id, c.w, c.cum_w
+             |FROM cum c JOIN alloc a USING (source)
+             |WHERE c.cum_w <= a.alloc ORDER BY source, id""".stripMargin)),
+
     // DSIR importance resampling (Xie et al. 2023): pick the 100 raw
     // docs (18 sources) whose hashed-unigram profile best matches the
     // src0/src1 target domain. The oracle replays the full derivation

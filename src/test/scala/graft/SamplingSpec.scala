@@ -190,4 +190,24 @@ class SamplingSpec extends AnyFunSuite with SharedSpark {
     assert(eq.values.map(_._2).sum === 7L)
     assert(eq("x")._2 === 3L && eq("y")._2 === 2L && eq("z")._2 === 2L)
   }
+
+  test("waterfillSample: per-source prefixes never overrun, stable under repartition") {
+    val budget = 100000L
+    val out = Sampling.waterfillSample(docs, col("source"), col("doc_id"),
+      col("n_chars"), budget)
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.map(_._3).sum <= budget)
+    // within each source, taken docs form a contiguous cum prefix
+    for ((_, grp) <- rows.groupBy(_._1)) {
+      val sorted = grp.sortBy(_._4)
+      assert(sorted.zip(sorted.scanLeft(0L)(_ + _._3).tail)
+        .forall { case ((_, _, _, cum), expect) => cum == expect },
+        "cum_w is not a dense prefix sum of the taken docs")
+    }
+    val again = Sampling.waterfillSample(docs.repartition(7), col("source"),
+        col("doc_id"), col("n_chars"), budget)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again === rows.map(r => (r._1, r._2)).toSet)
+  }
 }
