@@ -171,6 +171,22 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
       s"the <=1024-row log-ratio table re-shuffled the doc buckets:\n$plan")
   }
 
+  test("waterfill: per-source prefix stays on the two-phase running total") {
+    val plan = finalPlan("q_sample_waterfill_docs")
+    // a Window node without a partitionSpec renders as
+    // `Window [funcs], [order]` (two bracket groups) vs the
+    // partitioned `Window [funcs], [partition], [order]` — any
+    // global window here means the distributed prefix sum regressed
+    val globalWindows = plan.linesIterator
+      .filter(_.contains("+- Window ["))
+      .filter(l => "\\], \\[".r.findAllMatchIn(l).length < 2)
+      .toSeq
+    assert(globalWindows.isEmpty,
+      s"unpartitioned window in the prefix-sum plan:\n${globalWindows.mkString("\n")}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the allocation/starts tables re-shuffled the corpus:\n$plan")
+  }
+
   test("span stripper: boilerplate set broadcasts into the anti join") {
     val plan = finalPlan("q_dd_spans")
     assert(plan.contains("LeftAnti"), plan)
