@@ -110,6 +110,55 @@ object Similarity {
         round(col("cos_raw"), 6).as("cosine"))
   }
 
+  /** Corpus k-NN graph: every vector's `k` nearest same-bucket
+    * neighbors (self excluded) — the input shape for semantic-dedup
+    * and diversity analysis over an embedded corpus. One bucketing
+    * pass, one equi-self-join on the hyperplane bucket (the
+    * [[annLshBatch]] machinery with corpus = queries), per-vector
+    * top-k windows over bucket-local candidates. Neighbors in other
+    * buckets are unseen — the standard LSH recall trade; lower
+    * `bits` for recall, raise for speed. */
+  def knnGraph(corpus: DataFrame, k: Int, bits: Int = 8,
+               idCol: String = "vec_id", portable: Boolean = false): DataFrame = {
+    def bucketOf(vec: Column): Column =
+      graft.functions.VectorExpressions.lshBucketNative(vec, bits, 0, portable)
+    val b = corpus.select(col(idCol).as("id"), col("embedding"),
+      bucketOf(col("embedding")).as("bucket"))
+    val q = b.select(col("id").as("q_id"), col("embedding").as("q_emb"),
+      col("bucket").as("q_bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(desc("cos_raw"), col("id"))
+    b.join(q, col("bucket") === col("q_bucket") && col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"), fastCos(col("embedding"), col("q_emb")).as("cos_raw"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("id").as(idCol),
+        round(col("cos_raw"), 6).as("cosine"))
+  }
+
+  /** SemDeDup-style semantic prune (Abbas et al. 2023, bucket-scoped
+    * variant): drop every vector that has a same-bucket neighbor
+    * with cosine ≥ `threshold` and a smaller id — exactly one
+    * representative (the min-id) survives from each
+    * threshold-neighborhood chain inside a bucket. No transitive
+    * closure (that policy is [[lshPairs]] → `Dedup.clusters`); this
+    * is the cheap one-join form: bucket self-join restricted to
+    * `id < q_id`, distinct drop set, one anti join. Candidate volume
+    * is bucket-bounded exactly like [[knnGraph]]. */
+  def semdedupKeep(corpus: DataFrame, threshold: Double, bits: Int = 8,
+                   idCol: String = "vec_id", portable: Boolean = false): DataFrame = {
+    def bucketOf(vec: Column): Column =
+      graft.functions.VectorExpressions.lshBucketNative(vec, bits, 0, portable)
+    val b = corpus.select(col(idCol).as("id"), col("embedding"),
+      bucketOf(col("embedding")).as("bucket"))
+    val q = b.select(col("id").as("q_id"), col("embedding").as("q_emb"),
+      col("bucket").as("q_bucket"))
+    val drops = b.join(q, col("bucket") === col("q_bucket") && col("id") < col("q_id"))
+      .filter(fastCos(col("embedding"), col("q_emb")) >= threshold)
+      .select(col("q_id")).distinct()
+    corpus.join(drops, col(idCol) === col("q_id"), "left_anti")
+  }
+
   /** Shuffle-free IVF cluster assignment: the ≤nCentroids centroid
     * rows are folded into ONE `array<struct<cid, c_emb>>` row and
     * broadcast; each corpus row then picks its nearest centroid with

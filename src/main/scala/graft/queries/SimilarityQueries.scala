@@ -636,6 +636,78 @@ object SimilarityQueries {
              |FROM ranked WHERE rn <= 3 ORDER BY q_id, cosine""".stripMargin),
       bench = true),
 
+    // Corpus k-NN graph: every vector's 3 nearest same-bucket
+    // neighbors, self excluded — annLshBatch with corpus = queries.
+    // The oracle re-derives buckets, the bucket self-join, and the
+    // per-vector top-3.
+    QueryDef("q_sim_knn",
+      (s, d) => Similarity.knnGraph(t(s, d, "embeddings"), k = 3, bits = 6,
+          portable = true)
+        .orderBy("q_id", "cosine"),
+      Some("""WITH elems AS (
+             |  SELECT vec_id, k, CAST(embedding[k+1] AS DOUBLE) AS v
+             |  FROM embeddings, range(0, 64) t(k)),
+             |signs AS (
+             |  SELECT j, k,
+             |    CASE WHEN ((16807 * ((16807 * (j * 64 + k + 1)) % 2147483647)) % 2147483647) % 2 = 1
+             |         THEN 1.0 ELSE -1.0 END AS s
+             |  FROM range(0, 6) tj(j), range(0, 64) tk(k)),
+             |buckets AS (
+             |  SELECT vec_id, sum(CASE WHEN proj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+             |  FROM (SELECT vec_id, j, sum(v * s) AS proj
+             |        FROM elems JOIN signs USING (k) GROUP BY vec_id, j)
+             |  GROUP BY vec_id),
+             |joined AS (
+             |  SELECT q.vec_id AS q_id, c.vec_id,
+             |    list_dot_product(CAST(ce.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[]))
+             |      / (sqrt(list_dot_product(CAST(ce.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])))
+             |         * sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[])))) AS cos_raw
+             |  FROM buckets c JOIN buckets q ON c.bucket = q.bucket
+             |  JOIN embeddings ce ON ce.vec_id = c.vec_id
+             |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+             |  WHERE c.vec_id <> q.vec_id),
+             |ranked AS (
+             |  SELECT q_id, vec_id, cos_raw,
+             |    row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rn
+             |  FROM joined)
+             |SELECT q_id, vec_id, round(cos_raw, 6) AS cosine
+             |FROM ranked WHERE rn <= 3 ORDER BY q_id, cosine""".stripMargin)),
+
+    // SemDeDup-style semantic prune: drop any vector with a
+    // same-bucket neighbor at cosine >= 0.35 and a smaller id — the
+    // min-id representative survives. The oracle replays buckets,
+    // the ordered pair filter, and the anti join.
+    QueryDef("q_sim_semdedup",
+      (s, d) => Similarity.semdedupKeep(t(s, d, "embeddings"),
+          threshold = 0.35, bits = 6, portable = true)
+        .select("vec_id").orderBy("vec_id"),
+      Some("""WITH elems AS (
+             |  SELECT vec_id, k, CAST(embedding[k+1] AS DOUBLE) AS v
+             |  FROM embeddings, range(0, 64) t(k)),
+             |signs AS (
+             |  SELECT j, k,
+             |    CASE WHEN ((16807 * ((16807 * (j * 64 + k + 1)) % 2147483647)) % 2147483647) % 2 = 1
+             |         THEN 1.0 ELSE -1.0 END AS s
+             |  FROM range(0, 6) tj(j), range(0, 64) tk(k)),
+             |buckets AS (
+             |  SELECT vec_id, sum(CASE WHEN proj > 0 THEN (1::BIGINT << j) ELSE 0 END) AS bucket
+             |  FROM (SELECT vec_id, j, sum(v * s) AS proj
+             |        FROM elems JOIN signs USING (k) GROUP BY vec_id, j)
+             |  GROUP BY vec_id),
+             |drops AS (
+             |  SELECT DISTINCT q.vec_id AS qid
+             |  FROM buckets c JOIN buckets q
+             |    ON c.bucket = q.bucket AND c.vec_id < q.vec_id
+             |  JOIN embeddings ce ON ce.vec_id = c.vec_id
+             |  JOIN embeddings qe ON qe.vec_id = q.vec_id
+             |  WHERE list_dot_product(CAST(ce.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[]))
+             |      / (sqrt(list_dot_product(CAST(ce.embedding AS DOUBLE[]), CAST(ce.embedding AS DOUBLE[])))
+             |         * sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[]))))
+             |      >= 0.35)
+             |SELECT vec_id FROM embeddings
+             |WHERE vec_id NOT IN (SELECT qid FROM drops)
+             |ORDER BY vec_id""".stripMargin)),
+
     // Per-label embedding centroid: elementwise mean via posexplode +
     // (label, pos) aggregation — the scalable vector-aggregate shape
     // (no per-group array materialization); output exploded to

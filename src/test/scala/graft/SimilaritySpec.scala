@@ -199,4 +199,37 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       Similarity.dimStats(overflowScale).collect()
     }
   }
+
+  test("knnGraph: no self edges, at most k neighbors, symmetric candidate pool") {
+    val g = Similarity.knnGraph(emb, k = 3, bits = 6, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(g.nonEmpty)
+    assert(g.forall { case (q, n) => q != n }, "self edge in the kNN graph")
+    assert(g.groupBy(_._1).values.forall(_.length <= 3))
+    // the graph is annLshBatch with corpus = queries, self excluded;
+    // a self match occupies one batch top-k slot, so the k=4 batch
+    // minus self must cover every k=3 graph edge
+    val batch = Similarity.annLshBatch(emb, emb, k = 4, bits = 6, portable = true)
+      .filter(col("q_id") =!= col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g.toSet.subsetOf(batch),
+      "graph edge absent from the self-filtered batch top-4")
+  }
+
+  test("semdedupKeep: min-id survives, survivors have no close smaller neighbor") {
+    val kept = Similarity.semdedupKeep(emb, threshold = 0.35, bits = 6,
+      portable = true).select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept.nonEmpty && kept.subsetOf(all))
+    assert(kept.contains(all.min), "the global min id can never be dropped")
+    // recompute the drop condition independently from the kNN graph at
+    // the same bucketing: any kept vector with a >=0.35 smaller-id
+    // same-bucket neighbor is a bug
+    val close = Similarity.knnGraph(emb, k = 500, bits = 6, portable = true)
+      .filter(col("cosine") >= 0.35 && col("vec_id") < col("q_id"))
+      .select("q_id").collect().map(_.getLong(0)).toSet
+    assert(kept.intersect(close).isEmpty,
+      s"kept vectors with a close smaller neighbor: ${kept.intersect(close).take(5)}")
+    assert(all.diff(close) === kept, "dropped more than the close set")
+  }
 }
