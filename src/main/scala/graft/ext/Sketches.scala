@@ -179,6 +179,26 @@ object Sketches {
     }
   }
 
+  /** Inner-product / join-cardinality estimate from two [[cmsSketch]]
+    * matrices (Cormode & Muthukrishnan's classic result): each of the
+    * d rows' dot product of the two sides' w counters estimates
+    * Σ_k fA(k)·fB(k) — the exact row count of an inner equi-join on
+    * the sketched key — biased upward by hash collisions; the min
+    * over the d rows is the estimate (error ≤ e/w·‖A‖₁·‖B‖₁ w.h.p.).
+    * The planner's pre-join sizing primitive: estimate a join's
+    * output volume from two constant-size summaries without touching
+    * either side's rows — at 100 TB, the difference between choosing
+    * broadcast/shuffle/skew handling BEFORE launching the join and
+    * discovering mid-job. Exact integer arithmetic on deterministic
+    * sketches: engine-portable, SQL-replayable. */
+  def cmsInnerProduct(a: Column, b: Column, d: Int = 4, w: Int = 512): Column = {
+    val rows = (0 until d).map { i =>
+      aggregate(sequence(lit(i * w + 1), lit((i + 1) * w)), lit(0L),
+        (acc, j) => acc + element_at(a, j) * element_at(b, j))
+    }
+    if (rows.size == 1) rows.head else least(rows: _*)
+  }
+
   /** Point estimate for `keyHash` from a [[cmsSketch]] array column:
     * min over the d row counters the key hashes to. Always ≥ the true
     * count. Plain column expression — composes with a broadcast of

@@ -292,6 +292,52 @@ object SketchQueries {
               |SELECT tok, true_cnt, e AS merged_est, e AS direct_est FROM est
               |ORDER BY true_cnt DESC, tok LIMIT 10""".stripMargin)),
 
+    // CMS inner product as a join-size estimator: the click and
+    // purchase event streams each reduce to one d×w counter matrix;
+    // min-over-rows of the matrices' dot product estimates the
+    // user_id inner-join row count (Σ multiplicity products). The
+    // TRUE size rides along so the gate also pins the bias
+    // direction. The oracle replays both sketches and the inner
+    // product in exact integer arithmetic.
+    QueryDef("q_agg_cms_join",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"), col("event_type"))
+        def cut(tpe: String) = ev.filter(col("event_type") === tpe)
+        val ska = cut("click").agg(
+          graft.ext.Sketches.cmsSketch(col("user_id")).as("ska"))
+        val skb = cut("purchase").agg(
+          graft.ext.Sketches.cmsSketch(col("user_id")).as("skb"))
+        val ca = cut("click").groupBy("user_id").agg(count(lit(1)).as("ca"))
+        val cb = cut("purchase").groupBy("user_id").agg(count(lit(1)).as("cb"))
+        val truePairs = ca.join(cb, "user_id")
+          .agg(sum(col("ca") * col("cb")).as("true_pairs"))
+        ska.crossJoin(skb)
+          .select(graft.ext.Sketches.cmsInnerProduct(col("ska"), col("skb"))
+            .as("est_pairs"))
+          .crossJoin(broadcast(truePairs))
+      },
+      Some("""WITH consts AS (
+             |  SELECT i,
+             |    (16807 * ((16807 * (301 + 2*i)) % 2147483647)) % 2147483647 AS a,
+             |    (16807 * ((16807 * (302 + 2*i)) % 2147483647)) % 2147483647 AS b
+             |  FROM range(0, 4) t(i)),
+             |ca AS (SELECT user_id, count(*) AS c FROM events
+             |       WHERE event_type = 'click' GROUP BY 1),
+             |cb AS (SELECT user_id, count(*) AS c FROM events
+             |       WHERE event_type = 'purchase' GROUP BY 1),
+             |ba AS (SELECT i, ((a * user_id + b) % 1000000007) % 512 AS bkt,
+             |         CAST(sum(c) AS BIGINT) AS c
+             |       FROM ca CROSS JOIN consts GROUP BY 1, 2),
+             |bb AS (SELECT i, ((a * user_id + b) % 1000000007) % 512 AS bkt,
+             |         CAST(sum(c) AS BIGINT) AS c
+             |       FROM cb CROSS JOIN consts GROUP BY 1, 2),
+             |ip AS (SELECT ba.i, CAST(sum(ba.c * bb.c) AS BIGINT) AS v
+             |       FROM ba JOIN bb USING (i, bkt) GROUP BY 1),
+             |est AS (SELECT CAST(min(v) AS BIGINT) AS est_pairs FROM ip),
+             |tp AS (SELECT CAST(sum(ca.c * cb.c) AS BIGINT) AS true_pairs
+             |       FROM ca JOIN cb USING (user_id))
+             |SELECT est_pairs, true_pairs FROM est, tp""".stripMargin)),
+
     // Histogram median: 64 power-of-two-width bins (2048 = 2^11, so
     // every divide/floor is IEEE-exact and re-derives in DuckDB),
     // cumulative counts over the tiny (key × bin) frame, midpoint

@@ -265,4 +265,23 @@ class SketchesSpec extends AnyFunSuite with SharedSpark {
     val b = toks.repartition(16).agg(Sketches.cmsSketch(col("x"))).as[Seq[Long]].head()
     assert(a == b)
   }
+
+  test("cmsInnerProduct bounds the true join size from above, within e/w slack") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("user_id"), col("event_type"))
+    def cut(t: String) = ev.filter(col("event_type") === t)
+    val ska = cut("click").agg(Sketches.cmsSketch(col("user_id")).as("s"))
+    val skb = cut("view").agg(Sketches.cmsSketch(col("user_id")).as("s2"))
+    val est = ska.crossJoin(skb)
+      .select(Sketches.cmsInnerProduct(col("s"), col("s2")))
+      .head().getLong(0)
+    val counts = cut("click").groupBy("user_id").count()
+      .join(cut("view").groupBy("user_id").count()
+        .withColumnRenamed("count", "c2"), "user_id")
+    val exact = counts.agg(sum(col("count") * col("c2"))).head().getLong(0)
+    val na = cut("click").count(); val nb = cut("view").count()
+    assert(est >= exact, s"CMS inner product under-counted: $est < $exact")
+    val slack = (math.E / 512 * na * nb).toLong
+    assert(est <= exact + slack, s"est $est exceeds exact $exact + e/w slack $slack")
+  }
 }
