@@ -74,6 +74,20 @@ object Sketches {
         (acc, r) => acc +
           lit(1.0) / call_function("shiftleft", lit(1L), r.cast("int")).cast("double")))
 
+  /** Inclusion–exclusion intersection estimate from two materialized
+    * register arrays: |A∩B| ≈ est(A) + est(B) − est(A ∪ B), the
+    * union registers being the exact elementwise max (`zip_with`,
+    * per-row — no aggregate needed for two in-hand sketches). The
+    * audit-overlap primitive: "how many users/docs/keys do these two
+    * corpus cuts share" from two 64-int summaries, no join. Same raw-
+    * estimator regime note as [[hllDistinctPortable]]; subtraction
+    * compounds the relative error, so treat small intersections of
+    * large sets as noise — the gate carries the true value alongside
+    * for exactly that honesty. */
+  def hllIntersectEstimate(ra: Column, rb: Column): Column =
+    hllEstimateFromRegisters(ra) + hllEstimateFromRegisters(rb) -
+      hllEstimateFromRegisters(zip_with(ra, rb, (a, b) => greatest(a, b)))
+
   /** Misra–Gries heavy hitters over a long key column: at most `k`
     * (key, cnt) counters of state per group however many items
     * stream in (vs `groupBy(key)`'s full-vocabulary shuffle).

@@ -292,6 +292,66 @@ object SketchQueries {
               |SELECT tok, true_cnt, e AS merged_est, e AS direct_est FROM est
               |ORDER BY true_cnt DESC, tok LIMIT 10""".stripMargin)),
 
+    // HLL set algebra: intersection of two user populations by
+    // inclusion-exclusion over materialized register arrays (union =
+    // exact elementwise max via zip_with — no re-scan). Register
+    // terms are dyadic rationals, so every sum is exact in double
+    // and the estimate is engine-portable; the true intersection
+    // rides along (raw-estimator bias regime is documented on the
+    // operator). The oracle replays registers, union, and the
+    // inclusion-exclusion arithmetic.
+    QueryDef("q_agg_hll_intersect",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("user_id"), col("event_type"))
+        def cut(tpe: String) = ev.filter(col("event_type") === tpe)
+        // rollingHash of the decimal string first: uhash alone is
+        // linear, and an arithmetic progression of ids would bias the
+        // leading-zero statistic
+        def regsOf(tpe: String, out: String) = cut(tpe).agg(
+          graft.ext.Sketches.hllRegistersPortable(
+            graft.ext.Sketches.uhash(
+              TextAnalysis.rollingHash(col("user_id").cast("string")), 100)).as(out))
+        val est = regsOf("click", "ra").crossJoin(regsOf("purchase", "rb"))
+          .select(round(graft.ext.Sketches.hllIntersectEstimate(
+            col("ra"), col("rb")), 4).as("inter_est"))
+        val tru = cut("click").select("user_id").distinct()
+          .join(cut("purchase").select("user_id").distinct(), "user_id")
+          .agg(count(lit(1)).as("true_inter"))
+        est.crossJoin(broadcast(tru))
+      },
+      Some(s"""WITH hx AS (
+             |  SELECT event_type,
+             |    ((16807::BIGINT * ((16807::BIGINT * 201) % 2147483647)) % 2147483647
+             |       * ${rhSql("CAST(user_id AS VARCHAR)")}
+             |     + (16807::BIGINT * ((16807::BIGINT * 202) % 2147483647)) % 2147483647)
+             |    % 1000000007 AS h
+             |  FROM events WHERE event_type IN ('click', 'purchase')),
+             |reg AS (
+             |  SELECT event_type, (h % 64) AS j,
+             |    max(CASE WHEN h // 64 = 0 THEN 25
+             |        ELSE 24 - floor(log2(h // 64))::INT END) AS rho
+             |  FROM hx GROUP BY 1, 2),
+             |grid AS (
+             |  SELECT t.event_type, g.j, coalesce(r.rho, 0) AS rho
+             |  FROM (VALUES ('click'), ('purchase')) t(event_type)
+             |  CROSS JOIN range(0, 64) g(j)
+             |  LEFT JOIN reg r ON r.event_type = t.event_type AND r.j = g.j),
+             |esti AS (
+             |  SELECT event_type,
+             |    0.709 * 64 * 64 / sum(1.0 / (1::BIGINT << rho)) AS e
+             |  FROM grid GROUP BY 1),
+             |ugrid AS (SELECT j, max(rho) AS rho FROM grid GROUP BY j),
+             |ue AS (SELECT 0.709 * 64 * 64 / sum(1.0 / (1::BIGINT << rho)) AS e
+             |       FROM ugrid),
+             |inter AS (
+             |  SELECT round((SELECT sum(e) FROM esti) - (SELECT e FROM ue), 4)
+             |    AS inter_est),
+             |ti AS (SELECT count(*) AS true_inter FROM (
+             |  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+             |  INTERSECT
+             |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'))
+             |SELECT inter_est, true_inter FROM inter, ti""".stripMargin)),
+
     // CMS inner product as a join-size estimator: the click and
     // purchase event streams each reduce to one d×w counter matrix;
     // min-over-rows of the matrices' dot product estimates the

@@ -284,4 +284,38 @@ class SketchesSpec extends AnyFunSuite with SharedSpark {
     val slack = (math.E / 512 * na * nb).toLong
     assert(est <= exact + slack, s"est $est exceeds exact $exact + e/w slack $slack")
   }
+
+  test("hllIntersectEstimate: overlap ordering and 3-sigma bands in regime") {
+    // the raw m=64 estimator needs ≳2.5·64 ≈ 160 distinct values per
+    // side, and inclusion–exclusion compounds three ~13%-σ estimates,
+    // so absolute error scales with the SET sizes (σ ≈ 850 here) —
+    // assert 3σ bands plus the overlap ORDERING, not tight recovery
+    def regsOf(df: org.apache.spark.sql.DataFrame, out: String) = df.agg(
+      Sketches.hllRegistersPortable(
+        xxhash64(col("k")).bitwiseAND(lit((1L << 30) - 1))).as(out))
+    def inter(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      regsOf(a, "ra").crossJoin(regsOf(b, "rb"))
+        .select(Sketches.hllIntersectEstimate(col("ra"), col("rb")))
+        .head().getDouble(0)
+    val base = spark.range(0, 3000).toDF("k")
+    val disjoint = inter(base, spark.range(5000, 8000).toDF("k"))   // true 0
+    val heavy = inter(base, spark.range(500, 3500).toDF("k"))       // true 2500
+    assert(math.abs(disjoint) < 2600, s"disjoint estimate $disjoint outside 3σ of 0")
+    assert(math.abs(heavy - 2500.0) < 2600, s"heavy estimate $heavy outside 3σ of 2500")
+    assert(heavy > disjoint + 1000,
+      s"overlap ordering lost: heavy $heavy vs disjoint $disjoint")
+    // union registers are an exact elementwise max: estimate of A∪B
+    // from zip_with equals the estimate from the merge aggregate
+    val b2 = spark.range(2000, 5000).toDF("k")
+    val viaZip = regsOf(base, "ra").crossJoin(regsOf(b2, "rb"))
+      .select(Sketches.hllEstimateFromRegisters(
+        zip_with(col("ra"), col("rb"), (x, y) => greatest(x, y))))
+      .head().getDouble(0)
+    val viaMerge = regsOf(base, "r").select(col("r"))
+      .unionAll(regsOf(b2, "r").select(col("r")))
+      .agg(Sketches.hllMergeRegisters(col("r")).as("m"))
+      .select(Sketches.hllEstimateFromRegisters(col("m")))
+      .head().getDouble(0)
+    assert(viaZip === viaMerge)
+  }
 }
