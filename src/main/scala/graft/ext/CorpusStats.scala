@@ -44,6 +44,28 @@ object CorpusStats {
           .as("avg_logprob"))
   }
 
+  /** Per-document unigram entropy — the lexical-diversity signal
+    * (templated or keyword-stuffed text has low entropy even when
+    * its shingle-repetition score is clean; natural prose sits near
+    * ln(vocab-in-doc)). −Σ p ln p rewritten as ln n − (Σ c·ln c)/n
+    * so each (doc, token-TYPE) term `c·ln c` quantizes once on the
+    * 2⁻²⁰ grid and the per-doc reduction is an exact integer sum —
+    * partition-order-proof and SQL-replayable. Two map-side-combined
+    * shuffles: (id, token) counts, then the per-doc rollup. */
+  def lexicalEntropy(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    tokens(docs, textCol, col(idCol).as("id"))
+      .groupBy("id", "token").agg(count(lit(1)).as("c"))
+      .select(col("id"), col("c"),
+        floor(log(col("c").cast("double")) * col("c") * lit(1048576.0) + lit(0.5))
+          .cast("long").as("q"))
+      .groupBy("id")
+      .agg(sum("c").as("n_tokens"), sum("q").as("sq"))
+      .select(col("id").as(idCol), col("n_tokens"),
+        round(log(col("n_tokens").cast("double")) -
+          col("sq").cast("double") / (col("n_tokens") * lit(1048576.0)), 6)
+          .as("entropy"))
+
   /** Per-document cross-entropy under the corpus's own add-one-
     * smoothed BIGRAM model, −mean ln p(w2|w1) with p = (c(w1,w2)+1)
     * / (c(w1·)+V) — the sequence-aware upgrade of

@@ -671,7 +671,8 @@ object SimilarityQueries {
              |    row_number() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id) AS rn
              |  FROM joined)
              |SELECT q_id, vec_id, round(cos_raw, 6) AS cosine
-             |FROM ranked WHERE rn <= 3 ORDER BY q_id, cosine""".stripMargin)),
+             |FROM ranked WHERE rn <= 3 ORDER BY q_id, cosine""".stripMargin),
+      bench = true),
 
     // SemDeDup-style semantic prune: drop any vector with a
     // same-bucket neighbor at cosine >= 0.35 and a smaller id — the

@@ -402,6 +402,30 @@ object TextQueries {
              |  END AS alloc
              |FROM flag f, st ORDER BY f.source""".stripMargin)),
 
+    // Per-doc unigram entropy (lexical diversity): ln n − (Σ c·ln c)/n
+    // with each token-type term quantized to the 2^-20 grid before
+    // the integer per-doc sum — the oracle replays type counts,
+    // quantization, and the rollup exactly.
+    QueryDef("q_tx_entropy",
+      (s, d) => graft.ext.CorpusStats.lexicalEntropy(t(s, d, "documents"))
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+             |  FROM documents),
+             |ct AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
+             |q AS (
+             |  SELECT doc_id, c,
+             |    CAST(floor(ln(c) * c * 1048576.0 + 0.5) AS BIGINT) AS q
+             |  FROM ct),
+             |per AS (
+             |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    CAST(sum(q) AS BIGINT) AS sq
+             |  FROM q GROUP BY 1)
+             |SELECT doc_id, n_tokens,
+             |  round(ln(n_tokens) - CAST(sq AS DOUBLE) / (n_tokens * 1048576.0), 6)
+             |    AS entropy
+             |FROM per ORDER BY doc_id""".stripMargin)),
+
     // Waterfill materialized: the actual ≤100k-char training subset —
     // per source, whole docs in MINSTD order until the allocation
     // would overrun. Oracle replays the waterfill AND the per-source

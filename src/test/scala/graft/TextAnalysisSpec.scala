@@ -88,4 +88,21 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     assert(fps(1L) === fps(2L))
     assert(fps(1L) !== fps(3L))
   }
+
+  test("lexicalEntropy: uniform text maxes out, repeated token zeroes, order-stable") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d"),            // 4 distinct of 4 → ln 4
+      (2L, "a a a a"),            // 1 distinct     → 0
+      (3L, "a a b b"))            // ln 2
+      .toDF("doc_id", "text")
+    val ent = graft.ext.CorpusStats.lexicalEntropy(df)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(ent(1L) - math.log(4)) < 1e-5)
+    assert(ent(2L) === 0.0)
+    assert(math.abs(ent(3L) - math.log(2)) < 1e-5)
+    val again = graft.ext.CorpusStats.lexicalEntropy(df.repartition(5))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again === ent)
+  }
 }
