@@ -159,6 +159,35 @@ object Similarity {
     corpus.join(drops, col(idCol) === col("q_id"), "left_anti")
   }
 
+  /** Semantic decontamination: drop every corpus vector whose cosine
+    * to ANY eval-benchmark vector reaches `threshold` — the
+    * embedding-space complement of the shingle-overlap
+    * [[Dedup.decontaminate]] (paraphrased or translated benchmark
+    * leakage carries no shingles but still embeds close). The eval
+    * set is benchmarks — MBs against a corpus of TBs — so it rides
+    * the [[ivfAssign]] shape: folded into one broadcast array, each
+    * corpus row finds its nearest eval id with the fused
+    * [[graft.functions.NearestCentroid]] argmax (cosine to the
+    * argmax IS the max cosine), then one broadcast join attaches
+    * that eval's embedding for the threshold test. The corpus is
+    * never exchanged: zero shuffles, pure map-side. */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+                            threshold: Double,
+                            idCol: String = "vec_id"): DataFrame = {
+    val evals = broadcast(evalSet.agg(
+      collect_list(struct(col(idCol).cast("long").as("cid"),
+        col("embedding").as("c_emb"))).as("cents")))
+    val evalEmb = broadcast(evalSet.select(col(idCol).cast("long").as("__near"),
+      col("embedding").as("__e_emb")))
+    corpus.crossJoin(evals)
+      .withColumn("__near", graft.functions.VectorExpressions
+        .nearestCentroidNative(col("embedding"), col("cents")))
+      .drop("cents")
+      .join(evalEmb, "__near")
+      .filter(fastCos(col("embedding"), col("__e_emb")) < threshold)
+      .drop("__near", "__e_emb")
+  }
+
   /** Shuffle-free IVF cluster assignment: the ≤nCentroids centroid
     * rows are folded into ONE `array<struct<cid, c_emb>>` row and
     * broadcast; each corpus row then picks its nearest centroid with

@@ -674,6 +674,29 @@ object SimilarityQueries {
              |FROM ranked WHERE rn <= 3 ORDER BY q_id, cosine""".stripMargin),
       bench = true),
 
+    // Semantic decontamination: corpus vectors (id >= 10) surviving
+    // a 0.35-cosine screen against the 10 eval vectors — the
+    // embedding-space complement of shingle decontam. The oracle
+    // takes the max cosine per corpus vector over the eval set
+    // (cosine to the argmax IS the max) and keeps the sub-threshold
+    // rows.
+    QueryDef("q_sim_decontam",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.semanticDecontaminate(emb.filter(col("vec_id") >= 10),
+            emb.filter(col("vec_id") < 10), threshold = 0.35)
+          .select("vec_id").orderBy("vec_id")
+      },
+      Some("""WITH mc AS (
+             |  SELECT c.vec_id,
+             |    max(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+             |      / (sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))
+             |         * sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))))) AS m
+             |  FROM embeddings c CROSS JOIN embeddings e
+             |  WHERE c.vec_id >= 10 AND e.vec_id < 10
+             |  GROUP BY 1)
+             |SELECT vec_id FROM mc WHERE m < 0.35 ORDER BY vec_id""".stripMargin)),
+
     // SemDeDup-style semantic prune: drop any vector with a
     // same-bucket neighbor at cosine >= 0.35 and a smaller id — the
     // min-id representative survives. The oracle replays buckets,

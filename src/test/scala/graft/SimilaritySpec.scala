@@ -200,6 +200,24 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("semanticDecontaminate: drops exactly the above-threshold corpus vectors") {
+    val corpus = emb.filter(col("vec_id") >= 10)
+    val evals = emb.filter(col("vec_id") < 10)
+    val kept = Similarity.semanticDecontaminate(corpus, evals, threshold = 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // brute-force max cosine per corpus vector (small frames)
+    val expect = corpus.alias("c").crossJoin(evals.alias("e"))
+      .select(col("c.vec_id").as("cid"),
+        Similarity.cosine(col("c.embedding"), col("e.embedding")).as("cos"))
+      .groupBy("cid").agg(max("cos").as("m"))
+      .filter(col("m") < 0.35)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === expect)
+    // the survivors frame keeps the corpus schema intact
+    val cols = Similarity.semanticDecontaminate(corpus, evals, 0.35).columns.toSeq
+    assert(cols === corpus.columns.toSeq)
+  }
+
   test("knnGraph: no self edges, at most k neighbors, symmetric candidate pool") {
     val g = Similarity.knnGraph(emb, k = 3, bits = 6, portable = true)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
