@@ -187,6 +187,22 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
       s"the allocation/starts tables re-shuffled the corpus:\n$plan")
   }
 
+  test("semantic decontam: corpus is never exchanged; knn stays on the bucket equi-join") {
+    val plan = finalPlan("q_sim_decontam")
+    // eval folds into one broadcast array + one broadcast join; the
+    // remaining exchanges are the eval-sized SinglePartition fold and
+    // the final presentation range sort — a hashpartitioning exchange
+    // would mean the CORPUS got shuffled
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.isEmpty,
+      s"decontam shuffled the corpus:\n${exchanges.mkString("\n")}")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val knn = finalPlan("q_sim_knn")
+    assert(!knn.contains("CartesianProduct"),
+      s"knn bucket join degraded to a cartesian product:\n$knn")
+  }
+
   test("span stripper: boilerplate set broadcasts into the anti join") {
     val plan = finalPlan("q_dd_spans")
     assert(plan.contains("LeftAnti"), plan)
