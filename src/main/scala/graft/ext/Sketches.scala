@@ -165,6 +165,37 @@ object Sketches {
         col("qbin"), (lit(lo) + (col("qbin") + lit(0.5)) * lit(step)).as("q_est"))
   }
 
+  /** Robust per-group outlier screen on the MAD (median absolute
+    * deviation): flag values where |x − median| > cut·1.4826·MAD —
+    * the monitoring-side anomaly rule that, unlike mean/σ z-scores,
+    * is not dragged by the outliers it is hunting (one corrupt batch
+    * of 10⁶-scale values shifts a mean but not a median). Both
+    * medians come from [[histogramQuantile]]'s mergeable counter
+    * frame, so the whole screen is two count shuffles, two
+    * key-count-sized broadcasts, and one aggregation — no per-group
+    * value buffering at any point, the shape that survives a
+    * billion-row group. Midpoint estimates are exact bin arithmetic,
+    * so the flag decision replays bit-for-bit in SQL. Output: one
+    * row per key — n, med, mad, n_outliers. */
+  def madOutliers(df: DataFrame, key: Column, value: Column,
+                  lo: Double, hi: Double, bins: Int,
+                  cut: Double = 3.0): DataFrame = {
+    val med = histogramQuantile(df, key, value, lo, hi, bins, q = 0.5)
+      .select(col("k"), col("q_est").as("med"))
+    val dev = df.select(key.as("k"), value.as("v"))
+      .join(broadcast(med), "k")
+      .withColumn("dev", abs(col("v") - col("med")))
+    val mad = histogramQuantile(dev, col("k"), col("dev"),
+        0.0, hi - lo, bins, q = 0.5)
+      .select(col("k"), col("q_est").as("mad"))
+    dev.join(broadcast(mad), "k")
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(col("dev") > lit(cut) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** Multi-quantile variant of [[histogramQuantile]]: every requested
     * quantile reads off the SAME per-group counter frame in one agg
     * pass (exact `percentile(..., array(...))` still buffers whole

@@ -292,6 +292,52 @@ object SketchQueries {
               |SELECT tok, true_cnt, e AS merged_est, e AS direct_est FROM est
               |ORDER BY true_cnt DESC, tok LIMIT 10""".stripMargin)),
 
+    // MAD outlier screen: per event type, values beyond
+    // 3·1.4826·MAD of the histogram median — both medians from the
+    // mergeable 64-bin counter frame (no per-group buffering). The
+    // oracle replays both histogram passes and the flag rule.
+    QueryDef("q_agg_mad",
+      (s, d) => graft.ext.Sketches.madOutliers(
+          t(s, d, "events"), col("event_type"), col("value"),
+          lo = 0.0, hi = 512.0, bins = 64)
+        .withColumnRenamed("k", "event_type")
+        .orderBy("event_type"),
+      Some("""WITH b AS (
+             |  SELECT event_type AS k, value AS v,
+             |    least(63, greatest(0, floor(value / 8.0)::INT)) AS bin
+             |  FROM events),
+             |c AS (SELECT k, bin, count(*) AS c FROM b GROUP BY 1, 2),
+             |cc AS (
+             |  SELECT k, bin, c,
+             |    sum(c) OVER (PARTITION BY k ORDER BY bin) AS cum,
+             |    sum(c) OVER (PARTITION BY k) AS n
+             |  FROM c),
+             |med AS (
+             |  SELECT k, (min(bin) + 0.5) * 8.0 AS med
+             |  FROM cc WHERE cum >= ceil(n * 0.5) GROUP BY k),
+             |dev AS (
+             |  SELECT b.k, abs(b.v - med.med) AS dev
+             |  FROM b JOIN med USING (k)),
+             |db AS (
+             |  SELECT k, dev,
+             |    least(63, greatest(0, floor(dev / 8.0)::INT)) AS bin
+             |  FROM dev),
+             |dc AS (SELECT k, bin, count(*) AS c FROM db GROUP BY 1, 2),
+             |dcc AS (
+             |  SELECT k, bin, c,
+             |    sum(c) OVER (PARTITION BY k ORDER BY bin) AS cum,
+             |    sum(c) OVER (PARTITION BY k) AS n
+             |  FROM dc),
+             |mad AS (
+             |  SELECT k, (min(bin) + 0.5) * 8.0 AS mad
+             |  FROM dcc WHERE cum >= ceil(n * 0.5) GROUP BY k)
+             |SELECT d.k AS event_type, count(*) AS n,
+             |  max(med.med) AS med, max(mad.mad) AS mad,
+             |  CAST(sum(CASE WHEN d.dev > 3.0 * 1.4826 * mad.mad
+             |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM dev d JOIN med USING (k) JOIN mad USING (k)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // HLL set algebra: intersection of two user populations by
     // inclusion-exclusion over materialized register arrays (union =
     // exact elementwise max via zip_with — no re-scan). Register

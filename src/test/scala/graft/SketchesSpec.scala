@@ -285,6 +285,22 @@ class SketchesSpec extends AnyFunSuite with SharedSpark {
     assert(est <= exact + slack, s"est $est exceeds exact $exact + e/w slack $slack")
   }
 
+  test("madOutliers flags exactly the planted anomalies, robustly to their size") {
+    import spark.implicits._
+    // 1000 well-behaved values in [0, 100) plus 5 corrupt ones far out;
+    // a mean/σ screen would be dragged by the corruption — MAD is not
+    val clean = (0 until 1000).map(i => ("a", (i % 100).toDouble + 0.5))
+    val bad = (0 until 5).map(i => ("a", 10000.0 + i))
+    val out = Sketches.madOutliers((clean ++ bad).toDF("k", "v"),
+        col("k"), col("v"), lo = 0.0, hi = 512.0, bins = 64)
+      .collect().head
+    assert(out.getLong(1) === 1005L)
+    assert(out.getLong(4) === 5L,
+      s"expected exactly the 5 planted outliers, got ${out.getLong(4)}")
+    // median estimate lands in the right bin neighborhood (step = 8)
+    assert(math.abs(out.getDouble(2) - 50.0) <= 8.0)
+  }
+
   test("hllIntersectEstimate: overlap ordering and 3-sigma bands in regime") {
     // the raw m=64 estimator needs ≳2.5·64 ≈ 160 distinct values per
     // side, and inclusion–exclusion compounds three ~13%-σ estimates,
