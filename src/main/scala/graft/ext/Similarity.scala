@@ -696,6 +696,44 @@ object Similarity {
     * per-row cost; the derived mean/std then combine the sums in
     * double space (they are doubles regardless). The narrow default
     * keeps the gate's integer-for-integer oracle comparison. */
+  /** Full dim×dim covariance matrix of an embedding corpus — the
+    * whitening/PCA prep that [[dimStats]]'s per-dimension variances
+    * cannot provide (decorrelating dimensions needs the off-diagonal
+    * terms). One pass, NO explode: each row emits its flattened
+    * outer product as a dim² long array (elements quantized to the
+    * 2⁻¹⁰ grid first, so every product and sum is exact in integer
+    * arithmetic), and [[graft.functions.SketchAggregates.arraySum]]
+    * reduces them with constant dim²·8-byte state per partition —
+    * the corpus shuffles one array per partition, never a
+    * (row × dim²) stream. Numerators n·Σxy − Σx·Σy stay in exact
+    * longs (document bound: n < ~90k rows per call at unit-scale
+    * embeddings before 2⁶³ wraps — same DECIMAL widening path as
+    * [[dimStats]] when needed); the divide happens once, in double.
+    * Output: (i, j, cov), dim² rows. */
+  def dimCovariance(embeddings: DataFrame, dim: Int = 64,
+                    vecCol: String = "embedding"): DataFrame = {
+    val qArr = transform(col(vecCol),
+      v => floor(v.cast("double") * lit(1024.0) + lit(0.5)).cast("long"))
+    val outer = transform(sequence(lit(0), lit(dim * dim - 1)),
+      k => element_at(col("__q"), (call_function("div", k.cast("long"), lit(dim.toLong))).cast("int") + 1) *
+           element_at(col("__q"), pmod(k, lit(dim)).cast("int") + 1))
+    val sums = embeddings.select(qArr.as("__q"))
+      .select(col("__q"), outer.as("__op"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.SketchAggregates.arraySum(col("__q")).as("s"),
+        graft.functions.SketchAggregates.arraySum(col("__op")).as("sp"))
+    val k = col("k")
+    val i = call_function("div", k.cast("long"), lit(dim.toLong))
+    val j = pmod(k, lit(dim)).cast("long")
+    sums.select(explode(sequence(lit(0), lit(dim * dim - 1))).as("k"),
+        col("n"), col("s"), col("sp"))
+      .select(i.as("i"), j.as("j"),
+        round((col("n") * element_at(col("sp"), k.cast("int") + 1) -
+            element_at(col("s"), i.cast("int") + 1) *
+            element_at(col("s"), j.cast("int") + 1)).cast("double") /
+          ((col("n") * col("n")).cast("double") * lit(1048576.0)), 6).as("cov"))
+  }
+
   def dimStats(embeddings: DataFrame, vecCol: String = "embedding",
                wide: Boolean = false): DataFrame = {
     val q = col("q")

@@ -789,6 +789,32 @@ object SimilarityQueries {
              |        / (n * 1048576.0), 6) AS std
              |FROM agg ORDER BY pos""".stripMargin)),
 
+    // Full 64×64 covariance matrix (whitening prep): per-row outer
+    // products on the 2^-10 grid reduced by the constant-state array
+    // sum — exact integer numerators, one divide in double. The
+    // oracle re-derives every cell from the same quantized elements.
+    QueryDef("q_emb_cov",
+      (s, d) => Similarity.dimCovariance(t(s, d, "embeddings"))
+        .orderBy("i", "j"),
+      Some("""WITH q AS (
+             |  SELECT list_transform(embedding,
+             |    v -> CAST(floor(CAST(v AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv
+             |  FROM embeddings),
+             |dims AS (
+             |  SELECT d.i, CAST(sum(qv[d.i + 1]) AS BIGINT) AS s
+             |  FROM q, range(0, 64) d(i) GROUP BY 1),
+             |prods AS (
+             |  SELECT t.k, CAST(sum(qv[t.k // 64 + 1] * qv[t.k % 64 + 1]) AS BIGINT) AS sp
+             |  FROM q, range(0, 4096) t(k) GROUP BY 1),
+             |n AS (SELECT count(*) AS n FROM q)
+             |SELECT p.k // 64 AS i, p.k % 64 AS j,
+             |  round(CAST(n.n * p.sp - si.s * sj.s AS DOUBLE)
+             |    / (CAST(n.n * n.n AS DOUBLE) * 1048576.0), 6) AS cov
+             |FROM prods p
+             |JOIN dims si ON si.i = p.k // 64
+             |JOIN dims sj ON sj.i = p.k % 64
+             |CROSS JOIN n ORDER BY i, j""".stripMargin)),
+
     // Multimodal frame sampling: every 4th 256-char block of "video"
     // media — the sampling arithmetic, per-modality filter and block
     // slicing are value-checked in DuckDB (only codec decode is the

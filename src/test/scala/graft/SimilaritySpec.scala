@@ -200,6 +200,23 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("dimCovariance: diagonal matches dimStats variance, matrix symmetric") {
+    val cov = Similarity.dimCovariance(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cov.size === 64 * 64)
+    // symmetry is structural (same products), so exact equality holds
+    for (i <- 0L until 64L; j <- 0L until i)
+      assert(cov((i, j)) === cov((j, i)), s"asymmetry at ($i,$j)")
+    // diagonal ≈ dimStats std² (different grids: 2^-10 vs 2^-20)
+    val stds = Similarity.dimStats(emb)
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    for (i <- 0L until 64L) {
+      val v = stds(i) * stds(i)
+      assert(math.abs(cov((i, i)) - v) < 1e-3,
+        s"diag($i) ${cov((i, i))} vs variance $v")
+    }
+  }
+
   test("semanticDecontaminate: drops exactly the above-threshold corpus vectors") {
     val corpus = emb.filter(col("vec_id") >= 10)
     val evals = emb.filter(col("vec_id") < 10)
