@@ -67,6 +67,49 @@ object GraphRank {
     ranks
   }
 
+  /** Personalized PageRank: the teleport mass lands ONLY on the seed
+    * set instead of uniformly — scores become "proximity to the
+    * seeds" rather than global centrality, the standard
+    * trust/relevance propagation (seed a few vetted hosts or
+    * documents, rank the rest by how strongly the link structure
+    * ties them back). Same fixed-point integer arithmetic, shuffle
+    * shape, and dangling/duplicate-edge semantics as [[pageRank]];
+    * seeds outside the graph are ignored, and the one extra
+    * driver-side scalar is the seed count. Non-seed nodes with no
+    * in-path from a seed correctly stay at rank 0. */
+  def personalizedPageRank(edges: DataFrame, srcCol: Column, dstCol: Column,
+                           seeds: DataFrame, seedCol: Column, iters: Int,
+                           scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val e = edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val seedSet = seeds.select(seedCol.cast("long").as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+    val ns = seedSet.count()
+    require(ns > 0, "personalizedPageRank: no seed overlaps the graph")
+    val flagged = nodes.join(seedSet.withColumn("__s", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
+    val base = scale * 15L / 100L / ns
+    val eDeg = e.join(
+      e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")), "src")
+    var ranks = flagged.withColumn("rank", col("__s") * lit(scale / ns))
+    for (_ <- 1 to iters) {
+      val sums = eDeg
+        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .select(col("dst").as("node"),
+          call_function("div", col("rank"), col("__outdeg")).as("__c"))
+        .groupBy("node").agg(sum("__c").as("__sum"))
+      ranks = flagged.join(sums, Seq("node"), "left")
+        .select(col("node"), col("__s"),
+          (col("__s") * lit(base) +
+            call_function("div", coalesce(col("__sum"), lit(0L)) * 85L, lit(100L)))
+            .as("rank"))
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
   /** Exact triangle count of the undirected simple graph on
     * `(src, dst)`. Edges are canonicalized (self-loops and duplicates
     * dropped), then ORIENTED from lower to higher degree (id as the

@@ -63,6 +63,18 @@ object GraphQueries {
        |    FROM e JOIN d ON e.src = d.src JOIN $prev r ON e.src = r.node
        |    GROUP BY 1) s ON nd.node = s.node)""".stripMargin
 
+  /** [[iterSql]]'s personalized twin: teleport mass lands only on
+    * flagged seed nodes. */
+  private def pprIterSql(prev: String, cur: String): String =
+    s"""$cur AS (SELECT f.node, f.sflag,
+       |    f.sflag * (1000000000000 * 15 // 100 // sn.ns)
+       |      + 85 * COALESCE(s.s, 0) // 100 AS rank_fp
+       |  FROM flag f CROSS JOIN sn
+       |  LEFT JOIN (
+       |    SELECT e.dst AS node, CAST(sum(r.rank_fp // d.outdeg) AS BIGINT) AS s
+       |    FROM e JOIN d ON e.src = d.src JOIN $prev r ON e.src = r.node
+       |    GROUP BY 1) s ON f.node = s.node)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
 
     // Fixed-point PageRank (damping 85/100, 5 synchronous
@@ -86,6 +98,39 @@ object GraphQueries {
           |SELECT nn.n_name AS nation, r.rank_fp AS rank_fp
           |FROM r5 r JOIN nation nn ON r.node = CAST(nn.n_nationkey AS BIGINT)
           |ORDER BY rank_fp DESC, nation""".stripMargin), bench = true),
+
+    // Personalized PageRank: teleport mass restricted to 5 seed
+    // nations — scores become proximity-to-seeds (trust propagation)
+    // instead of global centrality. Same integer fixed point, same
+    // unrolled-CTE oracle with a seed-conditional base term.
+    QueryDef("q_graph_ppr",
+      (s, d) => {
+        val spark = s; import spark.implicits._
+        val seeds = Seq(0L, 1L, 2L, 3L, 4L).toDF("node")
+        GraphRank.personalizedPageRank(tradeEdges(s, d), col("src"), col("dst"),
+            seeds, col("node"), iters = 5)
+          .withColumnRenamed("rank", "rank_fp")
+          .join(t(s, d, "nation"), col("node") === col("n_nationkey").cast("long"))
+          .select(col("n_name").as("nation"), col("rank_fp"))
+          .orderBy(desc("rank_fp"), col("nation"))
+      },
+      Some((Seq(edgeSql,
+        """nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |d AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+          |sg AS (SELECT s.node FROM (SELECT CAST(unnest([0,1,2,3,4]) AS BIGINT) AS node) s
+          |       JOIN nodes nd ON s.node = nd.node),
+          |sn AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM sg),
+          |flag AS (SELECT nd.node,
+          |           CASE WHEN sg.node IS NULL THEN 0 ELSE 1 END AS sflag
+          |         FROM nodes nd LEFT JOIN sg ON nd.node = sg.node),
+          |r0 AS (SELECT node, sflag, sflag * (1000000000000 // ns) AS rank_fp
+          |       FROM flag, sn)""".stripMargin) ++
+        (1 to 5).map(i => pprIterSql(s"r${i - 1}", s"r$i")))
+        .mkString(",\n") +
+        """
+          |SELECT nn.n_name AS nation, r.rank_fp AS rank_fp
+          |FROM r5 r JOIN nation nn ON r.node = CAST(nn.n_nationkey AS BIGINT)
+          |ORDER BY rank_fp DESC, nation""".stripMargin)),
 
     // Exact triangle count of the undirected trade graph —
     // degree-oriented wedge join in Spark, id-oriented in the

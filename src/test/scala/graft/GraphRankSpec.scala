@@ -77,4 +77,26 @@ class GraphRankSpec extends AnyFunSuite with SharedSpark {
     } yield 1).size.toLong
     assert(got === brute)
   }
+
+  test("personalizedPageRank: mass concentrates near seeds; unreachable stay 0") {
+    import spark.implicits._
+    // chain 0→1→2→3 plus an isolated pair 8→9; seed {0}
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (8L, 9L)).toDF("s", "t")
+    val seeds = Seq(0L).toDF("node")
+    val r = GraphRank.personalizedPageRank(edges, col("s"), col("t"),
+        seeds, col("node"), iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(0L) > r(1L) && r(1L) > r(2L) && r(2L) > r(3L),
+      s"rank must decay with distance from the seed: $r")
+    assert(r(8L) === 0L && r(9L) === 0L, "no teleport, no in-path → rank 0")
+    // seeding everything uniformly = classic PageRank
+    val all = edges.select(col("s").as("node"))
+      .union(edges.select(col("t").as("node"))).distinct()
+    val ppr = GraphRank.personalizedPageRank(edges, col("s"), col("t"),
+        all, col("node"), iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val pr = GraphRank.pageRank(edges, col("s"), col("t"), iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(ppr === pr, "all-seed PPR must equal classic PageRank")
+  }
 }
