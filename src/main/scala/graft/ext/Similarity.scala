@@ -159,6 +159,64 @@ object Similarity {
     corpus.join(drops, col(idCol) === col("q_id"), "left_anti")
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein
+    * 1998): greedily pick `k` vectors maximizing
+    * (1−λ)·rel(d) − λ·max_{s∈selected} sim(d, s) — the diversity
+    * counterweight to plain top-k (which returns k near-copies of
+    * the best hit; MMR returns the best hit plus its complements).
+    * Relevance and similarity are cosines quantized to the 2⁻²⁰
+    * grid and λ to parts-per-million, so every step's argmax is
+    * EXACT integer arithmetic (ties → smaller id) — the greedy
+    * trajectory is deterministic and a SQL oracle replays it
+    * step-for-step unrolled.
+    *
+    * Inherently sequential: k driver-side rounds, each ONE corpus
+    * scan (query relevance re-derived map-side, the ≤k selected
+    * embeddings broadcast for the penalty max, argmax via
+    * TakeOrderedAndProject), one (id) row collected per round —
+    * bounded like the Lloyd loop. Use for k ≲ 100 result-page /
+    * exemplar selection, not corpus-scale subset extraction (that is
+    * [[semdedupKeep]] / [[Sampling]]'s territory). */
+  def mmrSelect(corpus: DataFrame, queryVec: DataFrame, k: Int,
+                lambdaPpm: Long = 500000L,
+                idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && lambdaPpm >= 0 && lambdaPpm <= 1000000L,
+      "need k >= 1 and lambda in [0, 1e6] ppm")
+    val grid = lit(1048576.0)
+    def qcos(a: Column, b: Column): Column =
+      floor(fastCos(a, b) * grid + lit(0.5)).cast("long")
+    val q = broadcast(queryVec.select(col("embedding").as("q_emb")))
+    def scored = corpus.select(col(idCol).as("id"), col("embedding"))
+      .crossJoin(q)
+      .select(col("id"), col("embedding"),
+        qcos(col("embedding"), col("q_emb")).as("qrel"))
+    var selected = Vector.empty[Long]
+    for (_ <- 1 to k) {
+      val cand = scored.filter(!col("id").isin(selected: _*))
+      val withPenalty =
+        if (selected.isEmpty) cand.withColumn("maxsim", lit(0L))
+        else {
+          val selEmb = broadcast(scored.filter(col("id").isin(selected: _*))
+            .select(col("embedding").as("s_emb")))
+          cand.crossJoin(selEmb)
+            .select(col("id"), col("qrel"),
+              qcos(col("embedding"), col("s_emb")).as("qsim"))
+            .groupBy("id", "qrel").agg(max("qsim").as("maxsim"))
+        }
+      val best = withPenalty
+        .select(col("id"),
+          ((lit(1000000L) - lit(lambdaPpm)) * col("qrel") -
+            lit(lambdaPpm) * col("maxsim")).as("score"))
+        .orderBy(desc("score"), col("id")).limit(1)
+        .collect()(0).getLong(0)
+      selected :+= best
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    selected.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }
+      .toDF(idCol, "step")
+  }
+
   /** Semantic decontamination: drop every corpus vector whose cosine
     * to ANY eval-benchmark vector reaches `threshold` — the
     * embedding-space complement of the shingle-overlap

@@ -200,6 +200,28 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("mmrSelect: first pick is the top hit; lambda trades relevance for diversity") {
+    import spark.implicits._
+    // query along e1; the top hit sits off-axis, its near-copy is the
+    // second-most relevant, and an equally-far vector sits on the
+    // OTHER side of the query (high relevance, low sim to the top
+    // hit) — the geometry where redundancy actually costs
+    def v(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val corpus = Seq((1L, v(0.9, 0.436)), (2L, v(0.88, 0.47)), (3L, v(0.85, -0.53)))
+      .toDF("vec_id", "embedding")
+    val query = Seq((0L, v(1.0, 0.0))).toDF("vec_id", "embedding")
+    val picks = Similarity.mmrSelect(corpus, query, k = 2)
+      .orderBy("step").collect().map(_.getLong(0)).toSeq
+    // plain top-2 would be (1, 2); MMR at λ=0.5 swaps the near-copy
+    // for the diverse candidate
+    assert(picks.head === 1L, "first pick must be the plain top hit")
+    assert(picks(1) === 3L, s"second pick should be the diverse vector, got $picks")
+    // λ = 0 (ppm 0) degrades to plain relevance ranking
+    val plain = Similarity.mmrSelect(corpus, query, k = 2, lambdaPpm = 0L)
+      .orderBy("step").collect().map(_.getLong(0)).toSeq
+    assert(plain === Seq(1L, 2L))
+  }
+
   test("dimCovariance: diagonal matches dimStats variance, matrix symmetric") {
     val cov = Similarity.dimCovariance(emb)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
