@@ -422,6 +422,55 @@ object DedupQueries {
     // Benchmark decontamination: corpus docs sharing any word-5-gram
     // with the held-out "eval" slice (doc_id % 89 == 0). The oracle
     // re-derives both shingle sets and the distinct-hit counts.
+    // Curation funnel report: per source, docs in -> surviving exact
+    // dedup -> also passing the shingle decontam screen — the
+    // dashboard row every pipeline run ships. Pure composition of
+    // already-gated stages; the oracle chains their SQL twins, so a
+    // drift in ANY stage breaks the funnel hash.
+    QueryDef("q_dd_funnel",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val evalSet = docs.filter(col("doc_id") % 89 === 0)
+        val corpus = docs.filter(col("doc_id") % 89 =!= 0)
+        val kept = corpus.join(
+          Dedup.exact(corpus, "doc_id", "text")
+            .select(col("keep_id").as("doc_id")), "doc_id")
+        val clean = Dedup.decontaminate(kept, evalSet, "doc_id", "text", n = 5)
+          .filter(!col("contaminated")).select("doc_id")
+        corpus.groupBy("source").agg(count(lit(1)).as("n_in"))
+          .join(kept.groupBy("source").agg(count(lit(1)).as("n_unique")), "source")
+          .join(kept.join(clean, "doc_id").groupBy("source")
+            .agg(count(lit(1)).as("n_clean")), "source")
+          .orderBy("source")
+      },
+      Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 89 <> 0),
+             |keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text),
+             |kept AS (SELECT c.* FROM corpus c JOIN keep USING (doc_id)),
+             |scope AS (SELECT doc_id, text FROM kept
+             |          UNION ALL
+             |          SELECT doc_id, text FROM documents WHERE doc_id % 89 = 0),
+             |toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+             |         FROM scope),
+             |sh AS (SELECT DISTINCT doc_id, s FROM (
+             |        SELECT doc_id,
+             |          unnest(list_transform(range(1, greatest(len(t) - 3, 1)),
+             |                                i -> array_to_string(t[i:i+4], ' '))) AS s
+             |        FROM toks)),
+             |eval_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 89 = 0),
+             |hits AS (SELECT doc_id, count(*) AS hit_shingles
+             |         FROM sh JOIN eval_sh USING (s)
+             |         WHERE doc_id % 89 <> 0 GROUP BY 1),
+             |clean AS (SELECT k.doc_id FROM kept k LEFT JOIN hits h USING (doc_id)
+             |          WHERE COALESCE(h.hit_shingles, 0) = 0)
+             |SELECT i.source, i.n_in, u.n_unique, cl.n_clean
+             |FROM (SELECT source, count(*) AS n_in FROM corpus GROUP BY 1) i
+             |JOIN (SELECT source, count(*) AS n_unique FROM kept GROUP BY 1) u
+             |  USING (source)
+             |JOIN (SELECT k.source, count(*) AS n_clean
+             |      FROM kept k JOIN clean USING (doc_id) GROUP BY 1) cl
+             |  USING (source)
+             |ORDER BY source""".stripMargin)),
+
     QueryDef("q_dd_decontam",
       (s, d) => {
         val docs = t(s, d, "documents")
