@@ -765,8 +765,16 @@ object Similarity {
     * the corpus shuffles one array per partition, never a
     * (row × dim²) stream. Numerators n·Σxy − Σx·Σy stay in exact
     * longs (document bound: n < ~90k rows per call at unit-scale
-    * embeddings before 2⁶³ wraps — same DECIMAL widening path as
-    * [[dimStats]] when needed); the divide happens once, in double.
+    * embeddings before 2⁶³ wraps); the 6-decimal rounding is done in
+    * EXACT integer arithmetic — DECIMAL(38,0) micro-units with
+    * floor((2·10⁶·|num| + den) / (2·den)) half-away rounding, sign
+    * reapplied on the integer — rather than `round(double, 6)`,
+    * because the double path is engine-divergent at the edges: a
+    * numerator in (−den/2·10⁻⁶, 0) rounds to IEEE −0.0 under
+    * DuckDB's binary rounding but +0.0 under Spark's BigDecimal
+    * HALF_UP (BigDecimal has no signed zero), and exact .5-ulp ties
+    * can split either way. Integer negation has no signed zero, so
+    * both engines emit bit-identical doubles for every cell.
     * Output: (i, j, cov), dim² rows. */
   def dimCovariance(embeddings: DataFrame, dim: Int = 64,
                     vecCol: String = "embedding"): DataFrame = {
@@ -783,13 +791,18 @@ object Similarity {
     val k = col("k")
     val i = call_function("div", k.cast("long"), lit(dim.toLong))
     val j = pmod(k, lit(dim)).cast("long")
+    val num = col("n") * element_at(col("sp"), k.cast("int") + 1) -
+      element_at(col("s"), i.cast("int") + 1) *
+      element_at(col("s"), j.cast("int") + 1)
+    val numD = abs(num).cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val denD = (col("n") * col("n")).cast(
+      org.apache.spark.sql.types.DecimalType(38, 0)) * lit(1048576L)
+    val micro = call_function("div", numD * lit(2000000L) + denD, denD * lit(2L))
     sums.select(explode(sequence(lit(0), lit(dim * dim - 1))).as("k"),
         col("n"), col("s"), col("sp"))
       .select(i.as("i"), j.as("j"),
-        round((col("n") * element_at(col("sp"), k.cast("int") + 1) -
-            element_at(col("s"), i.cast("int") + 1) *
-            element_at(col("s"), j.cast("int") + 1)).cast("double") /
-          ((col("n") * col("n")).cast("double") * lit(1048576.0)), 6).as("cov"))
+        (when(num < 0, -micro).otherwise(micro).cast("double") /
+          lit(1000000.0)).as("cov"))
   }
 
   def dimStats(embeddings: DataFrame, vecCol: String = "embedding",

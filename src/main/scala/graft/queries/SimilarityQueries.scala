@@ -834,7 +834,10 @@ object SimilarityQueries {
 
     // Full 64×64 covariance matrix (whitening prep): per-row outer
     // products on the 2^-10 grid reduced by the constant-state array
-    // sum — exact integer numerators, one divide in double. The
+    // sum — exact integer numerators, and the 6-decimal rounding done
+    // in exact HUGEINT micro-units (round(double,6) is engine-
+    // divergent: tiny negative cells round to -0.0 in DuckDB but
+    // +0.0 in Spark's BigDecimal path — the r6 hash-fail). The
     // oracle re-derives every cell from the same quantized elements.
     QueryDef("q_emb_cov",
       (s, d) => Similarity.dimCovariance(t(s, d, "embeddings"))
@@ -849,14 +852,21 @@ object SimilarityQueries {
              |prods AS (
              |  SELECT t.k, CAST(sum(qv[t.k // 64 + 1] * qv[t.k % 64 + 1]) AS BIGINT) AS sp
              |  FROM q, range(0, 4096) t(k) GROUP BY 1),
-             |n AS (SELECT count(*) AS n FROM q)
-             |SELECT p.k // 64 AS i, p.k % 64 AS j,
-             |  round(CAST(n.n * p.sp - si.s * sj.s AS DOUBLE)
-             |    / (CAST(n.n * n.n AS DOUBLE) * 1048576.0), 6) AS cov
-             |FROM prods p
-             |JOIN dims si ON si.i = p.k // 64
-             |JOIN dims sj ON sj.i = p.k % 64
-             |CROSS JOIN n ORDER BY i, j""".stripMargin)),
+             |n AS (SELECT count(*) AS n FROM q),
+             |cells AS (
+             |  SELECT p.k, CAST(n.n * p.sp - si.s * sj.s AS HUGEINT) AS num,
+             |    CAST(n.n * n.n AS HUGEINT) * 1048576 AS den
+             |  FROM prods p
+             |  JOIN dims si ON si.i = p.k // 64
+             |  JOIN dims sj ON sj.i = p.k % 64
+             |  CROSS JOIN n),
+             |mic AS (
+             |  SELECT k, num, (abs(num) * 2000000 + den) // (2 * den) AS m
+             |  FROM cells)
+             |SELECT k // 64 AS i, k % 64 AS j,
+             |  CAST(CASE WHEN num < 0 THEN -m ELSE m END AS DOUBLE)
+             |    / 1000000.0 AS cov
+             |FROM mic ORDER BY i, j""".stripMargin)),
 
     // Multimodal frame sampling: every 4th 256-char block of "video"
     // media — the sampling arithmetic, per-modality filter and block
