@@ -218,14 +218,39 @@ object Bench {
         f"[bench] ${q.name}%-22s median ${kept.median}%7.3f s  (min ${kept.min}%.3f / max ${kept.times.max}%.3f, steal ${kept.steal}%d ticks${if (remeasured) ", remeasured" else ""}${if (flagged) ", CONTENDED" else ""})")
       (q.name, kept, remeasured, flagged)
     }
-    val qs = results.map { case (k, s, _, _) => "\"" + k + "\":" + s.median }.mkString("{", ",", "}")
-    val qsMin = results.map { case (k, s, _, _) => "\"" + k + "\":" + s.min }.mkString("{", ",", "}")
-    val qsSteal = results.map { case (k, s, _, _) => "\"" + k + "\":" + s.steal }.mkString("{", ",", "}")
+    // The driver records only the last 2000 characters of this
+    // process's output, so the final JSON line must fit UNDER that or
+    // the machine-readable capture truncates ("parsed": null two
+    // rounds running). Three levers, in order: ms precision (3
+    // decimals — scheduler jitter makes sub-ms digits noise anyway),
+    // SPARSE diagnostic maps (queries_min only where the median is
+    // materially above its own min, queries_steal only nonzero —
+    // absence means "nothing to diagnose"), and, if a pathological
+    // round still overflows, dropping the sparse maps entirely
+    // (stderr keeps the full per-query detail either way).
+    def ms(t: Double): String =
+      if (t < 0) "-1.0" else BigDecimal(t).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, s, _, _) => "\"" + k + "\":" + ms(s.median) }.mkString("{", ",", "}")
+    val qsMin = results.collect {
+      case (k, s, _, _) if s.ok && s.median > 1.3 * s.min && s.median - s.min > 0.1 =>
+        "\"" + k + "\":" + ms(s.min)
+    }.mkString("{", ",", "}")
+    val qsSteal = results.collect {
+      case (k, s, _, _) if s.steal > 0 => "\"" + k + "\":" + s.steal
+    }.mkString("{", ",", "}")
     val qsRemeasured = results.collect { case (k, _, true, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val qsContended = results.collect { case (k, _, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.map(_._2.median).filter(_ >= 0).sum
     val stealTotal = if (steal0 < 0) -1L else stealTicks() - steal0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"queries_steal":$qsSteal,"queries_remeasured":$qsRemeasured,"queries_contended":$qsContended,"sf":"$sfDir","calibration_failed":$calibrationFailed,"steal_ticks":$stealTotal}""")
+    def line(withDiag: Boolean): String = {
+      val diag = if (withDiag)
+        s""","queries_min":$qsMin,"queries_steal":$qsSteal""" else ""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$diag,"queries_remeasured":$qsRemeasured,"queries_contended":$qsContended,"sf":"$sfDir","calibration_failed":$calibrationFailed,"steal_ticks":$stealTotal}"""
+    }
+    val out = if (line(true).length <= 1900) line(true) else line(false)
+    if (out.length > 1900)
+      System.err.println(s"[bench] WARNING: JSON line ${out.length} chars exceeds the driver's 2000-char tail even without diagnostics")
+    println(out)
     spark.stop()
   }
 }

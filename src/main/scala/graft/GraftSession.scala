@@ -26,8 +26,9 @@ object GraftSession {
       // pinned here because document queries depend on it at scale)
       .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
-      // events.parquet stores TIMESTAMP(NANOS) which Spark rejects by
-      // default; read as long and convert in Tables (ns → µs)
+      // encoding tolerance: if events.parquet carries TIMESTAMP(NANOS)
+      // (which Spark rejects by default), read it as long; the ns/µs/
+      // NTZ normalization itself lives in Tables.normalizeEventTs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // keep `Window.partitionBy(lit(0))` as a real (constant)
       // partition key: it is this library's explicit idiom for

@@ -1,6 +1,34 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+object Tables {
+  /** Normalize the events `ts` column to TIMESTAMP (instant
+    * semantics), tolerant of every encoding the testdata generator
+    * has produced; no-op when `ts` is absent or already TIMESTAMP.
+    *
+    *   - parquet TIMESTAMP(NANOS): Spark rejects nanos by default, so
+    *     sessions set `spark.sql.legacy.parquet.nanosAsLong=true` and
+    *     the column arrives as LongType nanos — truncate to µs (the
+    *     same truncation DuckDB applies, so oracle comparisons agree);
+    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *     TIMESTAMP_NTZ — cast to TIMESTAMP. The session time zone is
+    *     pinned UTC ([[graft.GraftSession]]), so the wall-clock →
+    *     instant mapping is exact and hashes are encoding-independent;
+    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=true): already
+    *     TIMESTAMP, pass through.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", df.col("ts").cast(TimestampType))
+      case _ => df
+    }
+}
 
 /** Parquet table loaders for the driver testdata layout
   * (`TESTDATA.md`): one parquet file per table under a scale-factor
@@ -11,12 +39,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Tables(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS): read as long (see
-    // GraftSession's nanosAsLong) and truncate to µs — the same
-    // truncation DuckDB applies, so oracle comparisons agree.
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") Tables.normalizeEventTs(df) else df
   }
 
   def region: DataFrame    = table("region")

@@ -24,21 +24,24 @@ object EventStreams {
                         n_events: Long, duration_sec: Double, total_value: Double)
 
   /** File-source stream over an events parquet directory: explicit
-    * schema (streaming reads never infer), nanosecond timestamps
-    * read as long and truncated to µs exactly like the batch path
-    * ([[graft.sources.Tables]]), so streaming and batch results agree. */
+    * schema (streaming reads never infer), taken from a one-off batch
+    * read of the same files so the stream sees whatever timestamp
+    * encoding the files actually carry (nanos-as-long, µs-NTZ, or
+    * µs-LTZ), then normalized exactly like the batch path
+    * ([[graft.sources.Tables.normalizeEventTs]]), so streaming and
+    * batch results agree under any encoding. */
   def streamFromParquet(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // batch-inspect the actual file schema (footer read only — cheap);
+    // hard-coding ts's type broke when the generator re-encoded
+    // TIMESTAMP(NANOS) → TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    val schema = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
     // file streams require a directory; the testdata layout is one
     // parquet file per table, so glob-filter to the events file
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 
   /** Streaming exact dedup on a key, with bounded state: duplicates

@@ -239,6 +239,39 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("dimCovariance: signed-zero and .5-micro-tie cells round engine-portably") {
+    // Crafted 2-row, 3-dim corpus whose difference vector in 2^-10
+    // q-units is d = (1, 32768, -1); with n = 2 every covariance
+    // numerator is d_i·d_j and den = n²·2²⁰ = 4194304, so the cells
+    // hit the exact edges the integer micro-unit rounding exists for:
+    //   (0,1): num =  32768 → cov =  0.0078125, an EXACT .5-micro tie
+    //   (1,2): num = -32768 → cov = -0.0078125, the NEGATIVE tie
+    //   (0,2): num = -1     → cov ≈ -2.4e-7, tiny negative → zero
+    // Half-away-from-zero must take the ties to ±0.007813, and the
+    // tiny negative must land on POSITIVE zero (bit pattern 0L): the
+    // sign is reapplied on the integer micro value, which has no
+    // signed zero — a revert that rounds in double space and then
+    // negates (when(num<0, -round(...))) emits -0.0 here and fails.
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0 / 1024, 32.0, 0.0).map(_.toFloat)),
+      (2L, Array(0.0, 0.0, 1.0 / 1024).map(_.toFloat))
+    ).toDF("vec_id", "embedding")
+    val cov = Similarity.dimCovariance(corpus, dim = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cov.size === 9)
+    assert(cov((0L, 1L)) === 0.007813, "positive .5-micro tie must round away from zero")
+    assert(cov((1L, 2L)) === -0.007813, "negative .5-micro tie must round away from zero")
+    assert(java.lang.Double.doubleToRawLongBits(cov((0L, 2L))) === 0L,
+      s"tiny negative cell must be +0.0, got bits ${java.lang.Double.doubleToRawLongBits(cov((0L, 2L)))}")
+    assert(java.lang.Double.doubleToRawLongBits(cov((0L, 0L))) === 0L)
+    // sanity: a clean cell is exact (num = 32768² = 2³⁰, den = 2²²)
+    assert(cov((1L, 1L)) === 256.0)
+    // symmetry across the crafted edges too
+    for (i <- 0L until 3L; j <- 0L until i)
+      assert(cov((i, j)) === cov((j, i)))
+  }
+
   test("semanticDecontaminate: drops exactly the above-threshold corpus vectors") {
     val corpus = emb.filter(col("vec_id") >= 10)
     val evals = emb.filter(col("vec_id") < 10)

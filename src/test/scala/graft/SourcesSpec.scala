@@ -66,6 +66,54 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("events ts encoding tolerance: nanos-int64, µs-LTZ, and µs-NTZ all agree") {
+    // The driver's testdata generator has shipped events.ts as parquet
+    // TIMESTAMP(NANOS) (read as long under nanosAsLong), then re-encoded
+    // to TIMESTAMP(MICROS, isAdjustedToUTC=false) = TIMESTAMP_NTZ — which
+    // silently broke four gate queries in round 8. This pins the contract:
+    // whatever encoding the generator next emits, Tables.normalizeEventTs
+    // must yield the identical TIMESTAMP instants, and the event-query
+    // family (sessionization was the first casualty) identical results.
+    import org.apache.spark.sql.types._
+    val base = graft.sources.Tables(spark, sf0001).table("events")
+    val root = Files.createTempDirectory("graft-ts-enc").toFile.getAbsolutePath
+
+    // the testdata layout is ONE parquet FILE per table, so mirror it:
+    // write a single-part dir, then move the part file to <enc>/events.parquet
+    def writeAsSingleFile(df: org.apache.spark.sql.DataFrame, enc: String): Unit = {
+      val tmp = s"$root/_tmp_$enc"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dest = new java.io.File(s"$root/$enc/events.parquet")
+      dest.getParentFile.mkdirs()
+      Files.move(part.toPath, dest.toPath)
+    }
+    // µs-LTZ: TimestampType writes as TIMESTAMP(MICROS, isAdjustedToUTC=true)
+    writeAsSingleFile(base, "ltz")
+    // µs-NTZ: TimestampNTZType writes as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    writeAsSingleFile(base.withColumn("ts", col("ts").cast(TimestampNTZType)), "ntz")
+    // nanos-as-long: what a TIMESTAMP(NANOS) file looks like to a session
+    // with spark.sql.legacy.parquet.nanosAsLong=true
+    writeAsSingleFile(base.withColumn("ts", expr("unix_micros(ts) * 1000L")), "nanos")
+
+    val sessions = QueryDef.all.find(_.name == "q_ev_sessions").get.fn
+    val expected = sessions(spark, sf0001).collect().toSeq
+    for (enc <- Seq("ltz", "ntz", "nanos")) {
+      val t = graft.sources.Tables(spark, s"$root/$enc").table("events")
+      assert(t.schema("ts").dataType === TimestampType,
+        s"$enc: normalizeEventTs must yield TIMESTAMP")
+      // identical instants, not just identical-looking wall clocks
+      assert(t.agg(sum(unix_micros(col("ts"))), count(lit(1))).head() ===
+        base.agg(sum(unix_micros(col("ts"))), count(lit(1))).head(), s"$enc instants")
+      assert(sessions(spark, s"$root/$enc").collect().toSeq === expected,
+        s"$enc: sessionization must agree")
+      // the streaming file source resolves the same encoding to TIMESTAMP
+      assert(graft.streaming.EventStreams.streamFromParquet(spark, s"$root/$enc")
+        .schema("ts").dataType === TimestampType, s"$enc streaming schema")
+    }
+  }
+
   test("parquet sink round-trips with directory partitioning") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pq").toFile.getAbsolutePath + "/out"

@@ -64,9 +64,14 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle_sql = json.loads((out_dir / "oracle_sql.json").read_text())
+    errors_path = out_dir / "_errors.json"
+    verify_errors = json.loads(errors_path.read_text()) if errors_path.exists() else {}
 
     results = {}
     for name in sorted(p.name for p in out_dir.iterdir() if p.is_dir()):
+        if name in verify_errors:
+            results[name] = f"SPARK QUERY FAILED: {verify_errors[name]}"
+            continue
         try:
             spark_df = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
         except Exception as e:
