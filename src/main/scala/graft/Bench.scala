@@ -236,7 +236,9 @@ object Bench {
         "\"" + k + "\":" + ms(s.min)
     }.mkString("{", ",", "}")
     val qsSteal = results.collect {
-      case (k, s, _, _) if s.steal > 0 => "\"" + k + "\":" + s.steal
+      // 1-2 background ticks are ambient noise, not a steal window;
+      // the signature this map exists to expose is hundreds of ticks
+      case (k, s, _, _) if s.steal >= 5 => "\"" + k + "\":" + s.steal
     }.mkString("{", ",", "}")
     val qsRemeasured = results.collect { case (k, _, true, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val qsContended = results.collect { case (k, _, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")

@@ -67,6 +67,83 @@ object GraphRank {
     ranks
   }
 
+  /** [[pageRank]] run until the rank vector stops moving instead of a
+    * fixed iteration count: stops when the total L1 rank change drops
+    * to `tolerance` fixed-point units or below (integer arithmetic, so
+    * "converged" is exact and engine-reproducible — no epsilon drift),
+    * or at `maxIters` as a backstop.
+    *
+    * Two things a fixed-iter loop doesn't need, both scale-critical:
+    *
+    *   - **lineage truncation**: every round's rank frame is eagerly
+    *     `localCheckpoint`ed (the convergence test materializes it
+    *     anyway, so the checkpoint adds no extra pass), keeping the
+    *     plan one round deep no matter how many rounds convergence
+    *     takes — an unchecked loop re-plans a linearly-growing join
+    *     tree and eventually stalls the optimizer (same discipline as
+    *     [[Dedup]]'s pointer-jumping CC loop, which this mirrors
+    *     including the RDD-level unpersist of superseded rounds, so a
+    *     long convergence run cannot accumulate cached blocks);
+    *   - **a bounded per-round driver scalar**: the convergence test
+    *     aggregates |Δrank| to ONE long per round — the same bounded
+    *     contract as the CC loop's convergence sum; nothing
+    *     data-sized ever reaches the driver.
+    *
+    * The returned frame IS the last eager localCheckpoint (same reuse
+    * contract as the CC loop: do not unpersist while consuming).
+    * Returns `(node, rank, rounds)` — rounds is the same value on
+    * every row (a literal), recording how many iterations ran.
+    */
+  def pageRankUntilConverged(edges: DataFrame, srcCol: Column, dstCol: Column,
+                             tolerance: Long = 1000000L, maxIters: Int = 100,
+                             scale: Long = 1000000000000L): DataFrame = {
+    require(maxIters >= 1, "maxIters must be >= 1")
+    val e = edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true) // loop inputs: checkpoint once, reuse every round
+    val n = nodes.count()
+    require(n > 0, "pageRankUntilConverged: empty graph")
+    val base = scale * 15L / 100L / n
+    val eDeg = e.join(
+      e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")), "src")
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(scale / n)).localCheckpoint(true)
+    var rounds = 0
+    var moved = Long.MaxValue
+    while (moved > tolerance && rounds < maxIters) {
+      val next = eDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          call_function("div", col("rank"), col("__outdeg")).as("__c"))
+        .groupBy("node").agg(sum("__c").as("__s"))
+        .join(nodes, Seq("node"), "right")
+        .select(col("node"),
+          (lit(base) +
+            call_function("div", coalesce(col("__s"), lit(0L)) * 85L, lit(100L)))
+            .as("rank"))
+        .localCheckpoint(true)
+      // ONE long to the driver per round; the join is rank-frame sized
+      moved = next.join(ranks.withColumnRenamed("rank", "__prev"), "node")
+        .agg(sum(abs(col("rank") - col("__prev")))).head().getLong(0)
+      unpersistCheckpoint(ranks)
+      ranks = next
+      rounds += 1
+    }
+    unpersistCheckpoint(nodes); unpersistCheckpoint(eDeg)
+    ranks.withColumn("rounds", lit(rounds))
+  }
+
+  /** RDD-level unpersist for a localCheckpoint'ed frame (mirror of
+    * the private helper in [[Dedup]]): `Dataset.unpersist()` only
+    * uncaches CacheManager entries, not checkpoint RDD blocks. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ =>
+    }
+
   /** Personalized PageRank: the teleport mass lands ONLY on the seed
     * set instead of uniformly — scores become "proximity to the
     * seeds" rather than global centrality, the standard

@@ -49,6 +49,29 @@ class GraphRankSpec extends AnyFunSuite with SharedSpark {
     assert(totals === totals.sorted.reverse, totals.toString)
   }
 
+  test("pageRankUntilConverged: agrees with fixed-iter at its round count, lineage truncated") {
+    val g = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 4L, 4L -> 1L, 2L -> 4L)
+    val conv = GraphRank.pageRankUntilConverged(g, col("src"), col("dst"),
+      tolerance = 1000000L, maxIters = 100)
+    val rows = conv.collect()
+    val rounds = rows.head.getInt(2)
+    assert(rounds > 1 && rounds < 100, s"expected genuine convergence, got $rounds rounds")
+    assert(rows.map(_.getInt(2)).toSet === Set(rounds))
+    // integer arithmetic is deterministic: the converged vector IS the
+    // fixed-iter vector at the same round count
+    val fixedAt = ranks(g, rounds)
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap === fixedAt)
+    // one more round moves the vector by <= tolerance (the stop reason)
+    val prev = ranks(g, rounds - 1)
+    val l1 = fixedAt.map { case (k, v) => math.abs(v - prev(k)) }.sum
+    assert(l1 <= 1000000L, s"stop-round L1 delta $l1 above tolerance")
+    // lineage is a checkpoint scan, not a rounds-deep join tree
+    assert(conv.queryExecution.optimizedPlan.toString.contains("LogicalRDD")
+      || conv.queryExecution.optimizedPlan.collectLeaves()
+           .forall(_.getClass.getSimpleName.contains("LogicalRDD")),
+      "converged rank frame must read from the checkpoint")
+  }
+
   test("triangleCount: known graphs") {
     def tri(e: DataFrame): Long =
       GraphRank.triangleCount(e, col("src"), col("dst")).collect()(0).getLong(0)
