@@ -112,6 +112,32 @@ object SourceQueries {
              |  min(doc_id) AS min_id, max(doc_id) AS max_id
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // binaryFile ingestion: a media directory (6 real PNGs written by
+    // the JDK's ImageIO — an INDEPENDENT encoder) read as one row per
+    // file and parsed by the Multimodal header battery. Only the
+    // header-derived fields are compared (encoder byte output is not
+    // portable, parsed geometry is); the oracle re-derives the
+    // closed-form sizes (w = 16·i, h = 9·i). The file write is
+    // bounded fixture synthesis (6 files, driver-side), same contract
+    // as q_src_csv's fixture dump.
+    QueryDef("q_src_binary", (s, _) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bin_").toFile
+      (1 to 6).foreach { i =>
+        javax.imageio.ImageIO.write(
+          new java.awt.image.BufferedImage(16 * i, 9 * i,
+            java.awt.image.BufferedImage.TYPE_INT_ARGB),
+          "png", new java.io.File(dir, s"img_$i.png"))
+      }
+      DocumentSource.binaryFiles(s, dir.getAbsolutePath, glob = Some("*.png"))
+        .select(
+          graft.ext.Multimodal.pngValid(col("content")).as("ok"),
+          graft.ext.Multimodal.pngWidth(col("content")).as("w"),
+          graft.ext.Multimodal.pngHeight(col("content")).as("h"))
+        .orderBy("w")
+    },
+      Some("""SELECT true AS ok, 16 * i AS w, 9 * i AS h
+             |FROM range(1, 7) r(i) ORDER BY w""".stripMargin)),
+
     // Small-file compaction: documents deliberately shattered into 64
     // kilobyte files (the debris an incremental writer leaves), then
     // [[graft.ext.Layout.compact]] rewrites toward a byte target

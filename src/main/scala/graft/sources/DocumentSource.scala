@@ -53,6 +53,32 @@ object DocumentSource {
       .option("mode", "PERMISSIVE")
       .csv(path)
 
+  /** Raw-media ingestion: read a directory of image/audio/video files
+    * as one row per file — `path`, `modificationTime`, `length`,
+    * `content` (binary) — via Spark's built-in `binaryFile` source.
+    * This is the on-ramp into the [[graft.ext.Multimodal]] battery:
+    * header parsing (PNG/WAV/JPEG/MP4), validation, and the decode
+    * plumbing all take the `content` column as-is.
+    *
+    * Scale posture: each file is one indivisible row, so parallelism
+    * = file count (a 10-file directory uses 10 tasks no matter the
+    * cluster). Fine for the typical many-small-media-files layout;
+    * for millions of tiny files the listing itself is the bottleneck —
+    * ingest once with this reader, then compact into parquet with the
+    * payload as a binary column ([[writeParquet]]) and scan THAT at
+    * pipeline scale (the `documents`-table shape the q_mm_* gates
+    * run on). `maxLength` guards the driver against a stray huge file
+    * (binaryFile rejects files above it rather than OOMing a task). */
+  def binaryFiles(spark: SparkSession, dir: String,
+                  glob: Option[String] = None,
+                  maxLength: Option[Long] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    val r1 = glob.fold(r)(g => r.option("pathGlobFilter", g))
+    maxLength.foreach(m => spark.conf.set(
+      "spark.sql.sources.binaryFile.maxLength", m.toString))
+    r1.load(dir)
+  }
+
   /** Partitioned parquet writer — the engine's sink for derived
     * tables. `partitionBy` columns become directory partitions so
     * downstream date/key filters prune at the file level. */

@@ -114,6 +114,46 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("binaryFile ingestion: media directory → header parse → parquet compaction") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    val dir = Files.createTempDirectory("graft-media").toFile
+    val sizes = Seq((64, 48), (320, 200), (16, 16))
+    sizes.zipWithIndex.foreach { case ((w, h), i) =>
+      ImageIO.write(new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB),
+        "png", new java.io.File(dir, s"img_$i.png"))
+    }
+    new java.io.PrintWriter(new java.io.File(dir, "notes.txt")) {
+      write("not media"); close()
+    }
+
+    // glob keeps non-media files out of the scan entirely
+    val media = graft.sources.DocumentSource.binaryFiles(
+      spark, dir.getAbsolutePath, glob = Some("*.png"))
+    assert(media.count() === 3)
+    // the content column feeds the Multimodal battery unchanged
+    val parsed = media.select(
+      element_at(split(col("path"), "/"), -1).as("file"),
+      graft.ext.Multimodal.pngValid(col("content")).as("ok"),
+      graft.ext.Multimodal.pngWidth(col("content")).as("w"),
+      graft.ext.Multimodal.pngHeight(col("content")).as("h"))
+    val byFile = parsed.collect().map(r => r.getString(0) -> r).toMap
+    sizes.zipWithIndex.foreach { case ((w, h), i) =>
+      val r = byFile(s"img_$i.png")
+      assert(r.getBoolean(1) && r.getLong(2) === w && r.getLong(3) === h,
+        s"img_$i parse: $r")
+    }
+    // the documented scale path: compact into a binary-column parquet
+    // and scan THAT — the q_mm_* table shape
+    val compact = Files.createTempDirectory("graft-media-pq").toFile.getAbsolutePath + "/media"
+    media.select(col("path"), col("length"), col("content"))
+      .write.parquet(compact)
+    val back = spark.read.parquet(compact)
+    assert(back.count() === 3)
+    assert(back.select(graft.ext.Multimodal.pngWidth(col("content")).cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq === sizes.map(_._1.toLong).sorted)
+  }
+
   test("parquet sink round-trips with directory partitioning") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pq").toFile.getAbsolutePath + "/out"
