@@ -175,8 +175,9 @@ object Similarity {
     * embeddings broadcast for the penalty max, argmax via
     * TakeOrderedAndProject), one (id) row collected per round —
     * bounded like the Lloyd loop. Use for k ≲ 100 result-page /
-    * exemplar selection, not corpus-scale subset extraction (that is
-    * [[semdedupKeep]] / [[Sampling]]'s territory). */
+    * exemplar selection; at corpus scale use [[mmrSelectPooled]]
+    * (one scan + bounded-pool rerank), and for corpus-scale subset
+    * extraction proper, [[semdedupKeep]] / [[Sampling]]. */
   def mmrSelect(corpus: DataFrame, queryVec: DataFrame, k: Int,
                 lambdaPpm: Long = 500000L,
                 idCol: String = "vec_id"): DataFrame = {
@@ -214,6 +215,75 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     selected.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }
+      .toDF(idCol, "step")
+  }
+
+  /** [[mmrSelect]] restructured for corpus scale: ONE distributed
+    * relevance pass takes the top `k·poolFactor` candidates
+    * (TakeOrderedAndProject — never a global sort), and the greedy
+    * MMR loop then runs driver-side over that bounded pool with the
+    * SAME integer-grid arithmetic (the cosine mirrors
+    * [[graft.functions.CosineSimilarity]]'s sequential double
+    * accumulation bit-for-bit, so pooled and distributed trajectories
+    * agree exactly wherever both are defined).
+    *
+    * This is the standard retrieve-then-rerank shape: k corpus scans
+    * become one, at the cost of exactness ONLY when an MMR pick would
+    * have come from outside the relevance pool — impossible for the
+    * first pick, and increasingly unlikely as `poolFactor` grows,
+    * since low-relevance picks score (1−λ)·qrel − λ·maxsim below
+    * in-pool alternatives unless λ is diversity-extreme (λ → 1 wants
+    * the FARTHEST vectors regardless of relevance; use a sampler for
+    * that, not MMR). Pool rows collected to the driver:
+    * k·poolFactor·(dim+2) values — bounded like the Lloyd/Z-order
+    * collects, and documented as such. Zero-norm vectors (cosine
+    * undefined) are excluded, matching the null-cosine drop in the
+    * distributed form. Returns (idCol, step), step 1-based. */
+  def mmrSelectPooled(corpus: DataFrame, queryVec: DataFrame, k: Int,
+                      lambdaPpm: Long = 500000L, poolFactor: Int = 8,
+                      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && lambdaPpm >= 0 && lambdaPpm <= 1000000L && poolFactor >= 1,
+      "need k >= 1, lambda in [0, 1e6] ppm, poolFactor >= 1")
+    val grid = lit(1048576.0)
+    val q = broadcast(queryVec.select(col("embedding").as("q_emb")))
+    val pool = corpus.select(col(idCol).cast("long").as("id"), col("embedding"))
+      .crossJoin(q)
+      .select(col("id"), col("embedding"),
+        floor(fastCos(col("embedding"), col("q_emb")) * grid + lit(0.5))
+          .cast("long").as("qrel"))
+      .filter(col("qrel").isNotNull)
+      .orderBy(desc("qrel"), col("id")).limit(k * poolFactor)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+
+    // driver-side mirror of CosineSimilarity.nullSafeEval: floats
+    // widened to double, sequential accumulation — same rounding
+    def qcos(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < a.length) {
+        val xi = a(i).toDouble; val yi = b(i).toDouble
+        dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      }
+      math.floor(dot / (math.sqrt(nx) * math.sqrt(ny)) * 1048576.0 + 0.5).toLong
+    }
+    var selected = Vector.empty[(Long, Array[Float])]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      pool.map { case (id, e, r) => id -> (e, r) }.toSeq: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val (bestId, _) = remaining.foldLeft((-1L, Long.MinValue)) {
+        case ((bid, bscore), (id, (emb, qrel))) =>
+          val maxsim = if (selected.isEmpty) 0L
+            else selected.map(s => qcos(emb, s._2)).max
+          val score = (1000000L - lambdaPpm) * qrel - lambdaPpm * maxsim
+          if (score > bscore || (score == bscore && (bid < 0 || id < bid)))
+            (id, score) else (bid, bscore)
+      }
+      selected :+= (bestId -> remaining(bestId)._1)
+      remaining.remove(bestId)
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    selected.zipWithIndex.map { case ((id, _), i) => (id, (i + 1).toLong) }
       .toDF(idCol, "step")
   }
 

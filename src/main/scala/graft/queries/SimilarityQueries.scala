@@ -717,6 +717,50 @@ object SimilarityQueries {
            |ORDER BY step""".stripMargin
       }),
 
+    // Pooled MMR (retrieve-then-rerank): relevance top-16 pool in ONE
+    // distributed pass, greedy MMR driver-side over the pool. Same
+    // unrolled-step oracle as q_sim_mmr, with the candidate CTE
+    // LIMITed to the pool — the integer grid makes pool membership
+    // and every step's argmax engine-exact.
+    QueryDef("q_sim_mmr_pooled",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.mmrSelectPooled(emb.filter(col("vec_id") =!= 0),
+            emb.filter(col("vec_id") === 0), k = 4, poolFactor = 4)
+          .orderBy("step")
+      },
+      Some {
+        def cosQ(l: String, r: String) =
+          s"""CAST(floor(
+             |      list_dot_product(CAST($l AS DOUBLE[]), CAST($r AS DOUBLE[]))
+             |      / (sqrt(list_dot_product(CAST($l AS DOUBLE[]), CAST($l AS DOUBLE[])))
+             |         * sqrt(list_dot_product(CAST($r AS DOUBLE[]), CAST($r AS DOUBLE[]))))
+             |      * 1048576.0 + 0.5) AS BIGINT)""".stripMargin
+        def step(i: Int): String = {
+          val sel = (1 until i).map(j => s"SELECT vec_id FROM s$j")
+            .mkString(" UNION ")
+          s"""p$i AS (
+             |  SELECT c.vec_id, c.qrel, max(${cosQ("c.embedding", "s.embedding")}) AS ms
+             |  FROM sc c JOIN sc s ON s.vec_id IN ($sel)
+             |  WHERE c.vec_id NOT IN ($sel)
+             |  GROUP BY 1, 2),
+             |s$i AS (SELECT vec_id FROM p$i
+             |        ORDER BY (qrel - ms) DESC, vec_id LIMIT 1)""".stripMargin
+        }
+        s"""WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |sc AS (
+           |  SELECT c.vec_id, c.embedding, ${cosQ("c.embedding", "q.qe")} AS qrel
+           |  FROM embeddings c, qv q WHERE c.vec_id <> 0
+           |  ORDER BY qrel DESC, c.vec_id LIMIT 16),
+           |s1 AS (SELECT vec_id FROM sc ORDER BY qrel DESC, vec_id LIMIT 1),
+           |${(2 to 4).map(step).mkString(",\n")}
+           |SELECT vec_id, CAST(1 AS BIGINT) AS step FROM s1
+           |UNION ALL SELECT vec_id, CAST(2 AS BIGINT) FROM s2
+           |UNION ALL SELECT vec_id, CAST(3 AS BIGINT) FROM s3
+           |UNION ALL SELECT vec_id, CAST(4 AS BIGINT) FROM s4
+           |ORDER BY step""".stripMargin
+      }),
+
     // Semantic decontamination: corpus vectors (id >= 10) surviving
     // a 0.35-cosine screen against the 10 eval vectors — the
     // embedding-space complement of shingle decontam. The oracle

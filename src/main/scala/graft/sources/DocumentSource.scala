@@ -67,8 +67,12 @@ object DocumentSource {
     * ingest once with this reader, then compact into parquet with the
     * payload as a binary column ([[writeParquet]]) and scan THAT at
     * pipeline scale (the `documents`-table shape the q_mm_* gates
-    * run on). `maxLength` guards the driver against a stray huge file
-    * (binaryFile rejects files above it rather than OOMing a task). */
+    * run on). `maxLength` guards against a stray huge file
+    * (binaryFile fails files above it rather than OOMing a task);
+    * note it is a SESSION conf (`spark.sql.sources.binaryFile
+    * .maxLength` — the source exposes no per-read option), so a
+    * non-default value persists for later binaryFile reads on the
+    * same session. */
   def binaryFiles(spark: SparkSession, dir: String,
                   glob: Option[String] = None,
                   maxLength: Option[Long] = None): DataFrame = {

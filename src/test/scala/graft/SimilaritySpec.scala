@@ -239,6 +239,32 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("mmrSelectPooled: agrees with mmrSelect, and with a full-corpus pool is identical") {
+    // same planted fixture as the mmrSelect spec: doc 2 is a
+    // near-copy of top hit 1, doc 3 diverse — the pooled rerank must
+    // make the same swap
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.045f, 0.0f)),
+      (3L, Array(0.6f, 0.8f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val query = Seq((0L, Array(1.0f, 0.01f, 0.0f))).toDF("vec_id", "embedding")
+    val pooled = Similarity.mmrSelectPooled(corpus, query, k = 2, poolFactor = 2)
+      .orderBy("step").collect().map(_.getLong(0)).toSeq
+    assert(pooled === Seq(1L, 3L), "pooled MMR must swap the near-copy for the diverse doc")
+    // full-corpus pool ⇒ bit-identical trajectory to the k-scan form,
+    // on the real embeddings table (exercises the float→double mirror)
+    val big = emb.filter(col("vec_id") =!= 0)
+    val qv = emb.filter(col("vec_id") === 0)
+    val kScan = Similarity.mmrSelect(big, qv, k = 5)
+      .orderBy("step").collect().map(_.getLong(0)).toSeq
+    val fullPool = Similarity.mmrSelectPooled(big, qv, k = 5, poolFactor = 500)
+      .orderBy("step").collect().map(_.getLong(0)).toSeq
+    assert(fullPool === kScan,
+      s"full-pool trajectory $fullPool must equal k-scan trajectory $kScan")
+  }
+
   test("dimCovariance: signed-zero and .5-micro-tie cells round engine-portably") {
     // Crafted 2-row, 3-dim corpus whose difference vector in 2^-10
     // q-units is d = (1, 32768, -1); with n = 2 every covariance
