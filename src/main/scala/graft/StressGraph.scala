@@ -89,6 +89,15 @@ object StressGraph {
       GraphRank.pageRank(randomEdges(spark, 2000000L * rep, 200000L),
         col("src"), col("dst"), iters = 5).agg(sum("rank")).collect()(0).getLong(0)
     }
+    // until-convergence: rounds must stay modest and the per-round
+    // checkpoint keeps wall ~linear in rounds (an unchecked loop's
+    // re-planning cost would grow superlinearly); prints rounds as
+    // the result so the capture shows convergence, not a cap hit
+    time("pagerank-converged-1x") {
+      GraphRank.pageRankUntilConverged(randomEdges(spark, 2000000L, 200000L),
+          col("src"), col("dst"), tolerance = 1000000L, maxIters = 50)
+        .select(max("rounds")).collect()(0).getInt(0).toLong
+    }
     spark.stop()
   }
 }

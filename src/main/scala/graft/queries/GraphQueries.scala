@@ -99,6 +99,72 @@ object GraphQueries {
           |FROM r5 r JOIN nation nn ON r.node = CAST(nn.n_nationkey AS BIGINT)
           |ORDER BY rank_fp DESC, nation""".stripMargin), bench = true),
 
+    // Until-convergence PageRank: same integer fixed point, but the
+    // iteration count is DISCOVERED (stop when the L1 rank delta
+    // drops to 1e6 units = 1e-6 of total mass), so the oracle cannot
+    // unroll — instead a DuckDB RECURSIVE CTE carries the whole rank
+    // vector as a LIST per iteration (nodes sorted, so positions
+    // align) and re-derives the identical trajectory with scalar
+    // list lambdas: emission continues while the carried prev-delta
+    // exceeds tolerance, so the last emitted iteration is exactly the
+    // round the Spark loop returns, including the `rounds` column.
+    // Two DuckDB-1.0 traps documented by the shape: a bare UNION
+    // inside WITH RECURSIVE parses as a recursive union (hence the
+    // explicit DISTINCT dedup), and lambda closures do not bind
+    // across LATERAL (hence the carried-prev column instead of a
+    // computed-once delta).
+    QueryDef("q_graph_pagerank_conv",
+      (s, d) => GraphRank.pageRankUntilConverged(tradeEdges(s, d),
+          col("src"), col("dst"), tolerance = 1000000L, maxIters = 100)
+        .withColumnRenamed("rank", "rank_fp")
+        .join(t(s, d, "nation"), col("node") === col("n_nationkey").cast("long"))
+        .select(col("n_name").as("nation"), col("rank_fp"), col("rounds"))
+        .orderBy(desc("rank_fp"), col("nation")),
+      Some("""WITH RECURSIVE p AS (
+             |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+             |         CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS cnt
+             |  FROM lineitem l
+             |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |  JOIN customer c ON o.o_custkey = c.c_custkey
+             |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |  WHERE c.c_nationkey <> s.s_nationkey
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM p),
+             |e AS (SELECT src, dst FROM p CROSS JOIN tot WHERE cnt * 480 >= total),
+             |d AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+             |nodes AS (SELECT DISTINCT node FROM
+             |            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+             |nl AS (SELECT list(node ORDER BY node) AS ns FROM nodes),
+             |el AS (SELECT list({'src': ed.src, 'dst': ed.dst, 'outdeg': d.outdeg}
+             |                   ORDER BY ed.src, ed.dst) AS es
+             |       FROM e ed JOIN d ON ed.src = d.src),
+             |prm AS (SELECT CAST(len(ns) AS BIGINT) AS n FROM nl),
+             |pr AS (
+             |  SELECT 0 AS iter,
+             |         list_transform(ns, x -> 1000000000000 // n) AS ranks,
+             |         CAST(NULL AS BIGINT[]) AS prev
+             |  FROM nl, prm
+             |  UNION ALL
+             |  SELECT pr.iter + 1,
+             |         list_transform(ns, nd ->
+             |           (1000000000000 * 15 // 100 // n) +
+             |           85 * COALESCE(list_sum(list_transform(
+             |                  list_filter(es, ed -> ed.dst = nd),
+             |                  ed -> pr.ranks[list_position(ns, ed.src)] // ed.outdeg)), 0)::BIGINT // 100
+             |         ) AS ranks,
+             |         pr.ranks AS prev
+             |  FROM pr, nl, prm, el
+             |  WHERE pr.prev IS NULL
+             |     OR list_sum(list_transform(range(1, len(pr.ranks) + 1),
+             |                                i -> abs(pr.ranks[i] - pr.prev[i])))::BIGINT > 1000000
+             |),
+             |fin AS (
+             |  SELECT unnest(ns) AS node, unnest(last.ranks) AS rank_fp, last.iter AS rounds
+             |  FROM (SELECT iter, ranks FROM pr ORDER BY iter DESC LIMIT 1) last, nl)
+             |SELECT nn.n_name AS nation, f.rank_fp AS rank_fp, CAST(f.rounds AS INT) AS rounds
+             |FROM fin f JOIN nation nn ON f.node = CAST(nn.n_nationkey AS BIGINT)
+             |ORDER BY rank_fp DESC, nation""".stripMargin)),
+
     // Personalized PageRank: teleport mass restricted to 5 seed
     // nations — scores become proximity-to-seeds (trust propagation)
     // instead of global centrality. Same integer fixed point, same
