@@ -58,6 +58,13 @@ object TextAnalysis {
   def punctCount(text: Column): Column =
     graft.functions.TextExpressions.punctCount(text)
 
+  /** Per-code-point class census `[letter, digit, ws, punct,
+    * control, replacement, other]` — one text sweep; the
+    * encoding-corruption signals (U+FFFD count, control-char count,
+    * non-ASCII "other" ratio) for corpus quality gating. */
+  def charClassCounts(text: Column): Column =
+    graft.functions.TextExpressions.charClassCounts(text)
+
   /** Stopword ratio, word-length stats and a combined quality score in
     * [0,1] — the usual cheap pre-filter before expensive pipeline
     * stages. All ratios are plain double arithmetic (deterministic

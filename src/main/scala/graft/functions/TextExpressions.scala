@@ -203,6 +203,58 @@ case class RollingHash(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** One-pass per-code-point character-class census — the
+  * encoding-corruption (mojibake) signal battery: returns
+  * `[letter, digit, whitespace, punct, control, replacement, other]`
+  * counts. Classes are pinned to ASCII definitions (plus the literal
+  * U+FFFD replacement character) rather than Unicode categories, so
+  * they are BYTE-DETERMINISTIC in every engine — Java and RE2
+  * Unicode tables can disagree across versions, ASCII ranges cannot:
+  *
+  *   - letter  [A-Za-z]; digit [0-9]
+  *   - whitespace = ASCII `\s` ([ \t\n\x0B\f\r]) — takes precedence
+  *     over control for 0x09–0x0D
+  *   - punct = remaining printable ASCII ([\x21-\x2f\x3a-\x40
+  *     \x5b-\x60\x7b-\x7e])
+  *   - control = [\x00-\x08\x0e-\x1f\x7f]
+  *   - replacement = U+FFFD (the decoder's substitution marker —
+  *     its presence IS the mojibake evidence)
+  *   - other = every remaining code point (all non-ASCII): the
+  *     non-ASCII ratio that feeds lang/script heuristics
+  *
+  * Counted per code point (surrogate pairs advance as one, matching
+  * DuckDB `length()`); an oracle expresses each class as
+  * `length(regexp_replace(text, '[^<class>]', '', 'g'))`. */
+case class CharClassCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val counts = new Array[Int](7)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      val cls =
+        if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')) 0
+        else if (cp >= '0' && cp <= '9') 1
+        else if (TextScan.isSpaceCp(cp)) 2
+        else if ((cp >= 0x21 && cp <= 0x2f) || (cp >= 0x3a && cp <= 0x40) ||
+                 (cp >= 0x5b && cp <= 0x60) || (cp >= 0x7b && cp <= 0x7e)) 3
+        else if (cp <= 0x1f || cp == 0x7f) 4
+        else if (cp == 0xfffd) 5
+        else 6
+      counts(cls) += 1
+      i += Character.charCount(cp)
+    }
+    UnsafeArrayData.fromPrimitiveArray(counts)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Shared character-class predicates (Java regex ASCII semantics). */
 object TextScan {
   def isSpace(c: Char): Boolean =
@@ -226,6 +278,10 @@ object TextExpressions {
   /** One-pass punctuation count (== size of all [^\w\s] matches). */
   def punctCount(text: Column): Column =
     column(PunctCount(expression(text)))
+
+  /** One-pass 7-way character-class census (see [[CharClassCounts]]). */
+  def charClassCounts(text: Column): Column =
+    column(CharClassCounts(expression(text)))
 
   /** One-pass word n-gram shingles (caller lowercases). */
   def wordShingles(text: Column, n: Int): Column =

@@ -426,6 +426,39 @@ object TextQueries {
              |    AS entropy
              |FROM per ORDER BY doc_id""".stripMargin)),
 
+    // Per-code-point character-class census (mojibake battery): one
+    // native sweep per document, ASCII-pinned classes so both engines
+    // count identically; the oracle strips each class's complement
+    // with RE2 and counts code points with length(). Per-doc rows so
+    // any single misclassified character fails the hash.
+    QueryDef("q_tx_charclass",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.ext.TextAnalysis.charClassCounts(col("text")).as("c"))
+        .select(col("doc_id"),
+          col("c").getItem(0).cast("long").as("n_letter"),
+          col("c").getItem(1).cast("long").as("n_digit"),
+          col("c").getItem(2).cast("long").as("n_ws"),
+          col("c").getItem(3).cast("long").as("n_punct"),
+          col("c").getItem(4).cast("long").as("n_ctrl"),
+          col("c").getItem(5).cast("long").as("n_replacement"),
+          col("c").getItem(6).cast("long").as("n_other"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_letter,
+             |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+             |  CAST(length(regexp_replace(text, '[^ \t\n\x0B\f\r]', '', 'g')) AS BIGINT) AS n_ws,
+             |  CAST(length(regexp_replace(text, '[^\x21-\x2f\x3a-\x40\x5b-\x60\x7b-\x7e]', '', 'g')) AS BIGINT) AS n_punct,
+             |  CAST(length(regexp_replace(text, '[^\x00-\x08\x0e-\x1f\x7f]', '', 'g')) AS BIGINT) AS n_ctrl,
+             |  CAST(length(regexp_replace(text, '[^\x{FFFD}]', '', 'g')) AS BIGINT) AS n_replacement,
+             |  CAST(length(text)
+             |       - length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+             |       - length(regexp_replace(text, '[^ \t\n\x0B\f\r]', '', 'g'))
+             |       - length(regexp_replace(text, '[^\x21-\x2f\x3a-\x40\x5b-\x60\x7b-\x7e]', '', 'g'))
+             |       - length(regexp_replace(text, '[^\x00-\x08\x0e-\x1f\x7f]', '', 'g'))
+             |       - length(regexp_replace(text, '[^\x{FFFD}]', '', 'g')) AS BIGINT) AS n_other
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Waterfill materialized: the actual ≤100k-char training subset —
     // per source, whole docs in MINSTD order until the allocation
     // would overrun. Oracle replays the waterfill AND the per-source

@@ -11,6 +11,25 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     Seq(text).toDF("text").select(c).head().get(0)
   }
 
+  test("charClassCounts: 7-way census over every edge class, surrogate-aware") {
+    def counts(s: String): Seq[Int] =
+      one(s, TextAnalysis.charClassCounts(col("text")))
+        .asInstanceOf[scala.collection.Seq[Int]].toSeq
+    // Ab1 2!\t + control(0x01) + U+FFFD + e-acute + CJK + emoji
+    // (surrogate pair); non-ASCII letters land in "other" — the
+    // non-ASCII RATIO is the signal, not a Unicode letter count
+    val s = "Ab1 2!\t\u0001\ufffd\u00e9\u4e16" + new String(Character.toChars(0x1F600))
+    //          letter digit ws punct ctrl repl other
+    assert(counts(s) === Seq(2, 2, 2, 1, 1, 1, 3))
+    // the emoji is ONE code point (surrogate pair advances once)
+    assert(counts(new String(Character.toChars(0x1F600))) === Seq(0, 0, 0, 0, 0, 0, 1))
+    // ws wins precedence over control for 0x09-0x0D; 0x7f is control
+    assert(counts("\t\r\n\u000B\f\u007F") === Seq(0, 0, 5, 0, 1, 0, 0))
+    // underscore is punct (ASCII 0x5f), not a letter
+    assert(counts("_") === Seq(0, 0, 0, 1, 0, 0, 0))
+    assert(counts("") === Seq(0, 0, 0, 0, 0, 0, 0))
+  }
+
   test("token counts: whitespace vs BPE-ish regex") {
     assert(one("hello world", TextAnalysis.tokenCountWs(col("text"))) === 2)
     assert(one("hello, world!", TextAnalysis.tokenCountWs(col("text"))) === 2)
