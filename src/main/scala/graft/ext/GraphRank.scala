@@ -135,6 +135,58 @@ object GraphRank {
     ranks.withColumn("rounds", lit(rounds))
   }
 
+  /** [[personalizedPageRank]] run to convergence — the same
+    * discovered-round-count loop, checkpoint discipline, and bounded
+    * per-round |Δrank| scalar as [[pageRankUntilConverged]], with the
+    * teleport mass restricted to the seed set. Returns
+    * `(node, rank, rounds)`. */
+  def personalizedPageRankUntilConverged(
+      edges: DataFrame, srcCol: Column, dstCol: Column,
+      seeds: DataFrame, seedCol: Column,
+      tolerance: Long = 1000000L, maxIters: Int = 100,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(maxIters >= 1, "maxIters must be >= 1")
+    val e = edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val seedSet = seeds.select(seedCol.cast("long").as("node")).distinct()
+      .join(nodes, Seq("node"), "left_semi")
+    val ns = seedSet.count()
+    require(ns > 0, "personalizedPageRankUntilConverged: no seed overlaps the graph")
+    val flagged = nodes.join(seedSet.withColumn("__s", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
+      .localCheckpoint(true)
+    val base = scale * 15L / 100L / ns
+    val eDeg = e.join(
+      e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")), "src")
+      .localCheckpoint(true)
+    var ranks = flagged.withColumn("rank", col("__s") * lit(scale / ns))
+      .select("node", "rank").localCheckpoint(true)
+    var rounds = 0
+    var moved = Long.MaxValue
+    while (moved > tolerance && rounds < maxIters) {
+      val next = eDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          call_function("div", col("rank"), col("__outdeg")).as("__c"))
+        .groupBy("node").agg(sum("__c").as("__sum"))
+        .join(flagged, Seq("node"), "right")
+        .select(col("node"),
+          (col("__s") * lit(base) +
+            call_function("div", coalesce(col("__sum"), lit(0L)) * 85L, lit(100L)))
+            .as("rank"))
+        .localCheckpoint(true)
+      moved = next.join(ranks.withColumnRenamed("rank", "__prev"), "node")
+        .agg(sum(abs(col("rank") - col("__prev")))).head().getLong(0)
+      unpersistCheckpoint(ranks)
+      ranks = next
+      rounds += 1
+    }
+    unpersistCheckpoint(flagged); unpersistCheckpoint(eDeg)
+    ranks.withColumn("rounds", lit(rounds))
+  }
+
   /** RDD-level unpersist for a localCheckpoint'ed frame (mirror of
     * the private helper in [[Dedup]]): `Dataset.unpersist()` only
     * uncaches CacheManager entries, not checkpoint RDD blocks. */

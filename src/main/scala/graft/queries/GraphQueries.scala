@@ -198,6 +198,73 @@ object GraphQueries {
           |FROM r5 r JOIN nation nn ON r.node = CAST(nn.n_nationkey AS BIGINT)
           |ORDER BY rank_fp DESC, nation""".stripMargin)),
 
+    // Personalized PageRank to convergence: the q_graph_pagerank_conv
+    // recursive-CTE oracle with seed-flagged teleport — the flag is
+    // re-derived positionally inside the list lambdas
+    // (list_contains(seeds, ns[i])), so the carried state stays one
+    // rank vector per iteration.
+    QueryDef("q_graph_ppr_conv",
+      (s, d) => {
+        val spark = s; import spark.implicits._
+        val seeds = Seq(0L, 1L, 2L, 3L, 4L).toDF("node")
+        GraphRank.personalizedPageRankUntilConverged(tradeEdges(s, d),
+            col("src"), col("dst"), seeds, col("node"),
+            tolerance = 1000000L, maxIters = 100)
+          .withColumnRenamed("rank", "rank_fp")
+          .join(t(s, d, "nation"), col("node") === col("n_nationkey").cast("long"))
+          .select(col("n_name").as("nation"), col("rank_fp"), col("rounds"))
+          .orderBy(desc("rank_fp"), col("nation"))
+      },
+      Some("""WITH RECURSIVE p AS (
+             |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+             |         CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS cnt
+             |  FROM lineitem l
+             |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |  JOIN customer c ON o.o_custkey = c.c_custkey
+             |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |  WHERE c.c_nationkey <> s.s_nationkey
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM p),
+             |e AS (SELECT src, dst FROM p CROSS JOIN tot WHERE cnt * 480 >= total),
+             |d AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+             |nodes AS (SELECT DISTINCT node FROM
+             |            (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+             |nl AS (SELECT list(node ORDER BY node) AS ns FROM nodes),
+             |el AS (SELECT list({'src': ed.src, 'dst': ed.dst, 'outdeg': d.outdeg}
+             |                   ORDER BY ed.src, ed.dst) AS es
+             |       FROM e ed JOIN d ON ed.src = d.src),
+             |sn AS (SELECT CAST(list_sum(list_transform(ns,
+             |         nd -> CASE WHEN list_contains([0,1,2,3,4], nd) THEN 1 ELSE 0 END))
+             |       AS BIGINT) AS nseed FROM nl),
+             |pr AS (
+             |  SELECT 0 AS iter,
+             |         list_transform(ns, nd ->
+             |           CASE WHEN list_contains([0,1,2,3,4], nd)
+             |                THEN 1000000000000 // nseed ELSE 0 END) AS ranks,
+             |         CAST(NULL AS BIGINT[]) AS prev
+             |  FROM nl, sn
+             |  UNION ALL
+             |  SELECT pr.iter + 1,
+             |         list_transform(range(1, len(ns) + 1), i ->
+             |           (CASE WHEN list_contains([0,1,2,3,4], ns[i])
+             |                 THEN 1000000000000 * 15 // 100 // nseed ELSE 0 END) +
+             |           85 * COALESCE(list_sum(list_transform(
+             |                  list_filter(es, ed -> ed.dst = ns[i]),
+             |                  ed -> pr.ranks[list_position(ns, ed.src)] // ed.outdeg)), 0)::BIGINT // 100
+             |         ) AS ranks,
+             |         pr.ranks AS prev
+             |  FROM pr, nl, sn, el
+             |  WHERE pr.prev IS NULL
+             |     OR list_sum(list_transform(range(1, len(pr.ranks) + 1),
+             |                                i -> abs(pr.ranks[i] - pr.prev[i])))::BIGINT > 1000000
+             |),
+             |fin AS (
+             |  SELECT unnest(ns) AS node, unnest(last.ranks) AS rank_fp, last.iter AS rounds
+             |  FROM (SELECT iter, ranks FROM pr ORDER BY iter DESC LIMIT 1) last, nl)
+             |SELECT nn.n_name AS nation, f.rank_fp AS rank_fp, CAST(f.rounds AS INT) AS rounds
+             |FROM fin f JOIN nation nn ON f.node = CAST(nn.n_nationkey AS BIGINT)
+             |ORDER BY rank_fp DESC, nation""".stripMargin)),
+
     // Exact triangle count of the undirected trade graph —
     // degree-oriented wedge join in Spark, id-oriented in the
     // oracle; any total-order orientation counts each triangle once.

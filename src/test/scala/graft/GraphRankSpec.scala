@@ -72,6 +72,21 @@ class GraphRankSpec extends AnyFunSuite with SharedSpark {
       "converged rank frame must read from the checkpoint")
   }
 
+  test("personalizedPageRankUntilConverged: agrees with fixed-iter at its round count") {
+    import spark.implicits._
+    val g = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 4L, 4L -> 1L, 2L -> 4L)
+    val seeds = Seq(1L, 9L).toDF("node") // 9 is outside the graph, ignored
+    val conv = GraphRank.personalizedPageRankUntilConverged(g,
+      col("src"), col("dst"), seeds, col("node"),
+      tolerance = 1000000L, maxIters = 100).collect()
+    val rounds = conv.head.getInt(2)
+    assert(rounds > 1 && rounds < 100, s"expected genuine convergence, got $rounds")
+    val fixedAt = GraphRank.personalizedPageRank(g, col("src"), col("dst"),
+        seeds, col("node"), iters = rounds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(conv.map(r => r.getLong(0) -> r.getLong(1)).toMap === fixedAt)
+  }
+
   test("triangleCount: known graphs") {
     def tri(e: DataFrame): Long =
       GraphRank.triangleCount(e, col("src"), col("dst")).collect()(0).getLong(0)
