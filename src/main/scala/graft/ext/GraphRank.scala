@@ -187,6 +187,57 @@ object GraphRank {
     ranks.withColumn("rounds", lit(rounds))
   }
 
+  /** K-core decomposition by iterative peeling: repeatedly remove
+    * nodes whose degree in the CURRENT induced subgraph is below `k`
+    * until a fixpoint — the standard crawl-graph curation filter
+    * (spam/link-farm tails peel away; the dense core that survives is
+    * where authority signals are meaningful). Returns
+    * `(node, deg, rounds)`: the k-core's nodes with their core
+    * degrees, `rounds` = peeling iterations to fixpoint (same value
+    * on every row); empty when no k-core exists.
+    *
+    * Input is canonicalized undirected-simple (self-loops and
+    * duplicate/reverse edges collapse). Each round is one degree
+    * aggregation + one semi-join on |E| — hash equi-joins only; the
+    * edge frame is eagerly localCheckpoint'ed per round and the
+    * superseded checkpoint unpersisted (the [[Dedup]] CC loop's
+    * discipline), and the per-round driver scalar is ONE long (the
+    * surviving-edge count). Rounds are bounded by the peeling depth —
+    * ≤ |V| in theory, tiny in practice on heavy-tailed graphs. */
+  def kCore(edges: DataFrame, srcCol: Column, dstCol: Column, k: Int,
+            maxRounds: Int = 1000): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    var und = edges.select(
+        least(srcCol.cast("long"), dstCol.cast("long")).as("u"),
+        greatest(srcCol.cast("long"), dstCol.cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var nEdges = und.count()
+    var rounds = 0
+    var shrunk = true
+    while (shrunk && rounds < maxRounds && nEdges > 0) {
+      val deg = und.select(col("u").as("node"))
+        .union(und.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("node")
+      val next = und
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+      val n2 = next.count()
+      rounds += 1
+      shrunk = n2 < nEdges
+      unpersistCheckpoint(und)
+      und = next
+      nEdges = n2
+    }
+    val out = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+      .withColumn("rounds", lit(rounds))
+    out
+  }
+
   /** RDD-level unpersist for a localCheckpoint'ed frame (mirror of
     * the private helper in [[Dedup]]): `Dataset.unpersist()` only
     * uncaches CacheManager entries, not checkpoint RDD blocks. */

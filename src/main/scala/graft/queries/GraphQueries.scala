@@ -265,6 +265,53 @@ object GraphQueries {
              |FROM fin f JOIN nation nn ON f.node = CAST(nn.n_nationkey AS BIGINT)
              |ORDER BY rank_fp DESC, nation""".stripMargin)),
 
+    // K-core decomposition (k = 8): iterative peeling of the
+    // undirected trade graph to its dense core — the crawl-curation
+    // filter that strips link-farm/spam tails. The oracle carries the
+    // surviving edge LIST through a recursive CTE, peeling with
+    // nested list lambdas; the discovered round count (including the
+    // final verification round, matching the Spark loop's exit
+    // condition) is part of the hash.
+    QueryDef("q_graph_kcore",
+      (s, d) => GraphRank.kCore(tradeEdges(s, d), col("src"), col("dst"), k = 8)
+        .join(t(s, d, "nation"), col("node") === col("n_nationkey").cast("long"))
+        .select(col("n_name").as("nation"), col("deg"), col("rounds"))
+        .orderBy(desc("deg"), col("nation")),
+      Some("""WITH RECURSIVE p AS (
+             |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+             |         CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS cnt
+             |  FROM lineitem l
+             |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |  JOIN customer c ON o.o_custkey = c.c_custkey
+             |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |  WHERE c.c_nationkey <> s.s_nationkey
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM p),
+             |e AS (SELECT src, dst FROM p CROSS JOIN tot WHERE cnt * 480 >= total),
+             |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+             |        FROM e WHERE src <> dst),
+             |el AS (SELECT list({'u': u, 'v': v} ORDER BY u, v) AS es FROM und),
+             |pr AS (
+             |  SELECT 0 AS iter, es, CAST(NULL AS BIGINT) AS prev_len FROM el
+             |  UNION ALL
+             |  SELECT pr.iter + 1,
+             |         list_filter(pr.es, ed ->
+             |           len(list_filter(pr.es, e2 -> e2.u = ed.u OR e2.v = ed.u)) >= 8 AND
+             |           len(list_filter(pr.es, e2 -> e2.u = ed.v OR e2.v = ed.v)) >= 8),
+             |         CAST(len(pr.es) AS BIGINT)
+             |  FROM pr
+             |  WHERE (pr.prev_len IS NULL AND len(pr.es) > 0)
+             |     OR (pr.prev_len IS NOT NULL AND len(pr.es) < pr.prev_len AND len(pr.es) > 0)
+             |),
+             |last AS (SELECT iter, es FROM pr ORDER BY iter DESC LIMIT 1),
+             |ends AS (SELECT unnest(es) AS ed, iter FROM last),
+             |nd AS (SELECT ed.u AS node, iter FROM ends
+             |       UNION ALL SELECT ed.v, iter FROM ends)
+             |SELECT nn.n_name AS nation, CAST(count(*) AS BIGINT) AS deg,
+             |       CAST(any_value(nd.iter) AS INT) AS rounds
+             |FROM nd JOIN nation nn ON nd.node = CAST(nn.n_nationkey AS BIGINT)
+             |GROUP BY 1 ORDER BY deg DESC, nation""".stripMargin)),
+
     // Exact triangle count of the undirected trade graph —
     // degree-oriented wedge join in Spark, id-oriented in the
     // oracle; any total-order orientation counts each triangle once.

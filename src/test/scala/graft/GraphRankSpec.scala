@@ -87,6 +87,31 @@ class GraphRankSpec extends AnyFunSuite with SharedSpark {
     assert(conv.map(r => r.getLong(0) -> r.getLong(1)).toMap === fixedAt)
   }
 
+  test("kCore: peels tails, keeps the dense core, counts rounds like the loop") {
+    def core(e: org.apache.spark.sql.DataFrame, k: Int) =
+      GraphRank.kCore(e, col("src"), col("dst"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // triangle + pendant: round 1 peels the pendant, round 2 verifies
+    val g = edges(1L -> 2L, 2L -> 3L, 3L -> 1L, 3L -> 4L)
+    val c2 = core(g, 2)
+    assert(c2.map(_._1).sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(c2.forall(_._2 === 2L), c2.mkString(","))
+    assert(c2.forall(_._3 === 2), s"rounds: ${c2.toSeq}")
+    // a path has no 2-core; the first peel empties it → rounds 1
+    assert(core(edges(1L -> 2L, 2L -> 3L), 2).isEmpty)
+    // already-a-core graph: one verification round, nothing removed
+    val k4 = edges((for { a <- 0L to 3L; b <- 0L to 3L if a < b } yield a -> b): _*)
+    val c3 = core(k4, 3)
+    assert(c3.length === 4 && c3.forall(r => r._2 === 3L && r._3 === 1))
+    // cascade: chain of decreasing support peels one layer per round
+    // 1-2, plus 2-3-4 triangle, plus pendant 5 on 4: k=2 →
+    // round 1 drops 1-2 edge and 4-5, round 2 verifies triangle
+    val casc = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 2L, 4L -> 5L)
+    val c4 = core(casc, 2)
+    assert(c4.map(_._1).sorted.toSeq === Seq(2L, 3L, 4L))
+    assert(c4.forall(_._3 === 2))
+  }
+
   test("triangleCount: known graphs") {
     def tri(e: DataFrame): Long =
       GraphRank.triangleCount(e, col("src"), col("dst")).collect()(0).getLong(0)
