@@ -98,6 +98,15 @@ object StressGraph {
           col("src"), col("dst"), tolerance = 1000000L, maxIters = 50)
         .select(max("rounds")).collect()(0).getInt(0).toLong
     }
+    // k-core peel at avg degree ~20 (2M edges / 200k nodes). The
+    // Erdős–Rényi k-core threshold is ≈ k + sqrt(k·ln k): k = 18
+    // needs mean ≈ 25 and cascades to EMPTY here (measured), k = 12
+    // (threshold ≈ 17) peels the sparse tail over several rounds and
+    // keeps a ~195k-node core; prints the surviving-core node count
+    time("kcore-k12-1x") {
+      GraphRank.kCore(randomEdges(spark, 2000000L, 200000L),
+        col("src"), col("dst"), k = 12).count()
+    }
     spark.stop()
   }
 }

@@ -238,6 +238,47 @@ object GraphRank {
     out
   }
 
+  /** Directed BFS hop distance from a seed set, capped at `maxHops` —
+    * the trust-tier / seed-proximity signal (rank hosts by how many
+    * links separate them from a vetted set; unreached nodes are
+    * absent). Frontier expansion with min-distance folding: each
+    * round is one |E| equi-join + one min-aggregate, the distance
+    * frame is eagerly localCheckpoint'ed and the superseded round
+    * unpersisted, and the loop exits early when a round discovers no
+    * new node (one boolean-sized driver scalar — a count — per
+    * round). The result is cap-independent for any cap ≥ the true
+    * eccentricity, so a fixed-depth oracle replays it exactly.
+    * Returns `(node, dist)`, seeds at 0. */
+  def seedDistances(edges: DataFrame, srcCol: Column, dstCol: Column,
+                    seeds: DataFrame, seedCol: Column,
+                    maxHops: Int = 10): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    var dist = seeds.select(seedCol.cast("long").as("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var n = dist.count()
+    var hops = 0
+    var grew = n > 0
+    while (grew && hops < maxHops) {
+      val next = dist
+        .join(e.withColumnRenamed("src", "node"), "node")
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+        .union(dist)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      val n2 = next.count()
+      hops += 1
+      grew = n2 > n
+      unpersistCheckpoint(dist)
+      dist = next
+      n = n2
+    }
+    unpersistCheckpoint(e)
+    dist
+  }
+
   /** RDD-level unpersist for a localCheckpoint'ed frame (mirror of
     * the private helper in [[Dedup]]): `Dataset.unpersist()` only
     * uncaches CacheManager entries, not checkpoint RDD blocks. */

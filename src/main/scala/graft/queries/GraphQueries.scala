@@ -312,6 +312,45 @@ object GraphQueries {
              |FROM nd JOIN nation nn ON nd.node = CAST(nn.n_nationkey AS BIGINT)
              |GROUP BY 1 ORDER BY deg DESC, nation""".stripMargin)),
 
+    // BFS hop distance from the 5 seed nations (trust-tier
+    // propagation): frontier expansion with min-distance folding in
+    // Spark; the oracle is the textbook recursive-UNION BFS (the
+    // dedup keeps cyclic graphs from exploding into path
+    // enumeration). Unreached nations are absent; the result is
+    // cap-independent for cap >= eccentricity, so the fixed 10-hop
+    // oracle replays the early-exiting loop exactly.
+    QueryDef("q_graph_bfs",
+      (s, d) => {
+        val spark = s; import spark.implicits._
+        val seeds = Seq(0L, 1L, 2L, 3L, 4L).toDF("node")
+        GraphRank.seedDistances(tradeEdges(s, d), col("src"), col("dst"),
+            seeds, col("node"), maxHops = 10)
+          .join(t(s, d, "nation"), col("node") === col("n_nationkey").cast("long"))
+          .select(col("n_name").as("nation"), col("dist"))
+          .orderBy("dist", "nation")
+      },
+      Some("""WITH RECURSIVE p AS (
+             |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+             |         CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS cnt
+             |  FROM lineitem l
+             |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |  JOIN customer c ON o.o_custkey = c.c_custkey
+             |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |  WHERE c.c_nationkey <> s.s_nationkey
+             |  GROUP BY 1, 2),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM p),
+             |e AS (SELECT src, dst FROM p CROSS JOIN tot
+             |      WHERE cnt * 480 >= total AND src <> dst),
+             |bfs AS (
+             |  SELECT CAST(unnest([0,1,2,3,4]) AS BIGINT) AS node, 0 AS dist
+             |  UNION
+             |  SELECT e.dst, bfs.dist + 1
+             |  FROM bfs JOIN e ON bfs.node = e.src WHERE bfs.dist < 10
+             |)
+             |SELECT nn.n_name AS nation, CAST(min(bfs.dist) AS BIGINT) AS dist
+             |FROM bfs JOIN nation nn ON bfs.node = CAST(nn.n_nationkey AS BIGINT)
+             |GROUP BY 1 ORDER BY dist, nation""".stripMargin)),
+
     // Exact triangle count of the undirected trade graph —
     // degree-oriented wedge join in Spark, id-oriented in the
     // oracle; any total-order orientation counts each triangle once.

@@ -112,6 +112,24 @@ class GraphRankSpec extends AnyFunSuite with SharedSpark {
     assert(c4.forall(_._3 === 2))
   }
 
+  test("seedDistances: BFS tiers on a directed path, early exit, cap honored") {
+    import spark.implicits._
+    def dists(e: org.apache.spark.sql.DataFrame, seeds: Seq[Long], cap: Int = 10) =
+      GraphRank.seedDistances(e, col("src"), col("dst"),
+          seeds.toDF("node"), col("node"), maxHops = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // directed path 1→2→3→4 with a shortcut 1→3: BFS takes the shortcut
+    val g = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 1L -> 3L)
+    assert(dists(g, Seq(1L)) === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    // direction matters: seeding the sink reaches nothing else
+    assert(dists(g, Seq(4L)) === Map(4L -> 0L))
+    // cap truncates: 1 hop from node 1 misses node 4
+    assert(dists(g, Seq(1L), cap = 1) === Map(1L -> 0L, 2L -> 1L, 3L -> 1L))
+    // two seeds fold to the min distance; cycles terminate
+    val cyc = edges(1L -> 2L, 2L -> 3L, 3L -> 1L)
+    assert(dists(cyc, Seq(1L, 3L)) === Map(1L -> 0L, 3L -> 0L, 2L -> 1L))
+  }
+
   test("triangleCount: known graphs") {
     def tri(e: DataFrame): Long =
       GraphRank.triangleCount(e, col("src"), col("dst")).collect()(0).getLong(0)
