@@ -249,7 +249,8 @@ object Bench {
         s""","queries_min":$qsMin,"queries_steal":$qsSteal""" else ""
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$diag,"queries_remeasured":$qsRemeasured,"queries_contended":$qsContended,"sf":"$sfDir","calibration_failed":$calibrationFailed,"steal_ticks":$stealTotal}"""
     }
-    val out = if (line(true).length <= 1900) line(true) else line(false)
+    val full = line(true)
+    val out = if (full.length <= 1900) full else line(false)
     if (out.length > 1900)
       System.err.println(s"[bench] WARNING: JSON line ${out.length} chars exceeds the driver's 2000-char tail even without diagnostics")
     println(out)

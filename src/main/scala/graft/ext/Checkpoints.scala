@@ -1,0 +1,19 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared checkpoint hygiene for iterative loops ([[Dedup]]'s
+  * connected components, [[GraphRank]]'s convergence loops).
+  * `Dataset.unpersist()` only uncaches CacheManager entries;
+  * a localCheckpoint's blocks live on the underlying RDD, so loops
+  * that supersede a checkpoint each round must drop the RDD blocks
+  * directly or a long run accumulates executor storage. */
+private[ext] object Checkpoints {
+  /** RDD-level unpersist for a localCheckpoint'ed frame; no-op for
+    * any other plan shape. */
+  def unpersist(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ =>
+    }
+}

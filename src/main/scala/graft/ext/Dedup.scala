@@ -404,19 +404,15 @@ object Dedup {
                scratchDir: Option[String] = None): DataFrame =
     clustersWithRounds(pairs, d1, d2, maxRounds, scratchDir)._1
 
-  /** RDD-level unpersist for a localCheckpoint'ed frame.
-    * `Dataset.unpersist()` only uncaches CacheManager entries and is
-    * a silent NO-OP for the checkpoint's underlying RDD (probed
-    * empirically: getPersistentRDDs unchanged after it) — the cached
-    * blocks must be dropped through the `LogicalRDD` the checkpoint
-    * wraps. A local checkpoint has no lineage to recompute from, so
-    * this is only safe once the frame's data lives somewhere else
-    * (the next round's checkpoint, or parquet). */
+  /** RDD-level unpersist for a localCheckpoint'ed frame (shared
+    * [[Checkpoints.unpersist]]; probed empirically:
+    * `Dataset.unpersist()` leaves getPersistentRDDs unchanged — the
+    * blocks must be dropped through the wrapped `LogicalRDD`). A
+    * local checkpoint has no lineage to recompute from, so this is
+    * only safe once the frame's data lives somewhere else (the next
+    * round's checkpoint, or parquet). */
   private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
+    Checkpoints.unpersist(df)
 
   /** [[clusters]] plus the number of propagation rounds it took to
     * converge — the O(log diameter) claim made observable (stress

@@ -97,42 +97,15 @@ object GraphRank {
   def pageRankUntilConverged(edges: DataFrame, srcCol: Column, dstCol: Column,
                              tolerance: Long = 1000000L, maxIters: Int = 100,
                              scale: Long = 1000000000000L): DataFrame = {
-    require(maxIters >= 1, "maxIters must be >= 1")
+    // uniform PageRank IS the personalized loop with every node
+    // seeded: ns = n, every __s = 1, so the init rank (scale/n) and
+    // per-round base term (scale·15/100/n) are the identical
+    // integers — one loop to maintain instead of two near-copies
     val e = edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
-    val nodes = e.select(col("src").as("node"))
+    val allNodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true) // loop inputs: checkpoint once, reuse every round
-    val n = nodes.count()
-    require(n > 0, "pageRankUntilConverged: empty graph")
-    val base = scale * 15L / 100L / n
-    val eDeg = e.join(
-      e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")), "src")
-      .localCheckpoint(true)
-    var ranks = nodes.withColumn("rank", lit(scale / n)).localCheckpoint(true)
-    var rounds = 0
-    var moved = Long.MaxValue
-    while (moved > tolerance && rounds < maxIters) {
-      val next = eDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"),
-          call_function("div", col("rank"), col("__outdeg")).as("__c"))
-        .groupBy("node").agg(sum("__c").as("__s"))
-        .join(nodes, Seq("node"), "right")
-        .select(col("node"),
-          (lit(base) +
-            call_function("div", coalesce(col("__s"), lit(0L)) * 85L, lit(100L)))
-            .as("rank"))
-        .localCheckpoint(true)
-      // ONE long to the driver per round; the join is rank-frame sized
-      moved = next.join(ranks.withColumnRenamed("rank", "__prev"), "node")
-        .agg(sum(abs(col("rank") - col("__prev")))).head().getLong(0)
-      unpersistCheckpoint(ranks)
-      ranks = next
-      rounds += 1
-    }
-    unpersistCheckpoint(nodes); unpersistCheckpoint(eDeg)
-    ranks.withColumn("rounds", lit(rounds))
+    personalizedPageRankUntilConverged(edges, srcCol, dstCol,
+      allNodes, col("node"), tolerance, maxIters, scale)
   }
 
   /** [[personalizedPageRank]] run to convergence — the same
@@ -279,14 +252,8 @@ object GraphRank {
     dist
   }
 
-  /** RDD-level unpersist for a localCheckpoint'ed frame (mirror of
-    * the private helper in [[Dedup]]): `Dataset.unpersist()` only
-    * uncaches CacheManager entries, not checkpoint RDD blocks. */
   private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ =>
-    }
+    Checkpoints.unpersist(df)
 
   /** Personalized PageRank: the teleport mass lands ONLY on the seed
     * set instead of uniformly — scores become "proximity to the

@@ -266,24 +266,49 @@ object Similarity {
       }
       math.floor(dot / (math.sqrt(nx) * math.sqrt(ny)) * 1048576.0 + 0.5).toLong
     }
-    var selected = Vector.empty[(Long, Array[Float])]
-    val remaining = scala.collection.mutable.LinkedHashMap(
-      pool.map { case (id, e, r) => id -> (e, r) }.toSeq: _*)
-    while (selected.size < k && remaining.nonEmpty) {
-      val (bestId, _) = remaining.foldLeft((-1L, Long.MinValue)) {
-        case ((bid, bscore), (id, (emb, qrel))) =>
-          val maxsim = if (selected.isEmpty) 0L
-            else selected.map(s => qcos(emb, s._2)).max
-          val score = (1000000L - lambdaPpm) * qrel - lambdaPpm * maxsim
-          if (score > bscore || (score == bscore && (bid < 0 || id < bid)))
-            (id, score) else (bid, bscore)
+    // greedy with an incrementally-maintained per-candidate max
+    // similarity: after each pick, every remaining candidate folds in
+    // ONE new cosine (vs the newest pick) — O(k·pool·dim) total, not
+    // O(k²·pool·dim) from recomputing the max over all picks each
+    // round. maxsim starts at MinValue (a TRUE running max — cosines
+    // can be negative, and clamping at 0 would mute the bonus the
+    // distributed form gives anti-similar candidates); the first
+    // round scores with an explicit 0 penalty, matching mmrSelect's
+    // empty-selection case.
+    val n = pool.length
+    val alive = Array.fill(n)(true)
+    val maxsim = Array.fill(n)(Long.MinValue)
+    var selected = Vector.empty[Long]
+    while (selected.size < k && selected.size < n) {
+      var bestIdx = -1
+      var bestScore = Long.MinValue
+      var i = 0
+      while (i < n) {
+        if (alive(i)) {
+          val (id, _, qrel) = pool(i)
+          val penalty = if (selected.isEmpty) 0L else maxsim(i)
+          val score = (1000000L - lambdaPpm) * qrel - lambdaPpm * penalty
+          if (score > bestScore ||
+              (score == bestScore && (bestIdx < 0 || id < pool(bestIdx)._1)))
+            { bestIdx = i; bestScore = score }
+        }
+        i += 1
       }
-      selected :+= (bestId -> remaining(bestId)._1)
-      remaining.remove(bestId)
+      alive(bestIdx) = false
+      selected :+= pool(bestIdx)._1
+      val pickedEmb = pool(bestIdx)._2
+      i = 0
+      while (i < n) {
+        if (alive(i)) {
+          val s = qcos(pool(i)._2, pickedEmb)
+          if (s > maxsim(i)) maxsim(i) = s
+        }
+        i += 1
+      }
     }
     val spark = corpus.sparkSession
     import spark.implicits._
-    selected.zipWithIndex.map { case ((id, _), i) => (id, (i + 1).toLong) }
+    selected.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }
       .toDF(idCol, "step")
   }
 

@@ -154,9 +154,9 @@ object GraphQueries {
              |         ) AS ranks,
              |         pr.ranks AS prev
              |  FROM pr, nl, prm, el
-             |  WHERE pr.prev IS NULL
+             |  WHERE pr.iter < 100 AND (pr.prev IS NULL
              |     OR list_sum(list_transform(range(1, len(pr.ranks) + 1),
-             |                                i -> abs(pr.ranks[i] - pr.prev[i])))::BIGINT > 1000000
+             |                                i -> abs(pr.ranks[i] - pr.prev[i])))::BIGINT > 1000000)
              |),
              |fin AS (
              |  SELECT unnest(ns) AS node, unnest(last.ranks) AS rank_fp, last.iter AS rounds
@@ -254,9 +254,9 @@ object GraphQueries {
              |         ) AS ranks,
              |         pr.ranks AS prev
              |  FROM pr, nl, sn, el
-             |  WHERE pr.prev IS NULL
+             |  WHERE pr.iter < 100 AND (pr.prev IS NULL
              |     OR list_sum(list_transform(range(1, len(pr.ranks) + 1),
-             |                                i -> abs(pr.ranks[i] - pr.prev[i])))::BIGINT > 1000000
+             |                                i -> abs(pr.ranks[i] - pr.prev[i])))::BIGINT > 1000000)
              |),
              |fin AS (
              |  SELECT unnest(ns) AS node, unnest(last.ranks) AS rank_fp, last.iter AS rounds
@@ -300,8 +300,9 @@ object GraphQueries {
              |           len(list_filter(pr.es, e2 -> e2.u = ed.v OR e2.v = ed.v)) >= 8),
              |         CAST(len(pr.es) AS BIGINT)
              |  FROM pr
-             |  WHERE (pr.prev_len IS NULL AND len(pr.es) > 0)
-             |     OR (pr.prev_len IS NOT NULL AND len(pr.es) < pr.prev_len AND len(pr.es) > 0)
+             |  WHERE pr.iter < 1000 AND
+             |    ((pr.prev_len IS NULL AND len(pr.es) > 0)
+             |     OR (pr.prev_len IS NOT NULL AND len(pr.es) < pr.prev_len AND len(pr.es) > 0))
              |),
              |last AS (SELECT iter, es FROM pr ORDER BY iter DESC LIMIT 1),
              |ends AS (SELECT unnest(es) AS ed, iter FROM last),

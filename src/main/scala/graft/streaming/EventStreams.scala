@@ -33,9 +33,19 @@ object EventStreams {
   def streamFromParquet(spark: SparkSession, sfDir: String): DataFrame = {
     // batch-inspect the actual file schema (footer read only — cheap);
     // hard-coding ts's type broke when the generator re-encoded
-    // TIMESTAMP(NANOS) → TIMESTAMP(MICROS, isAdjustedToUTC=false)
-    val schema = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
+    // TIMESTAMP(NANOS) → TIMESTAMP(MICROS, isAdjustedToUTC=false).
+    // If no file exists YET (an upstream writer populates the dir
+    // after stream start — the usual file-stream pattern), fall back
+    // to the current generator's encoding (µs NTZ); the normalization
+    // resolves it identically once files land.
+    import org.apache.spark.sql.types._
+    val schema =
+      try spark.read.option("pathGlobFilter", "events.parquet").parquet(sfDir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampNTZType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      }
     // file streams require a directory; the testdata layout is one
     // parquet file per table, so glob-filter to the events file
     graft.sources.Tables.normalizeEventTs(
