@@ -283,6 +283,41 @@ object EventQueries {
              |FROM v WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
              |ORDER BY user_id, version""".stripMargin)),
 
+    // Incremental SCD2 apply ([[graft.ext.Scd.scd2Apply]]): history
+    // built from the log BEFORE 2024-01-15, then the later slice
+    // merged as a daily-style delta batch. The contract is exact
+    // equality with the full rebuild, so the oracle IS q_scd2's —
+    // any divergence in version numbering, no-op collapse across the
+    // batch boundary, or row closure fails the hash.
+    QueryDef("q_scd2_apply",
+      (s, d) => {
+        val cutoff = 1705276800000000L
+        val log = t(s, d, "events").select(col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+        val hist = graft.ext.Scd.scd2(log.filter(col("us") < cutoff),
+          Seq("user_id"), "us", trackedCols = Seq("event_type"),
+          tieBreak = Seq("event_id"))
+        graft.ext.Scd.scd2Apply(hist, log.filter(col("us") >= cutoff),
+            Seq("user_id"), "us", trackedCols = Seq("event_type"),
+            tieBreak = Seq("event_id"))
+          .select(col("user_id"), col("event_type").as("status"),
+            col("valid_from"), col("valid_to"), col("is_current"), col("version"))
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+             |  FROM events),
+             |v AS (SELECT user_id, us, event_id, event_type FROM c
+             |      WHERE prev IS NULL OR prev <> event_type)
+             |SELECT user_id, event_type AS status,
+             |  us AS valid_from,
+             |  lead(us) OVER w AS valid_to,
+             |  (lead(us) OVER w IS NULL) AS is_current,
+             |  CAST(row_number() OVER w AS INT) AS version
+             |FROM v WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+             |ORDER BY user_id, version""".stripMargin)),
+
     // Point-in-time snapshot of the SCD2 history (mid-log instant):
     // the one open version per user at 2024-01-15T00:00:00Z,
     // aggregated to a status census. The filter is per-row — at

@@ -78,6 +78,41 @@ class ScdSpec extends AnyFunSuite with SharedSpark {
       s"got $out") // id 2 unchanged: filtered out
   }
 
+  test("scd2Apply equals the full rebuild across every batch-boundary shape") {
+    import spark.implicits._
+    // full log exercising every incremental edge: k1's delta opens
+    // with a NO-OP against its open history row (t=50 bronze = the
+    // t=40 revert) then changes; k2 gets nothing (untouched key);
+    // k3 is brand-new in the delta with its own internal no-op
+    val full = Seq(
+      ("k1", 10L, 1L, "bronze"),
+      ("k1", 20L, 2L, "bronze"),
+      ("k1", 30L, 3L, "silver"),
+      ("k1", 40L, 4L, "bronze"),
+      ("k1", 50L, 5L, "bronze"), // delta: no-op vs open history row
+      ("k1", 60L, 6L, "gold"),
+      ("k2", 15L, 7L, "gold"),
+      ("k3", 55L, 8L, "iron"),
+      ("k3", 65L, 9L, "iron"),   // delta-internal no-op
+      ("k3", 75L, 10L, "steel")
+    ).toDF("k", "ts", "seq", "status")
+    val old = full.filter(col("ts") < 45L)
+    val delta = full.filter(col("ts") >= 45L)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k", "version").collect().map(_.toSeq).toSeq
+    val rebuilt = Scd.scd2(full, Seq("k"), "ts", Seq("status"), Seq("seq"))
+    val applied = Scd.scd2Apply(
+      Scd.scd2(old, Seq("k"), "ts", Seq("status"), Seq("seq")),
+      delta, Seq("k"), "ts", Seq("status"), Seq("seq"))
+    assert(applied.columns.toSeq === rebuilt.columns.toSeq)
+    assert(canon(applied) === canon(rebuilt))
+    // an all-no-op delta leaves history bit-identical
+    val noop = Seq(("k2", 95L, 11L, "gold")).toDF("k", "ts", "seq", "status")
+    val hist = Scd.scd2(full, Seq("k"), "ts", Seq("status"), Seq("seq"))
+    assert(canon(Scd.scd2Apply(hist, noop, Seq("k"), "ts", Seq("status"), Seq("seq")))
+      === canon(hist))
+  }
+
   test("snapshotDiff treats null tracked values null-safely") {
     import spark.implicits._
     val oldS = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("id", "v")
