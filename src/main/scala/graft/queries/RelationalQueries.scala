@@ -755,6 +755,49 @@ object RelationalQueries {
              |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders)
              |GROUP BY col ORDER BY col""".stripMargin)),
 
+    // Declarative data-quality gate ([[graft.ext.Quality]]): six
+    // constraints over lineitem evaluated in ONE aggregation pass —
+    // exact integer counters, ratios rounded at the end, so the
+    // report re-derives bit-for-bit in SQL. One constraint
+    // (quantity ≤ 10 at 90%) is planted to FAIL so the pass=false
+    // path is hash-checked too.
+    QueryDef("q_quality_check",
+      (s, d) => graft.ext.Quality.checkConstraints(t(s, d, "lineitem"), Seq(
+          graft.ext.Quality.Complete("l_returnflag", 1.0),
+          graft.ext.Quality.Unique(Seq("l_orderkey", "l_linenumber")),
+          graft.ext.Quality.InSet("l_returnflag", Seq("R", "A", "N"), 1.0),
+          graft.ext.Quality.Between("l_quantity", 1.0, 50.0, 1.0),
+          graft.ext.Quality.Between("l_quantity", 1.0, 10.0, 0.9),
+          graft.ext.Quality.RowCountBetween(1L, 10000000L)))
+        .orderBy("constraint", "threshold"),
+      Some("""WITH m AS (
+             |  SELECT count(*) AS n,
+             |    CAST(sum(CASE WHEN l_returnflag IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_complete,
+             |    (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS m_unique,
+             |    CAST(sum(CASE WHEN l_returnflag IN ('R','A','N') THEN 1 ELSE 0 END) AS BIGINT) AS m_inset,
+             |    CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT) AS m_b50,
+             |    CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 10 THEN 1 ELSE 0 END) AS BIGINT) AS m_b10
+             |  FROM lineitem)
+             |SELECT * FROM (
+             |  SELECT 'complete(l_returnflag)' AS "constraint",
+             |    round(CAST(m_complete AS DOUBLE) / n, 6) AS metric, 1.0 AS threshold,
+             |    round(CAST(m_complete AS DOUBLE) / n, 6) >= 1.0 AS pass FROM m
+             |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)',
+             |    round(CAST(m_unique AS DOUBLE) / n, 6), 1.0,
+             |    round(CAST(m_unique AS DOUBLE) / n, 6) >= 1.0 FROM m
+             |  UNION ALL SELECT 'in_set(l_returnflag)',
+             |    round(CAST(m_inset AS DOUBLE) / n, 6), 1.0,
+             |    round(CAST(m_inset AS DOUBLE) / n, 6) >= 1.0 FROM m
+             |  UNION ALL SELECT 'between(l_quantity)',
+             |    round(CAST(m_b50 AS DOUBLE) / n, 6), 1.0,
+             |    round(CAST(m_b50 AS DOUBLE) / n, 6) >= 1.0 FROM m
+             |  UNION ALL SELECT 'between(l_quantity)',
+             |    round(CAST(m_b10 AS DOUBLE) / n, 6), 0.9,
+             |    round(CAST(m_b10 AS DOUBLE) / n, 6) >= 0.9 FROM m
+             |  UNION ALL SELECT 'row_count',
+             |    CAST(n AS DOUBLE), 1.0, n BETWEEN 1 AND 10000000 FROM m)
+             |ORDER BY "constraint", threshold""".stripMargin)),
+
     // Key-skew diagnostic: the 5 heaviest event users with exact
     // corpus share — the pre-flight before picking a join strategy.
     QueryDef("q_skew_profile",
