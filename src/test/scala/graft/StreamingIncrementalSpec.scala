@@ -89,6 +89,48 @@ class StreamingIncrementalSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("SCD2 history maintains per micro-batch via scd2Apply; equals batch rebuild") {
+    // the streaming form of the warehouse daily-merge: each
+    // micro-batch of changes folds into the running history with
+    // Scd.scd2Apply, and after any sequence of batches the
+    // maintained history must be EXACTLY what one scd2 over the
+    // whole log would build — so a restart/backfill can always
+    // reconcile against the batch twin.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val full = Seq(
+      ("k1", 10L, 1L, "bronze"), ("k1", 30L, 2L, "silver"),
+      ("k2", 15L, 3L, "gold"),
+      // batch 2: k1 no-op then change; k3 brand-new
+      ("k1", 50L, 4L, "silver"), ("k1", 60L, 5L, "gold"),
+      ("k3", 55L, 6L, "iron"),
+      // batch 3: all no-ops
+      ("k1", 70L, 7L, "gold"), ("k2", 75L, 8L, "gold"))
+    val batches = Seq(full.take(3), full.slice(3, 6), full.drop(6))
+    var history = graft.ext.Scd.scd2(
+      batches.head.toDF("k", "ts", "seq", "status"),
+      Seq("k"), "ts", Seq("status"), Seq("seq")).localCheckpoint(true)
+    val mem = MemoryStream[(String, Long, Long, String)]
+    val q = mem.toDF().toDF("k", "ts", "seq", "status").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        history = graft.ext.Scd.scd2Apply(history, batch,
+          Seq("k"), "ts", Seq("status"), Seq("seq")).localCheckpoint(true)
+        ()
+      }
+      .start()
+    try {
+      mem.addData(batches(1): _*)
+      q.processAllAvailable()
+      mem.addData(batches(2): _*)
+      q.processAllAvailable()
+      val rebuilt = graft.ext.Scd.scd2(full.toDF("k", "ts", "seq", "status"),
+        Seq("k"), "ts", Seq("status"), Seq("seq"))
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.orderBy("k", "version").collect().map(_.toSeq).toSeq
+      assert(canon(history) === canon(rebuilt))
+    } finally q.stop()
+  }
+
   test("PQ ADC serves streaming query vectors per micro-batch via foreachBatch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
