@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * payloads with a typed metadata struct.
   *
-  * The Spark-side plumbing (schema, partition-preserving batch
-  * processing, deterministic stand-in "decode") is real; the actual
-  * media decode is STUBBED (`decodeStub`) because codec libraries are
-  * not available in this environment — swap `decodeStub` for a JNI /
-  * library call and everything else (schemas, mapPartitions batching,
-  * downstream queries) is unchanged.
+  * Decode status: IMAGE (PNG/JPEG/GIF/BMP) and WAVE-PCM decode are
+  * REAL — [[decodeMedia]] runs the JDK's own codecs (ImageIO /
+  * AudioSystem, no external libraries) inside `mapPartitions`.
+  * [[decodeStub]] remains as the deterministic text-payload stand-in
+  * the synthetic-corpus gates value-check. VIDEO decode is the one
+  * remaining honest gap (the JDK ships no video codec) — swap a JNI /
+  * library call into the same mapPartitions seam and everything else
+  * (schemas, batching, downstream queries) is unchanged.
   */
 object Multimodal {
 
@@ -354,6 +356,92 @@ object Multimodal {
         .otherwise(body).as("payload"),
       width.as("width"), height.as("height"),
       channels.as("channels"), sampleRate.cast("int").as("sample_rate"))
+  }
+
+  case class DecodedMedia(media_id: Long, kind: String, ok: Boolean,
+                          width: Int, height: Int, channels: Int,
+                          m0: Double, m1: Double, m2: Double)
+
+  /** REAL media decode — no external libraries: the JDK itself ships
+    * codecs, and they run fine inside executors. PNG/JPEG/GIF/BMP
+    * decode via `ImageIO` (pixel means per RGB channel, exact for
+    * lossless formats), WAVE PCM via `AudioSystem` (mean |sample| and
+    * zero-crossing count — the cheap audio fingerprints). Video has
+    * no JDK codec and reports `ok = false` (the one remaining honest
+    * gap). Decoding happens in `mapPartitions` — per-partition,
+    * batched, no driver involvement, the exact seam where a JNI/
+    * native decoder would mount for other formats.
+    *
+    * Output per row: `(media_id, kind, ok, width, height, channels,
+    * m0, m1, m2)` — image: m0/m1/m2 = mean R/G/B over `getRGB`
+    * (sRGB, lossless round-trip ⇒ exact for solid fills); audio:
+    * m0 = sample rate, m1 = mean |sample|, m2 = zero crossings. */
+  def decodeMedia(spark: SparkSession, media: DataFrame): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) => decodeOne(id, payload) }
+      }
+  }
+
+  /** Single-payload decode (shared by the Dataset operator and
+    * specs): try image first, then audio, else unsupported. */
+  def decodeOne(id: Long, payload: Array[Byte]): DecodedMedia = {
+    def asImage: Option[DecodedMedia] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          Some(DecodedMedia(id, "image", ok = true, w, h,
+            img.getColorModel.getNumComponents,
+            sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+        }
+      } catch { case _: Throwable => None }
+    def asAudio: Option[DecodedMedia] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = ais.readAllBytes()
+          val bigEndian = fmt.isBigEndian
+          val ch = fmt.getChannels
+          val n = bytes.length / 2
+          var sumAbs = 0L; var zc = 0L; var prevSign = 0
+          var i = 0
+          while (i < n) {
+            val lo = bytes(2 * i + (if (bigEndian) 1 else 0)) & 0xff
+            val hi = bytes(2 * i + (if (bigEndian) 0 else 1))
+            val s = (hi << 8) | lo
+            sumAbs += math.abs(s)
+            val sign = Integer.signum(s)
+            if (sign != 0) {
+              if (prevSign != 0 && sign != prevSign) zc += 1
+              prevSign = sign
+            }
+            i += 1
+          }
+          Some(DecodedMedia(id, "audio", ok = true, 0, 0, ch,
+            fmt.getSampleRate.toDouble, if (n == 0) 0.0 else sumAbs.toDouble / n,
+            zc.toDouble))
+        }
+      } catch { case _: Throwable => None }
+    asImage.orElse(asAudio).getOrElse(
+      DecodedMedia(id, "unsupported", ok = false, 0, 0, 0, 0.0, 0.0, 0.0))
   }
 
   /** Feature extraction over the media table — Dataset + mapPartitions

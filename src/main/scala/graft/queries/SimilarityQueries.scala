@@ -943,6 +943,58 @@ object SimilarityQueries {
              |    FROM documents WHERE doc_id % 3 = 2))
              |ORDER BY media_id""".stripMargin)),
 
+    // REAL codec decode through the JDK's own ImageIO / AudioSystem
+    // inside mapPartitions: solid-color PNGs decode to their exact
+    // fill means (lossless sRGB round-trip), alternating-sign square
+    // WAVs to their exact amplitude and n-1 zero crossings, and a
+    // garbage payload reports unsupported — all closed-form, so the
+    // oracle is a VALUES table. Fixture synthesis is bounded and
+    // driver-side (8 payloads), the q_src_csv contract.
+    QueryDef("q_mm_decode",
+      (s, _) => {
+        import s.implicits._
+        val payloads: Seq[(Long, Array[Byte])] =
+          (1 to 4).map { i =>
+            val img = new java.awt.image.BufferedImage(16 * i, 9 * i,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = img.createGraphics()
+            g.setColor(new java.awt.Color(30 * i, 20 * i, 5 * i))
+            g.fillRect(0, 0, 16 * i, 9 * i); g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (i.toLong, bos.toByteArray)
+          } ++ (5 to 7).map { i =>
+            val a = 1000 * (i - 4); val n = 800
+            val pcm = new Array[Byte](n * 2)
+            var j = 0
+            while (j < n) {
+              val v = if (j % 2 == 0) a else -a
+              pcm(2 * j) = (v & 0xff).toByte; pcm(2 * j + 1) = ((v >> 8) & 0xff).toByte
+              j += 1
+            }
+            val fmt = new javax.sound.sampled.AudioFormat(8000f * (i - 4), 16, 1, true, false)
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            (i.toLong, bos.toByteArray)
+          } :+ (8L -> "definitely not media".getBytes("UTF-8"))
+        val media = payloads.toDF("media_id", "payload")
+        Multimodal.decodeMedia(s, media).toDF().orderBy("media_id")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), 'image', true, 16, 9, 3, 30.0, 20.0, 5.0),
+             |  (CAST(2 AS BIGINT), 'image', true, 32, 18, 3, 60.0, 40.0, 10.0),
+             |  (CAST(3 AS BIGINT), 'image', true, 48, 27, 3, 90.0, 60.0, 15.0),
+             |  (CAST(4 AS BIGINT), 'image', true, 64, 36, 3, 120.0, 80.0, 20.0),
+             |  (CAST(5 AS BIGINT), 'audio', true, 0, 0, 1, 8000.0, 1000.0, 799.0),
+             |  (CAST(6 AS BIGINT), 'audio', true, 0, 0, 1, 16000.0, 2000.0, 799.0),
+             |  (CAST(7 AS BIGINT), 'audio', true, 0, 0, 1, 24000.0, 3000.0, 799.0),
+             |  (CAST(8 AS BIGINT), 'unsupported', false, 0, 0, 0, 0.0, 0.0, 0.0))
+             |t(media_id, kind, ok, width, height, channels, m0, m1, m2)
+             |ORDER BY media_id""".stripMargin)),
+
     // Multimodal feature extraction through mapPartitions (stub
     // decode, deterministic checksum). The checksum is the 31-poly
     // rolling hash of the payload BYTES mod 1e9+7; the corpus is

@@ -8,6 +8,44 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
 
   private lazy val docs = graft.sources.Tables(spark, sf0001).table("documents").limit(50)
 
+  test("decodeOne: real JDK codecs — two-tone PNG means, stereo WAV, graceful failures") {
+    import java.awt.image.BufferedImage
+    // 4x2 image: left half black, right half white → means exactly 127.5
+    val img = new BufferedImage(4, 2, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0x000000 else 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val di = Multimodal.decodeOne(1L, bos.toByteArray)
+    assert(di.ok && di.kind === "image" && di.width === 4 && di.height === 2)
+    assert(di.m0 === 127.5 && di.m1 === 127.5 && di.m2 === 127.5)
+
+    // stereo 16-bit WAV: L channel constant +100, R constant -100 →
+    // interleaved samples alternate sign: meanAbs 100, zc counts flips
+    val n = 10
+    val pcm = new Array[Byte](n * 2 * 2)
+    for (j <- 0 until n; c <- 0 until 2) {
+      val v = if (c == 0) 100 else -100
+      val off = (j * 2 + c) * 2
+      pcm(off) = (v & 0xff).toByte; pcm(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val wbos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wbos)
+    val da = Multimodal.decodeOne(2L, wbos.toByteArray)
+    assert(da.ok && da.kind === "audio" && da.channels === 2)
+    assert(da.m0 === 8000.0 && da.m1 === 100.0 && da.m2 === (2 * n - 1).toDouble)
+
+    // truncated PNG and plain text both land in unsupported, no throw
+    val trunc = Multimodal.decodeOne(3L, bos.toByteArray.take(20))
+    assert(!trunc.ok && trunc.kind === "unsupported")
+    val text = Multimodal.decodeOne(4L, "hello world".getBytes)
+    assert(!text.ok && text.kind === "unsupported")
+  }
+
   test("media table: binary payload with typed metadata") {
     val media = Multimodal.mediaFromDocuments(docs)
     val schema = media.schema
