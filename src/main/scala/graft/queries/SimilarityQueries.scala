@@ -995,6 +995,42 @@ object SimilarityQueries {
              |t(media_id, kind, ok, width, height, channels, m0, m1, m2)
              |ORDER BY media_id""".stripMargin)),
 
+    // REAL resize (decode → nearest-neighbor rescale → PNG re-encode)
+    // chained into REAL decode: solid fills survive any resampling
+    // exactly, so the resized payloads' decoded features are still
+    // closed-form — dims become the 24x24 target, fill means are
+    // unchanged, and the non-image payload reports ok=false.
+    QueryDef("q_mm_resize",
+      (s, _) => {
+        import s.implicits._
+        val payloads: Seq[(Long, Array[Byte])] =
+          (1 to 3).map { i =>
+            val img = new java.awt.image.BufferedImage(16 * i, 9 * i,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = img.createGraphics()
+            g.setColor(new java.awt.Color(40 * i, 25 * i, 10 * i))
+            g.fillRect(0, 0, 16 * i, 9 * i); g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (i.toLong, bos.toByteArray)
+          } :+ (4L -> "not an image".getBytes("UTF-8"))
+        val resized = Multimodal.resizeImages(s, payloads.toDF("media_id", "payload"),
+          width = 24, height = 24)
+        Multimodal.decodeMedia(s,
+            resized.toDF().withColumnRenamed("ok", "resize_ok"))
+          .toDF()
+          .select(col("media_id"), col("kind"), col("width"), col("height"),
+            col("m0"), col("m1"), col("m2"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), 'image', 24, 24, 40.0, 25.0, 10.0),
+             |  (CAST(2 AS BIGINT), 'image', 24, 24, 80.0, 50.0, 20.0),
+             |  (CAST(3 AS BIGINT), 'image', 24, 24, 120.0, 75.0, 30.0),
+             |  (CAST(4 AS BIGINT), 'unsupported', 0, 0, 0.0, 0.0, 0.0))
+             |t(media_id, kind, width, height, m0, m1, m2)
+             |ORDER BY media_id""".stripMargin)),
+
     // Multimodal feature extraction through mapPartitions (stub
     // decode, deterministic checksum). The checksum is the 31-poly
     // rolling hash of the payload BYTES mod 1e9+7; the corpus is
