@@ -12,6 +12,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tails sbt output for a line STARTING with '{' (the Bench
+// summary JSON). sbt's default LoggedOutput prefixes forked stdout with
+// "[info] ", which hid that line for three rounds (BENCH "parsed": null).
+// StdoutOutput passes the forked process's stdout through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -316,7 +316,8 @@ object EventQueries {
              |  (lead(us) OVER w IS NULL) AS is_current,
              |  CAST(row_number() OVER w AS INT) AS version
              |FROM v WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-             |ORDER BY user_id, version""".stripMargin)),
+             |ORDER BY user_id, version""".stripMargin),
+      bench = true),
 
     // Point-in-time snapshot of the SCD2 history (mid-log instant):
     // the one open version per user at 2024-01-15T00:00:00Z,

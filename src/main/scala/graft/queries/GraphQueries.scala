@@ -163,7 +163,8 @@ object GraphQueries {
              |  FROM (SELECT iter, ranks FROM pr ORDER BY iter DESC LIMIT 1) last, nl)
              |SELECT nn.n_name AS nation, f.rank_fp AS rank_fp, CAST(f.rounds AS INT) AS rounds
              |FROM fin f JOIN nation nn ON f.node = CAST(nn.n_nationkey AS BIGINT)
-             |ORDER BY rank_fp DESC, nation""".stripMargin)),
+             |ORDER BY rank_fp DESC, nation""".stripMargin),
+      bench = true),
 
     // Personalized PageRank: teleport mass restricted to 5 seed
     // nations — scores become proximity-to-seeds (trust propagation)
@@ -311,7 +312,8 @@ object GraphQueries {
              |SELECT nn.n_name AS nation, CAST(count(*) AS BIGINT) AS deg,
              |       CAST(any_value(nd.iter) AS INT) AS rounds
              |FROM nd JOIN nation nn ON nd.node = CAST(nn.n_nationkey AS BIGINT)
-             |GROUP BY 1 ORDER BY deg DESC, nation""".stripMargin)),
+             |GROUP BY 1 ORDER BY deg DESC, nation""".stripMargin),
+      bench = true),
 
     // BFS hop distance from the 5 seed nations (trust-tier
     // propagation): frontier expansion with min-distance folding in
