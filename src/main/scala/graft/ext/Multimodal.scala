@@ -6,14 +6,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * payloads with a typed metadata struct.
   *
-  * Decode status: IMAGE (PNG/JPEG/GIF/BMP) and WAVE-PCM decode are
-  * REAL — [[decodeMedia]] runs the JDK's own codecs (ImageIO /
-  * AudioSystem, no external libraries) inside `mapPartitions`.
-  * [[decodeStub]] remains as the deterministic text-payload stand-in
-  * the synthetic-corpus gates value-check. VIDEO decode is the one
-  * remaining honest gap (the JDK ships no video codec) — swap a JNI /
-  * library call into the same mapPartitions seam and everything else
-  * (schemas, batching, downstream queries) is unchanged.
+  * Decode status: IMAGE (PNG/JPEG/GIF/BMP), WAVE-PCM audio, and
+  * MJPEG-AVI VIDEO decode are all REAL — [[decodeMedia]] /
+  * [[decodeVideoFrames]] run the JDK's own codecs (ImageIO /
+  * AudioSystem, no external libraries) inside `mapPartitions`; video
+  * needs no codec beyond them because an MJPEG AVI is a RIFF walk
+  * plus one complete JPEG per frame. [[decodeStub]] remains as the
+  * deterministic text-payload stand-in the synthetic-corpus gates
+  * value-check. Inter-frame codecs (H.264 …) would mount a JNI /
+  * library call into the same mapPartitions seam — schemas, batching
+  * and downstream queries are already in place.
   */
 object Multimodal {
 
@@ -74,8 +76,8 @@ object Multimodal {
 
   // ---- real container headers: synthesis + parsing ----------------
   //
-  // The media DECODE stays stubbed (no codec libraries here), but
-  // container-header parsing is plain byte arithmetic — a real
+  // Independent of the real decode path above, container-header
+  // parsing is plain byte arithmetic — a real
   // data-quality operator for a multimodal lakehouse (declared
   // metadata lies; the bytes don't). Payloads are synthesized with
   // spec-conformant PNG (signature + IHDR + CRC-32) and canonical
@@ -420,28 +422,343 @@ object Multimodal {
           val bytes = ais.readAllBytes()
           val bigEndian = fmt.isBigEndian
           val ch = fmt.getChannels
-          val n = bytes.length / 2
-          var sumAbs = 0L; var zc = 0L; var prevSign = 0
-          var i = 0
-          while (i < n) {
-            val lo = bytes(2 * i + (if (bigEndian) 1 else 0)) & 0xff
-            val hi = bytes(2 * i + (if (bigEndian) 0 else 1))
-            val s = (hi << 8) | lo
-            sumAbs += math.abs(s)
-            val sign = Integer.signum(s)
-            if (sign != 0) {
-              if (prevSign != 0 && sign != prevSign) zc += 1
-              prevSign = sign
+          // Multi-channel PCM interleaves samples frame-by-frame
+          // (L R L R …): the signal stats must deinterleave first, or
+          // a constant stereo signal reads as maximally oscillating
+          // (zero-crossings counted across the channel boundary).
+          // Stride-by-channel: zc = per-channel crossings, summed;
+          // mean |sample| over the whole (complete) frames.
+          val nf = bytes.length / 2 / math.max(ch, 1)
+          var sumAbs = 0L; var zc = 0L
+          var c = 0
+          while (c < ch) {
+            var prevSign = 0
+            var f = 0
+            while (f < nf) {
+              val i = f * ch + c
+              val lo = bytes(2 * i + (if (bigEndian) 1 else 0)) & 0xff
+              val hi = bytes(2 * i + (if (bigEndian) 0 else 1))
+              val s = (hi << 8) | lo
+              sumAbs += math.abs(s)
+              val sign = Integer.signum(s)
+              if (sign != 0) {
+                if (prevSign != 0 && sign != prevSign) zc += 1
+                prevSign = sign
+              }
+              f += 1
             }
-            i += 1
+            c += 1
           }
+          val n = nf.toLong * ch
           Some(DecodedMedia(id, "audio", ok = true, 0, 0, ch,
             fmt.getSampleRate.toDouble, if (n == 0) 0.0 else sumAbs.toDouble / n,
             zc.toDouble))
         }
       } catch { case _: Throwable => None }
-    asImage.orElse(asAudio).getOrElse(
+    // MJPEG AVI: decode every frame through the image path and fold
+    // per-frame means into pixel-weighted whole-clip means. In the
+    // summary schema width/height come from the first decoded frame
+    // and `channels` carries the FRAME COUNT (documented overload —
+    // the per-frame shape lives in [[decodeVideoFrames]]). ok only
+    // when every frame decoded.
+    def asVideo: Option[DecodedMedia] =
+      aviFramePayloads(payload).map { frames =>
+        val decoded = frames.map(f => decodeOne(id, f))
+        val good = decoded.filter(d => d.kind == "image" && d.ok)
+        if (decoded.isEmpty || good.size != decoded.size)
+          DecodedMedia(id, "video", ok = false, 0, 0, frames.size, 0.0, 0.0, 0.0)
+        else {
+          val px = good.map(d => d.width.toLong * d.height)
+          val n = px.sum.toDouble
+          def mean(sel: DecodedMedia => Double): Double =
+            good.zip(px).map { case (d, p) => sel(d) * p }.sum / n
+          DecodedMedia(id, "video", ok = true, good.head.width, good.head.height,
+            frames.size, mean(_.m0), mean(_.m1), mean(_.m2))
+        }
+      }
+    asImage.orElse(asVideo).orElse(asAudio).getOrElse(
       DecodedMedia(id, "unsupported", ok = false, 0, 0, 0, 0.0, 0.0, 0.0))
+  }
+
+  // ---- AVI / RIFF: column-level header parse (the FIFTH container:
+  // PNG fixed-offset, WAVE chunk scan, JPEG segment walk, MP4 nested
+  // big-endian boxes — and now RIFF's little-endian chunk walk). An
+  // AVI's main header (LIST hdrl → avih) declares frame count,
+  // per-frame µs and dimensions; reading them back from the BYTES is
+  // the same codegen'd substring/conv arithmetic as the other four,
+  // zero UDFs, scan-speed. Layout follows the public AVI RIFF File
+  // Reference (Microsoft).
+
+  /** Little-endian int read from `bytes` bytes at a DYNAMIC 1-indexed
+    * position column; null when the slice runs past the payload. */
+  private def leIntAt(p: Column, pos: Column, bytes: Int): Column = {
+    val h = concat((0 until bytes).reverse.map(b => hex(p.substr(pos + b, lit(1)))): _*)
+    when(length(h) === bytes * 2, conv(h, 16, 10).cast("long"))
+  }
+
+  /** 1-indexed position of the first RIFF chunk with `id` (and, when
+    * given, LIST type `listType`) among siblings in `[start, start +
+    * limit)`, walking at most `maxChunks`; 0 when absent. Chunk =
+    * id(4) + size(4 LE, data only) + data, padded to even. */
+  private def riffChunkPos(p: Column, start: Column, limit: Column,
+                           id: String, listType: Option[String],
+                           maxChunks: Int): Column =
+    aggregate(sequence(lit(1), lit(maxChunks)),
+      struct(start.as("pos"), lit(0L).as("hit")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val hit = st.getField("hit")
+        val size = leIntAt(p, pos + 4, 4)
+        val ok = coalesce(size >= 0L && pos + 8 <= start + limit, lit(false))
+        val idHit = ok && p.substr(pos, lit(4)).cast("string") === lit(id)
+        val isHit = listType.fold(idHit)(t =>
+          idHit && p.substr(pos + 8, lit(4)).cast("string") === lit(t))
+        val halt = hit > 0 || !ok || isHit
+        struct(
+          when(halt, pos)
+            .otherwise(pos + 8 + size + pmod(size, lit(2L))).as("pos"),
+          when(hit > 0, hit).when(isHit, pos).otherwise(lit(0L)).as("hit"))
+      }).getField("hit")
+
+  /** Bind `v` ONCE as a lambda variable in `f` — the expression-level
+    * let-binding: `transform(array(v), x -> f(x))[0]`. Catalyst has
+    * no CSE across an expression TREE (each `val` reuse of a Column
+    * splices another copy of the subtree in, and analyzer transforms
+    * then copy each occurrence separately — a walk expression
+    * referenced a handful of times over a synthesized payload tree
+    * was measured to OOM 8 GiB at ANALYSIS time), but a higher-order-
+    * function lambda variable is evaluated once and referenced by
+    * slot. */
+  private def bindOnce(v: Column, f: Column => Column): Column =
+    get(transform(array(v), f), lit(0))
+
+  /** 1-indexed position of the avih main-header chunk (inside LIST
+    * hdrl), or 0 when the chunk tree lacks it. */
+  def aviAvihPos(p: Column, maxChunks: Int = 8): Column =
+    bindOnce(
+      riffChunkPos(p, lit(13L), octet_length(p).cast("long") - 12L,
+        "LIST", Some("hdrl"), maxChunks),
+      hdrl => when(hdrl > 0,
+        riffChunkPos(p, hdrl + 12, leIntAt(p, hdrl + 4, 4) - 4, "avih", None, maxChunks))
+        .otherwise(lit(0L)))
+
+  /** All avih fields from ONE chunk walk:
+    * `struct(valid, uspf, frames, w, h)` — `valid` = RIFF/'AVI '
+    * magic + a full 56-byte avih; the rest little-endian reads at
+    * avih data offsets 0 / 16 / 32 / 36, null when not a walkable
+    * AVI. Use THIS (not several single-field accessors) when a query
+    * needs more than one field: each accessor embeds its own bounded
+    * walk, and the walk subtree is the expensive part of the tree. */
+  def aviInfo(p: Column, maxChunks: Int = 8): Column =
+    bindOnce(aviAvihPos(p, maxChunks), pos =>
+      bindOnce(
+        p.substr(lit(1), lit(4)).cast("string") === lit("RIFF") &&
+          p.substr(lit(9), lit(4)).cast("string") === lit("AVI ") &&
+          pos > 0 && coalesce(leIntAt(p, pos + 4, 4) >= 56L, lit(false)),
+        valid => struct(
+          valid.as("valid"),
+          when(valid, leIntAt(p, pos + 8, 4)).as("uspf"),
+          when(valid, leIntAt(p, pos + 24, 4)).as("frames"),
+          when(valid, leIntAt(p, pos + 40, 4)).as("w"),
+          when(valid, leIntAt(p, pos + 44, 4)).as("h"))))
+
+  /** AVI structural validity: RIFF/'AVI ' magic and a full 56-byte
+    * avih reachable by the chunk walk. */
+  def aviValid(p: Column, maxChunks: Int = 8): Column =
+    aviInfo(p, maxChunks).getField("valid")
+
+  /** Single avih fields; null for anything that is not a walkable
+    * AVI. Prefer [[aviInfo]] when several are needed. */
+  def aviMicrosPerFrame(p: Column, maxChunks: Int = 8): Column =
+    aviInfo(p, maxChunks).getField("uspf")
+  def aviTotalFrames(p: Column, maxChunks: Int = 8): Column =
+    aviInfo(p, maxChunks).getField("frames")
+  def aviWidth(p: Column, maxChunks: Int = 8): Column =
+    aviInfo(p, maxChunks).getField("w")
+  def aviHeight(p: Column, maxChunks: Int = 8): Column =
+    aviInfo(p, maxChunks).getField("h")
+
+  /** A conformant AVI header prefix — RIFF('AVI ') + LIST(hdrl){avih}
+    * declaring `nFrames`/`width`/`height` at `fps` — followed by a
+    * movi LIST wrapping `body` as a single '00dc' frame chunk (the
+    * jpegPayload approach: a real header, opaque stand-in data).
+    * Column-level synthesis for validation fixtures; [[aviMjpeg]] is
+    * the JVM-side writer for genuinely decodable files. */
+  def aviPayload(width: Column, height: Column, nFrames: Column,
+                 body: Column, fps: Int = 25): Column = {
+    // every chunk size derives ARITHMETICALLY from octet_length(body):
+    // nesting octet_length(<composite concat>) would splice the whole
+    // composite subtree in again per size field, and the tree size
+    // compounds (measured: analysis-time OOM once a parser walk
+    // referenced the payload) — the same discipline as the other
+    // payload builders, just load-bearing at this nesting depth
+    val bodyLen = octet_length(body).cast("long")
+    val pad = pmod(bodyLen, lit(2L))
+    val avih = concat(le(lit(1000000 / fps), 4), le(lit(0), 4), le(lit(0), 4),
+      le(lit(0), 4), le(nFrames, 4), le(lit(0), 4), le(lit(1), 4), le(lit(0), 4),
+      le(width, 4), le(height, 4), le(lit(0), 4), le(lit(0), 4), le(lit(0), 4),
+      le(lit(0), 4))
+    // layout: RIFF sz 'AVI ' | LIST 68 hdrl (avih 56 <data>) |
+    //         LIST (12+body+pad) movi ('00dc' len body pad)
+    val moviData = lit(12L) + bodyLen + pad
+    val riffData = lit(4L) + lit(8L + 68L) + lit(8L) + moviData
+    concat(lit("RIFF").cast("binary"), le(riffData, 4),
+      lit("AVI ").cast("binary"),
+      lit("LIST").cast("binary"), le(lit(68), 4), lit("hdrl").cast("binary"),
+      lit("avih").cast("binary"), le(lit(56), 4), avih,
+      lit("LIST").cast("binary"), le(moviData, 4), lit("movi").cast("binary"),
+      lit("00dc").cast("binary"), le(bodyLen, 4), body,
+      when(pad === 1L, unhex(lit("00"))).otherwise(lit(Array.emptyByteArray)))
+  }
+
+  // ---- AVI / RIFF (MJPEG): video decode without a video codec. -----
+  //
+  // The JDK ships no video decoder, but Motion-JPEG needs none: an
+  // MJPEG AVI is a RIFF container whose 'movi' LIST holds one complete
+  // JPEG per frame ('00dc' chunks), and the JDK's ImageIO JPEG codec
+  // decodes each frame. The RIFF chunk walk below is the byte-level
+  // sibling of the MP4 box walk above (4-byte id + 4-byte size,
+  // little-endian here, chunks padded to even); layout follows the
+  // public AVI RIFF specification (Microsoft "AVI RIFF File
+  // Reference"). Synthesis writes a canonical single-stream header
+  // (avih + strl/strh/strf) so the fixture files are conformant, and
+  // the parser only trusts the bytes it walks.
+
+  private def leIntAt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** JPEG frame payloads of an MJPEG AVI, in stream order; None when
+    * the payload is not a walkable RIFF/AVI. The walk visits each top-
+    * level chunk once and each 'movi' sub-chunk once — O(file bytes),
+    * no allocation beyond the frame slices. Both '00dc' (compressed)
+    * and '00db' (uncompressed DIB — still handed to ImageIO, which
+    * rejects non-JPEG bytes downstream) frame ids are collected. */
+  def aviFramePayloads(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (payload.length < 12 || fourcc(payload, 0) != "RIFF" ||
+        fourcc(payload, 8) != "AVI ") return None
+    val end = math.min(payload.length, 8 + leIntAt(payload, 4))
+    val frames = Seq.newBuilder[Array[Byte]]
+    var pos = 12
+    var sane = true
+    while (sane && pos + 8 <= end) {
+      val id = fourcc(payload, pos)
+      val size = leIntAt(payload, pos + 4)
+      if (size < 0 || pos + 8 + size > end) sane = false
+      else {
+        if (id == "LIST" && size >= 4 && fourcc(payload, pos + 8) == "movi") {
+          var sub = pos + 12
+          val subEnd = pos + 8 + size
+          while (sane && sub + 8 <= subEnd) {
+            val sid = fourcc(payload, sub)
+            val ssize = leIntAt(payload, sub + 4)
+            if (ssize < 0 || sub + 8 + ssize > subEnd) sane = false
+            else {
+              if (sid.endsWith("dc") || sid.endsWith("db"))
+                frames += java.util.Arrays.copyOfRange(payload, sub + 8, sub + 8 + ssize)
+              sub += 8 + ssize + (ssize & 1) // chunks pad to even
+            }
+          }
+        }
+        pos += 8 + size + (size & 1)
+      }
+    }
+    if (sane) Some(frames.result()) else None
+  }
+
+  /** A canonical single-stream MJPEG AVI containing `frames` (each a
+    * complete JPEG), for fixtures and specs: RIFF('AVI ') →
+    * LIST(hdrl){avih, LIST(strl){strh('vids'/'MJPG'), strf(BITMAP-
+    * INFOHEADER)}} → LIST(movi){'00dc' per frame}. Driver-side
+    * bounded synthesis, the q_src_csv fixture contract. */
+  def aviMjpeg(frames: Seq[Array[Byte]], width: Int, height: Int,
+               fps: Int = 25): Array[Byte] = {
+    require(fps > 0, "fps must be positive")
+    val bos = new java.io.ByteArrayOutputStream()
+    def le4(v: Int): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    def le2(v: Int): Array[Byte] = Array[Byte](v.toByte, (v >> 8).toByte)
+    def cc(s: String): Array[Byte] = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if ((body.length & 1) == 1) Array[Byte](0) else Array.emptyByteArray
+      cc(id) ++ le4(body.length) ++ body ++ pad
+    }
+    def list(tpe: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", cc(tpe) ++ body)
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val avih = le4(1000000 / fps) ++ le4(0) ++ le4(0) ++ le4(0) ++
+      le4(frames.length) ++ le4(0) ++ le4(1) ++ le4(maxFrame) ++
+      le4(width) ++ le4(height) ++ le4(0) ++ le4(0) ++ le4(0) ++ le4(0)
+    val strh = cc("vids") ++ cc("MJPG") ++ le4(0) ++ le2(0) ++ le2(0) ++
+      le4(0) ++ le4(1) ++ le4(fps) ++ le4(0) ++ le4(frames.length) ++
+      le4(maxFrame) ++ le4(0) ++ le4(0) ++
+      le2(0) ++ le2(0) ++ le2(width) ++ le2(height)
+    val strf = le4(40) ++ le4(width) ++ le4(height) ++ le2(1) ++ le2(24) ++
+      cc("MJPG") ++ le4(width * height * 3) ++ le4(0) ++ le4(0) ++ le4(0) ++ le4(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi", frames.map(f => chunk("00dc", f)).fold(Array.emptyByteArray)(_ ++ _))
+    val body = cc("AVI ") ++ hdrl ++ movi
+    bos.write(cc("RIFF")); bos.write(le4(body.length)); bos.write(body)
+    bos.toByteArray
+  }
+
+  /** A solid-gray JPEG via the JDK encoder. Gray is the deliberate
+    * fixture color: for a constant gray plane Y = v and Cb = Cr = 128
+    * exactly, every AC coefficient is 0, and the DC term 8·(v−128) is
+    * divisible by any integer quantizer step — so the lossy JPEG
+    * round-trip is EXACT and per-frame means stay oracle-checkable
+    * (VideoSpec pins this). */
+  def grayJpeg(width: Int, height: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(gray, gray, gray))
+    g.fillRect(0, 0, width, height); g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    bos.toByteArray
+  }
+
+  case class VideoFrame(media_id: Long, frame_idx: Int, ok: Boolean,
+                        width: Int, height: Int, m0: Double, m1: Double, m2: Double)
+
+  /** REAL video decode: per-frame rows from MJPEG AVI payloads —
+    * RIFF walk to the '00dc' frames, ImageIO JPEG decode per frame,
+    * per-frame RGB means. `stride` samples every stride-th frame and
+    * SKIPS the JPEG decode of unsampled frames entirely (at 100 TB,
+    * keyframe sampling must not pay for the frames it drops; the RIFF
+    * walk itself reads only chunk headers). A non-AVI payload yields
+    * one `frame_idx = -1, ok = false` row — nothing disappears
+    * silently; an undecodable frame inside a valid AVI yields its row
+    * with `ok = false`. Runs in `mapPartitions`: batched, executor-
+    * side, no driver involvement. */
+  def decodeVideoFrames(spark: SparkSession, media: DataFrame,
+                        stride: Int = 1): Dataset[VideoFrame] = {
+    import spark.implicits._
+    require(stride > 0, "stride must be positive")
+    media.select(col("media_id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          aviFramePayloads(payload) match {
+            case None =>
+              Iterator.single(VideoFrame(id, -1, ok = false, 0, 0, 0.0, 0.0, 0.0))
+            case Some(frames) =>
+              frames.iterator.zipWithIndex
+                .filter { case (_, i) => i % stride == 0 }
+                .map { case (bytes, i) =>
+                  decodeOne(id, bytes) match {
+                    case DecodedMedia(_, "image", true, w, h, _, m0, m1, m2) =>
+                      VideoFrame(id, i, ok = true, w, h, m0, m1, m2)
+                    case _ => VideoFrame(id, i, ok = false, 0, 0, 0.0, 0.0, 0.0)
+                  }
+                }
+          }
+        }
+      }
   }
 
   case class ResizedMedia(media_id: Long, ok: Boolean, payload: Array[Byte])

@@ -993,7 +993,50 @@ object SimilarityQueries {
              |  (CAST(7 AS BIGINT), 'audio', true, 0, 0, 1, 24000.0, 3000.0, 799.0),
              |  (CAST(8 AS BIGINT), 'unsupported', false, 0, 0, 0, 0.0, 0.0, 0.0))
              |t(media_id, kind, ok, width, height, channels, m0, m1, m2)
-             |ORDER BY media_id""".stripMargin)),
+             |ORDER BY media_id""".stripMargin),
+      bench = true),
+
+    // REAL video decode: MJPEG-in-AVI — the RIFF chunk walk finds the
+    // 'movi' frames, each a complete JPEG the JDK codec decodes
+    // (Multimodal.decodeVideoFrames / decodeOne's video path). Gray
+    // fixtures make the lossy codec exact (VideoSpec pins this), so
+    // per-frame means are closed-form and the oracle is a VALUES
+    // table. Per-frame rows join the clip summary (kind, ok, frame
+    // count) so BOTH decode paths are gate-checked; the non-AVI
+    // payload flows through as unsupported/-1, nothing silently
+    // dropped.
+    QueryDef("q_mm_video",
+      (s, _) => {
+        import s.implicits._
+        val avis: Seq[(Long, Array[Byte])] = Seq(
+          1L -> Multimodal.aviMjpeg(
+            (1 to 3).map(i => Multimodal.grayJpeg(32, 18, 40 * i)), 32, 18, fps = 10),
+          2L -> Multimodal.aviMjpeg(
+            (1 to 4).map(i => Multimodal.grayJpeg(16, 9, 50 * i)), 16, 9),
+          3L -> "definitely not a video".getBytes("UTF-8"))
+        val media = avis.toDF("media_id", "payload")
+        val frames = Multimodal.decodeVideoFrames(s, media).toDF()
+        val summary = Multimodal.decodeMedia(s, media).toDF()
+          .select(col("media_id").as("sid"), col("kind"),
+            col("ok").as("clip_ok"), col("channels").as("n_frames"))
+        frames.join(summary, frames("media_id") === col("sid"))
+          .select(col("media_id"), col("kind"), col("clip_ok"), col("n_frames"),
+            col("frame_idx"), col("ok").as("frame_ok"),
+            col("width"), col("height"), col("m0"), col("m1"), col("m2"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""SELECT * FROM (VALUES
+             |  (CAST(1 AS BIGINT), 'video', true, 3, 0, true, 32, 18, 40.0, 40.0, 40.0),
+             |  (CAST(1 AS BIGINT), 'video', true, 3, 1, true, 32, 18, 80.0, 80.0, 80.0),
+             |  (CAST(1 AS BIGINT), 'video', true, 3, 2, true, 32, 18, 120.0, 120.0, 120.0),
+             |  (CAST(2 AS BIGINT), 'video', true, 4, 0, true, 16, 9, 50.0, 50.0, 50.0),
+             |  (CAST(2 AS BIGINT), 'video', true, 4, 1, true, 16, 9, 100.0, 100.0, 100.0),
+             |  (CAST(2 AS BIGINT), 'video', true, 4, 2, true, 16, 9, 150.0, 150.0, 150.0),
+             |  (CAST(2 AS BIGINT), 'video', true, 4, 3, true, 16, 9, 200.0, 200.0, 200.0),
+             |  (CAST(3 AS BIGINT), 'unsupported', false, 0, -1, false, 0, 0, 0.0, 0.0, 0.0))
+             |t(media_id, kind, clip_ok, n_frames, frame_idx, frame_ok, width, height, m0, m1, m2)
+             |ORDER BY media_id, frame_idx""".stripMargin),
+      bench = true),
 
     // REAL resize (decode → nearest-neighbor rescale → PNG re-encode)
     // chained into REAL decode: solid fills survive any resampling
@@ -1182,6 +1225,51 @@ object SimilarityQueries {
              |  CASE WHEN doc_id % 11 <> 0 THEN (doc_id % 1000 + 1) * 37 END AS parsed_ticks,
              |  CASE WHEN doc_id % 11 <> 0
              |       THEN ((doc_id % 1000 + 1) * 37 * 1000) // ((doc_id % 5) * 2500 + 1000) END AS parsed_ms,
+             |  CASE WHEN doc_id % 11 = 0 THEN 'corrupt'
+             |       WHEN doc_id % 50 = 0 THEN 'mismatch'
+             |       ELSE 'ok' END AS status
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // AVI/RIFF chunk walk — the FIFTH container (little-endian
+    // chunks, LIST hdrl → avih descent): frame count / per-frame µs /
+    // dimensions parsed back from the bytes. doc_id%11 payloads are
+    // not AVI (→ 'corrupt'); the doc_id%50 declared-frame-count
+    // corruption must surface as 'mismatch'. Oracle re-derives every
+    // parsed value from the fixture formulas independently of the
+    // byte plumbing; VideoSpec additionally proves the column parser
+    // against files written by the JVM-side aviMjpeg writer (which
+    // the REAL q_mm_video decode consumes).
+    QueryDef("q_mm_avi",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val w = (pmod(col("doc_id"), lit(16)) * 64 + 256)
+        val h = (pmod(col("doc_id"), lit(9)) * 64 + 256)
+        val nf = (pmod(col("doc_id"), lit(500)) + 1L)
+        val body = encode(col("text"), "UTF-8")
+        val media = docs.select(col("doc_id").as("media_id"),
+          when(pmod(col("doc_id"), lit(11)) === 0, body)
+            .otherwise(Multimodal.aviPayload(w, h, nf, body))
+            .as("payload"),
+          w.cast("long").as("decl_w"), nf.as("decl_frames"))
+        val corrupt = pmod(col("media_id"), lit(50)) === 0
+        val declFrames = col("decl_frames") + when(corrupt, 1L).otherwise(0L)
+        // ONE chunk walk per row: materialize the aviInfo struct in
+        // its own projection, then read fields as cheap attributes
+        val parsed = media.withColumn("__i", Multimodal.aviInfo(col("payload")))
+        val pw = col("__i.w"); val pf = col("__i.frames")
+        parsed.select(col("media_id"),
+          pw.as("parsed_w"), col("__i.h").as("parsed_h"), pf.as("parsed_frames"),
+          col("__i.uspf").as("parsed_uspf"),
+          when(pw.isNull || pf.isNull, "corrupt")
+            .when(pw === col("decl_w") && pf === declFrames, "ok")
+            .otherwise("mismatch").as("status"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             |  CASE WHEN doc_id % 11 <> 0 THEN (doc_id % 16) * 64 + 256 END AS parsed_w,
+             |  CASE WHEN doc_id % 11 <> 0 THEN (doc_id % 9) * 64 + 256 END AS parsed_h,
+             |  CASE WHEN doc_id % 11 <> 0 THEN doc_id % 500 + 1 END AS parsed_frames,
+             |  CASE WHEN doc_id % 11 <> 0 THEN 40000 END AS parsed_uspf,
              |  CASE WHEN doc_id % 11 = 0 THEN 'corrupt'
              |       WHEN doc_id % 50 = 0 THEN 'mismatch'
              |       ELSE 'ok' END AS status

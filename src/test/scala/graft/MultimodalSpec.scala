@@ -20,8 +20,11 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
     assert(di.ok && di.kind === "image" && di.width === 4 && di.height === 2)
     assert(di.m0 === 127.5 && di.m1 === 127.5 && di.m2 === 127.5)
 
-    // stereo 16-bit WAV: L channel constant +100, R constant -100 →
-    // interleaved samples alternate sign: meanAbs 100, zc counts flips
+    // stereo 16-bit WAV: L channel constant +100, R constant -100.
+    // The stats DEINTERLEAVE per channel: each channel is constant, so
+    // zero-crossings = 0 (the interleaved stream alternates sign every
+    // sample, and counting across the channel boundary used to report
+    // a constant signal as maximally oscillating); meanAbs 100.
     val n = 10
     val pcm = new Array[Byte](n * 2 * 2)
     for (j <- 0 until n; c <- 0 until 2) {
@@ -37,7 +40,22 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       javax.sound.sampled.AudioFileFormat.Type.WAVE, wbos)
     val da = Multimodal.decodeOne(2L, wbos.toByteArray)
     assert(da.ok && da.kind === "audio" && da.channels === 2)
-    assert(da.m0 === 8000.0 && da.m1 === 100.0 && da.m2 === (2 * n - 1).toDouble)
+    assert(da.m0 === 8000.0 && da.m1 === 100.0 && da.m2 === 0.0)
+
+    // a genuinely oscillating mono signal still counts its crossings
+    val osc = new Array[Byte](n * 2)
+    for (j <- 0 until n) {
+      val v = if (j % 2 == 0) 100 else -100
+      osc(2 * j) = (v & 0xff).toByte; osc(2 * j + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val mfmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val mais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(osc), mfmt, n.toLong)
+    val mbos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(mais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, mbos)
+    val dm = Multimodal.decodeOne(5L, mbos.toByteArray)
+    assert(dm.ok && dm.kind === "audio" && dm.m2 === (n - 1).toDouble)
 
     // truncated PNG and plain text both land in unsupported, no throw
     val trunc = Multimodal.decodeOne(3L, bos.toByteArray.take(20))
