@@ -57,25 +57,66 @@ object Scd {
     * 100 TB: the alternative, rebuilding with [[scd2]] over the full
     * log, re-shuffles all of history for a 0.1% delta. Contract
     * (spec-pinned): `scd2Apply(scd2(log), delta) == scd2(log ∪
-    * delta)` column-for-column, PROVIDED the batch is append-only —
-    * every delta row's `tsCol` is later than its key's newest history
-    * row (the standard daily-feed shape; late data needs a targeted
-    * rebuild of the affected keys, which the untouched/touched split
-    * below already isolates).
+    * delta)` column-for-column.
+    *
+    * Delta rows split into two routes by timing:
+    *  - ON-TIME (the daily-feed bulk): every row of the key is later
+    *    than the key's open history row → fast path below.
+    *  - LATE: some row lands at-or-before its key's open row's
+    *    `valid_from` → that KEY's stored versions are demoted back to
+    *    change-log shape, unioned with its delta rows, and rebuilt
+    *    with [[scd2]] — a targeted rebuild of |late keys| only, never
+    *    |history|. The rebuild treats stored history as the canonical
+    *    log: a log row that collapsed as a no-op at build time is
+    *    physically absent from ANY stored SCD2 dimension, so if a late
+    *    row lands immediately before such a collapsed row the rebuilt
+    *    chain reflects the stored versions, not the discarded noise —
+    *    an inherent property of SCD2 storage, not of this operator
+    *    (ScdSpec pins both the equality and this boundary).
     *
     * Scale shape: keys NOT in the delta pass through untouched (no
     * shuffle of the closed-history bulk beyond the anti-join);
     * affected keys' CLOSED rows also pass through unchanged —
     * only each affected key's single OPEN row joins the delta, so the
     * windowed recompute runs over |delta| + |affected keys| rows, not
-    * |history|. No-op delta rows (equal to the key's current tracked
-    * struct, or to their delta predecessor) collapse exactly as the
-    * full rebuild would; version numbers continue from the open
-    * row's. */
+    * |history| (late keys add their own version rows, still
+    * delta-proportional in any real feed). No-op delta rows (equal to
+    * the key's current tracked struct, or to their delta predecessor)
+    * collapse exactly as the full rebuild would; version numbers
+    * continue from the open row's. */
   def scd2Apply(history: DataFrame, delta: DataFrame, keyCols: Seq[String],
                 tsCol: String, trackedCols: Seq[String],
                 tieBreak: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && trackedCols.nonEmpty, "need key and tracked columns")
+    val fullLogCols = delta.columns.toSeq
+    val fullOutCols = fullLogCols ++ Seq("valid_from", "valid_to", "is_current", "version")
+    // Late detection: any delta row at-or-before its key's open-row
+    // valid_from (equality included — a same-instant row's tie-break
+    // order against the open row is exactly what the full rebuild
+    // resolves). lateKeys is empty on the common append-only feed and
+    // tiny otherwise → broadcast semi/anti joins, no history shuffle.
+    val openFrom = history.filter(col("is_current"))
+      .select(keyCols.map(col) :+ col("valid_from").as("__open_from"): _*)
+    val lateKeys = delta.join(openFrom, keyCols)
+      .filter(col(tsCol) <= col("__open_from"))
+      .select(keyCols.map(col): _*).distinct()
+    val rebuilt = scd2(
+      history.join(lateKeys, keyCols, "left_semi").select(fullLogCols.map(col): _*)
+        .union(delta.join(lateKeys, keyCols, "left_semi").select(fullLogCols.map(col): _*)),
+      keyCols, tsCol, trackedCols, tieBreak)
+    scd2ApplyAppendOnly(
+      history.join(lateKeys, keyCols, "left_anti"),
+      delta.join(lateKeys, keyCols, "left_anti"),
+      keyCols, tsCol, trackedCols, tieBreak)
+      .union(rebuilt.select(fullOutCols.map(col): _*))
+  }
+
+  /** The append-only fast path of [[scd2Apply]] — assumes every delta
+    * row is strictly later than its key's open history row. */
+  private def scd2ApplyAppendOnly(history: DataFrame, delta: DataFrame,
+                                  keyCols: Seq[String], tsCol: String,
+                                  trackedCols: Seq[String],
+                                  tieBreak: Seq[String]): DataFrame = {
     val logCols = delta.columns.toSeq
     val affected = delta.select(keyCols.map(col): _*).distinct()
     val untouched = history.join(affected, keyCols, "left_anti")

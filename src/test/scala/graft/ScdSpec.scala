@@ -113,6 +113,50 @@ class ScdSpec extends AnyFunSuite with SharedSpark {
       === canon(hist))
   }
 
+  test("scd2Apply routes LATE delta rows through a targeted rebuild and still equals scd2(log ∪ delta)") {
+    import spark.implicits._
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k", "version").collect().map(_.toSeq).toSeq
+    def build(rows: Seq[(String, Long, Long, String)]) =
+      Scd.scd2(rows.toDF("k", "ts", "seq", "status"), Seq("k"), "ts", Seq("status"), Seq("seq"))
+    // history rows (all < 100); the delta carries one LATE row for k1
+    // (t=25, mid-history: lands between silver@30 and bronze@10...),
+    // one on-time row for k1, an on-time-only key k2, and a late row
+    // that STALLS nothing for k3 (t equal to its open row's
+    // valid_from — the ambiguous-tie case also routes late)
+    val oldRows = Seq(
+      ("k1", 10L, 1L, "bronze"), ("k1", 30L, 2L, "silver"),
+      ("k2", 15L, 3L, "gold"),
+      ("k3", 20L, 4L, "iron"))
+    val deltaRows = Seq(
+      ("k1", 25L, 5L, "copper"),  // LATE: before k1's open row (t=30)
+      ("k1", 110L, 6L, "gold"),   // on-time row of the SAME late key
+      ("k2", 120L, 7L, "pearl"),  // pure on-time key
+      ("k3", 20L, 8L, "steel"))   // tie with open row → late route
+    val full = oldRows ++ deltaRows
+    val applied = Scd.scd2Apply(build(oldRows),
+      deltaRows.toDF("k", "ts", "seq", "status"),
+      Seq("k"), "ts", Seq("status"), Seq("seq"))
+    assert(canon(applied) === canon(build(full)))
+    // version chains renumber exactly as the full rebuild: k1 becomes
+    // bronze(1) copper(2) silver(3) gold(4)
+    val k1 = applied.filter(col("k") === "k1").orderBy("version")
+      .select("status", "version").collect().map(r => (r.getString(0), r.getInt(1)))
+    assert(k1.toSeq === Seq(("bronze", 1), ("copper", 2), ("silver", 3), ("gold", 4)))
+    // documented boundary: a no-op that collapsed at build time is
+    // absent from stored history, so a late row landing just before
+    // it reflects the stored versions (scd2 over stored-versions ∪
+    // delta), which scd2Apply reproduces exactly
+    val withNoop = Seq(("k9", 10L, 1L, "a"), ("k9", 30L, 2L, "a"), ("k9", 50L, 3L, "b"))
+    val lateD = Seq(("k9", 20L, 9L, "z")).toDF("k", "ts", "seq", "status")
+    val storedThenLate = Scd.scd2Apply(build(withNoop), lateD,
+      Seq("k"), "ts", Seq("status"), Seq("seq"))
+    val storedAsLog = build(withNoop).select("k", "ts", "seq", "status")
+      .union(lateD)
+    assert(canon(storedThenLate) ===
+      canon(Scd.scd2(storedAsLog, Seq("k"), "ts", Seq("status"), Seq("seq"))))
+  }
+
   test("snapshotDiff treats null tracked values null-safely") {
     import spark.implicits._
     val oldS = Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("id", "v")
