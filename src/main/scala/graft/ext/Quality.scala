@@ -13,11 +13,22 @@ import org.apache.spark.sql.functions._
   * counter, and the ratios derive from those integers with one
   * `round(x, 6)` at the end — integer counters are exact in any
   * aggregation order and any engine, so the report is
-  * oracle-reproducible bit-for-bit. Uniqueness adds
-  * `count(distinct …)` columns to the same aggregate (Spark plans
-  * the multi-distinct via Expand — fine for a report; at 100 TB
-  * swap in [[Sketches]]' HLL for a one-pass approximate uniqueness
-  * and keep the exact form for audits).
+  * oracle-reproducible bit-for-bit. Exact uniqueness ([[Unique]])
+  * adds `count(distinct struct(…))` columns to the same aggregate
+  * (struct-packed so rows with NULL key components still count as
+  * distinct groups, the `SELECT DISTINCT` semantics; Spark plans the
+  * multi-distinct via Expand — N extra shuffles of the full input).
+  * At 100 TB use [[UniqueApprox]] instead: the same uniqueness ratio
+  * from the mergeable HLL sketch aggregate ([[Sketches.hllDistinct]],
+  * ~0.8% error at p=14) — it rides the SAME single pass with no
+  * Expand, and keeps the exact form for audits.
+  *
+  * An EMPTY input fails every ratio constraint deterministically
+  * (`metric = 0.0, pass = false`): an empty corpus drop is the prime
+  * case an ingestion gate exists to catch, so it must read as a
+  * failure, not as a vacuous NULL a `filter(!pass)` consumer would
+  * silently drop (only [[RowCountBetween]] can legitimately pass at
+  * zero rows, when its `lo` is 0).
   *
   * Output: one row per constraint — `(constraint, metric, threshold,
   * pass)` — produced by exploding a literal-built struct array from
@@ -31,9 +42,19 @@ object Quality {
     def name = s"complete($column)"
   }
   /** Distinct/total ratio over `columns` must reach `minRatio`
-    * (1.0 = a true candidate key). */
+    * (1.0 = a true candidate key). Rows with NULL key components
+    * count as distinct groups, the `SELECT DISTINCT` semantics. */
   final case class Unique(columns: Seq[String], minRatio: Double = 1.0) extends Constraint {
     def name = s"unique(${columns.mkString(",")})"
+  }
+  /** [[Unique]]'s 100 TB form: the distinct count comes from the HLL
+    * sketch aggregate (~0.8% error at the default p=14) instead of an
+    * exact multi-distinct, so the report stays ONE pass with no
+    * Expand. Size `minRatio` with the error in mind (a true candidate
+    * key reads ≈ 1.0 ± 0.8%, so gate at e.g. 0.95, not 1.0). */
+  final case class UniqueApprox(columns: Seq[String], minRatio: Double = 1.0)
+      extends Constraint {
+    def name = s"unique_approx(${columns.mkString(",")})"
   }
   /** Ratio of rows whose `column` is one of `values` (nulls fail)
     * must reach `minRatio`. */
@@ -61,7 +82,14 @@ object Quality {
       case (Complete(c, _), i) =>
         sum(when(col(c).isNotNull, 1L).otherwise(0L)).as(s"__m$i")
       case (Unique(cs, _), i) =>
-        countDistinct(cs.head, cs.tail: _*).as(s"__m$i")
+        // struct-packed: countDistinct over bare columns drops any
+        // tuple containing a NULL from the numerator (while __n counts
+        // all rows), deflating the ratio for nullable keys; a struct
+        // is itself never null, so its distinct count includes
+        // null-component groups — SELECT DISTINCT semantics
+        countDistinct(struct(cs.map(col): _*)).as(s"__m$i")
+      case (UniqueApprox(cs, _), i) =>
+        Sketches.hllDistinct(struct(cs.map(col): _*)).as(s"__m$i")
       case (InSet(c, vs, _), i) =>
         sum(when(col(c).isin(vs: _*), 1L).otherwise(0L)).as(s"__m$i")
       case (Between(c, lo, hi, _), i) =>
@@ -71,11 +99,16 @@ object Quality {
     val one = df.agg(n, aggs: _*)
     val reports: Seq[Column] = constraints.zipWithIndex.map { case (c, i) =>
       val m = col(s"__m$i")
+      // empty-input contract: a ratio over zero rows is a FAILED gate
+      // (metric 0.0, pass false), never a NULL a consumer can miss
+      def ratio = when(col("__n") === 0L, lit(0.0)).otherwise(round(m / col("__n"), 6))
+      def ratioReport(r: Double) = (ratio, lit(r), col("__n") > 0L && ratio >= r)
       val (metric, threshold, pass) = c match {
-        case Complete(_, r)   => (round(m / col("__n"), 6), lit(r), round(m / col("__n"), 6) >= r)
-        case Unique(_, r)     => (round(m / col("__n"), 6), lit(r), round(m / col("__n"), 6) >= r)
-        case InSet(_, _, r)   => (round(m / col("__n"), 6), lit(r), round(m / col("__n"), 6) >= r)
-        case Between(_, _, _, r) => (round(m / col("__n"), 6), lit(r), round(m / col("__n"), 6) >= r)
+        case Complete(_, r)      => ratioReport(r)
+        case Unique(_, r)        => ratioReport(r)
+        case UniqueApprox(_, r)  => ratioReport(r)
+        case InSet(_, _, r)      => ratioReport(r)
+        case Between(_, _, _, r) => ratioReport(r)
         case RowCountBetween(lo, hi) =>
           (m.cast("double"), lit(lo.toDouble), m >= lo && m <= hi)
       }

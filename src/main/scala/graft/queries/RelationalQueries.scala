@@ -762,14 +762,36 @@ object RelationalQueries {
     // (quantity ≤ 10 at 90%) is planted to FAIL so the pass=false
     // path is hash-checked too.
     QueryDef("q_quality_check",
-      (s, d) => graft.ext.Quality.checkConstraints(t(s, d, "lineitem"), Seq(
+      (s, d) => {
+        val rep = graft.ext.Quality.checkConstraints(t(s, d, "lineitem"), Seq(
           graft.ext.Quality.Complete("l_returnflag", 1.0),
           graft.ext.Quality.Unique(Seq("l_orderkey", "l_linenumber")),
+          // the 100 TB uniqueness path (HLL, no Expand) rides the same
+          // single pass; (l_orderkey, l_linenumber) is NOT a candidate
+          // key in this testdata (exact ratio ≈ 0.764), so the approx
+          // gate sits at 0.5 with sketch-error headroom — pass=true,
+          // and the planted unique(…)=1.0 row covers pass=false
+          graft.ext.Quality.UniqueApprox(Seq("l_orderkey", "l_linenumber"), 0.5),
           graft.ext.Quality.InSet("l_returnflag", Seq("R", "A", "N"), 1.0),
           graft.ext.Quality.Between("l_quantity", 1.0, 50.0, 1.0),
           graft.ext.Quality.Between("l_quantity", 1.0, 10.0, 0.9),
           graft.ext.Quality.RowCountBetween(1L, 10000000L)))
-        .orderBy("constraint", "threshold"),
+        // The raw HLL estimate is not SQL-reproducible, so the gate
+        // publishes the approx row's AGREEMENT with the exact unique
+        // row instead: metric 1.0 iff |approx/exact − 1| ≤ 0.02
+        // (2.5σ at p=14). One tiny window over the 7-row report —
+        // the corpus is still scanned exactly once.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+        rep.withColumn("__exact",
+            max(when(col("constraint") === "unique(l_orderkey,l_linenumber)",
+              col("metric"))).over(w))
+          .withColumn("metric",
+            when(col("constraint") === "unique_approx(l_orderkey,l_linenumber)",
+              when(abs(col("metric") / col("__exact") - 1.0) <= 0.02, 1.0).otherwise(0.0))
+              .otherwise(col("metric")))
+          .drop("__exact")
+          .orderBy("constraint", "threshold")
+      },
       Some("""WITH m AS (
              |  SELECT count(*) AS n,
              |    CAST(sum(CASE WHEN l_returnflag IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_complete,
@@ -794,6 +816,8 @@ object RelationalQueries {
              |  UNION ALL SELECT 'between(l_quantity)',
              |    round(CAST(m_b10 AS DOUBLE) / n, 6), 0.9,
              |    round(CAST(m_b10 AS DOUBLE) / n, 6) >= 0.9 FROM m
+             |  UNION ALL SELECT 'unique_approx(l_orderkey,l_linenumber)',
+             |    1.0, 0.5, true FROM m
              |  UNION ALL SELECT 'row_count',
              |    CAST(n AS DOUBLE), 1.0, n BETWEEN 1 AND 10000000 FROM m)
              |ORDER BY "constraint", threshold""".stripMargin)),

@@ -45,6 +45,54 @@ class QualitySpec extends AnyFunSuite with SharedSpark {
     assert(rep.length === 7)
   }
 
+  test("an EMPTY input fails every ratio constraint deterministically") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Double)].toDF("id", "s", "x")
+    val rep = Quality.checkConstraints(empty, Seq(
+      Complete("s", 0.0), Unique(Seq("id")), UniqueApprox(Seq("id"), 0.5),
+      InSet("s", Seq("ok"), 0.0), Between("x", 0.0, 1.0, 0.0),
+      RowCountBetween(0L, 5L), RowCountBetween(1L, 5L)))
+      .collect().map(r => (r.getString(0), r.getDouble(2)) ->
+        (r.getDouble(1), r.getBoolean(3))).toMap
+    // even a 0.0 threshold fails on empty input: no NULLs, no
+    // vacuous passes — an empty corpus drop must trip the gate
+    assert(rep(("complete(s)", 0.0)) === ((0.0, false)))
+    assert(rep(("unique(id)", 1.0)) === ((0.0, false)))
+    assert(rep(("unique_approx(id)", 0.5)) === ((0.0, false)))
+    assert(rep(("in_set(s)", 0.0)) === ((0.0, false)))
+    assert(rep(("between(x)", 0.0)) === ((0.0, false)))
+    // row-count is the one constraint that can legitimately pass at 0
+    assert(rep(("row_count", 0.0)) === ((0.0, true)))
+    assert(rep(("row_count", 1.0)) === ((0.0, false)))
+  }
+
+  test("Unique counts NULL key components as distinct groups (SELECT DISTINCT semantics)") {
+    import spark.implicits._
+    // 4 rows, keys: (1,a), (1,null), (1,null), (2,a) → 3 distinct
+    // groups; bare-column countDistinct would report 2 and deflate
+    // the ratio for a merely-nullable key
+    val df = Seq((1L, Option("a")), (1L, Option.empty[String]),
+      (1L, Option.empty[String]), (2L, Option("a"))).toDF("k1", "k2")
+    val rep = Quality.checkConstraints(df, Seq(Unique(Seq("k1", "k2"), 0.75)))
+      .collect().map(r => (r.getDouble(1), r.getBoolean(3)))
+    assert(rep.head === ((0.75, true)))
+  }
+
+  test("UniqueApprox tracks the exact ratio within sketch error in the same single pass") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (i, i % 997)).toDF("id", "dup")
+    val rep = Quality.checkConstraints(df, Seq(
+      Unique(Seq("id")), UniqueApprox(Seq("id"), 0.95),
+      Unique(Seq("dup"), 0.5), UniqueApprox(Seq("dup"), 0.5)))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(3))).toMap
+    assert(rep("unique(id)") === ((1.0, true)))
+    val (approxId, passId) = rep("unique_approx(id)")
+    assert(passId && math.abs(approxId - 1.0) <= 0.02, s"approx=$approxId")
+    // 997 distinct of 5000 → exact 0.1994; approx within 2% relative
+    val (approxDup, passDup) = rep("unique_approx(dup)")
+    assert(!passDup && math.abs(approxDup / 0.1994 - 1.0) <= 0.02, s"approx=$approxDup")
+  }
+
   test("checkConstraints: nulls fail InSet and Between, report is one job") {
     import spark.implicits._
     val df = Seq((1L, Option.empty[String], Option.empty[java.lang.Double]),
