@@ -204,10 +204,20 @@ object GraphRank {
       und = next
       nEdges = n2
     }
+    // Materialize the small (node, deg) result into its OWN
+    // checkpoint so the final edge checkpoint can be released here:
+    // returning an aggregation over the pinned edge frame would leave
+    // its storage blocks un-releasable by the caller, and repeated
+    // kCore calls in a long session would accumulate them. The
+    // returned frame follows the loop-body contract: it IS an eager
+    // localCheckpoint (callers may Checkpoints.unpersist it when
+    // done consuming).
     val out = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .withColumn("rounds", lit(rounds))
+      .localCheckpoint(true)
+    unpersistCheckpoint(und)
     out
   }
 

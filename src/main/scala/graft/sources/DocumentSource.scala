@@ -67,20 +67,26 @@ object DocumentSource {
     * ingest once with this reader, then compact into parquet with the
     * payload as a binary column ([[writeParquet]]) and scan THAT at
     * pipeline scale (the `documents`-table shape the q_mm_* gates
-    * run on). `maxLength` guards against a stray huge file
-    * (binaryFile fails files above it rather than OOMing a task);
-    * note it is a SESSION conf (`spark.sql.sources.binaryFile
-    * .maxLength` — the source exposes no per-read option), so a
-    * non-default value persists for later binaryFile reads on the
-    * same session. */
+    * run on). `maxLength` guards against a stray huge file OOMing a
+    * task: it is applied as a `length <= maxLength` filter on the
+    * source's METADATA column, which binaryFile pushes into the file
+    * listing — oversized files are excluded without their content
+    * ever being read. (Deliberately NOT the `spark.sql.sources
+    * .binaryFile.maxLength` session conf: the source exposes no
+    * per-read option, and a session-conf mutation would silently
+    * alter every later binaryFile read on the session — and because
+    * the frame is lazy, no save/restore point is sound. Semantics
+    * differ usefully too: the conf FAILS the query on an oversized
+    * file, the filter SKIPS it; audit skipped files with a
+    * metadata-only read of `length > maxLength` when that matters.) */
   def binaryFiles(spark: SparkSession, dir: String,
                   glob: Option[String] = None,
                   maxLength: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val r = spark.read.format("binaryFile")
     val r1 = glob.fold(r)(g => r.option("pathGlobFilter", g))
-    maxLength.foreach(m => spark.conf.set(
-      "spark.sql.sources.binaryFile.maxLength", m.toString))
-    r1.load(dir)
+    val df = r1.load(dir)
+    maxLength.fold(df)(m => df.filter(col("length") <= m))
   }
 
   /** Partitioned parquet writer — the engine's sink for derived

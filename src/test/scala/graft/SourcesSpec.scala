@@ -152,6 +152,16 @@ class SourcesSpec extends AnyFunSuite with SharedSpark {
     assert(back.count() === 3)
     assert(back.select(graft.ext.Multimodal.pngWidth(col("content")).cast("long"))
       .collect().map(_.getLong(0)).sorted.toSeq === sizes.map(_._1.toLong).sorted)
+
+    // maxLength excludes oversized files via a pushed-down metadata
+    // filter — NO session conf is touched (a conf mutation would
+    // silently alter every later binaryFile read on the session)
+    val confBefore = spark.conf.getOption("spark.sql.sources.binaryFile.maxLength")
+    val smallest = media.select(min(col("length"))).head().getLong(0)
+    val capped = graft.sources.DocumentSource.binaryFiles(
+      spark, dir.getAbsolutePath, glob = Some("*.png"), maxLength = Some(smallest))
+    assert(capped.count() === 1)
+    assert(spark.conf.getOption("spark.sql.sources.binaryFile.maxLength") === confBefore)
   }
 
   test("parquet sink round-trips with directory partitioning") {
