@@ -163,6 +163,41 @@ object Scd {
     scd.filter(col("valid_from") <= at &&
       (col("valid_to").isNull || col("valid_to") > at))
 
+  /** Point-in-time enrichment (the feature-store correctness join):
+    * attach to each fact row the dimension version that was active at
+    * the fact's OWN timestamp — `valid_from <= ts < valid_to` — never
+    * the current one, which would leak future attribute values into
+    * training features.
+    *
+    * NOT a range join: because [[scd2]] intervals per key are
+    * disjoint and contiguous (each `valid_to` IS the successor's
+    * `valid_from`), interval membership is exactly a backward as-of
+    * match on `valid_from`, so this delegates to
+    * [[graft.ops.AsofJoin]] — ONE shuffle of |facts|+|history| rows
+    * on the key versus the |facts|·|versions-per-key| fanout-then-
+    * filter a BETWEEN join plans. Attached columns arrive as
+    * `asof_<name>` plus `asof_valid_from`.
+    *
+    * Same-instant churn: a version superseded at its own open
+    * timestamp (several changes in one micro-instant) is zero-width —
+    * active at NO point in time. Only the per-(key, valid_from)
+    * survivor (highest `versionCol`) is kept before the as-of, which
+    * both matches interval semantics exactly and makes the equal-
+    * timestamp pick deterministic (the as-of's union-order-last is
+    * otherwise ambiguous between same-`valid_from` rows). Facts
+    * earlier than their key's first version get NULLs, the honest
+    * "dimension did not exist yet" answer. */
+  def pointInTimeLookup(facts: DataFrame, history: DataFrame, key: String,
+                        factTs: String, valueCols: Seq[String],
+                        versionCol: String = "version"): DataFrame = {
+    val wv = Window.partitionBy(col(key), col("valid_from"))
+      .orderBy(col(versionCol).desc)
+    val survivors = history
+      .withColumn("__rn", row_number().over(wv))
+      .filter(col("__rn") === 1).drop("__rn")
+    graft.ops.AsofJoin.asofJoin(facts, survivors, key, factTs, "valid_from", valueCols)
+  }
+
   /** Change-data-capture diff of two keyed snapshots: one row per key
     * present in either, classified `added` (new only), `removed` (old
     * only) or `changed` (both, tracked attributes differ — null-safe

@@ -350,6 +350,46 @@ object EventQueries {
              |  AND (valid_to IS NULL OR valid_to > 1705276800000000)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Point-in-time enrichment ([[graft.ext.Scd.pointInTimeLookup]]):
+    // every event looked up against the SCD2 status that was active
+    // AT ITS OWN TIMESTAMP — the leakage-free feature join, reduced
+    // to one as-of pass (union + key-partitioned window) instead of
+    // the BETWEEN range join the oracle spells out. The census over
+    // (as-of status, event type) hash-checks every match, including
+    // same-instant churn where only the zero-width survivor counts.
+    QueryDef("q_scd2_lookup",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val log = ev.select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("event_type"))
+        val hist = graft.ext.Scd.scd2(log, Seq("user_id"), "us",
+            trackedCols = Seq("event_type"), tieBreak = Seq("event_id"))
+          .select(col("user_id"), col("event_type").as("status"),
+            col("valid_from"), col("version"))
+        val facts = ev.select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_type"), col("value"))
+        graft.ext.Scd.pointInTimeLookup(facts, hist, "user_id", "us", Seq("status"))
+          .select(col("asof_status").as("status"), col("event_type"), col("value"))
+          .groupBy("status", "event_type")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+          .orderBy("status", "event_type")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+             |  FROM events),
+             |v AS (SELECT user_id, us, event_id, event_type FROM c
+             |      WHERE prev IS NULL OR prev <> event_type),
+             |h AS (SELECT user_id, event_type AS status, us AS valid_from,
+             |        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to
+             |      FROM v),
+             |f AS (SELECT user_id, epoch_us(ts) AS us, event_type, value FROM events)
+             |SELECT h.status, f.event_type, count(*) AS n,
+             |       round(sum(f.value), 2) AS total
+             |FROM f JOIN h ON f.user_id = h.user_id
+             |  AND h.valid_from <= f.us AND (h.valid_to IS NULL OR f.us < h.valid_to)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // CDC snapshot diff ([[graft.ext.Scd.snapshotDiff]]): two
     // date-sliced lineitem states (new side carries a simulated
     // quantity correction on returned rows), full-outer joined on the

@@ -66,6 +66,37 @@ class ScdSpec extends AnyFunSuite with SharedSpark {
     assert(h.toSeq === Seq("a", "b", "c"))
   }
 
+  test("pointInTimeLookup equals the brute-force interval join, incl. same-instant churn") {
+    import spark.implicits._
+    // k3 churns twice within the same instant t=50: versions 1 and 2
+    // are zero-width, only version 3 ("z") is ever active
+    val churn = Seq(
+      ("k3", 50L, 7L, "x"), ("k3", 50L, 8L, "y"), ("k3", 50L, 9L, "z")
+    ).toDF("k", "ts", "seq", "status")
+    val h = Scd.scd2(log.union(churn), Seq("k"), "ts",
+        trackedCols = Seq("status"), tieBreak = Seq("seq"))
+      .select(col("k"), col("status"), col("valid_from"), col("valid_to"),
+        col("version"))
+    val facts = Seq(
+      ("k1", 5L), ("k1", 10L), ("k1", 29L), ("k1", 35L), ("k1", 40L),
+      ("k2", 100L), ("k3", 49L), ("k3", 50L), ("k3", 51L)
+    ).toDF("k", "at")
+    val got = Scd.pointInTimeLookup(facts, h, "k", "at", Seq("status"))
+      .select("k", "at", "asof_status")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    val want = facts.join(h,
+        facts("k") === h("k") && col("valid_from") <= col("at") &&
+          (col("valid_to").isNull || col("at") < col("valid_to")), "left")
+      .select(facts("k"), col("at"), col("status"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    assert(got === want)
+    // the same-instant fact saw only the churn survivor; the
+    // before-birth fact honestly saw nothing
+    assert(got.contains(("k3", 50L, "z")) && got.contains(("k1", 5L, null)))
+  }
+
   test("snapshotDiff classifies added/removed/changed and drops the unchanged majority") {
     import spark.implicits._
     val oldS = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
