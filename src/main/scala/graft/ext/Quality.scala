@@ -118,4 +118,44 @@ object Quality {
     one.select(explode(array(reports: _*)).as("r"))
       .select(col("r.constraint"), col("r.metric"), col("r.threshold"), col("r.pass"))
   }
+
+  /** Distribution-drift report between two slices of one frame — the
+    * "did yesterday's crawl change shape?" monitor that decides
+    * whether a retrain/repartition is warranted before 100 TB of it
+    * lands. `isCurrent` labels the current slice (rows where it is
+    * NULL count as reference); per `dim` bucket the report carries
+    * both slice counts, both shares, and the bucket's PSI
+    * (population-stability-index) contribution
+    * `(cur − ref) · ln(cur/ref)` — always ≥ 0, sum ≥ 0.2 is the
+    * conventional "investigate" line.
+    *
+    * Shares are clamped to `eps` so a bucket present in only one
+    * slice (the interesting case — a new language, a vanished
+    * source) contributes a large finite term instead of ±∞.
+    *
+    * Exactness: counts are exact integers from ONE scan with
+    * conditional aggregates (no per-slice re-scan); each PSI term is
+    * quantized to a 2^-30 grid BEFORE any cross-engine comparison —
+    * the [[CorpusStats.tokenKl]] idiom — so the report re-derives
+    * bit-for-bit in SQL. Scale: one shuffle on `dim`; the totals ride
+    * a broadcast of the (post-aggregation, small) bucket frame. */
+  def driftReport(df: DataFrame, isCurrent: Column, dim: String,
+                  eps: Double = 1e-6): DataFrame = {
+    val counts = df.groupBy(col(dim).as("bucket"))
+      .agg(sum(when(isCurrent, 0L).otherwise(1L)).as("ref_n"),
+           sum(when(isCurrent, 1L).otherwise(0L)).as("cur_n"))
+    val tot = counts.agg(sum("ref_n").as("__rt"), sum("cur_n").as("__ct"))
+    val q = 1073741824.0 // 2^30
+    def share(n: Column, t: Column): Column =
+      when(t === 0L, lit(eps)).otherwise(greatest(n / t, lit(eps)))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("__rs", share(col("ref_n"), col("__rt")))
+      .withColumn("__cs", share(col("cur_n"), col("__ct")))
+      .select(col("bucket"), col("ref_n"), col("cur_n"),
+        round(col("__rs"), 6).as("ref_share"),
+        round(col("__cs"), 6).as("cur_share"),
+        round(floor((col("__cs") - col("__rs")) *
+            log(col("__cs") / col("__rs")) * q + 0.5).cast("long") / q, 6)
+          .as("psi"))
+  }
 }

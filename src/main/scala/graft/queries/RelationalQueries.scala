@@ -822,6 +822,43 @@ object RelationalQueries {
              |    CAST(n AS DOUBLE), 1.0, n BETWEEN 1 AND 10000000 FROM m)
              |ORDER BY "constraint", threshold""".stripMargin)),
 
+    // Distribution-drift gate ([[graft.ext.Quality.driftReport]]):
+    // event-type mix before vs after the 2024-01-15 cutoff — exact
+    // conditional counts from ONE scan, eps-clamped shares, and each
+    // bucket's PSI term quantized to the 2^-30 grid (the tokenKl
+    // idiom) so ln() parity is grid-exact across engines.
+    QueryDef("q_quality_drift",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        graft.ext.Quality.driftReport(ev,
+            col("us") >= 1705276800000000L, "event_type")
+          .orderBy("bucket")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type AS bucket,
+             |         epoch_us(ts) >= 1705276800000000 AS cur
+             |  FROM events),
+             |c AS (
+             |  SELECT bucket,
+             |    CAST(sum(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS ref_n,
+             |    CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+             |  FROM e GROUP BY 1),
+             |tot AS (SELECT CAST(sum(ref_n) AS BIGINT) AS rt,
+             |               CAST(sum(cur_n) AS BIGINT) AS ct FROM c),
+             |sh AS (
+             |  SELECT bucket, ref_n, cur_n,
+             |    CASE WHEN rt = 0 THEN 1e-6
+             |         ELSE greatest(ref_n * 1.0 / rt, 1e-6) END AS rs,
+             |    CASE WHEN ct = 0 THEN 1e-6
+             |         ELSE greatest(cur_n * 1.0 / ct, 1e-6) END AS cs
+             |  FROM c CROSS JOIN tot)
+             |SELECT bucket, ref_n, cur_n,
+             |  round(rs, 6) AS ref_share, round(cs, 6) AS cur_share,
+             |  round(CAST(floor((cs - rs) * ln(cs / rs) * 1073741824.0 + 0.5)
+             |        AS BIGINT) / 1073741824.0, 6) AS psi
+             |FROM sh ORDER BY bucket""".stripMargin)),
+
     // Key-skew diagnostic: the 5 heaviest event users with exact
     // corpus share — the pre-flight before picking a join strategy.
     QueryDef("q_skew_profile",

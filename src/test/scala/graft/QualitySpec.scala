@@ -103,4 +103,36 @@ class QualitySpec extends AnyFunSuite with SharedSpark {
     assert(rep("in_set(s)") === ((0.5, false)))
     assert(rep("between(x)") === ((0.5, false)))
   }
+
+  test("driftReport: exact counts, hand-computed PSI, eps clamp for one-sided buckets") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // ref: 6a 2b 2c (10); cur: 2a 6b 2d (10) — c vanished, d is new
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c"))
+      .map(v => (v, false))
+      .++((Seq.fill(2)("a") ++ Seq.fill(6)("b") ++ Seq.fill(2)("d")).map(v => (v, true)))
+      .toDF("dim", "cur")
+    val rep = Quality.driftReport(df, col("cur"), "dim").orderBy("bucket")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    def psi(rs: Double, cs: Double): Double =
+      math.round(math.floor((cs - rs) * math.log(cs / rs) * 1073741824.0 + 0.5)
+        / 1073741824.0 * 1e6) / 1e6.toDouble
+    assert(rep("a") === ((6L, 2L, 0.6, 0.2, psi(0.6, 0.2))))
+    assert(rep("b") === ((2L, 6L, 0.2, 0.6, psi(0.2, 0.6))))
+    // one-sided buckets: missing side clamps to eps, term large but finite
+    assert(rep("c") === ((2L, 0L, 0.2, 1.0e-6, psi(0.2, 1e-6))))
+    assert(rep("d") === ((0L, 2L, 1.0e-6, 0.2, psi(1e-6, 0.2))))
+    assert(rep.values.forall(_._5 >= 0.0))
+  }
+
+  test("driftReport: an empty current slice yields eps shares, not division errors") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(("a", false), ("b", false)).toDF("dim", "cur")
+    val rep = Quality.driftReport(df, col("cur"), "dim")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(rep === Map("a" -> 1.0e-6, "b" -> 1.0e-6))
+  }
 }
