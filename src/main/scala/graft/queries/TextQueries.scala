@@ -1049,7 +1049,77 @@ object TextQueries {
              |                             i -> unicode(substr(s, i, 1))::BIGINT)),
              |                (h, c) -> (h * 31 + c) % 1000000007))) AS fingerprint
              |FROM sh ORDER BY doc_id""".stripMargin)),
+
+    // BPE merge training ([[graft.ext.Bpe.trainMerges]]): 6 merge
+    // rounds over the 128 most frequent alphabetic words, frequency-
+    // weighted — the tokenizer-bootstrap stage. The oracle replays
+    // the ENTIRE training loop in one recursive CTE: a single row
+    // carries the bracketed-token word list; each step finds the
+    // argmax pair with pure list lambdas (list_reduce — the same
+    // (count desc, pair asc) tie-break) and rewrites via the same
+    // self-delimiting "[l][r]" → "[lr]" literal replace Spark
+    // executes, so every round's winning pair AND weighted count must
+    // agree exactly, merge after merge. The 128-word cap is oracle
+    // tractability (the CTE recounts pairs O(vocab²) per round);
+    // trainMerges itself takes the full word frame — pair counting is
+    // a distributed explode + groupBy, one single-row collect per
+    // round.
+    QueryDef("q_tx_bpe",
+      (s, d) => {
+        val words = t(s, d, "documents")
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("w").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("w")).limit(128)
+        graft.ext.Bpe.trainMerges(words, col("w"), col("n"), rounds = 6)
+          .orderBy("round")
+      },
+      Some(bpeOracle(k = 128, rounds = 6))),
   )
+
+  /** DuckDB replay of [[graft.ext.Bpe.trainMerges]] over the top-`k`
+    * corpus words for `rounds` merges. The argmax-pair expression is
+    * interpolated at each use site (computed on the PRIOR round's
+    * word state) because a recursive CTE cannot alias a
+    * subexpression and DuckDB 1.0 lambdas do not bind across
+    * LATERAL; pairs travel as "l|r" strings since list_distinct
+    * cannot histogram structs. */
+  private def bpeOracle(k: Int, rounds: Int): String = {
+    def toks(w: String) =
+      s"string_split(substring($w.s, 2, length($w.s) - 2), '][')"
+    def pairs(w: String) =
+      s"list_transform(range(1, len(${toks(w)})), i -> ${toks(w)}[i] || '|' || ${toks(w)}[i+1])"
+    val best =
+      s"""list_reduce(
+         |  list_transform(
+         |    list_distinct(flatten(list_transform(ws, w -> ${pairs("w")}))),
+         |    p -> {l: string_split(p, '|')[1], rt: string_split(p, '|')[2],
+         |          c: list_sum(list_transform(ws, w2 -> w2.n * len(list_filter(${pairs("w2")}, q -> q = p))))}),
+         |  (a, b) -> CASE WHEN b.c > a.c OR (b.c = a.c AND (b.l < a.l OR (b.l = a.l AND b.rt < a.rt)))
+         |            THEN b ELSE a END)""".stripMargin
+    s"""WITH RECURSIVE w0 AS (
+       |  SELECT w, count(*)::BIGINT AS n FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY 1 ORDER BY n DESC, w LIMIT $k),
+       |init AS (
+       |  SELECT list({s: '[' || array_to_string(string_split(w, ''), '][') || ']', n: n}) AS ws
+       |  FROM w0),
+       |st AS (
+       |  SELECT 0 AS iter, ws,
+       |         CAST([] AS STRUCT(r INTEGER, l VARCHAR, rt VARCHAR, c BIGINT)[]) AS ms
+       |  FROM init
+       |  UNION ALL
+       |  SELECT iter + 1,
+       |    list_transform(ws, w -> {s: replace(w.s,
+       |        '[' || ($best).l || '][' || ($best).rt || ']',
+       |        '[' || ($best).l || ($best).rt || ']'), n: w.n}),
+       |    list_append(ms, {r: CAST(iter + 1 AS INTEGER), l: ($best).l, rt: ($best).rt, c: ($best).c})
+       |  FROM st WHERE iter < $rounds AND ($best).c >= 2
+       |)
+       |SELECT m.r AS round, m.l AS lhs, m.rt AS rhs, m.c AS n
+       |FROM (SELECT unnest(ms) AS m FROM (SELECT ms FROM st ORDER BY iter DESC LIMIT 1))
+       |ORDER BY round""".stripMargin
+  }
 
   /** DuckDB scalar expression mirroring [[TextAnalysis.langId]]: same
     * marker lists, same strictly-greater fold order, so predictions

@@ -1,0 +1,90 @@
+package graft
+
+import graft.ext.Bpe
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite with SharedSpark {
+
+  /** Independent reference: greedy left-to-right single-pair merge
+    * over a token list (the textbook formulation), used to prove the
+    * bracketed-string `replace` rewrite implements it exactly. */
+  private def refMerge(toks: List[String], l: String, r: String): List[String] =
+    toks.foldLeft(List.empty[String]) { (acc, x) =>
+      acc match {
+        case last :: rest if last == l && x == r => (l + r) :: rest
+        case _ => x :: acc
+      }
+    }.reverse
+
+  private def refTrain(words: Map[String, Long], rounds: Int)
+      : (Seq[(Int, String, String, Long)], Map[List[String], Long]) = {
+    var state = words.map { case (w, n) => w.split("").toList -> n }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var round = 1
+    var go = rounds > 0
+    while (go) {
+      val counts = state.toSeq.flatMap { case (t, n) =>
+        t.zip(t.drop(1)).map(p => p -> n)
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      val best = counts.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some(((l, r), c)) if c >= 2 =>
+          merges += ((round, l, r, c))
+          state = state.map { case (t, n) => refMerge(t, l, r) -> n }
+          round += 1
+          go = round <= rounds
+        case _ => go = false
+      }
+    }
+    (merges.result(), state)
+  }
+
+  private def corpus = {
+    import spark.implicits._
+    // the Sennrich et al. teaching corpus; 'es' ties 'st' at 9 in
+    // round 1, so the lexicographic tie-break is exercised
+    Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("w", "n")
+  }
+
+  test("trainMerges reproduces the classic BPE merge sequence with deterministic ties") {
+    val got = Bpe.trainMerges(corpus, col("w"), col("n"), rounds = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L), (4, "lo", "w", 7L)))
+  }
+
+  test("bracketed-string replace equals the textbook greedy fold, incl. runs like 'aaaa'") {
+    import spark.implicits._
+    val tricky = Seq(("aaaa", 3L), ("aaa", 2L), ("banana", 4L)).toDF("w", "n")
+    val rounds = 5
+    val got = Bpe.trainMerges(tricky, col("w"), col("n"), rounds)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val (want, _) = refTrain(Map("aaaa" -> 3L, "aaa" -> 2L, "banana" -> 4L), rounds)
+    assert(got.toSeq === want)
+  }
+
+  test("applyMerges reproduces the training tokenization exactly") {
+    val merges = Bpe.trainMerges(corpus, col("w"), col("n"), rounds = 4)
+    val applied = Bpe.applyMerges(corpus, col("w"), merges)
+      .select("w", "tokens").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val (_, finalState) = refTrain(
+      Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L), 4)
+    val want = finalState.keys.map(t => t.mkString -> t).toMap
+    // keys of finalState are token lists; re-key by the original word
+    assert(applied.keySet === Set("low", "lower", "newest", "widest"))
+    for ((w, toks) <- applied)
+      assert(toks === want(toks.mkString), s"word $w")
+  }
+
+  test("training stops early when the best pair drops below minCount") {
+    import spark.implicits._
+    val sparse = Seq(("ab", 1L), ("cd", 1L)).toDF("w", "n")
+    assert(Bpe.trainMerges(sparse, col("w"), col("n"), rounds = 5).count() === 0L)
+    // and an all-single-char corpus has no pairs at all
+    val chars = Seq(("a", 9L), ("b", 9L)).toDF("w", "n")
+    assert(Bpe.trainMerges(chars, col("w"), col("n"), rounds = 5).count() === 0L)
+  }
+}
