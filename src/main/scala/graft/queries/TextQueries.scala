@@ -1074,17 +1074,50 @@ object TextQueries {
         graft.ext.Bpe.trainMerges(words, col("w"), col("n"), rounds = 6)
           .orderBy("round")
       },
-      Some(bpeOracle(k = 128, rounds = 6))),
+      Some(bpeCte(k = 128, rounds = 6) +
+        """
+          |SELECT m.r AS round, m.l AS lhs, m.rt AS rhs, m.c AS n
+          |FROM (SELECT unnest(ms) AS m FROM (SELECT ms FROM st ORDER BY iter DESC LIMIT 1))
+          |ORDER BY round""".stripMargin)),
+
+    // BPE apply ([[graft.ext.Bpe.applyMerges]]): the trained merge
+    // table unrolled into a replace chain re-tokenizes the same word
+    // set; the oracle reads the recursive replay's FINAL word state —
+    // training and applying are the same rewrite, so per-word token
+    // counts and the token sequences themselves must agree exactly.
+    QueryDef("q_tx_bpe_tokenize",
+      (s, d) => {
+        val words = t(s, d, "documents")
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("w").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("w")).limit(128)
+        val merges = graft.ext.Bpe.trainMerges(words, col("w"), col("n"), rounds = 6)
+        graft.ext.Bpe.applyMerges(words, col("w"), merges)
+          .select(col("w"), col("n"),
+            size(col("tokens")).cast("long").as("n_tokens"),
+            array_join(col("tokens"), " ").as("toks"))
+          .orderBy("w")
+      },
+      Some(bpeCte(k = 128, rounds = 6) +
+        """
+          |SELECT fw.w, fw.n,
+          |  len(string_split(substring(fw.s, 2, length(fw.s) - 2), '][')) AS n_tokens,
+          |  array_to_string(string_split(substring(fw.s, 2, length(fw.s) - 2), ']['), ' ') AS toks
+          |FROM (SELECT unnest(ws) AS fw FROM (SELECT ws FROM st ORDER BY iter DESC LIMIT 1))
+          |ORDER BY fw.w""".stripMargin)),
   )
 
   /** DuckDB replay of [[graft.ext.Bpe.trainMerges]] over the top-`k`
-    * corpus words for `rounds` merges. The argmax-pair expression is
-    * interpolated at each use site (computed on the PRIOR round's
-    * word state) because a recursive CTE cannot alias a
-    * subexpression and DuckDB 1.0 lambdas do not bind across
-    * LATERAL; pairs travel as "l|r" strings since list_distinct
-    * cannot histogram structs. */
-  private def bpeOracle(k: Int, rounds: Int): String = {
+    * corpus words for `rounds` merges: recursive CTE `st` whose final
+    * row carries the merge list `ms` AND the end-state word list `ws`
+    * (each `{w, s, n}` — original word, bracketed tokens, weight).
+    * The argmax-pair expression is interpolated at each use site
+    * (computed on the PRIOR round's word state) because a recursive
+    * CTE cannot alias a subexpression and DuckDB 1.0 lambdas do not
+    * bind across LATERAL; pairs travel as "l|r" strings since
+    * list_distinct cannot histogram structs. */
+  private def bpeCte(k: Int, rounds: Int): String = {
     def toks(w: String) =
       s"string_split(substring($w.s, 2, length($w.s) - 2), '][')"
     def pairs(w: String) =
@@ -1102,7 +1135,7 @@ object TextQueries {
        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents)
        |  WHERE w <> '' GROUP BY 1 ORDER BY n DESC, w LIMIT $k),
        |init AS (
-       |  SELECT list({s: '[' || array_to_string(string_split(w, ''), '][') || ']', n: n}) AS ws
+       |  SELECT list({w: w, s: '[' || array_to_string(string_split(w, ''), '][') || ']', n: n}) AS ws
        |  FROM w0),
        |st AS (
        |  SELECT 0 AS iter, ws,
@@ -1110,15 +1143,12 @@ object TextQueries {
        |  FROM init
        |  UNION ALL
        |  SELECT iter + 1,
-       |    list_transform(ws, w -> {s: replace(w.s,
+       |    list_transform(ws, w -> {w: w.w, s: replace(w.s,
        |        '[' || ($best).l || '][' || ($best).rt || ']',
        |        '[' || ($best).l || ($best).rt || ']'), n: w.n}),
        |    list_append(ms, {r: CAST(iter + 1 AS INTEGER), l: ($best).l, rt: ($best).rt, c: ($best).c})
        |  FROM st WHERE iter < $rounds AND ($best).c >= 2
-       |)
-       |SELECT m.r AS round, m.l AS lhs, m.rt AS rhs, m.c AS n
-       |FROM (SELECT unnest(ms) AS m FROM (SELECT ms FROM st ORDER BY iter DESC LIMIT 1))
-       |ORDER BY round""".stripMargin
+       |)""".stripMargin
   }
 
   /** DuckDB scalar expression mirroring [[TextAnalysis.langId]]: same
