@@ -45,6 +45,50 @@ object Similarity {
       .select(col(idCol), round(col("cos_raw"), 6).as("cosine"))
   }
 
+  /** ANN via Johnson–Lindenstrauss compression + exact re-rank: score
+    * every vector by cosine in the `outDim`-dimensional ±1-projected
+    * space ([[graft.functions.JlProject]] — exact fixed-point
+    * integers, so the candidate ORDER is engine-reproducible), keep
+    * the top `k·poolFactor` by `TakeOrderedAndProject`, then re-rank
+    * those few with the full-precision codegen'd cosine. The
+    * projection-space scan does outDim instead of dim multiply-adds
+    * per corpus row (4× less arithmetic at 64→16) and is the shape
+    * that pays off when projected vectors are PRECOMPUTED as a
+    * column — then the full-width embedding is only read for the
+    * pool. The corpus embedding rides THROUGH the TakeOrdered (k·pool
+    * rows, trivial), so the whole query is ONE corpus scan with no
+    * second join back — the same one-pass contract as
+    * [[mmrSelectPooled]]'s retrieve stage.
+    *
+    * Projected cosine is computed from exact integer dot/norm sums
+    * (longs; doubles only at the final divide), so ties and ordering
+    * match plain-SQL integer arithmetic bit-for-bit. Recall is
+    * approximate — distortion ~1/√outDim — which the pool absorbs;
+    * the returned top-k cosines are EXACT (full-vector). */
+  def annJl(corpus: DataFrame, queryVec: DataFrame, k: Int,
+            outDim: Int = 16, poolFactor: Int = 4,
+            idCol: String = "vec_id"): DataFrame = {
+    import graft.functions.VectorExpressions.{cosineNative, jlProjectNative}
+    def dotL(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val q = broadcast(queryVec.select(col("embedding").as("q_emb"),
+      jlProjectNative(col("embedding"), outDim).as("q_p")))
+    val pool = corpus
+      .select(col(idCol), col("embedding"),
+        jlProjectNative(col("embedding"), outDim).as("p"))
+      .crossJoin(q)
+      .withColumn("jl_cos", dotL(col("p"), col("q_p")).cast("double") /
+        (sqrt(dotL(col("p"), col("p")).cast("double")) *
+         sqrt(dotL(col("q_p"), col("q_p")).cast("double"))))
+      .orderBy(desc("jl_cos"), col(idCol))
+      .limit(k * poolFactor)
+    pool
+      .withColumn("cos_raw", cosineNative(col("embedding"), col("q_emb")))
+      .orderBy(desc("cos_raw"), col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("cos_raw"), 6).as("cosine"))
+  }
+
   /** `bits`-bit LSH bucket signature: bit j = sign of the projection
     * onto deterministic hyperplane j. Per-row, no shuffle — a single
     * fused loop ([[graft.functions.HyperplaneLshBucket]]); the

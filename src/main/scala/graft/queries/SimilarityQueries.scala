@@ -272,6 +272,48 @@ object SimilarityQueries {
              |FROM scored ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin),
       bench = true),
 
+    // ANN via JL compression + exact re-rank ([[Similarity.annJl]]):
+    // the 64→16 ±1 projection ranks candidates in fixed-point integer
+    // space (engine-reproducible ordering), a 40-row pool rides
+    // through ONE TakeOrdered scan, and the published top-10 cosines
+    // are exact full-vector values. The oracle re-derives the
+    // projections in plain integer SQL, replays the pool selection
+    // and the re-rank.
+    QueryDef("q_sim_ann_jl",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.annJl(emb.filter(col("vec_id") =!= 0),
+          emb.filter(col("vec_id") === 0), k = 10)
+      },
+      Some(s"""WITH pr AS (
+             |  SELECT vec_id, j,
+             |    CAST(sum(CASE WHEN ((((j*64 + i) * (j*64 + i)) % 1000003 * 40503
+             |                         + (j*64 + i) * 69069 + 1234567) % 1000003) % 2 = 1
+             |             THEN qv ELSE -qv END) AS BIGINT) AS fp
+             |  FROM (SELECT vec_id, j, i,
+             |          CAST(floor(embedding[CAST(i AS INT) + 1]::DOUBLE * 1048576 + 0.5) AS BIGINT) AS qv
+             |        FROM embeddings, range(0, 16) rj(j), range(0, 64) ri(i))
+             |  GROUP BY 1, 2),
+             |d AS (
+             |  SELECT a.vec_id,
+             |    CAST(sum(a.fp * qb.fp) AS BIGINT) AS dotpq,
+             |    CAST(sum(a.fp * a.fp) AS BIGINT) AS na
+             |  FROM pr a JOIN (SELECT j, fp FROM pr WHERE vec_id = 0) qb USING (j)
+             |  WHERE a.vec_id <> 0 GROUP BY 1),
+             |nq AS (SELECT CAST(sum(fp * fp) AS BIGINT) AS nb FROM pr WHERE vec_id = 0),
+             |sc AS (
+             |  SELECT vec_id, CAST(dotpq AS DOUBLE)
+             |    / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS jl
+             |  FROM d CROSS JOIN nq),
+             |pool AS (SELECT vec_id FROM sc ORDER BY jl DESC, vec_id LIMIT 40),
+             |rer AS (
+             |  SELECT e.vec_id, ${cosSql("e.embedding", "q.q_emb")} AS c
+             |  FROM embeddings e JOIN pool USING (vec_id)
+             |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q)
+             |SELECT vec_id, round(c, 6) AS cosine
+             |FROM rer ORDER BY c DESC, vec_id LIMIT 10""".stripMargin),
+      bench = true),
+
     // Embedding-cosine near-dup pairs (brute-force baseline, oracled)
     QueryDef("q_sim_cos_pairs",
       (s, d) => Similarity.cosinePairs(t(s, d, "embeddings"), threshold = 0.8)

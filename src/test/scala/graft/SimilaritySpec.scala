@@ -47,6 +47,26 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(recall > 0.0, s"ANN should recover some true neighbours, got $recall")
   }
 
+  test("annJl: full-corpus pool equals exact topK; default pool has real recall with exact cosines") {
+    val q = emb.filter(col("vec_id") === 0)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val brute = Similarity.topK(corpus, q, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // pool ≥ corpus ⇒ the re-rank sees everything ⇒ exact equality
+    val full = Similarity.annJl(corpus, q, k = 10, poolFactor = 60).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(full === brute)
+    // default pool: approximate candidate set, but every returned
+    // cosine is the exact full-vector value
+    val ann = Similarity.annJl(corpus, q, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(ann.length === 10)
+    val cosines = ann.map(_._2).toSeq
+    assert(cosines === cosines.sorted.reverse)
+    val hits = ann.count { case (id, c) => brute.get(id).contains(c) }
+    assert(hits > 0, "JL pool should recover some true neighbours with exact scores")
+  }
+
   test("multi-probe LSH recall ≥ single-probe recall, both ⊆ brute-force ranking") {
     val q = emb.filter(col("vec_id") === 0)
     val corpus = emb.filter(col("vec_id") =!= 0)
