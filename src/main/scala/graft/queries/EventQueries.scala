@@ -388,7 +388,8 @@ object EventQueries {
              |       round(sum(f.value), 2) AS total
              |FROM f JOIN h ON f.user_id = h.user_id
              |  AND h.valid_from <= f.us AND (h.valid_to IS NULL OR f.us < h.valid_to)
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      bench = true),
 
     // CDC snapshot diff ([[graft.ext.Scd.snapshotDiff]]): two
     // date-sliced lineitem states (new side carries a simulated

@@ -56,4 +56,27 @@ object TextStreams {
         round(est, 4).as("approx_distinct"))
       .select(col("window.start").as("win_start"), col("n_events"), col("approx_distinct"))
   }
+
+  /** Per-micro-batch distribution-drift monitor: each arriving batch's
+    * `dim` mix is PSI-compared against a STATIC reference slice via
+    * [[graft.ext.Quality.driftReport]] — the deployment shape of the
+    * batch gate q_quality_drift (reference = last known-good corpus
+    * snapshot; alert when a batch's summed PSI crosses ~0.2). Rides
+    * foreachBatch because drift is a whole-batch-vs-reference
+    * statistic, not a per-window aggregate: the report needs the
+    * batch's own bucket totals, which watermarked window state cannot
+    * express. Each emitted row carries `batch_id`; the per-batch
+    * frame handed to `sink` is exactly `driftReport(reference ∪
+    * batch)` — spec-pinned equal to the batch computation. Pass a
+    * cached/checkpointed `reference` (it is re-read every batch). */
+  def driftMonitor(stream: DataFrame, reference: DataFrame, dim: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val u = reference.select(col(dim)).withColumn("__cur", lit(false))
+          .unionByName(batch.select(col(dim)).withColumn("__cur", lit(true)))
+        sink(graft.ext.Quality.driftReport(u, col("__cur"), dim)
+          .withColumn("batch_id", lit(batchId)))
+      }
+      .start()
 }

@@ -60,6 +60,40 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("driftMonitor: every micro-batch's PSI report equals the batch driftReport") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq.fill(6)("click").++(Seq.fill(2)("view")).++(Seq.fill(2)("buy"))
+      .toDF("event_type").localCheckpoint(true)
+    val mem = MemoryStream[String]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Map[String, Double])]
+    val q = graft.streaming.TextStreams.driftMonitor(
+        mem.toDF().toDF("event_type"), reference, "event_type") { rep =>
+      val rows = rep.collect()
+      if (rows.nonEmpty)
+        seen += rows.head.getLong(6) -> rows.map(r => r.getString(0) -> r.getDouble(5)).toMap
+    }
+    try {
+      val batch1 = Seq.fill(5)("click") ++ Seq.fill(5)("view") // mix shift
+      val batch2 = Seq.fill(8)("scroll")                       // unseen bucket
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      def want(batch: Seq[String]): Map[String, Double] = {
+        val u = reference.select(col("event_type")).withColumn("__cur", lit(false))
+          .unionByName(batch.toDF("event_type").select(col("event_type"))
+            .withColumn("__cur", lit(true)))
+        graft.ext.Quality.driftReport(u, col("__cur"), "event_type")
+          .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+      }
+      val byId = seen.toMap
+      assert(byId.keySet === Set(0L, 1L))
+      assert(byId(0L) === want(batch1))
+      assert(byId(1L) === want(batch2))
+      // the unseen-bucket batch must scream louder than the mix shift
+      assert(byId(1L).values.sum > byId(0L).values.sum)
+    } finally q.stop()
+  }
+
   test("distinctMonitor: streaming HLL estimate equals the batch sketch exactly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
