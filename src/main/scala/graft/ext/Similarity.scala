@@ -915,18 +915,29 @@ object Similarity {
     * can split either way. Integer negation has no signed zero, so
     * both engines emit bit-identical doubles for every cell.
     * Output: (i, j, cov), dim² rows. */
-  def dimCovariance(embeddings: DataFrame, dim: Int = 64,
-                    vecCol: String = "embedding"): DataFrame = {
+  /** ONE distributed pass of exact integer moment sums on the 2^-10
+    * grid — single row `(n, s[dim], sp[dim²])` shared by
+    * [[dimCovariance]] and [[dimPrincipal]] (the covariance cell is
+    * `n·sp[i·dim+j] − s[i]·s[j]`, exact in longs up to n ≈ 10⁸ rows
+    * at this grid; beyond that the [[dimStats]] wide-decimal path is
+    * the template). */
+  private def covSums(embeddings: DataFrame, dim: Int,
+                      vecCol: String): DataFrame = {
     val qArr = transform(col(vecCol),
       v => floor(v.cast("double") * lit(1024.0) + lit(0.5)).cast("long"))
     val outer = transform(sequence(lit(0), lit(dim * dim - 1)),
       k => element_at(col("__q"), (call_function("div", k.cast("long"), lit(dim.toLong))).cast("int") + 1) *
            element_at(col("__q"), pmod(k, lit(dim)).cast("int") + 1))
-    val sums = embeddings.select(qArr.as("__q"))
+    embeddings.select(qArr.as("__q"))
       .select(col("__q"), outer.as("__op"))
       .agg(count(lit(1)).as("n"),
         graft.functions.SketchAggregates.arraySum(col("__q")).as("s"),
         graft.functions.SketchAggregates.arraySum(col("__op")).as("sp"))
+  }
+
+  def dimCovariance(embeddings: DataFrame, dim: Int = 64,
+                    vecCol: String = "embedding"): DataFrame = {
+    val sums = covSums(embeddings, dim, vecCol)
     val k = col("k")
     val i = call_function("div", k.cast("long"), lit(dim.toLong))
     val j = pmod(k, lit(dim)).cast("long")
@@ -942,6 +953,70 @@ object Similarity {
       .select(i.as("i"), j.as("j"),
         (when(num < 0, -micro).otherwise(micro).cast("double") /
           lit(1000000.0)).as("cov"))
+  }
+
+  /** Dominant principal component by fixed-point power iteration —
+    * the whitening/axis-selection pass downstream of [[dimStats]] /
+    * [[dimCovariance]]. The DATA work is the same single distributed
+    * moment pass ([[covSums]]); the iteration itself runs on the
+    * driver over the dim² integer matrix (4096 longs at dim 64 — the
+    * bounded-collect contract of Z-order bounds, NOT a corpus
+    * collect), which is the right split at any corpus size: the
+    * matrix is dim², never data-sized.
+    *
+    * Exactness: every step is integer arithmetic — covariance cells
+    * `n·sp − s·s` (exact longs), a one-time descale by 2^23
+    * (sign·(abs div), floor-on-magnitude, so truncating and flooring
+    * engines agree), then `iters` rounds of matvec + L∞
+    * renormalization to the 2^20 grid (the ·2^20/maxabs step widens
+    * through 128-bit — BigInt here, HUGEINT in SQL). The final sign
+    * is canonicalized by `Σv ≥ 0`. A SQL oracle replays every round
+    * bit-for-bit; there is NO floating point anywhere until the
+    * caller divides by 2^20 for display.
+    *
+    * Convergence is the standard (λ₂/λ₁)^iters rate — fast on
+    * anisotropic data (spec-pinned against a planted dominant
+    * direction), slow when the spectrum is flat, in which case the
+    * result is a deterministic partial iterate, not a wrong answer.
+    * Returns `(pos, loading_fp)` — fixed-point loadings, L∞ = 2^20. */
+  def dimPrincipal(embeddings: DataFrame, dim: Int = 64, iters: Int = 12,
+                   vecCol: String = "embedding"): DataFrame = {
+    val row = covSums(embeddings, dim, vecCol).collect()(0)
+    val n = row.getLong(0)
+    val s = row.getSeq[Long](1)
+    val sp = row.getSeq[Long](2)
+    val cs = Array.tabulate(dim * dim) { k =>
+      val num = n * sp(k) - s(k / dim) * s(k % dim)
+      val m = math.abs(num) / 8388608L
+      if (num < 0) -m else m
+    }
+    var v = Array.fill(dim)(1048576L)
+    var it = 0
+    while (it < iters) {
+      val u = Array.tabulate(dim) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < dim) { acc += cs(i * dim + j) * v(j); j += 1 }
+        acc
+      }
+      val m = u.map(math.abs).max
+      if (m > 0L)
+        v = u.map { x =>
+          val t = (BigInt(math.abs(x)) * 1048576L / m).toLong
+          if (x < 0) -t else t
+        }
+      it += 1
+    }
+    if (v.sum < 0) v = v.map(x => -x)
+    val spark = embeddings.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until dim).map(i => org.apache.spark.sql.Row(i, v(i))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("loading_fp",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 
   def dimStats(embeddings: DataFrame, vecCol: String = "embedding",

@@ -252,6 +252,56 @@ object SimilarityQueries {
        |SELECT vec_id, round(d2, 6) AS dist
        |FROM rer ORDER BY d2, vec_id LIMIT 10""".stripMargin
 
+  /** DuckDB replay of [[graft.ext.Similarity.dimPrincipal]]: the
+    * q_emb_cov moment CTEs feed a 4096-cell integer matrix (descaled
+    * by 2^23, sign·floor-on-magnitude), then a recursive CTE runs the
+    * 12 power-iteration rounds — matvec via nested list lambdas, L∞
+    * renormalization through HUGEINT (the BigInt twin), m = 0 guard
+    * identical. The matvec expression is interpolated at each use
+    * site (recursive CTEs cannot alias subexpressions). */
+  private val pcaOracleSql: String = {
+    val u = "list_transform(range(0, 64), i -> list_sum(" +
+      "list_transform(range(0, 64), j -> cm[i*64 + j + 1] * v[j + 1])))"
+    val m = s"list_max(list_transform($u, x -> abs(x)))"
+    val vp = s"list_transform($u, x -> CAST(CASE WHEN x < 0" +
+      s" THEN -((abs(CAST(x AS HUGEINT)) * 1048576) // $m)" +
+      s" ELSE (abs(CAST(x AS HUGEINT)) * 1048576) // $m END AS BIGINT))"
+    s"""WITH RECURSIVE q AS (
+       |  SELECT list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT d.i, CAST(sum(qv[d.i + 1]) AS BIGINT) AS s
+       |  FROM q, range(0, 64) d(i) GROUP BY 1),
+       |prods AS (
+       |  SELECT t.k, CAST(sum(qv[t.k // 64 + 1] * qv[t.k % 64 + 1]) AS BIGINT) AS sp
+       |  FROM q, range(0, 4096) t(k) GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM q),
+       |cells AS (
+       |  SELECT p.k, CAST(n.n * p.sp - si.s * sj.s AS BIGINT) AS num
+       |  FROM prods p
+       |  JOIN dims si ON si.i = p.k // 64
+       |  JOIN dims sj ON sj.i = p.k % 64
+       |  CROSS JOIN n),
+       |cmat AS (
+       |  SELECT list(CASE WHEN num < 0 THEN -(abs(num) // 8388608)
+       |              ELSE abs(num) // 8388608 END ORDER BY k) AS cm
+       |  FROM cells),
+       |pw AS (
+       |  SELECT 0 AS iter, cm,
+       |         list_transform(range(0, 64), i -> CAST(1048576 AS BIGINT)) AS v
+       |  FROM cmat
+       |  UNION ALL
+       |  SELECT iter + 1, cm, CASE WHEN $m = 0 THEN v ELSE $vp END
+       |  FROM pw WHERE iter < 12),
+       |last AS (SELECT v FROM pw ORDER BY iter DESC LIMIT 1),
+       |flip AS (SELECT CASE WHEN list_sum(v) < 0
+       |                THEN list_transform(v, x -> -x) ELSE v END AS v FROM last)
+       |SELECT CAST(i AS INT) AS pos,
+       |  round(CAST(v[CAST(i AS INT) + 1] AS DOUBLE) / 1048576.0, 6) AS loading
+       |FROM flip, range(0, 64) r(i) ORDER BY pos""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-10 to vec_id 0 (baseline ANN)
@@ -982,6 +1032,21 @@ object SimilarityQueries {
              |  CAST(CASE WHEN num < 0 THEN -m ELSE m END AS DOUBLE)
              |    / 1000000.0 AS cov
              |FROM mic ORDER BY i, j""".stripMargin)),
+
+    // Dominant principal component ([[Similarity.dimPrincipal]]):
+    // fixed-point power iteration over the exact integer covariance —
+    // data work is ONE moment pass, the 12 rounds run driver-side on
+    // the 64×64 matrix. The oracle replays every round in a recursive
+    // CTE (HUGEINT for the ·2^20/maxabs widening), so all 64 loadings
+    // hash-match bit-for-bit; on this near-isotropic corpus that
+    // makes the gate a determinism check of the iteration itself
+    // (convergence speed is spec-pinned on planted data instead).
+    QueryDef("q_emb_pca",
+      (s, d) => Similarity.dimPrincipal(t(s, d, "embeddings"))
+        .select(col("pos"),
+          round(col("loading_fp") / 1048576.0, 6).as("loading"))
+        .orderBy("pos"),
+      Some(pcaOracleSql)),
 
     // Multimodal frame sampling: every 4th 256-char block of "video"
     // media — the sampling arithmetic, per-modality filter and block

@@ -67,6 +67,29 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(hits > 0, "JL pool should recover some true neighbours with exact scores")
   }
 
+  test("dimPrincipal recovers a planted dominant direction; sign canonical; L∞ = 1") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(42)
+    val dRaw = Array.tabulate(dim)(i => math.sin(i * 1.7) + 0.3)
+    val dNorm = math.sqrt(dRaw.map(x => x * x).sum)
+    val dvec = dRaw.map(_ / dNorm)
+    // noise σ≈0.3 + a planted direction with σ≈3 ⇒ big spectral gap,
+    // so 20 fixed-point rounds must align with the planted axis
+    val data = (0 until 300).map { _ =>
+      val scale = rnd.nextGaussian() * 3.0
+      Tuple1(Array.tabulate(dim)(i =>
+        (rnd.nextGaussian() * 0.3 + scale * dvec(i)).toFloat))
+    }.toDF("embedding")
+    val got = Similarity.dimPrincipal(data, dim = dim, iters = 20)
+      .orderBy("pos").collect().map(_.getLong(1).toDouble / 1048576.0)
+    assert(got.map(math.abs).max === 1.0, "L∞-normalized to the 2^20 grid")
+    assert(got.sum >= 0.0, "sign canonicalized to non-negative component sum")
+    val gNorm = math.sqrt(got.map(x => x * x).sum)
+    val cos = math.abs(got.lazyZip(dvec).map(_ * _).sum / gNorm)
+    assert(cos > 0.98, s"|cos(got, planted)| = $cos")
+  }
+
   test("multi-probe LSH recall ≥ single-probe recall, both ⊆ brute-force ranking") {
     val q = emb.filter(col("vec_id") === 0)
     val corpus = emb.filter(col("vec_id") =!= 0)
