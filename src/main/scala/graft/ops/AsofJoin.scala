@@ -26,10 +26,19 @@ object AsofJoin {
 
   /** @param valueCols right-side columns to attach, each emitted as
     *                  `asof_<name>`; `asof_<rightTime>` is always
-    *                  attached (the matched row's timestamp). */
+    *                  attached (the matched row's timestamp).
+    * @param within    optional staleness bound — a predicate over
+    *                  (left row's time, matched right time); a match
+    *                  that fails it is nulled out, exactly as if no
+    *                  right row existed. This is the feature-SLA
+    *                  variant ("use the latest click, but only if it
+    *                  is under an hour old"): evaluated per-row AFTER
+    *                  the as-of pick, so the plan is unchanged — same
+    *                  single key-shuffle, no range join. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
                leftTime: String, rightTime: String,
-               valueCols: Seq[String]): DataFrame = {
+               valueCols: Seq[String],
+               within: Option[(Column, Column) => Column] = None): DataFrame = {
     val rightKept = (rightTime +: valueCols).distinct
     val lStruct = StructType(left.schema.fields)
     val rStruct = StructType(right.select(rightKept.map(col): _*).schema.fields)
@@ -45,9 +54,15 @@ object AsofJoin {
 
     val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val matched = lp.unionByName(rp)
+    val picked = lp.unionByName(rp)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
+    val matched = within match {
+      case Some(pred) => picked.withColumn("__m",
+        when(col("__m").isNotNull &&
+          pred(col("__t"), col(s"__m.$rightTime")), col("__m")))
+      case None => picked
+    }
 
     val out = left.columns.map(c => col(s"__l.$c").as(c)) ++
       rightKept.map(c => col(s"__m.$c").as(s"asof_$c"))

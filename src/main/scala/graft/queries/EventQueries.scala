@@ -113,6 +113,43 @@ object EventQueries {
              |  ON p.user_id = c.user_id AND p.ts >= c.ts
              |ORDER BY p.event_id""".stripMargin)),
 
+    // Staleness-bounded as-of join (the feature-SLA variant): the
+    // latest click counts only if it is at most one hour old at
+    // purchase time; older matches null out exactly as if absent.
+    // Same one-shuffle as-of plan — the bound is a per-row predicate
+    // AFTER the pick, not a range join. DuckDB's native ASOF JOIN
+    // plus the same CASE replays it.
+    QueryDef("q_ev_asof_tol",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts").agg(max("value").as("click_value"))
+        graft.ops.AsofJoin.asofJoin(purchases, clicks,
+          key = "user_id", leftTime = "ts", rightTime = "ts",
+          valueCols = Seq("click_value"),
+          within = Some((l, r) =>
+            unix_micros(l) - unix_micros(r) <= 3600000000L))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("asof_ts").as("click_ts"), col("asof_click_value").as("click_value"))
+          .orderBy("event_id")
+      },
+      Some("""WITH purchases AS (
+             |  SELECT event_id, user_id, ts, value FROM events
+             |  WHERE event_type = 'purchase'),
+             |clicks AS (
+             |  SELECT user_id, ts, max(value) AS click_value FROM events
+             |  WHERE event_type = 'click' GROUP BY 1, 2)
+             |SELECT p.event_id, p.user_id, p.ts,
+             |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+             |       THEN c.ts END AS click_ts,
+             |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+             |       THEN c.click_value END AS click_value
+             |FROM purchases p ASOF LEFT JOIN clicks c
+             |  ON p.user_id = c.user_id AND p.ts >= c.ts
+             |ORDER BY p.event_id""".stripMargin)),
+
     // Click attribution: each purchase joined to the same user's
     // clicks within the preceding hour — the BATCH run of the very
     // same interval-join builder the streaming path uses

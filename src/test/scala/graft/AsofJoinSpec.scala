@@ -29,6 +29,34 @@ class AsofJoinSpec extends AnyFunSuite with SharedSpark {
       "t3" -> Some(12.0), "t4" -> None, "t5" -> None))
   }
 
+  test("within bound nulls stale matches exactly as if no right row existed") {
+    import spark.implicits._
+    val quotes = Seq(("A", 1L, 10.0), ("A", 5L, 11.0), ("B", 4L, 20.0))
+      .toDF("sym", "qt", "px")
+    val trades = Seq(
+      ("A", 5L, "fresh"),   // age 0 ≤ 3 → kept
+      ("A", 8L, "edge"),    // age 3 ≤ 3 → kept (inclusive)
+      ("A", 9L, "stale"),   // age 4 > 3 → nulled
+      ("B", 4L, "b0"),      // age 0 → kept
+      ("C", 9L, "none")     // no match at all
+    ).toDF("sym", "tt", "tid")
+    val out = AsofJoin.asofJoin(trades, quotes, "sym", "tt", "qt", Seq("px"),
+        within = Some((l, r) => l - r <= 3L))
+      .collect().map { r =>
+        val px = if (r.isNullAt(r.fieldIndex("asof_px"))) None
+                 else Some(r.getAs[Double]("asof_px"))
+        val qt = if (r.isNullAt(r.fieldIndex("asof_qt"))) None
+                 else Some(r.getAs[Long]("asof_qt"))
+        r.getAs[String]("tid") -> ((px, qt))
+      }.toMap
+    assert(out === Map(
+      "fresh" -> ((Some(11.0), Some(5L))),
+      "edge"  -> ((Some(11.0), Some(5L))),
+      "stale" -> ((None, None)),          // BOTH value and ts null out
+      "b0"    -> ((Some(20.0), Some(4L))),
+      "none"  -> ((None, None))))
+  }
+
   test("randomized cross-check vs brute-force point-in-time lookup") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
