@@ -323,4 +323,33 @@ object Sampling {
       .filter(col("cum_w") <= col("alloc"))
       .select(col("source"), col("id"), col("w"), col("cum_w"))
   }
+
+  /** Epoch-seeded deterministic global shuffle manifest — the
+    * training-order stage at the END of a data pipeline: every
+    * example gets `(shard, pos)` such that reading shards in order
+    * (or shard-parallel) replays one fixed pseudorandom permutation
+    * per epoch, reproducible across reruns, cluster layouts and
+    * engines (the same MINSTD arithmetic every portable gate uses;
+    * epoch enters as an additive salt BEFORE the multiply, so
+    * epochs are distinct permutations, not rotations).
+    *
+    * Scale: the shard assignment is a pure per-row expression; the
+    * per-shard position is a window partitioned BY SHARD — parallel
+    * over `shards`, never a global sort. Pick shards ≈ cluster
+    * parallelism (each window partition holds n/shards rows). Output:
+    * input columns + `shard`, `pos` (0-based within shard, ordered
+    * by (hash, key) so equal-hash rows stay deterministic). */
+  def epochShuffle(df: DataFrame, key: Column, epoch: Int,
+                   shards: Int): DataFrame = {
+    require(shards > 0, "need at least one shard")
+    val h = pmod(pmod(pmod(key + lit(epoch.toLong) * 999983L, lit(2147483647L))
+      * 48271L, lit(2147483647L)) * 48271L, lit(2147483647L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__shard")).orderBy(col("__h"), key)
+    df.withColumn("__h", h)
+      .withColumn("__shard", pmod(col("__h"), lit(shards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .withColumn("shard", col("__shard").cast("int"))
+      .drop("__h", "__shard")
+  }
 }

@@ -269,6 +269,38 @@ object TextQueries {
              |  CAST(sum(length(text)) AS BIGINT) AS n_chars
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Epoch-seeded deterministic shuffle manifest
+    // ([[graft.ext.Sampling.epochShuffle]]): every document gets a
+    // (shard, pos) training-order slot; shard assignment is a pure
+    // per-row MINSTD chain (epoch as additive salt), positions a
+    // window PER SHARD — never a global sort. Two epochs are emitted
+    // so the gate also proves distinct epochs give distinct
+    // permutations via distinct arithmetic, not a rotation.
+    QueryDef("q_sample_shuffle",
+      (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"))
+        graft.ext.Sampling.epochShuffle(docs, col("doc_id"), epoch = 0, shards = 8)
+          .withColumn("epoch", lit(0))
+          .unionByName(graft.ext.Sampling
+            .epochShuffle(docs, col("doc_id"), epoch = 1, shards = 8)
+            .withColumn("epoch", lit(1)))
+          .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+          .orderBy("epoch", "shard", "pos")
+      },
+      Some("""WITH h AS (
+             |  SELECT e.epoch, doc_id,
+             |    ((((doc_id + e.epoch * 999983) % 2147483647) * 48271)
+             |      % 2147483647 * 48271) % 2147483647 AS hv
+             |  FROM documents, (VALUES (0), (1)) e(epoch)),
+             |m AS (
+             |  SELECT epoch, CAST(hv % 8 AS INT) AS shard,
+             |    row_number() OVER (PARTITION BY epoch, hv % 8
+             |                       ORDER BY hv, doc_id) - 1 AS pos,
+             |    doc_id
+             |  FROM h)
+             |SELECT epoch, shard, CAST(pos AS BIGINT) AS pos, doc_id
+             |FROM m ORDER BY epoch, shard, pos""".stripMargin)),
+
     // Deterministic train/eval split + per-split stats, through the
     // full Sampling.split weights→cuts→CASE machinery in portable
     // (MINSTD-bucket) mode — the oracle re-derives the membership

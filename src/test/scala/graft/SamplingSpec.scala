@@ -210,4 +210,27 @@ class SamplingSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(again === rows.map(r => (r._1, r._2)).toSet)
   }
+
+  test("epochShuffle: exact permutation, dense per-shard positions, layout-proof, epoch-distinct") {
+    import spark.implicits._
+    val ids = (0L until 500L).toDF("id")
+    def manifest(epoch: Int, df: org.apache.spark.sql.DataFrame) =
+      Sampling.epochShuffle(df, col("id"), epoch, shards = 8)
+        .select("id", "shard", "pos")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val e0 = manifest(0, ids)
+    // a permutation: every key exactly once, (shard, pos) slots unique
+    assert(e0.map(_._1).toSet === (0L until 500L).toSet)
+    assert(e0.map(t => (t._2, t._3)).distinct.length === 500)
+    // dense per-shard positions 0..n_s-1
+    e0.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (0L until rows.length).toSeq)
+    }
+    // physical layout must not matter
+    assert(manifest(0, ids.repartition(13)).toSet === e0.toSet)
+    // a different epoch is a genuinely different permutation
+    val e1 = manifest(1, ids)
+    val moved = e0.toSet.diff(e1.toSet).size
+    assert(moved > 400, s"epoch 1 should reshuffle nearly everything, moved $moved")
+  }
 }
