@@ -262,6 +262,54 @@ object GraphRank {
     dist
   }
 
+  /** Community detection by SYNCHRONOUS label propagation — the
+    * cheap complement of connected components for graphs that are
+    * one big component (a dense trade/link graph): labels seed as
+    * node ids and each round every node adopts the most frequent
+    * label among its (deduped, undirected) neighbours, ties to the
+    * SMALLEST label — fully deterministic, unlike the classic
+    * async/random-order formulation, so a SQL oracle replays it
+    * round-for-round. Fixed `rounds` (LP plateaus in a few rounds on
+    * small-world graphs; a fixed count also sidesteps the 2-cycle
+    * oscillation synchronous LP can fall into — the result is a
+    * deterministic iterate either way).
+    *
+    * Each round is ONE |E| equi-join + two aggregations (count per
+    * (node, label), then argmax via `max(struct(cnt, -label))` —
+    * map-side partial aggs, no windows); the label frame is
+    * checkpoint-per-round with superseded RDDs released, the shared
+    * loop discipline. Isolated nodes cannot occur (the node set is
+    * derived from the edges). Returns `(node, label)`. */
+  def labelPropagation(edges: DataFrame, srcCol: Column, dstCol: Column,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val e = edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val und = e.select(col("u").as("node"), col("v").as("nbr"))
+      .union(e.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint(true)
+    var lab = und.select(col("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val next = und
+        .join(lab.select(col("node").as("nbr"), col("label").as("nlab")), "nbr")
+        .groupBy("node", "nlab").agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(max(struct(col("cnt"), negate(col("nlab")).as("neg"))).as("b"))
+        .select(col("node"), negate(col("b.neg")).as("label"))
+        .localCheckpoint(true)
+      unpersistCheckpoint(lab)
+      lab = next
+      r += 1
+    }
+    unpersistCheckpoint(und)
+    lab
+  }
+
   private def unpersistCheckpoint(df: DataFrame): Unit =
     Checkpoints.unpersist(df)
 

@@ -354,6 +354,61 @@ object GraphQueries {
              |FROM bfs JOIN nation nn ON bfs.node = CAST(nn.n_nationkey AS BIGINT)
              |GROUP BY 1 ORDER BY dist, nation""".stripMargin)),
 
+    // Community detection by deterministic synchronous label
+    // propagation ([[GraphRank.labelPropagation]]): 5 rounds of
+    // adopt-the-most-frequent-neighbour-label (ties to the smallest)
+    // over the undirected trade graph — the cheap community pass for
+    // graphs that are one big connected component. The oracle carries
+    // the full label state through a recursive CTE, recomputing each
+    // node's neighbour-label mode with the same (count desc, label
+    // asc) tie-break, so every node's final community hash-matches.
+    QueryDef("q_graph_labelprop",
+      (s, d) => GraphRank.labelPropagation(tradeEdges(s, d),
+          col("src"), col("dst"), rounds = 5)
+        .join(t(s, d, "nation"), col("node") === col("n_nationkey").cast("long"))
+        .select(col("n_name").as("nation"), col("label"))
+        .orderBy("label", "nation"),
+      Some {
+        val nb = "list_transform(list_filter(es, e -> e.u = n.nd OR e.v = n.nd), " +
+          "e -> CASE WHEN e.u = n.nd THEN e.v ELSE e.u END)"
+        val nl = s"list_transform($nb, x -> list_filter(ls, l -> l.nd = x)[1].lb)"
+        val best = s"list_reduce(list_transform(list_distinct($nl), c -> " +
+          s"{lb: c, ct: len(list_filter($nl, z -> z = c))}), " +
+          "(a, b) -> CASE WHEN b.ct > a.ct OR (b.ct = a.ct AND b.lb < a.lb) " +
+          "THEN b ELSE a END).lb"
+        s"""WITH RECURSIVE p AS (
+           |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+           |         CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS cnt
+           |  FROM lineitem l
+           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |  WHERE c.c_nationkey <> s.s_nationkey
+           |  GROUP BY 1, 2),
+           |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM p),
+           |e AS (SELECT src, dst FROM p CROSS JOIN tot
+           |      WHERE cnt * 480 >= total AND src <> dst),
+           |eu AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
+           |gr AS (
+           |  SELECT list({u: u, v: v}) AS es,
+           |    list_transform(list_sort(list_distinct(flatten(
+           |      list_transform(list({u: u, v: v}), ed -> [ed.u, ed.v])))),
+           |      x -> {nd: x, lb: x}) AS ls
+           |  FROM eu),
+           |st AS (
+           |  SELECT 0 AS iter, es, ls FROM gr
+           |  UNION ALL
+           |  SELECT iter + 1, es,
+           |    list_transform(ls, n -> {nd: n.nd, lb: coalesce($best, n.lb)})
+           |  FROM st WHERE iter < 5
+           |)
+           |SELECT nn.n_name AS nation, lr.lb AS label
+           |FROM (SELECT unnest(ls) AS lr
+           |      FROM (SELECT ls FROM st ORDER BY iter DESC LIMIT 1))
+           |JOIN nation nn ON lr.nd = CAST(nn.n_nationkey AS BIGINT)
+           |ORDER BY label, nation""".stripMargin
+      }),
+
     // Exact triangle count of the undirected trade graph —
     // degree-oriented wedge join in Spark, id-oriented in the
     // oracle; any total-order orientation counts each triangle once.

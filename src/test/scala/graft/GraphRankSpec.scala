@@ -180,4 +180,33 @@ class GraphRankSpec extends AnyFunSuite with SharedSpark {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(ppr === pr, "all-seed PPR must equal classic PageRank")
   }
+
+  test("labelPropagation: two planted cliques resolve to two communities, layout-proof") {
+    import org.apache.spark.sql.functions.col
+    // cliques {0,1,2,3} and {10,11,12,13} joined by ONE bridge 3-10
+    val clique = (a: Seq[Long]) =>
+      for (x <- a; y <- a if x < y) yield (x, y)
+    val e = edges(clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) :+
+      ((3L, 10L)): _*)
+    def run(df: DataFrame) =
+      GraphRank.labelPropagation(df, col("src"), col("dst"), rounds = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lab = run(e)
+    assert(lab.keySet === Set(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L))
+    // each clique coalesces on its own minimum label; the one bridge
+    // edge cannot outvote three intra-clique neighbours
+    assert(Set(0L, 1L, 2L, 3L).map(lab) === Set(0L))
+    assert(Set(10L, 11L, 12L, 13L).map(lab) === Set(10L))
+    // deterministic under physical layout
+    assert(run(e.repartition(7)) === lab)
+  }
+
+  test("labelPropagation: ties go to the smallest label, sync rounds exactly") {
+    import org.apache.spark.sql.functions.col
+    // path 5-7-9: after round 1 (sync), 5→7, 7→5 (tie {5,9}→min), 9→7
+    val e = edges((5L, 7L), (7L, 9L))
+    val lab = GraphRank.labelPropagation(e, col("src"), col("dst"), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab === Map(5L -> 7L, 7L -> 5L, 9L -> 7L))
+  }
 }
