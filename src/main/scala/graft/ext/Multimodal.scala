@@ -821,4 +821,68 @@ object Multimodal {
       }
     }
   }
+
+  case class ImageHashes(media_id: Long, ok: Boolean, ahash: Long, dhash: Long)
+
+  /** Perceptual image hashes for near-duplicate IMAGE dedup — the
+    * multimodal twin of MinHash/SimHash on text: re-encodes,
+    * recompressions and uniform brightness shifts keep the hash
+    * (dedup joins on it or on small Hamming balls via
+    * `bit_count(ahash ^ other)`), while different content diverges.
+    *
+    *  - `ahash` (average hash): NN-downsample to an 8×8 grayscale
+    *    grid, bit k = y·8+x set iff `g·64 ≥ Σg` (the integer-exact
+    *    form of g ≥ mean — no division, no rounding ambiguity).
+    *  - `dhash` (gradient hash): 9×8 grid, bit set iff the pixel is
+    *    STRICTLY brighter than its left neighbour — robust to any
+    *    monotone brightness change, not just uniform shifts.
+    *
+    * Every step is integer arithmetic over decoded sRGB bytes: NN
+    * sample at `(gx·W) div GW`, grayscale `(299r + 587g + 114b) div
+    * 1000` (exact identity on gray fixtures since the weights sum to
+    * 1000) — so a SQL oracle reproduces both hashes bit-for-bit from
+    * the fixture pixel formulas. Decode failures yield
+    * `ok = false, 0, 0`. Runs inside the same mapPartitions seam as
+    * [[decodeMedia]] — per-row work, no shuffle; at scale the hash
+    * column is the join/group key, so the dedup itself is ONE
+    * shuffle of 8-byte keys, never of payloads. */
+  def imageHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHashes] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, payload) => imageHashOne(id, payload) })
+  }
+
+  /** Single-payload hash (shared with specs). */
+  def imageHashOne(id: Long, payload: Array[Byte]): ImageHashes = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) ImageHashes(id, ok = false, 0L, 0L)
+      else {
+        def gray(gx: Int, gy: Int, gw: Int, gh: Int): Int = {
+          val sx = gx * img.getWidth / gw
+          val sy = gy * img.getHeight / gh
+          val rgb = img.getRGB(sx, sy)
+          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+        }
+        val g8 = Array.tabulate(8, 8)((gy, gx) => gray(gx, gy, 8, 8))
+        val sum = g8.map(_.sum).sum.toLong
+        var ah = 0L
+        var k = 0
+        while (k < 64) {
+          if (g8(k / 8)(k % 8).toLong * 64L >= sum) ah |= 1L << k
+          k += 1
+        }
+        val g9 = Array.tabulate(8, 9)((gy, gx) => gray(gx, gy, 9, 8))
+        var dh = 0L
+        k = 0
+        while (k < 64) {
+          val gy = k / 8; val gx = k % 8
+          if (g9(gy)(gx + 1) > g9(gy)(gx)) dh |= 1L << k
+          k += 1
+        }
+        ImageHashes(id, ok = true, ah, dh)
+      }
+    } catch { case _: Throwable => ImageHashes(id, ok = false, 0L, 0L) }
+  }
 }

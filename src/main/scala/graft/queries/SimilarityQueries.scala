@@ -1048,6 +1048,84 @@ object SimilarityQueries {
         .orderBy("pos"),
       Some(pcaOracleSql)),
 
+    // Perceptual image hashes ([[Multimodal.imageHashes]]): aHash +
+    // dHash over deterministic 16×16 gray fixtures whose pixel values
+    // follow integer formulas, so the oracle re-derives BOTH 64-bit
+    // hashes from the construction in pure integer SQL (NN sampling
+    // arithmetic, integer mean threshold, strict gradient compare —
+    // assembled as hi/lo 32-bit halves to dodge the 1<<63 overflow,
+    // printed as 16-hex-char strings). The garbage payload takes the
+    // ok=false path. Decode itself is gated by q_mm_decode; this
+    // gates the hash arithmetic END of the image-dedup pipeline.
+    QueryDef("q_mm_phash",
+      (s, _) => {
+        def png(f: (Int, Int) => Int): Array[Byte] = {
+          val img = new java.awt.image.BufferedImage(16, 16,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until 16; x <- 0 until 16) {
+            val v = f(x, y)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        import s.implicits._
+        val payloads: Seq[(Long, Array[Byte])] = Seq(
+          1L -> png((x, _) => x * 16),
+          2L -> png((_, y) => y * 16),
+          3L -> png((_, _) => 128),
+          4L -> png((x, y) => ((x / 4 + y / 4) % 2) * 255),
+          5L -> "not an image at all".getBytes("UTF-8"))
+        Multimodal.imageHashes(s, payloads.toDF("media_id", "payload"))
+          .toDF()
+          .select(col("media_id"), col("ok"),
+            lpad(lower(hex(col("ahash"))), 16, "0").as("ahash_hex"),
+            lpad(lower(hex(col("dhash"))), 16, "0").as("dhash_hex"))
+          .orderBy("media_id")
+      },
+      Some("""WITH px AS (
+             |  SELECT CAST(m.id AS BIGINT) AS media_id, x, y,
+             |    CASE m.id WHEN 1 THEN x*16 WHEN 2 THEN y*16 WHEN 3 THEN 128
+             |         ELSE ((x//4 + y//4) % 2) * 255 END AS v
+             |  FROM (VALUES (1), (2), (3), (4)) m(id),
+             |       range(0, 16) rx(x), range(0, 16) ry(y)),
+             |g8 AS (
+             |  SELECT media_id, gy, gx, v FROM px
+             |  JOIN (SELECT gx, gy, (gx*16)//8 AS sx, (gy*16)//8 AS sy
+             |        FROM range(0, 8) a(gx), range(0, 8) b(gy)) s
+             |    ON px.x = s.sx AND px.y = s.sy),
+             |asum AS (SELECT media_id, CAST(sum(v) AS BIGINT) AS s FROM g8 GROUP BY 1),
+             |ah AS (
+             |  SELECT g8.media_id,
+             |    CAST(sum(CASE WHEN v*64 >= s AND gy*8+gx >= 32
+             |             THEN (1::BIGINT << CAST(gy*8+gx-32 AS INT)) ELSE 0 END) AS BIGINT) AS hi,
+             |    CAST(sum(CASE WHEN v*64 >= s AND gy*8+gx < 32
+             |             THEN (1::BIGINT << CAST(gy*8+gx AS INT)) ELSE 0 END) AS BIGINT) AS lo
+             |  FROM g8 JOIN asum USING (media_id) GROUP BY 1),
+             |g9 AS (
+             |  SELECT media_id, gy, gx, v FROM px
+             |  JOIN (SELECT gx, gy, (gx*16)//9 AS sx, (gy*16)//8 AS sy
+             |        FROM range(0, 9) a(gx), range(0, 8) b(gy)) s
+             |    ON px.x = s.sx AND px.y = s.sy),
+             |dh AS (
+             |  SELECT a.media_id,
+             |    CAST(sum(CASE WHEN b.v > a.v AND a.gy*8+a.gx >= 32
+             |             THEN (1::BIGINT << CAST(a.gy*8+a.gx-32 AS INT)) ELSE 0 END) AS BIGINT) AS hi,
+             |    CAST(sum(CASE WHEN b.v > a.v AND a.gy*8+a.gx < 32
+             |             THEN (1::BIGINT << CAST(a.gy*8+a.gx AS INT)) ELSE 0 END) AS BIGINT) AS lo
+             |  FROM g9 a JOIN g9 b ON a.media_id = b.media_id AND a.gy = b.gy
+             |   AND b.gx = a.gx + 1
+             |  WHERE a.gx < 8 GROUP BY 1)
+             |SELECT ah.media_id, true AS ok,
+             |  printf('%08x%08x', ah.hi, ah.lo) AS ahash_hex,
+             |  printf('%08x%08x', dh.hi, dh.lo) AS dhash_hex
+             |FROM ah JOIN dh USING (media_id)
+             |UNION ALL
+             |SELECT CAST(5 AS BIGINT), false,
+             |  '0000000000000000', '0000000000000000'
+             |ORDER BY media_id""".stripMargin)),
+
     // Multimodal frame sampling: every 4th 256-char block of "video"
     // media — the sampling arithmetic, per-modality filter and block
     // slicing are value-checked in DuckDB (only codec decode is the

@@ -98,4 +98,34 @@ class MultimodalSpec extends AnyFunSuite with SharedSpark {
       .agg(sum(octet_length(col("payload")))).head().getLong(0)
     assert(n > 0)
   }
+
+  test("imageHashes: brightness-shift invariant, lossless-reencode stable, content-divergent") {
+    def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val grad = Multimodal.imageHashOne(1, png(32, 24)((x, y) => x * 7 + y % 3))
+    // uniform brightness shift: the aHash threshold shifts WITH the
+    // mean and dHash compares are order-preserved ⇒ exact equality
+    val shifted = Multimodal.imageHashOne(2, png(32, 24)((x, y) => x * 7 + y % 3 + 8))
+    assert(grad.ok && shifted.ok)
+    assert(shifted.ahash === grad.ahash && shifted.dhash === grad.dhash)
+    // lossless re-encode (same pixels, fresh PNG) is bit-identical
+    val again = Multimodal.imageHashOne(3, png(32, 24)((x, y) => x * 7 + y % 3))
+    assert(again.ahash === grad.ahash && again.dhash === grad.dhash)
+    // genuinely different content lands far away in Hamming space
+    val other = Multimodal.imageHashOne(4, png(32, 24)((x, y) => ((x / 8 + y / 8) % 2) * 255))
+    assert(hamming(grad.dhash, other.dhash) > 16,
+      s"dhash distance ${hamming(grad.dhash, other.dhash)}")
+    // garbage payloads take the ok=false path with zero hashes
+    val bad = Multimodal.imageHashOne(5, Array[Byte](1, 2, 3))
+    assert(!bad.ok && bad.ahash === 0L && bad.dhash === 0L)
+  }
 }
