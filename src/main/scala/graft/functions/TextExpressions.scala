@@ -255,6 +255,60 @@ case class CharClassCounts(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Content-defined chunk boundaries (CDC) — the dedup-friendly
+  * alternative to fixed-size chunking: a cut lands wherever the
+  * polynomial hash of the LAST `window` code points satisfies
+  * `h mod 2^maskBits == 0`, so boundaries are anchored to CONTENT.
+  * Insert or delete a character and only the chunks touching the
+  * edit change — downstream chunk-hash dedup re-synchronizes within
+  * one chunk, where fixed-size chunking would shift every boundary
+  * after the edit (the rsync/LBFS construction, Muthitacharoen et
+  * al. 2001; expected chunk length ≈ 2^maskBits).
+  *
+  * Returns the ASCENDING array of 1-based code-point END positions:
+  * every p ≥ window whose trailing-window hash matches, plus the
+  * text length as the final boundary (not duplicated if it already
+  * matched); empty text → empty array. The hash is the same
+  * `h·31 + cp mod 1e9+7` family as [[RollingHash]], maintained
+  * incrementally (subtract the outgoing code point's `31^window`
+  * term, normalize positive) — one O(len) pass per row, while an
+  * oracle recomputes each position's window independently and must
+  * agree exactly. */
+case class CdcBoundaries(child: Expression, window: Int, maskBits: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(window > 0 && maskBits >= 0 && maskBits < 31,
+    "need window > 0 and 0 <= maskBits < 31")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private val P = 1000000007L
+  private val mask = (1L << maskBits) - 1L
+  private val powW: Long = {
+    var r = 1L
+    var i = 0
+    while (i < window) { r = r * 31L % P; i += 1 }
+    r
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cps.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h * 31L + cps(i)) % P
+      if (i >= window) h = ((h - cps(i - window) * powW % P) % P + P) % P
+      if (i >= window - 1 && (h & mask) == 0L) out += i + 1
+      i += 1
+    }
+    if (n > 0 && (out.isEmpty || out.last != n)) out += n
+    UnsafeArrayData.fromPrimitiveArray(out.toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Shared character-class predicates (Java regex ASCII semantics). */
 object TextScan {
   def isSpace(c: Char): Boolean =
@@ -290,6 +344,10 @@ object TextExpressions {
   /** Polynomial rolling hash mod 1e9+7 (SQL-portable fingerprint). */
   def rollingHash(text: Column): Column =
     column(RollingHash(expression(text)))
+
+  /** Content-defined chunk boundary positions ([[CdcBoundaries]]). */
+  def cdcBoundaries(text: Column, window: Int, maskBits: Int): Column =
+    column(CdcBoundaries(expression(text), window, maskBits))
 
   /** Make the text expressions available to `spark.sql` as
     * `ws_token_count(t)`, `punct_count(t)`, `word_shingles(t, n)`,

@@ -188,6 +188,52 @@ object TextQueries {
              |  len(string_split_regex(chunk, '\s+')) AS n_tokens
              |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin)),
 
+    // Content-defined chunking ([[graft.functions.CdcBoundaries]]):
+    // cuts anchored to the text (trailing-16-codepoint hash ≡ 0 mod
+    // 64), so edits re-synchronize within a chunk — the rsync/LBFS
+    // construction that makes chunk-hash dedup robust to insertions.
+    // Spark maintains the windowed hash incrementally in one O(len)
+    // pass; the oracle recomputes EVERY position's window from
+    // scratch, so the subtract-the-outgoing-term arithmetic is
+    // value-checked at every boundary of every document.
+    QueryDef("q_tx_cdc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val b = t(s, d, "documents").select(col("doc_id"), col("text"),
+          posexplode(graft.functions.TextExpressions
+            .cdcBoundaries(col("text"), 16, 6)))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        b.withColumn("prev", coalesce(lag(col("col"), 1).over(w), lit(0)))
+          .select(col("doc_id"), col("pos").as("chunk_id"),
+            (col("prev") + 1).as("c_start"),
+            (col("col") - col("prev")).cast("long").as("n_chars"),
+            md5(col("text").substr(col("prev") + 1, col("col") - col("prev")))
+              .as("chunk_md5"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH cps AS (SELECT doc_id, text, length(text) AS n FROM documents),
+             |h AS (
+             |  SELECT doc_id, i,
+             |    list_reduce(list_prepend(0::BIGINT,
+             |      list_transform(range(i - 15, i + 1),
+             |        k -> unicode(substr(text, CAST(k AS INT), 1))::BIGINT)),
+             |      (h, c) -> (h * 31 + c) % 1000000007) AS hv
+             |  FROM cps, range(1, 100000) r(i) WHERE i >= 16 AND i <= n),
+             |b AS (
+             |  SELECT doc_id, CAST(i AS INT) AS pos FROM h WHERE hv % 64 = 0
+             |  UNION
+             |  SELECT doc_id, CAST(n AS INT) FROM cps WHERE n > 0),
+             |ch AS (
+             |  SELECT doc_id, pos,
+             |    CAST(row_number() OVER w - 1 AS INT) AS chunk_id,
+             |    lag(pos, 1, 0) OVER w AS prev
+             |  FROM b WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+             |SELECT c.doc_id, c.chunk_id, c.prev + 1 AS c_start,
+             |  CAST(c.pos - c.prev AS BIGINT) AS n_chars,
+             |  md5(substr(d.text, c.prev + 1, c.pos - c.prev)) AS chunk_md5
+             |FROM ch c JOIN documents d ON c.doc_id = d.doc_id
+             |ORDER BY c.doc_id, c.chunk_id""".stripMargin)),
+
     // The curated corpus itself, per document (same stages as
     // q_curate_pipeline before the final rollup)
     QueryDef("q_curate_docs",

@@ -124,4 +124,43 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(again === ent)
   }
+
+  test("cdcBoundaries: matches a per-position reference; prefix edits re-synchronize") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val P = 1000000007L
+    def refBoundaries(s: String, w: Int, maskBits: Int): Seq[Int] = {
+      val cps = s.codePoints().toArray
+      val mask = (1L << maskBits) - 1
+      val cut = (w to cps.length).filter { p =>
+        val h = cps.slice(p - w, p).foldLeft(0L)((h, c) => (h * 31 + c) % P)
+        (h & mask) == 0L
+      }
+      if (cps.isEmpty) Seq.empty
+      else if (cut.nonEmpty && cut.last == cps.length) cut else cut :+ cps.length
+    }
+    def chunks(s: String): Seq[String] = {
+      val b = refBoundaries(s, 8, 4)
+      val cps = s.codePoints().toArray
+      (0 +: b).sliding(2).map { case Seq(a, z) =>
+        new String(cps.slice(a, z), 0, z - a) }.toSeq
+    }
+    val rnd = new scala.util.Random(7)
+    val text = (1 to 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    // incremental Spark scan == from-scratch per-position reference
+    val got = Seq(text, "", "short").toDF("text")
+      .select(graft.functions.TextExpressions.cdcBoundaries(col("text"), 8, 4))
+      .collect().map(_.getSeq[Int](0).toSeq)
+    assert(got(0) === refBoundaries(text, 8, 4))
+    assert(got(1) === Seq.empty)
+    assert(got(2) === Seq(5), "below-window text is one whole chunk")
+    // THE CDC property: a 2-char prefix insertion changes only the
+    // leading chunk(s); the chunk multiset re-synchronizes after it
+    val orig = chunks(text)
+    val edited = chunks("XY" + text)
+    val shared = edited.toSet.intersect(orig.toSet).size
+    assert(orig.size > 10)
+    assert(shared >= orig.size - 2,
+      s"expected resync: ${orig.size} original chunks, only $shared survive the edit")
+  }
 }
