@@ -670,4 +670,44 @@ object Dedup {
         coalesce(col("hit_shingles"), lit(0L)).as("hit_shingles"),
         (coalesce(col("hit_shingles"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** Per-document content-defined chunks:
+    * `(doc_id, chunk_id, n_chars, chunk_md5)` via
+    * [[graft.functions.CdcBoundaries]] — the substrate for
+    * storage-style chunk dedup ([[cdcDupProfile]]). One O(len)
+    * boundary pass per row plus a key-partitioned window for the
+    * chunk offsets; chunk hashes are md5 so downstream joins ship
+    * 16-byte keys, never text. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                window: Int = 16, maskBits: Int = 6): DataFrame = {
+    val b = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+      posexplode(graft.functions.TextExpressions
+        .cdcBoundaries(col(textCol), window, maskBits)))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    b.withColumn("__prev", coalesce(lag(col("col"), 1).over(w), lit(0)))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        (col("col") - col("__prev")).cast("long").as("n_chars"),
+        md5(col("__t").substr(col("__prev") + 1, col("col") - col("__prev")))
+          .as("chunk_md5"))
+  }
+
+  /** Chunk-level duplication profile: for each document, how many of
+    * its CDC chunks also occur in ANOTHER document — the
+    * storage-dedup view of corpus redundancy (boilerplate headers,
+    * quoted passages, mirrored pages), robust to insert/delete edits
+    * because the chunking re-synchronizes ([[cdcChunks]]). NO pair
+    * join: chunk → distinct-doc count is one shuffle on the md5, the
+    * profile one shuffle on the doc — a 100 TB corpus never
+    * materializes its duplicate-pair quadratic. */
+  def cdcDupProfile(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int = 16, maskBits: Int = 6): DataFrame = {
+    val chunks = cdcChunks(docs, idCol, textCol, window, maskBits)
+    val docsPerChunk = chunks.select(col("chunk_md5"), col("doc_id")).distinct()
+      .groupBy("chunk_md5").agg(count(lit(1)).as("__nd"))
+    chunks.join(docsPerChunk, "chunk_md5")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_ratio", round(col("n_dup_chunks") / col("n_chunks"), 6))
+  }
 }

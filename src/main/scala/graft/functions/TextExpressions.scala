@@ -266,8 +266,14 @@ case class CharClassCounts(child: Expression)
   * al. 2001; expected chunk length ≈ 2^maskBits).
   *
   * Returns the ASCENDING array of 1-based code-point END positions:
-  * every p ≥ window whose trailing-window hash matches, plus the
-  * text length as the final boundary (not duplicated if it already
+  * every p ≥ window whose trailing-window hash matches AND that has
+  * no raw match in the preceding `window−1` positions (the
+  * minimum-chunk-length rule — without it adjacent hash matches
+  * produce 1-char chunks whose hashes collide across unrelated
+  * documents; suppression keys off RAW matches, not emitted cuts,
+  * which keeps the rule content-LOCAL: an oracle needs only a lag
+  * over match positions, no sequential cut state), plus the text
+  * length as the final boundary (not duplicated if it already
   * matched); empty text → empty array. The hash is the same
   * `h·31 + cp mod 1e9+7` family as [[RollingHash]], maintained
   * incrementally (subtract the outgoing code point's `31^window`
@@ -295,11 +301,16 @@ case class CdcBoundaries(child: Expression, window: Int, maskBits: Int)
     val n = cps.length
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     var h = 0L
+    var lastRaw = -window // sentinel: first raw match is never suppressed
     var i = 0
     while (i < n) {
       h = (h * 31L + cps(i)) % P
       if (i >= window) h = ((h - cps(i - window) * powW % P) % P + P) % P
-      if (i >= window - 1 && (h & mask) == 0L) out += i + 1
+      if (i >= window - 1 && (h & mask) == 0L) {
+        val p = i + 1
+        if (p - lastRaw >= window) out += p
+        lastRaw = p
+      }
       i += 1
     }
     if (n > 0 && (out.isEmpty || out.last != n)) out += n

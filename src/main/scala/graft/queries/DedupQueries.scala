@@ -536,5 +536,48 @@ object DedupQueries {
              |  ON a.c_custkey < b.c_custkey
              | AND levenshtein(a.c_name, b.c_name) <= 1
              |ORDER BY 1, 2""".stripMargin)),
+
+    // Chunk-level duplication profile over CONTENT-DEFINED chunks
+    // ([[graft.ext.Dedup.cdcDupProfile]]): per document, how many of
+    // its CDC chunks recur in another document — the storage-dedup
+    // redundancy view, edit-robust because boundaries re-synchronize.
+    // No pair join anywhere: one shuffle on the chunk md5, one on the
+    // doc. The oracle rebuilds boundaries per-position from scratch
+    // and replays the distinct-doc-count join.
+    QueryDef("q_dd_cdc",
+      (s, d) => graft.ext.Dedup.cdcDupProfile(t(s, d, "documents"),
+          "doc_id", "text").orderBy("doc_id"),
+      Some("""WITH cps AS (SELECT doc_id, text, length(text) AS n FROM documents),
+             |h AS (
+             |  SELECT doc_id, i,
+             |    list_reduce(list_prepend(0::BIGINT,
+             |      list_transform(range(i - 15, i + 1),
+             |        k -> unicode(substr(text, CAST(k AS INT), 1))::BIGINT)),
+             |      (h, c) -> (h * 31 + c) % 1000000007) AS hv
+             |  FROM cps, range(1, 100000) r(i) WHERE i >= 16 AND i <= n),
+             |raw AS (SELECT doc_id, i FROM h WHERE hv % 64 = 0),
+             |cut AS (
+             |  SELECT doc_id, i FROM (
+             |    SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pr
+             |    FROM raw)
+             |  WHERE pr IS NULL OR i - pr >= 16),
+             |b AS (
+             |  SELECT doc_id, CAST(i AS INT) AS pos FROM cut
+             |  UNION
+             |  SELECT doc_id, CAST(n AS INT) FROM cps WHERE n > 0),
+             |ch AS (
+             |  SELECT doc_id, pos,
+             |    lag(pos, 1, 0) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+             |  FROM b),
+             |chk AS (
+             |  SELECT c.doc_id, md5(substr(d.text, c.prev + 1, c.pos - c.prev)) AS m
+             |  FROM ch c JOIN documents d USING (doc_id)),
+             |dpc AS (SELECT m, count(DISTINCT doc_id) AS nd FROM chk GROUP BY 1)
+             |SELECT chk.doc_id, count(*) AS n_chunks,
+             |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+             |  round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             |    AS dup_ratio
+             |FROM chk JOIN dpc USING (m)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

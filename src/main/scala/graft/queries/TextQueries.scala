@@ -219,8 +219,14 @@ object TextQueries {
              |        k -> unicode(substr(text, CAST(k AS INT), 1))::BIGINT)),
              |      (h, c) -> (h * 31 + c) % 1000000007) AS hv
              |  FROM cps, range(1, 100000) r(i) WHERE i >= 16 AND i <= n),
+             |raw AS (SELECT doc_id, i FROM h WHERE hv % 64 = 0),
+             |cut AS (
+             |  SELECT doc_id, i FROM (
+             |    SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pr
+             |    FROM raw)
+             |  WHERE pr IS NULL OR i - pr >= 16),
              |b AS (
-             |  SELECT doc_id, CAST(i AS INT) AS pos FROM h WHERE hv % 64 = 0
+             |  SELECT doc_id, CAST(i AS INT) AS pos FROM cut
              |  UNION
              |  SELECT doc_id, CAST(n AS INT) FROM cps WHERE n > 0),
              |ch AS (

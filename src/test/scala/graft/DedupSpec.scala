@@ -219,4 +219,25 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     assert(t1((1000L, 1001L)) && t1((1000L, 1002L)) && t1((1000L, 1003L)))
     assert(!t1((1000L, 1004L)), "distance-2 pair must not appear at tau=1")
   }
+
+  test("cdcDupProfile: planted shared passage found despite an offset edit; unique docs clean") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def rand(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val passage = rand(400)
+    // doc 2 carries the SAME passage shifted by a 3-char insertion —
+    // fixed-size chunking would miss it, CDC re-synchronizes
+    val docs = Seq(
+      (1L, rand(200) + passage + rand(150)),
+      (2L, "zq!" + rand(180) + passage + rand(90)),
+      (3L, rand(500))
+    ).toDF("doc_id", "text")
+    val prof = Dedup.cdcDupProfile(docs, "doc_id", "text", window = 8, maskBits = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(prof(1L)._2 > 0 && prof(2L)._2 > 0,
+      s"shared passage must surface as duplicate chunks, got $prof")
+    assert(prof(3L)._2 === 0L, "the unique doc carries no duplicate chunks")
+    // most of the passage's chunks (≈ 400/16 per doc) are shared
+    assert(prof(1L)._2 >= 10, s"expected ≥10 shared chunks, got ${prof(1L)._2}")
+  }
 }

@@ -132,10 +132,13 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     def refBoundaries(s: String, w: Int, maskBits: Int): Seq[Int] = {
       val cps = s.codePoints().toArray
       val mask = (1L << maskBits) - 1
-      val cut = (w to cps.length).filter { p =>
+      val raw = (w to cps.length).filter { p =>
         val h = cps.slice(p - w, p).foldLeft(0L)((h, c) => (h * 31 + c) % P)
         (h & mask) == 0L
       }
+      // min-gap rule: a raw match within w-1 of the PREVIOUS raw
+      // match is suppressed (content-local, matches the lag oracle)
+      val cut = raw.zip((-w) +: raw).collect { case (p, pr) if p - pr >= w => p }
       if (cps.isEmpty) Seq.empty
       else if (cut.nonEmpty && cut.last == cps.length) cut else cut :+ cps.length
     }
