@@ -134,4 +134,43 @@ object RelationalOps {
   def upsert(store: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame =
     store.join(delta.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(delta)
+
+  /** Schema-drift-tolerant union — the daily-ingest reality where an
+    * upstream feed adds a column, drops one, or widens int → long
+    * mid-year, and the backfill must still read as ONE frame.
+    * Column set = union of all input columns in first-seen order; a
+    * frame missing a column contributes typed NULLs; a column whose
+    * type differs across frames resolves to the widest NUMERIC type
+    * (int < long < float < double — silent data-loss coercions like
+    * double → long or anything → string are REFUSED with an error
+    * naming the column, because a quiet wrong-typed union is how a
+    * 100 TB backfill corrupts itself). Per-frame work is a cast-only
+    * projection; the union itself is plan-level, no shuffle. */
+  def unionTolerant(frames: Seq[DataFrame]): DataFrame = {
+    require(frames.nonEmpty, "need at least one frame")
+    import org.apache.spark.sql.types._
+    def rank(dt: DataType): Int = dt match {
+      case IntegerType => 1
+      case LongType => 2
+      case FloatType => 3
+      case DoubleType => 4
+      case _ => 0
+    }
+    def widen(name: String, a: DataType, b: DataType): DataType =
+      if (a == b) a
+      else if (rank(a) > 0 && rank(b) > 0) { if (rank(a) >= rank(b)) a else b }
+      else throw new IllegalArgumentException(
+        s"unionTolerant: column '$name' has irreconcilable types $a vs $b")
+    val cols = scala.collection.mutable.LinkedHashMap.empty[String, org.apache.spark.sql.types.DataType]
+    frames.foreach(_.schema.fields.foreach { f =>
+      cols(f.name) = cols.get(f.name)
+        .map(widen(f.name, _, f.dataType)).getOrElse(f.dataType)
+    })
+    frames.map { df =>
+      val have = df.schema.fieldNames.toSet
+      df.select(cols.toSeq.map { case (n, dt) =>
+        (if (have(n)) col(n).cast(dt) else lit(null).cast(dt)).as(n)
+      }: _*)
+    }.reduce(_.unionByName(_))
+  }
 }

@@ -166,5 +166,45 @@ object SourceQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
              |  md5(array_to_string(list(doc_id ORDER BY doc_id), ',')) AS ids_md5
              |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // Schema-drift-tolerant union ([[graft.ops.RelationalOps
+    // .unionTolerant]]): three "feed generations" of orders — an old
+    // slice with a narrow INT custkey, a middle slice that dropped
+    // the column, a new slice that added a priority column — read
+    // back as ONE frame with typed NULLs and int→long widening. The
+    // census (counts, null counts, widened sum) hash-checks against
+    // DuckDB's native UNION ALL BY NAME, which implements the same
+    // drift semantics.
+    QueryDef("q_src_union_drift", (s, d) => {
+      val o = Tables(s, d).table("orders")
+      val oldGen = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), col("o_custkey").cast("int").as("o_custkey"),
+          col("o_totalprice"))
+      val midGen = o.filter(col("o_orderkey") % 3 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val newGen = o.filter(col("o_orderkey") % 3 === 2)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderpriority"))
+      graft.ops.RelationalOps.unionTolerant(Seq(oldGen, midGen, newGen))
+        .agg(count(lit(1)).as("n"),
+          count(col("o_custkey")).as("n_custkey"),
+          count(col("o_orderpriority")).as("n_priority"),
+          sum(col("o_custkey")).as("sum_custkey"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+    },
+      Some("""WITH u AS (
+             |  SELECT o_orderkey, CAST(o_custkey AS INT) AS o_custkey, o_totalprice
+             |  FROM orders WHERE o_orderkey % 3 = 0
+             |  UNION ALL BY NAME
+             |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 1
+             |  UNION ALL BY NAME
+             |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+             |  FROM orders WHERE o_orderkey % 3 = 2)
+             |SELECT count(*) AS n,
+             |  count(o_custkey) AS n_custkey,
+             |  count(o_orderpriority) AS n_priority,
+             |  CAST(sum(o_custkey) AS BIGINT) AS sum_custkey,
+             |  round(sum(o_totalprice), 2) AS sum_price
+             |FROM u""".stripMargin)),
   )
 }

@@ -135,4 +135,28 @@ class RelationalOpsSpec extends AnyFunSuite with SharedSpark {
     assert(RelationalOps.upsert(store, delta.filter(lit(false)), Seq("k")).count() === 3)
     assert(RelationalOps.upsert(store.filter(lit(false)), delta, Seq("k")).count() === 2)
   }
+
+  test("unionTolerant: missing columns null-fill, int widens to long, bad coercions refuse") {
+    import spark.implicits._
+    val a = Seq((1, 10)).toDF("k", "v")                      // v: int
+    val b = Seq((2L, 20L, "x")).toDF("k", "v", "tag")        // k,v: long; extra col
+    val c = Seq(3).toDF("k")                                 // v, tag missing
+    val u = RelationalOps.unionTolerant(Seq(a, b, c)).orderBy("k")
+    assert(u.schema.map(f => f.name -> f.dataType.simpleString) ===
+      Seq("k" -> "bigint", "v" -> "bigint", "tag" -> "string"))
+    val rows = u.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)),
+      Option(r.getString(2))))
+    assert(rows.toSeq === Seq(
+      (1L, Some(10L), None), (2L, Some(20L), Some("x")), (3L, None, None)))
+    // silent data loss refused, with the column named
+    val bad = Seq((1L, 1.5)).toDF("k", "v")
+    val err = intercept[IllegalArgumentException] {
+      RelationalOps.unionTolerant(Seq(a, Seq(("s", 1)).toDF("k", "v")))
+    }
+    assert(err.getMessage.contains("'k'"))
+    // numeric widening int→double is allowed (lossless direction)
+    assert(RelationalOps.unionTolerant(Seq(a, bad))
+      .schema("v").dataType.simpleString === "double")
+  }
 }
