@@ -643,6 +643,70 @@ object SketchQueries {
              |  true AS present, true AS bounds_ok
              |FROM cnt JOIN tot ON cnt.lang = tot.lang
              |WHERE true_cnt * 4 > n
-             |ORDER BY lang, len""".stripMargin))
+             |ORDER BY lang, len""".stripMargin)),
+
+    // Rolling 7-day active users from MERGEABLE daily sketches — the
+    // DAU/WAU board at sketch cost: one pass builds a portable HLL
+    // register array per day, then each day's trailing week is a
+    // register-max over ≤7 TINY sketch rows (the fanout is of 64-byte
+    // registers, never of events — at 100 TB the daily sketches are
+    // the only thing that moves). The oracle re-derives every day's
+    // registers, replays the window merge and the raw estimator, so
+    // DAU and WAU7 are value-checked per day.
+    QueryDef("q_ev_rolling_dau",
+      (s, d) => {
+        val ev = t(s, d, "events").select(to_date(col("ts")).as("day"),
+          Sketches.uhash(Sketches.keyHash(col("user_id")), 100).as("h"))
+        val daily = ev.groupBy("day")
+          .agg(count(lit(1)).as("n_events"),
+            Sketches.hllRegistersPortable(col("h")).as("regs"))
+        val anchors = daily.select(col("day").as("anchor"),
+          round(Sketches.hllEstimateFromRegisters(col("regs")), 4).as("dau"))
+        anchors.join(daily,
+            datediff(col("anchor"), col("day")).between(0, 6))
+          .groupBy("anchor", "dau")
+          .agg(sum("n_events").as("n7"),
+            Sketches.hllMergeRegisters(col("regs")).as("m"))
+          .select(col("anchor").as("day"), col("n7"), col("dau"),
+            round(Sketches.hllEstimateFromRegisters(col("m")), 4).as("wau7"))
+          .orderBy("day")
+      },
+      Some("""WITH hx AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    ((16807::BIGINT * ((16807::BIGINT * 201) % 2147483647)) % 2147483647
+             |       * (user_id % 1000000007)
+             |     + (16807::BIGINT * ((16807::BIGINT * 202) % 2147483647)) % 2147483647)
+             |    % 1000000007 AS h
+             |  FROM events),
+             |reg AS (
+             |  SELECT day, (h % 64) AS j,
+             |    max(CASE WHEN h // 64 = 0 THEN 25
+             |        ELSE 24 - floor(log2(h // 64))::INT END) AS rho
+             |  FROM hx GROUP BY 1, 2),
+             |days AS (SELECT DISTINCT day FROM hx),
+             |dau AS (
+             |  SELECT d.day,
+             |    round(0.709 * 64 * 64 / sum(1.0 / (1::BIGINT << coalesce(rho, 0))), 4) AS dau
+             |  FROM days d CROSS JOIN range(0, 64) g(j)
+             |  LEFT JOIN reg ON reg.day = d.day AND reg.j = g.j
+             |  GROUP BY 1),
+             |wreg AS (
+             |  SELECT a.day, r.j, max(r.rho) AS rho
+             |  FROM days a JOIN reg r
+             |    ON date_diff('day', r.day, a.day) BETWEEN 0 AND 6
+             |  GROUP BY 1, 2),
+             |wau AS (
+             |  SELECT a.day,
+             |    round(0.709 * 64 * 64 / sum(1.0 / (1::BIGINT << coalesce(rho, 0))), 4) AS wau7
+             |  FROM days a CROSS JOIN range(0, 64) g(j)
+             |  LEFT JOIN wreg ON wreg.day = a.day AND wreg.j = g.j
+             |  GROUP BY 1),
+             |n7 AS (
+             |  SELECT a.day, CAST(count(*) AS BIGINT) AS n7
+             |  FROM days a JOIN hx e ON date_diff('day', e.day, a.day) BETWEEN 0 AND 6
+             |  GROUP BY 1)
+             |SELECT d.day, n7.n7, d.dau, w.wau7
+             |FROM dau d JOIN wau w USING (day) JOIN n7 USING (day)
+             |ORDER BY day""".stripMargin)),
   )
 }
