@@ -89,6 +89,40 @@ object Similarity {
       .select(col(idCol), round(col("cos_raw"), 6).as("cosine"))
   }
 
+  /** ANN via BINARY sign sketches + exact re-rank: each vector's
+    * `planes`-bit signature is the SIGN pattern of its
+    * [[graft.functions.JlProject]] projections (quadratic-residue
+    * hyperplanes — the portable-MINSTD family degenerates at stride
+    * dim, see JlProject's scaladoc), candidates rank by Hamming
+    * distance to the query's signature, and the `k·poolFactor` pool
+    * re-ranks with exact cosine. The signature is the cheapest
+    * possible index payload — at scale it is PRECOMPUTED as an
+    * 8-byte-per-64-planes column and the candidate scan reads ONLY
+    * it (sign agreement approximates angle: P[signs agree] =
+    * 1 − θ/π, Goemans–Williamson), the same one-TakeOrdered-pass
+    * shape as [[annJl]]. Sign pattern and Hamming count are exact
+    * integer comparisons — engine-reproducible bit-for-bit. */
+  def annHamming(corpus: DataFrame, queryVec: DataFrame, k: Int,
+                 planes: Int = 64, poolFactor: Int = 4,
+                 idCol: String = "vec_id"): DataFrame = {
+    import graft.functions.VectorExpressions.{cosineNative, jlProjectNative}
+    val q = broadcast(queryVec.select(col("embedding").as("q_emb"),
+      jlProjectNative(col("embedding"), planes).as("q_p")))
+    val pool = corpus
+      .select(col(idCol), col("embedding"),
+        jlProjectNative(col("embedding"), planes).as("p"))
+      .crossJoin(q)
+      .withColumn("dist", size(filter(zip_with(col("p"), col("q_p"),
+        (a, b) => (a > 0) =!= (b > 0)), x => x)).cast("long"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k * poolFactor)
+    pool
+      .withColumn("cos_raw", cosineNative(col("embedding"), col("q_emb")))
+      .orderBy(desc("cos_raw"), col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("cos_raw"), 6).as("cosine"))
+  }
+
   /** `bits`-bit LSH bucket signature: bit j = sign of the projection
     * onto deterministic hyperplane j. Per-row, no shuffle — a single
     * fused loop ([[graft.functions.HyperplaneLshBucket]]); the

@@ -364,6 +364,40 @@ object SimilarityQueries {
              |FROM rer ORDER BY c DESC, vec_id LIMIT 10""".stripMargin),
       bench = true),
 
+    // ANN via binary sign sketches ([[Similarity.annHamming]]):
+    // 64-bit quadratic-hyperplane sign signatures ranked by Hamming
+    // distance, 40-row pool re-ranked with exact cosine — the
+    // 8-bytes-per-vector index family. Signs and Hamming counts are
+    // exact integer comparisons, so the oracle (reusing the JL
+    // fixed-point CTE) replays candidate selection bit-for-bit.
+    QueryDef("q_sim_ann_hamming",
+      (s, d) => {
+        val emb = t(s, d, "embeddings")
+        Similarity.annHamming(emb.filter(col("vec_id") =!= 0),
+          emb.filter(col("vec_id") === 0), k = 10)
+      },
+      Some(s"""WITH pr AS (
+             |  SELECT vec_id, j,
+             |    CAST(sum(CASE WHEN ((((j*64 + i) * (j*64 + i)) % 1000003 * 40503
+             |                         + (j*64 + i) * 69069 + 1234567) % 1000003) % 2 = 1
+             |             THEN qv ELSE -qv END) AS BIGINT) AS fp
+             |  FROM (SELECT vec_id, j, i,
+             |          CAST(floor(embedding[CAST(i AS INT) + 1]::DOUBLE * 1048576 + 0.5) AS BIGINT) AS qv
+             |        FROM embeddings, range(0, 64) rj(j), range(0, 64) ri(i))
+             |  GROUP BY 1, 2),
+             |d AS (
+             |  SELECT a.vec_id,
+             |    CAST(sum(CASE WHEN (a.fp > 0) <> (q.fp > 0) THEN 1 ELSE 0 END) AS BIGINT) AS dist
+             |  FROM pr a JOIN (SELECT j, fp FROM pr WHERE vec_id = 0) q USING (j)
+             |  WHERE a.vec_id <> 0 GROUP BY 1),
+             |pool AS (SELECT vec_id FROM d ORDER BY dist, vec_id LIMIT 40),
+             |rer AS (
+             |  SELECT e.vec_id, ${cosSql("e.embedding", "q.q_emb")} AS c
+             |  FROM embeddings e JOIN pool USING (vec_id)
+             |  CROSS JOIN (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0) q)
+             |SELECT vec_id, round(c, 6) AS cosine
+             |FROM rer ORDER BY c DESC, vec_id LIMIT 10""".stripMargin)),
+
     // Embedding-cosine near-dup pairs (brute-force baseline, oracled)
     QueryDef("q_sim_cos_pairs",
       (s, d) => Similarity.cosinePairs(t(s, d, "embeddings"), threshold = 0.8)

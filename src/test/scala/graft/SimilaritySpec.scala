@@ -67,6 +67,21 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(hits > 0, "JL pool should recover some true neighbours with exact scores")
   }
 
+  test("annHamming: corpus-covering pool equals exact topK; sign sketches rank sensibly") {
+    val q = emb.filter(col("vec_id") === 0)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val brute = Similarity.topK(corpus, q, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val full = Similarity.annHamming(corpus, q, k = 10, poolFactor = 60).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(full === brute)
+    val ann = Similarity.annHamming(corpus, q, k = 10).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(ann.length === 10)
+    val hits = ann.count { case (id, c) => brute.get(id).contains(c) }
+    assert(hits > 0, "Hamming pool should recover some true neighbours with exact scores")
+  }
+
   test("dimPrincipal recovers a planted dominant direction; sign canonical; L∞ = 1") {
     import spark.implicits._
     val dim = 16
