@@ -100,6 +100,16 @@ object Scd {
     val lateKeys = delta.join(openFrom, keyCols)
       .filter(col(tsCol) <= col("__open_from"))
       .select(keyCols.map(col): _*).distinct()
+    // Common-case short circuit: a well-behaved daily feed has ZERO
+    // late keys, yet the unioned late-rebuild DAG still costs its
+    // semi/anti joins and an empty scd2 window pass every run. One
+    // bounded driver probe (first row or nothing — the loop-scalar
+    // discipline) routes the clean case straight down the append-only
+    // path; results are identical either way (the late branch over an
+    // empty key set is a no-op), so the gate cannot tell — only the
+    // stage count changes.
+    if (lateKeys.isEmpty)
+      return scd2ApplyAppendOnly(history, delta, keyCols, tsCol, trackedCols, tieBreak)
     val rebuilt = scd2(
       history.join(lateKeys, keyCols, "left_semi").select(fullLogCols.map(col): _*)
         .union(delta.join(lateKeys, keyCols, "left_semi").select(fullLogCols.map(col): _*)),
