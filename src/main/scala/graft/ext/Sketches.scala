@@ -45,6 +45,27 @@ object Sketches {
   def hllDistinctPortable(portableHashCol: Column): Column =
     SketchAggregates.hllSketch(portableHashCol, p = 6, hashBits = 30, correct = false)
 
+  /** KMV distinct estimate over a portable hash in `[0, P)` — the
+    * exact-oracle distinct sketch: every intermediate (the bottom-k
+    * distinct hash set, the k-th smallest θ) is an exact integer, so
+    * plain SQL replays the estimate bit-for-bit, and the state is
+    * simultaneously a uniform distinct sample. ~1/√(k−2) relative
+    * error; below k distinct values the count is EXACT. */
+  def kmvDistinct(portableHashCol: Column, k: Int = 64): Column =
+    SketchAggregates.kmvSketch(portableHashCol, k)
+
+  /** Materialized KMV state (ascending bottom-k distinct hashes) —
+    * merge by union + re-bottom-k, estimate via [[kmvEstimateFromValues]]. */
+  def kmvValues(portableHashCol: Column, k: Int = 64): Column =
+    SketchAggregates.kmvValues(portableHashCol, k)
+
+  /** Estimate from a (merged) ascending bottom-k value array — same
+    * formula as the aggregate: exact size below k, `(k−1)·P/θ` at k. */
+  def kmvEstimateFromValues(vals: Column, k: Int): Column =
+    when(size(vals) < k, size(vals).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(1000000007.0) /
+        element_at(vals, k).cast("double"))
+
   /** CMS counter matrix (row-major `d×w` array) over a portable hash
     * column; merge-friendly aggregate state of `d·w` longs. */
   def cmsSketch(portableHashCol: Column, d: Int = 4, w: Int = 512): Column =

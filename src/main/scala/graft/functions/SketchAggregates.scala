@@ -535,6 +535,108 @@ case class BloomFilterAgg(child: Expression, mBits: Int, k: Int,
     copy(child = c.head)
 }
 
+/** K-minimum-values distinct sketch (Bar-Yossef et al. 2002): keep
+  * the `k` SMALLEST distinct hash values seen; with hashes uniform on
+  * `[0, P)`, the k-th smallest θ estimates density, so
+  * `n̂ = (k−1)·P/θ` (below k distinct values the sketch IS the
+  * distinct set and the count is exact). The HLL complement with a
+  * different trade: ~1/√(k−2) relative error needs more state per
+  * unit accuracy than HLL registers, but every intermediate is an
+  * EXACT INTEGER — a plain-SQL oracle re-derives the k-th smallest
+  * distinct hash and the estimate bit-for-bit, no register/rho
+  * arithmetic — and the state doubles as a uniform distinct SAMPLE.
+  * Mergeable: union the value sets, re-take the bottom k (bounded
+  * state, map-side partial merge, same TypedImperativeAggregate
+  * contract as [[HllSketch]]).
+  *
+  * Input contract: an ALREADY-HASHED non-negative long (the portable
+  * universal family's `[0, 1e9+7)` domain — [[graft.ext.Sketches
+  * .uhash]]); `emitValues = true` yields the ascending value array
+  * (the materializable sketch state) instead of the estimate. */
+case class KmvSketch(child: Expression, k: Int, domain: Long = 1000000007L,
+                     emitValues: Boolean = false,
+                     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with ImplicitCastInputTypes {
+
+  require(k >= 2, "k must be >= 2")
+  require(domain > 1, "domain must be > 1")
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  private def insert(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit = {
+    if (v < 0 || v >= domain)
+      throw new IllegalArgumentException(
+        s"kmv_distinct expects a pre-hashed long in [0, $domain), got $v")
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last) { if (buf.add(v)) { buf.pollLast(); () } }
+  }
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[java.lang.Long],
+                     other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    var go = true
+    while (go && it.hasNext) {
+      val v = it.next().longValue()
+      // other is ascending: once v can no longer displace, stop
+      if (buf.size == k && v >= buf.last) go = false else insert(buf, v)
+    }
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (emitValues) {
+      val arr = new Array[Long](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+      new GenericArrayData(arr)
+    } else KmvSketch.estimate(buf, k, domain)
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.size)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next().longValue())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val set = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { set.add(bb.getLong); i += 1 }
+    set
+  }
+
+  override def dataType: DataType =
+    if (emitValues) ArrayType(LongType, containsNull = false) else DoubleType
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+  override def withNewMutableAggBufferOffset(o: Int): KmvSketch = copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvSketch = copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+object KmvSketch {
+  /** `(k−1)·P/θ` when the sketch is full, the exact size below k. */
+  def estimate(buf: java.util.TreeSet[java.lang.Long], k: Int, domain: Long): Double =
+    if (buf.size < k) buf.size.toDouble
+    else (k - 1).toDouble * domain.toDouble / buf.last.toDouble
+}
+
 object SketchAggregates {
   import GraftColumnBridge._
 
@@ -550,6 +652,15 @@ object SketchAggregates {
   /** Merge aggregate over materialized register arrays. */
   def hllMerge(regsCol: Column): Column =
     column(HllMergeAgg(expression(regsCol)).toAggregateExpression())
+
+  /** KMV distinct estimate over an already-hashed long column. */
+  def kmvSketch(hashCol: Column, k: Int, domain: Long = 1000000007L): Column =
+    column(KmvSketch(expression(hashCol), k, domain).toAggregateExpression())
+
+  /** KMV bottom-k value array (materializable sketch state). */
+  def kmvValues(hashCol: Column, k: Int, domain: Long = 1000000007L): Column =
+    column(KmvSketch(expression(hashCol), k, domain,
+      emitValues = true).toAggregateExpression())
 
   /** Elementwise-sum aggregate over long arrays — the CMS combine
     * rule (counters add; HLL registers max, Bloom bitsets OR). */

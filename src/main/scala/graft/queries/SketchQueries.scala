@@ -645,6 +645,74 @@ object SketchQueries {
              |WHERE true_cnt * 4 > n
              |ORDER BY lang, len""".stripMargin)),
 
+    // KMV distinct sketch ([[graft.ext.Sketches.kmvDistinct]]): the
+    // exact-oracle complement to HLL — the bottom-64 distinct hash
+    // set and the k-th-smallest θ are exact integers, so the SQL twin
+    // replays the estimate bit-for-bit (rank over distinct hashes, no
+    // register arithmetic). Per-language distinct-text estimates.
+    QueryDef("q_agg_kmv",
+      (s, d) => t(s, d, "documents")
+        .select(col("lang"),
+          Sketches.uhash(TextAnalysis.rollingHash(col("text")), 100).as("h"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(Sketches.kmvDistinct(col("h"), 64), 4).as("kmv_est"))
+        .orderBy("lang"),
+      Some(s"""WITH hx AS (
+              |  SELECT lang,
+              |    ((16807::BIGINT * ((16807::BIGINT * 201) % 2147483647)) % 2147483647
+              |       * ${rhSql("text")}
+              |     + (16807::BIGINT * ((16807::BIGINT * 202) % 2147483647)) % 2147483647)
+              |    % 1000000007 AS h
+              |  FROM documents),
+              |dk AS (
+              |  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS r
+              |  FROM (SELECT DISTINCT lang, h FROM hx)),
+              |kth AS (SELECT lang, max(CASE WHEN r = 64 THEN h END) AS theta,
+              |               max(r) AS nd FROM dk GROUP BY 1),
+              |n AS (SELECT lang, count(*) AS n_docs FROM hx GROUP BY 1)
+              |SELECT n.lang, n.n_docs,
+              |  round(CASE WHEN kth.nd < 64 THEN CAST(kth.nd AS DOUBLE)
+              |        ELSE 63.0 * 1000000007.0 / theta END, 4) AS kmv_est
+              |FROM n JOIN kth USING (lang) ORDER BY lang""".stripMargin)),
+
+    // KMV lifecycle: per-language bottom-64 value arrays merged by
+    // union + re-bottom-k; the merged estimate must equal the direct
+    // whole-corpus sketch EXACTLY (the global bottom-64 is contained
+    // in the union of per-group bottom-64s — set algebra, no error
+    // term). The sketch state doubling as a uniform distinct sample
+    // is what the merge moves around: 64 longs per group.
+    QueryDef("q_agg_kmv_merge",
+      (s, d) => {
+        val hashed = t(s, d, "documents")
+          .select(col("lang"),
+            Sketches.uhash(TextAnalysis.rollingHash(col("text")), 100).as("h"))
+        val perLang = hashed.groupBy("lang")
+          .agg(Sketches.kmvValues(col("h"), 64).as("vals"))
+        val merged = perLang
+          .agg(flatten(collect_list(col("vals"))).as("all"))
+          .select(round(Sketches.kmvEstimateFromValues(
+            slice(array_sort(array_distinct(col("all"))), 1, 64), 64), 4)
+            .as("merged_est"))
+        val direct = hashed
+          .agg(round(Sketches.kmvDistinct(col("h"), 64), 4).as("direct_est"))
+        merged.crossJoin(direct)
+      },
+      Some(s"""WITH hx AS (
+              |  SELECT ((16807::BIGINT * ((16807::BIGINT * 201) % 2147483647)) % 2147483647
+              |       * ${rhSql("text")}
+              |     + (16807::BIGINT * ((16807::BIGINT * 202) % 2147483647)) % 2147483647)
+              |    % 1000000007 AS h
+              |  FROM documents),
+              |dk AS (
+              |  SELECT h, row_number() OVER (ORDER BY h) AS r
+              |  FROM (SELECT DISTINCT h FROM hx)),
+              |est AS (
+              |  SELECT round(CASE WHEN max(r) < 64 THEN CAST(max(r) AS DOUBLE)
+              |        ELSE 63.0 * 1000000007.0 / max(CASE WHEN r = 64 THEN h END) END, 4) AS e
+              |  FROM dk)
+              |SELECT e AS merged_est, e AS direct_est FROM est""".stripMargin)),
+
     // Rolling 7-day active users from MERGEABLE daily sketches — the
     // DAU/WAU board at sketch cost: one pass builds a portable HLL
     // register array per day, then each day's trailing week is a

@@ -334,4 +334,33 @@ class SketchesSpec extends AnyFunSuite with SharedSpark {
       .head().getDouble(0)
     assert(viaZip === viaMerge)
   }
+
+  test("KMV: exact below k, duplicate-proof, ~1/sqrt(k) accurate, merge == direct") {
+    import spark.implicits._
+    // 40 distinct < k = 64 ⇒ the sketch IS the set, count exact;
+    // duplicates occupy no slots
+    val small = (1 to 400).map(i => (i % 40).toLong).toDF("x")
+      .select(Sketches.uhash(col("x"), 100).as("h"))
+    assert(small.agg(Sketches.kmvDistinct(col("h"), 64)).head().getDouble(0) === 40.0)
+    // 5000 distinct at k=64: relative error concentrates ~1/sqrt(62)
+    val big = (1L to 5000L).toDF("x")
+      .select(Sketches.uhash(col("x"), 100).as("h")).repartition(7)
+    val est = big.agg(Sketches.kmvDistinct(col("h"), 64)).head().getDouble(0)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.4, s"estimate $est for 5000")
+    // partition-independence (merge + serde through the shuffle)
+    val est2 = big.repartition(31).agg(Sketches.kmvDistinct(col("h"), 64))
+      .head().getDouble(0)
+    assert(est2 === est)
+    // value-state merge: union of per-group bottom-k, re-bottom-k,
+    // estimate == direct (global bottom-k ⊆ union of group bottom-ks)
+    val grouped = (1L to 5000L).map(i => (i % 7, i)).toDF("g", "x")
+      .select(col("g"), Sketches.uhash(col("x"), 100).as("h"))
+    val mergedEst = grouped.groupBy("g")
+      .agg(Sketches.kmvValues(col("h"), 64).as("v"))
+      .agg(flatten(collect_list(col("v"))).as("all"))
+      .select(Sketches.kmvEstimateFromValues(
+        slice(array_sort(array_distinct(col("all"))), 1, 64), 64))
+      .head().getDouble(0)
+    assert(mergedEst === est)
+  }
 }
