@@ -66,6 +66,25 @@ object Sketches {
       .otherwise(lit((k - 1).toDouble) * lit(1000000007.0) /
         element_at(vals, k).cast("double"))
 
+  /** KMV set-overlap estimates from two value states: the bottom-k
+    * of the UNION is a uniform sample of A∪B, and a union-sample
+    * member lies in A∩B exactly when it appears in BOTH sketches
+    * (θ_U ≤ θ_A, θ_B, so no intersection member below θ_U was evicted
+    * from either side) — hence `jaccard ≈ |K∩V_A∩V_B| / k` and
+    * `n̂(A∩B) = jaccard · n̂(A∪B)`. This DIRECT estimator avoids HLL
+    * inclusion–exclusion's error blow-up on small overlaps, and every
+    * intermediate is an exact integer (SQL-replicable). Below k union
+    * members everything is exact. Returns a struct
+    * `(est_union, est_inter, jaccard)`. */
+  def kmvOverlap(valsA: Column, valsB: Column, k: Int): Column = {
+    val u = slice(array_sort(array_distinct(concat(valsA, valsB))), 1, k)
+    val estU = kmvEstimateFromValues(u, k)
+    val interK = size(array_intersect(array_intersect(u, valsA), valsB))
+    val denom = when(size(u) < k, size(u)).otherwise(lit(k)).cast("double")
+    val jac = when(size(u) === 0, lit(0.0)).otherwise(interK / denom)
+    struct(estU.as("est_union"), (jac * estU).as("est_inter"), jac.as("jaccard"))
+  }
+
   /** CMS counter matrix (row-major `d×w` array) over a portable hash
     * column; merge-friendly aggregate state of `d·w` longs. */
   def cmsSketch(portableHashCol: Column, d: Int = 4, w: Int = 512): Column =

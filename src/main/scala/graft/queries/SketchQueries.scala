@@ -713,6 +713,58 @@ object SketchQueries {
               |  FROM dk)
               |SELECT e AS merged_est, e AS direct_est FROM est""".stripMargin)),
 
+    // KMV set overlap ([[graft.ext.Sketches.kmvOverlap]]): click-user
+    // vs purchase-user audiences — the bottom-k of the union is a
+    // uniform sample whose members land in the intersection exactly
+    // when both sketches carry them, giving DIRECT Jaccard and
+    // intersection estimates (no HLL inclusion–exclusion error
+    // blow-up). All integers until the final divisions; the oracle
+    // re-derives both bottom-k sets and replays the set algebra.
+    QueryDef("q_agg_kmv_intersect",
+      (s, d) => {
+        val ev = t(s, d, "events").select(col("event_type"),
+          Sketches.uhash(Sketches.keyHash(col("user_id")), 100).as("h"))
+        def side(et: String) = ev.filter(col("event_type") === et)
+          .agg(Sketches.kmvValues(col("h"), 64).as(s"v_$et"))
+        side("click").crossJoin(side("purchase"))
+          .select(Sketches.kmvOverlap(col("v_click"), col("v_purchase"), 64).as("o"))
+          .select(round(col("o.est_union"), 4).as("est_union"),
+            round(col("o.est_inter"), 4).as("est_inter"),
+            round(col("o.jaccard"), 4).as("jaccard"))
+      },
+      Some("""WITH hx AS (
+             |  SELECT event_type,
+             |    ((16807::BIGINT * ((16807::BIGINT * 201) % 2147483647)) % 2147483647
+             |       * (user_id % 1000000007)
+             |     + (16807::BIGINT * ((16807::BIGINT * 202) % 2147483647)) % 2147483647)
+             |    % 1000000007 AS h
+             |  FROM events WHERE event_type IN ('click', 'purchase')),
+             |bk AS (
+             |  SELECT event_type, h,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+             |  FROM (SELECT DISTINCT event_type, h FROM hx)),
+             |va AS (SELECT h FROM bk WHERE event_type = 'click' AND r <= 64),
+             |vb AS (SELECT h FROM bk WHERE event_type = 'purchase' AND r <= 64),
+             |uk AS (
+             |  SELECT h, row_number() OVER (ORDER BY h) AS r
+             |  FROM (SELECT h FROM va UNION SELECT h FROM vb)),
+             |u AS (SELECT h FROM uk WHERE r <= 64),
+             |st AS (
+             |  SELECT (SELECT count(*) FROM u) AS nu,
+             |    (SELECT max(h) FROM u) AS theta,
+             |    (SELECT count(*) FROM u
+             |     WHERE h IN (SELECT h FROM va) AND h IN (SELECT h FROM vb)) AS ik),
+             |est AS (
+             |  SELECT CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+             |         ELSE 63.0 * 1000000007.0 / theta END AS eu,
+             |    CASE WHEN nu = 0 THEN 0.0
+             |         ELSE ik / CAST(CASE WHEN nu < 64 THEN nu ELSE 64 END AS DOUBLE)
+             |    END AS j
+             |  FROM st)
+             |SELECT round(eu, 4) AS est_union, round(j * eu, 4) AS est_inter,
+             |       round(j, 4) AS jaccard
+             |FROM est""".stripMargin)),
+
     // Rolling 7-day active users from MERGEABLE daily sketches — the
     // DAU/WAU board at sketch cost: one pass builds a portable HLL
     // register array per day, then each day's trailing week is a

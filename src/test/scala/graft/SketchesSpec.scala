@@ -363,4 +363,27 @@ class SketchesSpec extends AnyFunSuite with SharedSpark {
       .head().getDouble(0)
     assert(mergedEst === est)
   }
+
+  test("kmvOverlap: tracks planted union/intersection/Jaccard; exact below k") {
+    import spark.implicits._
+    def vals(xs: Range, k: Int) = xs.map(_.toLong).toDF("x")
+      .select(Sketches.uhash(col("x"), 100).as("h"))
+      .agg(Sketches.kmvValues(col("h"), k).as("v"))
+    // A = 1..3000, B = 2000..5000: |A∪B| = 5000, |A∩B| = 1001, J ≈ 0.2
+    val o = vals(1 to 3000, 64).crossJoin(
+        vals(2000 to 5000, 64).withColumnRenamed("v", "w"))
+      .select(Sketches.kmvOverlap(col("v"), col("w"), 64).as("o"))
+      .select("o.est_union", "o.est_inter", "o.jaccard").head()
+    assert(math.abs(o.getDouble(0) - 5000.0) / 5000.0 < 0.4, s"union ${o.getDouble(0)}")
+    assert(o.getDouble(2) > 0.05 && o.getDouble(2) < 0.5, s"jaccard ${o.getDouble(2)}")
+    assert(math.abs(o.getDouble(1) - o.getDouble(2) * o.getDouble(0)) < 1e-9)
+    // below-k union: everything exact
+    val e = vals(1 to 30, 64).crossJoin(
+        vals(20 to 50, 64).withColumnRenamed("v", "w"))
+      .select(Sketches.kmvOverlap(col("v"), col("w"), 64).as("o"))
+      .select("o.est_union", "o.est_inter", "o.jaccard").head()
+    assert(e.getDouble(0) === 50.0)
+    assert(e.getDouble(1) === 11.0)
+    assert(e.getDouble(2) === 11.0 / 50.0)
+  }
 }
