@@ -37,6 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.FunctionArgs.foldableInt("word_shingles", "n", exprs(1))))
     inject(e, "rolling_hash", classOf[graft.functions.RollingHash],
       exprs => graft.functions.RollingHash(exprs(0)))
+    inject(e, "cdc_boundaries", classOf[graft.functions.CdcBoundaries],
+      exprs => graft.functions.CdcBoundaries(exprs(0),
+        graft.functions.FunctionArgs.foldableInt("cdc_boundaries", "window", exprs(1)),
+        graft.functions.FunctionArgs.foldableInt("cdc_boundaries", "mask_bits", exprs(2))))
+    inject(e, "jl_project", classOf[graft.functions.JlProject],
+      exprs => graft.functions.JlProject(exprs(0),
+        graft.functions.FunctionArgs.foldableInt("jl_project", "out_dim", exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.NativeTextRewrites)
   }
 }

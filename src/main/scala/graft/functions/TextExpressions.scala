@@ -373,5 +373,9 @@ object TextExpressions {
         FunctionArgs.foldableInt("word_shingles", "n", exprs(1))))
     GraftColumnBridge.registerFunction(spark, "rolling_hash",
       exprs => RollingHash(exprs(0)))
+    GraftColumnBridge.registerFunction(spark, "cdc_boundaries",
+      exprs => CdcBoundaries(exprs(0),
+        FunctionArgs.foldableInt("cdc_boundaries", "window", exprs(1)),
+        FunctionArgs.foldableInt("cdc_boundaries", "mask_bits", exprs(2))))
   }
 }

@@ -155,6 +155,12 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
       .select(graft.functions.TextExpressions.cdcBoundaries(col("text"), 8, 4))
       .collect().map(_.getSeq[Int](0).toSeq)
     assert(got(0) === refBoundaries(text, 8, 4))
+    // and the SQL registration agrees
+    graft.functions.TextExpressions.register(spark)
+    val viaSql = spark.sql(
+      s"SELECT cdc_boundaries('${text.take(100)}', 8L, 4L) AS b")
+      .head().getSeq[Int](0).toSeq
+    assert(viaSql === refBoundaries(text.take(100), 8, 4))
     assert(got(1) === Seq.empty)
     assert(got(2) === Seq(5), "below-window text is one whole chunk")
     // THE CDC property: a 2-char prefix insertion changes only the
