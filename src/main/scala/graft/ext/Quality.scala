@@ -119,6 +119,26 @@ object Quality {
       .select(col("r.constraint"), col("r.metric"), col("r.threshold"), col("r.pass"))
   }
 
+  /** Per-source corpus scorecard — the one-page ingestion report a
+    * curation pipeline publishes per feed: document and character
+    * volume, CORPUS-WIDE duplicate exposure (how many of this
+    * source's docs also exist elsewhere — the "is this feed a mirror"
+    * signal; per-hash counts come from one corpus-wide shuffle on the
+    * 16-byte md5, never on text), and mean quality score. Pure
+    * composition of gated primitives; one scan + one hash groupBy. */
+  def corpusScorecard(docs: DataFrame, sourceCol: String,
+                      textCol: String): DataFrame = {
+    val h = docs.select(col(sourceCol).as("source"), col(textCol).as("__t"),
+      md5(col(textCol)).as("__h"))
+    val perHash = h.groupBy("__h").agg(count(lit(1)).as("__n"))
+    h.join(perHash, "__h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("__t"))).cast("long").as("n_chars"),
+        sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_dup"),
+        round(avg(TextAnalysis.qualityScore(col("__t"))), 4).as("mean_quality"))
+  }
+
   /** Distribution-drift report between two slices of one frame — the
     * "did yesterday's crawl change shape?" monitor that decides
     * whether a retrain/repartition is warranted before 100 TB of it

@@ -353,6 +353,25 @@ object TextQueries {
              |SELECT epoch, shard, CAST(pos AS BIGINT) AS pos, doc_id
              |FROM m ORDER BY epoch, shard, pos""".stripMargin)),
 
+    // Per-source corpus scorecard ([[graft.ext.Quality
+    // .corpusScorecard]]): the one-page ingestion report per feed —
+    // volumes, corpus-wide duplicate exposure (per-hash counts ride a
+    // 16-byte md5 shuffle, never text), mean quality. A composition
+    // gate: every metric is a primitive the suite gates individually;
+    // this hash-checks them ASSEMBLED.
+    QueryDef("q_quality_scorecard",
+      (s, d) => graft.ext.Quality.corpusScorecard(
+          t(s, d, "documents"), "source", "text")
+        .orderBy("source"),
+      Some(s"""WITH h AS (SELECT source, text, md5(text) AS hh FROM documents),
+              |d AS (SELECT hh, count(*) AS n FROM h GROUP BY 1)
+              |SELECT source, count(*) AS n_docs,
+              |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+              |  CAST(sum(CASE WHEN d.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+              |  round(avg($qualitySqlExpr), 4) AS mean_quality
+              |FROM h JOIN d USING (hh)
+              |GROUP BY 1 ORDER BY source""".stripMargin)),
+
     // Deterministic train/eval split + per-split stats, through the
     // full Sampling.split weights→cuts→CASE machinery in portable
     // (MINSTD-bucket) mode — the oracle re-derives the membership
