@@ -859,6 +859,44 @@ object RelationalQueries {
              |        AS BIGINT) / 1073741824.0, 6) AS psi
              |FROM sh ORDER BY bucket""".stripMargin)),
 
+    // NUMERIC drift through the same PSI machinery: the value column
+    // bucketed on a fixed grid (floor(v/50) capped at 9) becomes a
+    // categorical dim — driftReport is binning-agnostic, so numeric
+    // drift is a composition, not a second code path. Bucket edges
+    // are exact integer floors on both engines.
+    QueryDef("q_quality_drift_value",
+      (s, d) => {
+        val ev = t(s, d, "events").select(
+          least(floor(col("value") / 50.0), lit(9.0)).cast("int").as("vbucket"),
+          unix_micros(col("ts")).as("us"))
+        graft.ext.Quality.driftReport(ev,
+            col("us") >= 1705276800000000L, "vbucket")
+          .orderBy("bucket")
+      },
+      Some("""WITH e AS (
+             |  SELECT CAST(least(floor(value / 50.0), 9.0) AS INT) AS bucket,
+             |         epoch_us(ts) >= 1705276800000000 AS cur
+             |  FROM events),
+             |c AS (
+             |  SELECT bucket,
+             |    CAST(sum(CASE WHEN cur THEN 0 ELSE 1 END) AS BIGINT) AS ref_n,
+             |    CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+             |  FROM e GROUP BY 1),
+             |tot AS (SELECT CAST(sum(ref_n) AS BIGINT) AS rt,
+             |               CAST(sum(cur_n) AS BIGINT) AS ct FROM c),
+             |sh AS (
+             |  SELECT bucket, ref_n, cur_n,
+             |    CASE WHEN rt = 0 THEN 1e-6
+             |         ELSE greatest(ref_n * 1.0 / rt, 1e-6) END AS rs,
+             |    CASE WHEN ct = 0 THEN 1e-6
+             |         ELSE greatest(cur_n * 1.0 / ct, 1e-6) END AS cs
+             |  FROM c CROSS JOIN tot)
+             |SELECT bucket, ref_n, cur_n,
+             |  round(rs, 6) AS ref_share, round(cs, 6) AS cur_share,
+             |  round(CAST(floor((cs - rs) * ln(cs / rs) * 1073741824.0 + 0.5)
+             |        AS BIGINT) / 1073741824.0, 6) AS psi
+             |FROM sh ORDER BY bucket""".stripMargin)),
+
     // Key-skew diagnostic: the 5 heaviest event users with exact
     // corpus share — the pre-flight before picking a join strategy.
     QueryDef("q_skew_profile",
