@@ -1017,6 +1017,10 @@ object Similarity {
                    vecCol: String = "embedding"): DataFrame = {
     val row = covSums(embeddings, dim, vecCol).collect()(0)
     val n = row.getLong(0)
+    // empty corpus: the moment arrays are empty aggregates — there is
+    // no covariance and no principal direction; fail loudly rather
+    // than index out of bounds or fabricate a vector
+    require(n > 0, "dimPrincipal: input has no rows")
     val s = row.getSeq[Long](1)
     val sp = row.getSeq[Long](2)
     val cs = Array.tabulate(dim * dim) { k =>

@@ -103,6 +103,11 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     val gNorm = math.sqrt(got.map(x => x * x).sum)
     val cos = math.abs(got.lazyZip(dvec).map(_ * _).sum / gNorm)
     assert(cos > 0.98, s"|cos(got, planted)| = $cos")
+    // an empty corpus fails loudly, not with an index error
+    val err = intercept[IllegalArgumentException] {
+      Similarity.dimPrincipal(data.filter(lit(false)), dim = dim)
+    }
+    assert(err.getMessage.contains("no rows"))
   }
 
   test("multi-probe LSH recall ≥ single-probe recall, both ⊆ brute-force ranking") {
