@@ -1028,6 +1028,21 @@ object Similarity {
       val m = math.abs(num) / 8388608L
       if (num < 0) -m else m
     }
+    val v = powerIterate(cs, dim, iters)
+    val spark = embeddings.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 until dim).map(i => org.apache.spark.sql.Row(i, v(i))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("loading_fp",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** Shared fixed-point power-iteration core: `iters` rounds of
+    * integer matvec + L∞ renorm to the 2^20 grid, sum-sign flip. */
+  private def powerIterate(cs: Array[Long], dim: Int, iters: Int): Array[Long] = {
     var v = Array.fill(dim)(1048576L)
     var it = 0
     while (it < iters) {
@@ -1045,12 +1060,74 @@ object Similarity {
         }
       it += 1
     }
-    if (v.sum < 0) v = v.map(x => -x)
+    if (v.sum < 0) v.map(x => -x) else v
+  }
+
+  /** Top-`components` principal directions by power iteration WITH
+    * integer Hotelling deflation: after each component, the matrix
+    * loses its projection onto the found direction —
+    * `C' = C − v·vᵀ·(vᵀCv)/(vᵀv)²` — with the per-cell adjustment
+    * computed as sign·(|v_i·v_j·num| div den) through 128-bit
+    * integers, so every deflated cell (and hence every later
+    * component) is bit-reproducible in SQL (HUGEINT twin). The
+    * leading component equals [[dimPrincipal]] exactly; later
+    * components are the dominant directions of the exactly-deflated
+    * matrix — deterministic iterates whose quality inherits the
+    * usual power-iteration spectral-gap caveat, compounded by the
+    * finite convergence of the earlier components (spec-pinned on
+    * planted two-direction data). Returns
+    * `(component 1-based, pos, loading_fp)`. */
+  def dimPrincipalK(embeddings: DataFrame, dim: Int = 64, iters: Int = 12,
+                    components: Int = 2,
+                    vecCol: String = "embedding"): DataFrame = {
+    require(components >= 1, "need at least one component")
+    val row = covSums(embeddings, dim, vecCol).collect()(0)
+    val n = row.getLong(0)
+    require(n > 0, "dimPrincipalK: input has no rows")
+    val s = row.getSeq[Long](1)
+    val sp = row.getSeq[Long](2)
+    val cs = Array.tabulate(dim * dim) { k =>
+      val num = n * sp(k) - s(k / dim) * s(k % dim)
+      val m = math.abs(num) / 8388608L
+      if (num < 0) -m else m
+    }
+    val out = Seq.newBuilder[org.apache.spark.sql.Row]
+    var c = 1
+    while (c <= components) {
+      val v = powerIterate(cs, dim, iters)
+      var i = 0
+      while (i < dim) { out += org.apache.spark.sql.Row(c, i, v(i)); i += 1 }
+      if (c < components) {
+        var num = BigInt(0)
+        var vv = BigInt(0)
+        i = 0
+        while (i < dim) {
+          var acc = 0L
+          var j = 0
+          while (j < dim) { acc += cs(i * dim + j) * v(j); j += 1 }
+          num += BigInt(v(i)) * acc
+          vv += BigInt(v(i)) * v(i)
+          i += 1
+        }
+        val den = vv * vv
+        if (den.signum > 0) {
+          var k = 0
+          while (k < dim * dim) {
+            val t = BigInt(v(k / dim)) * v(k % dim) * num
+            val adj = (t.abs / den).toLong
+            cs(k) -= (if (t.signum < 0) -adj else adj)
+            k += 1
+          }
+        }
+      }
+      c += 1
+    }
     val spark = embeddings.sparkSession
     spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        (0 until dim).map(i => org.apache.spark.sql.Row(i, v(i))), 1),
+      spark.sparkContext.parallelize(out.result(), 1),
       org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("component",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("pos",
           org.apache.spark.sql.types.IntegerType, nullable = false),
         org.apache.spark.sql.types.StructField("loading_fp",

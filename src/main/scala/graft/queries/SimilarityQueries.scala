@@ -302,6 +302,85 @@ object SimilarityQueries {
        |FROM flip, range(0, 64) r(i) ORDER BY pos""".stripMargin
   }
 
+  /** Two-component extension of [[pcaOracleSql]]: component 1's
+    * recursion, exact integer Hotelling deflation (128-bit HUGEINT
+    * per-cell adjustment, sign-safe magnitude division), then
+    * component 2's recursion on the deflated matrix. */
+  private val pca2OracleSql: String = {
+    def u(cm: String, v: String) =
+      s"list_transform(range(0, 64), i -> list_sum(" +
+        s"list_transform(range(0, 64), j -> $cm[i*64 + j + 1] * $v[j + 1])))"
+    def m(cm: String, v: String) =
+      s"list_max(list_transform(${u(cm, v)}, x -> abs(x)))"
+    def vp(cm: String, v: String) =
+      s"list_transform(${u(cm, v)}, x -> CAST(CASE WHEN x < 0" +
+        s" THEN -((abs(CAST(x AS HUGEINT)) * 1048576) // ${m(cm, v)})" +
+        s" ELSE (abs(CAST(x AS HUGEINT)) * 1048576) // ${m(cm, v)} END AS BIGINT))"
+    def flip(v: String) =
+      s"CASE WHEN list_sum($v) < 0 THEN list_transform($v, x -> -x) ELSE $v END"
+    val num = "list_sum(list_transform(range(0, 64), i -> " +
+      "CAST(v1[i+1] AS HUGEINT) * list_sum(" +
+      "list_transform(range(0, 64), j -> cm[i*64 + j + 1] * v1[j+1]))))"
+    val vv = "list_sum(list_transform(v1, x -> CAST(x AS HUGEINT) * x))"
+    val t = "CAST(v1[kk//64 + 1] AS HUGEINT) * v1[kk%64 + 1] * nm"
+    s"""WITH RECURSIVE q AS (
+       |  SELECT list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |dims AS (
+       |  SELECT d.i, CAST(sum(qv[d.i + 1]) AS BIGINT) AS s
+       |  FROM q, range(0, 64) d(i) GROUP BY 1),
+       |prods AS (
+       |  SELECT t.k, CAST(sum(qv[t.k // 64 + 1] * qv[t.k % 64 + 1]) AS BIGINT) AS sp
+       |  FROM q, range(0, 4096) t(k) GROUP BY 1),
+       |n AS (SELECT count(*) AS n FROM q),
+       |cells AS (
+       |  SELECT p.k, CAST(n.n * p.sp - si.s * sj.s AS BIGINT) AS num
+       |  FROM prods p
+       |  JOIN dims si ON si.i = p.k // 64
+       |  JOIN dims sj ON sj.i = p.k % 64
+       |  CROSS JOIN n),
+       |cmat AS (
+       |  SELECT list(CASE WHEN num < 0 THEN -(abs(num) // 8388608)
+       |              ELSE abs(num) // 8388608 END ORDER BY k) AS cm
+       |  FROM cells),
+       |pw AS (
+       |  SELECT 0 AS iter, cm,
+       |         list_transform(range(0, 64), i -> CAST(1048576 AS BIGINT)) AS v
+       |  FROM cmat
+       |  UNION ALL
+       |  SELECT iter + 1, cm,
+       |    CASE WHEN ${m("cm", "v")} = 0 THEN v ELSE ${vp("cm", "v")} END
+       |  FROM pw WHERE iter < 12),
+       |l1 AS (SELECT cm, v FROM pw ORDER BY iter DESC LIMIT 1),
+       |d1 AS (SELECT cm, ${flip("v")} AS v1 FROM l1),
+       |d2 AS (SELECT cm, v1, $num AS nm, ($vv) * ($vv) AS den FROM d1),
+       |cm2t AS (
+       |  SELECT CASE WHEN den = 0 THEN cm ELSE
+       |    list_transform(range(0, 4096), kk -> CAST(cm[kk+1] -
+       |      (CASE WHEN $t < 0 THEN -((-($t)) // den)
+       |       ELSE ($t) // den END) AS BIGINT))
+       |  END AS cm, v1 FROM d2),
+       |pw2 AS (
+       |  SELECT 0 AS iter, cm, v1,
+       |         list_transform(range(0, 64), i -> CAST(1048576 AS BIGINT)) AS v
+       |  FROM cm2t
+       |  UNION ALL
+       |  SELECT iter + 1, cm, v1,
+       |    CASE WHEN ${m("cm", "v")} = 0 THEN v ELSE ${vp("cm", "v")} END
+       |  FROM pw2 WHERE iter < 12),
+       |l2 AS (SELECT v1, v FROM pw2 ORDER BY iter DESC LIMIT 1),
+       |d2f AS (SELECT v1, ${flip("v")} AS v2 FROM l2)
+       |SELECT 1 AS component, CAST(i AS INT) AS pos,
+       |  round(CAST(v1[CAST(i AS INT) + 1] AS DOUBLE) / 1048576.0, 6) AS loading
+       |FROM d2f, range(0, 64) r(i)
+       |UNION ALL
+       |SELECT 2, CAST(i AS INT),
+       |  round(CAST(v2[CAST(i AS INT) + 1] AS DOUBLE) / 1048576.0, 6)
+       |FROM d2f, range(0, 64) r(i)
+       |ORDER BY component, pos""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-10 to vec_id 0 (baseline ANN)
@@ -1081,6 +1160,18 @@ object SimilarityQueries {
           round(col("loading_fp") / 1048576.0, 6).as("loading"))
         .orderBy("pos"),
       Some(pcaOracleSql)),
+
+    // Top-2 principal components ([[Similarity.dimPrincipalK]]):
+    // component 1 is q_emb_pca's exactly; component 2 comes from the
+    // exactly-deflated matrix (integer Hotelling deflation through
+    // 128-bit products). The oracle chains both recursions with the
+    // same HUGEINT cell adjustments, so all 128 loadings hash-match.
+    QueryDef("q_emb_pca2",
+      (s, d) => Similarity.dimPrincipalK(t(s, d, "embeddings"), components = 2)
+        .select(col("component"), col("pos"),
+          round(col("loading_fp") / 1048576.0, 6).as("loading"))
+        .orderBy("component", "pos"),
+      Some(pca2OracleSql)),
 
     // Perceptual image hashes ([[Multimodal.imageHashes]]): aHash +
     // dHash over deterministic 16×16 gray fixtures whose pixel values

@@ -110,6 +110,45 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     assert(err.getMessage.contains("no rows"))
   }
 
+  test("dimPrincipalK: deflation recovers a second planted direction; PC1 == dimPrincipal") {
+    import spark.implicits._
+    val dim = 16
+    val rnd = new scala.util.Random(99)
+    def unit(raw: Array[Double]): Array[Double] = {
+      val n = math.sqrt(raw.map(x => x * x).sum); raw.map(_ / n)
+    }
+    val d1 = unit(Array.tabulate(dim)(i => math.sin(i * 1.7) + 0.3))
+    // orthogonalize the second planted direction against the first
+    val raw2 = Array.tabulate(dim)(i => math.cos(i * 0.9) - 0.2)
+    val proj = raw2.lazyZip(d1).map(_ * _).sum
+    val d2 = unit(raw2.lazyZip(d1).map((r, a) => r - proj * a).toArray)
+    val data = (0 until 400).map { _ =>
+      val s1 = rnd.nextGaussian() * 4.0
+      val s2 = rnd.nextGaussian() * 2.0
+      Tuple1(Array.tabulate(dim)(i =>
+        (rnd.nextGaussian() * 0.2 + s1 * d1(i) + s2 * d2(i)).toFloat))
+    }.toDF("embedding")
+    val got = Similarity.dimPrincipalK(data, dim = dim, iters = 25, components = 2)
+      .orderBy("component", "pos").collect()
+      .map(r => (r.getInt(0), r.getLong(2).toDouble / 1048576.0))
+    val v1 = got.filter(_._1 == 1).map(_._2)
+    val v2 = got.filter(_._1 == 2).map(_._2)
+    def cosTo(v: Array[Double], d: Array[Double]): Double = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      math.abs(v.lazyZip(d).map(_ * _).sum / n)
+    }
+    assert(cosTo(v1, d1) > 0.97, s"PC1 vs planted-1: ${cosTo(v1, d1)}")
+    assert(cosTo(v2, d2) > 0.95, s"PC2 vs planted-2: ${cosTo(v2, d2)}")
+    val n1 = math.sqrt(v1.map(x => x * x).sum)
+    val n2 = math.sqrt(v2.map(x => x * x).sum)
+    val ortho = math.abs(v1.lazyZip(v2).map(_ * _).sum / (n1 * n2))
+    assert(ortho < 0.2, s"components should be near-orthogonal, cos = $ortho")
+    // the leading component is EXACTLY dimPrincipal's
+    val single = Similarity.dimPrincipal(data, dim = dim, iters = 25)
+      .orderBy("pos").collect().map(_.getLong(1).toDouble / 1048576.0)
+    assert(v1.toSeq === single.toSeq)
+  }
+
   test("multi-probe LSH recall ≥ single-probe recall, both ⊆ brute-force ranking") {
     val q = emb.filter(col("vec_id") === 0)
     val corpus = emb.filter(col("vec_id") =!= 0)
