@@ -710,4 +710,66 @@ object Dedup {
         sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
       .withColumn("dup_ratio", round(col("n_dup_chunks") / col("n_chunks"), 6))
   }
+
+  /** Corpus-wide exact duplicate-substring REMOVAL (the rewrite the
+    * profile above only measures): every content-defined chunk that
+    * occurs more than once in the corpus survives ONLY at its
+    * globally-first occurrence — min `(doc_id, chunk_id)` — and is
+    * cut from every other document; unique chunks always survive.
+    * This is the "deduplicate exact substrings, keep one copy"
+    * training-data cleanup (Lee et al. 2022, arXiv:2107.06499)
+    * re-expressed over CDC chunks: because the cut points are
+    * content-defined ([[graft.functions.TextExpressions.cdcBoundaries]]),
+    * the same paragraph pasted at a different offset in another page
+    * yields the same interior chunks, so cross-document duplicated
+    * passages line up chunk-for-chunk with NO quadratic substring
+    * search and no positional alignment step.
+    *
+    * Scale shape: the keep/drop decision shuffles only
+    * `(chunk_md5, doc_id, chunk_id)` — 16-byte keys plus two ints,
+    * never text; min-struct aggregation is map-side combinable. The
+    * rebuild joins that narrow decision frame back to the corpus and
+    * re-cuts each kept chunk from the original text (one text
+    * shuffle, the unavoidable cost of any rewrite). Documents losing
+    * every chunk come back with `cleaned = ''`, documents with empty
+    * text pass through untouched with `n_chunks = 0`.
+    *
+    * Output: `(doc_id, n_chunks, n_dropped, cleaned)`.
+    */
+  def stripDuplicateChunks(docs: DataFrame, idCol: String, textCol: String,
+                           window: Int = 16, maskBits: Int = 6): DataFrame = {
+    val b = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+      posexplode(graft.functions.TextExpressions
+        .cdcBoundaries(col(textCol), window, maskBits)))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val chunks = b
+      .withColumn("__prev", coalesce(lag(col("col"), 1).over(w), lit(0)))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        (col("__prev") + 1).as("c_start"),
+        (col("col") - col("__prev")).as("c_len"),
+        md5(col("__t").substr(col("__prev") + 1, col("col") - col("__prev")))
+          .as("chunk_md5"))
+    // global first occurrence per chunk content: 16-byte-key shuffle
+    val firstOcc = chunks.select("chunk_md5", "doc_id", "chunk_id")
+      .groupBy("chunk_md5")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__first"))
+    val decided = chunks.join(firstOcc, "chunk_md5")
+      .withColumn("__keep", col("__first.doc_id") === col("doc_id") &&
+        col("__first.chunk_id") === col("chunk_id"))
+    // collect_list drops the nulls `when` leaves for cut chunks;
+    // array_sort on (chunk_id, …) structs restores document order
+    val rebuilt = decided.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"),
+        array_sort(collect_list(when(col("__keep"),
+          struct(col("chunk_id"), col("c_start"), col("c_len"))))).as("__kept"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(aggregate(col("__kept"), lit(""), (acc, s) =>
+          concat(acc, col("__t").substr(s.getField("c_start"),
+            s.getField("c_len")))), lit("")).as("cleaned"))
+  }
 }

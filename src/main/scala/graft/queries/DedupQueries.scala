@@ -579,5 +579,67 @@ object DedupQueries {
              |    AS dup_ratio
              |FROM chk JOIN dpc USING (m)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Exact duplicate-substring REMOVAL (Lee et al. 2022 cleanup over
+    // CDC chunks, [[graft.ext.Dedup.stripDuplicateChunks]]): every
+    // chunk occurring >1 time corpus-wide survives only at its
+    // globally-first (doc_id, chunk_id) occurrence; the rewrite
+    // re-cuts surviving chunks from the original text. The decision
+    // shuffle carries only 16-byte md5 keys. The oracle replays the
+    // boundary derivation per position, ranks occurrences with
+    // row_number over (md5 → doc, chunk), and rebuilds each document
+    // with an ordered string_agg — the full rewritten text is part
+    // of the hash, so chunk order, keep choice, and substring cuts
+    // are all value-checked.
+    QueryDef("q_dd_strip",
+      (s, d) => graft.ext.Dedup.stripDuplicateChunks(t(s, d, "documents"),
+          "doc_id", "text").orderBy("doc_id"),
+      Some("""WITH cps AS (SELECT doc_id, text, length(text) AS n FROM documents),
+             |h AS (
+             |  SELECT doc_id, i,
+             |    list_reduce(list_prepend(0::BIGINT,
+             |      list_transform(range(i - 15, i + 1),
+             |        k -> unicode(substr(text, CAST(k AS INT), 1))::BIGINT)),
+             |      (h, c) -> (h * 31 + c) % 1000000007) AS hv
+             |  FROM cps, range(1, 100000) r(i) WHERE i >= 16 AND i <= n),
+             |raw AS (SELECT doc_id, i FROM h WHERE hv % 64 = 0),
+             |cut AS (
+             |  SELECT doc_id, i FROM (
+             |    SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pr
+             |    FROM raw)
+             |  WHERE pr IS NULL OR i - pr >= 16),
+             |b AS (
+             |  SELECT doc_id, CAST(i AS INT) AS pos FROM cut
+             |  UNION
+             |  SELECT doc_id, CAST(n AS INT) FROM cps WHERE n > 0),
+             |ch AS (
+             |  SELECT doc_id, pos,
+             |    CAST(row_number() OVER w - 1 AS INT) AS chunk_id,
+             |    lag(pos, 1, 0) OVER w AS prev
+             |  FROM b WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+             |chk AS (
+             |  SELECT c.doc_id, c.chunk_id, c.prev + 1 AS c_start,
+             |    c.pos - c.prev AS c_len,
+             |    md5(substr(d.text, c.prev + 1, c.pos - c.prev)) AS m
+             |  FROM ch c JOIN documents d USING (doc_id)),
+             |dec AS (
+             |  SELECT chk.*,
+             |    row_number() OVER (PARTITION BY m ORDER BY doc_id, chunk_id) = 1
+             |      AS keep
+             |  FROM chk),
+             |agg AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+             |    CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             |      AS n_dropped,
+             |    coalesce(string_agg(CASE WHEN keep
+             |        THEN substr(d.text, c_start, c_len) END, ''
+             |      ORDER BY chunk_id), '') AS cleaned
+             |  FROM dec JOIN documents d USING (doc_id)
+             |  GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+             |  CAST(coalesce(a.n_dropped, 0) AS BIGINT) AS n_dropped,
+             |  coalesce(a.cleaned, '') AS cleaned
+             |FROM documents d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
   )
 }

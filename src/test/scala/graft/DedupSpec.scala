@@ -240,4 +240,41 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
     // most of the passage's chunks (≈ 400/16 per doc) are shared
     assert(prof(1L)._2 >= 10, s"expected ≥10 shared chunks, got ${prof(1L)._2}")
   }
+
+  test("stripDuplicateChunks: pasted passage survives only at its first occurrence") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def rand(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val passage = rand(400)
+    val (pre1, post1) = (rand(200), rand(150))
+    val (pre2, post2) = (rand(180), rand(90))
+    val solo = rand(500)
+    val docs = Seq(
+      (1L, pre1 + passage + post1),
+      (2L, "zq!" + pre2 + passage + post2), // same passage, shifted offset
+      (3L, solo),
+      (4L, "")                              // empty text: passes through
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateChunks(docs, "doc_id", "text",
+        window = 8, maskBits = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+    // doc 1 is the first occurrence of every shared chunk → untouched
+    assert(out(1L)._2 === 0L, s"first occurrence must keep all chunks: ${out(1L)}")
+    assert(out(1L)._3 === pre1 + passage + post1)
+    // doc 2 loses the passage's interior chunks: strictly shorter,
+    // still carries its unique prefix start and suffix end
+    assert(out(2L)._2 >= 10, s"expected ≥10 dropped chunks, got ${out(2L)}")
+    assert(out(2L)._3.length < ("zq!" + pre2 + passage + post2).length)
+    assert(out(2L)._3.startsWith("zq!"))
+    assert(out(2L)._3.endsWith(post2.takeRight(8)))
+    // removed content is exactly the dropped chunks' total length:
+    // cleaned is a subsequence of the original built from whole chunks
+    assert(!out(2L)._3.contains(passage.substring(50, 350)),
+      "the interior of the pasted passage must be gone")
+    // unique and empty docs pass through unchanged
+    assert(out(3L) === ((out(3L)._1, 0L, solo)))
+    assert(out(4L) === ((0L, 0L, "")))
+  }
 }
