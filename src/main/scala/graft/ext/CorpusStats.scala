@@ -225,4 +225,41 @@ object CorpusStats {
         round(col("cnt").cast("double") / col("total").cast("double"), 6).as("share"))
       .orderBy(desc("cnt"), col("key")).limit(k)
   }
+
+  /** Vocabulary growth curve: per ingestion batch
+    * (`floor(id / batchSize)`), the count of never-seen-before tokens
+    * and the cumulative vocabulary size — the diminishing-returns
+    * signal corpus collection decisions read (a flattening curve
+    * means new data is re-treading old vocabulary).
+    *
+    * The naive formulation — `count(distinct token)` over every
+    * prefix — rescans the corpus once per batch. The exact
+    * reformulation here: a token's FIRST-SEEN batch is `min(batch)`
+    * over its occurrences, the per-batch new-token count is a count
+    * over that tiny table, and the cumulative curve is a prefix sum —
+    * ONE shuffle on token, then batch-cardinality frames. The prefix
+    * sum runs through [[graft.ops.RelationalOps.runningTotal]]'s
+    * two-phase form (per-bucket windows + broadcast offsets), so no
+    * unpartitioned window appears even when the batch axis grows.
+    * Batches with tokens but no new ones still appear (new_tokens
+    * 0); `vocab_size` is exact, not a sketch. */
+  def vocabGrowth(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", batchSize: Long = 50): DataFrame = {
+    require(batchSize > 0, "need positive batchSize")
+    val tok = docs
+      .select(floor(col(idCol) / batchSize).cast("long").as("batch"),
+        explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val firstSeen = tok.groupBy("token").agg(min("batch").as("batch"))
+    val perBatch = tok.select("batch").distinct()
+      .join(firstSeen.groupBy("batch").agg(count(lit(1)).as("new_tokens")),
+        Seq("batch"), "left")
+      .withColumn("new_tokens", coalesce(col("new_tokens"), lit(0L)))
+    graft.ops.RelationalOps.runningTotal(perBatch,
+        floor(col("batch") / 64L).cast("long"), Seq(col("batch")),
+        col("new_tokens"), "vocab_size")
+      .withColumn("vocab_size", col("vocab_size").cast("long"))
+      .select("batch", "new_tokens", "vocab_size")
+      .orderBy("batch")
+  }
 }

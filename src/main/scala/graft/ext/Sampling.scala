@@ -352,4 +352,33 @@ object Sampling {
       .withColumn("shard", col("__shard").cast("int"))
       .drop("__h", "__shard")
   }
+
+  /** Per-group top-p (nucleus) selection by quality mass: within each
+    * group, rank rows by `score` descending (ties to the smaller
+    * `key`) and keep the best rows until they cover fraction
+    * `pNum/pDen` of the group's TOTAL score — the row that crosses
+    * the threshold is kept, so every non-empty group retains at
+    * least one row. The budget-style dual of [[capPerGroup]]: instead
+    * of a fixed row count, each group keeps however many rows its
+    * quality concentration needs — a skewed group keeps few, a flat
+    * one keeps many.
+    *
+    * `score` must be integer-typed: the keep predicate
+    * `(cum − score)·pDen < pNum·total` is all-int64, exact in any
+    * engine and any partition order (no float cumsum drift). Scale:
+    * one shuffle on `group`, windows partitioned by group — never
+    * global; group size bounds window state exactly as every other
+    * per-group operator here. */
+  def topPSelect(df: DataFrame, group: Column, key: Column, score: Column,
+                 pNum: Long, pDen: Long): DataFrame = {
+    require(pNum >= 0 && pDen > 0, "need pNum >= 0 and pDen > 0")
+    val W = org.apache.spark.sql.expressions.Window
+    val wCum = W.partitionBy(group).orderBy(score.desc, key)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wTot = W.partitionBy(group)
+    df.withColumn("__cum", sum(score).over(wCum))
+      .withColumn("__tot", sum(score).over(wTot))
+      .filter((col("__cum") - score) * pDen < lit(pNum) * col("__tot"))
+      .drop("__cum", "__tot")
+  }
 }

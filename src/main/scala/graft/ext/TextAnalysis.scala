@@ -122,6 +122,15 @@ object TextAnalysis {
       regexp_replace(text, urlPattern, "<URL>"),
       emailPattern, "<EMAIL>")
 
+  /** Canonical text form for dedup keys and equality joins: Unicode
+    * NFC composition, simple per-code-point lowercase, whitespace-run
+    * collapse — composed and decomposed spellings of the same word
+    * come out byte-identical
+    * ([[graft.functions.NormalizeText]]). Run this BEFORE hashing /
+    * shingling so `Café` == `Cafe´` == `CAFÉ`. */
+  def normalize(text: Column): Column =
+    graft.functions.TextExpressions.normalizeText(text)
+
   /** Duplicate word-3-gram ratio (a Gopher-style repetition signal):
     * 1 − distinct/total over the doc's 3-gram shingles; 0 for docs
     * shorter than 3 words. High values flag boilerplate/looped text
@@ -131,6 +140,29 @@ object TextAnalysis {
     when(size(sh) > 0,
       lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
       .otherwise(lit(0.0))
+  }
+
+  /** Gopher-style duplicate-LINE repetition signals: a struct of
+    * `n_lines`, `dup_lines`, `dup_line_frac` (occurrences beyond the
+    * first occurrence of each distinct non-empty trimmed line, over
+    * all non-empty lines) and `dup_char_frac` (same, weighted by
+    * line length in code points) — the line-granularity complement
+    * to [[repetitionScore]]'s 3-gram view, flagging navigation
+    * boilerplate and copy-pasted blocks. One pass per row
+    * ([[graft.functions.DupLineStats]]), fractions 0 for docs with
+    * no non-empty lines. */
+  def dupLineSignals(text: Column): Column = {
+    val s = graft.functions.TextExpressions.dupLineStats(text)
+    val nl = s.getItem(0)
+    val dl = s.getItem(1)
+    val dc = s.getItem(2)
+    val tc = s.getItem(3)
+    struct(
+      nl.as("n_lines"), dl.as("dup_lines"),
+      when(nl > 0, dl.cast("double") / nl.cast("double")).otherwise(lit(0.0))
+        .as("dup_line_frac"),
+      when(tc > 0, dc.cast("double") / tc.cast("double")).otherwise(lit(0.0))
+        .as("dup_char_frac"))
   }
 
   /** Token-window chunks for context-length-bounded training: chunk i

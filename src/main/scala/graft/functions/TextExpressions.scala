@@ -320,6 +320,109 @@ case class CdcBoundaries(child: Expression, window: Int, maskBits: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Canonicalize text for dedup/joining: Unicode NFC composition →
+  * per-code-point simple lowercase → ASCII-whitespace run collapse to
+  * a single space with leading/trailing runs dropped, all in one
+  * post-NFC sweep. Exactly
+  * `trim(regexp_replace(lower(nfc_normalize(t)), '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ')`
+  * in DuckDB: both engines implement UAX #15 NFC, and
+  * `Character.toLowerCase(int)` is the same UnicodeData simple 1:1
+  * mapping utf8proc's `lower` applies (İ → i, ß stays ß — NOT the
+  * locale/full mappings of `String.toLowerCase`, which would expand
+  * İ to i+combining-dot and diverge). Composed and decomposed
+  * spellings of the same word normalize to identical bytes, which is
+  * what makes downstream hash-dedup see them as equal. */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC)
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var pendingSpace = false
+    var started = false
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (TextScan.isSpaceCp(cp)) pendingSpace = true
+      else {
+        if (pendingSpace && started) sb.append(' ')
+        pendingSpace = false
+        started = true
+        sb.appendCodePoint(Character.toLowerCase(cp))
+      }
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** One-pass duplicate-line census — the Gopher-style intra-document
+  * repetition signals at LINE granularity (duplicate-line fraction
+  * and duplicate-line CHARACTER fraction), complementing
+  * [[graft.ext.TextAnalysis.repetitionScore]]'s 3-gram view. Lines
+  * are split on `\n`; each line is trimmed of ASCII space/tab/CR
+  * (so `\r\n` endings and indentation don't defeat the match) and
+  * empty lines are skipped. Returns `[n_lines, dup_lines, dup_chars,
+  * total_chars]` as int64s — every occurrence of a line beyond its
+  * first counts as a duplicate, with its length in CODE POINTS (the
+  * unit both engines' `length()` agree on); ratio assembly is left
+  * to the caller so the hashed gate compares exact integers. One
+  * hash map over the document's lines, no shuffle, no explode. */
+case class DupLineStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val counts = new java.util.HashMap[String, Long]()
+    val lens = new java.util.HashMap[String, Long]()
+    var start = 0
+    val n = s.length
+    var nLines = 0L
+    var totalChars = 0L
+    def take(endExcl: Int): Unit = {
+      var a = start
+      var z = endExcl
+      while (a < z && { val c = s.charAt(a); c == ' ' || c == '\t' || c == '\r' }) a += 1
+      while (z > a && { val c = s.charAt(z - 1); c == ' ' || c == '\t' || c == '\r' }) z -= 1
+      if (z > a) {
+        val line = s.substring(a, z)
+        val len = line.codePointCount(0, line.length).toLong
+        counts.merge(line, 1L, (x, y) => x + y)
+        lens.put(line, len)
+        nLines += 1
+        totalChars += len
+      }
+    }
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == '\n') { take(i); start = i + 1 }
+      i += 1
+    }
+    take(n)
+    var dupLines = 0L
+    var dupChars = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue > 1) {
+        dupLines += e.getValue - 1
+        dupChars += (e.getValue - 1) * lens.get(e.getKey)
+      }
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(nLines, dupLines, dupChars, totalChars))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Shared character-class predicates (Java regex ASCII semantics). */
 object TextScan {
   def isSpace(c: Char): Boolean =
@@ -360,6 +463,16 @@ object TextExpressions {
   def cdcBoundaries(text: Column, window: Int, maskBits: Int): Column =
     column(CdcBoundaries(expression(text), window, maskBits))
 
+  /** Canonical text form: NFC → simple lowercase → whitespace
+    * collapse ([[NormalizeText]]). */
+  def normalizeText(text: Column): Column =
+    column(NormalizeText(expression(text)))
+
+  /** One-pass duplicate-line census `[n_lines, dup_lines, dup_chars,
+    * total_chars]` ([[DupLineStats]]). */
+  def dupLineStats(text: Column): Column =
+    column(DupLineStats(expression(text)))
+
   /** Make the text expressions available to `spark.sql` as
     * `ws_token_count(t)`, `punct_count(t)`, `word_shingles(t, n)`,
     * `rolling_hash(t)` (builder-time path: [[graft.GraftExtensions]]). */
@@ -377,5 +490,7 @@ object TextExpressions {
       exprs => CdcBoundaries(exprs(0),
         FunctionArgs.foldableInt("cdc_boundaries", "window", exprs(1)),
         FunctionArgs.foldableInt("cdc_boundaries", "mask_bits", exprs(2))))
+    GraftColumnBridge.registerFunction(spark, "normalize_text",
+      exprs => NormalizeText(exprs(0)))
   }
 }

@@ -91,6 +91,42 @@ object DedupQueries {
       Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
              |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin), bench = true),
 
+    // Exact dedup over the CANONICAL text form
+    // ([[graft.ext.TextAnalysis.normalize]]: NFC + simple lowercase +
+    // whitespace collapse) — the normalize-then-hash composition every
+    // curation pipeline runs so `Café`/`Cafe´`/`CAFÉ` land in one
+    // group. Injected rows prove the Unicode merge: a decomposed and
+    // a precomposed spelling of the same phrase (1000001/1000004)
+    // must collapse to n_copies=2 under keep_id 1000001. Same
+    // one-shuffle plan as q_dd_exact; normalization is a narrow map.
+    QueryDef("q_dd_exact_norm",
+      (s, d) => {
+        import s.implicits._
+        val tricky = Seq(
+          (1000001L, "Café au LAIT"),   // precomposed é, upper
+          (1000004L, "Café au lait"),   // precomposed é, lower
+          (1000005L, "  A\tB\n\nC  ")
+        ).toDF("doc_id", "text")
+        Dedup.exact(
+          t(s, d, "documents").select(col("doc_id"), col("text"))
+            .unionAll(tricky)
+            .withColumn("text", graft.ext.TextAnalysis.normalize(col("text"))),
+          "doc_id", "text").orderBy("keep_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT * FROM (VALUES
+             |    (CAST(1000001 AS BIGINT), 'Cafe' || chr(769) || ' au LAIT'),
+             |    (CAST(1000004 AS BIGINT), 'Caf' || chr(233) || ' au lait'),
+             |    (CAST(1000005 AS BIGINT), '  A' || chr(9) || 'B' || chr(10) || chr(10) || 'C  ')) v(doc_id, text)),
+             |n AS (
+             |  SELECT doc_id,
+             |    trim(regexp_replace(lower(nfc_normalize(text)),
+             |      '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ') AS text
+             |  FROM u)
+             |SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM n GROUP BY text ORDER BY keep_id""".stripMargin)),
+
     // Exact dedup keeping the BEST copy (argmax priority, ties to the
     // smaller id) — here a portable MINSTD "source score" stands in
     // for provenance metadata; the oracle replays the same argmax.

@@ -130,6 +130,29 @@ object TextQueries {
              |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
              |      FROM documents)""".stripMargin)),
 
+    // Vocabulary growth curve ([[graft.ext.CorpusStats.vocabGrowth]]):
+    // never-seen-before tokens per ingestion batch + cumulative vocab
+    // size via the first-seen reformulation — ONE token shuffle where
+    // the naive per-prefix distinct rescans the corpus once per
+    // batch. The oracle re-derives first-seen batches and the prefix
+    // sum directly; batch = floor(doc_id/50) → 10 batches at sf0.01.
+    QueryDef("q_tx_vocab_growth",
+      (s, d) => graft.ext.CorpusStats.vocabGrowth(
+        t(s, d, "documents"), "doc_id", "text", batchSize = 50),
+      Some("""WITH tok AS (
+             |  SELECT CAST(floor(doc_id / 50) AS BIGINT) AS batch,
+             |         unnest(string_split_regex(lower(text), '\s+')) AS token
+             |  FROM documents),
+             |t2 AS (SELECT batch, token FROM tok WHERE token <> ''),
+             |fs AS (SELECT token, min(batch) AS batch FROM t2 GROUP BY token),
+             |nb AS (SELECT batch, count(*) AS new_tokens FROM fs GROUP BY batch),
+             |b AS (SELECT DISTINCT batch FROM t2)
+             |SELECT b.batch,
+             |  CAST(coalesce(nb.new_tokens, 0) AS BIGINT) AS new_tokens,
+             |  CAST(sum(coalesce(nb.new_tokens, 0)) OVER (ORDER BY b.batch
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab_size
+             |FROM b LEFT JOIN nb USING (batch) ORDER BY batch""".stripMargin)),
+
     // TF-IDF: top-3 highest-scoring terms per document (first 50 docs)
     QueryDef("q_tx_tfidf",
       (s, d) => {
@@ -265,6 +288,96 @@ object TextQueries {
              |        regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
              |        '[\w.+-]+@[\w-]+(\.[\w-]+)+', '<EMAIL>', 'g')) AS red_md5
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Unicode canonicalization ([[graft.functions.NormalizeText]]):
+    // NFC composition, simple per-code-point lowercase, whitespace
+    // collapse — the pre-hash normalization that makes composed and
+    // decomposed spellings dedup-equal. The corpus (ASCII) rides
+    // along to pin the common path; injected rows exercise the
+    // Unicode edges: decomposed vs precomposed é must come out
+    // byte-identical, İ takes the SIMPLE mapping (→ i, not i+dot),
+    // ß is unchanged, and mixed tab/newline runs collapse. Both
+    // engines implement UAX #15 NFC and the UnicodeData 1:1
+    // lowercase, so the full normalized text is value-checked.
+    QueryDef("q_tx_normalize",
+      (s, d) => {
+        import s.implicits._
+        val tricky = Seq(
+          (1000001L, "Café au LAIT"),
+          (1000002L, "İstanbul STRASSE ß"),
+          (1000003L, "  A\tB\n\nC  "),
+          (1000004L, "Café au lait")
+        ).toDF("doc_id", "text")
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .unionAll(tricky)
+          .select(col("doc_id"),
+            TextAnalysis.normalize(col("text")).as("norm"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(lower(nfc_normalize(text)),
+             |    '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ') AS norm
+             |FROM (SELECT doc_id, text FROM documents
+             |      UNION ALL SELECT * FROM (VALUES
+             |  (CAST(1000001 AS BIGINT), 'Cafe' || chr(769) || ' au LAIT'),
+             |  (CAST(1000002 AS BIGINT), chr(304) || 'stanbul STRASSE ' || chr(223)),
+             |  (CAST(1000003 AS BIGINT), '  A' || chr(9) || 'B' || chr(10) || chr(10) || 'C  '),
+             |  (CAST(1000004 AS BIGINT), 'Caf' || chr(233) || ' au lait')) v(doc_id, text))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-style duplicate-LINE census
+    // ([[graft.functions.DupLineStats]]): duplicate-line fraction and
+    // duplicate-line character fraction in one per-row pass — the
+    // line-granularity repetition signal next to q_tx_repetition's
+    // 3-gram ratio. The corpus has no newlines (each doc = 1 line,
+    // fractions 0) so injected rows carry the semantics: repeated
+    // headers, \r\n endings, indentation-only differences (trimmed
+    // away), blank lines (skipped), and an all-duplicate doc. The
+    // counters are exact int64s; both engines divide the same ints.
+    QueryDef("q_tx_dupline",
+      (s, d) => {
+        import s.implicits._
+        val tricky = Seq(
+          (1000001L, "header\nbody one\nheader\nbody two\nheader\n"),
+          (1000002L, "  nav  \r\nnav\nunique line\n\n\nnav\r\n"),
+          (1000003L, "a\nb\nc"),
+          (1000004L, "   \n\t\n"),
+          (1000005L, "same\nsame\nsame\nsame")
+        ).toDF("doc_id", "text")
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .unionAll(tricky)
+          .select(col("doc_id"),
+            TextAnalysis.dupLineSignals(col("text")).as("r"))
+          .select(col("doc_id"), col("r.n_lines"), col("r.dup_lines"),
+            col("r.dup_line_frac"), col("r.dup_char_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT * FROM (VALUES
+             |    (CAST(1000001 AS BIGINT), 'header' || chr(10) || 'body one' || chr(10) || 'header' || chr(10) || 'body two' || chr(10) || 'header' || chr(10)),
+             |    (CAST(1000002 AS BIGINT), '  nav  ' || chr(13) || chr(10) || 'nav' || chr(10) || 'unique line' || chr(10) || chr(10) || chr(10) || 'nav' || chr(13) || chr(10)),
+             |    (CAST(1000003 AS BIGINT), 'a' || chr(10) || 'b' || chr(10) || 'c'),
+             |    (CAST(1000004 AS BIGINT), '   ' || chr(10) || chr(9) || chr(10)),
+             |    (CAST(1000005 AS BIGINT), 'same' || chr(10) || 'same' || chr(10) || 'same' || chr(10) || 'same')) v(doc_id, text)),
+             |l AS (SELECT doc_id, trim(s, ' ' || chr(9) || chr(13)) AS line
+             |      FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS s FROM u)),
+             |ne AS (SELECT doc_id, line FROM l WHERE line <> ''),
+             |g AS (SELECT doc_id, line, count(*) AS c, length(line) AS len
+             |      FROM ne GROUP BY doc_id, line),
+             |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+             |          CAST(sum(c - 1) AS BIGINT) AS dup_lines,
+             |          CAST(sum((c - 1) * len) AS BIGINT) AS dup_chars,
+             |          CAST(sum(c * len) AS BIGINT) AS tot_chars
+             |        FROM g GROUP BY doc_id)
+             |SELECT u.doc_id,
+             |  coalesce(n_lines, 0) AS n_lines,
+             |  coalesce(dup_lines, 0) AS dup_lines,
+             |  CASE WHEN coalesce(n_lines, 0) > 0
+             |    THEN CAST(dup_lines AS DOUBLE) / n_lines ELSE 0.0 END AS dup_line_frac,
+             |  CASE WHEN coalesce(tot_chars, 0) > 0
+             |    THEN CAST(dup_chars AS DOUBLE) / tot_chars ELSE 0.0 END AS dup_char_frac
+             |FROM u LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     // Repetition signal: duplicate word-3-gram ratio per document
     QueryDef("q_tx_repetition",
@@ -451,6 +564,28 @@ object TextQueries {
              |  FROM documents)
              |SELECT source, hb, doc_id FROM ranked WHERE rn <= 10
              |ORDER BY source, doc_id""".stripMargin)),
+
+    // Per-source top-p (nucleus) selection
+    // ([[graft.ext.Sampling.topPSelect]]): keep each source's best
+    // docs (by n_chars, ties to smaller id) until they cover 60% of
+    // the source's total character mass — the budget dual of the
+    // fixed-count cap above; a skewed source keeps few docs, a flat
+    // one keeps many. Keep predicate is all-int64
+    // ((cum−score)·5 < 3·tot), so the oracle replays it exactly.
+    QueryDef("q_sample_topp",
+      (s, d) => graft.ext.Sampling.topPSelect(
+          t(s, d, "documents").select("doc_id", "source", "n_chars"),
+          col("source"), col("doc_id"), col("n_chars"), pNum = 3, pDen = 5)
+        .orderBy("doc_id"),
+      Some("""WITH r AS (
+             |  SELECT doc_id, source, n_chars,
+             |    sum(n_chars) OVER (PARTITION BY source
+             |      ORDER BY n_chars DESC, doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(n_chars) OVER (PARTITION BY source) AS tot
+             |  FROM documents)
+             |SELECT doc_id, source, n_chars FROM r
+             |WHERE (cum - n_chars) * 5 < 3 * tot ORDER BY doc_id""".stripMargin)),
 
     // Weighted sampling without replacement (DLT priority sampling):
     // 200 docs with inclusion odds ∝ n_chars — integer priority

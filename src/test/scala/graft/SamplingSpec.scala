@@ -233,4 +233,32 @@ class SamplingSpec extends AnyFunSuite with SharedSpark {
     val moved = e0.toSet.diff(e1.toSet).size
     assert(moved > 400, s"epoch 1 should reshuffle nearly everything, moved $moved")
   }
+
+  test("topPSelect: per-group quality mass, crossing row kept, exact replay") {
+    import spark.implicits._
+    // group A total 100: scores 50,30,15,5 → p=0.6: 50 (cum 50) kept,
+    // 30 kept (cum_prev 50 < 60), 15 dropped (cum_prev 80 ≥ 60).
+    // group B flat 10×4 → p=0.6: cum_prev 0,10,20 < 24 keep 3 rows.
+    val df = Seq(
+      ("A", 1L, 50L), ("A", 2L, 30L), ("A", 3L, 15L), ("A", 4L, 5L),
+      ("B", 5L, 10L), ("B", 6L, 10L), ("B", 7L, 10L), ("B", 8L, 10L)
+    ).toDF("g", "id", "score")
+    def kept(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      Sampling.topPSelect(d, col("g"), col("id"), col("score"), 3, 5)
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(kept(df) === Seq(1L, 2L, 5L, 6L, 7L))
+    // partition-order independent
+    assert(kept(df.repartition(7)) === Seq(1L, 2L, 5L, 6L, 7L))
+    // ties break to the smaller id: equal top scores, tiny p keeps
+    // exactly the first-ranked row — which must be id 1
+    val tie = Seq(("C", 1L, 10L), ("C", 2L, 10L)).toDF("g", "id", "score")
+    assert(Sampling.topPSelect(tie, col("g"), col("id"), col("score"), 1, 100)
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // p = 1 keeps everything; every non-empty group keeps ≥ 1 row
+    assert(Sampling.topPSelect(df, col("g"), col("id"), col("score"), 1, 1)
+      .count() === 8)
+    val skew = Seq(("D", 1L, 1000L), ("D", 2L, 1L)).toDF("g", "id", "score")
+    assert(Sampling.topPSelect(skew, col("g"), col("id"), col("score"), 1, 100)
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
 }

@@ -30,6 +30,78 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     assert(counts("") === Seq(0, 0, 0, 0, 0, 0, 0))
   }
 
+  test("normalize: NFC + simple lowercase + whitespace collapse") {
+    def norm(s: String): String =
+      one(s, TextAnalysis.normalize(col("text"))).asInstanceOf[String]
+    // composed and decomposed spellings become byte-identical
+    val composed   = "Café au LAIT"          // precomposed é
+    val decomposed = "Café au LAIT"         // e + combining acute
+    assert(norm(composed) === "café au lait")
+    assert(norm(decomposed) === norm(composed))
+    // İ (U+0130) takes the SIMPLE 1:1 mapping → plain i (NOT the full
+    // mapping i + combining dot that String.toLowerCase would produce)
+    assert(norm("İstanbul") === "istanbul")
+    assert("İstanbul".toLowerCase(java.util.Locale.ROOT) !== "istanbul",
+      "full mapping would diverge — the simple mapping is the point")
+    // ß has no simple lowercase change; never expands to ss
+    assert(norm("STRASSE ß") === "strasse ß")
+    // every ASCII whitespace run collapses; leading/trailing dropped
+    assert(norm("  A\tB\n\nC \f\r D  ") === "a b c d")
+    assert(norm("") === "")
+    assert(norm("   \t\n ") === "")
+    // non-ASCII spaces (NBSP) are NOT collapsed — ASCII class only,
+    // matching the oracle's [ \t\n\x0B\f\r] exactly
+    assert(norm("a b") === "a b")
+    // SQL registration agrees
+    graft.functions.TextExpressions.register(spark)
+    assert(spark.sql("SELECT normalize_text('  Café  X  ') AS n")
+      .head().getString(0) === "café x")
+  }
+
+  test("dupLineSignals: trimmed-line census, code-point lengths") {
+    def sig(s: String): (Long, Long, Double, Double) = {
+      val r = one(s, TextAnalysis.dupLineSignals(col("text")))
+        .asInstanceOf[org.apache.spark.sql.Row]
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    }
+    assert(sig("x\ny\nx") === ((3L, 1L, 1.0 / 3, 1.0 / 3)))
+    // indentation and \r\n endings do not defeat the match
+    assert(sig("  nav \r\nnav\nbody") === ((3L, 1L, 1.0 / 3, 3.0 / 10)))
+    // blank / whitespace-only lines are skipped entirely
+    assert(sig("a\n\n   \n\t\na") === ((2L, 1L, 0.5, 0.5)))
+    assert(sig("") === ((0L, 0L, 0.0, 0.0)))
+    assert(sig("   \n\t") === ((0L, 0L, 0.0, 0.0)))
+    // all-duplicate document
+    assert(sig("same\nsame\nsame") === ((3L, 2L, 2.0 / 3, 2.0 / 3)))
+    // lengths count CODE POINTS: the emoji line is 2 chars, not 3
+    val emoji = new String(Character.toChars(0x1F600)) + "a"
+    assert(sig(s"$emoji\n$emoji\nbb") === ((3L, 1L, 1.0 / 3, 2.0 / 6)))
+    // a doc with no newline is one line, zero duplication
+    assert(sig("single line here") === ((1L, 0L, 0.0, 0.0)))
+  }
+
+  test("vocabGrowth: first-seen reformulation equals per-prefix distinct") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b"), (1L, "b  c"), (2L, "c d"), (3L, "a e"),
+      (4L, "f f"), (5L, "a b"), (6L, "a b c"), (7L, "e f")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.CorpusStats.vocabGrowth(docs, batchSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // b0 {a,b,c} → 3; b1 {c,d,a,e} → +2; b2 {f,a,b} → +1; b3 {a,b,c,e,f} → +0
+    assert(got === Seq((0L, 3L, 3L), (1L, 2L, 5L), (2L, 1L, 6L), (3L, 0L, 6L)))
+    // exact against the naive per-prefix distinct
+    val naive = (0L to 3L).map { b =>
+      docs.filter(col("doc_id") < (b + 1) * 2)
+        .select(explode(split(lower(col("text")), "\\s+")).as("t"))
+        .filter(col("t") =!= "").select("t").distinct().count()
+    }
+    assert(got.map(_._3) === naive)
+    // physical layout must not matter
+    assert(graft.ext.CorpusStats.vocabGrowth(docs.repartition(5), batchSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq === got)
+  }
+
   test("token counts: whitespace vs BPE-ish regex") {
     assert(one("hello world", TextAnalysis.tokenCountWs(col("text"))) === 2)
     assert(one("hello, world!", TextAnalysis.tokenCountWs(col("text"))) === 2)
