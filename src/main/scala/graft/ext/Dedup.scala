@@ -772,4 +772,34 @@ object Dedup {
           concat(acc, col("__t").substr(s.getField("c_start"),
             s.getField("c_len")))), lit("")).as("cleaned"))
   }
+
+  /** Winnowing-fingerprint near-dup candidate pairs (the MOSS
+    * construction — [[graft.functions.WinnowFingerprints]]):
+    * fingerprint every document in one per-row pass, drop
+    * fingerprints present in more than `maxDf` documents (a hot
+    * boilerplate k-gram generates O(df²) noise pairs — the same
+    * document-frequency cap discipline as the shingle joins), then
+    * count the DISTINCT fingerprints each pair shares and keep pairs
+    * with ≥ `minShared`. The winnowing guarantee (any shared
+    * substring of length ≥ k+w−1 yields ≥ 1 shared fingerprint)
+    * makes this a position-robust candidate generator at ~2/(w+1)
+    * the cost of full shingle joins: only ~12-byte (id, hash) rows
+    * ever shuffle, never text, and the pair join fans out at most
+    * `maxDf` per fingerprint by construction. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8, w: Int = 8, maxDf: Int = 20,
+                  minShared: Int = 10): DataFrame = {
+    val fp = docs.select(col(idCol).as("id"),
+        explode(graft.functions.TextExpressions
+          .winnowFingerprints(col(textCol), k, w)).as("f"))
+      .select(col("id"), col("f.h").as("h")).distinct()
+    val rare = fp.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("h")
+    val fr = fp.join(rare, "h")
+    fr.as("wa").join(fr.as("wb"),
+        col("wa.h") === col("wb.h") && col("wa.id") < col("wb.id"))
+      .groupBy(col("wa.id").as("d1"), col("wb.id").as("d2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

@@ -4,7 +4,9 @@ import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Count, for each of `sets`, how many word-runs of the input are
@@ -362,6 +364,81 @@ case class NormalizeText(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+  * "Winnowing: Local Algorithms for Document Fingerprinting",
+  * SIGMOD 2003 — the MOSS algorithm): hash every k-gram of code
+  * points with the SQL-portable 31-polynomial mod 1e9+7, slide a
+  * window of `w` consecutive k-gram hashes, and select each window's
+  * MINIMUM hash (ties → rightmost position). Overlapping windows
+  * mostly re-select the same k-gram, so the distinct selections are
+  * a ~2/(w+1)-density sample of the k-grams with the winnowing
+  * guarantee: any shared substring of length ≥ k+w−1 between two
+  * documents yields at least one shared fingerprint — the
+  * position-robust dedup/plagiarism key that fixed-stride sampling
+  * lacks. Documents with fewer than `w` k-grams (but ≥ 1) winnow a
+  * single whole-range window so short docs still fingerprint.
+  *
+  * One pass per row: rolling k-gram hashes + a monotonic deque for
+  * the sliding-window minimum (pop-while-`≥` makes the rightmost of
+  * equal minima survive, the paper's tie rule). Returns the distinct
+  * selections ascending as array<struct<pos:int, h:long>> with `pos`
+  * the 1-based code-point start of the k-gram — both replayable in
+  * SQL via per-position hash lists + window slicing. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && w > 0, "need positive k and w")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))), containsNull = false)
+
+  private val P = 1000000007L
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val cps = s.codePoints().toArray
+    val n = cps.length
+    val m = n - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    // rolling k-gram hashes: h(p+1) = (h(p) − cp[p]·31^(k−1))·31 + cp[p+k]
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow = pow * 31 % P; i += 1 }
+    val hs = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * 31 + cps(i)) % P; i += 1 }
+    hs(0) = h
+    var p = 1
+    while (p < m) {
+      h = ((h - cps(p - 1) * pow % P + P) % P * 31 + cps(p + k - 1)) % P
+      hs(p) = h
+      p += 1
+    }
+    val win = math.min(w, m)
+    // monotonic deque of k-gram indices with increasing hashes; the
+    // head is the window minimum, and pop-while-≥ keeps the rightmost
+    // of equal minima (the winnowing tie rule)
+    val dq = new Array[Int](m)
+    var head = 0
+    var tail = 0 // exclusive
+    val selPos = new scala.collection.mutable.ArrayBuffer[Int]()
+    p = 0
+    while (p < m) {
+      while (tail > head && hs(dq(tail - 1)) >= hs(p)) tail -= 1
+      dq(tail) = p; tail += 1
+      if (dq(head) <= p - win) head += 1
+      if (p >= win - 1 &&
+          (selPos.isEmpty || selPos.last != dq(head))) selPos += dq(head)
+      p += 1
+    }
+    new GenericArrayData(selPos.map(q =>
+      InternalRow(q + 1, hs(q)): Any).toArray)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** One-pass duplicate-line census — the Gopher-style intra-document
   * repetition signals at LINE granularity (duplicate-line fraction
   * and duplicate-line CHARACTER fraction), complementing
@@ -472,6 +549,11 @@ object TextExpressions {
     * total_chars]` ([[DupLineStats]]). */
   def dupLineStats(text: Column): Column =
     column(DupLineStats(expression(text)))
+
+  /** Winnowing fingerprints array<struct<pos,h>>
+    * ([[WinnowFingerprints]]). */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    column(WinnowFingerprints(expression(text), k, w))
 
   /** Make the text expressions available to `spark.sql` as
     * `ws_token_count(t)`, `punct_count(t)`, `word_shingles(t, n)`,

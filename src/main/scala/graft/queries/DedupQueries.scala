@@ -616,6 +616,39 @@ object DedupQueries {
              |FROM chk JOIN dpc USING (m)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Winnowing-fingerprint near-dup candidates
+    // ([[graft.ext.Dedup.winnowPairs]]): pairs sharing ≥ 10 distinct
+    // winnowed fingerprints after the df ≤ 20 boilerplate cap — the
+    // MOSS candidate generator at ~2/(w+1) the shingle-join cost,
+    // with the winnowing guarantee that any shared ≥ 15-char run
+    // surfaces. The oracle replays fingerprinting (see q_tx_winnow),
+    // the df cap, and the pair counting exactly.
+    QueryDef("q_dd_winnow",
+      (s, d) => graft.ext.Dedup.winnowPairs(t(s, d, "documents"),
+          "doc_id", "text", k = 8, w = 8, maxDf = 20, minShared = 10)
+        .orderBy("d1", "d2"),
+      Some("""WITH cps AS (SELECT doc_id, text, length(text) AS n FROM documents),
+             |kg AS (
+             |  SELECT doc_id, i,
+             |    list_reduce(list_prepend(0::BIGINT,
+             |      list_transform(range(i, i + 8),
+             |        x -> unicode(substr(text, CAST(x AS INT), 1))::BIGINT)),
+             |      (h, c) -> (h * 31 + c) % 1000000007) AS hv
+             |  FROM cps, range(1, 100000) r(i) WHERE i <= n - 7),
+             |hl AS (SELECT doc_id, list(hv ORDER BY i) AS hs, count(*) AS m
+             |       FROM kg GROUP BY doc_id),
+             |wins AS (
+             |  SELECT doc_id, j,
+             |    list_slice(hs, CAST(j AS INT), CAST(least(j + 7, m) AS INT)) AS win
+             |  FROM hl, range(1, 100000) r(j) WHERE j <= greatest(m - 7, 1)),
+             |fpd AS (SELECT DISTINCT doc_id, list_min(win) AS h FROM wins),
+             |rare AS (SELECT h FROM fpd GROUP BY h HAVING count(*) <= 20),
+             |fr AS (SELECT fpd.* FROM fpd JOIN rare USING (h))
+             |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
+             |FROM fr a JOIN fr b ON a.h = b.h AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 10
+             |ORDER BY d1, d2""".stripMargin)),
+
     // Exact duplicate-substring REMOVAL (Lee et al. 2022 cleanup over
     // CDC chunks, [[graft.ext.Dedup.stripDuplicateChunks]]): every
     // chunk occurring >1 time corpus-wide survives only at its

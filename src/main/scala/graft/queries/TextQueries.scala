@@ -263,6 +263,43 @@ object TextQueries {
              |FROM ch c JOIN documents d ON c.doc_id = d.doc_id
              |ORDER BY c.doc_id, c.chunk_id""".stripMargin)),
 
+    // Winnowing document fingerprints (MOSS, Schleimer et al. 2003;
+    // [[graft.functions.WinnowFingerprints]]): per-window minimum of
+    // 8-gram 31-polynomial hashes over a window of 8, ties →
+    // rightmost. The oracle replays every step in SQL: per-position
+    // k-gram hashes (list_reduce), per-doc hash lists, window slices,
+    // and the rightmost-min via list_position over the reversed
+    // slice. Value-checks positions AND hashes for the full corpus
+    // (~65 fingerprints/doc at density 2/(w+1)).
+    QueryDef("q_tx_winnow",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextExpressions
+            .winnowFingerprints(col("text"), 8, 8)).as("f"))
+        .select(col("doc_id"), col("f.pos").as("pos"), col("f.h").as("h"))
+        .orderBy("doc_id", "pos"),
+      Some("""WITH cps AS (SELECT doc_id, text, length(text) AS n FROM documents),
+             |kg AS (
+             |  SELECT doc_id, i,
+             |    list_reduce(list_prepend(0::BIGINT,
+             |      list_transform(range(i, i + 8),
+             |        x -> unicode(substr(text, CAST(x AS INT), 1))::BIGINT)),
+             |      (h, c) -> (h * 31 + c) % 1000000007) AS hv
+             |  FROM cps, range(1, 100000) r(i) WHERE i <= n - 7),
+             |hl AS (SELECT doc_id, list(hv ORDER BY i) AS hs, count(*) AS m
+             |       FROM kg GROUP BY doc_id),
+             |wins AS (
+             |  SELECT doc_id, j,
+             |    list_slice(hs, CAST(j AS INT), CAST(least(j + 7, m) AS INT)) AS win
+             |  FROM hl, range(1, 100000) r(j) WHERE j <= greatest(m - 7, 1)),
+             |sel AS (
+             |  SELECT DISTINCT doc_id,
+             |    CAST(j + len(win) -
+             |      list_position(list_reverse(win), list_min(win)) AS INT) AS pos,
+             |    list_min(win) AS h
+             |  FROM wins)
+             |SELECT doc_id, pos, h FROM sel ORDER BY doc_id, pos""".stripMargin)),
+
     // The curated corpus itself, per document (same stages as
     // q_curate_pipeline before the final rollup)
     QueryDef("q_curate_docs",

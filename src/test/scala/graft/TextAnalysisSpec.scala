@@ -80,6 +80,47 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     assert(sig("single line here") === ((1L, 0L, 0.0, 0.0)))
   }
 
+  test("winnowFingerprints: matches a brute-force reference; winnowing guarantee holds") {
+    val P = 1000000007L
+    def ref(s: String, k: Int, w: Int): Seq[(Int, Long)] = {
+      val cps = s.codePoints().toArray
+      val m = cps.length - k + 1
+      if (m <= 0) return Seq.empty
+      val hs = (0 until m).map(p =>
+        cps.slice(p, p + k).foldLeft(0L)((h, c) => (h * 31 + c) % P))
+      val win = math.min(w, m)
+      (0 to m - win).map { j =>
+        val slice = hs.slice(j, j + win)
+        val mn = slice.min
+        val rel = slice.lastIndexOf(mn) // rightmost tie
+        (j + rel + 1, mn)
+      }.distinct.sortBy(_._1)
+    }
+    def got(s: String, k: Int, w: Int): Seq[(Int, Long)] =
+      one(s, graft.functions.TextExpressions.winnowFingerprints(col("text"), k, w))
+        .asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+        .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 20) {
+      // small alphabet forces hash ties, exercising the rightmost rule
+      val s = (1 to 30 + rnd.nextInt(120)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      assert(got(s, 4, 5) === ref(s, 4, 5), s"trial $trial: $s")
+    }
+    assert(got("", 8, 8) === Seq.empty)
+    assert(got("short", 8, 8) === Seq.empty, "below k: no k-grams, no fingerprints")
+    // fewer k-grams than w: one whole-range window still fingerprints
+    assert(got("abcdefghij", 8, 8) === ref("abcdefghij", 8, 8))
+    assert(got("abcdefghij", 8, 8).size === 1)
+    // THE winnowing guarantee: any shared substring of length ≥ k+w−1
+    // produces at least one shared fingerprint hash
+    val shared = (1 to 15).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString // k+w−1 = 15
+    val a = "xxxyyzz" + shared + "qqrrss"
+    val b = "uuvvww" + shared
+    val ha = got(a, 8, 8).map(_._2).toSet
+    val hb = got(b, 8, 8).map(_._2).toSet
+    assert(ha.intersect(hb).nonEmpty, "guarantee violated")
+  }
+
   test("vocabGrowth: first-seen reformulation equals per-prefix distinct") {
     import spark.implicits._
     val docs = Seq(
