@@ -226,6 +226,40 @@ object CorpusStats {
       .orderBy(desc("cnt"), col("key")).limit(k)
   }
 
+  /** Pairwise vocabulary overlap between corpus strata (sources):
+    * for every stratum pair with any shared token, the exact
+    * intersection / union sizes and Jaccard of their distinct-token
+    * sets — the redundancy signal mixture planning reads (two
+    * near-identical sources shouldn't both get full budget;
+    * [[Sampling.budgetWaterfill]] consumes exactly this kind of
+    * evidence).
+    *
+    * Shape: ONE distinct over (stratum, token) — the corpus's text
+    * never moves again — then a token equi-join whose fanout per
+    * token is the number of strata containing it (bounded by the
+    * stratum count, not corpus size), and a broadcast of the
+    * stratum-size table. Exact by construction; when the stratum
+    * count grows to where |strata|² per hot token hurts, the
+    * sketch path is [[Sketches.kmvOverlap]] on per-stratum KMV
+    * states — same output shape, bounded error. */
+  def sourceOverlap(docs: DataFrame, stratumCol: String = "source",
+                    textCol: String = "text"): DataFrame = {
+    val st = docs.select(col(stratumCol).as("s"),
+        explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "").distinct()
+    val sizes = st.groupBy("s").agg(count(lit(1)).as("n"))
+    st.as("x").join(st.as("y"),
+        col("x.token") === col("y.token") && col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("s1"), col("y.s").as("s2"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(broadcast(sizes.select(col("s").as("s1"), col("n").as("n1"))), "s1")
+      .join(broadcast(sizes.select(col("s").as("s2"), col("n").as("n2"))), "s2")
+      .select(col("s1"), col("s2"), col("n_inter"),
+        (col("n1") + col("n2") - col("n_inter")).as("n_union"),
+        round(col("n_inter").cast("double") /
+          (col("n1") + col("n2") - col("n_inter")).cast("double"), 6).as("jaccard"))
+  }
+
   /** Vocabulary growth curve: per ingestion batch
     * (`floor(id / batchSize)`), the count of never-seen-before tokens
     * and the cumulative vocabulary size — the diminishing-returns

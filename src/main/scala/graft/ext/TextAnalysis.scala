@@ -142,6 +142,18 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
+  /** Checksum-validated card-number PII signal
+    * ([[graft.functions.LuhnCounts]]): counts of 13–19-digit maximal
+    * runs and of those passing the Luhn mod-10 check — the
+    * low-false-positive complement to the regex [[piiCount]] battery
+    * (a random digit run passes Luhn ~10% of the time, so the valid
+    * count is the actionable one). */
+  def luhnSignals(text: Column): Column = {
+    val a = graft.functions.TextExpressions.luhnCounts(text)
+    struct(a.getItem(0).cast("long").as("cc_candidates"),
+      a.getItem(1).cast("long").as("cc_valid"))
+  }
+
   /** Gopher-style duplicate-LINE repetition signals: a struct of
     * `n_lines`, `dup_lines`, `dup_line_frac` (occurrences beyond the
     * first occurrence of each distinct non-empty trimmed line, over

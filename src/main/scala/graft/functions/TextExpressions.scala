@@ -500,6 +500,56 @@ case class DupLineStats(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Luhn-checked card-number census — the checksum-validated PII
+  * signal the regex battery ([[graft.ext.TextAnalysis.piiCount]])
+  * can't give: a 16-digit run is only a plausible card number if it
+  * passes the Luhn mod-10 check (ISO/IEC 7812), which screens out
+  * ~90% of random digit runs. Semantics are strict MAXIMAL
+  * ASCII-digit runs: a run of 13–19 digits is a candidate (shorter
+  * runs, longer runs, and separator-broken numbers are not — the
+  * cross-engine-exact contract; separator-tolerant matching would
+  * need a normalization pass first). Returns
+  * `[n_candidates, n_luhn_valid]`. One pass per row, no allocation
+  * beyond the run scan. */
+case class LuhnCounts(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    var candidates = 0
+    var valid = 0
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) >= '0' && s.charAt(i) <= '9') {
+        var j = i
+        while (j < n && s.charAt(j) >= '0' && s.charAt(j) <= '9') j += 1
+        val len = j - i
+        if (len >= 13 && len <= 19) {
+          candidates += 1
+          var tot = 0
+          var p = 0 // 0-based position from the RIGHT
+          var q = j - 1
+          while (q >= i) {
+            var d = s.charAt(q) - '0'
+            if (p % 2 == 1) { d *= 2; if (d > 9) d -= 9 }
+            tot += d
+            p += 1
+            q -= 1
+          }
+          if (tot % 10 == 0) valid += 1
+        }
+        i = j
+      } else i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(Array(candidates, valid))
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Shared character-class predicates (Java regex ASCII semantics). */
 object TextScan {
   def isSpace(c: Char): Boolean =
@@ -554,6 +604,11 @@ object TextExpressions {
     * ([[WinnowFingerprints]]). */
   def winnowFingerprints(text: Column, k: Int, w: Int): Column =
     column(WinnowFingerprints(expression(text), k, w))
+
+  /** Luhn card-number census `[n_candidates, n_luhn_valid]`
+    * ([[LuhnCounts]]). */
+  def luhnCounts(text: Column): Column =
+    column(LuhnCounts(expression(text)))
 
   /** Make the text expressions available to `spark.sql` as
     * `ws_token_count(t)`, `punct_count(t)`, `word_shingles(t, n)`,

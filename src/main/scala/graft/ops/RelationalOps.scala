@@ -116,6 +116,29 @@ object RelationalOps {
       .drop("__bucket", "__cum_in", "__off")
   }
 
+  /** Exact per-group WEIGHTED median: the smallest `value` whose
+    * cumulative weight (ordered by value) reaches half the group's
+    * total — the robust center a per-domain quality/length profile
+    * wants when rows carry unequal mass (docs weighted by tokens,
+    * line items by quantity). Weights must be non-negative integers:
+    * the crossing test `2·cumw ≥ totw` is then all-int64 and the
+    * selected VALUE is deterministic even though within-tie row
+    * order isn't (every order crosses inside the same value run).
+    * One shuffle on `group`; windows partitioned by group, never
+    * global. Returns (group, weighted_median). */
+  def weightedMedian(df: DataFrame, group: Column, value: Column,
+                     weight: Column): DataFrame = {
+    val wOrd = Window.partitionBy(group).orderBy(value)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy(group)
+    df.withColumn("__g", group)
+      .withColumn("__cw", sum(weight).over(wOrd))
+      .withColumn("__tw", sum(weight).over(wAll))
+      .filter(col("__cw") * 2 >= col("__tw"))
+      .groupBy(col("__g").as("group"))
+      .agg(min(value).as("weighted_median"))
+  }
+
   /** Per-group sorted value list rendered to a deterministic string —
     * the order-stable form of `$push` (NoSQLQueries.js:40) for tests
     * and oracles. Unbounded per-group state: document the group-size

@@ -296,6 +296,29 @@ object SketchQueries {
     // 3·1.4826·MAD of the histogram median — both medians from the
     // mergeable 64-bin counter frame (no per-group buffering). The
     // oracle replays both histogram passes and the flag rule.
+    // Exact per-group WEIGHTED median
+    // ([[graft.ops.RelationalOps.weightedMedian]]): smallest
+    // extendedprice whose cumulative quantity reaches half the
+    // return-flag group's total quantity. Integer weights make the
+    // crossing test all-int64; the selected value is a data value
+    // (never computed), so both engines agree bit-for-bit.
+    QueryDef("q_agg_wmedian",
+      (s, d) => graft.ops.RelationalOps.weightedMedian(
+          t(s, d, "lineitem"), col("l_returnflag"),
+          col("l_extendedprice"), col("l_quantity").cast("long"))
+        .withColumnRenamed("group", "l_returnflag")
+        .orderBy("l_returnflag"),
+      Some("""WITH r AS (
+             |  SELECT l_returnflag, l_extendedprice,
+             |    sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             |    sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag) AS tw
+             |  FROM lineitem)
+             |SELECT l_returnflag, CAST(min(l_extendedprice) AS DOUBLE) AS weighted_median
+             |FROM r WHERE 2 * cw >= tw GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     QueryDef("q_agg_mad",
       (s, d) => graft.ext.Sketches.madOutliers(
           t(s, d, "events"), col("event_type"), col("value"),

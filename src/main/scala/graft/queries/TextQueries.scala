@@ -130,6 +130,30 @@ object TextQueries {
              |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
              |      FROM documents)""".stripMargin)),
 
+    // Pairwise source-vocabulary overlap
+    // ([[graft.ext.CorpusStats.sourceOverlap]]): exact
+    // intersection/union/Jaccard of distinct-token sets for every
+    // source pair — the redundancy evidence mixture planning reads.
+    // One (source, token) distinct + a stratum-bounded token join;
+    // the oracle mirrors it directly.
+    QueryDef("q_tx_source_overlap",
+      (s, d) => graft.ext.CorpusStats.sourceOverlap(t(s, d, "documents"))
+        .orderBy("s1", "s2"),
+      Some("""WITH st AS (
+             |  SELECT DISTINCT source AS s, token FROM (
+             |    SELECT source, unnest(string_split_regex(lower(text), '\s+')) AS token
+             |    FROM documents) WHERE token <> ''),
+             |sizes AS (SELECT s, count(*) AS n FROM st GROUP BY s),
+             |inter AS (
+             |  SELECT x.s AS s1, y.s AS s2, count(*) AS n_inter
+             |  FROM st x JOIN st y ON x.token = y.token AND x.s < y.s
+             |  GROUP BY 1, 2)
+             |SELECT s1, s2, n_inter,
+             |  a.n + b.n - n_inter AS n_union,
+             |  round(CAST(n_inter AS DOUBLE) / (a.n + b.n - n_inter), 6) AS jaccard
+             |FROM inter JOIN sizes a ON a.s = s1 JOIN sizes b ON b.s = s2
+             |ORDER BY s1, s2""".stripMargin)),
+
     // Vocabulary growth curve ([[graft.ext.CorpusStats.vocabGrowth]]):
     // never-seen-before tokens per ingestion batch + cumulative vocab
     // size via the first-seen reformulation — ONE token shuffle where
@@ -325,6 +349,59 @@ object TextQueries {
              |        regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
              |        '[\w.+-]+@[\w-]+(\.[\w-]+)+', '<EMAIL>', 'g')) AS red_md5
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Luhn card-number census ([[graft.functions.LuhnCounts]]):
+    // candidates = maximal 13–19-digit runs; valid = those passing
+    // the mod-10 check. The corpus has no digits (all zeros — the
+    // common path); injected rows carry every edge: valid 13/16/19
+    // digit numbers, an off-by-one invalid, a too-short and a
+    // too-long run, and a separator-broken number (strictly NOT a
+    // candidate). The oracle replays run extraction
+    // (string_split_regex on non-digits) and the checksum in list
+    // arithmetic.
+    QueryDef("q_tx_luhn",
+      (s, d) => {
+        import s.implicits._
+        val tricky = Seq(
+          (1000001L, "pay 4532015112830366 now"),            // valid 16
+          (1000002L, "pay 4532015112830367 now"),            // invalid 16
+          (1000003L, "v13 4123456789011 v19 4123456789012345677"),
+          (1000004L, "short 123456789012 long 45320151128303661234"),
+          (1000005L, "broken 4532-0151-1283-0366 ok")
+        ).toDF("doc_id", "text")
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .unionAll(tricky)
+          .select(col("doc_id"), TextAnalysis.luhnSignals(col("text")).as("r"))
+          .select(col("doc_id"), col("r.cc_candidates"), col("r.cc_valid"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT * FROM (VALUES
+             |    (CAST(1000001 AS BIGINT), 'pay 4532015112830366 now'),
+             |    (CAST(1000002 AS BIGINT), 'pay 4532015112830367 now'),
+             |    (CAST(1000003 AS BIGINT), 'v13 4123456789011 v19 4123456789012345677'),
+             |    (CAST(1000004 AS BIGINT), 'short 123456789012 long 45320151128303661234'),
+             |    (CAST(1000005 AS BIGINT), 'broken 4532-0151-1283-0366 ok')) v(doc_id, text)),
+             |runs AS (
+             |  SELECT doc_id, unnest(string_split_regex(text, '[^0-9]+')) AS r FROM u),
+             |cand AS (SELECT doc_id, r, len(r) AS L FROM runs
+             |         WHERE len(r) BETWEEN 13 AND 19),
+             |chk AS (
+             |  SELECT doc_id,
+             |    CASE WHEN list_sum(list_transform(range(1, L + 1), i ->
+             |        CASE WHEN i % 2 = 0 THEN
+             |          CASE WHEN CAST(substr(r, CAST(L - i + 1 AS INT), 1) AS INT) >= 5
+             |            THEN 2 * CAST(substr(r, CAST(L - i + 1 AS INT), 1) AS INT) - 9
+             |            ELSE 2 * CAST(substr(r, CAST(L - i + 1 AS INT), 1) AS INT) END
+             |        ELSE CAST(substr(r, CAST(L - i + 1 AS INT), 1) AS INT) END)) % 10 = 0
+             |    THEN 1 ELSE 0 END AS ok
+             |  FROM cand),
+             |agg AS (SELECT doc_id, count(*) AS c, sum(ok) AS v FROM chk GROUP BY doc_id)
+             |SELECT u.doc_id,
+             |  CAST(coalesce(c, 0) AS BIGINT) AS cc_candidates,
+             |  CAST(coalesce(v, 0) AS BIGINT) AS cc_valid
+             |FROM u LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
     // Unicode canonicalization ([[graft.functions.NormalizeText]]):
     // NFC composition, simple per-code-point lowercase, whitespace

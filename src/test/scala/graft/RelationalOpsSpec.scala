@@ -159,4 +159,30 @@ class RelationalOpsSpec extends AnyFunSuite with SharedSpark {
     assert(RelationalOps.unionTolerant(Seq(a, bad))
       .schema("v").dataType.simpleString === "double")
   }
+
+  test("weightedMedian: exact crossing, tie-safe, partition-order independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // group A: values 1..4 with weights 1,1,1,7 (total 10): the
+    // half-mass crossing lands on value 4 (cum 3 < 5 at value 3).
+    // group B: uniform weights → ordinary lower median (value 2 of
+    // 1,2,3,4: cum 2 ≥ 2). group C: crossing INSIDE a tie run of
+    // equal values → the value is selected whatever the tie order.
+    val df = Seq(
+      ("A", 1.0, 1L), ("A", 2.0, 1L), ("A", 3.0, 1L), ("A", 4.0, 7L),
+      ("B", 1.0, 1L), ("B", 2.0, 1L), ("B", 3.0, 1L), ("B", 4.0, 1L),
+      ("C", 1.0, 1L), ("C", 5.0, 3L), ("C", 5.0, 3L), ("C", 9.0, 1L)
+    ).toDF("g", "v", "w")
+    def med(d: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      RelationalOps.weightedMedian(d, col("g"), col("v"), col("w"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(med(df) === Map("A" -> 4.0, "B" -> 2.0, "C" -> 5.0))
+    assert(med(df.repartition(7)) === Map("A" -> 4.0, "B" -> 2.0, "C" -> 5.0))
+    // zero-weight rows never shift the crossing
+    val z = df.union(Seq(("A", 0.5, 0L)).toDF("g", "v", "w"))
+    assert(med(z)("A") === 4.0)
+    // matches the unweighted median when all weights are 1
+    val uw = Seq(("D", 10.0, 1L), ("D", 20.0, 1L), ("D", 30.0, 1L)).toDF("g", "v", "w")
+    assert(med(uw)("D") === 20.0)
+  }
 }

@@ -80,6 +80,26 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     assert(sig("single line here") === ((1L, 0L, 0.0, 0.0)))
   }
 
+  test("luhnSignals: strict digit runs, mod-10 check") {
+    def sig(s: String): (Long, Long) = {
+      val r = one(s, TextAnalysis.luhnSignals(col("text")))
+        .asInstanceOf[org.apache.spark.sql.Row]
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(sig("4532015112830366") === ((1L, 1L)))       // valid 16
+    assert(sig("4532015112830367") === ((1L, 0L)))       // bad check digit
+    assert(sig("4123456789011") === ((1L, 1L)))          // valid 13
+    assert(sig("4123456789012345677") === ((1L, 1L)))    // valid 19
+    assert(sig("123456789012") === ((0L, 0L)))           // 12: too short
+    assert(sig("45320151128303661234") === ((0L, 0L)))   // 20: too long
+    assert(sig("4532-0151-1283-0366") === ((0L, 0L)))    // separator-broken
+    assert(sig("a 4532015112830366 b 4123456789011 c 1234567890123")
+      === ((3L, 2L)))                                    // mixed text
+    assert(sig("") === ((0L, 0L)))
+    // run at the very end of the string closes correctly
+    assert(sig("x4532015112830366") === ((1L, 1L)))
+  }
+
   test("winnowFingerprints: matches a brute-force reference; winnowing guarantee holds") {
     val P = 1000000007L
     def ref(s: String, k: Int, w: Int): Seq[(Int, Long)] = {
