@@ -178,4 +178,25 @@ object Quality {
             log(col("__cs") / col("__rs")) * q + 0.5).cast("long") / q, 6)
           .as("psi"))
   }
+
+  /** Functional-dependency violation report: keys of `determinant`
+    * that map to MORE than one distinct `dependent` value — the
+    * "same order, two ship modes" class of integrity break that
+    * column-wise constraints ([[checkConstraints]]) can't see
+    * because it lives in the relationship between columns. Emits one
+    * row per violating key with its distinct-dependent count and row
+    * count. Clean data returns an EMPTY frame — cheap to alert on.
+    * One map-side-combined aggregation on the determinant (the
+    * dependent rides along in the same shuffle); NULL dependents
+    * count as one more distinct value (a null next to a real value
+    * IS a violation). */
+  def fdViolations(df: DataFrame, determinant: Seq[String],
+                   dependent: String): DataFrame = {
+    require(determinant.nonEmpty, "need at least one determinant column")
+    val nd = (countDistinct(col(dependent)) +
+      max(when(col(dependent).isNull, 1).otherwise(0))).as("n_dependent")
+    df.groupBy(determinant.map(col): _*)
+      .agg(nd, count(lit(1)).as("n_rows"))
+      .filter(col("n_dependent") > 1)
+  }
 }

@@ -315,4 +315,35 @@ object Retrieval {
                 k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
     bm25BatchFromPostings(postings(docs, idCol, textCol),
       corpusStats(docs, idCol, textCol), queries, qidCol, qtextCol, k, k1, b)
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    * of two per-query candidate lists — the standard score-free way
+    * to combine lexical and dense retrieval (incomparable score
+    * scales fuse by RANK: rrf = Σ 1/(kRrf + rank)). Inputs are
+    * `(query_id, doc_id, score)` frames; each is ranked per query by
+    * (score desc, doc_id), joined full-outer on (query_id, doc_id)
+    * — a doc missing from one list contributes 0 from that list —
+    * and the top `topN` per query survive (ties → smaller doc_id).
+    *
+    * Determinism: every rrf value is a sum of two exactly-rounded
+    * rationals 1/(k+r) computed in a fixed order — bit-identical in
+    * any engine, so the fused ORDER is value-checkable. Scale: the
+    * inputs are per-query top-k lists (bounded), so the rank windows
+    * and the join are per-query-bounded; nothing corpus-sized moves. */
+  def rrfFuse(a: DataFrame, b: DataFrame, kRrf: Int = 60,
+              topN: Int = 10): DataFrame = {
+    require(kRrf >= 1 && topN >= 1, "need kRrf >= 1 and topN >= 1")
+    def ranked(df: DataFrame, name: String) = {
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
+      df.select(col("query_id"), col("doc_id"), row_number().over(w).as(name))
+    }
+    val fused = ranked(a, "ra").join(ranked(b, "rb"),
+        Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (col("ra") + kRrf), lit(0.0)) +
+          coalesce(lit(1.0) / (col("rb") + kRrf), lit(0.0)))
+    val w2 = Window.partitionBy("query_id").orderBy(desc("rrf"), col("doc_id"))
+    fused.withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") <= topN).drop("__rn")
+  }
 }

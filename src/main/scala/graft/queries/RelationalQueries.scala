@@ -822,6 +822,25 @@ object RelationalQueries {
              |    CAST(n AS DOUBLE), 1.0, n BETWEEN 1 AND 10000000 FROM m)
              |ORDER BY "constraint", threshold""".stripMargin)),
 
+    // Functional-dependency violation report
+    // ([[graft.ext.Quality.fdViolations]]): order keys whose lines
+    // carry more than one distinct return flag — the cross-column
+    // integrity class the per-column constraint gate can't express.
+    // One map-side-combined aggregation on the determinant.
+    QueryDef("q_quality_fd",
+      (s, d) => graft.ext.Quality.fdViolations(
+          t(s, d, "lineitem"), Seq("l_orderkey"), "l_returnflag")
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+             |  CAST(count(DISTINCT l_returnflag) +
+             |    max(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dependent,
+             |  count(*) AS n_rows
+             |FROM lineitem GROUP BY l_orderkey
+             |HAVING count(DISTINCT l_returnflag) +
+             |  max(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) > 1
+             |ORDER BY l_orderkey""".stripMargin)),
+
     // Distribution-drift gate ([[graft.ext.Quality.driftReport]]):
     // event-type mix before vs after the 2024-01-15 cutoff — exact
     // conditional counts from ONE scan, eps-clamped shares, and each

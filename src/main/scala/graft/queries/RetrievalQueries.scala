@@ -286,6 +286,75 @@ object RetrievalQueries {
              |FROM shortlist sl JOIN embeddings e ON e.vec_id = sl.doc_id, qv
              |ORDER BY cosine DESC, sl.doc_id LIMIT 5""".stripMargin)),
 
+    // Reciprocal-rank fusion ([[graft.ext.Retrieval.rrfFuse]]): the
+    // standard score-free lexical+dense combiner — doc 42's 8-token
+    // prefix retrieves a BM25 top-20 and a dense cosine top-20, each
+    // ranked by (score desc, id), fused by Σ 1/(60 + rank) with
+    // full-outer semantics (single-list docs keep the other term 0).
+    // Every rrf value is a fixed-order sum of exactly-rounded
+    // rationals, so the fused ORDER itself is value-checked.
+    QueryDef("q_ir_rrf",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val q = docs.filter(col("doc_id") === 42)
+          .select(col("doc_id").as("query_id"),
+            array_join(slice(split(col("text"), " "), 1, 8), " ").as("qtext"))
+        val lex = Retrieval.bm25Batch(docs, "doc_id", "text",
+            q, "query_id", "qtext", k = 21)
+          .filter(col("doc_id") =!= 42)
+          .select(col("query_id"), col("doc_id"), col("score"))
+        val emb = t(s, d, "embeddings")
+        val qEmb = broadcast(emb.filter(col("vec_id") === 42)
+          .select(col("embedding").as("q_emb")))
+        val dense = emb.filter(col("vec_id") =!= 42).crossJoin(qEmb)
+          .select(lit(42L).as("query_id"), col("vec_id").as("doc_id"),
+            graft.functions.VectorExpressions.cosineNative(
+              col("embedding"), col("q_emb")).as("score"))
+          .orderBy(desc("score"), col("doc_id")).limit(20)
+        Retrieval.rrfFuse(lex, dense, kRrf = 60, topN = 10)
+          .select(col("doc_id"), col("ra"), col("rb"),
+            round(col("rrf"), 6).as("rrf"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH queries AS (
+             |  SELECT doc_id AS query_id,
+             |         array_to_string(string_split(text, ' ')[1:8], ' ') AS qtext
+             |  FROM documents WHERE doc_id = 42),
+             |qterms AS (
+             |  SELECT DISTINCT query_id,
+             |         unnest(string_split_regex(lower(qtext), '\\s+')) AS term
+             |  FROM queries),
+             |${oraclePost("term IN (SELECT term FROM qterms)")},
+             |scored AS (
+             |  SELECT p.doc_id, round(sum($oracleTermScore), 6) AS score
+             |  FROM post p JOIN dfT USING (term) JOIN qterms q USING (term), stats s
+             |  GROUP BY 1),
+             |lex21 AS (SELECT doc_id, score FROM (
+             |  SELECT doc_id, score, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+             |  FROM scored) WHERE rk <= 21),
+             |lex AS (SELECT doc_id,
+             |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS ra
+             |  FROM lex21 WHERE doc_id <> 42),
+             |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 42),
+             |dcos AS (SELECT vec_id AS doc_id,
+             |    list_dot_product(CAST(embedding AS DOUBLE[]), CAST(q_emb AS DOUBLE[]))
+             |      / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+             |         * sqrt(list_dot_product(CAST(q_emb AS DOUBLE[]), CAST(q_emb AS DOUBLE[])))) AS c
+             |  FROM embeddings, qv WHERE vec_id <> 42),
+             |den20 AS (SELECT doc_id, c FROM (
+             |  SELECT doc_id, c, row_number() OVER (ORDER BY c DESC, doc_id) AS rk
+             |  FROM dcos) WHERE rk <= 20),
+             |den AS (SELECT doc_id,
+             |    CAST(row_number() OVER (ORDER BY c DESC, doc_id) AS INT) AS rb
+             |  FROM den20),
+             |fused AS (SELECT coalesce(l.doc_id, d.doc_id) AS doc_id, l.ra, d.rb,
+             |    coalesce(CAST(1 AS DOUBLE) / (l.ra + 60), 0) +
+             |    coalesce(CAST(1 AS DOUBLE) / (d.rb + 60), 0) AS rrf
+             |  FROM lex l FULL JOIN den d ON l.doc_id = d.doc_id)
+             |SELECT doc_id, ra, rb, round(rrf, 6) AS rrf FROM (
+             |  SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 10)
+             |ORDER BY doc_id""".stripMargin)),
+
     // Batch BM25: every 97th document's 8-token prefix becomes a
     // query; top-5 per query via broadcast term pruning + window.
     QueryDef("q_ir_bm25_batch",

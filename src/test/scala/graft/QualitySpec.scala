@@ -135,4 +135,21 @@ class QualitySpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
     assert(rep === Map("a" -> 1.0e-6, "b" -> 1.0e-6))
   }
+
+  test("fdViolations: violating keys only; NULL next to a value violates") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("A")), (1L, Some("A")),            // clean key
+      (2L, Some("A")), (2L, Some("B")),            // two values
+      (3L, Some("A")), (3L, None),                 // value + NULL
+      (4L, None), (4L, None)                       // all-NULL: one "value"
+    ).toDF("k", "v")
+    val got = Quality.fdViolations(df, Seq("k"), "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(2L -> ((2L, 2L)), 3L -> ((2L, 2L))))
+    // clean data → empty frame
+    assert(Quality.fdViolations(df.filter(col("k") === 1L), Seq("k"), "v")
+      .count() === 0L)
+  }
 }

@@ -183,4 +183,31 @@ class RetrievalSpec extends AnyFunSuite with SharedSpark {
     val got = negs.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
     assert(got === expect.filter(_._2.nonEmpty))
   }
+
+  test("rrfFuse: rank-based fusion, full-outer semantics, deterministic ties") {
+    import spark.implicits._
+    // query 1: A list ranks d1,d2,d3; B list ranks d3,d4 — d3 fuses
+    // two terms, d1/d2/d4 one each; kRrf=2 makes arithmetic visible
+    val a = Seq((1L, 1L, 9.0), (1L, 2L, 8.0), (1L, 3L, 7.0)).toDF("query_id", "doc_id", "score")
+    val b = Seq((1L, 3L, 0.9), (1L, 4L, 0.8)).toDF("query_id", "doc_id", "score")
+    val got = Retrieval.rrfFuse(a, b, kRrf = 2, topN = 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(got(3L) === 1.0 / 5 + 1.0 / 3)  // rank 3 in A, rank 1 in B
+    assert(got(1L) === 1.0 / 3)            // A only, rank 1
+    assert(got(2L) === 1.0 / 4)
+    assert(got(4L) === 1.0 / 4)            // B only, rank 2
+    // equal scores rank by doc_id: d5 before d6
+    val t1 = Seq((1L, 6L, 5.0), (1L, 5L, 5.0)).toDF("query_id", "doc_id", "score")
+    val r1 = Retrieval.rrfFuse(t1, t1.limit(0), kRrf = 60, topN = 10)
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    assert(r1 === Map(5L -> 1, 6L -> 2))
+    // topN truncates per query by (rrf desc, doc_id)
+    assert(Retrieval.rrfFuse(a, b, kRrf = 2, topN = 2)
+      .collect().map(_.getLong(1)).toSet === Set(3L, 1L))
+    // multi-query isolation: ranks never leak across query_ids
+    val a2 = a.union(Seq((2L, 7L, 1.0)).toDF("query_id", "doc_id", "score"))
+    val m = Retrieval.rrfFuse(a2, b, kRrf = 2, topN = 10)
+      .filter(col("query_id") === 2L).collect()
+    assert(m.length === 1 && m(0).getLong(1) === 7L && m(0).getInt(2) === 1)
+  }
 }
