@@ -226,6 +226,26 @@ object CorpusStats {
       .orderBy(desc("cnt"), col("key")).limit(k)
   }
 
+  /** Incremental new-token detection against a seen-vocabulary
+    * store — the maintenance form of [[vocabGrowth]] (an OOV spike in
+    * today's feed means a domain shift or an encoding break, and is
+    * the cue to re-examine tokenizer coverage). The batch's distinct
+    * tokens LEFT-ANTI join the store's `token` column: the store
+    * never re-derives from its corpus, only the delta is tokenized —
+    * the same contract as the incremental-dedup operators. Union the
+    * result's tokens into the store to advance it. Returns one row
+    * per genuinely-new token with its batch document and occurrence
+    * counts. */
+  def newTokens(seen: DataFrame, batch: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val tok = batch.select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    tok.join(seen.select(col("token")), Seq("token"), "left_anti")
+      .groupBy("token")
+      .agg(countDistinct("id").as("n_docs"), count(lit(1)).as("n_occurrences"))
+  }
+
   /** Pairwise vocabulary overlap between corpus strata (sources):
     * for every stratum pair with any shared token, the exact
     * intersection / union sizes and Jaccard of their distinct-token

@@ -500,6 +500,91 @@ case class DupLineStats(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Multi-pattern SUBSTRING occurrence counter via an Aho–Corasick
+  * automaton (Aho & Corasick, CACM 1975) — the blocklist matcher
+  * ([[WordSetsCount]] is word-BOUNDED; banned domains, slurs-inside-
+  * words, and code signatures need substring semantics). Counts ALL
+  * occurrences of every pattern, including overlapping ones and
+  * matches sharing positions across patterns, in ONE text pass:
+  * the automaton (goto + failure links with precomputed output
+  * closures) is built once per operator instance and reused for
+  * every row, so P patterns cost O(len + matches) per row instead
+  * of P separate scans. Matching is over UTF-16 code units —
+  * exactly equal to code-point matching for BMP patterns (an
+  * astral-plane pattern would need surrogate-aware positions; none
+  * of the blocklist use cases do). Returns counts as array<long>
+  * aligned with `patterns`. */
+case class MultiPatternCount(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "need non-empty patterns")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // goto/fail/output-closure automaton, built once per instance and
+  // shared by every row this (serialized) expression evaluates
+  @transient private lazy val automaton: (Array[java.util.HashMap[Character, Integer]], Array[Int], Array[Array[Int]]) = {
+    val goto = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+    val out = scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var s = 0
+      p.foreach { c =>
+        val nxt = goto(s).get(c)
+        if (nxt == null) {
+          goto += new java.util.HashMap[Character, Integer]()
+          out += Nil
+          goto(s).put(c, goto.size - 1)
+          s = goto.size - 1
+        } else s = nxt
+      }
+      out(s) = pi :: out(s)
+    }
+    val n = goto.size
+    val fail = new Array[Int](n)
+    val queue = new java.util.ArrayDeque[Integer]()
+    goto(0).forEach { (_: Character, v: Integer) =>
+      fail(v.intValue) = 0; queue.add(v); ()
+    }
+    while (!queue.isEmpty) {
+      val u = queue.poll().intValue
+      goto(u).forEach { (c: Character, vv: Integer) =>
+        val v = vv.intValue
+        queue.add(vv)
+        var f = fail(u)
+        while (f != 0 && goto(f).get(c) == null) f = fail(f)
+        val t = goto(f).get(c)
+        fail(v) = if (t != null && t.intValue != v) t.intValue else 0
+        out(v) = out(v) ++ out(fail(v)) // output closure via fail link
+        ()
+      }
+    }
+    (goto.toArray, fail, out.map(_.toArray).toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val (goto, fail, out) = automaton
+    val counts = new Array[Long](patterns.size)
+    var st = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      var t = goto(st).get(c)
+      while (t == null && st != 0) { st = fail(st); t = goto(st).get(c) }
+      st = if (t != null) t.intValue() else 0
+      val o = out(st)
+      var j = 0
+      while (j < o.length) { counts(o(j)) += 1; j += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(counts)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Luhn-checked card-number census — the checksum-validated PII
   * signal the regex battery ([[graft.ext.TextAnalysis.piiCount]])
   * can't give: a 16-digit run is only a plausible card number if it
@@ -609,6 +694,11 @@ object TextExpressions {
     * ([[LuhnCounts]]). */
   def luhnCounts(text: Column): Column =
     column(LuhnCounts(expression(text)))
+
+  /** Aho–Corasick substring occurrence counts, aligned with
+    * `patterns` ([[MultiPatternCount]]). */
+  def multiPatternCount(text: Column, patterns: Seq[String]): Column =
+    column(MultiPatternCount(expression(text), patterns))
 
   /** Make the text expressions available to `spark.sql` as
     * `ws_token_count(t)`, `punct_count(t)`, `word_shingles(t, n)`,

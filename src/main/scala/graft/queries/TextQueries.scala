@@ -130,6 +130,45 @@ object TextQueries {
              |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
              |      FROM documents)""".stripMargin)),
 
+    // Incremental OOV detection ([[graft.ext.CorpusStats.newTokens]]):
+    // the day-2 path of vocabulary monitoring — the seen store is the
+    // first half's distinct tokens; the delta (second half + injected
+    // docs carrying genuinely novel tokens) anti-joins it. The corpus
+    // delta contributes nothing (proving no false positives); only
+    // the injected novelties surface, with doc/occurrence counts.
+    QueryDef("q_tx_vocab_inc",
+      (s, d) => {
+        import s.implicits._
+        val docs = t(s, d, "documents")
+        val seen = docs.filter(col("doc_id") < 250)
+          .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+          .filter(col("token") =!= "").distinct()
+        val novel = Seq(
+          (1000001L, "zebra quokka zebra"),
+          (1000002L, "quokka umbrella table key")
+        ).toDF("doc_id", "text")
+        val delta = docs.filter(col("doc_id") >= 250)
+          .select(col("doc_id"), col("text")).unionAll(novel)
+        graft.ext.CorpusStats.newTokens(seen, delta).orderBy("token")
+      },
+      Some("""WITH seen AS (
+             |  SELECT DISTINCT t AS token FROM (
+             |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS t
+             |    FROM documents WHERE doc_id < 250) WHERE t <> ''),
+             |delta AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+             |  UNION ALL SELECT * FROM (VALUES
+             |    (CAST(1000001 AS BIGINT), 'zebra quokka zebra'),
+             |    (CAST(1000002 AS BIGINT), 'quokka umbrella table key')) v(doc_id, text)),
+             |dtok AS (
+             |  SELECT doc_id, t AS token FROM (
+             |    SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+             |    FROM delta) WHERE t <> '')
+             |SELECT token, count(DISTINCT doc_id) AS n_docs,
+             |  count(*) AS n_occurrences
+             |FROM dtok WHERE token NOT IN (SELECT token FROM seen)
+             |GROUP BY token ORDER BY token""".stripMargin)),
+
     // Pairwise source-vocabulary overlap
     // ([[graft.ext.CorpusStats.sourceOverlap]]): exact
     // intersection/union/Jaccard of distinct-token sets for every
@@ -349,6 +388,49 @@ object TextQueries {
              |        regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
              |        '[\w.+-]+@[\w-]+(\.[\w-]+)+', '<EMAIL>', 'g')) AS red_md5
              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Aho–Corasick blocklist matcher
+    // ([[graft.functions.MultiPatternCount]]): ALL substring
+    // occurrences of six patterns — including overlapping matches
+    // ('aa' in 'aaaa' → 3) and a multi-word phrase — in ONE automaton
+    // pass per row, where the regex battery would need one scan per
+    // pattern. The oracle probes every text position with substr
+    // equality, the brute-force ground truth.
+    QueryDef("q_tx_blocklist",
+      (s, d) => {
+        import s.implicits._
+        val tricky = Seq(
+          (1000001L, "AAaa zqx TABLE tablet"),
+          (1000002L, "key agg key agg"),
+          (1000003L, "aaaa")
+        ).toDF("doc_id", "text")
+        val pats = Seq("table", "key agg", "windo", "aa", "spark", "zqx")
+        val c = graft.functions.TextExpressions
+          .multiPatternCount(lower(col("text")), pats)
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .unionAll(tricky)
+          .select(col("doc_id"), c.as("cc"))
+          .select(col("doc_id") +: pats.indices.map(i =>
+            col("cc").getItem(i).as(s"c$i")): _*)
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, lower(text) AS text FROM documents
+             |  UNION ALL SELECT doc_id, lower(text) FROM (VALUES
+             |    (CAST(1000001 AS BIGINT), 'AAaa zqx TABLE tablet'),
+             |    (CAST(1000002 AS BIGINT), 'key agg key agg'),
+             |    (CAST(1000003 AS BIGINT), 'aaaa')) v(doc_id, text)),
+             |pos AS (SELECT doc_id, text, CAST(i AS INT) AS i
+             |        FROM u, range(1, 100000) r(i) WHERE i <= len(text))
+             |SELECT u.doc_id,
+             |  CAST(coalesce(sum(CASE WHEN substr(p.text, p.i, 5) = 'table' THEN 1 ELSE 0 END), 0) AS BIGINT) AS c0,
+             |  CAST(coalesce(sum(CASE WHEN substr(p.text, p.i, 7) = 'key agg' THEN 1 ELSE 0 END), 0) AS BIGINT) AS c1,
+             |  CAST(coalesce(sum(CASE WHEN substr(p.text, p.i, 5) = 'windo' THEN 1 ELSE 0 END), 0) AS BIGINT) AS c2,
+             |  CAST(coalesce(sum(CASE WHEN substr(p.text, p.i, 2) = 'aa' THEN 1 ELSE 0 END), 0) AS BIGINT) AS c3,
+             |  CAST(coalesce(sum(CASE WHEN substr(p.text, p.i, 5) = 'spark' THEN 1 ELSE 0 END), 0) AS BIGINT) AS c4,
+             |  CAST(coalesce(sum(CASE WHEN substr(p.text, p.i, 3) = 'zqx' THEN 1 ELSE 0 END), 0) AS BIGINT) AS c5
+             |FROM u LEFT JOIN pos p USING (doc_id)
+             |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin)),
 
     // Luhn card-number census ([[graft.functions.LuhnCounts]]):
     // candidates = maximal 13–19-digit runs; valid = those passing

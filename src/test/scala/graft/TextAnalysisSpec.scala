@@ -80,6 +80,29 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     assert(sig("single line here") === ((1L, 0L, 0.0, 0.0)))
   }
 
+  test("multiPatternCount: Aho-Corasick equals brute-force substring probing") {
+    def brute(s: String, pats: Seq[String]): Seq[Long] =
+      pats.map(p => (0 to s.length - p.length)
+        .count(i => s.regionMatches(i, p, 0, p.length)).toLong)
+    def got(s: String, pats: Seq[String]): Seq[Long] =
+      one(s, graft.functions.TextExpressions.multiPatternCount(col("text"), pats))
+        .asInstanceOf[scala.collection.Seq[Long]].toSeq
+    // overlapping self-matches, pattern-inside-pattern, shared suffixes
+    val pats = Seq("aa", "aab", "ab", "b", "abab", "zz")
+    assert(got("aaaa", pats) === Seq(3L, 0L, 0L, 0L, 0L, 0L))
+    assert(got("aabab", pats) === brute("aabab", pats))
+    assert(got("ababab", pats) === brute("ababab", pats))
+    assert(got("", pats) === Seq.fill(6)(0L))
+    // randomized equivalence on a tie-heavy alphabet
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 25) {
+      val s = (1 to 5 + rnd.nextInt(200)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      assert(got(s, pats) === brute(s, pats), s)
+    }
+    // a pattern that is a suffix of another still counts independently
+    assert(got("xabz", Seq("ab", "xab")) === Seq(1L, 1L))
+  }
+
   test("luhnSignals: strict digit runs, mod-10 check") {
     def sig(s: String): (Long, Long) = {
       val r = one(s, TextAnalysis.luhnSignals(col("text")))
