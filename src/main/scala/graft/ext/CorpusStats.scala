@@ -212,6 +212,36 @@ object CorpusStats {
         .select(lit(c).as("column"), col("n_rows"), col("n_null"), col("n_distinct"))
     }.reduce(_.unionAll(_))
 
+  /** Per-group distribution-shape profile — population variance,
+    * skewness and excess kurtosis — from EXACT integer power sums
+    * S₁..S₄ of an integer-valued column: the power sums are int64
+    * (map-side combinable, order-proof), and every double that
+    * follows is derived from those same integers by one fixed
+    * sequence of exactly-rounded IEEE operations (μ = S₁/n,
+    * central moments by the binomial expansion, m₂^1.5 as
+    * m₂·√m₂ — never pow(), whose libm varies across engines) — so
+    * a SQL twin reproduces each statistic bit-for-bit before the
+    * final 6-decimal round. Caller guarantees n·max(v)⁴ < 2⁶³
+    * (switch the sums to decimal beyond that). Degenerate groups
+    * (m₂ = 0) report NULL skew/kurtosis rather than ±Inf. */
+  def groupMoments(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val v = value.cast("long")
+    val agg = df.groupBy(group.as("group")).agg(
+      count(lit(1)).as("n"), sum(v).as("s1"), sum(v * v).as("s2"),
+      sum(v * v * v).as("s3"), sum(v * v * v * v).as("s4"))
+    val n = col("n").cast("double")
+    val mu = col("s1") / n
+    val m2 = col("s2") / n - mu * mu
+    val m3 = col("s3") / n - lit(3.0) * mu * (col("s2") / n) + lit(2.0) * mu * mu * mu
+    val m4 = col("s4") / n - lit(4.0) * mu * (col("s3") / n) +
+      lit(6.0) * mu * mu * (col("s2") / n) - lit(3.0) * mu * mu * mu * mu
+    agg.select(col("group"), col("n"),
+      round(mu, 6).as("mean"),
+      round(m2, 6).as("variance"),
+      round(when(m2 > 0, m3 / (m2 * sqrt(m2))), 6).as("skewness"),
+      round(when(m2 > 0, m4 / (m2 * m2) - lit(3.0)), 6).as("kurtosis_excess"))
+  }
+
   /** Key-skew diagnostic: the `k` heaviest values of `key` with their
     * exact corpus share — the pre-flight check before choosing join
     * strategy (a share over ~1/shuffle-partitions flags a key that

@@ -647,7 +647,7 @@ object DedupQueries {
              |SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS shared
              |FROM fr a JOIN fr b ON a.h = b.h AND a.doc_id < b.doc_id
              |GROUP BY 1, 2 HAVING count(*) >= 10
-             |ORDER BY d1, d2""".stripMargin)),
+             |ORDER BY d1, d2""".stripMargin), bench = true),
 
     // Exact duplicate-substring REMOVAL (Lee et al. 2022 cleanup over
     // CDC chunks, [[graft.ext.Dedup.stripDuplicateChunks]]): every

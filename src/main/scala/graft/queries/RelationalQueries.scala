@@ -755,6 +755,40 @@ object RelationalQueries {
              |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders)
              |GROUP BY col ORDER BY col""".stripMargin)),
 
+    // Distribution-shape profile
+    // ([[graft.ext.CorpusStats.groupMoments]]): variance, skewness,
+    // excess kurtosis per return flag from exact int64 power sums —
+    // the doubles derive from the same integers by one fixed IEEE
+    // sequence (m2^1.5 as m2·sqrt(m2), never pow()), so the oracle
+    // reproduces every statistic bit-for-bit before the final round.
+    QueryDef("q_profile_moments",
+      (s, d) => graft.ext.CorpusStats.groupMoments(
+          t(s, d, "lineitem"), col("l_returnflag"), col("l_quantity"))
+        .withColumnRenamed("group", "l_returnflag")
+        .orderBy("l_returnflag"),
+      Some("""WITH a AS (
+             |  SELECT l_returnflag, count(*) AS n,
+             |    CAST(sum(q) AS BIGINT) AS s1, CAST(sum(q*q) AS BIGINT) AS s2,
+             |    CAST(sum(q*q*q) AS BIGINT) AS s3, CAST(sum(q*q*q*q) AS BIGINT) AS s4
+             |  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+             |  GROUP BY 1),
+             |b AS (
+             |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+             |    s1 / CAST(n AS DOUBLE) AS mu, s2, s3, s4
+             |  FROM a),
+             |c AS (
+             |  SELECT l_returnflag, n, mu, s3, s4, nd,
+             |    s2 / nd - mu * mu AS m2,
+             |    s3 / nd - 3.0 * mu * (s2 / nd) + 2.0 * mu * mu * mu AS m3,
+             |    s4 / nd - 4.0 * mu * (s3 / nd) + 6.0 * mu * mu * (s2 / nd)
+             |      - 3.0 * mu * mu * mu * mu AS m4
+             |  FROM b)
+             |SELECT l_returnflag, n, round(mu, 6) AS mean,
+             |  round(m2, 6) AS variance,
+             |  round(CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END, 6) AS skewness,
+             |  round(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END, 6) AS kurtosis_excess
+             |FROM c ORDER BY l_returnflag""".stripMargin)),
+
     // Declarative data-quality gate ([[graft.ext.Quality]]): six
     // constraints over lineitem evaluated in ONE aggregation pass —
     // exact integer counters, ratios rounded at the end, so the

@@ -353,7 +353,7 @@ object RetrievalQueries {
              |  FROM lex l FULL JOIN den d ON l.doc_id = d.doc_id)
              |SELECT doc_id, ra, rb, round(rrf, 6) AS rrf FROM (
              |  SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 10)
-             |ORDER BY doc_id""".stripMargin)),
+             |ORDER BY doc_id""".stripMargin), bench = true),
 
     // Batch BM25: every 97th document's 8-token prefix becomes a
     // query; top-5 per query via broadcast term pruning + window.

@@ -317,7 +317,7 @@ object SketchQueries {
              |  FROM lineitem)
              |SELECT l_returnflag, CAST(min(l_extendedprice) AS DOUBLE) AS weighted_median
              |FROM r WHERE 2 * cw >= tw GROUP BY l_returnflag
-             |ORDER BY l_returnflag""".stripMargin)),
+             |ORDER BY l_returnflag""".stripMargin), bench = true),
 
     QueryDef("q_agg_mad",
       (s, d) => graft.ext.Sketches.madOutliers(

@@ -191,7 +191,7 @@ object TextQueries {
              |  a.n + b.n - n_inter AS n_union,
              |  round(CAST(n_inter AS DOUBLE) / (a.n + b.n - n_inter), 6) AS jaccard
              |FROM inter JOIN sizes a ON a.s = s1 JOIN sizes b ON b.s = s2
-             |ORDER BY s1, s2""".stripMargin)),
+             |ORDER BY s1, s2""".stripMargin), bench = true),
 
     // Vocabulary growth curve ([[graft.ext.CorpusStats.vocabGrowth]]):
     // never-seen-before tokens per ingestion batch + cumulative vocab
@@ -430,7 +430,7 @@ object TextQueries {
              |  CAST(coalesce(sum(CASE WHEN substr(p.text, p.i, 5) = 'spark' THEN 1 ELSE 0 END), 0) AS BIGINT) AS c4,
              |  CAST(coalesce(sum(CASE WHEN substr(p.text, p.i, 3) = 'zqx' THEN 1 ELSE 0 END), 0) AS BIGINT) AS c5
              |FROM u LEFT JOIN pos p USING (doc_id)
-             |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin)),
+             |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin), bench = true),
 
     // Luhn card-number census ([[graft.functions.LuhnCounts]]):
     // candidates = maximal 13–19-digit runs; valid = those passing
