@@ -179,6 +179,37 @@ object Quality {
           .as("psi"))
   }
 
+  /** Benford first-digit conformance report — the fabricated-data /
+    * unit-mixup screen for naturally-spanning positive numeric
+    * columns (amounts, populations, file sizes): genuine multi-scale
+    * data has first significant digit d with probability
+    * log₁₀(1+1/d); synthetic or truncated feeds visibly don't. One
+    * count aggregation; the nine expected shares are FIXED literals
+    * (pre-rounded to 6 decimals) rather than engine log10 calls, and
+    * every digit row appears even at count 0. `value` must be ≥ 1
+    * (first digit = first character of the floor's decimal
+    * rendering). Deviation is |share − expected| from the exact
+    * integer ratio. */
+  def benfordReport(df: DataFrame, value: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = Seq(
+      1 -> 0.30103, 2 -> 0.176091, 3 -> 0.124939, 4 -> 0.09691,
+      5 -> 0.079181, 6 -> 0.066947, 7 -> 0.057992, 8 -> 0.051153,
+      9 -> 0.045757).toDF("digit", "expected_share")
+    val counts = df
+      .select(substring(value.cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = broadcast(counts.agg(sum("n").as("t")))
+    val share = coalesce(col("n"), lit(0L)).cast("double") / col("t").cast("double")
+    expected.join(counts, Seq("digit"), "left")
+      .crossJoin(total)
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        round(share, 6).as("share"), col("expected_share"),
+        round(abs(share - col("expected_share")), 6).as("abs_dev"))
+  }
+
   /** Functional-dependency violation report: keys of `determinant`
     * that map to MORE than one distinct `dependent` value — the
     * "same order, two ship modes" class of integrity break that

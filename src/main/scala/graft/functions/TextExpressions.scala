@@ -635,6 +635,51 @@ case class LuhnCounts(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Duplicate-line REMOVAL — the rewrite whose need [[DupLineStats]]
+  * only measures: every distinct trimmed non-empty line survives at
+  * its FIRST occurrence only, in original order, re-joined with
+  * `\n`. Navigation chrome and copy-pasted blocks collapse to one
+  * copy while the prose between them is untouched. Same line
+  * semantics as the census (split on `\n`, trim ASCII
+  * space/tab/CR, skip blanks) so `dupLineStats(dedupLines(t))`
+  * reports zero duplicates by construction. One pass, one hash set
+  * per row. */
+case class DedupLines(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val seen = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder(s.length)
+    val n = s.length
+    var start = 0
+    def take(endExcl: Int): Unit = {
+      var a = start
+      var z = endExcl
+      while (a < z && { val c = s.charAt(a); c == ' ' || c == '\t' || c == '\r' }) a += 1
+      while (z > a && { val c = s.charAt(z - 1); c == ' ' || c == '\t' || c == '\r' }) z -= 1
+      if (z > a) {
+        val line = s.substring(a, z)
+        if (seen.add(line)) {
+          if (sb.length > 0) sb.append('\n')
+          sb.append(line)
+        }
+      }
+    }
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == '\n') { take(i); start = i + 1 }
+      i += 1
+    }
+    take(n)
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Shared character-class predicates (Java regex ASCII semantics). */
 object TextScan {
   def isSpace(c: Char): Boolean =
@@ -684,6 +729,10 @@ object TextExpressions {
     * total_chars]` ([[DupLineStats]]). */
   def dupLineStats(text: Column): Column =
     column(DupLineStats(expression(text)))
+
+  /** Duplicate-line removal rewrite ([[DedupLines]]). */
+  def dedupLines(text: Column): Column =
+    column(DedupLines(expression(text)))
 
   /** Winnowing fingerprints array<struct<pos,h>>
     * ([[WinnowFingerprints]]). */

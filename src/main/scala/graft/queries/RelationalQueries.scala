@@ -856,6 +856,32 @@ object RelationalQueries {
              |    CAST(n AS DOUBLE), 1.0, n BETWEEN 1 AND 10000000 FROM m)
              |ORDER BY "constraint", threshold""".stripMargin)),
 
+    // Benford first-digit conformance
+    // ([[graft.ext.Quality.benfordReport]]): extendedprice first
+    // digits vs the log10(1+1/d) law — expected shares are fixed
+    // 6-decimal literals on BOTH sides (no engine log10), deviation
+    // derives from the exact integer ratio, all 9 digits present.
+    QueryDef("q_quality_benford",
+      (s, d) => graft.ext.Quality.benfordReport(
+          t(s, d, "lineitem"), col("l_extendedprice"))
+        .orderBy("digit"),
+      Some("""WITH e AS (SELECT * FROM (VALUES
+             |    (1, 0.30103), (2, 0.176091), (3, 0.124939), (4, 0.09691),
+             |    (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+             |    (9, 0.045757)) v(digit, expected_share)),
+             |c AS (
+             |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+             |    count(*) AS n
+             |  FROM lineitem GROUP BY 1),
+             |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c)
+             |SELECT e.digit, CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+             |  round(coalesce(c.n, 0) / CAST(t.t AS DOUBLE), 6) AS share,
+             |  CAST(e.expected_share AS DOUBLE) AS expected_share,
+             |  round(abs(coalesce(c.n, 0) / CAST(t.t AS DOUBLE)
+             |    - CAST(e.expected_share AS DOUBLE)), 6) AS abs_dev
+             |FROM e LEFT JOIN c USING (digit), t
+             |ORDER BY e.digit""".stripMargin)),
+
     // Functional-dependency violation report
     // ([[graft.ext.Quality.fdViolations]]): order keys whose lines
     // carry more than one distinct return flag — the cross-column

@@ -575,6 +575,47 @@ object TextQueries {
              |    THEN CAST(dup_chars AS DOUBLE) / tot_chars ELSE 0.0 END AS dup_char_frac
              |FROM u LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin)),
 
+    // Duplicate-line REMOVAL ([[graft.functions.DedupLines]]) — the
+    // rewrite paired with q_tx_dupline's census: first occurrence of
+    // each trimmed non-empty line survives in original order. The
+    // oracle rebuilds each document with min-position first
+    // occurrences and an ordered string_agg — the full cleaned text
+    // is hash-checked.
+    QueryDef("q_tx_dedup_lines",
+      (s, d) => {
+        import s.implicits._
+        val tricky = Seq(
+          (1000001L, "header\nbody one\nheader\nbody two\nheader\n"),
+          (1000002L, "  nav  \r\nnav\nunique line\n\n\nnav\r\n"),
+          (1000003L, "a\nb\nc"),
+          (1000004L, "   \n\t\n"),
+          (1000005L, "same\nsame\nsame\nsame")
+        ).toDF("doc_id", "text")
+        t(s, d, "documents").select(col("doc_id"), col("text"))
+          .unionAll(tricky)
+          .select(col("doc_id"),
+            graft.functions.TextExpressions.dedupLines(col("text")).as("cleaned"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT * FROM (VALUES
+             |    (CAST(1000001 AS BIGINT), 'header' || chr(10) || 'body one' || chr(10) || 'header' || chr(10) || 'body two' || chr(10) || 'header' || chr(10)),
+             |    (CAST(1000002 AS BIGINT), '  nav  ' || chr(13) || chr(10) || 'nav' || chr(10) || 'unique line' || chr(10) || chr(10) || chr(10) || 'nav' || chr(13) || chr(10)),
+             |    (CAST(1000003 AS BIGINT), 'a' || chr(10) || 'b' || chr(10) || 'c'),
+             |    (CAST(1000004 AS BIGINT), '   ' || chr(10) || chr(9) || chr(10)),
+             |    (CAST(1000005 AS BIGINT), 'same' || chr(10) || 'same' || chr(10) || 'same' || chr(10) || 'same')) v(doc_id, text)),
+             |spl AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM u),
+             |pos AS (SELECT doc_id, CAST(j AS INT) AS j,
+             |          trim(ls[CAST(j AS INT)], ' ' || chr(9) || chr(13)) AS line
+             |        FROM spl, range(1, 100000) r(j) WHERE j <= len(ls)),
+             |fo AS (SELECT doc_id, line, min(j) AS fj FROM pos
+             |       WHERE line <> '' GROUP BY 1, 2),
+             |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY fj) AS cleaned
+             |        FROM fo GROUP BY doc_id)
+             |SELECT u.doc_id, coalesce(agg.cleaned, '') AS cleaned
+             |FROM u LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // Repetition signal: duplicate word-3-gram ratio per document
     QueryDef("q_tx_repetition",
       (s, d) => {

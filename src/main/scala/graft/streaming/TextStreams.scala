@@ -69,6 +69,30 @@ object TextStreams {
     * frame handed to `sink` is exactly `driftReport(reference ∪
     * batch)` — spec-pinned equal to the batch computation. Pass a
     * cached/checkpointed `reference` (it is re-read every batch). */
+  /** Per-window blocklist hit monitor: total occurrences of each
+    * pattern ([[graft.functions.MultiPatternCount]] — ONE automaton
+    * pass per document, all patterns) summed per event-time window.
+    * The per-row counts array is decomposed into per-pattern columns
+    * BEFORE the windowed aggregation so state per open window is
+    * one long per pattern — never a collected array. Deterministic
+    * in the input set, so a streaming window equals the batch
+    * aggregation over the same rows (the monitor-twin contract the
+    * other monitors follow). */
+  def blocklistMonitor(docs: DataFrame, patterns: Seq[String],
+                       windowLen: String = "1 minute",
+                       watermarkDelay: String = "30 seconds"): DataFrame = {
+    val c = graft.functions.TextExpressions
+      .multiPatternCount(lower(col("text")), patterns)
+    val withCounts = docs.select(col("ts") +: patterns.indices.map(i =>
+      c.getItem(i).as(s"c$i")): _*)
+    withCounts.withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n_docs"),
+        patterns.indices.map(i => sum(col(s"c$i")).as(s"hits_$i")): _*)
+      .select(col("window.start").as("win_start") +: col("n_docs") +:
+        patterns.indices.map(i => col(s"hits_$i")): _*)
+  }
+
   def driftMonitor(stream: DataFrame, reference: DataFrame, dim: String)(
       sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream.outputMode("update")

@@ -60,6 +60,31 @@ class StreamingSpec extends AnyFunSuite with SharedSpark {
     } finally q.stop()
   }
 
+  test("blocklistMonitor: closed windows emit batch-identical pattern hits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pats = Seq("aa", "bad word", "zz")
+    val docs = Seq(
+      (ts(0), 1L, "AAaa something bad word here"),
+      (ts(0), 2L, "aaaa and zz and ZZ"),
+      (ts(0), 3L, "clean text only"))
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = graft.streaming.TextStreams.blocklistMonitor(
+        mem.toDF().toDF("ts", "doc_id", "text"), pats)
+      .writeStream.outputMode("append").format("memory").queryName("txb").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      mem.addData((ts(10), 99L, "flush row far in the future"))
+      q.processAllAvailable()
+      val got = spark.table("txb").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      // batch twin over the same rows: aa→3+3 (overlaps in 'aaaa'),
+      // bad word→1, zz→2 (lowercased)
+      assert(got === Seq((3L, 6L, 1L, 2L)), got.toString)
+    } finally q.stop()
+  }
+
   test("driftMonitor: every micro-batch's PSI report equals the batch driftReport") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

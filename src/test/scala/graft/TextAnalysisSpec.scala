@@ -80,6 +80,25 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     assert(sig("single line here") === ((1L, 0L, 0.0, 0.0)))
   }
 
+  test("dedupLines: first occurrences in order; census reports zero after") {
+    def clean(s: String): String =
+      one(s, graft.functions.TextExpressions.dedupLines(col("text")))
+        .asInstanceOf[String]
+    assert(clean("header\nbody\nheader\ntail") === "header\nbody\ntail")
+    assert(clean("  nav  \r\nnav\nbody") === "nav\nbody")
+    assert(clean("a\n\n   \n\ta\nb") === "a\nb")
+    assert(clean("") === "")
+    assert(clean("   \n\t") === "")
+    assert(clean("only line") === "only line")
+    // the rewrite satisfies its own census: zero duplicates after
+    val messy = "x\ny\nx\n x \nz\ny\n\nz"
+    val after = one(clean(messy),
+      graft.ext.TextAnalysis.dupLineSignals(col("text")))
+      .asInstanceOf[org.apache.spark.sql.Row]
+    assert(after.getLong(1) === 0L, s"cleaned='${clean(messy)}'")
+    assert(clean(messy) === "x\ny\nz")
+  }
+
   test("multiPatternCount: Aho-Corasick equals brute-force substring probing") {
     def brute(s: String, pats: Seq[String]): Seq[Long] =
       pats.map(p => (0 to s.length - p.length)
