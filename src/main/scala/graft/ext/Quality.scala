@@ -179,6 +179,32 @@ object Quality {
           .as("psi"))
   }
 
+  /** Chi-square contingency table for two categorical columns — the
+    * independence screen (is quality stratified by source? did the
+    * label mix shift with the pipeline version?). Emits the FULL
+    * row×column grid — absent combinations appear with n_obs 0,
+    * because a structurally-missing cell is exactly the dependence
+    * signal the test exists to find — with each cell's expected
+    * count (row·col/total from exact int64 marginals, one fixed
+    * IEEE sequence) and chi² term (o−e)²/e. Sum the terms against a
+    * χ² quantile downstream. One count shuffle; marginals are
+    * category-sized and broadcast. */
+  def chiSquare(df: DataFrame, rowCol: Column, colCol: Column): DataFrame = {
+    val obs = df.groupBy(rowCol.as("r"), colCol.as("c"))
+      .agg(count(lit(1)).as("n_obs"))
+    val rt = obs.groupBy("r").agg(sum("n_obs").as("rt"))
+    val ct = obs.groupBy("c").agg(sum("n_obs").as("ct"))
+    val tot = obs.agg(sum("n_obs").as("t"))
+    val e = col("rt").cast("double") * col("ct").cast("double") /
+      col("t").cast("double")
+    val o = coalesce(col("n_obs"), lit(0L))
+    val term = (o.cast("double") - e) * (o.cast("double") - e) / e
+    broadcast(rt).crossJoin(broadcast(ct)).crossJoin(broadcast(tot))
+      .join(obs, Seq("r", "c"), "left")
+      .select(col("r"), col("c"), o.as("n_obs"),
+        round(e, 6).as("expected"), round(term, 6).as("chi2_term"))
+  }
+
   /** Benford first-digit conformance report — the fabricated-data /
     * unit-mixup screen for naturally-spanning positive numeric
     * columns (amounts, populations, file sizes): genuine multi-scale

@@ -139,6 +139,47 @@ object RelationalOps {
       .agg(min(value).as("weighted_median"))
   }
 
+  /** Ordered token-sequence assembly per group — the events-to-
+    * training-sequences step (a user session's actions become one
+    * ordered string a sequence model consumes). Rows rank within
+    * their group by `order` (make it total — include a unique id —
+    * or equal-key rows may swap), the first `maxLen` survive (the
+    * cap bounds BOTH per-group window state and output string
+    * length — without it one bot session produces an unbounded
+    * training row), and tokens concatenate in rank order via
+    * collect-then-sort on the (rank, token) struct — the aggregation
+    * never depends on collection order. Returns group columns +
+    * `n_tokens` (≤ maxLen) + `sequence`. */
+  def sequenceAssembly(df: DataFrame, group: Seq[Column], order: Seq[Column],
+                       token: Column, maxLen: Int,
+                       sep: String = " "): DataFrame = {
+    require(maxLen > 0, "need positive maxLen")
+    val w = Window.partitionBy(group: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxLen)
+      .withColumn("__tok", struct(col("__rn"), token.cast("string").as("t")))
+      .groupBy(group: _*)
+      .agg(count(lit(1)).as("n_tokens"),
+        array_join(transform(array_sort(collect_list(col("__tok"))),
+          x => x.getField("t")), sep).as("sequence"))
+  }
+
+  /** Per-group exact MODE (most frequent value, ties to the smallest
+    * value) — the categorical summary [[weightedMedian]] is for
+    * numerics. Two map-side-combined shuffles: (group, value) counts,
+    * then a per-group argmax window over the count frame (group ×
+    * distinct-value rows, already reduced). Returns (group, mode,
+    * n_occurrences). NULL values are excluded (a NULL mode would be
+    * indistinguishable from an empty group). */
+  def modeBy(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val counts = df.filter(value.isNotNull)
+      .groupBy(group.as("group"), value.as("mode"))
+      .agg(count(lit(1)).as("n_occurrences"))
+    val w = Window.partitionBy("group").orderBy(desc("n_occurrences"), col("mode"))
+    counts.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Per-group sorted value list rendered to a deterministic string —
     * the order-stable form of `$push` (NoSQLQueries.js:40) for tests
     * and oracles. Unbounded per-group state: document the group-size

@@ -84,6 +84,51 @@ object EventQueries {
              |  min(ts) AS sess_start, max(us) - min(us) AS sess_len_us
              |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin), bench = true),
 
+    // Events → TRAINING SEQUENCES
+    // ([[graft.ops.RelationalOps.sequenceAssembly]]): each session's
+    // first 20 actions become one ordered event-type string — the
+    // behavioral-sequence assembly a sequence model trains on. The
+    // cap bounds per-group state and row size (one bot session can't
+    // produce an unbounded training row); order is total via
+    // (us, event_id). The full sequence string is hash-checked.
+    QueryDef("q_ev_sequences",
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val sess = t(s, d, "events")
+          .withColumn("us", unix_micros(col("ts")))
+          .withColumn("prev_us", lag("us", 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull || col("us") - col("prev_us") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sess_id",
+            sum("new_sess").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        graft.ops.RelationalOps.sequenceAssembly(sess,
+            Seq(col("user_id"), col("sess_id")),
+            Seq(col("us"), col("event_id")), col("event_type"), maxLen = 20)
+          .orderBy("user_id", "sess_id")
+      },
+      Some("""WITH flagged AS (
+             |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+             |           OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800 * 1000000
+             |         THEN 1 ELSE 0 END AS new_sess
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |sess AS (
+             |  SELECT user_id, event_id, event_type, us,
+             |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+             |  FROM flagged),
+             |ranked AS (
+             |  SELECT user_id, sess_id, event_type, us, event_id,
+             |    row_number() OVER (PARTITION BY user_id, sess_id
+             |      ORDER BY us, event_id) AS rn
+             |  FROM sess)
+             |SELECT user_id, sess_id, count(*) AS n_tokens,
+             |  string_agg(event_type, ' ' ORDER BY us, event_id) AS sequence
+             |FROM ranked WHERE rn <= 20
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Backward as-of join: each purchase picks up the user's latest
     // click at-or-before it (right side pre-aggregated to unique
     // (user, ts) so ties are deterministic on both engines)

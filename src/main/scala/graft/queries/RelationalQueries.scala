@@ -856,6 +856,52 @@ object RelationalQueries {
              |    CAST(n AS DOUBLE), 1.0, n BETWEEN 1 AND 10000000 FROM m)
              |ORDER BY "constraint", threshold""".stripMargin)),
 
+    // Per-group exact mode ([[graft.ops.RelationalOps.modeBy]]):
+    // each user's most frequent event type, ties to the
+    // lexicographically smallest — the categorical summary the
+    // weighted median can't give. Counts reduce before the per-group
+    // argmax window (group × distinct-value rows only).
+    QueryDef("q_agg_mode",
+      (s, d) => graft.ops.RelationalOps.modeBy(
+          t(s, d, "events"), col("user_id"), col("event_type"))
+        .withColumnRenamed("group", "user_id")
+        .orderBy("user_id"),
+      Some("""WITH c AS (
+             |  SELECT user_id, event_type AS mode, count(*) AS n_occurrences
+             |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+             |r AS (
+             |  SELECT user_id, mode, n_occurrences,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY n_occurrences DESC, mode) AS rn
+             |  FROM c)
+             |SELECT user_id, mode, n_occurrences FROM r WHERE rn = 1
+             |ORDER BY user_id""".stripMargin)),
+
+    // Chi-square contingency grid ([[graft.ext.Quality.chiSquare]]):
+    // return flag × line status with the FULL grid (the structurally
+    // absent combinations appear at n_obs 0 — that absence IS the
+    // dependence signal); expected counts and chi² terms derive from
+    // exact int64 marginals in one fixed IEEE sequence.
+    QueryDef("q_quality_chi2",
+      (s, d) => graft.ext.Quality.chiSquare(
+          t(s, d, "lineitem"), col("l_returnflag"), col("l_linestatus"))
+        .orderBy("r", "c"),
+      Some("""WITH obs AS (
+             |  SELECT l_returnflag AS r, l_linestatus AS c, count(*) AS n_obs
+             |  FROM lineitem GROUP BY 1, 2),
+             |rt AS (SELECT r, CAST(sum(n_obs) AS BIGINT) AS rt FROM obs GROUP BY r),
+             |ct AS (SELECT c, CAST(sum(n_obs) AS BIGINT) AS ct FROM obs GROUP BY c),
+             |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS t FROM obs),
+             |grid AS (SELECT rt.r, ct.c, rt.rt, ct.ct, tot.t FROM rt, ct, tot),
+             |cell AS (
+             |  SELECT g.r, g.c, CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+             |    CAST(g.rt AS DOUBLE) * CAST(g.ct AS DOUBLE) / CAST(g.t AS DOUBLE) AS e
+             |  FROM grid g LEFT JOIN obs o ON g.r = o.r AND g.c = o.c)
+             |SELECT r, c, n_obs, round(e, 6) AS expected,
+             |  round((CAST(n_obs AS DOUBLE) - e) * (CAST(n_obs AS DOUBLE) - e) / e, 6)
+             |    AS chi2_term
+             |FROM cell ORDER BY r, c""".stripMargin)),
+
     // Benford first-digit conformance
     // ([[graft.ext.Quality.benfordReport]]): extendedprice first
     // digits vs the log10(1+1/d) law — expected shares are fixed

@@ -160,6 +160,40 @@ class RelationalOpsSpec extends AnyFunSuite with SharedSpark {
       .schema("v").dataType.simpleString === "double")
   }
 
+  test("sequenceAssembly: rank order survives any collection order; cap binds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = Seq(
+      (1L, 3L, 30L, "c"), (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"),
+      (2L, 4L, 5L, "x"), (2L, 5L, 5L, "y") // tied ts → id breaks it
+    ).toDF("u", "id", "ts", "act")
+    def seqs(d: org.apache.spark.sql.DataFrame, cap: Int): Map[Long, (Long, String)] =
+      RelationalOps.sequenceAssembly(d, Seq(col("u")),
+          Seq(col("ts"), col("id")), col("act"), maxLen = cap)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(seqs(ev, 10) === Map(1L -> ((3L, "a b c")), 2L -> ((2L, "x y"))))
+    assert(seqs(ev.repartition(7), 10) === seqs(ev, 10))
+    // the cap keeps the PREFIX in order
+    assert(seqs(ev, 2)(1L) === ((2L, "a b")))
+  }
+
+  test("modeBy: most frequent wins, ties to smallest, NULLs excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("g1", Some("b")), ("g1", Some("b")), ("g1", Some("a")),
+      ("g2", Some("x")), ("g2", Some("y")),          // tie → x
+      ("g3", None), ("g3", Some("z"))                // NULL ignored
+    ).toDF("g", "v")
+    val got = RelationalOps.modeBy(df, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got === Map("g1" -> (("b", 2L)), "g2" -> (("x", 1L)), "g3" -> (("z", 1L))))
+    // an all-NULL group disappears rather than reporting a NULL mode
+    assert(RelationalOps.modeBy(
+      Seq(("g4", Option.empty[String])).toDF("g", "v"), col("g"), col("v"))
+      .count() === 0L)
+  }
+
   test("weightedMedian: exact crossing, tie-safe, partition-order independent") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
