@@ -256,6 +256,26 @@ object CorpusStats {
       .orderBy(desc("cnt"), col("key")).limit(k)
   }
 
+  /** Token frequency spectrum — for each occurrence count c, how
+    * many distinct token TYPES occur exactly c times (Zipf's second
+    * law view): the hapax-legomena share (c = 1) is the classic
+    * OCR-noise / vocabulary-churn signal, and the spectrum's shape
+    * feeds vocabulary-size estimators (Good–Turing). Two
+    * map-side-combined shuffles: token counts, then the
+    * count-of-counts rollup — the second input is vocabulary-sized,
+    * not corpus-sized. `share` of vocabulary is an exact integer
+    * ratio. */
+  def freqSpectrum(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = tokens(docs, textCol).filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val spec = counts.groupBy("c").agg(count(lit(1)).as("n_types"))
+    val vocab = broadcast(spec.agg(sum("n_types").as("v")))
+    spec.crossJoin(vocab)
+      .select(col("c").as("occurrences"), col("n_types"),
+        round(col("n_types").cast("double") / col("v").cast("double"), 6)
+          .as("vocab_share"))
+  }
+
   /** Incremental new-token detection against a seen-vocabulary
     * store — the maintenance form of [[vocabGrowth]] (an OOV spike in
     * today's feed means a domain shift or an encoding break, and is

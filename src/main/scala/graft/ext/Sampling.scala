@@ -353,6 +353,23 @@ object Sampling {
       .drop("__h", "__shard")
   }
 
+  /** Within-group quantile normalization: each row's score becomes
+    * its percent-rank inside its group — the calibration step that
+    * makes quality scores COMPARABLE across strata before a global
+    * threshold or mixing policy is applied (a "0.7" from a
+    * high-quality source and from a spam-heavy source mean different
+    * things; their group-percentiles don't). `key` must make the
+    * order total (ties would otherwise make percentiles
+    * run-dependent). percent_rank = (rank−1)/(n−1) — identical
+    * definition in any SQL engine, exact-rounded doubles. One window
+    * per group, never global. */
+  def quantileNormalize(df: DataFrame, group: Column, score: Column,
+                        key: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(score, key)
+    df.withColumn("pct_rank", round(percent_rank().over(w), 6))
+  }
+
   /** Per-group top-p (nucleus) selection by quality mass: within each
     * group, rank rows by `score` descending (ties to the smaller
     * `key`) and keep the best rows until they cover fraction

@@ -129,6 +129,35 @@ object EventQueries {
              |FROM ranked WHERE rn <= 20
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // First-order Markov transition matrix over user event streams:
+    // (from → to) counts from a per-user lead window, with row-
+    // normalized transition probabilities — the behavioral prior a
+    // session model starts from. Counts are exact; probabilities are
+    // exact integer ratios rounded once.
+    QueryDef("q_ev_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val wFrom = Window.partitionBy("from_type")
+        t(s, d, "events")
+          .withColumn("next", lead("event_type", 1).over(w))
+          .filter(col("next").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p", round(col("n").cast("double") /
+            sum("n").over(wFrom).cast("double"), 6))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH nxt AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |c AS (SELECT from_type, to_type, count(*) AS n FROM nxt
+             |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+             |FROM c ORDER BY from_type, to_type""".stripMargin)),
+
     // Backward as-of join: each purchase picks up the user's latest
     // click at-or-before it (right side pre-aggregated to unique
     // (user, ts) so ties are deterministic on both engines)

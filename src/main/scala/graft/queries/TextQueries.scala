@@ -47,6 +47,44 @@ object TextQueries {
               |  round($qualitySqlExpr, 4) AS quality
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Within-language quantile normalization
+    // ([[graft.ext.Sampling.quantileNormalize]]): each doc's quality
+    // becomes its percent-rank inside its language — the calibration
+    // that makes scores comparable across strata before one global
+    // threshold applies. Total order via (quality, doc_id);
+    // percent_rank's (rank−1)/(n−1) is engine-identical.
+    QueryDef("q_tx_quality_norm",
+      (s, d) => graft.ext.Sampling.quantileNormalize(
+          t(s, d, "documents").select(col("doc_id"), col("lang"),
+            round(TextAnalysis.qualityScore(col("text")), 4).as("quality")),
+          col("lang"), col("quality"), col("doc_id"))
+        .orderBy("doc_id"),
+      Some(s"""WITH q AS (
+              |  SELECT doc_id, lang, round($qualitySqlExpr, 4) AS quality
+              |  FROM documents)
+              |SELECT doc_id, lang, quality,
+              |  round(percent_rank() OVER (PARTITION BY lang
+              |    ORDER BY quality, doc_id), 6) AS pct_rank
+              |FROM q ORDER BY doc_id""".stripMargin)),
+
+    // Token frequency spectrum
+    // ([[graft.ext.CorpusStats.freqSpectrum]]): count-of-counts over
+    // the vocabulary — the hapax share and Zipf-second-law shape.
+    // Exact integers + one exact ratio.
+    QueryDef("q_tx_freq_spectrum",
+      (s, d) => graft.ext.CorpusStats.freqSpectrum(t(s, d, "documents"))
+        .orderBy("occurrences"),
+      Some("""WITH tok AS (
+             |  SELECT t AS token FROM (
+             |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS t
+             |    FROM documents) WHERE t <> ''),
+             |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token),
+             |spec AS (SELECT c, count(*) AS n_types FROM cnt GROUP BY c),
+             |v AS (SELECT CAST(sum(n_types) AS BIGINT) AS v FROM spec)
+             |SELECT c AS occurrences, n_types,
+             |  round(n_types / CAST(v.v AS DOUBLE), 6) AS vocab_share
+             |FROM spec, v ORDER BY occurrences""".stripMargin)),
+
     // Batch twin of the STREAMING quality monitor, through the very
     // function the stream runs (withWatermark is analyzer-eliminated
     // on a static frame): documents get a deterministic synthetic
