@@ -1163,4 +1163,36 @@ object Similarity {
         round((col("sum_q") / lit(1048576.0)) / col("n"), 6).as("mean"),
         round(sqrt(variance) / (col("n") * lit(1048576.0)), 6).as("std"))
   }
+
+  /** PCA projection / dimensionality reduction: every embedding's
+    * coordinates along the top-`components` principal axes from
+    * [[dimPrincipalK]] — the 64→k compression that feeds
+    * visualization, coarse clustering, and drift monitoring on a
+    * k-float footprint instead of 64.
+    *
+    * Determinism contract: the loadings are the power-iteration
+    * fixed-point INTEGERS (driver-side, dim²-bounded as documented
+    * on dimPrincipalK), broadcast into the plan as literal double
+    * arrays; each projection is one left-to-right fold of
+    * exactly-rounded products (the same accumulation-order contract
+    * the cosine gates rely on), scaled by 2⁻²⁰ once at the end.
+    * Projection itself is a narrow per-row map — at 100 TB the only
+    * driver work is the dim² covariance the PCA already needs. */
+  def pcaProject(embeddings: DataFrame, components: Int = 2, dim: Int = 64,
+                 iters: Int = 12, vecCol: String = "embedding",
+                 idCol: String = "vec_id"): DataFrame = {
+    val lv: Map[Int, Array[Long]] =
+      dimPrincipalK(embeddings, dim, iters, components, vecCol).collect()
+        .groupBy(_.getInt(0))
+        .map { case (c, rows) =>
+          c -> rows.sortBy(_.getInt(1)).map(_.getLong(2))
+        }
+    val projCols = (1 to components).map { c =>
+      val arr = array(lv(c).map(x => lit(x.toDouble)): _*)
+      round(aggregate(
+        zip_with(col(vecCol).cast("array<double>"), arr, (a, b) => a * b),
+        lit(0.0), (acc, t) => acc + t) / 1048576.0, 6).as(s"pc$c")
+    }
+    embeddings.select(col(idCol) +: projCols: _*)
+  }
 }

@@ -381,6 +381,20 @@ object SimilarityQueries {
        |ORDER BY component, pos""".stripMargin
   }
 
+  /** Projection final for the [[pca2OracleSql]] CTE chain: every
+    * embedding's coordinates along v1/v2 via the same left-to-right
+    * dot-product fold the cosine gates rely on, scaled 2⁻²⁰ once. */
+  private val pcaProjectOracleSql: String = {
+    val cte = pca2OracleSql.substring(0,
+      pca2OracleSql.indexOf("SELECT 1 AS component"))
+    cte + """SELECT e.vec_id,
+            |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+            |    list_transform(v1, x -> CAST(x AS DOUBLE))) / 1048576.0, 6) AS pc1,
+            |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+            |    list_transform(v2, x -> CAST(x AS DOUBLE))) / 1048576.0, 6) AS pc2
+            |FROM embeddings e, d2f ORDER BY e.vec_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // Brute-force cosine top-10 to vec_id 0 (baseline ANN)
@@ -1172,6 +1186,16 @@ object SimilarityQueries {
           round(col("loading_fp") / 1048576.0, 6).as("loading"))
         .orderBy("component", "pos"),
       Some(pca2OracleSql)),
+
+    // PCA projection ([[Similarity.pcaProject]]): 64→2 compression
+    // along the Hotelling components — loadings broadcast as integer
+    // literals, projection a narrow per-row fold. The oracle runs
+    // the FULL recursive PCA replay and then projects every
+    // embedding with the same accumulation order.
+    QueryDef("q_emb_pca_proj",
+      (s, d) => Similarity.pcaProject(t(s, d, "embeddings"), components = 2)
+        .orderBy("vec_id"),
+      Some(pcaProjectOracleSql)),
 
     // Perceptual image hashes ([[Multimodal.imageHashes]]): aHash +
     // dHash over deterministic 16×16 gray fixtures whose pixel values

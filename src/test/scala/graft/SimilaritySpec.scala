@@ -450,4 +450,29 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       s"kept vectors with a close smaller neighbor: ${kept.intersect(close).take(5)}")
     assert(all.diff(close) === kept, "dropped more than the close set")
   }
+
+  test("pcaProject: equals a driver fold over dimPrincipalK loadings; layout-proof") {
+    import org.apache.spark.sql.functions._
+    val lv = graft.ext.Similarity.dimPrincipalK(emb, components = 2).collect()
+      .groupBy(_.getInt(0))
+      .map { case (c, rs) => c -> rs.sortBy(_.getInt(1)).map(_.getLong(2)) }
+    val got = graft.ext.Similarity.pcaProject(emb, components = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // same left-to-right fold on the driver
+    def proj(x: Array[Float], v: Array[Long]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) { acc += x(i).toDouble * v(i).toDouble; i += 1 }
+      BigDecimal(acc / 1048576.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    vecs.foreach { case (id, x) =>
+      assert(got(id) === ((proj(x, lv(1)), proj(x, lv(2)))), s"vec $id")
+    }
+    // physical layout must not matter
+    val again = graft.ext.Similarity.pcaProject(emb.repartition(7), components = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(again === got)
+  }
 }
