@@ -390,9 +390,15 @@ object GraphQueries {
            |      WHERE cnt * 480 >= total AND src <> dst),
            |eu AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
            |gr AS (
-           |  SELECT list({u: u, v: v}) AS es,
+           |  -- ORDER BY inside list() is load-bearing: without it the
+           |  -- edge-list order follows DuckDB's parallel scan order and
+           |  -- the final labeling was observed to flip between runs
+           |  -- (~1/15) — a silent gate flake. Pinned order + the
+           |  -- strict-total-order reduce make the replay deterministic
+           |  -- and equal to the Spark labeling.
+           |  SELECT list({u: u, v: v} ORDER BY u, v) AS es,
            |    list_transform(list_sort(list_distinct(flatten(
-           |      list_transform(list({u: u, v: v}), ed -> [ed.u, ed.v])))),
+           |      list_transform(list({u: u, v: v} ORDER BY u, v), ed -> [ed.u, ed.v])))),
            |      x -> {nd: x, lb: x}) AS ls
            |  FROM eu),
            |st AS (
