@@ -212,6 +212,36 @@ object CorpusStats {
         .select(lit(c).as("column"), col("n_rows"), col("n_null"), col("n_distinct"))
     }.reduce(_.unionAll(_))
 
+  /** Per-group ordinary-least-squares trend (slope + intercept) of
+    * integer observations over an integer axis — the volume-trend /
+    * drift-direction detector (is this event type growing? is this
+    * source's daily volume decaying?). All five sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²) are exact int64 sums; REBASE the axis
+    * near zero first (e.g. hours since corpus start, not epoch
+    * hours) so every derived double product stays under 2⁵³ and the
+    * closed-form slope/intercept are exact-to-the-ulp in any engine
+    * — the same fixed-IEEE-sequence contract as [[groupMoments]].
+    * Degenerate groups (single distinct x) report NULLs. */
+  def groupTrend(df: DataFrame, group: Column, x: Column,
+                 y: Column): DataFrame = {
+    val xl = x.cast("long")
+    val yl = y.cast("long")
+    val agg = df.groupBy(group.as("group")).agg(
+      count(lit(1)).as("n"), sum(xl).as("sx"), sum(yl).as("sy"),
+      sum(xl * yl).as("sxy"), sum(xl * xl).as("sxx"))
+    val nd = col("n").cast("double")
+    val num = nd * col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double")
+    val den = nd * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val slope = num / den
+    agg.select(col("group"), col("n"),
+      round(when(den =!= 0.0, slope), 6).as("slope"),
+      round(when(den =!= 0.0,
+        (col("sy").cast("double") - slope * col("sx").cast("double")) / nd), 6)
+        .as("intercept"))
+  }
+
   /** Per-group distribution-shape profile — population variance,
     * skewness and excess kurtosis — from EXACT integer power sums
     * S₁..S₄ of an integer-valued column: the power sums are int64

@@ -129,6 +129,48 @@ object EventQueries {
              |FROM ranked WHERE rn <= 20
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // Per-type hourly volume TREND ([[graft.ext.CorpusStats
+    // .groupTrend]]): OLS slope/intercept of events-per-hour over
+    // hours-since-corpus-start. The rebase keeps every double
+    // product under 2^53, so the closed-form fit is exact in both
+    // engines from the same int64 sufficient statistics.
+    QueryDef("q_ev_trend",
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("event_type"), (unix_micros(col("ts")) / 3600000000L)
+            .cast("long").as("h"))
+        val h0 = broadcast(ev.agg(min("h").as("h0")))
+        val hourly = ev.crossJoin(h0)
+          .groupBy(col("event_type"), (col("h") - col("h0")).as("x"))
+          .agg(count(lit(1)).as("y"))
+        graft.ext.CorpusStats.groupTrend(hourly,
+            col("event_type"), col("x"), col("y"))
+          .withColumnRenamed("group", "event_type")
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (
+             |  SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events),
+             |h0 AS (SELECT min(h) AS h0 FROM ev),
+             |hourly AS (
+             |  SELECT event_type, h - h0 AS x, count(*) AS y
+             |  FROM ev, h0 GROUP BY 1, 2),
+             |a AS (
+             |  SELECT event_type, count(*) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+             |  FROM hourly GROUP BY 1),
+             |b AS (
+             |  SELECT event_type, n,
+             |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS num,
+             |    CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS den,
+             |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+             |  FROM a)
+             |SELECT event_type, n,
+             |  round(CASE WHEN den <> 0 THEN num / den END, 6) AS slope,
+             |  round(CASE WHEN den <> 0
+             |    THEN (syd - (num / den) * sxd) / CAST(n AS DOUBLE) END, 6) AS intercept
+             |FROM b ORDER BY event_type""".stripMargin)),
+
     // First-order Markov transition matrix over user event streams:
     // (from → to) counts from a per-user lead window, with row-
     // normalized transition probabilities — the behavioral prior a

@@ -183,6 +183,25 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     assert(ha.intersect(hb).nonEmpty, "guarantee violated")
   }
 
+  test("groupTrend: exact on a perfect line; degenerate groups yield NULLs") {
+    import spark.implicits._
+    val df = ((0L to 10L).map(x => ("lin", x, 2 * x + 3)) ++
+      Seq(("flat", 5L, 7L), ("flat", 5L, 9L))).toDF("g", "x", "y")
+    val got = graft.ext.CorpusStats.groupTrend(df, col("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        ((r.isNullAt(2), if (r.isNullAt(2)) 0.0 else r.getDouble(2),
+          if (r.isNullAt(3)) 0.0 else r.getDouble(3)))).toMap
+    assert(got("lin") === ((false, 2.0, 3.0)))
+    assert(got("flat")._1 === true, "single distinct x has no slope")
+    // layout-proof
+    val again = graft.ext.CorpusStats.groupTrend(df.repartition(5),
+      col("g"), col("x"), col("y")).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val first = graft.ext.CorpusStats.groupTrend(df, col("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(again === first)
+  }
+
   test("vocabGrowth: first-seen reformulation equals per-prefix distinct") {
     import spark.implicits._
     val docs = Seq(
