@@ -624,5 +624,39 @@ object EventQueries {
              |WHERE s2*1.0/c - (s1*1.0/c)*(s1*1.0/c) > 0
              |  AND abs((n - s1*1.0/c) / sqrt(s2*1.0/c - (s1*1.0/c)*(s1*1.0/c))) > 2
              |ORDER BY event_type, hour""".stripMargin)),
+
+    // Per-user churn/inactivity report: days since each user's last
+    // event, measured against the corpus horizon (global max ts), and
+    // a churned flag at the 7-day threshold — the user-lifecycle
+    // rollup behind retention dashboards and re-engagement cohorts.
+    // All-integer microsecond arithmetic (`div` / `//` floor division
+    // on non-negative longs) so both engines agree exactly. Scale
+    // shape: ONE shuffle (groupBy user_id); the horizon is a 1-row
+    // aggregate broadcast to every partition — no second pass over
+    // the events table.
+    QueryDef("q_ev_churn",
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val perUser = ev.groupBy("user_id")
+          .agg(max("ts").as("last_seen"), count(lit(1)).as("n_events"),
+            max(unix_micros(col("ts"))).as("last_us"))
+        val horizon = ev.agg(max(unix_micros(col("ts"))).as("horizon_us"))
+        perUser.crossJoin(broadcast(horizon))
+          .withColumn("days_inactive",
+            expr("(horizon_us - last_us) div 86400000000"))
+          .withColumn("churned", col("days_inactive") >= 7)
+          .select("user_id", "last_seen", "n_events", "days_inactive", "churned")
+          .orderBy("user_id")
+      },
+      Some("""WITH per_user AS (
+             |  SELECT user_id, max(ts) AS last_seen, count(*) AS n_events,
+             |         max(epoch_us(ts)) AS last_us
+             |  FROM events GROUP BY 1),
+             |horizon AS (SELECT max(epoch_us(ts)) AS horizon_us FROM events)
+             |SELECT user_id, last_seen, n_events,
+             |  CAST((horizon_us - last_us) // 86400000000 AS BIGINT) AS days_inactive,
+             |  (horizon_us - last_us) // 86400000000 >= 7 AS churned
+             |FROM per_user CROSS JOIN horizon
+             |ORDER BY user_id""".stripMargin)),
   )
 }
