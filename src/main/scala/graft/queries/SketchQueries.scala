@@ -590,6 +590,76 @@ object SketchQueries {
              |SELECT l_orderkey, l_linenumber, (xe | (ye << 1)) AS zval
              |FROM s5 ORDER BY zval, l_orderkey, l_linenumber LIMIT 2000""".stripMargin)),
 
+    // Data-skipping manifest over the Z-ordered layout — the payoff
+    // step that makes Z-ordering matter at 100 TB. Both keys are
+    // min-max normalized onto the 16-bit interleave domain (same
+    // arithmetic as [[Layout.writeZOrdered]]), rows are assigned to
+    // "files" by contiguous Z-range (top 4 bits of the 32-bit Morton
+    // code → 16 files), then ONE aggregation pass
+    // collects the Delta/Iceberg-style per-file column min/max stats,
+    // and a box predicate (l_partkey ∈ [100,400] ∧ l_suppkey ∈
+    // [10,40]) is evaluated against the stats alone: a file whose
+    // [min,max] interval misses the box in EITHER dimension is
+    // skippable without being read. Because Z-order keeps both key
+    // dimensions compact within each file, most files prune — the
+    // gate hash pins exactly which. The oracle re-derives the Morton
+    // interleave with the same stepwise CTE as q_zorder.
+    QueryDef("q_layout_skipping",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        // 4-value bounded collect for the normalization bounds — the
+        // same tiny agg writeZOrdered performs (plan literals, like
+        // broadcast centroids); the oracle re-derives them as scalar
+        // subqueries over the identical integer min/max
+        val Array(pLo, pHi, sLo, sHi) = li
+          .agg(min("l_partkey").cast("long"), max("l_partkey").cast("long"),
+            min("l_suppkey").cast("long"), max("l_suppkey").cast("long"))
+          .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+        li.select(col("l_partkey"), col("l_suppkey"),
+            Layout.zorder2(
+              Layout.normalize16(col("l_partkey"), pLo, pHi),
+              Layout.normalize16(col("l_suppkey"), sLo, sHi)).as("zval"))
+          .withColumn("file_id", expr("zval div 268435456"))
+          .groupBy("file_id")
+          .agg(count(lit(1)).as("n_rows"),
+            min("l_partkey").as("min_pk"), max("l_partkey").as("max_pk"),
+            min("l_suppkey").as("min_sk"), max("l_suppkey").as("max_sk"))
+          .withColumn("can_skip",
+            col("max_pk") < 100 || col("min_pk") > 400 ||
+              col("max_sk") < 10 || col("min_sk") > 40)
+          .orderBy("file_id")
+      },
+      Some("""WITH b AS (
+             |  SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
+             |         min(l_suppkey) AS slo, max(l_suppkey) AS shi
+             |  FROM lineitem),
+             |s0 AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    (l_partkey - plo) * 65535 // (phi - plo) AS xn,
+             |    (l_suppkey - slo) * 65535 // (shi - slo) AS yn
+             |  FROM lineitem CROSS JOIN b),
+             |s1 AS (SELECT *, xn & 65535 AS xa, yn & 65535 AS ya FROM s0),
+             |s2 AS (SELECT *, (xa | (xa << 8)) & 16711935 AS xb,
+             |  (ya | (ya << 8)) & 16711935 AS yb FROM s1),
+             |s3 AS (SELECT *, (xb | (xb << 4)) & 252645135 AS xc,
+             |  (yb | (yb << 4)) & 252645135 AS yc FROM s2),
+             |s4 AS (SELECT *, (xc | (xc << 2)) & 858993459 AS xd,
+             |  (yc | (yc << 2)) & 858993459 AS yd FROM s3),
+             |s5 AS (SELECT *, (xd | (xd << 1)) & 1431655765 AS xe,
+             |  (yd | (yd << 1)) & 1431655765 AS ye FROM s4),
+             |files AS (
+             |  SELECT (xe | (ye << 1)) // 268435456 AS file_id,
+             |    l_partkey, l_suppkey FROM s5),
+             |manifest AS (
+             |  SELECT file_id, count(*) AS n_rows,
+             |    min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+             |    min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+             |  FROM files GROUP BY 1)
+             |SELECT file_id, n_rows, min_pk, max_pk, min_sk, max_sk,
+             |  (max_pk < 100 OR min_pk > 400 OR max_sk < 10 OR min_sk > 40)
+             |    AS can_skip
+             |FROM manifest ORDER BY file_id""".stripMargin)),
+
     // Co-located join over bucketed tables: orders and lineitem are
     // written bucketed (and bucket-sorted) on the join key with the
     // same bucket count, so the sort-merge join reads aligned buckets
