@@ -657,6 +657,6 @@ object EventQueries {
              |  CAST((horizon_us - last_us) // 86400000000 AS BIGINT) AS days_inactive,
              |  (horizon_us - last_us) // 86400000000 >= 7 AS churned
              |FROM per_user CROSS JOIN horizon
-             |ORDER BY user_id""".stripMargin)),
+             |ORDER BY user_id""".stripMargin), bench = true),
   )
 }

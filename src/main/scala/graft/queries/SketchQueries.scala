@@ -658,7 +658,7 @@ object SketchQueries {
              |SELECT file_id, n_rows, min_pk, max_pk, min_sk, max_sk,
              |  (max_pk < 100 OR min_pk > 400 OR max_sk < 10 OR min_sk > 40)
              |    AS can_skip
-             |FROM manifest ORDER BY file_id""".stripMargin)),
+             |FROM manifest ORDER BY file_id""".stripMargin), bench = true),
 
     // Co-located join over bucketed tables: orders and lineitem are
     // written bucketed (and bucket-sorted) on the join key with the
