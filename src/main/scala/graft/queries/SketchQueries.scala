@@ -660,6 +660,77 @@ object SketchQueries {
              |    AS can_skip
              |FROM manifest ORDER BY file_id""".stripMargin), bench = true),
 
+    // Clustering-depth profile — the reclustering trigger metric
+    // (Delta OPTIMIZE / Iceberg rewrite decide off exactly this): a
+    // boundary sweep over the per-file [min_pk, max_pk+1) intervals
+    // of the Z-ordered manifest (+1 at each file's min, -1 past its
+    // max, running sum = how many files a point lookup on that key
+    // must read). Z-order trades single-key purity for 2-D locality,
+    // so the sweep reports a constant depth of 4 here (4 files share
+    // each partkey quartile — the price of suppkey locality); a
+    // partkey-sorted layout would read depth 1, and a random layout
+    // depth 16. The window is unpartitioned BY DESIGN: it runs over
+    // the ≤2·files boundary rows of the manifest (stats-frame-sized,
+    // never the data), like the Z-order bounds collect.
+    QueryDef("q_layout_depth",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = t(s, d, "lineitem")
+        val Array(pLo, pHi, sLo, sHi) = li
+          .agg(min("l_partkey").cast("long"), max("l_partkey").cast("long"),
+            min("l_suppkey").cast("long"), max("l_suppkey").cast("long"))
+          .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+        val manifest = li.select(col("l_partkey"), col("l_suppkey"),
+            Layout.zorder2(
+              Layout.normalize16(col("l_partkey"), pLo, pHi),
+              Layout.normalize16(col("l_suppkey"), sLo, sHi)).as("zval"))
+          .withColumn("file_id", expr("zval div 268435456"))
+          .groupBy("file_id")
+          .agg(min("l_partkey").cast("long").as("min_pk"),
+            max("l_partkey").cast("long").as("max_pk"))
+        val bounds = manifest.select(col("min_pk").as("pos"), lit(1L).as("delta"))
+          .unionAll(manifest.select((col("max_pk") + 1L).as("pos"), lit(-1L).as("delta")))
+        bounds.groupBy("pos").agg(sum("delta").as("net"))
+          .withColumn("depth", sum("net").over(
+            Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)))
+          .orderBy("pos")
+      },
+      Some("""WITH b AS (
+             |  SELECT min(l_partkey) AS plo, max(l_partkey) AS phi,
+             |         min(l_suppkey) AS slo, max(l_suppkey) AS shi
+             |  FROM lineitem),
+             |s0 AS (
+             |  SELECT l_partkey, l_suppkey,
+             |    (l_partkey - plo) * 65535 // (phi - plo) AS xn,
+             |    (l_suppkey - slo) * 65535 // (shi - slo) AS yn
+             |  FROM lineitem CROSS JOIN b),
+             |s1 AS (SELECT *, xn & 65535 AS xa, yn & 65535 AS ya FROM s0),
+             |s2 AS (SELECT *, (xa | (xa << 8)) & 16711935 AS xb,
+             |  (ya | (ya << 8)) & 16711935 AS yb FROM s1),
+             |s3 AS (SELECT *, (xb | (xb << 4)) & 252645135 AS xc,
+             |  (yb | (yb << 4)) & 252645135 AS yc FROM s2),
+             |s4 AS (SELECT *, (xc | (xc << 2)) & 858993459 AS xd,
+             |  (yc | (yc << 2)) & 858993459 AS yd FROM s3),
+             |s5 AS (SELECT *, (xd | (xd << 1)) & 1431655765 AS xe,
+             |  (yd | (yd << 1)) & 1431655765 AS ye FROM s4),
+             |files AS (
+             |  SELECT (xe | (ye << 1)) // 268435456 AS file_id,
+             |    l_partkey FROM s5),
+             |manifest AS (
+             |  SELECT file_id, min(l_partkey) AS min_pk,
+             |    max(l_partkey) AS max_pk
+             |  FROM files GROUP BY 1),
+             |bounds AS (
+             |  SELECT min_pk AS pos, 1 AS delta FROM manifest
+             |  UNION ALL SELECT max_pk + 1, -1 FROM manifest),
+             |net AS (SELECT pos, CAST(sum(delta) AS BIGINT) AS net
+             |        FROM bounds GROUP BY 1)
+             |SELECT pos, net,
+             |  CAST(sum(net) OVER (ORDER BY pos
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             |    AS depth
+             |FROM net ORDER BY pos""".stripMargin)),
+
     // Co-located join over bucketed tables: orders and lineitem are
     // written bucketed (and bucket-sorted) on the join key with the
     // same bucket count, so the sort-merge join reads aligned buckets
