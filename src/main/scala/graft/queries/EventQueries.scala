@@ -632,15 +632,16 @@ object EventQueries {
     // All-integer microsecond arithmetic (`div` / `//` floor division
     // on non-negative longs) so both engines agree exactly. Scale
     // shape: ONE shuffle (groupBy user_id); the horizon is a 1-row
-    // aggregate broadcast to every partition — no second pass over
-    // the events table.
+    // aggregate over the already-grouped per-user frame (the groupBy
+    // exchange is reused — max(last_us) == max(ts) over events), so
+    // the events table is scanned exactly once.
     QueryDef("q_ev_churn",
       (s, d) => {
         val ev = t(s, d, "events")
         val perUser = ev.groupBy("user_id")
           .agg(max("ts").as("last_seen"), count(lit(1)).as("n_events"),
             max(unix_micros(col("ts"))).as("last_us"))
-        val horizon = ev.agg(max(unix_micros(col("ts"))).as("horizon_us"))
+        val horizon = perUser.agg(max("last_us").as("horizon_us"))
         perUser.crossJoin(broadcast(horizon))
           .withColumn("days_inactive",
             expr("(horizon_us - last_us) div 86400000000"))
@@ -652,7 +653,7 @@ object EventQueries {
              |  SELECT user_id, max(ts) AS last_seen, count(*) AS n_events,
              |         max(epoch_us(ts)) AS last_us
              |  FROM events GROUP BY 1),
-             |horizon AS (SELECT max(epoch_us(ts)) AS horizon_us FROM events)
+             |horizon AS (SELECT max(last_us) AS horizon_us FROM per_user)
              |SELECT user_id, last_seen, n_events,
              |  CAST((horizon_us - last_us) // 86400000000 AS BIGINT) AS days_inactive,
              |  (horizon_us - last_us) // 86400000000 >= 7 AS churned

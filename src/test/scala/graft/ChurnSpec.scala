@@ -27,18 +27,19 @@ class ChurnSpec extends AnyFunSuite with SharedSpark {
   }
 
   test("q_ev_churn: floor-day inactivity vs horizon, inclusive 7-day flag") {
-    val dir = java.nio.file.Files.createTempDirectory("churn").toString
-    writeEvents(dir)
-    val q = QueryDef.all.find(_.name == "q_ev_churn").get
-    val rows = q.fn(spark, dir).collect().map { r =>
-      (r.getLong(r.fieldIndex("user_id")),
-        r.getLong(r.fieldIndex("n_events")),
-        r.getLong(r.fieldIndex("days_inactive")),
-        r.getBoolean(r.fieldIndex("churned")))
-    }.toSeq
-    assert(rows === Seq(
-      (1L, 2L, 0L, false),
-      (2L, 1L, 7L, true),
-      (3L, 1L, 6L, false)))
+    withTempDir("churn") { dir =>
+      writeEvents(dir)
+      val q = QueryDef.all.find(_.name == "q_ev_churn").get
+      val rows = q.fn(spark, dir).collect().map { r =>
+        (r.getLong(r.fieldIndex("user_id")),
+          r.getLong(r.fieldIndex("n_events")),
+          r.getLong(r.fieldIndex("days_inactive")),
+          r.getBoolean(r.fieldIndex("churned")))
+      }.toSeq
+      assert(rows === Seq(
+        (1L, 2L, 0L, false),
+        (2L, 1L, 7L, true),
+        (3L, 1L, 6L, false)))
+    }
   }
 }
