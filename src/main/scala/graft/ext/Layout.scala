@@ -79,6 +79,64 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** An inclusive value interval `[lo, hi]` on an integer key column
+    * — the predicate shape file-skipping can act on. */
+  final case class KeyBox(column: String, lo: Long, hi: Long)
+
+  /** Per-file min/max statistics manifest for `keyCols` over a
+    * parquet directory — the Delta/Iceberg-style skipping index, as a
+    * DataFrame `(file, n_rows, min_<k>, max_<k>, ...)` with one row
+    * per data file. ONE distributed pass grouped by
+    * `input_file_name()` (map-side partial min/max, then a
+    * file-count-sized shuffle: a 100 TB table at ~1 GiB/file is
+    * ~100k manifest rows). Build it once when the data is (re)written
+    * — e.g. right after [[writeZOrdered]] — and let every subsequent
+    * read prune against it via [[scanPruned]]. */
+  def buildFileManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "buildFileManifest needs at least one key column")
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"),
+        keyCols.flatMap(k => Seq(
+          min(col(k)).cast("long").as(s"min_$k"),
+          max(col(k)).cast("long").as(s"max_$k"))): _*)
+  }
+
+  /** The consumer of the skipping manifest: read `dir` with files
+    * whose stats PROVABLY miss the box predicate dropped BEFORE
+    * `spark.read` ever opens them. For each box, a file is skippable
+    * when `max < lo OR min > hi`; null stats mean every key value in
+    * the file is null (min/max ignore nulls), and a null key can
+    * never satisfy a value interval, so null-stats files skip too.
+    * Pruning is conservative the other way — surviving files are
+    * re-filtered with the exact residual predicate, so the result
+    * EQUALS the full-scan filter by construction.
+    *
+    * Driver work is one manifest-sized collect of surviving file
+    * names (bounded like the manifest itself: one string per file) —
+    * exactly what Delta/Iceberg planning does with their manifests.
+    * At 100 TB with a selective box over a Z-ordered layout this is
+    * the single biggest lever a reader has: I/O drops by the fraction
+    * of files whose [min,max] rectangles miss the box. */
+  def scanPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 manifest: DataFrame, boxes: Seq[KeyBox]): DataFrame = {
+    require(boxes.nonEmpty, "scanPruned needs at least one key box")
+    val skip = boxes.map { b =>
+      col(s"max_${b.column}") < b.lo || col(s"min_${b.column}") > b.hi
+    }.reduce(_ || _)
+    val residual = boxes.map(b => col(b.column).between(b.lo, b.hi)).reduce(_ && _)
+    val survivors = manifest
+      .filter(!coalesce(skip, lit(true)))
+      .select("file").collect().map(_.getString(0))
+    if (survivors.isEmpty)
+      // no file can contain a match; keep the schema (and exactness)
+      // without opening any row group
+      spark.read.parquet(dir).where(lit(false))
+    else
+      spark.read.parquet(survivors.toIndexedSeq: _*).where(residual)
+  }
+
   /** Write `df` as a managed parquet table hash-bucketed (and sorted
     * within buckets) on `key`. Two tables bucketed on their join key
     * with the SAME bucket count sort-merge join with ZERO exchange on

@@ -17,6 +17,27 @@ object SketchQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir).table(n)
 
+  /** Per-JVM cache of the Z-ordered lineitem copy and its skipping
+    * manifest, keyed by source dir. The write + manifest build happen
+    * ONCE (that is their real-world cadence — they run at write /
+    * OPTIMIZE time, not per query), so bench reps of
+    * q_layout_pruned_read time the READ path the manifest exists to
+    * serve. The manifest is eagerly localCheckpoint'ed: planning
+    * against it is a file-count-sized scan, never a re-aggregation
+    * of the data. */
+  private val prunedFixture =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
+
+  private def zorderedLineitem(s: SparkSession, d: String): (String, DataFrame) =
+    prunedFixture.computeIfAbsent(d, _ => {
+      val zdir = graft.Scratch.tempDir("graft_zli_") + "/lineitem"
+      Layout.writeZOrdered(t(s, d, "lineitem"),
+        col("l_partkey"), col("l_suppkey"), zdir, files = 16)
+      val mf = Layout.buildFileManifest(s, zdir, Seq("l_partkey", "l_suppkey"))
+        .localCheckpoint(true)
+      (zdir, mf)
+    })
+
   /** Shared rolling-hash SQL fragment: 31-polynomial over codepoints
     * mod 1e9+7 — the DuckDB twin of
     * [[graft.functions.TextExpressions.rollingHash]]. */
@@ -611,10 +632,16 @@ object SketchQueries {
         // same tiny agg writeZOrdered performs (plan literals, like
         // broadcast centroids); the oracle re-derives them as scalar
         // subqueries over the identical integer min/max
-        val Array(pLo, pHi, sLo, sHi) = li
+        // empty lineitem (or all-null keys) collapses min/max to null
+        // — same guard as writeZOrdered: zero bounds make normalize16
+        // a constant and the (already empty) result stays empty
+        val boundsRow = li
           .agg(min("l_partkey").cast("long"), max("l_partkey").cast("long"),
             min("l_suppkey").cast("long"), max("l_suppkey").cast("long"))
-          .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+          .collect()(0)
+        val Array(pLo, pHi, sLo, sHi) =
+          if (boundsRow.anyNull) Array(0L, 0L, 0L, 0L)
+          else boundsRow.toSeq.map(_.asInstanceOf[Long]).toArray
         li.select(col("l_partkey"), col("l_suppkey"),
             Layout.zorder2(
               Layout.normalize16(col("l_partkey"), pLo, pHi),
@@ -635,8 +662,10 @@ object SketchQueries {
              |  FROM lineitem),
              |s0 AS (
              |  SELECT l_partkey, l_suppkey,
-             |    (l_partkey - plo) * 65535 // (phi - plo) AS xn,
-             |    (l_suppkey - slo) * 65535 // (shi - slo) AS yn
+             |    CASE WHEN phi = plo THEN 0
+             |      ELSE (l_partkey - plo) * 65535 // (phi - plo) END AS xn,
+             |    CASE WHEN shi = slo THEN 0
+             |      ELSE (l_suppkey - slo) * 65535 // (shi - slo) END AS yn
              |  FROM lineitem CROSS JOIN b),
              |s1 AS (SELECT *, xn & 65535 AS xa, yn & 65535 AS ya FROM s0),
              |s2 AS (SELECT *, (xa | (xa << 8)) & 16711935 AS xb,
@@ -676,10 +705,16 @@ object SketchQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val li = t(s, d, "lineitem")
-        val Array(pLo, pHi, sLo, sHi) = li
+        // empty lineitem (or all-null keys) collapses min/max to null
+        // — same guard as writeZOrdered: zero bounds make normalize16
+        // a constant and the (already empty) result stays empty
+        val boundsRow = li
           .agg(min("l_partkey").cast("long"), max("l_partkey").cast("long"),
             min("l_suppkey").cast("long"), max("l_suppkey").cast("long"))
-          .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+          .collect()(0)
+        val Array(pLo, pHi, sLo, sHi) =
+          if (boundsRow.anyNull) Array(0L, 0L, 0L, 0L)
+          else boundsRow.toSeq.map(_.asInstanceOf[Long]).toArray
         val manifest = li.select(col("l_partkey"), col("l_suppkey"),
             Layout.zorder2(
               Layout.normalize16(col("l_partkey"), pLo, pHi),
@@ -701,8 +736,10 @@ object SketchQueries {
              |  FROM lineitem),
              |s0 AS (
              |  SELECT l_partkey, l_suppkey,
-             |    (l_partkey - plo) * 65535 // (phi - plo) AS xn,
-             |    (l_suppkey - slo) * 65535 // (shi - slo) AS yn
+             |    CASE WHEN phi = plo THEN 0
+             |      ELSE (l_partkey - plo) * 65535 // (phi - plo) END AS xn,
+             |    CASE WHEN shi = slo THEN 0
+             |      ELSE (l_suppkey - slo) * 65535 // (shi - slo) END AS yn
              |  FROM lineitem CROSS JOIN b),
              |s1 AS (SELECT *, xn & 65535 AS xa, yn & 65535 AS ya FROM s0),
              |s2 AS (SELECT *, (xa | (xa << 8)) & 16711935 AS xb,
@@ -729,7 +766,36 @@ object SketchQueries {
              |  CAST(sum(net) OVER (ORDER BY pos
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
              |    AS depth
-             |FROM net ORDER BY pos""".stripMargin)),
+             |FROM net ORDER BY pos""".stripMargin), bench = true),
+
+    // The manifest CONSUMER — the claim q_layout_skipping computes
+    // ("a file whose [min,max] misses the box is skippable without
+    // being read"), actually executed: lineitem is written Z-ordered
+    // on (l_partkey, l_suppkey) with its per-file min/max manifest
+    // built once (the write/OPTIMIZE step, cached per JVM — see
+    // [[zorderedLineitem]]), then [[Layout.scanPruned]] drops
+    // skippable files BEFORE spark.read opens them and re-filters the
+    // survivors with the exact residual. The oracle is the plain
+    // full-scan filter over the ORIGINAL table: the hash match is the
+    // proof obligation that pruned read ≡ full scan + filter.
+    // LayoutSpec additionally asserts the pruned plan reads strictly
+    // fewer files than the full scan.
+    QueryDef("q_layout_pruned_read",
+      (s, d) => {
+        val (zdir, mf) = zorderedLineitem(s, d)
+        Layout.scanPruned(s, zdir, mf,
+            Seq(Layout.KeyBox("l_partkey", 100L, 400L),
+              Layout.KeyBox("l_suppkey", 10L, 40L)))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+             |  round(sum(l_extendedprice), 2) AS revenue
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40
+             |GROUP BY 1 ORDER BY 1""".stripMargin), bench = true),
 
     // Co-located join over bucketed tables: orders and lineitem are
     // written bucketed (and bucket-sorted) on the join key with the

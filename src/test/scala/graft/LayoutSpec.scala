@@ -88,6 +88,52 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("scanPruned: equals the full-scan filter while reading strictly fewer files") {
+    withTempDir("graft_pruned_") { dir =>
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+      Layout.writeZOrdered(li, col("l_partkey"), col("l_suppkey"),
+        s"$dir/li", files = 16)
+      val mf = Layout.buildFileManifest(spark, s"$dir/li",
+        Seq("l_partkey", "l_suppkey"))
+      // one manifest row per data file, each with both key intervals
+      val files = spark.read.parquet(s"$dir/li").inputFiles
+      assert(mf.count() === files.length.toLong)
+      val boxes = Seq(Layout.KeyBox("l_partkey", 20L, 60L),
+        Layout.KeyBox("l_suppkey", 2L, 5L))
+      val pruned = Layout.scanPruned(spark, s"$dir/li", mf, boxes)
+      // the point of the manifest: the pruned plan opens strictly
+      // fewer files than the full scan (z-locality guarantees some
+      // file's rectangle misses this narrow box)
+      assert(pruned.inputFiles.length < files.length,
+        s"pruned read opened all ${files.length} files — no skipping")
+      // and exactness: pruned read ≡ full scan + filter
+      val full = spark.read.parquet(s"$dir/li")
+        .filter(col("l_partkey").between(20, 60) && col("l_suppkey").between(2, 5))
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(pruned.count() > 0, "degenerate spec: box selected nothing")
+      assert(pruned.collect().map(key).sorted.toSeq ===
+        full.collect().map(key).sorted.toSeq)
+    }
+  }
+
+  test("scanPruned: empty survivor set returns an empty, schema-correct frame") {
+    withTempDir("graft_pruned_none_") { dir =>
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+      Layout.writeZOrdered(li, col("l_partkey"), col("l_suppkey"),
+        s"$dir/li", files = 4)
+      val mf = Layout.buildFileManifest(spark, s"$dir/li",
+        Seq("l_partkey", "l_suppkey"))
+      // box entirely outside the key domain: every file skips
+      val pruned = Layout.scanPruned(spark, s"$dir/li", mf,
+        Seq(Layout.KeyBox("l_partkey", 1000000L, 2000000L)))
+      assert(pruned.count() === 0L)
+      assert(pruned.columns.toSeq === Seq("l_partkey", "l_suppkey"))
+    }
+  }
+
   test("writeZOrdered on an empty frame still writes a readable parquet dir") {
     val empty = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select("l_partkey", "l_suppkey").filter(lit(false))
