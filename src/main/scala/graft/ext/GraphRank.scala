@@ -295,19 +295,88 @@ object GraphRank {
       .withColumn("label", col("node")).localCheckpoint(true)
     var r = 0
     while (r < rounds) {
-      val next = und
-        .join(lab.select(col("node").as("nbr"), col("label").as("nlab")), "nbr")
-        .groupBy("node", "nlab").agg(count(lit(1)).as("cnt"))
-        .groupBy("node")
-        .agg(max(struct(col("cnt"), negate(col("nlab")).as("neg"))).as("b"))
-        .select(col("node"), negate(col("b.neg")).as("label"))
-        .localCheckpoint(true)
+      val next = lpRound(und, lab).localCheckpoint(true)
       unpersistCheckpoint(lab)
       lab = next
       r += 1
     }
     unpersistCheckpoint(und)
     lab
+  }
+
+  /** One synchronous LP round: every node adopts its neighbours' most
+    * frequent label, ties to the smallest — |E| equi-join + two
+    * map-side-partial aggregations, shared by the fixed-round and
+    * until-convergence variants. */
+  private def lpRound(und: DataFrame, lab: DataFrame): DataFrame =
+    und.join(lab.select(col("node").as("nbr"), col("label").as("nlab")), "nbr")
+      .groupBy("node", "nlab").agg(count(lit(1)).as("cnt"))
+      .groupBy("node")
+      .agg(max(struct(col("cnt"), negate(col("nlab")).as("neg"))).as("b"))
+      .select(col("node"), negate(col("b.neg")).as("label"))
+
+  /** [[labelPropagation]] run to a DISCOVERED stopping point instead
+    * of a fixed round count — the same loop discipline as
+    * [[pageRankUntilConverged]] (checkpoint-per-round, superseded
+    * RDDs released, one bounded scalar to the driver per probe), with
+    * the two stop conditions synchronous LP actually needs:
+    *
+    *  1. **Convergence**: no node changed label this round — the
+    *     labeling is a fixpoint; `converged = true`.
+    *  2. **Period-2 oscillation**: the new state equals the state
+    *     from two rounds ago. Synchronous LP famously falls into
+    *     2-cycles on bipartite-ish structure (the textbook example:
+    *     a single edge swaps labels forever), so without this probe a
+    *     fixed-round cut can return an arbitrary phase of the cycle
+    *     with no signal; here the loop stops and reports
+    *     `converged = false`.
+    *
+    * Each probe is an equi-join on `node` + a count — never a
+    * collect of the label frame. Returns `(node, label, rounds,
+    * converged)`: `rounds` counts executed rounds INCLUDING the one
+    * that confirmed the fixpoint / cycle (same convention as
+    * [[pageRankUntilConverged]]), and the labels are the
+    * just-computed state at that round. */
+  def labelPropagationUntilConverged(edges: DataFrame, srcCol: Column,
+                                     dstCol: Column,
+                                     maxRounds: Int = 50): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val e = edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val und = e.select(col("u").as("node"), col("v").as("nbr"))
+      .union(e.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint(true)
+    var lab = und.select(col("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var prevPrev: DataFrame = null
+    var rounds = 0
+    var converged = false
+    var stop = false
+    while (!stop && rounds < maxRounds) {
+      val next = lpRound(und, lab).localCheckpoint(true)
+      val changed = next.select(col("node"), col("label").as("l1"))
+        .join(lab.select(col("node"), col("label").as("l0")), "node")
+        .filter(col("l1") =!= col("l0")).count()
+      // the oscillation probe only exists once a round-2 state does;
+      // comparing against anything else would misfire
+      val osc =
+        if (changed == 0L || prevPrev == null) -1L
+        else next.select(col("node"), col("label").as("l1"))
+          .join(prevPrev.select(col("node"), col("label").as("l2")), "node")
+          .filter(col("l1") =!= col("l2")).count()
+      rounds += 1
+      if (changed == 0L) { converged = true; stop = true }
+      else if (osc == 0L) stop = true
+      if (prevPrev != null) unpersistCheckpoint(prevPrev)
+      prevPrev = lab
+      lab = next
+    }
+    unpersistCheckpoint(und)
+    if (prevPrev != null) unpersistCheckpoint(prevPrev)
+    lab.withColumn("rounds", lit(rounds)).withColumn("converged", lit(converged))
   }
 
   private def unpersistCheckpoint(df: DataFrame): Unit =

@@ -415,6 +415,72 @@ object GraphQueries {
            |ORDER BY label, nation""".stripMargin
       }),
 
+    // Label propagation run to a DISCOVERED stopping point
+    // ([[GraphRank.labelPropagationUntilConverged]]): stops when no
+    // label changes (fixpoint, converged=true) or when the state
+    // equals the round-2 state (synchronous LP's classic period-2
+    // oscillation — converged=false; GraphRankSpec pins that case on
+    // a single-edge graph). The oracle carries the label state PLUS
+    // the two previous states through the recursive CTE and stops on
+    // the identical conditions, so the final labeling, the discovered
+    // round count, and the converged flag all hash-match.
+    QueryDef("q_graph_labelprop_conv",
+      (s, d) => GraphRank.labelPropagationUntilConverged(tradeEdges(s, d),
+          col("src"), col("dst"), maxRounds = 30)
+        .join(t(s, d, "nation"), col("node") === col("n_nationkey").cast("long"))
+        .select(col("n_name").as("nation"), col("label"),
+          col("rounds"), col("converged"))
+        .orderBy("label", "nation"),
+      Some {
+        val nb = "list_transform(list_filter(es, e -> e.u = n.nd OR e.v = n.nd), " +
+          "e -> CASE WHEN e.u = n.nd THEN e.v ELSE e.u END)"
+        val nl = s"list_transform($nb, x -> list_filter(ls, l -> l.nd = x)[1].lb)"
+        val best = s"list_reduce(list_transform(list_distinct($nl), c -> " +
+          s"{lb: c, ct: len(list_filter($nl, z -> z = c))}), " +
+          "(a, b) -> CASE WHEN b.ct > a.ct OR (b.ct = a.ct AND b.lb < a.lb) " +
+          "THEN b ELSE a END).lb"
+        s"""WITH RECURSIVE p AS (
+           |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+           |         CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS cnt
+           |  FROM lineitem l
+           |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  JOIN customer c ON o.o_custkey = c.c_custkey
+           |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           |  WHERE c.c_nationkey <> s.s_nationkey
+           |  GROUP BY 1, 2),
+           |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM p),
+           |e AS (SELECT src, dst FROM p CROSS JOIN tot
+           |      WHERE cnt * 480 >= total AND src <> dst),
+           |eu AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e),
+           |gr AS (
+           |  SELECT list({u: u, v: v} ORDER BY u, v) AS es,
+           |    list_transform(list_sort(list_distinct(flatten(
+           |      list_transform(list({u: u, v: v} ORDER BY u, v), ed -> [ed.u, ed.v])))),
+           |      x -> {nd: x, lb: x}) AS ls
+           |  FROM eu),
+           |st AS (
+           |  SELECT 0 AS iter, es, ls,
+           |    CAST(NULL AS STRUCT(nd BIGINT, lb BIGINT)[]) AS p1,
+           |    CAST(NULL AS STRUCT(nd BIGINT, lb BIGINT)[]) AS p2
+           |  FROM gr
+           |  UNION ALL
+           |  SELECT iter + 1, es,
+           |    list_transform(ls, n -> {nd: n.nd, lb: coalesce($best, n.lb)}),
+           |    ls, p1
+           |  FROM st
+           |  WHERE iter < 30 AND (p1 IS NULL OR ls <> p1)
+           |    AND (p2 IS NULL OR ls <> p2)
+           |),
+           |fin AS (SELECT iter, ls, p1 FROM st ORDER BY iter DESC LIMIT 1),
+           |ex AS (SELECT unnest(ls) AS lr, iter,
+           |         (p1 IS NOT NULL AND ls = p1) AS converged
+           |       FROM fin)
+           |SELECT nn.n_name AS nation, ex.lr.lb AS label,
+           |  CAST(ex.iter AS INT) AS rounds, ex.converged AS converged
+           |FROM ex JOIN nation nn ON ex.lr.nd = CAST(nn.n_nationkey AS BIGINT)
+           |ORDER BY label, nation""".stripMargin
+      }),
+
     // Exact triangle count of the undirected trade graph —
     // degree-oriented wedge join in Spark, id-oriented in the
     // oracle; any total-order orientation counts each triangle once.

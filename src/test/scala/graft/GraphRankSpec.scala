@@ -201,6 +201,42 @@ class GraphRankSpec extends AnyFunSuite with SharedSpark {
     assert(run(e.repartition(7)) === lab)
   }
 
+  test("labelPropagationUntilConverged: fixpoint on two cliques, converged=true") {
+    import org.apache.spark.sql.functions.col
+    val clique = (a: Seq[Long]) =>
+      for (x <- a; y <- a if x < y) yield (x, y)
+    val e = edges(clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) :+
+      ((3L, 10L)): _*)
+    val out = GraphRank.labelPropagationUntilConverged(e, col("src"), col("dst"),
+      maxRounds = 30).collect()
+    val lab = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(0L, 1L, 2L, 3L).map(lab) === Set(0L))
+    assert(Set(10L, 11L, 12L, 13L).map(lab) === Set(10L))
+    assert(out.forall(_.getBoolean(3)), "two planted cliques must converge")
+    // the discovered round count confirms the fixpoint (last round
+    // changes nothing), so it is at least 2 and well under the cap
+    val rounds = out.head.getInt(2)
+    assert(rounds >= 2 && rounds < 30, s"rounds=$rounds")
+  }
+
+  test("labelPropagationUntilConverged: single edge oscillates, detected at round 2") {
+    import org.apache.spark.sql.functions.col
+    // the textbook synchronous-LP 2-cycle: each node's only
+    // neighbour is the other, so labels swap forever. Round 1:
+    // (1→2, 2→1); round 2 reproduces the initial state — the
+    // period-2 probe fires and the loop reports converged=false
+    // instead of silently returning an arbitrary phase.
+    val e = edges(1L -> 2L)
+    val out = GraphRank.labelPropagationUntilConverged(e, col("src"), col("dst"),
+      maxRounds = 30).collect()
+    assert(out.forall(!_.getBoolean(3)), "single edge must NOT converge")
+    assert(out.head.getInt(2) === 2, s"cycle detected at rounds=${out.head.getInt(2)}")
+    // the returned state is the just-computed round-2 state = the
+    // initial labeling (each node back to its own id)
+    val lab = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab === Map(1L -> 1L, 2L -> 2L))
+  }
+
   test("labelPropagation: ties go to the smallest label, sync rounds exactly") {
     import org.apache.spark.sql.functions.col
     // path 5-7-9: after round 1 (sync), 5→7, 7→5 (tie {5,9}→min), 9→7
