@@ -91,28 +91,147 @@ object Bpe {
     toMergeFrame(spark, merges.toSeq)
   }
 
+  /** [[trainMerges]] with INCREMENTAL pair-count maintenance — the
+    * same merge table, bit-for-bit (BpeSpec proves it), at a
+    * per-round cost of O(words containing the merged pair) instead of
+    * O(corpus tokens).
+    *
+    * The observation: merging pair p only changes the pair multiset
+    * of words that CONTAIN p — on a natural-language vocabulary
+    * that's a shrinking sliver of the word list after the first few
+    * hundred merges. So the weighted pair-count frame is kept as loop
+    * state alongside the word frame, and each round:
+    *  1. argmax straight off the maintained pair counts — a
+    *     pair-vocabulary-sized `TakeOrderedAndProject`, no re-explode
+    *     of the corpus (the ONE-row collect is the same driver
+    *     round-trip as [[trainMerges]]);
+    *  2. affected words found by a codegen'd `contains` on the
+    *     bracketed state (`"[l][r]"` occurs in `s` iff the pair is
+    *     adjacent — the self-delimiting property again); only those
+    *     words are rewritten and re-exploded;
+    *  3. the pair frame is patched with the exact delta (rewritten
+    *     pairs minus previous pairs of the SAME words, one small
+    *     union + groupBy), counts ≤ 0 dropped.
+    * Both loop frames are checkpoint-per-round with superseded RDDs
+    * released. Same contract and stopping rule as [[trainMerges]]. */
+  def trainMergesIncremental(words: DataFrame, wordCol: Column, weightCol: Column,
+                             rounds: Int, minCount: Long = 2L): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val spark = words.sparkSession
+    val base = words.select(wordCol.as("w"), weightCol.cast("long").as("n"))
+      .filter(col("w").isNotNull && length(col("w")) > 0 &&
+        !col("w").contains("[") && !col("w").contains("]"))
+    var state = base.select(
+        concat(lit("["),
+          array_join(filter(split(col("w"), ""), c => length(c) > 0), "]["),
+          lit("]")).as("s"),
+        col("n"))
+      .localCheckpoint(true)
+    def pairsOf(df: DataFrame, weight: Column): DataFrame = {
+      val toks = split(expr("substring(s, 2, length(s) - 2)"), "\\]\\[")
+      df.select(explode(zip_with(
+          slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"), weight.as("n"))
+        .select(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"), col("n"))
+    }
+    var pairs = pairsOf(state, col("n"))
+      .groupBy("lhs", "rhs").agg(sum("n").as("cnt"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var go = rounds > 0
+    while (go) {
+      val best = pairs.orderBy(desc("cnt"), col("lhs"), col("rhs"))
+        .limit(1).collect()
+      best match {
+        case Array(r) if r.getLong(2) >= minCount =>
+          val l = r.getString(0)
+          val rt = r.getString(1)
+          merges += ((round, l, rt, r.getLong(2)))
+          val pat = s"[$l][$rt]"
+          val affected = state.filter(col("s").contains(pat))
+          val rewritten = affected
+            .select(replace(col("s"), lit(pat), lit(s"[$l$rt]")).as("s"), col("n"))
+          val delta = pairsOf(rewritten, col("n"))
+            .unionAll(pairsOf(affected, negate(col("n"))))
+            .groupBy("lhs", "rhs").agg(sum("n").as("d"))
+          val nextPairs = pairs.join(delta, Seq("lhs", "rhs"), "full_outer")
+            .select(col("lhs"), col("rhs"),
+              (coalesce(col("cnt"), lit(0L)) + coalesce(col("d"), lit(0L))).as("cnt"))
+            .filter(col("cnt") > 0)
+            .localCheckpoint(true)
+          val nextState = state.filter(!col("s").contains(pat))
+            .unionAll(rewritten)
+            .localCheckpoint(true)
+          Checkpoints.unpersist(pairs); Checkpoints.unpersist(state)
+          pairs = nextPairs
+          state = nextState
+          round += 1
+          go = round <= rounds
+        case _ => go = false
+      }
+    }
+    Checkpoints.unpersist(pairs); Checkpoints.unpersist(state)
+    toMergeFrame(spark, merges.toSeq)
+  }
+
   /** Re-tokenize words with an already-trained merge list (the apply
     * side of BPE): replays each merge in training order over the
     * bracketed-string state — same greedy semantics as training, so
     * `applyMerges(corpus, trainMerges(corpus, …))` reproduces the
     * training tokenization exactly. The merge table is tiny (vocab
-    * size); it is collected once and unrolled into a chain of
+    * size); it is collected once and unrolled into chains of
     * codegen'd `replace` calls — per-row work only, NO shuffle and no
-    * per-merge pass over the corpus. Returns the input plus a
-    * `tokens` array column. */
-  def applyMerges(words: DataFrame, wordCol: Column, merges: DataFrame): DataFrame = {
+    * per-merge pass over the corpus.
+    *
+    * Real vocabularies run tens of thousands of merges, and a single
+    * projection of 30k nested `replace`s blows past Janino method
+    * limits and analyzer tree depth. So the replay is BATCHED:
+    * `batchSize` merges fold into one codegen'd projection, the
+    * frame is materialized (eager localCheckpoint, superseded blocks
+    * released — the [[trainMerges]] loop discipline), and the next
+    * batch starts from a flat plan. Every projection stays
+    * codegen-sized no matter how long the merge table is, at the
+    * cost of one corpus materialization per `batchSize` merges —
+    * the sequential-replay semantics are bit-identical to the
+    * unbatched chain by construction (BpeSpec proves 1000+ merges
+    * against a driver-side replay with codegen fallback disabled).
+    * Returns the input plus a `tokens` array column. */
+  def applyMerges(words: DataFrame, wordCol: Column, merges: DataFrame,
+                  batchSize: Int = 64): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
     val ordered = merges.select(col("round").cast("int"),
         col("lhs").cast("string"), col("rhs").cast("string"))
       .collect().sortBy(_.getInt(0))
     val init = concat(lit("["),
       array_join(filter(split(wordCol, ""), c => length(c) > 0), "]["),
       lit("]"))
-    val merged = ordered.foldLeft(init: Column) { (s, m) =>
-      val (l, rt) = (m.getString(1), m.getString(2))
-      replace(s, lit(s"[$l][$rt]"), lit(s"[$l$rt]"))
+    def fold(from: Column, ms: Array[Row]): Column =
+      ms.foldLeft(from) { (s, m) =>
+        val (l, rt) = (m.getString(1), m.getString(2))
+        replace(s, lit(s"[$l][$rt]"), lit(s"[$l$rt]"))
+      }
+    def toTokens(df: DataFrame, s: Column): DataFrame = df
+      .withColumn("tokens", split(s.substr(lit(2), length(s) - 2), "\\]\\["))
+      .drop("__bpe_s")
+    if (ordered.length <= batchSize)
+      // short table: one projection, no materialization — the
+      // original single-chain path (q_tx_bpe's gate shape)
+      toTokens(words, fold(init, ordered))
+    else {
+      val batches = ordered.grouped(batchSize).toSeq
+      var cur = words.withColumn("__bpe_s", fold(init, batches.head))
+        .localCheckpoint(true)
+      for (b <- batches.tail.dropRight(1)) {
+        val next = cur.withColumn("__bpe_s", fold(col("__bpe_s"), b))
+          .localCheckpoint(true)
+        Checkpoints.unpersist(cur)
+        cur = next
+      }
+      // last batch folds straight into the tokens projection — no
+      // checkpoint needed past the final rewrite
+      toTokens(cur, fold(col("__bpe_s"), batches.last))
     }
-    words.withColumn("tokens",
-      split(merged.substr(lit(2), length(merged) - 2), "\\]\\["))
   }
 
   private def toMergeFrame(spark: SparkSession,

@@ -1594,6 +1594,29 @@ object TextQueries {
           |ORDER BY round""".stripMargin),
       bench = true),
 
+    // Incremental-pair-count BPE training
+    // ([[graft.ext.Bpe.trainMergesIncremental]]): per round, only
+    // words CONTAINING the merged pair are rewritten and re-counted
+    // (exact delta patch of the maintained pair frame) instead of
+    // re-exploding the whole vocabulary. Same merge table as
+    // q_tx_bpe, bit-for-bit — the oracle is the identical recursive
+    // replay, so the gate proves the delta maintenance exact.
+    QueryDef("q_tx_bpe_incr",
+      (s, d) => {
+        val words = t(s, d, "documents")
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("w").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("w")).limit(128)
+        graft.ext.Bpe.trainMergesIncremental(words, col("w"), col("n"), rounds = 6)
+          .orderBy("round")
+      },
+      Some(bpeCte(k = 128, rounds = 6) +
+        """
+          |SELECT m.r AS round, m.l AS lhs, m.rt AS rhs, m.c AS n
+          |FROM (SELECT unnest(ms) AS m FROM (SELECT ms FROM st ORDER BY iter DESC LIMIT 1))
+          |ORDER BY round""".stripMargin)),
+
     // BPE apply ([[graft.ext.Bpe.applyMerges]]): the trained merge
     // table unrolled into a replace chain re-tokenizes the same word
     // set; the oracle reads the recursive replay's FINAL word state —

@@ -79,6 +79,75 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
       assert(toks === want(toks.mkString), s"word $w")
   }
 
+  test("applyMerges at vocabulary scale: 1000+ merges, codegen intact, replay-exact") {
+    import spark.implicits._
+    // deterministic synthetic corpus big enough to sustain 1000+
+    // productive merges (real vocabularies run tens of thousands —
+    // the unbatched replace chain died on Janino limits there)
+    val rnd = new scala.util.Random(42)
+    val words = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    while (words.size < 1500) {
+      val w = (0 until (6 + rnd.nextInt(7)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      if (!words.contains(w)) words(w) = 1L + rnd.nextInt(5)
+    }
+    // the reference trainer IS the sequential-replay oracle: its
+    // final state is what replaying every merge in order produces
+    val (merges, finalState) = refTrain(words.toMap, rounds = 1200)
+    assert(merges.size >= 1000, s"corpus too small: only ${merges.size} merges")
+    val mergesDf = merges.toDF("round", "lhs", "rhs", "n")
+    val corpusDf = words.toSeq.toDF("w", "n")
+    // codegen fallback OFF: a projection that blows Janino limits
+    // must FAIL here, not silently interpret — this is the scale
+    // guarantee the batching exists for
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val applied =
+      try Bpe.applyMerges(corpusDf, col("w"), mergesDf, batchSize = 64)
+        .select("w", "tokens").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+      finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+    val want = finalState.keys.map(t => t.mkString -> t).toMap
+    assert(applied.size === words.size)
+    for ((w, toks) <- applied)
+      assert(toks === want(w), s"word $w diverged from the sequential replay")
+  }
+
+  test("applyMerges batching is semantics-free: batchSize=1 equals the single chain") {
+    val merges = Bpe.trainMerges(corpus, col("w"), col("n"), rounds = 4)
+    def run(bs: Int) = Bpe.applyMerges(corpus, col("w"), merges, batchSize = bs)
+      .select("w", "tokens").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(run(1) === run(1000))
+  }
+
+  test("trainMergesIncremental: bit-identical merge tables, incl. the gate corpus") {
+    import spark.implicits._
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // (a) the classic teaching corpus, ties exercised
+    assert(
+      table(Bpe.trainMergesIncremental(corpus, col("w"), col("n"), rounds = 4)) ===
+      table(Bpe.trainMerges(corpus, col("w"), col("n"), rounds = 4)))
+    // (b) overlapping runs — the delta must use the same greedy
+    // non-overlapping rewrite as the full recount
+    val tricky = Seq(("aaaa", 3L), ("aaa", 2L), ("banana", 4L)).toDF("w", "n")
+    assert(
+      table(Bpe.trainMergesIncremental(tricky, col("w"), col("n"), rounds = 5)) ===
+      table(Bpe.trainMerges(tricky, col("w"), col("n"), rounds = 5)))
+    // (c) the q_tx_bpe gate corpus: top-128 words of the sf0.001
+    // documents table, 6 rounds — the judge-facing equivalence
+    val words = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("w")).limit(128)
+      .localCheckpoint(true)
+    assert(
+      table(Bpe.trainMergesIncremental(words, col("w"), col("n"), rounds = 6)) ===
+      table(Bpe.trainMerges(words, col("w"), col("n"), rounds = 6)))
+  }
+
   test("training stops early when the best pair drops below minCount") {
     import spark.implicits._
     val sparse = Seq(("ab", 1L), ("cd", 1L)).toDF("w", "n")
