@@ -634,19 +634,14 @@ object EventQueries {
     // shape: ONE shuffle (groupBy user_id); the horizon is a 1-row
     // aggregate over the already-grouped per-user frame (the groupBy
     // exchange is reused — max(last_us) == max(ts) over events), so
-    // the events table is scanned exactly once.
+    // the events table is scanned exactly once. The state/report
+    // split is shared with the streaming maintenance loop
+    // ([[graft.streaming.EventStreams.churnMerge]]), whose per-batch
+    // output ChurnSpec pins equal to this rollup.
     QueryDef("q_ev_churn",
       (s, d) => {
-        val ev = t(s, d, "events")
-        val perUser = ev.groupBy("user_id")
-          .agg(max("ts").as("last_seen"), count(lit(1)).as("n_events"),
-            max(unix_micros(col("ts"))).as("last_us"))
-        val horizon = perUser.agg(max("last_us").as("horizon_us"))
-        perUser.crossJoin(broadcast(horizon))
-          .withColumn("days_inactive",
-            expr("(horizon_us - last_us) div 86400000000"))
-          .withColumn("churned", col("days_inactive") >= 7)
-          .select("user_id", "last_seen", "n_events", "days_inactive", "churned")
+        import graft.streaming.EventStreams
+        EventStreams.churnReport(EventStreams.churnState(t(s, d, "events")))
           .orderBy("user_id")
       },
       Some("""WITH per_user AS (

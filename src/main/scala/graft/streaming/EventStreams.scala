@@ -97,6 +97,41 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total"))
 
+  /** Per-user activity state from a batch of events — the mergeable
+    * partial behind the churn rollup (`q_ev_churn`): last-seen
+    * timestamp (and its microsecond image) plus event count. ONE
+    * shuffle, map-side partial aggregation. */
+  def churnState(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(max("ts").as("last_seen"), count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts"))).as("last_us"))
+
+  /** Fold a micro-batch's per-user partials into the running churn
+    * state: max composes with max and count with sum, so merging
+    * per-batch states is EXACTLY recomputing over the union of all
+    * events seen — ChurnSpec proves it per micro-batch. The state is
+    * user-count-sized (not event-count-sized); in production it lives
+    * in a parquet/Delta table rewritten per batch, the same
+    * foreachBatch maintenance shape as SCD2 apply. */
+  def churnMerge(state: DataFrame, batch: DataFrame): DataFrame =
+    state.unionByName(churnState(batch))
+      .groupBy("user_id")
+      .agg(max("last_seen").as("last_seen"), sum("n_events").as("n_events"),
+        max("last_us").as("last_us"))
+
+  /** The churn report off a per-user state frame — days inactive
+    * against the corpus horizon (max last-seen, a 1-row aggregate
+    * over the ALREADY-aggregated state, broadcast back) and the
+    * churned flag, inclusive at `thresholdDays`. Shared by the batch
+    * rollup (q_ev_churn) and the streaming maintenance loop, so the
+    * two cannot drift. */
+  def churnReport(state: DataFrame, thresholdDays: Long = 7L): DataFrame =
+    state.crossJoin(broadcast(state.agg(max("last_us").as("horizon_us"))))
+      .withColumn("days_inactive",
+        expr("(horizon_us - last_us) div 86400000000"))
+      .withColumn("churned", col("days_inactive") >= thresholdDays)
+      .select("user_id", "last_seen", "n_events", "days_inactive", "churned")
+
   /** Sessionization with a 30-minute inactivity gap, emitted on
     * timeout — custom keyed state via flatMapGroupsWithState.
     * Events may arrive unordered within a batch; the state tracks

@@ -26,6 +26,46 @@ class ChurnSpec extends AnyFunSuite with SharedSpark {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
   }
 
+  test("streaming churn maintenance equals the batch rollup after every micro-batch") {
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    // user 1 re-appears in batch 2 (max/sum merge exercised); batch 3
+    // moves the horizon, flipping users 1 and 3 into churned
+    val batches = Seq(
+      Seq((1L, ts("2026-01-01 00:00:00")), (2L, ts("2026-01-02 00:00:00"))),
+      Seq((1L, ts("2026-01-09 12:00:00")), (3L, ts("2026-01-03 00:00:00"))),
+      Seq((2L, ts("2026-01-20 00:00:00"))))
+    val mem = MemoryStream[(Long, Timestamp)]
+    var state: DataFrame = null
+    val q = mem.toDF().toDF("user_id", "ts").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        // the foreachBatch maintenance shape: user-count-sized state
+        // folded per batch (parquet/Delta-backed in production)
+        state = (if (state == null) EventStreams.churnState(b)
+                 else EventStreams.churnMerge(state, b)).localCheckpoint(true)
+      }.start()
+    def report(df: DataFrame) = EventStreams.churnReport(df).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).sortBy(_._1).toSeq
+    try {
+      var all = Seq.empty[(Long, Timestamp)]
+      for (batch <- batches) {
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+        all ++= batch
+        val want = report(EventStreams.churnState(all.toDF("user_id", "ts")))
+        assert(report(state) === want, s"diverged after ${all.size} events")
+      }
+      // the final horizon (2026-01-20) leaves only user 2 retained
+      assert(report(state).map(t => t._1 -> t._5) ===
+        Seq(1L -> true, 2L -> false, 3L -> true))
+    } finally q.stop()
+  }
+
   test("q_ev_churn: floor-day inactivity vs horizon, inclusive 7-day flag") {
     withTempDir("churn") { dir =>
       writeEvents(dir)
