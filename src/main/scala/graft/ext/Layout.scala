@@ -93,15 +93,77 @@ object Layout {
     * — e.g. right after [[writeZOrdered]] — and let every subsequent
     * read prune against it via [[scanPruned]]. */
   def buildFileManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
-                        keyCols: Seq[String]): DataFrame = {
-    require(keyCols.nonEmpty, "buildFileManifest needs at least one key column")
-    spark.read.parquet(dir)
-      .groupBy(input_file_name().as("file"))
+                        keyCols: Seq[String]): DataFrame =
+    manifestOf(spark.read.parquet(dir), keyCols)
+
+  private def manifestOf(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "manifest needs at least one key column")
+    df.groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"),
         keyCols.flatMap(k => Seq(
           min(col(k)).cast("long").as(s"min_$k"),
           max(col(k)).cast("long").as(s"max_$k"))): _*)
   }
+
+  /** Append rows to a manifest-carrying directory and PATCH the
+    * stored manifest with stats for only the newly written files —
+    * the day-2 ingest path: at 100 TB the existing data is never
+    * re-scanned to keep the skipping stats current (the delta pass
+    * reads just the appended files). The new files are not
+    * Z-clustered, so their [min,max] rectangles may be wide — they
+    * simply never qualify for skipping, which is the conservative,
+    * correct direction; when the [[q_layout_depth clustering-depth]]
+    * trigger fires, a [[writeZOrderedWithManifest]] rewrite
+    * re-tightens the layout. The updated manifest is eagerly
+    * materialized before overwriting its own source directory. */
+  def appendWithManifest(df: DataFrame, path: String,
+                         keyCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val before = spark.read.parquet(path).inputFiles.toSet
+    df.write.mode("append").parquet(path)
+    val newFiles = spark.read.parquet(path).inputFiles.toSeq
+      .filterNot(before)
+    if (newFiles.isEmpty) return
+    val delta = manifestOf(spark.read.parquet(newFiles: _*), keyCols)
+    val updated = loadManifest(spark, path).unionByName(delta)
+      .localCheckpoint(true)
+    updated.write.mode("overwrite").parquet(s"$path/_graft_manifest")
+    Checkpoints.unpersist(updated)
+  }
+
+  /** [[writeZOrdered]] + durable skipping stats in one step: after
+    * the clustered write, the per-file manifest for `keyCols` is
+    * computed ([[buildFileManifest]] — the one extra pass is the
+    * write-time cost Delta/Iceberg pay for their stats too) and
+    * stored as parquet UNDER the data directory at
+    * `<path>/_graft_manifest`. The underscore prefix makes every
+    * parquet reader ignore it as a data file (the `_SUCCESS` /
+    * `_delta_log` convention), so `spark.read.parquet(path)` of the
+    * data is unchanged while [[scanPruned]] can pick the stats up in
+    * any LATER session with a manifest-sized read — no re-scan of
+    * the data to re-derive them. File names inside the manifest are
+    * absolute URIs: moving the directory invalidates it (rebuild
+    * with [[buildFileManifest]]). */
+  def writeZOrderedWithManifest(df: DataFrame, x: Column, y: Column,
+                                path: String, files: Int,
+                                keyCols: Seq[String]): Unit = {
+    writeZOrdered(df, x, y, path, files)
+    buildFileManifest(df.sparkSession, path, keyCols)
+      .write.mode("overwrite").parquet(s"$path/_graft_manifest")
+  }
+
+  /** Load the stored skipping manifest of a
+    * [[writeZOrderedWithManifest]] directory. */
+  def loadManifest(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read.parquet(s"$path/_graft_manifest")
+
+  /** [[scanPruned]] against the manifest STORED with the data — the
+    * cold-reader path: a fresh session prunes files using only the
+    * manifest-sized stats read, never touching skipped data files. */
+  def scanPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 boxes: Seq[KeyBox]): DataFrame =
+    scanPruned(spark, dir, loadManifest(spark, dir), boxes)
 
   /** The consumer of the skipping manifest: read `dir` with files
     * whose stats PROVABLY miss the box predicate dropped BEFORE

@@ -115,6 +115,70 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       assert(pruned.count() > 0, "degenerate spec: box selected nothing")
       assert(pruned.collect().map(key).sorted.toSeq ===
         full.collect().map(key).sorted.toSeq)
+      // the residual must reach the surviving files' parquet scan —
+      // otherwise survivors are fully decoded and filtered in Spark
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [") &&
+        !plan.matches("(?s).*PushedFilters: \\[\\].*"),
+        s"residual box not pushed to the pruned scan:\n$plan")
+    }
+  }
+
+  test("writeZOrderedWithManifest: stored stats serve a cold reader; data read unchanged") {
+    withTempDir("graft_pruned_durable_") { dir =>
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+      Layout.writeZOrderedWithManifest(li, col("l_partkey"), col("l_suppkey"),
+        s"$dir/li", files = 16, keyCols = Seq("l_partkey", "l_suppkey"))
+      // the _graft_manifest subdir is invisible to plain data reads
+      // (underscore convention) — row count and schema unchanged
+      val back = spark.read.parquet(s"$dir/li")
+      assert(back.count() === li.count())
+      assert(back.columns.toSeq === li.columns.toSeq)
+      // cold-reader path: prune straight off the stored manifest
+      val boxes = Seq(Layout.KeyBox("l_partkey", 20L, 60L),
+        Layout.KeyBox("l_suppkey", 2L, 5L))
+      val pruned = Layout.scanPruned(spark, s"$dir/li", boxes)
+      assert(pruned.inputFiles.length < back.inputFiles.length,
+        "stored manifest pruned nothing")
+      val full = back.filter(
+        col("l_partkey").between(20, 60) && col("l_suppkey").between(2, 5))
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(pruned.collect().map(key).sorted.toSeq ===
+        full.collect().map(key).sorted.toSeq)
+    }
+  }
+
+  test("appendWithManifest: delta-only stats patch keeps pruning exact after ingest") {
+    withTempDir("graft_pruned_append_") { dir =>
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+      val (histBase, tail) = (li.filter(col("l_orderkey") % 10 =!= 0),
+        li.filter(col("l_orderkey") % 10 === 0))
+      Layout.writeZOrderedWithManifest(histBase, col("l_partkey"), col("l_suppkey"),
+        s"$dir/li", files = 8, keyCols = Seq("l_partkey", "l_suppkey"))
+      val filesBefore = spark.read.parquet(s"$dir/li").inputFiles.length
+      Layout.appendWithManifest(tail.repartition(2), s"$dir/li",
+        Seq("l_partkey", "l_suppkey"))
+      val back = spark.read.parquet(s"$dir/li")
+      assert(back.count() === li.count(), "append lost rows")
+      // the manifest covers every data file, old and new
+      val mf = Layout.loadManifest(spark, s"$dir/li")
+      assert(mf.count() === back.inputFiles.length.toLong)
+      assert(back.inputFiles.length > filesBefore)
+      // pruning stays EXACT: appended (unclustered) files always
+      // survive, z-files still skip, residual restores equality
+      val boxes = Seq(Layout.KeyBox("l_partkey", 20L, 60L),
+        Layout.KeyBox("l_suppkey", 2L, 5L))
+      val pruned = Layout.scanPruned(spark, s"$dir/li", boxes)
+      assert(pruned.inputFiles.length < back.inputFiles.length)
+      val full = back.filter(
+        col("l_partkey").between(20, 60) && col("l_suppkey").between(2, 5))
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(pruned.collect().map(key).sorted.toSeq ===
+        full.collect().map(key).sorted.toSeq)
     }
   }
 
