@@ -357,16 +357,21 @@ object GraphRank {
     var stop = false
     while (!stop && rounds < maxRounds) {
       val next = lpRound(und, lab).localCheckpoint(true)
-      val changed = next.select(col("node"), col("label").as("l1"))
+      // ONE probe job per round (the pageRankUntilConverged
+      // discipline): both stop scalars — changes vs the current state
+      // and, once a round-2 state exists, changes vs it (the
+      // oscillation probe) — come from a single join pass
+      val probe = next.select(col("node"), col("label").as("l1"))
         .join(lab.select(col("node"), col("label").as("l0")), "node")
-        .filter(col("l1") =!= col("l0")).count()
-      // the oscillation probe only exists once a round-2 state does;
-      // comparing against anything else would misfire
-      val osc =
-        if (changed == 0L || prevPrev == null) -1L
-        else next.select(col("node"), col("label").as("l1"))
+      val Array(changed, osc) =
+        if (prevPrev == null)
+          // no round-2 state yet: an oscillation probe would misfire
+          Array(probe.filter(col("l1") =!= col("l0")).count(), -1L)
+        else probe
           .join(prevPrev.select(col("node"), col("label").as("l2")), "node")
-          .filter(col("l1") =!= col("l2")).count()
+          .agg(sum(when(col("l1") =!= col("l0"), 1L).otherwise(0L)),
+            sum(when(col("l1") =!= col("l2"), 1L).otherwise(0L)))
+          .head().toSeq.map(_.asInstanceOf[Long]).toArray
       rounds += 1
       if (changed == 0L) { converged = true; stop = true }
       else if (osc == 0L) stop = true
