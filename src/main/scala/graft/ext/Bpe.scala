@@ -175,6 +175,125 @@ object Bpe {
     toMergeFrame(spark, merges.toSeq)
   }
 
+  /** The deep-vocabulary trainer: [[trainMerges]]' exact algorithm
+    * (same argmax, same tie-break, same greedy rewrite — BpeSpec
+    * proves bit-identical tables) run ON THE DRIVER over the
+    * collected word list.
+    *
+    * Why this exists: every distributed round is one Spark job, so a
+    * real 30k-merge vocabulary costs 30k sequential jobs in
+    * [[trainMerges]]/[[trainMergesIncremental]] — at that depth
+    * scheduler latency, not data, dominates, because the DATA stopped
+    * being big the moment the corpus collapsed to weighted distinct
+    * words. This is the hybrid every production tokenizer pipeline
+    * uses (SentencePiece/HF train on a word-count file): Spark does
+    * the 100 TB → word-count collapse (the caller's explode +
+    * groupBy), the merge loop runs where a vocab-sized list is
+    * cheapest. The collect is bounded by contract — `maxWords`
+    * (default 10M ≈ hundreds of MB) is enforced with a count before
+    * anything is fetched.
+    *
+    * The driver loop is the INDEXED incremental algorithm (the
+    * in-memory twin of [[trainMergesIncremental]]): a pair→count map,
+    * a (count desc, lhs, rhs) ordered set for O(log P) argmax, and a
+    * pair→words-containing-it index so each round touches only
+    * affected words. Total work is O(corpus tokens + Σ affected),
+    * independent of round count — 30k merges finish in seconds. */
+  def trainMergesDriver(words: DataFrame, wordCol: Column, weightCol: Column,
+                        rounds: Int, minCount: Long = 2L,
+                        maxWords: Long = 10000000L): DataFrame = {
+    require(rounds >= 0, "rounds must be >= 0")
+    val spark = words.sparkSession
+    // identical word-admission rule to trainMerges (bracket exclusion
+    // included) so the tables stay bit-identical on any input
+    val base = words.select(wordCol.as("w"), weightCol.cast("long").as("n"))
+      .filter(col("w").isNotNull && length(col("w")) > 0 &&
+        !col("w").contains("[") && !col("w").contains("]"))
+    val nWords = base.count()
+    require(nWords <= maxWords,
+      s"trainMergesDriver: $nWords words exceeds maxWords=$maxWords — " +
+        "collapse further (or use trainMergesIncremental)")
+    val state: Array[(Array[String], Long)] = base.collect()
+      .map { r =>
+        val cps = r.getString(0).codePoints().toArray
+          .map(cp => new String(Character.toChars(cp)))
+        (cps, r.getLong(1))
+      }
+
+    type Pair = (String, String)
+    val counts = scala.collection.mutable.HashMap.empty[Pair, Long]
+    val occ = scala.collection.mutable.HashMap
+      .empty[Pair, scala.collection.mutable.Set[Int]]
+    // ordered by (count desc, lhs asc, rhs asc) — the trainMerges
+    // argmax ordering, head() is the round winner
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String, Ordering.String)
+    val sorted = scala.collection.mutable.TreeSet.empty[(Long, String, String)]
+
+    def pairBag(toks: Array[String]): scala.collection.mutable.HashMap[Pair, Long] = {
+      val m = scala.collection.mutable.HashMap.empty[Pair, Long]
+      var i = 0
+      while (i < toks.length - 1) {
+        m.updateWith((toks(i), toks(i + 1)))(c => Some(c.getOrElse(0L) + 1L))
+        i += 1
+      }
+      m
+    }
+    def bump(p: Pair, delta: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old > 0L) sorted.remove((old, p._1, p._2))
+      val nw = old + delta
+      if (nw > 0L) { counts(p) = nw; sorted.add((nw, p._1, p._2)) }
+      else counts.remove(p)
+    }
+    // greedy left-to-right non-overlapping single-pair merge — the
+    // refMerge/`replace` semantics (a just-merged token does not
+    // re-merge within the round)
+    def rewrite(toks: Array[String], l: String, r: String): Array[String] = {
+      val out = Array.newBuilder[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == l && toks(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += toks(i); i += 1 }
+      }
+      out.result()
+    }
+
+    for (((toks, n), idx) <- state.zipWithIndex; (p, c) <- pairBag(toks)) {
+      bump(p, c * n)
+      occ.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += idx
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var go = rounds > 0
+    while (go && sorted.nonEmpty && sorted.head._1 >= minCount) {
+      val (c, l, r) = sorted.head
+      merges += ((round, l, r, c))
+      val touched = occ.getOrElse((l, r), scala.collection.mutable.Set.empty)
+        .toArray
+      for (idx <- touched) {
+        val (toks, n) = state(idx)
+        val before = pairBag(toks)
+        val newToks = rewrite(toks, l, r)
+        val after = pairBag(newToks)
+        state(idx) = (newToks, n)
+        for ((p, bc) <- before) {
+          val ac = after.getOrElse(p, 0L)
+          if (ac != bc) bump(p, (ac - bc) * n)
+          if (ac == 0L) occ.get(p).foreach(_ -= idx)
+        }
+        for ((p, ac) <- after if !before.contains(p)) {
+          bump(p, ac * n)
+          occ.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += idx
+        }
+      }
+      round += 1
+      go = round <= rounds
+    }
+    toMergeFrame(spark, merges.toSeq)
+  }
+
   /** Re-tokenize words with an already-trained merge list (the apply
     * side of BPE): replays each merge in training order over the
     * bracketed-string state — same greedy semantics as training, so

@@ -1617,6 +1617,29 @@ object TextQueries {
           |FROM (SELECT unnest(ms) AS m FROM (SELECT ms FROM st ORDER BY iter DESC LIMIT 1))
           |ORDER BY round""".stripMargin)),
 
+    // Hybrid deep-vocabulary BPE training
+    // ([[graft.ext.Bpe.trainMergesDriver]]): Spark collapses the
+    // corpus to the weighted word list, the merge loop runs on the
+    // driver with indexed incremental pair counts (the SentencePiece
+    // shape — at 30k merges the distributed loop is scheduler-bound,
+    // not data-bound). Same table as q_tx_bpe bit-for-bit against the
+    // identical recursive-replay oracle.
+    QueryDef("q_tx_bpe_driver",
+      (s, d) => {
+        val words = t(s, d, "documents")
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+          .filter(length(col("w")) > 0)
+          .groupBy("w").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("w")).limit(128)
+        graft.ext.Bpe.trainMergesDriver(words, col("w"), col("n"), rounds = 6)
+          .orderBy("round")
+      },
+      Some(bpeCte(k = 128, rounds = 6) +
+        """
+          |SELECT m.r AS round, m.l AS lhs, m.rt AS rhs, m.c AS n
+          |FROM (SELECT unnest(ms) AS m FROM (SELECT ms FROM st ORDER BY iter DESC LIMIT 1))
+          |ORDER BY round""".stripMargin)),
+
     // BPE apply ([[graft.ext.Bpe.applyMerges]]): the trained merge
     // table unrolled into a replace chain re-tokenizes the same word
     // set; the oracle reads the recursive replay's FINAL word state —

@@ -148,6 +148,39 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
       table(Bpe.trainMerges(words, col("w"), col("n"), rounds = 6)))
   }
 
+  test("trainMergesDriver: bit-identical to the distributed trainer, deep-run exact") {
+    import spark.implicits._
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // small corpora: identical tables (ties, runs)
+    assert(
+      table(Bpe.trainMergesDriver(corpus, col("w"), col("n"), rounds = 4)) ===
+      table(Bpe.trainMerges(corpus, col("w"), col("n"), rounds = 4)))
+    val tricky = Seq(("aaaa", 3L), ("aaa", 2L), ("banana", 4L)).toDF("w", "n")
+    assert(
+      table(Bpe.trainMergesDriver(tricky, col("w"), col("n"), rounds = 5)) ===
+      table(Bpe.trainMerges(tricky, col("w"), col("n"), rounds = 5)))
+    // deep run: 1000+ merges against the plain-recompute reference —
+    // the indexed incremental bookkeeping (count set, pair→word
+    // index) must never drift from the O(tokens·rounds) recount
+    val rnd = new scala.util.Random(7)
+    val words = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    while (words.size < 1200) {
+      val w = (0 until (6 + rnd.nextInt(7)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      if (!words.contains(w)) words(w) = 1L + rnd.nextInt(5)
+    }
+    val (want, _) = refTrain(words.toMap, rounds = 1100)
+    assert(want.size >= 1000, s"corpus too small: only ${want.size} merges")
+    val got = table(Bpe.trainMergesDriver(words.toSeq.toDF("w", "n"),
+      col("w"), col("n"), rounds = 1100))
+    assert(got === want)
+    // the boundedness contract is enforced BEFORE any collect
+    intercept[IllegalArgumentException] {
+      Bpe.trainMergesDriver(corpus, col("w"), col("n"), rounds = 1, maxWords = 2L)
+    }
+  }
+
   test("training stops early when the best pair drops below minCount") {
     import spark.implicits._
     val sparse = Seq(("ab", 1L), ("cd", 1L)).toDF("w", "n")
