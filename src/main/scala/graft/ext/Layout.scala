@@ -199,6 +199,41 @@ object Layout {
       spark.read.parquet(survivors.toIndexedSeq: _*).where(residual)
   }
 
+  /** Clustering-depth profile over a skipping manifest: for each
+    * boundary of the per-file `[min_<key>, max_<key>+1)` intervals,
+    * the running interval count = how many files a point lookup on
+    * that key value must read (the q_layout_depth metric, computed
+    * here from the REAL stored manifest instead of a simulated one).
+    * The sweep runs entirely on the stats frame — file-count-sized,
+    * never the data — hence the deliberate unpartitioned window.
+    * Files with null stats (all-null key) carry no interval: a null
+    * key never serves a point lookup. Returns `(pos, net, depth)`. */
+  def clusteringDepth(manifest: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = manifest
+      .filter(col(s"min_$key").isNotNull)
+      .select(col(s"min_$key").as("pos"), lit(1L).as("delta"))
+      .unionAll(manifest.filter(col(s"max_$key").isNotNull)
+        .select((col(s"max_$key") + 1L).as("pos"), lit(-1L).as("delta")))
+    bounds.groupBy("pos").agg(sum("delta").as("net"))
+      .withColumn("depth", sum("net").over(
+        Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
+  /** The OPTIMIZE trigger: true when some key value's point-lookup
+    * depth reaches `maxDepth` — Delta OPTIMIZE / Iceberg rewrite
+    * decide off exactly this signal. Appends degrade depth one
+    * unclustered file at a time ([[appendWithManifest]]); when the
+    * trigger fires, rewrite with [[writeZOrderedWithManifest]] to
+    * re-tighten the layout (LayoutSpec drives that full lifecycle).
+    * One manifest-sized job, one scalar to the driver. */
+  def needsRecluster(manifest: DataFrame, key: String,
+                     maxDepth: Long): Boolean = {
+    val worst = clusteringDepth(manifest, key)
+      .agg(max(col("depth"))).collect()(0)
+    !worst.isNullAt(0) && worst.getLong(0) >= maxDepth
+  }
+
   /** Write `df` as a managed parquet table hash-bucketed (and sorted
     * within buckets) on `key`. Two tables bucketed on their join key
     * with the SAME bucket count sort-merge join with ZERO exchange on

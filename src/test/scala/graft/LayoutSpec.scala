@@ -182,6 +182,64 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("needsRecluster: appends degrade depth until the trigger fires; rewrite resets it") {
+    withTempDir("graft_recluster_") { dir =>
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+      val keyCols = Seq("l_partkey", "l_suppkey")
+      Layout.writeZOrderedWithManifest(li, col("l_partkey"), col("l_suppkey"),
+        s"$dir/li", files = 8, keyCols = keyCols)
+      def depth() = Layout.clusteringDepth(
+        Layout.loadManifest(spark, s"$dir/li"), "l_partkey")
+        .agg(max("depth")).head().getLong(0)
+      val base = depth()
+      assert(!Layout.needsRecluster(Layout.loadManifest(spark, s"$dir/li"),
+        "l_partkey", maxDepth = base + 3))
+      // each appended (unclustered) single file spans the WHOLE key
+      // range, so every point lookup must read it too: depth grows by
+      // exactly 1 per appended file, at every key position
+      for (_ <- 1 to 3)
+        Layout.appendWithManifest(li.coalesce(1), s"$dir/li", keyCols)
+      val degraded = depth()
+      assert(degraded >= base + 3, s"depth $base -> $degraded after 3 appends")
+      assert(Layout.needsRecluster(Layout.loadManifest(spark, s"$dir/li"),
+        "l_partkey", maxDepth = base + 3), "trigger should fire")
+      // OPTIMIZE: rewrite everything z-clustered; depth returns to a
+      // clustered profile and the trigger clears
+      val all = spark.read.parquet(s"$dir/li").localCheckpoint(true)
+      Layout.writeZOrderedWithManifest(all, col("l_partkey"), col("l_suppkey"),
+        s"$dir/li2", files = 8, keyCols = keyCols)
+      val after = Layout.clusteringDepth(
+        Layout.loadManifest(spark, s"$dir/li2"), "l_partkey")
+        .agg(max("depth")).head().getLong(0)
+      assert(after <= base + 1, s"rewrite did not re-tighten: $after vs base $base")
+      assert(!Layout.needsRecluster(Layout.loadManifest(spark, s"$dir/li2"),
+        "l_partkey", maxDepth = base + 3))
+    }
+  }
+
+  test("scanPruned: z-locality prunes >= 87.5% of a 64-file grid for a 1/64 box") {
+    import spark.implicits._
+    withTempDir("graft_pruned_grid_") { dir =>
+      // full 256x256 integer grid — the uniform worst case where
+      // locality comes ONLY from the layout, not data skew
+      val grid = (0 until 65536)
+        .map(i => (i.toLong, (i % 256).toLong, (i / 256).toLong))
+        .toDF("id", "x", "y")
+      Layout.writeZOrderedWithManifest(grid, col("x"), col("y"),
+        s"$dir/g", files = 64, keyCols = Seq("x", "y"))
+      val total = spark.read.parquet(s"$dir/g").inputFiles.length
+      // a 32x32 box = 1/64 of the area; a perfect 8x8 z-tiling reads
+      // 1-4 files, a single-column sort ~8, a random layout all 64 —
+      // the bound pins the layout actually paying off
+      val pruned = Layout.scanPruned(spark, s"$dir/g",
+        Seq(Layout.KeyBox("x", 0L, 31L), Layout.KeyBox("y", 0L, 31L)))
+      assert(pruned.inputFiles.length * 8 <= total,
+        s"read ${pruned.inputFiles.length} of $total files — z-locality lost")
+      assert(pruned.count() === 32L * 32L)
+    }
+  }
+
   test("scanPruned: empty survivor set returns an empty, schema-correct frame") {
     withTempDir("graft_pruned_none_") { dir =>
       val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
