@@ -153,6 +153,40 @@ object Sketches {
     * `[0, P)` — the identity for keys already below P. */
   def keyHash(key: Column): Column = pmod(key, lit(P))
 
+  /** [[heavyHitters]]' summary as (key, cnt) ROWS — the storable /
+    * mergeable form of the Misra–Gries state (≤ k rows). */
+  def mgSummaryRows(df: DataFrame, keyCol: Column, k: Int): DataFrame =
+    df.agg(heavyHitters(keyCol, k).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.key").as("key"), col("h.cnt").as("cnt"))
+
+  /** Fold a new Misra–Gries summary into a running one with the
+    * Agarwal et al. 2013 merge rule, expressed as plain DataFrame
+    * algebra over the (key, cnt) rows: add counts keywise, subtract
+    * the (k+1)-largest combined count from every counter, keep
+    * positives. State stays ≤ k rows and the error bound COMPOSES —
+    * after folding summaries covering N total items, every key with
+    * true frequency > N/(k+1) is present and
+    * `stored ≤ true ≤ stored + N/(k+1)` (SketchesSpec asserts both
+    * across a multi-batch fold). The (k+1)-th count is a
+    * `TakeOrderedAndProject` + (k+1)-row bounded collect — summary-
+    * sized, never data-sized. This is the streaming deployment of
+    * the heavy-hitter monitor: per micro-batch, [[mgSummaryRows]]
+    * the batch and fold it in (foreachBatch, like the churn and SCD2
+    * maintenance loops) — the state shuffled per batch is ≤ k rows,
+    * while a `groupBy(key)` dashboard would re-shuffle the full
+    * vocabulary every time. */
+  def mgMergeSummaries(state: DataFrame, delta: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val summed = state.select(col("key"), col("cnt"))
+      .unionByName(delta.select(col("key"), col("cnt")))
+      .groupBy("key").agg(sum("cnt").as("cnt"))
+    val top = summed.orderBy(desc("cnt"), col("key")).limit(k + 1).collect()
+    val sub = if (top.length <= k) 0L else top.map(_.getLong(1)).min
+    summed.select(col("key"), (col("cnt") - sub).as("cnt"))
+      .filter(col("cnt") > 0)
+  }
+
   /** Bloom bitset over a portable hash column (default 64 Kibit =
     * 8 KiB, k = 4: <0.1% false positives at ~3k keys, ~3% at 12k). */
   def bloomSketch(portableHashCol: Column, mBits: Int = 65536, k: Int = 4): Column =

@@ -1638,7 +1638,7 @@ object TextQueries {
         """
           |SELECT m.r AS round, m.l AS lhs, m.rt AS rhs, m.c AS n
           |FROM (SELECT unnest(ms) AS m FROM (SELECT ms FROM st ORDER BY iter DESC LIMIT 1))
-          |ORDER BY round""".stripMargin)),
+          |ORDER BY round""".stripMargin), bench = true),
 
     // BPE apply ([[graft.ext.Bpe.applyMerges]]): the trained merge
     // table unrolled into a replace chain re-tokenizes the same word

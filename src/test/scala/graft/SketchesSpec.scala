@@ -257,6 +257,35 @@ class SketchesSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("Misra-Gries summary fold: guarantees compose across batches (streaming shape)") {
+    import spark.implicits._
+    // three disjoint micro-batches of the token stream, folded via
+    // the Agarwal merge rule — exactly the foreachBatch deployment
+    val toks = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("x", TextAnalysis.rollingHash(col("tok")))
+      .withColumn("b", pmod(col("x"), lit(3)))
+    val k = 8
+    var state = Seq.empty[(Long, Long)].toDF("key", "cnt")
+    for (b <- 0 to 2)
+      state = Sketches.mgMergeSummaries(state,
+        Sketches.mgSummaryRows(toks.filter(col("b") === b), col("x"), k), k)
+        .localCheckpoint(true)
+    val hh = state.as[(Long, Long)].collect().toMap
+    assert(hh.size <= k, s"state exceeded k: ${hh.size}")
+    val n = toks.count()
+    val trueCounts = toks.groupBy("x").count().as[(Long, Long)].collect().toMap
+    val bound = n / (k + 1)
+    for ((key, c) <- trueCounts if c > bound)
+      assert(hh.contains(key), s"missed heavy hitter $key (true $c > bound $bound)")
+    for ((key, est) <- hh) {
+      val t = trueCounts(key)
+      assert(est <= t, s"over-count: key $key est $est > true $t")
+      assert(t - est <= bound, s"error beyond bound: key $key true $t est $est")
+    }
+  }
+
   test("CMS is partition-independent (merge + serde through shuffle)") {
     val toks = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
