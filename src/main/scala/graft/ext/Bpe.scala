@@ -319,6 +319,8 @@ object Bpe {
   def applyMerges(words: DataFrame, wordCol: Column, merges: DataFrame,
                   batchSize: Int = 64): DataFrame = {
     require(batchSize >= 1, "batchSize must be >= 1")
+    require(!words.columns.contains("__bpe_s"),
+      "applyMerges uses __bpe_s as scratch; rename that input column")
     val ordered = merges.select(col("round").cast("int"),
         col("lhs").cast("string"), col("rhs").cast("string"))
       .collect().sortBy(_.getInt(0))

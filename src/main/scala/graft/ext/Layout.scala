@@ -98,6 +98,16 @@ object Layout {
 
   private def manifestOf(df: DataFrame, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "manifest needs at least one key column")
+    // integral keys only, ENFORCED: a non-integral column would cast
+    // its min/max to null, which reads as "all values null" and marks
+    // every file skippable — a silent wrong (empty) pruned read
+    // instead of a loud error
+    for (k <- keyCols) {
+      import org.apache.spark.sql.types._
+      val dt = df.schema(k).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"manifest key $k must be an integral column, found $dt")
+    }
     df.groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"),
         keyCols.flatMap(k => Seq(

@@ -240,6 +240,16 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("buildFileManifest rejects non-integral keys loudly") {
+    // a string key would cast its stats to null — i.e. "every file
+    // skippable" — so the misuse must fail fast, not return empty
+    val ex = intercept[IllegalArgumentException] {
+      Layout.buildFileManifest(spark, s"$sf0001/lineitem.parquet",
+        Seq("l_returnflag"))
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
   test("scanPruned: empty survivor set returns an empty, schema-correct frame") {
     withTempDir("graft_pruned_none_") { dir =>
       val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
