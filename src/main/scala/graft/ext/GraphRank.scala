@@ -127,37 +127,44 @@ object GraphRank {
       .join(nodes, Seq("node"), "left_semi")
     val ns = seedSet.count()
     require(ns > 0, "personalizedPageRankUntilConverged: no seed overlaps the graph")
-    val flagged = nodes.join(seedSet.withColumn("__s", lit(1L)), Seq("node"), "left")
-      .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
-      .localCheckpoint(true)
     val base = scale * 15L / 100L / ns
     val eDeg = e.join(
       e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")), "src")
       .localCheckpoint(true)
-    var ranks = flagged.withColumn("rank", col("__s") * lit(scale / ns))
-      .select("node", "rank").localCheckpoint(true)
+    // loop state carries (node, __s, rank): folding the seed flag AND
+    // the previous rank into one frame makes the per-round cost
+    // exactly TWO joins (|E| contribution join + |V| right join back
+    // onto the state) and puts the |Δrank| the stop test needs on the
+    // checkpoint itself as a derived column — no third join and no
+    // separate delta job, just a scan-agg of the materialized frame
+    var state = nodes.join(seedSet.withColumn("__s", lit(1L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
+      .withColumn("rank", col("__s") * lit(scale / ns))
+      .localCheckpoint(true)
     var rounds = 0
     var moved = Long.MaxValue
     while (moved > tolerance && rounds < maxIters) {
       val next = eDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(state.select(col("node").as("src"), col("rank")), "src")
         .select(col("dst").as("node"),
           call_function("div", col("rank"), col("__outdeg")).as("__c"))
         .groupBy("node").agg(sum("__c").as("__sum"))
-        .join(flagged, Seq("node"), "right")
-        .select(col("node"),
+        .join(state, Seq("node"), "right")
+        .select(col("node"), col("__s"),
           (col("__s") * lit(base) +
             call_function("div", coalesce(col("__sum"), lit(0L)) * 85L, lit(100L)))
-            .as("rank"))
+            .as("rank"),
+          col("rank").as("__prev"))
+        .withColumn("__d", abs(col("rank") - col("__prev")))
+        .select("node", "__s", "rank", "__d")
         .localCheckpoint(true)
-      moved = next.join(ranks.withColumnRenamed("rank", "__prev"), "node")
-        .agg(sum(abs(col("rank") - col("__prev")))).head().getLong(0)
-      unpersistCheckpoint(ranks)
-      ranks = next
+      moved = next.agg(sum(col("__d"))).head().getLong(0)
+      unpersistCheckpoint(state)
+      state = next
       rounds += 1
     }
-    unpersistCheckpoint(flagged); unpersistCheckpoint(eDeg)
-    ranks.withColumn("rounds", lit(rounds))
+    unpersistCheckpoint(eDeg)
+    state.select(col("node"), col("rank")).withColumn("rounds", lit(rounds))
   }
 
   /** K-core decomposition by iterative peeling: repeatedly remove
