@@ -75,9 +75,10 @@ object GraphRank {
     *
     * Two things a fixed-iter loop doesn't need, both scale-critical:
     *
-    *   - **lineage truncation**: every round's rank frame is eagerly
-    *     `localCheckpoint`ed (the convergence test materializes it
-    *     anyway, so the checkpoint adds no extra pass), keeping the
+    *   - **lineage truncation**: every round's rank frame is lazily
+    *     `localCheckpoint`ed with the convergence aggregate as the
+    *     materializing action (one job per round — the CC-loop
+    *     pattern), keeping the
     *     plan one round deep no matter how many rounds convergence
     *     takes — an unchecked loop re-plans a linearly-growing join
     *     tree and eventually stalls the optimizer (same discipline as
@@ -89,8 +90,9 @@ object GraphRank {
     *     contract as the CC loop's convergence sum; nothing
     *     data-sized ever reaches the driver.
     *
-    * The returned frame IS the last eager localCheckpoint (same reuse
-    * contract as the CC loop: do not unpersist while consuming).
+    * The returned frame IS the last (materialized) localCheckpoint
+    * (same reuse contract as the CC loop: do not unpersist while
+    * consuming).
     * Returns `(node, rank, rounds)` — rounds is the same value on
     * every row (a literal), recording how many iterations ran.
     */
@@ -144,6 +146,9 @@ object GraphRank {
     var rounds = 0
     var moved = Long.MaxValue
     while (moved > tolerance && rounds < maxIters) {
+      // LAZY checkpoint: the stop-test aggregate below doubles as the
+      // materializing action (the clusters-loop pattern) — one job
+      // per round, not a checkpoint job plus an agg job
       val next = eDeg
         .join(state.select(col("node").as("src"), col("rank")), "src")
         .select(col("dst").as("node"),
@@ -157,7 +162,7 @@ object GraphRank {
           col("rank").as("__prev"))
         .withColumn("__d", abs(col("rank") - col("__prev")))
         .select("node", "__s", "rank", "__d")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       moved = next.agg(sum(col("__d"))).head().getLong(0)
       unpersistCheckpoint(state)
       state = next
@@ -203,7 +208,8 @@ object GraphRank {
       val next = und
         .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-        .localCheckpoint(true)
+        // lazy: the edge count below materializes it in the same job
+        .localCheckpoint(false)
       val n2 = next.count()
       rounds += 1
       shrunk = n2 < nEdges
@@ -363,7 +369,8 @@ object GraphRank {
     var converged = false
     var stop = false
     while (!stop && rounds < maxRounds) {
-      val next = lpRound(und, lab).localCheckpoint(true)
+      // LAZY checkpoint: the probe below is the materializing action
+      val next = lpRound(und, lab).localCheckpoint(false)
       // ONE probe job per round (the pageRankUntilConverged
       // discipline): both stop scalars — changes vs the current state
       // and, once a round-2 state exists, changes vs it (the
