@@ -225,9 +225,25 @@ object Bpe {
     val occ = scala.collection.mutable.HashMap
       .empty[Pair, scala.collection.mutable.Set[Int]]
     // ordered by (count desc, lhs asc, rhs asc) — the trainMerges
-    // argmax ordering, head() is the round winner
+    // argmax ordering, head() is the round winner. String order must
+    // be UTF-8 BINARY compare (what Spark's orderBy on strings uses),
+    // NOT Java's UTF-16 code-unit compare: the two disagree on
+    // supplementary characters vs [U+E000, U+FFFF], and a tie broken
+    // differently would fork the merge tables from that round on.
+    val utf8Ord: Ordering[String] = (a: String, b: String) => {
+      val xa = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val xb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      val n = math.min(xa.length, xb.length)
+      var r = 0
+      while (r == 0 && i < n) {
+        r = java.lang.Integer.compare(xa(i) & 0xFF, xb(i) & 0xFF)
+        i += 1
+      }
+      if (r != 0) r else java.lang.Integer.compare(xa.length, xb.length)
+    }
     implicit val ord: Ordering[(Long, String, String)] =
-      Ordering.Tuple3(Ordering.Long.reverse, Ordering.String, Ordering.String)
+      Ordering.Tuple3(Ordering.Long.reverse, utf8Ord, utf8Ord)
     val sorted = scala.collection.mutable.TreeSet.empty[(Long, String, String)]
 
     def pairBag(toks: Array[String]): scala.collection.mutable.HashMap[Pair, Long] = {

@@ -184,9 +184,10 @@ object GraphRank {
     * Input is canonicalized undirected-simple (self-loops and
     * duplicate/reverse edges collapse). Each round is one degree
     * aggregation + one semi-join on |E| — hash equi-joins only; the
-    * edge frame is eagerly localCheckpoint'ed per round and the
-    * superseded checkpoint unpersisted (the [[Dedup]] CC loop's
-    * discipline), and the per-round driver scalar is ONE long (the
+    * edge frame is lazily localCheckpoint'ed per round with the edge
+    * count as the materializing action, and the superseded
+    * checkpoint unpersisted (the [[Dedup]] CC loop's discipline);
+    * the per-round driver scalar is ONE long (the
     * surviving-edge count). Rounds are bounded by the peeling depth —
     * ≤ |V| in theory, tiny in practice on heavy-tailed graphs. */
   def kCore(edges: DataFrame, srcCol: Column, dstCol: Column, k: Int,

@@ -125,17 +125,38 @@ object Layout {
     * correct direction; when the [[q_layout_depth clustering-depth]]
     * trigger fires, a [[writeZOrderedWithManifest]] rewrite
     * re-tightens the layout. The updated manifest is eagerly
-    * materialized before overwriting its own source directory. */
+    * materialized before overwriting its own source directory.
+    *
+    * ALL validation happens BEFORE the append: a call that fails its
+    * checks (non-integral key, keyCols not matching the stored
+    * manifest) must leave the directory untouched — appending first
+    * and then failing would leave data files the manifest does not
+    * cover, and every later pruned read would silently drop their
+    * rows. */
   def appendWithManifest(df: DataFrame, path: String,
                          keyCols: Seq[String]): Unit = {
     val spark = df.sparkSession
+    for (k <- keyCols) {
+      import org.apache.spark.sql.types._
+      val dt = df.schema(k).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"manifest key $k must be an integral column, found $dt")
+    }
+    // loading the manifest up front also fails fast when the dir was
+    // never written with one
+    val existing = loadManifest(spark, path)
+    for (k <- keyCols)
+      require(existing.columns.contains(s"min_$k") &&
+          existing.columns.contains(s"max_$k"),
+        s"stored manifest at $path has no stats for key $k " +
+          s"(manifest columns: ${existing.columns.mkString(", ")})")
     val before = spark.read.parquet(path).inputFiles.toSet
     df.write.mode("append").parquet(path)
     val newFiles = spark.read.parquet(path).inputFiles.toSeq
       .filterNot(before)
     if (newFiles.isEmpty) return
     val delta = manifestOf(spark.read.parquet(newFiles: _*), keyCols)
-    val updated = loadManifest(spark, path).unionByName(delta)
+    val updated = existing.unionByName(delta)
       .localCheckpoint(true)
     updated.write.mode("overwrite").parquet(s"$path/_graft_manifest")
     Checkpoints.unpersist(updated)
@@ -190,14 +211,34 @@ object Layout {
     * exactly what Delta/Iceberg planning does with their manifests.
     * At 100 TB with a selective box over a Z-ordered layout this is
     * the single biggest lever a reader has: I/O drops by the fraction
-    * of files whose [min,max] rectangles miss the box. */
+    * of files whose [min,max] rectangles miss the box.
+    *
+    * `verifyCoverage` (default on) checks that every data file in
+    * `dir` has a manifest row before trusting the manifest: a file
+    * appended OUT OF BAND (any writer other than
+    * [[appendWithManifest]]) has no stats, would never survive
+    * pruning, and its rows would silently vanish from the result —
+    * the one way this API can violate its pruned ≡ full-scan
+    * contract. The check is a directory LISTING (no footers
+    * opened); at very large file counts a pipeline that maintains
+    * the manifest exclusively through the two writers here may
+    * disable it. */
   def scanPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
-                 manifest: DataFrame, boxes: Seq[KeyBox]): DataFrame = {
+                 manifest: DataFrame, boxes: Seq[KeyBox],
+                 verifyCoverage: Boolean = true): DataFrame = {
     require(boxes.nonEmpty, "scanPruned needs at least one key box")
     val skip = boxes.map { b =>
       col(s"max_${b.column}") < b.lo || col(s"min_${b.column}") > b.hi
     }.reduce(_ || _)
     val residual = boxes.map(b => col(b.column).between(b.lo, b.hi)).reduce(_ && _)
+    val known = manifest.select("file").collect().map(_.getString(0)).toSet
+    if (verifyCoverage) {
+      val uncovered = spark.read.parquet(dir).inputFiles.filterNot(known)
+      require(uncovered.isEmpty,
+        s"manifest does not cover ${uncovered.length} data file(s) in $dir " +
+          s"(out-of-band append?) — pruning would silently drop their rows; " +
+          s"first uncovered: ${uncovered.headOption.getOrElse("")}")
+    }
     val survivors = manifest
       .filter(!coalesce(skip, lit(true)))
       .select("file").collect().map(_.getString(0))

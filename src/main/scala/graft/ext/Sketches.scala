@@ -178,13 +178,23 @@ object Sketches {
     * vocabulary every time. */
   def mgMergeSummaries(state: DataFrame, delta: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    val spark = state.sparkSession
+    import spark.implicits._
+    // both inputs are summaries (≤ k rows each by the MG contract),
+    // so the combined frame is ≤ 2k rows: ONE keywise-sum job,
+    // collected, and the subtract-and-truncate finishes on the
+    // driver — computing the (k+1)-th count with a second Spark
+    // action would re-run the union+groupBy for the returned frame
     val summed = state.select(col("key"), col("cnt"))
       .unionByName(delta.select(col("key"), col("cnt")))
       .groupBy("key").agg(sum("cnt").as("cnt"))
-    val top = summed.orderBy(desc("cnt"), col("key")).limit(k + 1).collect()
-    val sub = if (top.length <= k) 0L else top.map(_.getLong(1)).min
-    summed.select(col("key"), (col("cnt") - sub).as("cnt"))
-      .filter(col("cnt") > 0)
+      .as[(Long, Long)].collect()
+    val sub =
+      if (summed.length <= k) 0L
+      else summed.map(_._2).sorted(Ordering.Long.reverse).apply(k)
+    summed.toSeq.map { case (key, cnt) => (key, cnt - sub) }
+      .filter(_._2 > 0L)
+      .toDF("key", "cnt")
   }
 
   /** Bloom bitset over a portable hash column (default 64 Kibit =

@@ -240,6 +240,36 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("scanPruned detects out-of-band appends; failed appends leave the dir untouched") {
+    withTempDir("graft_pruned_oob_") { dir =>
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+      Layout.writeZOrderedWithManifest(li, col("l_partkey"), col("l_suppkey"),
+        s"$dir/li", files = 4, keyCols = Seq("l_partkey", "l_suppkey"))
+      val boxes = Seq(Layout.KeyBox("l_partkey", 20L, 60L))
+      // a failed appendWithManifest (bad key) must validate BEFORE
+      // writing: otherwise the dir gains files the manifest misses
+      val before = spark.read.parquet(s"$dir/li").count()
+      intercept[IllegalArgumentException] {
+        Layout.appendWithManifest(
+          li.withColumn("l_partkey", col("l_partkey").cast("string")),
+          s"$dir/li", Seq("l_partkey"))
+      }
+      assert(spark.read.parquet(s"$dir/li").count() === before,
+        "failed append mutated the directory")
+      assert(Layout.scanPruned(spark, s"$dir/li", boxes).count() ===
+        li.filter(col("l_partkey").between(20, 60)).count())
+      // an OUT-OF-BAND append (any writer that is not
+      // appendWithManifest) leaves files without stats; the pruned
+      // read must fail loudly, not silently drop their rows
+      li.limit(100).coalesce(1).write.mode("append").parquet(s"$dir/li")
+      val ex = intercept[IllegalArgumentException] {
+        Layout.scanPruned(spark, s"$dir/li", boxes).count()
+      }
+      assert(ex.getMessage.contains("does not cover"))
+    }
+  }
+
   test("buildFileManifest rejects non-integral keys loudly") {
     // a string key would cast its stats to null — i.e. "every file
     // skippable" — so the misuse must fail fast, not return empty
