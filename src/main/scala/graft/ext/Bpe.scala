@@ -230,17 +230,22 @@ object Bpe {
     // NOT Java's UTF-16 code-unit compare: the two disagree on
     // supplementary characters vs [U+E000, U+FFFF], and a tie broken
     // differently would fork the merge tables from that round on.
+    // UTF-8 byte order == code-point order, so compare code points
+    // directly — no per-comparison byte-array allocation inside the
+    // TreeSet's O(log P) comparator hot loop
     val utf8Ord: Ordering[String] = (a: String, b: String) => {
-      val xa = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val xb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       var i = 0
-      val n = math.min(xa.length, xb.length)
+      var j = 0
       var r = 0
-      while (r == 0 && i < n) {
-        r = java.lang.Integer.compare(xa(i) & 0xFF, xb(i) & 0xFF)
-        i += 1
+      while (r == 0 && i < a.length && j < b.length) {
+        val ca = a.codePointAt(i)
+        val cb = b.codePointAt(j)
+        r = java.lang.Integer.compare(ca, cb)
+        i += Character.charCount(ca)
+        j += Character.charCount(cb)
       }
-      if (r != 0) r else java.lang.Integer.compare(xa.length, xb.length)
+      if (r != 0) r
+      else java.lang.Integer.compare(a.length - i, b.length - j)
     }
     implicit val ord: Ordering[(Long, String, String)] =
       Ordering.Tuple3(Ordering.Long.reverse, utf8Ord, utf8Ord)

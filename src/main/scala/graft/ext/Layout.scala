@@ -96,18 +96,35 @@ object Layout {
                         keyCols: Seq[String]): DataFrame =
     manifestOf(spark.read.parquet(dir), keyCols)
 
-  private def manifestOf(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+  /** Integral keys only, ENFORCED: a non-integral column would cast
+    * its min/max to null, which reads as "all values null" and marks
+    * every file skippable — a silent wrong (empty) pruned read
+    * instead of a loud error. Shared by every manifest writer so the
+    * accepted type set cannot fork between them. */
+  private def requireIntegralKeys(schema: org.apache.spark.sql.types.StructType,
+                                  keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "manifest needs at least one key column")
-    // integral keys only, ENFORCED: a non-integral column would cast
-    // its min/max to null, which reads as "all values null" and marks
-    // every file skippable — a silent wrong (empty) pruned read
-    // instead of a loud error
     for (k <- keyCols) {
       import org.apache.spark.sql.types._
-      val dt = df.schema(k).dataType
+      val dt = schema(k).dataType
       require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
         s"manifest key $k must be an integral column, found $dt")
     }
+  }
+
+  /** Normalize a file path for set comparison: manifest entries come
+    * from `input_file_name()` (URI-encoded, e.g. space → %20) while
+    * `inputFiles` uses Hadoop `Path.toString` (unencoded) — comparing
+    * raw strings would mark every file of a dir with URI-encodable
+    * characters as uncovered. */
+  private def pathKey(s: String): (String, String, String) = {
+    val u = new org.apache.hadoop.fs.Path(s).toUri
+    (Option(u.getScheme).getOrElse(""), Option(u.getAuthority).getOrElse(""),
+      u.getPath)
+  }
+
+  private def manifestOf(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    requireIntegralKeys(df.schema, keyCols)
     df.groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"),
         keyCols.flatMap(k => Seq(
@@ -136,20 +153,18 @@ object Layout {
   def appendWithManifest(df: DataFrame, path: String,
                          keyCols: Seq[String]): Unit = {
     val spark = df.sparkSession
-    for (k <- keyCols) {
-      import org.apache.spark.sql.types._
-      val dt = df.schema(k).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"manifest key $k must be an integral column, found $dt")
-    }
+    requireIntegralKeys(df.schema, keyCols)
     // loading the manifest up front also fails fast when the dir was
-    // never written with one
+    // never written with one. The key sets must match EXACTLY: a
+    // strict subset would pass a one-sided check, append, and then
+    // crash in unionByName — leaving files the manifest misses
     val existing = loadManifest(spark, path)
-    for (k <- keyCols)
-      require(existing.columns.contains(s"min_$k") &&
-          existing.columns.contains(s"max_$k"),
-        s"stored manifest at $path has no stats for key $k " +
-          s"(manifest columns: ${existing.columns.mkString(", ")})")
+    val storedKeys = existing.columns.collect {
+      case c if c.startsWith("min_") => c.stripPrefix("min_")
+    }.toSet
+    require(storedKeys == keyCols.toSet,
+      s"keyCols ${keyCols.toSet.mkString(", ")} must equal the stored " +
+        s"manifest's keys ${storedKeys.mkString(", ")} at $path")
     val before = spark.read.parquet(path).inputFiles.toSet
     df.write.mode("append").parquet(path)
     val newFiles = spark.read.parquet(path).inputFiles.toSeq
@@ -231,13 +246,25 @@ object Layout {
       col(s"max_${b.column}") < b.lo || col(s"min_${b.column}") > b.hi
     }.reduce(_ || _)
     val residual = boxes.map(b => col(b.column).between(b.lo, b.hi)).reduce(_ && _)
-    val known = manifest.select("file").collect().map(_.getString(0)).toSet
     if (verifyCoverage) {
-      val uncovered = spark.read.parquet(dir).inputFiles.filterNot(known)
-      require(uncovered.isEmpty,
-        s"manifest does not cover ${uncovered.length} data file(s) in $dir " +
-          s"(out-of-band append?) — pruning would silently drop their rows; " +
-          s"first uncovered: ${uncovered.headOption.getOrElse("")}")
+      // normalized comparison: manifest entries are URI-encoded
+      // (input_file_name), inputFiles is not — see [[pathKey]]
+      val known = manifest.select("file").collect()
+        .map(r => pathKey(r.getString(0))).toSet
+      val uncovered = spark.read.parquet(dir).inputFiles
+        .filterNot(f => known(pathKey(f)))
+      if (uncovered.nonEmpty) {
+        // a ZERO-ROW part file is legitimately manifest-less (the
+        // groupBy that builds stats never sees it — e.g. the
+        // empty-input write path), and zero rows cannot be dropped;
+        // only read the suspects, never the covered files
+        val hasRows = spark.read.parquet(uncovered.toIndexedSeq: _*)
+          .head(1).nonEmpty
+        require(!hasRows,
+          s"manifest does not cover ${uncovered.length} non-empty data " +
+            s"file(s) in $dir (out-of-band append?) — pruning would " +
+            s"silently drop their rows; first uncovered: ${uncovered.head}")
+      }
     }
     val survivors = manifest
       .filter(!coalesce(skip, lit(true)))

@@ -30,6 +30,26 @@ object SketchQueries {
   private val prunedFixture =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** (l_partkey, l_suppkey) min/max as 16-bit normalization bounds —
+    * the same 4-value bounded collect writeZOrdered performs (plan
+    * literals, like broadcast centroids). A dimension whose stats
+    * collapse to null (empty table or all-null keys) degenerates to
+    * (0, 0) → constant-0 normalization, PER DIMENSION — mirrored by
+    * the layout oracles' `phi IS NULL OR phi = plo` CASE, so a
+    * single all-null key column produces identical (zeroed) codes in
+    * both engines. Shared by q_layout_skipping and q_layout_depth:
+    * the guard semantics and the oracle CASE must not fork. */
+  private def zBounds16(li: DataFrame): ((Long, Long), (Long, Long)) = {
+    val row = li
+      .agg(min("l_partkey").cast("long"), max("l_partkey").cast("long"),
+        min("l_suppkey").cast("long"), max("l_suppkey").cast("long"))
+      .collect()(0)
+    def dim(i: Int): (Long, Long) =
+      if (row.isNullAt(i) || row.isNullAt(i + 1)) (0L, 0L)
+      else (row.getLong(i), row.getLong(i + 1))
+    (dim(0), dim(2))
+  }
+
   private def zorderedLineitem(s: SparkSession, d: String): String =
     prunedFixture.computeIfAbsent(d, _ => {
       val zdir = graft.Scratch.tempDir("graft_zli_") + "/lineitem"
@@ -629,24 +649,7 @@ object SketchQueries {
     QueryDef("q_layout_skipping",
       (s, d) => {
         val li = t(s, d, "lineitem")
-        // 4-value bounded collect for the normalization bounds — the
-        // same tiny agg writeZOrdered performs (plan literals, like
-        // broadcast centroids); the oracle re-derives them as scalar
-        // subqueries over the identical integer min/max
-        // a dimension whose min/max collapse to null (empty table or
-        // all-null keys) degenerates to constant-0 normalization,
-        // PER DIMENSION — mirrored by the oracle's
-        // `phi IS NULL OR phi = plo` CASE, so a single all-null key
-        // column produces identical (zeroed) codes in both engines
-        val boundsRow = li
-          .agg(min("l_partkey").cast("long"), max("l_partkey").cast("long"),
-            min("l_suppkey").cast("long"), max("l_suppkey").cast("long"))
-          .collect()(0)
-        def dim(i: Int): (Long, Long) =
-          if (boundsRow.isNullAt(i) || boundsRow.isNullAt(i + 1)) (0L, 0L)
-          else (boundsRow.getLong(i), boundsRow.getLong(i + 1))
-        val (pLo, pHi) = dim(0)
-        val (sLo, sHi) = dim(2)
+        val ((pLo, pHi), (sLo, sHi)) = zBounds16(li)
         li.select(col("l_partkey"), col("l_suppkey"),
             Layout.zorder2(
               Layout.normalize16(col("l_partkey"), pLo, pHi),
@@ -710,20 +713,7 @@ object SketchQueries {
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         val li = t(s, d, "lineitem")
-        // a dimension whose min/max collapse to null (empty table or
-        // all-null keys) degenerates to constant-0 normalization,
-        // PER DIMENSION — mirrored by the oracle's
-        // `phi IS NULL OR phi = plo` CASE, so a single all-null key
-        // column produces identical (zeroed) codes in both engines
-        val boundsRow = li
-          .agg(min("l_partkey").cast("long"), max("l_partkey").cast("long"),
-            min("l_suppkey").cast("long"), max("l_suppkey").cast("long"))
-          .collect()(0)
-        def dim(i: Int): (Long, Long) =
-          if (boundsRow.isNullAt(i) || boundsRow.isNullAt(i + 1)) (0L, 0L)
-          else (boundsRow.getLong(i), boundsRow.getLong(i + 1))
-        val (pLo, pHi) = dim(0)
-        val (sLo, sHi) = dim(2)
+        val ((pLo, pHi), (sLo, sHi)) = zBounds16(li)
         val manifest = li.select(col("l_partkey"), col("l_suppkey"),
             Layout.zorder2(
               Layout.normalize16(col("l_partkey"), pLo, pHi),
