@@ -104,6 +104,8 @@ object Layout {
   private def requireIntegralKeys(schema: org.apache.spark.sql.types.StructType,
                                   keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "manifest needs at least one key column")
+    require(keyCols.distinct == keyCols,
+      s"duplicate manifest key columns: ${keyCols.mkString(", ")}")
     for (k <- keyCols) {
       import org.apache.spark.sql.types._
       val dt = schema(k).dataType
@@ -112,15 +114,18 @@ object Layout {
     }
   }
 
-  /** Normalize a file path for set comparison: manifest entries come
-    * from `input_file_name()` (URI-encoded, e.g. space → %20) while
-    * `inputFiles` uses Hadoop `Path.toString` (unencoded) — comparing
-    * raw strings would mark every file of a dir with URI-encodable
-    * characters as uncovered. */
-  private def pathKey(s: String): (String, String, String) = {
-    val u = new org.apache.hadoop.fs.Path(s).toUri
-    (Option(u.getScheme).getOrElse(""), Option(u.getAuthority).getOrElse(""),
-      u.getPath)
+  /** The manifest tracks files by the exact `input_file_name()` URI,
+    * and those names are compared against `inputFiles` and fed back
+    * into `spark.read` — all of which only round-trips when nothing
+    * in the path percent-encodes. A path with a space (etc.) would
+    * make every comparison and every survivor read fail in confusing
+    * ways downstream, so the contract is enforced loudly at the
+    * entrances instead. */
+  private def requireEncodingStablePath(path: String): Unit = {
+    val u = new org.apache.hadoop.fs.Path(path).toUri
+    require(u.getRawPath == u.getPath,
+      s"path $path contains characters that URI-encode (e.g. spaces) — " +
+        "manifest file tracking requires an encoding-stable path")
   }
 
   private def manifestOf(df: DataFrame, keyCols: Seq[String]): DataFrame = {
@@ -153,6 +158,7 @@ object Layout {
   def appendWithManifest(df: DataFrame, path: String,
                          keyCols: Seq[String]): Unit = {
     val spark = df.sparkSession
+    requireEncodingStablePath(path)
     requireIntegralKeys(df.schema, keyCols)
     // loading the manifest up front also fails fast when the dir was
     // never written with one. The key sets must match EXACTLY: a
@@ -193,6 +199,7 @@ object Layout {
   def writeZOrderedWithManifest(df: DataFrame, x: Column, y: Column,
                                 path: String, files: Int,
                                 keyCols: Seq[String]): Unit = {
+    requireEncodingStablePath(path)
     writeZOrdered(df, x, y, path, files)
     buildFileManifest(df.sparkSession, path, keyCols)
       .write.mode("overwrite").parquet(s"$path/_graft_manifest")
@@ -234,10 +241,12 @@ object Layout {
     * [[appendWithManifest]]) has no stats, would never survive
     * pruning, and its rows would silently vanish from the result —
     * the one way this API can violate its pruned ≡ full-scan
-    * contract. The check is a directory LISTING (no footers
-    * opened); at very large file counts a pipeline that maintains
-    * the manifest exclusively through the two writers here may
-    * disable it. */
+    * contract. The check is a directory LISTING plus a
+    * schema-pinned probe of ONLY the uncovered suspects (zero-row
+    * files are legitimately manifest-less and pass; covered files
+    * are never opened); at very large file counts a pipeline that
+    * maintains the manifest exclusively through the two writers
+    * here may disable it. */
   def scanPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
                  manifest: DataFrame, boxes: Seq[KeyBox],
                  verifyCoverage: Boolean = true): DataFrame = {
@@ -246,20 +255,23 @@ object Layout {
       col(s"max_${b.column}") < b.lo || col(s"min_${b.column}") > b.hi
     }.reduce(_ || _)
     val residual = boxes.map(b => col(b.column).between(b.lo, b.hi)).reduce(_ && _)
+    requireEncodingStablePath(dir)
     if (verifyCoverage) {
-      // normalized comparison: manifest entries are URI-encoded
-      // (input_file_name), inputFiles is not — see [[pathKey]]
+      // raw-string comparison is correct: input_file_name() and
+      // inputFiles return the same (encoded) spelling on Spark 4.x,
+      // and requireEncodingStablePath keeps the spellings trivial
       val known = manifest.select("file").collect()
-        .map(r => pathKey(r.getString(0))).toSet
-      val uncovered = spark.read.parquet(dir).inputFiles
-        .filterNot(f => known(pathKey(f)))
+        .map(_.getString(0)).toSet
+      val dirFrame = spark.read.parquet(dir)
+      val uncovered = dirFrame.inputFiles.filterNot(known)
       if (uncovered.nonEmpty) {
         // a ZERO-ROW part file is legitimately manifest-less (the
-        // groupBy that builds stats never sees it — e.g. the
-        // empty-input write path), and zero rows cannot be dropped;
-        // only read the suspects, never the covered files
-        val hasRows = spark.read.parquet(uncovered.toIndexedSeq: _*)
-          .head(1).nonEmpty
+        // stats groupBy never sees it — e.g. the empty-input write
+        // path), and zero rows cannot be dropped; probe ONLY the
+        // suspects, with the directory's schema pinned so a 0-byte
+        // or 0-row file cannot trip schema inference
+        val hasRows = spark.read.schema(dirFrame.schema)
+          .parquet(uncovered.toIndexedSeq: _*).head(1).nonEmpty
         require(!hasRows,
           s"manifest does not cover ${uncovered.length} non-empty data " +
             s"file(s) in $dir (out-of-band append?) — pruning would " +

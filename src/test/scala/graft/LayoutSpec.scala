@@ -270,6 +270,33 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("manifest lifecycle edges: empty input scans clean; bad paths/keys fail fast") {
+    withTempDir("graft_pruned_edges_") { dir =>
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_partkey", "l_suppkey")
+      // empty-input write leaves a zero-row part file with no stats
+      // row; the coverage check must tolerate it (zero rows cannot
+      // be dropped) and the pruned read must return empty, not throw
+      Layout.writeZOrderedWithManifest(li.filter(lit(false)),
+        col("l_partkey"), col("l_suppkey"), s"$dir/empty", files = 4,
+        keyCols = Seq("l_partkey", "l_suppkey"))
+      val pruned = Layout.scanPruned(spark, s"$dir/empty",
+        Seq(Layout.KeyBox("l_partkey", 0L, 100L)))
+      assert(pruned.count() === 0L)
+      // a path that URI-encodes would corrupt file-name tracking —
+      // rejected at the entrance, before anything is written
+      intercept[IllegalArgumentException] {
+        Layout.writeZOrderedWithManifest(li, col("l_partkey"), col("l_suppkey"),
+          s"$dir/has space/li", files = 4, keyCols = Seq("l_partkey"))
+      }
+      // duplicate key columns would build an ambiguous manifest
+      intercept[IllegalArgumentException] {
+        Layout.buildFileManifest(spark, s"$dir/empty",
+          Seq("l_partkey", "l_partkey"))
+      }
+    }
+  }
+
   test("buildFileManifest rejects non-integral keys loudly") {
     // a string key would cast its stats to null — i.e. "every file
     // skippable" — so the misuse must fail fast, not return empty
