@@ -93,8 +93,10 @@ object Layout {
     * — e.g. right after [[writeZOrdered]] — and let every subsequent
     * read prune against it via [[scanPruned]]. */
   def buildFileManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
-                        keyCols: Seq[String]): DataFrame =
+                        keyCols: Seq[String]): DataFrame = {
+    requireEncodingStablePath(dir)
     manifestOf(spark.read.parquet(dir), keyCols)
+  }
 
   /** Integral keys only, ENFORCED: a non-integral column would cast
     * its min/max to null, which reads as "all values null" and marks
@@ -215,8 +217,12 @@ object Layout {
     * cold-reader path: a fresh session prunes files using only the
     * manifest-sized stats read, never touching skipped data files. */
   def scanPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
-                 boxes: Seq[KeyBox]): DataFrame =
+                 boxes: Seq[KeyBox]): DataFrame = {
+    // guard FIRST: the loud path rejection must precede the manifest
+    // read (whose own missing-dir error would otherwise mask it)
+    requireEncodingStablePath(dir)
     scanPruned(spark, dir, loadManifest(spark, dir), boxes)
+  }
 
   /** The consumer of the skipping manifest: read `dir` with files
     * whose stats PROVABLY miss the box predicate dropped BEFORE
@@ -256,14 +262,18 @@ object Layout {
     }.reduce(_ || _)
     val residual = boxes.map(b => col(b.column).between(b.lo, b.hi)).reduce(_ && _)
     requireEncodingStablePath(dir)
+    lazy val dirFrame = spark.read.parquet(dir)
     if (verifyCoverage) {
       // raw-string comparison is correct: input_file_name() and
-      // inputFiles return the same (encoded) spelling on Spark 4.x,
-      // and requireEncodingStablePath keeps the spellings trivial
+      // inputFiles return the same (encoded) spelling on Spark 4.x —
+      // provided no component encodes, which the per-file check
+      // below extends from the root dir (already guarded) to
+      // partition-style SUBdirectories the listing may surface
       val known = manifest.select("file").collect()
         .map(_.getString(0)).toSet
-      val dirFrame = spark.read.parquet(dir)
-      val uncovered = dirFrame.inputFiles.filterNot(known)
+      val listed = dirFrame.inputFiles
+      listed.foreach(requireEncodingStablePath)
+      val uncovered = listed.filterNot(known)
       if (uncovered.nonEmpty) {
         // a ZERO-ROW part file is legitimately manifest-less (the
         // stats groupBy never sees it — e.g. the empty-input write
@@ -273,9 +283,10 @@ object Layout {
         val hasRows = spark.read.schema(dirFrame.schema)
           .parquet(uncovered.toIndexedSeq: _*).head(1).nonEmpty
         require(!hasRows,
-          s"manifest does not cover ${uncovered.length} non-empty data " +
-            s"file(s) in $dir (out-of-band append?) — pruning would " +
-            s"silently drop their rows; first uncovered: ${uncovered.head}")
+          s"manifest does not cover ${uncovered.length} data file(s) in " +
+            s"$dir, at least one non-empty (out-of-band append?) — " +
+            s"pruning would silently drop rows; uncovered: " +
+            uncovered.take(3).mkString(", "))
       }
     }
     val survivors = manifest
@@ -283,8 +294,9 @@ object Layout {
       .select("file").collect().map(_.getString(0))
     if (survivors.isEmpty)
       // no file can contain a match; keep the schema (and exactness)
-      // without opening any row group
-      spark.read.parquet(dir).where(lit(false))
+      // without opening any row group — dirFrame is reused from the
+      // coverage check when it ran
+      dirFrame.where(lit(false))
     else
       spark.read.parquet(survivors.toIndexedSeq: _*).where(residual)
   }
