@@ -95,7 +95,12 @@ object Layout {
   def buildFileManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
                         keyCols: Seq[String]): DataFrame = {
     requireEncodingStablePath(dir)
-    manifestOf(spark.read.parquet(dir), keyCols)
+    val src = spark.read.parquet(dir)
+    // per-file too: an encoded partition SUBdirectory passes the
+    // root check but would be recorded as an unstable URI that no
+    // later read can resolve — reject at build time, not read time
+    src.inputFiles.foreach(requireEncodingStablePath)
+    manifestOf(src, keyCols)
   }
 
   /** Integral keys only, ENFORCED: a non-integral column would cast
@@ -269,10 +274,12 @@ object Layout {
       // provided no component encodes, which the per-file check
       // below extends from the root dir (already guarded) to
       // partition-style SUBdirectories the listing may surface
-      val known = manifest.select("file").collect()
-        .map(_.getString(0)).toSet
+      // cheap driver-side listing + per-file guard FIRST, so a
+      // broken manifest cannot mask the loud path rejection
       val listed = dirFrame.inputFiles
       listed.foreach(requireEncodingStablePath)
+      val known = manifest.select("file").collect()
+        .map(_.getString(0)).toSet
       val uncovered = listed.filterNot(known)
       if (uncovered.nonEmpty) {
         // a ZERO-ROW part file is legitimately manifest-less (the
