@@ -15,6 +15,9 @@ import org.apache.spark.sql.SparkSession
   * hypervisor steal ("queries_steal"), which queries were auto
   * re-measured after a suspect window ("queries_remeasured"), and
   * which ran while the canary read degraded ("queries_contended").
+  * A final cross-round guard compares every kept median against the
+  * previous round's capture and re-measures >2x outliers — the one
+  * defense that survives a contention window covering every rep.
   * A query that throws reports -1.0, never a misleading short wall
   * time.
   */
@@ -255,6 +258,78 @@ object Bench {
         }
       }
     }
+    // Cross-round outlier guard: the in-run defenses above are all
+    // WITHIN-capture (median-vs-min dispersion, steal ticks, canary
+    // reads) and share one blind spot — a contention window that
+    // covers every rep of a query makes median ≈ min, both inflated,
+    // with the canary only probed around heavy/remeasured entries
+    // (r11 shipped three 3-6x inflated rows exactly this way). The
+    // previous round's capture is the one reference that cannot be
+    // poisoned by THIS run's window: any query whose kept median
+    // reads >2x its prior-round value (with a material absolute gap)
+    // is re-measured once on a settled box and the lower median wins;
+    // one that stays >2x is flagged in "queries_contended" so a
+    // reader adjudicates it as a real regression, never silently. The
+    // prior capture comes from SPARK_GRAFT_BENCH_PREV or the highest
+    // BENCH_r*.json in the working directory; absent either (first
+    // round, renamed files) the guard is a no-op.
+    val priorMedians: Map[String, Double] = {
+      val path = sys.env.get("SPARK_GRAFT_BENCH_PREV").orElse {
+        Option(new java.io.File(".").listFiles()).flatMap { fs =>
+          val caps = fs.filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          if (caps.isEmpty) None
+          else Some(caps.maxBy(f =>
+            "\\d+".r.findFirstIn(f.getName).get.toInt).getPath)
+        }
+      }
+      path.flatMap { p =>
+        try {
+          val txt = {
+            val src = scala.io.Source.fromFile(p)
+            try src.mkString finally src.close()
+          }
+          """"queries":\{(.*?)\}""".r.findFirstMatchIn(txt).map { m =>
+            """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(m.group(1))
+              .map(kv => kv.group(1) -> kv.group(2).toDouble)
+              .filter(_._2 >= 0).toMap
+          }
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] cross-round guard: unreadable prior capture $p ($e)")
+            None
+        }
+      }.getOrElse(Map.empty)
+    }
+    val crossChecked = {
+      def outlier(k: String, s: Sample): Boolean =
+        s.ok && priorMedians.get(k).exists(p =>
+          s.median > 2 * p && s.median - p > 0.3)
+      val suspects = adjudicated.collect { case (k, s, _, _) if outlier(k, s) => k }
+      if (suspects.isEmpty) adjudicated
+      else {
+        System.err.println(
+          s"[bench] cross-round guard: ${suspects.size} queries >2x their prior-round medians " +
+            s"(${suspects.map(k => f"$k ${priorMedians(k)}%.3f->?").mkString(", ")}), re-measuring")
+        var attempts = 0
+        var degraded = canaryDegraded()
+        while (degraded && attempts < 10) {
+          System.err.println("[bench] cross-round guard: canary degraded, sleeping 15 s")
+          Thread.sleep(15000); attempts += 1; degraded = canaryDegraded()
+        }
+        adjudicated.map {
+          case (k, s, _, flagged) if suspects.contains(k) =>
+            val second = measure(benchQueries.find(_.name == k).get)
+            val settledWon = second.ok && (!s.ok || second.median < s.median)
+            val kept = if (settledWon) second else s
+            val stillHigh = outlier(k, kept)
+            System.err.println(
+              f"[bench] cross-round $k%-22s prior ${priorMedians(k)}%.3f s, kept ${kept.median}%.3f s" +
+                (if (stillHigh) " (STILL >2x prior — flagged)" else " (back in profile)"))
+            (k, kept, true, flagged || stillHigh)
+          case r => r
+        }
+      }
+    }
     // The driver records only the last 2000 characters of this
     // process's output, so the final JSON line must fit UNDER that or
     // the machine-readable capture truncates ("parsed": null two
@@ -267,19 +342,19 @@ object Bench {
     // (stderr keeps the full per-query detail either way).
     def ms(t: Double): String =
       if (t < 0) "-1.0" else BigDecimal(t).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = adjudicated.map { case (k, s, _, _) => "\"" + k + "\":" + ms(s.median) }.mkString("{", ",", "}")
-    val qsMin = adjudicated.collect {
+    val qs = crossChecked.map { case (k, s, _, _) => "\"" + k + "\":" + ms(s.median) }.mkString("{", ",", "}")
+    val qsMin = crossChecked.collect {
       case (k, s, _, _) if s.ok && s.median > 1.3 * s.min && s.median - s.min > 0.1 =>
         "\"" + k + "\":" + ms(s.min)
     }.mkString("{", ",", "}")
-    val qsSteal = adjudicated.collect {
+    val qsSteal = crossChecked.collect {
       // 1-2 background ticks are ambient noise, not a steal window;
       // the signature this map exists to expose is hundreds of ticks
       case (k, s, _, _) if s.steal >= 5 => "\"" + k + "\":" + s.steal
     }.mkString("{", ",", "}")
-    val qsRemeasured = adjudicated.collect { case (k, _, true, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val qsContended = adjudicated.collect { case (k, _, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val total = adjudicated.map(_._2.median).filter(_ >= 0).sum
+    val qsRemeasured = crossChecked.collect { case (k, _, true, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val qsContended = crossChecked.collect { case (k, _, _, true) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = crossChecked.map(_._2.median).filter(_ >= 0).sum
     val stealTotal = if (steal0 < 0) -1L else stealTicks() - steal0
     def line(withDiag: Boolean): String = {
       val diag = if (withDiag)

@@ -336,7 +336,16 @@ object Bpe {
     * the sequential-replay semantics are bit-identical to the
     * unbatched chain by construction (BpeSpec proves 1000+ merges
     * against a driver-side replay with codegen fallback disabled).
-    * Returns the input plus a `tokens` array column. */
+    * Returns the input plus a `tokens` array column.
+    *
+    * NOTE on the long-table path (merges > `batchSize`): unlike the
+    * fully-lazy short path, it eagerly runs one Spark job per batch
+    * AT CALL TIME, and the returned frame is itself an eager
+    * checkpoint — every superseded intermediate is released as the
+    * replay advances, and the final corpus-sized result stays pinned
+    * in executor storage until the caller drops it with [[release]]
+    * (the kCore epilogue discipline: without its own checkpoint, the
+    * last intermediate could never be freed for the session). */
   def applyMerges(words: DataFrame, wordCol: Column, merges: DataFrame,
                   batchSize: Int = 64): DataFrame = {
     require(batchSize >= 1, "batchSize must be >= 1")
@@ -370,11 +379,23 @@ object Bpe {
         Checkpoints.unpersist(cur)
         cur = next
       }
-      // last batch folds straight into the tokens projection — no
-      // checkpoint needed past the final rewrite
-      toTokens(cur, fold(col("__bpe_s"), batches.last))
+      // the final tokens projection materializes into ITS OWN
+      // checkpoint so the last intermediate can be released here —
+      // returning a Project over `cur` would leave `cur`'s blocks
+      // pinned behind a frame no unpersist call can reach (its plan
+      // root is the Project, not the LogicalRDD)
+      val out = toTokens(cur, fold(col("__bpe_s"), batches.last))
+        .localCheckpoint(true)
+      Checkpoints.unpersist(cur)
+      out
     }
   }
+
+  /** Release the executor storage pinned by [[applyMerges]]' long-
+    * table result (a no-op for the short single-projection path, or
+    * any other plan shape). Call when the tokens frame — and anything
+    * lazily derived from it — is no longer needed. */
+  def release(df: DataFrame): Unit = Checkpoints.unpersist(df)
 
   private def toMergeFrame(spark: SparkSession,
                            ms: Seq[(Int, String, String, Long)]): DataFrame = {

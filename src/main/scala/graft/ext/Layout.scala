@@ -79,9 +79,99 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** An inclusive value interval `[lo, hi]` on an integer key column
-    * — the predicate shape file-skipping can act on. */
-  final case class KeyBox(column: String, lo: Long, hi: Long)
+  /** k-ary Morton code: bit-interleave `keys.length` non-negative
+    * keys, `min(16, 48/k)` bits each (k=2,3 → 16 bits, k=4 → 12,
+    * k=6 → 8), so bit `j` of key `i` lands at position `j*k + i` —
+    * the same layout [[zorder2]] produces for k=2. Fact tables
+    * commonly filter on three dimensions (tenant, time, region);
+    * the 3-D curve gives each file a compact axis-aligned BOX in all
+    * three, so a range filter on ANY of the keys prunes files. Keys
+    * must be pre-normalized onto the bit domain ([[normalizeBits]]).
+    * Pure shift/mask arithmetic on codegen'd built-ins — `bits × k`
+    * OR-terms of three integer ops each, well inside codegen limits
+    * for every supported k. */
+  def zorderN(keys: Seq[Column]): Column = {
+    val k = keys.length
+    require(k >= 2 && k <= 8, s"zorderN interleaves 2..8 keys, got $k")
+    val bits = zorderBits(k)
+    val terms = for {
+      (key, i) <- keys.zipWithIndex
+      masked = key.bitwiseAND(lit((1L << bits) - 1))
+      j <- 0 until bits
+    } yield shiftleft(shiftright(masked, j).bitwiseAND(lit(1L)), j * k + i)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Bits per key in a k-ary interleave: 16 where the 63-bit long
+    * budget allows, else `48/k` (all products stay ≤ 48 bits). */
+  def zorderBits(k: Int): Int = math.min(16, 48 / k)
+
+  /** [[normalize16]] generalized to a `bits`-wide target domain —
+    * the per-key scaling step for [[zorderN]]. */
+  def normalizeBits(c: Column, lo: Long, hi: Long, bits: Int): Column =
+    if (hi == lo) lit(0L)
+    else call_function("div", (c - lit(lo)) * lit((1L << bits) - 1), lit(hi - lo))
+
+  /** [[writeZOrdered]] for k ≥ 2 key columns: min-max normalize each
+    * key onto the interleave domain (one tiny bounds agg → plan
+    * literals), k-ary Morton-cluster, range-partition into `files`,
+    * write parquet. Degenerate inputs (empty frame or a fully-null
+    * key) fall back to a plain write — nothing to cluster, same
+    * contract as the 2-D path. */
+  def writeZOrderedN(df: DataFrame, keys: Seq[Column],
+                     path: String, files: Int): Unit = {
+    val k = keys.length
+    require(k >= 2 && k <= 8, s"writeZOrderedN takes 2..8 keys, got $k")
+    val bits = zorderBits(k)
+    val boundExprs = keys.flatMap(c =>
+      Seq(min(c).cast("long"), max(c).cast("long")))
+    val boundsRow = df.agg(boundExprs.head, boundExprs.tail: _*).collect()(0)
+    if (boundsRow.anyNull) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
+    val b = boundsRow.toSeq.map(_.asInstanceOf[Long])
+    val norm = keys.zipWithIndex.map { case (c, i) =>
+      normalizeBits(c, b(2 * i), b(2 * i + 1), bits)
+    }
+    df.withColumn("__z", zorderN(norm))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** [[writeZOrderedWithManifest]] for k key columns: the k-ary
+    * clustered write plus the stored per-file skipping stats. */
+  def writeZOrderedNWithManifest(df: DataFrame, keys: Seq[Column],
+                                 path: String, files: Int,
+                                 keyCols: Seq[String]): Unit = {
+    requireEncodingStablePath(path)
+    writeZOrderedN(df, keys, path, files)
+    buildFileManifest(df.sparkSession, path, keyCols)
+      .write.mode("overwrite").parquet(s"$path/_graft_manifest")
+  }
+
+  /** An inclusive value interval `[lo, hi]` on a manifest key column
+    * — the predicate shape file-skipping can act on. Two concrete
+    * forms: [[KeyBox]] for integral keys (long bounds) and
+    * [[TypedKeyBox]] for date / timestamp / string keys (string
+    * bounds, cast to the key's stored stat type at plan time). */
+  sealed trait PruneBox { def column: String }
+
+  /** An inclusive `[lo, hi]` interval on an INTEGRAL key column. */
+  final case class KeyBox(column: String, lo: Long, hi: Long) extends PruneBox
+
+  /** An inclusive `[lo, hi]` interval on a date, timestamp, or string
+    * key column, with bounds given as literal strings (`"1995-01-01"`,
+    * `"1995-06-30 23:59:59.999999"`, `"fr"`). Each bound is cast to
+    * the key's stored stat type when the pruning plan is built — under
+    * ANSI SQL a malformed bound fails the cast loudly instead of
+    * silently skipping every file. Time-range boxes are the #1
+    * skipping predicate on a 100 TB fact table; this is the form that
+    * expresses them without pre-encoding dates to epoch ints. */
+  final case class TypedKeyBox(column: String, lo: String, hi: String)
+      extends PruneBox
 
   /** Per-file min/max statistics manifest for `keyCols` over a
     * parquet directory — the Delta/Iceberg-style skipping index, as a
@@ -103,22 +193,37 @@ object Layout {
     manifestOf(src, keyCols)
   }
 
-  /** Integral keys only, ENFORCED: a non-integral column would cast
-    * its min/max to null, which reads as "all values null" and marks
-    * every file skippable — a silent wrong (empty) pruned read
-    * instead of a loud error. Shared by every manifest writer so the
-    * accepted type set cannot fork between them. */
-  private def requireIntegralKeys(schema: org.apache.spark.sql.types.StructType,
-                                  keyCols: Seq[String]): Unit = {
+  /** Key types with a well-defined, engine-portable min/max ordering:
+    * integral (stats stored as long), date / timestamp / timestamp_ntz
+    * (stats stored in the column's own type), and string (binary
+    * UTF-8 ordering — Spark's and parquet's min/max agree on it).
+    * Anything else — float (NaN ordering forks between engines),
+    * decimal, binary, nested — is ENFORCED out: an unsupported column
+    * would cast its stats to null, which reads as "all values null"
+    * and marks every file skippable — a silent wrong (empty) pruned
+    * read instead of a loud error. Shared by every manifest writer so
+    * the accepted type set cannot fork between them. */
+  private def requireSupportedKeys(schema: org.apache.spark.sql.types.StructType,
+                                   keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "manifest needs at least one key column")
     require(keyCols.distinct == keyCols,
       s"duplicate manifest key columns: ${keyCols.mkString(", ")}")
     for (k <- keyCols) {
       import org.apache.spark.sql.types._
       val dt = schema(k).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"manifest key $k must be an integral column, found $dt")
+      require(isIntegral(dt) || isTypedKey(dt),
+        s"manifest key $k must be integral, date, timestamp, or string; found $dt")
     }
+  }
+
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    Seq(ByteType, ShortType, IntegerType, LongType).contains(dt)
+  }
+
+  private def isTypedKey(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    Seq(DateType, TimestampType, TimestampNTZType, StringType).contains(dt)
   }
 
   /** The manifest tracks files by the exact `input_file_name()` URI,
@@ -136,12 +241,19 @@ object Layout {
   }
 
   private def manifestOf(df: DataFrame, keyCols: Seq[String]): DataFrame = {
-    requireIntegralKeys(df.schema, keyCols)
+    requireSupportedKeys(df.schema, keyCols)
+    // integral stats normalize to long (so a manifest built over int
+    // data appends cleanly onto one built over bigint data); date /
+    // timestamp / string stats keep their own type — the stat column's
+    // type is what tells scanPruned how to decode a box bound
+    def stats(k: String): Seq[Column] =
+      if (isIntegral(df.schema(k).dataType))
+        Seq(min(col(k)).cast("long").as(s"min_$k"),
+          max(col(k)).cast("long").as(s"max_$k"))
+      else
+        Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k"))
     df.groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("n_rows"),
-        keyCols.flatMap(k => Seq(
-          min(col(k)).cast("long").as(s"min_$k"),
-          max(col(k)).cast("long").as(s"max_$k"))): _*)
+      .agg(count(lit(1)).as("n_rows"), keyCols.flatMap(stats): _*)
   }
 
   /** Append rows to a manifest-carrying directory and PATCH the
@@ -166,7 +278,7 @@ object Layout {
                          keyCols: Seq[String]): Unit = {
     val spark = df.sparkSession
     requireEncodingStablePath(path)
-    requireIntegralKeys(df.schema, keyCols)
+    requireSupportedKeys(df.schema, keyCols)
     // loading the manifest up front also fails fast when the dir was
     // never written with one. The key sets must match EXACTLY: a
     // strict subset would pass a one-sided check, append, and then
@@ -178,6 +290,19 @@ object Layout {
     require(storedKeys == keyCols.toSet,
       s"keyCols ${keyCols.toSet.mkString(", ")} must equal the stored " +
         s"manifest's keys ${storedKeys.mkString(", ")} at $path")
+    // full-schema compatibility, not just the key columns: a parquet
+    // append with an extra / missing / retyped NON-key column would
+    // succeed on disk, after which plain reads resolve to one file's
+    // schema and rows from the others surface nulls or lose columns —
+    // an inconsistency the manifest never detects because its stats
+    // only cover keyCols. Exact name→type equality (nullability and
+    // column order excluded: parquet resolves columns by name).
+    val stored = spark.read.parquet(path).schema
+    def typeMap(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => f.name -> f.dataType).toMap
+    require(typeMap(df.schema) == typeMap(stored),
+      s"append schema ${df.schema.simpleString} is not compatible with " +
+        s"the stored data's ${stored.simpleString} at $path")
     val before = spark.read.parquet(path).inputFiles.toSet
     df.write.mode("append").parquet(path)
     val newFiles = spark.read.parquet(path).inputFiles.toSeq
@@ -186,8 +311,28 @@ object Layout {
     val delta = manifestOf(spark.read.parquet(newFiles: _*), keyCols)
     val updated = existing.unionByName(delta)
       .localCheckpoint(true)
-    updated.write.mode("overwrite").parquet(s"$path/_graft_manifest")
+    // replace the manifest via temp-dir + rename, not a direct
+    // mode("overwrite") of its own source: overwrite deletes before it
+    // writes, so a crash mid-write would leave NO manifest (and the
+    // union plan still reads `existing` from the very files being
+    // replaced). With the rename, the crash windows degrade loudly:
+    // before the rename the old manifest survives (stale but the
+    // default verifyCoverage flags the uncovered new files); a crash
+    // inside the delete+rename pair leaves a missing manifest, which
+    // every scanPruned call fails on loudly. The `_`-prefixed temp dir
+    // is invisible to data reads if orphaned. There is no silent
+    // window — but note the data append itself commits first, so
+    // running with verifyCoverage=false after a mid-append crash is
+    // the one combination that can drop rows (documented there).
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mfPath = new org.apache.hadoop.fs.Path(s"$path/_graft_manifest")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$path/_graft_manifest_tmp")
+    updated.write.mode("overwrite").parquet(tmpPath.toString)
     Checkpoints.unpersist(updated)
+    fs.delete(mfPath, true)
+    require(fs.rename(tmpPath, mfPath),
+      s"failed to move the updated manifest into place at $mfPath")
   }
 
   /** [[writeZOrdered]] + durable skipping stats in one step: after
@@ -222,7 +367,7 @@ object Layout {
     * cold-reader path: a fresh session prunes files using only the
     * manifest-sized stats read, never touching skipped data files. */
   def scanPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
-                 boxes: Seq[KeyBox]): DataFrame = {
+                 boxes: Seq[PruneBox]): DataFrame = {
     // guard FIRST: the loud path rejection must precede the manifest
     // read (whose own missing-dir error would otherwise mask it)
     requireEncodingStablePath(dir)
@@ -259,13 +404,47 @@ object Layout {
     * maintains the manifest exclusively through the two writers
     * here may disable it. */
   def scanPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
-                 manifest: DataFrame, boxes: Seq[KeyBox],
+                 manifest: DataFrame, boxes: Seq[PruneBox],
                  verifyCoverage: Boolean = true): DataFrame = {
     require(boxes.nonEmpty, "scanPruned needs at least one key box")
+    // each box's bounds decode against the TYPE the manifest stored
+    // for that key: long stats take KeyBox's long bounds verbatim;
+    // date/timestamp/string stats cast TypedKeyBox's string bounds to
+    // the stat type (constant-folded to typed literals, so the
+    // residual still pushes down to the surviving parquet scans). A
+    // box whose form does not match the stored stat type is a loud
+    // error — long bounds against a date column (or vice versa) would
+    // otherwise compare as null and skip every file.
+    val mSchema = manifest.schema
+    def statType(c: String): org.apache.spark.sql.types.DataType = {
+      require(mSchema.fieldNames.contains(s"min_$c"),
+        s"manifest has no stats for key $c (stored keys: " +
+          mSchema.fieldNames.collect {
+            case f if f.startsWith("min_") => f.stripPrefix("min_")
+          }.mkString(", ") + ")")
+      mSchema(s"min_$c").dataType
+    }
+    def bounds(b: PruneBox): (Column, Column) = b match {
+      case KeyBox(c, lo, hi) =>
+        require(statType(c) == org.apache.spark.sql.types.LongType,
+          s"KeyBox on $c has long bounds but the manifest stores " +
+            s"${statType(c)} stats — use TypedKeyBox")
+        (lit(lo), lit(hi))
+      case TypedKeyBox(c, lo, hi) =>
+        val t = statType(c)
+        require(isTypedKey(t),
+          s"TypedKeyBox on $c needs date/timestamp/string stats but the " +
+            s"manifest stores $t — use KeyBox with long bounds")
+        (lit(lo).cast(t), lit(hi).cast(t))
+    }
     val skip = boxes.map { b =>
-      col(s"max_${b.column}") < b.lo || col(s"min_${b.column}") > b.hi
+      val (lo, hi) = bounds(b)
+      col(s"max_${b.column}") < lo || col(s"min_${b.column}") > hi
     }.reduce(_ || _)
-    val residual = boxes.map(b => col(b.column).between(b.lo, b.hi)).reduce(_ && _)
+    val residual = boxes.map { b =>
+      val (lo, hi) = bounds(b)
+      col(b.column).between(lo, hi)
+    }.reduce(_ && _)
     requireEncodingStablePath(dir)
     lazy val dirFrame = spark.read.parquet(dir)
     if (verifyCoverage) {
@@ -316,14 +495,29 @@ object Layout {
     * The sweep runs entirely on the stats frame — file-count-sized,
     * never the data — hence the deliberate unpartitioned window.
     * Files with null stats (all-null key) carry no interval: a null
-    * key never serves a point lookup. Returns `(pos, net, depth)`. */
+    * key never serves a point lookup. Date / timestamp stats sweep in
+    * their natural integer domain (epoch days / micros — `pos` is
+    * reported in that encoding); string stats have no successor
+    * function and are rejected loudly. Returns `(pos, net, depth)`. */
   def clusteringDepth(manifest: DataFrame, key: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val toLong: Column => Column = manifest.schema(s"min_$key").dataType match {
+      case LongType => identity
+      case DateType => unix_date(_)
+      case TimestampType => unix_micros(_)
+      // session TZ is UTC (GraftSession), so the NTZ→LTZ cast is a
+      // faithful relabeling and micros keep the NTZ ordering exactly
+      case TimestampNTZType => c => unix_micros(c.cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"clusteringDepth needs a key with an integer successor; " +
+          s"$key stats are $other")
+    }
     val bounds = manifest
       .filter(col(s"min_$key").isNotNull)
-      .select(col(s"min_$key").as("pos"), lit(1L).as("delta"))
+      .select(toLong(col(s"min_$key")).as("pos"), lit(1L).as("delta"))
       .unionAll(manifest.filter(col(s"max_$key").isNotNull)
-        .select((col(s"max_$key") + 1L).as("pos"), lit(-1L).as("delta")))
+        .select((toLong(col(s"max_$key")) + 1L).as("pos"), lit(-1L).as("delta")))
     bounds.groupBy("pos").agg(sum("delta").as("net"))
       .withColumn("depth", sum("net").over(
         Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)))
@@ -416,6 +610,56 @@ object Layout {
     spark.read.parquet(inPath)
       .repartition(nOut)
       .write.mode("overwrite").parquet(outPath)
+    // manifest-aware: a compacted manifest-carrying dir (e.g. a
+    // Z-ordered write) must not silently lose its skipping stats —
+    // the old manifest names the INPUT's files, so it cannot move
+    // over; rebuild it against the output (one stats pass over the
+    // freshly compacted data, same keys the input tracked)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$inPath/_graft_manifest"))) {
+      val keys = loadManifest(spark, inPath).columns.collect {
+        case c if c.startsWith("min_") => c.stripPrefix("min_")
+      }.toSeq
+      buildFileManifest(spark, outPath, keys)
+        .write.mode("overwrite").parquet(s"$outPath/_graft_manifest")
+    }
     (parts.length, dataFiles(new org.apache.hadoop.fs.Path(outPath)).length)
+  }
+
+  /** [[compact]] over a hive-partitioned dataset: walk the partition
+    * subdirectory tree and compact each LEAF directory into the
+    * mirrored location under `outPath`, preserving the `k=v` path
+    * segments — so a partition-discovering read of the output sees
+    * the same partition columns and rows as the input. Per-leaf
+    * sizing keeps the one-exchange-per-partition shape (no global
+    * shuffle; each partition compacts independently — on a cluster
+    * these rewrites parallelize trivially). Empty partition dirs are
+    * skipped; a dir mixing data files WITH subdirectories is not a
+    * hive layout and fails loudly. Returns total (inputFiles,
+    * outputFiles) across all leaves. */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
+                         inPath: String, outPath: String,
+                         targetBytes: Long = 1L << 30): (Int, Int) = {
+    val hIn = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hIn.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.makeQualified(hIn) !=
+        fs.makeQualified(new org.apache.hadoop.fs.Path(outPath)),
+      "compactPartitioned must not rewrite its input in place")
+    def isAux(n: String) = n.startsWith("_") || n.startsWith(".")
+    def walk(rel: List[String]): (Int, Int) = {
+      val cur = rel.foldLeft(hIn)((p, s) => new org.apache.hadoop.fs.Path(p, s))
+      val entries = fs.listStatus(cur)
+      val subdirs = entries.filter(st => st.isDirectory && !isAux(st.getPath.getName))
+      val files = entries.filter(st => st.isFile && !isAux(st.getPath.getName))
+      if (subdirs.nonEmpty) {
+        require(files.isEmpty,
+          s"$cur mixes data files with partition subdirectories — not a hive layout")
+        subdirs.map(d => walk(rel :+ d.getPath.getName))
+          .foldLeft((0, 0)) { case ((i1, o1), (i2, o2)) => (i1 + i2, o1 + o2) }
+      } else if (files.isEmpty) (0, 0) // empty partition dir: nothing to do
+      else compact(spark, cur.toString, (outPath :: rel).mkString("/"), targetBytes)
+    }
+    val (nIn, nOut) = walk(Nil)
+    require(nIn > 0, s"compactPartitioned: no data files under $inPath")
+    (nIn, nOut)
   }
 }

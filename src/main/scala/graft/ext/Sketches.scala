@@ -180,6 +180,17 @@ object Sketches {
     require(k >= 1, "k must be >= 1")
     val spark = state.sparkSession
     import spark.implicits._
+    // the ≤k-row MG contract is ENFORCED, not trusted: the (key, cnt)
+    // schema matches any keyed count frame, so passing a raw
+    // vocabulary-sized aggregate here (an easy misuse) would turn the
+    // driver-side finish below into an unbounded collect. The probe is
+    // bounded by construction — limit(k+1) scans at most k+1 rows.
+    def requireSummary(df: DataFrame, which: String): Unit =
+      require(df.limit(k + 1).count() <= k,
+        s"$which has more than $k rows — not a Misra-Gries summary for " +
+          s"k=$k (pass mgSummaryRows output, not a raw keyed count)")
+    requireSummary(state, "state")
+    requireSummary(delta, "delta")
     // both inputs are summaries (≤ k rows each by the MG contract),
     // so the combined frame is ≤ 2k rows: ONE keywise-sum job,
     // collected, and the subtract-and-truncate finishes on the

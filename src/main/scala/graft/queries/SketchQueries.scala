@@ -59,6 +59,56 @@ object SketchQueries {
       zdir
     })
 
+  /** lineitem time-clustered (range-partitioned + sorted on ship
+    * date) with a stored manifest keyed on BOTH temporal encodings —
+    * the derived DateType day and the raw timestamp — serving the
+    * date- and timestamp-box pruned-read gates. Time-range pruning is
+    * the #1 skipping predicate on a 100 TB fact table; this fixture
+    * is the write/OPTIMIZE side (cached per JVM like
+    * [[zorderedLineitem]]), the gates time the read side. */
+  private def timeClusteredLineitem(s: SparkSession, d: String): String =
+    prunedFixture.computeIfAbsent(s"$d#li_time", _ => {
+      val dir = graft.Scratch.tempDir("graft_tli_") + "/lineitem"
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          col("l_shipdate"), to_date(col("l_shipdate")).as("l_shipd"))
+        .repartitionByRange(8, col("l_shipd"))
+        .sortWithinPartitions("l_shipd")
+        .write.mode("overwrite").parquet(dir)
+      Layout.buildFileManifest(s, dir, Seq("l_shipd", "l_shipdate"))
+        .write.mode("overwrite").parquet(s"$dir/_graft_manifest")
+      dir
+    })
+
+  /** documents range-clustered on the string `lang` key with a
+    * string-stats manifest — the string-bounds pruning fixture. */
+  private def langClusteredDocs(s: SparkSession, d: String): String =
+    prunedFixture.computeIfAbsent(s"$d#docs_lang", _ => {
+      val dir = graft.Scratch.tempDir("graft_ldocs_") + "/documents"
+      t(s, d, "documents").select("doc_id", "lang", "n_chars")
+        .repartitionByRange(8, col("lang"))
+        .sortWithinPartitions("lang")
+        .write.mode("overwrite").parquet(dir)
+      Layout.buildFileManifest(s, dir, Seq("lang"))
+        .write.mode("overwrite").parquet(s"$dir/_graft_manifest")
+      dir
+    })
+
+  /** lineitem 3-D Z-ordered on (partkey, suppkey, orderkey) with a
+    * three-key manifest — the k-ary interleave fixture; the gate
+    * prunes on the THIRD key alone. */
+  private def zordered3Lineitem(s: SparkSession, d: String): String =
+    prunedFixture.computeIfAbsent(s"$d#li_z3", _ => {
+      val dir = graft.Scratch.tempDir("graft_z3li_") + "/lineitem"
+      Layout.writeZOrderedNWithManifest(
+        t(s, d, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_returnflag", "l_extendedprice"),
+        Seq(col("l_partkey"), col("l_suppkey"), col("l_orderkey")),
+        dir, files = 32,
+        keyCols = Seq("l_partkey", "l_suppkey", "l_orderkey"))
+      dir
+    })
+
   /** Shared rolling-hash SQL fragment: 31-polynomial over codepoints
     * mod 1e9+7 — the DuckDB twin of
     * [[graft.functions.TextExpressions.rollingHash]]. */
@@ -794,6 +844,93 @@ object SketchQueries {
              |  round(sum(l_extendedprice), 2) AS revenue
              |FROM lineitem
              |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40
+             |GROUP BY 1 ORDER BY 1""".stripMargin), bench = true),
+
+    // Date-box pruned read — the time-range scan, THE most common
+    // skipping predicate on a 100 TB fact table: lineitem is written
+    // time-clustered with a DateType manifest key and
+    // [[Layout.scanPruned]] drops whole files off a
+    // `TypedKeyBox("l_shipd", "1996-01-01", "1996-12-31")` — bounds
+    // given as strings, cast to the stored stat type at plan time (a
+    // malformed bound fails the ANSI cast loudly instead of skipping
+    // every file). The oracle is the plain full-scan date filter on
+    // the ORIGINAL table: pruned ≡ full scan, hash-matched.
+    QueryDef("q_layout_pruned_date",
+      (s, d) => {
+        val dir = timeClusteredLineitem(s, d)
+        Layout.scanPruned(s, dir,
+            Seq(Layout.TypedKeyBox("l_shipd", "1996-01-01", "1996-12-31")))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+             |  round(sum(l_extendedprice), 2) AS revenue
+             |FROM lineitem
+             |WHERE CAST(l_shipdate AS DATE)
+             |  BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+             |GROUP BY 1 ORDER BY 1""".stripMargin), bench = true),
+
+    // Timestamp-box pruned read over the same fixture's RAW timestamp
+    // key — half-year box, microsecond-inclusive upper bound.
+    QueryDef("q_layout_pruned_ts",
+      (s, d) => {
+        val dir = timeClusteredLineitem(s, d)
+        Layout.scanPruned(s, dir,
+            Seq(Layout.TypedKeyBox("l_shipdate",
+              "1997-01-01 00:00:00", "1997-06-30 23:59:59.999999")))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+             |  round(sum(l_extendedprice), 2) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+             |  AND TIMESTAMP '1997-06-30 23:59:59.999999'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // String-box pruned read: documents range-clustered on `lang`
+    // with string min/max stats — lexicographic (binary UTF-8)
+    // interval pruning, the partition-key-like case for string
+    // dimension columns. The range clustering leaves some of the 8
+    // target files empty (5 distinct langs), so this gate also
+    // exercises the zero-row-file coverage tolerance in anger.
+    QueryDef("q_layout_pruned_str",
+      (s, d) => {
+        val dir = langClusteredDocs(s, d)
+        Layout.scanPruned(s, dir,
+            Seq(Layout.TypedKeyBox("lang", "de", "es")))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+             |FROM documents WHERE lang BETWEEN 'de' AND 'es'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // 3-D Z-order pruned read, box on the THIRD key only: the k-ary
+    // interleave gives every file a compact box in ALL THREE key
+    // dimensions, so even a filter that names only l_orderkey —
+    // the key a 2-D layout would leave unclustered — skips files.
+    // Pruned ≡ full-scan filter, hash-matched against the original
+    // table; LayoutSpec additionally asserts fewer files are read.
+    QueryDef("q_layout_zorder3_pruned",
+      (s, d) => {
+        val dir = zordered3Lineitem(s, d)
+        Layout.scanPruned(s, dir,
+            Seq(Layout.KeyBox("l_orderkey", 100L, 400L)))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+             |  round(sum(l_extendedprice), 2) AS revenue
+             |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 400
              |GROUP BY 1 ORDER BY 1""".stripMargin), bench = true),
 
     // Co-located join over bucketed tables: orders and lineitem are

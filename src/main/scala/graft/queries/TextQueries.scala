@@ -1615,7 +1615,7 @@ object TextQueries {
         """
           |SELECT m.r AS round, m.l AS lhs, m.rt AS rhs, m.c AS n
           |FROM (SELECT unnest(ms) AS m FROM (SELECT ms FROM st ORDER BY iter DESC LIMIT 1))
-          |ORDER BY round""".stripMargin)),
+          |ORDER BY round""".stripMargin), bench = true),
 
     // Hybrid deep-vocabulary BPE training
     // ([[graft.ext.Bpe.trainMergesDriver]]): Spark collapses the

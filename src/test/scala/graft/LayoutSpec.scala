@@ -297,14 +297,15 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("buildFileManifest rejects non-integral keys loudly") {
-    // a string key would cast its stats to null — i.e. "every file
-    // skippable" — so the misuse must fail fast, not return empty
+  test("buildFileManifest rejects unsupported key types loudly") {
+    // a float/double key's NaN ordering forks between engines, so its
+    // stats are refused up front — the misuse must fail fast, not
+    // produce a manifest that silently skips or keeps the wrong files
     val ex = intercept[IllegalArgumentException] {
       Layout.buildFileManifest(spark, s"$sf0001/lineitem.parquet",
-        Seq("l_returnflag"))
+        Seq("l_quantity"))
     }
-    assert(ex.getMessage.contains("integral"))
+    assert(ex.getMessage.contains("must be integral, date, timestamp, or string"))
   }
 
   test("scanPruned: empty survivor set returns an empty, schema-correct frame") {
@@ -320,6 +321,225 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
         Seq(Layout.KeyBox("l_partkey", 1000000L, 2000000L)))
       assert(pruned.count() === 0L)
       assert(pruned.columns.toSeq === Seq("l_partkey", "l_suppkey"))
+    }
+  }
+
+  test("typed manifest keys: a string-keyed manifest prunes and stays exact") {
+    withTempDir("graft_pruned_str_") { dir =>
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select("doc_id", "lang")
+      docs.repartitionByRange(8, col("lang")).sortWithinPartitions("lang")
+        .write.mode("overwrite").parquet(s"$dir/docs")
+      Layout.buildFileManifest(spark, s"$dir/docs", Seq("lang"))
+        .write.mode("overwrite").parquet(s"$dir/docs/_graft_manifest")
+      val pruned = Layout.scanPruned(spark, s"$dir/docs",
+        Seq(Layout.TypedKeyBox("lang", "de", "es")))
+      val all = spark.read.parquet(s"$dir/docs")
+      // lexicographic stats actually skip the fr/zh files
+      assert(pruned.inputFiles.length < all.inputFiles.length,
+        "string manifest pruned nothing")
+      val full = all.filter(col("lang").between("de", "es"))
+      assert(pruned.count() > 0, "degenerate spec: box selected nothing")
+      assert(pruned.collect().map(_.getLong(0)).sorted.toSeq ===
+        full.collect().map(_.getLong(0)).sorted.toSeq)
+    }
+  }
+
+  test("typed manifest keys: date and timestamp boxes prune and stay exact") {
+    withTempDir("graft_pruned_time_") { dir =>
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_shipdate"),
+          to_date(col("l_shipdate")).as("l_shipd"))
+      li.repartitionByRange(8, col("l_shipd")).sortWithinPartitions("l_shipd")
+        .write.mode("overwrite").parquet(s"$dir/li")
+      Layout.buildFileManifest(spark, s"$dir/li",
+          Seq("l_shipd", "l_shipdate", "l_orderkey"))
+        .write.mode("overwrite").parquet(s"$dir/li/_graft_manifest")
+      val all = spark.read.parquet(s"$dir/li")
+      // date box: one year out of ~7 → most time-sorted files skip
+      val byDate = Layout.scanPruned(spark, s"$dir/li",
+        Seq(Layout.TypedKeyBox("l_shipd", "1996-01-01", "1996-12-31")))
+      assert(byDate.inputFiles.length < all.inputFiles.length,
+        "date manifest pruned nothing")
+      val wantDate = all.filter(
+        col("l_shipd").between(lit("1996-01-01").cast("date"),
+          lit("1996-12-31").cast("date")))
+      assert(byDate.count() > 0 && byDate.count() === wantDate.count())
+      // timestamp box on the raw (NTZ) key
+      val byTs = Layout.scanPruned(spark, s"$dir/li",
+        Seq(Layout.TypedKeyBox("l_shipdate",
+          "1997-01-01 00:00:00", "1997-06-30 23:59:59.999999")))
+      assert(byTs.inputFiles.length < all.inputFiles.length,
+        "timestamp manifest pruned nothing")
+      val wantTs = all.filter(col("l_shipdate") >=
+        lit("1997-01-01 00:00:00").cast(all.schema("l_shipdate").dataType) &&
+        col("l_shipdate") <=
+        lit("1997-06-30 23:59:59.999999").cast(all.schema("l_shipdate").dataType))
+      assert(byTs.count() > 0 && byTs.count() === wantTs.count())
+      // depth profile works in the temporal domain (epoch days)
+      val depth = Layout.clusteringDepth(
+        Layout.loadManifest(spark, s"$dir/li"), "l_shipd")
+        .agg(max("depth")).head().getLong(0)
+      assert(depth >= 1L)
+      // a box form that mismatches the stored stat type is loud, both
+      // ways — long bounds against date stats would compare as null
+      // and silently skip every file
+      val e1 = intercept[IllegalArgumentException] {
+        Layout.scanPruned(spark, s"$dir/li",
+          Seq(Layout.KeyBox("l_shipd", 0L, 100L)))
+      }
+      assert(e1.getMessage.contains("use TypedKeyBox"))
+      val e2 = intercept[IllegalArgumentException] {
+        Layout.scanPruned(spark, s"$dir/li",
+          Seq(Layout.TypedKeyBox("l_orderkey", "0", "100")))
+      }
+      assert(e2.getMessage.contains("use KeyBox"))
+    }
+  }
+
+  test("zorderN: 3-key interleave matches a bit-by-bit reference") {
+    def morton3(x: Long, y: Long, z: Long): Long = {
+      var m = 0L
+      for (i <- 0 until 16) {
+        m |= ((x >> i) & 1L) << (3 * i)
+        m |= ((y >> i) & 1L) << (3 * i + 1)
+        m |= ((z >> i) & 1L) << (3 * i + 2)
+      }
+      m
+    }
+    val triples = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (65535L, 65535L, 65535L), (12345L, 54321L, 4242L), (70000L, 3L, 9L))
+    val got = triples.toDF("x", "y", "z")
+      .select(Layout.zorderN(Seq(col("x"), col("y"), col("z"))))
+      .as[Long].collect()
+    val want = triples.map { case (x, y, z) =>
+      morton3(x & 0xFFFF, y & 0xFFFF, z & 0xFFFF) }
+    assert(got.toSeq == want, s"got ${got.toSeq} want $want")
+    // k=2 degenerates to the classic Morton layout zorder2 produces
+    val pairs = Seq((12345L, 54321L), (7L, 11L))
+    val z2 = pairs.toDF("x", "y")
+      .select(Layout.zorderN(Seq(col("x"), col("y"))),
+        Layout.zorder2(col("x"), col("y")))
+      .as[(Long, Long)].collect()
+    z2.foreach { case (n, two) => assert(n === two) }
+  }
+
+  test("writeZOrderedNWithManifest: a box on the THIRD key alone prunes files") {
+    withTempDir("graft_z3_") { dir =>
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+      Layout.writeZOrderedNWithManifest(li,
+        Seq(col("l_partkey"), col("l_suppkey"), col("l_orderkey")),
+        s"$dir/li", files = 32,
+        keyCols = Seq("l_partkey", "l_suppkey", "l_orderkey"))
+      val all = spark.read.parquet(s"$dir/li")
+      assert(all.count() === li.count())
+      // the 2-D layout's blind spot: filter ONLY on the third key
+      val pruned = Layout.scanPruned(spark, s"$dir/li",
+        Seq(Layout.KeyBox("l_orderkey", 100L, 180L)))
+      assert(pruned.inputFiles.length < all.inputFiles.length,
+        s"3-D z-layout pruned nothing on the third key " +
+          s"(${pruned.inputFiles.length} of ${all.inputFiles.length} files)")
+      val full = all.filter(col("l_orderkey").between(100, 180))
+      assert(pruned.count() > 0 && pruned.count() === full.count())
+      // locality holds on ALL THREE dims: each file's per-key range
+      // is a fraction of the global range (a 1-D sort would leave two
+      // dims at ~1.0)
+      val stats = all.withColumn("f", input_file_name())
+        .groupBy("f")
+        .agg((max("l_partkey") - min("l_partkey")).as("xr"),
+          (max("l_suppkey") - min("l_suppkey")).as("yr"),
+          (max("l_orderkey") - min("l_orderkey")).as("zr"))
+        .agg(avg("xr"), avg("yr"), avg("zr"))
+        .as[(Double, Double, Double)].head()
+      val (gx, gy, gz) = li.agg(
+        max("l_partkey") - min("l_partkey"),
+        max("l_suppkey") - min("l_suppkey"),
+        max("l_orderkey") - min("l_orderkey")).as[(Long, Long, Long)].head()
+      val fr = Seq(stats._1 / gx, stats._2 / gy, stats._3 / gz)
+      assert(fr.forall(_ < 0.8), f"per-file fractions ${fr.map(f => f"$f%.2f")}")
+      assert(fr.sum < 2.0, s"combined ${fr.sum} — no better than a 1-D sort")
+    }
+  }
+
+  test("compact rebuilds the skipping manifest over its output") {
+    withTempDir("graft_compact_mf_") { dir =>
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+      Layout.writeZOrderedWithManifest(li, col("l_partkey"), col("l_suppkey"),
+        s"$dir/in", files = 16, keyCols = Seq("l_partkey", "l_suppkey"))
+      val (nIn, nOut) = Layout.compact(spark, s"$dir/in", s"$dir/out",
+        targetBytes = Long.MaxValue)
+      assert(nIn === 16 && nOut === 1)
+      // the output carries a REBUILT manifest (the input's names its
+      // own files, so it cannot move over) and pruned reads off it
+      // stay exact — the compacted layout no longer clusters, so the
+      // single wide file always survives; exactness is the contract
+      val boxes = Seq(Layout.KeyBox("l_partkey", 20L, 60L))
+      val pruned = Layout.scanPruned(spark, s"$dir/out", boxes)
+      assert(pruned.count() ===
+        li.filter(col("l_partkey").between(20, 60)).count())
+      val mf = Layout.loadManifest(spark, s"$dir/out")
+      assert(mf.count() === 1L)
+      assert(mf.columns.toSet ===
+        Set("file", "n_rows", "min_l_partkey", "max_l_partkey",
+          "min_l_suppkey", "max_l_suppkey"))
+    }
+  }
+
+  test("compactPartitioned walks a two-level hive layout and preserves rows") {
+    withTempDir("graft_compact_part_") { dir =>
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_returnflag", "l_linestatus")
+      li.repartition(6) // 6 small files per leaf partition
+        .write.partitionBy("l_returnflag", "l_linestatus")
+        .mode("overwrite").parquet(s"$dir/in")
+      val leaves = spark.read.parquet(s"$dir/in")
+        .select("l_returnflag", "l_linestatus").distinct().count()
+      val (nIn, nOut) = Layout.compactPartitioned(spark, s"$dir/in", s"$dir/out",
+        targetBytes = Long.MaxValue)
+      assert(nOut === leaves.toInt,
+        s"expected one compacted file per leaf ($leaves), got $nOut")
+      assert(nIn > nOut, s"input had $nIn files — nothing to compact?")
+      val back = spark.read.parquet(s"$dir/out")
+      // partition discovery over the mirrored k=v dirs reconstructs
+      // the partition columns; row multiset is preserved
+      assert(back.columns.toSet === li.columns.toSet)
+      assert(back.count() === li.count())
+      assert(back.agg(sum("l_orderkey")).head.getLong(0) ===
+        li.agg(sum("l_orderkey")).head.getLong(0))
+      assert(back.groupBy("l_returnflag").count().collect().toSet ===
+        li.groupBy("l_returnflag").count().collect().toSet)
+      // in-place rewrite refused, same as compact
+      intercept[IllegalArgumentException] {
+        Layout.compactPartitioned(spark, s"$dir/in", s"$dir/in")
+      }
+    }
+  }
+
+  test("appendWithManifest rejects an incompatible non-key schema before writing") {
+    withTempDir("graft_append_schema_") { dir =>
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+      Layout.writeZOrderedWithManifest(li, col("l_partkey"), col("l_suppkey"),
+        s"$dir/li", files = 4, keyCols = Seq("l_partkey", "l_suppkey"))
+      val before = spark.read.parquet(s"$dir/li").count()
+      // retyped NON-key column: stats would still build, but plain
+      // reads of the mixed directory would go schema-inconsistent —
+      // must be refused before any file lands
+      val ex = intercept[IllegalArgumentException] {
+        Layout.appendWithManifest(
+          li.withColumn("l_orderkey", col("l_orderkey").cast("string")),
+          s"$dir/li", Seq("l_partkey", "l_suppkey"))
+      }
+      assert(ex.getMessage.contains("not compatible"))
+      // extra column, same story
+      intercept[IllegalArgumentException] {
+        Layout.appendWithManifest(li.withColumn("extra", lit(1)),
+          s"$dir/li", Seq("l_partkey", "l_suppkey"))
+      }
+      assert(spark.read.parquet(s"$dir/li").count() === before,
+        "rejected append mutated the directory")
     }
   }
 

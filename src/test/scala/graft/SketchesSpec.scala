@@ -286,6 +286,66 @@ class SketchesSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("Misra-Gries maintenance in a live streaming loop keeps its guarantees per micro-batch") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    // the actual deployment loop (ChurnSpec's shape): a MemoryStream
+    // of keys, foreachBatch folding ≤k-row summaries — after EVERY
+    // micro-batch the folded state must satisfy the composed MG
+    // guarantees over the union of everything streamed so far
+    val k = 8
+    val batches = Seq(
+      (1 to 200).map(i => (i % 11).toLong),  // heavy residues 0..10
+      (1 to 150).map(i => (i % 7).toLong),
+      (1 to 120).map(i => (i % 23).toLong)) // long tail arrives late
+    val mem = MemoryStream[Long]
+    var state: DataFrame = Seq.empty[(Long, Long)].toDF("key", "cnt")
+    val q = mem.toDF().toDF("x").writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        state = Sketches.mgMergeSummaries(state,
+          Sketches.mgSummaryRows(b, col("x"), k), k).localCheckpoint(true)
+      }.start()
+    try {
+      var all = Seq.empty[Long]
+      for (batch <- batches) {
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+        all ++= batch
+        val hh = state.as[(Long, Long)].collect().toMap
+        assert(hh.size <= k, s"state exceeded k after ${all.size} items: ${hh.size}")
+        val trueCounts = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val bound = all.size.toLong / (k + 1)
+        for ((key, c) <- trueCounts if c > bound)
+          assert(hh.contains(key),
+            s"missed heavy hitter $key after ${all.size} items (true $c > bound $bound)")
+        for ((key, est) <- hh) {
+          val t = trueCounts(key)
+          assert(est <= t && t - est <= bound,
+            s"bound violated after ${all.size} items: key $key true $t est $est")
+        }
+      }
+    } finally q.stop()
+  }
+
+  test("mgMergeSummaries refuses a non-summary input instead of collecting it") {
+    import spark.implicits._
+    // a raw keyed count matches the (key, cnt) schema but is
+    // vocabulary-sized — the bounded probe must reject it before the
+    // driver-side collect, not after
+    val k = 4
+    val raw = (1 to 100).map(i => (i.toLong, 1L)).toDF("key", "cnt")
+    val good = Seq((1L, 5L), (2L, 3L)).toDF("key", "cnt")
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.mgMergeSummaries(good, raw, k)
+    }
+    assert(ex.getMessage.contains("not a Misra-Gries summary"))
+    intercept[IllegalArgumentException] {
+      Sketches.mgMergeSummaries(raw, good, k)
+    }
+  }
+
   test("CMS is partition-independent (merge + serde through shuffle)") {
     val toks = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
