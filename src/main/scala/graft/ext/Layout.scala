@@ -484,7 +484,15 @@ object Layout {
       // coverage check when it ran
       dirFrame.where(lit(false))
     else
-      spark.read.parquet(survivors.toIndexedSeq: _*).where(residual)
+      // basePath anchors partition discovery at the DIRECTORY even
+      // though only survivor files are listed: on a hive-partitioned
+      // dataset the `k=v` path columns still materialize, so pruned ≡
+      // full scan holds there too (and a manifest keyed on a partition
+      // column subsumes partition pruning — whole partitions drop, and
+      // the range stats prune beyond what directory names alone can).
+      // On a flat directory the option is a no-op.
+      spark.read.option("basePath", dir)
+        .parquet(survivors.toIndexedSeq: _*).where(residual)
   }
 
   /** Clustering-depth profile over a skipping manifest: for each
@@ -660,6 +668,17 @@ object Layout {
     }
     val (nIn, nOut) = walk(Nil)
     require(nIn > 0, s"compactPartitioned: no data files under $inPath")
+    // a root-level skipping manifest survives compaction the same way
+    // compact's does: rebuilt over the output tree (stats over the
+    // compacted files, partition-discovered read so partition-column
+    // keys keep working)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$inPath/_graft_manifest"))) {
+      val keys = loadManifest(spark, inPath).columns.collect {
+        case c if c.startsWith("min_") => c.stripPrefix("min_")
+      }.toSeq
+      buildFileManifest(spark, outPath, keys)
+        .write.mode("overwrite").parquet(s"$outPath/_graft_manifest")
+    }
     (nIn, nOut)
   }
 }

@@ -487,6 +487,36 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("scanPruned on a hive-partitioned dataset keeps partition columns, prunes whole partitions") {
+    withTempDir("graft_pruned_hive_") { dir =>
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_returnflag")
+      li.write.partitionBy("l_returnflag").mode("overwrite").parquet(s"$dir/li")
+      // manifest keyed on the PARTITION column plus a data column:
+      // per-file stats of a partition column collapse to its single
+      // value, so the manifest subsumes hive partition pruning and
+      // adds real range stats on top
+      Layout.buildFileManifest(spark, s"$dir/li",
+          Seq("l_returnflag", "l_partkey"))
+        .write.mode("overwrite").parquet(s"$dir/li/_graft_manifest")
+      val all = spark.read.parquet(s"$dir/li")
+      val pruned = Layout.scanPruned(spark, s"$dir/li",
+        Seq(Layout.TypedKeyBox("l_returnflag", "A", "A"),
+          Layout.KeyBox("l_partkey", 20L, 60L)))
+      // basePath anchoring: the k=v path column survives the
+      // survivor-file read instead of silently vanishing
+      assert(pruned.columns.toSet ===
+        Set("l_orderkey", "l_partkey", "l_returnflag"))
+      assert(pruned.inputFiles.length < all.inputFiles.length,
+        "partition-column stats pruned nothing")
+      val full = all.filter(col("l_returnflag") === "A" &&
+        col("l_partkey").between(20, 60))
+      assert(pruned.count() > 0, "degenerate spec: box selected nothing")
+      assert(pruned.select("l_orderkey").as[Long].collect().sorted.toSeq ===
+        full.select("l_orderkey").as[Long].collect().sorted.toSeq)
+    }
+  }
+
   test("compactPartitioned walks a two-level hive layout and preserves rows") {
     withTempDir("graft_compact_part_") { dir =>
       val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
@@ -514,6 +544,17 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       intercept[IllegalArgumentException] {
         Layout.compactPartitioned(spark, s"$dir/in", s"$dir/in")
       }
+      // a root-level manifest rides through: rebuild it over the
+      // input, compact again to a fresh output, and the output's
+      // rebuilt stats still serve an exact pruned read
+      Layout.buildFileManifest(spark, s"$dir/in", Seq("l_partkey"))
+        .write.mode("overwrite").parquet(s"$dir/in/_graft_manifest")
+      Layout.compactPartitioned(spark, s"$dir/in", s"$dir/out2",
+        targetBytes = Long.MaxValue)
+      val pruned = Layout.scanPruned(spark, s"$dir/out2",
+        Seq(Layout.KeyBox("l_partkey", 20L, 60L)))
+      assert(pruned.count() ===
+        li.filter(col("l_partkey").between(20, 60)).count())
     }
   }
 
