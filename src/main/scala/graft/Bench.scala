@@ -288,8 +288,13 @@ object Bench {
             val src = scala.io.Source.fromFile(p)
             try src.mkString finally src.close()
           }
-          """"queries":\{(.*?)\}""".r.findFirstMatchIn(txt).map { m =>
-            """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(m.group(1))
+          // tolerate BOTH shapes the capture exists in: Bench's own
+          // compact one-liner and the driver's pretty-printed wrapper
+          // (whitespace/newlines inside the braces, the capture nested
+          // under "parsed"); keys are pinned to the q_ prefix so no
+          // other JSON field can masquerade as a query median
+          """(?s)"queries"\s*:\s*\{(.*?)\}""".r.findFirstMatchIn(txt).map { m =>
+            """"(q_[^"]+)"\s*:\s*(-?[0-9.]+)""".r.findAllMatchIn(m.group(1))
               .map(kv => kv.group(1) -> kv.group(2).toDouble)
               .filter(_._2 >= 0).toMap
           }
