@@ -297,13 +297,16 @@ object Layout {
     // an inconsistency the manifest never detects because its stats
     // only cover keyCols. Exact name→type equality (nullability and
     // column order excluded: parquet resolves columns by name).
-    val stored = spark.read.parquet(path).schema
+    // ONE pre-append relation serves both the schema check and the
+    // before-files snapshot — at 100k-file scale each
+    // spark.read.parquet(path) is a full listing + footer resolution
+    val current = spark.read.parquet(path)
     def typeMap(s: org.apache.spark.sql.types.StructType) =
       s.fields.map(f => f.name -> f.dataType).toMap
-    require(typeMap(df.schema) == typeMap(stored),
+    require(typeMap(df.schema) == typeMap(current.schema),
       s"append schema ${df.schema.simpleString} is not compatible with " +
-        s"the stored data's ${stored.simpleString} at $path")
-    val before = spark.read.parquet(path).inputFiles.toSet
+        s"the stored data's ${current.schema.simpleString} at $path")
+    val before = current.inputFiles.toSet
     df.write.mode("append").parquet(path)
     val newFiles = spark.read.parquet(path).inputFiles.toSeq
       .filterNot(before)
@@ -330,7 +333,13 @@ object Layout {
     val tmpPath = new org.apache.hadoop.fs.Path(s"$path/_graft_manifest_tmp")
     updated.write.mode("overwrite").parquet(tmpPath.toString)
     Checkpoints.unpersist(updated)
-    fs.delete(mfPath, true)
+    // a FAILED delete that merely returns false (object stores do)
+    // must not fall through: rename-onto-an-existing-dir has
+    // move-INSIDE semantics on HDFS-like filesystems, which would
+    // leave the STALE manifest in place (the nested _-prefixed tmp
+    // dir being invisible to reads) and serve it silently
+    require(fs.delete(mfPath, true) || !fs.exists(mfPath),
+      s"failed to remove the old manifest at $mfPath before replacing it")
     require(fs.rename(tmpPath, mfPath),
       s"failed to move the updated manifest into place at $mfPath")
   }
@@ -587,14 +596,8 @@ object Layout {
   def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
               outPath: String, targetBytes: Long = 1L << 30): (Int, Int) = {
     val hPath = new org.apache.hadoop.fs.Path(inPath)
-    val hOut = new org.apache.hadoop.fs.Path(outPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // qualified-Path equality, not string equality: "/data/x" and
-    // "/data/x/" (or a relative spelling) alias the same live
-    // directory, and overwrite-mode deleting the input mid-read is
-    // the failure this guard exists for
-    require(fs.makeQualified(hPath) != fs.makeQualified(hOut),
-      "compact must not rewrite its input in place")
+    requireDisjointDirs(fs, inPath, outPath, "compact")
     // flat directories only: a hive-partitioned dataset should be
     // compacted per partition directory (its data sits in subdirs
     // this listing deliberately skips); `_`/`.` entries are commit
@@ -623,6 +626,17 @@ object Layout {
     // the old manifest names the INPUT's files, so it cannot move
     // over; rebuild it against the output (one stats pass over the
     // freshly compacted data, same keys the input tracked)
+    rebuildManifestIfPresent(spark, fs, inPath, outPath)
+    (parts.length, dataFiles(new org.apache.hadoop.fs.Path(outPath)).length)
+  }
+
+  /** Both sides of the compaction maintenance APIs rebuild a stored
+    * skipping manifest the same way; shared so the key extraction and
+    * the rebuild target cannot fork between them. */
+  private def rebuildManifestIfPresent(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      inPath: String, outPath: String): Unit =
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$inPath/_graft_manifest"))) {
       val keys = loadManifest(spark, inPath).columns.collect {
         case c if c.startsWith("min_") => c.stripPrefix("min_")
@@ -630,7 +644,24 @@ object Layout {
       buildFileManifest(spark, outPath, keys)
         .write.mode("overwrite").parquet(s"$outPath/_graft_manifest")
     }
-    (parts.length, dataFiles(new org.apache.hadoop.fs.Path(outPath)).length)
+
+  /** Compaction must never read and rewrite the same live directory,
+    * and the output must not land INSIDE the input tree either (the
+    * partitioned walk would re-discover freshly written output as a
+    * partition and re-compact it) — nor the input inside the output
+    * (overwrite semantics could clobber live data). Qualified-URI
+    * prefix comparison, so relative spellings and trailing slashes
+    * cannot dodge the guard. */
+  private def requireDisjointDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                  inPath: String, outPath: String,
+                                  what: String): Unit = {
+    val qi = fs.makeQualified(new org.apache.hadoop.fs.Path(inPath))
+      .toString.stripSuffix("/")
+    val qo = fs.makeQualified(new org.apache.hadoop.fs.Path(outPath))
+      .toString.stripSuffix("/")
+    require(qi != qo && !qo.startsWith(qi + "/") && !qi.startsWith(qo + "/"),
+      s"$what requires disjoint input and output directories; " +
+        s"got $inPath and $outPath")
   }
 
   /** [[compact]] over a hive-partitioned dataset: walk the partition
@@ -649,9 +680,7 @@ object Layout {
                          targetBytes: Long = 1L << 30): (Int, Int) = {
     val hIn = new org.apache.hadoop.fs.Path(inPath)
     val fs = hIn.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.makeQualified(hIn) !=
-        fs.makeQualified(new org.apache.hadoop.fs.Path(outPath)),
-      "compactPartitioned must not rewrite its input in place")
+    requireDisjointDirs(fs, inPath, outPath, "compactPartitioned")
     def isAux(n: String) = n.startsWith("_") || n.startsWith(".")
     def walk(rel: List[String]): (Int, Int) = {
       val cur = rel.foldLeft(hIn)((p, s) => new org.apache.hadoop.fs.Path(p, s))
@@ -666,19 +695,18 @@ object Layout {
       } else if (files.isEmpty) (0, 0) // empty partition dir: nothing to do
       else compact(spark, cur.toString, (outPath :: rel).mkString("/"), targetBytes)
     }
+    val hadSubdirs = fs.listStatus(hIn)
+      .exists(st => st.isDirectory && !isAux(st.getPath.getName))
     val (nIn, nOut) = walk(Nil)
     require(nIn > 0, s"compactPartitioned: no data files under $inPath")
     // a root-level skipping manifest survives compaction the same way
     // compact's does: rebuilt over the output tree (stats over the
     // compacted files, partition-discovered read so partition-column
-    // keys keep working)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$inPath/_graft_manifest"))) {
-      val keys = loadManifest(spark, inPath).columns.collect {
-        case c if c.startsWith("min_") => c.stripPrefix("min_")
-      }.toSeq
-      buildFileManifest(spark, outPath, keys)
-        .write.mode("overwrite").parquet(s"$outPath/_graft_manifest")
-    }
+    // keys keep working). Skipped when the walk degenerated to the
+    // flat case — there the single compact() call already rebuilt it,
+    // and a second pass would scan the compacted data again for the
+    // identical result.
+    if (hadSubdirs) rebuildManifestIfPresent(spark, fs, inPath, outPath)
     (nIn, nOut)
   }
 }

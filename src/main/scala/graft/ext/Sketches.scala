@@ -180,26 +180,27 @@ object Sketches {
     require(k >= 1, "k must be >= 1")
     val spark = state.sparkSession
     import spark.implicits._
-    // the ≤k-row MG contract is ENFORCED, not trusted: the (key, cnt)
-    // schema matches any keyed count frame, so passing a raw
-    // vocabulary-sized aggregate here (an easy misuse) would turn the
-    // driver-side finish below into an unbounded collect. The probe is
-    // bounded by construction — limit(k+1) scans at most k+1 rows.
-    def requireSummary(df: DataFrame, which: String): Unit =
-      require(df.limit(k + 1).count() <= k,
-        s"$which has more than $k rows — not a Misra-Gries summary for " +
-          s"k=$k (pass mgSummaryRows output, not a raw keyed count)")
-    requireSummary(state, "state")
-    requireSummary(delta, "delta")
     // both inputs are summaries (≤ k rows each by the MG contract),
     // so the combined frame is ≤ 2k rows: ONE keywise-sum job,
     // collected, and the subtract-and-truncate finishes on the
     // driver — computing the (k+1)-th count with a second Spark
-    // action would re-run the union+groupBy for the returned frame
+    // action would re-run the union+groupBy for the returned frame.
+    // The contract is ENFORCED, not trusted: the (key, cnt) schema
+    // matches any keyed count frame, so a raw vocabulary-sized
+    // aggregate passed here (an easy misuse) would otherwise turn
+    // this into an unbounded driver collect. limit(2k+1) bounds the
+    // collect by construction in the SAME single action — if a
+    // (2k+1)-th combined key exists, at least one input exceeded its
+    // k-row budget and the call refuses rather than merge it.
     val summed = state.select(col("key"), col("cnt"))
       .unionByName(delta.select(col("key"), col("cnt")))
       .groupBy("key").agg(sum("cnt").as("cnt"))
+      .limit(2 * k + 1)
       .as[(Long, Long)].collect()
+    require(summed.length <= 2 * k,
+      s"state/delta union has more than ${2 * k} distinct keys — not " +
+        s"Misra-Gries summaries for k=$k (pass mgSummaryRows output, " +
+        "not a raw keyed count)")
     val sub =
       if (summed.length <= k) 0L
       else summed.map(_._2).sorted(Ordering.Long.reverse).apply(k)

@@ -102,11 +102,24 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
     // guarantee the batching exists for
     val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
     spark.conf.set("spark.sql.codegen.fallback", "false")
-    val applied =
-      try Bpe.applyMerges(corpusDf, col("w"), mergesDf, batchSize = 64)
-        .select("w", "tokens").collect()
-        .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
-      finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+    val (applied, appliedDf) =
+      try {
+        val df = Bpe.applyMerges(corpusDf, col("w"), mergesDf, batchSize = 64)
+        (df.select("w", "tokens").collect()
+          .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap, df)
+      } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+    // release contract: the long path returns a PINNED eager
+    // checkpoint (so the last intermediate could be freed inside the
+    // loop); Bpe.release must drop exactly that RDD's storage
+    val rddId = appliedDf.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+      case other => fail(s"long path did not return a checkpoint: $other")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.contains(rddId),
+      "long-path result is not pinned — release has nothing to free")
+    Bpe.release(appliedDf)
+    assert(!spark.sparkContext.getPersistentRDDs.contains(rddId),
+      "release did not free the result checkpoint")
     val want = finalState.keys.map(t => t.mkString -> t).toMap
     assert(applied.size === words.size)
     for ((w, toks) <- applied)
@@ -115,9 +128,13 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
 
   test("applyMerges batching is semantics-free: batchSize=1 equals the single chain") {
     val merges = Bpe.trainMerges(corpus, col("w"), col("n"), rounds = 4)
-    def run(bs: Int) = Bpe.applyMerges(corpus, col("w"), merges, batchSize = bs)
-      .select("w", "tokens").collect()
-      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    def run(bs: Int) = {
+      val df = Bpe.applyMerges(corpus, col("w"), merges, batchSize = bs)
+      val out = df.select("w", "tokens").collect()
+        .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+      Bpe.release(df) // long path pins its result; short path = no-op
+      out
+    }
     assert(run(1) === run(1000))
   }
 

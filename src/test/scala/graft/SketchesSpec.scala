@@ -340,7 +340,7 @@ class SketchesSpec extends AnyFunSuite with SharedSpark {
     val ex = intercept[IllegalArgumentException] {
       Sketches.mgMergeSummaries(good, raw, k)
     }
-    assert(ex.getMessage.contains("not a Misra-Gries summary"))
+    assert(ex.getMessage.contains("not Misra-Gries summaries"))
     intercept[IllegalArgumentException] {
       Sketches.mgMergeSummaries(raw, good, k)
     }
