@@ -597,7 +597,7 @@ object Layout {
               outPath: String, targetBytes: Long = 1L << 30): (Int, Int) = {
     val hPath = new org.apache.hadoop.fs.Path(inPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireDisjointDirs(fs, inPath, outPath, "compact")
+    requireDisjointDirs(spark.sparkContext.hadoopConfiguration, inPath, outPath, "compact")
     // flat directories only: a hive-partitioned dataset should be
     // compacted per partition directory (its data sits in subdirs
     // this listing deliberately skips); `_`/`.` entries are commit
@@ -652,14 +652,31 @@ object Layout {
     * (overwrite semantics could clobber live data). Qualified-URI
     * prefix comparison, so relative spellings and trailing slashes
     * cannot dodge the guard. */
-  private def requireDisjointDirs(fs: org.apache.hadoop.fs.FileSystem,
+  private def requireDisjointDirs(conf: org.apache.hadoop.conf.Configuration,
                                   inPath: String, outPath: String,
                                   what: String): Unit = {
-    val qi = fs.makeQualified(new org.apache.hadoop.fs.Path(inPath))
-      .toString.stripSuffix("/")
-    val qo = fs.makeQualified(new org.apache.hadoop.fs.Path(outPath))
-      .toString.stripSuffix("/")
-    require(qi != qo && !qo.startsWith(qi + "/") && !qi.startsWith(qo + "/"),
+    // each path qualifies against its OWN filesystem (a schemeless
+    // spelling must resolve to the default FS, not the other path's).
+    // Scheme and host compare case-insensitively and a MISSING port is
+    // treated as matching any port — `hdfs://nn/x` and
+    // `hdfs://nn:8020/x` usually name the same namenode, and a guard
+    // must err toward rejecting the ambiguous spelling, not letting a
+    // nested output dodge the prefix check on a default-port detail.
+    def parts(p: String): (String, String, Int, String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val u = hp.getFileSystem(conf).makeQualified(hp).toUri
+      (Option(u.getScheme).getOrElse("").toLowerCase,
+        Option(u.getHost).map(_.toLowerCase)
+          .orElse(Option(u.getAuthority).map(_.toLowerCase)).getOrElse(""),
+        u.getPort, u.getPath.stripSuffix("/"))
+    }
+    val (inScheme, inHost, inPort, inDir) = parts(inPath)
+    val (outScheme, outHost, outPort, outDir) = parts(outPath)
+    val sameFs = inScheme == outScheme && inHost == outHost &&
+      (inPort == outPort || inPort == -1 || outPort == -1)
+    val nested = inDir == outDir ||
+      outDir.startsWith(inDir + "/") || inDir.startsWith(outDir + "/")
+    require(!(sameFs && nested),
       s"$what requires disjoint input and output directories; " +
         s"got $inPath and $outPath")
   }
@@ -680,24 +697,29 @@ object Layout {
                          targetBytes: Long = 1L << 30): (Int, Int) = {
     val hIn = new org.apache.hadoop.fs.Path(inPath)
     val fs = hIn.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireDisjointDirs(fs, inPath, outPath, "compactPartitioned")
+    requireDisjointDirs(spark.sparkContext.hadoopConfiguration, inPath, outPath, "compactPartitioned")
     def isAux(n: String) = n.startsWith("_") || n.startsWith(".")
-    def walk(rel: List[String]): (Int, Int) = {
-      val cur = rel.foldLeft(hIn)((p, s) => new org.apache.hadoop.fs.Path(p, s))
-      val entries = fs.listStatus(cur)
+    def walk(cur: org.apache.hadoop.fs.Path, rel: List[String],
+             entries: Array[org.apache.hadoop.fs.FileStatus]): (Int, Int) = {
       val subdirs = entries.filter(st => st.isDirectory && !isAux(st.getPath.getName))
       val files = entries.filter(st => st.isFile && !isAux(st.getPath.getName))
       if (subdirs.nonEmpty) {
         require(files.isEmpty,
           s"$cur mixes data files with partition subdirectories — not a hive layout")
-        subdirs.map(d => walk(rel :+ d.getPath.getName))
+        subdirs.map(d => walk(d.getPath, rel :+ d.getPath.getName,
+            fs.listStatus(d.getPath)))
           .foldLeft((0, 0)) { case ((i1, o1), (i2, o2)) => (i1 + i2, o1 + o2) }
       } else if (files.isEmpty) (0, 0) // empty partition dir: nothing to do
       else compact(spark, cur.toString, (outPath :: rel).mkString("/"), targetBytes)
     }
-    val hadSubdirs = fs.listStatus(hIn)
+    // ONE root listing serves both the walk and the flat-case test
+    // (an extra listStatus is a whole LIST round-trip on object
+    // stores, and a second listing could disagree with the first
+    // under concurrent writes)
+    val rootEntries = fs.listStatus(hIn)
+    val hadSubdirs = rootEntries
       .exists(st => st.isDirectory && !isAux(st.getPath.getName))
-    val (nIn, nOut) = walk(Nil)
+    val (nIn, nOut) = walk(hIn, Nil, rootEntries)
     require(nIn > 0, s"compactPartitioned: no data files under $inPath")
     // a root-level skipping manifest survives compaction the same way
     // compact's does: rebuilt over the output tree (stats over the

@@ -181,26 +181,26 @@ object Sketches {
     val spark = state.sparkSession
     import spark.implicits._
     // both inputs are summaries (≤ k rows each by the MG contract),
-    // so the combined frame is ≤ 2k rows: ONE keywise-sum job,
-    // collected, and the subtract-and-truncate finishes on the
-    // driver — computing the (k+1)-th count with a second Spark
-    // action would re-run the union+groupBy for the returned frame.
-    // The contract is ENFORCED, not trusted: the (key, cnt) schema
-    // matches any keyed count frame, so a raw vocabulary-sized
-    // aggregate passed here (an easy misuse) would otherwise turn
-    // this into an unbounded driver collect. limit(2k+1) bounds the
-    // collect by construction in the SAME single action — if a
-    // (2k+1)-th combined key exists, at least one input exceeded its
-    // k-row budget and the call refuses rather than merge it.
-    val summed = state.select(col("key"), col("cnt"))
-      .unionByName(delta.select(col("key"), col("cnt")))
-      .groupBy("key").agg(sum("cnt").as("cnt"))
-      .limit(2 * k + 1)
-      .as[(Long, Long)].collect()
-    require(summed.length <= 2 * k,
-      s"state/delta union has more than ${2 * k} distinct keys — not " +
-        s"Misra-Gries summaries for k=$k (pass mgSummaryRows output, " +
-        "not a raw keyed count)")
+    // so the whole merge is driver-sized: collect each input through
+    // a limit(k+1) — the limit both ENFORCES the contract per input
+    // (the (key, cnt) schema matches any keyed count frame, and a raw
+    // vocabulary-sized aggregate, an easy misuse, must refuse after
+    // reading k+1 rows, naming the offending input, instead of
+    // becoming an unbounded collect) and BOUNDS the transfer by
+    // construction. The keywise sum and subtract-and-truncate then
+    // finish on the driver over ≤ 2k rows — no union/groupBy shuffle
+    // job at all, one bounded action per input.
+    def summaryRows(df: DataFrame, which: String): Array[(Long, Long)] = {
+      val rows = df.select(col("key"), col("cnt"))
+        .limit(k + 1).as[(Long, Long)].collect()
+      require(rows.length <= k,
+        s"$which has more than $k rows — not a Misra-Gries summary " +
+          s"for k=$k (pass mgSummaryRows output, not a raw keyed count)")
+      rows
+    }
+    val summed = (summaryRows(state, "state") ++ summaryRows(delta, "delta"))
+      .groupBy(_._1).map { case (key, xs) => (key, xs.map(_._2).sum) }
+      .toArray
     val sub =
       if (summed.length <= k) 0L
       else summed.map(_._2).sorted(Ordering.Long.reverse).apply(k)

@@ -540,9 +540,18 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
         li.agg(sum("l_orderkey")).head.getLong(0))
       assert(back.groupBy("l_returnflag").count().collect().toSet ===
         li.groupBy("l_returnflag").count().collect().toSet)
-      // in-place rewrite refused, same as compact
+      // in-place rewrite refused, same as compact — and so is an
+      // output NESTED in the input tree (the walk would re-discover
+      // freshly written output as a partition and re-compact it) or
+      // an input nested in the output
       intercept[IllegalArgumentException] {
         Layout.compactPartitioned(spark, s"$dir/in", s"$dir/in")
+      }
+      intercept[IllegalArgumentException] {
+        Layout.compactPartitioned(spark, s"$dir/in", s"$dir/in/l_returnflag=R/out")
+      }
+      intercept[IllegalArgumentException] {
+        Layout.compactPartitioned(spark, s"$dir/in", dir)
       }
       // a root-level manifest rides through: rebuild it over the
       // input, compact again to a fresh output, and the output's

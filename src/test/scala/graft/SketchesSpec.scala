@@ -340,7 +340,15 @@ class SketchesSpec extends AnyFunSuite with SharedSpark {
     val ex = intercept[IllegalArgumentException] {
       Sketches.mgMergeSummaries(good, raw, k)
     }
-    assert(ex.getMessage.contains("not Misra-Gries summaries"))
+    assert(ex.getMessage.contains("delta has more than"))
+    // a contract-violating STATE with k+1..2k rows must refuse too —
+    // the old combined-distinct-count guard let it through and wiped
+    // the fold's heavy-hitter state to an empty frame
+    val slightlyBig = (1 to (k + 2)).map(i => (i.toLong, 1L)).toDF("key", "cnt")
+    val ex2 = intercept[IllegalArgumentException] {
+      Sketches.mgMergeSummaries(slightlyBig, good, k)
+    }
+    assert(ex2.getMessage.contains("state has more than"))
     intercept[IllegalArgumentException] {
       Sketches.mgMergeSummaries(raw, good, k)
     }
