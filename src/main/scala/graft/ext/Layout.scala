@@ -602,8 +602,9 @@ object Layout {
     // compacted per partition directory (its data sits in subdirs
     // this listing deliberately skips); `_`/`.` entries are commit
     // markers and checksum side-files, not data
-    def dataFiles(p: org.apache.hadoop.fs.Path) =
-      fs.listStatus(p).filter { st =>
+    def dataFiles(dirFs: org.apache.hadoop.fs.FileSystem,
+                  p: org.apache.hadoop.fs.Path) =
+      dirFs.listStatus(p).filter { st =>
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
@@ -614,7 +615,7 @@ object Layout {
     // files mean there is nothing to size the output by
     require(!all.exists(st => st.isDirectory && !st.getPath.getName.startsWith("_")),
       s"compact expects a flat parquet directory; $inPath has partition subdirectories — compact each partition directory instead")
-    val parts = dataFiles(hPath)
+    val parts = dataFiles(fs, hPath)
     require(parts.nonEmpty, s"compact: no data files in $inPath")
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
@@ -627,7 +628,12 @@ object Layout {
     // over; rebuild it against the output (one stats pass over the
     // freshly compacted data, same keys the input tracked)
     rebuildManifestIfPresent(spark, fs, inPath, outPath)
-    (parts.length, dataFiles(new org.apache.hadoop.fs.Path(outPath)).length)
+    // the output may live on a DIFFERENT filesystem than the input
+    // (the disjointness guard deliberately allows cross-FS pairs) —
+    // list it with its own
+    val hOut = new org.apache.hadoop.fs.Path(outPath)
+    val outFs = hOut.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (parts.length, dataFiles(outFs, hOut).length)
   }
 
   /** Both sides of the compaction maintenance APIs rebuild a stored
@@ -665,10 +671,27 @@ object Layout {
     def parts(p: String): (String, String, Int, String) = {
       val hp = new org.apache.hadoop.fs.Path(p)
       val u = hp.getFileSystem(conf).makeQualified(hp).toUri
-      (Option(u.getScheme).getOrElse("").toLowerCase,
-        Option(u.getHost).map(_.toLowerCase)
-          .orElse(Option(u.getAuthority).map(_.toLowerCase)).getOrElse(""),
-        u.getPort, u.getPath.stripSuffix("/"))
+      // Hadoop Path normalization collapses "." and duplicate slashes
+      // but leaves ".." intact — a prefix comparison cannot see
+      // through it, so refuse rather than let "/out/../in/sub" land
+      // inside the live input
+      require(!u.getPath.split("/").contains(".."),
+        s"$what does not accept '..' path segments: $p")
+      // java.net.URI.getHost is null for authorities it cannot parse
+      // as hostnames (e.g. underscored HA nameservice IDs) — fall back
+      // to the raw authority, splitting a trailing :port into the port
+      // slot so the missing-port-matches-any rule below still applies
+      val (host, port) = Option(u.getHost) match {
+        case Some(h) => (h.toLowerCase, u.getPort)
+        case None =>
+          val a = Option(u.getAuthority).getOrElse("").toLowerCase
+          val i = a.lastIndexOf(':')
+          if (i >= 0 && i < a.length - 1 && a.drop(i + 1).forall(_.isDigit))
+            (a.take(i), a.drop(i + 1).toInt)
+          else (a, -1)
+      }
+      (Option(u.getScheme).getOrElse("").toLowerCase, host, port,
+        u.getPath.stripSuffix("/"))
     }
     val (inScheme, inHost, inPort, inDir) = parts(inPath)
     val (outScheme, outHost, outPort, outDir) = parts(outPath)

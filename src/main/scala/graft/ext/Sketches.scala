@@ -168,14 +168,18 @@ object Sketches {
     * after folding summaries covering N total items, every key with
     * true frequency > N/(k+1) is present and
     * `stored ≤ true ≤ stored + N/(k+1)` (SketchesSpec asserts both
-    * across a multi-batch fold). The (k+1)-th count is a
-    * `TakeOrderedAndProject` + (k+1)-row bounded collect — summary-
-    * sized, never data-sized. This is the streaming deployment of
+    * across a multi-batch fold). Each input is collected through its
+    * own `limit(k+1)` — one bounded action per side that both caps
+    * the transfer and ENFORCES the ≤k-row summary contract (a raw
+    * keyed count sneaking in refuses after k+1 rows, naming the
+    * offending input) — and the keywise sum, (k+1)-th-largest
+    * selection, and truncation finish on the driver over ≤ 2k rows:
+    * no shuffle job at all. This is the streaming deployment of
     * the heavy-hitter monitor: per micro-batch, [[mgSummaryRows]]
     * the batch and fold it in (foreachBatch, like the churn and SCD2
-    * maintenance loops) — the state shuffled per batch is ≤ k rows,
-    * while a `groupBy(key)` dashboard would re-shuffle the full
-    * vocabulary every time. */
+    * maintenance loops) — per-batch cost is summary-sized, while a
+    * `groupBy(key)` dashboard would re-shuffle the full vocabulary
+    * every time. */
   def mgMergeSummaries(state: DataFrame, delta: DataFrame, k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val spark = state.sparkSession
