@@ -671,20 +671,23 @@ object Layout {
     def parts(p: String): (String, String, Int, String) = {
       val hp = new org.apache.hadoop.fs.Path(p)
       val u = hp.getFileSystem(conf).makeQualified(hp).toUri
-      // Hadoop Path normalization collapses "." and duplicate slashes
-      // but leaves ".." intact — a prefix comparison cannot see
-      // through it, so refuse rather than let "/out/../in/sub" land
-      // inside the live input
+      // Hadoop Path normalization already collapses ".", duplicate
+      // slashes, and INTERIOR ".." (Path.initialize URI-normalizes),
+      // so the prefix comparison below sees resolved paths; the one
+      // spelling that survives normalization is an unresolvable
+      // LEADING ".." — refuse it rather than compare garbage
       require(!u.getPath.split("/").contains(".."),
         s"$what does not accept '..' path segments: $p")
       // java.net.URI.getHost is null for authorities it cannot parse
       // as hostnames (e.g. underscored HA nameservice IDs) — fall back
-      // to the raw authority, splitting a trailing :port into the port
-      // slot so the missing-port-matches-any rule below still applies
+      // to the raw authority, stripping userinfo (getHost would) and
+      // splitting a trailing :port into the port slot so the
+      // missing-port-matches-any rule below still applies
       val (host, port) = Option(u.getHost) match {
         case Some(h) => (h.toLowerCase, u.getPort)
         case None =>
-          val a = Option(u.getAuthority).getOrElse("").toLowerCase
+          val raw = Option(u.getAuthority).getOrElse("").toLowerCase
+          val a = raw.substring(raw.indexOf('@') + 1)
           val i = a.lastIndexOf(':')
           if (i >= 0 && i < a.length - 1 && a.drop(i + 1).forall(_.isDigit))
             (a.take(i), a.drop(i + 1).toInt)
