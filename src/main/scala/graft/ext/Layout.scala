@@ -58,26 +58,76 @@ object Layout {
     * non-overlapping files via ordinary parquet min-max pruning; no
     * reader-side changes needed. */
   def writeZOrdered(df: DataFrame, x: Column, y: Column,
-                    path: String, files: Int): Unit = {
-    val boundsRow = df
-      .agg(min(x).cast("long"), max(x).cast("long"),
-           min(y).cast("long"), max(y).cast("long"))
-      .collect()(0)
-    // empty input (or all-null keys): min/max are null — there is
-    // nothing to cluster, but the write contract (an overwritten
-    // parquet dir with df's schema) must still hold
-    if (boundsRow.anyNull) {
-      df.write.mode("overwrite").parquet(path)
-      return
+                    path: String, files: Int): Unit =
+    bounds2(df, x, y) match {
+      // empty input (or all-null keys): min/max are null — there is
+      // nothing to cluster, but the write contract (an overwritten
+      // parquet dir with df's schema) must still hold
+      case None => df.write.mode("overwrite").parquet(path)
+      case Some((xLo, xHi, yLo, yHi)) =>
+        writeClusteredBy(df,
+          zorder2(normalize16(x, xLo, xHi), normalize16(y, yLo, yHi)),
+          path, files)
     }
-    val Array(xLo, xHi, yLo, yHi) = boundsRow.toSeq.map(_.asInstanceOf[Long]).toArray
-    df.withColumn("__z",
-        zorder2(normalize16(x, xLo, xHi), normalize16(y, yLo, yHi)))
+
+  /** Hilbert-curve sibling of [[writeZOrdered]]: same normalize →
+    * encode → range-partition → sorted write shape, with the
+    * jump-free [[hilbert2]] index in place of the Morton interleave —
+    * tighter worst-case per-file bounding boxes at the cost of a
+    * custom (still codegen'd) expression instead of pure built-ins. */
+  def writeHilbert(df: DataFrame, x: Column, y: Column,
+                   path: String, files: Int): Unit =
+    bounds2(df, x, y) match {
+      case None => df.write.mode("overwrite").parquet(path)
+      case Some((xLo, xHi, yLo, yHi)) =>
+        writeClusteredBy(df,
+          hilbert2(normalize16(x, xLo, xHi), normalize16(y, yLo, yHi)),
+          path, files)
+    }
+
+  /** [[writeHilbert]] + the stored skipping manifest, mirroring
+    * [[writeZOrderedWithManifest]] — [[scanPruned]] is curve-agnostic
+    * (it reads only the per-file stats), so Hilbert layouts plug into
+    * the same read path, append patching, and OPTIMIZE trigger. */
+  def writeHilbertWithManifest(df: DataFrame, x: Column, y: Column,
+                               path: String, files: Int,
+                               keyCols: Seq[String]): Unit = {
+    requireEncodingStablePath(path)
+    writeHilbert(df, x, y, path, files)
+    buildFileManifest(df.sparkSession, path, keyCols)
+      .write.mode("overwrite").parquet(s"$path/_graft_manifest")
+  }
+
+  /** Order-16 Hilbert curve index of two (pre-normalized, low 16
+    * bits) keys — see [[graft.functions.HilbertIndex2]] for why this
+    * is a native codegen'd expression rather than Column arithmetic. */
+  def hilbert2(x: Column, y: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.HilbertIndex2(
+        org.apache.spark.sql.GraftColumnBridge.expression(x),
+        org.apache.spark.sql.GraftColumnBridge.expression(y)))
+
+  /** The 4-scalar min/max bounds collect shared by both 2-D
+    * clustered writers; None when any bound is null (nothing to
+    * cluster). */
+  private def bounds2(df: DataFrame, x: Column,
+                      y: Column): Option[(Long, Long, Long, Long)] = {
+    val r = df.agg(min(x).cast("long"), max(x).cast("long"),
+        min(y).cast("long"), max(y).cast("long")).collect()(0)
+    if (r.anyNull) None
+    else Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+  }
+
+  /** The shared tail of every clustered writer: attach the layout
+    * code, range-partition on it so files tile the curve contiguously,
+    * sort within partitions, write. */
+  private def writeClusteredBy(df: DataFrame, code: Column,
+                               path: String, files: Int): Unit =
+    df.withColumn("__z", code)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
       .write.mode("overwrite").parquet(path)
-  }
 
   /** k-ary Morton code: bit-interleave `keys.length` non-negative
     * keys, `min(16, 48/k)` bits each (k=2,3 → 16 bits, k=4 → 12,
@@ -134,11 +184,7 @@ object Layout {
     val norm = keys.zipWithIndex.map { case (c, i) =>
       normalizeBits(c, b(2 * i), b(2 * i + 1), bits)
     }
-    df.withColumn("__z", zorderN(norm))
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
-      .write.mode("overwrite").parquet(path)
+    writeClusteredBy(df, zorderN(norm), path, files)
   }
 
   /** [[writeZOrderedWithManifest]] for k key columns: the k-ary

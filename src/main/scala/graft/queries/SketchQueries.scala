@@ -94,6 +94,18 @@ object SketchQueries {
       dir
     })
 
+  /** lineitem Hilbert-clustered on (partkey, suppkey) with its
+    * manifest — the jump-free-curve fixture; the read path is
+    * curve-agnostic, so the gate reuses scanPruned unchanged. */
+  private def hilbertLineitem(s: SparkSession, d: String): String =
+    prunedFixture.computeIfAbsent(s"$d#li_hilbert", _ => {
+      val dir = graft.Scratch.tempDir("graft_hli_") + "/lineitem"
+      Layout.writeHilbertWithManifest(t(s, d, "lineitem"),
+        col("l_partkey"), col("l_suppkey"), dir, files = 16,
+        keyCols = Seq("l_partkey", "l_suppkey"))
+      dir
+    })
+
   /** lineitem 3-D Z-ordered on (partkey, suppkey, orderkey) with a
     * three-key manifest — the k-ary interleave fixture; the gate
     * prunes on the THIRD key alone. */
@@ -911,6 +923,33 @@ object SketchQueries {
       Some("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
              |FROM documents WHERE lang BETWEEN 'de' AND 'es'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Hilbert-clustered pruned read: the jump-free curve in place of
+    // the Morton interleave (tighter worst-case per-file boxes — the
+    // Databricks liquid-clustering choice), served by the SAME
+    // curve-agnostic manifest consumer. The curve index itself is a
+    // native codegen'd Catalyst expression (the xy2d rotation loop
+    // cannot be Column arithmetic without exponential blow-up);
+    // LayoutSpec pins codegen ≡ interpreted ≡ an independent d2xy
+    // inverse plus the unit-step adjacency property. Oracle: the
+    // full-scan filter on the original table — pruned ≡ full scan,
+    // hash-matched, independent of the curve.
+    QueryDef("q_layout_hilbert_pruned",
+      (s, d) => {
+        val dir = hilbertLineitem(s, d)
+        Layout.scanPruned(s, dir,
+            Seq(Layout.KeyBox("l_partkey", 100L, 400L),
+              Layout.KeyBox("l_suppkey", 10L, 40L)))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+             |  round(sum(l_extendedprice), 2) AS revenue
+             |FROM lineitem
+             |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40
+             |GROUP BY 1 ORDER BY 1""".stripMargin), bench = true),
 
     // 3-D Z-order pruned read, box on the THIRD key only: the k-ary
     // interleave gives every file a compact box in ALL THREE key

@@ -593,6 +593,92 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("hilbert2: matches an independent d2xy inverse and walks in unit steps") {
+    // independent reference: the standard d2xy (curve distance →
+    // coordinates) walk — NOT the xy2d mirror the expression uses —
+    // so agreement is a round-trip through two different algorithms
+    def d2xy(d0: Long): (Long, Long) = {
+      var (x, y, t) = (0L, 0L, d0)
+      var s = 1L
+      while (s < 65536L) {
+        val rx = 1L & (t / 2)
+        val ry = 1L & (t ^ rx)
+        if (ry == 0L) {
+          if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+          val tmp = x; x = y; y = tmp
+        }
+        x += s * rx; y += s * ry
+        t /= 4
+        s *= 2
+      }
+      (x, y)
+    }
+    val ds = Seq(0L, 1L, 2L, 3L, 4L, 1000L, 65535L, 123456789L,
+      (1L << 32) - 1L, 999999999L)
+    val points = ds.map(d2xy)
+    // Spark-side xy2d over those coordinates must invert d2xy exactly
+    val got = points.toDF("x", "y")
+      .select(Layout.hilbert2(col("x"), col("y"))).as[Long].collect()
+    assert(got.toSeq === ds, s"xy2d does not invert d2xy: ${got.toSeq} vs $ds")
+    // the defining Hilbert property (what Morton lacks): consecutive
+    // curve positions are GRID NEIGHBORS — one coordinate changes by
+    // exactly 1. Sampled across seams where z-order teleports.
+    for (d <- Seq(0L, 3L, 15L, 255L, 65535L, 1048575L, 123456788L)) {
+      val (x1, y1) = d2xy(d); val (x2, y2) = d2xy(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"curve jumps between d=$d ($x1,$y1) and d+1 ($x2,$y2)")
+    }
+    // codegen and interpreted paths agree (the expression carries a
+    // hand-written doGenCode loop)
+    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val again = points.toDF("x", "y")
+        .select(Layout.hilbert2(col("x"), col("y"))).as[Long].collect()
+      assert(again.toSeq === ds)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+    // masking: >16-bit inputs use their low bits, like zorder2
+    assert(graft.functions.HilbertIndex2.xy2d(70000L, 3L) ===
+      graft.functions.HilbertIndex2.xy2d(70000L & 0xFFFF, 3L))
+  }
+
+  test("writeHilbertWithManifest: locality in both dims; pruned read stays exact") {
+    withTempDir("graft_hilbert_") { dir =>
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+      Layout.writeHilbertWithManifest(li, col("l_partkey"), col("l_suppkey"),
+        s"$dir/li", files = 16, keyCols = Seq("l_partkey", "l_suppkey"))
+      val back = spark.read.parquet(s"$dir/li")
+      assert(back.count() === li.count())
+      // per-file bounding boxes compact in BOTH dimensions — the same
+      // bound the Z-order spec pins, met by the jump-free curve too
+      val stats = back.withColumn("f", input_file_name())
+        .groupBy("f")
+        .agg((max("l_partkey") - min("l_partkey")).as("xr"),
+          (max("l_suppkey") - min("l_suppkey")).as("yr"))
+        .agg(avg("xr"), avg("yr")).as[(Double, Double)].head()
+      val (gx, gy) = li.agg(max("l_partkey") - min("l_partkey"),
+        max("l_suppkey") - min("l_suppkey")).as[(Long, Long)].head()
+      val (fx, fy) = (stats._1 / gx, stats._2 / gy)
+      assert(fx < 0.6 && fy < 0.6,
+        f"per-file range fractions x=$fx%.2f y=$fy%.2f — no locality")
+      // the curve-agnostic read path: prune off the stored manifest,
+      // equality with the full-scan filter
+      val pruned = Layout.scanPruned(spark, s"$dir/li",
+        Seq(Layout.KeyBox("l_partkey", 20L, 60L),
+          Layout.KeyBox("l_suppkey", 2L, 5L)))
+      assert(pruned.inputFiles.length < back.inputFiles.length,
+        "hilbert manifest pruned nothing")
+      val full = back.filter(
+        col("l_partkey").between(20, 60) && col("l_suppkey").between(2, 5))
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(pruned.count() > 0)
+      assert(pruned.collect().map(key).sorted.toSeq ===
+        full.collect().map(key).sorted.toSeq)
+    }
+  }
+
   test("writeZOrdered on an empty frame still writes a readable parquet dir") {
     val empty = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select("l_partkey", "l_suppkey").filter(lit(false))
