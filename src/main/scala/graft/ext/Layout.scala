@@ -91,10 +91,21 @@ object Layout {
     * the same read path, append patching, and OPTIMIZE trigger. */
   def writeHilbertWithManifest(df: DataFrame, x: Column, y: Column,
                                path: String, files: Int,
-                               keyCols: Seq[String]): Unit = {
+                               keyCols: Seq[String]): Unit =
+    withStoredManifest(df.sparkSession, path, keyCols) {
+      writeHilbert(df, x, y, path, files)
+    }
+
+  /** The shared manifest-carrying write tail: validate the path,
+    * run the clustered write, build and store the stats — one place,
+    * so the manifest contract cannot fork between the Z-order, k-ary,
+    * and Hilbert writers. */
+  private def withStoredManifest(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, keyCols: Seq[String])
+                                (doWrite: => Unit): Unit = {
     requireEncodingStablePath(path)
-    writeHilbert(df, x, y, path, files)
-    buildFileManifest(df.sparkSession, path, keyCols)
+    doWrite
+    buildFileManifest(spark, path, keyCols)
       .write.mode("overwrite").parquet(s"$path/_graft_manifest")
   }
 
@@ -191,12 +202,10 @@ object Layout {
     * clustered write plus the stored per-file skipping stats. */
   def writeZOrderedNWithManifest(df: DataFrame, keys: Seq[Column],
                                  path: String, files: Int,
-                                 keyCols: Seq[String]): Unit = {
-    requireEncodingStablePath(path)
-    writeZOrderedN(df, keys, path, files)
-    buildFileManifest(df.sparkSession, path, keyCols)
-      .write.mode("overwrite").parquet(s"$path/_graft_manifest")
-  }
+                                 keyCols: Seq[String]): Unit =
+    withStoredManifest(df.sparkSession, path, keyCols) {
+      writeZOrderedN(df, keys, path, files)
+    }
 
   /** An inclusive value interval `[lo, hi]` on a manifest key column
     * — the predicate shape file-skipping can act on. Two concrete
@@ -405,12 +414,10 @@ object Layout {
     * with [[buildFileManifest]]). */
   def writeZOrderedWithManifest(df: DataFrame, x: Column, y: Column,
                                 path: String, files: Int,
-                                keyCols: Seq[String]): Unit = {
-    requireEncodingStablePath(path)
-    writeZOrdered(df, x, y, path, files)
-    buildFileManifest(df.sparkSession, path, keyCols)
-      .write.mode("overwrite").parquet(s"$path/_graft_manifest")
-  }
+                                keyCols: Seq[String]): Unit =
+    withStoredManifest(df.sparkSession, path, keyCols) {
+      writeZOrdered(df, x, y, path, files)
+    }
 
   /** Load the stored skipping manifest of a
     * [[writeZOrderedWithManifest]] directory. */

@@ -94,6 +94,27 @@ object SketchQueries {
       dir
     })
 
+  /** The shared pruned-read gate shape — identical box, aggregation,
+    * and oracle — parameterized on which clustered fixture serves it:
+    * "same read contract, different curve" stated directly, so a box
+    * or rounding change cannot silently decouple the two gates. */
+  private def prunedReadFn(fixture: (SparkSession, String) => String)
+      : (SparkSession, String) => DataFrame = (s, d) =>
+    Layout.scanPruned(s, fixture(s, d),
+        Seq(Layout.KeyBox("l_partkey", 100L, 400L),
+          Layout.KeyBox("l_suppkey", 10L, 40L)))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice")), 2).as("revenue"))
+      .orderBy("l_returnflag")
+
+  private val prunedReadOracle =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  round(sum(l_extendedprice), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** lineitem Hilbert-clustered on (partkey, suppkey) with its
     * manifest — the jump-free-curve fixture; the read path is
     * curve-agnostic, so the gate reuses scanPruned unchanged. */
@@ -841,22 +862,8 @@ object SketchQueries {
     // proof obligation that pruned read ≡ full scan + filter.
     // LayoutSpec additionally asserts the pruned plan reads strictly
     // fewer files than the full scan.
-    QueryDef("q_layout_pruned_read",
-      (s, d) => {
-        val zdir = zorderedLineitem(s, d)
-        Layout.scanPruned(s, zdir,
-            Seq(Layout.KeyBox("l_partkey", 100L, 400L),
-              Layout.KeyBox("l_suppkey", 10L, 40L)))
-          .groupBy("l_returnflag")
-          .agg(count(lit(1)).as("n_rows"),
-            round(sum(col("l_extendedprice")), 2).as("revenue"))
-          .orderBy("l_returnflag")
-      },
-      Some("""SELECT l_returnflag, count(*) AS n_rows,
-             |  round(sum(l_extendedprice), 2) AS revenue
-             |FROM lineitem
-             |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40
-             |GROUP BY 1 ORDER BY 1""".stripMargin), bench = true),
+    QueryDef("q_layout_pruned_read", prunedReadFn(zorderedLineitem),
+      Some(prunedReadOracle), bench = true),
 
     // Date-box pruned read — the time-range scan, THE most common
     // skipping predicate on a 100 TB fact table: lineitem is written
@@ -934,22 +941,8 @@ object SketchQueries {
     // inverse plus the unit-step adjacency property. Oracle: the
     // full-scan filter on the original table — pruned ≡ full scan,
     // hash-matched, independent of the curve.
-    QueryDef("q_layout_hilbert_pruned",
-      (s, d) => {
-        val dir = hilbertLineitem(s, d)
-        Layout.scanPruned(s, dir,
-            Seq(Layout.KeyBox("l_partkey", 100L, 400L),
-              Layout.KeyBox("l_suppkey", 10L, 40L)))
-          .groupBy("l_returnflag")
-          .agg(count(lit(1)).as("n_rows"),
-            round(sum(col("l_extendedprice")), 2).as("revenue"))
-          .orderBy("l_returnflag")
-      },
-      Some("""SELECT l_returnflag, count(*) AS n_rows,
-             |  round(sum(l_extendedprice), 2) AS revenue
-             |FROM lineitem
-             |WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 40
-             |GROUP BY 1 ORDER BY 1""".stripMargin), bench = true),
+    QueryDef("q_layout_hilbert_pruned", prunedReadFn(hilbertLineitem),
+      Some(prunedReadOracle), bench = true),
 
     // 3-D Z-order pruned read, box on the THIRD key only: the k-ary
     // interleave gives every file a compact box in ALL THREE key

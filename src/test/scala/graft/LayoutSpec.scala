@@ -12,6 +12,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class LayoutSpec extends AnyFunSuite with SharedSpark {
   import spark.implicits._
 
+  /** Per-file average (x, y) range as a fraction of each key's global
+    * range — the locality metric both clustered-writer specs pin: a
+    * curve layout should tile compact rectangles (both fractions well
+    * under 1), where a single-column sort leaves one dim at ~1.0. */
+  private def rangeFractions2(written: org.apache.spark.sql.DataFrame,
+                              src: org.apache.spark.sql.DataFrame,
+                              xCol: String, yCol: String): (Double, Double) = {
+    val stats = written.withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg((max(xCol) - min(xCol)).as("xr"), (max(yCol) - min(yCol)).as("yr"))
+      .agg(avg("xr"), avg("yr")).as[(Double, Double)].head()
+    val (gx, gy) = src.agg(max(xCol) - min(xCol), max(yCol) - min(yCol))
+      .as[(Long, Long)].head()
+    (stats._1 / gx, stats._2 / gy)
+  }
+
   private def mortonRef(x: Long, y: Long): Long = {
     var z = 0L
     for (i <- 0 until 16) {
@@ -39,20 +55,10 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       val back = spark.read.parquet(dir)
       assert(back.count() == li.count())
       // per-file bounding boxes: with a z-layout each of the 16 files
-      // should span a small fraction of each key's global range; a
-      // single-column sort would give ~1/16 on one dim and ~1.0 on
-      // the other
-      val stats = back.withColumn("f", input_file_name())
-        .groupBy("f")
-        .agg((max("l_partkey") - min("l_partkey")).as("xr"),
-             (max("l_suppkey") - min("l_suppkey")).as("yr"))
-        .agg(avg("xr"), avg("yr")).as[(Double, Double)].head()
-      val (gx, gy) = li.agg(max("l_partkey") - min("l_partkey"),
-        max("l_suppkey") - min("l_suppkey")).as[(Long, Long)].head()
-      // 16 files ≈ a 4x4 grid over the normalized square: both
-      // fractions should sit near 1/4; a single-column sort reads
-      // ~1/16 on one dim and ~1.0 on the other
-      val (fx, fy) = (stats._1 / gx, stats._2 / gy)
+      // should span a small fraction of each key's global range —
+      // 16 files ≈ a 4x4 grid over the normalized square, so both
+      // fractions should sit near 1/4
+      val (fx, fy) = rangeFractions2(back, li, "l_partkey", "l_suppkey")
       assert(fx < 0.6 && fy < 0.6,
         f"per-file range fractions x=$fx%.2f y=$fy%.2f — no locality")
       assert(fx + fy < 1.0,
@@ -628,18 +634,31 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
         s"curve jumps between d=$d ($x1,$y1) and d+1 ($x2,$y2)")
     }
-    // codegen and interpreted paths agree (the expression carries a
-    // hand-written doGenCode loop)
-    val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
-    spark.conf.set("spark.sql.codegen.fallback", "false")
-    try {
-      val again = points.toDF("x", "y")
-        .select(Layout.hilbert2(col("x"), col("y"))).as[Long].collect()
-      assert(again.toSeq === ds)
-    } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
-    // masking: >16-bit inputs use their low bits, like zorder2
-    assert(graft.functions.HilbertIndex2.xy2d(70000L, 3L) ===
-      graft.functions.HilbertIndex2.xy2d(70000L & 0xFFFF, 3L))
+    // codegen and interpreted paths agree — driven through PARQUET,
+    // not a LocalRelation (ConvertToLocalRelation would evaluate the
+    // expression interpreted at optimization time and never compile
+    // the hand-written doGenCode loop), with >16-bit inputs so the
+    // GENERATED mask is exercised too, and fallback off so a broken
+    // loop fails instead of silently interpreting
+    withTempDir("graft_hilbert_cg_") { dir =>
+      val wide = points ++ Seq((70000L, 3L), (40000L, 70000L), (65536L, 0L))
+      wide.toDF("x", "y").write.mode("overwrite").parquet(s"$dir/pts")
+      val prevFallback = spark.conf.get("spark.sql.codegen.fallback", "true")
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      try {
+        val frame = spark.read.parquet(s"$dir/pts")
+          .select(col("x"), col("y"),
+            Layout.hilbert2(col("x"), col("y")).as("h"))
+        // the expression must sit INSIDE a whole-stage codegen stage
+        val plan = frame.queryExecution.executedPlan.toString
+        assert(plan.contains("*(1) Project [") &&
+          plan.toLowerCase.contains("hilbertindex2"), plan)
+        for (r <- frame.collect())
+          assert(r.getLong(2) ===
+            graft.functions.HilbertIndex2.xy2d(r.getLong(0), r.getLong(1)),
+            s"codegen diverged from the mirror at (${r.getLong(0)}, ${r.getLong(1)})")
+      } finally spark.conf.set("spark.sql.codegen.fallback", prevFallback)
+    }
   }
 
   test("writeHilbertWithManifest: locality in both dims; pruned read stays exact") {
@@ -652,14 +671,7 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       assert(back.count() === li.count())
       // per-file bounding boxes compact in BOTH dimensions — the same
       // bound the Z-order spec pins, met by the jump-free curve too
-      val stats = back.withColumn("f", input_file_name())
-        .groupBy("f")
-        .agg((max("l_partkey") - min("l_partkey")).as("xr"),
-          (max("l_suppkey") - min("l_suppkey")).as("yr"))
-        .agg(avg("xr"), avg("yr")).as[(Double, Double)].head()
-      val (gx, gy) = li.agg(max("l_partkey") - min("l_partkey"),
-        max("l_suppkey") - min("l_suppkey")).as[(Long, Long)].head()
-      val (fx, fy) = (stats._1 / gx, stats._2 / gy)
+      val (fx, fy) = rangeFractions2(back, li, "l_partkey", "l_suppkey")
       assert(fx < 0.6 && fy < 0.6,
         f"per-file range fractions x=$fx%.2f y=$fy%.2f — no locality")
       // the curve-agnostic read path: prune off the stored manifest,
