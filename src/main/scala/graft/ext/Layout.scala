@@ -300,13 +300,20 @@ object Layout {
     // integral stats normalize to long (so a manifest built over int
     // data appends cleanly onto one built over bigint data); date /
     // timestamp / string stats keep their own type — the stat column's
-    // type is what tells scanPruned how to decode a box bound
-    def stats(k: String): Seq[Column] =
-      if (isIntegral(df.schema(k).dataType))
-        Seq(min(col(k)).cast("long").as(s"min_$k"),
-          max(col(k)).cast("long").as(s"max_$k"))
-      else
-        Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k"))
+    // type is what tells scanPruned how to decode a box bound. The
+    // per-key null count (Iceberg's null_value_counts) is what lets
+    // [[deleteWhere]] PROVE a file fully deletable without reading it:
+    // min/max ignore nulls, so a range-covered file could still hold
+    // null-key rows a value predicate must not delete.
+    def stats(k: String): Seq[Column] = {
+      val mm =
+        if (isIntegral(df.schema(k).dataType))
+          Seq(min(col(k)).cast("long").as(s"min_$k"),
+            max(col(k)).cast("long").as(s"max_$k"))
+        else
+          Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k"))
+      mm :+ (count(lit(1)) - count(col(k))).as(s"nulls_$k")
+    }
     df.groupBy(input_file_name().as("file"))
       .agg(count(lit(1)).as("n_rows"), keyCols.flatMap(stats): _*)
   }
