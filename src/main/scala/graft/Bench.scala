@@ -309,11 +309,27 @@ object Bench {
       def outlier(k: String, s: Sample): Boolean =
         s.ok && priorMedians.get(k).exists(p =>
           s.median > 2 * p && s.median - p > 0.3)
-      val suspects = adjudicated.collect { case (k, s, _, _) if outlier(k, s) => k }
+      // fleet-wide inflation trigger: one query 1.4x over its prior
+      // is noise, but MANY simultaneously is the hypervisor-
+      // contention signature (r12 shipped 15 rows at 1.3-1.7x, each
+      // individually under the 2x single-query bar) — when enough
+      // mild suspects coincide, re-measure them all on a settled box
+      def mild(k: String, s: Sample): Boolean =
+        s.ok && priorMedians.get(k).exists(p =>
+          s.median > 1.3 * p && s.median - p > 0.15)
+      val mildSet = adjudicated.collect { case (k, s, _, _) if mild(k, s) => k }
+      val fleetwide = mildSet.size >= 8
+      if (fleetwide)
+        System.err.println(
+          s"[bench] cross-round guard: FLEET-WIDE inflation — ${mildSet.size} queries " +
+            ">1.3x prior simultaneously, treating all as contention suspects")
+      val suspects = adjudicated.collect {
+        case (k, s, _, _) if outlier(k, s) || (fleetwide && mildSet.contains(k)) => k
+      }
       if (suspects.isEmpty) adjudicated
       else {
         System.err.println(
-          s"[bench] cross-round guard: ${suspects.size} queries >2x their prior-round medians " +
+          s"[bench] cross-round guard: ${suspects.size} queries over their prior-round medians " +
             s"(${suspects.map(k => f"$k ${priorMedians(k)}%.3f->?").mkString(", ")}), re-measuring")
         var attempts = 0
         var degraded = canaryDegraded()

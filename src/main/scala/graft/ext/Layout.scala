@@ -45,8 +45,7 @@ object Layout {
     * Pure integer arithmetic — `(c - lo) * 65535 / (hi - lo)` with
     * floor division — so it re-derives in any engine. */
   def normalize16(c: Column, lo: Long, hi: Long): Column =
-    if (hi == lo) lit(0L)
-    else call_function("div", (c - lit(lo)) * 65535L, lit(hi - lo))
+    normalizeBits(c, lo, hi, 16)
 
   /** Write `df` clustered by the Morton code of two key columns:
     * min-max normalize both keys to 16 bits (one tiny agg; the 4
@@ -168,10 +167,32 @@ object Layout {
   def zorderBits(k: Int): Int = math.min(16, 48 / k)
 
   /** [[normalize16]] generalized to a `bits`-wide target domain —
-    * the per-key scaling step for [[zorderN]]. */
+    * the per-key scaling step for [[zorderN]]. The naive
+    * `(c - lo) * (2^bits - 1) / (hi - lo)` overflows long once the
+    * key RANGE exceeds ~2^(63-bits) (e.g. epoch-micros spanning more
+    * than ~4.5 years at bits=16), and under ANSI that fails every
+    * clustered write loudly — so when the exact product cannot fit,
+    * both the offset key and the range are right-shifted first. The
+    * dropped low bits carry no information at a 2^bits resolution
+    * (the quotient needs only the top `bits` bits of the offset), the
+    * mapping stays monotone and lands in [0, 2^bits), and for every
+    * range below the cliff (s = 0) the arithmetic is bit-identical to
+    * the naive form. A range that itself exceeds the signed-long
+    * domain (hi - lo overflows) has no integer encoding here and is
+    * rejected loudly. */
   def normalizeBits(c: Column, lo: Long, hi: Long, bits: Int): Column =
     if (hi == lo) lit(0L)
-    else call_function("div", (c - lit(lo)) * lit((1L << bits) - 1), lit(hi - lo))
+    else {
+      val d = hi - lo
+      require(d > 0,
+        s"normalizeBits: key range [$lo, $hi] exceeds the signed-long domain")
+      val m = (1L << bits) - 1
+      // smallest shift making (d >> s) * m overflow-free: the shifted
+      // range must fit in 63 - bits bits
+      val s = math.max(0, (64 - java.lang.Long.numberOfLeadingZeros(d)) - (63 - bits))
+      call_function("div",
+        shiftright(c - lit(lo), s) * lit(m), lit(d >> s))
+    }
 
   /** [[writeZOrdered]] for k ≥ 2 key columns: min-max normalize each
     * key onto the interleave domain (one tiny bounds agg → plan
@@ -374,7 +395,21 @@ object Layout {
       .filterNot(before)
     if (newFiles.isEmpty) return
     val delta = manifestOf(spark.read.parquet(newFiles: _*), keyCols)
-    val updated = existing.unionByName(delta)
+    // format migration: a manifest stored before the per-key
+    // null-count stats existed lacks the nulls_<k> columns; widen its
+    // rows with NULL ("unknown") rather than fail the append or
+    // rescan old data to backfill. The only consumer of nulls_<k> is
+    // [[deleteWhere]]'s fully-deletable proof, which treats unknown
+    // conservatively (the file is demoted to the rewrite path), so
+    // the migrated manifest stays correct — just less metadata-only
+    // on deletes until a rewrite refreshes its rows. The union stays
+    // STRICT: any other column mismatch is still a loud error, not a
+    // silently-null column
+    val migrated = keyCols.foldLeft(existing) { (m, k) =>
+      if (m.columns.contains(s"nulls_$k")) m
+      else m.withColumn(s"nulls_$k", lit(null).cast("long"))
+    }
+    val updated = migrated.unionByName(delta)
       .localCheckpoint(true)
     // replace the manifest via temp-dir + rename, not a direct
     // mode("overwrite") of its own source: overwrite deletes before it
@@ -472,19 +507,18 @@ object Layout {
     * are never opened); at very large file counts a pipeline that
     * maintains the manifest exclusively through the two writers
     * here may disable it. */
-  def scanPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
-                 manifest: DataFrame, boxes: Seq[PruneBox],
-                 verifyCoverage: Boolean = true): DataFrame = {
-    require(boxes.nonEmpty, "scanPruned needs at least one key box")
-    // each box's bounds decode against the TYPE the manifest stored
-    // for that key: long stats take KeyBox's long bounds verbatim;
-    // date/timestamp/string stats cast TypedKeyBox's string bounds to
-    // the stat type (constant-folded to typed literals, so the
-    // residual still pushes down to the surviving parquet scans). A
-    // box whose form does not match the stored stat type is a loud
-    // error — long bounds against a date column (or vice versa) would
-    // otherwise compare as null and skip every file.
-    val mSchema = manifest.schema
+  /** Decode a box's bounds against the TYPE the manifest stored for
+    * its key: long stats take [[KeyBox]]'s long bounds verbatim;
+    * date / timestamp / string stats cast [[TypedKeyBox]]'s string
+    * bounds to the stat type (constant-folded to typed literals, so
+    * residual predicates still push down to the parquet scans). A
+    * box whose form does not match the stored stat type is a loud
+    * error — long bounds against a date column (or vice versa) would
+    * otherwise compare as null and skip every file. Shared by the
+    * manifest CONSUMERS ([[scanPruned]], [[deleteWhere]]) so the
+    * read and delete sides cannot drift on bound semantics. */
+  private def decodeBounds(mSchema: org.apache.spark.sql.types.StructType,
+                           b: PruneBox): (Column, Column) = {
     def statType(c: String): org.apache.spark.sql.types.DataType = {
       require(mSchema.fieldNames.contains(s"min_$c"),
         s"manifest has no stats for key $c (stored keys: " +
@@ -493,7 +527,7 @@ object Layout {
           }.mkString(", ") + ")")
       mSchema(s"min_$c").dataType
     }
-    def bounds(b: PruneBox): (Column, Column) = b match {
+    b match {
       case KeyBox(c, lo, hi) =>
         require(statType(c) == org.apache.spark.sql.types.LongType,
           s"KeyBox on $c has long bounds but the manifest stores " +
@@ -506,6 +540,14 @@ object Layout {
             s"manifest stores $t — use KeyBox with long bounds")
         (lit(lo).cast(t), lit(hi).cast(t))
     }
+  }
+
+  def scanPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 manifest: DataFrame, boxes: Seq[PruneBox],
+                 verifyCoverage: Boolean = true): DataFrame = {
+    require(boxes.nonEmpty, "scanPruned needs at least one key box")
+    val mSchema = manifest.schema
+    def bounds(b: PruneBox): (Column, Column) = decodeBounds(mSchema, b)
     val skip = boxes.map { b =>
       val (lo, hi) = bounds(b)
       col(s"max_${b.column}") < lo || col(s"min_${b.column}") > hi
@@ -564,6 +606,214 @@ object Layout {
         .parquet(survivors.toIndexedSeq: _*).where(residual)
   }
 
+  /** Per-file outcome counts of a [[deleteWhere]] call. `rowsDeleted`
+    * is derived from the manifest's own row counts (dropped files'
+    * `n_rows` plus the rewritten files' before/after delta) — no
+    * extra counting pass over the data. */
+  final case class DeleteStats(filesDropped: Int, filesRewritten: Int,
+                               rowsDeleted: Long)
+
+  /** Delete every row matching ALL `boxes` (the same conjunctive
+    * interval predicate [[scanPruned]] reads by) from a
+    * manifest-carrying directory — the lifecycle's delete verb
+    * (write → append → compact → recluster → DELETE), the shape of a
+    * GDPR / retention purge on a 100 TB lakehouse table. The manifest
+    * makes most of the work metadata-only, exactly as Delta/Iceberg
+    * plan deletes:
+    *
+    *  - a file whose per-key ranges are COVERED by every box
+    *    (`lo ≤ min ∧ max ≤ hi`) and whose `nulls_<k>` count is 0 for
+    *    every box key is PROVED fully deletable and dropped without
+    *    ever being opened — min/max ignore nulls, so without the
+    *    null-count stat a range-covered file could still hold
+    *    null-key rows a value predicate must not delete. A null
+    *    `nulls_<k>` (a manifest written before the null-count stats
+    *    existed — see [[appendWithManifest]]'s migration note) is
+    *    "unknown" and conservatively demotes the file to the rewrite
+    *    path;
+    *  - a file DISJOINT from any box (`max < lo ∨ min > hi`, or
+    *    all-null stats — a null key never matches a value interval)
+    *    is untouched, its manifest row kept verbatim;
+    *  - the remaining PARTIALLY-covered files are rewritten keeping
+    *    `NOT coalesce(pred, false)` — null-key rows survive, matching
+    *    SQL `DELETE WHERE`'s three-valued semantics — with each
+    *    source file's survivors hash-co-located into its own output
+    *    partition so the layout's clustering degrades no further
+    *    than the rewritten files themselves.
+    *
+    * Driver work is one manifest-sized classification collect (the
+    * same bound as [[scanPruned]] planning) plus file-count-sized
+    * listings. The rewrite is one job over ONLY the partial files.
+    *
+    * In-place mutation discipline (new data commits before old data
+    * or metadata is destroyed, manifest replaced last via the
+    * temp-dir + rename path): survivors are written under an
+    * `_`-prefixed scratch dir (invisible to data reads), MOVED into
+    * the directory, and only then are the old partial + covered
+    * files deleted and the manifest patched (rows for removed files
+    * dropped, stats rows for the new files appended — computed from
+    * one delta pass over just the new files). Every crash window
+    * degrades loudly, never silently: before the moves the directory
+    * is unchanged; between move and old-file delete the default
+    * `verifyCoverage` on any later read flags the uncovered new
+    * files (duplicate rows are PRESENT but unreadable-by-default,
+    * not silently served); between old-file delete and manifest
+    * replace, a pruned read that selects a removed file fails on the
+    * missing path. Re-running the same deleteWhere after a crash
+    * converges: already-deleted files are simply absent.
+    *
+    * Flat directories only, like [[compact]] — a hive-partitioned
+    * dataset deletes per partition directory (its partition values
+    * live in path segments the rewrite would have to re-derive). */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  boxes: Seq[PruneBox],
+                  verifyCoverage: Boolean = true): DeleteStats = {
+    require(boxes.nonEmpty, "deleteWhere needs at least one key box")
+    requireEncodingStablePath(dir)
+    val hDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.listStatus(hDir).exists(st =>
+        st.isDirectory && !st.getPath.getName.startsWith("_")),
+      s"deleteWhere expects a flat parquet directory; $dir has partition " +
+        "subdirectories — delete per partition directory instead")
+    val manifest = loadManifest(spark, dir)
+    val mSchema = manifest.schema
+    val keyCols = mSchema.fieldNames.collect {
+      case c if c.startsWith("min_") => c.stripPrefix("min_")
+    }.toSeq
+    val boundsOf = boxes.map(b => b -> decodeBounds(mSchema, b)).toMap
+    // a file is DROPPABLE only when every box PROVES full coverage —
+    // range inside the box AND zero null keys; any null verdict
+    // (null stats, unknown null counts) falls through to false. A
+    // pre-nulls-format manifest has NO nulls_<k> column at all —
+    // substitute the "unknown" literal so every file demotes to the
+    // rewrite path instead of failing column resolution
+    def nullsOf(k: String): Column =
+      if (mSchema.fieldNames.contains(s"nulls_$k")) col(s"nulls_$k")
+      else lit(null).cast("long")
+    val covered = boxes.map { b =>
+      val (lo, hi) = boundsOf(b)
+      col(s"min_${b.column}") >= lo && col(s"max_${b.column}") <= hi &&
+        nullsOf(b.column) === 0L
+    }.reduce(_ && _)
+    // DISJOINT mirrors scanPruned's skip predicate exactly (null
+    // stats ⇒ all-null key ⇒ no row can match a value interval)
+    val disjoint = boxes.map { b =>
+      val (lo, hi) = boundsOf(b)
+      coalesce(col(s"max_${b.column}") < lo || col(s"min_${b.column}") > hi,
+        lit(true))
+    }.reduce(_ || _)
+    val verdicts = manifest.select(col("file"), col("n_rows"),
+        coalesce(covered, lit(false)).as("covered"), disjoint.as("disjoint"))
+      .collect()
+    val dropFiles = verdicts.filter(_.getBoolean(2))
+      .map(r => r.getString(0) -> r.getLong(1))
+    val rewriteFiles = verdicts
+      .filter(r => !r.getBoolean(2) && !r.getBoolean(3))
+      .map(r => r.getString(0) -> r.getLong(1))
+    lazy val dirFrame = spark.read.parquet(dir)
+    if (verifyCoverage) {
+      // same contract as scanPruned's check, sharper consequence: a
+      // non-empty file the manifest misses would KEEP its matching
+      // rows — a silent delete violation, not just a dropped read
+      val listed = dirFrame.inputFiles
+      listed.foreach(requireEncodingStablePath)
+      val known = verdicts.map(_.getString(0)).toSet
+      val uncovered = listed.filterNot(known)
+      if (uncovered.nonEmpty) {
+        val hasRows = spark.read.schema(dirFrame.schema)
+          .parquet(uncovered.toIndexedSeq: _*).head(1).nonEmpty
+        require(!hasRows,
+          s"manifest does not cover ${uncovered.length} data file(s) in " +
+            s"$dir, at least one non-empty (out-of-band append?) — " +
+            s"their matching rows would survive the delete; uncovered: " +
+            uncovered.take(3).mkString(", "))
+      }
+    }
+    if (dropFiles.isEmpty && rewriteFiles.isEmpty)
+      return DeleteStats(0, 0, 0L)
+    // rewrite FIRST: new data must be durable before anything old is
+    // destroyed. The keep predicate is the null-safe negation of the
+    // box conjunction; hashing on the source file name gives each
+    // partial file its own output partition (modulo benign hash
+    // collisions), so a clustered layout's surviving files keep
+    // their tight key ranges
+    var newFiles = Seq.empty[String]
+    var newRows = 0L
+    if (rewriteFiles.nonEmpty) {
+      val pred = boxes.map { b =>
+        val (lo, hi) = boundsOf(b)
+        col(b.column).between(lo, hi)
+      }.reduce(_ && _)
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/_graft_delete_tmp")
+      val before = dirFrame.inputFiles.toSet
+      spark.read.parquet(rewriteFiles.map(_._1).toIndexedSeq: _*)
+        .withColumn("__graft_src", input_file_name())
+        .where(!coalesce(pred, lit(false)))
+        .repartition(rewriteFiles.length, col("__graft_src"))
+        .drop("__graft_src")
+        .write.mode("overwrite").parquet(tmp.toString)
+      for (st <- fs.listStatus(tmp) if st.isFile;
+           n = st.getPath.getName if !n.startsWith("_") && !n.startsWith(".")) {
+        val dest = new org.apache.hadoop.fs.Path(hDir, n)
+        require(!fs.exists(dest), s"deleteWhere: target $dest already exists")
+        require(fs.rename(st.getPath, dest),
+          s"deleteWhere: failed to move $n into $dir")
+      }
+      fs.delete(tmp, true)
+      // re-list through spark.read (not the raw fs listing) so the
+      // new manifest rows carry the exact URI spelling every other
+      // manifest entry uses — the appendWithManifest discipline
+      newFiles = spark.read.parquet(dir).inputFiles.toSeq.filterNot(before)
+    }
+    val delta =
+      if (newFiles.isEmpty) None
+      else {
+        val d = manifestOf(spark.read.parquet(newFiles: _*), keyCols)
+          .localCheckpoint(true)
+        // coalesce: an all-empty rewrite leaves only zero-row part
+        // files, whose delta manifest is empty (sum → null)
+        newRows = d.agg(coalesce(sum("n_rows"), lit(0L)))
+          .collect()(0).getLong(0)
+        Some(d)
+      }
+    // destroy old data only now: covered files drop unopened (the
+    // whole point of the null-count stats), partial files are
+    // superseded by their just-committed survivors
+    for ((f, _) <- dropFiles ++ rewriteFiles) {
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      require(fs.delete(p, false) || !fs.exists(p),
+        s"deleteWhere: failed to delete $f")
+    }
+    // manifest last, via the same temp-dir + rename replace as
+    // appendWithManifest; the kept rows anti-join against the
+    // removed set (file-count-sized broadcast, never an IN-literal
+    // explosion on big manifests)
+    import spark.implicits._
+    val removedDf = (dropFiles ++ rewriteFiles).map(_._1).toSeq.toDF("file")
+    val kept = manifest.join(broadcast(removedDf), Seq("file"), "left_anti")
+    // same pre-nulls-format migration as appendWithManifest: kept
+    // old-format rows widen with "unknown" null counts so the strict
+    // union against the new-format delta rows cannot throw
+    val keptMigrated = keyCols.foldLeft(kept) { (m, k) =>
+      if (m.columns.contains(s"nulls_$k")) m
+      else m.withColumn(s"nulls_$k", lit(null).cast("long"))
+    }
+    val updated = delta.fold(keptMigrated)(keptMigrated.unionByName(_))
+      .localCheckpoint(true)
+    val mfPath = new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest")
+    val tmpMf = new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest_tmp")
+    updated.write.mode("overwrite").parquet(tmpMf.toString)
+    Checkpoints.unpersist(updated)
+    delta.foreach(Checkpoints.unpersist)
+    require(fs.delete(mfPath, true) || !fs.exists(mfPath),
+      s"failed to remove the old manifest at $mfPath before replacing it")
+    require(fs.rename(tmpMf, mfPath),
+      s"failed to move the updated manifest into place at $mfPath")
+    DeleteStats(dropFiles.length, rewriteFiles.length,
+      dropFiles.map(_._2).sum + rewriteFiles.map(_._2).sum - newRows)
+  }
+
   /** Clustering-depth profile over a skipping manifest: for each
     * boundary of the per-file `[min_<key>, max_<key>+1)` intervals,
     * the running interval count = how many files a point lookup on
@@ -575,7 +825,9 @@ object Layout {
     * key never serves a point lookup. Date / timestamp stats sweep in
     * their natural integer domain (epoch days / micros — `pos` is
     * reported in that encoding); string stats have no successor
-    * function and are rejected loudly. Returns `(pos, net, depth)`. */
+    * function and are rejected loudly — use
+    * [[clusteringDepthBoundaries]], the successor-free sweep over the
+    * observed value domain. Returns `(pos, net, depth)`. */
   def clusteringDepth(manifest: DataFrame, key: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
@@ -600,17 +852,63 @@ object Layout {
         Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)))
   }
 
+  /** [[clusteringDepth]] for keys with NO integer successor — string
+    * stats, where `max + 1` has no meaning. The sweep instead runs
+    * over the OBSERVED boundary domain: every distinct `min`/`max`
+    * value across the manifest gets a dense rank, and each file's
+    * interval opens at `rank(min)` and closes AFTER `rank(max)` —
+    * the `+1` that needed a successor now lives in rank space, where
+    * one always exists. Depth at every observed value is exact, and
+    * the maximum over observed values IS the global maximum: a point
+    * strictly between two adjacent boundaries is covered only by
+    * files whose intervals also cover the boundary below it, so its
+    * depth can never exceed that boundary's. Same file-count-sized
+    * cost profile as the integer sweep (the deliberately
+    * unpartitioned windows run on the stats frame, never the data).
+    * Returns `(value, net, depth)` — `value` is the boundary string
+    * itself, so a reader can name the hot key range directly. */
+  def clusteringDepthBoundaries(manifest: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = manifest.select(col(s"min_$key").as("value"))
+      .unionAll(manifest.select(col(s"max_$key")))
+      .filter(col("value").isNotNull).distinct()
+      .withColumn("pos", dense_rank().over(Window.orderBy("value")))
+    val valid = manifest.filter(col(s"min_$key").isNotNull)
+    val bounds = valid
+      .join(ranked, valid(s"min_$key") === ranked("value"))
+      .select(col("pos"), lit(1L).as("delta"))
+      .unionAll(valid
+        .join(ranked, valid(s"max_$key") === ranked("value"))
+        .select((col("pos") + 1).as("pos"), lit(-1L).as("delta")))
+      // zero-delta seed for EVERY observed rank: a value appearing
+      // only as some file's max has no delta of its own at its rank
+      // (the close lands one past it) but still needs a depth row
+      .unionAll(ranked.select(col("pos"), lit(0L).as("delta")))
+    bounds.groupBy("pos").agg(sum("delta").as("net"))
+      .withColumn("depth", sum("net").over(
+        Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)))
+      .join(ranked, Seq("pos"), "left")
+      .select(col("value"), col("net"), col("depth"))
+  }
+
   /** The OPTIMIZE trigger: true when some key value's point-lookup
     * depth reaches `maxDepth` — Delta OPTIMIZE / Iceberg rewrite
     * decide off exactly this signal. Appends degrade depth one
     * unclustered file at a time ([[appendWithManifest]]); when the
     * trigger fires, rewrite with [[writeZOrderedWithManifest]] to
     * re-tighten the layout (LayoutSpec drives that full lifecycle).
-    * One manifest-sized job, one scalar to the driver. */
+    * One manifest-sized job, one scalar to the driver. String-keyed
+    * manifests (a lang-clustered layout) dispatch to the
+    * boundary-domain sweep — the successor-free profile — so they
+    * get the same trigger instead of the former loud rejection. */
   def needsRecluster(manifest: DataFrame, key: String,
                      maxDepth: Long): Boolean = {
-    val worst = clusteringDepth(manifest, key)
-      .agg(max(col("depth"))).collect()(0)
+    val profile =
+      if (manifest.schema(s"min_$key").dataType ==
+          org.apache.spark.sql.types.StringType)
+        clusteringDepthBoundaries(manifest, key)
+      else clusteringDepth(manifest, key)
+    val worst = profile.agg(max(col("depth"))).collect()(0)
     !worst.isNullAt(0) && worst.getLong(0) >= maxDepth
   }
 

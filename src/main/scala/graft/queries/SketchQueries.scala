@@ -94,6 +94,36 @@ object SketchQueries {
       dir
     })
 
+  /** documents with a deterministically NULLED lang slice
+    * (`doc_id % 37 = 0`), range-clustered on lang with a stored
+    * manifest, and ONE [[Layout.deleteWhere]] of the ['de','es'] lang
+    * box applied at build time — the delete-verb fixture. The null
+    * slice is what makes the gate a real three-valued-logic check:
+    * SQL `DELETE WHERE` must NOT delete null-key rows (the predicate
+    * is unknown, not true), and the manifest's per-key null counts
+    * are what let the delete prove which files it may drop unopened.
+    * Cached per JVM like the other layout fixtures, so bench reps
+    * time the post-delete READ, not the rewrite. */
+  private def deletedLangDocs(s: SparkSession, d: String): String =
+    prunedFixture.computeIfAbsent(s"$d#docs_del", _ => {
+      val dir = graft.Scratch.tempDir("graft_deldocs_") + "/documents"
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 37 === 0, lit(null))
+            .otherwise(col("lang")).as("lang"),
+          col("n_chars"))
+        .repartitionByRange(8, col("lang"))
+        .sortWithinPartitions("lang")
+        .write.mode("overwrite").parquet(dir)
+      Layout.buildFileManifest(s, dir, Seq("lang"))
+        .write.mode("overwrite").parquet(s"$dir/_graft_manifest")
+      val st = Layout.deleteWhere(s, dir,
+        Seq(Layout.TypedKeyBox("lang", "de", "es")))
+      require(st.rowsDeleted > 0,
+        s"delete fixture degenerate — nothing deleted: $st")
+      dir
+    })
+
   /** The shared pruned-read gate shape — identical box, aggregation,
     * and oracle — parameterized on which clustered fixture serves it:
     * "same read contract, different curve" stated directly, so a box
@@ -909,7 +939,7 @@ object SketchQueries {
              |FROM lineitem
              |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
              |  AND TIMESTAMP '1997-06-30 23:59:59.999999'
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+             |GROUP BY 1 ORDER BY 1""".stripMargin), bench = true),
 
     // String-box pruned read: documents range-clustered on `lang`
     // with string min/max stats — lexicographic (binary UTF-8)
@@ -927,9 +957,88 @@ object SketchQueries {
             sum(col("n_chars")).as("total_chars"))
           .orderBy("lang")
       },
-      Some("""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars
              |FROM documents WHERE lang BETWEEN 'de' AND 'es'
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+             |GROUP BY 1 ORDER BY 1""".stripMargin), bench = true),
+
+    // Manifest-proved delete: [[Layout.deleteWhere]] of the
+    // ['de','es'] lang box over the null-seeded clustered fixture —
+    // fully-covered files drop off their stats alone (range ⊆ box
+    // AND nulls_lang = 0), partial files rewrite with the null-safe
+    // anti-filter, null-lang rows SURVIVE (three-valued DELETE
+    // semantics). The oracle is DuckDB's anti-filter over the same
+    // null-seeded frame: survivor set ≡ SQL `DELETE WHERE`'s
+    // complement, hash-matched. The '~' sentinel keys the null group
+    // identically in both engines (group-key null ordering differs).
+    QueryDef("q_layout_delete",
+      (s, d) => {
+        val dir = deletedLangDocs(s, d)
+        s.read.parquet(dir)
+          .groupBy(coalesce(col("lang"), lit("~")).as("lang_k"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy("lang_k")
+      },
+      Some("""SELECT coalesce(lang, '~') AS lang_k, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM (SELECT CASE WHEN doc_id % 37 = 0 THEN NULL ELSE lang END
+             |        AS lang, n_chars FROM documents) t
+             |WHERE lang IS NULL OR lang NOT BETWEEN 'de' AND 'es'
+             |GROUP BY 1 ORDER BY 1""".stripMargin), bench = true),
+
+    // String-keyed clustering depth — the OPTIMIZE trigger for
+    // layouts clustered on a key with NO integer successor (a
+    // lang-clustered corpus): the boundary sweep runs over the
+    // OBSERVED value domain via dense rank, where `max + 1` becomes
+    // `rank + 1`. The file assignment is SIMULATED deterministically
+    // (ntile over the total (lang, doc_id) order — the q_layout_depth
+    // pattern) so DuckDB re-derives the identical manifest, while the
+    // profile itself comes from the real
+    // [[Layout.clusteringDepthBoundaries]] API. Unpartitioned windows
+    // by design: they run on the stats frame (≤2·files boundary
+    // rows), never the data.
+    QueryDef("q_layout_depth_str",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val filed = t(s, d, "documents").select("doc_id", "lang")
+          .withColumn("file_id",
+            ntile(8).over(Window.orderBy("lang", "doc_id")))
+        val manifest = filed.groupBy("file_id")
+          .agg(count(lit(1)).as("n_rows"),
+            min("lang").as("min_lang"), max("lang").as("max_lang"),
+            (count(lit(1)) - count(col("lang"))).as("nulls_lang"))
+          .withColumn("file", col("file_id").cast("string"))
+        Layout.clusteringDepthBoundaries(manifest, "lang")
+          .filter(col("value").isNotNull)
+          .orderBy("value")
+      },
+      Some("""WITH filed AS (
+             |  SELECT lang, ntile(8) OVER (ORDER BY lang, doc_id) AS file_id
+             |  FROM documents),
+             |manifest AS (
+             |  SELECT file_id, min(lang) AS min_l, max(lang) AS max_l
+             |  FROM filed GROUP BY 1),
+             |pts AS (
+             |  SELECT value, dense_rank() OVER (ORDER BY value) AS pos
+             |  FROM (SELECT min_l AS value FROM manifest
+             |        UNION SELECT max_l FROM manifest) u),
+             |bounds AS (
+             |  SELECT p.pos, 1 AS delta
+             |  FROM manifest m JOIN pts p ON m.min_l = p.value
+             |  UNION ALL
+             |  SELECT p.pos + 1, -1
+             |  FROM manifest m JOIN pts p ON m.max_l = p.value
+             |  UNION ALL SELECT pos, 0 FROM pts),
+             |net AS (
+             |  SELECT pos, CAST(sum(delta) AS BIGINT) AS net
+             |  FROM bounds GROUP BY 1),
+             |prof AS (
+             |  SELECT pos, net,
+             |    CAST(sum(net) OVER (ORDER BY pos) AS BIGINT) AS depth
+             |  FROM net)
+             |SELECT p.value, n.net, n.depth
+             |FROM prof n JOIN pts p ON n.pos = p.pos ORDER BY 1""".stripMargin)),
 
     // Hilbert-clustered pruned read: the jump-free curve in place of
     // the Morton interleave (tighter worst-case per-file boxes — the

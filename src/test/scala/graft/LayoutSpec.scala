@@ -489,7 +489,8 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       assert(mf.count() === 1L)
       assert(mf.columns.toSet ===
         Set("file", "n_rows", "min_l_partkey", "max_l_partkey",
-          "min_l_suppkey", "max_l_suppkey"))
+          "nulls_l_partkey", "min_l_suppkey", "max_l_suppkey",
+          "nulls_l_suppkey"))
     }
   }
 
@@ -688,6 +689,147 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       assert(pruned.count() > 0)
       assert(pruned.collect().map(key).sorted.toSeq ===
         full.collect().map(key).sorted.toSeq)
+    }
+  }
+
+  test("deleteWhere: covered files drop unopened, partials rewrite, null keys survive") {
+    withTempDir("graft_delete_") { dir =>
+      val d = s"$dir/t"
+      def part(rows: Seq[(Option[Long], Long)]): Unit =
+        rows.toDF("k", "v").repartition(1).write.mode("append").parquet(d)
+      // four single-part files with hand-picked key ranges, one per
+      // classification the manifest must make for box [0, 150]:
+      part((0L to 99L).map(k => (Some(k), k)))     // A: covered → DROP
+      part((120L to 200L).map(k => (Some(k), k)))  // B: straddles → rewrite
+      part((300L to 400L).map(k => (Some(k), k)))  // C: disjoint → untouched
+      part((10L to 50L).map(k => (Some(k), k)) ++  // D: range-covered but
+        Seq((None, 9001L), (None, 9002L)))         //    has nulls → rewrite
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      val before = spark.read.parquet(d).inputFiles.toSet
+      assert(before.size === 4)
+      val mf0 = Layout.loadManifest(spark, d).collect()
+        .map(r => r.getAs[Long]("min_k") -> r.getAs[String]("file")).toMap
+      val (fileA, fileC) = (mf0(0L), mf0(300L))
+
+      val st = Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 150L)))
+      // A drops off its stats alone; B and D rewrite; C is untouched
+      assert(st.filesDropped === 1, st.toString)
+      assert(st.filesRewritten === 2, st.toString)
+      // 100 (all of A) + 31 (B's 120..150) + 41 (D's 10..50)
+      assert(st.rowsDeleted === 172L, st.toString)
+      val after = spark.read.parquet(d)
+      val afterFiles = after.inputFiles.toSet
+      assert(!afterFiles.contains(fileA), "covered file not dropped")
+      assert(afterFiles.contains(fileC), "disjoint file was churned")
+      // survivors: B's 151..200, all of C, D's two null-key rows —
+      // SQL DELETE's three-valued semantics (unknown ≠ true)
+      assert(after.count() === 50L + 101L + 2L)
+      assert(after.filter(col("k").isNull).count() === 2L,
+        "null-key rows did not survive the value-predicate delete")
+      assert(after.filter(col("k").between(0, 150)).count() === 0L)
+      // the patched manifest still serves exact pruned reads and
+      // passes its own coverage check over the rewritten files
+      val pruned = Layout.scanPruned(spark, d,
+        Seq(Layout.KeyBox("k", 160L, 320L)))
+      assert(pruned.select("v").as[Long].collect().sorted.toSeq ===
+        after.filter(col("k").between(160, 320))
+          .select("v").as[Long].collect().sorted.toSeq)
+      // nothing to delete → pure no-op, zero stats
+      assert(Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 150L)))
+        === Layout.DeleteStats(0, 0, 0L))
+    }
+  }
+
+  test("deleteWhere + append on a pre-nulls manifest: migrate, stay conservative") {
+    withTempDir("graft_mf_migrate_") { dir =>
+      val d = s"$dir/t"
+      (0L to 99L).map(k => (Some(k), k)).toDF("k", "v")
+        .repartition(1).write.mode("append").parquet(d)
+      // simulate a manifest written before the per-key null-count
+      // stats existed: build, strip nulls_k, store
+      Layout.buildFileManifest(spark, d, Seq("k")).drop("nulls_k")
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      // append MIGRATES: old rows widen with unknown (null) counts,
+      // the delta row carries real ones — strict union, no throw
+      Layout.appendWithManifest(
+        (200L to 299L).map(k => (Some(k), k)).toDF("k", "v").repartition(1),
+        d, Seq("k"))
+      val mf = Layout.loadManifest(spark, d)
+      assert(mf.columns.contains("nulls_k"))
+      assert(mf.filter(col("min_k") === 0L && col("nulls_k").isNull)
+        .count() === 1L, "old-format row should carry UNKNOWN null count")
+      assert(mf.filter(col("min_k") === 200L && col("nulls_k") === 0L)
+        .count() === 1L, "delta row should carry a real null count")
+      // delete a box covering BOTH files: the appended file is
+      // PROVED deletable (nulls_k = 0) and drops unopened; the
+      // old-format file's unknown count demotes it to the rewrite
+      // path — conservative, never a wrong drop
+      val st = Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 300L)))
+      assert(st.filesDropped === 1, st.toString)
+      assert(st.filesRewritten === 1, st.toString)
+      assert(st.rowsDeleted === 200L, st.toString)
+      assert(spark.read.parquet(d).count() === 0L)
+    }
+  }
+
+  test("clusteringDepthBoundaries: exact string-domain depth; needsRecluster dispatches") {
+    // hand-built stats frame — the profile reads only the manifest
+    val mf = Seq(
+      ("f1", 10L, Some("a"), Some("c"), 0L),
+      ("f2", 10L, Some("b"), Some("d"), 0L),
+      ("f3", 10L, Some("c"), Some("c"), 0L),
+      ("f4", 10L, Some("f"), Some("g"), 0L),
+      ("f5", 10L, None, None, 10L) // all-null key: carries no interval
+    ).toDF("file", "n_rows", "min_lang", "max_lang", "nulls_lang")
+    val got = Layout.clusteringDepthBoundaries(mf, "lang")
+      .filter(col("value").isNotNull)
+      .select("value", "depth").as[(String, Long)].collect().toMap
+    // independent reference: depth(v) = |{files: min ≤ v ≤ max}|,
+    // recomputed driver-side from the same stats
+    val intervals = Seq(("a", "c"), ("b", "d"), ("c", "c"), ("f", "g"))
+    val expect = intervals.flatMap(i => Seq(i._1, i._2)).distinct.map(v =>
+      v -> intervals.count(i => i._1 <= v && v <= i._2).toLong).toMap
+    assert(got === expect, s"got $got want $expect")
+    // the trigger dispatches to the boundary sweep for string stats
+    // instead of the integer sweep's loud rejection
+    assert(Layout.needsRecluster(mf, "lang", maxDepth = 3L))
+    assert(!Layout.needsRecluster(mf, "lang", maxDepth = 4L))
+    // and over a REAL lang-clustered layout's stored manifest
+    withTempDir("graft_strdepth_") { dir =>
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select("doc_id", "lang")
+        .repartitionByRange(4, col("lang")).sortWithinPartitions("lang")
+      docs.write.mode("overwrite").parquet(s"$dir/docs")
+      Layout.buildFileManifest(spark, s"$dir/docs", Seq("lang"))
+        .write.mode("overwrite").parquet(s"$dir/docs/_graft_manifest")
+      val stored = Layout.loadManifest(spark, s"$dir/docs")
+      val prof = Layout.clusteringDepthBoundaries(stored, "lang")
+        .filter(col("value").isNotNull)
+      assert(prof.count() > 0)
+      assert(Layout.needsRecluster(stored, "lang", maxDepth = 1L))
+    }
+  }
+
+  test("normalizeBits: exact below the overflow cliff, monotone far beyond it") {
+    // span 2^55: the naive (c - lo) * 65535 product overflows long
+    // (and under ANSI would fail every clustered write loudly)
+    val hi = 1L << 55
+    val ks = Seq(0L, 1L << 30, 1L << 54, (1L << 55) - 1, 1L << 55)
+    val got = ks.toDF("k")
+      .select(Layout.normalizeBits(col("k"), 0L, hi, 16)).as[Long].collect()
+    assert(got.head === 0L && got.last === 65535L, got.toSeq.toString)
+    assert(got.toSeq === got.sorted.toSeq, s"not monotone: ${got.toSeq}")
+    assert(got.forall(v => v >= 0L && v <= 65535L), got.toSeq.toString)
+    // below the cliff the shift is zero and the arithmetic is
+    // bit-identical to the naive published form
+    val small = Seq(0L, 7L, 99L, 543L, 1000L)
+    val g2 = small.toDF("k")
+      .select(Layout.normalizeBits(col("k"), 0L, 1000L, 16)).as[Long].collect()
+    assert(g2.toSeq === small.map(k => k * 65535L / 1000L))
+    // a range outside the signed-long domain has no integer encoding
+    intercept[IllegalArgumentException] {
+      Layout.normalizeBits(col("k"), Long.MinValue, Long.MaxValue, 16)
     }
   }
 
