@@ -662,9 +662,15 @@ object Layout {
     * missing path. Re-running the same deleteWhere after a crash
     * converges: already-deleted files are simply absent.
     *
-    * Flat directories only, like [[compact]] — a hive-partitioned
-    * dataset deletes per partition directory (its partition values
-    * live in path segments the rewrite would have to re-derive). */
+    * Hive-partitioned layouts work in place too — the GDPR shape is
+    * a delete by a DATA column (user id) across a date-partitioned
+    * fact table: survivors are read with `basePath` anchoring (so
+    * `k=v` path columns materialize and boxes on partition columns
+    * keep working), written back via `partitionBy`, and each leaf
+    * file is moved into its own partition directory. A box on a
+    * partition column alone never creates partials (per-file stats
+    * of a partition column collapse to one value, so every file is
+    * covered or disjoint) — whole partitions drop unopened. */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
                   boxes: Seq[PruneBox],
                   verifyCoverage: Boolean = true): DeleteStats = {
@@ -672,10 +678,6 @@ object Layout {
     requireEncodingStablePath(dir)
     val hDir = new org.apache.hadoop.fs.Path(dir)
     val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.listStatus(hDir).exists(st =>
-        st.isDirectory && !st.getPath.getName.startsWith("_")),
-      s"deleteWhere expects a flat parquet directory; $dir has partition " +
-        "subdirectories — delete per partition directory instead")
     val manifest = loadManifest(spark, dir)
     val mSchema = manifest.schema
     val keyCols = mSchema.fieldNames.collect {
@@ -747,19 +749,47 @@ object Layout {
       }.reduce(_ && _)
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/_graft_delete_tmp")
       val before = dirFrame.inputFiles.toSet
-      spark.read.parquet(rewriteFiles.map(_._1).toIndexedSeq: _*)
+      val srcFiles = rewriteFiles.map(_._1).toIndexedSeq
+      // basePath anchoring: on a hive-partitioned layout the k=v
+      // path columns materialize, so a box on a partition column
+      // evaluates row-side too (a no-op on flat dirs). Partition
+      // columns = discovered schema minus the files' own footer
+      // schema; they route the survivors back into their partition
+      // directories via partitionBy (which strips them from file
+      // contents again, matching the original layout)
+      val src = spark.read.option("basePath", dir).parquet(srcFiles: _*)
+      val partCols = src.columns
+        .filterNot(spark.read.parquet(srcFiles.head).columns.toSet)
+      val survivors = src
         .withColumn("__graft_src", input_file_name())
         .where(!coalesce(pred, lit(false)))
         .repartition(rewriteFiles.length, col("__graft_src"))
         .drop("__graft_src")
-        .write.mode("overwrite").parquet(tmp.toString)
-      for (st <- fs.listStatus(tmp) if st.isFile;
-           n = st.getPath.getName if !n.startsWith("_") && !n.startsWith(".")) {
-        val dest = new org.apache.hadoop.fs.Path(hDir, n)
-        require(!fs.exists(dest), s"deleteWhere: target $dest already exists")
-        require(fs.rename(st.getPath, dest),
-          s"deleteWhere: failed to move $n into $dir")
-      }
+      val w = survivors.write.mode("overwrite")
+      if (partCols.isEmpty) w.parquet(tmp.toString)
+      else w.partitionBy(partCols.toIndexedSeq: _*).parquet(tmp.toString)
+      // mirror-move the tmp tree into the live directory: leaf files
+      // land next to the partial files they supersede (each
+      // partition dir already exists — its partial files came from
+      // it — but mkdirs is cheap insurance against empty renames)
+      def isAux(n: String) = n.startsWith("_") || n.startsWith(".")
+      def moveTree(cur: org.apache.hadoop.fs.Path,
+                   destDir: org.apache.hadoop.fs.Path): Unit =
+        for (st <- fs.listStatus(cur)) {
+          val n = st.getPath.getName
+          if (st.isDirectory) {
+            if (!isAux(n))
+              moveTree(st.getPath, new org.apache.hadoop.fs.Path(destDir, n))
+          } else if (!isAux(n)) {
+            fs.mkdirs(destDir)
+            val dest = new org.apache.hadoop.fs.Path(destDir, n)
+            require(!fs.exists(dest),
+              s"deleteWhere: target $dest already exists")
+            require(fs.rename(st.getPath, dest),
+              s"deleteWhere: failed to move $n into $destDir")
+          }
+        }
+      moveTree(tmp, hDir)
       fs.delete(tmp, true)
       // re-list through spark.read (not the raw fs listing) so the
       // new manifest rows carry the exact URI spelling every other
@@ -769,7 +799,10 @@ object Layout {
     val delta =
       if (newFiles.isEmpty) None
       else {
-        val d = manifestOf(spark.read.parquet(newFiles: _*), keyCols)
+        // basePath again: delta stats for a partition-column key must
+        // see the k=v path columns (harmless on flat dirs)
+        val d = manifestOf(
+            spark.read.option("basePath", dir).parquet(newFiles: _*), keyCols)
           .localCheckpoint(true)
         // coalesce: an all-empty rewrite leaves only zero-row part
         // files, whose delta manifest is empty (sum → null)

@@ -741,6 +741,49 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("deleteWhere on a hive-partitioned layout: data-column and partition-column deletes") {
+    withTempDir("graft_delete_part_") { dir =>
+      val d = s"$dir/t"
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_returnflag")
+      li.write.partitionBy("l_returnflag").mode("overwrite").parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("l_returnflag", "l_partkey"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      val total = li.count()
+      // data-column delete ACROSS partitions — the GDPR shape on a
+      // date-partitioned fact table: survivors are rewritten inside
+      // their own partition directories (basePath read + partitionBy
+      // write + mirror-move), partition columns survive
+      val st = Layout.deleteWhere(spark, d,
+        Seq(Layout.KeyBox("l_partkey", 20L, 60L)))
+      val expectDel = li.filter(col("l_partkey").between(20, 60)).count()
+      assert(st.rowsDeleted === expectDel, st.toString)
+      assert(st.filesRewritten > 0, st.toString)
+      val back = spark.read.parquet(d)
+      assert(back.columns.toSet ===
+        Set("l_orderkey", "l_partkey", "l_returnflag"),
+        "partition column lost in the rewrite")
+      assert(back.count() === total - expectDel)
+      assert(back.filter(col("l_partkey").between(20, 60)).count() === 0L)
+      // the patched manifest still serves partition-aware pruned reads
+      val pruned = Layout.scanPruned(spark, d,
+        Seq(Layout.TypedKeyBox("l_returnflag", "A", "A")))
+      assert(pruned.count() ===
+        back.filter(col("l_returnflag") === "A").count())
+      // partition-column delete: per-file stats of a partition column
+      // collapse to a single value, so every file in the partition is
+      // PROVED covered — whole partitions drop unopened, zero rewrites
+      val aFiles = spark.read.parquet(s"$d/l_returnflag=A").inputFiles.length
+      val st2 = Layout.deleteWhere(spark, d,
+        Seq(Layout.TypedKeyBox("l_returnflag", "A", "A")))
+      assert(st2.filesRewritten === 0, st2.toString)
+      assert(st2.filesDropped === aFiles, st2.toString)
+      val back2 = spark.read.parquet(d)
+      assert(back2.filter(col("l_returnflag") === "A").count() === 0L)
+      assert(back2.count() === total - expectDel - st2.rowsDeleted)
+    }
+  }
+
   test("deleteWhere + append on a pre-nulls manifest: migrate, stay conservative") {
     withTempDir("graft_mf_migrate_") { dir =>
       val d = s"$dir/t"
