@@ -356,7 +356,14 @@ object Layout {
     * manifest) must leave the directory untouched — appending first
     * and then failing would leave data files the manifest does not
     * cover, and every later pruned read would silently drop their
-    * rows. */
+    * rows.
+    *
+    * Hive-partitioned layouts append in place too: new rows route
+    * into their `k=v` subdirectories via `partitionBy` (a plain
+    * append would land partition-column-bearing files at the root —
+    * a mixed layout partition discovery rejects), and the delta
+    * stats read with `basePath` so partition-column manifest keys
+    * keep real values. */
   def appendWithManifest(df: DataFrame, path: String,
                          keyCols: Seq[String]): Unit = {
     val spark = df.sparkSession
@@ -390,11 +397,30 @@ object Layout {
       s"append schema ${df.schema.simpleString} is not compatible with " +
         s"the stored data's ${current.schema.simpleString} at $path")
     val before = current.inputFiles.toSet
-    df.write.mode("append").parquet(path)
+    // partition-aware append: on a hive-partitioned layout the new
+    // rows must route into their k=v subdirectories — a plain append
+    // would land partition-column-bearing files at the ROOT, a mixed
+    // layout partition discovery rejects on the next read. Partition
+    // columns = the discovered schema minus one data file's own
+    // footer schema (path-encoded columns never appear in footers)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val pfs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasPartDirs = pfs.listStatus(hPath).exists(st =>
+      st.isDirectory && !st.getPath.getName.startsWith("_"))
+    val partCols: Seq[String] =
+      if (!hasPartDirs || before.isEmpty) Seq.empty
+      else current.columns.toSeq
+        .filterNot(spark.read.parquet(before.head).columns.toSet)
+    val w = df.write.mode("append")
+    if (partCols.isEmpty) w.parquet(path)
+    else w.partitionBy(partCols: _*).parquet(path)
     val newFiles = spark.read.parquet(path).inputFiles.toSeq
       .filterNot(before)
     if (newFiles.isEmpty) return
-    val delta = manifestOf(spark.read.parquet(newFiles: _*), keyCols)
+    // basePath: delta stats for a partition-column key must see the
+    // k=v path columns (a no-op on flat directories)
+    val delta = manifestOf(
+      spark.read.option("basePath", path).parquet(newFiles: _*), keyCols)
     // format migration: a manifest stored before the per-key
     // null-count stats existed lacks the nulls_<k> columns; widen its
     // rows with NULL ("unknown") rather than fail the append or
