@@ -342,10 +342,15 @@ object Bench {
             val second = measure(benchQueries.find(_.name == k).get)
             val settledWon = second.ok && (!s.ok || second.median < s.median)
             val kept = if (settledWon) second else s
-            val stillHigh = outlier(k, kept)
+            // a fleet-wide suspect that re-measures STILL mild is
+            // flagged too: under the fleet trigger even a 1.3-2x
+            // residual is part of the contention signature the 2x
+            // single-query bar cannot see — the flag hands it to a
+            // reader rather than shipping the r12 failure silently
+            val stillHigh = outlier(k, kept) || (fleetwide && mild(k, kept))
             System.err.println(
               f"[bench] cross-round $k%-22s prior ${priorMedians(k)}%.3f s, kept ${kept.median}%.3f s" +
-                (if (stillHigh) " (STILL >2x prior — flagged)" else " (back in profile)"))
+                (if (stillHigh) " (STILL over prior — flagged)" else " (back in profile)"))
             (k, kept, true, flagged || stillHigh)
           case r => r
         }

@@ -42,8 +42,14 @@ object Layout {
     * domain. Without this, keys of unequal bit width degenerate the
     * z-curve into a single-dimension sort: a 12-bit key's top bits
     * dominate every cut and the 6-bit key gets no locality at all.
-    * Pure integer arithmetic — `(c - lo) * 65535 / (hi - lo)` with
-    * floor division — so it re-derives in any engine. */
+    * Pure integer arithmetic: BELOW the [[normalizeBits]] overflow
+    * cliff (key range < 2^47) this is exactly
+    * `(c - lo) * 65535 / (hi - lo)` with floor division and
+    * re-derives in any engine — the regime every layout gate oracle
+    * assumes, valid for all the gate corpora; beyond the cliff both
+    * the offset and the range are right-shifted first (see
+    * [[normalizeBits]]), so an oracle twin of a wider-than-2^47 key
+    * would need the same shift. */
   def normalize16(c: Column, lo: Long, hi: Long): Column =
     normalizeBits(c, lo, hi, 16)
 
@@ -339,6 +345,85 @@ object Layout {
       .agg(count(lit(1)).as("n_rows"), keyCols.flatMap(stats): _*)
   }
 
+  /** Widen a manifest frame with "unknown" (null) per-key null
+    * counts for any key whose `nulls_<k>` column is missing — the
+    * pre-nulls-format migration every manifest WRITER applies before
+    * a strict `unionByName` against new-format delta rows (any other
+    * column mismatch stays a loud error). [[deleteWhere]], the only
+    * consumer of the counts, treats unknown conservatively: the file
+    * demotes to the rewrite path instead of a proved drop. */
+  private def widenWithNullCounts(m: DataFrame,
+                                  keyCols: Seq[String]): DataFrame =
+    keyCols.foldLeft(m) { (acc, k) =>
+      if (acc.columns.contains(s"nulls_$k")) acc
+      else acc.withColumn(s"nulls_$k", lit(null).cast("long"))
+    }
+
+  /** Replace a stored manifest via temp-dir + rename, never a direct
+    * overwrite of its own source: overwrite deletes before it writes,
+    * so a crash mid-write would leave NO manifest (and the caller's
+    * update plan may still read the very files being replaced —
+    * callers eagerly materialize `updated` via localCheckpoint
+    * first). Crash windows degrade loudly: before the rename the old
+    * manifest survives (stale, but the coverage guard flags uncovered
+    * files on the next read); a crash inside the delete+rename pair
+    * leaves a missing manifest every scanPruned fails on. The
+    * `_`-prefixed temp dir is invisible to data reads if orphaned. */
+  private def replaceManifest(spark: org.apache.spark.sql.SparkSession,
+                              path: String, updated: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mfPath = new org.apache.hadoop.fs.Path(s"$path/_graft_manifest")
+    val tmpPath = new org.apache.hadoop.fs.Path(s"$path/_graft_manifest_tmp")
+    updated.write.mode("overwrite").parquet(tmpPath.toString)
+    // a FAILED delete that merely returns false (object stores do)
+    // must not fall through: rename-onto-an-existing-dir has
+    // move-INSIDE semantics on HDFS-like filesystems, which would
+    // leave the STALE manifest in place (the nested _-prefixed tmp
+    // dir being invisible to reads) and serve it silently
+    require(fs.delete(mfPath, true) || !fs.exists(mfPath),
+      s"failed to remove the old manifest at $mfPath before replacing it")
+    require(fs.rename(tmpPath, mfPath),
+      s"failed to move the updated manifest into place at $mfPath")
+  }
+
+  /** The coverage guard every manifest CONSUMER runs before trusting
+    * stored stats: each data file in the directory must have a
+    * manifest row, except zero-row part files (legitimately
+    * manifest-less — the stats groupBy never sees them, and zero
+    * rows cannot be dropped or kept wrongly). The probe opens ONLY
+    * the uncovered suspects, schema-pinned so a 0-byte file cannot
+    * trip inference; per-file encoding-stability is re-checked here
+    * because partition SUBdirectories surface paths the root-dir
+    * guard never saw. `consequence` names what would otherwise go
+    * wrong silently, so the read and delete sides fail with their
+    * own story. */
+  private def requireManifestCovers(
+      spark: org.apache.spark.sql.SparkSession, dirFrame: DataFrame,
+      known: Set[String], dir: String, consequence: String): Unit = {
+    val listed = dirFrame.inputFiles
+    listed.foreach(requireEncodingStablePath)
+    val uncovered = listed.filterNot(known)
+    if (uncovered.nonEmpty) {
+      val hasRows = spark.read.schema(dirFrame.schema)
+        .parquet(uncovered.toIndexedSeq: _*).head(1).nonEmpty
+      require(!hasRows,
+        s"manifest does not cover ${uncovered.length} data file(s) in " +
+          s"$dir, at least one non-empty (out-of-band append?) — " +
+          s"$consequence; uncovered: " + uncovered.take(3).mkString(", "))
+    }
+  }
+
+  /** Partition columns of a hive layout: the discovered schema minus
+    * one data file's own footer schema — path-encoded columns never
+    * appear in footers. Shared by the append and delete writers so
+    * the routing (partitionBy) and the stats read (basePath) cannot
+    * disagree about which columns live in the path. */
+  private def partitionColsOf(spark: org.apache.spark.sql.SparkSession,
+                              discovered: Seq[String],
+                              sampleFile: String): Seq[String] =
+    discovered.filterNot(spark.read.parquet(sampleFile).columns.toSet)
+
   /** Append rows to a manifest-carrying directory and PATCH the
     * stored manifest with stats for only the newly written files —
     * the day-2 ingest path: at 100 TB the existing data is never
@@ -391,11 +476,6 @@ object Layout {
     // before-files snapshot — at 100k-file scale each
     // spark.read.parquet(path) is a full listing + footer resolution
     val current = spark.read.parquet(path)
-    def typeMap(s: org.apache.spark.sql.types.StructType) =
-      s.fields.map(f => f.name -> f.dataType).toMap
-    require(typeMap(df.schema) == typeMap(current.schema),
-      s"append schema ${df.schema.simpleString} is not compatible with " +
-        s"the stored data's ${current.schema.simpleString} at $path")
     val before = current.inputFiles.toSet
     // partition-aware append: on a hive-partitioned layout the new
     // rows must route into their k=v subdirectories — a plain append
@@ -409,8 +489,24 @@ object Layout {
       st.isDirectory && !st.getPath.getName.startsWith("_"))
     val partCols: Seq[String] =
       if (!hasPartDirs || before.isEmpty) Seq.empty
-      else current.columns.toSeq
-        .filterNot(spark.read.parquet(before.head).columns.toSet)
+      else partitionColsOf(spark, current.columns.toSeq, before.head)
+    def typeMap(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => f.name -> f.dataType).toMap
+    // partition columns compare LENIENTLY across the integral family:
+    // their stored type comes from PATH-STRING inference, which
+    // reports IntegerType for values a long-typed writer produced —
+    // demanding exact equality there would reject every legitimate
+    // append to an integer-partitioned layout. The path encoding is
+    // the same either way; data columns stay exact
+    val (dfT, curT) = (typeMap(df.schema), typeMap(current.schema))
+    val compatible = dfT.keySet == curT.keySet && dfT.forall {
+      case (n, t) =>
+        t == curT(n) ||
+          (partCols.contains(n) && isIntegral(t) && isIntegral(curT(n)))
+    }
+    require(compatible,
+      s"append schema ${df.schema.simpleString} is not compatible with " +
+        s"the stored data's ${current.schema.simpleString} at $path")
     val w = df.write.mode("append")
     if (partCols.isEmpty) w.parquet(path)
     else w.partitionBy(partCols: _*).parquet(path)
@@ -421,50 +517,15 @@ object Layout {
     // k=v path columns (a no-op on flat directories)
     val delta = manifestOf(
       spark.read.option("basePath", path).parquet(newFiles: _*), keyCols)
-    // format migration: a manifest stored before the per-key
-    // null-count stats existed lacks the nulls_<k> columns; widen its
-    // rows with NULL ("unknown") rather than fail the append or
-    // rescan old data to backfill. The only consumer of nulls_<k> is
-    // [[deleteWhere]]'s fully-deletable proof, which treats unknown
-    // conservatively (the file is demoted to the rewrite path), so
-    // the migrated manifest stays correct — just less metadata-only
-    // on deletes until a rewrite refreshes its rows. The union stays
-    // STRICT: any other column mismatch is still a loud error, not a
-    // silently-null column
-    val migrated = keyCols.foldLeft(existing) { (m, k) =>
-      if (m.columns.contains(s"nulls_$k")) m
-      else m.withColumn(s"nulls_$k", lit(null).cast("long"))
-    }
-    val updated = migrated.unionByName(delta)
+    // pre-nulls-format migration ([[widenWithNullCounts]]), then the
+    // temp-dir + rename replace ([[replaceManifest]]). Note the data
+    // append itself commits first, so running with
+    // verifyCoverage=false after a mid-append crash is the one
+    // combination that can drop rows (documented on scanPruned).
+    val updated = widenWithNullCounts(existing, keyCols).unionByName(delta)
       .localCheckpoint(true)
-    // replace the manifest via temp-dir + rename, not a direct
-    // mode("overwrite") of its own source: overwrite deletes before it
-    // writes, so a crash mid-write would leave NO manifest (and the
-    // union plan still reads `existing` from the very files being
-    // replaced). With the rename, the crash windows degrade loudly:
-    // before the rename the old manifest survives (stale but the
-    // default verifyCoverage flags the uncovered new files); a crash
-    // inside the delete+rename pair leaves a missing manifest, which
-    // every scanPruned call fails on loudly. The `_`-prefixed temp dir
-    // is invisible to data reads if orphaned. There is no silent
-    // window — but note the data append itself commits first, so
-    // running with verifyCoverage=false after a mid-append crash is
-    // the one combination that can drop rows (documented there).
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val mfPath = new org.apache.hadoop.fs.Path(s"$path/_graft_manifest")
-    val tmpPath = new org.apache.hadoop.fs.Path(s"$path/_graft_manifest_tmp")
-    updated.write.mode("overwrite").parquet(tmpPath.toString)
+    replaceManifest(spark, path, updated)
     Checkpoints.unpersist(updated)
-    // a FAILED delete that merely returns false (object stores do)
-    // must not fall through: rename-onto-an-existing-dir has
-    // move-INSIDE semantics on HDFS-like filesystems, which would
-    // leave the STALE manifest in place (the nested _-prefixed tmp
-    // dir being invisible to reads) and serve it silently
-    require(fs.delete(mfPath, true) || !fs.exists(mfPath),
-      s"failed to remove the old manifest at $mfPath before replacing it")
-    require(fs.rename(tmpPath, mfPath),
-      s"failed to move the updated manifest into place at $mfPath")
   }
 
   /** [[writeZOrdered]] + durable skipping stats in one step: after
@@ -504,35 +565,6 @@ object Layout {
     scanPruned(spark, dir, loadManifest(spark, dir), boxes)
   }
 
-  /** The consumer of the skipping manifest: read `dir` with files
-    * whose stats PROVABLY miss the box predicate dropped BEFORE
-    * `spark.read` ever opens them. For each box, a file is skippable
-    * when `max < lo OR min > hi`; null stats mean every key value in
-    * the file is null (min/max ignore nulls), and a null key can
-    * never satisfy a value interval, so null-stats files skip too.
-    * Pruning is conservative the other way — surviving files are
-    * re-filtered with the exact residual predicate, so the result
-    * EQUALS the full-scan filter by construction.
-    *
-    * Driver work is one manifest-sized collect of surviving file
-    * names (bounded like the manifest itself: one string per file) —
-    * exactly what Delta/Iceberg planning does with their manifests.
-    * At 100 TB with a selective box over a Z-ordered layout this is
-    * the single biggest lever a reader has: I/O drops by the fraction
-    * of files whose [min,max] rectangles miss the box.
-    *
-    * `verifyCoverage` (default on) checks that every data file in
-    * `dir` has a manifest row before trusting the manifest: a file
-    * appended OUT OF BAND (any writer other than
-    * [[appendWithManifest]]) has no stats, would never survive
-    * pruning, and its rows would silently vanish from the result —
-    * the one way this API can violate its pruned ≡ full-scan
-    * contract. The check is a directory LISTING plus a
-    * schema-pinned probe of ONLY the uncovered suspects (zero-row
-    * files are legitimately manifest-less and pass; covered files
-    * are never opened); at very large file counts a pipeline that
-    * maintains the manifest exclusively through the two writers
-    * here may disable it. */
   /** Decode a box's bounds against the TYPE the manifest stored for
     * its key: long stats take [[KeyBox]]'s long bounds verbatim;
     * date / timestamp / string stats cast [[TypedKeyBox]]'s string
@@ -568,6 +600,35 @@ object Layout {
     }
   }
 
+  /** The consumer of the skipping manifest: read `dir` with files
+    * whose stats PROVABLY miss the box predicate dropped BEFORE
+    * `spark.read` ever opens them. For each box, a file is skippable
+    * when `max < lo OR min > hi`; null stats mean every key value in
+    * the file is null (min/max ignore nulls), and a null key can
+    * never satisfy a value interval, so null-stats files skip too.
+    * Pruning is conservative the other way — surviving files are
+    * re-filtered with the exact residual predicate, so the result
+    * EQUALS the full-scan filter by construction.
+    *
+    * Driver work is one manifest-sized collect of surviving file
+    * names (bounded like the manifest itself: one string per file) —
+    * exactly what Delta/Iceberg planning does with their manifests.
+    * At 100 TB with a selective box over a Z-ordered layout this is
+    * the single biggest lever a reader has: I/O drops by the fraction
+    * of files whose [min,max] rectangles miss the box.
+    *
+    * `verifyCoverage` (default on) checks that every data file in
+    * `dir` has a manifest row before trusting the manifest: a file
+    * appended OUT OF BAND (any writer other than
+    * [[appendWithManifest]]) has no stats, would never survive
+    * pruning, and its rows would silently vanish from the result —
+    * the one way this API can violate its pruned ≡ full-scan
+    * contract. The check ([[requireManifestCovers]]) is a directory
+    * LISTING plus a schema-pinned probe of ONLY the uncovered
+    * suspects (zero-row files are legitimately manifest-less and
+    * pass; covered files are never opened); at very large file
+    * counts a pipeline that maintains the manifest exclusively
+    * through the two writers here may disable it. */
   def scanPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
                  manifest: DataFrame, boxes: Seq[PruneBox],
                  verifyCoverage: Boolean = true): DataFrame = {
@@ -586,31 +647,11 @@ object Layout {
     lazy val dirFrame = spark.read.parquet(dir)
     if (verifyCoverage) {
       // raw-string comparison is correct: input_file_name() and
-      // inputFiles return the same (encoded) spelling on Spark 4.x —
-      // provided no component encodes, which the per-file check
-      // below extends from the root dir (already guarded) to
-      // partition-style SUBdirectories the listing may surface
-      // cheap driver-side listing + per-file guard FIRST, so a
-      // broken manifest cannot mask the loud path rejection
-      val listed = dirFrame.inputFiles
-      listed.foreach(requireEncodingStablePath)
+      // inputFiles return the same (encoded) spelling on Spark 4.x
       val known = manifest.select("file").collect()
         .map(_.getString(0)).toSet
-      val uncovered = listed.filterNot(known)
-      if (uncovered.nonEmpty) {
-        // a ZERO-ROW part file is legitimately manifest-less (the
-        // stats groupBy never sees it — e.g. the empty-input write
-        // path), and zero rows cannot be dropped; probe ONLY the
-        // suspects, with the directory's schema pinned so a 0-byte
-        // or 0-row file cannot trip schema inference
-        val hasRows = spark.read.schema(dirFrame.schema)
-          .parquet(uncovered.toIndexedSeq: _*).head(1).nonEmpty
-        require(!hasRows,
-          s"manifest does not cover ${uncovered.length} data file(s) in " +
-            s"$dir, at least one non-empty (out-of-band append?) — " +
-            s"pruning would silently drop rows; uncovered: " +
-            uncovered.take(3).mkString(", "))
-      }
+      requireManifestCovers(spark, dirFrame, known, dir,
+        "pruning would silently drop rows")
     }
     val survivors = manifest
       .filter(!coalesce(skip, lit(true)))
@@ -685,8 +726,16 @@ object Layout {
     * files (duplicate rows are PRESENT but unreadable-by-default,
     * not silently served); between old-file delete and manifest
     * replace, a pruned read that selects a removed file fails on the
-    * missing path. Re-running the same deleteWhere after a crash
-    * converges: already-deleted files are simply absent.
+    * missing path. Recovery is window-specific, never automatic: a
+    * crash BEFORE any move leaves the directory unchanged (re-run
+    * verbatim); after moves but before the old-file delete, remove
+    * the manifest-UNCOVERED files (the moved survivors — fully
+    * re-derivable from the still-present partials) and re-run; after
+    * the old-file delete, rebuild the manifest over the surviving
+    * directory with [[buildFileManifest]]. A re-run without that
+    * repair fails loudly on the coverage check — by design, since
+    * the engine cannot distinguish delete debris from crashed
+    * out-of-band appends whose rows a deletion would lose.
     *
     * Hive-partitioned layouts work in place too — the GDPR shape is
     * a delete by a DATA column (user id) across a date-partitioned
@@ -740,24 +789,13 @@ object Layout {
       .filter(r => !r.getBoolean(2) && !r.getBoolean(3))
       .map(r => r.getString(0) -> r.getLong(1))
     lazy val dirFrame = spark.read.parquet(dir)
-    if (verifyCoverage) {
-      // same contract as scanPruned's check, sharper consequence: a
-      // non-empty file the manifest misses would KEEP its matching
-      // rows — a silent delete violation, not just a dropped read
-      val listed = dirFrame.inputFiles
-      listed.foreach(requireEncodingStablePath)
-      val known = verdicts.map(_.getString(0)).toSet
-      val uncovered = listed.filterNot(known)
-      if (uncovered.nonEmpty) {
-        val hasRows = spark.read.schema(dirFrame.schema)
-          .parquet(uncovered.toIndexedSeq: _*).head(1).nonEmpty
-        require(!hasRows,
-          s"manifest does not cover ${uncovered.length} data file(s) in " +
-            s"$dir, at least one non-empty (out-of-band append?) — " +
-            s"their matching rows would survive the delete; uncovered: " +
-            uncovered.take(3).mkString(", "))
-      }
-    }
+    if (verifyCoverage)
+      // same guard as scanPruned's, sharper consequence: a non-empty
+      // file the manifest misses would KEEP its matching rows — a
+      // silent delete violation, not just a dropped read
+      requireManifestCovers(spark, dirFrame,
+        verdicts.map(_.getString(0)).toSet, dir,
+        "their matching rows would survive the delete")
     if (dropFiles.isEmpty && rewriteFiles.isEmpty)
       return DeleteStats(0, 0, 0L)
     // rewrite FIRST: new data must be durable before anything old is
@@ -784,8 +822,7 @@ object Layout {
       // directories via partitionBy (which strips them from file
       // contents again, matching the original layout)
       val src = spark.read.option("basePath", dir).parquet(srcFiles: _*)
-      val partCols = src.columns
-        .filterNot(spark.read.parquet(srcFiles.head).columns.toSet)
+      val partCols = partitionColsOf(spark, src.columns.toSeq, srcFiles.head)
       val survivors = src
         .withColumn("__graft_src", input_file_name())
         .where(!coalesce(pred, lit(false)))
@@ -851,24 +888,12 @@ object Layout {
     import spark.implicits._
     val removedDf = (dropFiles ++ rewriteFiles).map(_._1).toSeq.toDF("file")
     val kept = manifest.join(broadcast(removedDf), Seq("file"), "left_anti")
-    // same pre-nulls-format migration as appendWithManifest: kept
-    // old-format rows widen with "unknown" null counts so the strict
-    // union against the new-format delta rows cannot throw
-    val keptMigrated = keyCols.foldLeft(kept) { (m, k) =>
-      if (m.columns.contains(s"nulls_$k")) m
-      else m.withColumn(s"nulls_$k", lit(null).cast("long"))
-    }
+    val keptMigrated = widenWithNullCounts(kept, keyCols)
     val updated = delta.fold(keptMigrated)(keptMigrated.unionByName(_))
       .localCheckpoint(true)
-    val mfPath = new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest")
-    val tmpMf = new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest_tmp")
-    updated.write.mode("overwrite").parquet(tmpMf.toString)
+    replaceManifest(spark, dir, updated)
     Checkpoints.unpersist(updated)
     delta.foreach(Checkpoints.unpersist)
-    require(fs.delete(mfPath, true) || !fs.exists(mfPath),
-      s"failed to remove the old manifest at $mfPath before replacing it")
-    require(fs.rename(tmpMf, mfPath),
-      s"failed to move the updated manifest into place at $mfPath")
     DeleteStats(dropFiles.length, rewriteFiles.length,
       dropFiles.map(_._2).sum + rewriteFiles.map(_._2).sum - newRows)
   }

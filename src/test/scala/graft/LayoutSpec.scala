@@ -817,6 +817,35 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("appendWithManifest tolerates a long-typed partition column inferred as int") {
+    withTempDir("graft_append_intpart_") { dir =>
+      val d = s"$dir/t"
+      // the writer's `day` is LongType, but hive path-string
+      // inference reports IntegerType on re-read — the schema check
+      // must compare partition columns across the integral family or
+      // every legitimate append to an integer-partitioned layout dies
+      val rows = (0L to 99L).map(k => (k, k % 3)).toDF("v", "day")
+      rows.filter(col("v") < 50).write.partitionBy("day")
+        .mode("overwrite").parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("day", "v"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      Layout.appendWithManifest(rows.filter(col("v") >= 50), d, Seq("day", "v"))
+      val back = spark.read.parquet(d)
+      assert(back.count() === 100L)
+      // delta stats carried the partition key (via basePath), so a
+      // partition-keyed pruned read over old + new rows stays exact
+      val pruned = Layout.scanPruned(spark, d,
+        Seq(Layout.KeyBox("day", 1L, 1L)))
+      assert(pruned.count() === back.filter(col("day") === 1).count())
+      // data columns are still strict: a retyped non-key column is
+      // refused even on a partitioned layout
+      intercept[IllegalArgumentException] {
+        Layout.appendWithManifest(
+          rows.withColumn("v", col("v").cast("string")), d, Seq("day", "v"))
+      }
+    }
+  }
+
   test("streaming ingest loop: foreachBatch appendWithManifest keeps pruned reads exact per batch") {
     withTempDir("graft_stream_ingest_") { dir =>
       val d = s"$dir/t"
