@@ -414,6 +414,15 @@ object Layout {
     }
   }
 
+  /** The per-key null-count stat column, or the "unknown" literal
+    * when the manifest predates the null-count format — so every
+    * consumer's proof degrades conservatively instead of failing
+    * column resolution. */
+  private def nullsColOf(mSchema: org.apache.spark.sql.types.StructType,
+                         k: String): Column =
+    if (mSchema.fieldNames.contains(s"nulls_$k")) col(s"nulls_$k")
+    else lit(null).cast("long")
+
   /** Partition columns of a hive layout: the discovered schema minus
     * one data file's own footer schema — path-encoded columns never
     * appear in footers. Shared by the append and delete writers so
@@ -761,17 +770,12 @@ object Layout {
     val boundsOf = boxes.map(b => b -> decodeBounds(mSchema, b)).toMap
     // a file is DROPPABLE only when every box PROVES full coverage —
     // range inside the box AND zero null keys; any null verdict
-    // (null stats, unknown null counts) falls through to false. A
-    // pre-nulls-format manifest has NO nulls_<k> column at all —
-    // substitute the "unknown" literal so every file demotes to the
-    // rewrite path instead of failing column resolution
-    def nullsOf(k: String): Column =
-      if (mSchema.fieldNames.contains(s"nulls_$k")) col(s"nulls_$k")
-      else lit(null).cast("long")
+    // (null stats, unknown null counts — [[nullsColOf]]) falls
+    // through to false, demoting the file to the rewrite path
     val covered = boxes.map { b =>
       val (lo, hi) = boundsOf(b)
       col(s"min_${b.column}") >= lo && col(s"max_${b.column}") <= hi &&
-        nullsOf(b.column) === 0L
+        nullsColOf(mSchema, b.column) === 0L
     }.reduce(_ && _)
     // DISJOINT mirrors scanPruned's skip predicate exactly (null
     // stats ⇒ all-null key ⇒ no row can match a value interval)
@@ -896,6 +900,73 @@ object Layout {
     delta.foreach(Checkpoints.unpersist)
     DeleteStats(dropFiles.length, rewriteFiles.length,
       dropFiles.map(_._2).sum + rewriteFiles.map(_._2).sum - newRows)
+  }
+
+  /** Metadata-accelerated count of rows matching ALL `boxes` — the
+    * `SELECT count(*) WHERE <box predicate>` fast path Delta/Iceberg
+    * answer from their logs without touching data. Files the stats
+    * PROVE fully inside every box contribute without being opened:
+    * `n_rows` when every box key has zero nulls, and
+    * `n_rows - nulls` when exactly ONE box key carries nulls (those
+    * rows fail the value predicate; with two or more null-bearing
+    * keys the overlap is unknowable from per-key counts, so the file
+    * is scanned instead — correct over clever). Disjoint files
+    * contribute nothing. Only the genuinely ambiguous remainder is
+    * read, with the exact residual predicate, so the result EQUALS
+    * the full-scan count by construction. On a well-clustered layout
+    * with a box aligned to the clustering this touches ZERO data
+    * files — a count over a year of a 100 TB time-clustered table
+    * becomes one manifest-sized job. */
+  def countWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 boxes: Seq[PruneBox],
+                 verifyCoverage: Boolean = true): Long = {
+    require(boxes.nonEmpty, "countWhere needs at least one key box")
+    requireEncodingStablePath(dir)
+    val manifest = loadManifest(spark, dir)
+    val mSchema = manifest.schema
+    val boundsOf = boxes.map(b => b -> decodeBounds(mSchema, b)).toMap
+    val keys = boxes.map(_.column).distinct
+    val rangeCovered = boxes.map { b =>
+      val (lo, hi) = boundsOf(b)
+      col(s"min_${b.column}") >= lo && col(s"max_${b.column}") <= hi
+    }.reduce(_ && _)
+    val nullsKnown = keys.map(nullsColOf(mSchema, _).isNotNull).reduce(_ && _)
+    val nullBearing = keys.map(k =>
+      when(nullsColOf(mSchema, k) > 0L, 1).otherwise(0)).reduce(_ + _)
+    // the provable per-file contribution, null when no proof exists:
+    // with ≤1 null-bearing key, greatest(nulls) is exactly the count
+    // of rows the value predicate excludes
+    val metaRows = when(
+      coalesce(rangeCovered && nullsKnown && nullBearing <= 1, lit(false)),
+      col("n_rows") - keys.map(k => coalesce(nullsColOf(mSchema, k), lit(0L)))
+        .reduce(greatest(_, _)))
+    val disjoint = boxes.map { b =>
+      val (lo, hi) = boundsOf(b)
+      coalesce(col(s"max_${b.column}") < lo || col(s"min_${b.column}") > hi,
+        lit(true))
+    }.reduce(_ || _)
+    val verdicts = manifest.select(col("file"),
+        metaRows.as("meta"), disjoint.as("disjoint")).collect()
+    lazy val dirFrame = spark.read.parquet(dir)
+    if (verifyCoverage)
+      requireManifestCovers(spark, dirFrame,
+        verdicts.map(_.getString(0)).toSet, dir,
+        "rows in uncovered files would be missing from the count")
+    val metaSum = verdicts.collect {
+      case r if !r.isNullAt(1) => r.getLong(1)
+    }.sum
+    val scanFiles = verdicts.collect {
+      case r if r.isNullAt(1) && !r.getBoolean(2) => r.getString(0)
+    }
+    if (scanFiles.isEmpty) metaSum
+    else {
+      val residual = boxes.map { b =>
+        val (lo, hi) = boundsOf(b)
+        col(b.column).between(lo, hi)
+      }.reduce(_ && _)
+      metaSum + spark.read.option("basePath", dir)
+        .parquet(scanFiles.toIndexedSeq: _*).where(residual).count()
+    }
   }
 
   /** Clustering-depth profile over a skipping manifest: for each

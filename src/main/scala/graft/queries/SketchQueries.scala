@@ -987,6 +987,24 @@ object SketchQueries {
              |WHERE lang IS NULL OR lang NOT BETWEEN 'de' AND 'es'
              |GROUP BY 1 ORDER BY 1""".stripMargin), bench = true),
 
+    // Metadata-accelerated count — the `SELECT count(*) WHERE box`
+    // fast path answered from the manifest: files proved fully
+    // inside the box contribute n_rows unopened, disjoint files
+    // contribute nothing, only the ambiguous remainder is scanned
+    // with the exact residual. Over the lang-clustered fixture most
+    // files resolve metadata-only; the oracle is the plain full
+    // count, so exactness is hash-proved, not assumed.
+    QueryDef("q_layout_count",
+      (s, d) => {
+        import s.implicits._
+        val dir = langClusteredDocs(s, d)
+        Seq(Layout.countWhere(s, dir,
+          Seq(Layout.TypedKeyBox("lang", "de", "es")))).toDF("n_docs")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs
+             |FROM documents WHERE lang BETWEEN 'de' AND 'es'""".stripMargin),
+      bench = true),
+
     // String-keyed clustering depth — the OPTIMIZE trigger for
     // layouts clustered on a key with NO integer successor (a
     // lang-clustered corpus): the boundary sweep runs over the

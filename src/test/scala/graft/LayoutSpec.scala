@@ -817,6 +817,38 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("countWhere: proved files count from metadata alone, ambiguity is scanned") {
+    withTempDir("graft_count_") { dir =>
+      val d = s"$dir/t"
+      def part(rows: Seq[(Option[Long], Long)]): Unit =
+        rows.toDF("k", "v").repartition(1).write.mode("append").parquet(d)
+      part((0L to 99L).map(k => (Some(k), k)))     // covered, no nulls
+      part((120L to 200L).map(k => (Some(k), k)))  // partial → scanned
+      part((300L to 400L).map(k => (Some(k), k)))  // disjoint → 0
+      part((10L to 50L).map(k => (Some(k), k)) ++  // covered + nulls:
+        Seq((None, 9001L), (None, 9002L)))         //   n_rows - nulls, unopened
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      val full = spark.read.parquet(d)
+      val expect = full.filter(col("k").between(0, 150)).count()
+      assert(Layout.countWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 150L)))
+        === expect) // 100 + 31 + 41 = 172
+      // proof that proved files are NEVER OPENED: remove the covered
+      // files' data from disk (manifest row intact) — the metadata
+      // count still answers, because only the partial file is read.
+      // (verifyCoverage off: the check itself lists the directory.)
+      val mf = Layout.loadManifest(spark, d).collect()
+        .map(r => r.getAs[Long]("min_k") -> r.getAs[String]("file")).toMap
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      for (m <- Seq(0L, 10L, 300L))
+        fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(mf(m))), false)
+      assert(Layout.countWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 150L)),
+        verifyCoverage = false) === expect,
+        "countWhere opened a file it had already proved")
+    }
+  }
+
   test("appendWithManifest tolerates a long-typed partition column inferred as int") {
     withTempDir("graft_append_intpart_") { dir =>
       val d = s"$dir/t"
