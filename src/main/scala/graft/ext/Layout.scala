@@ -902,6 +902,49 @@ object Layout {
       dropFiles.map(_._2).sum + rewriteFiles.map(_._2).sum - newRows)
   }
 
+  /** Dynamic file skipping for a dim→fact join — the runtime analog
+    * of [[scanPruned]]'s static boxes, the Databricks "dynamic file
+    * pruning" shape: collect the DIM side's join-key bounds (one
+    * tiny agg, plan literals like broadcast centroids), turn them
+    * into a box on the fact's manifest key, drop fact files whose
+    * stats provably miss every dim key BEFORE `spark.read` opens
+    * them, then broadcast-join the dim. Exact by construction: range
+    * pruning is conservative (a surviving file may still hold no
+    * matching key) and the join itself re-filters precisely — the
+    * result EQUALS the unpruned join. At 100 TB this turns
+    * "fact ⋈ filtered-dim" — the single most common warehouse query
+    * shape — into a scan of only the fact files overlapping the
+    * dim's key range, with zero user-written predicates.
+    *
+    * `dim` must be broadcast-small (it is collected to ONE bounds
+    * row and broadcast into the join — the caller's filtered
+    * dimension, not a second fact). Date/timestamp/string keys
+    * round-trip through their canonical string rendering into
+    * [[TypedKeyBox]]; an empty or all-null dim key short-circuits to
+    * an empty result without opening any fact file. */
+  def joinPruned(spark: org.apache.spark.sql.SparkSession, factDir: String,
+                 dim: DataFrame, factKey: String, dimKey: String,
+                 verifyCoverage: Boolean = true): DataFrame = {
+    requireEncodingStablePath(factDir)
+    val manifest = loadManifest(spark, factDir)
+    val statT = manifest.schema(s"min_$factKey").dataType
+    val bounds = dim.agg(min(col(dimKey)), max(col(dimKey))).collect()(0)
+    if (bounds.isNullAt(0))
+      // no dim keys → no join matches; keep the joined schema
+      // without opening a single fact file
+      return spark.read.parquet(factDir).where(lit(false))
+        .join(dim, col(factKey) === col(dimKey))
+    val box: PruneBox =
+      if (statT == org.apache.spark.sql.types.LongType)
+        KeyBox(factKey,
+          // widen whatever integral type the dim carries
+          bounds.get(0).asInstanceOf[Number].longValue,
+          bounds.get(1).asInstanceOf[Number].longValue)
+      else TypedKeyBox(factKey, bounds.get(0).toString, bounds.get(1).toString)
+    scanPruned(spark, factDir, manifest, Seq(box), verifyCoverage)
+      .join(broadcast(dim), col(factKey) === col(dimKey))
+  }
+
   /** Metadata-accelerated count of rows matching ALL `boxes` — the
     * `SELECT count(*) WHERE <box predicate>` fast path Delta/Iceberg
     * answer from their logs without touching data. Files the stats

@@ -987,6 +987,31 @@ object SketchQueries {
              |WHERE lang IS NULL OR lang NOT BETWEEN 'de' AND 'es'
              |GROUP BY 1 ORDER BY 1""".stripMargin), bench = true),
 
+    // Dynamic file pruning on a dim→fact join: the dim slice's
+    // join-key bounds become a runtime box on the fact's manifest,
+    // so fact files outside the dim's key range never open — the
+    // Databricks DFP shape, with the manifest in place of the Delta
+    // log. The oracle is the PLAIN unpruned join: pruning is
+    // conservative and the join re-filters exactly, so the results
+    // hash-match by construction.
+    QueryDef("q_layout_join_pruned",
+      (s, d) => {
+        val dir = zorderedLineitem(s, d)
+        val dim = t(s, d, "part")
+          .filter(col("p_partkey").between(100, 400) && col("p_size") <= 25)
+          .select("p_partkey", "p_size")
+        Layout.joinPruned(s, dir, dim, "l_partkey", "p_partkey")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_rows"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+             |  round(sum(l_extendedprice), 2) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_partkey BETWEEN 100 AND 400 AND p_size <= 25
+             |GROUP BY 1 ORDER BY 1""".stripMargin), bench = true),
+
     // Metadata-accelerated count — the `SELECT count(*) WHERE box`
     // fast path answered from the manifest: files proved fully
     // inside the box contribute n_rows unopened, disjoint files

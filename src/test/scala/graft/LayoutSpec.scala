@@ -817,6 +817,36 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("joinPruned: dim bounds prune fact files, result equals the unpruned join") {
+    withTempDir("graft_joinpruned_") { dir =>
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+      Layout.writeZOrderedWithManifest(li, col("l_partkey"), col("l_suppkey"),
+        s"$dir/li", files = 16, keyCols = Seq("l_partkey", "l_suppkey"))
+      val back = spark.read.parquet(s"$dir/li")
+      val dim = (20L to 60L).toDF("p")
+      val joined = Layout.joinPruned(spark, s"$dir/li", dim, "l_partkey", "p")
+      // strictly fewer fact files than the full layout (the dim range
+      // covers a corner of the z-square), and exact join equality
+      assert(joined.inputFiles.length < back.inputFiles.length,
+        "dim bounds pruned nothing")
+      val full = back.join(dim, col("l_partkey") === col("p"))
+      val key = (r: org.apache.spark.sql.Row) =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(joined.count() > 0, "degenerate spec: join matched nothing")
+      assert(joined.select("l_orderkey", "l_partkey", "l_suppkey")
+          .collect().map(key).sorted.toSeq ===
+        full.select("l_orderkey", "l_partkey", "l_suppkey")
+          .collect().map(key).sorted.toSeq)
+      // empty dim: no fact file opens, schema (fact ⋈ dim) survives
+      val none = Layout.joinPruned(spark, s"$dir/li",
+        dim.where(lit(false)), "l_partkey", "p")
+      assert(none.count() === 0L)
+      assert(none.columns.toSet ===
+        Set("l_orderkey", "l_partkey", "l_suppkey", "p"))
+    }
+  }
+
   test("countWhere: proved files count from metadata alone, ambiguity is scanned") {
     withTempDir("graft_count_") { dir =>
       val d = s"$dir/t"
