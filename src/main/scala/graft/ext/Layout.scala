@@ -255,6 +255,23 @@ object Layout {
   final case class TypedKeyBox(column: String, lo: String, hi: String)
       extends PruneBox
 
+  /** An explicit value SET on an INTEGRAL key column — the sparse
+    * counterpart of [[KeyBox]]: a file skips unless SOME set element
+    * falls inside its `[min, max]` range, so two far-apart keys prune
+    * everything between them where the equivalent range box keeps it
+    * all. The residual is an `IN` filter (Catalyst compiles large
+    * lists to an `InSet` hash probe). Values are broadcast into the
+    * plan as one array literal — keep the set driver-small (the
+    * [[joinPruned]] caller caps it and falls back to a range box).
+    * Coverage PROOFS (deleteWhere's drop, countWhere's metadata
+    * count) are impossible from min/max stats against a sparse set,
+    * so those consumers treat set boxes as never-proved — correct,
+    * just not metadata-only. */
+  final case class KeySetBox(column: String, values: Seq[Long])
+      extends PruneBox {
+    require(values.nonEmpty, s"KeySetBox($column) needs at least one value")
+  }
+
   /** Per-file min/max statistics manifest for `keyCols` over a
     * parquet directory — the Delta/Iceberg-style skipping index, as a
     * DataFrame `(file, n_rows, min_<k>, max_<k>, ...)` with one row
@@ -606,7 +623,47 @@ object Layout {
           s"TypedKeyBox on $c needs date/timestamp/string stats but the " +
             s"manifest stores $t — use KeyBox with long bounds")
         (lit(lo).cast(t), lit(hi).cast(t))
+      case KeySetBox(c, _) =>
+        throw new IllegalArgumentException(
+          s"KeySetBox on $c has no [lo, hi] interval — internal misuse")
     }
+  }
+
+  /** Per-box SKIP predicate over the manifest's stat columns — true
+    * when the file PROVABLY holds no matching row. Interval boxes
+    * skip on `max < lo ∨ min > hi`; a set box skips unless SOME set
+    * element falls inside `[min, max]` (the values ride the plan as
+    * one sorted array literal probed per manifest row — file-count ×
+    * set-size work on the stats frame, never the data). Null stats
+    * mean an all-null key, and a null key never matches a value
+    * predicate, so null resolves to skip. ONE source for every
+    * consumer (scanPruned, deleteWhere, countWhere, joinPruned) —
+    * the skip semantics cannot fork. */
+  private def skipExprOf(mSchema: org.apache.spark.sql.types.StructType,
+                         b: PruneBox): Column = b match {
+    case KeySetBox(c, vs) =>
+      require(mSchema.fieldNames.contains(s"min_$c"),
+        s"manifest has no stats for key $c")
+      require(mSchema(s"min_$c").dataType == org.apache.spark.sql.types.LongType,
+        s"KeySetBox on $c has long values but the manifest stores " +
+          s"${mSchema(s"min_$c").dataType} stats")
+      coalesce(!exists(lit(vs.sorted.toArray),
+        v => v.between(col(s"min_$c"), col(s"max_$c"))), lit(true))
+    case _ =>
+      val (lo, hi) = decodeBounds(mSchema, b)
+      coalesce(col(s"max_${b.column}") < lo || col(s"min_${b.column}") > hi,
+        lit(true))
+  }
+
+  /** Per-box residual predicate on DATA columns — the exact filter
+    * surviving files re-apply, which is what makes every pruning
+    * consumer equal its full-scan twin by construction. */
+  private def residualExprOf(mSchema: org.apache.spark.sql.types.StructType,
+                             b: PruneBox): Column = b match {
+    case KeySetBox(c, vs) => col(c).isin(vs: _*)
+    case _ =>
+      val (lo, hi) = decodeBounds(mSchema, b)
+      col(b.column).between(lo, hi)
   }
 
   /** The consumer of the skipping manifest: read `dir` with files
@@ -643,15 +700,8 @@ object Layout {
                  verifyCoverage: Boolean = true): DataFrame = {
     require(boxes.nonEmpty, "scanPruned needs at least one key box")
     val mSchema = manifest.schema
-    def bounds(b: PruneBox): (Column, Column) = decodeBounds(mSchema, b)
-    val skip = boxes.map { b =>
-      val (lo, hi) = bounds(b)
-      col(s"max_${b.column}") < lo || col(s"min_${b.column}") > hi
-    }.reduce(_ || _)
-    val residual = boxes.map { b =>
-      val (lo, hi) = bounds(b)
-      col(b.column).between(lo, hi)
-    }.reduce(_ && _)
+    val skip = boxes.map(skipExprOf(mSchema, _)).reduce(_ || _)
+    val residual = boxes.map(residualExprOf(mSchema, _)).reduce(_ && _)
     requireEncodingStablePath(dir)
     lazy val dirFrame = spark.read.parquet(dir)
     if (verifyCoverage) {
@@ -663,7 +713,7 @@ object Layout {
         "pruning would silently drop rows")
     }
     val survivors = manifest
-      .filter(!coalesce(skip, lit(true)))
+      .filter(!skip) // per-box null coalescing lives in skipExprOf
       .select("file").collect().map(_.getString(0))
     if (survivors.isEmpty)
       // no file can contain a match; keep the schema (and exactness)
@@ -767,23 +817,20 @@ object Layout {
     val keyCols = mSchema.fieldNames.collect {
       case c if c.startsWith("min_") => c.stripPrefix("min_")
     }.toSeq
-    val boundsOf = boxes.map(b => b -> decodeBounds(mSchema, b)).toMap
     // a file is DROPPABLE only when every box PROVES full coverage —
     // range inside the box AND zero null keys; any null verdict
     // (null stats, unknown null counts — [[nullsColOf]]) falls
-    // through to false, demoting the file to the rewrite path
-    val covered = boxes.map { b =>
-      val (lo, hi) = boundsOf(b)
-      col(s"min_${b.column}") >= lo && col(s"max_${b.column}") <= hi &&
-        nullsColOf(mSchema, b.column) === 0L
+    // through to false, demoting the file to the rewrite path. A
+    // sparse SET box can never be range-proved, so it demotes too
+    val covered = boxes.map {
+      case _: KeySetBox => lit(false)
+      case b =>
+        val (lo, hi) = decodeBounds(mSchema, b)
+        col(s"min_${b.column}") >= lo && col(s"max_${b.column}") <= hi &&
+          nullsColOf(mSchema, b.column) === 0L
     }.reduce(_ && _)
-    // DISJOINT mirrors scanPruned's skip predicate exactly (null
-    // stats ⇒ all-null key ⇒ no row can match a value interval)
-    val disjoint = boxes.map { b =>
-      val (lo, hi) = boundsOf(b)
-      coalesce(col(s"max_${b.column}") < lo || col(s"min_${b.column}") > hi,
-        lit(true))
-    }.reduce(_ || _)
+    // DISJOINT is scanPruned's skip predicate, from the same source
+    val disjoint = boxes.map(skipExprOf(mSchema, _)).reduce(_ || _)
     val verdicts = manifest.select(col("file"), col("n_rows"),
         coalesce(covered, lit(false)).as("covered"), disjoint.as("disjoint"))
       .collect()
@@ -811,10 +858,7 @@ object Layout {
     var newFiles = Seq.empty[String]
     var newRows = 0L
     if (rewriteFiles.nonEmpty) {
-      val pred = boxes.map { b =>
-        val (lo, hi) = boundsOf(b)
-        col(b.column).between(lo, hi)
-      }.reduce(_ && _)
+      val pred = boxes.map(residualExprOf(mSchema, _)).reduce(_ && _)
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/_graft_delete_tmp")
       val before = dirFrame.inputFiles.toSet
       val srcFiles = rewriteFiles.map(_._1).toIndexedSeq
@@ -928,21 +972,40 @@ object Layout {
     requireEncodingStablePath(factDir)
     val manifest = loadManifest(spark, factDir)
     val statT = manifest.schema(s"min_$factKey").dataType
-    val bounds = dim.agg(min(col(dimKey)), max(col(dimKey))).collect()(0)
-    if (bounds.isNullAt(0))
+    def empty() =
       // no dim keys → no join matches; keep the joined schema
       // without opening a single fact file
-      return spark.read.parquet(factDir).where(lit(false))
+      spark.read.parquet(factDir).where(lit(false))
         .join(dim, col(factKey) === col(dimKey))
-    val box: PruneBox =
-      if (statT == org.apache.spark.sql.types.LongType)
-        KeyBox(factKey,
-          // widen whatever integral type the dim carries
-          bounds.get(0).asInstanceOf[Number].longValue,
-          bounds.get(1).asInstanceOf[Number].longValue)
-      else TypedKeyBox(factKey, bounds.get(0).toString, bounds.get(1).toString)
-    scanPruned(spark, factDir, manifest, Seq(box), verifyCoverage)
-      .join(broadcast(dim), col(factKey) === col(dimKey))
+    val box: Option[PruneBox] =
+      if (statT == org.apache.spark.sql.types.LongType) {
+        // an integral key tries the SPARSE set form first: up to 1024
+        // distinct dim keys become a KeySetBox, which prunes the gaps
+        // a [min, max] range box would keep (two far-apart keys skip
+        // everything between them). The limit(1025) probe bounds the
+        // driver collect BEFORE knowing the cardinality; a bigger dim
+        // falls back to the range box from one tiny bounds agg
+        val probe = dim.select(col(dimKey).cast("long").as("k"))
+          .filter(col("k").isNotNull).distinct().limit(1025)
+          .collect().map(_.getLong(0))
+        if (probe.isEmpty) None
+        else if (probe.length <= 1024) Some(KeySetBox(factKey, probe.toSeq))
+        else {
+          val b = dim.agg(min(col(dimKey)).cast("long"),
+            max(col(dimKey)).cast("long")).collect()(0)
+          Some(KeyBox(factKey, b.getLong(0), b.getLong(1)))
+        }
+      } else {
+        val b = dim.agg(min(col(dimKey)), max(col(dimKey))).collect()(0)
+        if (b.isNullAt(0)) None
+        // date/timestamp/string bounds round-trip through their
+        // canonical rendering; the ANSI cast back is loud on mismatch
+        else Some(TypedKeyBox(factKey, b.get(0).toString, b.get(1).toString))
+      }
+    box.fold(empty()) { bx =>
+      scanPruned(spark, factDir, manifest, Seq(bx), verifyCoverage)
+        .join(broadcast(dim), col(factKey) === col(dimKey))
+    }
   }
 
   /** Metadata-accelerated count of rows matching ALL `boxes` — the
@@ -967,11 +1030,14 @@ object Layout {
     requireEncodingStablePath(dir)
     val manifest = loadManifest(spark, dir)
     val mSchema = manifest.schema
-    val boundsOf = boxes.map(b => b -> decodeBounds(mSchema, b)).toMap
     val keys = boxes.map(_.column).distinct
-    val rangeCovered = boxes.map { b =>
-      val (lo, hi) = boundsOf(b)
-      col(s"min_${b.column}") >= lo && col(s"max_${b.column}") <= hi
+    // a sparse SET box can never be range-proved; its files resolve
+    // to scanned-or-disjoint, same as deleteWhere's demotion
+    val rangeCovered = boxes.map {
+      case _: KeySetBox => lit(false)
+      case b =>
+        val (lo, hi) = decodeBounds(mSchema, b)
+        col(s"min_${b.column}") >= lo && col(s"max_${b.column}") <= hi
     }.reduce(_ && _)
     val nullsKnown = keys.map(nullsColOf(mSchema, _).isNotNull).reduce(_ && _)
     val nullBearing = keys.map(k =>
@@ -983,11 +1049,7 @@ object Layout {
       coalesce(rangeCovered && nullsKnown && nullBearing <= 1, lit(false)),
       col("n_rows") - keys.map(k => coalesce(nullsColOf(mSchema, k), lit(0L)))
         .reduce(greatest(_, _)))
-    val disjoint = boxes.map { b =>
-      val (lo, hi) = boundsOf(b)
-      coalesce(col(s"max_${b.column}") < lo || col(s"min_${b.column}") > hi,
-        lit(true))
-    }.reduce(_ || _)
+    val disjoint = boxes.map(skipExprOf(mSchema, _)).reduce(_ || _)
     val verdicts = manifest.select(col("file"),
         metaRows.as("meta"), disjoint.as("disjoint")).collect()
     lazy val dirFrame = spark.read.parquet(dir)
@@ -1003,10 +1065,7 @@ object Layout {
     }
     if (scanFiles.isEmpty) metaSum
     else {
-      val residual = boxes.map { b =>
-        val (lo, hi) = boundsOf(b)
-        col(b.column).between(lo, hi)
-      }.reduce(_ && _)
+      val residual = boxes.map(residualExprOf(mSchema, _)).reduce(_ && _)
       metaSum + spark.read.option("basePath", dir)
         .parquet(scanFiles.toIndexedSeq: _*).where(residual).count()
     }

@@ -844,6 +844,21 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       assert(none.count() === 0L)
       assert(none.columns.toSet ===
         Set("l_orderkey", "l_partkey", "l_suppkey", "p"))
+      // SPARSE dim: two far-apart keys. The set box skips every file
+      // whose [min, max] contains neither key — strictly MORE pruning
+      // than the equivalent [20, 180] range box, which keeps the gap
+      val (kLo, kHi) = (20L, 180L)
+      val sparse = Seq(kLo, kHi).toDF("p")
+      val sparseJoined = Layout.joinPruned(spark, s"$dir/li",
+        sparse, "l_partkey", "p")
+      val rangeScan = Layout.scanPruned(spark, s"$dir/li",
+        Seq(Layout.KeyBox("l_partkey", kLo, kHi)))
+      assert(sparseJoined.inputFiles.length < rangeScan.inputFiles.length,
+        "set box pruned no more than the range box")
+      val sparseFull = back.join(sparse, col("l_partkey") === col("p"))
+      assert(sparseJoined.count() === sparseFull.count())
+      assert(sparseJoined.select("l_orderkey").as[Long].collect().sorted.toSeq
+        === sparseFull.select("l_orderkey").as[Long].collect().sorted.toSeq)
     }
   }
 
