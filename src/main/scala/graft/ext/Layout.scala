@@ -787,14 +787,15 @@ object Layout {
     * replace, a pruned read that selects a removed file fails on the
     * missing path. Recovery is window-specific, never automatic: a
     * crash BEFORE any move leaves the directory unchanged (re-run
-    * verbatim); after moves but before the old-file delete, remove
-    * the manifest-UNCOVERED files (the moved survivors — fully
-    * re-derivable from the still-present partials) and re-run; after
-    * the old-file delete, rebuild the manifest over the surviving
-    * directory with [[buildFileManifest]]. A re-run without that
-    * repair fails loudly on the coverage check — by design, since
-    * the engine cannot distinguish delete debris from crashed
-    * out-of-band appends whose rows a deletion would lose.
+    * verbatim); after moves but before the old-file delete,
+    * [[quarantineUncovered]] moves the manifest-uncovered survivors
+    * aside (they are fully re-derivable from the still-present
+    * partials — discard the quarantine) and the re-run proceeds;
+    * after the old-file delete, rebuild the manifest over the
+    * surviving directory with [[buildFileManifest]]. A re-run
+    * without that repair fails loudly on the coverage check — by
+    * design, since the engine cannot distinguish delete debris from
+    * crashed out-of-band appends whose rows a deletion would lose.
     *
     * Hive-partitioned layouts work in place too — the GDPR shape is
     * a delete by a DATA column (user id) across a date-partitioned
@@ -1006,6 +1007,57 @@ object Layout {
       scanPruned(spark, factDir, manifest, Seq(bx), verifyCoverage)
         .join(broadcast(dim), col(factKey) === col(dimKey))
     }
+  }
+
+  /** The SAFE recovery verb for a directory whose coverage check
+    * fails: MOVE every non-empty data file the manifest does not
+    * cover into `quarantineDir`, preserving partition-relative
+    * paths. Nothing is deleted — the engine cannot distinguish a
+    * crashed [[appendWithManifest]]'s real rows from a crashed
+    * [[deleteWhere]]'s duplicate survivors, so both land in
+    * quarantine where an operator inspects and either re-appends
+    * them (appendWithManifest re-derives their stats from the
+    * quarantined files) or discards them. After the move, every
+    * coverage-guarded read works again. Zero-row part files are left
+    * in place: they are legitimately manifest-less and harmless.
+    * Returns the moved file names (their ORIGINAL spellings). */
+  def quarantineUncovered(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, quarantineDir: String): Seq[String] = {
+    requireEncodingStablePath(dir)
+    requireEncodingStablePath(quarantineDir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    requireDisjointDirs(conf, dir, quarantineDir, "quarantineUncovered")
+    val known = loadManifest(spark, dir).select("file").collect()
+      .map(_.getString(0)).toSet
+    val dirFrame = spark.read.parquet(dir)
+    val listed = dirFrame.inputFiles
+    listed.foreach(requireEncodingStablePath)
+    val uncovered = listed.filterNot(known)
+    if (uncovered.isEmpty) return Nil
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    val qualifiedDir = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+      .toString.stripSuffix("/")
+    val moved = uncovered.toSeq.filter { f =>
+      // probe each suspect alone (schema pinned — a 0-byte file must
+      // not trip inference): only row-bearing files need moving
+      spark.read.schema(dirFrame.schema).parquet(f).head(1).nonEmpty
+    }
+    for (f <- moved) {
+      val src = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      val qualifiedSrc = fs.makeQualified(src).toString
+      require(qualifiedSrc.startsWith(qualifiedDir + "/"),
+        s"uncovered file $f resolves outside $dir — refusing to move it")
+      // partition-relative path preserved, so a re-append from the
+      // quarantine can recover the k=v partition values
+      val rel = qualifiedSrc.stripPrefix(qualifiedDir + "/")
+      val dest = new org.apache.hadoop.fs.Path(s"$quarantineDir/$rel")
+      fs.mkdirs(dest.getParent)
+      require(!fs.exists(dest),
+        s"quarantine target $dest already exists")
+      require(fs.rename(src, dest),
+        s"failed to quarantine $f to $dest")
+    }
+    moved
   }
 
   /** Metadata-accelerated count of rows matching ALL `boxes` — the

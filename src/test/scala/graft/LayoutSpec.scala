@@ -817,6 +817,44 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("quarantineUncovered: out-of-band files move aside, reads recover, rows re-append") {
+    withTempDir("graft_quarantine_") { dir =>
+      val d = s"$dir/t"
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+      Layout.writeZOrderedWithManifest(li, col("l_partkey"), col("l_suppkey"),
+        s"$dir/t", files = 4, keyCols = Seq("l_partkey", "l_suppkey"))
+      val covered = li.count()
+      // simulate crash debris / an out-of-band append: land 7 rows
+      // the manifest knows nothing about
+      val stray = li.limit(7)
+      stray.repartition(1).write.mode("append").parquet(d)
+      val strayRows = 7L
+      // every coverage-guarded read now refuses, loudly
+      intercept[IllegalArgumentException] {
+        Layout.scanPruned(spark, d, Seq(Layout.KeyBox("l_partkey", 20L, 60L)))
+      }
+      val moved = Layout.quarantineUncovered(spark, d, s"$dir/q")
+      assert(moved.length === 1, moved.toString)
+      // reads work again, over exactly the covered rows
+      assert(spark.read.parquet(d).count() === covered)
+      val pruned = Layout.scanPruned(spark, d,
+        Seq(Layout.KeyBox("l_partkey", 20L, 60L)))
+      assert(pruned.count() ===
+        li.filter(col("l_partkey").between(20, 60)).count())
+      // nothing destroyed: the quarantined rows re-append through the
+      // front door and the manifest covers them from then on
+      assert(spark.read.parquet(s"$dir/q").count() === strayRows)
+      Layout.appendWithManifest(spark.read.parquet(s"$dir/q"), d,
+        Seq("l_partkey", "l_suppkey"))
+      assert(spark.read.parquet(d).count() === covered + strayRows)
+      Layout.scanPruned(spark, d, Seq(Layout.KeyBox("l_partkey", 20L, 60L)))
+        .count() // coverage check passes again
+      // idempotent: a clean directory quarantines nothing
+      assert(Layout.quarantineUncovered(spark, d, s"$dir/q2") === Nil)
+    }
+  }
+
   test("joinPruned: dim bounds prune fact files, result equals the unpruned join") {
     withTempDir("graft_joinpruned_") { dir =>
       val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
