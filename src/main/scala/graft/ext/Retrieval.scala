@@ -303,6 +303,53 @@ object Retrieval {
       corpusStats(docs, idCol, textCol), queries, qidCol, qtextCol, posCol,
       negPerQuery, candK)
 
+  /** Dirichlet-smoothed query-likelihood top-`k` (Zhai & Lafferty,
+    * SIGIR 2001) — the classical probabilistic LM baseline next to
+    * BM25, in its sparse rank-equivalent decomposition:
+    *
+    *   score(q,d) = Σ_{w ∈ q∩d} log(1 + tf / (μ · cf_w / |C|))
+    *              + |q| · log(μ / (dl + μ))
+    *
+    * where `cf_w` is the COLLECTION frequency of `w` and `|C|` the
+    * total token count (derived as `n_docs · avgdl` from the same
+    * stats frame BM25 uses). The first sum runs only over matching
+    * postings — index-sparse, identical pruning to BM25 (static
+    * `isin` pushed to the postings scan) — and the second term is a
+    * per-document constant, so candidates are docs holding ≥ 1 query
+    * term, like every sparse ranker here. μ defaults to 2000, the
+    * original paper's long-query sweet spot. Per-term contributions
+    * quantize to 9 decimals before the sum (the oracle twins this),
+    * score reports at 6. Returns (doc_id, score, rank). */
+  def qlTopKFromPostings(post: DataFrame, stats: DataFrame, query: String,
+                         k: Int, mu: Double = 2000.0): DataFrame = {
+    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(terms.nonEmpty, "ql: query has no terms")
+    val pruned = post.filter(col("term").isin(terms: _*))
+    val cfT = pruned.groupBy("term")
+      .agg(sum(col("tf")).cast("double").as("cf"))
+    val w = Window.orderBy(desc("score"), col("doc_id"))
+    pruned.join(broadcast(cfT), "term").crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        round(log(lit(1.0) +
+          col("tf") / (lit(mu) * col("cf") / (col("n_docs") * col("avgdl")))),
+          9).as("s"))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sum(col("s")).as("s1"))
+      .select(col("doc_id"),
+        round(col("s1") +
+          lit(terms.length.toDouble) * log(lit(mu) / (col("dl") + lit(mu))),
+          6).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy("rank")
+  }
+
+  /** Convenience single-query form of the Dirichlet LM ranker. */
+  def qlTopK(docs: DataFrame, idCol: String, textCol: String, query: String,
+             k: Int, mu: Double = 2000.0): DataFrame =
+    qlTopKFromPostings(postings(docs, idCol, textCol),
+      corpusStats(docs, idCol, textCol), query, k, mu)
+
   /** Convenience single-query form over the raw corpus. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String, query: String,
                k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =

@@ -61,6 +61,32 @@ object RetrievalQueries {
              |  FROM scored)
              |WHERE rank <= 10 ORDER BY rank""".stripMargin), bench = true),
 
+    // Dirichlet query-likelihood top-10 (Zhai & Lafferty) — the
+    // classical probabilistic LM ranker beside BM25, same pruned
+    // postings, different arithmetic: matching terms contribute
+    // log(1 + tf/(μ·cf/|C|)) and every candidate pays the
+    // |q|·log(μ/(dl+μ)) length normalizer. The oracle re-derives
+    // collection frequencies and the identical expression tree.
+    QueryDef("q_ir_qld",
+      (s, d) => Retrieval.qlTopK(t(s, d, "documents"), "doc_id", "text",
+        "spark join window table", k = 10),
+      Some(s"""WITH ${oraclePost("term IN ('spark','join','window','table')")},
+             |cfT AS (
+             |  SELECT term, CAST(sum(tf) AS DOUBLE) AS cf
+             |  FROM post GROUP BY 1),
+             |scored AS (
+             |  SELECT doc_id,
+             |    round(sum(round(ln(1.0 +
+             |        tf / (2000.0 * cf / (s.n_docs * s.avgdl))), 9))
+             |      + 4.0 * ln(2000.0 / (dl + 2000.0)), 6) AS score
+             |  FROM post JOIN cfT USING (term), stats s
+             |  GROUP BY doc_id, dl)
+             |SELECT doc_id, score, rank FROM (
+             |  SELECT doc_id, score,
+             |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored)
+             |WHERE rank <= 10 ORDER BY rank""".stripMargin), bench = true),
+
     // Persisted-index lifecycle: build the postings, write them as
     // parquet, read them back, and serve the query from the persisted
     // frame (stats recovered from the index's narrow (doc_id, dl)

@@ -42,6 +42,27 @@ class RetrievalSpec extends AnyFunSuite with SharedSpark {
     assert(ids.length === 4)
   }
 
+  test("dirichlet query likelihood: tf raises, length normalizes, no-term docs excluded") {
+    import spark.implicits._
+    val got = Retrieval.qlTopK(corpus, "doc_id", "text", "spark join", k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    // candidates: docs with ≥1 query term — doc 3 never appears
+    assert(!got.contains(3L))
+    // doc 0 (spark×3 + join) beats doc 1 (spark + join, shorter but
+    // far fewer matches): tf dominates at these lengths
+    assert(got(0L) > got(1L), got.toString)
+    // independent hand computation of doc 4's score from the model:
+    // cf(spark)=5, cf(join)=8, |C| = n_docs·avgdl = 5·(18/5) = 18
+    val mu = 2000.0
+    val c = 18.0
+    val s4 = BigDecimal(math.log(1.0 + 1.0 / (mu * (5.0 / c))))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble +
+      2.0 * math.log(mu / (1.0 + mu))
+    assert(math.abs(got(4L) -
+      BigDecimal(s4).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      < 1e-9, s"doc4 ${got(4L)} vs hand $s4")
+  }
+
   test("batch bm25 matches the single-query path per query") {
     import spark.implicits._
     val queries = Seq((10L, "spark join"), (11L, "window")).toDF("qid", "qtext")
