@@ -417,7 +417,10 @@ object Layout {
     * own story. */
   private def requireManifestCovers(
       spark: org.apache.spark.sql.SparkSession, dirFrame: DataFrame,
-      known: Set[String], dir: String, consequence: String): Unit = {
+      known: => Set[String], dir: String, consequence: String): Unit = {
+    // `known` is BY-NAME so the cheap listing + per-file path guard
+    // run before the manifest is ever read: a broken manifest must
+    // not mask the actionable encoding-stability rejection
     val listed = dirFrame.inputFiles
     listed.foreach(requireEncodingStablePath)
     val uncovered = listed.filterNot(known)
@@ -704,14 +707,14 @@ object Layout {
     val residual = boxes.map(residualExprOf(mSchema, _)).reduce(_ && _)
     requireEncodingStablePath(dir)
     lazy val dirFrame = spark.read.parquet(dir)
-    if (verifyCoverage) {
+    if (verifyCoverage)
       // raw-string comparison is correct: input_file_name() and
-      // inputFiles return the same (encoded) spelling on Spark 4.x
-      val known = manifest.select("file").collect()
-        .map(_.getString(0)).toSet
-      requireManifestCovers(spark, dirFrame, known, dir,
+      // inputFiles return the same (encoded) spelling on Spark 4.x.
+      // The known-set argument stays an inline expression: by-name,
+      // it is only forced AFTER the guard's path checks
+      requireManifestCovers(spark, dirFrame,
+        manifest.select("file").collect().map(_.getString(0)).toSet, dir,
         "pruning would silently drop rows")
-    }
     val survivors = manifest
       .filter(!skip) // per-box null coalescing lives in skipExprOf
       .select("file").collect().map(_.getString(0))
@@ -980,6 +983,16 @@ object Layout {
         .join(dim, col(factKey) === col(dimKey))
     val box: Option[PruneBox] =
       if (statT == org.apache.spark.sql.types.LongType) {
+        // the dim key must be integral too: a floating dim key joined
+        // to a long fact key compares under DOUBLE promotion, which
+        // differs from this long-side pruning above 2^53 — pruning
+        // could drop a row the plain join's lossy promotion would
+        // match. Refuse the ambiguous case; the caller casts
+        // explicitly and owns the semantics
+        require(isIntegral(dim.schema(dimKey).dataType),
+          s"joinPruned: fact key $factKey has long stats but dim key " +
+            s"$dimKey is ${dim.schema(dimKey).dataType} — cast the dim " +
+            "key to an integral type to make the join semantics exact")
         // an integral key tries the SPARSE set form first: up to 1024
         // distinct dim keys become a KeySetBox, which prunes the gaps
         // a [min, max] range box would keep (two far-apart keys skip
@@ -1037,11 +1050,14 @@ object Layout {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     val qualifiedDir = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
       .toString.stripSuffix("/")
-    val moved = uncovered.toSeq.filter { f =>
-      // probe each suspect alone (schema pinned — a 0-byte file must
-      // not trip inference): only row-bearing files need moving
-      spark.read.schema(dirFrame.schema).parquet(f).head(1).nonEmpty
-    }
+    // ONE job over all suspects, grouped by file (schema pinned — a
+    // 0-byte file must not trip inference): zero-row files produce no
+    // group and stay in place; only row-bearing files move
+    val rowBearing = spark.read.schema(dirFrame.schema)
+      .parquet(uncovered.toIndexedSeq: _*)
+      .groupBy(input_file_name().as("f")).count()
+      .select("f").collect().map(_.getString(0)).toSet
+    val moved = uncovered.toSeq.filter(rowBearing)
     for (f <- moved) {
       val src = new org.apache.hadoop.fs.Path(new java.net.URI(f))
       val qualifiedSrc = fs.makeQualified(src).toString

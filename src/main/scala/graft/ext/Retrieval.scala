@@ -37,6 +37,14 @@ object Retrieval {
     * oracles. */
   private def tokens(text: Column): Column = split(lower(text), "\\s+")
 
+  /** Query-side tokenizer — the ONE driver-side mirror of [[tokens]]
+    * (lowercase, whitespace split, empties dropped), shared by every
+    * ranker and the phrase matcher so a tokenization fix cannot fork
+    * their candidate sets. Order and duplicates preserved; callers
+    * that want a term SET apply `.distinct`. */
+  private def queryTerms(query: String): Seq[String] =
+    query.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+
   /** Posting lists: one row per (term, doc_id) with term frequency
     * and the document's token count (BM25's length normalization —
     * kept denormalized in the posting so queries never rejoin the
@@ -100,7 +108,7 @@ object Retrieval {
     * Returns (doc_id, score, rank) ordered by rank. */
   def bm25TopKFromPostings(post: DataFrame, stats: DataFrame, query: String,
                            k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    val terms = queryTerms(query).distinct
     require(terms.nonEmpty, "bm25: query has no terms")
     val pruned = post.filter(col("term").isin(terms: _*))
     val dfT = pruned.groupBy("term").agg(count(lit(1)).as("df"))
@@ -206,7 +214,7 @@ object Retrieval {
     * position p of the first term with every later term inside its
     * window. */
   def phraseSearch(post: DataFrame, phrase: String, slop: Int = 0): DataFrame = {
-    val terms = phrase.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val terms = queryTerms(phrase)
     require(terms.nonEmpty, "phraseSearch: empty phrase")
     require(slop >= 0, "phraseSearch: negative slop")
     val pruned = post.filter(col("term").isin(terms.distinct: _*))
@@ -317,27 +325,36 @@ object Retrieval {
     * `isin` pushed to the postings scan) — and the second term is a
     * per-document constant, so candidates are docs holding ≥ 1 query
     * term, like every sparse ranker here. μ defaults to 2000, the
-    * original paper's long-query sweet spot. Per-term contributions
+    * original paper's long-query sweet spot. A repeated query term
+    * weights its contribution by its query frequency, and `|q|` is
+    * the TOTAL token count — the faithful Zhai–Lafferty likelihood,
+    * not the distinct-term approximation. Per-term contributions
     * quantize to 9 decimals before the sum (the oracle twins this),
     * score reports at 6. Returns (doc_id, score, rank). */
   def qlTopKFromPostings(post: DataFrame, stats: DataFrame, query: String,
                          k: Int, mu: Double = 2000.0): DataFrame = {
-    val terms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
-    require(terms.nonEmpty, "ql: query has no terms")
+    val toks = queryTerms(query)
+    require(toks.nonEmpty, "ql: query has no terms")
+    val qtf = toks.groupBy(identity).view.mapValues(_.size).toMap
+    val terms = qtf.keys.toSeq.sorted
     val pruned = post.filter(col("term").isin(terms: _*))
     val cfT = pruned.groupBy("term")
       .agg(sum(col("tf")).cast("double").as("cf"))
+    // query term frequency rides the plan as one map literal
+    val qtfCol = element_at(
+      map(terms.flatMap(t => Seq(lit(t), lit(qtf(t).toDouble))): _*),
+      col("term"))
     val w = Window.orderBy(desc("score"), col("doc_id"))
     pruned.join(broadcast(cfT), "term").crossJoin(broadcast(stats))
       .select(col("doc_id"), col("dl"),
-        round(log(lit(1.0) +
+        round(qtfCol * log(lit(1.0) +
           col("tf") / (lit(mu) * col("cf") / (col("n_docs") * col("avgdl")))),
           9).as("s"))
       .groupBy(col("doc_id"), col("dl"))
       .agg(sum(col("s")).as("s1"))
       .select(col("doc_id"),
         round(col("s1") +
-          lit(terms.length.toDouble) * log(lit(mu) / (col("dl") + lit(mu))),
+          lit(toks.length.toDouble) * log(lit(mu) / (col("dl") + lit(mu))),
           6).as("score"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

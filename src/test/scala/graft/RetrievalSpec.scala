@@ -61,6 +61,19 @@ class RetrievalSpec extends AnyFunSuite with SharedSpark {
     assert(math.abs(got(4L) -
       BigDecimal(s4).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       < 1e-9, s"doc4 ${got(4L)} vs hand $s4")
+    // duplicate query terms weight by query frequency and |q| counts
+    // TOKENS — the faithful Zhai–Lafferty likelihood, not the
+    // distinct-term approximation: "spark spark join" on doc 4 is
+    // 2·log(1 + tf/(μ·cf_spark/|C|)) + 3·log(μ/(dl+μ))
+    val got2 = Retrieval
+      .qlTopK(corpus, "doc_id", "text", "spark spark join", k = 10)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    val s4dup = BigDecimal(2.0 * math.log(1.0 + 1.0 / (mu * (5.0 / c))))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble +
+      3.0 * math.log(mu / (1.0 + mu))
+    assert(math.abs(got2(4L) -
+      BigDecimal(s4dup).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      < 1e-9, s"doc4 dup ${got2(4L)} vs hand $s4dup")
   }
 
   test("batch bm25 matches the single-query path per query") {
