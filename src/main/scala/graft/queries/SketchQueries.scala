@@ -1012,6 +1012,70 @@ object SketchQueries {
              |WHERE p_partkey BETWEEN 100 AND 400 AND p_size <= 25
              |GROUP BY 1 ORDER BY 1""".stripMargin), bench = true),
 
+    // Partitioned delete — the GDPR shape on a partitioned table: a
+    // DATA-column box deleted across a lang-partitioned documents
+    // layout (survivors rewritten inside their own partition dirs,
+    // partition values preserved by location). Oracle = DuckDB's
+    // anti-filter over the raw table, so survivor ≡ DELETE-complement
+    // is hash-proved end to end including the partition column.
+    QueryDef("q_layout_delete_part",
+      (s, d) => {
+        val dir = prunedFixture.computeIfAbsent(s"$d#docs_delpart", _ => {
+          val p = graft.Scratch.tempDir("graft_delpart_") + "/documents"
+          t(s, d, "documents").select("doc_id", "lang", "n_chars")
+            .write.partitionBy("lang").mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("lang", "doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          val st = Layout.deleteWhere(s, p,
+            Seq(Layout.KeyBox("doc_id", 100L, 299L)))
+          require(st.rowsDeleted > 0, s"degenerate fixture: $st")
+          p
+        })
+        s.read.parquet(dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM documents WHERE doc_id NOT BETWEEN 100 AND 299
+             |GROUP BY 1 ORDER BY 1""".stripMargin), bench = true),
+
+    // Quarantine recovery, oracle-proved: stray rows landed OUT OF
+    // BAND (any writer but appendWithManifest) make every coverage-
+    // guarded read refuse; [[Layout.quarantineUncovered]] moves them
+    // aside — never deletes — and the directory serves exactly its
+    // covered rows again. The oracle is the covered subset, so the
+    // recovery's row-exactness is hash-proved, not just spec-assumed.
+    QueryDef("q_layout_quarantine",
+      (s, d) => {
+        val dir = prunedFixture.computeIfAbsent(s"$d#docs_quar", _ => {
+          val p = graft.Scratch.tempDir("graft_quar_") + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.filter(col("doc_id") < 400)
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          // the out-of-band append the manifest knows nothing about
+          docs.filter(col("doc_id") >= 400)
+            .repartition(1).write.mode("append").parquet(p)
+          val moved = Layout.quarantineUncovered(s, p,
+            graft.Scratch.tempDir("graft_quarq_"))
+          require(moved.nonEmpty, "degenerate fixture: nothing quarantined")
+          p
+        })
+        s.read.parquet(dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |FROM documents WHERE doc_id < 400
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Metadata-accelerated count — the `SELECT count(*) WHERE box`
     // fast path answered from the manifest: files proved fully
     // inside the box contribute n_rows unopened, disjoint files
