@@ -1103,6 +1103,51 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("grand lifecycle: write → append → recluster → delete → compact, every verb exact") {
+    withTempDir("graft_lifecycle_") { dir =>
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+      // 1. clustered write + stored stats over the first half
+      Layout.writeZOrderedWithManifest(
+        li.filter(col("l_orderkey") % 2 === 0),
+        col("l_partkey"), col("l_suppkey"), s"$dir/t", files = 8,
+        keyCols = Seq("l_partkey", "l_suppkey"))
+      // 2. day-2 append of the second half (delta-only stats patch)
+      Layout.appendWithManifest(li.filter(col("l_orderkey") % 2 === 1),
+        s"$dir/t", Seq("l_partkey", "l_suppkey"))
+      assert(spark.read.parquet(s"$dir/t").count() === li.count())
+      // 3. the unclustered append degrades depth; the trigger fires
+      //    off the stored stats and the rewrite re-tightens
+      val mf1 = Layout.loadManifest(spark, s"$dir/t")
+      assert(Layout.needsRecluster(mf1, "l_partkey", maxDepth = 3L))
+      Layout.writeZOrderedWithManifest(spark.read.parquet(s"$dir/t"),
+        col("l_partkey"), col("l_suppkey"), s"$dir/t2", files = 8,
+        keyCols = Seq("l_partkey", "l_suppkey"))
+      // 4. manifest-proved delete on the reclustered layout
+      val st = Layout.deleteWhere(spark, s"$dir/t2",
+        Seq(Layout.KeyBox("l_partkey", 1L, 40L)))
+      val expect = li.filter(!col("l_partkey").between(1, 40))
+      assert(st.rowsDeleted ===
+        li.count() - expect.count(), st.toString)
+      // 5. compaction carries the patched manifest forward
+      Layout.compact(spark, s"$dir/t2", s"$dir/t3",
+        targetBytes = Long.MaxValue)
+      // 6-8. every consumer answers exactly on the final layout
+      assert(Layout.countWhere(spark, s"$dir/t3",
+          Seq(Layout.KeyBox("l_suppkey", 3L, 7L))) ===
+        expect.filter(col("l_suppkey").between(3, 7)).count())
+      val pruned = Layout.scanPruned(spark, s"$dir/t3",
+        Seq(Layout.KeyBox("l_partkey", 50L, 90L)))
+      assert(pruned.select("l_orderkey").as[Long].collect().sorted.toSeq ===
+        expect.filter(col("l_partkey").between(50, 90))
+          .select("l_orderkey").as[Long].collect().sorted.toSeq)
+      val dim = (60L to 70L).toDF("p")
+      val joined = Layout.joinPruned(spark, s"$dir/t3", dim, "l_partkey", "p")
+      assert(joined.count() ===
+        expect.join(dim, col("l_partkey") === col("p")).count())
+    }
+  }
+
   test("writeZOrdered on an empty frame still writes a readable parquet dir") {
     val empty = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select("l_partkey", "l_suppkey").filter(lit(false))
