@@ -140,8 +140,19 @@ object Dedup {
     * Survivors are verified with an exact intersection count — the
     * result is identical to the all-pairs form. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-                       n: Int, threshold: Double): DataFrame = {
-    val sh = shingleTable(df, idCol, textCol, n)
+                       n: Int, threshold: Double): DataFrame =
+    containmentPairsFromShingles(shingleTable(df, idCol, textCol, n),
+      threshold)
+
+  /** [[containmentPairs]] from a PRE-COMPUTED `(id, sh)` shingle
+    * table — the same composition entry point
+    * [[jaccardPairsFromShingles]] offers: a pipeline running
+    * jaccard + containment + novelty over one corpus shingles ONCE
+    * (materialized) and feeds every consumer, instead of paying a
+    * second full text explode — at 100 TB the most expensive scan
+    * in the whole dedup family. Semantics identical. */
+  def containmentPairsFromShingles(sh: DataFrame,
+                                   threshold: Double): DataFrame = {
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df_sh"))
     val byId = Window.partitionBy("id")
     val byRarity = byId.orderBy(col("df_sh"), col("sh"))
@@ -219,11 +230,29 @@ object Dedup {
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= q * tau + 1)
       .select(col("id"), col("g"), col("s"), col("len"))
-    prefix.as("a").join(prefix.as("b"),
+    val gramPairs = prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
           abs(col("a.len") - col("b.len")) <= tau)
       .select(col("a.id").as("d1"), col("b.id").as("d2"),
         col("a.s").as("s1"), col("b.s").as("s2"))
+    // the Ed-Join bound max(|G|) − q·tau forces a shared gram only
+    // when SOME side has more than q·tau distinct grams; a pair BOTH
+    // at or under that floor (very short or degenerately repetitive
+    // keys — "ab" vs "ba" at q = 2, tau = 2) can sit within tau edits
+    // sharing no gram at all, so the gram join would silently miss
+    // it. Those pairs verify directly: the short bucket all-pairs
+    // joins under the same length filter. Bounded by the bucket —
+    // the ≲ q·(tau+1)-char tail of a key corpus, tiny in practice —
+    // and what makes the documented exactness hold over the WHOLE
+    // string domain, not just the long-key regime the filter targets.
+    val gcnt = gr.groupBy("id").agg(count(lit(1)).as("ng"))
+    val short = base.join(gcnt, "id").filter(col("ng") <= q * tau)
+    val shortPairs = short.as("a").join(short.as("b"),
+        col("a.id") < col("b.id") &&
+          abs(col("a.len") - col("b.len")) <= tau)
+      .select(col("a.id").as("d1"), col("b.id").as("d2"),
+        col("a.s").as("s1"), col("b.s").as("s2"))
+    gramPairs.unionByName(shortPairs)
       .dropDuplicates("d1", "d2")
       .withColumn("dist", levenshtein(col("s1"), col("s2")))
       .filter(col("dist") <= tau)
@@ -424,17 +453,20 @@ object Dedup {
     val edges = fwd.unionAll(fwd.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist()
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("rep"), lit(0L))).head().getLong(0)
-    // LAZY checkpoints: the convergence-sum action doubles as the
-    // materializing action, so each round costs ONE job instead of an
-    // eager-checkpoint job plus a sum job — on small graphs the loop
-    // is pure scheduling overhead and this halves it; on large graphs
-    // it saves a full pass per round.
+    // convergence = NO id changed its rep this round — an exact,
+    // type-agnostic scalar (string ids and full-range 64-bit hash ids
+    // both work, where a sum("rep") fingerprint would fail to resolve
+    // on strings and overflow under ANSI on big longs). Per-id reps
+    // are monotone non-increasing, so zero changes is exactly the
+    // fixed point. The count is the round's materializing action
+    // (LAZY checkpoints: one job per round), over a |V|-sized join —
+    // dwarfed by the round's own |E| propagation join.
+    def changedCount(next: DataFrame, cur: DataFrame): Long =
+      next.join(cur.select(col("id"), col("rep").as("__prev")), "id")
+        .filter(col("rep") =!= col("__prev")).count()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("rep", col("id"))
       .localCheckpoint(false)
-    var prevSum = labelSum(labels)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -446,11 +478,10 @@ object Dedup {
       val prop = viaEdges.unionAll(viaPointer).unionAll(labels)
         .groupBy("id").agg(min("rep").as("rep"))
         .localCheckpoint(false)
-      val s = labelSum(prop) // materializes prop's checkpoint
+      val changed = changedCount(prop, labels) // materializes prop
       unpersistCheckpoint(labels) // prop is already eagerly materialized
       labels = prop
-      converged = s == prevSum
-      prevSum = s
+      converged = changed == 0L
       round += 1
     }
     edges.unpersist()
@@ -679,14 +710,26 @@ object Dedup {
     * chunk offsets; chunk hashes are md5 so downstream joins ship
     * 16-byte keys, never text. */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
-                window: Int = 16, maskBits: Int = 6): DataFrame = {
+                window: Int = 16, maskBits: Int = 6): DataFrame =
+    cdcChunkSpans(docs, idCol, textCol, window, maskBits)
+      .select(col("doc_id"), col("chunk_id"),
+        col("c_len").cast("long").as("n_chars"), col("chunk_md5"))
+
+  /** The ONE boundary→chunk derivation (offsets, lengths, md5) both
+    * the measuring side ([[cdcChunks]] → [[cdcDupProfile]]) and the
+    * rewriting side ([[stripDuplicateChunks]]) consume — a change to
+    * the cut semantics cannot desynchronize the profile from the
+    * rewrite. */
+  private def cdcChunkSpans(docs: DataFrame, idCol: String, textCol: String,
+                            window: Int, maskBits: Int): DataFrame = {
     val b = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
       posexplode(graft.functions.TextExpressions
         .cdcBoundaries(col(textCol), window, maskBits)))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     b.withColumn("__prev", coalesce(lag(col("col"), 1).over(w), lit(0)))
       .select(col("doc_id"), col("pos").as("chunk_id"),
-        (col("col") - col("__prev")).cast("long").as("n_chars"),
+        (col("__prev") + 1).as("c_start"),
+        (col("col") - col("__prev")).as("c_len"),
         md5(col("__t").substr(col("__prev") + 1, col("col") - col("__prev")))
           .as("chunk_md5"))
   }
@@ -738,17 +781,7 @@ object Dedup {
     */
   def stripDuplicateChunks(docs: DataFrame, idCol: String, textCol: String,
                            window: Int = 16, maskBits: Int = 6): DataFrame = {
-    val b = docs.select(col(idCol).as("doc_id"), col(textCol).as("__t"),
-      posexplode(graft.functions.TextExpressions
-        .cdcBoundaries(col(textCol), window, maskBits)))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val chunks = b
-      .withColumn("__prev", coalesce(lag(col("col"), 1).over(w), lit(0)))
-      .select(col("doc_id"), col("pos").as("chunk_id"),
-        (col("__prev") + 1).as("c_start"),
-        (col("col") - col("__prev")).as("c_len"),
-        md5(col("__t").substr(col("__prev") + 1, col("col") - col("__prev")))
-          .as("chunk_md5"))
+    val chunks = cdcChunkSpans(docs, idCol, textCol, window, maskBits)
     // global first occurrence per chunk content: 16-byte-key shuffle
     val firstOcc = chunks.select("chunk_md5", "doc_id", "chunk_id")
       .groupBy("chunk_md5")

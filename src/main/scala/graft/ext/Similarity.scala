@@ -71,15 +71,19 @@ object Similarity {
     import graft.functions.VectorExpressions.{cosineNative, jlProjectNative}
     def dotL(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    // the query's own projected norm is a CONSTANT — computed once in
+    // the broadcast row, not re-folded per corpus row (an outDim-long
+    // interpreted HOF fold the hot scan would otherwise repeat
+    // n times for the same value)
     val q = broadcast(queryVec.select(col("embedding").as("q_emb"),
-      jlProjectNative(col("embedding"), outDim).as("q_p")))
+      jlProjectNative(col("embedding"), outDim).as("q_p"))
+      .withColumn("q_n", sqrt(dotL(col("q_p"), col("q_p")).cast("double"))))
     val pool = corpus
       .select(col(idCol), col("embedding"),
         jlProjectNative(col("embedding"), outDim).as("p"))
       .crossJoin(q)
       .withColumn("jl_cos", dotL(col("p"), col("q_p")).cast("double") /
-        (sqrt(dotL(col("p"), col("p")).cast("double")) *
-         sqrt(dotL(col("q_p"), col("q_p")).cast("double"))))
+        (sqrt(dotL(col("p"), col("p")).cast("double")) * col("q_n")))
       .orderBy(desc("jl_cos"), col(idCol))
       .limit(k * poolFactor)
     pool
@@ -264,13 +268,19 @@ object Similarity {
     val grid = lit(1048576.0)
     def qcos(a: Column, b: Column): Column =
       floor(fastCos(a, b) * grid + lit(0.5)).cast("long")
+    // id cast to long like mmrSelectPooled — an int-typed id must not
+    // ClassCastException at the driver-side getLong
     val q = broadcast(queryVec.select(col("embedding").as("q_emb")))
-    def scored = corpus.select(col(idCol).as("id"), col("embedding"))
+    def scored = corpus
+      .select(col(idCol).cast("long").as("id"), col("embedding"))
       .crossJoin(q)
       .select(col("id"), col("embedding"),
         qcos(col("embedding"), col("q_emb")).as("qrel"))
     var selected = Vector.empty[Long]
-    for (_ <- 1 to k) {
+    var exhausted = false
+    // stop early when the corpus runs out of rows — k larger than
+    // the candidate pool returns what exists, like mmrSelectPooled
+    for (_ <- 1 to k if !exhausted) {
       val cand = scored.filter(!col("id").isin(selected: _*))
       val withPenalty =
         if (selected.isEmpty) cand.withColumn("maxsim", lit(0L))
@@ -287,8 +297,9 @@ object Similarity {
           ((lit(1000000L) - lit(lambdaPpm)) * col("qrel") -
             lit(lambdaPpm) * col("maxsim")).as("score"))
         .orderBy(desc("score"), col("id")).limit(1)
-        .collect()(0).getLong(0)
-      selected :+= best
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else selected :+= best(0).getLong(0)
     }
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -405,6 +416,12 @@ object Similarity {
   def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
                             threshold: Double,
                             idCol: String = "vec_id"): DataFrame = {
+    // an EMPTY eval set means nothing to decontaminate — keep the
+    // whole corpus, matching the shingle twin's hit_shingles = 0
+    // behavior. Without the guard the empty centroid array makes
+    // every __near null and the join below would silently drop the
+    // ENTIRE corpus. The probe is benchmark-sized (one head).
+    if (evalSet.head(1).isEmpty) return corpus
     val evals = broadcast(evalSet.agg(
       collect_list(struct(col(idCol).cast("long").as("cid"),
         col("embedding").as("c_emb"))).as("cents")))
@@ -414,8 +431,13 @@ object Similarity {
       .withColumn("__near", graft.functions.VectorExpressions
         .nearestCentroidNative(col("embedding"), col("cents")))
       .drop("cents")
-      .join(evalEmb, "__near")
-      .filter(fastCos(col("embedding"), col("__e_emb")) < threshold)
+      // LEFT join + null-keeping filter: a corpus vector with an
+      // undefined cosine (zero norm) cannot be near any benchmark —
+      // it is KEPT, never silently dropped by inner-join/null-filter
+      // semantics
+      .join(evalEmb, Seq("__near"), "left")
+      .filter(coalesce(fastCos(col("embedding"), col("__e_emb")) < threshold,
+        lit(true)))
       .drop("__near", "__e_emb")
   }
 
@@ -466,11 +488,29 @@ object Similarity {
     * refinement rounds. `portable` orders the seed sample by the
     * MINSTD bucket instead of xxhash64 — same deterministic one-pass
     * seeding, but re-derivable in plain SQL for the oracle gates. */
+  /** The Lloyd-step elementwise mean over exploded `(…, pos, v)`
+    * rows: portable mode quantizes each component to the 2⁻²⁰ grid
+    * BEFORE summing — integer sums are exact in any aggregation
+    * order, so the refined centroids are engine-portable and a SQL
+    * oracle re-derives them bit-for-bit; default is the plain double
+    * avg. ONE definition for both k-means refiners (IVF cells, PQ
+    * subspace codebooks), so the oracle-exactness trick cannot be
+    * half-updated. */
+  private def lloydMean(portable: Boolean): Column =
+    if (portable)
+      sum(floor(col("v").cast("double") * lit(1048576.0) + lit(0.5)).cast("long"))
+        .cast("double") / (count(lit(1)) * lit(1048576.0))
+    else avg(col("v").cast("double"))
+
+  /** Deterministic seed-sampling order — portable MINSTD walk over
+    * the id, else xxhash64 — shared by both index builders. */
+  private def seedOrder(id: Column, portable: Boolean): Column =
+    if (portable) pmod(pmod(id, lit(2147483647L)) * 48271L, lit(2147483647L))
+    else xxhash64(id)
+
   def ivfCentroids(corpus: DataFrame, nCentroids: Int, idCol: String,
                    portable: Boolean, lloydIters: Int): DataFrame = {
-    val sampleOrder =
-      if (portable) pmod(pmod(col("cid"), lit(2147483647L)) * 48271L, lit(2147483647L))
-      else xxhash64(col("cid"))
+    val sampleOrder = seedOrder(col("cid"), portable)
     var centroids =
       corpus.select(col(idCol).as("cid"), col("embedding").as("c_emb"))
         .orderBy(sampleOrder, col("cid")).limit(nCentroids)
@@ -485,11 +525,7 @@ object Similarity {
       // Spark's partial-aggregation order, and a SQL oracle
       // re-derives them bit-for-bit. The 2⁻²⁰ grid sits ~10⁵ below
       // the corpus noise scale, so cluster geometry is unaffected.
-      val mean =
-        if (portable)
-          sum(floor(col("v").cast("double") * lit(1048576.0) + lit(0.5)).cast("long"))
-            .cast("double") / (count(lit(1)) * lit(1048576.0))
-        else avg(col("v").cast("double"))
+      val mean = lloydMean(portable)
       val refined = ivfAssign(corpus, centroids, idCol)
         .select(col("cluster").as("cid"),
           posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -652,9 +688,7 @@ object Similarity {
                  lloydIters: Int = 1): DataFrame = {
     require(dim % m == 0, s"dim $dim must split into $m subspaces")
     val subDim = dim / m
-    val sampleOrder =
-      if (portable) pmod(pmod(col(idCol), lit(2147483647L)) * 48271L, lit(2147483647L))
-      else xxhash64(col(idCol))
+    val sampleOrder = seedOrder(col(idCol), portable)
     val seeds = corpus.orderBy(sampleOrder, col(idCol)).limit(kPerSub)
     def subSlices(emb: Column, out: String): Column =
       posexplode(transform(sequence(lit(0), lit(m - 1)),
@@ -664,11 +698,7 @@ object Similarity {
       .select(col("s"), col("cid"), col("c_sub"))
     val subVecs = corpus.select(col(idCol).as("vid"), subSlices(col("embedding"), "sv"))
     for (_ <- 1 to lloydIters) {
-      val mean =
-        if (portable)
-          sum(floor(col("v").cast("double") * lit(1048576.0) + lit(0.5)).cast("long"))
-            .cast("double") / (count(lit(1)) * lit(1048576.0))
-        else avg(col("v").cast("double"))
+      val mean = lloydMean(portable)
       codebook = pqAssign(subVecs, codebook, "sv")
         .select(col("s"), col("cluster").as("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
         .groupBy("s", "cid", "pos").agg(mean.as("mv"))
@@ -770,16 +800,9 @@ object Similarity {
     val subDim = dim / m
     val codebook = pqCodebook(corpus, dim, m, kPerSub, idCol, portable, lloydIters)
     val codes = pqEncode(corpus, codebook, dim, m, idCol)
-    val qSubs = queries.select(col(idCol).as("q_id"),
-      posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(col("embedding"), s * subDim + 1, lit(subDim)))).as(Seq("s", "qv")))
-    val d2 = aggregate(
-      zip_with(col("qv"), col("c_sub"),
-        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+    val qSubs = pqQuerySubs(queries, dim, m, Seq(col(idCol).as("q_id")))
     val dt = broadcast(codebook.join(qSubs, "s")
-      .select(col("q_id"), col("s"), col("cid"),
-        floor(d2 * lit(1048576.0) + lit(0.5)).cast("long").as("dq")))
+      .select(col("q_id"), col("s"), col("cid"), adcDq.as("dq")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("adq"), col(idCol))
     codes.select(col(idCol), posexplode(col("codes")).as(Seq("s", "cid")))
@@ -885,24 +908,38 @@ object Similarity {
     adcScoreCodes(codes, codebook, queryVec, dim, m, idCol)
   }
 
+  /** Query-side subspace slices `(s, qv)` — the ONE slicing both ADC
+    * scorers (single-query map, batch join) derive their distance
+    * tables from, so the subspace geometry cannot fork between them. */
+  private def pqQuerySubs(queries: DataFrame, dim: Int, m: Int,
+                          extraCols: Seq[Column] = Seq.empty): DataFrame = {
+    val subDim = dim / m
+    queries.select(extraCols :+
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(col("embedding"), s * subDim + 1, lit(subDim))))
+        .as(Seq("s", "qv")): _*)
+  }
+
+  /** The quantized ADC sub-distance `floor(‖qv − c_sub‖² · 2²⁰ + ½)`
+    * — index-order double fold over the slice, snapped to the
+    * integer grid. Shared by both scorers: a quantization change
+    * cannot make single-query and batch ADC disagree. */
+  private def adcDq: Column = {
+    val d2 = aggregate(
+      zip_with(col("qv"), col("c_sub"),
+        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    floor(d2 * lit(1048576.0) + lit(0.5)).cast("long")
+  }
+
   /** ADC scoring of pre-encoded codes against one query: broadcast
     * (s, cid) → quantized-distance map, per-row m-way integer sum. */
   private def adcScoreCodes(codes: DataFrame, codebook: DataFrame,
                             queryVec: DataFrame, dim: Int, m: Int,
                             idCol: String): DataFrame = {
-    val subDim = dim / m
-    // distance table: query sub-slice → every (s, cid) centroid,
-    // index-order fold, quantized to the integer grid
-    val qSubs = queryVec.select(
-      posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(col("embedding"), s * subDim + 1, lit(subDim)))).as(Seq("s", "qv")))
-    val d2 = aggregate(
-      zip_with(col("qv"), col("c_sub"),
-        (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+    val qSubs = pqQuerySubs(queryVec, dim, m)
     val dMap = broadcast(codebook.join(qSubs, "s")
-      .select((col("cid") * m + col("s")).as("key"),
-        floor(d2 * lit(1048576.0) + lit(0.5)).cast("long").as("dq"))
+      .select((col("cid") * m + col("s")).as("key"), adcDq.as("dq"))
       .agg(map_from_entries(collect_list(struct(col("key"), col("dq")))).as("dmap")))
     codes.crossJoin(dMap)
       .select(col(idCol),
@@ -1189,9 +1226,20 @@ object Similarity {
         }
     val projCols = (1 to components).map { c =>
       val arr = array(lv(c).map(x => lit(x.toDouble)): _*)
+      // TRUE orthonormal-axis coordinate: divide by the loading
+      // vector's L2 norm, not the 2^20 L∞ grid — the fixed-point
+      // loadings have per-component L2 anywhere in [2^20, √dim·2^20],
+      // and without this the components' coordinates are mutually
+      // incomparable (up to 8× at dim 64). The norm is exact in
+      // double (Σ w², w ≤ 2^20, dim ≤ 64 → every partial sum < 2^53),
+      // so the SQL oracle's sqrt(list_dot_product(w, w)) lands on the
+      // identical double regardless of summation order. A collapsed
+      // all-zero component divides by 1 (its projection is 0 anyway).
+      val n = math.sqrt(lv(c).map(x => x.toDouble * x.toDouble).sum)
+      val safeN = if (n == 0.0) 1.0 else n
       round(aggregate(
         zip_with(col(vecCol).cast("array<double>"), arr, (a, b) => a * b),
-        lit(0.0), (acc, t) => acc + t) / 1048576.0, 6).as(s"pc$c")
+        lit(0.0), (acc, t) => acc + t) / lit(safeN), 6).as(s"pc$c")
     }
     embeddings.select(col(idCol) +: projCols: _*)
   }

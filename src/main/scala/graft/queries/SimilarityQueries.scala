@@ -387,12 +387,21 @@ object SimilarityQueries {
   private val pcaProjectOracleSql: String = {
     val cte = pca2OracleSql.substring(0,
       pca2OracleSql.indexOf("SELECT 1 AS component"))
-    cte + """SELECT e.vec_id,
+    cte + """, nrm AS (
+            |  SELECT
+            |    sqrt(list_dot_product(list_transform(v1, x -> CAST(x AS DOUBLE)),
+            |      list_transform(v1, x -> CAST(x AS DOUBLE)))) AS n1,
+            |    sqrt(list_dot_product(list_transform(v2, x -> CAST(x AS DOUBLE)),
+            |      list_transform(v2, x -> CAST(x AS DOUBLE)))) AS n2
+            |  FROM d2f)
+            |SELECT e.vec_id,
             |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-            |    list_transform(v1, x -> CAST(x AS DOUBLE))) / 1048576.0, 6) AS pc1,
+            |    list_transform(v1, x -> CAST(x AS DOUBLE)))
+            |    / (CASE WHEN n1 = 0 THEN 1.0 ELSE n1 END), 6) AS pc1,
             |  round(list_dot_product(CAST(e.embedding AS DOUBLE[]),
-            |    list_transform(v2, x -> CAST(x AS DOUBLE))) / 1048576.0, 6) AS pc2
-            |FROM embeddings e, d2f ORDER BY e.vec_id""".stripMargin
+            |    list_transform(v2, x -> CAST(x AS DOUBLE)))
+            |    / (CASE WHEN n2 = 0 THEN 1.0 ELSE n2 END), 6) AS pc2
+            |FROM embeddings e, d2f, nrm ORDER BY e.vec_id""".stripMargin
   }
 
   def defs: Seq[QueryDef] = Seq(

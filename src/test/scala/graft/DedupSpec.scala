@@ -218,6 +218,40 @@ class DedupSpec extends AnyFunSuite with SharedSpark {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(t1((1000L, 1001L)) && t1((1000L, 1002L)) && t1((1000L, 1003L)))
     assert(!t1((1000L, 1004L)), "distance-2 pair must not appear at tau=1")
+    // ultra-short / gram-disjoint keys: the Ed-Join bound guarantees
+    // no shared gram when both sides have ≤ q·tau distinct grams, so
+    // these pairs come from the short-bucket direct verification —
+    // "ab"/"ba" share zero 2-grams yet sit at distance 2
+    val tiny = Seq((1L, "ab"), (2L, "ba"), (3L, "a"), (4L, "b"),
+      (5L, "zz")).toDF("id", "s")
+    val p2 = Dedup.editDistancePairs(tiny, "id", "s", tau = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val naive2 = tiny.as("a").join(tiny.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.s"), col("b.s")).as("dist"))
+      .filter(col("dist") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(p2 === naive2, "short-key pairs missing")
+    assert(p2.contains((1L, 2L, 2)), "gram-disjoint pair ab/ba not found")
+  }
+
+  test("clustersWithRounds converges on STRING ids and full-range long ids") {
+    import spark.implicits._
+    // string-keyed pairs (md5/url-style ids): the convergence scalar
+    // must not depend on summing the rep column
+    val sp = Seq(("urlA", "urlB"), ("urlB", "urlC"), ("urlX", "urlY"))
+      .toDF("d1", "d2")
+    val (labS, rS) = Dedup.clustersWithRounds(sp)
+    val comps = labS.collect().map(r => r.getString(1)).distinct.sorted
+    assert(comps.toSeq === Seq("urlA", "urlX"), comps.mkString(","))
+    assert(rS >= 1)
+    // near-Long.Max ids: a sum-based scalar would overflow under ANSI
+    val big = Long.MaxValue
+    val lp = Seq((big - 5L, big - 4L), (big - 4L, big - 3L),
+      (big - 1L, big)).toDF("d1", "d2")
+    val (labL, _) = Dedup.clustersWithRounds(lp)
+    val repsL = labL.collect().map(r => r.getLong(1)).distinct.sorted
+    assert(repsL.toSeq === Seq(big - 5L, big - 1L))
   }
 
   test("cdcDupProfile: planted shared passage found despite an offset edit; unique docs clean") {

@@ -416,6 +416,13 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
     // the survivors frame keeps the corpus schema intact
     val cols = Similarity.semanticDecontaminate(corpus, evals, 0.35).columns.toSeq
     assert(cols === corpus.columns.toSeq)
+    // an EMPTY eval set decontaminates NOTHING — the whole corpus
+    // survives (the shingle twin's hit_shingles = 0 behavior), never
+    // the silent full drop an inner join on a null nearest id gives
+    val keptAll = Similarity.semanticDecontaminate(corpus,
+      evals.where(lit(false)), threshold = 0.35)
+    assert(keptAll.count() === corpus.count(),
+      "empty eval set must keep the whole corpus")
   }
 
   test("knnGraph: no self edges, at most k neighbors, symmetric candidate pool") {
@@ -460,12 +467,15 @@ class SimilaritySpec extends AnyFunSuite with SharedSpark {
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
     val vecs = emb.select(col("vec_id"), col("embedding")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
-    // same left-to-right fold on the driver
+    // same left-to-right fold on the driver; coordinates are along
+    // the UNIT principal axes — divided by the loading's L2 norm
     def proj(x: Array[Float], v: Array[Long]): Double = {
       var acc = 0.0
       var i = 0
       while (i < v.length) { acc += x(i).toDouble * v(i).toDouble; i += 1 }
-      BigDecimal(acc / 1048576.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val n = math.sqrt(v.map(w => w.toDouble * w.toDouble).sum)
+      BigDecimal(acc / (if (n == 0.0) 1.0 else n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     vecs.foreach { case (id, x) =>
       assert(got(id) === ((proj(x, lv(1)), proj(x, lv(2)))), s"vec $id")
