@@ -443,15 +443,157 @@ object Layout {
     if (mSchema.fieldNames.contains(s"nulls_$k")) col(s"nulls_$k")
     else lit(null).cast("long")
 
-  /** Partition columns of a hive layout: the discovered schema minus
-    * one data file's own footer schema — path-encoded columns never
-    * appear in footers. Shared by the append and delete writers so
-    * the routing (partitionBy) and the stats read (basePath) cannot
-    * disagree about which columns live in the path. */
-  private def partitionColsOf(spark: org.apache.spark.sql.SparkSession,
-                              discovered: Seq[String],
-                              sampleFile: String): Seq[String] =
-    discovered.filterNot(spark.read.parquet(sampleFile).columns.toSet)
+  /** Hive partition columns of a LIVE layout directory (empty for a
+    * flat one), read from the PATH STRUCTURE alone: walk the first
+    * `k=v` subdirectory chain and collect the key names in nesting
+    * order — the order `partitionBy` needs. Shared by every verb
+    * that routes rows back into partition subdirectories
+    * ([[appendWithManifest]], [[upsertByKey]], [[deleteWhere]]).
+    * Deliberately NOT the "discovered schema minus one footer"
+    * subtraction: on a schema-EVOLVED layout ([[appendWithManifest]]
+    * with `mergeSchema`) a footer sampled from a pre-evolution file
+    * lacks the new data column, which that subtraction would then
+    * misclassify as a partition column and `partitionBy` rows into
+    * spurious directories. The path names cannot lie. */
+  private def hivePartColsOf(fs: org.apache.hadoop.fs.FileSystem,
+                             hPath: org.apache.hadoop.fs.Path): Seq[String] = {
+    @annotation.tailrec
+    def walk(p: org.apache.hadoop.fs.Path,
+             acc: List[String]): List[String] =
+      fs.listStatus(p).find { st =>
+        val n = st.getPath.getName
+        st.isDirectory && !n.startsWith("_") && !n.startsWith(".") &&
+          n.contains("=")
+      } match {
+        case Some(st) =>
+          walk(st.getPath, acc :+ st.getPath.getName.takeWhile(_ != '='))
+        case None => acc
+      }
+    walk(hPath, Nil)
+  }
+
+  /** Full-schema compatibility gate shared by every verb that WRITES
+    * new rows into an existing layout ([[appendWithManifest]],
+    * [[upsertByKey]]): a parquet write with an extra / missing /
+    * retyped NON-key column would succeed on disk, after which plain
+    * reads resolve to one file's schema and rows from the others
+    * surface nulls or lose columns — an inconsistency the manifest
+    * never detects because its stats only cover keyCols. Exact
+    * name→type equality (nullability and column order excluded:
+    * parquet resolves columns by name); partition columns compare
+    * LENIENTLY across the integral family, because their stored type
+    * comes from PATH-STRING inference, which reports IntegerType for
+    * values a long-typed writer produced — demanding exact equality
+    * there would reject every legitimate write to an
+    * integer-partitioned layout. The path encoding is the same
+    * either way; data columns stay exact.
+    *
+    * With `allowNewColumns` (the [[appendWithManifest]] `mergeSchema`
+    * path) columns present in `df` but absent from `stored` are
+    * PERMITTED and returned in `df` order — the ADD COLUMN form of
+    * schema evolution, the only form that is exact without rewriting
+    * old files (readers supply null where a file predates the
+    * column). Missing and retyped columns stay hard errors either
+    * way: dropping or retyping silently corrupts old rows. */
+  private def requireWriteCompatible(
+      df: org.apache.spark.sql.types.StructType,
+      stored: org.apache.spark.sql.types.StructType,
+      partCols: Seq[String], path: String,
+      allowNewColumns: Boolean = false)
+      : Seq[org.apache.spark.sql.types.StructField] = {
+    def typeMap(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => f.name -> f.dataType).toMap
+    val (dfT, curT) = (typeMap(df), typeMap(stored))
+    val newCols = df.fields.filter(f => !curT.contains(f.name)).toSeq
+    val compatible =
+      (dfT.keySet == curT.keySet ||
+        (allowNewColumns && curT.keySet.subsetOf(dfT.keySet))) &&
+      dfT.forall { case (n, t) =>
+        !curT.contains(n) || t == curT(n) ||
+          (partCols.contains(n) && isIntegral(t) && isIntegral(curT(n)))
+      }
+    require(compatible,
+      s"write schema ${df.simpleString} is not compatible with " +
+        s"the stored data's ${stored.simpleString} at $path" +
+        (if (!allowNewColumns && newCols.nonEmpty)
+          " (new columns need mergeSchema = true)" else ""))
+    newCols
+  }
+
+  /** Path of the evolved-schema sidecar — the layout's canonical
+    * column set once [[appendWithManifest]] `mergeSchema` has added a
+    * column. Needed because a bare parquet directory has NO single
+    * schema after evolution: `spark.read.parquet(dir)` resolves
+    * columns from a SAMPLED footer, so whether the new column appears
+    * depends on which file got sampled — and a pruned read would
+    * change schema with the predicate (survivors may all predate the
+    * column). The sidecar is what the Delta log's schema entry is:
+    * one authoritative answer, `_`-prefixed so data reads ignore the
+    * file. */
+  private def schemaSidecar(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$dir/_graft_schema.json")
+
+  /** The evolved-schema sidecar of a layout directory, if one has
+    * been written ([[appendWithManifest]] with `mergeSchema`). */
+  def storedSchemaOf(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val p = schemaSidecar(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val json = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        out.toString("UTF-8")
+      } finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** Replace the schema sidecar via the same tmp + delete + rename
+    * discipline as [[replaceManifest]] — a reader never sees a
+    * partially written schema. */
+  private def writeStoredSchema(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val p = schemaSidecar(dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_graft_schema.json.tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    require(fs.delete(p, false) || !fs.exists(p),
+      s"failed to remove the old schema sidecar at $p before replacing it")
+    require(fs.rename(tmp, p),
+      s"failed to move the updated schema sidecar into place at $p")
+  }
+
+  /** Read a layout directory's data under its canonical schema: the
+    * evolved-schema sidecar when present (files that predate an added
+    * column surface null for it — ADD COLUMN semantics), a plain
+    * parquet read otherwise. THE read verb for evolved layouts —
+    * a bare `spark.read.parquet(dir)` on one resolves the added
+    * columns nondeterministically (footer sampling). */
+  def readLayout(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): DataFrame =
+    storedSchemaOf(spark, dir) match {
+      case Some(s) => spark.read.schema(s).parquet(dir)
+      case None => spark.read.parquet(dir)
+    }
+
+  /** File-listed data read under the layout's canonical schema —
+    * the survivor-read shape every pruning/rewrite verb uses:
+    * basePath anchors partition discovery at the directory, and the
+    * sidecar schema (when present) keeps added columns resolvable
+    * even when every listed file predates them. */
+  private def readFilesOf(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, files: Seq[String],
+                          stored: Option[org.apache.spark.sql.types.StructType])
+      : DataFrame = {
+    val r = spark.read.option("basePath", dir)
+    stored.fold(r)(s => r.schema(s)).parquet(files: _*)
+  }
 
   /** Append rows to a manifest-carrying directory and PATCH the
     * stored manifest with stats for only the newly written files —
@@ -477,9 +619,24 @@ object Layout {
     * append would land partition-column-bearing files at the root —
     * a mixed layout partition discovery rejects), and the delta
     * stats read with `basePath` so partition-column manifest keys
-    * keep real values. */
+    * keep real values.
+    *
+    * `mergeSchema = true` permits ADD COLUMN evolution: columns in
+    * `df` beyond the stored schema are accepted, and the layout's
+    * canonical schema sidecar ([[storedSchemaOf]]) is written so
+    * every reader ([[readLayout]], [[scanPruned]], the rewrite
+    * verbs) resolves the new columns deterministically — files that
+    * predate a column surface null for it. Missing / retyped columns
+    * stay hard errors (they would corrupt old rows); stored manifest
+    * KEYS can never be new columns (old files would carry no stats
+    * for them). The sidecar commits BEFORE the data append — the
+    * conservative crash window: a sidecar without its data is a
+    * visible all-null column until the re-run, whereas data without
+    * its sidecar is rows whose column resolution silently varies by
+    * footer sampling. */
   def appendWithManifest(df: DataFrame, path: String,
-                         keyCols: Seq[String]): Unit = {
+                         keyCols: Seq[String],
+                         mergeSchema: Boolean = false): Unit = {
     val spark = df.sparkSession
     requireEncodingStablePath(path)
     requireSupportedKeys(df.schema, keyCols)
@@ -504,38 +661,27 @@ object Layout {
     // ONE pre-append relation serves both the schema check and the
     // before-files snapshot — at 100k-file scale each
     // spark.read.parquet(path) is a full listing + footer resolution
-    val current = spark.read.parquet(path)
+    val sidecar = storedSchemaOf(spark, path)
+    val current = sidecar match {
+      case Some(s) => spark.read.schema(s).parquet(path)
+      case None => spark.read.parquet(path)
+    }
     val before = current.inputFiles.toSet
     // partition-aware append: on a hive-partitioned layout the new
     // rows must route into their k=v subdirectories — a plain append
     // would land partition-column-bearing files at the ROOT, a mixed
-    // layout partition discovery rejects on the next read. Partition
-    // columns = the discovered schema minus one data file's own
-    // footer schema (path-encoded columns never appear in footers)
+    // layout partition discovery rejects on the next read
     val hPath = new org.apache.hadoop.fs.Path(path)
     val pfs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasPartDirs = pfs.listStatus(hPath).exists(st =>
-      st.isDirectory && !st.getPath.getName.startsWith("_"))
-    val partCols: Seq[String] =
-      if (!hasPartDirs || before.isEmpty) Seq.empty
-      else partitionColsOf(spark, current.columns.toSeq, before.head)
-    def typeMap(s: org.apache.spark.sql.types.StructType) =
-      s.fields.map(f => f.name -> f.dataType).toMap
-    // partition columns compare LENIENTLY across the integral family:
-    // their stored type comes from PATH-STRING inference, which
-    // reports IntegerType for values a long-typed writer produced —
-    // demanding exact equality there would reject every legitimate
-    // append to an integer-partitioned layout. The path encoding is
-    // the same either way; data columns stay exact
-    val (dfT, curT) = (typeMap(df.schema), typeMap(current.schema))
-    val compatible = dfT.keySet == curT.keySet && dfT.forall {
-      case (n, t) =>
-        t == curT(n) ||
-          (partCols.contains(n) && isIntegral(t) && isIntegral(curT(n)))
-    }
-    require(compatible,
-      s"append schema ${df.schema.simpleString} is not compatible with " +
-        s"the stored data's ${current.schema.simpleString} at $path")
+    val partCols = hivePartColsOf(pfs, hPath)
+    val newCols = requireWriteCompatible(df.schema, current.schema,
+      partCols, path, allowNewColumns = mergeSchema)
+    // (a new column can never be a manifest KEY: keyCols must equal
+    // the stored manifest's keys — checked above — and those are
+    // data columns of every existing file)
+    if (newCols.nonEmpty)
+      writeStoredSchema(spark, path,
+        org.apache.spark.sql.types.StructType(current.schema ++ newCols))
     val w = df.write.mode("append")
     if (partCols.isEmpty) w.parquet(path)
     else w.partitionBy(partCols: _*).parquet(path)
@@ -706,7 +852,13 @@ object Layout {
     val skip = boxes.map(skipExprOf(mSchema, _)).reduce(_ || _)
     val residual = boxes.map(residualExprOf(mSchema, _)).reduce(_ && _)
     requireEncodingStablePath(dir)
-    lazy val dirFrame = spark.read.parquet(dir)
+    // canonical-schema discipline: on an evolved layout the pruned
+    // read must resolve added columns even when every SURVIVOR
+    // predates them — otherwise the result schema would change with
+    // the predicate
+    val stored = storedSchemaOf(spark, dir)
+    lazy val dirFrame = stored.fold(spark.read)(s => spark.read.schema(s))
+      .parquet(dir)
     if (verifyCoverage)
       // raw-string comparison is correct: input_file_name() and
       // inputFiles return the same (encoded) spelling on Spark 4.x.
@@ -731,8 +883,41 @@ object Layout {
       // column subsumes partition pruning — whole partitions drop, and
       // the range stats prune beyond what directory names alone can).
       // On a flat directory the option is a no-op.
-      spark.read.option("basePath", dir)
-        .parquet(survivors.toIndexedSeq: _*).where(residual)
+      readFilesOf(spark, dir, survivors.toIndexedSeq, stored)
+        .where(residual)
+  }
+
+  /** Mirror-move every non-aux leaf of a scratch `tmp` tree into the
+    * live directory, preserving partition-relative paths — the commit
+    * step shared by the in-place rewrite verbs ([[deleteWhere]],
+    * [[upsertByKey]]): new leaf files land next to the files they
+    * supersede (each partition dir already exists — the superseded
+    * files came from it — but mkdirs is cheap insurance against
+    * empty renames). `_`/`.`-prefixed names stay behind: they are
+    * writer metadata (`_SUCCESS`), invisible to data reads either
+    * way. */
+  private def moveTreeInto(fs: org.apache.hadoop.fs.FileSystem,
+                           tmp: org.apache.hadoop.fs.Path,
+                           destRoot: org.apache.hadoop.fs.Path,
+                           verb: String): Unit = {
+    def isAux(n: String) = n.startsWith("_") || n.startsWith(".")
+    def walk(cur: org.apache.hadoop.fs.Path,
+             destDir: org.apache.hadoop.fs.Path): Unit =
+      for (st <- fs.listStatus(cur)) {
+        val n = st.getPath.getName
+        if (st.isDirectory) {
+          if (!isAux(n))
+            walk(st.getPath, new org.apache.hadoop.fs.Path(destDir, n))
+        } else if (!isAux(n)) {
+          fs.mkdirs(destDir)
+          val dest = new org.apache.hadoop.fs.Path(destDir, n)
+          require(!fs.exists(dest),
+            s"$verb: target $dest already exists")
+          require(fs.rename(st.getPath, dest),
+            s"$verb: failed to move $n into $destDir")
+        }
+      }
+    walk(tmp, destRoot)
   }
 
   /** Per-file outcome counts of a [[deleteWhere]] call. `rowsDeleted`
@@ -843,7 +1028,9 @@ object Layout {
     val rewriteFiles = verdicts
       .filter(r => !r.getBoolean(2) && !r.getBoolean(3))
       .map(r => r.getString(0) -> r.getLong(1))
-    lazy val dirFrame = spark.read.parquet(dir)
+    val stored = storedSchemaOf(spark, dir)
+    lazy val dirFrame = stored.fold(spark.read)(s => spark.read.schema(s))
+      .parquet(dir)
     if (verifyCoverage)
       // same guard as scanPruned's, sharper consequence: a non-empty
       // file the manifest misses would KEEP its matching rows — a
@@ -869,12 +1056,15 @@ object Layout {
       // basePath anchoring: on a hive-partitioned layout the k=v
       // path columns materialize, so a box on a partition column
       // evaluates row-side too (a no-op on flat dirs). Partition
-      // columns = discovered schema minus the files' own footer
-      // schema; they route the survivors back into their partition
-      // directories via partitionBy (which strips them from file
-      // contents again, matching the original layout)
-      val src = spark.read.option("basePath", dir).parquet(srcFiles: _*)
-      val partCols = partitionColsOf(spark, src.columns.toSeq, srcFiles.head)
+      // columns come from the path walk ([[hivePartColsOf]]); they
+      // route the survivors back into their partition directories
+      // via partitionBy (which strips them from file contents again,
+      // matching the original layout). The sidecar schema (when the
+      // layout has evolved) keeps added columns resolvable: a
+      // rewritten pre-evolution file materializes them as nulls —
+      // the values its rows denote
+      val src = readFilesOf(spark, dir, srcFiles, stored)
+      val partCols = hivePartColsOf(fs, hDir)
       val survivors = src
         .withColumn("__graft_src", input_file_name())
         .where(!coalesce(pred, lit(false)))
@@ -883,28 +1073,7 @@ object Layout {
       val w = survivors.write.mode("overwrite")
       if (partCols.isEmpty) w.parquet(tmp.toString)
       else w.partitionBy(partCols.toIndexedSeq: _*).parquet(tmp.toString)
-      // mirror-move the tmp tree into the live directory: leaf files
-      // land next to the partial files they supersede (each
-      // partition dir already exists — its partial files came from
-      // it — but mkdirs is cheap insurance against empty renames)
-      def isAux(n: String) = n.startsWith("_") || n.startsWith(".")
-      def moveTree(cur: org.apache.hadoop.fs.Path,
-                   destDir: org.apache.hadoop.fs.Path): Unit =
-        for (st <- fs.listStatus(cur)) {
-          val n = st.getPath.getName
-          if (st.isDirectory) {
-            if (!isAux(n))
-              moveTree(st.getPath, new org.apache.hadoop.fs.Path(destDir, n))
-          } else if (!isAux(n)) {
-            fs.mkdirs(destDir)
-            val dest = new org.apache.hadoop.fs.Path(destDir, n)
-            require(!fs.exists(dest),
-              s"deleteWhere: target $dest already exists")
-            require(fs.rename(st.getPath, dest),
-              s"deleteWhere: failed to move $n into $destDir")
-          }
-        }
-      moveTree(tmp, hDir)
+      moveTreeInto(fs, tmp, hDir, "deleteWhere")
       fs.delete(tmp, true)
       // re-list through spark.read (not the raw fs listing) so the
       // new manifest rows carry the exact URI spelling every other
@@ -950,6 +1119,212 @@ object Layout {
       dropFiles.map(_._2).sum + rewriteFiles.map(_._2).sum - newRows)
   }
 
+  /** Per-file outcome counts of an [[upsertByKey]] call.
+    * `rowsReplaced` counts the base rows whose key matched an update
+    * (removed and superseded); `rowsUpserted` is the full updates
+    * batch (replacements + inserts). Both derive from the manifest's
+    * own row counts plus one updates count — no extra pass over the
+    * base data. */
+  final case class UpsertStats(filesRewritten: Int, filesUntouched: Int,
+                               rowsReplaced: Long, rowsUpserted: Long)
+
+  /** MERGE a batch of whole-row `updates` into a manifest-carrying
+    * directory by `key` — the CDC verb that completes the lifecycle
+    * (write → append → compact → recluster → delete → UPSERT), the
+    * shape of applying a change-data feed to a 100 TB keyed lakehouse
+    * table. Semantics are DELETE-AND-INSERT by key, the idempotent
+    * CDC form: after the call, the row set for each update key is
+    * exactly the update row (every base row with that key is
+    * replaced — re-running the same batch is a no-op), and update
+    * keys matching nothing become plain inserts. Equivalent SQL over
+    * the directory's rows:
+    * {{{
+    *   SELECT * FROM base WHERE key IS NULL OR key NOT IN (SELECT key FROM updates)
+    *   UNION ALL SELECT * FROM updates
+    * }}}
+    * Null-key base rows always survive (a value match cannot reach
+    * them — SQL equality semantics, enforced by the anti-join).
+    *
+    * The loud contract on `updates`: its schema must be
+    * write-compatible with the stored data
+    * ([[requireWriteCompatible]] — whole rows are inserted verbatim),
+    * `key` must be a stored manifest key, update keys must be
+    * NON-NULL (a null merge key matches nothing; silently inserting
+    * it would turn a malformed feed into phantom rows) and DISTINCT
+    * (two updates for one key is an ambiguous merge — the Delta
+    * "multiple source rows matched" error, caught here before
+    * anything is written). All validation precedes every mutation.
+    *
+    * The manifest makes the base-side work proportional to the
+    * OVERLAP, not the table: the updates' key set (up to 1024
+    * distinct integral keys — the [[KeySetBox]] sparse form, which
+    * prunes the gaps between far-apart CDC keys; a wider batch falls
+    * back to its [min,max] range, and date/timestamp/string keys to
+    * a [[TypedKeyBox]]) classifies every file off its stats alone. A
+    * file DISJOINT from every update key is untouched, its manifest
+    * row kept verbatim — on a well-clustered layout a point-keyed
+    * CDC batch rewrites a handful of files out of 100k. Only the
+    * files that MAY hold a matching key are read, anti-joined
+    * against the update keys (null-safe by construction), and
+    * rewritten with each source file's survivors hash-co-located
+    * into its own output partition, so the clustering degrades no
+    * further than the rewritten files themselves. The updates append
+    * as new files (not clustered — like [[appendWithManifest]]'s
+    * delta, their wide stats simply never qualify for skipping until
+    * the next recluster).
+    *
+    * In-place mutation discipline (identical to [[deleteWhere]]'s,
+    * and the same crash windows): survivors commit under an
+    * `_`-prefixed scratch dir and MOVE in, the inserts append, and
+    * only then are the superseded files deleted and the manifest
+    * patched (temp-dir + rename). Every window degrades loudly —
+    * before the moves the directory is unchanged (re-run verbatim);
+    * between the moves/append and the old-file delete, coverage-
+    * guarded reads flag the uncovered new files
+    * ([[quarantineUncovered]] recovers — the quarantined survivors
+    * and inserts are re-derivable / re-appendable); after the
+    * old-file delete, rebuild with [[buildFileManifest]]. The
+    * `updates` frame is pinned via one eager localCheckpoint before
+    * first use, so a nondeterministic source cannot fork between the
+    * contract probes, the anti-join, and the insert write.
+    *
+    * Hive-partitioned layouts upsert in place: survivors read with
+    * `basePath` anchoring and route back via `partitionBy`, inserts
+    * route the same way — so an update that MOVES a row across
+    * partitions (a changed partition value) lands correctly: the old
+    * row leaves its old partition's file, the new row appends under
+    * the new `k=v` directory. */
+  def upsertByKey(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  updates: DataFrame, key: String,
+                  verifyCoverage: Boolean = true): UpsertStats = {
+    requireEncodingStablePath(dir)
+    val hDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = loadManifest(spark, dir)
+    val mSchema = manifest.schema
+    val keyCols = mSchema.fieldNames.collect {
+      case c if c.startsWith("min_") => c.stripPrefix("min_")
+    }.toSeq
+    require(keyCols.contains(key),
+      s"upsertByKey key $key is not a stored manifest key at $dir " +
+        s"(stored: ${keyCols.mkString(", ")})")
+    // ONE pre-upsert relation serves the schema check and the
+    // before-files snapshot (at 100k-file scale each read is a full
+    // listing + footer resolution); the sidecar schema (when the
+    // layout has evolved) is the authoritative column set the
+    // updates must carry in full — whole rows are inserted verbatim
+    val stored = storedSchemaOf(spark, dir)
+    val current = stored.fold(spark.read)(s => spark.read.schema(s))
+      .parquet(dir)
+    val before = current.inputFiles.toSet
+    val partCols = hivePartColsOf(fs, hDir)
+    requireWriteCompatible(updates.schema, current.schema, partCols, dir)
+    val upd = updates.localCheckpoint(true)
+    try {
+      require(upd.filter(col(key).isNull).head(1).isEmpty,
+        s"upsertByKey: updates carry null $key values — a null merge " +
+          "key matches nothing; fix or filter the feed upstream")
+      val dup = upd.groupBy(col(key)).count()
+        .filter(col("count") > 1).head(2)
+      require(dup.isEmpty,
+        s"upsertByKey: duplicate $key values in updates (e.g. " +
+          s"${dup.map(_.get(0)).mkString(", ")}) — delete-and-insert " +
+          "by key needs exactly one row per key")
+      val updCount = upd.count()
+      if (updCount == 0L)
+        return UpsertStats(0, manifest.count().toInt, 0L, 0L)
+      // the updates' key footprint as a prune box: sparse set for a
+      // driver-small integral batch (prunes the gaps between CDC
+      // keys), else the [min,max] range; typed keys round-trip
+      // through their canonical rendering (the joinPruned discipline)
+      val statT = mSchema(s"min_$key").dataType
+      val box: PruneBox =
+        if (statT == org.apache.spark.sql.types.LongType) {
+          val probe = upd.select(col(key).cast("long").as("k"))
+            .distinct().limit(1025).collect().map(_.getLong(0))
+          if (probe.length <= 1024) KeySetBox(key, probe.toSeq)
+          else {
+            val b = upd.agg(min(col(key)).cast("long"),
+              max(col(key)).cast("long")).collect()(0)
+            KeyBox(key, b.getLong(0), b.getLong(1))
+          }
+        } else {
+          val b = upd.agg(min(col(key)), max(col(key))).collect()(0)
+          TypedKeyBox(key, b.get(0).toString, b.get(1).toString)
+        }
+      // manifest-sized classification: DISJOINT files never open
+      val verdicts = manifest.select(col("file"), col("n_rows"),
+          skipExprOf(mSchema, box).as("skip")).collect()
+      val touched = verdicts.filter(!_.getBoolean(2))
+        .map(r => r.getString(0) -> r.getLong(1))
+      if (verifyCoverage)
+        // sharper consequence than the read side's: a file the
+        // manifest misses would KEEP its matched rows, and the
+        // inserted updates would duplicate them
+        requireManifestCovers(spark, current,
+          verdicts.map(_.getString(0)).toSet, dir,
+          "their matched rows would survive the upsert as duplicates")
+      // rewrite FIRST: survivors of the touched files (anti-join on
+      // the key — null-safe: a null base key never equals an update
+      // key) commit to scratch and move in before anything old is
+      // destroyed; hashing on the source file name keeps each
+      // rewritten file's key range as tight as its source's
+      if (touched.nonEmpty) {
+        val tmp = new org.apache.hadoop.fs.Path(s"$dir/_graft_upsert_tmp")
+        val srcFiles = touched.map(_._1).toIndexedSeq
+        val src = readFilesOf(spark, dir, srcFiles, stored)
+        val survivors = src
+          .withColumn("__graft_src", input_file_name())
+          .join(upd.select(col(key)), Seq(key), "left_anti")
+          .repartition(touched.length, col("__graft_src"))
+          .drop("__graft_src")
+        val w = survivors.write.mode("overwrite")
+        if (partCols.isEmpty) w.parquet(tmp.toString)
+        else w.partitionBy(partCols.toIndexedSeq: _*).parquet(tmp.toString)
+        moveTreeInto(fs, tmp, hDir, "upsertByKey")
+        fs.delete(tmp, true)
+      }
+      // the inserts: every update row appends as new data (matched
+      // keys' old rows are already absent from the just-committed
+      // survivors, so this lands the NEW row exactly once)
+      val wI = upd.write.mode("append")
+      if (partCols.isEmpty) wI.parquet(dir)
+      else wI.partitionBy(partCols.toIndexedSeq: _*).parquet(dir)
+      // delta stats over everything new (survivor rewrites + inserts)
+      // in one pass; re-listed through spark.read so the manifest
+      // rows carry the canonical URI spelling
+      val newFiles = spark.read.parquet(dir).inputFiles.toSeq
+        .filterNot(before)
+      val delta = manifestOf(
+          spark.read.option("basePath", dir).parquet(newFiles: _*), keyCols)
+        .localCheckpoint(true)
+      val newRows = delta.agg(coalesce(sum("n_rows"), lit(0L)))
+        .collect()(0).getLong(0)
+      // destroy old data only now: the touched files are fully
+      // superseded by their survivors + the inserted updates
+      for ((f, _) <- touched) {
+        val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+        require(fs.delete(p, false) || !fs.exists(p),
+          s"upsertByKey: failed to delete $f")
+      }
+      // manifest last, via the temp-dir + rename replace; kept rows
+      // anti-join the removed set (file-count-sized broadcast)
+      import spark.implicits._
+      val removedDf = touched.map(_._1).toSeq.toDF("file")
+      val kept = manifest.join(broadcast(removedDf), Seq("file"), "left_anti")
+      val updated = widenWithNullCounts(kept, keyCols).unionByName(delta)
+        .localCheckpoint(true)
+      replaceManifest(spark, dir, updated)
+      Checkpoints.unpersist(updated)
+      Checkpoints.unpersist(delta)
+      // newRows = survivors + updCount, so replaced = touched − survivors
+      val touchedRows = touched.map(_._2).sum
+      UpsertStats(touched.length, verdicts.length - touched.length,
+        rowsReplaced = touchedRows + updCount - newRows,
+        rowsUpserted = updCount)
+    } finally Checkpoints.unpersist(upd)
+  }
+
   /** Dynamic file skipping for a dim→fact join — the runtime analog
     * of [[scanPruned]]'s static boxes, the Databricks "dynamic file
     * pruning" shape: collect the DIM side's join-key bounds (one
@@ -978,8 +1353,9 @@ object Layout {
     val statT = manifest.schema(s"min_$factKey").dataType
     def empty() =
       // no dim keys → no join matches; keep the joined schema
-      // without opening a single fact file
-      spark.read.parquet(factDir).where(lit(false))
+      // (canonical on an evolved layout) without opening a single
+      // fact file
+      readLayout(spark, factDir).where(lit(false))
         .join(dim, col(factKey) === col(dimKey))
     val box: Option[PruneBox] =
       if (statT == org.apache.spark.sql.types.LongType) {
@@ -1042,7 +1418,7 @@ object Layout {
     requireDisjointDirs(conf, dir, quarantineDir, "quarantineUncovered")
     val known = loadManifest(spark, dir).select("file").collect()
       .map(_.getString(0)).toSet
-    val dirFrame = spark.read.parquet(dir)
+    val dirFrame = readLayout(spark, dir)
     val listed = dirFrame.inputFiles
     listed.foreach(requireEncodingStablePath)
     val uncovered = listed.filterNot(known)
@@ -1120,7 +1496,7 @@ object Layout {
     val disjoint = boxes.map(skipExprOf(mSchema, _)).reduce(_ || _)
     val verdicts = manifest.select(col("file"),
         metaRows.as("meta"), disjoint.as("disjoint")).collect()
-    lazy val dirFrame = spark.read.parquet(dir)
+    lazy val dirFrame = readLayout(spark, dir)
     if (verifyCoverage)
       requireManifestCovers(spark, dirFrame,
         verdicts.map(_.getString(0)).toSet, dir,
@@ -1275,9 +1651,22 @@ object Layout {
     * `repartition(n)` round-robin exchange with no skew by
     * construction, and the output lands in `outPath` — compaction
     * must never read and overwrite the same live directory.
-    * Returns (inputFiles, outputFiles). */
+    * Returns (inputFiles, outputFiles).
+    *
+    * A schema-EVOLVED input (see [[appendWithManifest]]
+    * `mergeSchema`) compacts under its sidecar schema — without it, a
+    * plain read would resolve columns from a sampled footer and could
+    * silently DROP an added column from the compacted output. The
+    * rewrite materializes the added columns (null where a row
+    * predates them), so the output is schema-homogeneous and needs no
+    * sidecar — compaction finishes the evolution, the way Delta's
+    * OPTIMIZE upgrades files. `fileSchema` is the partitioned walk's
+    * override ([[compactPartitioned]] passes each leaf the root
+    * sidecar minus the path-encoded columns). */
   def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
-              outPath: String, targetBytes: Long = 1L << 30): (Int, Int) = {
+              outPath: String, targetBytes: Long = 1L << 30,
+              fileSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : (Int, Int) = {
     val hPath = new org.apache.hadoop.fs.Path(inPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireDisjointDirs(spark.sparkContext.hadoopConfiguration, inPath, outPath, "compact")
@@ -1302,7 +1691,8 @@ object Layout {
     require(parts.nonEmpty, s"compact: no data files in $inPath")
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    spark.read.parquet(inPath)
+    val schema = fileSchema.orElse(storedSchemaOf(spark, inPath))
+    schema.fold(spark.read)(s => spark.read.schema(s)).parquet(inPath)
       .repartition(nOut)
       .write.mode("overwrite").parquet(outPath)
     // manifest-aware: a compacted manifest-carrying dir (e.g. a
@@ -1407,6 +1797,15 @@ object Layout {
     val hIn = new org.apache.hadoop.fs.Path(inPath)
     val fs = hIn.getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireDisjointDirs(spark.sparkContext.hadoopConfiguration, inPath, outPath, "compactPartitioned")
+    // an evolved layout's sidecar lives at the ROOT; each leaf's
+    // files carry the schema MINUS the path-encoded columns, so that
+    // is the per-leaf override (compact would otherwise plain-read
+    // the leaf and could drop an added column — see compact's doc)
+    val leafSchema = storedSchemaOf(spark, inPath).map { s =>
+      val partKeys = hivePartColsOf(fs, hIn).toSet
+      org.apache.spark.sql.types.StructType(
+        s.filterNot(f => partKeys.contains(f.name)))
+    }
     def isAux(n: String) = n.startsWith("_") || n.startsWith(".")
     def walk(cur: org.apache.hadoop.fs.Path, rel: List[String],
              entries: Array[org.apache.hadoop.fs.FileStatus]): (Int, Int) = {
@@ -1419,7 +1818,8 @@ object Layout {
             fs.listStatus(d.getPath)))
           .foldLeft((0, 0)) { case ((i1, o1), (i2, o2)) => (i1 + i2, o1 + o2) }
       } else if (files.isEmpty) (0, 0) // empty partition dir: nothing to do
-      else compact(spark, cur.toString, (outPath :: rel).mkString("/"), targetBytes)
+      else compact(spark, cur.toString, (outPath :: rel).mkString("/"),
+        targetBytes, if (rel.isEmpty) None else leafSchema)
     }
     // ONE root listing serves both the walk and the flat-case test
     // (an extra listStatus is a whole LIST round-trip on object

@@ -1442,5 +1442,105 @@ object SketchQueries {
              |SELECT d.day, n7.n7, d.dau, w.wau7
              |FROM dau d JOIN wau w USING (day) JOIN n7 USING (day)
              |ORDER BY day""".stripMargin)),
+
+    // Manifest-pruned CDC upsert — [[Layout.upsertByKey]]'s
+    // delete-and-insert MERGE over a doc_id-range-clustered layout: a
+    // 150-key batch (100 replacements, 50 inserts past the key
+    // domain) classifies every file off its stats alone, so files
+    // disjoint from the sparse key set never open. The oracle is
+    // DuckDB's anti-filter ∪ updates over the same derivation, so
+    // merged ≡ MERGE INTO's row set is hash-proved end to end
+    // (replaced rows carry the new lang/n_chars, inserts land, all
+    // other rows byte-identical).
+    QueryDef("q_layout_upsert",
+      (s, d) => {
+        val dir = prunedFixture.computeIfAbsent(s"$d#docs_upsert", _ => {
+          val p = graft.Scratch.tempDir("graft_upsert_") + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(8, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          val upd = docs.filter(col("doc_id").between(200, 299))
+            .withColumn("lang", lit("xx"))
+            .withColumn("n_chars", col("n_chars") + lit(7L))
+            .unionByName(docs.filter(col("doc_id") < 50)
+              .withColumn("doc_id", col("doc_id") + lit(100000L)))
+          val st = Layout.upsertByKey(s, p, upd, "doc_id")
+          require(st.rowsReplaced > 0 && st.rowsUpserted > st.rowsReplaced
+            && st.filesUntouched > 0, s"degenerate fixture: $st")
+          p
+        })
+        s.read.parquet(dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, lang, n_chars FROM documents),
+             |upd AS (
+             |  SELECT doc_id, 'xx' AS lang, n_chars + 7 AS n_chars
+             |  FROM base WHERE doc_id BETWEEN 200 AND 299
+             |  UNION ALL
+             |  SELECT doc_id + 100000, lang, n_chars
+             |  FROM base WHERE doc_id < 50),
+             |merged AS (
+             |  SELECT * FROM base
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+             |  UNION ALL SELECT * FROM upd)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
+
+    // Schema evolution under the manifest — [[Layout.appendWithManifest]]
+    // `mergeSchema` ADDs a `score` column in a later batch (the Delta
+    // mergeSchema / ADD COLUMN shape), and the canonical-schema
+    // sidecar makes every reader resolve it deterministically: the
+    // gate's pruned read spans the evolution boundary, so pre-
+    // evolution survivors surface NULL score and post-evolution rows
+    // their values — without the sidecar, whether the column appears
+    // at all would depend on which file's footer the reader sampled.
+    // Oracle = DuckDB over the same derivation with CASE-built nulls,
+    // hash-proving the ADD COLUMN semantics end to end.
+    QueryDef("q_layout_evolve",
+      (s, d) => {
+        val dir = prunedFixture.computeIfAbsent(s"$d#docs_evolve", _ => {
+          val p = graft.Scratch.tempDir("graft_evolve_") + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.filter(col("doc_id") < 400)
+            .repartitionByRange(6, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          val ev = docs.filter(col("doc_id") >= 400)
+            .withColumn("score", (col("n_chars") % 7).cast("double"))
+          Layout.appendWithManifest(ev, p, Seq("doc_id"), mergeSchema = true)
+          p
+        })
+        Layout.scanPruned(s, dir, Seq(Layout.KeyBox("doc_id", 300L, 500L)))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("score")).as("score_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH evolved AS (
+             |  SELECT doc_id, lang, n_chars,
+             |         CASE WHEN doc_id >= 400
+             |              THEN CAST(n_chars % 7 AS DOUBLE) END AS score
+             |  FROM documents),
+             |pruned AS (
+             |  SELECT * FROM evolved WHERE doc_id BETWEEN 300 AND 500)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  sum(score) AS score_sum
+             |FROM pruned GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
   )
 }

@@ -817,6 +817,243 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("upsertByKey: disjoint files untouched, matches replace, new keys insert, null keys survive") {
+    withTempDir("graft_upsert_") { dir =>
+      val d = s"$dir/t"
+      def part(rows: Seq[(Option[Long], Long)]): Unit =
+        rows.toDF("k", "v").repartition(1).write.mode("append").parquet(d)
+      part((0L to 99L).map(k => (Some(k), k)))           // A: holds update keys
+      part((300L to 400L).map(k => (Some(k), k)))        // B: disjoint → untouched
+      part(Seq((Some(150L), 150L), (None, 9001L)))       // C: match + a null key
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      val mf0 = Layout.loadManifest(spark, d).collect()
+        .map(r => r.getAs[Long]("min_k") -> r.getAs[String]("file")).toMap
+      val fileB = mf0(300L)
+      // replace k ∈ {10, 20, 150}, insert k = 500 — a sparse CDC
+      // batch whose KeySetBox must leave the [300,400] file alone
+      // even though 500 sits past it and 10 before it
+      val upd = Seq((10L, 10000L), (20L, 20000L), (150L, 150000L),
+        (500L, 500000L)).toDF("k", "v")
+      val st = Layout.upsertByKey(spark, d, upd, "k")
+      assert(st.filesRewritten === 2, st.toString)
+      assert(st.filesUntouched === 1, st.toString)
+      assert(st.rowsReplaced === 3L, st.toString)
+      assert(st.rowsUpserted === 4L, st.toString)
+      val after = spark.read.parquet(d)
+      assert(after.inputFiles.toSet.contains(fileB),
+        "disjoint file was churned by the upsert")
+      val afterCount = after.count()
+      assert(afterCount === (100L + 101L + 2L) - 3L + 4L)
+      // matched keys carry exactly the NEW row; the null-key base row
+      // survives (a value merge key can never reach it)
+      def vOf(k: Long) = after.filter(col("k") === k)
+        .select("v").as[Long].collect().toSeq
+      assert(vOf(10L) === Seq(10000L))
+      assert(vOf(150L) === Seq(150000L))
+      assert(vOf(500L) === Seq(500000L))
+      assert(vOf(11L) === Seq(11L), "an unmatched base row changed")
+      assert(after.filter(col("k").isNull).count() === 1L)
+      // the patched manifest serves exact pruned reads over old AND
+      // newly inserted keys, and passes its own coverage check
+      val pruned = Layout.scanPruned(spark, d,
+        Seq(Layout.KeyBox("k", 400L, 600L)))
+      assert(pruned.select("k").as[Long].collect().sorted.toSeq ===
+        Seq(400L, 500L))
+      // delete-and-insert is IDEMPOTENT: the same batch re-applied
+      // replaces its own rows and changes nothing
+      val st2 = Layout.upsertByKey(spark, d, upd, "k")
+      assert(st2.rowsReplaced === 4L, st2.toString)
+      // (compare against the saved count — `after`'s file listing is
+      // stale once st2 deleted the files it superseded)
+      assert(spark.read.parquet(d).count() === afterCount)
+      // loud contracts: duplicate update keys, null update keys
+      val dup = intercept[IllegalArgumentException] {
+        Layout.upsertByKey(spark, d,
+          Seq((10L, 1L), (10L, 2L)).toDF("k", "v"), "k")
+      }
+      assert(dup.getMessage.contains("duplicate"))
+      val nul = intercept[IllegalArgumentException] {
+        Layout.upsertByKey(spark, d,
+          Seq((Option.empty[Long], 1L)).toDF("k", "v"), "k")
+      }
+      assert(nul.getMessage.contains("null"))
+      // an incompatible updates schema is rejected BEFORE any mutation
+      intercept[IllegalArgumentException] {
+        Layout.upsertByKey(spark, d, Seq((1L, "x")).toDF("k", "v"), "k")
+      }
+      assert(spark.read.parquet(d).count() === afterCount,
+        "a rejected upsert mutated the directory")
+      // empty updates → pure no-op
+      val st3 = Layout.upsertByKey(spark, d, upd.limit(0), "k")
+      assert(st3.filesRewritten === 0 && st3.rowsReplaced === 0L &&
+        st3.rowsUpserted === 0L, st3.toString)
+    }
+  }
+
+  test("upsertByKey on a hive-partitioned layout: partition-moving updates land in their new partition") {
+    withTempDir("graft_upsert_part_") { dir =>
+      val d = s"$dir/t"
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+      docs.write.partitionBy("lang").mode("overwrite").parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("doc_id"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      val total = docs.count()
+      // ten rows MOVE to a brand-new lang partition (a changed
+      // partition value — the hard CDC case), five are pure inserts
+      val upd = docs.filter(col("doc_id") < 10)
+        .withColumn("lang", lit("zz"))
+        .withColumn("n_chars", col("n_chars") + 1)
+        .unionByName(docs.filter(col("doc_id").between(10, 14))
+          .withColumn("doc_id", col("doc_id") + 10000)
+          .withColumn("lang", lit("zz")))
+      val st = Layout.upsertByKey(spark, d, upd, "doc_id")
+      assert(st.rowsReplaced === 10L, st.toString)
+      assert(st.rowsUpserted === 15L, st.toString)
+      val back = spark.read.parquet(d)
+      assert(back.columns.toSet === Set("doc_id", "lang", "n_chars"),
+        "partition column lost in the upsert")
+      assert(back.count() === total + 5L)
+      assert(back.filter(col("lang") === "zz").count() === 15L)
+      assert(back.filter(col("doc_id") < 10 && col("lang") =!= "zz")
+        .count() === 0L, "moved rows linger in their old partition")
+      // no mixed layout: every data file sits INSIDE a k=v subdir
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.listStatus(new org.apache.hadoop.fs.Path(d)).exists(s0 =>
+        s0.isFile && !s0.getPath.getName.startsWith("_")),
+        "upsert landed data files at the partitioned root")
+      // the patched manifest prunes exactly over the inserted keys
+      val pruned = Layout.scanPruned(spark, d,
+        Seq(Layout.KeyBox("doc_id", 10000L, 10014L)))
+      assert(pruned.count() === 5L)
+      assert(pruned.select("lang").distinct().as[String].collect()
+        .toSeq === Seq("zz"))
+    }
+  }
+
+  test("schema evolution: mergeSchema append adds a column, every reader resolves it canonically") {
+    withTempDir("graft_evolve_") { dir =>
+      val d = s"$dir/t"
+      (0L until 100L).map(k => (k, k * 2)).toDF("k", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      // a PLAIN append with a new column is refused, naming the fix
+      val ev = (100L until 150L).map(k => (k, k * 2, s"s$k"))
+        .toDF("k", "v", "tag")
+      val err = intercept[IllegalArgumentException] {
+        Layout.appendWithManifest(ev, d, Seq("k"))
+      }
+      assert(err.getMessage.contains("mergeSchema"))
+      Layout.appendWithManifest(ev, d, Seq("k"), mergeSchema = true)
+      val all = Layout.readLayout(spark, d)
+      assert(all.columns.toSeq === Seq("k", "v", "tag"))
+      assert(all.count() === 150L)
+      assert(all.filter(col("tag").isNull).count() === 100L)
+      // THE schema-stability point: a pruned read whose survivors all
+      // PREDATE the column still carries it (as nulls) — without the
+      // sidecar its presence would depend on footer sampling
+      val oldOnly = Layout.scanPruned(spark, d,
+        Seq(Layout.KeyBox("k", 10L, 20L)))
+      assert(oldOnly.columns.toSeq === Seq("k", "v", "tag"))
+      assert(oldOnly.count() === 11L)
+      assert(oldOnly.filter(col("tag").isNotNull).count() === 0L)
+      // a mixed-vintage pruned read equals its full-scan twin
+      val mixed = Layout.scanPruned(spark, d,
+        Seq(Layout.KeyBox("k", 90L, 110L)))
+      assert(mixed.count() === 21L)
+      assert(mixed.filter(col("tag").isNotNull).count() === 11L)
+      // retyping and dropping stay hard errors even under mergeSchema
+      intercept[IllegalArgumentException] {
+        Layout.appendWithManifest(Seq((1L, "x", "t")).toDF("k", "v", "tag"),
+          d, Seq("k"), mergeSchema = true)
+      }
+      intercept[IllegalArgumentException] {
+        Layout.appendWithManifest(Seq((1L, "t")).toDF("k", "tag"),
+          d, Seq("k"), mergeSchema = true)
+      }
+      // the evolved schema is authoritative for every later WRITE:
+      // an old-shape upsert batch is refused, a full-schema one works
+      // against pre-evolution rows
+      intercept[IllegalArgumentException] {
+        Layout.upsertByKey(spark, d, Seq((11L, 1L)).toDF("k", "v"), "k")
+      }
+      val st = Layout.upsertByKey(spark, d,
+        Seq((10L, 999L, "u10"), (200L, 0L, "new")).toDF("k", "v", "tag"), "k")
+      assert(st.rowsReplaced === 1L && st.rowsUpserted === 2L, st.toString)
+      assert(Layout.readLayout(spark, d).filter(col("k") === 10L)
+        .select("tag").as[String].collect().toSeq === Seq("u10"))
+      // deleteWhere's partial rewrite of a pre-evolution file keeps
+      // the column resolvable
+      val del = Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 5L)))
+      assert(del.rowsDeleted === 6L, del.toString)
+      val left = Layout.readLayout(spark, d)
+      assert(left.columns.toSeq === Seq("k", "v", "tag"))
+      assert(left.count() === 145L)
+      // compact FINISHES the evolution: the output is homogeneous (a
+      // plain read resolves everything — no sidecar needed) with the
+      // evolved values intact; a plain pre-fix read of the INPUT
+      // could have dropped the column entirely off a sampled footer
+      val out = s"$dir/compacted"
+      Layout.compact(spark, d, out)
+      val c = spark.read.parquet(out)
+      assert(c.columns.toSet === Set("k", "v", "tag"))
+      assert(c.count() === 145L)
+      assert(c.filter(col("tag") === "u10").count() === 1L)
+      assert(c.agg(sum("v")).head().getLong(0) ===
+        left.agg(sum("v")).head().getLong(0))
+    }
+  }
+
+  test("schema evolution on a hive-partitioned layout: appends, pruned reads, partitioned compaction") {
+    withTempDir("graft_evolve_part_") { dir =>
+      val d = s"$dir/t"
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+      docs.write.partitionBy("lang").mode("overwrite").parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("doc_id"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      val ev = docs.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + lit(100000L))
+        .withColumn("score", col("n_chars").cast("double") / 2)
+      Layout.appendWithManifest(ev, d, Seq("doc_id"), mergeSchema = true)
+      val all = Layout.readLayout(spark, d)
+      assert(all.columns.toSet === Set("doc_id", "lang", "n_chars", "score"))
+      assert(all.count() === docs.count() + 20L)
+      // routing still correct: no data files at the partitioned root
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.listStatus(new org.apache.hadoop.fs.Path(d)).exists(s0 =>
+        s0.isFile && !s0.getPath.getName.startsWith("_")),
+        "evolved append landed data files at the partitioned root")
+      // pruned read over pre-evolution keys only: column present, all
+      // null, partition column still materialized
+      val oldOnly = Layout.scanPruned(spark, d,
+        Seq(Layout.KeyBox("doc_id", 0L, 50L)))
+      assert(oldOnly.columns.toSet.contains("score"))
+      assert(oldOnly.filter(col("score").isNotNull).count() === 0L)
+      assert(oldOnly.count() === 51L)
+      // post-evolution keys carry values + their partition column
+      val newOnly = Layout.scanPruned(spark, d,
+        Seq(Layout.KeyBox("doc_id", 100000L, 200000L)))
+      assert(newOnly.count() === 20L)
+      assert(newOnly.filter(col("score").isNull ||
+        col("lang").isNull).count() === 0L)
+      // partitioned compaction keeps the evolved column and values
+      val out = s"$dir/c"
+      Layout.compactPartitioned(spark, d, out)
+      val c = spark.read.parquet(out)
+      assert(c.columns.toSet === Set("doc_id", "lang", "n_chars", "score"))
+      assert(c.count() === all.count())
+      assert(c.filter(col("score").isNotNull).count() === 20L)
+      assert(c.agg(sum("n_chars")).head().getLong(0) ===
+        all.agg(sum("n_chars")).head().getLong(0))
+    }
+  }
+
   test("quarantineUncovered: out-of-band files move aside, reads recover, rows re-append") {
     withTempDir("graft_quarantine_") { dir =>
       val d = s"$dir/t"
@@ -1008,6 +1245,62 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       // depth trigger sees it off the SAME stored stats
       val mf = Layout.loadManifest(spark, d)
       assert(mf.count() > 4L, "appends did not add manifest rows")
+    }
+  }
+
+  test("streaming CDC loop: foreachBatch upsertByKey applies last-writer-wins per micro-batch") {
+    withTempDir("graft_stream_cdc_") { dir =>
+      val d = s"$dir/t"
+      // a keyed base table, range-clustered so point-keyed CDC
+      // batches leave most files untouched
+      (0L until 200L).map(k => (k, k)).toDF("k", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = MemoryStream[(Long, Long, Long)] // (k, v, seq)
+      val expected = scala.collection.mutable.Map(
+        (0L until 200L).map(k => k -> k): _*)
+      val q = in.toDF().toDF("k", "v", "seq")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // a real CDC feed carries several updates per key per
+          // micro-batch; the merge contract wants exactly one, so
+          // the loop reduces to the LAST by sequence first — the
+          // standard pre-merge dedup every CDC applier runs
+          import org.apache.spark.sql.expressions.Window
+          val latest = batch.withColumn("rn", row_number().over(
+              Window.partitionBy("k").orderBy(col("seq").desc)))
+            .filter(col("rn") === 1).select("k", "v")
+          Layout.upsertByKey(spark, d, latest, "k")
+          ()
+        }.start()
+      try {
+        val batches = Seq(
+          // in-batch duplicate for k=10 — seq 2 must win
+          Seq((10L, 1000L, 1L), (10L, 1001L, 2L), (20L, 2000L, 1L)),
+          // an insert past the key domain + a re-update
+          Seq((500L, 5000L, 3L), (20L, 2001L, 4L)),
+          // update the batch-2 insert, touch both domain edges
+          Seq((10L, 1002L, 5L), (500L, 5010L, 6L), (0L, 9999L, 7L)))
+        for ((rows, i) <- batches.zipWithIndex) {
+          in.addData(rows)
+          q.processAllAvailable()
+          for ((k, v, _) <- rows.sortBy(_._3)) expected(k) = v
+          val got = spark.read.parquet(d).collect()
+            .map(r => r.getAs[Long]("k") -> r.getAs[Long]("v")).toMap
+          assert(got === expected.toMap, s"state diverged after batch $i")
+        }
+      } finally q.stop()
+      // after the loop the manifest still serves exact pruned reads
+      // over keys that only ever existed as CDC inserts
+      val pruned = Layout.scanPruned(spark, d,
+        Seq(Layout.KeyBox("k", 490L, 520L)))
+      assert(pruned.select("k").as[Long].collect().sorted.toSeq ===
+        Seq(500L))
+      assert(pruned.select("v").as[Long].head === 5010L)
     }
   }
 
