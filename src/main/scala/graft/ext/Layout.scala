@@ -282,14 +282,15 @@ object Layout {
     * — e.g. right after [[writeZOrdered]] — and let every subsequent
     * read prune against it via [[scanPruned]]. */
   def buildFileManifest(spark: org.apache.spark.sql.SparkSession, dir: String,
-                        keyCols: Seq[String]): DataFrame = {
+                        keyCols: Seq[String],
+                        bloomKeys: Seq[String] = Nil): DataFrame = {
     requireEncodingStablePath(dir)
     val src = spark.read.parquet(dir)
     // per-file too: an encoded partition SUBdirectory passes the
     // root check but would be recorded as an unstable URI that no
     // later read can resolve — reject at build time, not read time
     src.inputFiles.foreach(requireEncodingStablePath)
-    manifestOf(src, keyCols)
+    manifestOf(src, keyCols, bloomKeys)
   }
 
   /** Key types with a well-defined, engine-portable min/max ordering:
@@ -339,8 +340,25 @@ object Layout {
         "manifest file tracking requires an encoding-stable path")
   }
 
-  private def manifestOf(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+  /** Bitset width of a per-file bloom stat: 64 Kibit = 8 KiB/file/key
+    * (k = 4 probes — [[Sketches.bloomContains]]'s default family).
+    * Fixed, not configurable: the probe side must hash exactly the
+    * way the build side did, and a width parameter would have to be
+    * carried in the manifest to keep them aligned across sessions. */
+  private val BloomBits = 65536
+
+  private def manifestOf(df: DataFrame, keyCols: Seq[String],
+                         bloomKeys: Seq[String] = Nil): DataFrame = {
     requireSupportedKeys(df.schema, keyCols)
+    require(bloomKeys.distinct == bloomKeys,
+      s"duplicate bloom key columns: ${bloomKeys.mkString(", ")}")
+    for (k <- bloomKeys) {
+      require(keyCols.contains(k),
+        s"bloom key $k must also be a manifest key (stats carry the " +
+          s"range the bloom refines); keys: ${keyCols.mkString(", ")}")
+      require(isIntegral(df.schema(k).dataType),
+        s"bloom stats need an integral key; $k is ${df.schema(k).dataType}")
+    }
     // integral stats normalize to long (so a manifest built over int
     // data appends cleanly onto one built over bigint data); date /
     // timestamp / string stats keep their own type — the stat column's
@@ -348,7 +366,13 @@ object Layout {
     // per-key null count (Iceberg's null_value_counts) is what lets
     // [[deleteWhere]] PROVE a file fully deletable without reading it:
     // min/max ignore nulls, so a range-covered file could still hold
-    // null-key rows a value predicate must not delete.
+    // null-key rows a value predicate must not delete. Optional
+    // per-file BLOOM bitsets (Delta's bloom filter index / Iceberg
+    // puffin) serve point lookups on keys the clustering does NOT
+    // cover: ranges of an unclustered key span everything, but a
+    // bloom MISS is a proof of absence (no false negatives), so
+    // [[skipExprOf]]'s set-box consults it as a second skip clause.
+    // 8 KiB/file/key is the storage cost — opt-in per key.
     def stats(k: String): Seq[Column] = {
       val mm =
         if (isIntegral(df.schema(k).dataType))
@@ -358,9 +382,24 @@ object Layout {
           Seq(min(col(k)).as(s"min_$k"), max(col(k)).as(s"max_$k"))
       mm :+ (count(lit(1)) - count(col(k))).as(s"nulls_$k")
     }
+    val blooms = bloomKeys.map { k =>
+      graft.functions.SketchAggregates.bloomSketch(
+        pmod(col(k).cast("long"), lit(Sketches.P)), BloomBits, 4)
+        .as(s"bloom_$k")
+    }
     df.groupBy(input_file_name().as("file"))
-      .agg(count(lit(1)).as("n_rows"), keyCols.flatMap(stats): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        (keyCols.flatMap(stats) ++ blooms): _*)
   }
+
+  /** The bloom-carrying keys of a stored manifest — how the patch
+    * verbs know which blooms their delta rows must compute to union
+    * cleanly against the kept rows. */
+  private def bloomKeysOf(
+      mSchema: org.apache.spark.sql.types.StructType): Seq[String] =
+    mSchema.fieldNames.collect {
+      case c if c.startsWith("bloom_") => c.stripPrefix("bloom_")
+    }.toSeq
 
   /** Widen a manifest frame with "unknown" (null) per-key null
     * counts for any key whose `nulls_<k>` column is missing — the
@@ -689,9 +728,11 @@ object Layout {
       .filterNot(before)
     if (newFiles.isEmpty) return
     // basePath: delta stats for a partition-column key must see the
-    // k=v path columns (a no-op on flat directories)
+    // k=v path columns (a no-op on flat directories); bloom keys come
+    // from the STORED format so the union below cannot mismatch
     val delta = manifestOf(
-      spark.read.option("basePath", path).parquet(newFiles: _*), keyCols)
+      spark.read.option("basePath", path).parquet(newFiles: _*), keyCols,
+      bloomKeysOf(existing.schema))
     // pre-nulls-format migration ([[widenWithNullCounts]]), then the
     // temp-dir + rename replace ([[replaceManifest]]). Note the data
     // append itself commits first, so running with
@@ -785,8 +826,15 @@ object Layout {
     * one sorted array literal probed per manifest row — file-count ×
     * set-size work on the stats frame, never the data). Null stats
     * mean an all-null key, and a null key never matches a value
-    * predicate, so null resolves to skip. ONE source for every
-    * consumer (scanPruned, deleteWhere, countWhere, joinPruned) —
+    * predicate, so null resolves to skip. When the manifest carries a
+    * `bloom_<k>` bitset for the set box's key, a second clause skips
+    * files whose bloom misses EVERY set value — a bloom miss is a
+    * proof of absence, so this stays exact; it is what makes point
+    * lookups prune on keys the clustering does not cover (every
+    * file's [min,max] spans an unclustered key, but most files'
+    * blooms miss any given value). A null bloom (pre-bloom manifest
+    * rows) conservatively never skips. ONE source for every consumer
+    * (scanPruned, deleteWhere, countWhere, joinPruned, upsertByKey) —
     * the skip semantics cannot fork. */
   private def skipExprOf(mSchema: org.apache.spark.sql.types.StructType,
                          b: PruneBox): Column = b match {
@@ -796,8 +844,15 @@ object Layout {
       require(mSchema(s"min_$c").dataType == org.apache.spark.sql.types.LongType,
         s"KeySetBox on $c has long values but the manifest stores " +
           s"${mSchema(s"min_$c").dataType} stats")
-      coalesce(!exists(lit(vs.sorted.toArray),
-        v => v.between(col(s"min_$c"), col(s"max_$c"))), lit(true))
+      val set = lit(vs.sorted.toArray)
+      val rangeSkip = coalesce(
+        !exists(set, v => v.between(col(s"min_$c"), col(s"max_$c"))),
+        lit(true))
+      if (!mSchema.fieldNames.contains(s"bloom_$c")) rangeSkip
+      else rangeSkip || coalesce(
+        !exists(set, v => Sketches.bloomContains(col(s"bloom_$c"),
+          pmod(v, lit(Sketches.P)), BloomBits, 4)),
+        lit(false))
     case _ =>
       val (lo, hi) = decodeBounds(mSchema, b)
       coalesce(col(s"max_${b.column}") < lo || col(s"min_${b.column}") > hi,
@@ -1084,9 +1139,11 @@ object Layout {
       if (newFiles.isEmpty) None
       else {
         // basePath again: delta stats for a partition-column key must
-        // see the k=v path columns (harmless on flat dirs)
+        // see the k=v path columns (harmless on flat dirs); bloom
+        // keys follow the stored format
         val d = manifestOf(
-            spark.read.option("basePath", dir).parquet(newFiles: _*), keyCols)
+            spark.read.option("basePath", dir).parquet(newFiles: _*),
+            keyCols, bloomKeysOf(mSchema))
           .localCheckpoint(true)
         // coalesce: an all-empty rewrite leaves only zero-row part
         // files, whose delta manifest is empty (sum → null)
@@ -1296,7 +1353,8 @@ object Layout {
       val newFiles = spark.read.parquet(dir).inputFiles.toSeq
         .filterNot(before)
       val delta = manifestOf(
-          spark.read.option("basePath", dir).parquet(newFiles: _*), keyCols)
+          spark.read.option("basePath", dir).parquet(newFiles: _*),
+          keyCols, bloomKeysOf(mSchema))
         .localCheckpoint(true)
       val newRows = delta.agg(coalesce(sum("n_rows"), lit(0L)))
         .collect()(0).getLong(0)
@@ -1717,10 +1775,13 @@ object Layout {
       fs: org.apache.hadoop.fs.FileSystem,
       inPath: String, outPath: String): Unit =
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$inPath/_graft_manifest"))) {
-      val keys = loadManifest(spark, inPath).columns.collect {
+      val mSchema = loadManifest(spark, inPath).schema
+      val keys = mSchema.fieldNames.collect {
         case c if c.startsWith("min_") => c.stripPrefix("min_")
       }.toSeq
-      buildFileManifest(spark, outPath, keys)
+      // bloom keys carry over too: compaction must not silently
+      // demote a bloom-indexed layout to range-only skipping
+      buildFileManifest(spark, outPath, keys, bloomKeysOf(mSchema))
         .write.mode("overwrite").parquet(s"$outPath/_graft_manifest")
     }
 

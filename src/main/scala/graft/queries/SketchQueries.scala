@@ -1542,5 +1542,51 @@ object SketchQueries {
              |  sum(score) AS score_sum
              |FROM pruned GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true),
+
+    // Bloom-indexed point lookup — per-file bloom bitsets in the
+    // manifest (Delta's bloom filter index / Iceberg puffin shape)
+    // prune files for a key the CLUSTERING does not cover: the layout
+    // is doc_id-clustered, so every file's [min,max] of n_chars spans
+    // nearly the whole domain and range stats prune nothing — but a
+    // bloom MISS is a proof of absence, so a point probe (here: the
+    // corpus's outlier lengths, min and max n_chars, read
+    // metadata-only off the stored stats) opens only the files that
+    // can hold it. Oracle = DuckDB's IN-filter over the same probe
+    // derivation; exactness holds because bloom false positives only
+    // ever ADD files to read and the residual re-filters.
+    QueryDef("q_layout_bloom",
+      (s, d) => {
+        val dir = prunedFixture.computeIfAbsent(s"$d#docs_bloom", _ => {
+          val p = graft.Scratch.tempDir("graft_bloom_") + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(8, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id", "n_chars"),
+              bloomKeys = Seq("n_chars"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          p
+        })
+        // the probe values come off the MANIFEST stats (metadata-only,
+        // no data scan): the global min/max of n_chars
+        val b = Layout.loadManifest(s, dir)
+          .agg(min("min_n_chars"), max("max_n_chars")).collect()(0)
+        Layout.scanPruned(s, dir, Seq(Layout.KeySetBox("n_chars",
+            Seq(b.getLong(0), b.getLong(1)).distinct)))
+          .groupBy("lang", "n_chars")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang", "n_chars")
+      },
+      Some("""WITH probe AS (
+             |  SELECT min(n_chars) AS v FROM documents
+             |  UNION SELECT max(n_chars) FROM documents),
+             |hit AS (
+             |  SELECT * FROM documents
+             |  WHERE n_chars IN (SELECT v FROM probe))
+             |SELECT lang, n_chars, count(*) AS n_docs,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM hit GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      bench = true),
   )
 }

@@ -1054,6 +1054,95 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("bloom manifest stats: point lookups prune files the clustering cannot") {
+    withTempDir("graft_bloom_") { dir =>
+      val d = s"$dir/t"
+      // k1-clustered; k2 scatters across the whole domain in every
+      // file, so [min,max] stats of k2 prune NOTHING for a point
+      // lookup — the exact gap the per-file bloom closes. k2 =
+      // k1·7919 mod 1000 puts each value in exactly one file
+      // (gcd(7919, 1000) = 1).
+      (0L until 200L).map(k => (k, (k * 7919L) % 1000L)).toDF("k1", "k2")
+        .repartitionByRange(4, col("k1")).sortWithinPartitions("k1")
+        .write.mode("overwrite").parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k1", "k2"),
+          bloomKeys = Seq("k2"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      val mf = Layout.loadManifest(spark, d)
+      assert(mf.columns.contains("bloom_k2"))
+      // k2 = 190 lives only in the row k1 = 10 (10·7919 mod 1000)
+      val probe = Seq(Layout.KeySetBox("k2", Seq(190L)))
+      assert(Layout.scanPruned(spark, d, probe)
+        .select("k1").as[Long].collect().toSeq === Seq(10L))
+      assert(Layout.countWhere(spark, d, probe) === 1L)
+      // a value in NO file skips everything — schema kept, zero rows
+      assert(Layout.scanPruned(spark, d,
+        Seq(Layout.KeySetBox("k2", Seq(5000L)))).count() === 0L)
+      // PROOF the bloom-skipped files never open: delete every file
+      // except the one holding k1 = 10 and the probe still answers
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val goners = mf.filter(col("min_k1") > 10L || col("max_k1") < 10L)
+        .select("file").as[String].collect()
+      assert(goners.length === 3, goners.mkString(", "))
+      goners.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false))
+      assert(Layout.scanPruned(spark, d, probe)
+        .select("k1").as[Long].collect().toSeq === Seq(10L))
+    }
+  }
+
+  test("bloom stats survive the patch verbs and enforce their contracts") {
+    withTempDir("graft_bloom_patch_") { dir =>
+      val d = s"$dir/t"
+      (0L until 200L).map(k => (k, (k * 7919L) % 1000L)).toDF("k1", "k2")
+        .repartitionByRange(4, col("k1")).sortWithinPartitions("k1")
+        .write.mode("overwrite").parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k1", "k2"),
+          bloomKeys = Seq("k2"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      // append: the delta manifest rows carry blooms (derived from
+      // the STORED format, so the union cannot mismatch) and the new
+      // value is immediately bloom-findable
+      Layout.appendWithManifest(
+        (1000L until 1005L).map(k => (k, 7777L)).toDF("k1", "k2"),
+        d, Seq("k1", "k2"))
+      val mf2 = Layout.loadManifest(spark, d)
+      assert(mf2.filter(col("bloom_k2").isNull).count() === 0L)
+      assert(Layout.scanPruned(spark, d,
+          Seq(Layout.KeySetBox("k2", Seq(7777L))))
+        .select("k1").as[Long].collect().sorted.toSeq ===
+        (1000L until 1005L).toSeq)
+      // upsert: rewrite + insert rows get blooms too; the moved value
+      // is findable at both its old and new carrier
+      val st = Layout.upsertByKey(spark, d,
+        Seq((20L, 190L)).toDF("k1", "k2"), "k1")
+      assert(st.rowsReplaced === 1L, st.toString)
+      assert(Layout.loadManifest(spark, d)
+        .filter(col("bloom_k2").isNull).count() === 0L)
+      assert(Layout.scanPruned(spark, d,
+          Seq(Layout.KeySetBox("k2", Seq(190L))))
+        .select("k1").as[Long].collect().sorted.toSeq === Seq(10L, 20L))
+      // compaction rebuilds the blooms over its output instead of
+      // silently demoting the layout to range-only skipping
+      val out = s"$dir/c"
+      Layout.compact(spark, d, out)
+      assert(Layout.loadManifest(spark, out).columns.contains("bloom_k2"))
+      // loud contracts: bloom keys must be manifest keys, and integral
+      intercept[IllegalArgumentException] {
+        Layout.buildFileManifest(spark, d, Seq("k1"), bloomKeys = Seq("k2"))
+      }
+      withTempDir("graft_bloom_str_") { d2 =>
+        val p2 = s"$d2/t"
+        Seq((1L, "a")).toDF("k", "s").write.parquet(p2)
+        intercept[IllegalArgumentException] {
+          Layout.buildFileManifest(spark, p2, Seq("k", "s"),
+            bloomKeys = Seq("s"))
+        }
+      }
+    }
+  }
+
   test("quarantineUncovered: out-of-band files move aside, reads recover, rows re-append") {
     withTempDir("graft_quarantine_") { dir =>
       val d = s"$dir/t"
