@@ -1671,6 +1671,115 @@ object Layout {
     !worst.isNullAt(0) && worst.getLong(0) >= maxDepth
   }
 
+  /** Per-call outcome of [[optimize]]. `worstDepthBefore` is the max
+    * point-lookup depth across the stored keys at call time — the
+    * signal that fired (or declined) the rewrite. */
+  final case class OptimizeStats(reclustered: Boolean, filesBefore: Int,
+                                 filesAfter: Int, worstDepthBefore: Long)
+
+  /** The in-place OPTIMIZE verb — [[needsRecluster]]'s trigger and
+    * the clustered rewrite in one call, the Delta `OPTIMIZE ZORDER BY`
+    * shape for a live manifest-carrying directory. Measures the worst
+    * point-lookup depth across ALL stored manifest keys (one
+    * manifest-sized sweep per key, string keys via the boundary-domain
+    * profile); below `maxDepth` it is a metadata-only no-op unless
+    * `force`d. When it fires, the whole directory rewrites into
+    * `files` clustered outputs: Z-ordered over the stored keys when
+    * there are 2+ and all carry long stats (multi-dimensional boxes —
+    * the layout the pruned reads want), else lexicographic
+    * range-clustering on the keys in manifest order (exactly right
+    * for one key; tight on the leading key otherwise). The manifest
+    * rebuilds over the output with the SAME keys and bloom keys, so
+    * neither the skipping stats nor a bloom index silently degrade.
+    *
+    * In-place discipline (deleteWhere's, same windows): the clustered
+    * copy commits under an `_`-prefixed scratch dir and MOVES in
+    * before any old file dies; between the move and the old-file
+    * delete, coverage-guarded reads flag the (duplicate) new files
+    * loudly and [[quarantineUncovered]] recovers (quarantining the
+    * new copy loses nothing — the old files still hold every row);
+    * after the old-file delete, rebuild with [[buildFileManifest]].
+    * An evolved layout ([[appendWithManifest]] `mergeSchema`) is read
+    * under its sidecar schema, so the rewrite MATERIALIZES added
+    * columns (null where a row predates them) and the sidecar retires
+    * with the old files — optimize, like compaction, finishes the
+    * evolution. Flat directories only: hive-partitioned layouts
+    * optimize per partition directory, like [[compactPartitioned]]'s
+    * walk. */
+  def optimize(spark: org.apache.spark.sql.SparkSession, dir: String,
+               files: Int, maxDepth: Long = 4L,
+               force: Boolean = false): OptimizeStats = {
+    require(files >= 1, "optimize needs files >= 1")
+    requireEncodingStablePath(dir)
+    val hDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.listStatus(hDir).exists(st =>
+        st.isDirectory && !st.getPath.getName.startsWith("_")),
+      s"optimize expects a flat clustered layout; $dir has partition " +
+        "subdirectories — optimize each partition directory instead")
+    val manifest = loadManifest(spark, dir)
+    val mSchema = manifest.schema
+    val keys = mSchema.fieldNames.collect {
+      case c if c.startsWith("min_") => c.stripPrefix("min_")
+    }.toSeq
+    def worstOf(k: String): Long = {
+      val profile =
+        if (mSchema(s"min_$k").dataType == org.apache.spark.sql.types.StringType)
+          clusteringDepthBoundaries(manifest, k)
+        else clusteringDepth(manifest, k)
+      val w = profile.agg(max(col("depth"))).collect()(0)
+      if (w.isNullAt(0)) 0L else w.getLong(0)
+    }
+    val worst = keys.map(worstOf).max
+    val before = spark.read.parquet(dir).inputFiles.toSet
+    if (!force && worst < maxDepth)
+      return OptimizeStats(reclustered = false, before.size, before.size, worst)
+    val stored = storedSchemaOf(spark, dir)
+    val src = stored.fold(spark.read)(s => spark.read.schema(s)).parquet(dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_graft_optimize_tmp")
+    val allLong = keys.forall(k =>
+      mSchema(s"min_$k").dataType == org.apache.spark.sql.types.LongType)
+    // the Z-order path needs real bounds on every key (an all-null
+    // key has none) — one tiny agg decides, the same probe the
+    // curve writers run
+    val zOk = keys.length >= 2 && allLong && {
+      val b = src.agg(
+        keys.flatMap(k => Seq(min(col(k)).cast("long"),
+          max(col(k)).cast("long"))).head,
+        keys.flatMap(k => Seq(min(col(k)).cast("long"),
+          max(col(k)).cast("long"))).tail: _*).collect()(0)
+      !b.anyNull
+    }
+    if (zOk) writeZOrderedN(src, keys.map(col), tmp.toString, files)
+    else src.repartitionByRange(files, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    moveTreeInto(fs, tmp, hDir, "optimize")
+    fs.delete(tmp, true)
+    // destroy the old files only after the clustered copy is live
+    for (f <- before) {
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      require(fs.delete(p, false) || !fs.exists(p),
+        s"optimize: failed to delete $f")
+    }
+    // stats over the optimized output — same keys, same bloom keys;
+    // manifest replaced via the temp-dir + rename discipline
+    val rebuilt = buildFileManifest(spark, dir, keys, bloomKeysOf(mSchema))
+      .localCheckpoint(true)
+    replaceManifest(spark, dir, rebuilt)
+    Checkpoints.unpersist(rebuilt)
+    // the clustered copy materialized any evolved columns, so the
+    // schema sidecar retires (output is schema-homogeneous); a crash
+    // before this delete leaves a sidecar naming columns every file
+    // now has — a harmless no-op for readers
+    val sc = schemaSidecar(dir)
+    if (fs.exists(sc))
+      require(fs.delete(sc, false),
+        s"optimize: failed to retire the schema sidecar at $sc")
+    OptimizeStats(reclustered = true, before.size,
+      spark.read.parquet(dir).inputFiles.length, worst)
+  }
+
   /** Write `df` as a managed parquet table hash-bucketed (and sorted
     * within buckets) on `key`. Two tables bucketed on their join key
     * with the SAME bucket count sort-merge join with ZERO exchange on

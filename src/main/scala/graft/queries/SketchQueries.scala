@@ -1588,5 +1588,53 @@ object SketchQueries {
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM hit GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       bench = true),
+
+    // In-place OPTIMIZE — [[Layout.optimize]] rewrites a degraded,
+    // schema-EVOLVED layout (base batch + a mergeSchema append that
+    // added `score`) into Z-ordered files over the stored keys,
+    // materializing the evolved column and rebuilding the manifest.
+    // The gate's pruned read runs AFTER the rewrite and spans the old
+    // evolution boundary, so the hash match against DuckDB's
+    // derivation proves the rewrite lost nothing: every row, the
+    // null/value split of the added column, and the skipping stats
+    // all survive the in-place churn.
+    QueryDef("q_layout_optimize",
+      (s, d) => {
+        val dir = prunedFixture.computeIfAbsent(s"$d#docs_optimize", _ => {
+          val p = graft.Scratch.tempDir("graft_optimize_") + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.filter(col("doc_id") < 300)
+            .repartitionByRange(6, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id", "n_chars"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          val ev = docs.filter(col("doc_id") >= 300)
+            .withColumn("score", (col("n_chars") % 7).cast("double"))
+          Layout.appendWithManifest(ev, p, Seq("doc_id", "n_chars"),
+            mergeSchema = true)
+          val st = Layout.optimize(s, p, files = 4, force = true)
+          require(st.reclustered && st.filesAfter <= 4,
+            s"degenerate fixture: $st")
+          p
+        })
+        Layout.scanPruned(s, dir, Seq(Layout.KeyBox("doc_id", 250L, 350L)))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("score")).as("score_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH evolved AS (
+             |  SELECT doc_id, lang, n_chars,
+             |         CASE WHEN doc_id >= 300
+             |              THEN CAST(n_chars % 7 AS DOUBLE) END AS score
+             |  FROM documents),
+             |pruned AS (
+             |  SELECT * FROM evolved WHERE doc_id BETWEEN 250 AND 350)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  sum(score) AS score_sum
+             |FROM pruned GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -1143,6 +1143,66 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("optimize: in-place OPTIMIZE — appends degrade depth, the rewrite re-tightens, blooms and evolved columns survive") {
+    withTempDir("graft_optimize_") { dir =>
+      val d = s"$dir/t"
+      (0L until 1000L).map(k => (k, (k * 7919L) % 1000L)).toDF("k1", "k2")
+        .repartitionByRange(4, col("k1")).sortWithinPartitions("k1")
+        .write.mode("overwrite").parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k1", "k2"),
+          bloomKeys = Seq("k2"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      // a well-clustered layout is a metadata-only no-op. The trigger
+      // takes the WORST depth across stored keys — and the scattered
+      // k2 already sits at depth 4 (every file's k2 range spans the
+      // domain), so the quiet threshold must clear it
+      val st0 = Layout.optimize(spark, d, files = 2, maxDepth = 5L)
+      assert(!st0.reclustered && st0.worstDepthBefore === 4L, st0.toString)
+      // evolve (ADD COLUMN), then degrade: each appended batch spans
+      // the full k1 domain, adding one to every point's depth
+      Layout.appendWithManifest(
+        (0L until 100L).map(k => (k * 10L, k, s"t$k")).toDF("k1", "k2", "tag"),
+        d, Seq("k1", "k2"), mergeSchema = true)
+      for (i <- 1 to 3)
+        Layout.appendWithManifest(
+          (0L until 100L).map(k => (k * 10L + i, k + 100L * i))
+            .toDF("k1", "k2").withColumn("tag", lit(null).cast("string")),
+          d, Seq("k1", "k2"))
+      assert(Layout.needsRecluster(Layout.loadManifest(spark, d), "k1", 4L))
+      val totalBefore = Layout.readLayout(spark, d)
+        .agg(count(lit(1)), sum("k1")).head()
+      val st = Layout.optimize(spark, d, files = 2, maxDepth = 5L)
+      assert(st.reclustered && st.worstDepthBefore >= 5L, st.toString)
+      assert(st.filesAfter === 2, st.toString)
+      // depth is re-tightened (≤ file count by construction)
+      assert(!Layout.needsRecluster(Layout.loadManifest(spark, d), "k1", 4L))
+      // rows identical; the evolved column is MATERIALIZED and the
+      // sidecar retired — a plain read now resolves everything
+      val after = spark.read.parquet(d)
+      assert(after.agg(count(lit(1)), sum("k1")).head() === totalBefore)
+      assert(after.columns.toSet === Set("k1", "k2", "tag"))
+      assert(after.filter(col("tag") === "t5").count() === 1L)
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$d/_graft_schema.json")),
+        "optimize left the schema sidecar behind")
+      // the rebuilt manifest kept the bloom index: a point probe on
+      // the unclustered key still answers through it
+      val mf = Layout.loadManifest(spark, d)
+      assert(mf.columns.contains("bloom_k2"))
+      assert(mf.filter(col("bloom_k2").isNull).count() === 0L)
+      // k2 = 190 carriers: base k1 = 10 (10·7919 mod 1000) and append
+      // batch 1's k = 90 row (k1 = 901, k2 = 90 + 100)
+      assert(Layout.scanPruned(spark, d,
+          Seq(Layout.KeySetBox("k2", Seq(190L))))
+        .select("k1").as[Long].collect().sorted.toSeq === Seq(10L, 901L))
+      // pruned range reads stay exact against a full-scan twin
+      val box = Seq(Layout.KeyBox("k1", 100L, 120L))
+      assert(Layout.scanPruned(spark, d, box).count() ===
+        spark.read.parquet(d).filter(col("k1").between(100L, 120L)).count())
+    }
+  }
+
   test("quarantineUncovered: out-of-band files move aside, reads recover, rows re-append") {
     withTempDir("graft_quarantine_") { dir =>
       val d = s"$dir/t"
