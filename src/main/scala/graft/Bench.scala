@@ -416,27 +416,30 @@ object Bench {
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs$diag$elided,"queries_remeasured":$qsRemeasured,"queries_contended":$qsContended,"sf":"$sfDir","calibration_failed":$calibrationFailed,"steal_ticks":$stealTotal}"""
     }
     val allQ = crossChecked.map { case (k, s, _, _) => k -> s.median }
-    val candidates: Iterator[String] = Iterator(
-      line(allQ, 0, 0.0, dp = 3, withDiag = true),
-      line(allQ, 0, 0.0, dp = 3, withDiag = false),
-      line(allQ, 0, 0.0, dp = 2, withDiag = false)) ++ {
-      // elide cheapest non-baseline rows, one more per attempt;
-      // failed (-1) rows elide first — they carry no timing at all
-      val baseline = BaselineSet
-      val elidable = allQ.filterNot(e => baseline(e._1))
+    // candidate = (rendered line, names it elided); only the CHOSEN
+    // candidate's elision is announced, after the search resolves —
+    // logging inside the search would print superseded lists
+    def elision(n: Int): (String, Seq[String]) = {
+      // elide cheapest non-baseline rows; failed (-1) rows elide
+      // first — they carry no timing at all
+      val elidable = allQ.filterNot(e => BaselineSet(e._1))
         .sortBy { case (_, t) => if (t < 0) Double.MinValue else t }
-      Iterator.range(1, elidable.length + 1).map { n =>
-        val gone = elidable.take(n)
-        System.err.println(s"[bench] JSON budget: eliding ${gone.map(_._1).mkString(", ")}")
-        line(allQ.filterNot(e => gone.exists(_._1 == e._1)),
-          n, gone.map(_._2).filter(_ >= 0).sum, dp = 2, withDiag = false)
-      }
+      val gone = elidable.take(n)
+      (line(allQ.filterNot(e => gone.exists(_._1 == e._1)),
+        gone.length, gone.map(_._2).filter(_ >= 0).sum,
+        dp = 2, withDiag = false), gone.map(_._1))
     }
-    val out = candidates.find(_.length <= 1900)
-      .getOrElse(line(allQ.filter(e => BaselineSet(e._1)),
-        allQ.count(e => !BaselineSet(e._1)),
-        allQ.collect { case (k, t) if !BaselineSet(k) && t >= 0 => t }.sum,
-        dp = 2, withDiag = false))
+    val nElidable = allQ.count(e => !BaselineSet(e._1))
+    val candidates: Iterator[(String, Seq[String])] = Iterator(
+      (line(allQ, 0, 0.0, dp = 3, withDiag = true), Nil),
+      (line(allQ, 0, 0.0, dp = 3, withDiag = false), Nil),
+      (line(allQ, 0, 0.0, dp = 2, withDiag = false), Nil)) ++
+      Iterator.range(1, nElidable + 1).map(elision)
+    val (out, elided) = candidates.find(_._1.length <= 1900)
+      .getOrElse(elision(nElidable))
+    if (elided.nonEmpty)
+      System.err.println(
+        s"[bench] JSON budget: elided ${elided.mkString(", ")}")
     if (out.length > 1900)
       System.err.println(s"[bench] WARNING: JSON line ${out.length} chars exceeds the driver's 2000-char tail even at maximum elision")
     println(out)

@@ -392,6 +392,15 @@ object Layout {
         (keyCols.flatMap(stats) ++ blooms): _*)
   }
 
+  /** The key columns a stored manifest tracks — read back off its own
+    * stat-column names, the single source every verb that re-derives
+    * or patches stats goes through. */
+  private def manifestKeysOf(
+      mSchema: org.apache.spark.sql.types.StructType): Seq[String] =
+    mSchema.fieldNames.collect {
+      case c if c.startsWith("min_") => c.stripPrefix("min_")
+    }.toSeq
+
   /** The bloom-carrying keys of a stored manifest — how the patch
     * verbs know which blooms their delta rows must compute to union
     * cleanly against the kept rows. */
@@ -684,9 +693,7 @@ object Layout {
     // strict subset would pass a one-sided check, append, and then
     // crash in unionByName — leaving files the manifest misses
     val existing = loadManifest(spark, path)
-    val storedKeys = existing.columns.collect {
-      case c if c.startsWith("min_") => c.stripPrefix("min_")
-    }.toSet
+    val storedKeys = manifestKeysOf(existing.schema).toSet
     require(storedKeys == keyCols.toSet,
       s"keyCols ${keyCols.toSet.mkString(", ")} must equal the stored " +
         s"manifest's keys ${storedKeys.mkString(", ")} at $path")
@@ -1058,9 +1065,7 @@ object Layout {
     val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = loadManifest(spark, dir)
     val mSchema = manifest.schema
-    val keyCols = mSchema.fieldNames.collect {
-      case c if c.startsWith("min_") => c.stripPrefix("min_")
-    }.toSeq
+    val keyCols = manifestKeysOf(mSchema)
     // a file is DROPPABLE only when every box PROVES full coverage —
     // range inside the box AND zero null keys; any null verdict
     // (null stats, unknown null counts — [[nullsColOf]]) falls
@@ -1259,9 +1264,7 @@ object Layout {
     val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = loadManifest(spark, dir)
     val mSchema = manifest.schema
-    val keyCols = mSchema.fieldNames.collect {
-      case c if c.startsWith("min_") => c.stripPrefix("min_")
-    }.toSeq
+    val keyCols = manifestKeysOf(mSchema)
     require(keyCols.contains(key),
       s"upsertByKey key $key is not a stored manifest key at $dir " +
         s"(stored: ${keyCols.mkString(", ")})")
@@ -1409,12 +1412,17 @@ object Layout {
     requireEncodingStablePath(factDir)
     val manifest = loadManifest(spark, factDir)
     val statT = manifest.schema(s"min_$factKey").dataType
-    def empty() =
+    // frame-qualified key references throughout: fact and dim keys
+    // SHARE a name in the normal star-schema shape (orders.custkey ⋈
+    // customer.custkey), and an unqualified col(key) === col(key)
+    // would fail analysis as ambiguous exactly there
+    def empty() = {
       // no dim keys → no join matches; keep the joined schema
       // (canonical on an evolved layout) without opening a single
       // fact file
-      readLayout(spark, factDir).where(lit(false))
-        .join(dim, col(factKey) === col(dimKey))
+      val fact = readLayout(spark, factDir).where(lit(false))
+      fact.join(dim, fact(factKey) === dim(dimKey))
+    }
     val box: Option[PruneBox] =
       if (statT == org.apache.spark.sql.types.LongType) {
         // the dim key must be integral too: a floating dim key joined
@@ -1451,8 +1459,8 @@ object Layout {
         else Some(TypedKeyBox(factKey, b.get(0).toString, b.get(1).toString))
       }
     box.fold(empty()) { bx =>
-      scanPruned(spark, factDir, manifest, Seq(bx), verifyCoverage)
-        .join(broadcast(dim), col(factKey) === col(dimKey))
+      val fact = scanPruned(spark, factDir, manifest, Seq(bx), verifyCoverage)
+      fact.join(broadcast(dim), fact(factKey) === dim(dimKey))
     }
   }
 
@@ -1646,7 +1654,11 @@ object Layout {
     bounds.groupBy("pos").agg(sum("delta").as("net"))
       .withColumn("depth", sum("net").over(
         Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, 0)))
-      .join(ranked, Seq("pos"), "left")
+      // INNER join back to the observed boundaries: the greatest
+      // max's close lands at rank(max)+1, a rank no value owns — its
+      // row (depth 0 past everything) is bookkeeping, not a boundary,
+      // and must not surface as a phantom null `value`
+      .join(ranked, Seq("pos"))
       .select(col("value"), col("net"), col("depth"))
   }
 
@@ -1713,15 +1725,17 @@ object Layout {
     requireEncodingStablePath(dir)
     val hDir = new org.apache.hadoop.fs.Path(dir)
     val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.listStatus(hDir).exists(st =>
-        st.isDirectory && !st.getPath.getName.startsWith("_")),
+    // `.`-prefixed dirs are writer debris (crashed .spark-staging-*),
+    // not partitions — same exemption as the compaction walk
+    require(!fs.listStatus(hDir).exists { st =>
+        val n = st.getPath.getName
+        st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+      },
       s"optimize expects a flat clustered layout; $dir has partition " +
         "subdirectories — optimize each partition directory instead")
     val manifest = loadManifest(spark, dir)
     val mSchema = manifest.schema
-    val keys = mSchema.fieldNames.collect {
-      case c if c.startsWith("min_") => c.stripPrefix("min_")
-    }.toSeq
+    val keys = manifestKeysOf(mSchema)
     def worstOf(k: String): Long = {
       val profile =
         if (mSchema(s"min_$k").dataType == org.apache.spark.sql.types.StringType)
@@ -1740,20 +1754,29 @@ object Layout {
     val allLong = keys.forall(k =>
       mSchema(s"min_$k").dataType == org.apache.spark.sql.types.LongType)
     // the Z-order path needs real bounds on every key (an all-null
-    // key has none) — one tiny agg decides, the same probe the
-    // curve writers run
-    val zOk = keys.length >= 2 && allLong && {
-      val b = src.agg(
-        keys.flatMap(k => Seq(min(col(k)).cast("long"),
-          max(col(k)).cast("long"))).head,
-        keys.flatMap(k => Seq(min(col(k)).cast("long"),
-          max(col(k)).cast("long"))).tail: _*).collect()(0)
-      !b.anyNull
+    // key has none) — ONE bounds agg both decides the path and feeds
+    // the curve, so the data is never scanned twice for it
+    val boundsRow =
+      if (keys.length < 2 || !allLong) None
+      else {
+        val exprs = keys.flatMap(k =>
+          Seq(min(col(k)).cast("long"), max(col(k)).cast("long")))
+        Some(src.agg(exprs.head, exprs.tail: _*).collect()(0))
+          .filterNot(_.anyNull)
+      }
+    boundsRow match {
+      case Some(row) =>
+        val b = row.toSeq.map(_.asInstanceOf[Long])
+        val bits = zorderBits(keys.length)
+        val norm = keys.zipWithIndex.map { case (k, i) =>
+          normalizeBits(col(k), b(2 * i), b(2 * i + 1), bits)
+        }
+        writeClusteredBy(src, zorderN(norm), tmp.toString, files)
+      case None =>
+        src.repartitionByRange(files, keys.map(col): _*)
+          .sortWithinPartitions(keys.map(col): _*)
+          .write.mode("overwrite").parquet(tmp.toString)
     }
-    if (zOk) writeZOrderedN(src, keys.map(col), tmp.toString, files)
-    else src.repartitionByRange(files, keys.map(col): _*)
-      .sortWithinPartitions(keys.map(col): _*)
-      .write.mode("overwrite").parquet(tmp.toString)
     moveTreeInto(fs, tmp, hDir, "optimize")
     fs.delete(tmp, true)
     // destroy the old files only after the clustered copy is live
@@ -1885,9 +1908,7 @@ object Layout {
       inPath: String, outPath: String): Unit =
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$inPath/_graft_manifest"))) {
       val mSchema = loadManifest(spark, inPath).schema
-      val keys = mSchema.fieldNames.collect {
-        case c if c.startsWith("min_") => c.stripPrefix("min_")
-      }.toSeq
+      val keys = manifestKeysOf(mSchema)
       // bloom keys carry over too: compaction must not silently
       // demote a bloom-indexed layout to range-only skipping
       buildFileManifest(spark, outPath, keys, bloomKeysOf(mSchema))

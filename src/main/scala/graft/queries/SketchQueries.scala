@@ -1117,7 +1117,6 @@ object SketchQueries {
             (count(lit(1)) - count(col("lang"))).as("nulls_lang"))
           .withColumn("file", col("file_id").cast("string"))
         Layout.clusteringDepthBoundaries(manifest, "lang")
-          .filter(col("value").isNotNull)
           .orderBy("value")
       },
       Some("""WITH filed AS (

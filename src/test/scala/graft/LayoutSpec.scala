@@ -1283,6 +1283,15 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       assert(sparseJoined.count() === sparseFull.count())
       assert(sparseJoined.select("l_orderkey").as[Long].collect().sorted.toSeq
         === sparseFull.select("l_orderkey").as[Long].collect().sorted.toSeq)
+      // the star-schema shape: fact and dim key SHARE a name — the
+      // frame-qualified join condition must not be ambiguous, on both
+      // the pruned path and the empty-dim path
+      val sameName = (20L to 60L).toDF("l_partkey")
+      val sameJoined = Layout.joinPruned(spark, s"$dir/li",
+        sameName, "l_partkey", "l_partkey")
+      assert(sameJoined.count() === joined.count())
+      assert(Layout.joinPruned(spark, s"$dir/li",
+        sameName.where(lit(false)), "l_partkey", "l_partkey").count() === 0L)
     }
   }
 
@@ -1494,8 +1503,11 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       ("f4", 10L, Some("f"), Some("g"), 0L),
       ("f5", 10L, None, None, 10L) // all-null key: carries no interval
     ).toDF("file", "n_rows", "min_lang", "max_lang", "nulls_lang")
-    val got = Layout.clusteringDepthBoundaries(mf, "lang")
-      .filter(col("value").isNotNull)
+    val profile = Layout.clusteringDepthBoundaries(mf, "lang")
+    // every row is a real observed boundary — the close-past-max
+    // bookkeeping rank must not surface as a phantom null value
+    assert(profile.filter(col("value").isNull).count() === 0L)
+    val got = profile
       .select("value", "depth").as[(String, Long)].collect().toMap
     // independent reference: depth(v) = |{files: min ≤ v ≤ max}|,
     // recomputed driver-side from the same stats
@@ -1517,8 +1529,8 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
         .write.mode("overwrite").parquet(s"$dir/docs/_graft_manifest")
       val stored = Layout.loadManifest(spark, s"$dir/docs")
       val prof = Layout.clusteringDepthBoundaries(stored, "lang")
-        .filter(col("value").isNotNull)
       assert(prof.count() > 0)
+      assert(prof.filter(col("value").isNull).count() === 0L)
       assert(Layout.needsRecluster(stored, "lang", maxDepth = 1L))
     }
   }
