@@ -1803,6 +1803,132 @@ object Layout {
       spark.read.parquet(dir).inputFiles.length, worst)
   }
 
+  /** [[optimize]] over a hive-partitioned layout: the trigger reads
+    * the ROOT manifest (worst depth across all stored keys, the same
+    * signal), then each `k=v` LEAF directory rewrites independently
+    * into `filesPerPartition` clustered outputs — no global shuffle,
+    * the same per-partition independence as [[compactPartitioned]],
+    * and on a cluster the per-leaf rewrites parallelize trivially.
+    * Within a leaf the clustering runs on the stored keys that live
+    * in the FILES (a stored key that is a partition column is
+    * constant inside the leaf — nothing to cluster); if every stored
+    * key is a partition column the leaf just compacts. An evolved
+    * layout's leaves read under the sidecar schema minus the
+    * path-encoded columns, so the rewrite materializes added columns
+    * and the sidecar retires.
+    *
+    * The manifest is rebuilt ONCE over the whole directory after all
+    * leaves swap (partition discovery materializes `k=v` stats keys
+    * again; bloom keys carry over). The crash windows are the
+    * per-leaf scratch-commit / move-in / delete-old ones plus one
+    * wider one: between the first leaf's swap and the final manifest
+    * replace, coverage-guarded reads flag the new files loudly and a
+    * pruned read touching a swapped leaf fails on its deleted old
+    * files — recovery is a [[buildFileManifest]] rebuild, exactly the
+    * post-delete recovery documented on [[deleteWhere]]. */
+  def optimizePartitioned(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, filesPerPartition: Int,
+                          maxDepth: Long = 4L,
+                          force: Boolean = false): OptimizeStats = {
+    require(filesPerPartition >= 1, "optimizePartitioned needs files >= 1")
+    requireEncodingStablePath(dir)
+    val hDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partCols = hivePartColsOf(fs, hDir)
+    require(partCols.nonEmpty,
+      s"optimizePartitioned expects a hive-partitioned layout; " +
+        s"$dir has no k=v subdirectories — use optimize")
+    val manifest = loadManifest(spark, dir)
+    val mSchema = manifest.schema
+    val keys = manifestKeysOf(mSchema)
+    def worstOf(k: String): Long = {
+      val profile =
+        if (mSchema(s"min_$k").dataType == org.apache.spark.sql.types.StringType)
+          clusteringDepthBoundaries(manifest, k)
+        else clusteringDepth(manifest, k)
+      val w = profile.agg(max(col("depth"))).collect()(0)
+      if (w.isNullAt(0)) 0L else w.getLong(0)
+    }
+    val worst = keys.map(worstOf).max
+    val before = spark.read.parquet(dir).inputFiles.toSet
+    if (!force && worst < maxDepth)
+      return OptimizeStats(reclustered = false, before.size, before.size, worst)
+    // in-file clustering keys: stored keys that are NOT path-encoded
+    val fileKeys = keys.filterNot(partCols.contains)
+    val allLong = fileKeys.forall(k =>
+      mSchema(s"min_$k").dataType == org.apache.spark.sql.types.LongType)
+    val leafSchema = storedSchemaOf(spark, dir).map { s =>
+      org.apache.spark.sql.types.StructType(
+        s.filterNot(f => partCols.contains(f.name)))
+    }
+    def isAux(n: String) = n.startsWith("_") || n.startsWith(".")
+    def rewriteLeaf(leaf: org.apache.hadoop.fs.Path): Unit = {
+      val src = leafSchema.fold(spark.read)(s => spark.read.schema(s))
+        .parquet(leaf.toString)
+      val oldFiles = src.inputFiles
+      if (oldFiles.isEmpty) return
+      val tmp = new org.apache.hadoop.fs.Path(leaf, "_graft_optimize_tmp")
+      // same one-agg Z-order/range decision as the flat verb, per leaf
+      val boundsRow =
+        if (fileKeys.length < 2 || !allLong) None
+        else {
+          val exprs = fileKeys.flatMap(k =>
+            Seq(min(col(k)).cast("long"), max(col(k)).cast("long")))
+          Some(src.agg(exprs.head, exprs.tail: _*).collect()(0))
+            .filterNot(_.anyNull)
+        }
+      boundsRow match {
+        case Some(row) =>
+          val b = row.toSeq.map(_.asInstanceOf[Long])
+          val bits = zorderBits(fileKeys.length)
+          val norm = fileKeys.zipWithIndex.map { case (k, i) =>
+            normalizeBits(col(k), b(2 * i), b(2 * i + 1), bits)
+          }
+          writeClusteredBy(src, zorderN(norm), tmp.toString, filesPerPartition)
+        case None if fileKeys.nonEmpty =>
+          src.repartitionByRange(filesPerPartition, fileKeys.map(col): _*)
+            .sortWithinPartitions(fileKeys.map(col): _*)
+            .write.mode("overwrite").parquet(tmp.toString)
+        case None =>
+          // every stored key is a partition column: constant within
+          // the leaf, so this leaf's rewrite is pure compaction
+          src.repartition(filesPerPartition)
+            .write.mode("overwrite").parquet(tmp.toString)
+      }
+      moveTreeInto(fs, tmp, leaf, "optimizePartitioned")
+      fs.delete(tmp, true)
+      for (f <- oldFiles) {
+        val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+        require(fs.delete(p, false) || !fs.exists(p),
+          s"optimizePartitioned: failed to delete $f")
+      }
+    }
+    def walk(cur: org.apache.hadoop.fs.Path): Unit = {
+      val entries = fs.listStatus(cur)
+      val subdirs = entries.filter(st =>
+        st.isDirectory && !isAux(st.getPath.getName))
+      if (subdirs.nonEmpty) {
+        require(!entries.exists(st => st.isFile && !isAux(st.getPath.getName)),
+          s"$cur mixes data files with partition subdirectories — not a hive layout")
+        subdirs.foreach(d => walk(d.getPath))
+      } else rewriteLeaf(cur)
+    }
+    walk(hDir)
+    // ONE stats rebuild over the optimized tree (partition discovery
+    // restores k=v stat keys; bloom keys carry over), then the
+    // sidecar retires — every leaf is schema-homogeneous now
+    val rebuilt = buildFileManifest(spark, dir, keys, bloomKeysOf(mSchema))
+      .localCheckpoint(true)
+    replaceManifest(spark, dir, rebuilt)
+    Checkpoints.unpersist(rebuilt)
+    val sc = schemaSidecar(dir)
+    if (fs.exists(sc))
+      require(fs.delete(sc, false),
+        s"optimizePartitioned: failed to retire the schema sidecar at $sc")
+    OptimizeStats(reclustered = true, before.size,
+      spark.read.parquet(dir).inputFiles.length, worst)
+  }
+
   /** Write `df` as a managed parquet table hash-bucketed (and sorted
     * within buckets) on `key`. Two tables bucketed on their join key
     * with the SAME bucket count sort-merge join with ZERO exchange on

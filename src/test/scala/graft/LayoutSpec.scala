@@ -1203,6 +1203,68 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("optimizePartitioned: per-leaf rewrites off the root-manifest trigger; evolution and blooms survive") {
+    withTempDir("graft_opt_part_") { dir =>
+      val d = s"$dir/t"
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .select("doc_id", "lang", "n_chars")
+      docs.write.partitionBy("lang").mode("overwrite").parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("doc_id", "lang"),
+          bloomKeys = Seq("doc_id"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      // evolve (ADD COLUMN), then degrade: every append's rows overlap
+      // the base doc_id domain, so each adds a file per partition that
+      // deepens every point lookup
+      Layout.appendWithManifest(docs.filter(col("doc_id") < 100)
+          .withColumn("score", (col("n_chars") % 5).cast("double")),
+        d, Seq("doc_id", "lang"), mergeSchema = true)
+      for (i <- 1 to 2)
+        Layout.appendWithManifest(docs
+            .filter(col("doc_id").between(100 * i, 100 * i + 99))
+            .withColumn("score", lit(null).cast("double")),
+          d, Seq("doc_id", "lang"))
+      val before = Layout.readLayout(spark, d)
+        .agg(count(lit(1)), sum("doc_id"), sum("n_chars")).head()
+      val st = Layout.optimizePartitioned(spark, d,
+        filesPerPartition = 1, maxDepth = 3L)
+      assert(st.reclustered && st.worstDepthBefore >= 3L, st.toString)
+      val nLangs = docs.select("lang").distinct().count()
+      assert(st.filesAfter === nLangs, st.toString)
+      // rows identical; the evolved column materialized, the sidecar
+      // retired (a PLAIN read now resolves everything)
+      val after = spark.read.parquet(d)
+      assert(after.columns.toSet ===
+        Set("doc_id", "lang", "n_chars", "score"))
+      assert(after.agg(count(lit(1)), sum("doc_id"), sum("n_chars"))
+        .head() === before)
+      val fs = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$d/_graft_schema.json")))
+      // depth strictly improved (one file per partition is the floor
+      // a lang-partitioned layout allows for a global doc_id lookup)
+      val mf = Layout.loadManifest(spark, d)
+      assert(!Layout.needsRecluster(mf, "doc_id", st.worstDepthBefore))
+      // blooms rebuilt over the output; both pruning forms stay exact
+      assert(mf.filter(col("bloom_doc_id").isNull).count() === 0L)
+      assert(Layout.scanPruned(spark, d,
+          Seq(Layout.KeySetBox("doc_id", Seq(42L)))).count() ===
+        after.filter(col("doc_id") === 42L).count())
+      val lang0 = after.select("lang").orderBy("lang")
+        .limit(1).as[String].head()
+      assert(Layout.scanPruned(spark, d,
+          Seq(Layout.TypedKeyBox("lang", lang0, lang0))).count() ===
+        after.filter(col("lang") === lang0).count())
+      // a FLAT layout is loudly redirected to the flat verb
+      val flat = s"$dir/flat"
+      (0L until 10L).map(k => (k, k)).toDF("k", "v")
+        .repartition(1).write.parquet(flat)
+      val e = intercept[IllegalArgumentException] {
+        Layout.optimizePartitioned(spark, flat, 1)
+      }
+      assert(e.getMessage.contains("use optimize"))
+    }
+  }
+
   test("quarantineUncovered: out-of-band files move aside, reads recover, rows re-append") {
     withTempDir("graft_quarantine_") { dir =>
       val d = s"$dir/t"
