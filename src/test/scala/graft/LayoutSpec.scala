@@ -1265,6 +1265,60 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("streaming maintenance loop: foreachBatch append + auto-optimize keeps point-lookup depth bounded") {
+    withTempDir("graft_stream_opt_") { dir =>
+      val d = s"$dir/t"
+      (0L until 500L).map(k => (k, k % 97L)).toDF("k1", "k2")
+        .repartitionByRange(2, col("k1")).sortWithinPartitions("k1")
+        .write.mode("overwrite").parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k1", "k2"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = MemoryStream[(Long, Long)]
+      // the full lakehouse maintenance loop under continuous ingest:
+      // every micro-batch lands with its delta stats, and whenever
+      // the appended files push some point's lookup depth past the
+      // threshold, the in-place OPTIMIZE fires inside the same batch
+      var optimized = 0
+      val q = in.toDF().toDF("k1", "k2")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          Layout.appendWithManifest(batch, d, Seq("k1", "k2"))
+          if (Layout.needsRecluster(Layout.loadManifest(spark, d),
+              "k1", maxDepth = 4L)) {
+            Layout.optimize(spark, d, files = 2, maxDepth = 4L)
+            optimized += 1
+          }
+          ()
+        }.start()
+      try {
+        var expected = 500L
+        for (i <- 0 until 6) {
+          // each batch spans the whole k1 domain — the depth-degrading
+          // worst case for a clustered layout
+          in.addData((0L until 100L).map(k => (k * 5L + i, k)))
+          q.processAllAvailable()
+          expected += 100L
+          val full = spark.read.parquet(d)
+          assert(full.count() === expected, s"rows lost at batch $i")
+          // pruned ≡ full after EVERY batch, including mid-loop ones
+          // where optimize just churned the whole directory
+          assert(Layout.scanPruned(spark, d,
+              Seq(Layout.KeyBox("k1", 100L, 150L))).count() ===
+            full.filter(col("k1").between(100L, 150L)).count(),
+            s"pruned read diverged at batch $i")
+          // the invariant the loop maintains: depth stays bounded
+          // (threshold + at most one batch's files), never grows with
+          // the number of batches ingested
+          assert(!Layout.needsRecluster(Layout.loadManifest(spark, d),
+            "k1", 6L), s"depth unbounded at batch $i")
+        }
+      } finally q.stop()
+      assert(optimized >= 1, "the OPTIMIZE trigger never fired")
+    }
+  }
+
   test("quarantineUncovered: out-of-band files move aside, reads recover, rows re-append") {
     withTempDir("graft_quarantine_") { dir =>
       val d = s"$dir/t"
