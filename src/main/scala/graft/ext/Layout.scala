@@ -1720,7 +1720,8 @@ object Layout {
     * walk. */
   def optimize(spark: org.apache.spark.sql.SparkSession, dir: String,
                files: Int, maxDepth: Long = 4L,
-               force: Boolean = false): OptimizeStats = {
+               force: Boolean = false,
+               verifyCoverage: Boolean = true): OptimizeStats = {
     require(files >= 1, "optimize needs files >= 1")
     requireEncodingStablePath(dir)
     val hDir = new org.apache.hadoop.fs.Path(dir)
@@ -1750,6 +1751,15 @@ object Layout {
       return OptimizeStats(reclustered = false, before.size, before.size, worst)
     val stored = storedSchemaOf(spark, dir)
     val src = stored.fold(spark.read)(s => spark.read.schema(s)).parquet(dir)
+    if (verifyCoverage)
+      // sharpest consequence of all the consumers': the rewrite reads
+      // EVERY file, so rows the manifest never blessed (a crashed
+      // delete's duplicate survivors, a crashed out-of-band append)
+      // would be absorbed into the new layout and its rebuilt
+      // manifest — made permanent, not just misread once
+      requireManifestCovers(spark, src,
+        manifest.select("file").collect().map(_.getString(0)).toSet, dir,
+        "the rewrite would silently legitimize their rows into the new layout")
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/_graft_optimize_tmp")
     val allLong = keys.forall(k =>
       mSchema(s"min_$k").dataType == org.apache.spark.sql.types.LongType)
@@ -1829,7 +1839,8 @@ object Layout {
   def optimizePartitioned(spark: org.apache.spark.sql.SparkSession,
                           dir: String, filesPerPartition: Int,
                           maxDepth: Long = 4L,
-                          force: Boolean = false): OptimizeStats = {
+                          force: Boolean = false,
+                          verifyCoverage: Boolean = true): OptimizeStats = {
     require(filesPerPartition >= 1, "optimizePartitioned needs files >= 1")
     requireEncodingStablePath(dir)
     val hDir = new org.apache.hadoop.fs.Path(dir)
@@ -1850,9 +1861,16 @@ object Layout {
       if (w.isNullAt(0)) 0L else w.getLong(0)
     }
     val worst = keys.map(worstOf).max
-    val before = spark.read.parquet(dir).inputFiles.toSet
+    val dirFrame = spark.read.parquet(dir)
+    val before = dirFrame.inputFiles.toSet
     if (!force && worst < maxDepth)
       return OptimizeStats(reclustered = false, before.size, before.size, worst)
+    if (verifyCoverage)
+      // same reasoning as optimize's: the per-leaf rewrites read every
+      // file, so unblessed rows would be made permanent
+      requireManifestCovers(spark, dirFrame,
+        manifest.select("file").collect().map(_.getString(0)).toSet, dir,
+        "the rewrite would silently legitimize their rows into the new layout")
     // in-file clustering keys: stored keys that are NOT path-encoded
     val fileKeys = keys.filterNot(partCols.contains)
     val allLong = fileKeys.forall(k =>

@@ -1200,6 +1200,21 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       val box = Seq(Layout.KeyBox("k1", 100L, 120L))
       assert(Layout.scanPruned(spark, d, box).count() ===
         spark.read.parquet(d).filter(col("k1").between(100L, 120L)).count())
+      // an out-of-band file (a crashed delete's duplicates, say) must
+      // NOT be silently legitimized by the rewrite: optimize refuses,
+      // quarantine recovers, then the rewrite proceeds
+      val blessed = spark.read.parquet(d).count()
+      Seq((5000L, 5000L, "oob")).toDF("k1", "k2", "tag")
+        .write.mode("append").parquet(d)
+      val cov = intercept[IllegalArgumentException] {
+        Layout.optimize(spark, d, files = 2, force = true)
+      }
+      assert(cov.getMessage.contains("manifest does not cover"))
+      Layout.quarantineUncovered(spark, d, s"$dir/quarantine")
+      val st2 = Layout.optimize(spark, d, files = 2, force = true)
+      assert(st2.reclustered, st2.toString)
+      assert(spark.read.parquet(d).count() === blessed,
+        "the quarantined out-of-band row leaked back in")
     }
   }
 
