@@ -1730,6 +1730,35 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       val joined = Layout.joinPruned(spark, s"$dir/t3", dim, "l_partkey", "p")
       assert(joined.count() ===
         expect.join(dim, col("l_partkey") === col("p")).count())
+      // 9. CDC merge: each update key's rows collapse to the one
+      //    update row, a never-seen key inserts
+      val upd = Seq((777777L, 60L, 1L), (777778L, 999999L, 2L))
+        .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      val stUp = Layout.upsertByKey(spark, s"$dir/t3", upd, "l_partkey")
+      assert(stUp.rowsUpserted === 2L, stUp.toString)
+      val expect2 = expect.filter(!col("l_partkey").isin(60L, 999999L))
+        .unionByName(upd)
+      assert(spark.read.parquet(s"$dir/t3").count() === expect2.count())
+      // 10. ADD COLUMN evolution; the pruned read spans the boundary
+      Layout.appendWithManifest(
+        Seq((888888L, 70L, 3L, "day3")).toDF(
+          "l_orderkey", "l_partkey", "l_suppkey", "src"),
+        s"$dir/t3", Seq("l_partkey", "l_suppkey"), mergeSchema = true)
+      val ev = Layout.scanPruned(spark, s"$dir/t3",
+        Seq(Layout.KeyBox("l_partkey", 60L, 80L)))
+      assert(ev.columns.contains("src"))
+      assert(ev.filter(col("src").isNotNull).count() === 1L)
+      // 11. in-place OPTIMIZE finishes the evolution; the consumers
+      //     stay exact on the final, thrice-churned layout
+      val stOpt = Layout.optimize(spark, s"$dir/t3", files = 8, force = true)
+      assert(stOpt.reclustered, stOpt.toString)
+      val finalFull = spark.read.parquet(s"$dir/t3")
+      assert(finalFull.count() === expect2.count() + 1L)
+      assert(finalFull.columns.toSet ===
+        Set("l_orderkey", "l_partkey", "l_suppkey", "src"))
+      assert(Layout.countWhere(spark, s"$dir/t3",
+          Seq(Layout.KeyBox("l_partkey", 60L, 80L))) ===
+        finalFull.filter(col("l_partkey").between(60L, 80L)).count())
     }
   }
 
