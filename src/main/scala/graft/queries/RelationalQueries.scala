@@ -1056,6 +1056,40 @@ object RelationalQueries {
              |  WHERE doc_id >= 200 AND doc_id < 600)
              |ORDER BY doc_id""".stripMargin)),
 
+    // Incremental view maintenance — [[graft.ext.Ivm.maintainAgg]]
+    // keeps a materialized GROUP BY current under a signed change
+    // feed instead of recomputing it: the view bootstraps over the
+    // even-order lineitems, then one feed DELETES every
+    // orderkey%10==0 row (op −1, a subset of the evens) and INSERTS
+    // all odd-order rows (op +1). Maintenance shuffles only the feed's
+    // group-sums plus the tiny state, never the fact table. The
+    // maintained state must therefore equal the aggregate over
+    // {orderkey % 10 ≠ 0} — which is exactly what the DuckDB oracle
+    // recomputes from scratch, so incremental ≡ recompute is
+    // hash-proved. Quantities are whole-valued doubles; casting to
+    // BIGINT keeps the sums exact in both engines.
+    QueryDef("q_ivm_agg",
+      (s, d) => {
+        val li = t(s, d, "lineitem").select(col("l_returnflag"),
+          col("l_linestatus"), col("l_orderkey"),
+          col("l_quantity").cast("long").as("qty"))
+        val keys = Seq("l_returnflag", "l_linestatus")
+        val state0 = graft.ext.Ivm.aggregateOf(
+          li.filter(col("l_orderkey") % 2 === 0), keys, Seq("qty"))
+        val changes =
+          li.filter(col("l_orderkey") % 10 === 0).withColumn("op", lit(-1))
+            .unionByName(
+              li.filter(col("l_orderkey") % 2 === 1).withColumn("op", lit(1)))
+        graft.ext.Ivm.maintainAgg(state0, changes, keys, Seq("qty"))
+          .orderBy(keys.map(col): _*)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM lineitem WHERE l_orderkey % 10 <> 0
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      bench = true),
+
     // Point-in-interval range join ([[graft.ops.IntervalJoin]]):
     // shipments landing inside each order's 7-day dispatch window,
     // via the interval-binning equi-join (bucket = 7 days, so each
