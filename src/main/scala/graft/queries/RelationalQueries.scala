@@ -1090,6 +1090,36 @@ object RelationalQueries {
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       bench = true),
 
+    // COUNT(DISTINCT) is not directly maintainable (a delete may or
+    // may not remove the last occurrence), but it COMPOSES from the
+    // maintainable pieces: level 1 maintains per-(group, value) row
+    // counts under the same signed feed — occurrence bookkeeping —
+    // and the distinct count is then the state-sized count of
+    // surviving pairs (a pair exists iff its count > 0, which
+    // maintainAgg's vanish-at-zero rule enforces). Same feed
+    // derivation as q_ivm_agg; the oracle recomputes
+    // count(DISTINCT) from scratch over the applied multiset.
+    QueryDef("q_ivm_distinct",
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_suppkey"), col("l_orderkey"))
+        val keys = Seq("l_returnflag", "l_suppkey")
+        val state0 = graft.ext.Ivm.aggregateOf(
+          li.filter(col("l_orderkey") % 2 === 0), keys, Nil)
+        val changes =
+          li.filter(col("l_orderkey") % 10 === 0).withColumn("op", lit(-1))
+            .unionByName(
+              li.filter(col("l_orderkey") % 2 === 1).withColumn("op", lit(1)))
+        graft.ext.Ivm.maintainAgg(state0, changes, keys, Nil)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("distinct_supps"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps
+             |FROM lineitem WHERE l_orderkey % 10 <> 0
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Point-in-interval range join ([[graft.ops.IntervalJoin]]):
     // shipments landing inside each order's 7-day dispatch window,
     // via the interval-binning equi-join (bucket = 7 days, so each
