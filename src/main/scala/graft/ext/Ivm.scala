@@ -60,24 +60,40 @@ object Ivm {
                   opCol: String = "op"): DataFrame = {
     require(keys.nonEmpty, "maintainAgg needs at least one group key")
     val expected = (Seq("cnt") ++ sumCols.map(c => s"sum_$c")).toSet
-    require(expected.subsetOf(state.columns.toSet.diff(keys.toSet)),
+    // EXACT shape, not subset: maintaining with a subset of the
+    // view's sum columns would silently drop the others from the
+    // returned state — a permanent loss, not a transient misread
+    require(state.columns.toSet.diff(keys.toSet) == expected,
       s"state is not an aggregateOf(keys=$keys, sums=$sumCols) frame; " +
         s"has ${state.columns.mkString(", ")}")
-    val badOp = changes
-      .filter(col(opCol) =!= lit(1) && col(opCol) =!= lit(-1))
-      .select(opCol).head(1)
-    require(badOp.isEmpty,
-      s"change feed has $opCol = ${badOp.headOption.map(_.get(0))} — " +
-        "signed ops must be +1 (insert) or -1 (delete)")
+    // an op that is NULL or non-±1 must be refused, not dropped:
+    // sum(op) would silently ignore a null and misread anything else.
+    // The invalid-row count rides the SAME single pass that builds
+    // the delta (checkpointed once), so the advertised cost — one
+    // feed pass plus one state-sized shuffle — holds
+    val invalid = col(opCol).isNull ||
+      (col(opCol) =!= lit(1) && col(opCol) =!= lit(-1))
     val delta = changes.groupBy(keys.map(col): _*)
       .agg(sum(col(opCol)).cast("long").as("cnt"),
-        sumCols.map(c =>
-          sum(col(c) * col(opCol)).as(s"sum_$c")): _*)
-    val merged = state.select((keys ++ expected.toSeq.sorted).map(col): _*)
-      .unionByName(delta.select((keys ++ expected.toSeq.sorted).map(col): _*))
+        sumCols.map(c => sum(col(c) * col(opCol)).as(s"sum_$c")) :+
+          count(when(invalid, lit(1))).as("__graft_bad"): _*)
+      .localCheckpoint(true)
+    val bad = delta.filter(col("__graft_bad") > 0L)
+      .select(keys.map(col): _*).head(1)
+    require(bad.isEmpty,
+      s"change feed carries null or non-signed $opCol values (e.g. in " +
+        s"group ${bad.headOption}) — ops must be +1 (insert) or -1 (delete)")
+    val ordered = keys ++ expected.toSeq.sorted
+    val merged = state.select(ordered.map(col): _*)
+      .unionByName(delta.drop("__graft_bad").select(ordered.map(col): _*))
       .groupBy(keys.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"),
         sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
+      // eagerly pinned: the negative-count probe and the returned
+      // frame must not re-run the union+aggregate twice. State-sized;
+      // Spark's context cleaner reclaims it once the caller drops the
+      // reference
+      .localCheckpoint(true)
     val neg = merged.filter(col("cnt") < 0L)
       .select(keys.map(col): _*).head(1)
     require(neg.isEmpty,

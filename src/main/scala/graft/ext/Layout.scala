@@ -1673,14 +1673,55 @@ object Layout {
     * boundary-domain sweep — the successor-free profile — so they
     * get the same trigger instead of the former loud rejection. */
   def needsRecluster(manifest: DataFrame, key: String,
-                     maxDepth: Long): Boolean = {
+                     maxDepth: Long): Boolean =
+    worstDepthOf(manifest, key) >= maxDepth
+
+  /** The worst point-lookup depth of one key over a manifest — the
+    * scalar behind [[needsRecluster]] and both OPTIMIZE verbs' fire
+    * decision, dispatching string stats to the boundary-domain sweep.
+    * ONE implementation so the trigger semantics cannot fork. */
+  private def worstDepthOf(manifest: DataFrame, key: String): Long = {
     val profile =
       if (manifest.schema(s"min_$key").dataType ==
           org.apache.spark.sql.types.StringType)
         clusteringDepthBoundaries(manifest, key)
       else clusteringDepth(manifest, key)
     val worst = profile.agg(max(col("depth"))).collect()(0)
-    !worst.isNullAt(0) && worst.getLong(0) >= maxDepth
+    if (worst.isNullAt(0)) 0L else worst.getLong(0)
+  }
+
+  /** The shared clustered-rewrite tail of both OPTIMIZE verbs: ONE
+    * bounds agg decides the path and feeds the curve — Z-order when
+    * 2..8 keys all carry long stats and real bounds (an all-null key
+    * has none), lexicographic range-clustering otherwise, plain
+    * round-robin when there is no in-file key at all (a partitioned
+    * leaf whose stored keys are all path-encoded just compacts). */
+  private def clusteredRewriteTo(src: DataFrame, keys: Seq[String],
+                                 allLong: Boolean, tmp: String,
+                                 files: Int): Unit = {
+    val boundsRow =
+      if (keys.length < 2 || keys.length > 8 || !allLong) None
+      else {
+        val exprs = keys.flatMap(k =>
+          Seq(min(col(k)).cast("long"), max(col(k)).cast("long")))
+        Some(src.agg(exprs.head, exprs.tail: _*).collect()(0))
+          .filterNot(_.anyNull)
+      }
+    boundsRow match {
+      case Some(row) =>
+        val b = row.toSeq.map(_.asInstanceOf[Long])
+        val bits = zorderBits(keys.length)
+        val norm = keys.zipWithIndex.map { case (k, i) =>
+          normalizeBits(col(k), b(2 * i), b(2 * i + 1), bits)
+        }
+        writeClusteredBy(src, zorderN(norm), tmp, files)
+      case None if keys.nonEmpty =>
+        src.repartitionByRange(files, keys.map(col): _*)
+          .sortWithinPartitions(keys.map(col): _*)
+          .write.mode("overwrite").parquet(tmp)
+      case None =>
+        src.repartition(files).write.mode("overwrite").parquet(tmp)
+    }
   }
 
   /** Per-call outcome of [[optimize]]. `worstDepthBefore` is the max
@@ -1737,15 +1778,7 @@ object Layout {
     val manifest = loadManifest(spark, dir)
     val mSchema = manifest.schema
     val keys = manifestKeysOf(mSchema)
-    def worstOf(k: String): Long = {
-      val profile =
-        if (mSchema(s"min_$k").dataType == org.apache.spark.sql.types.StringType)
-          clusteringDepthBoundaries(manifest, k)
-        else clusteringDepth(manifest, k)
-      val w = profile.agg(max(col("depth"))).collect()(0)
-      if (w.isNullAt(0)) 0L else w.getLong(0)
-    }
-    val worst = keys.map(worstOf).max
+    val worst = keys.map(worstDepthOf(manifest, _)).max
     val before = spark.read.parquet(dir).inputFiles.toSet
     if (!force && worst < maxDepth)
       return OptimizeStats(reclustered = false, before.size, before.size, worst)
@@ -1763,30 +1796,7 @@ object Layout {
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/_graft_optimize_tmp")
     val allLong = keys.forall(k =>
       mSchema(s"min_$k").dataType == org.apache.spark.sql.types.LongType)
-    // the Z-order path needs real bounds on every key (an all-null
-    // key has none) — ONE bounds agg both decides the path and feeds
-    // the curve, so the data is never scanned twice for it
-    val boundsRow =
-      if (keys.length < 2 || !allLong) None
-      else {
-        val exprs = keys.flatMap(k =>
-          Seq(min(col(k)).cast("long"), max(col(k)).cast("long")))
-        Some(src.agg(exprs.head, exprs.tail: _*).collect()(0))
-          .filterNot(_.anyNull)
-      }
-    boundsRow match {
-      case Some(row) =>
-        val b = row.toSeq.map(_.asInstanceOf[Long])
-        val bits = zorderBits(keys.length)
-        val norm = keys.zipWithIndex.map { case (k, i) =>
-          normalizeBits(col(k), b(2 * i), b(2 * i + 1), bits)
-        }
-        writeClusteredBy(src, zorderN(norm), tmp.toString, files)
-      case None =>
-        src.repartitionByRange(files, keys.map(col): _*)
-          .sortWithinPartitions(keys.map(col): _*)
-          .write.mode("overwrite").parquet(tmp.toString)
-    }
+    clusteredRewriteTo(src, keys, allLong, tmp.toString, files)
     moveTreeInto(fs, tmp, hDir, "optimize")
     fs.delete(tmp, true)
     // destroy the old files only after the clustered copy is live
@@ -1852,15 +1862,7 @@ object Layout {
     val manifest = loadManifest(spark, dir)
     val mSchema = manifest.schema
     val keys = manifestKeysOf(mSchema)
-    def worstOf(k: String): Long = {
-      val profile =
-        if (mSchema(s"min_$k").dataType == org.apache.spark.sql.types.StringType)
-          clusteringDepthBoundaries(manifest, k)
-        else clusteringDepth(manifest, k)
-      val w = profile.agg(max(col("depth"))).collect()(0)
-      if (w.isNullAt(0)) 0L else w.getLong(0)
-    }
-    val worst = keys.map(worstOf).max
+    val worst = keys.map(worstDepthOf(manifest, _)).max
     val dirFrame = spark.read.parquet(dir)
     val before = dirFrame.inputFiles.toSet
     if (!force && worst < maxDepth)
@@ -1881,38 +1883,22 @@ object Layout {
     }
     def isAux(n: String) = n.startsWith("_") || n.startsWith(".")
     def rewriteLeaf(leaf: org.apache.hadoop.fs.Path): Unit = {
+      // fs-level emptiness check BEFORE any spark.read: a leaf a
+      // prior deleteWhere emptied has no footer to infer a schema
+      // from, and crashing here would strand already-swapped leaves
+      // ahead of the one-shot manifest rebuild
+      if (!fs.listStatus(leaf).exists(st =>
+          st.isFile && !isAux(st.getPath.getName))) return
       val src = leafSchema.fold(spark.read)(s => spark.read.schema(s))
         .parquet(leaf.toString)
       val oldFiles = src.inputFiles
       if (oldFiles.isEmpty) return
       val tmp = new org.apache.hadoop.fs.Path(leaf, "_graft_optimize_tmp")
-      // same one-agg Z-order/range decision as the flat verb, per leaf
-      val boundsRow =
-        if (fileKeys.length < 2 || !allLong) None
-        else {
-          val exprs = fileKeys.flatMap(k =>
-            Seq(min(col(k)).cast("long"), max(col(k)).cast("long")))
-          Some(src.agg(exprs.head, exprs.tail: _*).collect()(0))
-            .filterNot(_.anyNull)
-        }
-      boundsRow match {
-        case Some(row) =>
-          val b = row.toSeq.map(_.asInstanceOf[Long])
-          val bits = zorderBits(fileKeys.length)
-          val norm = fileKeys.zipWithIndex.map { case (k, i) =>
-            normalizeBits(col(k), b(2 * i), b(2 * i + 1), bits)
-          }
-          writeClusteredBy(src, zorderN(norm), tmp.toString, filesPerPartition)
-        case None if fileKeys.nonEmpty =>
-          src.repartitionByRange(filesPerPartition, fileKeys.map(col): _*)
-            .sortWithinPartitions(fileKeys.map(col): _*)
-            .write.mode("overwrite").parquet(tmp.toString)
-        case None =>
-          // every stored key is a partition column: constant within
-          // the leaf, so this leaf's rewrite is pure compaction
-          src.repartition(filesPerPartition)
-            .write.mode("overwrite").parquet(tmp.toString)
-      }
+      // same one-agg Z-order/range/compact decision as the flat verb
+      // ([[clusteredRewriteTo]]); a leaf whose stored keys are all
+      // partition columns has no in-file key and just compacts
+      clusteredRewriteTo(src, fileKeys, allLong, tmp.toString,
+        filesPerPartition)
       moveTreeInto(fs, tmp, leaf, "optimizePartitioned")
       fs.delete(tmp, true)
       for (f <- oldFiles) {

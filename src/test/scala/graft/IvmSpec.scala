@@ -55,9 +55,25 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
         Seq("k"), Seq("v"))
     }
     assert(phantom.getMessage.contains("negative"))
+    // a NULL op is refused too — sum(op) would silently drop the row,
+    // diverging the view from its log with no error
+    val nullOp = intercept[IllegalArgumentException] {
+      Ivm.maintainAgg(state2,
+        Seq(("a", 1L, Option.empty[Int])).toDF("k", "v", "op"),
+        Seq("k"), Seq("v"))
+    }
+    assert(nullOp.getMessage.contains("null"))
     // a malformed state frame is refused by name
     intercept[IllegalArgumentException] {
       Ivm.maintainAgg(base, Seq(("a", 1L, 1)).toDF("k", "v", "op"),
+        Seq("k"), Seq("v"))
+    }
+    // maintaining with a SUBSET of the view's sum columns would
+    // silently drop the others from the state — refused instead
+    val two = Ivm.aggregateOf(
+      Seq(("a", 1L, 2L)).toDF("k", "v", "w"), Seq("k"), Seq("v", "w"))
+    intercept[IllegalArgumentException] {
+      Ivm.maintainAgg(two, Seq(("a", 1L, 1)).toDF("k", "v", "op"),
         Seq("k"), Seq("v"))
     }
   }

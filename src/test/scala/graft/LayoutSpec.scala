@@ -1218,6 +1218,29 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("optimize with more keys than the curve interleaves falls back to range clustering") {
+    withTempDir("graft_opt_9k_") { dir =>
+      val d = s"$dir/t"
+      // 9 long keys — one past zorderN's 8-key interleave limit; the
+      // rewrite must fall back to lexicographic range clustering, not
+      // abort the OPTIMIZE the depth trigger demanded
+      val keys9 = (1 to 9).map(i => s"k$i")
+      spark.range(0, 200)
+        .select((1 to 9).map(i => (col("id") * i).cast("long").as(s"k$i")): _*)
+        .repartition(4)
+        .write.mode("overwrite").parquet(d)
+      Layout.buildFileManifest(spark, d, keys9)
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      val st = Layout.optimize(spark, d, files = 2, force = true)
+      assert(st.reclustered && st.filesAfter === 2, st.toString)
+      assert(spark.read.parquet(d).count() === 200L)
+      // the range rewrite still serves exact pruned reads on the
+      // leading key
+      assert(Layout.scanPruned(spark, d,
+        Seq(Layout.KeyBox("k1", 0L, 10L))).count() === 11L)
+    }
+  }
+
   test("optimizePartitioned: per-leaf rewrites off the root-manifest trigger; evolution and blooms survive") {
     withTempDir("graft_opt_part_") { dir =>
       val d = s"$dir/t"
@@ -1277,6 +1300,18 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
         Layout.optimizePartitioned(spark, flat, 1)
       }
       assert(e.getMessage.contains("use optimize"))
+      // an EMPTIED leaf (a delete can leave a bare k=v dir behind) is
+      // skipped, never crashed on — a mid-walk abort would strand
+      // already-swapped leaves ahead of the manifest rebuild
+      val leaf = new org.apache.hadoop.fs.Path(s"$d/lang=$lang0")
+      fs.listStatus(leaf).filter { st0 =>
+        val n = st0.getPath.getName
+        st0.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.foreach(st0 => fs.delete(st0.getPath, false))
+      val st3 = Layout.optimizePartitioned(spark, d, 1, force = true)
+      assert(st3.reclustered, st3.toString)
+      assert(spark.read.parquet(d).filter(col("lang") === lang0)
+        .count() === 0L)
     }
   }
 
