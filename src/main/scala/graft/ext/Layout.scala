@@ -520,6 +520,33 @@ object Layout {
     walk(hPath, Nil)
   }
 
+  /** [[hivePartColsOf]] cross-checked against the DISCOVERED read
+    * schema: the walk follows the FIRST `k=v` subdirectory chain, so
+    * a ragged or corrupted tree (a stray `k=v`-named directory at the
+    * root of a flat layout, a branch missing a deeper level) could
+    * report keys the data does not carry — and the writer verbs would
+    * then `partitionBy` rows into wrong paths. Every path-derived key
+    * must resolve in `schema` (Spark's own partition discovery
+    * materializes real `k=v` path columns there); a key that does not
+    * is a layout corruption to fail loudly on, never to route writes
+    * by. Used by every verb that ROUTES rows ([[appendWithManifest]],
+    * [[upsertByKey]], [[deleteWhere]]) or subtracts partition columns
+    * from a leaf schema ([[optimizePartitioned]]). */
+  private def hivePartColsChecked(
+      fs: org.apache.hadoop.fs.FileSystem,
+      hPath: org.apache.hadoop.fs.Path,
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    val cols = hivePartColsOf(fs, hPath)
+    val missing = cols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"path-derived partition key(s) ${missing.mkString(", ")} at " +
+        s"$hPath do not resolve in the discovered read schema " +
+        s"(${schema.fieldNames.mkString(", ")}) — the partition tree " +
+        "is ragged or carries a stray k=v directory; repair the " +
+        "layout before writing to it")
+    cols
+  }
+
   /** Full-schema compatibility gate shared by every verb that WRITES
     * new rows into an existing layout ([[appendWithManifest]],
     * [[upsertByKey]]): a parquet write with an extra / missing /
@@ -587,7 +614,22 @@ object Layout {
                      dir: String): Option[org.apache.spark.sql.types.StructType] = {
     val p = schemaSidecar(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
+    // a stranded .tmp NEXT TO a missing sidecar is writeStoredSchema's
+    // delete+rename crash window: on a SECOND evolution the old
+    // sidecar is already deleted, and silently returning None here
+    // would revert readers to nondeterministic footer-sampled
+    // resolution of previously added columns — unlike a missing
+    // manifest (loud at loadManifest), nothing downstream would
+    // notice. Fail loudly instead; recovery is renaming the .tmp
+    // (a complete, atomically-written schema) into place.
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_graft_schema.json.tmp")
+    if (!fs.exists(p)) {
+      require(!fs.exists(tmp),
+        s"stranded schema sidecar temp at $tmp with no live sidecar — " +
+          "a writeStoredSchema crashed between delete and rename; " +
+          s"rename it to $p to recover the evolved schema")
+      None
+    }
     else {
       val in = fs.open(p)
       val json = try {
@@ -719,7 +761,7 @@ object Layout {
     // layout partition discovery rejects on the next read
     val hPath = new org.apache.hadoop.fs.Path(path)
     val pfs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val partCols = hivePartColsOf(pfs, hPath)
+    val partCols = hivePartColsChecked(pfs, hPath, current.schema)
     val newCols = requireWriteCompatible(df.schema, current.schema,
       partCols, path, allowNewColumns = mergeSchema)
     // (a new column can never be a manifest KEY: keyCols must equal
@@ -1124,7 +1166,10 @@ object Layout {
       // rewritten pre-evolution file materializes them as nulls —
       // the values its rows denote
       val src = readFilesOf(spark, dir, srcFiles, stored)
-      val partCols = hivePartColsOf(fs, hDir)
+      // src reads with basePath, so Spark's partition discovery
+      // materializes the real k=v path columns in its schema — the
+      // cross-check's reference
+      val partCols = hivePartColsChecked(fs, hDir, src.schema)
       val survivors = src
         .withColumn("__graft_src", input_file_name())
         .where(!coalesce(pred, lit(false)))
@@ -1258,15 +1303,40 @@ object Layout {
     * the new `k=v` directory. */
   def upsertByKey(spark: org.apache.spark.sql.SparkSession, dir: String,
                   updates: DataFrame, key: String,
-                  verifyCoverage: Boolean = true): UpsertStats = {
+                  verifyCoverage: Boolean = true): UpsertStats =
+    upsertByKeys(spark, dir, updates, Seq(key), verifyCoverage)
+
+  /** [[upsertByKey]] on a COMPOSITE merge key — the real-world CDC
+    * shape ((id, region), (id, as_of_date)): a base row is replaced
+    * only when EVERY key column equals the update's, so two rows
+    * sharing a partial key ((id=5, region=eu) vs (id=5, region=us))
+    * merge independently — exactly where a single-key merge would
+    * corrupt, replacing both. All single-key contracts generalize
+    * column-wise: update keys must be non-null in EVERY key column
+    * (SQL equality can never match a null component) and DISTINCT as
+    * TUPLES (the Delta multiple-source-rows-matched check on the
+    * composite key). File classification is the CONJUNCTION of
+    * per-key footprint boxes — a file opens only if it overlaps the
+    * batch's footprint on every key, a cross-product superset of the
+    * true tuple set (conservative, so exactness is untouched; the
+    * anti-join on all key columns is what enforces tuple equality).
+    * On a layout clustered by the leading key this still prunes to
+    * the overlap, and each additional key's box only shrinks the
+    * touched set. */
+  def upsertByKeys(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   updates: DataFrame, keys: Seq[String],
+                   verifyCoverage: Boolean = true): UpsertStats = {
     requireEncodingStablePath(dir)
+    require(keys.nonEmpty, "upsertByKeys needs at least one key column")
+    require(keys.distinct == keys,
+      s"duplicate merge key columns: ${keys.mkString(", ")}")
     val hDir = new org.apache.hadoop.fs.Path(dir)
     val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = loadManifest(spark, dir)
     val mSchema = manifest.schema
     val keyCols = manifestKeysOf(mSchema)
-    require(keyCols.contains(key),
-      s"upsertByKey key $key is not a stored manifest key at $dir " +
+    for (key <- keys) require(keyCols.contains(key),
+      s"upsertByKeys key $key is not a stored manifest key at $dir " +
         s"(stored: ${keyCols.mkString(", ")})")
     // ONE pre-upsert relation serves the schema check and the
     // before-files snapshot (at 100k-file scale each read is a full
@@ -1277,28 +1347,33 @@ object Layout {
     val current = stored.fold(spark.read)(s => spark.read.schema(s))
       .parquet(dir)
     val before = current.inputFiles.toSet
-    val partCols = hivePartColsOf(fs, hDir)
+    val partCols = hivePartColsChecked(fs, hDir, current.schema)
     requireWriteCompatible(updates.schema, current.schema, partCols, dir)
     val upd = updates.localCheckpoint(true)
     try {
-      require(upd.filter(col(key).isNull).head(1).isEmpty,
-        s"upsertByKey: updates carry null $key values — a null merge " +
-          "key matches nothing; fix or filter the feed upstream")
-      val dup = upd.groupBy(col(key)).count()
+      require(upd.filter(keys.map(col(_).isNull).reduce(_ || _))
+          .head(1).isEmpty,
+        s"upsertByKeys: updates carry null values in a key column " +
+          s"(${keys.mkString(", ")}) — a null merge-key component " +
+          "matches nothing; fix or filter the feed upstream")
+      val dup = upd.groupBy(keys.map(col): _*).count()
         .filter(col("count") > 1).head(2)
       require(dup.isEmpty,
-        s"upsertByKey: duplicate $key values in updates (e.g. " +
-          s"${dup.map(_.get(0)).mkString(", ")}) — delete-and-insert " +
-          "by key needs exactly one row per key")
+        s"upsertByKeys: duplicate (${keys.mkString(", ")}) tuples in " +
+          s"updates (e.g. ${dup.map(_.toSeq.init.mkString("(", ",", ")"))
+            .mkString(", ")}) — delete-and-insert by key needs exactly " +
+          "one row per key tuple")
       val updCount = upd.count()
       if (updCount == 0L)
         return UpsertStats(0, manifest.count().toInt, 0L, 0L)
-      // the updates' key footprint as a prune box: sparse set for a
-      // driver-small integral batch (prunes the gaps between CDC
+      // the updates' PER-KEY footprint as prune boxes: sparse set for
+      // a driver-small integral batch (prunes the gaps between CDC
       // keys), else the [min,max] range; typed keys round-trip
-      // through their canonical rendering (the joinPruned discipline)
-      val statT = mSchema(s"min_$key").dataType
-      val box: PruneBox =
+      // through their canonical rendering (the joinPruned discipline).
+      // A file must overlap EVERY key's footprint to be touched —
+      // skip when disjoint on ANY key
+      val boxes: Seq[PruneBox] = keys.map { key =>
+        val statT = mSchema(s"min_$key").dataType
         if (statT == org.apache.spark.sql.types.LongType) {
           val probe = upd.select(col(key).cast("long").as("k"))
             .distinct().limit(1025).collect().map(_.getLong(0))
@@ -1312,9 +1387,11 @@ object Layout {
           val b = upd.agg(min(col(key)), max(col(key))).collect()(0)
           TypedKeyBox(key, b.get(0).toString, b.get(1).toString)
         }
+      }
       // manifest-sized classification: DISJOINT files never open
       val verdicts = manifest.select(col("file"), col("n_rows"),
-          skipExprOf(mSchema, box).as("skip")).collect()
+          boxes.map(skipExprOf(mSchema, _)).reduce(_ || _).as("skip"))
+        .collect()
       val touched = verdicts.filter(!_.getBoolean(2))
         .map(r => r.getString(0) -> r.getLong(1))
       if (verifyCoverage)
@@ -1335,13 +1412,13 @@ object Layout {
         val src = readFilesOf(spark, dir, srcFiles, stored)
         val survivors = src
           .withColumn("__graft_src", input_file_name())
-          .join(upd.select(col(key)), Seq(key), "left_anti")
+          .join(upd.select(keys.map(col): _*), keys, "left_anti")
           .repartition(touched.length, col("__graft_src"))
           .drop("__graft_src")
         val w = survivors.write.mode("overwrite")
         if (partCols.isEmpty) w.parquet(tmp.toString)
         else w.partitionBy(partCols.toIndexedSeq: _*).parquet(tmp.toString)
-        moveTreeInto(fs, tmp, hDir, "upsertByKey")
+        moveTreeInto(fs, tmp, hDir, "upsertByKeys")
         fs.delete(tmp, true)
       }
       // the inserts: every update row appends as new data (matched
@@ -1366,7 +1443,7 @@ object Layout {
       for ((f, _) <- touched) {
         val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
         require(fs.delete(p, false) || !fs.exists(p),
-          s"upsertByKey: failed to delete $f")
+          s"upsertByKeys: failed to delete $f")
       }
       // manifest last, via the temp-dir + rename replace; kept rows
       // anti-join the removed set (file-count-sized broadcast)
@@ -1581,6 +1658,59 @@ object Layout {
     }
   }
 
+  /** Global min/max of a stored manifest key answered from METADATA
+    * alone — one file-count-sized agg over the manifest, never a data
+    * scan: per-file min/max ignore nulls, so `min(min_<k>)` /
+    * `max(max_<k>)` compose to exactly SQL `min(k)` / `max(k)` over
+    * the directory (all-null ⇒ null, matching SQL). This is the
+    * MIN/MAX refresh [[Ivm]]'s documented boundary points at: a
+    * delete of the current minimum is not maintainable from an
+    * aggregate state, but the manifest's per-file stats — kept
+    * current by every mutation verb — re-derive it in one tiny job.
+    * Returned as a one-row frame `(min_<key>, max_<key>)` so it
+    * composes into gates and joins; integral keys surface as long
+    * (the manifest's normalized stat type). `verifyCoverage` (default
+    * on) runs the standard guard — an out-of-band file's rows would
+    * otherwise be invisible to the composed extremes. */
+  def minMaxFromManifest(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, key: String,
+                         verifyCoverage: Boolean = true): DataFrame = {
+    requireEncodingStablePath(dir)
+    val manifest = loadManifest(spark, dir)
+    require(manifest.schema.fieldNames.contains(s"min_$key"),
+      s"manifest has no stats for key $key (stored keys: " +
+        manifestKeysOf(manifest.schema).mkString(", ") + ")")
+    if (verifyCoverage) {
+      val stored = storedSchemaOf(spark, dir)
+      requireManifestCovers(spark,
+        stored.fold(spark.read)(s => spark.read.schema(s)).parquet(dir),
+        manifest.select("file").collect().map(_.getString(0)).toSet, dir,
+        "the composed min/max would silently ignore their rows")
+    }
+    manifest.agg(min(col(s"min_$key")).as(s"min_$key"),
+      max(col(s"max_$key")).as(s"max_$key"))
+  }
+
+  /** The monotone stat→long mapping of [[clusteringDepth]]'s integer
+    * sweep domain (epoch days / micros for date / timestamp stats) —
+    * shared with [[optimizeSelective]]'s deep-boundary overlap test
+    * so the two cannot disagree on what a profile `pos` means. */
+  private def statToLongOf(dt: org.apache.spark.sql.types.DataType,
+                           key: String): Column => Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => identity
+      case DateType => unix_date(_)
+      case TimestampType => unix_micros(_)
+      // session TZ is UTC (GraftSession), so the NTZ→LTZ cast is a
+      // faithful relabeling and micros keep the NTZ ordering exactly
+      case TimestampNTZType => c => unix_micros(c.cast(TimestampType))
+      case other => throw new IllegalArgumentException(
+        s"clusteringDepth needs a key with an integer successor; " +
+          s"$key stats are $other")
+    }
+  }
+
   /** Clustering-depth profile over a skipping manifest: for each
     * boundary of the per-file `[min_<key>, max_<key>+1)` intervals,
     * the running interval count = how many files a point lookup on
@@ -1594,21 +1724,14 @@ object Layout {
     * reported in that encoding); string stats have no successor
     * function and are rejected loudly — use
     * [[clusteringDepthBoundaries]], the successor-free sweep over the
-    * observed value domain. Returns `(pos, net, depth)`. */
+    * observed value domain. Returns `(pos, net, depth)`.
+    *
+    * The stat→long sweep-domain mapping lives in [[statToLongOf]],
+    * shared with [[optimizeSelective]]'s deep-boundary overlap test
+    * so the two cannot disagree on what a profile `pos` means. */
   def clusteringDepth(manifest: DataFrame, key: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types._
-    val toLong: Column => Column = manifest.schema(s"min_$key").dataType match {
-      case LongType => identity
-      case DateType => unix_date(_)
-      case TimestampType => unix_micros(_)
-      // session TZ is UTC (GraftSession), so the NTZ→LTZ cast is a
-      // faithful relabeling and micros keep the NTZ ordering exactly
-      case TimestampNTZType => c => unix_micros(c.cast(TimestampType))
-      case other => throw new IllegalArgumentException(
-        s"clusteringDepth needs a key with an integer successor; " +
-          s"$key stats are $other")
-    }
+    val toLong = statToLongOf(manifest.schema(s"min_$key").dataType, key)
     val bounds = manifest
       .filter(col(s"min_$key").isNotNull)
       .select(toLong(col(s"min_$key")).as("pos"), lit(1L).as("delta"))
@@ -1724,11 +1847,16 @@ object Layout {
     }
   }
 
-  /** Per-call outcome of [[optimize]]. `worstDepthBefore` is the max
-    * point-lookup depth across the stored keys at call time — the
-    * signal that fired (or declined) the rewrite. */
+  /** Per-call outcome of the OPTIMIZE verbs. `worstDepthBefore` is
+    * the max point-lookup depth across the stored keys at call time —
+    * the signal that fired (or declined) the rewrite. `filesKept`
+    * counts files left VERBATIM (name, bytes, and manifest row all
+    * untouched): 0 for the full-rewrite verbs, the selection
+    * complement for [[optimizeSelective]], everything for a declined
+    * no-op. */
   final case class OptimizeStats(reclustered: Boolean, filesBefore: Int,
-                                 filesAfter: Int, worstDepthBefore: Long)
+                                 filesAfter: Int, worstDepthBefore: Long,
+                                 filesKept: Int = 0)
 
   /** The in-place OPTIMIZE verb — [[needsRecluster]]'s trigger and
     * the clustered rewrite in one call, the Delta `OPTIMIZE ZORDER BY`
@@ -1781,7 +1909,8 @@ object Layout {
     val worst = keys.map(worstDepthOf(manifest, _)).max
     val before = spark.read.parquet(dir).inputFiles.toSet
     if (!force && worst < maxDepth)
-      return OptimizeStats(reclustered = false, before.size, before.size, worst)
+      return OptimizeStats(reclustered = false, before.size, before.size,
+        worst, filesKept = before.size)
     val stored = storedSchemaOf(spark, dir)
     val src = stored.fold(spark.read)(s => spark.read.schema(s)).parquet(dir)
     if (verifyCoverage)
@@ -1823,6 +1952,154 @@ object Layout {
       spark.read.parquet(dir).inputFiles.length, worst)
   }
 
+  /** The file names whose `[min, max]` interval on `key` covers any
+    * boundary whose point-lookup depth reaches `maxDepth` — the
+    * offending subset the depth profile names, which is exactly what
+    * [[optimizeSelective]] rewrites. Long / date / timestamp stats
+    * test overlap in the profile's integer sweep domain (the shared
+    * [[statToLongOf]] mapping); string stats in the boundary-value
+    * domain. Both run as one file-count × deep-boundary-count join on
+    * the stats frame — never the data. Null-stat files carry no
+    * interval and are never deep. */
+  private def deepFilesOf(manifest: DataFrame, key: String,
+                          maxDepth: Long): Seq[String] = {
+    val statT = manifest.schema(s"min_$key").dataType
+    val hits =
+      if (statT == org.apache.spark.sql.types.StringType) {
+        val deep = clusteringDepthBoundaries(manifest, key)
+          .filter(col("depth") >= maxDepth).select(col("value"))
+        manifest.join(deep,
+          col(s"min_$key") <= col("value") &&
+            col("value") <= col(s"max_$key"))
+      } else {
+        val toLong = statToLongOf(statT, key)
+        val deep = clusteringDepth(manifest, key)
+          .filter(col("depth") >= maxDepth).select(col("pos"))
+        manifest.join(deep,
+          toLong(col(s"min_$key")) <= col("pos") &&
+            col("pos") <= toLong(col(s"max_$key")))
+      }
+    hits.select("file").distinct().collect().map(_.getString(0)).toSeq
+  }
+
+  /** SELECTIVE in-place OPTIMIZE — the Delta/Iceberg bin-packed
+    * rewrite granularity [[optimize]] lacks: when the depth trigger
+    * fires, rewrite ONLY the files the profile names — those whose
+    * key interval covers a boundary at depth ≥ `maxDepth` on ANY
+    * stored key, plus the small-file tail (`n_rows < minFileRows`,
+    * opt-in) — bin-packed into `ceil(rows / targetRows)` clustered
+    * outputs. Every other file keeps its exact name, bytes, and
+    * manifest row VERBATIM ([[OptimizeStats.filesKept]] counts them).
+    * At 100 TB this is the difference between a full-table I/O event
+    * per trigger and work proportional to the degradation: appends
+    * degrade depth locally (a day's unclustered ingest overlaps one
+    * key band), and this verb pays only for that band.
+    *
+    * Selection is conservative-correct by construction: every file
+    * stacked at a deep boundary is in the rewrite set (they are
+    * precisely the files whose intervals cover it), so the rewritten
+    * outputs — range/Z-clustered among themselves — flatten the
+    * stack; untouched files sat below the trigger everywhere and
+    * cannot deepen (their stats are unchanged). The rewrite reads
+    * ONLY the selected files, under the evolved-schema sidecar when
+    * one exists; unlike the full verbs the sidecar is KEPT — the
+    * untouched files may still predate an added column, so retiring
+    * it would revert their reads to footer sampling.
+    *
+    * In-place discipline and crash windows are [[optimize]]'s
+    * (scratch-commit, move-in, delete-old, manifest temp+rename
+    * last); `force` skips the depth trigger but the rewrite set still
+    * derives from the profile — with nothing deep and no small files
+    * the call is a no-op (use [[optimize]] with `force` for an
+    * unconditional full rewrite). Flat layouts only, like
+    * [[optimize]]; a partitioned layout optimizes per leaf. */
+  def optimizeSelective(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, targetRows: Long,
+                        maxDepth: Long = 4L, minFileRows: Long = 0L,
+                        force: Boolean = false,
+                        verifyCoverage: Boolean = true): OptimizeStats = {
+    require(targetRows >= 1, "optimizeSelective needs targetRows >= 1")
+    requireEncodingStablePath(dir)
+    val hDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.listStatus(hDir).exists { st =>
+        val n = st.getPath.getName
+        st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+      },
+      s"optimizeSelective expects a flat clustered layout; $dir has " +
+        "partition subdirectories — optimize each partition directory instead")
+    val manifest = loadManifest(spark, dir)
+    val mSchema = manifest.schema
+    val keys = manifestKeysOf(mSchema)
+    val worst = keys.map(worstDepthOf(manifest, _)).max
+    val before = spark.read.parquet(dir).inputFiles.toSet
+    if (!force && worst < maxDepth)
+      return OptimizeStats(reclustered = false, before.size, before.size,
+        worst, filesKept = before.size)
+    // the rewrite set: union of every key's deep-boundary files plus
+    // the small-file tail — manifest-sized driver work, like every
+    // other verb's planning
+    val deep = keys.flatMap(deepFilesOf(manifest, _, maxDepth)).toSet
+    val small =
+      if (minFileRows <= 0L) Set.empty[String]
+      else manifest.filter(col("n_rows") < minFileRows)
+        .select("file").collect().map(_.getString(0)).toSet
+    val selected = (deep ++ small).toSeq.sorted
+    if (selected.isEmpty)
+      return OptimizeStats(reclustered = false, before.size, before.size,
+        worst, filesKept = before.size)
+    val stored = storedSchemaOf(spark, dir)
+    if (verifyCoverage)
+      // the selected files are read and their rows re-written, so
+      // unblessed rows hiding in them would be legitimized — same
+      // consequence as the full verb, checked over the whole dir so
+      // debris in KEPT files fails loudly too instead of surfacing
+      // only on the next mutation
+      requireManifestCovers(spark,
+        stored.fold(spark.read)(s => spark.read.schema(s)).parquet(dir),
+        manifest.select("file").collect().map(_.getString(0)).toSet, dir,
+        "the rewrite would silently legitimize their rows into the new layout")
+    import spark.implicits._
+    val selectedDf = selected.toDF("file")
+    val selRows = manifest
+      .join(broadcast(selectedDf), Seq("file"), "left_semi")
+      .agg(coalesce(sum("n_rows"), lit(0L))).collect()(0).getLong(0)
+    val nOut = math.max(1L, (selRows + targetRows - 1L) / targetRows).toInt
+    val src = readFilesOf(spark, dir, selected.toIndexedSeq, stored)
+    val allLong = keys.forall(k =>
+      mSchema(s"min_$k").dataType == org.apache.spark.sql.types.LongType)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_graft_optimize_tmp")
+    clusteredRewriteTo(src, keys, allLong, tmp.toString, nOut)
+    moveTreeInto(fs, tmp, hDir, "optimizeSelective")
+    fs.delete(tmp, true)
+    // delta stats over the new files BEFORE the old selected files
+    // die (the upsert discipline: re-listed through spark.read so
+    // manifest rows carry the canonical URI spelling)
+    val newFiles = spark.read.parquet(dir).inputFiles.toSeq
+      .filterNot(before)
+    val delta = manifestOf(
+        spark.read.option("basePath", dir).parquet(newFiles: _*),
+        keys, bloomKeysOf(mSchema))
+      .localCheckpoint(true)
+    for (f <- selected) {
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      require(fs.delete(p, false) || !fs.exists(p),
+        s"optimizeSelective: failed to delete $f")
+    }
+    // kept rows verbatim, delta rows appended — the manifest is
+    // PATCHED, never rebuilt, so kept files' stats (and blooms)
+    // cannot drift
+    val kept = manifest.join(broadcast(selectedDf), Seq("file"), "left_anti")
+    val updated = widenWithNullCounts(kept, keys).unionByName(delta)
+      .localCheckpoint(true)
+    replaceManifest(spark, dir, updated)
+    Checkpoints.unpersist(updated)
+    Checkpoints.unpersist(delta)
+    OptimizeStats(reclustered = true, before.size,
+      spark.read.parquet(dir).inputFiles.length, worst,
+      filesKept = before.size - selected.size)
+  }
+
   /** [[optimize]] over a hive-partitioned layout: the trigger reads
     * the ROOT manifest (worst depth across all stored keys, the same
     * signal), then each `k=v` LEAF directory rewrites independently
@@ -1855,7 +2132,8 @@ object Layout {
     requireEncodingStablePath(dir)
     val hDir = new org.apache.hadoop.fs.Path(dir)
     val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val partCols = hivePartColsOf(fs, hDir)
+    val dirFrame = spark.read.parquet(dir)
+    val partCols = hivePartColsChecked(fs, hDir, dirFrame.schema)
     require(partCols.nonEmpty,
       s"optimizePartitioned expects a hive-partitioned layout; " +
         s"$dir has no k=v subdirectories — use optimize")
@@ -1863,10 +2141,10 @@ object Layout {
     val mSchema = manifest.schema
     val keys = manifestKeysOf(mSchema)
     val worst = keys.map(worstDepthOf(manifest, _)).max
-    val dirFrame = spark.read.parquet(dir)
     val before = dirFrame.inputFiles.toSet
     if (!force && worst < maxDepth)
-      return OptimizeStats(reclustered = false, before.size, before.size, worst)
+      return OptimizeStats(reclustered = false, before.size, before.size,
+        worst, filesKept = before.size)
     if (verifyCoverage)
       // same reasoning as optimize's: the per-leaf rewrites read every
       // file, so unblessed rows would be made permanent
@@ -2123,7 +2401,7 @@ object Layout {
     // is the per-leaf override (compact would otherwise plain-read
     // the leaf and could drop an added column — see compact's doc)
     val leafSchema = storedSchemaOf(spark, inPath).map { s =>
-      val partKeys = hivePartColsOf(fs, hIn).toSet
+      val partKeys = hivePartColsChecked(fs, hIn, s).toSet
       org.apache.spark.sql.types.StructType(
         s.filterNot(f => partKeys.contains(f.name)))
     }

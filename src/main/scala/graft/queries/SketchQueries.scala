@@ -1496,6 +1496,61 @@ object SketchQueries {
              |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true),
 
+    // COMPOSITE-key CDC upsert — [[Layout.upsertByKeys]] merges on
+    // (doc_id, lang): a base row is replaced only when BOTH key
+    // columns match. The batch carries 100 true replacements (same
+    // (doc_id, lang), bumped n_chars) plus 50 PARTIAL-OVERLAP rows —
+    // same doc_id as live base rows but lang 'zz' — which must INSERT
+    // while the base rows with that doc_id survive untouched; a
+    // single-key merge on doc_id alone would have deleted them (the
+    // corruption this verb exists to prevent). Oracle = DuckDB's
+    // NOT-EXISTS anti-filter ∪ updates on the composite key, so the
+    // tuple-equality MERGE semantics are hash-proved end to end.
+    QueryDef("q_layout_upsert2",
+      (s, d) => {
+        val dir = prunedFixture.computeIfAbsent(s"$d#docs_upsert2", _ => {
+          val p = graft.Scratch.tempDir("graft_upsert2_") + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(8, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id", "lang"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          val upd = docs.filter(col("doc_id").between(200, 299))
+            .withColumn("n_chars", col("n_chars") + lit(7L))
+            .unionByName(docs.filter(col("doc_id").between(100, 149))
+              .withColumn("lang", lit("zz"))
+              .withColumn("n_chars", col("n_chars") + lit(1000L)))
+          val st = Layout.upsertByKeys(s, p, upd, Seq("doc_id", "lang"))
+          require(st.rowsUpserted > st.rowsReplaced && st.filesUntouched > 0,
+            s"degenerate fixture: $st")
+          p
+        })
+        s.read.parquet(dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, lang, n_chars FROM documents),
+             |upd AS (
+             |  SELECT doc_id, lang, n_chars + 7 AS n_chars
+             |  FROM base WHERE doc_id BETWEEN 200 AND 299
+             |  UNION ALL
+             |  SELECT doc_id, 'zz' AS lang, n_chars + 1000 AS n_chars
+             |  FROM base WHERE doc_id BETWEEN 100 AND 149),
+             |merged AS (
+             |  SELECT * FROM base b
+             |  WHERE NOT EXISTS (SELECT 1 FROM upd u
+             |    WHERE u.doc_id = b.doc_id AND u.lang = b.lang)
+             |  UNION ALL SELECT * FROM upd)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Schema evolution under the manifest — [[Layout.appendWithManifest]]
     // `mergeSchema` ADDs a `score` column in a later batch (the Delta
     // mergeSchema / ADD COLUMN shape), and the canonical-schema
@@ -1635,5 +1690,101 @@ object SketchQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
              |  sum(score) AS score_sum
              |FROM pruned GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // SELECTIVE OPTIMIZE — [[Layout.optimizeSelective]] rewrites ONLY
+    // the files the depth profile names: a range-clustered base takes
+    // four narrow appends stacked over doc_id ∈ [100,199] (depth 5 in
+    // that band, 1 everywhere else), and the rewrite bin-packs just
+    // the stacked files plus the base file(s) under them — every
+    // other file keeps its exact name and manifest row verbatim
+    // (fixture-asserted). The gate's pruned read spans rewritten AND
+    // kept regions, so the hash match against DuckDB's replay of the
+    // same churn proves the partial rewrite lost nothing and the
+    // patched manifest still prunes exactly.
+    QueryDef("q_layout_optimize_partial",
+      (s, d) => {
+        val dir = prunedFixture.computeIfAbsent(s"$d#docs_optsel", _ => {
+          val p = graft.Scratch.tempDir("graft_optsel_") + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(8, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          val churn = docs.filter(col("doc_id").between(100, 199))
+            .repartition(1)
+          for (_ <- 1 to 4)
+            Layout.appendWithManifest(churn, p, Seq("doc_id"))
+          val before = s.read.parquet(p).inputFiles.toSet
+          val st = Layout.optimizeSelective(s, p, targetRows = 4096L,
+            maxDepth = 4L)
+          require(st.reclustered && st.filesKept > 0 &&
+              st.filesBefore > st.filesKept, s"degenerate fixture: $st")
+          val kept = s.read.parquet(p).inputFiles.toSet.intersect(before)
+          require(kept.size == st.filesKept,
+            s"kept files did not keep their exact names: $st vs ${kept.size}")
+          p
+        })
+        Layout.scanPruned(s, dir, Seq(Layout.KeyBox("doc_id", 150L, 400L)))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, lang, n_chars FROM documents),
+             |churn AS (
+             |  SELECT * FROM base WHERE doc_id BETWEEN 100 AND 199),
+             |all_rows AS (
+             |  SELECT * FROM base
+             |  UNION ALL SELECT * FROM churn UNION ALL SELECT * FROM churn
+             |  UNION ALL SELECT * FROM churn UNION ALL SELECT * FROM churn),
+             |pruned AS (
+             |  SELECT * FROM all_rows WHERE doc_id BETWEEN 150 AND 400)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM pruned GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
+
+    // Metadata-only MIN/MAX — [[Layout.minMaxFromManifest]] composes
+    // the global extremes of a key from the manifest's per-file
+    // stats, the refresh [[graft.ext.Ivm]]'s documented MIN/MAX
+    // boundary points at: after a delete REMOVES the current minimum
+    // band and an upsert INSERTS keys past the old maximum, the
+    // composed (min, max) must track both mutations without scanning
+    // a row — the mutation verbs' stat patches are what this gate
+    // proves. Oracle = DuckDB's min/max recompute over the same
+    // delete ∪ insert derivation.
+    QueryDef("q_layout_minmax",
+      (s, d) => {
+        val dir = prunedFixture.computeIfAbsent(s"$d#docs_minmax", _ => {
+          val p = graft.Scratch.tempDir("graft_minmax_") + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(8, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          val del = Layout.deleteWhere(s, p,
+            Seq(Layout.KeyBox("doc_id", 0L, 149L)))
+          require(del.rowsDeleted > 0L, s"degenerate fixture: $del")
+          val upd = docs.filter(col("doc_id") < 10)
+            .withColumn("doc_id", col("doc_id") + lit(100000L))
+          val st = Layout.upsertByKey(s, p, upd, "doc_id")
+          require(st.rowsUpserted == 10L, s"degenerate fixture: $st")
+          p
+        })
+        Layout.minMaxFromManifest(s, dir, "doc_id")
+      },
+      Some("""WITH base AS (SELECT doc_id FROM documents),
+             |merged AS (
+             |  SELECT doc_id FROM base WHERE doc_id >= 150
+             |  UNION ALL
+             |  SELECT doc_id + 100000 FROM base WHERE doc_id < 10)
+             |SELECT CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+             |  CAST(max(doc_id) AS BIGINT) AS max_doc_id
+             |FROM merged""".stripMargin)),
   )
 }

@@ -933,6 +933,70 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("upsertByKeys: composite key merges on tuple equality — partial-key overlap inserts, never replaces") {
+    withTempDir("graft_upsert2_") { dir =>
+      val d = s"$dir/t"
+      def part(rows: Seq[(Long, String, Long)]): Unit =
+        rows.toDF("id", "region", "v").repartition(1)
+          .write.mode("append").parquet(d)
+      part(Seq((1L, "eu", 10L), (1L, "us", 11L), (2L, "eu", 20L)))
+      part(Seq((50L, "eu", 500L), (51L, "us", 510L))) // disjoint ids
+      Layout.buildFileManifest(spark, d, Seq("id", "region"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      val before = spark.read.parquet(d).inputFiles.toSet
+      // (1,eu) replaces; (2,us) shares id=2 with the live (2,eu) but
+      // differs on region — the PARTIAL overlap a single-key merge
+      // would corrupt by deleting (2,eu); (9,apac) is a pure insert
+      val upd = Seq((1L, "eu", 1000L), (2L, "us", 2000L),
+        (9L, "apac", 9000L)).toDF("id", "region", "v")
+      val st = Layout.upsertByKeys(spark, d, upd, Seq("id", "region"))
+      assert(st.rowsReplaced === 1L, st.toString)
+      assert(st.rowsUpserted === 3L, st.toString)
+      // the [50,51] file is disjoint from the id footprint {1,2,9}:
+      // the per-key box conjunction leaves it unopened even though
+      // its region range overlaps the batch's
+      assert(st.filesUntouched === 1, st.toString)
+      assert(st.filesRewritten === 1, st.toString)
+      val after = spark.read.parquet(d)
+      def vOf(id: Long, r: String) = after
+        .filter(col("id") === id && col("region") === r)
+        .select("v").as[Long].collect().toSeq
+      assert(vOf(1L, "eu") === Seq(1000L), "full-tuple match not replaced")
+      assert(vOf(1L, "us") === Seq(11L), "partial-key sibling churned")
+      assert(vOf(2L, "eu") === Seq(20L),
+        "partial-key overlap DELETED the base row — single-key corruption")
+      assert(vOf(2L, "us") === Seq(2000L), "partial-overlap update not inserted")
+      assert(vOf(9L, "apac") === Seq(9000L))
+      assert(after.count() === 5L - 1L + 3L)
+      assert(after.inputFiles.toSet.intersect(before).nonEmpty,
+        "the disjoint file did not keep its exact name")
+      // contracts generalize column-wise: a null in ANY key component
+      // and duplicate TUPLES are refused; reusing one key VALUE across
+      // distinct tuples is legal
+      val nul = intercept[IllegalArgumentException] {
+        Layout.upsertByKeys(spark, d,
+          Seq((Option.empty[Long], "eu", 1L)).toDF("id", "region", "v"),
+          Seq("id", "region"))
+      }
+      assert(nul.getMessage.contains("null"))
+      val dup = intercept[IllegalArgumentException] {
+        Layout.upsertByKeys(spark, d,
+          Seq((1L, "eu", 1L), (1L, "eu", 2L)).toDF("id", "region", "v"),
+          Seq("id", "region"))
+      }
+      assert(dup.getMessage.contains("duplicate"))
+      val st2 = Layout.upsertByKeys(spark, d,
+        Seq((1L, "eu", 1L), (1L, "us", 2L)).toDF("id", "region", "v"),
+        Seq("id", "region"))
+      assert(st2.rowsReplaced === 2L, st2.toString)
+      // a merge key the manifest does not track is refused loudly
+      val bad = intercept[IllegalArgumentException] {
+        Layout.upsertByKeys(spark, d, upd, Seq("id", "v"))
+      }
+      assert(bad.getMessage.contains("not a stored manifest key"))
+    }
+  }
+
   test("schema evolution: mergeSchema append adds a column, every reader resolves it canonically") {
     withTempDir("graft_evolve_") { dir =>
       val d = s"$dir/t"
@@ -1241,6 +1305,84 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("optimizeSelective: rewrites only the files the depth profile names; kept files keep their exact names") {
+    withTempDir("graft_optsel_") { dir =>
+      val d = s"$dir/t"
+      def part(rows: Seq[(Long, Long)]): Unit =
+        rows.toDF("k", "v").repartition(1).write.mode("append").parquet(d)
+      part((0L to 99L).map(k => (k, k * 2)))
+      part((100L to 199L).map(k => (k, k * 2)))
+      part((200L to 299L).map(k => (k, k * 2)))
+      part((300L to 399L).map(k => (k, k * 2)))
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      // churn: four narrow appends stacked over [120,180] — depth 5
+      // there, 1 everywhere else
+      for (_ <- 1 to 4)
+        Layout.appendWithManifest(
+          (120L to 180L).map(k => (k, -k)).toDF("k", "v").repartition(1),
+          d, Seq("k"))
+      val before = spark.read.parquet(d).inputFiles.toSet
+      val totalBefore = spark.read.parquet(d).count()
+      // below the trigger: metadata-only no-op, everything kept
+      val none = Layout.optimizeSelective(spark, d, targetRows = 1000L,
+        maxDepth = 100L)
+      assert(!none.reclustered && none.filesKept === before.size, none.toString)
+      assert(spark.read.parquet(d).inputFiles.toSet === before)
+      // fires: the rewrite set is the 4 churn files + the [100,199]
+      // base file under them — 5 of 8; the other 3 base files keep
+      // their EXACT names and manifest rows
+      val st = Layout.optimizeSelective(spark, d, targetRows = 1000L,
+        maxDepth = 4L)
+      assert(st.reclustered && st.filesBefore === 8, st.toString)
+      assert(st.filesKept === 3, st.toString)
+      val after = spark.read.parquet(d)
+      assert(after.inputFiles.toSet.intersect(before).size === 3,
+        "kept files did not keep their exact names")
+      // 344 selected rows bin-pack into one output: 3 kept + 1 new
+      assert(st.filesAfter === 4, st.toString)
+      // nothing lost, nothing duplicated — the churn duplicates
+      // survive as data (optimize is layout-only, not dedup)
+      assert(after.count() === totalBefore)
+      assert(after.filter(col("k").between(120, 180) && col("v") < 0)
+        .count() === 4 * 61L)
+      // the patched manifest serves exact pruned reads across the
+      // kept/rewritten boundary, and the depth is back under the bar
+      val pruned = Layout.scanPruned(spark, d,
+        Seq(Layout.KeyBox("k", 150L, 250L)))
+      assert(pruned.count() ===
+        after.filter(col("k").between(150, 250)).count())
+      assert(!Layout.needsRecluster(Layout.loadManifest(spark, d), "k", 4L))
+
+      // evolved layout: selective rewrite KEEPS the sidecar — kept
+      // files still predate the added column and must keep resolving
+      // it as null
+      Layout.appendWithManifest(
+        (500L to 520L).map(k => (k, k, 1.0)).toDF("k", "v", "w")
+          .repartition(1), d, Seq("k"), mergeSchema = true)
+      for (_ <- 1 to 4)
+        Layout.appendWithManifest(
+          (500L to 520L).map(k => (k, k, 2.0)).toDF("k", "v", "w")
+            .repartition(1), d, Seq("k"))
+      val st2 = Layout.optimizeSelective(spark, d, targetRows = 1000L,
+        maxDepth = 4L)
+      assert(st2.reclustered && st2.filesKept === 4, st2.toString)
+      assert(Layout.storedSchemaOf(spark, d).nonEmpty,
+        "selective rewrite retired the sidecar while kept files predate the column")
+      val rl = Layout.readLayout(spark, d)
+      assert(rl.filter(col("k") === 10L).select("w").collect()(0).isNullAt(0))
+      assert(rl.filter(col("w") === 2.0).count() === 4 * 21L)
+
+      // small-file tail: with minFileRows the shallow small files
+      // join the rewrite under force even though nothing is deep
+      val st3 = Layout.optimizeSelective(spark, d, targetRows = 10000L,
+        maxDepth = 4L, minFileRows = 120L, force = true)
+      assert(st3.reclustered && st3.filesKept === 1 && st3.filesAfter === 2,
+        st3.toString)
+      assert(spark.read.parquet(d).count() === totalBefore + 5 * 21L)
+    }
+  }
+
   test("optimizePartitioned: per-leaf rewrites off the root-manifest trigger; evolution and blooms survive") {
     withTempDir("graft_opt_part_") { dir =>
       val d = s"$dir/t"
@@ -1458,6 +1600,38 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       assert(sameJoined.count() === joined.count())
       assert(Layout.joinPruned(spark, s"$dir/li",
         sameName.where(lit(false)), "l_partkey", "l_partkey").count() === 0L)
+    }
+  }
+
+  test("minMaxFromManifest: metadata extremes track delete and upsert") {
+    withTempDir("graft_minmax_") { dir =>
+      val d = s"$dir/t"
+      (0L to 99L).map(k => (k, k)).toDF("k", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      def mm(): (Long, Long) = {
+        val r = Layout.minMaxFromManifest(spark, d, "k").collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      assert(mm() === ((0L, 99L)))
+      // a delete REMOVES the current minimum band — the classic
+      // non-maintainable case Ivm documents; the manifest's patched
+      // stats re-derive the runner-up without a scan
+      Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 9L)))
+      assert(mm() === ((10L, 99L)))
+      // an upsert INSERTS past the old maximum
+      Layout.upsertByKey(spark, d, Seq((500L, 1L)).toDF("k", "v"), "k")
+      assert(mm() === ((10L, 500L)))
+      assert(mm() ===
+        (spark.read.parquet(d).agg(min("k"), max("k")).as[(Long, Long)]
+          .collect()(0)), "metadata extremes diverged from recompute")
+      // a key the manifest does not track is refused loudly
+      val e = intercept[IllegalArgumentException] {
+        Layout.minMaxFromManifest(spark, d, "v")
+      }
+      assert(e.getMessage.contains("no stats"))
     }
   }
 
