@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * (AVG derives as sum/count), but MIN/MAX are not — a delete of the
   * current minimum needs the data to find the runner-up — so this
   * module deliberately offers no min/max maintenance. Re-derive those
-  * from the table (or a [[Layout]] manifest, whose per-file stats
-  * answer global min/max in metadata).
+  * with [[Layout.minMaxFromManifest]]: the manifest's per-file stats,
+  * kept current by every mutation verb, compose global min/max in one
+  * file-count-sized metadata job.
   *
   * Reference semantics (what the DuckDB gate re-derives): the
   * maintained state after applying a feed EQUALS the aggregate
@@ -78,14 +79,39 @@ object Ivm {
         sumCols.map(c => sum(col(c) * col(opCol)).as(s"sum_$c")) :+
           count(when(invalid, lit(1))).as("__graft_bad"): _*)
       .localCheckpoint(true)
+    // TYPES too, not just names: a feed whose summed type differs
+    // from the state's (a double feed onto a long-sum state) would
+    // silently retype the maintained state through unionByName
+    // coercion — permanently changing exactness of later maintenance.
+    // Compared on the AGGREGATED delta (sum of an int feed is long,
+    // matching aggregateOf), so a consistent feed always passes
+    for (c <- "cnt" +: sumCols.map(s => s"sum_$s")) {
+      val (stateT, deltaT) = (state.schema(c).dataType, delta.schema(c).dataType)
+      require(stateT == deltaT,
+        s"change feed aggregates $c as $deltaT but the state holds " +
+          s"$stateT — a union would silently retype the maintained " +
+          "state; cast the feed to the state's element type")
+    }
     val bad = delta.filter(col("__graft_bad") > 0L)
       .select(keys.map(col): _*).head(1)
     require(bad.isEmpty,
       s"change feed carries null or non-signed $opCol values (e.g. in " +
         s"group ${bad.headOption}) — ops must be +1 (insert) or -1 (delete)")
-    val ordered = keys ++ expected.toSeq.sorted
+    mergeStates(state, delta.drop("__graft_bad"), keys, sumCols)
+  }
+
+  /** The shared merge tail of every maintenance verb: union the old
+    * state with a PRE-AGGREGATED signed delta (`keys`, `cnt`,
+    * `sum_<c>` — possibly several rows per group), re-aggregate,
+    * refuse negative counts loudly, and vanish zero-count groups.
+    * ONE implementation so [[maintainAgg]] and [[maintainJoinAgg]]
+    * cannot fork on the vanish/negative semantics. */
+  private def mergeStates(state: DataFrame, delta: DataFrame,
+                          keys: Seq[String],
+                          sumCols: Seq[String]): DataFrame = {
+    val ordered = keys ++ Seq("cnt") ++ sumCols.map(c => s"sum_$c")
     val merged = state.select(ordered.map(col): _*)
-      .unionByName(delta.drop("__graft_bad").select(ordered.map(col): _*))
+      .unionByName(delta.select(ordered.map(col): _*))
       .groupBy(keys.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"),
         sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
@@ -99,7 +125,135 @@ object Ivm {
     require(neg.isEmpty,
       s"change feed drove group ${neg.headOption} to a negative count " +
         "— it deleted rows the view never saw")
-    merged.filter(col("cnt") > 0L)
-      .select((keys ++ Seq("cnt") ++ sumCols.map(c => s"sum_$c")).map(col): _*)
+    merged.filter(col("cnt") > 0L).select(ordered.map(col): _*)
+  }
+
+  /** Signed-multiset COMPRESSION of a relation over `cols`: one row
+    * per distinct tuple with its multiplicity `cnt` — the side-state
+    * representation [[maintainJoinAgg]] keeps for each base table of
+    * a join view (a projection of A the maintenance joins against,
+    * never A itself). Exactly [[aggregateOf]] with no sum columns. */
+  def multisetOf(df: DataFrame, cols: Seq[String]): DataFrame =
+    aggregateOf(df, cols, Nil)
+
+  /** Maintain a [[multisetOf]] state under a signed feed — the same
+    * ±1 contracts and vanish-at-zero rule as [[maintainAgg]] (it IS
+    * maintainAgg with no sums). */
+  def maintainMultiset(state: DataFrame, changes: DataFrame,
+                       cols: Seq[String],
+                       opCol: String = "op"): DataFrame =
+    maintainAgg(state, changes, cols, Nil, opCol)
+
+  /** Full recompute of a JOIN-view aggregate from the two sides'
+    * multiset states — the bootstrap that materializes the view and
+    * the twin every [[maintainJoinAgg]] result must equal. The view
+    * is `SELECT groupKeys, count(*), sum(c)... FROM A JOIN B USING
+    * (joinKeys) GROUP BY groupKeys` over the DECOMPRESSED multisets:
+    * each (a-tuple, b-tuple) pair contributes `cnt_a × cnt_b` rows,
+    * so the aggregate weights by that product and the base rows never
+    * re-expand. Output: `groupKeys`, `cnt`, one `sum_<c>` per sum
+    * column (columns drawn from either side). */
+  def aggregateOfJoin(aState: DataFrame, bState: DataFrame,
+                      joinKeys: Seq[String], groupKeys: Seq[String],
+                      sumCols: Seq[String]): DataFrame = {
+    requireJoinShapes(aState, bState, joinKeys, groupKeys, sumCols)
+    val a = aState.withColumnRenamed("cnt", "__graft_cnt_a")
+    val b = bState.withColumnRenamed("cnt", "__graft_cnt_b")
+    val w = col("__graft_cnt_a") * col("__graft_cnt_b")
+    a.join(b, joinKeys)
+      .groupBy(groupKeys.map(col): _*)
+      .agg(sum(w).cast("long").as("cnt"),
+        sumCols.map(c => sum(col(c) * w).as(s"sum_$c")): _*)
+  }
+
+  /** The contracts [[aggregateOfJoin]] and [[maintainJoinAgg]] share:
+    * join keys live on BOTH sides under the same names, every other
+    * column name is unambiguous (on exactly one side), and the
+    * view's group/sum columns all resolve. Checked loudly up front —
+    * a name collision would otherwise surface as a confusing
+    * ambiguous-reference analysis error deep inside the delta join. */
+  private def requireJoinShapes(aState: DataFrame, bState: DataFrame,
+                                joinKeys: Seq[String],
+                                groupKeys: Seq[String],
+                                sumCols: Seq[String]): Unit = {
+    require(joinKeys.nonEmpty, "join view needs at least one join key")
+    require(groupKeys.nonEmpty, "join view needs at least one group key")
+    val aCols = aState.columns.toSet - "cnt"
+    val bCols = bState.columns.toSet - "cnt"
+    for (k <- joinKeys) require(aCols.contains(k) && bCols.contains(k),
+      s"join key $k must be a column of BOTH side states " +
+        s"(a: ${aCols.mkString(", ")}; b: ${bCols.mkString(", ")})")
+    val shared = (aCols intersect bCols) -- joinKeys
+    require(shared.isEmpty,
+      s"side states share non-join columns ${shared.mkString(", ")} — " +
+        "rename one side so every view column is unambiguous")
+    for (c <- groupKeys ++ sumCols)
+      require(aCols.contains(c) || bCols.contains(c),
+        s"view column $c is on neither side state")
+  }
+
+  /** Incremental maintenance of an aggregate over `A ⋈ B` under
+    * signed change feeds on EITHER side — the textbook delta-join:
+    * {{{
+    *   Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_new ⋈ ΔB
+    * }}}
+    * (exact: the second term's `A_new = A_old + ΔA` absorbs the
+    * `ΔA ⋈ ΔB` cross term). The module keeps each side as a
+    * [[multisetOf]] state — a compressed projection of the base
+    * table, NOT the table itself — so maintenance cost is
+    * `|ΔA|·selectivity + |ΔB|·selectivity + |side states| + |view|`,
+    * never a rescan of either base table: at 100 TB the side states
+    * are the distinct (joinKey, view columns) tuples, orders of
+    * magnitude smaller than the facts they compress.
+    *
+    * Takes the current view state (an [[aggregateOfJoin]] frame), the
+    * two side states, and the two signed feeds (either may be empty —
+    * pass a `limit(0)` frame); returns the maintained
+    * `(view, aState, bState)` triple, each eagerly pinned by its own
+    * maintenance pass. All [[maintainAgg]] contracts apply per side
+    * (±1 ops refused loudly, phantom deletes caught by the side
+    * state's negative-count probe) and to the view merge (negative
+    * view counts refused, zero-count groups vanish). The side states
+    * are maintained FIRST, so a malformed feed fails before the view
+    * is touched. */
+  def maintainJoinAgg(view: DataFrame, aState: DataFrame,
+                      bState: DataFrame, aChanges: DataFrame,
+                      bChanges: DataFrame, joinKeys: Seq[String],
+                      groupKeys: Seq[String], sumCols: Seq[String],
+                      opCol: String = "op")
+      : (DataFrame, DataFrame, DataFrame) = {
+    requireJoinShapes(aState, bState, joinKeys, groupKeys, sumCols)
+    // EXACT view shape, like maintainAgg's: maintaining with a subset
+    // of the view's sum columns would silently drop the others
+    require(view.columns.toSet.diff(groupKeys.toSet) ==
+        (Seq("cnt") ++ sumCols.map(c => s"sum_$c")).toSet,
+      s"view is not an aggregateOfJoin(groupKeys=$groupKeys, " +
+        s"sums=$sumCols) frame; has ${view.columns.mkString(", ")}")
+    val aCols = aState.columns.filterNot(_ == "cnt").toSeq
+    val bCols = bState.columns.filterNot(_ == "cnt").toSeq
+    // side states first: their maintenance validates the feeds' ±1
+    // contracts and phantom deletes before the view merge runs
+    val aNew = maintainMultiset(aState, aChanges, aCols, opCol)
+    val bNew = maintainMultiset(bState, bChanges, bCols, opCol)
+    // one delta-join term per side: the feed's rows (op ±1) against
+    // the OTHER side's multiset (cnt), each matched pair contributing
+    // op × cnt copies of the joined tuple — pre-aggregated straight
+    // to the view's group keys, so the merge below is state-sized
+    def contrib(feed: DataFrame, other: DataFrame): DataFrame = {
+      val w = col(opCol) * col("cnt")
+      feed.join(other, joinKeys)
+        .groupBy(groupKeys.map(col): _*)
+        .agg(sum(w).cast("long").as("cnt"),
+          sumCols.map(c => sum(col(c) * w).as(s"sum_$c")): _*)
+    }
+    val delta = contrib(aChanges, bState)
+      .unionByName(contrib(bChanges, aNew))
+    for (c <- "cnt" +: sumCols.map(s => s"sum_$s")) {
+      val (viewT, deltaT) = (view.schema(c).dataType, delta.schema(c).dataType)
+      require(viewT == deltaT,
+        s"join delta aggregates $c as $deltaT but the view holds " +
+          s"$viewT — cast the feed to the view's element type")
+    }
+    (mergeStates(view, delta, groupKeys, sumCols), aNew, bNew)
   }
 }

@@ -1118,7 +1118,54 @@ object RelationalQueries {
       Some("""SELECT l_returnflag,
              |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps
              |FROM lineitem WHERE l_orderkey % 10 <> 0
-             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
+
+    // JOIN-view IVM — [[graft.ext.Ivm.maintainJoinAgg]] keeps an
+    // aggregate over orders ⋈ lineitem current under signed feeds on
+    // BOTH sides (the classic delta-join ΔA⋈B_old ∪ A_new⋈ΔB): the
+    // view bootstraps over the even-orderkey slice of both tables,
+    // then each side's feed deletes its orderkey%10==0 rows and
+    // inserts its odd rows. Maintenance joins only the feeds against
+    // the compressed side multisets — never re-joining the base
+    // tables — and the maintained view must equal the join aggregate
+    // over the two applied multisets, which is exactly what the
+    // oracle recomputes from scratch.
+    QueryDef("q_ivm_join",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        val aCols = Seq("o_orderkey", "o_orderpriority")
+        val bCols = Seq("o_orderkey", "l_returnflag", "qty")
+        val jk = Seq("o_orderkey")
+        val gk = Seq("o_orderpriority", "l_returnflag")
+        val a0 = graft.ext.Ivm.multisetOf(
+          o.filter(col("o_orderkey") % 2 === 0), aCols)
+        val b0 = graft.ext.Ivm.multisetOf(
+          li.filter(col("o_orderkey") % 2 === 0), bCols)
+        val view0 = graft.ext.Ivm.aggregateOfJoin(a0, b0, jk, gk, Seq("qty"))
+        val aFeed =
+          o.filter(col("o_orderkey") % 10 === 0).withColumn("op", lit(-1))
+            .unionByName(
+              o.filter(col("o_orderkey") % 2 === 1).withColumn("op", lit(1)))
+        val bFeed =
+          li.filter(col("o_orderkey") % 10 === 0).withColumn("op", lit(-1))
+            .unionByName(
+              li.filter(col("o_orderkey") % 2 === 1).withColumn("op", lit(1)))
+        val (view, _, _) = graft.ext.Ivm.maintainJoinAgg(
+          view0, a0, b0, aFeed, bFeed, jk, gk, Seq("qty"))
+        view.orderBy(gk.map(col): _*)
+      },
+      Some("""SELECT o_orderpriority, l_returnflag,
+             |  CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |WHERE o.o_orderkey % 10 <> 0
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      bench = true),
 
     // Point-in-interval range join ([[graft.ops.IntervalJoin]]):
     // shipments landing inside each order's 7-day dispatch window,

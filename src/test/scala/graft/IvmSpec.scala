@@ -7,7 +7,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Incremental view maintenance: the maintained aggregate must equal
   * a from-scratch recompute after any correct delete/insert feed —
   * including group birth, group death, and update-as-delete+insert —
-  * and the feed contracts must fail loudly, never corrupt.
+  * and the feed contracts must fail loudly, never corrupt. The
+  * recompute twins here are SIGNED-COUNT (multiset) derivations
+  * computed driver-side with no Ivm code, so they stay exact even if
+  * a fixture carries duplicate rows (a set-semantics `except` twin
+  * would not).
   */
 class IvmSpec extends AnyFunSuite with SharedSpark {
   import spark.implicits._
@@ -16,9 +20,21 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
     df.select("k", "cnt", "sum_v").as[(String, Long, Long)]
       .collect().sortBy(_._1).toSeq
 
+  /** Independent multiset recompute: fold the signed log into per-row
+    * multiplicities (refusing negatives), then aggregate per group. */
+  private def recomputeSigned(rows: Seq[(String, Long, Int)]): Seq[(String, Long, Long)] = {
+    val m = scala.collection.mutable.LinkedHashMap[(String, Long), Long]()
+    rows.foreach { case (k, v, op) =>
+      m((k, v)) = m.getOrElse((k, v), 0L) + op }
+    assert(m.values.forall(_ >= 0L), s"twin saw a negative multiplicity: $m")
+    m.filter(_._2 > 0L).toSeq.groupBy(_._1._1).map { case (k, pairs) =>
+      (k, pairs.map(_._2).sum, pairs.map(p => p._1._2 * p._2).sum)
+    }.toSeq.sortBy(_._1)
+  }
+
   test("maintain ≡ recompute across group birth, death, and updates") {
-    val base = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("b", 20L), ("c", 5L))
-      .toDF("k", "v")
+    val baseRows = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("b", 20L), ("c", 5L))
+    val base = baseRows.toDF("k", "v")
     val state0 = Ivm.aggregateOf(base, Seq("k"), Seq("v"))
     assert(canon(state0) === Seq(("a", 2L, 3L), ("b", 2L, 30L), ("c", 1L, 5L)))
     // one feed: kill group c entirely, update one b row (delete+insert
@@ -27,22 +43,18 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
       ("c", 5L, -1),            // death: count reaches 0, row vanishes
       ("b", 10L, -1), ("b", 11L, 1), // update as delete+insert
       ("d", 7L, 1), ("d", 8L, 1)     // birth
-    ).toDF("k", "v", "op")
-    val state1 = Ivm.maintainAgg(state0, feed, Seq("k"), Seq("v"))
-    val applied = base
-      .except(Seq(("c", 5L), ("b", 10L)).toDF("k", "v"))
-      .unionByName(Seq(("b", 11L), ("d", 7L), ("d", 8L)).toDF("k", "v"))
-    assert(canon(state1) ===
-      canon(Ivm.aggregateOf(applied, Seq("k"), Seq("v"))))
+    )
+    val state1 = Ivm.maintainAgg(state0, feed.toDF("k", "v", "op"),
+      Seq("k"), Seq("v"))
+    val log1 = baseRows.map(r => (r._1, r._2, 1)) ++ feed
+    assert(canon(state1) === recomputeSigned(log1))
     assert(!canon(state1).exists(_._1 == "c"), "dead group survived")
     // maintenance composes: a second feed over the maintained state
     // still equals the recompute over both feeds applied
-    val feed2 = Seq(("d", 7L, -1), ("a", 100L, 1)).toDF("k", "v", "op")
-    val state2 = Ivm.maintainAgg(state1, feed2, Seq("k"), Seq("v"))
-    val applied2 = applied.except(Seq(("d", 7L)).toDF("k", "v"))
-      .unionByName(Seq(("a", 100L)).toDF("k", "v"))
-    assert(canon(state2) ===
-      canon(Ivm.aggregateOf(applied2, Seq("k"), Seq("v"))))
+    val feed2 = Seq(("d", 7L, -1), ("a", 100L, 1))
+    val state2 = Ivm.maintainAgg(state1, feed2.toDF("k", "v", "op"),
+      Seq("k"), Seq("v"))
+    assert(canon(state2) === recomputeSigned(log1 ++ feed2))
     // loud contracts: a non-±1 op, and a delete the view never saw
     val badOp = intercept[IllegalArgumentException] {
       Ivm.maintainAgg(state2, Seq(("a", 1L, 2)).toDF("k", "v", "op"),
@@ -76,13 +88,105 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
       Ivm.maintainAgg(two, Seq(("a", 1L, 1)).toDF("k", "v", "op"),
         Seq("k"), Seq("v"))
     }
+    // a feed whose sum column would retype the state (double onto a
+    // long-sum view) is refused, not silently coerced
+    val retype = intercept[IllegalArgumentException] {
+      Ivm.maintainAgg(state2, Seq(("a", 1.5, 1)).toDF("k", "v", "op"),
+        Seq("k"), Seq("v"))
+    }
+    assert(retype.getMessage.contains("retype"))
+  }
+
+  private def canonJoin(df: org.apache.spark.sql.DataFrame): Seq[(String, String, Long, Long)] =
+    df.select("prio", "f", "cnt", "sum_v").as[(String, String, Long, Long)]
+      .collect().sorted.toSeq
+
+  private def directJoinAgg(a: org.apache.spark.sql.DataFrame,
+                            b: org.apache.spark.sql.DataFrame) =
+    a.join(b, "id").groupBy("prio", "f")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("sum_v"))
+
+  test("maintainJoinAgg ≡ join recompute under mixed two-side feeds, incl. group death and duplicates") {
+    val a = Seq((1L, "p1"), (2L, "p1"), (3L, "p2")).toDF("id", "prio")
+    val b = Seq((1L, "x", 10L), (1L, "y", 20L), (2L, "x", 5L),
+      (4L, "x", 9L)).toDF("id", "f", "v")
+    val a0 = Ivm.multisetOf(a, Seq("id", "prio"))
+    val b0 = Ivm.multisetOf(b, Seq("id", "f", "v"))
+    val view0 = Ivm.aggregateOfJoin(a0, b0, Seq("id"),
+      Seq("prio", "f"), Seq("v"))
+    assert(canonJoin(view0) === canonJoin(directJoinAgg(a, b)))
+    // mixed feed: delete a(2,p1) — its joined group (p1,x) loses the
+    // id=2 contribution; insert a(4,p3) — the dangling b(4,x,9) row
+    // starts matching (group birth); on B delete b(1,y,20) — group
+    // (p1,y) DIES — and insert a DUPLICATE copy of the live (2,x,5)
+    // row (multiset semantics: multiplicity 2)
+    val aF = Seq((2L, "p1", -1), (4L, "p3", 1)).toDF("id", "prio", "op")
+    val bF = Seq((1L, "y", 20L, -1), (3L, "z", 7L, 1), (2L, "x", 5L, 1))
+      .toDF("id", "f", "v", "op")
+    val (v1, a1, b1) = Ivm.maintainJoinAgg(view0, a0, b0, aF, bF,
+      Seq("id"), Seq("prio", "f"), Seq("v"))
+    val aApplied = Seq((1L, "p1"), (3L, "p2"), (4L, "p3")).toDF("id", "prio")
+    val bApplied = Seq((1L, "x", 10L), (2L, "x", 5L), (2L, "x", 5L),
+      (4L, "x", 9L), (3L, "z", 7L)).toDF("id", "f", "v")
+    assert(canonJoin(v1) === canonJoin(directJoinAgg(aApplied, bApplied)))
+    assert(!canonJoin(v1).exists(_._2 == "y"), "dead joined group survived")
+    // the maintained side states equal their recompute — including the
+    // duplicated b row at multiplicity 2
+    assert(b1.filter(col("id") === 2L).select("cnt").as[Long].collect()
+      .toSeq === Seq(2L))
+    // second round: A-only feed (empty B feed) — the reborn a(2,p1)
+    // re-matches BOTH copies of (2,x,5) through the maintained b state
+    val aF2 = Seq((2L, "p1", 1)).toDF("id", "prio", "op")
+    val (v2, _, _) = Ivm.maintainJoinAgg(v1, a1, b1, aF2,
+      bF.limit(0), Seq("id"), Seq("prio", "f"), Seq("v"))
+    val aApplied2 = aApplied.unionByName(Seq((2L, "p1")).toDF("id", "prio"))
+    assert(canonJoin(v2) === canonJoin(directJoinAgg(aApplied2, bApplied)))
+    assert(canonJoin(v2).find(t => t._1 == "p1" && t._2 == "x")
+      .exists(t => t._3 === 3L && t._4 === 20L))
+  }
+
+  test("maintainJoinAgg contracts fail loudly: ambiguous columns, phantom side deletes, malformed view") {
+    val a = Seq((1L, "p1", 99L)).toDF("id", "prio", "v") // collides on v
+    val b = Seq((1L, "x", 10L)).toDF("id", "f", "v")
+    val aAmb = Ivm.multisetOf(a, Seq("id", "prio", "v"))
+    val bOk = Ivm.multisetOf(b, Seq("id", "f", "v"))
+    val amb = intercept[IllegalArgumentException] {
+      Ivm.aggregateOfJoin(aAmb, bOk, Seq("id"), Seq("prio", "f"), Seq("v"))
+    }
+    assert(amb.getMessage.contains("rename"))
+    val aOk = Ivm.multisetOf(a.select("id", "prio"), Seq("id", "prio"))
+    val view = Ivm.aggregateOfJoin(aOk, bOk, Seq("id"),
+      Seq("prio", "f"), Seq("v"))
+    // a B-side delete of a row the state never held fails in the
+    // SIDE maintenance, before the view is touched
+    val phantom = intercept[IllegalArgumentException] {
+      Ivm.maintainJoinAgg(view, aOk, bOk,
+        Seq((1L, "p1", 1)).toDF("id", "prio", "op").limit(0),
+        Seq((9L, "q", 1L, -1)).toDF("id", "f", "v", "op"),
+        Seq("id"), Seq("prio", "f"), Seq("v"))
+    }
+    assert(phantom.getMessage.contains("negative"))
+    // a view frame with extra columns would silently lose them in the
+    // merge — refused by shape
+    val shape = intercept[IllegalArgumentException] {
+      Ivm.maintainJoinAgg(view.withColumn("extra", lit(1)), aOk, bOk,
+        Seq((1L, "p1", 1)).toDF("id", "prio", "op"),
+        Seq((1L, "x", 1L, 1)).toDF("id", "f", "v", "op"),
+        Seq("id"), Seq("prio", "f"), Seq("v"))
+    }
+    assert(shape.getMessage.contains("aggregateOfJoin"))
+    // a join key missing from one side is named loudly
+    val jk = intercept[IllegalArgumentException] {
+      Ivm.aggregateOfJoin(aOk, bOk, Seq("prio"), Seq("f"), Seq("v"))
+    }
+    assert(jk.getMessage.contains("BOTH side states"))
   }
 
   test("streaming CDC feed: foreachBatch maintenance tracks the replayed log after every micro-batch") {
     withTempDir("graft_ivm_") { dir =>
       val stateDir = s"$dir/state"
-      Ivm.aggregateOf(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"),
-          Seq("k"), Seq("v"))
+      val baseRows = Seq(("a", 1L), ("b", 2L))
+      Ivm.aggregateOf(baseRows.toDF("k", "v"), Seq("k"), Seq("v"))
         .write.mode("overwrite").parquet(stateDir)
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -101,6 +205,7 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
         }.start()
       try {
         val log = scala.collection.mutable.ArrayBuffer[(String, Long, Int)]()
+        log ++= baseRows.map(r => (r._1, r._2, 1))
         val batches = Seq(
           Seq(("a", 3L, 1), ("c", 9L, 1)),
           Seq(("b", 2L, -1), ("c", 1L, 1)),   // group b dies
@@ -109,13 +214,8 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
           in.addData(rows)
           q.processAllAvailable()
           log ++= rows
-          val replayed = Seq(("a", 1L), ("b", 2L)).toDF("k", "v")
-            .unionByName(log.filter(_._3 == 1).map(r => (r._1, r._2))
-              .toSeq.toDF("k", "v"))
-            .except(log.filter(_._3 == -1).map(r => (r._1, r._2))
-              .toSeq.toDF("k", "v"))
           assert(canon(spark.read.parquet(stateDir)) ===
-            canon(Ivm.aggregateOf(replayed, Seq("k"), Seq("v"))),
+            recomputeSigned(log.toSeq),
             s"state diverged after batch $i")
         }
       } finally q.stop()
