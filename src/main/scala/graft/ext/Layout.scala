@@ -441,15 +441,220 @@ object Layout {
     val mfPath = new org.apache.hadoop.fs.Path(s"$path/_graft_manifest")
     val tmpPath = new org.apache.hadoop.fs.Path(s"$path/_graft_manifest_tmp")
     updated.write.mode("overwrite").parquet(tmpPath.toString)
-    // a FAILED delete that merely returns false (object stores do)
-    // must not fall through: rename-onto-an-existing-dir has
-    // move-INSIDE semantics on HDFS-like filesystems, which would
-    // leave the STALE manifest in place (the nested _-prefixed tmp
-    // dir being invisible to reads) and serve it silently
-    require(fs.delete(mfPath, true) || !fs.exists(mfPath),
-      s"failed to remove the old manifest at $mfPath before replacing it")
+    if (generationsEnabled(fs, path) && fs.exists(mfPath)) {
+      // generation-tracked layout: the outgoing manifest ARCHIVES
+      // under its own number instead of dying — every manifest
+      // replace is a new generation, and [[readSnapshot]] serves the
+      // archived ones. A crash between the archive-move and the
+      // rename leaves NO live manifest (loud at loadManifest, like
+      // the delete+rename window below); recovery is renaming the
+      // newest archived generation back into place.
+      val g = currentGeneration(spark, path)
+      val dest = new org.apache.hadoop.fs.Path(historyDir(path), s"gen=$g")
+      require(!fs.exists(dest),
+        s"generation archive $dest already exists — concurrent writers?")
+      require(fs.rename(mfPath, dest),
+        s"failed to archive the outgoing manifest to $dest")
+    } else {
+      // a FAILED delete that merely returns false (object stores do)
+      // must not fall through: rename-onto-an-existing-dir has
+      // move-INSIDE semantics on HDFS-like filesystems, which would
+      // leave the STALE manifest in place (the nested _-prefixed tmp
+      // dir being invisible to reads) and serve it silently
+      require(fs.delete(mfPath, true) || !fs.exists(mfPath),
+        s"failed to remove the old manifest at $mfPath before replacing it")
+    }
     require(fs.rename(tmpPath, mfPath),
       s"failed to move the updated manifest into place at $mfPath")
+  }
+
+  private def historyDir(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$dir/_graft_history")
+
+  private def retiredDir(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$dir/_graft_retired")
+
+  private def generationsEnabled(fs: org.apache.hadoop.fs.FileSystem,
+                                 dir: String): Boolean =
+    fs.exists(historyDir(dir))
+
+  private def archivedGens(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: String): Seq[Long] = {
+    val h = historyDir(dir)
+    if (!fs.exists(h)) Nil
+    else fs.listStatus(h).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
+  }
+
+  /** Turn on MANIFEST GENERATIONS for a flat manifest-carrying
+    * directory — the snapshot/time-travel discipline that closes the
+    * concurrent-reader window documented on every mutation verb: once
+    * enabled, each manifest replace archives the outgoing manifest
+    * under `_graft_history/gen=N` (monotonic), and the mutation verbs
+    * RETIRE superseded data files into `_graft_retired/gen=N/`
+    * (`_`-prefixed: invisible to live reads) instead of deleting
+    * them. A reader pins a GENERATION NUMBER and calls
+    * [[readSnapshot]] — which resolves that generation's file list
+    * against live + retired storage at call time — so a concurrent
+    * deleteWhere / upsert / optimize committing generation N+1 never
+    * changes what generation N reads. (Pin the number, not a
+    * DataFrame: a frame planned before the commit may reference a
+    * path mid-retirement; re-calling readSnapshot(N) after the
+    * commit is always consistent.) Storage grows by the superseded
+    * bytes until [[vacuumGenerations]] trims to the last K.
+    * Flat layouts only — hive-partitioned trees optimize per leaf
+    * and are refused here. */
+  def enableGenerations(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Unit = {
+    requireEncodingStablePath(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(hivePartColsOf(fs, new org.apache.hadoop.fs.Path(dir)).isEmpty,
+      s"generations support flat layouts only; $dir is hive-partitioned")
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest")),
+      s"$dir carries no manifest — build one before enabling generations")
+    fs.mkdirs(historyDir(dir))
+    ()
+  }
+
+  /** The LIVE generation number: archived generations are
+    * `0 .. current-1`, the live manifest is `current`. 0 until the
+    * first post-enable mutation commits. */
+  def currentGeneration(spark: org.apache.spark.sql.SparkSession,
+                        dir: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = archivedGens(fs, dir)
+    if (gens.isEmpty) 0L else gens.max + 1L
+  }
+
+  /** Retire (generation-tracked layout) or delete (plain layout) the
+    * superseded data files — THE tail every in-place mutation verb
+    * funnels through, so snapshot safety cannot fork per verb.
+    * Retired files land under `_graft_retired/gen=G/` labeled with
+    * the generation whose manifest still references them (the verbs
+    * call this BEFORE their manifest replace, so `currentGeneration`
+    * is exactly that G); [[vacuumGenerations]] uses the label to
+    * drop retirement dirs no retained snapshot can reach. Basenames
+    * are parquet part-UUIDs — globally unique — and a collision is
+    * refused loudly rather than resolved arbitrarily. */
+  private def retireOrDeleteAll(fs: org.apache.hadoop.fs.FileSystem,
+                                dir: String, files: Iterable[String],
+                                verb: String): Unit = {
+    if (!generationsEnabled(fs, dir)) {
+      for (f <- files) {
+        val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+        require(fs.delete(p, false) || !fs.exists(p),
+          s"$verb: failed to delete $f")
+      }
+    } else {
+      val g = archivedGens(fs, dir) match {
+        case Nil => 0L; case gens => gens.max + 1L
+      }
+      val destDir = new org.apache.hadoop.fs.Path(retiredDir(dir), s"gen=$g")
+      fs.mkdirs(destDir)
+      for (f <- files) {
+        val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+        val dest = new org.apache.hadoop.fs.Path(destDir, p.getName)
+        require(!fs.exists(dest),
+          s"$verb: retired name collision at $dest")
+        require(fs.rename(p, dest) || !fs.exists(p),
+          s"$verb: failed to retire $f")
+      }
+    }
+  }
+
+  /** Read the directory's rows AS OF generation `gen` — the archived
+    * (or live) manifest's file list, each file resolved against live
+    * storage first and the retirement area second, so snapshots stay
+    * readable across any number of later mutations until vacuumed.
+    * Resolution happens at CALL time: this is what makes pinning a
+    * generation number safe under concurrent commits. A file that is
+    * neither live nor retired names its generation in the error
+    * (vacuumed, or out-of-band deletion). Schema-evolved layouts
+    * resolve under the CURRENT sidecar — files predating an added
+    * column surface null for it, so a pre-evolution snapshot shows
+    * the column as all-null rather than changing shape per call. */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession,
+                   dir: String, gen: Long): DataFrame = {
+    requireEncodingStablePath(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(generationsEnabled(fs, dir),
+      s"$dir is not generation-tracked — call enableGenerations first")
+    val cur = currentGeneration(spark, dir)
+    require(gen >= 0L && gen <= cur,
+      s"unknown generation $gen at $dir (live is $cur)")
+    val manifest =
+      if (gen == cur) loadManifest(spark, dir)
+      else {
+        val p = new org.apache.hadoop.fs.Path(historyDir(dir), s"gen=$gen")
+        require(fs.exists(p),
+          s"generation $gen of $dir has been vacuumed (live is $cur, " +
+            s"oldest retained is ${archivedGens(fs, dir).minOption
+              .getOrElse(cur)})")
+        spark.read.parquet(p.toString)
+      }
+    val files = manifest.select("file").collect().map(_.getString(0))
+    val retired: Map[String, Seq[org.apache.hadoop.fs.Path]] = {
+      val r = retiredDir(dir)
+      if (!fs.exists(r)) Map.empty
+      else fs.listStatus(r).toSeq.filter(_.isDirectory)
+        .flatMap(g => fs.listStatus(g.getPath).toSeq.filter(_.isFile)
+          .map(_.getPath))
+        .groupBy(_.getName)
+    }
+    val resolved = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+      if (fs.exists(p)) p.toString
+      else retired.get(p.getName) match {
+        case Some(Seq(rp)) => rp.toString
+        case Some(many) => throw new IllegalArgumentException(
+          s"retired basename collision for $f: ${many.mkString(", ")}")
+        case None => throw new IllegalArgumentException(
+          s"file $f of generation $gen is neither live nor retired — " +
+            "vacuumed past this snapshot, or deleted out of band")
+      }
+    }
+    val stored = storedSchemaOf(spark, dir)
+    if (resolved.isEmpty)
+      stored.fold(spark.read)(s => spark.read.schema(s)).parquet(dir)
+        .where(lit(false))
+    else
+      stored.fold(spark.read)(s => spark.read.schema(s))
+        .parquet(resolved.toIndexedSeq: _*)
+  }
+
+  /** Trim the generation store to the last `retainLast` generations
+    * (live included): archived manifests and retired-file dirs
+    * labeled below the cut are deleted — every RETAINED snapshot
+    * stays fully readable, because a file needed by snapshot N sits
+    * at a retirement label ≥ N (it was retired by the commit that
+    * superseded it). Returns `(manifestsDropped, filesDropped)`. */
+  def vacuumGenerations(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, retainLast: Int): (Int, Int) = {
+    require(retainLast >= 1, "vacuumGenerations needs retainLast >= 1")
+    requireEncodingStablePath(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(generationsEnabled(fs, dir),
+      s"$dir is not generation-tracked — nothing to vacuum")
+    val cut = currentGeneration(spark, dir) - (retainLast - 1L)
+    var (mfDropped, filesDropped) = (0, 0)
+    for (g <- archivedGens(fs, dir) if g < cut) {
+      val p = new org.apache.hadoop.fs.Path(historyDir(dir), s"gen=$g")
+      require(fs.delete(p, true), s"vacuum: failed to drop manifest $p")
+      mfDropped += 1
+    }
+    val r = retiredDir(dir)
+    if (fs.exists(r)) for (st <- fs.listStatus(r)
+        if st.isDirectory && st.getPath.getName.startsWith("gen=")
+          && st.getPath.getName.stripPrefix("gen=").toLong < cut) {
+      filesDropped += fs.listStatus(st.getPath).count(_.isFile)
+      require(fs.delete(st.getPath, true),
+        s"vacuum: failed to drop retired files at ${st.getPath}")
+    }
+    (mfDropped, filesDropped)
   }
 
   /** The coverage guard every manifest CONSUMER runs before trusting
@@ -1201,14 +1406,12 @@ object Layout {
           .collect()(0).getLong(0)
         Some(d)
       }
-    // destroy old data only now: covered files drop unopened (the
-    // whole point of the null-count stats), partial files are
-    // superseded by their just-committed survivors
-    for ((f, _) <- dropFiles ++ rewriteFiles) {
-      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
-      require(fs.delete(p, false) || !fs.exists(p),
-        s"deleteWhere: failed to delete $f")
-    }
+    // destroy (or retire, on a generation-tracked layout) old data
+    // only now: covered files drop unopened (the whole point of the
+    // null-count stats), partial files are superseded by their
+    // just-committed survivors
+    retireOrDeleteAll(fs, dir, (dropFiles ++ rewriteFiles).map(_._1),
+      "deleteWhere")
     // manifest last, via the same temp-dir + rename replace as
     // appendWithManifest; the kept rows anti-join against the
     // removed set (file-count-sized broadcast, never an IN-literal
@@ -1438,13 +1641,9 @@ object Layout {
         .localCheckpoint(true)
       val newRows = delta.agg(coalesce(sum("n_rows"), lit(0L)))
         .collect()(0).getLong(0)
-      // destroy old data only now: the touched files are fully
-      // superseded by their survivors + the inserted updates
-      for ((f, _) <- touched) {
-        val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
-        require(fs.delete(p, false) || !fs.exists(p),
-          s"upsertByKeys: failed to delete $f")
-      }
+      // destroy (or retire) old data only now: the touched files are
+      // fully superseded by their survivors + the inserted updates
+      retireOrDeleteAll(fs, dir, touched.map(_._1).toSeq, "upsertByKeys")
       // manifest last, via the temp-dir + rename replace; kept rows
       // anti-join the removed set (file-count-sized broadcast)
       import spark.implicits._
@@ -1928,12 +2127,9 @@ object Layout {
     clusteredRewriteTo(src, keys, allLong, tmp.toString, files)
     moveTreeInto(fs, tmp, hDir, "optimize")
     fs.delete(tmp, true)
-    // destroy the old files only after the clustered copy is live
-    for (f <- before) {
-      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
-      require(fs.delete(p, false) || !fs.exists(p),
-        s"optimize: failed to delete $f")
-    }
+    // destroy (or retire) the old files only after the clustered
+    // copy is live
+    retireOrDeleteAll(fs, dir, before, "optimize")
     // stats over the optimized output — same keys, same bloom keys;
     // manifest replaced via the temp-dir + rename discipline
     val rebuilt = buildFileManifest(spark, dir, keys, bloomKeysOf(mSchema))
@@ -2081,11 +2277,7 @@ object Layout {
         spark.read.option("basePath", dir).parquet(newFiles: _*),
         keys, bloomKeysOf(mSchema))
       .localCheckpoint(true)
-    for (f <- selected) {
-      val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
-      require(fs.delete(p, false) || !fs.exists(p),
-        s"optimizeSelective: failed to delete $f")
-    }
+    retireOrDeleteAll(fs, dir, selected, "optimizeSelective")
     // kept rows verbatim, delta rows appended — the manifest is
     // PATCHED, never rebuilt, so kept files' stats (and blooms)
     // cannot drift
@@ -2137,6 +2329,11 @@ object Layout {
     require(partCols.nonEmpty,
       s"optimizePartitioned expects a hive-partitioned layout; " +
         s"$dir has no k=v subdirectories — use optimize")
+    // generations are flat-only (enableGenerations refuses partition
+    // trees); a hand-built history dir here would make the per-leaf
+    // deletes silently break snapshots, so refuse loudly instead
+    require(!generationsEnabled(fs, dir),
+      s"optimizePartitioned does not support generation-tracked layouts ($dir)")
     val manifest = loadManifest(spark, dir)
     val mSchema = manifest.schema
     val keys = manifestKeysOf(mSchema)

@@ -1603,6 +1603,80 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("manifest generations: pinned-generation readers survive concurrent mutations; vacuum drops old snapshots loudly") {
+    withTempDir("graft_gen_") { dir =>
+      val d = s"$dir/t"
+      (0L to 99L).map(k => (k, k)).toDF("k", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      Layout.enableGenerations(spark, d)
+      assert(Layout.currentGeneration(spark, d) === 0L)
+      // append commits generation 1; gen 0 must not see the new rows
+      Layout.appendWithManifest(
+        (100L to 109L).map(k => (k, k)).toDF("k", "v").repartition(1),
+        d, Seq("k"))
+      assert(Layout.currentGeneration(spark, d) === 1L)
+      assert(Layout.readSnapshot(spark, d, 0L).count() === 100L)
+      assert(Layout.readSnapshot(spark, d, 1L).count() === 110L)
+      // a reader PINS generation 1; a "concurrent" deleteWhere then
+      // commits generation 2, dropping the [0,49] file unopened
+      val pinned = 1L
+      val del = Layout.deleteWhere(spark, d,
+        Seq(Layout.KeyBox("k", 0L, 49L)))
+      assert(del.rowsDeleted === 50L, del.toString)
+      assert(Layout.currentGeneration(spark, d) === 2L)
+      // the live read sees the delete; the pinned generation still
+      // reads its FULL pre-delete row set — the dropped file now
+      // serves from the retirement area
+      assert(spark.read.parquet(d).count() === 60L)
+      val snap = Layout.readSnapshot(spark, d, pinned)
+      assert(snap.count() === 110L)
+      assert(snap.agg(sum("k")).as[Long].collect()(0) === (0L to 109L).sum)
+      assert(Layout.readSnapshot(spark, d, 0L).count() === 100L)
+      // an upsert commits generation 3; both sides of the update stay
+      // readable at their own generations
+      Layout.upsertByKey(spark, d, Seq((60L, 999L)).toDF("k", "v"), "k")
+      assert(Layout.readSnapshot(spark, d, 2L)
+        .filter(col("k") === 60L).select("v").as[Long].collect().toSeq
+        === Seq(60L))
+      assert(Layout.readSnapshot(spark, d, 3L)
+        .filter(col("k") === 60L).select("v").as[Long].collect().toSeq
+        === Seq(999L))
+      // live verbs and pruned reads are untouched by the tracking
+      assert(Layout.scanPruned(spark, d,
+        Seq(Layout.KeyBox("k", 50L, 59L))).count() === 10L)
+      // vacuum to the last 2 generations: gens 0 and 1 drop (their
+      // manifests and the label-1 retired file), gen 2 keeps reading
+      val (mfDropped, fDropped) =
+        Layout.vacuumGenerations(spark, d, retainLast = 2)
+      assert(mfDropped === 2 && fDropped >= 1, s"($mfDropped, $fDropped)")
+      val gone = intercept[IllegalArgumentException] {
+        Layout.readSnapshot(spark, d, 1L)
+      }
+      assert(gone.getMessage.contains("vacuum"))
+      assert(Layout.readSnapshot(spark, d, 2L).count() === 60L)
+      assert(Layout.readSnapshot(spark, d, 3L).count() === 60L)
+      assert(spark.read.parquet(d).count() === 60L)
+      // contracts: unknown generation, and enabling on a partitioned
+      // tree is refused
+      val unknown = intercept[IllegalArgumentException] {
+        Layout.readSnapshot(spark, d, 9L)
+      }
+      assert(unknown.getMessage.contains("unknown generation"))
+      val pd = s"$dir/part"
+      Seq((1L, "en", 2L)).toDF("doc_id", "lang", "n")
+        .write.partitionBy("lang").parquet(pd)
+      Layout.buildFileManifest(spark, pd, Seq("doc_id"))
+        .write.mode("overwrite").parquet(s"$pd/_graft_manifest")
+      val flat = intercept[IllegalArgumentException] {
+        Layout.enableGenerations(spark, pd)
+      }
+      assert(flat.getMessage.contains("flat"))
+    }
+  }
+
   test("minMaxFromManifest: metadata extremes track delete and upsert") {
     withTempDir("graft_minmax_") { dir =>
       val d = s"$dir/t"
