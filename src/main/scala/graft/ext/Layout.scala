@@ -580,22 +580,62 @@ object Layout {
     requireEncodingStablePath(dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = snapshotManifestOf(spark, fs, dir, gen)
+    val files = manifest.select("file").collect().map(_.getString(0))
+    readResolved(spark, dir, resolveSnapshotFiles(fs, dir, gen, files))
+  }
+
+  /** [[readSnapshot]] with [[scanPruned]]'s skipping applied against
+    * the GENERATION's manifest — time-traveled pruned reads: the
+    * archived stats prune exactly as they did when that manifest was
+    * live, survivors resolve live-or-retired, and the residual
+    * re-filter keeps pruned ≡ full-snapshot-scan by construction. */
+  def readSnapshotPruned(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, gen: Long,
+                         boxes: Seq[PruneBox]): DataFrame = {
+    require(boxes.nonEmpty, "readSnapshotPruned needs at least one key box")
+    requireEncodingStablePath(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = snapshotManifestOf(spark, fs, dir, gen)
+    val mSchema = manifest.schema
+    val skip = boxes.map(skipExprOf(mSchema, _)).reduce(_ || _)
+    val residual = boxes.map(residualExprOf(mSchema, _)).reduce(_ && _)
+    val survivors = manifest.filter(!skip)
+      .select("file").collect().map(_.getString(0))
+    readResolved(spark, dir,
+      resolveSnapshotFiles(fs, dir, gen, survivors)).where(residual)
+  }
+
+  /** The generation's manifest: live for `gen == current`, else the
+    * archived copy — loudly naming a vacuumed generation. */
+  private def snapshotManifestOf(spark: org.apache.spark.sql.SparkSession,
+                                 fs: org.apache.hadoop.fs.FileSystem,
+                                 dir: String, gen: Long): DataFrame = {
     require(generationsEnabled(fs, dir),
       s"$dir is not generation-tracked — call enableGenerations first")
     val cur = currentGeneration(spark, dir)
     require(gen >= 0L && gen <= cur,
       s"unknown generation $gen at $dir (live is $cur)")
-    val manifest =
-      if (gen == cur) loadManifest(spark, dir)
-      else {
-        val p = new org.apache.hadoop.fs.Path(historyDir(dir), s"gen=$gen")
-        require(fs.exists(p),
-          s"generation $gen of $dir has been vacuumed (live is $cur, " +
-            s"oldest retained is ${archivedGens(fs, dir).minOption
-              .getOrElse(cur)})")
-        spark.read.parquet(p.toString)
-      }
-    val files = manifest.select("file").collect().map(_.getString(0))
+    if (gen == cur) loadManifest(spark, dir)
+    else {
+      val p = new org.apache.hadoop.fs.Path(historyDir(dir), s"gen=$gen")
+      require(fs.exists(p),
+        s"generation $gen of $dir has been vacuumed (live is $cur, " +
+          s"oldest retained is ${archivedGens(fs, dir).minOption
+            .getOrElse(cur)})")
+      spark.read.parquet(p.toString)
+    }
+  }
+
+  /** Resolve a generation's manifest file names against live storage
+    * first and the retirement area second — at CALL time, which is
+    * what makes pinning a generation number safe under concurrent
+    * commits. Basenames are parquet part-UUIDs; a collision across
+    * retirement labels is refused, never resolved arbitrarily. */
+  private def resolveSnapshotFiles(fs: org.apache.hadoop.fs.FileSystem,
+                                   dir: String, gen: Long,
+                                   files: Array[String]): Seq[String] = {
     val retired: Map[String, Seq[org.apache.hadoop.fs.Path]] = {
       val r = retiredDir(dir)
       if (!fs.exists(r)) Map.empty
@@ -604,7 +644,7 @@ object Layout {
           .map(_.getPath))
         .groupBy(_.getName)
     }
-    val resolved = files.map { f =>
+    files.toIndexedSeq.map { f =>
       val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
       if (fs.exists(p)) p.toString
       else retired.get(p.getName) match {
@@ -616,13 +656,21 @@ object Layout {
             "vacuumed past this snapshot, or deleted out of band")
       }
     }
+  }
+
+  /** Read a resolved snapshot file list under the canonical schema
+    * (current sidecar when the layout has evolved); empty lists keep
+    * the schema without opening a row group. */
+  private def readResolved(spark: org.apache.spark.sql.SparkSession,
+                           dir: String,
+                           resolved: Seq[String]): DataFrame = {
     val stored = storedSchemaOf(spark, dir)
     if (resolved.isEmpty)
       stored.fold(spark.read)(s => spark.read.schema(s)).parquet(dir)
         .where(lit(false))
     else
       stored.fold(spark.read)(s => spark.read.schema(s))
-        .parquet(resolved.toIndexedSeq: _*)
+        .parquet(resolved: _*)
   }
 
   /** Trim the generation store to the last `retainLast` generations

@@ -1142,11 +1142,17 @@ object RelationalQueries {
         val bCols = Seq("o_orderkey", "l_returnflag", "qty")
         val jk = Seq("o_orderkey")
         val gk = Seq("o_orderpriority", "l_returnflag")
+        // the bootstrapped states pin eagerly: a real deployment READS
+        // materialized side/view states from storage, so the gate must
+        // not re-aggregate each one from the base tables once per
+        // consumer (bootstrap, delta term, side maintenance — 3
+        // full-table shuffles each without the pin)
         val a0 = graft.ext.Ivm.multisetOf(
-          o.filter(col("o_orderkey") % 2 === 0), aCols)
+          o.filter(col("o_orderkey") % 2 === 0), aCols).localCheckpoint(true)
         val b0 = graft.ext.Ivm.multisetOf(
-          li.filter(col("o_orderkey") % 2 === 0), bCols)
+          li.filter(col("o_orderkey") % 2 === 0), bCols).localCheckpoint(true)
         val view0 = graft.ext.Ivm.aggregateOfJoin(a0, b0, jk, gk, Seq("qty"))
+          .localCheckpoint(true)
         val aFeed =
           o.filter(col("o_orderkey") % 10 === 0).withColumn("op", lit(-1))
             .unionByName(

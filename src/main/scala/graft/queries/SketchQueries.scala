@@ -1786,5 +1786,52 @@ object SketchQueries {
              |SELECT CAST(min(doc_id) AS BIGINT) AS min_doc_id,
              |  CAST(max(doc_id) AS BIGINT) AS max_doc_id
              |FROM merged""".stripMargin)),
+
+    // Generation-pinned snapshot read — [[Layout.enableGenerations]]
+    // turns the manifest into a numbered snapshot store: a deleteWhere
+    // commits generation 1 (retiring the dropped band's files instead
+    // of deleting them), and the gate reads generation 0 PRUNED
+    // ([[Layout.readSnapshotPruned]]): the archived manifest's stats
+    // prune exactly as they did when live, survivors resolve from the
+    // retirement area, and the result must equal the PRE-delete
+    // filter — which is what the oracle computes over the unmutated
+    // documents table. Time travel falling out of the manifest
+    // lifecycle, the Delta/Iceberg VERSION AS OF shape.
+    QueryDef("q_layout_snapshot",
+      (s, d) => {
+        val dir = prunedFixture.computeIfAbsent(s"$d#docs_snapshot", _ => {
+          val p = graft.Scratch.tempDir("graft_snapshot_") + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(8, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          Layout.enableGenerations(s, p)
+          val del = Layout.deleteWhere(s, p,
+            Seq(Layout.KeyBox("doc_id", 100L, 199L)))
+          require(del.rowsDeleted > 0L &&
+              Layout.currentGeneration(s, p) == 1L,
+            s"degenerate fixture: $del")
+          require(s.read.parquet(p).count() <
+              Layout.readSnapshot(s, p, 0L).count(),
+            "the live read did not shrink — snapshot proves nothing")
+          p
+        })
+        Layout.readSnapshotPruned(s, dir, 0L,
+            Seq(Layout.KeyBox("doc_id", 50L, 400L)))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH pruned AS (
+             |  SELECT * FROM documents WHERE doc_id BETWEEN 50 AND 400)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM pruned GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
   )
 }

@@ -1647,6 +1647,13 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       // live verbs and pruned reads are untouched by the tracking
       assert(Layout.scanPruned(spark, d,
         Seq(Layout.KeyBox("k", 50L, 59L))).count() === 10L)
+      // time-traveled PRUNED read: the gen-1 manifest's stats prune,
+      // survivors resolve from retirement, and the deleted band is
+      // still fully readable at its own generation
+      assert(Layout.readSnapshotPruned(spark, d, 1L,
+        Seq(Layout.KeyBox("k", 0L, 59L))).count() === 60L)
+      assert(Layout.readSnapshotPruned(spark, d, 1L,
+        Seq(Layout.KeyBox("k", 200L, 300L))).count() === 0L)
       // vacuum to the last 2 generations: gens 0 and 1 drop (their
       // manifests and the label-1 retired file), gen 2 keeps reading
       val (mfDropped, fDropped) =
@@ -1659,6 +1666,9 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       assert(Layout.readSnapshot(spark, d, 2L).count() === 60L)
       assert(Layout.readSnapshot(spark, d, 3L).count() === 60L)
       assert(spark.read.parquet(d).count() === 60L)
+      // retained pruned snapshot still serves after the vacuum
+      assert(Layout.readSnapshotPruned(spark, d, 2L,
+        Seq(Layout.KeyBox("k", 50L, 69L))).count() === 20L)
       // contracts: unknown generation, and enabling on a partitioned
       // tree is refused
       val unknown = intercept[IllegalArgumentException] {
