@@ -2094,6 +2094,54 @@ object Layout {
     }
   }
 
+  /** Per-LEAF worst point-lookup depth of one key — the partitioned
+    * analog of [[worstDepthOf]], and the TRUE cost signal for a
+    * partition-pruned lookup (which reads one leaf: files in other
+    * leaves never stack on it). One job for ALL leaves: the sweeps
+    * run partitioned by the file's parent directory, long/date/
+    * timestamp stats in the integer domain ([[statToLongOf]]) and
+    * string stats in the per-leaf observed-boundary domain (dense
+    * rank within the leaf). Returns `(leaf, worst)` with `leaf` the
+    * parent-directory prefix of the manifest's own file URIs. */
+  private def worstDepthPerLeaf(manifest: DataFrame,
+                                key: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = manifest.withColumn("__leaf",
+      regexp_replace(col("file"), "/[^/]+$", ""))
+    val statT = m.schema(s"min_$key").dataType
+    val bounds =
+      if (statT == org.apache.spark.sql.types.StringType) {
+        val ranked = m.select(col("__leaf"), col(s"min_$key").as("value"))
+          .unionAll(m.select(col("__leaf"), col(s"max_$key").as("value")))
+          .filter(col("value").isNotNull).distinct()
+          .withColumn("pos", dense_rank().over(
+            Window.partitionBy("__leaf").orderBy("value")).cast("long"))
+        val opens = m.select(col("__leaf"), col(s"min_$key").as("value"))
+          .filter(col("value").isNotNull)
+          .join(ranked, Seq("__leaf", "value"))
+          .select(col("__leaf"), col("pos"), lit(1L).as("delta"))
+        val closes = m.select(col("__leaf"), col(s"max_$key").as("value"))
+          .filter(col("value").isNotNull)
+          .join(ranked, Seq("__leaf", "value"))
+          .select(col("__leaf"), (col("pos") + 1L).as("pos"),
+            lit(-1L).as("delta"))
+        opens.unionAll(closes)
+      } else {
+        val toLong = statToLongOf(statT, key)
+        m.filter(col(s"min_$key").isNotNull)
+          .select(col("__leaf"), toLong(col(s"min_$key")).as("pos"),
+            lit(1L).as("delta"))
+          .unionAll(m.filter(col(s"max_$key").isNotNull)
+            .select(col("__leaf"), (toLong(col(s"max_$key")) + 1L).as("pos"),
+              lit(-1L).as("delta")))
+      }
+    bounds.groupBy("__leaf", "pos").agg(sum("delta").as("net"))
+      .withColumn("depth", sum("net").over(
+        Window.partitionBy("__leaf").orderBy("pos")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("__leaf").as("leaf")).agg(max("depth").as("worst"))
+  }
+
   /** Per-call outcome of the OPTIMIZE verbs. `worstDepthBefore` is
     * the max point-lookup depth across the stored keys at call time —
     * the signal that fired (or declined) the rewrite. `filesKept`
@@ -2340,23 +2388,31 @@ object Layout {
       filesKept = before.size - selected.size)
   }
 
-  /** [[optimize]] over a hive-partitioned layout: the trigger reads
-    * the ROOT manifest (worst depth across all stored keys, the same
-    * signal), then each `k=v` LEAF directory rewrites independently
-    * into `filesPerPartition` clustered outputs — no global shuffle,
-    * the same per-partition independence as [[compactPartitioned]],
-    * and on a cluster the per-leaf rewrites parallelize trivially.
-    * Within a leaf the clustering runs on the stored keys that live
-    * in the FILES (a stored key that is a partition column is
-    * constant inside the leaf — nothing to cluster); if every stored
-    * key is a partition column the leaf just compacts. An evolved
-    * layout's leaves read under the sidecar schema minus the
-    * path-encoded columns, so the rewrite materializes added columns
-    * and the sidecar retires.
+  /** [[optimize]] over a hive-partitioned layout, LEAF-selective:
+    * each `k=v` leaf carries its own depth signal — the per-leaf
+    * worst point-lookup depth over the stored keys
+    * ([[worstDepthPerLeaf]], one job for all leaves), which is the
+    * TRUE cost of a partition-pruned lookup (files in other leaves
+    * never stack on it; the old root-manifest global sweep counted
+    * cross-leaf overlap a pruned read never pays). Only leaves whose
+    * own depth reaches `maxDepth` rewrite — a day's churn into one
+    * partition rewrites one leaf, not the table — each independently
+    * into `filesPerPartition` clustered outputs (no global shuffle,
+    * the same per-partition independence as [[compactPartitioned]];
+    * on a cluster the per-leaf rewrites parallelize trivially).
+    * `force` rewrites every leaf. Within a leaf the clustering runs
+    * on the stored keys that live in the FILES (a stored key that is
+    * a partition column is constant inside the leaf — nothing to
+    * cluster); if every stored key is a partition column the leaf
+    * just compacts. An evolved layout's leaves read under the
+    * sidecar schema minus the path-encoded columns, so a rewrite
+    * materializes added columns; the sidecar retires only when NO
+    * leaf was skipped (a kept leaf may still predate the column).
     *
-    * The manifest is rebuilt ONCE over the whole directory after all
-    * leaves swap (partition discovery materializes `k=v` stats keys
-    * again; bloom keys carry over). The crash windows are the
+    * The manifest is PATCHED once after all selected leaves swap:
+    * kept leaves' rows verbatim, one delta-stats pass over just the
+    * new files (read with `basePath` so `k=v` stat keys keep real
+    * values; bloom keys carry over). The crash windows are the
     * per-leaf scratch-commit / move-in / delete-old ones plus one
     * wider one: between the first leaf's swap and the final manifest
     * replace, coverage-guarded reads flag the new files loudly and a
@@ -2385,14 +2441,24 @@ object Layout {
     val manifest = loadManifest(spark, dir)
     val mSchema = manifest.schema
     val keys = manifestKeysOf(mSchema)
-    val worst = keys.map(worstDepthOf(manifest, _)).max
+    // leaf identity is compared by fs path (the manifest's URI
+    // spelling and listStatus's can differ on authority form)
+    val perLeafWorst: Map[String, Long] = keys
+      .map(worstDepthPerLeaf(manifest, _))
+      .reduce(_.unionAll(_))
+      .groupBy("leaf").agg(max("worst").as("worst")).collect()
+      .map(r => new org.apache.hadoop.fs.Path(
+        new java.net.URI(r.getString(0))).toUri.getPath -> r.getLong(1))
+      .toMap
+    val worst = if (perLeafWorst.isEmpty) 0L else perLeafWorst.values.max
+    val deepLeaves = perLeafWorst.filter(_._2 >= maxDepth).keySet
     val before = dirFrame.inputFiles.toSet
-    if (!force && worst < maxDepth)
+    if (!force && deepLeaves.isEmpty)
       return OptimizeStats(reclustered = false, before.size, before.size,
         worst, filesKept = before.size)
     if (verifyCoverage)
       // same reasoning as optimize's: the per-leaf rewrites read every
-      // file, so unblessed rows would be made permanent
+      // selected file, so unblessed rows would be made permanent
       requireManifestCovers(spark, dirFrame,
         manifest.select("file").collect().map(_.getString(0)).toSet, dir,
         "the rewrite would silently legitimize their rows into the new layout")
@@ -2404,12 +2470,18 @@ object Layout {
       org.apache.spark.sql.types.StructType(
         s.filterNot(f => partCols.contains(f.name)))
     }
+    val removed = scala.collection.mutable.ArrayBuffer[String]()
+    var skippedLeaves = 0
     def isAux(n: String) = n.startsWith("_") || n.startsWith(".")
     def rewriteLeaf(leaf: org.apache.hadoop.fs.Path): Unit = {
+      if (!force && !deepLeaves.contains(leaf.toUri.getPath)) {
+        skippedLeaves += 1
+        return
+      }
       // fs-level emptiness check BEFORE any spark.read: a leaf a
       // prior deleteWhere emptied has no footer to infer a schema
       // from, and crashing here would strand already-swapped leaves
-      // ahead of the one-shot manifest rebuild
+      // ahead of the one-shot manifest patch
       if (!fs.listStatus(leaf).exists(st =>
           st.isFile && !isAux(st.getPath.getName))) return
       val src = leafSchema.fold(spark.read)(s => spark.read.schema(s))
@@ -2429,6 +2501,7 @@ object Layout {
         require(fs.delete(p, false) || !fs.exists(p),
           s"optimizePartitioned: failed to delete $f")
       }
+      removed ++= oldFiles
     }
     def walk(cur: org.apache.hadoop.fs.Path): Unit = {
       val entries = fs.listStatus(cur)
@@ -2441,19 +2514,40 @@ object Layout {
       } else rewriteLeaf(cur)
     }
     walk(hDir)
-    // ONE stats rebuild over the optimized tree (partition discovery
-    // restores k=v stat keys; bloom keys carry over), then the
-    // sidecar retires — every leaf is schema-homogeneous now
-    val rebuilt = buildFileManifest(spark, dir, keys, bloomKeysOf(mSchema))
+    if (removed.isEmpty)
+      // every selected leaf turned out empty — nothing moved, the
+      // manifest is still exact
+      return OptimizeStats(reclustered = false, before.size, before.size,
+        worst, filesKept = before.size)
+    // ONE stats PATCH over the swapped leaves: kept leaves' manifest
+    // rows verbatim (their stats and blooms cannot drift), one delta
+    // pass over just the new files — basePath restores k=v stat keys
+    val newFiles = spark.read.parquet(dir).inputFiles.toSeq
+      .filterNot(before)
+    val delta = manifestOf(
+        spark.read.option("basePath", dir).parquet(newFiles: _*),
+        keys, bloomKeysOf(mSchema))
       .localCheckpoint(true)
-    replaceManifest(spark, dir, rebuilt)
-    Checkpoints.unpersist(rebuilt)
-    val sc = schemaSidecar(dir)
-    if (fs.exists(sc))
-      require(fs.delete(sc, false),
-        s"optimizePartitioned: failed to retire the schema sidecar at $sc")
+    import spark.implicits._
+    val removedDf = removed.toSeq.toDF("file")
+    val kept = manifest.join(broadcast(removedDf), Seq("file"), "left_anti")
+    val updated = widenWithNullCounts(kept, keys).unionByName(delta)
+      .localCheckpoint(true)
+    replaceManifest(spark, dir, updated)
+    Checkpoints.unpersist(updated)
+    Checkpoints.unpersist(delta)
+    // the sidecar retires only when every leaf rewrote: a skipped
+    // leaf may still hold files that predate an added column, and
+    // retiring it would revert their reads to footer sampling
+    if (skippedLeaves == 0) {
+      val sc = schemaSidecar(dir)
+      if (fs.exists(sc))
+        require(fs.delete(sc, false),
+          s"optimizePartitioned: failed to retire the schema sidecar at $sc")
+    }
     OptimizeStats(reclustered = true, before.size,
-      spark.read.parquet(dir).inputFiles.length, worst)
+      spark.read.parquet(dir).inputFiles.length, worst,
+      filesKept = before.size - removed.size)
   }
 
   /** Write `df` as a managed parquet table hash-bucketed (and sorted

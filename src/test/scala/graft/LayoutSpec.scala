@@ -1383,7 +1383,7 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("optimizePartitioned: per-leaf rewrites off the root-manifest trigger; evolution and blooms survive") {
+  test("optimizePartitioned: leaf-selective rewrites off per-leaf depth; evolution and blooms survive") {
     withTempDir("graft_opt_part_") { dir =>
       val d = s"$dir/t"
       val docs = spark.read.parquet(s"$sf0001/documents.parquet")
@@ -1420,10 +1420,15 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       val fs = new org.apache.hadoop.fs.Path(d)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$d/_graft_schema.json")))
-      // depth strictly improved (one file per partition is the floor
-      // a lang-partitioned layout allows for a global doc_id lookup)
+      // depth strictly improved: every leaf is at its 1-file floor,
+      // so the PER-LEAF signal that fired the rewrite is reset and a
+      // re-invocation declines as a metadata-only no-op (the global
+      // cross-leaf doc_id overlap that remains is partition-intrinsic
+      // — a partition-pruned lookup never pays it)
+      val st2b = Layout.optimizePartitioned(spark, d, 1, maxDepth = 3L)
+      assert(!st2b.reclustered && st2b.filesKept === st2b.filesBefore,
+        st2b.toString)
       val mf = Layout.loadManifest(spark, d)
-      assert(!Layout.needsRecluster(mf, "doc_id", st.worstDepthBefore))
       // blooms rebuilt over the output; both pruning forms stay exact
       assert(mf.filter(col("bloom_doc_id").isNull).count() === 0L)
       assert(Layout.scanPruned(spark, d,
@@ -1454,6 +1459,37 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       assert(st3.reclustered, st3.toString)
       assert(spark.read.parquet(d).filter(col("lang") === lang0)
         .count() === 0L)
+
+      // LEAF-selective: churn ONE partition; only it rewrites — every
+      // cold leaf keeps its exact file names and manifest rows
+      val d2 = s"$dir/t2"
+      docs.write.partitionBy("lang").mode("overwrite").parquet(d2)
+      Layout.buildFileManifest(spark, d2, Seq("doc_id", "lang"))
+        .write.mode("overwrite").parquet(s"$d2/_graft_manifest")
+      val hot = "en"
+      for (_ <- 1 to 4)
+        Layout.appendWithManifest(docs.filter(col("lang") === hot),
+          d2, Seq("doc_id", "lang"))
+      val before2 = spark.read.parquet(d2).inputFiles.toSet
+      val total2 = spark.read.parquet(d2).count()
+      val stSel = Layout.optimizePartitioned(spark, d2, 1, maxDepth = 4L)
+      assert(stSel.reclustered, stSel.toString)
+      val nCold = docs.select("lang").distinct().count().toInt - 1
+      assert(stSel.filesKept === nCold, stSel.toString)
+      val after2 = spark.read.parquet(d2)
+      assert(after2.inputFiles.toSet.intersect(before2).size === nCold,
+        "cold leaves did not keep their exact file names")
+      assert(after2.count() === total2)
+      assert(after2.filter(col("lang") === hot).count() ===
+        5L * docs.filter(col("lang") === hot).count())
+      // the PATCHED manifest still serves exact pruned reads on both
+      // partition and data keys across the hot/cold boundary
+      assert(Layout.scanPruned(spark, d2,
+          Seq(Layout.TypedKeyBox("lang", "de", "de"))).count() ===
+        docs.filter(col("lang") === "de").count())
+      assert(Layout.scanPruned(spark, d2,
+          Seq(Layout.KeyBox("doc_id", 0L, 49L))).count() ===
+        after2.filter(col("doc_id") <= 49L).count())
     }
   }
 
