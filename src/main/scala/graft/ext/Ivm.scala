@@ -60,6 +60,9 @@ object Ivm {
                   keys: Seq[String], sumCols: Seq[String],
                   opCol: String = "op"): DataFrame = {
     require(keys.nonEmpty, "maintainAgg needs at least one group key")
+    for (k <- keys) require(state.columns.contains(k),
+      s"group key $k is not a column of the state " +
+        s"(has ${state.columns.mkString(", ")})")
     val expected = (Seq("cnt") ++ sumCols.map(c => s"sum_$c")).toSet
     // EXACT shape, not subset: maintaining with a subset of the
     // view's sum columns would silently drop the others from the
@@ -84,10 +87,19 @@ object Ivm {
     // silently retype the maintained state through unionByName
     // coercion — permanently changing exactness of later maintenance.
     // Compared on the AGGREGATED delta (sum of an int feed is long,
-    // matching aggregateOf), so a consistent feed always passes
+    // matching aggregateOf), so a consistent feed always passes.
+    // Decimals compare by SCALE only: Spark widens sum(c) and
+    // sum(c*op) to different precisions (p+10 vs p+21) for the very
+    // same feed column, and precision widening under union keeps the
+    // arithmetic exact — same scale is the invariant that matters
     for (c <- "cnt" +: sumCols.map(s => s"sum_$s")) {
       val (stateT, deltaT) = (state.schema(c).dataType, delta.schema(c).dataType)
-      require(stateT == deltaT,
+      val compatible = stateT == deltaT || ((stateT, deltaT) match {
+        case (s: org.apache.spark.sql.types.DecimalType,
+              d: org.apache.spark.sql.types.DecimalType) => s.scale == d.scale
+        case _ => false
+      })
+      require(compatible,
         s"change feed aggregates $c as $deltaT but the state holds " +
           s"$stateT — a union would silently retype the maintained " +
           "state; cast the feed to the state's element type")
@@ -224,7 +236,12 @@ object Ivm {
       : (DataFrame, DataFrame, DataFrame) = {
     requireJoinShapes(aState, bState, joinKeys, groupKeys, sumCols)
     // EXACT view shape, like maintainAgg's: maintaining with a subset
-    // of the view's sum columns would silently drop the others
+    // of the view's sum columns would silently drop the others, and a
+    // group key the view lacks must fail HERE by name, not as an
+    // unresolved-column error deep inside the merge
+    for (k <- groupKeys) require(view.columns.contains(k),
+      s"group key $k is not a column of the view " +
+        s"(has ${view.columns.mkString(", ")})")
     require(view.columns.toSet.diff(groupKeys.toSet) ==
         (Seq("cnt") ++ sumCols.map(c => s"sum_$c")).toSet,
       s"view is not an aggregateOfJoin(groupKeys=$groupKeys, " +

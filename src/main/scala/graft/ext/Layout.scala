@@ -468,6 +468,43 @@ object Layout {
       s"failed to move the updated manifest into place at $mfPath")
   }
 
+  /** The shared manifest-PATCH tail of every in-place mutation verb
+    * ([[deleteWhere]], [[upsertByKeys]], [[optimizeSelective]],
+    * [[optimizePartitioned]]): kept rows = stored manifest minus
+    * `removed` (file-count-sized broadcast anti-join, never an
+    * IN-literal explosion on big manifests), widened through the
+    * pre-nulls-format migration, the delta rows (already eagerly
+    * pinned by the caller) appended, then the temp-dir + rename
+    * replace. ONE implementation so the patch discipline cannot fork
+    * between verbs. */
+  private def patchManifest(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, manifest: DataFrame,
+                            keyCols: Seq[String], removed: Seq[String],
+                            delta: Option[DataFrame]): Unit = {
+    import spark.implicits._
+    val removedDf = removed.toDF("file")
+    val kept = manifest.join(broadcast(removedDf), Seq("file"), "left_anti")
+    val keptMigrated = widenWithNullCounts(kept, keyCols)
+    val updated = delta.fold(keptMigrated)(keptMigrated.unionByName(_))
+      .localCheckpoint(true)
+    replaceManifest(spark, dir, updated)
+    Checkpoints.unpersist(updated)
+    delta.foreach(Checkpoints.unpersist)
+  }
+
+  /** Loud flat-layout guard shared by the flat OPTIMIZE verbs —
+    * `.`-prefixed dirs are writer debris (crashed .spark-staging-*),
+    * not partitions, the same exemption as the compaction walk. */
+  private def requireFlatLayout(fs: org.apache.hadoop.fs.FileSystem,
+                                hDir: org.apache.hadoop.fs.Path,
+                                verb: String): Unit =
+    require(!fs.listStatus(hDir).exists { st =>
+        val n = st.getPath.getName
+        st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+      },
+      s"$verb expects a flat clustered layout; $hDir has partition " +
+        "subdirectories — optimize each partition directory instead")
+
   private def historyDir(dir: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(s"$dir/_graft_history")
 
@@ -631,11 +668,20 @@ object Layout {
   /** Resolve a generation's manifest file names against live storage
     * first and the retirement area second — at CALL time, which is
     * what makes pinning a generation number safe under concurrent
-    * commits. Basenames are parquet part-UUIDs; a collision across
-    * retirement labels is refused, never resolved arbitrarily. */
+    * commits. BOTH sides resolve from one bulk listing each (the
+    * flat live directory and the retirement tree), never a per-file
+    * existence probe — at 100k files that is two listings instead of
+    * 100k sequential round trips. Basenames are parquet part-UUIDs;
+    * a collision across retirement labels is refused, never resolved
+    * arbitrarily. */
   private def resolveSnapshotFiles(fs: org.apache.hadoop.fs.FileSystem,
                                    dir: String, gen: Long,
                                    files: Array[String]): Seq[String] = {
+    val live: Set[String] = fs
+      .listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).toSet
     val retired: Map[String, Seq[org.apache.hadoop.fs.Path]] = {
       val r = retiredDir(dir)
       if (!fs.exists(r)) Map.empty
@@ -646,7 +692,7 @@ object Layout {
     }
     files.toIndexedSeq.map { f =>
       val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
-      if (fs.exists(p)) p.toString
+      if (live.contains(p.getName)) p.toString
       else retired.get(p.getName) match {
         case Some(Seq(rp)) => rp.toString
         case Some(many) => throw new IllegalArgumentException(
@@ -660,17 +706,30 @@ object Layout {
 
   /** Read a resolved snapshot file list under the canonical schema
     * (current sidecar when the layout has evolved); empty lists keep
-    * the schema without opening a row group. */
+    * the schema without opening a row group. A fully-emptied
+    * unevolved layout (no live data file, no sidecar) has no schema
+    * ANYWHERE to shape an empty frame with — that degenerate read
+    * fails with its own story instead of Spark's generic
+    * unable-to-infer-schema error. */
   private def readResolved(spark: org.apache.spark.sql.SparkSession,
                            dir: String,
                            resolved: Seq[String]): DataFrame = {
     val stored = storedSchemaOf(spark, dir)
-    if (resolved.isEmpty)
-      stored.fold(spark.read)(s => spark.read.schema(s)).parquet(dir)
-        .where(lit(false))
-    else
+    if (resolved.nonEmpty)
       stored.fold(spark.read)(s => spark.read.schema(s))
         .parquet(resolved: _*)
+    else stored match {
+      case Some(s) => spark.read.schema(s).parquet(dir).where(lit(false))
+      case None =>
+        try spark.read.parquet(dir).where(lit(false))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"this generation of $dir holds no rows and the live " +
+                "directory has no data file or schema sidecar to shape " +
+                s"an empty frame with (${e.getMessage})")
+        }
+    }
   }
 
   /** Trim the generation store to the last `retainLast` generations
@@ -1460,19 +1519,9 @@ object Layout {
     // just-committed survivors
     retireOrDeleteAll(fs, dir, (dropFiles ++ rewriteFiles).map(_._1),
       "deleteWhere")
-    // manifest last, via the same temp-dir + rename replace as
-    // appendWithManifest; the kept rows anti-join against the
-    // removed set (file-count-sized broadcast, never an IN-literal
-    // explosion on big manifests)
-    import spark.implicits._
-    val removedDf = (dropFiles ++ rewriteFiles).map(_._1).toSeq.toDF("file")
-    val kept = manifest.join(broadcast(removedDf), Seq("file"), "left_anti")
-    val keptMigrated = widenWithNullCounts(kept, keyCols)
-    val updated = delta.fold(keptMigrated)(keptMigrated.unionByName(_))
-      .localCheckpoint(true)
-    replaceManifest(spark, dir, updated)
-    Checkpoints.unpersist(updated)
-    delta.foreach(Checkpoints.unpersist)
+    // manifest last ([[patchManifest]]'s temp-dir + rename replace)
+    patchManifest(spark, dir, manifest, keyCols,
+      (dropFiles ++ rewriteFiles).map(_._1).toSeq, delta)
     DeleteStats(dropFiles.length, rewriteFiles.length,
       dropFiles.map(_._2).sum + rewriteFiles.map(_._2).sum - newRows)
   }
@@ -1692,16 +1741,9 @@ object Layout {
       // destroy (or retire) old data only now: the touched files are
       // fully superseded by their survivors + the inserted updates
       retireOrDeleteAll(fs, dir, touched.map(_._1).toSeq, "upsertByKeys")
-      // manifest last, via the temp-dir + rename replace; kept rows
-      // anti-join the removed set (file-count-sized broadcast)
-      import spark.implicits._
-      val removedDf = touched.map(_._1).toSeq.toDF("file")
-      val kept = manifest.join(broadcast(removedDf), Seq("file"), "left_anti")
-      val updated = widenWithNullCounts(kept, keyCols).unionByName(delta)
-        .localCheckpoint(true)
-      replaceManifest(spark, dir, updated)
-      Checkpoints.unpersist(updated)
-      Checkpoints.unpersist(delta)
+      // manifest last ([[patchManifest]]'s temp-dir + rename replace)
+      patchManifest(spark, dir, manifest, keyCols,
+        touched.map(_._1).toSeq, Some(delta))
       // newRows = survivors + updCount, so replaced = touched − survivors
       val touchedRows = touched.map(_._2).sum
       UpsertStats(touched.length, verdicts.length - touched.length,
@@ -2190,14 +2232,7 @@ object Layout {
     requireEncodingStablePath(dir)
     val hDir = new org.apache.hadoop.fs.Path(dir)
     val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // `.`-prefixed dirs are writer debris (crashed .spark-staging-*),
-    // not partitions — same exemption as the compaction walk
-    require(!fs.listStatus(hDir).exists { st =>
-        val n = st.getPath.getName
-        st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
-      },
-      s"optimize expects a flat clustered layout; $dir has partition " +
-        "subdirectories — optimize each partition directory instead")
+    requireFlatLayout(fs, hDir, "optimize")
     val manifest = loadManifest(spark, dir)
     val mSchema = manifest.schema
     val keys = manifestKeysOf(mSchema)
@@ -2235,11 +2270,19 @@ object Layout {
     // the clustered copy materialized any evolved columns, so the
     // schema sidecar retires (output is schema-homogeneous); a crash
     // before this delete leaves a sidecar naming columns every file
-    // now has — a harmless no-op for readers
-    val sc = schemaSidecar(dir)
-    if (fs.exists(sc))
-      require(fs.delete(sc, false),
-        s"optimize: failed to retire the schema sidecar at $sc")
+    // now has — a harmless no-op for readers. NOT on a
+    // generation-tracked layout: retained archived generations still
+    // reference the RETIRED pre-evolution files, and readSnapshot
+    // resolves them under the current sidecar — deleting it would
+    // revert those snapshot reads to nondeterministic footer
+    // sampling (the sidecar over the homogeneous live files is a
+    // no-op, so keeping it costs nothing)
+    if (!generationsEnabled(fs, dir)) {
+      val sc = schemaSidecar(dir)
+      if (fs.exists(sc))
+        require(fs.delete(sc, false),
+          s"optimize: failed to retire the schema sidecar at $sc")
+    }
     OptimizeStats(reclustered = true, before.size,
       spark.read.parquet(dir).inputFiles.length, worst)
   }
@@ -2314,12 +2357,7 @@ object Layout {
     requireEncodingStablePath(dir)
     val hDir = new org.apache.hadoop.fs.Path(dir)
     val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.listStatus(hDir).exists { st =>
-        val n = st.getPath.getName
-        st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
-      },
-      s"optimizeSelective expects a flat clustered layout; $dir has " +
-        "partition subdirectories — optimize each partition directory instead")
+    requireFlatLayout(fs, hDir, "optimizeSelective")
     val manifest = loadManifest(spark, dir)
     val mSchema = manifest.schema
     val keys = manifestKeysOf(mSchema)
@@ -2377,12 +2415,7 @@ object Layout {
     // kept rows verbatim, delta rows appended — the manifest is
     // PATCHED, never rebuilt, so kept files' stats (and blooms)
     // cannot drift
-    val kept = manifest.join(broadcast(selectedDf), Seq("file"), "left_anti")
-    val updated = widenWithNullCounts(kept, keys).unionByName(delta)
-      .localCheckpoint(true)
-    replaceManifest(spark, dir, updated)
-    Checkpoints.unpersist(updated)
-    Checkpoints.unpersist(delta)
+    patchManifest(spark, dir, manifest, keys, selected, Some(delta))
     OptimizeStats(reclustered = true, before.size,
       spark.read.parquet(dir).inputFiles.length, worst,
       filesKept = before.size - selected.size)
@@ -2394,12 +2427,20 @@ object Layout {
     * ([[worstDepthPerLeaf]], one job for all leaves), which is the
     * TRUE cost of a partition-pruned lookup (files in other leaves
     * never stack on it; the old root-manifest global sweep counted
-    * cross-leaf overlap a pruned read never pays). Only leaves whose
-    * own depth reaches `maxDepth` rewrite — a day's churn into one
-    * partition rewrites one leaf, not the table — each independently
-    * into `filesPerPartition` clustered outputs (no global shuffle,
-    * the same per-partition independence as [[compactPartitioned]];
-    * on a cluster the per-leaf rewrites parallelize trivially).
+    * cross-leaf overlap a pruned read never pays). A leaf rewrites
+    * when either CONVERGENT signal fires: its depth over the IN-FILE
+    * keys reaches `maxDepth` (clustering — the rewrite genuinely
+    * resets it; partition-column keys are excluded because their
+    * per-leaf "depth" is just the file count, which would
+    * re-classify every rewritten leaf deep forever once
+    * `filesPerPartition >= maxDepth`), or it holds more than
+    * `filesPerPartition` files (fragmentation/compaction — the only
+    * signal a layout whose stored keys are all partition columns
+    * has). A day's churn into one partition rewrites one leaf, not
+    * the table — each independently into `filesPerPartition`
+    * clustered outputs (no global shuffle, the same per-partition
+    * independence as [[compactPartitioned]]; on a cluster the
+    * per-leaf rewrites parallelize trivially).
     * `force` rewrites every leaf. Within a leaf the clustering runs
     * on the stored keys that live in the FILES (a stored key that is
     * a partition column is constant inside the leaf — nothing to
@@ -2441,17 +2482,43 @@ object Layout {
     val manifest = loadManifest(spark, dir)
     val mSchema = manifest.schema
     val keys = manifestKeysOf(mSchema)
+    // in-file clustering keys: stored keys that are NOT path-encoded
+    val fileKeys = keys.filterNot(partCols.contains)
     // leaf identity is compared by fs path (the manifest's URI
     // spelling and listStatus's can differ on authority form)
-    val perLeafWorst: Map[String, Long] = keys
-      .map(worstDepthPerLeaf(manifest, _))
-      .reduce(_.unionAll(_))
-      .groupBy("leaf").agg(max("worst").as("worst")).collect()
+    def perLeaf(ks: Seq[String]): Map[String, Long] =
+      if (ks.isEmpty) Map.empty
+      else ks.map(worstDepthPerLeaf(manifest, _))
+        .reduce(_.unionAll(_))
+        .groupBy("leaf").agg(max("worst").as("worst")).collect()
+        .map(r => new org.apache.hadoop.fs.Path(
+          new java.net.URI(r.getString(0))).toUri.getPath -> r.getLong(1))
+        .toMap
+    // two CONVERGENT per-leaf signals decide the rewrite set. (1)
+    // Clustering: depth over the IN-FILE keys reaches maxDepth — a
+    // rewrite range/Z-clusters the leaf and genuinely resets it. A
+    // partition-column key must NOT feed this signal: its per-file
+    // stats are constant within the leaf, so its "depth" is just the
+    // leaf's file count, and with filesPerPartition >= maxDepth the
+    // verb would re-classify every rewritten leaf deep forever — an
+    // unbounded full-tree rewrite loop. (2) Fragmentation: more
+    // files than filesPerPartition — the compaction signal (and the
+    // only one a layout whose stored keys are all partition columns
+    // has); converges by construction since the rewrite emits
+    // exactly filesPerPartition outputs.
+    val depthByLeaf = perLeaf(fileKeys)
+    val filesByLeaf: Map[String, Long] = manifest
+      .withColumn("__leaf", regexp_replace(col("file"), "/[^/]+$", ""))
+      .groupBy("__leaf").agg(count(lit(1)).as("n")).collect()
       .map(r => new org.apache.hadoop.fs.Path(
         new java.net.URI(r.getString(0))).toUri.getPath -> r.getLong(1))
       .toMap
-    val worst = if (perLeafWorst.isEmpty) 0L else perLeafWorst.values.max
-    val deepLeaves = perLeafWorst.filter(_._2 >= maxDepth).keySet
+    val deepLeaves = depthByLeaf.filter(_._2 >= maxDepth).keySet ++
+      filesByLeaf.filter(_._2 > filesPerPartition).keySet
+    // reported signal: per-leaf worst over ALL stored keys — the
+    // documented "max point-lookup depth across the stored keys"
+    val perLeafAll = perLeaf(keys)
+    val worst = if (perLeafAll.isEmpty) 0L else perLeafAll.values.max
     val before = dirFrame.inputFiles.toSet
     if (!force && deepLeaves.isEmpty)
       return OptimizeStats(reclustered = false, before.size, before.size,
@@ -2462,8 +2529,6 @@ object Layout {
       requireManifestCovers(spark, dirFrame,
         manifest.select("file").collect().map(_.getString(0)).toSet, dir,
         "the rewrite would silently legitimize their rows into the new layout")
-    // in-file clustering keys: stored keys that are NOT path-encoded
-    val fileKeys = keys.filterNot(partCols.contains)
     val allLong = fileKeys.forall(k =>
       mSchema(s"min_$k").dataType == org.apache.spark.sql.types.LongType)
     val leafSchema = storedSchemaOf(spark, dir).map { s =>
@@ -2528,14 +2593,7 @@ object Layout {
         spark.read.option("basePath", dir).parquet(newFiles: _*),
         keys, bloomKeysOf(mSchema))
       .localCheckpoint(true)
-    import spark.implicits._
-    val removedDf = removed.toSeq.toDF("file")
-    val kept = manifest.join(broadcast(removedDf), Seq("file"), "left_anti")
-    val updated = widenWithNullCounts(kept, keys).unionByName(delta)
-      .localCheckpoint(true)
-    replaceManifest(spark, dir, updated)
-    Checkpoints.unpersist(updated)
-    Checkpoints.unpersist(delta)
+    patchManifest(spark, dir, manifest, keys, removed.toSeq, Some(delta))
     // the sidecar retires only when every leaf rewrote: a skipped
     // leaf may still hold files that predate an added column, and
     // retiring it would revert their reads to footer sampling

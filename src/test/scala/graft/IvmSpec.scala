@@ -97,6 +97,30 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
     assert(retype.getMessage.contains("retype"))
   }
 
+  test("decimal sum columns stay maintainable: scale-stable precision widening is not a retype") {
+    // Spark types sum(c) and sum(c*op) over the SAME decimal(10,2)
+    // column at different precisions (p+10 vs p+21); the type guard
+    // must accept that (scale is the exactness invariant) or every
+    // decimal-measured view becomes unmaintainable
+    val base = Seq(("a", "1.50"), ("a", "2.25")).toDF("k", "raw")
+      .select(col("k"), col("raw").cast("decimal(10,2)").as("v"))
+    val st0 = Ivm.aggregateOf(base, Seq("k"), Seq("v"))
+    val feed = Seq(("a", "0.25", 1), ("b", "9.75", 1)).toDF("k", "raw", "op")
+      .select(col("k"), col("raw").cast("decimal(10,2)").as("v"), col("op"))
+    val st1 = Ivm.maintainAgg(st0, feed, Seq("k"), Seq("v"))
+    assert(st1.orderBy("k").collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getDecimal(2).toPlainString)).toSeq
+      === Seq(("a", 3L, "4.00"), ("b", 1L, "9.75")))
+    // a DIFFERENT scale would silently shift the arithmetic — refused
+    val badScale = intercept[IllegalArgumentException] {
+      Ivm.maintainAgg(st1,
+        feed.select(col("k"), col("v").cast("decimal(10,3)").as("v"),
+          col("op")),
+        Seq("k"), Seq("v"))
+    }
+    assert(badScale.getMessage.contains("retype"))
+  }
+
   private def canonJoin(df: org.apache.spark.sql.DataFrame): Seq[(String, String, Long, Long)] =
     df.select("prio", "f", "cnt", "sum_v").as[(String, String, Long, Long)]
       .collect().sorted.toSeq

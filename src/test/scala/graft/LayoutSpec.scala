@@ -1490,6 +1490,18 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       assert(Layout.scanPruned(spark, d2,
           Seq(Layout.KeyBox("doc_id", 0L, 49L))).count() ===
         after2.filter(col("doc_id") <= 49L).count())
+
+      // convergence with filesPerPartition >= maxDepth: the rewrite
+      // must not re-classify its own output deep — a partition-column
+      // key's per-leaf "depth" is just the file count and is excluded
+      // from the clustering signal, else every call would full-tree
+      // rewrite forever
+      val stConv = Layout.optimizePartitioned(spark, d2, 4,
+        maxDepth = 4L, force = true)
+      assert(stConv.reclustered, stConv.toString)
+      val stConv2 = Layout.optimizePartitioned(spark, d2, 4, maxDepth = 4L)
+      assert(!stConv2.reclustered,
+        "rewrite output re-classified deep — unbounded rewrite loop")
     }
   }
 
@@ -1720,6 +1732,23 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
         Layout.enableGenerations(spark, pd)
       }
       assert(flat.getMessage.contains("flat"))
+
+      // schema-evolved + generation-tracked: a full optimize KEEPS
+      // the sidecar — archived generations still reference retired
+      // pre-evolution files, whose snapshot reads must keep resolving
+      // the added column deterministically
+      Layout.appendWithManifest(
+        Seq((600L, 1L, 5.0)).toDF("k", "v", "w").repartition(1),
+        d, Seq("k"), mergeSchema = true)
+      val gEvolve = Layout.currentGeneration(spark, d)
+      val stOpt = Layout.optimize(spark, d, files = 2, force = true)
+      assert(stOpt.reclustered, stOpt.toString)
+      assert(Layout.storedSchemaOf(spark, d).nonEmpty,
+        "optimize retired the sidecar on a generation-tracked layout")
+      val snapE = Layout.readSnapshot(spark, d, gEvolve)
+      assert(snapE.filter(col("w") === 5.0).count() === 1L)
+      assert(snapE.filter(col("k") === 60L).select("w")
+        .collect()(0).isNullAt(0))
     }
   }
 
