@@ -273,4 +273,217 @@ object Ivm {
     }
     (mergeStates(view, delta, groupKeys, sumCols), aNew, bNew)
   }
+
+  // ──────────────────── self-refreshing materialized views ────────────────────
+  //
+  // The capstone the pieces exist for: a PERSISTED aggregate view over
+  // a generation-tracked [[Layout]] directory that refreshes itself by
+  // diffing generations ([[Layout.changesBetween]]) and maintaining
+  // ([[maintainAgg]]) — never recomputing from the base. The view dir
+  // holds a JSON meta sidecar (base dir, group keys, sum columns) and
+  // exactly one state parquet dir named by the BASE GENERATION it
+  // reflects (`state_gen=G`); refresh commits by writing the new state
+  // to a temp dir, renaming it to `state_gen=cur`, then dropping the
+  // old — a crash between rename and drop leaves two states, and the
+  // next refresh takes the max and lazily cleans the rest, so every
+  // crash window re-converges instead of double-applying a feed.
+
+  /** One refresh's outcome: the generation span applied and whether
+    * any maintenance ran (`refreshed = false` = already current). */
+  case class ViewRefreshStats(fromGen: Long, toGen: Long, refreshed: Boolean)
+
+  private def viewMetaPath(viewDir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$viewDir/_graft_view.json")
+
+  private def viewStatePath(viewDir: String,
+                            gen: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$viewDir/state_gen=$gen")
+
+  private def viewFs(spark: org.apache.spark.sql.SparkSession,
+                     viewDir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The state generations present on disk — normally one; two is a
+    * refresh's rename-then-drop crash window (max wins). */
+  private def viewStateGens(fs: org.apache.hadoop.fs.FileSystem,
+                            viewDir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(viewDir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("state_gen="))
+      .map(_.stripPrefix("state_gen=").toLong)
+  }
+
+  private def readViewMeta(spark: org.apache.spark.sql.SparkSession,
+                           viewDir: String): (String, Seq[String], Seq[String]) = {
+    val fs = viewFs(spark, viewDir)
+    val p = viewMetaPath(viewDir)
+    require(fs.exists(p),
+      s"$viewDir holds no materialized view (missing ${p.getName}) — " +
+        "createView first")
+    val in = fs.open(p)
+    val json = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      out.toString("UTF-8")
+    } finally in.close()
+    import org.json4s._
+    val jv = org.json4s.jackson.JsonMethods.parse(json)
+    def str(j: JValue, what: String): String = j match {
+      case JString(s) => s
+      case other => throw new IllegalArgumentException(
+        s"malformed view meta at $p: $what is $other")
+    }
+    def strs(j: JValue, what: String): Seq[String] = j match {
+      case JArray(xs) => xs.map(str(_, what))
+      case other => throw new IllegalArgumentException(
+        s"malformed view meta at $p: $what is $other")
+    }
+    (str(jv \ "base", "base"), strs(jv \ "keys", "keys"),
+      strs(jv \ "sums", "sums"))
+  }
+
+  /** Commit a state frame as the view's `state_gen=[gen]` via the
+    * temp + rename discipline: the write materializes into a
+    * `_`-prefixed temp dir (invisible if orphaned, overwritten by the
+    * next attempt), then one rename publishes it. */
+  private def commitViewState(spark: org.apache.spark.sql.SparkSession,
+                              viewDir: String, gen: Long,
+                              state: DataFrame): Unit = {
+    val fs = viewFs(spark, viewDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$viewDir/_state_tmp")
+    state.write.mode("overwrite").parquet(tmp.toString)
+    val dest = viewStatePath(viewDir, gen)
+    require(!fs.exists(dest),
+      s"view state $dest already exists — concurrent refreshers?")
+    require(fs.rename(tmp, dest),
+      s"failed to publish the view state at $dest")
+  }
+
+  /** CREATE MATERIALIZED VIEW: bootstrap an [[aggregateOf]] state over
+    * the base layout's CURRENT generation (pinned by number, so a
+    * concurrent commit mid-bootstrap cannot tear the read) and persist
+    * it under `viewDir` with a meta sidecar naming the base and the
+    * aggregate shape. The base must be generation-tracked
+    * ([[Layout.enableGenerations]]) — that is what [[refreshView]]
+    * diffs against. `viewDir` must not already hold a view; stranded
+    * state dirs from a crashed create (no meta sidecar yet = the view
+    * never existed) are cleaned and rebuilt, not inherited. */
+  def createView(spark: org.apache.spark.sql.SparkSession,
+                 baseDir: String, viewDir: String, keys: Seq[String],
+                 sumCols: Seq[String]): ViewRefreshStats = {
+    require(keys.nonEmpty, "createView needs at least one group key")
+    val fs = viewFs(spark, viewDir)
+    require(!fs.exists(viewMetaPath(viewDir)),
+      s"$viewDir already holds a materialized view — refreshView to " +
+        "advance it, or remove the directory to re-create")
+    for (g <- viewStateGens(fs, viewDir))
+      require(fs.delete(viewStatePath(viewDir, g), true),
+        s"failed to clean stranded pre-meta state state_gen=$g")
+    val gen = Layout.currentGeneration(spark, baseDir)
+    // readSnapshot both pins the bootstrap read AND loudly refuses an
+    // untracked base — a view over an untracked dir could never refresh
+    val state = aggregateOf(
+      Layout.readSnapshot(spark, baseDir, gen)
+        .select((keys ++ sumCols).map(col): _*),
+      keys, sumCols)
+    commitViewState(spark, viewDir, gen, state)
+    // meta last: its presence is what marks the view as existing, so
+    // every earlier crash leaves "no view" rather than a half-view
+    import org.json4s.JsonDSL._
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("base" -> baseDir) ~ ("keys" -> keys) ~ ("sums" -> sumCols)))
+    val out = fs.create(viewMetaPath(viewDir), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    ViewRefreshStats(gen, gen, refreshed = true)
+  }
+
+  /** The base generation the view's persisted state reflects. */
+  def viewGeneration(spark: org.apache.spark.sql.SparkSession,
+                     viewDir: String): Long = {
+    readViewMeta(spark, viewDir)
+    val gens = viewStateGens(viewFs(spark, viewDir), viewDir)
+    require(gens.nonEmpty,
+      s"$viewDir has a meta sidecar but no state dir — rebuildView")
+    gens.max
+  }
+
+  /** Read the materialized view's current state (`keys`, `cnt`,
+    * `sum_<c>`) — a state-sized parquet read, never touching the
+    * base. */
+  def readView(spark: org.apache.spark.sql.SparkSession,
+               viewDir: String): DataFrame =
+    spark.read.parquet(
+      viewStatePath(viewDir, viewGeneration(spark, viewDir)).toString)
+
+  /** REFRESH MATERIALIZED VIEW, incrementally: diff the base's
+    * generation store from the view's pinned generation to the live
+    * one ([[Layout.changesBetween]] — file-level, churn-priced),
+    * maintain the persisted state ([[maintainAgg]]), and commit the
+    * result as the new pinned state. Idempotent when already current
+    * (`refreshed = false`, no job runs). A base vacuumed PAST the
+    * view's generation fails loudly in changesBetween (the archived
+    * manifest is gone) — recovery is [[rebuildView]]; retain enough
+    * generations to cover the refresh cadence. A view state AHEAD of
+    * the base's live generation means the base was rebuilt out from
+    * under the view and is refused by name. */
+  def refreshView(spark: org.apache.spark.sql.SparkSession,
+                  viewDir: String): ViewRefreshStats = {
+    val (base, keys, sums) = readViewMeta(spark, viewDir)
+    val fs = viewFs(spark, viewDir)
+    val gens = viewStateGens(fs, viewDir)
+    require(gens.nonEmpty,
+      s"$viewDir has a meta sidecar but no state dir — rebuildView")
+    val pinned = gens.max
+    // lazily heal the rename-then-drop crash window: older states are
+    // superseded by construction (max wins), never re-applied
+    for (g <- gens if g < pinned)
+      require(fs.delete(viewStatePath(viewDir, g), true),
+        s"failed to drop superseded view state state_gen=$g")
+    val cur = Layout.currentGeneration(spark, base)
+    if (cur == pinned) return ViewRefreshStats(pinned, pinned, refreshed = false)
+    require(cur > pinned,
+      s"view state at generation $pinned is AHEAD of the base's live " +
+        s"$cur — $base was rebuilt or replaced out from under the " +
+        "view; rebuildView against the new base history")
+    val state = spark.read.parquet(viewStatePath(viewDir, pinned).toString)
+    val feed = Layout.changesBetween(spark, base, pinned, cur)
+    val next = maintainAgg(state,
+      feed.select((keys ++ sums :+ "op").map(col): _*), keys, sums)
+    commitViewState(spark, viewDir, cur, next)
+    require(fs.delete(viewStatePath(viewDir, pinned), true),
+      s"failed to drop the superseded view state state_gen=$pinned")
+    ViewRefreshStats(pinned, cur, refreshed = true)
+  }
+
+  /** Full recompute fallback for the documented refresh boundary
+    * (base vacuumed past the view's generation, or a base rebuilt
+    * under the view): re-bootstrap at the live generation and replace
+    * the state, keeping the meta sidecar. */
+  def rebuildView(spark: org.apache.spark.sql.SparkSession,
+                  viewDir: String): ViewRefreshStats = {
+    val (base, keys, sums) = readViewMeta(spark, viewDir)
+    val fs = viewFs(spark, viewDir)
+    val cur = Layout.currentGeneration(spark, base)
+    val state = aggregateOf(
+      Layout.readSnapshot(spark, base, cur)
+        .select((keys ++ sums).map(col): _*),
+      keys, sums)
+    val old = viewStateGens(fs, viewDir)
+    // the rebuilt state may land on a label an old state already
+    // names (nothing mutated since) — that one must clear BEFORE the
+    // publish; every other old state drops AFTER, so the only crash
+    // window without a live state is mid-collision-replace, whose
+    // recovery is this same verb
+    if (old.contains(cur))
+      require(fs.delete(viewStatePath(viewDir, cur), true),
+        s"failed to drop view state state_gen=$cur before rebuild")
+    commitViewState(spark, viewDir, cur, state)
+    for (g <- old if g != cur)
+      require(fs.delete(viewStatePath(viewDir, g), true),
+        s"failed to drop superseded view state state_gen=$g")
+    ViewRefreshStats(old.maxOption.getOrElse(cur), cur, refreshed = true)
+  }
 }

@@ -554,15 +554,70 @@ object Layout {
     ()
   }
 
+  /** The generation-counter FLOOR marker [[vacuumGenerations]] leaves
+    * behind: the archived manifests are the counter's only record, so
+    * a vacuum that drops ALL of them (retainLast = 1) would otherwise
+    * RESET [[currentGeneration]] to 0 — and the next commit would
+    * archive as a colliding `gen=0`, silently serving pinned readers
+    * a different snapshot under a label they already hold. The floor
+    * is the live generation at vacuum time, written BEFORE any
+    * deletion and monotone across vacuums. */
+  private def genFloorPath(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(historyDir(dir), "_floor")
+
+  private def genFloorOf(fs: org.apache.hadoop.fs.FileSystem,
+                         dir: String): Long = {
+    val p = genFloorPath(dir)
+    if (!fs.exists(p)) {
+      // a stranded .tmp next to a MISSING floor is the vacuum's
+      // delete+rename crash window: silently returning 0 here is the
+      // exact counter reset the floor exists to prevent. Fail loudly;
+      // recovery is renaming the .tmp (a complete value) into place.
+      val tmp = new org.apache.hadoop.fs.Path(historyDir(dir), "_floor.tmp")
+      require(!fs.exists(tmp),
+        s"stranded generation-floor temp at $tmp with no live floor — " +
+          s"a vacuum crashed between delete and rename; rename it to $p " +
+          "to recover the generation counter")
+      0L
+    }
+    else {
+      val in = fs.open(p)
+      val txt = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 256, false)
+        out.toString("UTF-8").trim
+      } finally in.close()
+      // a torn floor must fail loudly, never parse as a smaller
+      // number: the whole point is refusing to re-issue old labels
+      try txt.toLong catch {
+        case _: NumberFormatException =>
+          throw new IllegalStateException(
+            s"corrupt generation floor at $p (read '$txt') — restore " +
+              "it to the last live generation number before mutating")
+      }
+    }
+  }
+
   /** The LIVE generation number: archived generations are
     * `0 .. current-1`, the live manifest is `current`. 0 until the
-    * first post-enable mutation commits. */
+    * first post-enable mutation commits. Takes the max of the
+    * archived labels and the vacuum floor, so a full vacuum
+    * (retainLast = 1) cannot reset the counter and re-issue labels
+    * pinned readers already hold. */
   def currentGeneration(spark: org.apache.spark.sql.SparkSession,
                         dir: String): Long = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    liveGenOf(fs, dir)
+  }
+
+  /** THE live-generation computation — shared by [[currentGeneration]]
+    * and the retirement labeler so the two can never disagree on what
+    * number the next commit gets. */
+  private def liveGenOf(fs: org.apache.hadoop.fs.FileSystem,
+                        dir: String): Long = {
     val gens = archivedGens(fs, dir)
-    if (gens.isEmpty) 0L else gens.max + 1L
+    math.max(if (gens.isEmpty) 0L else gens.max + 1L, genFloorOf(fs, dir))
   }
 
   /** Retire (generation-tracked layout) or delete (plain layout) the
@@ -585,9 +640,7 @@ object Layout {
           s"$verb: failed to delete $f")
       }
     } else {
-      val g = archivedGens(fs, dir) match {
-        case Nil => 0L; case gens => gens.max + 1L
-      }
+      val g = liveGenOf(fs, dir)
       val destDir = new org.apache.hadoop.fs.Path(retiredDir(dir), s"gen=$g")
       fs.mkdirs(destDir)
       for (f <- files) {
@@ -732,6 +785,65 @@ object Layout {
     }
   }
 
+  /** CHANGE DATA FEED between two generations of a generation-tracked
+    * layout: a signed row feed (the data columns plus `opCol` ∈
+    * {+1, −1}) that turns snapshot `genFrom` into snapshot `genTo`
+    * as a multiset — every row of a file the later manifest DROPPED
+    * carries −1, every row of a file it ADDED carries +1, and files
+    * present in both generations contribute nothing and are NEVER
+    * OPENED. The diff is file-level off the two manifests (two
+    * manifest-sized listings plan it), so deriving the feed costs ∝
+    * the churn between the snapshots, not the table — the Delta-CDF
+    * shape recovered from the generation store alone, with no
+    * per-row change files written at commit time.
+    *
+    * The feed is exactly what [[graft.ext.Ivm.maintainAgg]] /
+    * [[graft.ext.Ivm.maintainJoinAgg]] consume: a view bootstrapped
+    * over `readSnapshot(genFrom)` and maintained with this feed
+    * equals the recompute over `readSnapshot(genTo)` — the
+    * materialized-view refresh loop closed end-to-end by the
+    * lakehouse verbs themselves (deleteWhere / upsertByKeys /
+    * append each commit one generation; one feed spans any number
+    * of them, and adjacent feeds compose). An optimize/compact
+    * between the generations rewrites data-IDENTICAL files, so the
+    * feed carries matched ±1 pairs for those rows: maintenance nets
+    * them to zero in its first map-side aggregation — correct, but
+    * the feed's SIZE is the rewritten churn; when a table was just
+    * churned by OPTIMIZE, diff around that boundary, not across it.
+    *
+    * Schema-evolved layouts resolve BOTH sides under the current
+    * sidecar (files predating an added column surface null for it),
+    * so the two sides always union by name; a data column already
+    * named `opCol` is refused rather than silently shadowed. */
+  def changesBetween(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, genFrom: Long, genTo: Long,
+                     opCol: String = "op"): DataFrame = {
+    requireEncodingStablePath(dir)
+    require(genFrom <= genTo,
+      s"changesBetween needs genFrom <= genTo; got $genFrom > $genTo " +
+        "(swap the arguments and negate ops for the inverse feed)")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fromFiles = snapshotManifestOf(spark, fs, dir, genFrom)
+      .select("file").collect().map(_.getString(0)).toSet
+    val toFiles = snapshotManifestOf(spark, fs, dir, genTo)
+      .select("file").collect().map(_.getString(0)).toSet
+    // deterministic file order on both sides — the feed's physical
+    // row order is not part of its contract, but plans should not
+    // churn run-to-run on a Set's iteration order
+    val removed = (fromFiles -- toFiles).toArray.sorted
+    val added = (toFiles -- fromFiles).toArray.sorted
+    val minus = readResolved(spark, dir,
+      resolveSnapshotFiles(fs, dir, genFrom, removed))
+    require(!minus.columns.contains(opCol),
+      s"the layout already carries a column named $opCol — pass a " +
+        "different opCol for the feed's sign column")
+    val plus = readResolved(spark, dir,
+      resolveSnapshotFiles(fs, dir, genTo, added))
+    minus.withColumn(opCol, lit(-1))
+      .unionByName(plus.withColumn(opCol, lit(1)))
+  }
+
   /** Trim the generation store to the last `retainLast` generations
     * (live included): archived manifests and retired-file dirs
     * labeled below the cut are deleted — every RETAINED snapshot
@@ -746,7 +858,21 @@ object Layout {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(generationsEnabled(fs, dir),
       s"$dir is not generation-tracked — nothing to vacuum")
-    val cut = currentGeneration(spark, dir) - (retainLast - 1L)
+    val cur = currentGeneration(spark, dir)
+    val cut = cur - (retainLast - 1L)
+    // persist the generation counter BEFORE any deletion: the
+    // archived manifests are its only other record, and a full vacuum
+    // (retainLast = 1) drops them all — without the floor the counter
+    // would reset and the next commit would re-issue a label pinned
+    // readers already hold. Tmp + rename so a torn write can never
+    // read as a smaller number.
+    val floorTmp = new org.apache.hadoop.fs.Path(historyDir(dir), "_floor.tmp")
+    val out = fs.create(floorTmp, true)
+    try out.write(cur.toString.getBytes("UTF-8")) finally out.close()
+    require(fs.delete(genFloorPath(dir), false) || !fs.exists(genFloorPath(dir)),
+      s"vacuum: failed to clear the old generation floor at ${genFloorPath(dir)}")
+    require(fs.rename(floorTmp, genFloorPath(dir)),
+      s"vacuum: failed to persist the generation floor at ${genFloorPath(dir)}")
     var (mfDropped, filesDropped) = (0, 0)
     for (g <- archivedGens(fs, dir) if g < cut) {
       val p = new org.apache.hadoop.fs.Path(historyDir(dir), s"gen=$g")

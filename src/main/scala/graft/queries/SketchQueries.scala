@@ -1833,5 +1833,134 @@ object SketchQueries {
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM pruned GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true),
+
+    // Change data feed → incremental view refresh —
+    // [[Layout.changesBetween]] derives a SIGNED row feed from the
+    // generation store's file-level diff (files both manifests share
+    // never open), and [[graft.ext.Ivm.maintainAgg]] consumes it
+    // directly: the view bootstraps over generation 0, the table then
+    // takes a deleteWhere (gen 1), a CDC upsert that UPDATES a
+    // disjoint band (gen 2), and an append of brand-new rows (gen 3),
+    // and ONE feed spanning all three commits maintains the view to
+    // exactly the generation-3 recompute — Delta's CDF → materialized
+    // view loop, recovered from the manifests alone with no change
+    // files written at commit time. Oracle = DuckDB's replay of the
+    // same delete / merge / append derivation, aggregated from
+    // scratch.
+    QueryDef("q_layout_cdf",
+      (s, d) => {
+        val dir = prunedFixture.computeIfAbsent(s"$d#docs_cdf", _ => {
+          val p = graft.Scratch.tempDir("graft_cdf_") + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(8, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          Layout.enableGenerations(s, p)
+          val del = Layout.deleteWhere(s, p,
+            Seq(Layout.KeyBox("doc_id", 100L, 199L)))
+          val upd = docs.filter(col("doc_id").between(200, 209))
+            .withColumn("n_chars", col("n_chars") + lit(1000))
+          val up = Layout.upsertByKey(s, p, upd, "doc_id")
+          val app = docs.filter(col("doc_id") < 50)
+            .withColumn("doc_id", col("doc_id") + lit(500000L))
+          Layout.appendWithManifest(app, p, Seq("doc_id"))
+          require(del.rowsDeleted > 0L && up.rowsUpserted == 10L &&
+              Layout.currentGeneration(s, p) == 3L,
+            s"degenerate fixture: $del / $up / " +
+              s"gen=${Layout.currentGeneration(s, p)}")
+          p
+        })
+        val state0 = graft.ext.Ivm.aggregateOf(
+          Layout.readSnapshot(s, dir, 0L).select("lang", "n_chars"),
+          Seq("lang"), Seq("n_chars"))
+        val feed = Layout.changesBetween(s, dir, 0L,
+          Layout.currentGeneration(s, dir))
+        graft.ext.Ivm.maintainAgg(
+            state0, feed.select("lang", "n_chars", "op"),
+            Seq("lang"), Seq("n_chars"))
+          .orderBy("lang")
+      },
+      Some("""WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+             |after_del AS (
+             |  SELECT * FROM base WHERE doc_id NOT BETWEEN 100 AND 199),
+             |merged AS (
+             |  SELECT * FROM after_del WHERE doc_id NOT BETWEEN 200 AND 209
+             |  UNION ALL
+             |  SELECT doc_id, lang, n_chars + 1000 FROM base
+             |  WHERE doc_id BETWEEN 200 AND 209),
+             |final AS (
+             |  SELECT * FROM merged
+             |  UNION ALL
+             |  SELECT doc_id + 500000, lang, n_chars FROM base
+             |  WHERE doc_id < 50)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+             |FROM final GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
+
+    // Self-refreshing materialized view — [[graft.ext.Ivm.createView]]
+    // persists an aggregate state pinned to the base layout's
+    // generation, and [[graft.ext.Ivm.refreshView]] advances it by
+    // diffing generations (changesBetween) and maintaining
+    // (maintainAgg), never recomputing from the base: the fixture
+    // takes TWO refresh cycles (delete+upsert, then append) plus a
+    // proved no-op refresh, and the final persisted state must equal
+    // the from-scratch recompute — CREATE/REFRESH MATERIALIZED VIEW
+    // over the lakehouse verbs, end to end. Refresh cost is
+    // |churned files| + |state|; at 100 TB the view never re-shuffles
+    // the fact table.
+    QueryDef("q_layout_mv",
+      (s, d) => {
+        val viewDir = prunedFixture.computeIfAbsent(s"$d#docs_mv", _ => {
+          val root = graft.Scratch.tempDir("graft_mv_")
+          val p = root + "/documents"
+          val v = root + "/view"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(8, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          Layout.enableGenerations(s, p)
+          graft.ext.Ivm.createView(s, p, v, Seq("lang"), Seq("n_chars"))
+          Layout.deleteWhere(s, p,
+            Seq(Layout.KeyBox("doc_id", 300L, 399L)))
+          val upd = docs.filter(col("doc_id").between(400, 409))
+            .withColumn("n_chars", col("n_chars") + lit(500))
+          Layout.upsertByKey(s, p, upd, "doc_id")
+          val r1 = graft.ext.Ivm.refreshView(s, v)
+          require(r1.refreshed && r1.fromGen == 0L && r1.toGen == 2L,
+            s"degenerate fixture: $r1")
+          val app = docs.filter(col("doc_id") < 30)
+            .withColumn("doc_id", col("doc_id") + lit(700000L))
+          Layout.appendWithManifest(app, p, Seq("doc_id"))
+          val r2 = graft.ext.Ivm.refreshView(s, v)
+          require(r2.refreshed && r2.fromGen == 2L && r2.toGen == 3L,
+            s"degenerate fixture: $r2")
+          require(!graft.ext.Ivm.refreshView(s, v).refreshed,
+            "a current view must refresh as a no-op")
+          v
+        })
+        graft.ext.Ivm.readView(s, viewDir).orderBy("lang")
+      },
+      Some("""WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+             |after_del AS (
+             |  SELECT * FROM base WHERE doc_id NOT BETWEEN 300 AND 399),
+             |merged AS (
+             |  SELECT * FROM after_del WHERE doc_id NOT BETWEEN 400 AND 409
+             |  UNION ALL
+             |  SELECT doc_id, lang, n_chars + 500 FROM base
+             |  WHERE doc_id BETWEEN 400 AND 409),
+             |final AS (
+             |  SELECT * FROM merged
+             |  UNION ALL
+             |  SELECT doc_id + 700000, lang, n_chars FROM base
+             |  WHERE doc_id < 30)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+             |FROM final GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
   )
 }

@@ -245,4 +245,77 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
       } finally q.stop()
     }
   }
+
+  test("materialized view lifecycle: create/refresh/rebuild, crash healing, loud boundaries") {
+    import graft.ext.Layout
+    withTempDir("graft_mv_") { dir =>
+      val base = s"$dir/t"
+      val view = s"$dir/v"
+      (0L to 99L).map(k => (k, k % 5, k)).toDF("k", "g", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(base)
+      Layout.buildFileManifest(spark, base, Seq("k"))
+        .write.mode("overwrite").parquet(s"$base/_graft_manifest")
+      Layout.enableGenerations(spark, base)
+      val created = Ivm.createView(spark, base, view, Seq("g"), Seq("v"))
+      assert(created.toGen === 0L && Ivm.viewGeneration(spark, view) === 0L)
+      def gcanon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+        df.select("g", "cnt", "sum_v").as[(Long, Long, Long)]
+          .collect().sortBy(_._1).toSeq
+      def recomputeLive(): Seq[(Long, Long, Long)] =
+        gcanon(Ivm.aggregateOf(spark.read.parquet(base).select("g", "v"),
+          Seq("g"), Seq("v")))
+      assert(gcanon(Ivm.readView(spark, view)) === recomputeLive())
+      // two commits, one refresh span
+      Layout.deleteWhere(spark, base, Seq(Layout.KeyBox("k", 0L, 19L)))
+      Layout.upsertByKey(spark, base,
+        Seq((50L, 0L, 999L), (200L, 3L, 7L)).toDF("k", "g", "v"), "k")
+      val r1 = Ivm.refreshView(spark, view)
+      assert(r1 === Ivm.ViewRefreshStats(0L, 2L, refreshed = true))
+      assert(gcanon(Ivm.readView(spark, view)) === recomputeLive())
+      // idempotent when current: no state change, no maintenance
+      assert(!Ivm.refreshView(spark, view).refreshed)
+      // crash healing: a stranded SUPERSEDED state (rename-then-drop
+      // window) is dropped, the max state refreshes as usual
+      val fs = new org.apache.hadoop.fs.Path(view)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      spark.read.parquet(s"$view/state_gen=2")
+        .write.mode("overwrite").parquet(s"$view/state_gen=1")
+      Layout.appendWithManifest(
+        (300L to 309L).map(k => (k, 1L, k)).toDF("k", "g", "v")
+          .repartition(1), base, Seq("k"))
+      val r2 = Ivm.refreshView(spark, view)
+      assert(r2 === Ivm.ViewRefreshStats(2L, 3L, refreshed = true))
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$view/state_gen=1")),
+        "the stranded superseded state survived the refresh")
+      assert(gcanon(Ivm.readView(spark, view)) === recomputeLive())
+      // re-create on an existing view is refused
+      val dup = intercept[IllegalArgumentException] {
+        Ivm.createView(spark, base, view, Seq("g"), Seq("v"))
+      }
+      assert(dup.getMessage.contains("already holds"))
+      // vacuum past the view's pinned generation: refresh fails loudly
+      // (the archived manifest is gone), rebuildView recovers
+      Layout.deleteWhere(spark, base, Seq(Layout.KeyBox("k", 90L, 99L)))
+      Layout.vacuumGenerations(spark, base, retainLast = 1)
+      val gone = intercept[IllegalArgumentException] {
+        Ivm.refreshView(spark, view)
+      }
+      assert(gone.getMessage.contains("vacuum"))
+      val rb = Ivm.rebuildView(spark, view)
+      assert(rb.refreshed && rb.toGen === 4L)
+      assert(gcanon(Ivm.readView(spark, view)) === recomputeLive())
+      assert(!Ivm.refreshView(spark, view).refreshed)
+      // a view over an untracked base cannot even bootstrap
+      val plain = s"$dir/plain"
+      (0L to 9L).map(k => (k, k)).toDF("k", "v")
+        .write.mode("overwrite").parquet(plain)
+      Layout.buildFileManifest(spark, plain, Seq("k"))
+        .write.mode("overwrite").parquet(s"$plain/_graft_manifest")
+      val untracked = intercept[IllegalArgumentException] {
+        Ivm.createView(spark, plain, s"$dir/v2", Seq("k"), Nil)
+      }
+      assert(untracked.getMessage.contains("generation"))
+    }
+  }
 }

@@ -1749,6 +1749,105 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       assert(snapE.filter(col("w") === 5.0).count() === 1L)
       assert(snapE.filter(col("k") === 60L).select("w")
         .collect()(0).isNullAt(0))
+
+      // a FULL vacuum (retainLast = 1) drops every archived manifest —
+      // the counter's only other record — and must NOT reset the
+      // generation counter: a reset would re-issue a label pinned
+      // readers already hold and silently serve them a different
+      // snapshot. The floor marker keeps the count; the next commit
+      // gets a FRESH label and old labels die loudly as vacuumed.
+      val curBefore = Layout.currentGeneration(spark, d)
+      Layout.vacuumGenerations(spark, d, retainLast = 1)
+      assert(Layout.currentGeneration(spark, d) === curBefore,
+        "full vacuum reset the generation counter")
+      Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 60L, 60L)))
+      assert(Layout.currentGeneration(spark, d) === curBefore + 1L,
+        "post-vacuum commit did not advance from the floor")
+      val vGone = intercept[IllegalArgumentException] {
+        Layout.readSnapshot(spark, d, curBefore - 1L)
+      }
+      assert(vGone.getMessage.contains("vacuum"))
+      assert(Layout.readSnapshot(spark, d, curBefore + 1L)
+        .filter(col("k") === 60L).count() === 0L)
+    }
+  }
+
+  test("changesBetween: file-diff CDF feeds IVM to the later snapshot; shared files never open") {
+    import graft.ext.Ivm
+    import spark.implicits._
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.select("g", "cnt", "sum_v").as[(Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    withTempDir("graft_cdf_") { dir =>
+      val d = s"$dir/t"
+      (0L to 99L).map(k => (k, k % 7, k * 10)).toDF("k", "g", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      Layout.enableGenerations(spark, d)
+      // gen 1: delete the low band (drops/rewrites the low files);
+      // gen 2: CDC upsert — one UPDATE (k=30) and one INSERT (k=200)
+      Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 24L)))
+      Layout.upsertByKey(spark, d,
+        Seq((30L, 30L % 7, 999L), (200L, 200L % 7, 5L)).toDF("k", "g", "v"),
+        "k")
+      assert(Layout.currentGeneration(spark, d) === 2L)
+
+      // the feed's plan must touch ONLY differing files — a file both
+      // generations share contributes nothing and never opens
+      val feed = Layout.changesBetween(spark, d, 0L, 2L)
+      val shared = Layout.readSnapshot(spark, d, 0L).inputFiles.toSet
+        .intersect(Layout.readSnapshot(spark, d, 2L).inputFiles.toSet)
+      assert(shared.nonEmpty, "fixture must keep at least one file unchanged")
+      assert(feed.inputFiles.toSet.intersect(shared).isEmpty,
+        "the feed opened a file both generations share")
+
+      // bootstrap at gen 0 + ONE spanning feed ≡ recompute at gen 2
+      val state0 = Ivm.aggregateOf(
+        Layout.readSnapshot(spark, d, 0L).select("g", "v"),
+        Seq("g"), Seq("v"))
+      val maintained = Ivm.maintainAgg(
+        state0, feed.select("g", "v", "op"), Seq("g"), Seq("v"))
+      val recompute = Ivm.aggregateOf(
+        Layout.readSnapshot(spark, d, 2L).select("g", "v"),
+        Seq("g"), Seq("v"))
+      assert(canon(maintained) === canon(recompute))
+
+      // adjacent feeds COMPOSE: stepping 0→1→2 equals the span 0→2
+      val viaSteps = Ivm.maintainAgg(
+        Ivm.maintainAgg(state0,
+          Layout.changesBetween(spark, d, 0L, 1L).select("g", "v", "op"),
+          Seq("g"), Seq("v")),
+        Layout.changesBetween(spark, d, 1L, 2L).select("g", "v", "op"),
+        Seq("g"), Seq("v"))
+      assert(canon(viaSteps) === canon(maintained))
+
+      // an OPTIMIZE generation rewrites data-identical files: its
+      // feed is matched ±1 pairs, and maintenance across it is a
+      // provable no-op on the state
+      val gBefore = Layout.currentGeneration(spark, d)
+      val st = Layout.optimize(spark, d, files = 2, force = true)
+      assert(st.reclustered, st.toString)
+      val gAfter = Layout.currentGeneration(spark, d)
+      assert(gAfter > gBefore)
+      val churn = Layout.changesBetween(spark, d, gBefore, gAfter)
+      assert(churn.count() > 0L, "an optimize rewrite should churn files")
+      val across = Ivm.maintainAgg(
+        maintained, churn.select("g", "v", "op"), Seq("g"), Seq("v"))
+      assert(canon(across) === canon(maintained))
+
+      // contracts: reversed bounds, op-column collision, empty span
+      val rev = intercept[IllegalArgumentException] {
+        Layout.changesBetween(spark, d, 2L, 0L)
+      }
+      assert(rev.getMessage.contains("genFrom"))
+      val clash = intercept[IllegalArgumentException] {
+        Layout.changesBetween(spark, d, 0L, 1L, opCol = "v")
+      }
+      assert(clash.getMessage.contains("already carries"))
+      val empty = Layout.changesBetween(spark, d, 1L, 1L)
+      assert(empty.count() === 0L && empty.columns.contains("op"))
     }
   }
 
