@@ -844,6 +844,66 @@ object Layout {
       .unionByName(plus.withColumn(opCol, lit(1)))
   }
 
+  /** DESCRIBE HISTORY off the generation store: one row per committed
+    * transition — `gen` = the generation the commit produced — with
+    * the commit's file churn (`files_added`, `files_removed`) and row
+    * churn (`rows_added`, `rows_removed`, their difference
+    * `net_rows`), derived from the archived manifests ALONE: no data
+    * file opens, the work is a union of manifest-sized frames. Reads
+    * exactly as a table history should: an append is rows_added with
+    * zero removed, a delete is the mirror, an upsert's update rows
+    * count on both sides, and a REWRITE-ONLY commit (OPTIMIZE /
+    * compact) shows churn with `net_rows = 0`. Every transition in
+    * the retained range appears, zero-churn commits included;
+    * vacuumed generations are absent (their manifests are gone), so
+    * the earliest row is `oldest retained + 1`.
+    *
+    * The derivation leans on two invariants the lifecycle already
+    * enforces: per-file stats are immutable (a file's `n_rows` never
+    * changes across manifests), and a retired file never returns (its
+    * basename is a one-shot part-UUID) — so each file's presence is
+    * one contiguous generation interval, and the whole history folds
+    * into one groupBy over the unioned manifests. */
+  def describeHistory(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = {
+    requireEncodingStablePath(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(generationsEnabled(fs, dir),
+      s"$dir is not generation-tracked — no history to describe")
+    val cur = liveGenOf(fs, dir)
+    val oldest = archivedGens(fs, dir).minOption.getOrElse(cur)
+    val labeled = (oldest to cur).map { g =>
+      snapshotManifestOf(spark, fs, dir, g)
+        .select(col("file"), col("n_rows"))
+        .withColumn("gen", lit(g))
+    }.reduce(_ unionByName _)
+    // contiguous presence interval per file → two churn events: it is
+    // ADDED at the transition to its first generation and REMOVED at
+    // the transition past its last; interval ends at the range edges
+    // are not events (the file predates the window / is still live)
+    val spans = labeled.groupBy("file", "n_rows")
+      .agg(min(col("gen")).as("first_gen"), max(col("gen")).as("last_gen"))
+    val addEvents = spans.filter(col("first_gen") > lit(oldest))
+      .select(col("first_gen").as("gen"),
+        lit(1L).as("files_added"), lit(0L).as("files_removed"),
+        col("n_rows").as("rows_added"), lit(0L).as("rows_removed"))
+    val dropEvents = spans.filter(col("last_gen") < lit(cur))
+      .select((col("last_gen") + 1L).as("gen"),
+        lit(0L).as("files_added"), lit(1L).as("files_removed"),
+        lit(0L).as("rows_added"), col("n_rows").as("rows_removed"))
+    val transitions = spark.range(oldest + 1L, cur + 1L)
+      .select(col("id").as("gen"))
+    transitions.join(addEvents.unionByName(dropEvents), Seq("gen"), "left")
+      .groupBy("gen")
+      .agg(coalesce(sum(col("files_added")), lit(0L)).as("files_added"),
+        coalesce(sum(col("files_removed")), lit(0L)).as("files_removed"),
+        coalesce(sum(col("rows_added")), lit(0L)).as("rows_added"),
+        coalesce(sum(col("rows_removed")), lit(0L)).as("rows_removed"))
+      .withColumn("net_rows", col("rows_added") - col("rows_removed"))
+      .orderBy("gen")
+  }
+
   /** Trim the generation store to the last `retainLast` generations
     * (live included): archived manifests and retired-file dirs
     * labeled below the cut are deleted — every RETAINED snapshot

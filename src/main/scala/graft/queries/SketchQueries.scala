@@ -172,6 +172,36 @@ object SketchQueries {
       dir
     })
 
+  /** Shared churned generation-tracked documents layout for the CDF
+    * and DESCRIBE HISTORY gates: three commits — a band delete
+    * (gen 1), a 10-row CDC update (gen 2), a 50-row append of fresh
+    * ids (gen 3) — whose replay both oracles re-derive. ONE builder
+    * so the two gates can never drift on the fixture they share. */
+  private def cdfChurnedDocs(s: SparkSession, d: String): String =
+    prunedFixture.computeIfAbsent(s"$d#docs_cdf", _ => {
+      val p = graft.Scratch.tempDir("graft_cdf_") + "/documents"
+      val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(p)
+      Layout.buildFileManifest(s, p, Seq("doc_id"))
+        .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+      Layout.enableGenerations(s, p)
+      val del = Layout.deleteWhere(s, p,
+        Seq(Layout.KeyBox("doc_id", 100L, 199L)))
+      val upd = docs.filter(col("doc_id").between(200, 209))
+        .withColumn("n_chars", col("n_chars") + lit(1000))
+      val up = Layout.upsertByKey(s, p, upd, "doc_id")
+      val app = docs.filter(col("doc_id") < 50)
+        .withColumn("doc_id", col("doc_id") + lit(500000L))
+      Layout.appendWithManifest(app, p, Seq("doc_id"))
+      require(del.rowsDeleted > 0L && up.rowsUpserted == 10L &&
+          Layout.currentGeneration(s, p) == 3L,
+        s"degenerate fixture: $del / $up / " +
+          s"gen=${Layout.currentGeneration(s, p)}")
+      p
+    })
+
   /** Shared rolling-hash SQL fragment: 31-polynomial over codepoints
     * mod 1e9+7 — the DuckDB twin of
     * [[graft.functions.TextExpressions.rollingHash]]. */
@@ -1849,29 +1879,7 @@ object SketchQueries {
     // scratch.
     QueryDef("q_layout_cdf",
       (s, d) => {
-        val dir = prunedFixture.computeIfAbsent(s"$d#docs_cdf", _ => {
-          val p = graft.Scratch.tempDir("graft_cdf_") + "/documents"
-          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
-          docs.repartitionByRange(8, col("doc_id"))
-            .sortWithinPartitions("doc_id")
-            .write.mode("overwrite").parquet(p)
-          Layout.buildFileManifest(s, p, Seq("doc_id"))
-            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
-          Layout.enableGenerations(s, p)
-          val del = Layout.deleteWhere(s, p,
-            Seq(Layout.KeyBox("doc_id", 100L, 199L)))
-          val upd = docs.filter(col("doc_id").between(200, 209))
-            .withColumn("n_chars", col("n_chars") + lit(1000))
-          val up = Layout.upsertByKey(s, p, upd, "doc_id")
-          val app = docs.filter(col("doc_id") < 50)
-            .withColumn("doc_id", col("doc_id") + lit(500000L))
-          Layout.appendWithManifest(app, p, Seq("doc_id"))
-          require(del.rowsDeleted > 0L && up.rowsUpserted == 10L &&
-              Layout.currentGeneration(s, p) == 3L,
-            s"degenerate fixture: $del / $up / " +
-              s"gen=${Layout.currentGeneration(s, p)}")
-          p
-        })
+        val dir = cdfChurnedDocs(s, d)
         val state0 = graft.ext.Ivm.aggregateOf(
           Layout.readSnapshot(s, dir, 0L).select("lang", "n_chars"),
           Seq("lang"), Seq("n_chars"))
@@ -1899,6 +1907,29 @@ object SketchQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
              |FROM final GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true),
+
+    // DESCRIBE HISTORY — [[Layout.describeHistory]] folds the
+    // generation store's archived manifests into one commit-log
+    // table (file and row churn per committed generation) without
+    // opening a data file. Runs over the SAME churned fixture as
+    // q_layout_cdf (delete, CDC update, append); the gate pins the
+    // oracle-stable column: net row delta per commit — the delete's
+    // band count negated, the update's zero (delete+insert of the
+    // same 10 rows), the append's +50. File counts and gross row
+    // churn depend on physical file boundaries (rewritten partials
+    // count on both sides) and are spec-asserted instead.
+    QueryDef("q_layout_history",
+      (s, d) => Layout.describeHistory(s, cdfChurnedDocs(s, d))
+        .select("gen", "net_rows").orderBy("gen"),
+      Some("""SELECT CAST(1 AS BIGINT) AS gen,
+             |  -CAST((SELECT count(*) FROM documents
+             |         WHERE doc_id BETWEEN 100 AND 199) AS BIGINT)
+             |    AS net_rows
+             |UNION ALL SELECT CAST(2 AS BIGINT), CAST(0 AS BIGINT)
+             |UNION ALL SELECT CAST(3 AS BIGINT),
+             |  CAST((SELECT count(*) FROM documents WHERE doc_id < 50)
+             |    AS BIGINT)
+             |ORDER BY gen""".stripMargin)),
 
     // Self-refreshing materialized view — [[graft.ext.Ivm.createView]]
     // persists an aggregate state pinned to the base layout's

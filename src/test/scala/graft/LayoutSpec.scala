@@ -1851,6 +1851,54 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("describeHistory: commit log off the manifests — appends, whole-file deletes, rewrite-only commits") {
+    import spark.implicits._
+    withTempDir("graft_hist_") { dir =>
+      val d = s"$dir/t"
+      (0L to 99L).map(k => (k, k)).toDF("k", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      Layout.enableGenerations(spark, d)
+      // gen 1: append one 10-row file; gen 2: delete the [0,49] file
+      // whole (manifest-proved, no partial rewrite); gen 3: forced
+      // OPTIMIZE — a rewrite-only commit
+      Layout.appendWithManifest(
+        (100L to 109L).map(k => (k, k)).toDF("k", "v").repartition(1),
+        d, Seq("k"))
+      Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 49L)))
+      val st = Layout.optimize(spark, d, files = 2, force = true)
+      assert(st.reclustered, st.toString)
+      val h = Layout.describeHistory(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sortBy(_._1)
+      assert(h.map(_._1) === Seq(1L, 2L, 3L))
+      assert(h(0) === ((1L, 1L, 0L, 10L, 0L, 10L)),
+        s"append row misread: ${h(0)}")
+      assert(h(1) === ((2L, 0L, 1L, 0L, 50L, -50L)),
+        s"whole-file delete row misread: ${h(1)}")
+      val (_, fa3, fr3, ra3, rr3, net3) = h(2)
+      assert(net3 === 0L && fa3 > 0L && fr3 > 0L && ra3 === rr3,
+        s"rewrite-only commit must show churn with zero net: ${h(2)}")
+      // vacuum shrinks the describable window from the OLDEST side:
+      // dropped manifests take their transitions with them
+      Layout.vacuumGenerations(spark, d, retainLast = 2)
+      assert(Layout.describeHistory(spark, d)
+        .select("gen").as[Long].collect().toSeq.sorted === Seq(3L))
+      // an untracked layout has no history to describe
+      val plain = s"$dir/plain"
+      (0L to 9L).map(k => (k, k)).toDF("k", "v")
+        .write.mode("overwrite").parquet(plain)
+      Layout.buildFileManifest(spark, plain, Seq("k"))
+        .write.mode("overwrite").parquet(s"$plain/_graft_manifest")
+      val untracked = intercept[IllegalArgumentException] {
+        Layout.describeHistory(spark, plain)
+      }
+      assert(untracked.getMessage.contains("generation-tracked"))
+    }
+  }
+
   test("minMaxFromManifest: metadata extremes track delete and upsert") {
     withTempDir("graft_minmax_") { dir =>
       val d = s"$dir/t"
