@@ -246,6 +246,53 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("streaming MV loop: foreachBatch ingest + refreshView keeps the view ≡ recompute per micro-batch") {
+    import graft.ext.Layout
+    withTempDir("graft_mvstream_") { dir =>
+      val base = s"$dir/t"
+      val view = s"$dir/v"
+      (0L to 49L).map(k => (k, k % 3, k)).toDF("k", "g", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(base)
+      Layout.buildFileManifest(spark, base, Seq("k"))
+        .write.mode("overwrite").parquet(s"$base/_graft_manifest")
+      Layout.enableGenerations(spark, base)
+      Ivm.createView(spark, base, view, Seq("g"), Seq("v"))
+      def gcanon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+        df.select("g", "cnt", "sum_v").as[(Long, Long, Long)]
+          .collect().sortBy(_._1).toSeq
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val in = MemoryStream[(Long, Long, Long)]
+      val q = in.toDF().toDF("k", "g", "v")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // ingest commits a generation; the refresh maintains the
+          // persisted view off that commit's file-diff feed alone
+          Layout.appendWithManifest(batch.repartition(1), base, Seq("k"))
+          Ivm.refreshView(spark, view)
+          ()
+        }.start()
+      try {
+        val batches = Seq(
+          Seq((100L, 0L, 10L), (101L, 1L, 20L)),
+          Seq((102L, 3L, 7L)),                    // group birth
+          Seq((103L, 0L, 1L), (104L, 3L, 2L)))
+        for ((rows, i) <- batches.zipWithIndex) {
+          in.addData(rows)
+          q.processAllAvailable()
+          val expect = gcanon(Ivm.aggregateOf(
+            spark.read.parquet(base).select("g", "v"), Seq("g"), Seq("v")))
+          assert(gcanon(Ivm.readView(spark, view)) === expect,
+            s"view diverged from the live recompute after batch $i")
+          assert(Ivm.viewGeneration(spark, view) ===
+            Layout.currentGeneration(spark, base),
+            s"view not pinned at the live generation after batch $i")
+        }
+      } finally q.stop()
+    }
+  }
+
   test("materialized view lifecycle: create/refresh/rebuild, crash healing, loud boundaries") {
     import graft.ext.Layout
     withTempDir("graft_mv_") { dir =>
