@@ -515,6 +515,23 @@ object Layout {
                                  dir: String): Boolean =
     fs.exists(historyDir(dir))
 
+  /** All data files under `root`, recursively, skipping `_`/`.`
+    * entries at every level — partition subtrees descend, aux stores
+    * (manifest, history, retirement area, commit markers) do not.
+    * THE listing every generation-store read resolves against, for
+    * flat and hive-partitioned layouts alike. */
+  private def dataFilesUnder(fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    def isAux(n: String) = n.startsWith("_") || n.startsWith(".")
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq.flatMap { st =>
+      if (isAux(st.getPath.getName)) Nil
+      else if (st.isDirectory) dataFilesUnder(fs, st.getPath)
+      else Seq(st.getPath)
+    }
+  }
+
   private def archivedGens(fs: org.apache.hadoop.fs.FileSystem,
                            dir: String): Seq[Long] = {
     val h = historyDir(dir)
@@ -539,15 +556,15 @@ object Layout {
     * path mid-retirement; re-calling readSnapshot(N) after the
     * commit is always consistent.) Storage grows by the superseded
     * bytes until [[vacuumGenerations]] trims to the last K.
-    * Flat layouts only — hive-partitioned trees optimize per leaf
-    * and are refused here. */
+    * Hive-partitioned trees are tracked at the ROOT (the manifest
+    * lives there too): retirement preserves each file's k=v chain
+    * under the label, so snapshot reads re-derive partition columns
+    * for retired files exactly as for live ones. */
   def enableGenerations(spark: org.apache.spark.sql.SparkSession,
                         dir: String): Unit = {
     requireEncodingStablePath(dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(hivePartColsOf(fs, new org.apache.hadoop.fs.Path(dir)).isEmpty,
-      s"generations support flat layouts only; $dir is hive-partitioned")
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest")),
       s"$dir carries no manifest — build one before enabling generations")
     fs.mkdirs(historyDir(dir))
@@ -643,9 +660,20 @@ object Layout {
       val g = liveGenOf(fs, dir)
       val destDir = new org.apache.hadoop.fs.Path(retiredDir(dir), s"gen=$g")
       fs.mkdirs(destDir)
+      // retirement preserves the file's path RELATIVE to the layout
+      // root (for a flat layout that is just the basename): a
+      // partitioned file keeps its k=v chain under the label, which
+      // is what lets snapshot reads re-derive its partition columns
+      // with a basePath anchored at the label dir
+      val rootQ = fs.makeQualified(new org.apache.hadoop.fs.Path(dir)).toString
       for (f <- files) {
         val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
-        val dest = new org.apache.hadoop.fs.Path(destDir, p.getName)
+        val pq = fs.makeQualified(p).toString
+        require(pq.startsWith(rootQ + "/"),
+          s"$verb: $f is not under $dir — cannot retire it")
+        val rel = pq.stripPrefix(rootQ + "/")
+        val dest = new org.apache.hadoop.fs.Path(destDir, rel)
+        fs.mkdirs(dest.getParent)
         require(!fs.exists(dest),
           s"$verb: retired name collision at $dest")
         require(fs.rename(p, dest) || !fs.exists(p),
@@ -722,34 +750,47 @@ object Layout {
     * first and the retirement area second — at CALL time, which is
     * what makes pinning a generation number safe under concurrent
     * commits. BOTH sides resolve from one bulk listing each (the
-    * flat live directory and the retirement tree), never a per-file
-    * existence probe — at 100k files that is two listings instead of
-    * 100k sequential round trips. Basenames are parquet part-UUIDs;
-    * a collision across retirement labels is refused, never resolved
-    * arbitrarily. */
+    * live tree and the retirement tree), never a per-file existence
+    * probe — at 100k files that is two listings instead of 100k
+    * sequential round trips. Files are keyed by their ROOT-RELATIVE
+    * path, never the basename: one parquet write stamps the SAME
+    * `part-NNNNN-<uuid>` basename into every partition directory it
+    * touches, so basenames collide across a tree's leaves while the
+    * k=v-qualified relative path stays unique — and retirement
+    * preserves exactly that relative path under its label. A relative
+    * path found under two retirement labels is refused, never
+    * resolved arbitrarily. */
   private def resolveSnapshotFiles(fs: org.apache.hadoop.fs.FileSystem,
                                    dir: String, gen: Long,
                                    files: Array[String]): Seq[String] = {
-    val live: Set[String] = fs
-      .listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-      .map(_.getPath.getName).toSet
+    val rootQ = fs.makeQualified(new org.apache.hadoop.fs.Path(dir)).toString
+    def relTo(base: String, p: org.apache.hadoop.fs.Path): String = {
+      val pq = fs.makeQualified(p).toString
+      require(pq.startsWith(base + "/"),
+        s"$pq is not under $base — cannot resolve it against this layout")
+      pq.stripPrefix(base + "/")
+    }
+    val live: Set[String] =
+      dataFilesUnder(fs, new org.apache.hadoop.fs.Path(dir))
+        .map(relTo(rootQ, _)).toSet
     val retired: Map[String, Seq[org.apache.hadoop.fs.Path]] = {
       val r = retiredDir(dir)
       if (!fs.exists(r)) Map.empty
       else fs.listStatus(r).toSeq.filter(_.isDirectory)
-        .flatMap(g => fs.listStatus(g.getPath).toSeq.filter(_.isFile)
-          .map(_.getPath))
-        .groupBy(_.getName)
+        .flatMap { g =>
+          val gQ = fs.makeQualified(g.getPath).toString
+          dataFilesUnder(fs, g.getPath).map(p => (relTo(gQ, p), p))
+        }
+        .groupBy(_._1).map { case (rel, hits) => rel -> hits.map(_._2) }
     }
     files.toIndexedSeq.map { f =>
       val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
-      if (live.contains(p.getName)) p.toString
-      else retired.get(p.getName) match {
+      val rel = relTo(rootQ, p)
+      if (live.contains(rel)) p.toString
+      else retired.get(rel) match {
         case Some(Seq(rp)) => rp.toString
         case Some(many) => throw new IllegalArgumentException(
-          s"retired basename collision for $f: ${many.mkString(", ")}")
+          s"retired path collision for $f: ${many.mkString(", ")}")
         case None => throw new IllegalArgumentException(
           s"file $f of generation $gen is neither live nor retired — " +
             "vacuumed past this snapshot, or deleted out of band")
@@ -763,14 +804,37 @@ object Layout {
     * unevolved layout (no live data file, no sidecar) has no schema
     * ANYWHERE to shape an empty frame with — that degenerate read
     * fails with its own story instead of Spark's generic
-    * unable-to-infer-schema error. */
+    * unable-to-infer-schema error.
+    *
+    * Hive-partitioned layouts need a basePath to re-derive partition
+    * columns from the k=v chain — and live vs retired files anchor at
+    * DIFFERENT roots (the layout dir vs the retirement label the
+    * relative-path-preserving retirement moved them under), so the
+    * list reads per anchor group and unions by name: one read for the
+    * live files plus one per retirement label touched. On a flat
+    * layout the basePath is inert and the groups collapse to one. */
   private def readResolved(spark: org.apache.spark.sql.SparkSession,
                            dir: String,
                            resolved: Seq[String]): DataFrame = {
     val stored = storedSchemaOf(spark, dir)
-    if (resolved.nonEmpty)
-      stored.fold(spark.read)(s => spark.read.schema(s))
-        .parquet(resolved: _*)
+    def reader = stored.fold(spark.read)(s => spark.read.schema(s))
+    if (resolved.nonEmpty) {
+      val marker = "/_graft_retired/gen="
+      val groups = resolved.groupBy { f =>
+        val i = f.indexOf(marker)
+        if (i < 0) dir
+        else {
+          val end = f.indexOf('/', i + marker.length)
+          require(end > 0, s"malformed retirement path $f")
+          f.substring(0, end)
+        }
+      }
+      groups.toSeq.sortBy(_._1)
+        .map { case (basePath, files) =>
+          reader.option("basePath", basePath).parquet(files: _*)
+        }
+        .reduce(_ unionByName _)
+    }
     else stored match {
       case Some(s) => spark.read.schema(s).parquet(dir).where(lit(false))
       case None =>
@@ -943,7 +1007,9 @@ object Layout {
     if (fs.exists(r)) for (st <- fs.listStatus(r)
         if st.isDirectory && st.getPath.getName.startsWith("gen=")
           && st.getPath.getName.stripPrefix("gen=").toLong < cut) {
-      filesDropped += fs.listStatus(st.getPath).count(_.isFile)
+      // recursive: a partitioned retirement label holds its files
+      // under preserved k=v chains
+      filesDropped += dataFilesUnder(fs, st.getPath).size
       require(fs.delete(st.getPath, true),
         s"vacuum: failed to drop retired files at ${st.getPath}")
     }
@@ -2660,11 +2726,6 @@ object Layout {
     require(partCols.nonEmpty,
       s"optimizePartitioned expects a hive-partitioned layout; " +
         s"$dir has no k=v subdirectories — use optimize")
-    // generations are flat-only (enableGenerations refuses partition
-    // trees); a hand-built history dir here would make the per-leaf
-    // deletes silently break snapshots, so refuse loudly instead
-    require(!generationsEnabled(fs, dir),
-      s"optimizePartitioned does not support generation-tracked layouts ($dir)")
     val manifest = loadManifest(spark, dir)
     val mSchema = manifest.schema
     val keys = manifestKeysOf(mSchema)
@@ -2747,11 +2808,11 @@ object Layout {
         filesPerPartition)
       moveTreeInto(fs, tmp, leaf, "optimizePartitioned")
       fs.delete(tmp, true)
-      for (f <- oldFiles) {
-        val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
-        require(fs.delete(p, false) || !fs.exists(p),
-          s"optimizePartitioned: failed to delete $f")
-      }
+      // destroy (or retire, on a generation-tracked tree) the leaf's
+      // old files only after its clustered copy is live; retirement
+      // is labeled against the ROOT — all leaves of this pass share
+      // one label, because the manifest commits once at the end
+      retireOrDeleteAll(fs, dir, oldFiles, "optimizePartitioned")
       removed ++= oldFiles
     }
     def walk(cur: org.apache.hadoop.fs.Path): Unit = {
@@ -2782,8 +2843,11 @@ object Layout {
     patchManifest(spark, dir, manifest, keys, removed.toSeq, Some(delta))
     // the sidecar retires only when every leaf rewrote: a skipped
     // leaf may still hold files that predate an added column, and
-    // retiring it would revert their reads to footer sampling
-    if (skippedLeaves == 0) {
+    // retiring it would revert their reads to footer sampling. NOT
+    // on a generation-tracked tree — retained snapshots still
+    // reference RETIRED pre-evolution files that resolve under it
+    // (same rule as the flat optimize)
+    if (skippedLeaves == 0 && !generationsEnabled(fs, dir)) {
       val sc = schemaSidecar(dir)
       if (fs.exists(sc))
         require(fs.delete(sc, false),

@@ -1908,6 +1908,52 @@ object SketchQueries {
              |FROM final GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true),
 
+    // Partitioned snapshot read — generations over a HIVE-PARTITIONED
+    // tree: a data-column delete spans every lang partition (gen 1,
+    // retiring each dropped file under its preserved k=v chain), and
+    // the gate reads generation 0 PRUNED: survivors resolve live or
+    // retired PER PARTITION ANCHOR (basePath-grouped reads re-derive
+    // the lang column for retired files), and the result must equal
+    // the pre-delete filter — the oracle over the unmutated table.
+    // The GDPR-delete-with-time-travel shape at the partition layout
+    // real tables actually use.
+    QueryDef("q_layout_snapshot_part",
+      (s, d) => {
+        val dir = prunedFixture.computeIfAbsent(s"$d#docs_snappart", _ => {
+          val p = graft.Scratch.tempDir("graft_snappart_") + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(4, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.partitionBy("lang").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          Layout.enableGenerations(s, p)
+          val del = Layout.deleteWhere(s, p,
+            Seq(Layout.KeyBox("doc_id", 100L, 299L)))
+          require(del.rowsDeleted > 0L &&
+              Layout.currentGeneration(s, p) == 1L,
+            s"degenerate fixture: $del")
+          require(s.read.parquet(p).count() <
+              Layout.readSnapshot(s, p, 0L).count(),
+            "the live read did not shrink — snapshot proves nothing")
+          p
+        })
+        Layout.readSnapshotPruned(s, dir, 0L,
+            Seq(Layout.KeyBox("doc_id", 50L, 400L)))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH pruned AS (
+             |  SELECT * FROM documents WHERE doc_id BETWEEN 50 AND 400)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM pruned GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
+
     // DESCRIBE HISTORY — [[Layout.describeHistory]] folds the
     // generation store's archived manifests into one commit-log
     // table (file and row churn per committed generation) without

@@ -1717,21 +1717,11 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       // retained pruned snapshot still serves after the vacuum
       assert(Layout.readSnapshotPruned(spark, d, 2L,
         Seq(Layout.KeyBox("k", 50L, 69L))).count() === 20L)
-      // contracts: unknown generation, and enabling on a partitioned
-      // tree is refused
+      // contracts: unknown generation
       val unknown = intercept[IllegalArgumentException] {
         Layout.readSnapshot(spark, d, 9L)
       }
       assert(unknown.getMessage.contains("unknown generation"))
-      val pd = s"$dir/part"
-      Seq((1L, "en", 2L)).toDF("doc_id", "lang", "n")
-        .write.partitionBy("lang").parquet(pd)
-      Layout.buildFileManifest(spark, pd, Seq("doc_id"))
-        .write.mode("overwrite").parquet(s"$pd/_graft_manifest")
-      val flat = intercept[IllegalArgumentException] {
-        Layout.enableGenerations(spark, pd)
-      }
-      assert(flat.getMessage.contains("flat"))
 
       // schema-evolved + generation-tracked: a full optimize KEEPS
       // the sidecar — archived generations still reference retired
@@ -1769,6 +1759,102 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       assert(vGone.getMessage.contains("vacuum"))
       assert(Layout.readSnapshot(spark, d, curBefore + 1L)
         .filter(col("k") === 60L).count() === 0L)
+    }
+  }
+
+  test("partitioned generations: snapshots re-derive partition columns for retired files; CDF, MV, history and optimize span the tree") {
+    import graft.ext.Ivm
+    import spark.implicits._
+    withTempDir("graft_pgen_") { dir =>
+      val d = s"$dir/t"
+      val docs = (0L to 99L)
+        .map(k => (k, if (k % 2 == 0) "en" else "fr", k * 10))
+        .toDF("doc_id", "lang", "v")
+      docs.repartitionByRange(2, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.partitionBy("lang").parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("doc_id"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      Layout.enableGenerations(spark, d)
+      // gen 1: delete a doc_id band spanning BOTH partitions;
+      // gen 2: CDC upsert that MOVES row 30 to a new partition (de)
+      Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("doc_id", 0L, 24L)))
+      Layout.upsertByKey(spark, d,
+        Seq((30L, "de", 999L)).toDF("doc_id", "lang", "v"), "doc_id")
+      assert(Layout.currentGeneration(spark, d) === 2L)
+      // the live read reflects both commits
+      assert(spark.read.parquet(d).count() === 75L)
+      assert(spark.read.parquet(d).filter(col("doc_id") === 30L)
+        .select("lang", "v").as[(String, Long)].collect().toSeq
+        === Seq(("de", 999L)))
+      // generation 0 reads the UNMUTATED tree — deleted-band rows and
+      // the pre-move row 30 resolve from retirement WITH their
+      // partition column re-derived from the preserved k=v chain
+      val snap0 = Layout.readSnapshot(spark, d, 0L)
+      assert(snap0.count() === 100L)
+      assert(snap0.filter(col("doc_id") === 30L)
+        .select("lang", "v").as[(String, Long)].collect().toSeq
+        === Seq(("en", 300L)))
+      assert(snap0.groupBy("lang").count().as[(String, Long)]
+        .collect().sortBy(_._1).toSeq === Seq(("en", 50L), ("fr", 50L)))
+      // time-traveled PRUNED read over the deleted band
+      assert(Layout.readSnapshotPruned(spark, d, 0L,
+        Seq(Layout.KeyBox("doc_id", 0L, 24L))).count() === 25L)
+      // CDF across both commits maintains a lang-grouped view to the
+      // gen-2 recompute — partition columns ARE the group keys here,
+      // so the feed must carry them correctly for retired files too
+      def gcanon(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+        df.select("lang", "cnt", "sum_v").as[(String, Long, Long)]
+          .collect().sortBy(_._1).toSeq
+      val state0 = Ivm.aggregateOf(snap0.select("lang", "v"),
+        Seq("lang"), Seq("v"))
+      val feed = Layout.changesBetween(spark, d, 0L, 2L)
+      val maintained = Ivm.maintainAgg(state0,
+        feed.select("lang", "v", "op"), Seq("lang"), Seq("v"))
+      assert(gcanon(maintained) === gcanon(Ivm.aggregateOf(
+        Layout.readSnapshot(spark, d, 2L).select("lang", "v"),
+        Seq("lang"), Seq("v"))))
+      // history: the delete nets −25, the single-row update nets 0
+      val hist = Layout.describeHistory(spark, d)
+        .select("gen", "net_rows").as[(Long, Long)].collect()
+        .sortBy(_._1).toSeq
+      assert(hist === Seq((1L, -25L), (2L, 0L)))
+      // a persisted MV over the partitioned base refreshes through an
+      // append (gen 3)
+      val v = s"$dir/v"
+      Ivm.createView(spark, d, v, Seq("lang"), Seq("v"))
+      Layout.appendWithManifest(
+        Seq((200L, "en", 7L), (201L, "fr", 8L)).toDF("doc_id", "lang", "v")
+          .repartition(1), d, Seq("doc_id"))
+      val r = Ivm.refreshView(spark, v)
+      assert(r.refreshed && r.toGen === 3L)
+      assert(gcanon(Ivm.readView(spark, v)) === gcanon(Ivm.aggregateOf(
+        spark.read.parquet(d).select("lang", "v"), Seq("lang"), Seq("v"))))
+      // leaf-selective OPTIMIZE on the TRACKED tree retires, never
+      // deletes: generation 2 stays fully readable afterwards
+      val before = spark.read.parquet(d).inputFiles.toSet
+      val st = Layout.optimizePartitioned(spark, d, filesPerPartition = 1,
+        force = true)
+      assert(st.reclustered, st.toString)
+      assert(Layout.readSnapshot(spark, d, 2L).count() === 75L)
+      assert(Layout.readSnapshot(spark, d, 2L)
+        .filter(col("doc_id") === 30L).select("lang").as[String]
+        .collect().toSeq === Seq("de"))
+      // live pruned read still exact over the optimized tree
+      assert(Layout.scanPruned(spark, d,
+          Seq(Layout.KeyBox("doc_id", 25L, 40L))).count() ===
+        spark.read.parquet(d)
+          .filter(col("doc_id").between(25L, 40L)).count())
+      // vacuum to the live generation only: old snapshots die loudly,
+      // the live read is untouched
+      val (mf, fd) = Layout.vacuumGenerations(spark, d, retainLast = 1)
+      assert(mf >= 3 && fd >= 1, s"($mf, $fd)")
+      val gone = intercept[IllegalArgumentException] {
+        Layout.readSnapshot(spark, d, 0L)
+      }
+      assert(gone.getMessage.contains("vacuum"))
+      assert(spark.read.parquet(d).count() === 77L)
+      assert(Layout.currentGeneration(spark, d) === 4L,
+        "full vacuum reset the partitioned generation counter")
     }
   }
 
