@@ -435,12 +435,15 @@ object Layout {
     * leaves a missing manifest every scanPruned fails on. The
     * `_`-prefixed temp dir is invisible to data reads if orphaned. */
   private def replaceManifest(spark: org.apache.spark.sql.SparkSession,
-                              path: String, updated: DataFrame): Unit = {
+                              path: String, updated: DataFrame,
+                              operation: String,
+                              expectedGen: Option[Long] = None): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mfPath = new org.apache.hadoop.fs.Path(s"$path/_graft_manifest")
     val tmpPath = new org.apache.hadoop.fs.Path(s"$path/_graft_manifest_tmp")
     updated.write.mode("overwrite").parquet(tmpPath.toString)
+    var committedGen: Option[Long] = None
     if (generationsEnabled(fs, path) && fs.exists(mfPath)) {
       // generation-tracked layout: the outgoing manifest ARCHIVES
       // under its own number instead of dying — every manifest
@@ -450,11 +453,18 @@ object Layout {
       // the delete+rename window below); recovery is renaming the
       // newest archived generation back into place.
       val g = currentGeneration(spark, path)
+      // optimistic-concurrency check at the COMMIT POINT — the verb
+      // already checked at entry; a writer that committed during this
+      // verb's rewrite work is caught here, before the archive; the
+      // archive's own exists-check below is the last-resort CAS for
+      // writers racing inside this final window
+      requireExpectedGen(fs, path, expectedGen, operation)
       val dest = new org.apache.hadoop.fs.Path(historyDir(path), s"gen=$g")
       require(!fs.exists(dest),
         s"generation archive $dest already exists — concurrent writers?")
       require(fs.rename(mfPath, dest),
         s"failed to archive the outgoing manifest to $dest")
+      committedGen = Some(g + 1L)
     } else {
       // a FAILED delete that merely returns false (object stores do)
       // must not fall through: rename-onto-an-existing-dir has
@@ -466,6 +476,11 @@ object Layout {
     }
     require(fs.rename(tmpPath, mfPath),
       s"failed to move the updated manifest into place at $mfPath")
+    // commit record for the NEW live generation — after the rename,
+    // so a crashed commit never records a generation that does not
+    // exist; the converse crash window (generation live, record
+    // missing) degrades loudly in [[generationAsOf]]
+    committedGen.foreach(writeCommitInfo(fs, path, _, operation))
   }
 
   /** The shared manifest-PATCH tail of every in-place mutation verb
@@ -480,14 +495,16 @@ object Layout {
   private def patchManifest(spark: org.apache.spark.sql.SparkSession,
                             dir: String, manifest: DataFrame,
                             keyCols: Seq[String], removed: Seq[String],
-                            delta: Option[DataFrame]): Unit = {
+                            delta: Option[DataFrame],
+                            operation: String,
+                            expectedGen: Option[Long] = None): Unit = {
     import spark.implicits._
     val removedDf = removed.toDF("file")
     val kept = manifest.join(broadcast(removedDf), Seq("file"), "left_anti")
     val keptMigrated = widenWithNullCounts(kept, keyCols)
     val updated = delta.fold(keptMigrated)(keptMigrated.unionByName(_))
       .localCheckpoint(true)
-    replaceManifest(spark, dir, updated)
+    replaceManifest(spark, dir, updated, operation, expectedGen)
     Checkpoints.unpersist(updated)
     delta.foreach(Checkpoints.unpersist)
   }
@@ -568,8 +585,102 @@ object Layout {
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest")),
       s"$dir carries no manifest — build one before enabling generations")
     fs.mkdirs(historyDir(dir))
+    // stamp the generation that is live RIGHT NOW (the moment
+    // timestamp tracking begins) so [[generationAsOf]] has a floor
+    // record; idempotent — a re-enable must not restamp history
+    val g = liveGenOf(fs, dir)
+    if (!fs.exists(commitInfoPath(dir, g)))
+      writeCommitInfo(fs, dir, g, "enableGenerations")
     ()
   }
+
+  /** Per-generation commit record
+    * (`_graft_history/commits/gen=N.json`): the wall-clock commit
+    * millis and the verb that committed the generation. Written at
+    * the commit point by [[replaceManifest]] (and for the enable-time
+    * generation by [[enableGenerations]]); read back by
+    * [[describeHistory]]'s ts/operation columns and
+    * [[generationAsOf]]'s timestamp resolution. A crash between the
+    * manifest rename and this write leaves the generation readable by
+    * NUMBER but unresolvable by TIMESTAMP — asOf fails loudly naming
+    * the recordless generation, never guesses. */
+  private def commitsDir(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(historyDir(dir), "commits")
+
+  private def commitInfoPath(dir: String, gen: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(commitsDir(dir), s"gen=$gen.json")
+
+  private def writeCommitInfo(fs: org.apache.hadoop.fs.FileSystem,
+                              dir: String, gen: Long,
+                              operation: String): Unit = {
+    require(operation.forall(c => c != '"' && c != '\\' && c >= ' '),
+      s"commit operation label must be a plain verb name, got '$operation'")
+    fs.mkdirs(commitsDir(dir))
+    val p = commitInfoPath(dir, gen)
+    val tmp = new org.apache.hadoop.fs.Path(commitsDir(dir),
+      s"gen=$gen.json.tmp")
+    val payload =
+      s"""{"gen":$gen,"tsMillis":${System.currentTimeMillis()},""" +
+        s""""operation":"$operation"}"""
+    val out = fs.create(tmp, true)
+    try out.write(payload.getBytes("UTF-8")) finally out.close()
+    require(fs.delete(p, false) || !fs.exists(p),
+      s"failed to clear a stale commit record at $p")
+    require(fs.rename(tmp, p), s"failed to persist the commit record at $p")
+  }
+
+  private val CommitInfoRe =
+    """\{"gen":(\d+),"tsMillis":(\d+),"operation":"([^"]*)"\}""".r
+
+  /** gen → (commit millis, operation) for every recorded commit —
+    * a file-count-sized driver read, like every other planning input.
+    * A torn/corrupt record fails loudly: silently skipping one would
+    * make [[generationAsOf]] resolve PAST it to an older generation. */
+  private def commitInfoOf(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: String): Map[Long, (Long, String)] = {
+    val d = commitsDir(dir)
+    if (!fs.exists(d)) Map.empty
+    else fs.listStatus(d).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("gen=") &&
+        st.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val txt = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 256, false)
+          out.toString("UTF-8").trim
+        } finally in.close()
+        txt match {
+          case CommitInfoRe(g, ts, op) => g.toLong -> (ts.toLong, op)
+          case _ => throw new IllegalStateException(
+            s"corrupt commit record at ${st.getPath} (read '$txt') — " +
+              "repair or remove it before resolving history by timestamp")
+        }
+      }.toMap
+  }
+
+  /** Loud optimistic-concurrency precondition shared by the mutation
+    * verbs: the caller read the layout at `expected` and asks the
+    * commit to proceed only if no other writer has committed since.
+    * Checked at verb ENTRY (fail before the rewrite work) and again
+    * by [[replaceManifest]] immediately before the archive rename
+    * (the commit point); the archive's own exists-check is the
+    * last-resort CAS for writers racing inside that window. Throws
+    * `ConcurrentModificationException` — retryable by re-reading the
+    * live generation — unlike the contract violations that throw
+    * IllegalArgumentException. */
+  private def requireExpectedGen(fs: org.apache.hadoop.fs.FileSystem,
+                                 dir: String, expected: Option[Long],
+                                 verb: String): Unit =
+    expected.foreach { e =>
+      require(generationsEnabled(fs, dir),
+        s"$verb: expectedGen requires a generation-tracked layout at " +
+          s"$dir — call enableGenerations first")
+      val g = liveGenOf(fs, dir)
+      if (g != e) throw new java.util.ConcurrentModificationException(
+        s"$verb at $dir: expected generation $e but the live generation " +
+          s"is $g — another writer committed; re-read and retry")
+    }
 
   /** The generation-counter FLOOR marker [[vacuumGenerations]] leaves
     * behind: the archived manifests are the counter's only record, so
@@ -958,15 +1069,63 @@ object Layout {
         lit(0L).as("rows_added"), col("n_rows").as("rows_removed"))
     val transitions = spark.range(oldest + 1L, cur + 1L)
       .select(col("id").as("gen"))
-    transitions.join(addEvents.unionByName(dropEvents), Seq("gen"), "left")
+    val churn = transitions
+      .join(addEvents.unionByName(dropEvents), Seq("gen"), "left")
       .groupBy("gen")
       .agg(coalesce(sum(col("files_added")), lit(0L)).as("files_added"),
         coalesce(sum(col("files_removed")), lit(0L)).as("files_removed"),
         coalesce(sum(col("rows_added")), lit(0L)).as("rows_added"),
         coalesce(sum(col("rows_removed")), lit(0L)).as("rows_removed"))
       .withColumn("net_rows", col("rows_added") - col("rows_removed"))
-      .orderBy("gen")
+    // commit records (when present) label each generation with its
+    // wall-clock commit time and the verb that committed it — null
+    // for generations that predate record-keeping or whose commit
+    // crashed between the manifest rename and the record write
+    import spark.implicits._
+    val info = commitInfoOf(fs, dir).toSeq
+      .map { case (g, (ts, op)) => (g, new java.sql.Timestamp(ts), op) }
+      .toDF("gen", "ts", "operation")
+    churn.join(info, Seq("gen"), "left").orderBy("gen")
   }
+
+  /** The newest generation whose recorded commit time is ≤
+    * `tsMillis` — Delta's `TIMESTAMP AS OF` resolution over the
+    * retained history. Every retained generation must carry a commit
+    * record to resolve by time (records exist from
+    * [[enableGenerations]] onward); a recordless generation fails
+    * loudly with the fallback spelled out — read it by NUMBER via
+    * [[readSnapshot]] — because silently skipping it would resolve
+    * PAST a commit the timestamp may name. File-count-sized driver
+    * work, like every other planning read. */
+  def generationAsOf(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, tsMillis: Long): Long = {
+    requireEncodingStablePath(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(generationsEnabled(fs, dir),
+      s"$dir is not generation-tracked — nothing to resolve as-of")
+    val cur = liveGenOf(fs, dir)
+    val oldest = archivedGens(fs, dir).minOption.getOrElse(cur)
+    val info = commitInfoOf(fs, dir)
+    val missing = (oldest to cur).filterNot(info.contains)
+    require(missing.isEmpty,
+      s"generation(s) ${missing.mkString(", ")} at $dir carry no commit " +
+        "record (committed before enableGenerations stamped one, or a " +
+        "commit crashed mid-record) — timestamp resolution would guess; " +
+        "read them by number via readSnapshot instead")
+    val eligible = (oldest to cur).filter(g => info(g)._1 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no retained generation at $dir committed at or before $tsMillis " +
+        s"— the oldest retained commit is gen $oldest at " +
+        s"${info(oldest)._1}; earlier history is vacuumed or never existed")
+    eligible.max
+  }
+
+  /** [[readSnapshot]] resolved by TIMESTAMP instead of generation
+    * number: rows as of the newest commit at or before `tsMillis`. */
+  def readSnapshotAsOf(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, tsMillis: Long): DataFrame =
+    readSnapshot(spark, dir, generationAsOf(spark, dir, tsMillis))
 
   /** Trim the generation store to the last `retainLast` generations
     * (live included): archived manifests and retired-file dirs
@@ -1013,6 +1172,17 @@ object Layout {
       require(fs.delete(st.getPath, true),
         s"vacuum: failed to drop retired files at ${st.getPath}")
     }
+    // commit records below the cut go with their manifests — a
+    // retained record for a vacuumed generation would let
+    // [[generationAsOf]] resolve to an unreadable snapshot
+    val cDir = commitsDir(dir)
+    if (fs.exists(cDir)) for (st <- fs.listStatus(cDir)
+        if st.isFile && st.getPath.getName.startsWith("gen=")
+          && st.getPath.getName.endsWith(".json")
+          && st.getPath.getName.stripPrefix("gen=").stripSuffix(".json")
+            .toLong < cut)
+      require(fs.delete(st.getPath, false),
+        s"vacuum: failed to drop the commit record at ${st.getPath}")
     (mfDropped, filesDropped)
   }
 
@@ -1290,10 +1460,14 @@ object Layout {
     * footer sampling. */
   def appendWithManifest(df: DataFrame, path: String,
                          keyCols: Seq[String],
-                         mergeSchema: Boolean = false): Unit = {
+                         mergeSchema: Boolean = false,
+                         expectedGen: Option[Long] = None): Unit = {
     val spark = df.sparkSession
     requireEncodingStablePath(path)
     requireSupportedKeys(df.schema, keyCols)
+    requireExpectedGen(new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      path, expectedGen, "append")
     // loading the manifest up front also fails fast when the dir was
     // never written with one. The key sets must match EXACTLY: a
     // strict subset would pass a one-sided check, append, and then
@@ -1353,7 +1527,7 @@ object Layout {
     // combination that can drop rows (documented on scanPruned).
     val updated = widenWithNullCounts(existing, keyCols).unionByName(delta)
       .localCheckpoint(true)
-    replaceManifest(spark, path, updated)
+    replaceManifest(spark, path, updated, "append", expectedGen)
     Checkpoints.unpersist(updated)
   }
 
@@ -1664,11 +1838,13 @@ object Layout {
     * covered or disjoint) — whole partitions drop unopened. */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
                   boxes: Seq[PruneBox],
-                  verifyCoverage: Boolean = true): DeleteStats = {
+                  verifyCoverage: Boolean = true,
+                  expectedGen: Option[Long] = None): DeleteStats = {
     require(boxes.nonEmpty, "deleteWhere needs at least one key box")
     requireEncodingStablePath(dir)
     val hDir = new org.apache.hadoop.fs.Path(dir)
     val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireExpectedGen(fs, dir, expectedGen, "deleteWhere")
     val manifest = loadManifest(spark, dir)
     val mSchema = manifest.schema
     val keyCols = manifestKeysOf(mSchema)
@@ -1773,7 +1949,8 @@ object Layout {
       "deleteWhere")
     // manifest last ([[patchManifest]]'s temp-dir + rename replace)
     patchManifest(spark, dir, manifest, keyCols,
-      (dropFiles ++ rewriteFiles).map(_._1).toSeq, delta)
+      (dropFiles ++ rewriteFiles).map(_._1).toSeq, delta,
+      "deleteWhere", expectedGen)
     DeleteStats(dropFiles.length, rewriteFiles.length,
       dropFiles.map(_._2).sum + rewriteFiles.map(_._2).sum - newRows)
   }
@@ -1855,8 +2032,9 @@ object Layout {
     * the new `k=v` directory. */
   def upsertByKey(spark: org.apache.spark.sql.SparkSession, dir: String,
                   updates: DataFrame, key: String,
-                  verifyCoverage: Boolean = true): UpsertStats =
-    upsertByKeys(spark, dir, updates, Seq(key), verifyCoverage)
+                  verifyCoverage: Boolean = true,
+                  expectedGen: Option[Long] = None): UpsertStats =
+    upsertByKeys(spark, dir, updates, Seq(key), verifyCoverage, expectedGen)
 
   /** [[upsertByKey]] on a COMPOSITE merge key — the real-world CDC
     * shape ((id, region), (id, as_of_date)): a base row is replaced
@@ -1877,13 +2055,15 @@ object Layout {
     * touched set. */
   def upsertByKeys(spark: org.apache.spark.sql.SparkSession, dir: String,
                    updates: DataFrame, keys: Seq[String],
-                   verifyCoverage: Boolean = true): UpsertStats = {
+                   verifyCoverage: Boolean = true,
+                   expectedGen: Option[Long] = None): UpsertStats = {
     requireEncodingStablePath(dir)
     require(keys.nonEmpty, "upsertByKeys needs at least one key column")
     require(keys.distinct == keys,
       s"duplicate merge key columns: ${keys.mkString(", ")}")
     val hDir = new org.apache.hadoop.fs.Path(dir)
     val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireExpectedGen(fs, dir, expectedGen, "upsertByKeys")
     val manifest = loadManifest(spark, dir)
     val mSchema = manifest.schema
     val keyCols = manifestKeysOf(mSchema)
@@ -1995,7 +2175,7 @@ object Layout {
       retireOrDeleteAll(fs, dir, touched.map(_._1).toSeq, "upsertByKeys")
       // manifest last ([[patchManifest]]'s temp-dir + rename replace)
       patchManifest(spark, dir, manifest, keyCols,
-        touched.map(_._1).toSeq, Some(delta))
+        touched.map(_._1).toSeq, Some(delta), "upsertByKeys", expectedGen)
       // newRows = survivors + updCount, so replaced = touched − survivors
       val touchedRows = touched.map(_._2).sum
       UpsertStats(touched.length, verdicts.length - touched.length,
@@ -2479,12 +2659,14 @@ object Layout {
   def optimize(spark: org.apache.spark.sql.SparkSession, dir: String,
                files: Int, maxDepth: Long = 4L,
                force: Boolean = false,
-               verifyCoverage: Boolean = true): OptimizeStats = {
+               verifyCoverage: Boolean = true,
+               expectedGen: Option[Long] = None): OptimizeStats = {
     require(files >= 1, "optimize needs files >= 1")
     requireEncodingStablePath(dir)
     val hDir = new org.apache.hadoop.fs.Path(dir)
     val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireFlatLayout(fs, hDir, "optimize")
+    requireExpectedGen(fs, dir, expectedGen, "optimize")
     val manifest = loadManifest(spark, dir)
     val mSchema = manifest.schema
     val keys = manifestKeysOf(mSchema)
@@ -2517,7 +2699,7 @@ object Layout {
     // manifest replaced via the temp-dir + rename discipline
     val rebuilt = buildFileManifest(spark, dir, keys, bloomKeysOf(mSchema))
       .localCheckpoint(true)
-    replaceManifest(spark, dir, rebuilt)
+    replaceManifest(spark, dir, rebuilt, "optimize", expectedGen)
     Checkpoints.unpersist(rebuilt)
     // the clustered copy materialized any evolved columns, so the
     // schema sidecar retires (output is schema-homogeneous); a crash
@@ -2604,12 +2786,14 @@ object Layout {
                         dir: String, targetRows: Long,
                         maxDepth: Long = 4L, minFileRows: Long = 0L,
                         force: Boolean = false,
-                        verifyCoverage: Boolean = true): OptimizeStats = {
+                        verifyCoverage: Boolean = true,
+                        expectedGen: Option[Long] = None): OptimizeStats = {
     require(targetRows >= 1, "optimizeSelective needs targetRows >= 1")
     requireEncodingStablePath(dir)
     val hDir = new org.apache.hadoop.fs.Path(dir)
     val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireFlatLayout(fs, hDir, "optimizeSelective")
+    requireExpectedGen(fs, dir, expectedGen, "optimizeSelective")
     val manifest = loadManifest(spark, dir)
     val mSchema = manifest.schema
     val keys = manifestKeysOf(mSchema)
@@ -2667,7 +2851,8 @@ object Layout {
     // kept rows verbatim, delta rows appended — the manifest is
     // PATCHED, never rebuilt, so kept files' stats (and blooms)
     // cannot drift
-    patchManifest(spark, dir, manifest, keys, selected, Some(delta))
+    patchManifest(spark, dir, manifest, keys, selected, Some(delta),
+      "optimizeSelective", expectedGen)
     OptimizeStats(reclustered = true, before.size,
       spark.read.parquet(dir).inputFiles.length, worst,
       filesKept = before.size - selected.size)
@@ -2716,11 +2901,13 @@ object Layout {
                           dir: String, filesPerPartition: Int,
                           maxDepth: Long = 4L,
                           force: Boolean = false,
-                          verifyCoverage: Boolean = true): OptimizeStats = {
+                          verifyCoverage: Boolean = true,
+                          expectedGen: Option[Long] = None): OptimizeStats = {
     require(filesPerPartition >= 1, "optimizePartitioned needs files >= 1")
     requireEncodingStablePath(dir)
     val hDir = new org.apache.hadoop.fs.Path(dir)
     val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireExpectedGen(fs, dir, expectedGen, "optimizePartitioned")
     val dirFrame = spark.read.parquet(dir)
     val partCols = hivePartColsChecked(fs, hDir, dirFrame.schema)
     require(partCols.nonEmpty,
@@ -2840,7 +3027,8 @@ object Layout {
         spark.read.option("basePath", dir).parquet(newFiles: _*),
         keys, bloomKeysOf(mSchema))
       .localCheckpoint(true)
-    patchManifest(spark, dir, manifest, keys, removed.toSeq, Some(delta))
+    patchManifest(spark, dir, manifest, keys, removed.toSeq, Some(delta),
+      "optimizePartitioned", expectedGen)
     // the sidecar retires only when every leaf rewrote: a skipped
     // leaf may still hold files that predate an added column, and
     // retiring it would revert their reads to footer sampling. NOT

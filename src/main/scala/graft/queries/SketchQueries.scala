@@ -1954,6 +1954,56 @@ object SketchQueries {
              |FROM pruned GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true),
 
+    // TIMESTAMP AS OF — [[Layout.readSnapshotAsOf]] resolves a
+    // wall-clock instant to the newest commit at or before it (the
+    // per-generation commit records written at each manifest
+    // replace) and serves that snapshot: the fixture commits two
+    // deletes under OPTIMISTIC CONCURRENCY (each names the
+    // generation it read; a stale expectation would refuse with
+    // ConcurrentModificationException) and pins an instant BETWEEN
+    // them, so the gate must see exactly the first delete applied
+    // and not the second — the oracle recomputes that intermediate
+    // state from the unmutated table.
+    QueryDef("q_layout_asof",
+      (s, d) => {
+        val spec = prunedFixture.computeIfAbsent(s"$d#docs_asof", _ => {
+          val p = graft.Scratch.tempDir("graft_asof_") + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(8, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          Layout.enableGenerations(s, p)
+          Layout.deleteWhere(s, p, Seq(Layout.KeyBox("doc_id", 100L, 199L)),
+            expectedGen = Some(0L))
+          // the pinned instant must strictly separate the two commit
+          // timestamps (millisecond clock)
+          Thread.sleep(2)
+          val tsMid = System.currentTimeMillis()
+          Thread.sleep(2)
+          Layout.deleteWhere(s, p, Seq(Layout.KeyBox("doc_id", 300L, 399L)),
+            expectedGen = Some(1L))
+          require(Layout.generationAsOf(s, p, tsMid) == 1L,
+            "the pinned instant did not resolve between the commits")
+          s"$p|$tsMid"
+        })
+        val Array(dir, ts) = spec.split('|')
+        Layout.readSnapshotAsOf(s, dir, ts.toLong)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH pinned AS (
+             |  SELECT * FROM documents
+             |  WHERE doc_id NOT BETWEEN 100 AND 199)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM pinned GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // DESCRIBE HISTORY — [[Layout.describeHistory]] folds the
     // generation store's archived manifests into one commit-log
     // table (file and row churn per committed generation) without

@@ -1762,6 +1762,95 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("commit records: asOf resolution, operation labels, and expectedGen optimistic concurrency") {
+    import spark.implicits._
+    withTempDir("graft_asof_spec_") { dir =>
+      val d = s"$dir/t"
+      (0L to 99L).map(k => (k, k * 2)).toDF("k", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      val tsPre = System.currentTimeMillis()
+      Thread.sleep(2)
+      Layout.enableGenerations(spark, d)
+      Thread.sleep(2)
+      val ts0 = System.currentTimeMillis() // after the gen-0 stamp
+      Thread.sleep(2)
+      Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 24L)))
+      Thread.sleep(2)
+      val ts1 = System.currentTimeMillis() // between gen 1 and gen 2
+      Thread.sleep(2)
+      Layout.upsertByKey(spark, d, Seq((30L, 999L)).toDF("k", "v"), "k")
+      // timestamp resolution: before history → loud, between commits →
+      // that generation, now → live
+      val early = intercept[IllegalArgumentException] {
+        Layout.generationAsOf(spark, d, tsPre)
+      }
+      assert(early.getMessage.contains("at or before"))
+      assert(Layout.generationAsOf(spark, d, ts0) === 0L)
+      assert(Layout.generationAsOf(spark, d, ts1) === 1L)
+      assert(Layout.generationAsOf(spark, d,
+        System.currentTimeMillis()) === 2L)
+      assert(Layout.readSnapshotAsOf(spark, d, ts0).count() === 100L)
+      assert(Layout.readSnapshotAsOf(spark, d, ts1).count() === 75L)
+      // history rows carry the committing verb and a commit time
+      val hist = Layout.describeHistory(spark, d)
+        .select("gen", "operation", "ts")
+        .as[(Long, String, java.sql.Timestamp)].collect().sortBy(_._1)
+      assert(hist.map(h => (h._1, h._2)).toSeq ===
+        Seq((1L, "deleteWhere"), (2L, "upsertByKeys")))
+      assert(hist.forall(_._3 != null))
+      assert(hist(0)._3.getTime <= hist(1)._3.getTime)
+      // optimistic concurrency: a stale expectation refuses with the
+      // RETRYABLE exception type and mutates nothing; the refreshed
+      // expectation commits
+      val stale = intercept[java.util.ConcurrentModificationException] {
+        Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 90L, 99L)),
+          expectedGen = Some(1L))
+      }
+      assert(stale.getMessage.contains("expected generation 1"))
+      assert(Layout.currentGeneration(spark, d) === 2L,
+        "a refused commit mutated the layout")
+      assert(spark.read.parquet(d).count() === 75L)
+      Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 90L, 99L)),
+        expectedGen = Some(2L))
+      assert(Layout.currentGeneration(spark, d) === 3L)
+      assert(spark.read.parquet(d).count() === 65L)
+      // expectedGen demands generation tracking
+      val d2 = s"$dir/untracked"
+      (0L to 9L).map(k => (k, k)).toDF("k", "v").repartition(1)
+        .write.parquet(d2)
+      Layout.buildFileManifest(spark, d2, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d2/_graft_manifest")
+      val untracked = intercept[IllegalArgumentException] {
+        Layout.upsertByKey(spark, d2, Seq((1L, 5L)).toDF("k", "v"), "k",
+          expectedGen = Some(0L))
+      }
+      assert(untracked.getMessage.contains("generation-tracked"))
+      // vacuum drops commit records with their manifests: a vacuumed
+      // instant fails loudly, the retained range still resolves
+      val tsLive = System.currentTimeMillis()
+      Layout.vacuumGenerations(spark, d, retainLast = 2)
+      val vacuumed = intercept[IllegalArgumentException] {
+        Layout.generationAsOf(spark, d, ts1)
+      }
+      assert(vacuumed.getMessage.contains("oldest retained"))
+      assert(Layout.generationAsOf(spark, d, tsLive) === 3L)
+      assert(Layout.readSnapshotAsOf(spark, d, tsLive).count() === 65L)
+      assert(Layout.readSnapshot(spark, d, 2L).count() === 75L)
+      // a recordless generation degrades loudly, never resolves past
+      val fsys = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fsys.delete(new org.apache.hadoop.fs.Path(
+        s"$d/_graft_history/commits/gen=2.json"), false))
+      val gap = intercept[IllegalArgumentException] {
+        Layout.generationAsOf(spark, d, tsLive)
+      }
+      assert(gap.getMessage.contains("no commit record"))
+    }
+  }
+
   test("partitioned generations: snapshots re-derive partition columns for retired files; CDF, MV, history and optimize span the tree") {
     import graft.ext.Ivm
     import spark.implicits._
