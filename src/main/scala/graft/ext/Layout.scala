@@ -1127,6 +1127,253 @@ object Layout {
                        dir: String, tsMillis: Long): DataFrame =
     readSnapshot(spark, dir, generationAsOf(spark, dir, tsMillis))
 
+  /** Hadoop Configuration is not Serializable; this envelope carries
+    * it to executors for the distributed file copies (restore/clone)
+    * via its own Writable serialization. */
+  private class SerHadoopConf(
+      @transient private var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    def value: org.apache.hadoop.conf.Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /** Copy `pairs` (src URI → dst URI) ON THE EXECUTORS — restore and
+    * clone move data bytes, and at 100 TB that I/O belongs on the
+    * cluster, never the driver (the driver's work stays file-count-
+    * sized: planning the pairs). One task per file; each streams
+    * src → `.dst.inprogress` → rename, so a crashed task leaves only
+    * `.`-prefixed debris invisible to readers, never a torn
+    * destination; a task RETRY finds the rename target already
+    * committed and stands down. */
+  private def copyFilesDistributed(spark: org.apache.spark.sql.SparkSession,
+                                   pairs: Seq[(String, String)]): Unit = {
+    if (pairs.isEmpty) return
+    val serConf = new SerHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val slices = math.max(1, math.min(pairs.size,
+      spark.sparkContext.defaultParallelism * 2))
+    spark.sparkContext.parallelize(pairs, slices).foreach { case (s, d) =>
+      val conf = serConf.value
+      val srcP = new org.apache.hadoop.fs.Path(new java.net.URI(s))
+      val dstP = new org.apache.hadoop.fs.Path(new java.net.URI(d))
+      val sfs = srcP.getFileSystem(conf)
+      val dfs = dstP.getFileSystem(conf)
+      if (!dfs.exists(dstP)) {
+        val tmp = new org.apache.hadoop.fs.Path(dstP.getParent,
+          s".${dstP.getName}.inprogress")
+        dfs.mkdirs(dstP.getParent)
+        val in = sfs.open(srcP)
+        try {
+          val out = dfs.create(tmp, true)
+          try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 1 << 16, false)
+          finally out.close()
+        } finally in.close()
+        if (!dfs.rename(tmp, dstP)) {
+          require(dfs.exists(dstP), s"failed to commit copy $s -> $d")
+          dfs.delete(tmp, false)
+          ()
+        }
+      }
+    }
+  }
+
+  /** Anchor + anchor-relative path of a RESOLVED snapshot file: live
+    * files anchor at the layout root, retired files at their
+    * retirement label — the same grouping [[readResolved]] reads
+    * under. The relative path carries the file's k=v chain on a
+    * partitioned layout (retirement preserves it), which is what lets
+    * restore and clone land each file back in its partition leaf. */
+  private def anchorRelOf(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: String, resolved: String): (String, String) = {
+    val marker = "/_graft_retired/gen="
+    val i = resolved.indexOf(marker)
+    val anchor =
+      if (i < 0) dir
+      else {
+        val end = resolved.indexOf('/', i + marker.length)
+        require(end > 0, s"malformed retirement path $resolved")
+        resolved.substring(0, end)
+      }
+    val aq = fs.makeQualified(new org.apache.hadoop.fs.Path(anchor)).toString
+    val pq = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(new java.net.URI(resolved))).toString
+    require(pq.startsWith(aq + "/"),
+      s"$resolved is not under its anchor $anchor")
+    (anchor, pq.stripPrefix(aq + "/"))
+  }
+
+  /** Rewrite the manifest's `file` column through `mapping`
+    * (old URI → new URI), every other column and the column ORDER
+    * verbatim — stats stay valid because restore/clone copy bytes,
+    * never rewrite rows. File-count-sized broadcast join, the same
+    * planning shape as every other manifest patch. */
+  private def remapManifestFiles(spark: org.apache.spark.sql.SparkSession,
+                                 manifest: DataFrame,
+                                 mapping: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val m = mapping.toDF("file", "graft_new_file")
+    val cols = manifest.columns.toSeq
+    manifest.join(broadcast(m), Seq("file"), "inner")
+      .select(cols.map(c =>
+        if (c == "file") col("graft_new_file").as("file") else col(c)): _*)
+  }
+
+  /** Manifest `file` strings must match Spark's inputFiles
+    * canonicalization exactly (that is the form every manifest row is
+    * born with and every coverage/anti-join compares against), and a
+    * driver-synthesized `Path` string is NOT it (`file:/` vs
+    * `file:///`). So restore/clone re-list after copying and match
+    * each copy back by its unique anchor-relative suffix. */
+  private def canonicalByRel(canonical: Seq[String], rel: String): String = {
+    val hits = canonical.filter(_.endsWith("/" + rel))
+    require(hits.size == 1,
+      s"cannot canonicalize copied file $rel — " +
+        s"${hits.size} listing matches: ${hits.mkString(", ")}")
+    hits.head
+  }
+
+  /** Per-outcome counts of a [[restoreSnapshot]] call. `committed`
+    * is false only for the no-op restore-to-live-generation. */
+  case class RestoreStats(committed: Boolean, filesKept: Int,
+                          filesCopied: Int, filesRetired: Int)
+
+  /** RESTORE TABLE: make generation `gen`'s rows the LIVE table
+    * again, as a NEW commit — the Delta `RESTORE ... VERSION AS OF`
+    * verb, the undo for a bad delete/upsert/optimize. Files of `gen`
+    * still live stay untouched (their manifest rows carry over
+    * verbatim); files that were retired since are COPIED back into
+    * the live tree — copied, never moved, so every archived
+    * generation that references them at their retirement label keeps
+    * resolving — under fresh `restored-gen<N>-` basenames in their
+    * original partition leaf (the preserved k=v chain); live files
+    * NOT in `gen` retire under the outgoing generation's label like
+    * any other mutation. Byte copies on the executors
+    * ([[copyFilesDistributed]]): restore I/O ∝ the churn being
+    * undone, never table size, and the driver only plans the
+    * file-count-sized pair list. Crash windows match the other
+    * verbs': copies land first (a crash leaves extra live files the
+    * coverage guard flags loudly), retirement second, manifest
+    * commit last.
+    *
+    * Restoring to a pre-ADD-COLUMN generation does NOT drop the
+    * column: the schema sidecar stays, restored files simply read
+    * null for columns they predate — same rule as [[readSnapshot]].
+    * History keeps the undone commits readable: restore ADDS a
+    * generation, it never rewrites the log. */
+  def restoreSnapshot(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, gen: Long,
+                      expectedGen: Option[Long] = None): RestoreStats = {
+    import spark.implicits._
+    requireEncodingStablePath(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(generationsEnabled(fs, dir),
+      s"$dir is not generation-tracked — nothing to restore")
+    requireExpectedGen(fs, dir, expectedGen, "restore")
+    val cur = liveGenOf(fs, dir)
+    val target = snapshotManifestOf(spark, fs, dir, gen)
+    val targetFiles = target.select("file").as[String].collect()
+    if (gen == cur)
+      return RestoreStats(committed = false, targetFiles.length, 0, 0)
+    val resolved = resolveSnapshotFiles(fs, dir, gen, targetFiles)
+    val liveBefore = spark.read.parquet(dir).inputFiles.toSet
+    // classification falls out of resolution: a file that resolved to
+    // a retirement path needs a copy-back; anything else is live
+    val (copyBack, kept) = targetFiles.zip(resolved).partition {
+      case (_, r) => r.contains("/_graft_retired/gen=")
+    }
+    val rootQ = fs.makeQualified(new org.apache.hadoop.fs.Path(dir)).toString
+    val withRel = copyBack.toSeq.map { case (orig, retired) =>
+      val (_, rel) = anchorRelOf(fs, dir, retired)
+      val slash = rel.lastIndexOf('/')
+      val (parent, base) =
+        if (slash < 0) ("", rel) else (rel.substring(0, slash + 1),
+          rel.substring(slash + 1))
+      // fresh name, unique per committing generation (a given live
+      // generation commits at most once), original partition leaf
+      (orig, retired, s"${parent}restored-gen$cur-$base")
+    }
+    copyFilesDistributed(spark,
+      withRel.map(m => (m._2, s"$rootQ/${m._3}")))
+    // the copies' manifest rows must carry Spark's OWN
+    // canonicalization of each new file ([[canonicalByRel]])
+    val newCanonical =
+      if (withRel.isEmpty) Seq.empty[String]
+      else spark.read.parquet(dir).inputFiles.toSeq.filterNot(liveBefore)
+    val mapping = withRel.map(m => (m._1, canonicalByRel(newCanonical, m._3)))
+    // retire what the restore supersedes — everything live that gen
+    // does not reference (the copies just written are not in
+    // liveBefore, so they can never retire themselves)
+    val keptSet = kept.map(_._1).toSet
+    retireOrDeleteAll(fs, dir, (liveBefore -- keptSet).toSeq.sorted,
+      "restore")
+    val restored = remapManifestFiles(spark, target,
+      kept.toSeq.map(k => (k._1, k._1)) ++ mapping)
+      .localCheckpoint(true)
+    replaceManifest(spark, dir, restored, "restore", expectedGen)
+    Checkpoints.unpersist(restored)
+    RestoreStats(committed = true, kept.length, copyBack.length,
+      (liveBefore -- keptSet).size)
+  }
+
+  /** CLONE a snapshot into a standalone layout: generation `gen`'s
+    * files copied to `destDir` (executor-distributed, each under its
+    * anchor-relative path so partition leaves reproduce), the
+    * manifest rewritten to the copied URIs, and the schema sidecar
+    * carried over when one exists — the Delta CLONE / training-data
+    * EXPORT verb: pin the exact dataset version a run trained on as
+    * an independent, prunable table that later mutations and vacuums
+    * of the source can never touch. The clone starts UNTRACKED (no
+    * generation history of its own — call [[enableGenerations]] to
+    * begin one) and must not already exist. Returns the number of
+    * files copied. */
+  def cloneSnapshot(spark: org.apache.spark.sql.SparkSession,
+                    srcDir: String, gen: Long, destDir: String): Long = {
+    import spark.implicits._
+    requireEncodingStablePath(srcDir)
+    requireEncodingStablePath(destDir)
+    val fs = new org.apache.hadoop.fs.Path(srcDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val destP = new org.apache.hadoop.fs.Path(destDir)
+    require(!fs.exists(destP),
+      s"clone destination $destDir already exists — refusing to mix")
+    val target = snapshotManifestOf(spark, fs, srcDir, gen)
+    val targetFiles = target.select("file").as[String].collect()
+    val resolved = resolveSnapshotFiles(fs, srcDir, gen, targetFiles)
+    val destQ = fs.makeQualified(destP).toString
+    val withRel = targetFiles.toSeq.zip(resolved).map { case (orig, r) =>
+      val (_, rel) = anchorRelOf(fs, srcDir, r)
+      (orig, r, rel)
+    }
+    val dup = withRel.groupBy(_._3).filter(_._2.size > 1).keys
+    require(dup.isEmpty,
+      s"clone of $srcDir@$gen maps two files onto ${dup.mkString(", ")}")
+    copyFilesDistributed(spark, withRel.map(m => (m._2, s"$destQ/${m._3}")))
+    // manifest rows carry Spark's OWN canonicalization of each copy
+    // ([[canonicalByRel]]), matched back by anchor-relative suffix
+    val destCanonical = spark.read.parquet(destDir).inputFiles.toSeq
+    val mapping = withRel.map(m => (m._1, canonicalByRel(destCanonical, m._3)))
+    val cloned = remapManifestFiles(spark, target, mapping)
+      .localCheckpoint(true)
+    cloned.write.mode("overwrite").parquet(s"$destDir/_graft_manifest")
+    Checkpoints.unpersist(cloned)
+    // the CURRENT sidecar governs resolution of every file, including
+    // ones predating an added column — the clone needs it verbatim
+    val sc = schemaSidecar(srcDir)
+    if (fs.exists(sc))
+      org.apache.hadoop.fs.FileUtil.copy(fs, sc, fs,
+        schemaSidecar(destDir), false,
+        spark.sparkContext.hadoopConfiguration)
+    mapping.size.toLong
+  }
+
   /** Trim the generation store to the last `retainLast` generations
     * (live included): archived manifests and retired-file dirs
     * labeled below the cut are deleted — every RETAINED snapshot

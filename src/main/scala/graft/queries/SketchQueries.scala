@@ -2004,6 +2004,89 @@ object SketchQueries {
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM pinned GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // RESTORE — [[Layout.restoreSnapshot]] makes generation 0's rows
+    // the live table again as a NEW commit (the undo for the two
+    // deletes), copying retired files back under fresh names with
+    // their manifest stats carried VERBATIM; the gate then runs a
+    // manifest-PRUNED read over the restored live table, so both the
+    // row content and the carried stats must be exact — against the
+    // oracle over the table as if nothing ever happened.
+    QueryDef("q_layout_restore",
+      (s, d) => {
+        val dir = prunedFixture.computeIfAbsent(s"$d#docs_restore", _ => {
+          val p = graft.Scratch.tempDir("graft_restore_") + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(8, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          Layout.enableGenerations(s, p)
+          Layout.deleteWhere(s, p, Seq(Layout.KeyBox("doc_id", 100L, 199L)),
+            expectedGen = Some(0L))
+          Layout.deleteWhere(s, p, Seq(Layout.KeyBox("doc_id", 300L, 349L)),
+            expectedGen = Some(1L))
+          val st = Layout.restoreSnapshot(s, p, 0L, expectedGen = Some(2L))
+          require(st.committed && st.filesCopied > 0 &&
+              Layout.currentGeneration(s, p) == 3L,
+            s"degenerate fixture: $st")
+          p
+        })
+        Layout.scanPruned(s, dir, Seq(Layout.KeyBox("doc_id", 50L, 400L)))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH pruned AS (
+             |  SELECT * FROM documents WHERE doc_id BETWEEN 50 AND 400)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM pruned GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // CLONE — [[Layout.cloneSnapshot]] exports generation 0 as a
+    // standalone layout (the pin-the-training-set verb): the fixture
+    // clones BEFORE gutting and vacuuming the source, so the gate's
+    // pruned read over the clone proves both independence (the
+    // source's later history cannot reach it) and that the rewritten
+    // manifest's carried stats stay exact.
+    QueryDef("q_layout_clone",
+      (s, d) => {
+        val dir = prunedFixture.computeIfAbsent(s"$d#docs_clone", _ => {
+          val p0 = graft.Scratch.tempDir("graft_clone_")
+          val p = s"$p0/documents"
+          val c = s"$p0/clone"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(8, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          Layout.enableGenerations(s, p)
+          Layout.deleteWhere(s, p, Seq(Layout.KeyBox("doc_id", 100L, 199L)))
+          require(Layout.cloneSnapshot(s, p, 0L, c) > 0L,
+            "degenerate fixture: nothing cloned")
+          // gut the source AFTER cloning — the clone must not notice
+          Layout.deleteWhere(s, p, Seq(Layout.KeyBox("doc_id", 0L, 999999L)))
+          Layout.vacuumGenerations(s, p, retainLast = 1)
+          c
+        })
+        Layout.scanPruned(s, dir, Seq(Layout.KeyBox("doc_id", 50L, 400L)))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH pruned AS (
+             |  SELECT * FROM documents WHERE doc_id BETWEEN 50 AND 400)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM pruned GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // DESCRIBE HISTORY — [[Layout.describeHistory]] folds the
     // generation store's archived manifests into one commit-log
     // table (file and row churn per committed generation) without

@@ -1851,6 +1851,81 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("restoreSnapshot and cloneSnapshot: undo-by-copy keeps every archived generation readable") {
+    import spark.implicits._
+    withTempDir("graft_restore_") { dir =>
+      val d = s"$dir/t"
+      (0L to 99L)
+        .map(k => (k, if (k % 2 == 0) "en" else "fr", k * 10))
+        .toDF("doc_id", "lang", "v")
+        .repartitionByRange(2, col("doc_id")).sortWithinPartitions("doc_id")
+        .write.partitionBy("lang").parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("doc_id"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      Layout.enableGenerations(spark, d)
+      // gen 1: delete a band; gen 2: CDC update that moves a row
+      Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("doc_id", 0L, 24L)))
+      Layout.upsertByKey(spark, d,
+        Seq((30L, "de", 999L)).toDF("doc_id", "lang", "v"), "doc_id")
+      assert(spark.read.parquet(d).count() === 75L)
+      // clone the PRE-MUTATION snapshot before restoring anything
+      val c = s"$dir/clone"
+      val copied = Layout.cloneSnapshot(spark, d, 0L, c)
+      assert(copied > 0L)
+      // restore to generation 0 — a NEW commit (gen 3), not a rewrite
+      val st = Layout.restoreSnapshot(spark, d, 0L, expectedGen = Some(2L))
+      assert(st.committed && st.filesCopied > 0, st.toString)
+      assert(Layout.currentGeneration(spark, d) === 3L)
+      val live = spark.read.parquet(d)
+      assert(live.count() === 100L)
+      assert(live.filter(col("doc_id") === 30L)
+        .select("lang", "v").as[(String, Long)].collect().toSeq
+        === Seq(("en", 300L)), "the restore did not undo the upsert")
+      // pruned reads serve off the restored manifest's carried stats
+      assert(Layout.scanPruned(spark, d,
+          Seq(Layout.KeyBox("doc_id", 0L, 24L))).count() === 25L)
+      // copy-never-move: every UNDONE generation stays readable
+      assert(Layout.readSnapshot(spark, d, 1L).count() === 75L)
+      assert(Layout.readSnapshot(spark, d, 2L)
+        .filter(col("doc_id") === 30L).select("lang").as[String]
+        .collect().toSeq === Seq("de"))
+      // history records the restore as its own commit
+      val ops = Layout.describeHistory(spark, d)
+        .select("gen", "operation").as[(Long, String)].collect()
+        .sortBy(_._1).toSeq
+      assert(ops === Seq((1L, "deleteWhere"), (2L, "upsertByKeys"),
+        (3L, "restore")))
+      // restore-to-live is a no-op, never a phantom commit
+      val noop = Layout.restoreSnapshot(spark, d, 3L)
+      assert(!noop.committed && noop.filesCopied === 0)
+      assert(Layout.currentGeneration(spark, d) === 3L)
+      // stale OCC expectation refuses with the retryable type
+      intercept[java.util.ConcurrentModificationException] {
+        Layout.restoreSnapshot(spark, d, 1L, expectedGen = Some(2L))
+      }
+      // the clone is a standalone layout: same rows as gen 0, its own
+      // manifest serves pruned reads, and mutating the SOURCE (even
+      // vacuuming its history) cannot touch it
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "lang", "v").as[(Long, String, Long)]
+          .collect().sortBy(_._1).toSeq
+      assert(canon(spark.read.parquet(c)) ===
+        canon(Layout.readSnapshot(spark, d, 0L)))
+      assert(Layout.scanPruned(spark, c,
+          Seq(Layout.KeyBox("doc_id", 10L, 20L))).count() === 11L)
+      Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("doc_id", 0L, 99L)))
+      Layout.vacuumGenerations(spark, d, retainLast = 1)
+      assert(spark.read.parquet(c).count() === 100L)
+      assert(canon(spark.read.parquet(c)).take(3) ===
+        Seq((0L, "en", 0L), (1L, "fr", 10L), (2L, "en", 20L)))
+      // a clone refuses to land on an existing directory
+      val taken = intercept[IllegalArgumentException] {
+        Layout.cloneSnapshot(spark, d, Layout.currentGeneration(spark, d), c)
+      }
+      assert(taken.getMessage.contains("already exists"))
+    }
+  }
+
   test("partitioned generations: snapshots re-derive partition columns for retired files; CDF, MV, history and optimize span the tree") {
     import graft.ext.Ivm
     import spark.implicits._
