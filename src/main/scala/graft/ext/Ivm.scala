@@ -315,8 +315,8 @@ object Ivm {
       .map(_.stripPrefix("state_gen=").toLong)
   }
 
-  private def readViewMeta(spark: org.apache.spark.sql.SparkSession,
-                           viewDir: String): (String, Seq[String], Seq[String]) = {
+  private def parseViewMeta(spark: org.apache.spark.sql.SparkSession,
+                            viewDir: String): org.json4s.JValue = {
     val fs = viewFs(spark, viewDir)
     val p = viewMetaPath(viewDir)
     require(fs.exists(p),
@@ -328,20 +328,36 @@ object Ivm {
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
       out.toString("UTF-8")
     } finally in.close()
+    org.json4s.jackson.JsonMethods.parse(json)
+  }
+
+  private def metaStr(j: org.json4s.JValue, p: String,
+                      what: String): String = j match {
+    case org.json4s.JString(s) => s
+    case other => throw new IllegalArgumentException(
+      s"malformed view meta at $p: $what is $other")
+  }
+
+  private def metaStrs(j: org.json4s.JValue, p: String,
+                       what: String): Seq[String] = j match {
+    case org.json4s.JArray(xs) => xs.map(metaStr(_, p, what))
+    case other => throw new IllegalArgumentException(
+      s"malformed view meta at $p: $what is $other")
+  }
+
+  private def readViewMeta(spark: org.apache.spark.sql.SparkSession,
+                           viewDir: String): (String, Seq[String], Seq[String]) = {
     import org.json4s._
-    val jv = org.json4s.jackson.JsonMethods.parse(json)
-    def str(j: JValue, what: String): String = j match {
-      case JString(s) => s
-      case other => throw new IllegalArgumentException(
-        s"malformed view meta at $p: $what is $other")
+    val jv = parseViewMeta(spark, viewDir)
+    val p = viewMetaPath(viewDir).toString
+    jv \ "kind" match {
+      case JString("join") => throw new IllegalArgumentException(
+        s"$viewDir holds a JOIN view — use refreshJoinView / " +
+          "readJoinView / rebuildJoinView")
+      case _ =>
     }
-    def strs(j: JValue, what: String): Seq[String] = j match {
-      case JArray(xs) => xs.map(str(_, what))
-      case other => throw new IllegalArgumentException(
-        s"malformed view meta at $p: $what is $other")
-    }
-    (str(jv \ "base", "base"), strs(jv \ "keys", "keys"),
-      strs(jv \ "sums", "sums"))
+    (metaStr(jv \ "base", p, "base"), metaStrs(jv \ "keys", p, "keys"),
+      metaStrs(jv \ "sums", p, "sums"))
   }
 
   /** Commit a state frame as the view's `state_gen=[gen]` via the
@@ -485,5 +501,243 @@ object Ivm {
       require(fs.delete(viewStatePath(viewDir, g), true),
         s"failed to drop superseded view state state_gen=$g")
     ViewRefreshStats(old.maxOption.getOrElse(cur), cur, refreshed = true)
+  }
+
+  // ───────────── persisted self-refreshing JOIN views ─────────────
+  //
+  // The same persistence discipline over [[maintainJoinAgg]]: a view
+  // over A ⋈ B pins a generation PAIR, and its state is the TRIO the
+  // delta-join needs — the view aggregate plus both side multisets
+  // (compressed projections of the bases, never the bases). A refresh
+  // diffs EACH base's generation store from its pinned generation
+  // ([[Layout.changesBetween]], churn-priced; an unmoved side yields
+  // an empty feed) and maintains all three in one pass. Commit
+  // interleavings across the two bases cannot skew the result: the
+  // view is a function of the two current multisets alone, and the
+  // delta-join is exact for the pair transition whatever the true
+  // temporal order of the underlying commits was.
+
+  /** One join-view refresh's outcome: the generation span applied on
+    * each base, and whether any maintenance ran. */
+  case class JoinViewRefreshStats(fromAGen: Long, toAGen: Long,
+                                  fromBGen: Long, toBGen: Long,
+                                  refreshed: Boolean)
+
+  private val JoinStateRe = """state_agen=(\d+)_bgen=(\d+)""".r
+
+  private def joinStatePath(viewDir: String, gA: Long,
+                            gB: Long): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$viewDir/state_agen=${gA}_bgen=$gB")
+
+  /** State pairs on disk — normally one; two is the refresh's
+    * rename-then-drop crash window. Refreshes advance at least one
+    * component and never regress either, so any two states are
+    * componentwise comparable and the lexicographic max IS the
+    * componentwise max. */
+  private def joinStateGens(fs: org.apache.hadoop.fs.FileSystem,
+                            viewDir: String): Seq[(Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(viewDir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+      case JoinStateRe(a, b) => (a.toLong, b.toLong)
+    }
+  }
+
+  private case class JoinViewMeta(aBase: String, bBase: String,
+                                  joinKeys: Seq[String],
+                                  groupKeys: Seq[String],
+                                  sums: Seq[String],
+                                  aCols: Seq[String], bCols: Seq[String])
+
+  private def readJoinViewMeta(spark: org.apache.spark.sql.SparkSession,
+                               viewDir: String): JoinViewMeta = {
+    import org.json4s._
+    val jv = parseViewMeta(spark, viewDir)
+    val p = viewMetaPath(viewDir).toString
+    jv \ "kind" match {
+      case JString("join") =>
+      case _ => throw new IllegalArgumentException(
+        s"$viewDir holds a single-base view — use refreshView / " +
+          "readView / rebuildView")
+    }
+    JoinViewMeta(metaStr(jv \ "abase", p, "abase"),
+      metaStr(jv \ "bbase", p, "bbase"),
+      metaStrs(jv \ "joinKeys", p, "joinKeys"),
+      metaStrs(jv \ "groupKeys", p, "groupKeys"),
+      metaStrs(jv \ "sums", p, "sums"),
+      metaStrs(jv \ "acols", p, "acols"),
+      metaStrs(jv \ "bcols", p, "bcols"))
+  }
+
+  /** Publish a (view, aState, bState) trio as `state_agen=_bgen=` via
+    * the same temp + rename discipline as [[commitViewState]]: all
+    * three land in the `_`-prefixed temp dir, ONE rename makes the
+    * pair live. */
+  private def commitJoinState(spark: org.apache.spark.sql.SparkSession,
+                              viewDir: String, gA: Long, gB: Long,
+                              view: DataFrame, aState: DataFrame,
+                              bState: DataFrame): Unit = {
+    val fs = viewFs(spark, viewDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$viewDir/_state_tmp")
+    require(fs.delete(tmp, true) || !fs.exists(tmp),
+      s"failed to clear the state staging dir at $tmp")
+    view.write.parquet(s"$tmp/view")
+    aState.write.parquet(s"$tmp/a")
+    bState.write.parquet(s"$tmp/b")
+    val dest = joinStatePath(viewDir, gA, gB)
+    require(!fs.exists(dest),
+      s"join view state $dest already exists — concurrent refreshers?")
+    require(fs.rename(tmp, dest),
+      s"failed to publish the join view state at $dest")
+  }
+
+  /** CREATE MATERIALIZED VIEW over `A ⋈ B`: bootstrap the side
+    * multisets and the [[aggregateOfJoin]] view at both bases'
+    * CURRENT generations (pinned by number) and persist the trio
+    * under `viewDir` with a meta sidecar naming both bases and the
+    * join/aggregate shape. Both bases must be generation-tracked.
+    * Every non-join view column must live on exactly ONE base — the
+    * same unambiguity [[maintainJoinAgg]] enforces on the states,
+    * checked here against the base schemas so the error names the
+    * column before anything persists. */
+  def createJoinView(spark: org.apache.spark.sql.SparkSession,
+                     aDir: String, bDir: String, viewDir: String,
+                     joinKeys: Seq[String], groupKeys: Seq[String],
+                     sumCols: Seq[String]): JoinViewRefreshStats = {
+    require(joinKeys.nonEmpty, "createJoinView needs a join key")
+    require(groupKeys.nonEmpty, "createJoinView needs a group key")
+    val fs = viewFs(spark, viewDir)
+    require(!fs.exists(viewMetaPath(viewDir)),
+      s"$viewDir already holds a materialized view — refreshJoinView " +
+        "to advance it, or remove the directory to re-create")
+    for ((ga, gb) <- joinStateGens(fs, viewDir))
+      require(fs.delete(joinStatePath(viewDir, ga, gb), true),
+        s"failed to clean stranded pre-meta state ($ga, $gb)")
+    val gA = Layout.currentGeneration(spark, aDir)
+    val gB = Layout.currentGeneration(spark, bDir)
+    val aAll = Layout.readSnapshot(spark, aDir, gA)
+    val bAll = Layout.readSnapshot(spark, bDir, gB)
+    for (k <- joinKeys)
+      require(aAll.columns.contains(k) && bAll.columns.contains(k),
+        s"join key $k must be a column of BOTH bases")
+    val rest = (groupKeys ++ sumCols).distinct.filterNot(joinKeys.contains)
+    for (c <- rest) {
+      val (onA, onB) = (aAll.columns.contains(c), bAll.columns.contains(c))
+      require(onA || onB, s"view column $c is on neither base")
+      require(!(onA && onB),
+        s"view column $c is on BOTH bases — project/rename one side " +
+          "so every view column is unambiguous")
+    }
+    val aCols = joinKeys ++ rest.filter(aAll.columns.contains)
+    val bCols = joinKeys ++ rest.filter(bAll.columns.contains)
+    // pin the side multisets: the view bootstrap AND all three state
+    // writes read them — unpinned, each consumer re-scans its base
+    val a0 = multisetOf(aAll.select(aCols.map(col): _*), aCols)
+      .localCheckpoint(true)
+    val b0 = multisetOf(bAll.select(bCols.map(col): _*), bCols)
+      .localCheckpoint(true)
+    val v0 = aggregateOfJoin(a0, b0, joinKeys, groupKeys, sumCols)
+    commitJoinState(spark, viewDir, gA, gB, v0, a0, b0)
+    Checkpoints.unpersist(a0)
+    Checkpoints.unpersist(b0)
+    // meta last, same rule as createView: its presence marks existence
+    import org.json4s.JsonDSL._
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("kind" -> "join") ~ ("abase" -> aDir) ~ ("bbase" -> bDir) ~
+          ("joinKeys" -> joinKeys) ~ ("groupKeys" -> groupKeys) ~
+          ("sums" -> sumCols) ~ ("acols" -> aCols) ~ ("bcols" -> bCols)))
+    val out = fs.create(viewMetaPath(viewDir), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    JoinViewRefreshStats(gA, gA, gB, gB, refreshed = true)
+  }
+
+  /** The (aBase, bBase) generation pair the persisted state
+    * reflects. */
+  def joinViewGenerations(spark: org.apache.spark.sql.SparkSession,
+                          viewDir: String): (Long, Long) = {
+    readJoinViewMeta(spark, viewDir)
+    val gens = joinStateGens(viewFs(spark, viewDir), viewDir)
+    require(gens.nonEmpty,
+      s"$viewDir has a meta sidecar but no state dir — rebuildJoinView")
+    gens.max
+  }
+
+  /** Read the join view's current aggregate (`groupKeys`, `cnt`,
+    * `sum_<c>`) — state-sized, never touching either base. */
+  def readJoinView(spark: org.apache.spark.sql.SparkSession,
+                   viewDir: String): DataFrame = {
+    val (gA, gB) = joinViewGenerations(spark, viewDir)
+    spark.read.parquet(s"${joinStatePath(viewDir, gA, gB)}/view")
+  }
+
+  /** REFRESH the join view incrementally: one churn-priced
+    * [[Layout.changesBetween]] feed per base that moved (an unmoved
+    * side contributes an empty feed and costs one manifest read),
+    * one [[maintainJoinAgg]] pass over the persisted trio, one
+    * commit. Idempotent when both bases are current. A base vacuumed
+    * past its pinned generation fails loudly in changesBetween —
+    * recovery is [[rebuildJoinView]]; a base BEHIND its pin was
+    * rebuilt out from under the view and is refused by name. */
+  def refreshJoinView(spark: org.apache.spark.sql.SparkSession,
+                      viewDir: String): JoinViewRefreshStats = {
+    val meta = readJoinViewMeta(spark, viewDir)
+    val fs = viewFs(spark, viewDir)
+    val states = joinStateGens(fs, viewDir)
+    require(states.nonEmpty,
+      s"$viewDir has a meta sidecar but no state dir — rebuildJoinView")
+    val (pA, pB) = states.max
+    for ((ga, gb) <- states if (ga, gb) != ((pA, pB)))
+      require(fs.delete(joinStatePath(viewDir, ga, gb), true),
+        s"failed to drop superseded join view state ($ga, $gb)")
+    val curA = Layout.currentGeneration(spark, meta.aBase)
+    val curB = Layout.currentGeneration(spark, meta.bBase)
+    if (curA == pA && curB == pB)
+      return JoinViewRefreshStats(pA, pA, pB, pB, refreshed = false)
+    require(curA >= pA && curB >= pB,
+      s"join view state pins ($pA, $pB) but the bases are at " +
+        s"($curA, $curB) — a base was rebuilt or replaced out from " +
+        "under the view; rebuildJoinView against the new history")
+    val sp = joinStatePath(viewDir, pA, pB)
+    val view = spark.read.parquet(s"$sp/view")
+    val aState = spark.read.parquet(s"$sp/a")
+    val bState = spark.read.parquet(s"$sp/b")
+    val aFeed = Layout.changesBetween(spark, meta.aBase, pA, curA)
+      .select((meta.aCols :+ "op").map(col): _*)
+    val bFeed = Layout.changesBetween(spark, meta.bBase, pB, curB)
+      .select((meta.bCols :+ "op").map(col): _*)
+    val (v, a, b) = maintainJoinAgg(view, aState, bState, aFeed, bFeed,
+      meta.joinKeys, meta.groupKeys, meta.sums)
+    commitJoinState(spark, viewDir, curA, curB, v, a, b)
+    require(fs.delete(sp, true),
+      s"failed to drop the superseded join view state ($pA, $pB)")
+    JoinViewRefreshStats(pA, curA, pB, curB, refreshed = true)
+  }
+
+  /** Full re-bootstrap fallback for the documented refresh boundary
+    * (a base vacuumed past its pin, or rebuilt under the view):
+    * recompute the trio at both live generations, keep the meta. */
+  def rebuildJoinView(spark: org.apache.spark.sql.SparkSession,
+                      viewDir: String): JoinViewRefreshStats = {
+    val meta = readJoinViewMeta(spark, viewDir)
+    val fs = viewFs(spark, viewDir)
+    val gA = Layout.currentGeneration(spark, meta.aBase)
+    val gB = Layout.currentGeneration(spark, meta.bBase)
+    val a0 = multisetOf(Layout.readSnapshot(spark, meta.aBase, gA)
+      .select(meta.aCols.map(col): _*), meta.aCols).localCheckpoint(true)
+    val b0 = multisetOf(Layout.readSnapshot(spark, meta.bBase, gB)
+      .select(meta.bCols.map(col): _*), meta.bCols).localCheckpoint(true)
+    val v0 = aggregateOfJoin(a0, b0, meta.joinKeys, meta.groupKeys,
+      meta.sums)
+    val old = joinStateGens(fs, viewDir)
+    if (old.contains((gA, gB)))
+      require(fs.delete(joinStatePath(viewDir, gA, gB), true),
+        s"failed to drop join view state ($gA, $gB) before rebuild")
+    commitJoinState(spark, viewDir, gA, gB, v0, a0, b0)
+    for ((oa, ob) <- old if (oa, ob) != ((gA, gB)))
+      require(fs.delete(joinStatePath(viewDir, oa, ob), true),
+        s"failed to drop superseded join view state ($oa, $ob)")
+    val (fa, fb) = old.maxOption.getOrElse((gA, gB))
+    JoinViewRefreshStats(fa, gA, fb, gB, refreshed = true)
   }
 }

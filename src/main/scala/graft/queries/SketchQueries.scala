@@ -2172,5 +2172,64 @@ object SketchQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
              |FROM final GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true),
+
+    // Persisted JOIN materialized view — [[Ivm.createJoinView]] /
+    // [[Ivm.refreshJoinView]]: the revenue-by-dims shape real MVs
+    // take (aggregate over orders ⋈ lineitem), persisted with BOTH
+    // side multisets and pinned to a generation PAIR. The fixture
+    // commits a delete on EACH base and refreshes twice — the first
+    // span one-sided (lineitem's feed is empty), the second
+    // maintaining through the delta-join — so the served state must
+    // equal the join aggregate over the two final tables, which the
+    // oracle recomputes from scratch. Maintenance never re-joins the
+    // bases: each refresh joins churn-priced feeds against the
+    // compressed side states.
+    QueryDef("q_ivm_join_mv",
+      (s, d) => {
+        val viewDir = prunedFixture.computeIfAbsent(s"$d#join_mv", _ => {
+          val root = graft.Scratch.tempDir("graft_jmv_")
+          val (pa, pb, v) = (s"$root/orders", s"$root/lineitem",
+            s"$root/view")
+          t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+            .repartitionByRange(4, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey").write.parquet(pa)
+          t(s, d, "lineitem")
+            .select(col("l_orderkey").as("o_orderkey"),
+              col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+            .repartitionByRange(4, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey").write.parquet(pb)
+          for (p <- Seq(pa, pb)) {
+            Layout.buildFileManifest(s, p, Seq("o_orderkey"))
+              .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+            Layout.enableGenerations(s, p)
+          }
+          graft.ext.Ivm.createJoinView(s, pa, pb, v, Seq("o_orderkey"),
+            Seq("o_orderpriority", "l_returnflag"), Seq("qty"))
+          val delA = Layout.deleteWhere(s, pa,
+            Seq(Layout.KeyBox("o_orderkey", 1000L, 4999L)))
+          val r1 = graft.ext.Ivm.refreshJoinView(s, v)
+          require(delA.rowsDeleted > 0 && r1.refreshed &&
+              r1.toAGen == 1L && r1.toBGen == 0L,
+            s"degenerate fixture: $delA, $r1")
+          val delB = Layout.deleteWhere(s, pb,
+            Seq(Layout.KeyBox("o_orderkey", 10000L, 19999L)))
+          val r2 = graft.ext.Ivm.refreshJoinView(s, v)
+          require(delB.rowsDeleted > 0 && r2.refreshed &&
+              r2.toAGen == 1L && r2.toBGen == 1L,
+            s"degenerate fixture: $delB, $r2")
+          require(!graft.ext.Ivm.refreshJoinView(s, v).refreshed,
+            "a current join view must refresh as a no-op")
+          v
+        })
+        graft.ext.Ivm.readJoinView(s, viewDir)
+          .orderBy("o_orderpriority", "l_returnflag")
+      },
+      Some("""SELECT o_orderpriority, l_returnflag,
+             |  CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |WHERE o.o_orderkey NOT BETWEEN 1000 AND 4999
+             |  AND l.l_orderkey NOT BETWEEN 10000 AND 19999
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }

@@ -365,4 +365,87 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
       assert(untracked.getMessage.contains("generation"))
     }
   }
+
+  test("persisted join view: create/refresh over two mutating bases, one-sided spans, rebuild recovery") {
+    import graft.ext.Layout
+    withTempDir("graft_jmv_") { dir =>
+      val aBase = s"$dir/a"
+      val bBase = s"$dir/b"
+      val view = s"$dir/v"
+      // A: (k, grp) dimension-ish; B: (k, v) fact-ish — view is
+      // count/sum_v by grp over A ⋈ B on k
+      (0L to 49L).map(k => (k, s"g${k % 3}")).toDF("k", "grp")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.parquet(aBase)
+      (0L to 99L).map(k => (k % 50, k)).toDF("k", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.parquet(bBase)
+      for (p <- Seq(aBase, bBase)) {
+        Layout.buildFileManifest(spark, p, Seq("k"))
+          .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+        Layout.enableGenerations(spark, p)
+      }
+      val created = Ivm.createJoinView(spark, aBase, bBase, view,
+        Seq("k"), Seq("grp"), Seq("v"))
+      assert(created.refreshed &&
+        Ivm.joinViewGenerations(spark, view) === ((0L, 0L)))
+      def gcanon(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+        df.select("grp", "cnt", "sum_v").as[(String, Long, Long)]
+          .collect().sortBy(_._1).toSeq
+      def recomputeLive(): Seq[(String, Long, Long)] = gcanon(
+        Ivm.aggregateOfJoin(
+          Ivm.multisetOf(spark.read.parquet(aBase), Seq("k", "grp")),
+          Ivm.multisetOf(spark.read.parquet(bBase), Seq("k", "v")),
+          Seq("k"), Seq("grp"), Seq("v")))
+      assert(gcanon(Ivm.readJoinView(spark, view)) === recomputeLive())
+      // one-sided span: only A moves; B's feed is empty
+      Layout.deleteWhere(spark, aBase, Seq(Layout.KeyBox("k", 0L, 9L)))
+      val r1 = Ivm.refreshJoinView(spark, view)
+      assert(r1 === Ivm.JoinViewRefreshStats(0L, 1L, 0L, 0L,
+        refreshed = true))
+      assert(gcanon(Ivm.readJoinView(spark, view)) === recomputeLive())
+      // both sides move in one span: a CDC update on A (fan-out: every
+      // joined B row re-weights) and a delete + append on B
+      Layout.upsertByKey(spark, aBase,
+        Seq((20L, "g9")).toDF("k", "grp"), "k")
+      Layout.deleteWhere(spark, bBase, Seq(Layout.KeyBox("k", 30L, 39L)))
+      Layout.appendWithManifest(
+        Seq((20L, 1000L), (999L, 5L)).toDF("k", "v").repartition(1),
+        bBase, Seq("k"))
+      val r2 = Ivm.refreshJoinView(spark, view)
+      assert(r2 === Ivm.JoinViewRefreshStats(1L, 2L, 0L, 2L,
+        refreshed = true))
+      assert(gcanon(Ivm.readJoinView(spark, view)) === recomputeLive())
+      // idempotent when both bases are current
+      assert(!Ivm.refreshJoinView(spark, view).refreshed)
+      // cross-family guards name the right verb
+      val wrongA = intercept[IllegalArgumentException] {
+        Ivm.refreshView(spark, view)
+      }
+      assert(wrongA.getMessage.contains("JOIN view"))
+      val aggView = s"$dir/vagg"
+      Ivm.createView(spark, bBase, aggView, Seq("k"), Seq("v"))
+      val wrongB = intercept[IllegalArgumentException] {
+        Ivm.refreshJoinView(spark, aggView)
+      }
+      assert(wrongB.getMessage.contains("single-base"))
+      // vacuum past a pin: refresh fails loudly, rebuild recovers
+      Layout.deleteWhere(spark, bBase, Seq(Layout.KeyBox("k", 40L, 44L)))
+      Layout.vacuumGenerations(spark, bBase, retainLast = 1)
+      val gone = intercept[IllegalArgumentException] {
+        Ivm.refreshJoinView(spark, view)
+      }
+      assert(gone.getMessage.contains("vacuum"))
+      val rb = Ivm.rebuildJoinView(spark, view)
+      assert(rb.refreshed && rb.toAGen === 2L && rb.toBGen === 3L)
+      assert(gcanon(Ivm.readJoinView(spark, view)) === recomputeLive())
+      assert(!Ivm.refreshJoinView(spark, view).refreshed)
+      // ambiguous view columns refused at create time, by name
+      val amb = intercept[IllegalArgumentException] {
+        Ivm.createJoinView(spark, bBase, bBase, s"$dir/v3",
+          Seq("k"), Seq("v"), Nil)
+      }
+      assert(amb.getMessage.contains("BOTH bases"))
+    }
+  }
 }
