@@ -1357,8 +1357,14 @@ object Layout {
       s"clone of $srcDir@$gen maps two files onto ${dup.mkString(", ")}")
     copyFilesDistributed(spark, withRel.map(m => (m._2, s"$destQ/${m._3}")))
     // manifest rows carry Spark's OWN canonicalization of each copy
-    // ([[canonicalByRel]]), matched back by anchor-relative suffix
-    val destCanonical = spark.read.parquet(destDir).inputFiles.toSeq
+    // ([[canonicalByRel]]), matched back by anchor-relative suffix; a
+    // zero-file generation (everything deleted) clones as an empty
+    // layout — the directory still materializes so the manifest has
+    // a home
+    if (withRel.isEmpty) fs.mkdirs(destP)
+    val destCanonical =
+      if (withRel.isEmpty) Seq.empty[String]
+      else spark.read.parquet(destDir).inputFiles.toSeq
     val mapping = withRel.map(m => (m._1, canonicalByRel(destCanonical, m._3)))
     val cloned = remapManifestFiles(spark, target, mapping)
       .localCheckpoint(true)

@@ -1923,6 +1923,52 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
         Layout.cloneSnapshot(spark, d, Layout.currentGeneration(spark, d), c)
       }
       assert(taken.getMessage.contains("already exists"))
+      // a zero-file generation (everything deleted above) clones as a
+      // readable EMPTY layout with its manifest in place
+      val c2 = s"$dir/clone_empty"
+      assert(Layout.cloneSnapshot(spark, d,
+        Layout.currentGeneration(spark, d), c2) === 0L)
+      assert(Layout.loadManifest(spark, c2).count() === 0L)
+    }
+  }
+
+  test("CDF and MV refresh compose across a restore commit") {
+    import graft.ext.Ivm
+    import spark.implicits._
+    withTempDir("graft_restore_cdf_") { dir =>
+      val d = s"$dir/t"
+      val v = s"$dir/v"
+      (0L to 59L).map(k => (k, k % 4, k * 3)).toDF("k", "g", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      Layout.enableGenerations(spark, d)
+      Ivm.createView(spark, d, v, Seq("g"), Seq("v"))
+      // delete (gen 1), then RESTORE it away (gen 2): the refresh span
+      // crosses both, and the net feed must reconstruct the restored
+      // copies as inserts against the deleted originals' deletes
+      Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 29L)))
+      val st = Layout.restoreSnapshot(spark, d, 0L)
+      assert(st.committed && Layout.currentGeneration(spark, d) === 2L)
+      val r = Ivm.refreshView(spark, v)
+      assert(r.refreshed && r.toGen === 2L)
+      def gcanon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+        df.select("g", "cnt", "sum_v").as[(Long, Long, Long)]
+          .collect().sortBy(_._1).toSeq
+      assert(gcanon(Ivm.readView(spark, v)) === gcanon(
+        Ivm.aggregateOf(spark.read.parquet(d).select("g", "v"),
+          Seq("g"), Seq("v"))))
+      // applying the gen1→gen2 feed (the restore span alone) to the
+      // gen-1 aggregate must reconstruct the restored truth
+      val s1 = Ivm.aggregateOf(
+        Layout.readSnapshot(spark, d, 1L).select("g", "v"),
+        Seq("g"), Seq("v"))
+      val feed = Layout.changesBetween(spark, d, 1L, 2L)
+        .select("g", "v", "op")
+      assert(gcanon(Ivm.maintainAgg(s1, feed, Seq("g"), Seq("v"))) ===
+        gcanon(Ivm.aggregateOf(spark.read.parquet(d).select("g", "v"),
+          Seq("g"), Seq("v"))))
     }
   }
 
