@@ -1395,7 +1395,42 @@ object Layout {
     require(generationsEnabled(fs, dir),
       s"$dir is not generation-tracked — nothing to vacuum")
     val cur = currentGeneration(spark, dir)
-    val cut = cur - (retainLast - 1L)
+    vacuumBelow(spark, fs, dir, cur, cur - (retainLast - 1L))
+  }
+
+  /** [[vacuumGenerations]] by AGE instead of count — the Delta
+    * retention-interval shape: drop every generation whose commit
+    * time is older than `cutoffMillis`, keeping the live generation
+    * unconditionally (a quiet table's only generation may be
+    * arbitrarily old — vacuum must never strand the reader). The
+    * commit records are the clock: a RETAINED-range generation
+    * without one fails loudly in [[generationAsOf]]'s spirit — here
+    * it simply never drops (no record = no proof it is old), so a
+    * crashed commit's recordless generation errs toward safety.
+    * Returns `(manifestsDropped, filesDropped)`. */
+  def vacuumGenerationsOlderThan(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String,
+                                 cutoffMillis: Long): (Int, Int) = {
+    requireEncodingStablePath(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(generationsEnabled(fs, dir),
+      s"$dir is not generation-tracked — nothing to vacuum")
+    val cur = currentGeneration(spark, dir)
+    val info = commitInfoOf(fs, dir)
+    // the cut is the OLDEST generation to keep: every generation at
+    // or above the first young-enough (or recordless) one stays —
+    // retention is a contiguous suffix, never a sieve, so snapshot
+    // resolution keeps its "label ≥ N" invariant
+    val cut = (archivedGens(fs, dir).minOption.getOrElse(cur) to cur)
+      .find(g => info.get(g).forall(_._1 >= cutoffMillis))
+      .getOrElse(cur)
+    vacuumBelow(spark, fs, dir, cur, cut)
+  }
+
+  private def vacuumBelow(spark: org.apache.spark.sql.SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          dir: String, cur: Long, cut: Long): (Int, Int) = {
     // persist the generation counter BEFORE any deletion: the
     // archived manifests are its only other record, and a full vacuum
     // (retainLast = 1) drops them all — without the floor the counter

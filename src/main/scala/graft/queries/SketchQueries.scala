@@ -2205,14 +2205,20 @@ object SketchQueries {
           }
           graft.ext.Ivm.createJoinView(s, pa, pb, v, Seq("o_orderkey"),
             Seq("o_orderpriority", "l_returnflag"), Seq("qty"))
+          // SF-independent delete bands, derived from the key range —
+          // the oracle re-derives the identical bounds from `orders`
+          val mm = t(s, d, "orders")
+            .agg(min("o_orderkey"), max("o_orderkey")).head()
+          val (mn, mx) = (mm.getLong(0), mm.getLong(1))
           val delA = Layout.deleteWhere(s, pa,
-            Seq(Layout.KeyBox("o_orderkey", 1000L, 4999L)))
+            Seq(Layout.KeyBox("o_orderkey", mn, mn + (mx - mn) / 8)))
           val r1 = graft.ext.Ivm.refreshJoinView(s, v)
           require(delA.rowsDeleted > 0 && r1.refreshed &&
               r1.toAGen == 1L && r1.toBGen == 0L,
             s"degenerate fixture: $delA, $r1")
           val delB = Layout.deleteWhere(s, pb,
-            Seq(Layout.KeyBox("o_orderkey", 10000L, 19999L)))
+            Seq(Layout.KeyBox("o_orderkey",
+              mn + (mx - mn) / 4, mn + (mx - mn) / 2)))
           val r2 = graft.ext.Ivm.refreshJoinView(s, v)
           require(delB.rowsDeleted > 0 && r2.refreshed &&
               r2.toAGen == 1L && r2.toBGen == 1L,
@@ -2224,12 +2230,22 @@ object SketchQueries {
         graft.ext.Ivm.readJoinView(s, viewDir)
           .orderBy("o_orderpriority", "l_returnflag")
       },
-      Some("""SELECT o_orderpriority, l_returnflag,
+      Some("""WITH r AS (
+             |  SELECT min(o_orderkey) AS mn,
+             |    min(o_orderkey) + (max(o_orderkey)-min(o_orderkey))//8
+             |      AS ahi,
+             |    min(o_orderkey) + (max(o_orderkey)-min(o_orderkey))//4
+             |      AS blo,
+             |    min(o_orderkey) + (max(o_orderkey)-min(o_orderkey))//2
+             |      AS bhi
+             |  FROM orders)
+             |SELECT o_orderpriority, l_returnflag,
              |  CAST(count(*) AS BIGINT) AS cnt,
              |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
-             |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-             |WHERE o.o_orderkey NOT BETWEEN 1000 AND 4999
-             |  AND l.l_orderkey NOT BETWEEN 10000 AND 19999
+             |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey,
+             |  r
+             |WHERE o.o_orderkey NOT BETWEEN r.mn AND r.ahi
+             |  AND l.l_orderkey NOT BETWEEN r.blo AND r.bhi
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }

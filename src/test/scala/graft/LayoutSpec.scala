@@ -1932,6 +1932,43 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("vacuumGenerationsOlderThan: age-based retention off the commit records") {
+    import spark.implicits._
+    withTempDir("graft_agevac_") { dir =>
+      val d = s"$dir/t"
+      (0L to 39L).map(k => (k, k)).toDF("k", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      Layout.enableGenerations(spark, d)
+      Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 9L)))
+      Thread.sleep(2)
+      val mid = System.currentTimeMillis()
+      Thread.sleep(2)
+      Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 10L, 19L)))
+      Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 20L, 24L)))
+      // cutoff = mid keeps the generations committed at/after it
+      // (2, 3) — retention is a contiguous suffix, never a sieve
+      val (mf, _) = Layout.vacuumGenerationsOlderThan(spark, d, mid)
+      assert(mf === 2)
+      assert(Layout.readSnapshot(spark, d, 2L).count() === 20L)
+      val gone = intercept[IllegalArgumentException] {
+        Layout.readSnapshot(spark, d, 1L)
+      }
+      assert(gone.getMessage.contains("vacuum"))
+      // a future cutoff drops every archived generation but can never
+      // strand the live one
+      val (mf2, _) = Layout.vacuumGenerationsOlderThan(spark, d,
+        System.currentTimeMillis() + 3600000L)
+      assert(mf2 === 1)
+      assert(spark.read.parquet(d).count() === 15L)
+      assert(Layout.currentGeneration(spark, d) === 3L)
+      // idempotent on an already-trimmed store
+      assert(Layout.vacuumGenerationsOlderThan(spark, d, 0L) === ((0, 0)))
+    }
+  }
+
   test("CDF and MV refresh compose across a restore commit") {
     import graft.ext.Ivm
     import spark.implicits._
