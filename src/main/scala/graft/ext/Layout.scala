@@ -1380,6 +1380,43 @@ object Layout {
     mapping.size.toLong
   }
 
+  /** DESCRIBE DETAIL: one row of table-level metadata, assembled from
+    * the manifest and the store's sidecars without opening a data
+    * file — file/row counts from the manifest (file-count-sized),
+    * everything else from directory probes. `generation`/`oldest_gen`
+    * are null on untracked layouts; `partition_cols` is empty on flat
+    * ones; `schema_evolved` reports a live sidecar. The operational
+    * at-a-glance every table format ships (Delta's DESCRIBE DETAIL),
+    * and the first thing to read before choosing a maintenance
+    * verb. */
+  def describeLayout(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): DataFrame = {
+    import spark.implicits._
+    requireEncodingStablePath(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = loadManifest(spark, dir)
+    val mSchema = manifest.schema
+    val counts = manifest
+      .agg(count(lit(1)), coalesce(sum("n_rows"), lit(0L))).head()
+    val (nFiles, nRows) = (counts.getLong(0), counts.getLong(1))
+    val keys = manifestKeysOf(mSchema)
+    val blooms = bloomKeysOf(mSchema)
+    val partCols = hivePartColsOf(fs, new org.apache.hadoop.fs.Path(dir))
+    val tracked = generationsEnabled(fs, dir)
+    val gen = if (tracked) Some(liveGenOf(fs, dir)) else None
+    val oldest =
+      if (tracked) Some(archivedGens(fs, dir).minOption
+        .getOrElse(gen.get))
+      else None
+    val depth = keys.map(k => worstDepthOf(manifest, k)).max
+    Seq((dir, nFiles, nRows, keys, blooms, partCols,
+        fs.exists(schemaSidecar(dir)), tracked, gen, oldest, depth))
+      .toDF("location", "n_files", "n_rows", "keys", "bloom_keys",
+        "partition_cols", "schema_evolved", "generations_enabled",
+        "generation", "oldest_gen", "worst_depth")
+  }
+
   /** Trim the generation store to the last `retainLast` generations
     * (live included): archived manifests and retired-file dirs
     * labeled below the cut are deleted — every RETAINED snapshot

@@ -1969,6 +1969,34 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("describeLayout: one-row DESCRIBE DETAIL off the manifest and sidecars") {
+    import spark.implicits._
+    withTempDir("graft_desc_") { dir =>
+      val d = s"$dir/t"
+      (0L to 39L).map(k => (k, if (k % 2 == 0) "en" else "fr", k))
+        .toDF("k", "lang", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.partitionBy("lang").parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      val before = Layout.describeLayout(spark, d).head()
+      assert(before.getAs[Long]("n_rows") === 40L)
+      assert(before.getAs[Long]("n_files") >= 2L)
+      assert(before.getAs[Seq[String]]("keys") === Seq("k"))
+      assert(before.getAs[Seq[String]]("partition_cols") === Seq("lang"))
+      assert(!before.getAs[Boolean]("generations_enabled"))
+      assert(before.isNullAt(before.fieldIndex("generation")))
+      assert(!before.getAs[Boolean]("schema_evolved"))
+      Layout.enableGenerations(spark, d)
+      Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 9L)))
+      val after = Layout.describeLayout(spark, d).head()
+      assert(after.getAs[Long]("n_rows") === 30L)
+      assert(after.getAs[Boolean]("generations_enabled"))
+      assert(after.getAs[Long]("generation") === 1L)
+      assert(after.getAs[Long]("oldest_gen") === 0L)
+    }
+  }
+
   test("CDF and MV refresh compose across a restore commit") {
     import graft.ext.Ivm
     import spark.implicits._
