@@ -82,28 +82,7 @@ object Ivm {
         sumCols.map(c => sum(col(c) * col(opCol)).as(s"sum_$c")) :+
           count(when(invalid, lit(1))).as("__graft_bad"): _*)
       .localCheckpoint(true)
-    // TYPES too, not just names: a feed whose summed type differs
-    // from the state's (a double feed onto a long-sum state) would
-    // silently retype the maintained state through unionByName
-    // coercion — permanently changing exactness of later maintenance.
-    // Compared on the AGGREGATED delta (sum of an int feed is long,
-    // matching aggregateOf), so a consistent feed always passes.
-    // Decimals compare by SCALE only: Spark widens sum(c) and
-    // sum(c*op) to different precisions (p+10 vs p+21) for the very
-    // same feed column, and precision widening under union keeps the
-    // arithmetic exact — same scale is the invariant that matters
-    for (c <- "cnt" +: sumCols.map(s => s"sum_$s")) {
-      val (stateT, deltaT) = (state.schema(c).dataType, delta.schema(c).dataType)
-      val compatible = stateT == deltaT || ((stateT, deltaT) match {
-        case (s: org.apache.spark.sql.types.DecimalType,
-              d: org.apache.spark.sql.types.DecimalType) => s.scale == d.scale
-        case _ => false
-      })
-      require(compatible,
-        s"change feed aggregates $c as $deltaT but the state holds " +
-          s"$stateT — a union would silently retype the maintained " +
-          "state; cast the feed to the state's element type")
-    }
+    requireMergeCompatible(state, delta, sumCols, "change feed")
     val bad = delta.filter(col("__graft_bad") > 0L)
       .select(keys.map(col): _*).head(1)
     require(bad.isEmpty,
@@ -111,6 +90,39 @@ object Ivm {
         s"group ${bad.headOption}) — ops must be +1 (insert) or -1 (delete)")
     mergeStates(state, delta.drop("__graft_bad"), keys, sumCols)
   }
+
+  /** TYPES too, not just names — the check every maintenance verb
+    * runs before unioning a signed delta into a held state: a feed
+    * whose summed type differs from the state's (a double feed onto a
+    * long-sum state) would silently retype the maintained state
+    * through unionByName coercion — permanently changing exactness of
+    * later maintenance. Compared on the AGGREGATED delta (sum of an
+    * int feed is long, matching aggregateOf), so a consistent feed
+    * always passes. Decimals compare by SCALE only: Spark widens
+    * sum(c), sum(c*op), and a persisted-then-re-merged state to
+    * DIFFERENT precisions for the very same column, and precision
+    * widening under union keeps the arithmetic exact — same scale is
+    * the invariant that matters. ONE implementation so
+    * [[maintainAgg]] and [[maintainJoinAgg]] cannot fork on it (a
+    * strict-equality fork is precisely what would make a persisted
+    * decimal join view permanently unrefreshable once mergeStates
+    * widens its stored precision). */
+  private def requireMergeCompatible(holder: DataFrame, delta: DataFrame,
+                                     sumCols: Seq[String],
+                                     what: String): Unit =
+    for (c <- "cnt" +: sumCols.map(s => s"sum_$s")) {
+      val (heldT, deltaT) =
+        (holder.schema(c).dataType, delta.schema(c).dataType)
+      val compatible = heldT == deltaT || ((heldT, deltaT) match {
+        case (s: org.apache.spark.sql.types.DecimalType,
+              d: org.apache.spark.sql.types.DecimalType) => s.scale == d.scale
+        case _ => false
+      })
+      require(compatible,
+        s"$what aggregates $c as $deltaT but the state holds " +
+          s"$heldT — a union would silently retype the maintained " +
+          "state; cast the feed to the state's element type")
+    }
 
   /** The shared merge tail of every maintenance verb: union the old
     * state with a PRE-AGGREGATED signed delta (`keys`, `cnt`,
@@ -265,12 +277,7 @@ object Ivm {
     }
     val delta = contrib(aChanges, bState)
       .unionByName(contrib(bChanges, aNew))
-    for (c <- "cnt" +: sumCols.map(s => s"sum_$s")) {
-      val (viewT, deltaT) = (view.schema(c).dataType, delta.schema(c).dataType)
-      require(viewT == deltaT,
-        s"join delta aggregates $c as $deltaT but the view holds " +
-          s"$viewT — cast the feed to the view's element type")
-    }
+    requireMergeCompatible(view, delta, sumCols, "join delta")
     (mergeStates(view, delta, groupKeys, sumCols), aNew, bNew)
   }
 
@@ -488,16 +495,18 @@ object Ivm {
         .select((keys ++ sums).map(col): _*),
       keys, sums)
     val old = viewStateGens(fs, viewDir)
-    // the rebuilt state may land on a label an old state already
-    // names (nothing mutated since) — that one must clear BEFORE the
-    // publish; every other old state drops AFTER, so the only crash
-    // window without a live state is mid-collision-replace, whose
-    // recovery is this same verb
-    if (old.contains(cur))
-      require(fs.delete(viewStatePath(viewDir, cur), true),
-        s"failed to drop view state state_gen=$cur before rebuild")
+    // any old state whose label would OUT-RANK the rebuilt one under
+    // the readers' max rule (a collision, or a base rebuilt at a
+    // LOWER generation) must clear BEFORE the publish — a crash
+    // between publish and cleanup would otherwise leave the stale
+    // state winning reads and the next refresh discarding the fresh
+    // one as "superseded". The only crash window without a live
+    // state is mid-pre-clear, whose recovery is this same verb.
+    for (g <- old if g >= cur)
+      require(fs.delete(viewStatePath(viewDir, g), true),
+        s"failed to drop view state state_gen=$g before rebuild")
     commitViewState(spark, viewDir, cur, state)
-    for (g <- old if g != cur)
+    for (g <- old if g < cur)
       require(fs.delete(viewStatePath(viewDir, g), true),
         s"failed to drop superseded view state state_gen=$g")
     ViewRefreshStats(old.maxOption.getOrElse(cur), cur, refreshed = true)
@@ -730,11 +739,19 @@ object Ivm {
     val v0 = aggregateOfJoin(a0, b0, meta.joinKeys, meta.groupKeys,
       meta.sums)
     val old = joinStateGens(fs, viewDir)
-    if (old.contains((gA, gB)))
-      require(fs.delete(joinStatePath(viewDir, gA, gB), true),
-        s"failed to drop join view state ($gA, $gB) before rebuild")
+    // same pre-clear rule as [[rebuildView]]: an old state whose pair
+    // would out-rank the rebuilt label under the readers' max rule
+    // (collision, or a base rebuilt at a LOWER generation) clears
+    // BEFORE the publish, so a crash can never leave the stale state
+    // winning reads
+    val (ordA, ordB) = (gA, gB)
+    for ((oa, ob) <- old if implicitly[Ordering[(Long, Long)]]
+        .gteq((oa, ob), (ordA, ordB)))
+      require(fs.delete(joinStatePath(viewDir, oa, ob), true),
+        s"failed to drop join view state ($oa, $ob) before rebuild")
     commitJoinState(spark, viewDir, gA, gB, v0, a0, b0)
-    for ((oa, ob) <- old if (oa, ob) != ((gA, gB)))
+    for ((oa, ob) <- old if implicitly[Ordering[(Long, Long)]]
+        .lt((oa, ob), (ordA, ordB)))
       require(fs.delete(joinStatePath(viewDir, oa, ob), true),
         s"failed to drop superseded join view state ($oa, $ob)")
     val (fa, fb) = old.maxOption.getOrElse((gA, gB))

@@ -662,10 +662,13 @@ object Layout {
   /** Loud optimistic-concurrency precondition shared by the mutation
     * verbs: the caller read the layout at `expected` and asks the
     * commit to proceed only if no other writer has committed since.
-    * Checked at verb ENTRY (fail before the rewrite work) and again
-    * by [[replaceManifest]] immediately before the archive rename
+    * Checked at verb ENTRY (fail before the rewrite work), again
+    * immediately before the verb's FIRST DESTRUCTIVE step (a loss to
+    * a concurrent writer detected only after retirement would have
+    * filed the winner's live files under a superseded label), and a
+    * third time by [[replaceManifest]] before the archive rename
     * (the commit point); the archive's own exists-check is the
-    * last-resort CAS for writers racing inside that window. Throws
+    * last-resort CAS for writers racing inside the final window. Throws
     * `ConcurrentModificationException` — retryable by re-reading the
     * live generation — unlike the contract violations that throw
     * IllegalArgumentException. */
@@ -930,16 +933,7 @@ object Layout {
     val stored = storedSchemaOf(spark, dir)
     def reader = stored.fold(spark.read)(s => spark.read.schema(s))
     if (resolved.nonEmpty) {
-      val marker = "/_graft_retired/gen="
-      val groups = resolved.groupBy { f =>
-        val i = f.indexOf(marker)
-        if (i < 0) dir
-        else {
-          val end = f.indexOf('/', i + marker.length)
-          require(end > 0, s"malformed retirement path $f")
-          f.substring(0, end)
-        }
-      }
+      val groups = resolved.groupBy(snapshotAnchorOf(dir, _))
       groups.toSeq.sortBy(_._1)
         .map { case (basePath, files) =>
           reader.option("basePath", basePath).parquet(files: _*)
@@ -1166,8 +1160,14 @@ object Layout {
       val sfs = srcP.getFileSystem(conf)
       val dfs = dstP.getFileSystem(conf)
       if (!dfs.exists(dstP)) {
+        // ATTEMPT-unique tmp name (the Spark/Delta committer rule): a
+        // speculative or zombie duplicate of this task must not
+        // truncate the stream a live attempt is writing — each
+        // attempt owns its tmp, and the rename is the committer
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         val tmp = new org.apache.hadoop.fs.Path(dstP.getParent,
-          s".${dstP.getName}.inprogress")
+          s".${dstP.getName}.$attempt.inprogress")
         dfs.mkdirs(dstP.getParent)
         val in = sfs.open(srcP)
         try {
@@ -1184,23 +1184,31 @@ object Layout {
     }
   }
 
-  /** Anchor + anchor-relative path of a RESOLVED snapshot file: live
-    * files anchor at the layout root, retired files at their
-    * retirement label — the same grouping [[readResolved]] reads
-    * under. The relative path carries the file's k=v chain on a
-    * partitioned layout (retirement preserves it), which is what lets
-    * restore and clone land each file back in its partition leaf. */
-  private def anchorRelOf(fs: org.apache.hadoop.fs.FileSystem,
-                          dir: String, resolved: String): (String, String) = {
+  /** Anchor (basePath) of a RESOLVED snapshot file: live files anchor
+    * at the layout root, retired files at their retirement label.
+    * THE single parser of the retirement layout — [[readResolved]]
+    * groups its per-anchor reads by it and [[anchorRelOf]] slices
+    * relative paths against it, so the two cannot diverge if the
+    * layout ever changes again. */
+  private def snapshotAnchorOf(dir: String, resolved: String): String = {
     val marker = "/_graft_retired/gen="
     val i = resolved.indexOf(marker)
-    val anchor =
-      if (i < 0) dir
-      else {
-        val end = resolved.indexOf('/', i + marker.length)
-        require(end > 0, s"malformed retirement path $resolved")
-        resolved.substring(0, end)
-      }
+    if (i < 0) dir
+    else {
+      val end = resolved.indexOf('/', i + marker.length)
+      require(end > 0, s"malformed retirement path $resolved")
+      resolved.substring(0, end)
+    }
+  }
+
+  /** Anchor + anchor-relative path of a RESOLVED snapshot file — the
+    * same grouping [[readResolved]] reads under. The relative path
+    * carries the file's k=v chain on a partitioned layout (retirement
+    * preserves it), which is what lets restore and clone land each
+    * file back in its partition leaf. */
+  private def anchorRelOf(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: String, resolved: String): (String, String) = {
+    val anchor = snapshotAnchorOf(dir, resolved)
     val aq = fs.makeQualified(new org.apache.hadoop.fs.Path(anchor)).toString
     val pq = fs.makeQualified(
       new org.apache.hadoop.fs.Path(new java.net.URI(resolved))).toString
@@ -1283,7 +1291,14 @@ object Layout {
     if (gen == cur)
       return RestoreStats(committed = false, targetFiles.length, 0, 0)
     val resolved = resolveSnapshotFiles(fs, dir, gen, targetFiles)
-    val liveBefore = spark.read.parquet(dir).inputFiles.toSet
+    // fs-level emptiness probe first: restoring the undo-a-delete-
+    // everything case means the live tree may hold ZERO data files,
+    // where spark.read would die on schema inference instead of
+    // returning the empty set
+    val liveBefore: Set[String] =
+      if (dataFilesUnder(fs, new org.apache.hadoop.fs.Path(dir)).isEmpty)
+        Set.empty
+      else spark.read.parquet(dir).inputFiles.toSet
     // classification falls out of resolution: a file that resolved to
     // a retirement path needs a copy-back; anything else is live
     val (copyBack, kept) = targetFiles.zip(resolved).partition {
@@ -1312,6 +1327,8 @@ object Layout {
     // does not reference (the copies just written are not in
     // liveBefore, so they can never retire themselves)
     val keptSet = kept.map(_._1).toSet
+    // OCC re-check before the destructive tail — see deleteWhere
+    requireExpectedGen(fs, dir, expectedGen, "restore")
     retireOrDeleteAll(fs, dir, (liveBefore -- keptSet).toSeq.sorted,
       "restore")
     val restored = remapManifestFiles(spark, target,
@@ -1339,15 +1356,19 @@ object Layout {
     import spark.implicits._
     requireEncodingStablePath(srcDir)
     requireEncodingStablePath(destDir)
-    val fs = new org.apache.hadoop.fs.Path(srcDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(srcDir).getFileSystem(conf)
     val destP = new org.apache.hadoop.fs.Path(destDir)
-    require(!fs.exists(destP),
+    // the destination may live on a DIFFERENT filesystem (the export
+    // use case: hdfs table → object-store pin) — every dest-side
+    // driver call resolves against its own FS
+    val destFs = destP.getFileSystem(conf)
+    require(!destFs.exists(destP),
       s"clone destination $destDir already exists — refusing to mix")
     val target = snapshotManifestOf(spark, fs, srcDir, gen)
     val targetFiles = target.select("file").as[String].collect()
     val resolved = resolveSnapshotFiles(fs, srcDir, gen, targetFiles)
-    val destQ = fs.makeQualified(destP).toString
+    val destQ = destFs.makeQualified(destP).toString
     val withRel = targetFiles.toSeq.zip(resolved).map { case (orig, r) =>
       val (_, rel) = anchorRelOf(fs, srcDir, r)
       (orig, r, rel)
@@ -1361,7 +1382,7 @@ object Layout {
     // zero-file generation (everything deleted) clones as an empty
     // layout — the directory still materializes so the manifest has
     // a home
-    if (withRel.isEmpty) fs.mkdirs(destP)
+    if (withRel.isEmpty) destFs.mkdirs(destP)
     val destCanonical =
       if (withRel.isEmpty) Seq.empty[String]
       else spark.read.parquet(destDir).inputFiles.toSeq
@@ -1374,9 +1395,8 @@ object Layout {
     // ones predating an added column — the clone needs it verbatim
     val sc = schemaSidecar(srcDir)
     if (fs.exists(sc))
-      org.apache.hadoop.fs.FileUtil.copy(fs, sc, fs,
-        schemaSidecar(destDir), false,
-        spark.sparkContext.hadoopConfiguration)
+      org.apache.hadoop.fs.FileUtil.copy(fs, sc, destFs,
+        schemaSidecar(destDir), false, conf)
     mapping.size.toLong
   }
 
@@ -2269,7 +2289,11 @@ object Layout {
     // destroy (or retire, on a generation-tracked layout) old data
     // only now: covered files drop unopened (the whole point of the
     // null-count stats), partial files are superseded by their
-    // just-committed survivors
+    // just-committed survivors. OCC re-check FIRST: a writer that
+    // committed during the rewrite must be detected before anything
+    // moves — retirement under a superseded label would strand the
+    // winner's live files
+    requireExpectedGen(fs, dir, expectedGen, "deleteWhere")
     retireOrDeleteAll(fs, dir, (dropFiles ++ rewriteFiles).map(_._1),
       "deleteWhere")
     // manifest last ([[patchManifest]]'s temp-dir + rename replace)
@@ -2496,7 +2520,9 @@ object Layout {
       val newRows = delta.agg(coalesce(sum("n_rows"), lit(0L)))
         .collect()(0).getLong(0)
       // destroy (or retire) old data only now: the touched files are
-      // fully superseded by their survivors + the inserted updates
+      // fully superseded by their survivors + the inserted updates.
+      // OCC re-check first — see deleteWhere's destructive tail
+      requireExpectedGen(fs, dir, expectedGen, "upsertByKeys")
       retireOrDeleteAll(fs, dir, touched.map(_._1).toSeq, "upsertByKeys")
       // manifest last ([[patchManifest]]'s temp-dir + rename replace)
       patchManifest(spark, dir, manifest, keyCols,
@@ -3015,6 +3041,9 @@ object Layout {
     val allLong = keys.forall(k =>
       mSchema(s"min_$k").dataType == org.apache.spark.sql.types.LongType)
     clusteredRewriteTo(src, keys, allLong, tmp.toString, files)
+    // OCC re-check before the destructive tail begins (the move-in
+    // makes the rewrite visible) — see deleteWhere
+    requireExpectedGen(fs, dir, expectedGen, "optimize")
     moveTreeInto(fs, tmp, hDir, "optimize")
     fs.delete(tmp, true)
     // destroy (or retire) the old files only after the clustered
@@ -3172,6 +3201,8 @@ object Layout {
         spark.read.option("basePath", dir).parquet(newFiles: _*),
         keys, bloomKeysOf(mSchema))
       .localCheckpoint(true)
+    // OCC re-check before the destructive tail — see deleteWhere
+    requireExpectedGen(fs, dir, expectedGen, "optimizeSelective")
     retireOrDeleteAll(fs, dir, selected, "optimizeSelective")
     // kept rows verbatim, delta rows appended — the manifest is
     // PATCHED, never rebuilt, so kept files' stats (and blooms)
@@ -3337,6 +3368,9 @@ object Layout {
         subdirs.foreach(d => walk(d.getPath))
       } else rewriteLeaf(cur)
     }
+    // OCC re-check before the first leaf swaps (the walk is the
+    // destructive tail) — see deleteWhere
+    requireExpectedGen(fs, dir, expectedGen, "optimizePartitioned")
     walk(hDir)
     if (removed.isEmpty)
       // every selected leaf turned out empty — nothing moved, the

@@ -366,6 +366,37 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("decimal join sums stay maintainable across repeated merges (scale-stable widening)") {
+    val a = Seq((1L, "x"), (2L, "y")).toDF("k", "g")
+    val b = Seq((1L, "1.50"), (2L, "2.25")).toDF("k", "p")
+      .select(col("k"), col("p").cast("decimal(6,2)").as("p"))
+    val aS = Ivm.multisetOf(a, Seq("k", "g"))
+    val bS = Ivm.multisetOf(b, Seq("k", "p"))
+    val view0 = Ivm.aggregateOfJoin(aS, bS, Seq("k"), Seq("g"), Seq("p"))
+    def feedA(rows: (Long, String, Int)*) =
+      rows.toDF("k", "g", "op")
+    def feedB(rows: (Long, String, Int)*) =
+      rows.toDF("k", "p", "op")
+        .select(col("k"), col("p").cast("decimal(6,2)").as("p"), col("op"))
+    // first merge widens the held sum's PRECISION (mergeStates
+    // re-aggregates); the second delta arrives at the narrow
+    // precision and must still merge — scale is the invariant
+    val (v1, a1, b1) = Ivm.maintainJoinAgg(view0, aS, bS,
+      feedA((3L, "x", 1)), feedB((3L, "0.75", 1)),
+      Seq("k"), Seq("g"), Seq("p"))
+    val (v2, a2, b2) = Ivm.maintainJoinAgg(v1, a1, b1,
+      feedA((2L, "y", -1)), feedB((1L, "1.50", -1), (1L, "9.00", 1)),
+      Seq("k"), Seq("g"), Seq("p"))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, String)] =
+      df.select(col("g"), col("cnt"), col("sum_p").cast("string"))
+        .as[(String, Long, String)].collect().sortBy(_._1).toSeq
+    val recompute = Ivm.aggregateOfJoin(a2, b2, Seq("k"), Seq("g"), Seq("p"))
+    assert(canon(v2).map(r => (r._1, r._2, BigDecimal(r._3))) ===
+      canon(recompute).map(r => (r._1, r._2, BigDecimal(r._3))))
+    assert(canon(v2).map(r => (r._1, r._2, BigDecimal(r._3))) ===
+      Seq(("x", 2L, BigDecimal("9.75"))))
+  }
+
   test("persisted join view: create/refresh over two mutating bases, one-sided spans, rebuild recovery") {
     import graft.ext.Layout
     withTempDir("graft_jmv_") { dir =>
