@@ -353,7 +353,8 @@ object Ivm {
   }
 
   private def readViewMeta(spark: org.apache.spark.sql.SparkSession,
-                           viewDir: String): (String, Seq[String], Seq[String]) = {
+                           viewDir: String)
+      : (String, Seq[String], Seq[String], Option[String]) = {
     import org.json4s._
     val jv = parseViewMeta(spark, viewDir)
     val p = viewMetaPath(viewDir).toString
@@ -363,8 +364,12 @@ object Ivm {
           "readJoinView / rebuildJoinView")
       case _ =>
     }
+    val where = jv \ "where" match {
+      case JNothing | JNull => None
+      case w => Some(metaStr(w, p, "where"))
+    }
     (metaStr(jv \ "base", p, "base"), metaStrs(jv \ "keys", p, "keys"),
-      metaStrs(jv \ "sums", p, "sums"))
+      metaStrs(jv \ "sums", p, "sums"), where)
   }
 
   /** Commit a state frame as the view's `state_gen=[gen]` via the
@@ -395,7 +400,8 @@ object Ivm {
     * never existed) are cleaned and rebuilt, not inherited. */
   def createView(spark: org.apache.spark.sql.SparkSession,
                  baseDir: String, viewDir: String, keys: Seq[String],
-                 sumCols: Seq[String]): ViewRefreshStats = {
+                 sumCols: Seq[String],
+                 where: Option[String] = None): ViewRefreshStats = {
     require(keys.nonEmpty, "createView needs at least one group key")
     val fs = viewFs(spark, viewDir)
     require(!fs.exists(viewMetaPath(viewDir)),
@@ -406,9 +412,14 @@ object Ivm {
         s"failed to clean stranded pre-meta state state_gen=$g")
     val gen = Layout.currentGeneration(spark, baseDir)
     // readSnapshot both pins the bootstrap read AND loudly refuses an
-    // untracked base — a view over an untracked dir could never refresh
+    // untracked base — a view over an untracked dir could never refresh.
+    // A WHERE predicate (filtered MV, the `... FROM t WHERE status='F'`
+    // shape) applies to the bootstrap here and to every refresh feed:
+    // a row's membership is a function of the row alone, so filtering
+    // the signed feed maintains exactly the filtered aggregate
+    val base0 = Layout.readSnapshot(spark, baseDir, gen)
     val state = aggregateOf(
-      Layout.readSnapshot(spark, baseDir, gen)
+      where.fold(base0)(w => base0.filter(expr(w)))
         .select((keys ++ sumCols).map(col): _*),
       keys, sumCols)
     commitViewState(spark, viewDir, gen, state)
@@ -417,7 +428,8 @@ object Ivm {
     import org.json4s.JsonDSL._
     val json = org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(
-        ("base" -> baseDir) ~ ("keys" -> keys) ~ ("sums" -> sumCols)))
+        ("base" -> baseDir) ~ ("keys" -> keys) ~ ("sums" -> sumCols) ~
+          ("where" -> where)))
     val out = fs.create(viewMetaPath(viewDir), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     ViewRefreshStats(gen, gen, refreshed = true)
@@ -454,7 +466,7 @@ object Ivm {
     * under the view and is refused by name. */
   def refreshView(spark: org.apache.spark.sql.SparkSession,
                   viewDir: String): ViewRefreshStats = {
-    val (base, keys, sums) = readViewMeta(spark, viewDir)
+    val (base, keys, sums, where) = readViewMeta(spark, viewDir)
     val fs = viewFs(spark, viewDir)
     val gens = viewStateGens(fs, viewDir)
     require(gens.nonEmpty,
@@ -472,7 +484,11 @@ object Ivm {
         s"$cur — $base was rebuilt or replaced out from under the " +
         "view; rebuildView against the new base history")
     val state = spark.read.parquet(viewStatePath(viewDir, pinned).toString)
-    val feed = Layout.changesBetween(spark, base, pinned, cur)
+    val feed0 = Layout.changesBetween(spark, base, pinned, cur)
+    // a filtered view filters its FEED by the same predicate: row
+    // membership is a function of the row alone, so the signed feed's
+    // filtered subset maintains exactly the filtered aggregate
+    val feed = where.fold(feed0)(w => feed0.filter(expr(w)))
     val next = maintainAgg(state,
       feed.select((keys ++ sums :+ "op").map(col): _*), keys, sums)
     commitViewState(spark, viewDir, cur, next)
@@ -487,11 +503,12 @@ object Ivm {
     * the state, keeping the meta sidecar. */
   def rebuildView(spark: org.apache.spark.sql.SparkSession,
                   viewDir: String): ViewRefreshStats = {
-    val (base, keys, sums) = readViewMeta(spark, viewDir)
+    val (base, keys, sums, where) = readViewMeta(spark, viewDir)
     val fs = viewFs(spark, viewDir)
     val cur = Layout.currentGeneration(spark, base)
+    val base0 = Layout.readSnapshot(spark, base, cur)
     val state = aggregateOf(
-      Layout.readSnapshot(spark, base, cur)
+      where.fold(base0)(w => base0.filter(expr(w)))
         .select((keys ++ sums).map(col): _*),
       keys, sums)
     val old = viewStateGens(fs, viewDir)

@@ -751,6 +751,33 @@ object Layout {
     math.max(if (gens.isEmpty) 0L else gens.max + 1L, genFloorOf(fs, dir))
   }
 
+  /** Run an OCC mutation under automatic retry — the writer-side loop
+    * that turns [[requireExpectedGen]]'s refusal into progress under
+    * contention: `body` receives the CURRENT generation and must pass
+    * it to its verb's `expectedGen`; on
+    * `ConcurrentModificationException` the generation re-reads and the
+    * body re-runs, up to `maxAttempts`. Correctness never depends on
+    * this loop (the verbs refuse stale commits on their own); exhaust
+    * the attempts and the last conflict surfaces with the count. The
+    * body must be a pure function of the re-read state — anything it
+    * cached from a previous attempt is stale by construction. */
+  def withGenerationRetry[A](spark: org.apache.spark.sql.SparkSession,
+                             dir: String, maxAttempts: Int = 3)
+                            (body: Long => A): A = {
+    require(maxAttempts >= 1, "withGenerationRetry needs maxAttempts >= 1")
+    var last: java.util.ConcurrentModificationException = null
+    for (_ <- 1 to maxAttempts) {
+      val g = currentGeneration(spark, dir)
+      try return body(g)
+      catch {
+        case e: java.util.ConcurrentModificationException => last = e
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"all $maxAttempts attempts at $dir lost the commit race — " +
+        s"last conflict: ${last.getMessage}")
+  }
+
   /** Retire (generation-tracked layout) or delete (plain layout) the
     * superseded data files — THE tail every in-place mutation verb
     * funnels through, so snapshot safety cannot fork per verb.

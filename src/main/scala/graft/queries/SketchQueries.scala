@@ -2173,6 +2173,70 @@ object SketchQueries {
              |FROM final GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true),
 
+    // FILTERED materialized view — [[Ivm.createView]] with a WHERE
+    // predicate (the `... FROM t WHERE status='F'` shape): the
+    // predicate governs the bootstrap AND every refresh feed — row
+    // membership is a function of the row alone, so the signed feed's
+    // filtered subset maintains exactly the filtered aggregate. The
+    // fixture's churn deliberately straddles the boundary: deletes of
+    // rows the view never held (their -1s must drop at the feed
+    // filter), an upsert that moves a row OUT of the predicate (a net
+    // view-delete), and an append of mixed rows. Oracle: filtered
+    // recompute over the replayed multiset.
+    QueryDef("q_layout_mv_where",
+      (s, d) => {
+        val viewDir = prunedFixture.computeIfAbsent(s"$d#docs_mvw", _ => {
+          val root = graft.Scratch.tempDir("graft_mvw_")
+          val p = root + "/documents"
+          val v = root + "/view"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(8, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          Layout.enableGenerations(s, p)
+          graft.ext.Ivm.createView(s, p, v, Seq("lang"), Seq("n_chars"),
+            where = Some("n_chars >= 2000"))
+          Layout.deleteWhere(s, p,
+            Seq(Layout.KeyBox("doc_id", 300L, 399L)))
+          // push rows 400-404 BELOW the predicate (net view-deletes),
+          // rows 405-409 up (stay/enter)
+          val upd = docs.filter(col("doc_id").between(400, 409))
+            .withColumn("n_chars",
+              when(col("doc_id") < 405, lit(10L))
+                .otherwise(col("n_chars") + lit(5000L)))
+          Layout.upsertByKey(s, p, upd, "doc_id")
+          val r1 = graft.ext.Ivm.refreshView(s, v)
+          require(r1.refreshed && r1.toGen == 2L, s"degenerate: $r1")
+          val app = docs.filter(col("doc_id") < 30)
+            .withColumn("doc_id", col("doc_id") + lit(700000L))
+          Layout.appendWithManifest(app, p, Seq("doc_id"))
+          val r2 = graft.ext.Ivm.refreshView(s, v)
+          require(r2.refreshed && r2.toGen == 3L, s"degenerate: $r2")
+          v
+        })
+        graft.ext.Ivm.readView(s, viewDir).orderBy("lang")
+      },
+      Some("""WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+             |after_del AS (
+             |  SELECT * FROM base WHERE doc_id NOT BETWEEN 300 AND 399),
+             |merged AS (
+             |  SELECT * FROM after_del WHERE doc_id NOT BETWEEN 400 AND 409
+             |  UNION ALL
+             |  SELECT doc_id, lang,
+             |    CASE WHEN doc_id < 405 THEN 10 ELSE n_chars + 5000 END
+             |  FROM base WHERE doc_id BETWEEN 400 AND 409),
+             |final AS (
+             |  SELECT * FROM merged
+             |  UNION ALL
+             |  SELECT doc_id + 700000, lang, n_chars FROM base
+             |  WHERE doc_id < 30)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+             |FROM final WHERE n_chars >= 2000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Persisted JOIN materialized view — [[Ivm.createJoinView]] /
     // [[Ivm.refreshJoinView]]: the revenue-by-dims shape real MVs
     // take (aggregate over orders ⋈ lineitem), persisted with BOTH

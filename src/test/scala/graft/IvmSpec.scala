@@ -366,6 +366,45 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("filtered materialized view: the WHERE predicate governs bootstrap and every feed") {
+    import graft.ext.Layout
+    withTempDir("graft_fmv_") { dir =>
+      val base = s"$dir/t"
+      val view = s"$dir/v"
+      (0L to 99L).map(k => (k, k % 5, k)).toDF("k", "g", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+        .write.parquet(base)
+      Layout.buildFileManifest(spark, base, Seq("k"))
+        .write.mode("overwrite").parquet(s"$base/_graft_manifest")
+      Layout.enableGenerations(spark, base)
+      Ivm.createView(spark, base, view, Seq("g"), Seq("v"),
+        where = Some("v >= 40"))
+      def gcanon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+        df.select("g", "cnt", "sum_v").as[(Long, Long, Long)]
+          .collect().sortBy(_._1).toSeq
+      def recomputeLive(): Seq[(Long, Long, Long)] =
+        gcanon(Ivm.aggregateOf(
+          spark.read.parquet(base).filter(col("v") >= 40).select("g", "v"),
+          Seq("g"), Seq("v")))
+      assert(gcanon(Ivm.readView(spark, view)) === recomputeLive())
+      // the delete straddles the predicate boundary: rows 30-39 were
+      // never IN the view (feed filter must drop their -1s), 40-59
+      // were (their -1s must apply)
+      Layout.deleteWhere(spark, base, Seq(Layout.KeyBox("k", 30L, 59L)))
+      // the upsert moves a row ACROSS the boundary: k=70 drops below
+      // the filter (net delete from the view's perspective)
+      Layout.upsertByKey(spark, base,
+        Seq((70L, 0L, 1L)).toDF("k", "g", "v"), "k")
+      val r = Ivm.refreshView(spark, view)
+      assert(r.refreshed && r.toGen === 2L)
+      assert(gcanon(Ivm.readView(spark, view)) === recomputeLive())
+      // rebuild honors the same predicate
+      val rb = Ivm.rebuildView(spark, view)
+      assert(rb.refreshed)
+      assert(gcanon(Ivm.readView(spark, view)) === recomputeLive())
+    }
+  }
+
   test("decimal join sums stay maintainable across repeated merges (scale-stable widening)") {
     val a = Seq((1L, "x"), (2L, "y")).toDF("k", "g")
     val b = Seq((1L, "1.50"), (2L, "2.25")).toDF("k", "p")

@@ -1932,6 +1932,41 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("withGenerationRetry: a lost commit race re-reads and retries; exhaustion surfaces the last conflict") {
+    import spark.implicits._
+    withTempDir("graft_occretry_") { dir =>
+      val d = s"$dir/t"
+      (0L to 49L).map(k => (k, k)).toDF("k", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      Layout.enableGenerations(spark, d)
+      // first attempt loses: a rival commits between the read and the
+      // verb; the retry re-reads the advanced generation and wins
+      var attempts = 0
+      val st = Layout.withGenerationRetry(spark, d) { g =>
+        attempts += 1
+        if (attempts == 1)
+          Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 4L)))
+        Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 10L, 14L)),
+          expectedGen = Some(g))
+      }
+      assert(attempts === 2 && st.rowsDeleted === 5L)
+      assert(spark.read.parquet(d).count() === 40L)
+      assert(Layout.currentGeneration(spark, d) === 2L)
+      // exhaustion: a body that always races out surfaces the count
+      val lost = intercept[java.util.ConcurrentModificationException] {
+        Layout.withGenerationRetry(spark, d, maxAttempts = 2) { g =>
+          Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 20L, 21L)))
+          Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 30L, 31L)),
+            expectedGen = Some(g))
+        }
+      }
+      assert(lost.getMessage.contains("all 2 attempts"))
+    }
+  }
+
   test("vacuumGenerationsOlderThan: age-based retention off the commit records") {
     import spark.implicits._
     withTempDir("graft_agevac_") { dir =>
