@@ -1068,12 +1068,26 @@ object Layout {
     require(generationsEnabled(fs, dir),
       s"$dir is not generation-tracked — no history to describe")
     val cur = liveGenOf(fs, dir)
-    val oldest = archivedGens(fs, dir).minOption.getOrElse(cur)
-    val labeled = (oldest to cur).map { g =>
-      snapshotManifestOf(spark, fs, dir, g)
-        .select(col("file"), col("n_rows"))
-        .withColumn("gen", lit(g))
-    }.reduce(_ unionByName _)
+    val archived = archivedGens(fs, dir).sorted
+    val oldest = archived.headOption.getOrElse(cur)
+    // ONE basePath-anchored read over the archive (the `gen=N` dir
+    // names are hive-partition-shaped, so the label comes back as a
+    // partition column) plus the live manifest — NOT a K-way union of
+    // per-generation frames, whose plan grows linearly with history
+    // depth and collapses at hundreds of retained generations;
+    // mergeSchema absorbs the pre-null-counts manifest format
+    val live = loadManifest(spark, dir)
+      .select(col("file"), col("n_rows")).withColumn("gen", lit(cur))
+    val labeled =
+      if (archived.isEmpty) live
+      else spark.read
+        .option("basePath", historyDir(dir).toString)
+        .option("mergeSchema", "true")
+        .parquet(archived.map(g =>
+          new org.apache.hadoop.fs.Path(historyDir(dir), s"gen=$g")
+            .toString): _*)
+        .select(col("file"), col("n_rows"), col("gen").cast("long").as("gen"))
+        .unionByName(live)
     // contiguous presence interval per file → two churn events: it is
     // ADDED at the transition to its first generation and REMOVED at
     // the transition past its last; interval ends at the range edges
