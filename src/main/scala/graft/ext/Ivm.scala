@@ -260,10 +260,17 @@ object Ivm {
         s"sums=$sumCols) frame; has ${view.columns.mkString(", ")}")
     val aCols = aState.columns.filterNot(_ == "cnt").toSeq
     val bCols = bState.columns.filterNot(_ == "cnt").toSeq
+    // each feed is read TWICE (its side's maintenance + its delta
+    // term) — pin once here so a feed carrying base-table or
+    // changesBetween lineage does not recompute per consumer; feeds
+    // are churn-sized by contract, and the pins drop before return
+    // (every output below is eagerly pinned by its own pass)
+    val aF = aChanges.localCheckpoint(true)
+    val bF = bChanges.localCheckpoint(true)
     // side states first: their maintenance validates the feeds' ±1
     // contracts and phantom deletes before the view merge runs
-    val aNew = maintainMultiset(aState, aChanges, aCols, opCol)
-    val bNew = maintainMultiset(bState, bChanges, bCols, opCol)
+    val aNew = maintainMultiset(aState, aF, aCols, opCol)
+    val bNew = maintainMultiset(bState, bF, bCols, opCol)
     // one delta-join term per side: the feed's rows (op ±1) against
     // the OTHER side's multiset (cnt), each matched pair contributing
     // op × cnt copies of the joined tuple — pre-aggregated straight
@@ -275,10 +282,13 @@ object Ivm {
         .agg(sum(w).cast("long").as("cnt"),
           sumCols.map(c => sum(col(c) * w).as(s"sum_$c")): _*)
     }
-    val delta = contrib(aChanges, bState)
-      .unionByName(contrib(bChanges, aNew))
+    val delta = contrib(aF, bState)
+      .unionByName(contrib(bF, aNew))
     requireMergeCompatible(view, delta, sumCols, "join delta")
-    (mergeStates(view, delta, groupKeys, sumCols), aNew, bNew)
+    val merged = mergeStates(view, delta, groupKeys, sumCols)
+    Checkpoints.unpersist(aF)
+    Checkpoints.unpersist(bF)
+    (merged, aNew, bNew)
   }
 
   // ──────────────────── self-refreshing materialized views ────────────────────
