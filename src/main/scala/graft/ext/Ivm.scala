@@ -539,6 +539,46 @@ object Ivm {
     ViewRefreshStats(old.maxOption.getOrElse(cur), cur, refreshed = true)
   }
 
+  /** The signed change feed OF A JOIN ITSELF — what turns two-table
+    * maintenance into N-WAY maintenance by COMPOSITION: `Δ(A ⋈ B) =
+    * ΔA ⋈ B_old ∪ A_new ⋈ ΔB`, emitted as a row-level signed feed
+    * (joined tuples + `op` ∈ ±1) that every downstream consumer
+    * treats exactly like a base-table feed. A chain `(A ⋈ B) ⋈ C`
+    * maintains by keeping a [[multisetOf]] state for the INTERMEDIATE
+    * join: feed that state with this delta via [[maintainMultiset]],
+    * and pass the SAME delta as the left side's feed of the outer
+    * join — each additional table adds one churn-priced delta-join,
+    * never a recompute of the prefix.
+    *
+    * Each feed row (op ±1) matched against the OTHER side's multiset
+    * row (cnt ≥ 1) contributes `cnt` unit tuples of sign `op` —
+    * expanded via `sequence`/`explode`, churn-priced because the feed
+    * side IS the churn. `aStateNew` must be the POST-feed state of A
+    * (`maintainMultiset(aStateOld, aFeed, …)`): the `A_new ⋈ ΔB` term
+    * is what absorbs the `ΔA ⋈ ΔB` cross term, so passing the
+    * pre-feed state mis-counts it. Output columns: the union of both
+    * sides' tuple columns plus `opCol`. */
+  def deltaJoinFeed(aStateOld: DataFrame, aStateNew: DataFrame,
+                    bStateOld: DataFrame, aFeed: DataFrame,
+                    bFeed: DataFrame, joinKeys: Seq[String],
+                    opCol: String = "op"): DataFrame = {
+    require(joinKeys.nonEmpty, "deltaJoinFeed needs a join key")
+    val aCols = aStateOld.columns.filterNot(_ == "cnt").toSeq
+    val bCols = bStateOld.columns.filterNot(_ == "cnt").toSeq
+    for (k <- joinKeys) require(aCols.contains(k) && bCols.contains(k),
+      s"join key $k must be a column of BOTH side states")
+    val shared = (aCols.toSet intersect bCols.toSet) -- joinKeys
+    require(shared.isEmpty,
+      s"side states share non-join columns ${shared.mkString(", ")} — " +
+        "rename one side so every joined-tuple column is unambiguous")
+    val outCols = (aCols ++ bCols).distinct
+    def term(feed: DataFrame, other: DataFrame): DataFrame =
+      feed.join(other, joinKeys)
+        .withColumn("__graft_i", explode(sequence(lit(1L), col("cnt"))))
+        .select((outCols :+ opCol).map(col): _*)
+    term(aFeed, bStateOld).unionByName(term(bFeed, aStateNew))
+  }
+
   // ───────────── persisted self-refreshing JOIN views ─────────────
   //
   // The same persistence discipline over [[maintainJoinAgg]]: a view

@@ -1162,6 +1162,14 @@ object Layout {
                        dir: String, tsMillis: Long): DataFrame =
     readSnapshot(spark, dir, generationAsOf(spark, dir, tsMillis))
 
+  /** [[readSnapshotPruned]] resolved by TIMESTAMP — time-traveled
+    * manifest skipping at an instant. */
+  def readSnapshotPrunedAsOf(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, tsMillis: Long,
+                             boxes: Seq[PruneBox]): DataFrame =
+    readSnapshotPruned(spark, dir, generationAsOf(spark, dir, tsMillis),
+      boxes)
+
   /** Hadoop Configuration is not Serializable; this envelope carries
     * it to executors for the distributed file copies (restore/clone)
     * via its own Writable serialization. */

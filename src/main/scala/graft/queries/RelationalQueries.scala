@@ -1173,6 +1173,61 @@ object RelationalQueries {
              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       bench = true),
 
+    // THREE-table join-view maintenance by COMPOSITION — the
+    // [[Ivm.deltaJoinFeed]] chain: the intermediate orders ⋈ lineitem
+    // keeps its own multiset state, the join's OWN signed delta
+    // (ΔA⋈B_old ∪ A_new⋈ΔB, expanded to unit rows) feeds both that
+    // state and the outer two-table maintenance against part —
+    // each table adds one churn-priced delta-join, the prefix never
+    // recomputes. Feeds delete a slice of ALL THREE tables at once
+    // (the A/B pair exercises the cross term); the maintained view
+    // must equal the 3-way join aggregate over the three surviving
+    // multisets, recomputed from scratch by the oracle.
+    QueryDef("q_ivm_join3",
+      (s, d) => {
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_partkey"),
+            col("l_quantity").cast("long").as("qty"))
+        val pt = t(s, d, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+        val aCols = Seq("o_orderkey", "o_orderpriority")
+        val bCols = Seq("o_orderkey", "l_partkey", "qty")
+        val cCols = Seq("l_partkey", "p_brand")
+        val aS = graft.ext.Ivm.multisetOf(o, aCols).localCheckpoint(true)
+        val bS = graft.ext.Ivm.multisetOf(li, bCols).localCheckpoint(true)
+        val cS = graft.ext.Ivm.multisetOf(pt, cCols).localCheckpoint(true)
+        val abS = graft.ext.Ivm.multisetOf(o.join(li, "o_orderkey"),
+          (aCols ++ bCols).distinct).localCheckpoint(true)
+        val view0 = graft.ext.Ivm.aggregateOfJoin(abS, cS,
+            Seq("l_partkey"), Seq("o_orderpriority", "p_brand"), Seq("qty"))
+          .localCheckpoint(true)
+        val aFeed = o.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("op", lit(-1))
+        val bFeed = li.filter(col("l_partkey") % 7 === 0)
+          .withColumn("op", lit(-1))
+        val cFeed = pt.filter(col("l_partkey") % 5 === 0)
+          .withColumn("op", lit(-1))
+        val aNew = graft.ext.Ivm.maintainMultiset(aS, aFeed, aCols)
+        val abFeed = graft.ext.Ivm.deltaJoinFeed(aS, aNew, bS,
+          aFeed, bFeed, Seq("o_orderkey")).localCheckpoint(true)
+        val (view, _, _) = graft.ext.Ivm.maintainJoinAgg(view0, abS, cS,
+          abFeed, cFeed, Seq("l_partkey"),
+          Seq("o_orderpriority", "p_brand"), Seq("qty"))
+        view.orderBy("o_orderpriority", "p_brand")
+      },
+      Some("""SELECT o_orderpriority, p_brand,
+             |  CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM orders o
+             |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |JOIN part p ON p.p_partkey = l.l_partkey
+             |WHERE o.o_orderkey % 10 <> 0
+             |  AND l.l_partkey % 7 <> 0
+             |  AND p.p_partkey % 5 <> 0
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Point-in-interval range join ([[graft.ops.IntervalJoin]]):
     // shipments landing inside each order's 7-day dispatch window,
     // via the interval-binning equi-join (bucket = 7 days, so each

@@ -366,6 +366,71 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("deltaJoinFeed composes two-table maintenance into an exact 3-table chain") {
+    // view: count/sum_v by g over A(k1,g) ⋈ B(k1,k2) ⋈ C(k2,v) —
+    // maintained by keeping a multiset for the INTERMEDIATE A⋈B and
+    // feeding it (and the outer join) the join's OWN signed delta
+    var aRows = Seq((1L, "x"), (2L, "y"), (3L, "x"))
+    var bRows = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L))
+    var cRows = Seq((10L, 5L), (11L, 7L), (12L, 9L), (10L, 5L))
+    def aDf(r: Seq[(Long, String)]) = r.toDF("k1", "g")
+    def bDf(r: Seq[(Long, Long)]) = r.toDF("k1", "k2")
+    def cDf(r: Seq[(Long, Long)]) = r.toDF("k2", "v")
+    var aS = Ivm.multisetOf(aDf(aRows), Seq("k1", "g")).localCheckpoint(true)
+    var bS = Ivm.multisetOf(bDf(bRows), Seq("k1", "k2")).localCheckpoint(true)
+    var cS = Ivm.multisetOf(cDf(cRows), Seq("k2", "v")).localCheckpoint(true)
+    var abS = Ivm.multisetOf(aDf(aRows).join(bDf(bRows), "k1"),
+      Seq("k1", "g", "k2")).localCheckpoint(true)
+    var view = Ivm.aggregateOfJoin(abS, cS, Seq("k2"), Seq("g"), Seq("v"))
+      .localCheckpoint(true)
+    def recompute(): Seq[(String, Long, Long)] =
+      (for { (k1, g) <- aRows; (bk1, k2) <- bRows if bk1 == k1
+             (ck2, v) <- cRows if ck2 == k2 } yield (g, v))
+        .groupBy(_._1).map { case (g, rs) =>
+          (g, rs.size.toLong, rs.map(_._2).sum) }.toSeq.sortBy(_._1)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+      df.select("g", "cnt", "sum_v").as[(String, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+    assert(canon(view) === recompute())
+    def applyRound(dA: Seq[(Long, String, Int)], dB: Seq[(Long, Long, Int)],
+                   dC: Seq[(Long, Long, Int)]): Unit = {
+      val aFeed = dA.toDF("k1", "g", "op")
+      val bFeed = dB.toDF("k1", "k2", "op")
+      val cFeed = dC.toDF("k2", "v", "op")
+      val aNew = Ivm.maintainMultiset(aS, aFeed, Seq("k1", "g"))
+      // the chain's composition step: the join's own signed delta…
+      val abFeed = Ivm.deltaJoinFeed(aS, aNew, bS, aFeed, bFeed, Seq("k1"))
+        .localCheckpoint(true)
+      val bNew = Ivm.maintainMultiset(bS, bFeed, Seq("k1", "k2"))
+      // …drives the outer two-table maintenance unchanged
+      val (v2, abNew, cNew) = Ivm.maintainJoinAgg(view, abS, cS,
+        abFeed, cFeed, Seq("k2"), Seq("g"), Seq("v"))
+      aS = aNew; bS = bNew; abS = abNew; cS = cNew; view = v2
+      // advance the driver-side truth
+      def applySigned[T](base: Seq[T], d: Seq[(T, Int)]): Seq[T] = {
+        val buf = scala.collection.mutable.ListBuffer(base: _*)
+        d.foreach { case (t, op) =>
+          if (op > 0) buf += t
+          else { val i = buf.indexOf(t); assert(i >= 0, s"phantom delete $t"); buf.remove(i) }
+        }
+        buf.toSeq
+      }
+      aRows = applySigned(aRows, dA.map(r => ((r._1, r._2), r._3)))
+      bRows = applySigned(bRows, dB.map(r => ((r._1, r._2), r._3)))
+      cRows = applySigned(cRows, dC.map(r => ((r._1, r._2), r._3)))
+    }
+    // round 1: churn on all three tables, incl. a delete of one copy
+    // of C's duplicate row and a B-edge retarget
+    applyRound(
+      dA = Seq((4L, "y", 1), (3L, "x", -1)),
+      dB = Seq((4L, 12L, 1), (1L, 11L, -1)),
+      dC = Seq((11L, 100L, 1), (10L, 5L, -1)))
+    assert(canon(view) === recompute())
+    // round 2: one-sided churn (only C moves) — A/B feeds are empty
+    applyRound(Nil, Nil, dC = Seq((12L, 9L, -1), (12L, 1L, 1)))
+    assert(canon(view) === recompute())
+  }
+
   test("filtered materialized view: the WHERE predicate governs bootstrap and every feed") {
     import graft.ext.Layout
     withTempDir("graft_fmv_") { dir =>
