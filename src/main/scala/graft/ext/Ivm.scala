@@ -372,6 +372,9 @@ object Ivm {
       case JString("join") => throw new IllegalArgumentException(
         s"$viewDir holds a JOIN view — use refreshJoinView / " +
           "readJoinView / rebuildJoinView")
+      case JString("chain") => throw new IllegalArgumentException(
+        s"$viewDir holds a CHAIN view — use refreshChainView / " +
+          "readChainView / rebuildChainView")
       case _ =>
     }
     val where = jv \ "where" match {
@@ -632,6 +635,9 @@ object Ivm {
     val p = viewMetaPath(viewDir).toString
     jv \ "kind" match {
       case JString("join") =>
+      case JString("chain") => throw new IllegalArgumentException(
+        s"$viewDir holds a CHAIN view — use refreshChainView / " +
+          "readChainView / rebuildChainView")
       case _ => throw new IllegalArgumentException(
         s"$viewDir holds a single-base view — use refreshView / " +
           "readView / rebuildView")
@@ -788,6 +794,312 @@ object Ivm {
     require(fs.delete(sp, true),
       s"failed to drop the superseded join view state ($pA, $pB)")
     JoinViewRefreshStats(pA, curA, pB, curB, refreshed = true)
+  }
+
+  // ─────────── persisted CHAIN views (N-way join MVs) ───────────
+  //
+  // The [[deltaJoinFeed]] composition, persisted: a materialized
+  // aggregate over a LEFT-DEEP join chain T0 ⋈ T1 ⋈ … ⋈ T(k-1) of
+  // generation-tracked bases, pinned to a generation VECTOR. The
+  // state is everything the per-level delta-joins need — one multiset
+  // per base, one per INTERMEDIATE prefix join (I1 … I(k-2)), and the
+  // view — committed atomically under one `state_gens=` rename. A
+  // refresh derives one churn-priced feed per base that moved, folds
+  // [[deltaJoinFeed]] up the chain (each level joins deltas against
+  // state multisets, never the bases), and finishes with one
+  // [[maintainJoinAgg]] pass. k = 2 degenerates to [[createJoinView]];
+  // this family exists for the fact ⋈ dim ⋈ dim shapes real
+  // reporting views take.
+
+  /** One chain-view refresh: the pinned and live generation vectors
+    * (one entry per base, in chain order). */
+  case class ChainViewRefreshStats(fromGens: Seq[Long], toGens: Seq[Long],
+                                   refreshed: Boolean)
+
+  private val ChainStateRe = """state_gens=([0-9-]+)""".r
+
+  private def chainStatePath(viewDir: String,
+                             gens: Seq[Long]): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      s"$viewDir/state_gens=${gens.mkString("-")}")
+
+  private def chainStateGens(fs: org.apache.hadoop.fs.FileSystem,
+                             viewDir: String): Seq[Seq[Long]] = {
+    val p = new org.apache.hadoop.fs.Path(viewDir)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+      case ChainStateRe(v) => v.split('-').toSeq.map(_.toLong)
+    }
+  }
+
+  /** Reader ordering over generation vectors: element-wise sums never
+    * regress across refreshes, so the vector with the largest SUM is
+    * the newest (ties cannot arise: every commit advances the sum). */
+  private def chainMax(states: Seq[Seq[Long]]): Seq[Long] =
+    states.maxBy(_.sum)
+
+  private case class ChainViewMeta(bases: Seq[String],
+                                   levelKeys: Seq[Seq[String]],
+                                   groupKeys: Seq[String],
+                                   sums: Seq[String],
+                                   baseCols: Seq[Seq[String]])
+
+  private def readChainViewMeta(spark: org.apache.spark.sql.SparkSession,
+                                viewDir: String): ChainViewMeta = {
+    import org.json4s._
+    val jv = parseViewMeta(spark, viewDir)
+    val p = viewMetaPath(viewDir).toString
+    jv \ "kind" match {
+      case JString("chain") =>
+      case _ => throw new IllegalArgumentException(
+        s"$viewDir does not hold a chain view — use the matching " +
+          "create/refresh/read family for its kind")
+    }
+    def strss(j: JValue, what: String): Seq[Seq[String]] = j match {
+      case JArray(xs) => xs.map(metaStrs(_, p, what))
+      case other => throw new IllegalArgumentException(
+        s"malformed view meta at $p: $what is $other")
+    }
+    ChainViewMeta(metaStrs(jv \ "bases", p, "bases"),
+      strss(jv \ "levelKeys", "levelKeys"),
+      metaStrs(jv \ "groupKeys", p, "groupKeys"),
+      metaStrs(jv \ "sums", p, "sums"),
+      strss(jv \ "baseCols", "baseCols"))
+  }
+
+  /** Publish a chain state (view + per-base multisets + intermediate
+    * multisets) under one rename. Layout inside the dir: `view/`,
+    * `base<i>/` for every base, `inter<j>/` for j = 1..k-2. */
+  private def commitChainState(spark: org.apache.spark.sql.SparkSession,
+                               viewDir: String, gens: Seq[Long],
+                               view: DataFrame, baseStates: Seq[DataFrame],
+                               interStates: Seq[DataFrame]): Unit = {
+    val fs = viewFs(spark, viewDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$viewDir/_state_tmp")
+    require(fs.delete(tmp, true) || !fs.exists(tmp),
+      s"failed to clear the state staging dir at $tmp")
+    view.write.parquet(s"$tmp/view")
+    baseStates.zipWithIndex.foreach { case (st, i) =>
+      st.write.parquet(s"$tmp/base$i") }
+    interStates.zipWithIndex.foreach { case (st, j) =>
+      st.write.parquet(s"$tmp/inter${j + 1}") }
+    val dest = chainStatePath(viewDir, gens)
+    require(!fs.exists(dest),
+      s"chain view state $dest already exists — concurrent refreshers?")
+    require(fs.rename(tmp, dest),
+      s"failed to publish the chain view state at $dest")
+  }
+
+  /** CREATE MATERIALIZED VIEW over a left-deep join CHAIN:
+    * `bases(0) ⋈ bases(1) ⋈ …` with `levelKeys(j)` joining the prefix
+    * I(j-1) to `bases(j)` (so `levelKeys` has `bases.length - 1`
+    * entries), aggregated to `groupKeys`/`sumCols`. Every base must be
+    * generation-tracked; every non-join view/key column must resolve
+    * on exactly ONE base. Needs at least 3 bases — use
+    * [[createJoinView]] for two. */
+  def createChainView(spark: org.apache.spark.sql.SparkSession,
+                      bases: Seq[String], viewDir: String,
+                      levelKeys: Seq[Seq[String]], groupKeys: Seq[String],
+                      sumCols: Seq[String]): ChainViewRefreshStats = {
+    require(bases.length >= 3,
+      "createChainView needs at least 3 bases — createJoinView covers 2")
+    require(levelKeys.length == bases.length - 1,
+      s"chain of ${bases.length} bases needs ${bases.length - 1} " +
+        s"levelKeys entries, got ${levelKeys.length}")
+    require(groupKeys.nonEmpty, "createChainView needs a group key")
+    val fs = viewFs(spark, viewDir)
+    require(!fs.exists(viewMetaPath(viewDir)),
+      s"$viewDir already holds a materialized view")
+    for (g <- chainStateGens(fs, viewDir))
+      require(fs.delete(chainStatePath(viewDir, g), true),
+        s"failed to clean stranded pre-meta state ${g.mkString("-")}")
+    val gens = bases.map(Layout.currentGeneration(spark, _))
+    val frames = bases.zip(gens).map { case (b, g) =>
+      Layout.readSnapshot(spark, b, g) }
+    // column-side assignment: every level key lives on its right base
+    // AND somewhere earlier in the chain; every other view column on
+    // exactly one base
+    val rest = (groupKeys ++ sumCols).distinct
+      .filterNot(levelKeys.flatten.contains)
+    for (c <- rest) {
+      val owners = frames.zipWithIndex.filter(_._1.columns.contains(c))
+      require(owners.nonEmpty, s"view column $c is on no base")
+      require(owners.length == 1,
+        s"view column $c is on bases ${owners.map(_._2).mkString(", ")}" +
+          " — project/rename so every view column is unambiguous")
+    }
+    for ((ks, j) <- levelKeys.zipWithIndex; k <- ks) {
+      require(frames(j + 1).columns.contains(k),
+        s"level-${j + 1} join key $k is not a column of bases(${j + 1})")
+      require(frames.take(j + 1).exists(_.columns.contains(k)),
+        s"level-${j + 1} join key $k resolves on no earlier base")
+    }
+    // each base's contributing columns: its level keys (as the RIGHT
+    // side), any later level's keys it owns (carried up the chain),
+    // and its unambiguous view columns
+    val baseCols = frames.zipWithIndex.map { case (f, i) =>
+      val own = rest.filter(f.columns.contains) ++
+        levelKeys.zipWithIndex.collect {
+          case (ks, j) if j + 1 == i => ks
+          case (ks, j) if j + 1 != i =>
+            ks.filter(k => f.columns.contains(k) &&
+              !frames.take(i).exists(_.columns.contains(k)))
+        }.flatten
+      own.distinct
+    }
+    val (view0, baseStates, interStates) =
+      bootstrapChain(frames, levelKeys, groupKeys, sumCols, baseCols)
+    commitChainState(spark, viewDir, gens, view0, baseStates, interStates)
+    baseStates.foreach(Checkpoints.unpersist)
+    interStates.foreach(Checkpoints.unpersist)
+    import org.json4s.JsonDSL._
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("kind" -> "chain") ~ ("bases" -> bases) ~
+          ("levelKeys" -> levelKeys) ~ ("groupKeys" -> groupKeys) ~
+          ("sums" -> sumCols) ~ ("baseCols" -> baseCols)))
+    val out = fs.create(viewMetaPath(viewDir), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    ChainViewRefreshStats(gens, gens, refreshed = true)
+  }
+
+  /** The shared bootstrap of create and rebuild: per-base multisets,
+    * intermediate-prefix multisets I1..I(k-2) (explode-expanded so
+    * multiplicities weight exactly), and the top aggregate. */
+  private def bootstrapChain(frames: Seq[DataFrame],
+                             levelKeys: Seq[Seq[String]],
+                             groupKeys: Seq[String], sumCols: Seq[String],
+                             baseCols: Seq[Seq[String]])
+      : (DataFrame, Seq[DataFrame], Seq[DataFrame]) = {
+    val baseStates = frames.zip(baseCols).map { case (f, cols) =>
+      multisetOf(f.select(cols.map(col): _*), cols).localCheckpoint(true) }
+    def expand(state: DataFrame): DataFrame =
+      state.withColumn("__graft_i",
+          explode(sequence(lit(1L), col("cnt"))))
+        .drop("cnt", "__graft_i")
+    var prefix = expand(baseStates.head)
+    val interStates = (1 until frames.length - 1).map { j =>
+      prefix = prefix.join(expand(baseStates(j)), levelKeys(j - 1))
+      val m = multisetOf(prefix, prefix.columns.toSeq).localCheckpoint(true)
+      prefix = expand(m)
+      m
+    }
+    val leftFinal =
+      if (frames.length == 2) baseStates.head else interStates.last
+    val view0 = aggregateOfJoin(leftFinal, baseStates.last,
+      levelKeys.last, groupKeys, sumCols)
+    (view0, baseStates, interStates)
+  }
+
+  /** The generation vector (one entry per base, chain order) the
+    * persisted chain state reflects. */
+  def chainViewGenerations(spark: org.apache.spark.sql.SparkSession,
+                           viewDir: String): Seq[Long] = {
+    readChainViewMeta(spark, viewDir)
+    val gens = chainStateGens(viewFs(spark, viewDir), viewDir)
+    require(gens.nonEmpty,
+      s"$viewDir has a meta sidecar but no state dir — rebuildChainView")
+    chainMax(gens)
+  }
+
+  /** Read the chain view's aggregate — state-sized, never touching a
+    * base. */
+  def readChainView(spark: org.apache.spark.sql.SparkSession,
+                    viewDir: String): DataFrame =
+    spark.read.parquet(s"${chainStatePath(viewDir,
+      chainViewGenerations(spark, viewDir))}/view")
+
+  /** REFRESH the chain view: one churn-priced feed per base that
+    * moved, folded up the chain as [[deltaJoinFeed]]s against the
+    * persisted multisets (each level = one delta-join; bases are
+    * never re-joined), one [[maintainJoinAgg]] at the top, one
+    * commit. */
+  def refreshChainView(spark: org.apache.spark.sql.SparkSession,
+                       viewDir: String): ChainViewRefreshStats = {
+    val meta = readChainViewMeta(spark, viewDir)
+    val fs = viewFs(spark, viewDir)
+    val states = chainStateGens(fs, viewDir)
+    require(states.nonEmpty,
+      s"$viewDir has a meta sidecar but no state dir — rebuildChainView")
+    val pinned = chainMax(states)
+    for (g <- states if g != pinned)
+      require(fs.delete(chainStatePath(viewDir, g), true),
+        s"failed to drop superseded chain state ${g.mkString("-")}")
+    val curs = meta.bases.map(Layout.currentGeneration(spark, _))
+    if (curs == pinned)
+      return ChainViewRefreshStats(pinned, pinned, refreshed = false)
+    require(curs.zip(pinned).forall { case (c, p) => c >= p },
+      s"chain state pins (${pinned.mkString(", ")}) but the bases are " +
+        s"at (${curs.mkString(", ")}) — a base was rebuilt out from " +
+        "under the view; rebuildChainView")
+    val sp = chainStatePath(viewDir, pinned)
+    val view = spark.read.parquet(s"$sp/view")
+    val baseStates = meta.bases.indices
+      .map(i => spark.read.parquet(s"$sp/base$i"))
+    val inters = (1 until meta.bases.length - 1)
+      .map(j => spark.read.parquet(s"$sp/inter$j"))
+    val feeds = meta.bases.indices.map { i =>
+      Layout.changesBetween(spark, meta.bases(i), pinned(i), curs(i))
+        .select((meta.baseCols(i) :+ "op").map(col): _*)
+        .localCheckpoint(true)
+    }
+    // fold the delta up the chain: D0 = f0; each level j maintains
+    // its left state and emits D_j = Δ(I_j)
+    var leftOld: DataFrame = baseStates.head
+    var leftNew = maintainMultiset(leftOld, feeds.head,
+      leftOld.columns.filterNot(_ == "cnt").toSeq)
+    var delta = feeds.head
+    val newBaseStates = scala.collection.mutable.ArrayBuffer(leftNew)
+    val newInters = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (j <- 1 until meta.bases.length - 1) {
+      val d2 = deltaJoinFeed(leftOld, leftNew, baseStates(j),
+        delta, feeds(j), meta.levelKeys(j - 1)).localCheckpoint(true)
+      newBaseStates += maintainMultiset(baseStates(j), feeds(j),
+        baseStates(j).columns.filterNot(_ == "cnt").toSeq)
+      val interNew = maintainMultiset(inters(j - 1), d2,
+        inters(j - 1).columns.filterNot(_ == "cnt").toSeq)
+      newInters += interNew
+      leftOld = inters(j - 1)
+      leftNew = interNew
+      delta = d2
+    }
+    val (v2, _, lastNew) = maintainJoinAgg(view, leftOld,
+      baseStates.last, delta, feeds.last, meta.levelKeys.last,
+      meta.groupKeys, meta.sums)
+    newBaseStates += lastNew
+    commitChainState(spark, viewDir, curs, v2,
+      newBaseStates.toSeq, newInters.toSeq)
+    require(fs.delete(sp, true),
+      s"failed to drop the superseded chain state ${pinned.mkString("-")}")
+    feeds.foreach(Checkpoints.unpersist)
+    ChainViewRefreshStats(pinned, curs, refreshed = true)
+  }
+
+  /** Full re-bootstrap fallback (a base vacuumed past its pin or
+    * rebuilt under the view): recompute everything at the live
+    * generation vector with the META UNTOUCHED, pre-clearing any
+    * state whose vector would out-rank the rebuilt one under the
+    * readers' rule — same crash discipline as the other rebuilds. */
+  def rebuildChainView(spark: org.apache.spark.sql.SparkSession,
+                       viewDir: String): ChainViewRefreshStats = {
+    val meta = readChainViewMeta(spark, viewDir)
+    val fs = viewFs(spark, viewDir)
+    val old = chainStateGens(fs, viewDir)
+    val gens = meta.bases.map(Layout.currentGeneration(spark, _))
+    val frames = meta.bases.zip(gens).map { case (b, g) =>
+      Layout.readSnapshot(spark, b, g) }
+    val (view0, baseStates, interStates) = bootstrapChain(frames,
+      meta.levelKeys, meta.groupKeys, meta.sums, meta.baseCols)
+    for (g <- old if g.sum >= gens.sum)
+      require(fs.delete(chainStatePath(viewDir, g), true),
+        s"failed to drop chain state ${g.mkString("-")} before rebuild")
+    commitChainState(spark, viewDir, gens, view0, baseStates, interStates)
+    baseStates.foreach(Checkpoints.unpersist)
+    interStates.foreach(Checkpoints.unpersist)
+    for (g <- old if g.sum < gens.sum)
+      require(fs.delete(chainStatePath(viewDir, g), true),
+        s"failed to drop superseded chain state ${g.mkString("-")}")
+    ChainViewRefreshStats(chainMax(old :+ gens), gens, refreshed = true)
   }
 
   /** Full re-bootstrap fallback for the documented refresh boundary

@@ -2237,6 +2237,95 @@ object SketchQueries {
              |FROM final WHERE n_chars >= 2000
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Persisted CHAIN materialized view — [[Ivm.createChainView]] /
+    // [[Ivm.refreshChainView]] over a 3-base join chain
+    // (orders ⋈ lineitem ⋈ part), the fact ⋈ dim ⋈ dim shape real
+    // reporting views take: the state pins a generation VECTOR and
+    // persists the per-base multisets plus the intermediate-prefix
+    // multiset, so each refresh folds [[Ivm.deltaJoinFeed]] up the
+    // chain — one churn-priced delta-join per level, the bases never
+    // re-joined. The fixture commits a delete on EVERY base across
+    // two refreshes (the first span one-sided) and the served state
+    // must equal the 3-way join aggregate the oracle recomputes from
+    // scratch over the three surviving tables.
+    QueryDef("q_ivm_chain_mv",
+      (s, d) => {
+        val viewDir = prunedFixture.computeIfAbsent(s"$d#chain_mv", _ => {
+          val root = graft.Scratch.tempDir("graft_cmv_")
+          val (pa, pb, pc, v) = (s"$root/orders", s"$root/lineitem",
+            s"$root/part", s"$root/view")
+          t(s, d, "orders").select("o_orderkey", "o_orderpriority")
+            .repartitionByRange(4, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey").write.parquet(pa)
+          t(s, d, "lineitem")
+            .select(col("l_orderkey").as("o_orderkey"), col("l_partkey"),
+              col("l_quantity").cast("long").as("qty"))
+            .repartitionByRange(4, col("o_orderkey"))
+            .sortWithinPartitions("o_orderkey").write.parquet(pb)
+          t(s, d, "part")
+            .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+            .repartitionByRange(2, col("l_partkey"))
+            .sortWithinPartitions("l_partkey").write.parquet(pc)
+          for ((p, key) <- Seq((pa, "o_orderkey"), (pb, "o_orderkey"),
+              (pc, "l_partkey"))) {
+            Layout.buildFileManifest(s, p, Seq(key))
+              .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+            Layout.enableGenerations(s, p)
+          }
+          graft.ext.Ivm.createChainView(s, Seq(pa, pb, pc), v,
+            Seq(Seq("o_orderkey"), Seq("l_partkey")),
+            Seq("o_orderpriority", "p_brand"), Seq("qty"))
+          val om = t(s, d, "orders")
+            .agg(min("o_orderkey"), max("o_orderkey")).head()
+          val (omn, omx) = (om.getLong(0), om.getLong(1))
+          val pm = t(s, d, "part")
+            .agg(min("p_partkey"), max("p_partkey")).head()
+          val (pmn, pmx) = (pm.getLong(0), pm.getLong(1))
+          Layout.deleteWhere(s, pa,
+            Seq(Layout.KeyBox("o_orderkey", omn, omn + (omx - omn) / 8)))
+          val r1 = graft.ext.Ivm.refreshChainView(s, v)
+          require(r1.refreshed && r1.toGens == Seq(1L, 0L, 0L),
+            s"degenerate fixture: $r1")
+          Layout.deleteWhere(s, pb,
+            Seq(Layout.KeyBox("o_orderkey",
+              omn + (omx - omn) / 4, omn + (omx - omn) / 2)))
+          Layout.deleteWhere(s, pc,
+            Seq(Layout.KeyBox("l_partkey", pmn, pmn + (pmx - pmn) / 4)))
+          val r2 = graft.ext.Ivm.refreshChainView(s, v)
+          require(r2.refreshed && r2.toGens == Seq(1L, 1L, 1L),
+            s"degenerate fixture: $r2")
+          require(!graft.ext.Ivm.refreshChainView(s, v).refreshed,
+            "a current chain view must refresh as a no-op")
+          v
+        })
+        graft.ext.Ivm.readChainView(s, viewDir)
+          .orderBy("o_orderpriority", "p_brand")
+      },
+      Some("""WITH ro AS (
+             |  SELECT min(o_orderkey) AS mn,
+             |    min(o_orderkey) + (max(o_orderkey)-min(o_orderkey))//8
+             |      AS ahi,
+             |    min(o_orderkey) + (max(o_orderkey)-min(o_orderkey))//4
+             |      AS blo,
+             |    min(o_orderkey) + (max(o_orderkey)-min(o_orderkey))//2
+             |      AS bhi
+             |  FROM orders),
+             |rp AS (
+             |  SELECT min(p_partkey) AS pmn,
+             |    min(p_partkey) + (max(p_partkey)-min(p_partkey))//4
+             |      AS phi
+             |  FROM part)
+             |SELECT o_orderpriority, p_brand,
+             |  CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+             |FROM orders o
+             |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |JOIN part p ON p.p_partkey = l.l_partkey, ro, rp
+             |WHERE o.o_orderkey NOT BETWEEN ro.mn AND ro.ahi
+             |  AND l.l_orderkey NOT BETWEEN ro.blo AND ro.bhi
+             |  AND p.p_partkey NOT BETWEEN rp.pmn AND rp.phi
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // Persisted JOIN materialized view — [[Ivm.createJoinView]] /
     // [[Ivm.refreshJoinView]]: the revenue-by-dims shape real MVs
     // take (aggregate over orders ⋈ lineitem), persisted with BOTH

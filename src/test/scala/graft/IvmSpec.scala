@@ -431,6 +431,77 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
     assert(canon(view) === recompute())
   }
 
+  test("persisted chain view: 3-base create/refresh through per-base CDC, rebuild recovery") {
+    import graft.ext.Layout
+    withTempDir("graft_cmv_") { dir =>
+      val (pa, pb, pc, v) = (s"$dir/a", s"$dir/b", s"$dir/c", s"$dir/v")
+      (0L to 29L).map(k => (k, s"g${k % 3}")).toDF("k1", "g")
+        .repartitionByRange(2, col("k1")).sortWithinPartitions("k1")
+        .write.parquet(pa)
+      (0L to 59L).map(i => (i % 30, i % 10)).toDF("k1", "k2")
+        .repartitionByRange(2, col("k1")).sortWithinPartitions("k1")
+        .write.parquet(pb)
+      (0L to 9L).map(k => (k, k * 100)).toDF("k2", "v")
+        .repartition(1).write.parquet(pc)
+      for ((p, key) <- Seq((pa, "k1"), (pb, "k1"), (pc, "k2"))) {
+        Layout.buildFileManifest(spark, p, Seq(key))
+          .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+        Layout.enableGenerations(spark, p)
+      }
+      val created = Ivm.createChainView(spark, Seq(pa, pb, pc), v,
+        Seq(Seq("k1"), Seq("k2")), Seq("g"), Seq("v"))
+      assert(created.refreshed &&
+        Ivm.chainViewGenerations(spark, v) === Seq(0L, 0L, 0L))
+      def gcanon(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+        df.select("g", "cnt", "sum_v").as[(String, Long, Long)]
+          .collect().sortBy(_._1).toSeq
+      def recomputeLive(): Seq[(String, Long, Long)] = gcanon(
+        spark.read.parquet(pa)
+          .join(spark.read.parquet(pb), "k1")
+          .join(spark.read.parquet(pc), "k2")
+          .groupBy("g").agg(count(lit(1)).as("cnt"), sum("v").as("sum_v")))
+      assert(gcanon(Ivm.readChainView(spark, v)) === recomputeLive())
+      // one-sided span: only the TAIL base moves
+      Layout.deleteWhere(spark, pc, Seq(Layout.KeyBox("k2", 0L, 2L)))
+      val r1 = Ivm.refreshChainView(spark, v)
+      assert(r1 === Ivm.ChainViewRefreshStats(Seq(0L, 0L, 0L),
+        Seq(0L, 0L, 1L), refreshed = true))
+      assert(gcanon(Ivm.readChainView(spark, v)) === recomputeLive())
+      // all three bases move in one span: head delete, middle edge
+      // churn (delete + append), tail append of a duplicate-key row
+      Layout.deleteWhere(spark, pa, Seq(Layout.KeyBox("k1", 0L, 4L)))
+      Layout.deleteWhere(spark, pb, Seq(Layout.KeyBox("k1", 25L, 29L)))
+      Layout.appendWithManifest(
+        Seq((3L, 9L), (14L, 9L)).toDF("k1", "k2").repartition(1),
+        pb, Seq("k1"))
+      Layout.appendWithManifest(
+        Seq((5L, 555L)).toDF("k2", "v").repartition(1), pc, Seq("k2"))
+      val r2 = Ivm.refreshChainView(spark, v)
+      assert(r2.refreshed && r2.toGens === Seq(1L, 2L, 2L))
+      assert(gcanon(Ivm.readChainView(spark, v)) === recomputeLive())
+      // idempotent when every base is current
+      assert(!Ivm.refreshChainView(spark, v).refreshed)
+      // cross-family guards name the right verbs
+      assert(intercept[IllegalArgumentException] {
+        Ivm.refreshView(spark, v)
+      }.getMessage.contains("CHAIN"))
+      assert(intercept[IllegalArgumentException] {
+        Ivm.refreshJoinView(spark, v)
+      }.getMessage.contains("CHAIN"))
+      // a middle base vacuumed past its pin: loud, rebuild recovers
+      Layout.deleteWhere(spark, pb, Seq(Layout.KeyBox("k1", 20L, 20L)))
+      Layout.vacuumGenerations(spark, pb, retainLast = 1)
+      val gone = intercept[IllegalArgumentException] {
+        Ivm.refreshChainView(spark, v)
+      }
+      assert(gone.getMessage.contains("vacuum"))
+      val rb = Ivm.rebuildChainView(spark, v)
+      assert(rb.refreshed && rb.toGens === Seq(1L, 3L, 2L))
+      assert(gcanon(Ivm.readChainView(spark, v)) === recomputeLive())
+      assert(!Ivm.refreshChainView(spark, v).refreshed)
+    }
+  }
+
   test("filtered materialized view: the WHERE predicate governs bootstrap and every feed") {
     import graft.ext.Layout
     withTempDir("graft_fmv_") { dir =>
