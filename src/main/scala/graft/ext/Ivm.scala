@@ -566,6 +566,21 @@ object Ivm {
                     bFeed: DataFrame, joinKeys: Seq[String],
                     opCol: String = "op"): DataFrame = {
     require(joinKeys.nonEmpty, "deltaJoinFeed needs a join key")
+    // loud shape guards, like the rest of the family — a mixed-up
+    // argument must fail by name, not as an ambiguous-reference
+    // AnalysisException deep inside the join
+    for ((st, side) <- Seq((aStateOld, "aStateOld"),
+        (aStateNew, "aStateNew"), (bStateOld, "bStateOld"))) {
+      require(st.columns.contains("cnt"),
+        s"$side is not a multisetOf frame (no cnt column)")
+      require(!st.columns.contains(opCol),
+        s"$side already carries a column named $opCol — pass a " +
+          "different opCol")
+    }
+    for ((f, side) <- Seq((aFeed, "aFeed"), (bFeed, "bFeed")))
+      require(!f.columns.contains("cnt"),
+        s"$side carries a cnt column — it looks like a multiset " +
+          "state, not a signed row feed")
     val aCols = aStateOld.columns.filterNot(_ == "cnt").toSeq
     val bCols = bStateOld.columns.filterNot(_ == "cnt").toSeq
     for (k <- joinKeys) require(aCols.contains(k) && bCols.contains(k),
@@ -977,6 +992,8 @@ object Ivm {
       state.withColumn("__graft_i",
           explode(sequence(lit(1L), col("cnt"))))
         .drop("cnt", "__graft_i")
+    require(frames.length >= 3,
+      "bootstrapChain serves 3+ base chains (2 is the join-view family)")
     var prefix = expand(baseStates.head)
     val interStates = (1 until frames.length - 1).map { j =>
       prefix = prefix.join(expand(baseStates(j)), levelKeys(j - 1))
@@ -984,9 +1001,7 @@ object Ivm {
       prefix = expand(m)
       m
     }
-    val leftFinal =
-      if (frames.length == 2) baseStates.head else interStates.last
-    val view0 = aggregateOfJoin(leftFinal, baseStates.last,
+    val view0 = aggregateOfJoin(interStates.last, baseStates.last,
       levelKeys.last, groupKeys, sumCols)
     (view0, baseStates, interStates)
   }
@@ -1044,34 +1059,49 @@ object Ivm {
         .localCheckpoint(true)
     }
     // fold the delta up the chain: D0 = f0; each level j maintains
-    // its left state and emits D_j = Δ(I_j)
+    // its left state and emits D_j = Δ(I_j). The LAST level's
+    // intermediate is not maintained here — maintainJoinAgg maintains
+    // exactly that state internally and returns it, so computing it
+    // in the loop too would run the chain's largest state-sized
+    // shuffle twice per refresh. A middle level's delta is pinned
+    // (two consumers: its intermediate's maintenance and the next
+    // deltaJoinFeed); the final delta is left lazy — maintainJoinAgg
+    // pins every feed it receives itself.
+    val lastLevel = meta.bases.length - 2
     var leftOld: DataFrame = baseStates.head
     var leftNew = maintainMultiset(leftOld, feeds.head,
       leftOld.columns.filterNot(_ == "cnt").toSeq)
     var delta = feeds.head
     val newBaseStates = scala.collection.mutable.ArrayBuffer(leftNew)
     val newInters = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val deltaPins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (j <- 1 until meta.bases.length - 1) {
       val d2 = deltaJoinFeed(leftOld, leftNew, baseStates(j),
-        delta, feeds(j), meta.levelKeys(j - 1)).localCheckpoint(true)
+        delta, feeds(j), meta.levelKeys(j - 1))
       newBaseStates += maintainMultiset(baseStates(j), feeds(j),
         baseStates(j).columns.filterNot(_ == "cnt").toSeq)
-      val interNew = maintainMultiset(inters(j - 1), d2,
-        inters(j - 1).columns.filterNot(_ == "cnt").toSeq)
-      newInters += interNew
       leftOld = inters(j - 1)
-      leftNew = interNew
-      delta = d2
+      delta = if (j < lastLevel) {
+        val pinned2 = d2.localCheckpoint(true)
+        deltaPins += pinned2
+        val interNew = maintainMultiset(inters(j - 1), pinned2,
+          inters(j - 1).columns.filterNot(_ == "cnt").toSeq)
+        newInters += interNew
+        leftNew = interNew
+        pinned2
+      } else d2
     }
-    val (v2, _, lastNew) = maintainJoinAgg(view, leftOld,
+    val (v2, lastInterNew, lastNew) = maintainJoinAgg(view, leftOld,
       baseStates.last, delta, feeds.last, meta.levelKeys.last,
       meta.groupKeys, meta.sums)
+    newInters += lastInterNew
     newBaseStates += lastNew
     commitChainState(spark, viewDir, curs, v2,
       newBaseStates.toSeq, newInters.toSeq)
     require(fs.delete(sp, true),
       s"failed to drop the superseded chain state ${pinned.mkString("-")}")
     feeds.foreach(Checkpoints.unpersist)
+    deltaPins.foreach(Checkpoints.unpersist)
     ChainViewRefreshStats(pinned, curs, refreshed = true)
   }
 
