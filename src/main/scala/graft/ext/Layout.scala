@@ -1446,6 +1446,12 @@ object Layout {
     if (fs.exists(sc))
       org.apache.hadoop.fs.FileUtil.copy(fs, sc, destFs,
         schemaSidecar(destDir), false, conf)
+    // the dropped-names record travels too: the clone's files still
+    // hold the dropped values, so the re-add refusal must as well
+    val dc = droppedSidecar(srcDir)
+    if (fs.exists(dc))
+      org.apache.hadoop.fs.FileUtil.copy(fs, dc, destFs,
+        droppedSidecar(destDir), false, conf)
     mapping.size.toLong
   }
 
@@ -1787,6 +1793,118 @@ object Layout {
       s"failed to move the updated schema sidecar into place at $p")
   }
 
+  private def droppedSidecar(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$dir/_graft_dropped.json")
+
+  /** Column names LOGICALLY DROPPED from the layout ([[dropColumn]]):
+    * kept next to the schema sidecar so a later `mergeSchema` append
+    * can never RE-ADD a name whose old values still sit in existing
+    * files — they would resurface as data instead of nulls, the
+    * silent wrong Delta's physical column mapping exists to prevent;
+    * without column mapping, refusing the name is the correct
+    * posture. Retired together with the schema sidecar by the full
+    * rewrites: materialization physically removes the column, after
+    * which the name is genuinely free. */
+  private def droppedColsOf(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: String): Seq[String] = {
+    val p = droppedSidecar(dir)
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      val json = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        out.toString("UTF-8")
+      } finally in.close()
+      org.json4s.jackson.JsonMethods.parse(json) match {
+        case org.json4s.JArray(xs) => xs.map {
+          case org.json4s.JString(s) => s
+          case other => throw new IllegalStateException(
+            s"corrupt dropped-columns sidecar at $p: $other")
+        }
+        case other => throw new IllegalStateException(
+          s"corrupt dropped-columns sidecar at $p: $other")
+      }
+    }
+  }
+
+  private def writeDroppedCols(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: String, names: Seq[String]): Unit = {
+    val p = droppedSidecar(dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_graft_dropped.json.tmp")
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.JArray(names.toList.map(org.json4s.JString(_)))))
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    require(fs.delete(p, false) || !fs.exists(p),
+      s"failed to remove the old dropped-columns sidecar at $p")
+    require(fs.rename(tmp, p),
+      s"failed to move the dropped-columns sidecar into place at $p")
+  }
+
+  /** Retire BOTH schema-evolution sidecars — the shared tail of every
+    * full rewrite that materializes the canonical schema (after it,
+    * no file predates an added column and no file still carries a
+    * dropped one, so neither record has anything left to govern). */
+  private def retireSchemaSidecars(fs: org.apache.hadoop.fs.FileSystem,
+                                   dir: String): Unit = {
+    val sc = schemaSidecar(dir)
+    if (fs.exists(sc))
+      require(fs.delete(sc, false),
+        s"failed to retire the schema sidecar at $sc")
+    val dc = droppedSidecar(dir)
+    if (fs.exists(dc))
+      require(fs.delete(dc, false),
+        s"failed to retire the dropped-columns sidecar at $dc")
+  }
+
+  /** DROP COLUMN (logical): remove `colName` from the layout's
+    * canonical schema — every sidecar-resolved reader
+    * ([[readLayout]], pruned residual reads, snapshots) stops seeing
+    * it immediately, with ZERO data I/O; the bytes stay in the files
+    * until the next full rewrite ([[optimize]] / [[compact]])
+    * materializes the schema and physically retires them, which also
+    * frees the name. Until then the name sits on the dropped list and
+    * `mergeSchema` refuses to re-add it (old values would resurface
+    * as data instead of nulls). Manifest key columns, bloom-indexed
+    * columns, and partition columns cannot drop — their stats and
+    * paths would go inconsistent with the data. Snapshots resolve
+    * under the CURRENT sidecar (the same table-wide rule as ADD
+    * COLUMN): a pre-drop generation read after the drop no longer
+    * shows the column. */
+  def dropColumn(spark: org.apache.spark.sql.SparkSession,
+                 dir: String, colName: String): Unit = {
+    requireEncodingStablePath(dir)
+    val hDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifest = loadManifest(spark, dir)
+    val keys = manifestKeysOf(manifest.schema)
+    require(!keys.contains(colName),
+      s"cannot drop $colName: it is a manifest key column at $dir — " +
+        "its stats drive pruning and deletes")
+    require(!bloomKeysOf(manifest.schema).contains(colName),
+      s"cannot drop $colName: it is bloom-indexed at $dir")
+    val current = storedSchemaOf(spark, dir)
+      .getOrElse(spark.read.parquet(dir).schema)
+    require(current.fieldNames.contains(colName),
+      s"$dir has no column $colName " +
+        s"(has ${current.fieldNames.mkString(", ")})")
+    val partCols = hivePartColsChecked(fs, hDir, current)
+    require(!partCols.contains(colName),
+      s"cannot drop $colName: it is a partition column at $dir")
+    require(current.length > 1,
+      s"cannot drop $colName: it is the only column of $dir")
+    // dropped list FIRST, then the schema: a crash between the two
+    // leaves the name reserved but still visible (harmless and
+    // re-runnable); the reverse order would open a window where the
+    // column is gone yet its name could be re-added
+    writeDroppedCols(fs, dir, (droppedColsOf(fs, dir) :+ colName).distinct)
+    writeStoredSchema(spark, dir,
+      org.apache.spark.sql.types.StructType(
+        current.filterNot(_.name == colName)))
+  }
+
   /** Read a layout directory's data under its canonical schema: the
     * evolved-schema sidecar when present (files that predate an added
     * column surface null for it — ADD COLUMN semantics), a plain
@@ -1896,6 +2014,16 @@ object Layout {
     val partCols = hivePartColsChecked(pfs, hPath, current.schema)
     val newCols = requireWriteCompatible(df.schema, current.schema,
       partCols, path, allowNewColumns = mergeSchema)
+    // a DROPPED name can never come back while old files still carry
+    // its values — the re-add would resurface them as data instead of
+    // nulls; optimize/compact free the name by materializing the drop
+    val readded = newCols.map(_.name).toSet
+      .intersect(droppedColsOf(pfs, path).toSet)
+    require(readded.isEmpty,
+      s"column(s) ${readded.mkString(", ")} were DROPPED from $path " +
+        "and existing files still hold their old values — re-adding " +
+        "would resurface them; optimize/compact first to materialize " +
+        "the drop")
     // (a new column can never be a manifest KEY: keyCols must equal
     // the stored manifest's keys — checked above — and those are
     // data columns of every existing file)
@@ -3114,12 +3242,7 @@ object Layout {
     // revert those snapshot reads to nondeterministic footer
     // sampling (the sidecar over the homogeneous live files is a
     // no-op, so keeping it costs nothing)
-    if (!generationsEnabled(fs, dir)) {
-      val sc = schemaSidecar(dir)
-      if (fs.exists(sc))
-        require(fs.delete(sc, false),
-          s"optimize: failed to retire the schema sidecar at $sc")
-    }
+    if (!generationsEnabled(fs, dir)) retireSchemaSidecars(fs, dir)
     OptimizeStats(reclustered = true, before.size,
       spark.read.parquet(dir).inputFiles.length, worst)
   }
@@ -3443,12 +3566,8 @@ object Layout {
     // on a generation-tracked tree — retained snapshots still
     // reference RETIRED pre-evolution files that resolve under it
     // (same rule as the flat optimize)
-    if (skippedLeaves == 0 && !generationsEnabled(fs, dir)) {
-      val sc = schemaSidecar(dir)
-      if (fs.exists(sc))
-        require(fs.delete(sc, false),
-          s"optimizePartitioned: failed to retire the schema sidecar at $sc")
-    }
+    if (skippedLeaves == 0 && !generationsEnabled(fs, dir))
+      retireSchemaSidecars(fs, dir)
     OptimizeStats(reclustered = true, before.size,
       spark.read.parquet(dir).inputFiles.length, worst,
       filesKept = before.size - removed.size)

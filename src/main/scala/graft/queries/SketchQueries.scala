@@ -1627,6 +1627,38 @@ object SketchQueries {
              |FROM pruned GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true),
 
+    // DROP COLUMN — [[Layout.dropColumn]]'s logical drop: the lang
+    // column leaves the canonical schema with zero data I/O (bytes
+    // stay in the files until the next full rewrite materializes the
+    // drop), and every sidecar-resolved read — here a manifest-PRUNED
+    // scan — serves the surviving columns exactly. The oracle is the
+    // same aggregate over the never-dropped table's projection: the
+    // result must neither carry the column nor disturb any other.
+    QueryDef("q_layout_drop",
+      (s, d) => {
+        val dir = prunedFixture.computeIfAbsent(s"$d#docs_drop", _ => {
+          val p = graft.Scratch.tempDir("graft_drop_") + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(8, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          Layout.dropColumn(s, p, "lang")
+          require(!Layout.readLayout(s, p).columns.contains("lang"),
+            "the drop did not take")
+          p
+        })
+        Layout.scanPruned(s, dir, Seq(Layout.KeyBox("doc_id", 50L, 400L)))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("doc_id")).as("id_sum"))
+      },
+      Some("""SELECT count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM documents WHERE doc_id BETWEEN 50 AND 400""".stripMargin)),
+
     // Bloom-indexed point lookup — per-file bloom bitsets in the
     // manifest (Delta's bloom filter index / Iceberg puffin shape)
     // prune files for a key the CLUSTERING does not cover: the layout

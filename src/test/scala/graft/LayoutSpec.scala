@@ -2004,6 +2004,72 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("dropColumn: logical drop is immediate and zero-I/O; optimize materializes and frees the name") {
+    import spark.implicits._
+    withTempDir("graft_drop_") { dir =>
+      val d = s"$dir/t"
+      (0L to 49L).map(k => (k, s"s$k", k * 2, k % 5))
+        .toDF("k", "label", "v", "extra")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      Layout.dropColumn(spark, d, "label")
+      // immediate for every sidecar-resolved reader, no data I/O
+      assert(Layout.readLayout(spark, d).columns.toSeq ===
+        Seq("k", "v", "extra"))
+      assert(Layout.scanPruned(spark, d, Seq(Layout.KeyBox("k", 10L, 19L)))
+        .columns.toSeq === Seq("k", "v", "extra"))
+      assert(Layout.readLayout(spark, d).agg(sum("v")).head.getLong(0)
+        === (0L to 49L).map(_ * 2).sum)
+      // guards: manifest key, missing column
+      assert(intercept[IllegalArgumentException] {
+        Layout.dropColumn(spark, d, "k")
+      }.getMessage.contains("manifest key"))
+      assert(intercept[IllegalArgumentException] {
+        Layout.dropColumn(spark, d, "label")
+      }.getMessage.contains("no column"))
+      // re-adding the dropped name via mergeSchema is refused — old
+      // files still hold its values
+      val readd = intercept[IllegalArgumentException] {
+        Layout.appendWithManifest(
+          Seq((100L, 1L, 1L, "ghost")).toDF("k", "v", "extra", "label")
+            .repartition(1), d, Seq("k"), mergeSchema = true)
+      }
+      assert(readd.getMessage.contains("DROPPED"))
+      // a second drop stacks; appends of the surviving shape work
+      Layout.dropColumn(spark, d, "extra")
+      Layout.appendWithManifest(
+        Seq((100L, 7L)).toDF("k", "v").repartition(1), d, Seq("k"))
+      assert(Layout.readLayout(spark, d).columns.toSeq === Seq("k", "v"))
+      assert(Layout.readLayout(spark, d).count() === 51L)
+      // optimize materializes: the rewritten files physically lack the
+      // columns, the sidecars retire, and the names are free again
+      val st = Layout.optimize(spark, d, files = 2, force = true)
+      assert(st.reclustered)
+      assert(spark.read.parquet(d).columns.toSeq === Seq("k", "v"))
+      val fsys = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fsys.exists(new org.apache.hadoop.fs.Path(
+        s"$d/_graft_dropped.json")))
+      Layout.appendWithManifest(
+        Seq((101L, 1L, "back")).toDF("k", "v", "label").repartition(1),
+        d, Seq("k"), mergeSchema = true)
+      assert(Layout.readLayout(spark, d).columns.toSeq ===
+        Seq("k", "v", "label"))
+      // partition columns cannot drop
+      val dp = s"$dir/part"
+      (0L to 9L).map(k => (k, if (k % 2 == 0) "en" else "fr", k))
+        .toDF("k", "lang", "v")
+        .write.partitionBy("lang").parquet(dp)
+      Layout.buildFileManifest(spark, dp, Seq("k"))
+        .write.mode("overwrite").parquet(s"$dp/_graft_manifest")
+      assert(intercept[IllegalArgumentException] {
+        Layout.dropColumn(spark, dp, "lang")
+      }.getMessage.contains("partition column"))
+    }
+  }
+
   test("describeLayout: one-row DESCRIBE DETAIL off the manifest and sidecars") {
     import spark.implicits._
     withTempDir("graft_desc_") { dir =>
