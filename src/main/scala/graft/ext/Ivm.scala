@@ -179,12 +179,17 @@ object Ivm {
     * column (columns drawn from either side). */
   def aggregateOfJoin(aState: DataFrame, bState: DataFrame,
                       joinKeys: Seq[String], groupKeys: Seq[String],
-                      sumCols: Seq[String]): DataFrame = {
+                      sumCols: Seq[String],
+                      where: Option[String] = None): DataFrame = {
     requireJoinShapes(aState, bState, joinKeys, groupKeys, sumCols)
     val a = aState.withColumnRenamed("cnt", "__graft_cnt_a")
     val b = bState.withColumnRenamed("cnt", "__graft_cnt_b")
     val w = col("__graft_cnt_a") * col("__graft_cnt_b")
-    a.join(b, joinKeys)
+    // a WHERE over the JOINED tuple (σ(A ⋈ B)): per-row membership,
+    // so it applies identically here and to every delta term —
+    // σ commutes with the delta-join
+    val joined = a.join(b, joinKeys)
+    where.fold(joined)(p => joined.filter(expr(p)))
       .groupBy(groupKeys.map(col): _*)
       .agg(sum(w).cast("long").as("cnt"),
         sumCols.map(c => sum(col(c) * w).as(s"sum_$c")): _*)
@@ -244,7 +249,8 @@ object Ivm {
                       bState: DataFrame, aChanges: DataFrame,
                       bChanges: DataFrame, joinKeys: Seq[String],
                       groupKeys: Seq[String], sumCols: Seq[String],
-                      opCol: String = "op")
+                      opCol: String = "op",
+                      where: Option[String] = None)
       : (DataFrame, DataFrame, DataFrame) = {
     requireJoinShapes(aState, bState, joinKeys, groupKeys, sumCols)
     // EXACT view shape, like maintainAgg's: maintaining with a subset
@@ -277,7 +283,12 @@ object Ivm {
     // to the view's group keys, so the merge below is state-sized
     def contrib(feed: DataFrame, other: DataFrame): DataFrame = {
       val w = col(opCol) * col("cnt")
-      feed.join(other, joinKeys)
+      val joined = feed.join(other, joinKeys)
+      // the view's WHERE filters each delta term over the SAME joined
+      // tuple it filtered at bootstrap — per-row membership, so the
+      // side states stay UNFILTERED (a row outside the predicate may
+      // join into it later) while the view only ever sees σ rows
+      where.fold(joined)(p => joined.filter(expr(p)))
         .groupBy(groupKeys.map(col): _*)
         .agg(sum(w).cast("long").as("cnt"),
           sumCols.map(c => sum(col(c) * w).as(s"sum_$c")): _*)
@@ -641,7 +652,8 @@ object Ivm {
                                   joinKeys: Seq[String],
                                   groupKeys: Seq[String],
                                   sums: Seq[String],
-                                  aCols: Seq[String], bCols: Seq[String])
+                                  aCols: Seq[String], bCols: Seq[String],
+                                  where: Option[String])
 
   private def readJoinViewMeta(spark: org.apache.spark.sql.SparkSession,
                                viewDir: String): JoinViewMeta = {
@@ -663,8 +675,25 @@ object Ivm {
       metaStrs(jv \ "groupKeys", p, "groupKeys"),
       metaStrs(jv \ "sums", p, "sums"),
       metaStrs(jv \ "acols", p, "acols"),
-      metaStrs(jv \ "bcols", p, "bcols"))
+      metaStrs(jv \ "bcols", p, "bcols"),
+      jv \ "where" match {
+        case JNothing | JNull => None
+        case w => Some(metaStr(w, p, "where"))
+      })
   }
+
+  /** Column names a WHERE predicate references — the side states must
+    * carry them even when they are neither group nor sum columns (a
+    * row OUTSIDE the predicate may join into it after the other side
+    * changes, so membership is decided per delta term, never by
+    * pre-filtering a side). Parsed from the unresolved expression. */
+  private def whereColsOf(where: Option[String]): Seq[String] =
+    where.toSeq.flatMap(w =>
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseExpression(w).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.last
+        }).distinct
 
   /** Publish a (view, aState, bState) trio as `state_agen=_bgen=` via
     * the same temp + rename discipline as [[commitViewState]]: all
@@ -700,7 +729,8 @@ object Ivm {
   def createJoinView(spark: org.apache.spark.sql.SparkSession,
                      aDir: String, bDir: String, viewDir: String,
                      joinKeys: Seq[String], groupKeys: Seq[String],
-                     sumCols: Seq[String]): JoinViewRefreshStats = {
+                     sumCols: Seq[String],
+                     where: Option[String] = None): JoinViewRefreshStats = {
     require(joinKeys.nonEmpty, "createJoinView needs a join key")
     require(groupKeys.nonEmpty, "createJoinView needs a group key")
     val fs = viewFs(spark, viewDir)
@@ -717,7 +747,11 @@ object Ivm {
     for (k <- joinKeys)
       require(aAll.columns.contains(k) && bAll.columns.contains(k),
         s"join key $k must be a column of BOTH bases")
-    val rest = (groupKeys ++ sumCols).distinct.filterNot(joinKeys.contains)
+    // predicate columns ride along in the side states: membership is
+    // decided per joined tuple at every delta term, so the states
+    // stay UNFILTERED and must carry what the predicate reads
+    val rest = (groupKeys ++ sumCols ++ whereColsOf(where)).distinct
+      .filterNot(joinKeys.contains)
     for (c <- rest) {
       val (onA, onB) = (aAll.columns.contains(c), bAll.columns.contains(c))
       require(onA || onB, s"view column $c is on neither base")
@@ -733,7 +767,7 @@ object Ivm {
       .localCheckpoint(true)
     val b0 = multisetOf(bAll.select(bCols.map(col): _*), bCols)
       .localCheckpoint(true)
-    val v0 = aggregateOfJoin(a0, b0, joinKeys, groupKeys, sumCols)
+    val v0 = aggregateOfJoin(a0, b0, joinKeys, groupKeys, sumCols, where)
     commitJoinState(spark, viewDir, gA, gB, v0, a0, b0)
     Checkpoints.unpersist(a0)
     Checkpoints.unpersist(b0)
@@ -743,7 +777,8 @@ object Ivm {
       org.json4s.jackson.JsonMethods.render(
         ("kind" -> "join") ~ ("abase" -> aDir) ~ ("bbase" -> bDir) ~
           ("joinKeys" -> joinKeys) ~ ("groupKeys" -> groupKeys) ~
-          ("sums" -> sumCols) ~ ("acols" -> aCols) ~ ("bcols" -> bCols)))
+          ("sums" -> sumCols) ~ ("acols" -> aCols) ~
+          ("bcols" -> bCols) ~ ("where" -> where)))
     val out = fs.create(viewMetaPath(viewDir), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     JoinViewRefreshStats(gA, gA, gB, gB, refreshed = true)
@@ -804,7 +839,7 @@ object Ivm {
     val bFeed = Layout.changesBetween(spark, meta.bBase, pB, curB)
       .select((meta.bCols :+ "op").map(col): _*)
     val (v, a, b) = maintainJoinAgg(view, aState, bState, aFeed, bFeed,
-      meta.joinKeys, meta.groupKeys, meta.sums)
+      meta.joinKeys, meta.groupKeys, meta.sums, where = meta.where)
     commitJoinState(spark, viewDir, curA, curB, v, a, b)
     require(fs.delete(sp, true),
       s"failed to drop the superseded join view state ($pA, $pB)")
@@ -1146,7 +1181,7 @@ object Ivm {
     val b0 = multisetOf(Layout.readSnapshot(spark, meta.bBase, gB)
       .select(meta.bCols.map(col): _*), meta.bCols).localCheckpoint(true)
     val v0 = aggregateOfJoin(a0, b0, meta.joinKeys, meta.groupKeys,
-      meta.sums)
+      meta.sums, meta.where)
     val old = joinStateGens(fs, viewDir)
     // same pre-clear rule as [[rebuildView]]: an old state whose pair
     // would out-rank the rebuilt label under the readers' max rule

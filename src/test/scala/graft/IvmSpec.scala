@@ -431,6 +431,55 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
     assert(canon(view) === recompute())
   }
 
+  test("filtered join view: the WHERE over the joined tuple governs bootstrap and every delta term") {
+    import graft.ext.Layout
+    withTempDir("graft_fjmv_") { dir =>
+      val (pa, pb, v) = (s"$dir/a", s"$dir/b", s"$dir/v")
+      // flag is NEITHER a group nor a sum column — the predicate
+      // alone forces it into the side state
+      (0L to 29L).map(k => (k, s"g${k % 3}", k % 10)).toDF("k", "grp", "flag")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.parquet(pa)
+      (0L to 59L).map(i => (i % 30, i * 10)).toDF("k", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.parquet(pb)
+      for (p <- Seq(pa, pb)) {
+        Layout.buildFileManifest(spark, p, Seq("k"))
+          .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+        Layout.enableGenerations(spark, p)
+      }
+      val where = "flag >= 5 AND v < 550"
+      Ivm.createJoinView(spark, pa, pb, v, Seq("k"), Seq("grp"),
+        Seq("v"), where = Some(where))
+      def gcanon(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+        df.select("grp", "cnt", "sum_v").as[(String, Long, Long)]
+          .collect().sortBy(_._1).toSeq
+      def recomputeLive(): Seq[(String, Long, Long)] = gcanon(
+        spark.read.parquet(pa).join(spark.read.parquet(pb), "k")
+          .filter(expr(where))
+          .groupBy("grp").agg(count(lit(1)).as("cnt"), sum("v").as("sum_v")))
+      assert(gcanon(Ivm.readJoinView(spark, v)) === recomputeLive())
+      // churn straddling the predicate on BOTH columns: an A-side
+      // update moves k=7 OUT of the flag band (its joined rows leave
+      // the view); a B-side update moves one k=16 row's v ACROSS the
+      // v bound; plus plain deletes
+      Layout.upsertByKey(spark, pa,
+        Seq((7L, "g1", 0L)).toDF("k", "grp", "flag"), "k")
+      Layout.deleteWhere(spark, pb, Seq(Layout.KeyBox("k", 25L, 27L)))
+      Layout.appendWithManifest(
+        Seq((16L, 5000L), (18L, 1L)).toDF("k", "v").repartition(1),
+        pb, Seq("k"))
+      val r = Ivm.refreshJoinView(spark, v)
+      assert(r.refreshed && r.toAGen === 1L && r.toBGen === 2L)
+      assert(gcanon(Ivm.readJoinView(spark, v)) === recomputeLive())
+      assert(!Ivm.refreshJoinView(spark, v).refreshed)
+      // rebuild honors the same predicate
+      val rb = Ivm.rebuildJoinView(spark, v)
+      assert(rb.refreshed)
+      assert(gcanon(Ivm.readJoinView(spark, v)) === recomputeLive())
+    }
+  }
+
   test("persisted chain view: 3-base create/refresh through per-base CDC, rebuild recovery") {
     import graft.ext.Layout
     withTempDir("graft_cmv_") { dir =>
