@@ -892,7 +892,8 @@ object Ivm {
                                    levelKeys: Seq[Seq[String]],
                                    groupKeys: Seq[String],
                                    sums: Seq[String],
-                                   baseCols: Seq[Seq[String]])
+                                   baseCols: Seq[Seq[String]],
+                                   where: Option[String])
 
   private def readChainViewMeta(spark: org.apache.spark.sql.SparkSession,
                                 viewDir: String): ChainViewMeta = {
@@ -914,7 +915,11 @@ object Ivm {
       strss(jv \ "levelKeys", "levelKeys"),
       metaStrs(jv \ "groupKeys", p, "groupKeys"),
       metaStrs(jv \ "sums", p, "sums"),
-      strss(jv \ "baseCols", "baseCols"))
+      strss(jv \ "baseCols", "baseCols"),
+      jv \ "where" match {
+        case JNothing | JNull => None
+        case w => Some(metaStr(w, p, "where"))
+      })
   }
 
   /** Publish a chain state (view + per-base multisets + intermediate
@@ -950,7 +955,8 @@ object Ivm {
   def createChainView(spark: org.apache.spark.sql.SparkSession,
                       bases: Seq[String], viewDir: String,
                       levelKeys: Seq[Seq[String]], groupKeys: Seq[String],
-                      sumCols: Seq[String]): ChainViewRefreshStats = {
+                      sumCols: Seq[String],
+                      where: Option[String] = None): ChainViewRefreshStats = {
     require(bases.length >= 3,
       "createChainView needs at least 3 bases — createJoinView covers 2")
     require(levelKeys.length == bases.length - 1,
@@ -969,7 +975,10 @@ object Ivm {
     // column-side assignment: every level key lives on its right base
     // AND somewhere earlier in the chain; every other view column on
     // exactly one base
-    val rest = (groupKeys ++ sumCols).distinct
+    // predicate columns ride along (same rule as the join views):
+    // the WHERE applies over the FULL joined tuple at the TOP level
+    // only, so every column it reads must survive to the final join
+    val rest = (groupKeys ++ sumCols ++ whereColsOf(where)).distinct
       .filterNot(levelKeys.flatten.contains)
     for (c <- rest) {
       val owners = frames.zipWithIndex.filter(_._1.columns.contains(c))
@@ -998,7 +1007,8 @@ object Ivm {
       own.distinct
     }
     val (view0, baseStates, interStates) =
-      bootstrapChain(frames, levelKeys, groupKeys, sumCols, baseCols)
+      bootstrapChain(frames, levelKeys, groupKeys, sumCols, baseCols,
+        where)
     commitChainState(spark, viewDir, gens, view0, baseStates, interStates)
     baseStates.foreach(Checkpoints.unpersist)
     interStates.foreach(Checkpoints.unpersist)
@@ -1007,7 +1017,8 @@ object Ivm {
       org.json4s.jackson.JsonMethods.render(
         ("kind" -> "chain") ~ ("bases" -> bases) ~
           ("levelKeys" -> levelKeys) ~ ("groupKeys" -> groupKeys) ~
-          ("sums" -> sumCols) ~ ("baseCols" -> baseCols)))
+          ("sums" -> sumCols) ~ ("baseCols" -> baseCols) ~
+          ("where" -> where)))
     val out = fs.create(viewMetaPath(viewDir), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
     ChainViewRefreshStats(gens, gens, refreshed = true)
@@ -1019,7 +1030,8 @@ object Ivm {
   private def bootstrapChain(frames: Seq[DataFrame],
                              levelKeys: Seq[Seq[String]],
                              groupKeys: Seq[String], sumCols: Seq[String],
-                             baseCols: Seq[Seq[String]])
+                             baseCols: Seq[Seq[String]],
+                             where: Option[String])
       : (DataFrame, Seq[DataFrame], Seq[DataFrame]) = {
     val baseStates = frames.zip(baseCols).map { case (f, cols) =>
       multisetOf(f.select(cols.map(col): _*), cols).localCheckpoint(true) }
@@ -1037,7 +1049,7 @@ object Ivm {
       m
     }
     val view0 = aggregateOfJoin(interStates.last, baseStates.last,
-      levelKeys.last, groupKeys, sumCols)
+      levelKeys.last, groupKeys, sumCols, where)
     (view0, baseStates, interStates)
   }
 
@@ -1128,7 +1140,7 @@ object Ivm {
     }
     val (v2, lastInterNew, lastNew) = maintainJoinAgg(view, leftOld,
       baseStates.last, delta, feeds.last, meta.levelKeys.last,
-      meta.groupKeys, meta.sums)
+      meta.groupKeys, meta.sums, where = meta.where)
     newInters += lastInterNew
     newBaseStates += lastNew
     commitChainState(spark, viewDir, curs, v2,
@@ -1154,7 +1166,8 @@ object Ivm {
     val frames = meta.bases.zip(gens).map { case (b, g) =>
       Layout.readSnapshot(spark, b, g) }
     val (view0, baseStates, interStates) = bootstrapChain(frames,
-      meta.levelKeys, meta.groupKeys, meta.sums, meta.baseCols)
+      meta.levelKeys, meta.groupKeys, meta.sums, meta.baseCols,
+      meta.where)
     for (g <- old if g.sum >= gens.sum)
       require(fs.delete(chainStatePath(viewDir, g), true),
         s"failed to drop chain state ${g.mkString("-")} before rebuild")

@@ -548,6 +548,25 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
       assert(rb.refreshed && rb.toGens === Seq(1L, 3L, 2L))
       assert(gcanon(Ivm.readChainView(spark, v)) === recomputeLive())
       assert(!Ivm.refreshChainView(spark, v).refreshed)
+      // FILTERED chain view over the same (already mutated) bases:
+      // the predicate spans a level key and the tail base's value
+      // column, applies at the TOP aggregate only, and survives a
+      // refresh across further churn
+      val v2 = s"$dir/v2"
+      val where = "v >= 300 AND k1 % 2 = 0"
+      Ivm.createChainView(spark, Seq(pa, pb, pc), v2,
+        Seq(Seq("k1"), Seq("k2")), Seq("g"), Seq("v"),
+        where = Some(where))
+      def recomputeFiltered(): Seq[(String, Long, Long)] = gcanon(
+        spark.read.parquet(pa)
+          .join(spark.read.parquet(pb), "k1")
+          .join(spark.read.parquet(pc), "k2")
+          .filter(expr(where))
+          .groupBy("g").agg(count(lit(1)).as("cnt"), sum("v").as("sum_v")))
+      assert(gcanon(Ivm.readChainView(spark, v2)) === recomputeFiltered())
+      Layout.deleteWhere(spark, pc, Seq(Layout.KeyBox("k2", 4L, 5L)))
+      assert(Ivm.refreshChainView(spark, v2).refreshed)
+      assert(gcanon(Ivm.readChainView(spark, v2)) === recomputeFiltered())
     }
   }
 
