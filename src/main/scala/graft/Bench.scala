@@ -324,9 +324,20 @@ object Bench {
       }.getOrElse(Map.empty)
     }
     val crossChecked = {
+      val stealSoFarNow = if (steal0 < 0) -1L else stealTicks() - steal0
+      // single-row bar: 2x on a quiet capture — but under MATERIAL
+      // measured steal the GRADED rows get a tighter 1.5x bar. The
+      // r14 blind spot: one graded row (q_tx_bigram_ce) shipped at
+      // 1.98x prior, un-remeasured, in a 2,060-tick capture — under
+      // the 2x single bar and the ≥5-row fleet trigger at once. The
+      // steal gate keeps quiet-box false positives out; the absolute
+      // gap floor keeps sub-second jitter from churning re-measures.
       def outlier(k: String, s: Sample): Boolean =
-        s.ok && priorMedians.get(k).exists(p =>
-          s.median > 2 * p && s.median - p > 0.3)
+        s.ok && priorMedians.get(k).exists { p =>
+          (s.median > 2 * p && s.median - p > 0.3) ||
+            (stealSoFarNow > 500 && BaselineSet(k) &&
+              s.median > 1.5 * p && s.median - p > 0.2)
+        }
       // fleet-wide inflation trigger: one query 1.4x over its prior
       // is noise, but MANY simultaneously is the hypervisor-
       // contention signature (r12 shipped 15 rows at 1.3-1.7x, each
@@ -342,9 +353,8 @@ object Bench {
       // capture showed exactly 5 mild rows with 2,408 steal ticks,
       // under the 8-row bar; gating the lower bar on measured steal
       // keeps false positives out on a quiet box
-      val stealSoFar = if (steal0 < 0) -1L else stealTicks() - steal0
       val fleetwide = mildSet.size >= 8 ||
-        (mildSet.size >= 5 && stealSoFar > 500)
+        (mildSet.size >= 5 && stealSoFarNow > 500)
       if (fleetwide)
         System.err.println(
           s"[bench] cross-round guard: FLEET-WIDE inflation — ${mildSet.size} queries " +

@@ -10,10 +10,21 @@ import org.apache.spark.sql.DataFrame
   * directly or a long run accumulates executor storage. */
 private[ext] object Checkpoints {
   /** RDD-level unpersist for a localCheckpoint'ed frame; no-op for
-    * any other plan shape. */
-  def unpersist(df: DataFrame): Unit =
-    df.queryExecution.logical match {
+    * any other plan shape. Narrow wrappers over the checkpoint (a
+    * projection like `.drop`/`.select`, an alias) are stripped so a
+    * caller holding the projected handle still releases the blocks. */
+  def unpersist(df: DataFrame): Unit = {
+    def strip(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        strip(pr.child)
+      case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        strip(a.child)
+      case other => other
+    }
+    strip(df.queryExecution.logical) match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
       case _ =>
     }
+  }
 }

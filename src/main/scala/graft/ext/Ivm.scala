@@ -34,9 +34,60 @@ object Ivm {
   def aggregateOf(df: DataFrame, keys: Seq[String],
                   sumCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "aggregateOf needs at least one group key")
+    // key names must stay distinguishable from the aggregate columns:
+    // the join-state machinery infers a partial's shape from its
+    // column names (everything that is not `cnt`/`sum_*` is a key), so
+    // a key named like an aggregate would silently mis-shape every
+    // later join/maintenance pass
+    for (k <- keys) require(k != "cnt" && !k.startsWith("sum_"),
+      s"group key $k collides with the state's aggregate column " +
+        "namespace (cnt / sum_*) — rename it before aggregating")
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
         sumCols.map(c => sum(col(c)).as(s"sum_$c")): _*)
+  }
+
+  /** Split a partial-state frame into (key columns, sum-column base
+    * names): everything that is not `cnt` or `sum_*` is a key. The
+    * inverse of [[aggregateOf]]'s output shape — [[aggregateOf]]
+    * refuses key names that would collide with the aggregate
+    * namespace, so the split is unambiguous. */
+  private def partialShapeOf(state: DataFrame): (Seq[String], Seq[String]) = {
+    require(state.columns.contains("cnt"),
+      s"not a partial state (no cnt column; has " +
+        s"${state.columns.mkString(", ")})")
+    val sums = state.columns.filter(_.startsWith("sum_"))
+      .map(_.stripPrefix("sum_")).toSeq
+    val keys = state.columns
+      .filterNot(c => c == "cnt" || c.startsWith("sum_")).toSeq
+    (keys, sums)
+  }
+
+  /** Fold a SIGNED row feed (`opCol` ∈ {+1, −1}) into a signed
+    * partial: one row per touched group with `cnt = Σop` and
+    * `sum_<c> = Σ c·op` — the churn-priced compression every
+    * maintenance verb merges. The ±1 contract is validated in the
+    * SAME single pass that builds the partial (a null or non-signed
+    * op would silently corrupt counts), and the result is eagerly
+    * pinned so its two consumers (side maintenance + delta join)
+    * never re-read the feed. */
+  def signedPartialOf(changes: DataFrame, keys: Seq[String],
+                      sumCols: Seq[String],
+                      opCol: String = "op"): DataFrame = {
+    require(keys.nonEmpty, "signedPartialOf needs at least one key")
+    val invalid = col(opCol).isNull ||
+      (col(opCol) =!= lit(1) && col(opCol) =!= lit(-1))
+    val delta = changes.groupBy(keys.map(col): _*)
+      .agg(sum(col(opCol)).cast("long").as("cnt"),
+        sumCols.map(c => sum(col(c) * col(opCol)).as(s"sum_$c")) :+
+          count(when(invalid, lit(1))).as("__graft_bad"): _*)
+      .localCheckpoint(true)
+    val bad = delta.filter(col("__graft_bad") > 0L)
+      .select(keys.map(col): _*).head(1)
+    require(bad.isEmpty,
+      s"change feed carries null or non-signed $opCol values (e.g. in " +
+        s"group ${bad.headOption}) — ops must be +1 (insert) or -1 (delete)")
+    delta.drop("__graft_bad")
   }
 
   /** Apply a SIGNED change feed to a materialized aggregate state:
@@ -70,25 +121,13 @@ object Ivm {
     require(state.columns.toSet.diff(keys.toSet) == expected,
       s"state is not an aggregateOf(keys=$keys, sums=$sumCols) frame; " +
         s"has ${state.columns.mkString(", ")}")
-    // an op that is NULL or non-±1 must be refused, not dropped:
-    // sum(op) would silently ignore a null and misread anything else.
-    // The invalid-row count rides the SAME single pass that builds
-    // the delta (checkpointed once), so the advertised cost — one
-    // feed pass plus one state-sized shuffle — holds
-    val invalid = col(opCol).isNull ||
-      (col(opCol) =!= lit(1) && col(opCol) =!= lit(-1))
-    val delta = changes.groupBy(keys.map(col): _*)
-      .agg(sum(col(opCol)).cast("long").as("cnt"),
-        sumCols.map(c => sum(col(c) * col(opCol)).as(s"sum_$c")) :+
-          count(when(invalid, lit(1))).as("__graft_bad"): _*)
-      .localCheckpoint(true)
+    // signedPartialOf refuses NULL / non-±1 ops in the SAME single
+    // pass that builds the delta (checkpointed once), so the
+    // advertised cost — one feed pass plus one state-sized shuffle —
+    // holds
+    val delta = signedPartialOf(changes, keys, sumCols, opCol)
     requireMergeCompatible(state, delta, sumCols, "change feed")
-    val bad = delta.filter(col("__graft_bad") > 0L)
-      .select(keys.map(col): _*).head(1)
-    require(bad.isEmpty,
-      s"change feed carries null or non-signed $opCol values (e.g. in " +
-        s"group ${bad.headOption}) — ops must be +1 (insert) or -1 (delete)")
-    mergeStates(state, delta.drop("__graft_bad"), keys, sumCols)
+    mergeStates(state, delta, keys, sumCols)
   }
 
   /** TYPES too, not just names — the check every maintenance verb
@@ -153,10 +192,16 @@ object Ivm {
   }
 
   /** Signed-multiset COMPRESSION of a relation over `cols`: one row
-    * per distinct tuple with its multiplicity `cnt` — the side-state
-    * representation [[maintainJoinAgg]] keeps for each base table of
-    * a join view (a projection of A the maintenance joins against,
-    * never A itself). Exactly [[aggregateOf]] with no sum columns. */
+    * per distinct tuple with its multiplicity `cnt`. Exactly
+    * [[aggregateOf]] with no sum columns. For a JOIN view's side
+    * state, prefer the FULL [[aggregateOf]] form keyed by (joinKeys ++
+    * that side's group/where columns) with the side's measures as
+    * `sum_<c>` partials: a measure kept RAW in the multiset key makes
+    * the state near-unique per row — effectively the fact table
+    * re-materialized — while the partial form collapses it to the
+    * distinct (joinKey, groupKeys) tuples, orders of magnitude
+    * smaller. Sums distribute over the delta-join's weights, so
+    * maintenance stays exact either way. */
   def multisetOf(df: DataFrame, cols: Seq[String]): DataFrame =
     aggregateOf(df, cols, Nil)
 
@@ -168,57 +213,99 @@ object Ivm {
                        opCol: String = "op"): DataFrame =
     maintainAgg(state, changes, cols, Nil, opCol)
 
+  /** Weighted join of two PARTIAL states/deltas — the one kernel the
+    * whole join-view family rides on. Each side is an [[aggregateOf]]
+    * (or [[signedPartialOf]]) frame: key columns + `cnt` + `sum_<c>`
+    * partials. For a matched pair of side groups the joined group
+    * contributes `cnt_a × cnt_b` to the count, `sum_a_c × cnt_b` to a
+    * sum owned by A, and `cnt_a × sum_b_c` to a sum owned by B —
+    * exact because COUNT/SUM distribute over the group partition, so
+    * the raw (a-row, b-row) pairs never materialize. Output: a
+    * partial over `outKeys` with `sum_<c>` per `outSums` entry —
+    * signed iff an input is signed. The WHERE predicate (evaluated
+    * over the joined KEY columns — the shape checks guarantee every
+    * predicate column is a key) filters per joined group, which is
+    * per-row membership since key columns are constant within a
+    * group: σ commutes with the delta-join. */
+  private def joinPartials(a: DataFrame, b: DataFrame,
+                           joinKeys: Seq[String], outKeys: Seq[String],
+                           outSums: Seq[String],
+                           where: Option[String]): DataFrame = {
+    val (_, aSums) = partialShapeOf(a)
+    val (_, bSums) = partialShapeOf(b)
+    val a2 = aSums.foldLeft(a.withColumnRenamed("cnt", "__graft_cnt_a")) {
+      (d, c) => d.withColumnRenamed(s"sum_$c", s"__graft_sum_a_$c") }
+    val b2 = bSums.foldLeft(b.withColumnRenamed("cnt", "__graft_cnt_b")) {
+      (d, c) => d.withColumnRenamed(s"sum_$c", s"__graft_sum_b_$c") }
+    val joined0 = a2.join(b2, joinKeys)
+    val joined = where.fold(joined0)(p => joined0.filter(expr(p)))
+    val cntW = col("__graft_cnt_a") * col("__graft_cnt_b")
+    val sumAggs = outSums.map { c =>
+      val e =
+        if (aSums.contains(c)) col(s"__graft_sum_a_$c") * col("__graft_cnt_b")
+        else col("__graft_cnt_a") * col(s"__graft_sum_b_$c")
+      sum(e).as(s"sum_$c")
+    }
+    joined.groupBy(outKeys.map(col): _*)
+      .agg(sum(cntW).cast("long").as("cnt"), sumAggs: _*)
+  }
+
   /** Full recompute of a JOIN-view aggregate from the two sides'
-    * multiset states — the bootstrap that materializes the view and
+    * PARTIAL states — the bootstrap that materializes the view and
     * the twin every [[maintainJoinAgg]] result must equal. The view
     * is `SELECT groupKeys, count(*), sum(c)... FROM A JOIN B USING
-    * (joinKeys) GROUP BY groupKeys` over the DECOMPRESSED multisets:
-    * each (a-tuple, b-tuple) pair contributes `cnt_a × cnt_b` rows,
-    * so the aggregate weights by that product and the base rows never
-    * re-expand. Output: `groupKeys`, `cnt`, one `sum_<c>` per sum
-    * column (columns drawn from either side). */
+    * (joinKeys) GROUP BY groupKeys`, computed over the factorized
+    * form: each side state is an [[aggregateOf]] frame keyed by
+    * (joinKeys ++ that side's group/where columns) carrying `cnt` and
+    * `sum_<c>` for the sum columns that side owns — group-count-sized,
+    * never the base table — and a matched pair of side groups weights
+    * the aggregate by the product formulas in [[joinPartials]].
+    * Output: `groupKeys`, `cnt`, one `sum_<c>` per sum column. */
   def aggregateOfJoin(aState: DataFrame, bState: DataFrame,
                       joinKeys: Seq[String], groupKeys: Seq[String],
                       sumCols: Seq[String],
                       where: Option[String] = None): DataFrame = {
-    requireJoinShapes(aState, bState, joinKeys, groupKeys, sumCols)
-    val a = aState.withColumnRenamed("cnt", "__graft_cnt_a")
-    val b = bState.withColumnRenamed("cnt", "__graft_cnt_b")
-    val w = col("__graft_cnt_a") * col("__graft_cnt_b")
-    // a WHERE over the JOINED tuple (σ(A ⋈ B)): per-row membership,
-    // so it applies identically here and to every delta term —
-    // σ commutes with the delta-join
-    val joined = a.join(b, joinKeys)
-    where.fold(joined)(p => joined.filter(expr(p)))
-      .groupBy(groupKeys.map(col): _*)
-      .agg(sum(w).cast("long").as("cnt"),
-        sumCols.map(c => sum(col(c) * w).as(s"sum_$c")): _*)
+    requireJoinShapes(aState, bState, joinKeys, groupKeys, sumCols, where)
+    joinPartials(aState, bState, joinKeys, groupKeys, sumCols, where)
   }
 
   /** The contracts [[aggregateOfJoin]] and [[maintainJoinAgg]] share:
     * join keys live on BOTH sides under the same names, every other
-    * column name is unambiguous (on exactly one side), and the
-    * view's group/sum columns all resolve. Checked loudly up front —
-    * a name collision would otherwise surface as a confusing
-    * ambiguous-reference analysis error deep inside the delta join. */
+    * name (key or sum) is unambiguous (on exactly one side), every
+    * sum column is PRE-AGGREGATED (`sum_<c>`) on exactly one side,
+    * and the group/WHERE columns all resolve as key columns. Checked
+    * loudly up front — a name collision would otherwise surface as a
+    * confusing ambiguous-reference analysis error deep inside the
+    * delta join. */
   private def requireJoinShapes(aState: DataFrame, bState: DataFrame,
                                 joinKeys: Seq[String],
                                 groupKeys: Seq[String],
-                                sumCols: Seq[String]): Unit = {
+                                sumCols: Seq[String],
+                                where: Option[String]): Unit = {
     require(joinKeys.nonEmpty, "join view needs at least one join key")
     require(groupKeys.nonEmpty, "join view needs at least one group key")
-    val aCols = aState.columns.toSet - "cnt"
-    val bCols = bState.columns.toSet - "cnt"
-    for (k <- joinKeys) require(aCols.contains(k) && bCols.contains(k),
+    val (aKeys, aSums) = partialShapeOf(aState)
+    val (bKeys, bSums) = partialShapeOf(bState)
+    for (k <- joinKeys) require(aKeys.contains(k) && bKeys.contains(k),
       s"join key $k must be a column of BOTH side states " +
-        s"(a: ${aCols.mkString(", ")}; b: ${bCols.mkString(", ")})")
-    val shared = (aCols intersect bCols) -- joinKeys
+        s"(a: ${aKeys.mkString(", ")}; b: ${bKeys.mkString(", ")})")
+    val shared = ((aKeys ++ aSums).toSet intersect
+      (bKeys ++ bSums).toSet) -- joinKeys
     require(shared.isEmpty,
       s"side states share non-join columns ${shared.mkString(", ")} — " +
         "rename one side so every view column is unambiguous")
-    for (c <- groupKeys ++ sumCols)
-      require(aCols.contains(c) || bCols.contains(c),
-        s"view column $c is on neither side state")
+    for (c <- sumCols)
+      require(aSums.contains(c) || bSums.contains(c),
+        s"sum column $c is pre-aggregated on neither side state — " +
+          s"build the owning side with aggregateOf(keys, sums=$c) so " +
+          s"it carries a sum_$c partial")
+    for (g <- groupKeys)
+      require(aKeys.contains(g) || bKeys.contains(g),
+        s"view column $g is on neither side state")
+    for (w <- whereColsOf(where))
+      require(aKeys.contains(w) || bKeys.contains(w),
+        s"WHERE column $w is not a key column of either side state — " +
+          "predicate columns must ride in the state keys")
   }
 
   /** Incremental maintenance of an aggregate over `A ⋈ B` under
@@ -227,24 +314,26 @@ object Ivm {
     *   Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_new ⋈ ΔB
     * }}}
     * (exact: the second term's `A_new = A_old + ΔA` absorbs the
-    * `ΔA ⋈ ΔB` cross term). The module keeps each side as a
-    * [[multisetOf]] state — a compressed projection of the base
-    * table, NOT the table itself — so maintenance cost is
+    * `ΔA ⋈ ΔB` cross term). The module keeps each side as a PARTIAL
+    * state ([[aggregateOf]] keyed by joinKeys ++ that side's
+    * group/where columns, with `sum_<c>` for the measures it owns) —
+    * NOT the table, and not a row-distinct multiset either: a measure
+    * rides as a distributive partial, so the state size is the
+    * distinct (joinKey, groupKeys) tuple count even when the measure
+    * is near-unique per row. Maintenance cost is
     * `|ΔA|·selectivity + |ΔB|·selectivity + |side states| + |view|`,
-    * never a rescan of either base table: at 100 TB the side states
-    * are the distinct (joinKey, view columns) tuples, orders of
-    * magnitude smaller than the facts they compress.
+    * never a rescan of either base table.
     *
     * Takes the current view state (an [[aggregateOfJoin]] frame), the
-    * two side states, and the two signed feeds (either may be empty —
-    * pass a `limit(0)` frame); returns the maintained
-    * `(view, aState, bState)` triple, each eagerly pinned by its own
-    * maintenance pass. All [[maintainAgg]] contracts apply per side
-    * (±1 ops refused loudly, phantom deletes caught by the side
-    * state's negative-count probe) and to the view merge (negative
-    * view counts refused, zero-count groups vanish). The side states
-    * are maintained FIRST, so a malformed feed fails before the view
-    * is touched. */
+    * two side states, and the two signed ROW feeds carrying each
+    * side's key columns + raw measures + `opCol` (either may be
+    * empty — pass a `limit(0)` frame); returns the maintained
+    * `(view, aState, bState)` triple. Feeds are folded to signed
+    * partials first ([[signedPartialOf]] — ±1 refused loudly), the
+    * side states are maintained FIRST (phantom deletes caught by the
+    * side state's negative-count probe before the view is touched),
+    * and the view merge refuses negative counts and vanishes
+    * zero-count groups. */
   def maintainJoinAgg(view: DataFrame, aState: DataFrame,
                       bState: DataFrame, aChanges: DataFrame,
                       bChanges: DataFrame, joinKeys: Seq[String],
@@ -252,7 +341,28 @@ object Ivm {
                       opCol: String = "op",
                       where: Option[String] = None)
       : (DataFrame, DataFrame, DataFrame) = {
-    requireJoinShapes(aState, bState, joinKeys, groupKeys, sumCols)
+    val (aKeys, aSums) = partialShapeOf(aState)
+    val (bKeys, bSums) = partialShapeOf(bState)
+    // folding each feed to a signed partial validates the ±1 contract
+    // in the same pass and pins the result for its two consumers
+    maintainJoinAggDelta(view, aState, bState,
+      signedPartialOf(aChanges, aKeys, aSums, opCol),
+      signedPartialOf(bChanges, bKeys, bSums, opCol),
+      joinKeys, groupKeys, sumCols, where)
+  }
+
+  /** [[maintainJoinAgg]] with the deltas already folded to SIGNED
+    * PARTIALS (same shape as the matching side state, counts of any
+    * sign) — the composition entry point: a chain level's own delta
+    * ([[deltaJoinFeed]]) is a signed partial, not a ±1 row feed, and
+    * feeds the next level through this verb unchanged. */
+  def maintainJoinAggDelta(view: DataFrame, aState: DataFrame,
+                           bState: DataFrame, aDelta: DataFrame,
+                           bDelta: DataFrame, joinKeys: Seq[String],
+                           groupKeys: Seq[String], sumCols: Seq[String],
+                           where: Option[String] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
+    requireJoinShapes(aState, bState, joinKeys, groupKeys, sumCols, where)
     // EXACT view shape, like maintainAgg's: maintaining with a subset
     // of the view's sum columns would silently drop the others, and a
     // group key the view lacks must fail HERE by name, not as an
@@ -264,41 +374,50 @@ object Ivm {
         (Seq("cnt") ++ sumCols.map(c => s"sum_$c")).toSet,
       s"view is not an aggregateOfJoin(groupKeys=$groupKeys, " +
         s"sums=$sumCols) frame; has ${view.columns.mkString(", ")}")
-    val aCols = aState.columns.filterNot(_ == "cnt").toSeq
-    val bCols = bState.columns.filterNot(_ == "cnt").toSeq
-    // each feed is read TWICE (its side's maintenance + its delta
-    // term) — pin once here so a feed carrying base-table or
-    // changesBetween lineage does not recompute per consumer; feeds
-    // are churn-sized by contract, and the pins drop before return
-    // (every output below is eagerly pinned by its own pass)
-    val aF = aChanges.localCheckpoint(true)
-    val bF = bChanges.localCheckpoint(true)
-    // side states first: their maintenance validates the feeds' ±1
-    // contracts and phantom deletes before the view merge runs
-    val aNew = maintainMultiset(aState, aF, aCols, opCol)
-    val bNew = maintainMultiset(bState, bF, bCols, opCol)
-    // one delta-join term per side: the feed's rows (op ±1) against
-    // the OTHER side's multiset (cnt), each matched pair contributing
-    // op × cnt copies of the joined tuple — pre-aggregated straight
-    // to the view's group keys, so the merge below is state-sized
-    def contrib(feed: DataFrame, other: DataFrame): DataFrame = {
-      val w = col(opCol) * col("cnt")
-      val joined = feed.join(other, joinKeys)
-      // the view's WHERE filters each delta term over the SAME joined
-      // tuple it filtered at bootstrap — per-row membership, so the
-      // side states stay UNFILTERED (a row outside the predicate may
-      // join into it later) while the view only ever sees σ rows
-      where.fold(joined)(p => joined.filter(expr(p)))
-        .groupBy(groupKeys.map(col): _*)
-        .agg(sum(w).cast("long").as("cnt"),
-          sumCols.map(c => sum(col(c) * w).as(s"sum_$c")): _*)
+    val (aKeys, aSums) = partialShapeOf(aState)
+    val (bKeys, bSums) = partialShapeOf(bState)
+    for ((d, st, side) <- Seq((aDelta, (aKeys, aSums), "a"),
+        (bDelta, (bKeys, bSums), "b"))) {
+      val (dKeys, dSums) = partialShapeOf(d)
+      require(dKeys.toSet == st._1.toSet && dSums.toSet == st._2.toSet,
+        s"$side-side delta shape (keys=${dKeys.mkString(",")}; " +
+          s"sums=${dSums.mkString(",")}) does not match its state " +
+          s"(keys=${st._1.mkString(",")}; sums=${st._2.mkString(",")})")
     }
-    val delta = contrib(aF, bState)
-      .unionByName(contrib(bF, aNew))
+    // each delta is read TWICE (its side's maintenance + its delta
+    // term) — pin once so a delta carrying feed lineage does not
+    // recompute per consumer; deltas are churn-sized by contract. A
+    // delta that IS already a checkpoint (signedPartialOf's output,
+    // maintainJoinAgg's path) is not re-materialized — that would be
+    // a whole wasted copy pass per side per refresh
+    def pinnedOnce(df: DataFrame): DataFrame =
+      df.queryExecution.logical match {
+        case _: org.apache.spark.sql.execution.LogicalRDD => df
+        case _ => df.localCheckpoint(true)
+      }
+    val aD = pinnedOnce(aDelta)
+    val bD = pinnedOnce(bDelta)
+    // side states first: their maintenance catches phantom deletes
+    // (negative side counts) before the view merge runs
+    requireMergeCompatible(aState, aD, aSums, "a-side delta")
+    requireMergeCompatible(bState, bD, bSums, "b-side delta")
+    val aNew = mergeStates(aState, aD, aKeys, aSums)
+    val bNew = mergeStates(bState, bD, bKeys, bSums)
+    // one delta-join term per side, pre-aggregated straight to the
+    // view's group keys, so the merge below is state-sized. The
+    // view's WHERE filters each term over the SAME joined key tuple
+    // it filtered at bootstrap — the side states stay UNFILTERED (a
+    // row outside the predicate may join into it later) while the
+    // view only ever sees σ rows
+    val delta = joinPartials(aD, bState, joinKeys, groupKeys, sumCols, where)
+      .unionByName(
+        joinPartials(bD, aNew, joinKeys, groupKeys, sumCols, where))
     requireMergeCompatible(view, delta, sumCols, "join delta")
     val merged = mergeStates(view, delta, groupKeys, sumCols)
-    Checkpoints.unpersist(aF)
-    Checkpoints.unpersist(bF)
+    // only pins THIS call created are released; a caller-pinned delta
+    // (already a LogicalRDD) stays the caller's to manage
+    if (!(aD eq aDelta)) Checkpoints.unpersist(aD)
+    if (!(bD eq bDelta)) Checkpoints.unpersist(bD)
     (merged, aNew, bNew)
   }
 
@@ -322,6 +441,20 @@ object Ivm {
 
   private def viewMetaPath(viewDir: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(s"$viewDir/_graft_view.json")
+
+  /** Publish a view's meta sidecar via the tmp + rename discipline
+    * every other sidecar in the repo uses: a crash mid-write leaves a
+    * `_`-prefixed temp file (invisible, overwritten by the next
+    * attempt), never a torn JSON — so a crashed create really does
+    * leave "no view", as the meta-last rule promises. */
+  private def writeViewMeta(fs: org.apache.hadoop.fs.FileSystem,
+                            viewDir: String, json: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(s"$viewDir/_graft_view.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, viewMetaPath(viewDir)),
+      s"failed to publish the view meta at ${viewMetaPath(viewDir)}")
+  }
 
   private def viewStatePath(viewDir: String,
                             gen: Long): org.apache.hadoop.fs.Path =
@@ -450,12 +583,13 @@ object Ivm {
     // meta last: its presence is what marks the view as existing, so
     // every earlier crash leaves "no view" rather than a half-view
     import org.json4s.JsonDSL._
-    val json = org.json4s.jackson.JsonMethods.compact(
+    writeViewMeta(fs, viewDir, org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(
         ("base" -> baseDir) ~ ("keys" -> keys) ~ ("sums" -> sumCols) ~
-          ("where" -> where)))
-    val out = fs.create(viewMetaPath(viewDir), true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
+          ("where" -> where))))
+    // register the view's generation pin so the base's vacuum refuses
+    // to cut the history this view still needs (Layout.snapshotPins)
+    Layout.registerSnapshotPin(spark, baseDir, viewDir, gen)
     ViewRefreshStats(gen, gen, refreshed = true)
   }
 
@@ -518,6 +652,7 @@ object Ivm {
     commitViewState(spark, viewDir, cur, next)
     require(fs.delete(viewStatePath(viewDir, pinned), true),
       s"failed to drop the superseded view state state_gen=$pinned")
+    Layout.registerSnapshotPin(spark, base, viewDir, cur)
     ViewRefreshStats(pinned, cur, refreshed = true)
   }
 
@@ -550,62 +685,62 @@ object Ivm {
     for (g <- old if g < cur)
       require(fs.delete(viewStatePath(viewDir, g), true),
         s"failed to drop superseded view state state_gen=$g")
+    Layout.registerSnapshotPin(spark, base, viewDir, cur)
     ViewRefreshStats(old.maxOption.getOrElse(cur), cur, refreshed = true)
   }
 
-  /** The signed change feed OF A JOIN ITSELF — what turns two-table
+  /** The signed delta OF A JOIN ITSELF — what turns two-table
     * maintenance into N-WAY maintenance by COMPOSITION: `Δ(A ⋈ B) =
-    * ΔA ⋈ B_old ∪ A_new ⋈ ΔB`, emitted as a row-level signed feed
-    * (joined tuples + `op` ∈ ±1) that every downstream consumer
-    * treats exactly like a base-table feed. A chain `(A ⋈ B) ⋈ C`
-    * maintains by keeping a [[multisetOf]] state for the INTERMEDIATE
-    * join: feed that state with this delta via [[maintainMultiset]],
-    * and pass the SAME delta as the left side's feed of the outer
-    * join — each additional table adds one churn-priced delta-join,
-    * never a recompute of the prefix.
+    * ΔA ⋈ B_old ∪ A_new ⋈ ΔB`, emitted as a SIGNED PARTIAL over
+    * `outKeys`/`outSums` that every downstream consumer treats
+    * exactly like a base-table delta. A chain `(A ⋈ B) ⋈ C`
+    * maintains by keeping a partial state for the INTERMEDIATE join:
+    * merge this delta into that state, and pass the SAME delta as
+    * the left side's delta of the outer level
+    * ([[maintainJoinAggDelta]]) — each additional table adds one
+    * churn-priced delta-join, never a recompute of the prefix.
     *
-    * Each feed row (op ±1) matched against the OTHER side's multiset
-    * row (cnt ≥ 1) contributes `cnt` unit tuples of sign `op` —
-    * expanded via `sequence`/`explode`, churn-priced because the feed
-    * side IS the churn. `aStateNew` must be the POST-feed state of A
-    * (`maintainMultiset(aStateOld, aFeed, …)`): the `A_new ⋈ ΔB` term
-    * is what absorbs the `ΔA ⋈ ΔB` cross term, so passing the
-    * pre-feed state mis-counts it. Output columns: the union of both
-    * sides' tuple columns plus `opCol`. */
-  def deltaJoinFeed(aStateOld: DataFrame, aStateNew: DataFrame,
-                    bStateOld: DataFrame, aFeed: DataFrame,
-                    bFeed: DataFrame, joinKeys: Seq[String],
-                    opCol: String = "op"): DataFrame = {
+    * All inputs are partials: `aDelta`/`bDelta` signed
+    * ([[signedPartialOf]] of a row feed, or a lower level's own
+    * deltaJoinFeed), the states unsigned. `aStateNew` must be the
+    * POST-delta state of A: the `A_new ⋈ ΔB` term is what absorbs the
+    * `ΔA ⋈ ΔB` cross term, so passing the pre-delta state mis-counts
+    * it. The weights read the partials directly (no row expansion):
+    * cnt products and `sum × cnt` cross terms, re-aggregated to
+    * `outKeys` — churn-priced because the delta side IS the churn. */
+  def deltaJoinFeed(aStateNew: DataFrame, bStateOld: DataFrame,
+                    aDelta: DataFrame, bDelta: DataFrame,
+                    joinKeys: Seq[String], outKeys: Seq[String],
+                    outSums: Seq[String]): DataFrame = {
     require(joinKeys.nonEmpty, "deltaJoinFeed needs a join key")
+    require(outKeys.nonEmpty, "deltaJoinFeed needs output keys")
     // loud shape guards, like the rest of the family — a mixed-up
     // argument must fail by name, not as an ambiguous-reference
     // AnalysisException deep inside the join
-    for ((st, side) <- Seq((aStateOld, "aStateOld"),
-        (aStateNew, "aStateNew"), (bStateOld, "bStateOld"))) {
-      require(st.columns.contains("cnt"),
-        s"$side is not a multisetOf frame (no cnt column)")
-      require(!st.columns.contains(opCol),
-        s"$side already carries a column named $opCol — pass a " +
-          "different opCol")
+    val (aKeys, aSums) = partialShapeOf(aStateNew)
+    val (bKeys, bSums) = partialShapeOf(bStateOld)
+    for ((d, st, side) <- Seq((aDelta, (aKeys, aSums), "a"),
+        (bDelta, (bKeys, bSums), "b"))) {
+      val (dKeys, dSums) = partialShapeOf(d)
+      require(dKeys.toSet == st._1.toSet && dSums.toSet == st._2.toSet,
+        s"$side-side delta shape (keys=${dKeys.mkString(",")}; " +
+          s"sums=${dSums.mkString(",")}) does not match its state " +
+          s"(keys=${st._1.mkString(",")}; sums=${st._2.mkString(",")})")
     }
-    for ((f, side) <- Seq((aFeed, "aFeed"), (bFeed, "bFeed")))
-      require(!f.columns.contains("cnt"),
-        s"$side carries a cnt column — it looks like a multiset " +
-          "state, not a signed row feed")
-    val aCols = aStateOld.columns.filterNot(_ == "cnt").toSeq
-    val bCols = bStateOld.columns.filterNot(_ == "cnt").toSeq
-    for (k <- joinKeys) require(aCols.contains(k) && bCols.contains(k),
+    for (k <- joinKeys) require(aKeys.contains(k) && bKeys.contains(k),
       s"join key $k must be a column of BOTH side states")
-    val shared = (aCols.toSet intersect bCols.toSet) -- joinKeys
+    val shared = ((aKeys ++ aSums).toSet intersect
+      (bKeys ++ bSums).toSet) -- joinKeys
     require(shared.isEmpty,
       s"side states share non-join columns ${shared.mkString(", ")} — " +
         "rename one side so every joined-tuple column is unambiguous")
-    val outCols = (aCols ++ bCols).distinct
-    def term(feed: DataFrame, other: DataFrame): DataFrame =
-      feed.join(other, joinKeys)
-        .withColumn("__graft_i", explode(sequence(lit(1L), col("cnt"))))
-        .select((outCols :+ opCol).map(col): _*)
-    term(aFeed, bStateOld).unionByName(term(bFeed, aStateNew))
+    for (k <- outKeys) require(aKeys.contains(k) || bKeys.contains(k),
+      s"output key $k is a key column of neither side")
+    for (c <- outSums) require(aSums.contains(c) || bSums.contains(c),
+      s"output sum $c is pre-aggregated on neither side")
+    joinPartials(aDelta, bStateOld, joinKeys, outKeys, outSums, None)
+      .unionByName(
+        joinPartials(bDelta, aStateNew, joinKeys, outKeys, outSums, None))
   }
 
   // ───────────── persisted self-refreshing JOIN views ─────────────
@@ -652,7 +787,8 @@ object Ivm {
                                   joinKeys: Seq[String],
                                   groupKeys: Seq[String],
                                   sums: Seq[String],
-                                  aCols: Seq[String], bCols: Seq[String],
+                                  aKeys: Seq[String], aSums: Seq[String],
+                                  bKeys: Seq[String], bSums: Seq[String],
                                   where: Option[String])
 
   private def readJoinViewMeta(spark: org.apache.spark.sql.SparkSession,
@@ -674,8 +810,10 @@ object Ivm {
       metaStrs(jv \ "joinKeys", p, "joinKeys"),
       metaStrs(jv \ "groupKeys", p, "groupKeys"),
       metaStrs(jv \ "sums", p, "sums"),
-      metaStrs(jv \ "acols", p, "acols"),
-      metaStrs(jv \ "bcols", p, "bcols"),
+      metaStrs(jv \ "akeys", p, "akeys"),
+      metaStrs(jv \ "asums", p, "asums"),
+      metaStrs(jv \ "bkeys", p, "bkeys"),
+      metaStrs(jv \ "bsums", p, "bsums"),
       jv \ "where" match {
         case JNothing | JNull => None
         case w => Some(metaStr(w, p, "where"))
@@ -747,40 +885,46 @@ object Ivm {
     for (k <- joinKeys)
       require(aAll.columns.contains(k) && bAll.columns.contains(k),
         s"join key $k must be a column of BOTH bases")
-    // predicate columns ride along in the side states: membership is
-    // decided per joined tuple at every delta term, so the states
-    // stay UNFILTERED and must carry what the predicate reads
-    val rest = (groupKeys ++ sumCols ++ whereColsOf(where)).distinct
+    // predicate columns ride along in the side-state KEYS: membership
+    // is decided per joined tuple at every delta term, so the states
+    // stay UNFILTERED and must carry what the predicate reads. Sum
+    // columns do NOT ride as keys — they pre-aggregate into sum_<c>
+    // partials on the side that owns them, which is what keeps a
+    // measure-bearing side state group-sized instead of fact-sized
+    val restKeys = (groupKeys ++ whereColsOf(where)).distinct
       .filterNot(joinKeys.contains)
-    for (c <- rest) {
+    for (c <- restKeys ++ sumCols.filterNot(
+        c => joinKeys.contains(c) || restKeys.contains(c))) {
       val (onA, onB) = (aAll.columns.contains(c), bAll.columns.contains(c))
       require(onA || onB, s"view column $c is on neither base")
       require(!(onA && onB),
         s"view column $c is on BOTH bases — project/rename one side " +
           "so every view column is unambiguous")
     }
-    val aCols = joinKeys ++ rest.filter(aAll.columns.contains)
-    val bCols = joinKeys ++ rest.filter(bAll.columns.contains)
-    // pin the side multisets: the view bootstrap AND all three state
+    val aKeys = joinKeys ++ restKeys.filter(aAll.columns.contains)
+    val bKeys = joinKeys ++ restKeys.filter(bAll.columns.contains)
+    val aSums = sumCols.filter(aAll.columns.contains)
+    val bSums = sumCols.filterNot(aSums.contains)
+    // pin the side partials: the view bootstrap AND all three state
     // writes read them — unpinned, each consumer re-scans its base
-    val a0 = multisetOf(aAll.select(aCols.map(col): _*), aCols)
-      .localCheckpoint(true)
-    val b0 = multisetOf(bAll.select(bCols.map(col): _*), bCols)
-      .localCheckpoint(true)
+    val a0 = aggregateOf(aAll.select((aKeys ++ aSums).distinct.map(col): _*),
+      aKeys, aSums).localCheckpoint(true)
+    val b0 = aggregateOf(bAll.select((bKeys ++ bSums).distinct.map(col): _*),
+      bKeys, bSums).localCheckpoint(true)
     val v0 = aggregateOfJoin(a0, b0, joinKeys, groupKeys, sumCols, where)
     commitJoinState(spark, viewDir, gA, gB, v0, a0, b0)
     Checkpoints.unpersist(a0)
     Checkpoints.unpersist(b0)
     // meta last, same rule as createView: its presence marks existence
     import org.json4s.JsonDSL._
-    val json = org.json4s.jackson.JsonMethods.compact(
+    writeViewMeta(fs, viewDir, org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(
         ("kind" -> "join") ~ ("abase" -> aDir) ~ ("bbase" -> bDir) ~
           ("joinKeys" -> joinKeys) ~ ("groupKeys" -> groupKeys) ~
-          ("sums" -> sumCols) ~ ("acols" -> aCols) ~
-          ("bcols" -> bCols) ~ ("where" -> where)))
-    val out = fs.create(viewMetaPath(viewDir), true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
+          ("sums" -> sumCols) ~ ("akeys" -> aKeys) ~ ("asums" -> aSums) ~
+          ("bkeys" -> bKeys) ~ ("bsums" -> bSums) ~ ("where" -> where))))
+    Layout.registerSnapshotPin(spark, aDir, viewDir, gA)
+    Layout.registerSnapshotPin(spark, bDir, viewDir, gB)
     JoinViewRefreshStats(gA, gA, gB, gB, refreshed = true)
   }
 
@@ -835,14 +979,16 @@ object Ivm {
     val aState = spark.read.parquet(s"$sp/a")
     val bState = spark.read.parquet(s"$sp/b")
     val aFeed = Layout.changesBetween(spark, meta.aBase, pA, curA)
-      .select((meta.aCols :+ "op").map(col): _*)
+      .select(((meta.aKeys ++ meta.aSums).distinct :+ "op").map(col): _*)
     val bFeed = Layout.changesBetween(spark, meta.bBase, pB, curB)
-      .select((meta.bCols :+ "op").map(col): _*)
+      .select(((meta.bKeys ++ meta.bSums).distinct :+ "op").map(col): _*)
     val (v, a, b) = maintainJoinAgg(view, aState, bState, aFeed, bFeed,
       meta.joinKeys, meta.groupKeys, meta.sums, where = meta.where)
     commitJoinState(spark, viewDir, curA, curB, v, a, b)
     require(fs.delete(sp, true),
       s"failed to drop the superseded join view state ($pA, $pB)")
+    Layout.registerSnapshotPin(spark, meta.aBase, viewDir, curA)
+    Layout.registerSnapshotPin(spark, meta.bBase, viewDir, curB)
     JoinViewRefreshStats(pA, curA, pB, curB, refreshed = true)
   }
 
@@ -892,7 +1038,8 @@ object Ivm {
                                    levelKeys: Seq[Seq[String]],
                                    groupKeys: Seq[String],
                                    sums: Seq[String],
-                                   baseCols: Seq[Seq[String]],
+                                   baseKeys: Seq[Seq[String]],
+                                   baseSums: Seq[Seq[String]],
                                    where: Option[String])
 
   private def readChainViewMeta(spark: org.apache.spark.sql.SparkSession,
@@ -915,11 +1062,35 @@ object Ivm {
       strss(jv \ "levelKeys", "levelKeys"),
       metaStrs(jv \ "groupKeys", p, "groupKeys"),
       metaStrs(jv \ "sums", p, "sums"),
-      strss(jv \ "baseCols", "baseCols"),
+      strss(jv \ "baseKeys", "baseKeys"),
+      strss(jv \ "baseSums", "baseSums"),
       jv \ "where" match {
         case JNothing | JNull => None
         case w => Some(metaStr(w, p, "where"))
       })
+  }
+
+  /** The INTERMEDIATE prefix states' shapes, derived (never stored —
+    * one derivation shared by create, refresh, and rebuild so they
+    * cannot fork): I_j compresses bases 0..j to the key columns still
+    * needed ABOVE level j (later join keys, group keys, predicate
+    * columns — everything else is projected away) with `sum_<c>`
+    * partials for the measures those bases own. Entry j-1 of the
+    * result describes I_j, for j = 1..k-2. */
+  private def interShapesOf(levelKeys: Seq[Seq[String]],
+                            groupKeys: Seq[String], sums: Seq[String],
+                            baseKeys: Seq[Seq[String]],
+                            baseSums: Seq[Seq[String]],
+                            where: Option[String])
+      : Seq[(Seq[String], Seq[String])] = {
+    val k = baseKeys.length
+    (1 to k - 2).map { j =>
+      val ownKeys = baseKeys.take(j + 1).flatten.distinct
+      val neededAbove = (levelKeys.drop(j).flatten ++ groupKeys ++
+        whereColsOf(where)).distinct
+      val ownSums = baseSums.take(j + 1).flatten
+      (ownKeys.filter(neededAbove.contains), sums.filter(ownSums.contains))
+    }
   }
 
   /** Publish a chain state (view + per-base multisets + intermediate
@@ -973,14 +1144,15 @@ object Ivm {
     val frames = bases.zip(gens).map { case (b, g) =>
       Layout.readSnapshot(spark, b, g) }
     // column-side assignment: every level key lives on its right base
-    // AND somewhere earlier in the chain; every other view column on
-    // exactly one base
+    // AND resolves UNAMBIGUOUSLY on the earlier prefix; every other
+    // view column on exactly one base.
     // predicate columns ride along (same rule as the join views):
     // the WHERE applies over the FULL joined tuple at the TOP level
     // only, so every column it reads must survive to the final join
-    val rest = (groupKeys ++ sumCols ++ whereColsOf(where)).distinct
+    val restKeys = (groupKeys ++ whereColsOf(where)).distinct
       .filterNot(levelKeys.flatten.contains)
-    for (c <- rest) {
+    for (c <- restKeys ++ sumCols.filterNot(c =>
+        levelKeys.flatten.contains(c) || restKeys.contains(c))) {
       val owners = frames.zipWithIndex.filter(_._1.columns.contains(c))
       require(owners.nonEmpty, s"view column $c is on no base")
       require(owners.length == 1,
@@ -990,14 +1162,27 @@ object Ivm {
     for ((ks, j) <- levelKeys.zipWithIndex; k <- ks) {
       require(frames(j + 1).columns.contains(k),
         s"level-${j + 1} join key $k is not a column of bases(${j + 1})")
-      require(frames.take(j + 1).exists(_.columns.contains(k)),
+      val owners = (0 to j).filter(i => frames(i).columns.contains(k))
+      require(owners.nonEmpty,
         s"level-${j + 1} join key $k resolves on no earlier base")
+      // a key on SEVERAL earlier bases is only unambiguous when an
+      // earlier level already EQUATED those copies (it was a join key
+      // below); otherwise the chain would silently join on whichever
+      // base happened to own it first — refused by name instead, the
+      // same loud rule every other shape conflict in the family gets
+      require(owners.length == 1 ||
+          levelKeys.take(j).flatten.contains(k),
+        s"level-${j + 1} join key $k is on bases " +
+          s"${owners.mkString(", ")} and no earlier level equates " +
+          "them — project/rename so the key resolves on exactly one " +
+          "earlier base")
     }
-    // each base's contributing columns: its level keys (as the RIGHT
-    // side), any later level's keys it owns (carried up the chain),
-    // and its unambiguous view columns
-    val baseCols = frames.zipWithIndex.map { case (f, i) =>
-      val own = rest.filter(f.columns.contains) ++
+    // each base's KEY columns: its level keys (as the RIGHT side),
+    // any later level's keys it owns (carried up the chain), and its
+    // unambiguous group/predicate columns; its SUM columns
+    // pre-aggregate into sum_<c> partials (group-sized, never raw)
+    val baseKeys = frames.zipWithIndex.map { case (f, i) =>
+      val own = restKeys.filter(f.columns.contains) ++
         levelKeys.zipWithIndex.collect {
           case (ks, j) if j + 1 == i => ks
           case (ks, j) if j + 1 != i =>
@@ -1006,47 +1191,51 @@ object Ivm {
         }.flatten
       own.distinct
     }
+    val baseSums = frames.map(f => sumCols.filter(f.columns.contains))
     val (view0, baseStates, interStates) =
-      bootstrapChain(frames, levelKeys, groupKeys, sumCols, baseCols,
-        where)
+      bootstrapChain(frames, levelKeys, groupKeys, sumCols, baseKeys,
+        baseSums, where)
     commitChainState(spark, viewDir, gens, view0, baseStates, interStates)
     baseStates.foreach(Checkpoints.unpersist)
     interStates.foreach(Checkpoints.unpersist)
     import org.json4s.JsonDSL._
-    val json = org.json4s.jackson.JsonMethods.compact(
+    writeViewMeta(fs, viewDir, org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(
         ("kind" -> "chain") ~ ("bases" -> bases) ~
           ("levelKeys" -> levelKeys) ~ ("groupKeys" -> groupKeys) ~
-          ("sums" -> sumCols) ~ ("baseCols" -> baseCols) ~
-          ("where" -> where)))
-    val out = fs.create(viewMetaPath(viewDir), true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
+          ("sums" -> sumCols) ~ ("baseKeys" -> baseKeys) ~
+          ("baseSums" -> baseSums) ~ ("where" -> where))))
+    for ((b, g) <- bases.zip(gens))
+      Layout.registerSnapshotPin(spark, b, viewDir, g)
     ChainViewRefreshStats(gens, gens, refreshed = true)
   }
 
-  /** The shared bootstrap of create and rebuild: per-base multisets,
-    * intermediate-prefix multisets I1..I(k-2) (explode-expanded so
-    * multiplicities weight exactly), and the top aggregate. */
+  /** The shared bootstrap of create and rebuild: per-base PARTIAL
+    * states, intermediate-prefix partials I1..I(k-2) (each one
+    * [[joinPartials]] pass — the weights carry the multiplicities, so
+    * nothing ever row-expands), and the top aggregate. */
   private def bootstrapChain(frames: Seq[DataFrame],
                              levelKeys: Seq[Seq[String]],
                              groupKeys: Seq[String], sumCols: Seq[String],
-                             baseCols: Seq[Seq[String]],
+                             baseKeys: Seq[Seq[String]],
+                             baseSums: Seq[Seq[String]],
                              where: Option[String])
       : (DataFrame, Seq[DataFrame], Seq[DataFrame]) = {
-    val baseStates = frames.zip(baseCols).map { case (f, cols) =>
-      multisetOf(f.select(cols.map(col): _*), cols).localCheckpoint(true) }
-    def expand(state: DataFrame): DataFrame =
-      state.withColumn("__graft_i",
-          explode(sequence(lit(1L), col("cnt"))))
-        .drop("cnt", "__graft_i")
     require(frames.length >= 3,
       "bootstrapChain serves 3+ base chains (2 is the join-view family)")
-    var prefix = expand(baseStates.head)
+    val baseStates = frames.indices.map { i =>
+      aggregateOf(frames(i).select(
+          (baseKeys(i) ++ baseSums(i)).distinct.map(col): _*),
+        baseKeys(i), baseSums(i)).localCheckpoint(true)
+    }
+    val interShapes = interShapesOf(levelKeys, groupKeys, sumCols,
+      baseKeys, baseSums, where)
+    var prefix = baseStates.head
     val interStates = (1 until frames.length - 1).map { j =>
-      prefix = prefix.join(expand(baseStates(j)), levelKeys(j - 1))
-      val m = multisetOf(prefix, prefix.columns.toSeq).localCheckpoint(true)
-      prefix = expand(m)
-      m
+      val (iKeys, iSums) = interShapes(j - 1)
+      prefix = joinPartials(prefix, baseStates(j), levelKeys(j - 1),
+        iKeys, iSums, None).localCheckpoint(true)
+      prefix
     }
     val view0 = aggregateOfJoin(interStates.last, baseStates.last,
       levelKeys.last, groupKeys, sumCols, where)
@@ -1100,55 +1289,71 @@ object Ivm {
       .map(i => spark.read.parquet(s"$sp/base$i"))
     val inters = (1 until meta.bases.length - 1)
       .map(j => spark.read.parquet(s"$sp/inter$j"))
-    val feeds = meta.bases.indices.map { i =>
-      Layout.changesBetween(spark, meta.bases(i), pinned(i), curs(i))
-        .select((meta.baseCols(i) :+ "op").map(col): _*)
-        .localCheckpoint(true)
+    // one signed PARTIAL per base's churn feed (±1 validated and
+    // pinned inside signedPartialOf — each delta has two consumers:
+    // its base state's maintenance and its level's delta-join)
+    val deltas = meta.bases.indices.map { i =>
+      signedPartialOf(
+        Layout.changesBetween(spark, meta.bases(i), pinned(i), curs(i))
+          .select(((meta.baseKeys(i) ++ meta.baseSums(i)).distinct :+
+            "op").map(col): _*),
+        meta.baseKeys(i), meta.baseSums(i))
     }
-    // fold the delta up the chain: D0 = f0; each level j maintains
-    // its left state and emits D_j = Δ(I_j). The LAST level's
-    // intermediate is not maintained here — maintainJoinAgg maintains
+    // every base state below the top maintains by merging its own
+    // delta (phantom deletes refused by the negative-count probe);
+    // the LAST base's state is maintained inside maintainJoinAggDelta
+    val newBaseStates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (i <- 0 until meta.bases.length - 1) {
+      requireMergeCompatible(baseStates(i), deltas(i), meta.baseSums(i),
+        s"base-$i feed")
+      newBaseStates += mergeStates(baseStates(i), deltas(i),
+        meta.baseKeys(i), meta.baseSums(i))
+    }
+    val interShapes = interShapesOf(meta.levelKeys, meta.groupKeys,
+      meta.sums, meta.baseKeys, meta.baseSums, meta.where)
+    // fold the delta up the chain: D0 = δ(base0); each level j emits
+    // D_j = Δ(I_j) = D_{j-1} ⋈ base_j_old ∪ prefixNew ⋈ δ(base_j) and
+    // maintains its intermediate. The LAST level's intermediate is
+    // not maintained in the loop — maintainJoinAggDelta maintains
     // exactly that state internally and returns it, so computing it
     // in the loop too would run the chain's largest state-sized
     // shuffle twice per refresh. A middle level's delta is pinned
     // (two consumers: its intermediate's maintenance and the next
-    // deltaJoinFeed); the final delta is left lazy — maintainJoinAgg
-    // pins every feed it receives itself.
+    // deltaJoinFeed); the final delta is pinned by
+    // maintainJoinAggDelta itself.
     val lastLevel = meta.bases.length - 2
-    var leftOld: DataFrame = baseStates.head
-    var leftNew = maintainMultiset(leftOld, feeds.head,
-      leftOld.columns.filterNot(_ == "cnt").toSeq)
-    var delta = feeds.head
-    val newBaseStates = scala.collection.mutable.ArrayBuffer(leftNew)
+    var leftNew = newBaseStates.head
+    var delta = deltas.head
     val newInters = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val deltaPins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (j <- 1 until meta.bases.length - 1) {
-      val d2 = deltaJoinFeed(leftOld, leftNew, baseStates(j),
-        delta, feeds(j), meta.levelKeys(j - 1))
-      newBaseStates += maintainMultiset(baseStates(j), feeds(j),
-        baseStates(j).columns.filterNot(_ == "cnt").toSeq)
-      leftOld = inters(j - 1)
+      val (iKeys, iSums) = interShapes(j - 1)
+      val d2 = deltaJoinFeed(leftNew, baseStates(j), delta, deltas(j),
+        meta.levelKeys(j - 1), iKeys, iSums)
       delta = if (j < lastLevel) {
         val pinned2 = d2.localCheckpoint(true)
         deltaPins += pinned2
-        val interNew = maintainMultiset(inters(j - 1), pinned2,
-          inters(j - 1).columns.filterNot(_ == "cnt").toSeq)
+        requireMergeCompatible(inters(j - 1), pinned2, iSums,
+          s"level-$j delta")
+        val interNew = mergeStates(inters(j - 1), pinned2, iKeys, iSums)
         newInters += interNew
         leftNew = interNew
         pinned2
       } else d2
     }
-    val (v2, lastInterNew, lastNew) = maintainJoinAgg(view, leftOld,
-      baseStates.last, delta, feeds.last, meta.levelKeys.last,
-      meta.groupKeys, meta.sums, where = meta.where)
+    val (v2, lastInterNew, lastNew) = maintainJoinAggDelta(view,
+      inters.last, baseStates.last, delta, deltas.last,
+      meta.levelKeys.last, meta.groupKeys, meta.sums, meta.where)
     newInters += lastInterNew
     newBaseStates += lastNew
     commitChainState(spark, viewDir, curs, v2,
       newBaseStates.toSeq, newInters.toSeq)
     require(fs.delete(sp, true),
       s"failed to drop the superseded chain state ${pinned.mkString("-")}")
-    feeds.foreach(Checkpoints.unpersist)
+    deltas.foreach(Checkpoints.unpersist)
     deltaPins.foreach(Checkpoints.unpersist)
+    for ((b, g) <- meta.bases.zip(curs))
+      Layout.registerSnapshotPin(spark, b, viewDir, g)
     ChainViewRefreshStats(pinned, curs, refreshed = true)
   }
 
@@ -1166,8 +1371,8 @@ object Ivm {
     val frames = meta.bases.zip(gens).map { case (b, g) =>
       Layout.readSnapshot(spark, b, g) }
     val (view0, baseStates, interStates) = bootstrapChain(frames,
-      meta.levelKeys, meta.groupKeys, meta.sums, meta.baseCols,
-      meta.where)
+      meta.levelKeys, meta.groupKeys, meta.sums, meta.baseKeys,
+      meta.baseSums, meta.where)
     for (g <- old if g.sum >= gens.sum)
       require(fs.delete(chainStatePath(viewDir, g), true),
         s"failed to drop chain state ${g.mkString("-")} before rebuild")
@@ -1177,6 +1382,8 @@ object Ivm {
     for (g <- old if g.sum < gens.sum)
       require(fs.delete(chainStatePath(viewDir, g), true),
         s"failed to drop superseded chain state ${g.mkString("-")}")
+    for ((b, g) <- meta.bases.zip(gens))
+      Layout.registerSnapshotPin(spark, b, viewDir, g)
     ChainViewRefreshStats(chainMax(old :+ gens), gens, refreshed = true)
   }
 
@@ -1189,10 +1396,12 @@ object Ivm {
     val fs = viewFs(spark, viewDir)
     val gA = Layout.currentGeneration(spark, meta.aBase)
     val gB = Layout.currentGeneration(spark, meta.bBase)
-    val a0 = multisetOf(Layout.readSnapshot(spark, meta.aBase, gA)
-      .select(meta.aCols.map(col): _*), meta.aCols).localCheckpoint(true)
-    val b0 = multisetOf(Layout.readSnapshot(spark, meta.bBase, gB)
-      .select(meta.bCols.map(col): _*), meta.bCols).localCheckpoint(true)
+    val a0 = aggregateOf(Layout.readSnapshot(spark, meta.aBase, gA)
+        .select((meta.aKeys ++ meta.aSums).distinct.map(col): _*),
+      meta.aKeys, meta.aSums).localCheckpoint(true)
+    val b0 = aggregateOf(Layout.readSnapshot(spark, meta.bBase, gB)
+        .select((meta.bKeys ++ meta.bSums).distinct.map(col): _*),
+      meta.bKeys, meta.bSums).localCheckpoint(true)
     val v0 = aggregateOfJoin(a0, b0, meta.joinKeys, meta.groupKeys,
       meta.sums, meta.where)
     val old = joinStateGens(fs, viewDir)
@@ -1211,6 +1420,8 @@ object Ivm {
         .lt((oa, ob), (ordA, ordB)))
       require(fs.delete(joinStatePath(viewDir, oa, ob), true),
         s"failed to drop superseded join view state ($oa, $ob)")
+    Layout.registerSnapshotPin(spark, meta.aBase, viewDir, gA)
+    Layout.registerSnapshotPin(spark, meta.bBase, viewDir, gB)
     val (fa, fb) = old.maxOption.getOrElse((gA, gB))
     JoinViewRefreshStats(fa, gA, fb, gB, refreshed = true)
   }

@@ -497,14 +497,49 @@ object Layout {
                             keyCols: Seq[String], removed: Seq[String],
                             delta: Option[DataFrame],
                             operation: String,
-                            expectedGen: Option[Long] = None): Unit = {
+                            expectedGen: Option[Long] = None,
+                            retired: Option[RetireReceipt] = None): Unit = {
     import spark.implicits._
     val removedDf = removed.toDF("file")
     val kept = manifest.join(broadcast(removedDf), Seq("file"), "left_anti")
     val keptMigrated = widenWithNullCounts(kept, keyCols)
     val updated = delta.fold(keptMigrated)(keptMigrated.unionByName(_))
       .localCheckpoint(true)
-    replaceManifest(spark, dir, updated, operation, expectedGen)
+    // a concurrent writer can slip between the verb's pre-destructive
+    // OCC check and replaceManifest's commit-point check. By then the
+    // verb has RETIRED files the winner's live manifest still
+    // references — a plain "retry" would hit FileNotFound, not heal.
+    // The verb passed its retirement receipt, so the loser can UNDO:
+    // move every retired file back under its live name, drop the
+    // rewrite's new files (the delta manifest names them), and only
+    // then surface a retryable error
+    try replaceManifest(spark, dir, updated, operation, expectedGen)
+    catch {
+      case cme: java.util.ConcurrentModificationException
+          if retired.exists(_.moved.nonEmpty) =>
+        val r = retired.get
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val stuck = r.moved.filterNot { case (src, dest) =>
+          !fs.exists(dest) || fs.rename(dest, src) }
+        if (stuck.nonEmpty) throw new IllegalStateException(
+          s"$operation at $dir lost an optimistic-concurrency race " +
+            s"AFTER retiring files, and ${stuck.length} of them could " +
+            s"not be moved back from _graft_retired/gen=${r.gen} " +
+            s"(first: ${stuck.head._2}) — restore them manually before " +
+            "reading through the live manifest", cme)
+        for (d <- delta; row <- d.select("file").collect()) {
+          val p = new org.apache.hadoop.fs.Path(
+            new java.net.URI(row.getString(0)))
+          fs.delete(p, false)
+        }
+        throw new java.util.ConcurrentModificationException(
+          s"$operation at $dir lost an optimistic-concurrency race at " +
+            "the commit point; its retired files were moved back and " +
+            "its rewritten files dropped — the layout is back at the " +
+            "winner's state, re-read and retry (withGenerationRetry " +
+            s"does this): ${cme.getMessage}")
+    }
     Checkpoints.unpersist(updated)
     delta.foreach(Checkpoints.unpersist)
   }
@@ -619,8 +654,20 @@ object Layout {
     val p = commitInfoPath(dir, gen)
     val tmp = new org.apache.hadoop.fs.Path(commitsDir(dir),
       s"gen=$gen.json.tmp")
+    // MONOTONE timestamps, clamped at write time: successive writers
+    // with skewed clocks (or a clock stepping backward) could
+    // otherwise record non-increasing tsMillis, making
+    // [[generationAsOf]]'s timestamp order disagree with generation
+    // order — Delta adjusts commit timestamps for exactly this
+    // reason. The clamp reads the existing records (file-count-sized,
+    // like every other planning input) and stamps
+    // max(now, newest recorded ts + 1), so asOf resolution can never
+    // see a later generation with an earlier instant.
+    val prevTs = commitInfoOf(fs, dir).values.map(_._1)
+      .maxOption.getOrElse(Long.MinValue)
+    val ts = math.max(System.currentTimeMillis(), prevTs + 1)
     val payload =
-      s"""{"gen":$gen,"tsMillis":${System.currentTimeMillis()},""" +
+      s"""{"gen":$gen,"tsMillis":$ts,""" +
         s""""operation":"$operation"}"""
     val out = fs.create(tmp, true)
     try out.write(payload.getBytes("UTF-8")) finally out.close()
@@ -788,15 +835,26 @@ object Layout {
     * drop retirement dirs no retained snapshot can reach. Basenames
     * are parquet part-UUIDs — globally unique — and a collision is
     * refused loudly rather than resolved arbitrarily. */
+  /** What [[retireOrDeleteAll]] actually moved: the retirement label
+    * and each (live source → retired destination) rename — the
+    * information an OCC loser needs to put the files BACK
+    * ([[patchManifest]]'s rollback path). None when the layout is
+    * untracked (files were deleted, nothing restorable — but an
+    * untracked layout has no OCC either). */
+  private final case class RetireReceipt(
+      gen: Long,
+      moved: Seq[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)])
+
   private def retireOrDeleteAll(fs: org.apache.hadoop.fs.FileSystem,
                                 dir: String, files: Iterable[String],
-                                verb: String): Unit = {
+                                verb: String): Option[RetireReceipt] = {
     if (!generationsEnabled(fs, dir)) {
       for (f <- files) {
         val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
         require(fs.delete(p, false) || !fs.exists(p),
           s"$verb: failed to delete $f")
       }
+      None
     } else {
       val g = liveGenOf(fs, dir)
       val destDir = new org.apache.hadoop.fs.Path(retiredDir(dir), s"gen=$g")
@@ -807,7 +865,7 @@ object Layout {
       // is what lets snapshot reads re-derive its partition columns
       // with a basePath anchored at the label dir
       val rootQ = fs.makeQualified(new org.apache.hadoop.fs.Path(dir)).toString
-      for (f <- files) {
+      val moved = files.toSeq.map { f =>
         val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
         val pq = fs.makeQualified(p).toString
         require(pq.startsWith(rootQ + "/"),
@@ -819,7 +877,9 @@ object Layout {
           s"$verb: retired name collision at $dest")
         require(fs.rename(p, dest) || !fs.exists(p),
           s"$verb: failed to retire $f")
+        (p, dest)
       }
+      Some(RetireReceipt(g, moved))
     }
   }
 
@@ -1040,6 +1100,72 @@ object Layout {
       .unionByName(plus.withColumn(opCol, lit(1)))
   }
 
+  /** [[changesBetween]] with Delta-CDF-style ROW CHANGE TYPES: the
+    * signed feed plus a `_change_type` column ∈ {insert, delete,
+    * update_preimage, update_postimage}. Two refinements over the raw
+    * file-diff feed, both churn-priced:
+    *
+    * 1. IDENTICAL ±1 pairs NET OUT first (one groupBy over the full
+    *    row): a partial-file rewrite's surviving rows and an
+    *    OPTIMIZE's data-identical copies vanish, so the typed feed
+    *    carries only rows whose VALUE actually changed across the
+    *    span — what a CDF consumer means by "what changed".
+    * 2. The survivors pair BY KEY: a key with both a net delete and a
+    *    net insert in the span was updated — its −1 rows type as
+    *    `update_preimage` and its +1 rows as `update_postimage` (an
+    *    upsert's delete+insert re-pairs instead of surfacing as two
+    *    unrelated events, the re-derivation downstream SCD2/audit
+    *    consumers otherwise each reimplement); unpaired rows type as
+    *    plain `delete` / `insert`. Null-keyed rows never pair (SQL
+    *    equality), so they surface as deletes/inserts.
+    *
+    * `keys` is the pairing identity — pass the layout's merge key(s).
+    * Multiset-exact like the raw feed: dropping `_change_type` and
+    * re-signing gives a feed that maintains any [[graft.ext.Ivm]]
+    * state to the same result (netting only removed zero-sum pairs).
+    * Span semantics are the raw feed's: typing reflects the NET
+    * effect between the two generations, not per-commit attribution. */
+  def changesBetweenTyped(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, genFrom: Long, genTo: Long,
+                          keys: Seq[String], opCol: String = "op",
+                          typeCol: String = "_change_type"): DataFrame = {
+    require(keys.nonEmpty, "changesBetweenTyped needs pairing key(s)")
+    val feed = changesBetween(spark, dir, genFrom, genTo, opCol)
+    for (k <- keys) require(feed.columns.contains(k),
+      s"pairing key $k is not a column of the layout " +
+        s"(has ${feed.columns.filterNot(_ == opCol).mkString(", ")})")
+    require(!feed.columns.contains(typeCol),
+      s"the layout already carries a column named $typeCol — pass a " +
+        "different typeCol")
+    val dataCols = feed.columns.filterNot(_ == opCol).toSeq
+    // net identical rows; pinned once for its three consumers (the
+    // two key sets and the expansion) — churn-sized by construction
+    val net = feed.groupBy(dataCols.map(col): _*)
+      .agg(sum(col(opCol)).cast("long").as("__graft_net"))
+      .filter(col("__graft_net") =!= 0L)
+      .localCheckpoint(true)
+    // keys with BOTH a net delete and a net insert were updated; the
+    // key set is distinct-key-sized and breaks the self-join lineage
+    // via its own pin
+    val updKeys = net.filter(col("__graft_net") < 0L)
+      .select(keys.map(col): _*).distinct()
+      .join(net.filter(col("__graft_net") > 0L)
+        .select(keys.map(col): _*).distinct(), keys, "left_semi")
+      .withColumn("__graft_upd", lit(true))
+      .localCheckpoint(true)
+    val sign = when(col("__graft_net") > 0L, lit(1)).otherwise(lit(-1))
+    net.withColumn("__graft_i",
+        explode(sequence(lit(1L), abs(col("__graft_net")))))
+      .withColumn(opCol, sign)
+      .join(updKeys, keys, "left")
+      .withColumn(typeCol,
+        when(col(opCol) === -1 && col("__graft_upd"), "update_preimage")
+          .when(col(opCol) === -1, "delete")
+          .when(col("__graft_upd"), "update_postimage")
+          .otherwise("insert"))
+      .select((dataCols :+ opCol :+ typeCol).map(col): _*)
+  }
+
   /** DESCRIBE HISTORY off the generation store: one row per committed
     * transition — `gen` = the generation the commit produced — with
     * the commit's file churn (`files_added`, `files_removed`) and row
@@ -1247,6 +1373,37 @@ object Layout {
       val end = resolved.indexOf('/', i + marker.length)
       require(end > 0, s"malformed retirement path $resolved")
       resolved.substring(0, end)
+    }
+  }
+
+  /** The resolved (anchor, file) pairs of generation `gen` — the
+    * [[readSnapshot]] resolution exposed for the `graft` DataSourceV2
+    * reader ([[graft.sources.GraftSource]]): each manifest file
+    * resolved live-or-retired at CALL time, paired with the basePath
+    * anchor [[readResolved]] would group it under (the layout dir for
+    * live files, the retirement label for retired ones). */
+  private[graft] def snapshotFileAnchors(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, gen: Long): Seq[(String, String)] = {
+    requireEncodingStablePath(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = snapshotManifestOf(spark, fs, dir, gen)
+      .select("file").collect().map(_.getString(0))
+    resolveSnapshotFiles(fs, dir, gen, files)
+      .map(f => snapshotAnchorOf(dir, f) -> f)
+  }
+
+  /** Whether the layout root has hive `k=v` partition subdirectories —
+    * the reader-side dispatch the `graft` DataSourceV2 source needs
+    * (a partitioned tree's snapshot read must anchor a basePath). */
+  private[graft] def isHivePartitioned(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val hDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(hDir).exists { st =>
+      val n = st.getPath.getName
+      st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
     }
   }
 
@@ -1492,14 +1649,109 @@ object Layout {
         "generation", "oldest_gen", "worst_depth")
   }
 
+  // ───────── snapshot pins: vacuum ↔ consumer coordination ─────────
+  //
+  // A long-lived snapshot consumer (a materialized view pinned to the
+  // generation it last refreshed from) can REGISTER that pin in the
+  // base's history dir; [[vacuumGenerations]] then refuses to cut
+  // below the oldest registered pin instead of silently stranding the
+  // consumer (whose next refresh would fail needing a full rebuild).
+  // Pins are advisory-but-enforced: vacuum's `force` overrides, and a
+  // consumer that disappears without unregistering leaves a stale pin
+  // a reader can see (`snapshotPins`) and clear by name.
+
+  private def pinsDir(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(historyDir(dir), "pins")
+
+  private def pinPath(dir: String, consumer: String): org.apache.hadoop.fs.Path = {
+    // filename = hex digest of the consumer id (ids are paths — not
+    // valid filenames); the id itself rides inside the JSON
+    val d = java.security.MessageDigest.getInstance("SHA-1")
+      .digest(consumer.getBytes("UTF-8"))
+    new org.apache.hadoop.fs.Path(pinsDir(dir),
+      d.map("%02x".format(_)).mkString + ".json")
+  }
+
+  private val PinRe =
+    """\{"consumer":"([^"]*)","gen":(\d+)\}""".r
+
+  /** Register (or advance) `consumer`'s pinned generation on this
+    * layout. Tmp + rename, so a torn write never reads as a pin. */
+  def registerSnapshotPin(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, consumer: String,
+                          gen: Long): Unit = {
+    require(consumer.nonEmpty &&
+        consumer.forall(c => c != '"' && c != '\\' && c >= ' '),
+      s"snapshot-pin consumer id must be a plain path/name, got '$consumer'")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(generationsEnabled(fs, dir),
+      s"$dir is not generation-tracked — nothing to pin against")
+    fs.mkdirs(pinsDir(dir))
+    val p = pinPath(dir, consumer)
+    val tmp = new org.apache.hadoop.fs.Path(p.toString + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"consumer":"$consumer","gen":$gen}"""
+      .getBytes("UTF-8")) finally out.close()
+    require(fs.delete(p, false) || !fs.exists(p),
+      s"failed to clear the old snapshot pin at $p")
+    require(fs.rename(tmp, p), s"failed to persist the snapshot pin at $p")
+  }
+
+  /** Drop `consumer`'s pin (idempotent). */
+  def unregisterSnapshotPin(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, consumer: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val p = pinPath(dir, consumer)
+    require(fs.delete(p, false) || !fs.exists(p),
+      s"failed to drop the snapshot pin at $p")
+  }
+
+  /** consumer id → pinned generation, every registered pin. A torn
+    * pin file fails loudly — silently skipping one would let vacuum
+    * cut below it. */
+  def snapshotPins(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Map[String, Long] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    snapshotPinsOf(fs, dir)
+  }
+
+  private def snapshotPinsOf(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: String): Map[String, Long] = {
+    val d = pinsDir(dir)
+    if (!fs.exists(d)) Map.empty
+    else fs.listStatus(d).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val txt = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 256, false)
+          out.toString("UTF-8").trim
+        } finally in.close()
+        txt match {
+          case PinRe(c, g) => c -> g.toLong
+          case _ => throw new IllegalStateException(
+            s"corrupt snapshot pin at ${st.getPath} (read '$txt') — " +
+              "repair or remove it before vacuuming")
+        }
+      }.toMap
+  }
+
   /** Trim the generation store to the last `retainLast` generations
     * (live included): archived manifests and retired-file dirs
     * labeled below the cut are deleted — every RETAINED snapshot
     * stays fully readable, because a file needed by snapshot N sits
     * at a retirement label ≥ N (it was retired by the commit that
-    * superseded it). Returns `(manifestsDropped, filesDropped)`. */
+    * superseded it). A registered snapshot pin BELOW the cut refuses
+    * the vacuum by consumer name (refresh the view to advance its
+    * pin, unregister it, or pass `force`). Returns
+    * `(manifestsDropped, filesDropped)`. */
   def vacuumGenerations(spark: org.apache.spark.sql.SparkSession,
-                        dir: String, retainLast: Int): (Int, Int) = {
+                        dir: String, retainLast: Int,
+                        force: Boolean = false): (Int, Int) = {
     require(retainLast >= 1, "vacuumGenerations needs retainLast >= 1")
     requireEncodingStablePath(dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -1507,7 +1759,7 @@ object Layout {
     require(generationsEnabled(fs, dir),
       s"$dir is not generation-tracked — nothing to vacuum")
     val cur = currentGeneration(spark, dir)
-    vacuumBelow(spark, fs, dir, cur, cur - (retainLast - 1L))
+    vacuumBelow(spark, fs, dir, cur, cur - (retainLast - 1L), force)
   }
 
   /** [[vacuumGenerations]] by AGE instead of count — the Delta
@@ -1521,8 +1773,8 @@ object Layout {
     * crashed commit's recordless generation errs toward safety.
     * Returns `(manifestsDropped, filesDropped)`. */
   def vacuumGenerationsOlderThan(spark: org.apache.spark.sql.SparkSession,
-                                 dir: String,
-                                 cutoffMillis: Long): (Int, Int) = {
+                                 dir: String, cutoffMillis: Long,
+                                 force: Boolean = false): (Int, Int) = {
     requireEncodingStablePath(dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1537,12 +1789,27 @@ object Layout {
     val cut = (archivedGens(fs, dir).minOption.getOrElse(cur) to cur)
       .find(g => info.get(g).forall(_._1 >= cutoffMillis))
       .getOrElse(cur)
-    vacuumBelow(spark, fs, dir, cur, cut)
+    vacuumBelow(spark, fs, dir, cur, cut, force)
   }
 
   private def vacuumBelow(spark: org.apache.spark.sql.SparkSession,
                           fs: org.apache.hadoop.fs.FileSystem,
-                          dir: String, cur: Long, cut: Long): (Int, Int) = {
+                          dir: String, cur: Long, cut: Long,
+                          force: Boolean = false): (Int, Int) = {
+    // registered consumer pins gate the cut BEFORE anything deletes:
+    // cutting below a pin would strand that consumer's next refresh
+    // on a vacuumed manifest (recoverable only by a full rebuild) —
+    // refused by consumer name instead, unless forced
+    if (!force) {
+      val blocking = snapshotPinsOf(fs, dir).filter(_._2 < cut)
+      require(blocking.isEmpty,
+        s"vacuum to generation $cut would cut below ${blocking.size} " +
+          "registered snapshot pin(s): " +
+          blocking.toSeq.sortBy(_._1)
+            .map { case (c, g) => s"$c @ gen=$g" }.mkString(", ") +
+          " — refresh those consumers (advancing their pins), " +
+          "unregisterSnapshotPin them, or pass force = true")
+    }
     // persist the generation counter BEFORE any deletion: the
     // archived manifests are its only other record, and a full vacuum
     // (retainLast = 1) drops them all — without the floor the counter
@@ -2471,12 +2738,12 @@ object Layout {
     // moves — retirement under a superseded label would strand the
     // winner's live files
     requireExpectedGen(fs, dir, expectedGen, "deleteWhere")
-    retireOrDeleteAll(fs, dir, (dropFiles ++ rewriteFiles).map(_._1),
-      "deleteWhere")
+    val receipt = retireOrDeleteAll(fs, dir,
+      (dropFiles ++ rewriteFiles).map(_._1), "deleteWhere")
     // manifest last ([[patchManifest]]'s temp-dir + rename replace)
     patchManifest(spark, dir, manifest, keyCols,
       (dropFiles ++ rewriteFiles).map(_._1).toSeq, delta,
-      "deleteWhere", expectedGen)
+      "deleteWhere", expectedGen, receipt)
     DeleteStats(dropFiles.length, rewriteFiles.length,
       dropFiles.map(_._2).sum + rewriteFiles.map(_._2).sum - newRows)
   }
@@ -2700,10 +2967,12 @@ object Layout {
       // fully superseded by their survivors + the inserted updates.
       // OCC re-check first — see deleteWhere's destructive tail
       requireExpectedGen(fs, dir, expectedGen, "upsertByKeys")
-      retireOrDeleteAll(fs, dir, touched.map(_._1).toSeq, "upsertByKeys")
+      val receipt = retireOrDeleteAll(fs, dir, touched.map(_._1).toSeq,
+        "upsertByKeys")
       // manifest last ([[patchManifest]]'s temp-dir + rename replace)
       patchManifest(spark, dir, manifest, keyCols,
-        touched.map(_._1).toSeq, Some(delta), "upsertByKeys", expectedGen)
+        touched.map(_._1).toSeq, Some(delta), "upsertByKeys", expectedGen,
+        receipt)
       // newRows = survivors + updCount, so replaced = touched − survivors
       val touchedRows = touched.map(_._2).sum
       UpsertStats(touched.length, verdicts.length - touched.length,
@@ -3144,6 +3413,81 @@ object Layout {
       .groupBy(col("__leaf").as("leaf")).agg(max("depth").as("worst"))
   }
 
+  /** Per-LEAF deep-file selection — [[deepFilesOf]] partitioned by the
+    * file's parent directory, in ONE job for all leaves (the same
+    * leaf-partitioned sweep discipline as [[worstDepthPerLeaf]]; a
+    * per-leaf driver loop would run thousands of tiny jobs on a
+    * thousand-leaf tree). A file is selected when its `[min, max]`
+    * interval on `key` covers a boundary whose depth WITHIN ITS OWN
+    * LEAF reaches `maxDepth` — the true pruned-lookup cost, since
+    * files in other leaves never stack on it. Returns the manifest's
+    * own `file` spellings. */
+  private def deepFilesPerLeaf(manifest: DataFrame, key: String,
+                               maxDepth: Long): Seq[String] = {
+    import org.apache.spark.sql.expressions.Window
+    val m = manifest.withColumn("__leaf",
+      regexp_replace(col("file"), "/[^/]+$", ""))
+    val statT = m.schema(s"min_$key").dataType
+    val hits =
+      if (statT == org.apache.spark.sql.types.StringType) {
+        val ranked = m.select(col("__leaf"), col(s"min_$key").as("value"))
+          .unionAll(m.select(col("__leaf"), col(s"max_$key").as("value")))
+          .filter(col("value").isNotNull).distinct()
+          .withColumn("pos", dense_rank().over(
+            Window.partitionBy("__leaf").orderBy("value")).cast("long"))
+        val bounds = m.select(col("__leaf"), col(s"min_$key").as("value"))
+          .filter(col("value").isNotNull)
+          .join(ranked, Seq("__leaf", "value"))
+          .select(col("__leaf"), col("pos"), lit(1L).as("delta"))
+          .unionAll(m.select(col("__leaf"), col(s"max_$key").as("value"))
+            .filter(col("value").isNotNull)
+            .join(ranked, Seq("__leaf", "value"))
+            .select(col("__leaf"), (col("pos") + 1L).as("pos"),
+              lit(-1L).as("delta")))
+        // a boundary with no event row of its own (a value appearing
+        // only as some file's max) inherits the depth of the previous
+        // event boundary, whose deep hit selects the same covering
+        // files — conservative-correct without seed rows
+        // eager pin: deep-boundary rows are file-count-sized, and the
+        // checkpoint breaks the self-join lineage with `m` (both sides
+        // descend from the manifest — shared attribute ids would make
+        // the interval condition ambiguous)
+        val deep = bounds.groupBy("__leaf", "pos").agg(sum("delta").as("net"))
+          .withColumn("depth", sum("net").over(
+            Window.partitionBy("__leaf").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .filter(col("depth") >= maxDepth)
+          .join(ranked, Seq("__leaf", "pos"))
+          .select(col("__leaf").as("__dleaf"), col("value").as("__dvalue"))
+          .localCheckpoint(true)
+        m.join(deep,
+          m("__leaf") === deep("__dleaf") &&
+            m(s"min_$key") <= deep("__dvalue") &&
+            deep("__dvalue") <= m(s"max_$key"))
+      } else {
+        val toLong = statToLongOf(statT, key)
+        val deep = m.filter(col(s"min_$key").isNotNull)
+          .select(col("__leaf"), toLong(col(s"min_$key")).as("pos"),
+            lit(1L).as("delta"))
+          .unionAll(m.filter(col(s"max_$key").isNotNull)
+            .select(col("__leaf"), (toLong(col(s"max_$key")) + 1L).as("pos"),
+              lit(-1L).as("delta")))
+          .groupBy("__leaf", "pos").agg(sum("delta").as("net"))
+          .withColumn("depth", sum("net").over(
+            Window.partitionBy("__leaf").orderBy("pos")
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .filter(col("depth") >= maxDepth)
+          .select(col("__leaf").as("__dleaf"), col("pos").as("__dpos"))
+          // eager pin — same lineage-break rationale as the string arm
+          .localCheckpoint(true)
+        m.join(deep,
+          m("__leaf") === deep("__dleaf") &&
+            toLong(m(s"min_$key")) <= deep("__dpos") &&
+            deep("__dpos") <= toLong(m(s"max_$key")))
+      }
+    hits.select(m("file")).distinct().collect().map(_.getString(0)).toSeq
+  }
+
   /** Per-call outcome of the OPTIMIZE verbs. `worstDepthBefore` is
     * the max point-lookup depth across the stored keys at call time —
     * the signal that fired (or declined) the rewrite. `filesKept`
@@ -3375,12 +3719,12 @@ object Layout {
       .localCheckpoint(true)
     // OCC re-check before the destructive tail — see deleteWhere
     requireExpectedGen(fs, dir, expectedGen, "optimizeSelective")
-    retireOrDeleteAll(fs, dir, selected, "optimizeSelective")
+    val receipt = retireOrDeleteAll(fs, dir, selected, "optimizeSelective")
     // kept rows verbatim, delta rows appended — the manifest is
     // PATCHED, never rebuilt, so kept files' stats (and blooms)
     // cannot drift
     patchManifest(spark, dir, manifest, keys, selected, Some(delta),
-      "optimizeSelective", expectedGen)
+      "optimizeSelective", expectedGen, receipt)
     OptimizeStats(reclustered = true, before.size,
       spark.read.parquet(dir).inputFiles.length, worst,
       filesKept = before.size - selected.size)
@@ -3498,6 +3842,7 @@ object Layout {
         s.filterNot(f => partCols.contains(f.name)))
     }
     val removed = scala.collection.mutable.ArrayBuffer[String]()
+    val receipts = scala.collection.mutable.ArrayBuffer[RetireReceipt]()
     var skippedLeaves = 0
     def isAux(n: String) = n.startsWith("_") || n.startsWith(".")
     def rewriteLeaf(leaf: org.apache.hadoop.fs.Path): Unit = {
@@ -3528,6 +3873,7 @@ object Layout {
       // is labeled against the ROOT — all leaves of this pass share
       // one label, because the manifest commits once at the end
       retireOrDeleteAll(fs, dir, oldFiles, "optimizePartitioned")
+        .foreach(r => receipts += r)
       removed ++= oldFiles
     }
     def walk(cur: org.apache.hadoop.fs.Path): Unit = {
@@ -3559,7 +3905,8 @@ object Layout {
         keys, bloomKeysOf(mSchema))
       .localCheckpoint(true)
     patchManifest(spark, dir, manifest, keys, removed.toSeq, Some(delta),
-      "optimizePartitioned", expectedGen)
+      "optimizePartitioned", expectedGen,
+      receipts.reduceOption((a, b) => RetireReceipt(a.gen, a.moved ++ b.moved)))
     // the sidecar retires only when every leaf rewrote: a skipped
     // leaf may still hold files that predate an added column, and
     // retiring it would revert their reads to footer sampling. NOT
@@ -3571,6 +3918,126 @@ object Layout {
     OptimizeStats(reclustered = true, before.size,
       spark.read.parquet(dir).inputFiles.length, worst,
       filesKept = before.size - removed.size)
+  }
+
+  /** FILE-SUBSET OPTIMIZE inside partition leaves —
+    * [[optimizeSelective]]'s granularity composed into
+    * [[optimizePartitioned]]'s tree: where the leaf verb rewrites a
+    * fired leaf WHOLE, this one rewrites only the files the per-leaf
+    * depth profile names (interval covers a boundary at depth ≥
+    * `maxDepth` WITHIN ITS OWN LEAF — [[deepFilesPerLeaf]], one
+    * leaf-partitioned sweep per in-file key for the whole tree) plus
+    * the small-file tail (`n_rows < minFileRows`, opt-in), bin-packed
+    * per leaf into `ceil(leaf's selected rows / targetRows)` clustered
+    * outputs. Every unselected file — including the COLD files of a
+    * hot leaf — keeps its exact name, bytes, and manifest row
+    * VERBATIM. At 100 TB this is the missing granularity between
+    * "rewrite the table" and "rewrite the leaf": a year-sized leaf
+    * holding one day of degraded ingest pays one day's I/O, not a
+    * year's.
+    *
+    * Selection is conservative-correct per leaf (every file stacked
+    * at a deep boundary is selected, so the leaf-local rewrite
+    * flattens the stack; unselected files sat below the trigger and
+    * their stats cannot drift). Rewrites read ONLY the selected
+    * files, under the evolved-schema sidecar minus the path-encoded
+    * columns; the sidecar is KEPT (kept files may predate an added
+    * column). The manifest is PATCHED once after all leaves swap;
+    * crash windows are [[optimizePartitioned]]'s. A leaf with no deep
+    * boundary and no small files is untouched — pure fragmentation
+    * (too many well-clustered files) is [[optimizePartitioned]]'s
+    * signal, not this verb's. */
+  def optimizePartitionedSelective(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, targetRows: Long,
+                                   maxDepth: Long = 4L,
+                                   minFileRows: Long = 0L,
+                                   verifyCoverage: Boolean = true,
+                                   expectedGen: Option[Long] = None)
+      : OptimizeStats = {
+    require(targetRows >= 1,
+      "optimizePartitionedSelective needs targetRows >= 1")
+    requireEncodingStablePath(dir)
+    val hDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireExpectedGen(fs, dir, expectedGen, "optimizePartitionedSelective")
+    val dirFrame = spark.read.parquet(dir)
+    val partCols = hivePartColsChecked(fs, hDir, dirFrame.schema)
+    require(partCols.nonEmpty,
+      s"optimizePartitionedSelective expects a hive-partitioned " +
+        s"layout; $dir has no k=v subdirectories — use optimizeSelective")
+    val manifest = loadManifest(spark, dir)
+    val mSchema = manifest.schema
+    val keys = manifestKeysOf(mSchema)
+    val fileKeys = keys.filterNot(partCols.contains)
+    val before = dirFrame.inputFiles.toSet
+    // reported signal: per-leaf worst over the in-file keys — the
+    // same number the leaf verb fires on (partition-column keys
+    // excluded for the same file-count-degeneracy reason)
+    val worst =
+      if (fileKeys.isEmpty) 0L
+      else {
+        val w = fileKeys.map(worstDepthPerLeaf(manifest, _))
+          .reduce(_.unionAll(_)).agg(max("worst")).collect()(0)
+        if (w.isNullAt(0)) 0L else w.getLong(0)
+      }
+    val deep = fileKeys.flatMap(deepFilesPerLeaf(manifest, _, maxDepth))
+      .toSet
+    val small =
+      if (minFileRows <= 0L) Set.empty[String]
+      else manifest.filter(col("n_rows") < minFileRows)
+        .select("file").collect().map(_.getString(0)).toSet
+    val selected = deep ++ small
+    if (selected.isEmpty)
+      return OptimizeStats(reclustered = false, before.size, before.size,
+        worst, filesKept = before.size)
+    val stored = storedSchemaOf(spark, dir)
+    if (verifyCoverage)
+      requireManifestCovers(spark, dirFrame,
+        manifest.select("file").collect().map(_.getString(0)).toSet, dir,
+        "the rewrite would silently legitimize their rows into the new layout")
+    import spark.implicits._
+    val rowsByFile = manifest
+      .join(broadcast(selected.toSeq.toDF("file")), Seq("file"), "left_semi")
+      .select("file", "n_rows").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val leafSchema = stored.map { s =>
+      org.apache.spark.sql.types.StructType(
+        s.filterNot(f => partCols.contains(f.name)))
+    }
+    val allLong = fileKeys.forall(k =>
+      mSchema(s"min_$k").dataType == org.apache.spark.sql.types.LongType)
+    val receipts = scala.collection.mutable.ArrayBuffer[RetireReceipt]()
+    val byLeaf = selected.toSeq.sorted.groupBy(f =>
+      new org.apache.hadoop.fs.Path(new java.net.URI(f)).getParent)
+    // OCC re-check before the first leaf swaps — see deleteWhere
+    requireExpectedGen(fs, dir, expectedGen, "optimizePartitionedSelective")
+    for ((leaf, files) <- byLeaf.toSeq.sortBy(_._1.toString)) {
+      val selRows = files.map(rowsByFile).sum
+      val nOut = math.max(1L, (selRows + targetRows - 1L) / targetRows).toInt
+      val src = leafSchema.fold(spark.read)(s => spark.read.schema(s))
+        .parquet(files: _*)
+      val tmp = new org.apache.hadoop.fs.Path(leaf, "_graft_optimize_tmp")
+      clusteredRewriteTo(src, fileKeys, allLong, tmp.toString, nOut)
+      moveTreeInto(fs, tmp, leaf, "optimizePartitionedSelective")
+      fs.delete(tmp, true)
+      // retire (or delete) only this leaf's selected files, now fully
+      // superseded by their clustered copy; all leaves share one
+      // label because the manifest commits once at the end
+      retireOrDeleteAll(fs, dir, files, "optimizePartitionedSelective")
+        .foreach(receipts += _)
+    }
+    val newFiles = spark.read.parquet(dir).inputFiles.toSeq
+      .filterNot(before)
+    val delta = manifestOf(
+        spark.read.option("basePath", dir).parquet(newFiles: _*),
+        keys, bloomKeysOf(mSchema))
+      .localCheckpoint(true)
+    patchManifest(spark, dir, manifest, keys, selected.toSeq.sorted,
+      Some(delta), "optimizePartitionedSelective", expectedGen,
+      receipts.reduceOption((a, b) => RetireReceipt(a.gen, a.moved ++ b.moved)))
+    OptimizeStats(reclustered = true, before.size,
+      spark.read.parquet(dir).inputFiles.length, worst,
+      filesKept = before.size - selected.size)
   }
 
   /** Write `df` as a managed parquet table hash-bucketed (and sorted

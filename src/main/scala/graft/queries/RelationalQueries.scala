@@ -1139,20 +1139,26 @@ object RelationalQueries {
           .select(col("l_orderkey").as("o_orderkey"),
             col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
         val aCols = Seq("o_orderkey", "o_orderpriority")
-        val bCols = Seq("o_orderkey", "l_returnflag", "qty")
+        val bKeys = Seq("o_orderkey", "l_returnflag")
         val jk = Seq("o_orderkey")
         val gk = Seq("o_orderpriority", "l_returnflag")
         // the bootstrapped states pin eagerly: a real deployment READS
         // materialized side/view states from storage, so the gate must
         // not re-aggregate each one from the base tables once per
         // consumer (bootstrap, delta term, side maintenance — 3
-        // full-table shuffles each without the pin)
-        val a0 = graft.ext.Ivm.multisetOf(
-          o.filter(col("o_orderkey") % 2 === 0), aCols).localCheckpoint(true)
-        val b0 = graft.ext.Ivm.multisetOf(
-          li.filter(col("o_orderkey") % 2 === 0), bCols).localCheckpoint(true)
-        val view0 = graft.ext.Ivm.aggregateOfJoin(a0, b0, jk, gk, Seq("qty"))
+        // full-table shuffles each without the pin).
+        // The lineitem side is a PARTIAL state: qty pre-aggregates to
+        // a sum_qty per (orderkey, returnflag) group — ~|orderkey ×
+        // flag| rows, not ~|lineitem| as a raw-qty multiset would be
+        val a0 = graft.ext.Ivm.aggregateOf(
+          o.filter(col("o_orderkey") % 2 === 0), aCols, Nil)
           .localCheckpoint(true)
+        val b0 = graft.ext.Ivm.aggregateOf(
+          li.filter(col("o_orderkey") % 2 === 0), bKeys, Seq("qty"))
+          .localCheckpoint(true)
+        // view0 has ONE consumer (the maintenance merge) — left lazy;
+        // the multi-consumer side states above are what need the pins
+        val view0 = graft.ext.Ivm.aggregateOfJoin(a0, b0, jk, gk, Seq("qty"))
         val aFeed =
           o.filter(col("o_orderkey") % 10 === 0).withColumn("op", lit(-1))
             .unionByName(
@@ -1175,9 +1181,12 @@ object RelationalQueries {
 
     // THREE-table join-view maintenance by COMPOSITION — the
     // [[Ivm.deltaJoinFeed]] chain: the intermediate orders ⋈ lineitem
-    // keeps its own multiset state, the join's OWN signed delta
-    // (ΔA⋈B_old ∪ A_new⋈ΔB, expanded to unit rows) feeds both that
-    // state and the outer two-table maintenance against part —
+    // keeps its own PARTIAL state (keyed by the columns the outer
+    // level still needs — priority and partkey — with qty as a
+    // sum partial, so the state is ~|partkey × priority|, never
+    // ~|lineitem|), and the join's OWN signed partial delta
+    // (ΔA⋈B_old ∪ A_new⋈ΔB, weights reading the partials) feeds both
+    // that state and the outer two-table maintenance against part —
     // each table adds one churn-priced delta-join, the prefix never
     // recomputes. Feeds delete a slice of ALL THREE tables at once
     // (the A/B pair exercises the cross term); the maintained view
@@ -1193,13 +1202,17 @@ object RelationalQueries {
         val pt = t(s, d, "part")
           .select(col("p_partkey").as("l_partkey"), col("p_brand"))
         val aCols = Seq("o_orderkey", "o_orderpriority")
-        val bCols = Seq("o_orderkey", "l_partkey", "qty")
+        val bKeys = Seq("o_orderkey", "l_partkey")
         val cCols = Seq("l_partkey", "p_brand")
-        val aS = graft.ext.Ivm.multisetOf(o, aCols).localCheckpoint(true)
-        val bS = graft.ext.Ivm.multisetOf(li, bCols).localCheckpoint(true)
-        val cS = graft.ext.Ivm.multisetOf(pt, cCols).localCheckpoint(true)
-        val abS = graft.ext.Ivm.multisetOf(o.join(li, "o_orderkey"),
-          (aCols ++ bCols).distinct).localCheckpoint(true)
+        val abKeys = Seq("o_orderpriority", "l_partkey")
+        val aS = graft.ext.Ivm.aggregateOf(o, aCols, Nil)
+          .localCheckpoint(true)
+        val bS = graft.ext.Ivm.aggregateOf(li, bKeys, Seq("qty"))
+          .localCheckpoint(true)
+        val cS = graft.ext.Ivm.aggregateOf(pt, cCols, Nil)
+          .localCheckpoint(true)
+        val abS = graft.ext.Ivm.aggregateOf(o.join(li, "o_orderkey"),
+          abKeys, Seq("qty")).localCheckpoint(true)
         val view0 = graft.ext.Ivm.aggregateOfJoin(abS, cS,
             Seq("l_partkey"), Seq("o_orderpriority", "p_brand"), Seq("qty"))
           .localCheckpoint(true)
@@ -1209,11 +1222,14 @@ object RelationalQueries {
           .withColumn("op", lit(-1))
         val cFeed = pt.filter(col("l_partkey") % 5 === 0)
           .withColumn("op", lit(-1))
-        val aNew = graft.ext.Ivm.maintainMultiset(aS, aFeed, aCols)
-        val abFeed = graft.ext.Ivm.deltaJoinFeed(aS, aNew, bS,
-          aFeed, bFeed, Seq("o_orderkey")).localCheckpoint(true)
-        val (view, _, _) = graft.ext.Ivm.maintainJoinAgg(view0, abS, cS,
-          abFeed, cFeed, Seq("l_partkey"),
+        val aDelta = graft.ext.Ivm.signedPartialOf(aFeed, aCols, Nil)
+        val bDelta = graft.ext.Ivm.signedPartialOf(bFeed, bKeys, Seq("qty"))
+        val cDelta = graft.ext.Ivm.signedPartialOf(cFeed, cCols, Nil)
+        val aNew = graft.ext.Ivm.maintainAgg(aS, aFeed, aCols, Nil)
+        val abDelta = graft.ext.Ivm.deltaJoinFeed(aNew, bS,
+          aDelta, bDelta, Seq("o_orderkey"), abKeys, Seq("qty"))
+        val (view, _, _) = graft.ext.Ivm.maintainJoinAggDelta(view0, abS,
+          cS, abDelta, cDelta, Seq("l_partkey"),
           Seq("o_orderpriority", "p_brand"), Seq("qty"))
         view.orderBy("o_orderpriority", "p_brand")
       },

@@ -1810,6 +1810,88 @@ object SketchQueries {
              |FROM pruned GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true),
 
+    // FILE-SUBSET OPTIMIZE inside a partition leaf —
+    // [[Layout.optimizePartitionedSelective]], the granularity between
+    // "rewrite the table" and "rewrite the leaf": a lang-partitioned
+    // tree takes four narrow appends stacked over one doc_id band of
+    // ONE hot lang leaf, and the rewrite bin-packs just that leaf's
+    // stacked files — the hot leaf's COLD files and every other leaf
+    // keep their exact names and manifest rows verbatim
+    // (fixture-asserted). The gate's pruned read spans rewritten AND
+    // kept regions across all leaves, so the hash match against
+    // DuckDB's replay of the same churn proves the leaf-local partial
+    // rewrite lost nothing and the patched manifest still prunes
+    // exactly.
+    QueryDef("q_layout_optimize_leaf",
+      (s, d) => {
+        val dir = prunedFixture.computeIfAbsent(s"$d#docs_optleaf", _ => {
+          val p = graft.Scratch.tempDir("graft_optleaf_") + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(2, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.partitionBy("lang").mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          // SF-independent hot band: the first eighth of the doc_id
+          // range, within the lexicographically first lang — the
+          // oracle re-derives the identical bounds
+          val hot = docs.agg(min("lang")).head().getString(0)
+          val mm = docs.agg(min("doc_id"), max("doc_id")).head()
+          val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+          val churn = docs.filter(col("lang") === hot &&
+            col("doc_id").between(mn, mn + (mx - mn) / 8)).repartition(1)
+          require(churn.limit(1).count() > 0L,
+            "degenerate fixture: empty churn band")
+          for (_ <- 1 to 4)
+            Layout.appendWithManifest(churn, p, Seq("doc_id"))
+          val before = s.read.parquet(p).inputFiles.toSet
+          val st = Layout.optimizePartitionedSelective(s, p,
+            targetRows = 8192L, maxDepth = 4L)
+          require(st.reclustered && st.filesKept > 0 &&
+              st.filesBefore > st.filesKept, s"degenerate fixture: $st")
+          val kept = s.read.parquet(p).inputFiles.toSet.intersect(before)
+          require(kept.size == st.filesKept,
+            s"kept files did not keep their exact names: $st vs ${kept.size}")
+          // the hot leaf itself must retain a verbatim file — the
+          // inside-the-leaf granularity optimizePartitioned lacks
+          require(kept.exists(_.contains(s"lang=$hot")),
+            "no cold file survived inside the hot leaf")
+          p
+        })
+        val mm = t(s, d, "documents")
+          .agg(min("doc_id"), max("doc_id")).head()
+        val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+        Layout.scanPruned(s, dir,
+            Seq(Layout.KeyBox("doc_id", mn, mn + (mx - mn) / 2)))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH r AS (
+             |  SELECT min(doc_id) AS mn,
+             |    min(doc_id) + (max(doc_id)-min(doc_id))//8 AS chi,
+             |    min(doc_id) + (max(doc_id)-min(doc_id))//2 AS rhi
+             |  FROM documents),
+             |base AS (SELECT doc_id, lang, n_chars FROM documents),
+             |churn AS (
+             |  SELECT b.* FROM base b, r
+             |  WHERE b.lang = (SELECT min(lang) FROM documents)
+             |    AND b.doc_id BETWEEN r.mn AND r.chi),
+             |all_rows AS (
+             |  SELECT * FROM base
+             |  UNION ALL SELECT * FROM churn UNION ALL SELECT * FROM churn
+             |  UNION ALL SELECT * FROM churn UNION ALL SELECT * FROM churn),
+             |pruned AS (
+             |  SELECT a.* FROM all_rows a, r
+             |  WHERE a.doc_id BETWEEN r.mn AND r.rhi)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM pruned GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
+
     // Metadata-only MIN/MAX — [[Layout.minMaxFromManifest]] composes
     // the global extremes of a key from the manifest's per-file
     // stats, the refresh [[graft.ext.Ivm]]'s documented MIN/MAX
@@ -1940,6 +2022,52 @@ object SketchQueries {
              |FROM final GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true),
 
+    // CDF with ROW CHANGE TYPES — [[Layout.changesBetweenTyped]] over
+    // the same churned fixture: identical ±1 pairs (the delete's
+    // rewrite survivors) NET OUT, and the upsert's delete+insert
+    // re-pairs by key into update_preimage/update_postimage — the
+    // "what changed" feed downstream SCD2/audit consumers key on,
+    // instead of re-deriving the pairing themselves. Row-level gate:
+    // every feed row with its op and type must match DuckDB's
+    // derivation of the same typed feed (multiset diff via EXCEPT ALL,
+    // key pairing via INTERSECT).
+    QueryDef("q_layout_cdf_types",
+      (s, d) => {
+        val dir = cdfChurnedDocs(s, d)
+        Layout.changesBetweenTyped(s, dir, 0L,
+            Layout.currentGeneration(s, dir), Seq("doc_id"))
+          .orderBy("doc_id", "op")
+      },
+      Some("""WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+             |final AS (
+             |  SELECT * FROM base WHERE doc_id NOT BETWEEN 100 AND 209
+             |  UNION ALL
+             |  SELECT doc_id, lang, n_chars + 1000 FROM base
+             |  WHERE doc_id BETWEEN 200 AND 209
+             |  UNION ALL
+             |  SELECT doc_id + 500000, lang, n_chars FROM base
+             |  WHERE doc_id < 50),
+             |minus0 AS (
+             |  SELECT doc_id, lang, n_chars FROM base
+             |  EXCEPT ALL SELECT doc_id, lang, n_chars FROM final),
+             |plus0 AS (
+             |  SELECT doc_id, lang, n_chars FROM final
+             |  EXCEPT ALL SELECT doc_id, lang, n_chars FROM base),
+             |upd AS (
+             |  SELECT doc_id FROM minus0
+             |  INTERSECT SELECT doc_id FROM plus0)
+             |SELECT m.doc_id, m.lang, m.n_chars, -1 AS op,
+             |  CASE WHEN m.doc_id IN (SELECT doc_id FROM upd)
+             |       THEN 'update_preimage' ELSE 'delete' END
+             |    AS _change_type
+             |FROM minus0 m
+             |UNION ALL
+             |SELECT p.doc_id, p.lang, p.n_chars, 1 AS op,
+             |  CASE WHEN p.doc_id IN (SELECT doc_id FROM upd)
+             |       THEN 'update_postimage' ELSE 'insert' END
+             |FROM plus0 p
+             |ORDER BY 1, 4""".stripMargin)),
+
     // Partitioned snapshot read — generations over a HIVE-PARTITIONED
     // tree: a data-column delete spans every lang partition (gen 1,
     // retiring each dropped file under its preserved k=v chain), and
@@ -1984,6 +2112,58 @@ object SketchQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM pruned GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
+
+    // DataSourceV2 time travel — [[graft.sources.GraftSource]], the
+    // SQL-reachable surface over the generation store: the fixture
+    // proves `spark.read.format("graft").option("versionAsOf", 0)`
+    // equals the Scala readSnapshot byte-for-byte (aggregate
+    // signature), that a zero-option read serves the LIVE manifest,
+    // and that timestampAsOf resolves through the commit records;
+    // the gate itself goes through PLAIN SQL — a `CREATE TEMPORARY
+    // VIEW ... USING graft` over the pre-delete snapshot — so the
+    // hash match against the unmutated table is earned without one
+    // line of Scala in the query path.
+    QueryDef("q_layout_reader",
+      (s, d) => {
+        prunedFixture.computeIfAbsent(s"$d#docs_reader", _ => {
+          val p = graft.Scratch.tempDir("graft_reader_") + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(4, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          Layout.enableGenerations(s, p)
+          val del = Layout.deleteWhere(s, p,
+            Seq(Layout.KeyBox("doc_id", 100L, 299L)))
+          require(del.rowsDeleted > 0L, s"degenerate fixture: $del")
+          def sig(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+            df.agg(count(lit(1)), sum("doc_id"), sum("n_chars"))
+              .head().toSeq
+          require(sig(s.read.format("graft").option("versionAsOf", "0")
+              .load(p)) == sig(Layout.readSnapshot(s, p, 0L)),
+            "the reader's versionAsOf diverged from readSnapshot")
+          require(s.read.format("graft").load(p).count() ==
+              s.read.parquet(p).count(),
+            "a zero-option graft read must serve the live manifest")
+          require(s.read.format("graft")
+              .option("timestampAsOf", System.currentTimeMillis().toString)
+              .load(p).count() == s.read.parquet(p).count(),
+            "timestampAsOf(now) must resolve to the live generation")
+          s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_snap0 " +
+            s"USING graft OPTIONS (path '$p', versionAsOf '0')")
+          p
+        })
+        s.sql("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+                |FROM graft_snap0 GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true),
 
     // TIMESTAMP AS OF — [[Layout.readSnapshotAsOf]] resolves a
@@ -2200,6 +2380,99 @@ object SketchQueries {
              |  UNION ALL
              |  SELECT doc_id + 700000, lang, n_chars FROM base
              |  WHERE doc_id < 30)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+             |FROM final GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
+
+    // STREAMING MV loop — the production deployment of the persisted
+    // view: a FILE-SOURCE stream (maxFilesPerTrigger=1, so each
+    // dropped file is one micro-batch) drives
+    // foreachBatch { ingest-commit → [[Ivm.refreshView]] } against the
+    // ON-DISK view dir — each batch commits one generation via
+    // [[Layout.appendWithManifest]] and the refresh maintains the
+    // persisted state off that commit's file-diff feed alone,
+    // exercising the temp+rename state commit (and its crash-window
+    // healing) under a streaming cadence. The fixture asserts the
+    // per-batch invariant view ≡ live recompute after EVERY
+    // micro-batch; the gate serves the final persisted state against
+    // DuckDB's replay of base ∪ both batches.
+    QueryDef("q_layout_mv_stream",
+      (s, d) => {
+        val viewDir = prunedFixture.computeIfAbsent(s"$d#docs_mvstream", _ => {
+          val root = graft.Scratch.tempDir("graft_mvs_")
+          val p = root + "/documents"
+          val v = root + "/view"
+          val in = root + "/ingest"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(8, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          Layout.enableGenerations(s, p)
+          graft.ext.Ivm.createView(s, p, v, Seq("lang"), Seq("n_chars"))
+          val fs = new org.apache.hadoop.fs.Path(in)
+            .getFileSystem(s.sparkContext.hadoopConfiguration)
+          fs.mkdirs(new org.apache.hadoop.fs.Path(in))
+          def canon(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+            df.select("lang", "cnt", "sum_n_chars").collect()
+              .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+              .sortBy(_._1).toSeq
+          val q = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(in)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$root/ckpt")
+            .foreachBatch {
+              (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+                Layout.appendWithManifest(batch.repartition(1), p,
+                  Seq("doc_id"))
+                graft.ext.Ivm.refreshView(s, v)
+                ()
+            }.start()
+          try {
+            val batches = Seq(
+              docs.filter(col("doc_id") < 40)
+                .withColumn("doc_id", col("doc_id") + lit(900000L)),
+              // group birth mid-stream: a lang the view never held
+              docs.filter(col("doc_id").between(40, 59))
+                .withColumn("doc_id", col("doc_id") + lit(950000L))
+                .withColumn("lang", lit("zz")))
+            for ((b, i) <- batches.zipWithIndex) {
+              val stage = new org.apache.hadoop.fs.Path(s"$root/stage$i")
+              b.repartition(1).write.mode("overwrite")
+                .parquet(stage.toString)
+              val part = fs.listStatus(stage).map(_.getPath)
+                .filter(_.getName.startsWith("part-")).head
+              require(fs.rename(part,
+                new org.apache.hadoop.fs.Path(in, s"batch$i.parquet")),
+                s"failed to stage streaming batch $i")
+              q.processAllAvailable()
+              // the per-batch invariant: the PERSISTED state equals
+              // the live recompute after every micro-batch
+              val live = canon(graft.ext.Ivm.aggregateOf(
+                s.read.parquet(p).select("lang", "n_chars"),
+                Seq("lang"), Seq("n_chars")))
+              require(canon(graft.ext.Ivm.readView(s, v)) == live,
+                s"view diverged from the live recompute after batch $i")
+              require(graft.ext.Ivm.viewGeneration(s, v) ==
+                  Layout.currentGeneration(s, p),
+                s"view not pinned at the live generation after batch $i")
+            }
+          } finally q.stop()
+          v
+        })
+        graft.ext.Ivm.readView(s, viewDir).orderBy("lang")
+      },
+      Some("""WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+             |final AS (
+             |  SELECT * FROM base
+             |  UNION ALL
+             |  SELECT doc_id + 900000, lang, n_chars FROM base
+             |  WHERE doc_id < 40
+             |  UNION ALL
+             |  SELECT doc_id + 950000, 'zz', n_chars FROM base
+             |  WHERE doc_id BETWEEN 40 AND 59)
              |SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
              |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
              |FROM final GROUP BY 1 ORDER BY 1""".stripMargin),

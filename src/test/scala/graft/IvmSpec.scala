@@ -134,8 +134,10 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
     val a = Seq((1L, "p1"), (2L, "p1"), (3L, "p2")).toDF("id", "prio")
     val b = Seq((1L, "x", 10L), (1L, "y", 20L), (2L, "x", 5L),
       (4L, "x", 9L)).toDF("id", "f", "v")
-    val a0 = Ivm.multisetOf(a, Seq("id", "prio"))
-    val b0 = Ivm.multisetOf(b, Seq("id", "f", "v"))
+    // the measure side is a PARTIAL state: v pre-aggregates to sum_v
+    // per (id, f) group — group-sized, never fact-sized
+    val a0 = Ivm.aggregateOf(a, Seq("id", "prio"), Nil)
+    val b0 = Ivm.aggregateOf(b, Seq("id", "f"), Seq("v"))
     val view0 = Ivm.aggregateOfJoin(a0, b0, Seq("id"),
       Seq("prio", "f"), Seq("v"))
     assert(canonJoin(view0) === canonJoin(directJoinAgg(a, b)))
@@ -169,16 +171,60 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
       .exists(t => t._3 === 3L && t._4 === 20L))
   }
 
+  test("join side states are group-sized, not fact-sized: near-unique measures pre-aggregate") {
+    // 1200 fact rows whose measure is near-unique per row — the
+    // raw-multiset representation would hold ~1200 rows (the fact
+    // re-materialized); the partial form must hold EXACTLY the
+    // distinct (joinKey, groupKey) tuples: 3 ids × 2 flags = 6
+    val b = (0L until 1200L).map(i => (i % 3 + 1, s"f${i % 2}", i * 7 + 1))
+      .toDF("id", "f", "v")
+    val bS = Ivm.aggregateOf(b, Seq("id", "f"), Seq("v"))
+      .localCheckpoint(true)
+    assert(bS.count() === b.select("id", "f").distinct().count())
+    val a = Seq((1L, "p1"), (2L, "p2"), (3L, "p1")).toDF("id", "prio")
+    val aS = Ivm.aggregateOf(a, Seq("id", "prio"), Nil)
+    val view0 = Ivm.aggregateOfJoin(aS, bS, Seq("id"),
+      Seq("prio", "f"), Seq("v"))
+    assert(canonJoin(view0) === canonJoin(directJoinAgg(a, b)))
+    // maintenance through the compressed state stays exact: delete a
+    // specific fact row (its raw v rides the feed, folding into the
+    // group partial) and re-point a dimension row
+    val bF = Seq((1L, "f0", 1L, -1)).toDF("id", "f", "v", "op")
+    val aF = Seq((2L, "p2", -1), (2L, "p9", 1)).toDF("id", "prio", "op")
+    val (v1, a1, b1) = Ivm.maintainJoinAgg(view0, aS, bS, aF, bF,
+      Seq("id"), Seq("prio", "f"), Seq("v"))
+    assert(b1.count() === 6L, "maintenance must not inflate the state")
+    val aApplied = Seq((1L, "p1"), (2L, "p9"), (3L, "p1")).toDF("id", "prio")
+    val bApplied = b.filter(!(col("id") === 1L && col("f") === "f0" &&
+      col("v") === 1L))
+    assert(canonJoin(v1) === canonJoin(directJoinAgg(aApplied, bApplied)))
+    assert(a1.count() === 3L)
+  }
+
   test("maintainJoinAgg contracts fail loudly: ambiguous columns, phantom side deletes, malformed view") {
     val a = Seq((1L, "p1", 99L)).toDF("id", "prio", "v") // collides on v
     val b = Seq((1L, "x", 10L)).toDF("id", "f", "v")
     val aAmb = Ivm.multisetOf(a, Seq("id", "prio", "v"))
-    val bOk = Ivm.multisetOf(b, Seq("id", "f", "v"))
+    val bOk = Ivm.aggregateOf(b, Seq("id", "f"), Seq("v"))
     val amb = intercept[IllegalArgumentException] {
       Ivm.aggregateOfJoin(aAmb, bOk, Seq("id"), Seq("prio", "f"), Seq("v"))
     }
     assert(amb.getMessage.contains("rename"))
     val aOk = Ivm.multisetOf(a.select("id", "prio"), Seq("id", "prio"))
+    // a sum column that rides RAW in a multiset key (the fact-sized
+    // anti-pattern) is refused by name — the side must pre-aggregate
+    val rawSum = intercept[IllegalArgumentException] {
+      Ivm.aggregateOfJoin(aOk, Ivm.multisetOf(b, Seq("id", "f", "v")),
+        Seq("id"), Seq("prio", "f"), Seq("v"))
+    }
+    assert(rawSum.getMessage.contains("pre-aggregated"))
+    // a key named like an aggregate column would silently mis-shape
+    // every later pass — refused at aggregation time
+    val badName = intercept[IllegalArgumentException] {
+      Ivm.aggregateOf(b.withColumnRenamed("v", "sum_v"),
+        Seq("id", "sum_v"), Nil)
+    }
+    assert(badName.getMessage.contains("namespace"))
     val view = Ivm.aggregateOfJoin(aOk, bOk, Seq("id"),
       Seq("prio", "f"), Seq("v"))
     // a B-side delete of a row the state never held fails in the
@@ -293,6 +339,69 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("streaming JOIN-MV loop: per-batch ingest commits + refreshJoinView track the recompute") {
+    import graft.ext.Layout
+    withTempDir("graft_jmvstream_") { dir =>
+      val (pa, pb, v) = (s"$dir/a", s"$dir/b", s"$dir/v")
+      (0L to 19L).map(k => (k, s"g${k % 3}")).toDF("k", "grp")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.parquet(pa)
+      (0L to 39L).map(i => (i % 20, i * 10)).toDF("k", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.parquet(pb)
+      for (p <- Seq(pa, pb)) {
+        Layout.buildFileManifest(spark, p, Seq("k"))
+          .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+        Layout.enableGenerations(spark, p)
+      }
+      Ivm.createJoinView(spark, pa, pb, v, Seq("k"), Seq("grp"), Seq("v"))
+      def gcanon(df: org.apache.spark.sql.DataFrame): Seq[(String, Long, Long)] =
+        df.select("grp", "cnt", "sum_v").as[(String, Long, Long)]
+          .collect().sortBy(_._1).toSeq
+      def recomputeLive(): Seq[(String, Long, Long)] = gcanon(
+        spark.read.parquet(pa).join(spark.read.parquet(pb), "k")
+          .groupBy("grp").agg(count(lit(1)).as("cnt"), sum("v").as("sum_v")))
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      // the CDC stream carries (side, k, payload): each micro-batch
+      // commits its rows to the named base — fact appends to B, one
+      // dimension append to A — then ONE refreshJoinView maintains
+      // the persisted trio off both bases' file-diff feeds
+      val in = MemoryStream[(String, Long, Long)]
+      val q = in.toDF().toDF("side", "k", "payload")
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val a = batch.filter(col("side") === "a")
+            .select(col("k"), concat(lit("g"), col("payload")).as("grp"))
+          val b = batch.filter(col("side") === "b")
+            .select(col("k"), col("payload").as("v"))
+          if (a.limit(1).count() > 0)
+            Layout.appendWithManifest(a.repartition(1), pa, Seq("k"))
+          if (b.limit(1).count() > 0)
+            Layout.appendWithManifest(b.repartition(1), pb, Seq("k"))
+          Ivm.refreshJoinView(spark, v)
+          ()
+        }.start()
+      try {
+        val batches = Seq(
+          Seq(("b", 3L, 777L), ("b", 4L, 888L)),          // fact-only
+          Seq(("a", 100L, 9L), ("b", 100L, 5L)),          // both sides: a
+                                                          // NEW key joins
+          Seq(("b", 100L, 6L)))                           // fan onto the new key
+        for ((rows, i) <- batches.zipWithIndex) {
+          in.addData(rows)
+          q.processAllAvailable()
+          assert(gcanon(Ivm.readJoinView(spark, v)) === recomputeLive(),
+            s"join view diverged from the live recompute after batch $i")
+        }
+        val (gA, gB) = Ivm.joinViewGenerations(spark, v)
+        assert(gA === Layout.currentGeneration(spark, pa) &&
+          gB === Layout.currentGeneration(spark, pb),
+          "view not pinned at both live generations after the stream")
+      } finally q.stop()
+    }
+  }
+
   test("materialized view lifecycle: create/refresh/rebuild, crash healing, loud boundaries") {
     import graft.ext.Layout
     withTempDir("graft_mv_") { dir =>
@@ -344,7 +453,10 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
       // vacuum past the view's pinned generation: refresh fails loudly
       // (the archived manifest is gone), rebuildView recovers
       Layout.deleteWhere(spark, base, Seq(Layout.KeyBox("k", 90L, 99L)))
-      Layout.vacuumGenerations(spark, base, retainLast = 1)
+      // the view's registered pin would refuse this vacuum (that
+      // coordination has its own test) — force past it to exercise
+      // the vacuumed-past-pin recovery path
+      Layout.vacuumGenerations(spark, base, retainLast = 1, force = true)
       val gone = intercept[IllegalArgumentException] {
         Ivm.refreshView(spark, view)
       }
@@ -368,8 +480,10 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
 
   test("deltaJoinFeed composes two-table maintenance into an exact 3-table chain") {
     // view: count/sum_v by g over A(k1,g) ⋈ B(k1,k2) ⋈ C(k2,v) —
-    // maintained by keeping a multiset for the INTERMEDIATE A⋈B and
-    // feeding it (and the outer join) the join's OWN signed delta
+    // maintained by keeping a PARTIAL state for the INTERMEDIATE A⋈B
+    // (keyed by what the outer level still needs: g and k2 — k1 is
+    // projected away) and feeding it (and the outer join) the join's
+    // OWN signed partial delta
     var aRows = Seq((1L, "x"), (2L, "y"), (3L, "x"))
     var bRows = Seq((1L, 10L), (1L, 11L), (2L, 10L), (3L, 12L))
     var cRows = Seq((10L, 5L), (11L, 7L), (12L, 9L), (10L, 5L))
@@ -378,9 +492,11 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
     def cDf(r: Seq[(Long, Long)]) = r.toDF("k2", "v")
     var aS = Ivm.multisetOf(aDf(aRows), Seq("k1", "g")).localCheckpoint(true)
     var bS = Ivm.multisetOf(bDf(bRows), Seq("k1", "k2")).localCheckpoint(true)
-    var cS = Ivm.multisetOf(cDf(cRows), Seq("k2", "v")).localCheckpoint(true)
+    // C owns the measure: a partial keyed by k2 alone, carrying sum_v
+    var cS = Ivm.aggregateOf(cDf(cRows), Seq("k2"), Seq("v"))
+      .localCheckpoint(true)
     var abS = Ivm.multisetOf(aDf(aRows).join(bDf(bRows), "k1"),
-      Seq("k1", "g", "k2")).localCheckpoint(true)
+      Seq("g", "k2")).localCheckpoint(true)
     var view = Ivm.aggregateOfJoin(abS, cS, Seq("k2"), Seq("g"), Seq("v"))
       .localCheckpoint(true)
     def recompute(): Seq[(String, Long, Long)] =
@@ -396,15 +512,19 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
                    dC: Seq[(Long, Long, Int)]): Unit = {
       val aFeed = dA.toDF("k1", "g", "op")
       val bFeed = dB.toDF("k1", "k2", "op")
-      val cFeed = dC.toDF("k2", "v", "op")
+      val aDelta = Ivm.signedPartialOf(aFeed, Seq("k1", "g"), Nil)
+      val bDelta = Ivm.signedPartialOf(bFeed, Seq("k1", "k2"), Nil)
+      val cDelta = Ivm.signedPartialOf(dC.toDF("k2", "v", "op"),
+        Seq("k2"), Seq("v"))
       val aNew = Ivm.maintainMultiset(aS, aFeed, Seq("k1", "g"))
-      // the chain's composition step: the join's own signed delta…
-      val abFeed = Ivm.deltaJoinFeed(aS, aNew, bS, aFeed, bFeed, Seq("k1"))
-        .localCheckpoint(true)
+      // the chain's composition step: the join's own signed delta,
+      // re-keyed straight to the intermediate's (g, k2) shape…
+      val abDelta = Ivm.deltaJoinFeed(aNew, bS, aDelta, bDelta,
+        Seq("k1"), Seq("g", "k2"), Nil).localCheckpoint(true)
       val bNew = Ivm.maintainMultiset(bS, bFeed, Seq("k1", "k2"))
       // …drives the outer two-table maintenance unchanged
-      val (v2, abNew, cNew) = Ivm.maintainJoinAgg(view, abS, cS,
-        abFeed, cFeed, Seq("k2"), Seq("g"), Seq("v"))
+      val (v2, abNew, cNew) = Ivm.maintainJoinAggDelta(view, abS, cS,
+        abDelta, cDelta, Seq("k2"), Seq("g"), Seq("v"))
       aS = aNew; bS = bNew; abS = abNew; cS = cNew; view = v2
       // advance the driver-side truth
       def applySigned[T](base: Seq[T], d: Seq[(T, Int)]): Seq[T] = {
@@ -537,9 +657,26 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
       assert(intercept[IllegalArgumentException] {
         Ivm.refreshJoinView(spark, v)
       }.getMessage.contains("CHAIN"))
+      // a later-level key owned by TWO earlier bases with no earlier
+      // level equating them is refused by name — the chain would
+      // otherwise silently join on whichever base owned it first
+      val (px, py, pz) = (s"$dir/x", s"$dir/y", s"$dir/z")
+      Seq((1L, 10L)).toDF("k1", "j").repartition(1).write.parquet(px)
+      Seq((1L, 20L)).toDF("k1", "j").repartition(1).write.parquet(py)
+      Seq((10L, 5L)).toDF("j", "w").repartition(1).write.parquet(pz)
+      for ((p, key) <- Seq((px, "k1"), (py, "k1"), (pz, "j"))) {
+        Layout.buildFileManifest(spark, p, Seq(key))
+          .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+        Layout.enableGenerations(spark, p)
+      }
+      val ambKey = intercept[IllegalArgumentException] {
+        Ivm.createChainView(spark, Seq(px, py, pz), s"$dir/vamb",
+          Seq(Seq("k1"), Seq("j")), Seq("k1"), Seq("w"))
+      }
+      assert(ambKey.getMessage.contains("equates"))
       // a middle base vacuumed past its pin: loud, rebuild recovers
       Layout.deleteWhere(spark, pb, Seq(Layout.KeyBox("k1", 20L, 20L)))
-      Layout.vacuumGenerations(spark, pb, retainLast = 1)
+      Layout.vacuumGenerations(spark, pb, retainLast = 1, force = true)
       val gone = intercept[IllegalArgumentException] {
         Ivm.refreshChainView(spark, v)
       }
@@ -614,7 +751,7 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
     val b = Seq((1L, "1.50"), (2L, "2.25")).toDF("k", "p")
       .select(col("k"), col("p").cast("decimal(6,2)").as("p"))
     val aS = Ivm.multisetOf(a, Seq("k", "g"))
-    val bS = Ivm.multisetOf(b, Seq("k", "p"))
+    val bS = Ivm.aggregateOf(b, Seq("k"), Seq("p"))
     val view0 = Ivm.aggregateOfJoin(aS, bS, Seq("k"), Seq("g"), Seq("p"))
     def feedA(rows: (Long, String, Int)*) =
       rows.toDF("k", "g", "op")
@@ -669,7 +806,7 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
       def recomputeLive(): Seq[(String, Long, Long)] = gcanon(
         Ivm.aggregateOfJoin(
           Ivm.multisetOf(spark.read.parquet(aBase), Seq("k", "grp")),
-          Ivm.multisetOf(spark.read.parquet(bBase), Seq("k", "v")),
+          Ivm.aggregateOf(spark.read.parquet(bBase), Seq("k"), Seq("v")),
           Seq("k"), Seq("grp"), Seq("v")))
       assert(gcanon(Ivm.readJoinView(spark, view)) === recomputeLive())
       // one-sided span: only A moves; B's feed is empty
@@ -705,7 +842,7 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
       assert(wrongB.getMessage.contains("single-base"))
       // vacuum past a pin: refresh fails loudly, rebuild recovers
       Layout.deleteWhere(spark, bBase, Seq(Layout.KeyBox("k", 40L, 44L)))
-      Layout.vacuumGenerations(spark, bBase, retainLast = 1)
+      Layout.vacuumGenerations(spark, bBase, retainLast = 1, force = true)
       val gone = intercept[IllegalArgumentException] {
         Ivm.refreshJoinView(spark, view)
       }

@@ -1505,6 +1505,72 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("optimizePartitionedSelective: rewrites only the hot band inside the hot leaf") {
+    import spark.implicits._
+    withTempDir("graft_optps_") { dir =>
+      val d = s"$dir/t"
+      // two lang-like leaves, each range-clustered into 4 files with
+      // near-disjoint k ranges
+      (0L to 399L).map(k => (k, if (k % 2 == 0) "a" else "b", k * 3))
+        .toDF("k", "g", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+        .write.partitionBy("g").parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      // four stacked appends over k ∈ [0, 80], all into g=a: depth 5
+      // in that band of the hot leaf, 1 everywhere else
+      val churn = (0L to 80L by 2L).map(k => (k, "a", k * 3)).toDF("k", "g", "v")
+        .repartition(1)
+      for (_ <- 1 to 4) Layout.appendWithManifest(churn, d, Seq("k"))
+      val before = spark.read.parquet(d).inputFiles.toSet
+      def canon() = spark.read.parquet(d).groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v").as("sv"), sum("k").as("sk"))
+        .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val expect = canon()
+      val st = Layout.optimizePartitionedSelective(spark, d,
+        targetRows = 1000L, maxDepth = 4L)
+      assert(st.reclustered && st.filesKept > 0)
+      val after = spark.read.parquet(d).inputFiles.toSet
+      val kept = after.intersect(before)
+      assert(kept.size === st.filesKept,
+        "kept files must keep their exact names")
+      // every cold-leaf file is verbatim…
+      assert(before.filter(_.contains("g=b")).forall(kept.contains),
+        "a cold leaf was touched")
+      // …and so are the hot leaf's files OUTSIDE the churn band
+      assert(kept.exists(_.contains("g=a")),
+        "no cold file survived inside the hot leaf")
+      assert(canon() === expect, "the partial rewrite changed the rows")
+      // the patched manifest still prunes exactly across kept and
+      // rewritten regions
+      assert(Layout.scanPruned(spark, d, Seq(Layout.KeyBox("k", 40L, 250L)))
+          .count() ===
+        spark.read.parquet(d).filter(col("k").between(40L, 250L)).count())
+      // the rewrite genuinely reset the depth: a second call declines
+      val st2 = Layout.optimizePartitionedSelective(spark, d,
+        targetRows = 1000L, maxDepth = 4L)
+      assert(!st2.reclustered && st2.filesKept === after.size)
+      // small-file tail is selectable independently of depth
+      Layout.appendWithManifest(
+        Seq((500L, "b", 1L)).toDF("k", "g", "v").repartition(1),
+        d, Seq("k"))
+      val st3 = Layout.optimizePartitionedSelective(spark, d,
+        targetRows = 1000L, maxDepth = 4L, minFileRows = 5L)
+      assert(st3.reclustered && st3.filesBefore - st3.filesKept >= 1)
+      assert(canon().map(_._2).sum === expect.map(_._2).sum + 1)
+      // flat layouts are refused by name
+      val flat = s"$dir/flat"
+      (0L to 9L).map(k => (k, k)).toDF("k", "v").repartition(1)
+        .write.parquet(flat)
+      Layout.buildFileManifest(spark, flat, Seq("k"))
+        .write.mode("overwrite").parquet(s"$flat/_graft_manifest")
+      val notPart = intercept[IllegalArgumentException] {
+        Layout.optimizePartitionedSelective(spark, flat, 1000L)
+      }
+      assert(notPart.getMessage.contains("optimizeSelective"))
+    }
+  }
+
   test("streaming maintenance loop: foreachBatch append + auto-optimize keeps point-lookup depth bounded") {
     withTempDir("graft_stream_opt_") { dir =>
       val d = s"$dir/t"
@@ -1851,6 +1917,106 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("commit timestamps clamp monotone under writer clock skew") {
+    import spark.implicits._
+    withTempDir("graft_monots_") { dir =>
+      val d = s"$dir/t"
+      (0L to 49L).map(k => (k, k)).toDF("k", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      Layout.enableGenerations(spark, d)
+      Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 9L)))
+      // simulate a fast-clock writer: plant a future instant into the
+      // newest record, as if the previous committer's clock ran ahead
+      val fsys = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val rec = new org.apache.hadoop.fs.Path(
+        s"$d/_graft_history/commits/gen=1.json")
+      val future = System.currentTimeMillis() + 3600000L
+      val out = fsys.create(rec, true)
+      try out.write(
+        s"""{"gen":1,"tsMillis":$future,"operation":"deleteWhere"}"""
+          .getBytes("UTF-8"))
+      finally out.close()
+      // this writer's clock is an hour "behind" the planted record —
+      // the clamp must stamp past it so timestamp order can never
+      // disagree with generation order
+      Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 10L, 19L)))
+      val hist = Layout.describeHistory(spark, d)
+        .select("gen", "ts").as[(Long, java.sql.Timestamp)]
+        .collect().sortBy(_._1)
+      assert(hist.map(_._1).toSeq === Seq(1L, 2L))
+      assert(hist(1)._2.getTime === future + 1L,
+        "the clamp must stamp max(now, newest recorded ts + 1)")
+      assert(Layout.generationAsOf(spark, d, future) === 1L)
+      assert(Layout.generationAsOf(spark, d, future + 1L) === 2L)
+    }
+  }
+
+  test("an OCC loss AFTER retirement rolls the layout back to the winner's state") {
+    import spark.implicits._
+    withTempDir("graft_occroll_") { dir =>
+      val d = s"$dir/t"
+      (0L to 99L).map(k => (k, k * 2)).toDF("k", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+        .write.parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      Layout.enableGenerations(spark, d)
+      val filesBefore = spark.read.parquet(d).inputFiles.toSet
+      // a "winner" that commits INSIDE the loser's destructive window
+      // (between the pre-destructive OCC check and the commit point):
+      // the watcher waits for the loser's retirement label to appear,
+      // then plants the winner's archived generation — from that
+      // instant the live generation is 1 and the loser's commit-point
+      // check must lose
+      val fsys = new org.apache.hadoop.fs.Path(d)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val retiredLabel = new org.apache.hadoop.fs.Path(
+        s"$d/_graft_retired/gen=0")
+      val winnerArchive = new org.apache.hadoop.fs.Path(
+        s"$d/_graft_history/gen=0")
+      @volatile var planted = false
+      val watcher = new Thread(() => {
+        while (!planted) {
+          if (fsys.exists(retiredLabel)) {
+            fsys.mkdirs(winnerArchive)
+            planted = true
+          } else Thread.sleep(1)
+        }
+      })
+      watcher.setDaemon(true)
+      watcher.start()
+      val lost = intercept[java.util.ConcurrentModificationException] {
+        // a PARTIAL box: some files rewrite (new files appear and must
+        // be dropped by the rollback), some retire whole
+        Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 30L)),
+          expectedGen = Some(0L))
+      }
+      watcher.join(10000)
+      assert(planted, "the watcher never saw the retirement label")
+      assert(lost.getMessage.contains("moved back"),
+        s"expected the rollback message, got: ${lost.getMessage}")
+      // the layout is byte-identical to the winner's state: every
+      // retired file is back under its live name, the loser's rewrite
+      // outputs are gone, and the (never-replaced) manifest is exact
+      fsys.delete(winnerArchive, true) // clear the simulated archive
+      assert(spark.read.parquet(d).inputFiles.toSet === filesBefore,
+        "rollback must restore exactly the pre-verb file set")
+      assert(spark.read.parquet(d).count() === 100L)
+      assert(Layout.scanPruned(spark, d,
+          Seq(Layout.KeyBox("k", 0L, 30L))).count() ===
+        spark.read.parquet(d).filter(col("k").between(0L, 30L)).count())
+      // and the verb succeeds on a clean retry
+      val stats = Layout.deleteWhere(spark, d,
+        Seq(Layout.KeyBox("k", 0L, 30L)), expectedGen = Some(0L))
+      assert(stats.rowsDeleted === 31L)
+      assert(spark.read.parquet(d).count() === 69L)
+    }
+  }
+
   test("restoreSnapshot and cloneSnapshot: undo-by-copy keeps every archived generation readable") {
     import spark.implicits._
     withTempDir("graft_restore_") { dir =>
@@ -1964,6 +2130,57 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
         }
       }
       assert(lost.getMessage.contains("all 2 attempts"))
+    }
+  }
+
+  test("snapshot pins: vacuum refuses below a registered view pin, refresh advances it, force overrides") {
+    import spark.implicits._
+    import graft.ext.Ivm
+    withTempDir("graft_pins_") { dir =>
+      val base = s"$dir/t"
+      val view = s"$dir/v"
+      (0L to 99L).map(k => (k, k % 5, k)).toDF("k", "g", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+        .write.parquet(base)
+      Layout.buildFileManifest(spark, base, Seq("k"))
+        .write.mode("overwrite").parquet(s"$base/_graft_manifest")
+      Layout.enableGenerations(spark, base)
+      Ivm.createView(spark, base, view, Seq("g"), Seq("v"))
+      assert(Layout.snapshotPins(spark, base) === Map(view -> 0L))
+      // two commits leave the view's pin two generations behind
+      Layout.deleteWhere(spark, base, Seq(Layout.KeyBox("k", 0L, 9L)))
+      Layout.deleteWhere(spark, base, Seq(Layout.KeyBox("k", 10L, 19L)))
+      // a vacuum that would cut below the pin refuses by consumer name
+      val blocked = intercept[IllegalArgumentException] {
+        Layout.vacuumGenerations(spark, base, retainLast = 1)
+      }
+      assert(blocked.getMessage.contains(view) &&
+        blocked.getMessage.contains("pin"))
+      // nothing was deleted: the pinned snapshot still reads
+      assert(Layout.readSnapshot(spark, base, 0L).count() === 100L)
+      // refreshing the view advances its pin; the same vacuum succeeds
+      Ivm.refreshView(spark, view)
+      assert(Layout.snapshotPins(spark, base) === Map(view -> 2L))
+      val (mf, _) = Layout.vacuumGenerations(spark, base, retainLast = 1)
+      assert(mf === 2)
+      // and the refreshed view still serves ≡ the live recompute
+      val got = Ivm.readView(spark, view).select("g", "cnt", "sum_v")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val want = Ivm.aggregateOf(
+          spark.read.parquet(base).select("g", "v"), Seq("g"), Seq("v"))
+        .select("g", "cnt", "sum_v")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === want)
+      // force overrides a live pin (the escape hatch, loud in the doc)
+      Layout.deleteWhere(spark, base, Seq(Layout.KeyBox("k", 20L, 29L)))
+      Layout.vacuumGenerations(spark, base, retainLast = 1, force = true)
+      val gone = intercept[IllegalArgumentException] {
+        Ivm.refreshView(spark, view)
+      }
+      assert(gone.getMessage.contains("vacuum"))
+      // unregister clears the (now stale) pin
+      Layout.unregisterSnapshotPin(spark, base, view)
+      assert(Layout.snapshotPins(spark, base) === Map.empty)
     }
   }
 
@@ -2221,8 +2438,10 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
         spark.read.parquet(d)
           .filter(col("doc_id").between(25L, 40L)).count())
       // vacuum to the live generation only: old snapshots die loudly,
-      // the live read is untouched
-      val (mf, fd) = Layout.vacuumGenerations(spark, d, retainLast = 1)
+      // the live read is untouched (forced past the MV's registered
+      // pin — the pin coordination has its own test)
+      val (mf, fd) = Layout.vacuumGenerations(spark, d, retainLast = 1,
+        force = true)
       assert(mf >= 3 && fd >= 1, s"($mf, $fd)")
       val gone = intercept[IllegalArgumentException] {
         Layout.readSnapshot(spark, d, 0L)
