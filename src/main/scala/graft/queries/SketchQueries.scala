@@ -2478,6 +2478,82 @@ object SketchQueries {
              |FROM final GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true),
 
+    // STREAMING CDC SOURCE — `spark.readStream.format("graft")`
+    // ([[graft.sources.GraftSource]]) tails the generation store
+    // itself: offsets are generation numbers, each micro-batch IS
+    // [[Layout.changesBetween]] of the span committed since the last
+    // batch — deletes and CDC updates arrive as SIGNED rows, not just
+    // appends — so foreachBatch{maintainAgg} is the complete
+    // streaming-MV loop with ZERO manual generation bookkeeping
+    // (Delta's CDC streaming source recovered from manifests alone).
+    // The fixture commits a delete, an upsert, and an append as
+    // separate generations, lets the stream maintain a state across
+    // the batches, and the served state must equal DuckDB's replay of
+    // all three mutations aggregated from scratch.
+    QueryDef("q_layout_cdc_stream",
+      (s, d) => {
+        val stateHolder = prunedFixture.computeIfAbsent(s"$d#docs_cdcs", _ => {
+          val root = graft.Scratch.tempDir("graft_cdcs_")
+          val p = root + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(8, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          Layout.enableGenerations(s, p)
+          val stateDir = root + "/state"
+          graft.ext.Ivm.aggregateOf(
+              Layout.readSnapshot(s, p, 0L).select("lang", "n_chars"),
+              Seq("lang"), Seq("n_chars"))
+            .write.mode("overwrite").parquet(stateDir)
+          val q = s.readStream.format("graft")
+            .option("startingVersion", "0").load(p)
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", s"$root/ckpt")
+            .foreachBatch {
+              (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+                // read → maintain → eager pin → overwrite (the state
+                // dir is both source and sink)
+                graft.ext.Ivm.maintainAgg(s.read.parquet(stateDir),
+                    batch.select("lang", "n_chars", "op"),
+                    Seq("lang"), Seq("n_chars"))
+                  .localCheckpoint(true)
+                  .write.mode("overwrite").parquet(stateDir)
+                ()
+            }.start()
+          try {
+            Layout.deleteWhere(s, p,
+              Seq(Layout.KeyBox("doc_id", 100L, 199L)))
+            q.processAllAvailable()
+            val upd = docs.filter(col("doc_id").between(200, 209))
+              .withColumn("n_chars", col("n_chars") + lit(1000))
+            Layout.upsertByKey(s, p, upd, "doc_id")
+            Layout.appendWithManifest(
+              docs.filter(col("doc_id") < 50)
+                .withColumn("doc_id", col("doc_id") + lit(500000L))
+                .repartition(1),
+              p, Seq("doc_id"))
+            q.processAllAvailable()
+          } finally q.stop()
+          stateDir
+        })
+        s.read.parquet(stateHolder).orderBy("lang")
+      },
+      Some("""WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+             |final AS (
+             |  SELECT * FROM base WHERE doc_id NOT BETWEEN 100 AND 209
+             |  UNION ALL
+             |  SELECT doc_id, lang, n_chars + 1000 FROM base
+             |  WHERE doc_id BETWEEN 200 AND 209
+             |  UNION ALL
+             |  SELECT doc_id + 500000, lang, n_chars FROM base
+             |  WHERE doc_id < 50)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+             |FROM final GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
+
     // FILTERED materialized view — [[Ivm.createView]] with a WHERE
     // predicate (the `... FROM t WHERE status='F'` shape): the
     // predicate governs the bootstrap AND every refresh feed — row

@@ -48,7 +48,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * moment `readSnapshot` resolves), so a cached DataFrame keeps
   * serving its resolved file list; re-run `load()` to re-resolve.
   * Timestamps accept epoch millis or `yyyy-MM-dd HH:mm:ss[.f]`. */
-class GraftSource extends TableProvider with DataSourceRegister {
+class GraftSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
   import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
   import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 
@@ -120,4 +121,122 @@ class GraftSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
     tableOf(new CaseInsensitiveStringMap(properties))
+
+  // ───────── streaming: the generation store as a CDC source ─────────
+  //
+  // `spark.readStream.format("graft").load(dir)` tails the layout's
+  // COMMITS: each micro-batch is the signed change feed
+  // ([[graft.ext.Layout.changesBetween]] — data columns + `op` ∈ ±1)
+  // of the generations committed since the last batch, with the
+  // generation NUMBER as the stream offset — Delta's CDC streaming
+  // source recovered from the manifests alone. Deletes and upserts
+  // arrive as ±1 rows (not just appends), so
+  // `foreachBatch { Ivm.maintainAgg }` is the complete streaming MV
+  // loop with zero manual generation bookkeeping; batches compose
+  // exactly (offset G1→G2 then G2→G3 ≡ G1→G3 as multisets), and a
+  // restart resumes from the checkpointed offset. `startingVersion`
+  // backfills from an older generation (default: the live generation
+  // at stream start — only NEW changes). The source REGISTERS a
+  // snapshot pin at its last committed offset and advances it per
+  // batch, so a vacuum cannot silently cut the history an active (or
+  // checkpointed-but-stopped) stream still needs — `force` overrides,
+  // after which the next batch fails loudly in changesBetween.
+  // (The plain TableProvider path above lacks streaming capabilities,
+  // so `readStream` falls through to this V1 provider by design.)
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    val p = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(parameters)
+    ("graft-cdc", feedSchema(sqlContext.sparkSession, p))
+  }
+
+  private def feedSchema(spark: SparkSession,
+                         p: Map[String, String]): StructType = {
+    val dir = p.getOrElse("path", throw new IllegalArgumentException(
+      "the graft CDC source needs a layout path: " +
+        "spark.readStream.format(\"graft\").load(dir)"))
+    val g = graft.ext.Layout.currentGeneration(spark, dir)
+    // an EMPTY span through the real feed derivation — the
+    // authoritative schema, never a parallel reimplementation
+    graft.ext.Layout
+      .changesBetween(spark, dir, g, g, p.getOrElse("opCol", "op"))
+      .schema
+  }
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+                            metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val p = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(parameters)
+    val dir = p.getOrElse("path", throw new IllegalArgumentException(
+      "the graft CDC source needs a layout path"))
+    new GraftChangeSource(sqlContext.sparkSession, dir,
+      p.getOrElse("opCol", "op"),
+      p.get("startingVersion").map { v =>
+        try v.toLong catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"startingVersion must be a generation number, got '$v'")
+        }
+      },
+      metadataPath, feedSchema(sqlContext.sparkSession, p))
+  }
+}
+
+/** The V1 micro-batch source behind `readStream.format("graft")` —
+  * see the provider doc on [[GraftSource]]. Offsets are generation
+  * numbers; `getBatch(G1, G2)` IS `Layout.changesBetween(G1, G2)`
+  * (one implementation of the feed semantics), wrapped as a streaming
+  * frame over the same plan. */
+private[sources] class GraftChangeSource(
+    spark: SparkSession, dir: String, opCol: String,
+    startingVersion: Option[Long], metadataPath: String,
+    override val schema: StructType)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  private val initialGen: Long = startingVersion.getOrElse(
+    graft.ext.Layout.currentGeneration(spark, dir))
+  // the pin makes vacuum coordination automatic: it sits at the last
+  // COMMITTED offset (initially the starting generation), so the
+  // history an in-flight or restartable stream still needs cannot
+  // vacuum away silently. The consumer id is the query's metadata
+  // path — stable across restarts of the same checkpointed query.
+  graft.ext.Layout.registerSnapshotPin(spark, dir,
+    s"stream:$metadataPath", initialGen)
+
+  private def genOf(o: V1Offset): Long = o.json.trim.toLong
+
+  override def getOffset: Option[V1Offset] = {
+    val g = graft.ext.Layout.currentGeneration(spark, dir)
+    if (g <= initialGen) None else Some(LongOffset(g))
+  }
+
+  override def getBatch(start: Option[V1Offset],
+                        end: V1Offset): org.apache.spark.sql.DataFrame = {
+    val from = start.map(genOf).getOrElse(initialGen)
+    val feed = graft.ext.Layout.changesBetween(spark, dir, from,
+      genOf(end), opCol)
+    require(feed.schema == schema,
+      s"the layout's schema changed under the stream (now " +
+        s"${feed.schema.simpleString}, stream holds " +
+        s"${schema.simpleString}) — restart the stream to pick it up")
+    // the engine asserts isStreaming on V1 batch frames; wrap the
+    // SAME plan (toRdd is lazy — the feed executes at batch run, not
+    // here at planning)
+    org.apache.spark.sql.GraftColumnBridge.streamingFrameOf(feed)
+  }
+
+  override def commit(end: V1Offset): Unit =
+    // advance the vacuum pin to the committed offset: history below
+    // it is no longer needed by this stream (a restart resumes from
+    // the checkpointed offset, never earlier)
+    graft.ext.Layout.registerSnapshotPin(spark, dir,
+      s"stream:$metadataPath", genOf(end))
+
+  override def stop(): Unit = ()
 }

@@ -12,6 +12,17 @@ object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap an already-planned BATCH frame as a STREAMING frame over
+    * the same physical plan (`toRdd` is lazy — execution happens when
+    * the engine runs the batch): what a V1 streaming `Source`'s
+    * `getBatch` must return, since `MicroBatchExecution` asserts
+    * `isStreaming` on it. The constructor is `private[sql]`, hence
+    * this bridge. */
+  def streamingFrameOf(df: DataFrame): DataFrame =
+    df.sparkSession.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+        isStreaming = true)
+
   /** Register a custom expression as a SQL function in the session's
     * function registry (the `sessionState` accessor is package
     * private; `SparkSessionExtensions.injectFunction` is the
