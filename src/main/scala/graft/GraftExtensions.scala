@@ -45,5 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => graft.functions.JlProject(exprs(0),
         graft.functions.FunctionArgs.foldableInt("jl_project", "out_dim", exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.NativeTextRewrites)
+    // the lifecycle verbs as SQL (GRAFT DESCRIBE HISTORY / OPTIMIZE /
+    // VACUUM / RESTORE …) — [[graft.plans.GraftSqlParser]] intercepts
+    // the GRAFT keyword and delegates everything else verbatim
+    e.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
   }
 }

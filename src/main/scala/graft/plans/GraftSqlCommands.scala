@@ -1,0 +1,154 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.command.RunnableCommand
+
+import graft.ext.Layout
+
+/** The lakehouse LIFECYCLE verbs as plain SQL — the write-side
+  * complement of the `graft` DataSourceV2 reader (reads:
+  * `USING graft OPTIONS (versionAsOf …)`), injected as a PARSER
+  * extension ([[graft.GraftExtensions]] `injectParser`) so a
+  * SQL-only session manages a layout end to end:
+  *
+  * {{{
+  *   GRAFT DESCRIBE HISTORY '<dir>'
+  *   GRAFT DESCRIBE DETAIL '<dir>'
+  *   GRAFT OPTIMIZE '<dir>' TARGET <n> ROWS
+  *   GRAFT VACUUM '<dir>' RETAIN <n> [FORCE]
+  *   GRAFT RESTORE '<dir>' VERSION AS OF <n>
+  * }}}
+  *
+  * Every statement is a THIN shell over the existing verb (no second
+  * implementation of any semantics): OPTIMIZE dispatches to
+  * [[Layout.optimizeSelective]] on a flat layout and
+  * [[Layout.optimizePartitionedSelective]] on a hive-partitioned
+  * tree — the file-subset forms, since "pay for the degradation, not
+  * the table" is the only default that survives 100 TB; VACUUM's
+  * FORCE maps to the snapshot-pin override and inherits its loud
+  * refusal otherwise. Statements not starting with the GRAFT keyword
+  * delegate verbatim to Spark's own parser — the extension never
+  * shadows standard SQL. */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlCommands.parse(session, sqlText)
+      .getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseExpression(sqlText: String) =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String) =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String) =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String) =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String) = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String) =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String) =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) =
+    delegate.parseDataType(sqlText)
+}
+
+/** One eagerly-executed command node per statement: `output` is fixed
+  * at parse time (for the DESCRIBE forms, from the very DataFrame the
+  * verb builds — never a hand-maintained schema copy that could
+  * drift), `exec` runs the verb when the command executes. */
+private case class GraftVerbCommand(override val output: Seq[Attribute],
+                                    exec: SparkSession => Seq[Row])
+    extends RunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    exec(sparkSession)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[LogicalPlan]): LogicalPlan = this
+}
+
+object GraftSqlCommands {
+  // paths ride in standard single-quoted SQL string literals; the
+  // statement forms are deliberately regex-simple (keyword dialect,
+  // one layout path, scalar options) — anything more belongs in the
+  // Scala API
+  private val DescribeHistoryRe =
+    """(?is)\s*GRAFT\s+DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+  private val DescribeDetailRe =
+    """(?is)\s*GRAFT\s+DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
+  private val OptimizeRe =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+TARGET\s+(\d+)\s+ROWS\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)(\s+FORCE)?\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val GraftPrefixRe = """(?is)\s*GRAFT\b.*""".r
+
+  private def attrsOf(fields: (String, org.apache.spark.sql.types.DataType)*)
+      : Seq[Attribute] =
+    DataTypeUtils.toAttributes(org.apache.spark.sql.types.StructType(
+      fields.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t, nullable = false) }))
+
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType}
+
+  def parse(session: SparkSession, sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case DescribeHistoryRe(dir) =>
+        // schema from the verb's own frame — construction is
+        // manifest-sized driver planning, executed (collected) only
+        // when the command runs
+        val df = Layout.describeHistory(session, dir)
+        Some(GraftVerbCommand(DataTypeUtils.toAttributes(df.schema),
+          _ => df.collect().toIndexedSeq))
+      case DescribeDetailRe(dir) =>
+        val df = Layout.describeLayout(session, dir)
+        Some(GraftVerbCommand(DataTypeUtils.toAttributes(df.schema),
+          _ => df.collect().toIndexedSeq))
+      case OptimizeRe(dir, target) =>
+        Some(GraftVerbCommand(
+          attrsOf("reclustered" -> BooleanType, "files_before" -> IntegerType,
+            "files_after" -> IntegerType, "worst_depth_before" -> LongType,
+            "files_kept" -> IntegerType),
+          s => {
+            val st =
+              if (Layout.isHivePartitioned(s, dir))
+                Layout.optimizePartitionedSelective(s, dir, target.toLong)
+              else Layout.optimizeSelective(s, dir, target.toLong)
+            Seq(Row(st.reclustered, st.filesBefore, st.filesAfter,
+              st.worstDepthBefore, st.filesKept))
+          }))
+      case VacuumRe(dir, retain, force) =>
+        Some(GraftVerbCommand(
+          attrsOf("manifests_dropped" -> IntegerType,
+            "files_dropped" -> IntegerType),
+          s => {
+            val (mf, fd) = Layout.vacuumGenerations(s, dir, retain.toInt,
+              force = force != null)
+            Seq(Row(mf, fd))
+          }))
+      case RestoreRe(dir, gen) =>
+        Some(GraftVerbCommand(
+          attrsOf("committed" -> BooleanType, "files_kept" -> IntegerType,
+            "files_copied" -> IntegerType, "files_retired" -> IntegerType),
+          s => {
+            val st = Layout.restoreSnapshot(s, dir, gen.toLong)
+            Seq(Row(st.committed, st.filesKept, st.filesCopied,
+              st.filesRetired))
+          }))
+      case GraftPrefixRe() =>
+        // a GRAFT statement that matches no form must fail HERE with
+        // the dialect spelled out — falling through to Spark's parser
+        // would surface a baffling generic syntax error
+        throw new IllegalArgumentException(
+          s"unrecognized GRAFT statement: $sqlText — supported forms: " +
+            "GRAFT DESCRIBE HISTORY '<dir>' | GRAFT DESCRIBE DETAIL " +
+            "'<dir>' | GRAFT OPTIMIZE '<dir>' TARGET <n> ROWS | GRAFT " +
+            "VACUUM '<dir>' RETAIN <n> [FORCE] | GRAFT RESTORE '<dir>' " +
+            "VERSION AS OF <n>")
+      case _ => None
+    }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.ext.Layout
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The GRAFT SQL command dialect ([[graft.plans.GraftSqlParser]],
+  * installed by [[GraftExtensions]] `injectParser`): a SQL-only
+  * session must manage a layout's lifecycle end to end — history,
+  * detail, optimize, restore, vacuum — with every statement a thin
+  * shell over the Scala verb, standard SQL delegating untouched, and
+  * unknown GRAFT statements refused with the dialect spelled out. */
+class GraftSqlSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  test("GRAFT SQL statements drive the lifecycle verbs end to end") {
+    withTempDir("graft_sql_") { dir =>
+      val d = s"$dir/t"
+      (0L to 99L).map(k => (k, k % 5, k)).toDF("k", "g", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+        .write.parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      Layout.enableGenerations(spark, d)
+      Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 19L)))
+      // a session WITH the extensions, over the same SparkContext —
+      // getOrCreate only applies extensions to a NEW session, so the
+      // suite's shared default steps aside for the duration
+      val prevDefault = SparkSession.getDefaultSession
+      val prevActive = SparkSession.getActiveSession
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      val sqlS = GraftSession.tuned(
+        SparkSession.builder().master("local[8]")
+          .withExtensions(new GraftExtensions),
+        shufflePartitions = 8).getOrCreate()
+      try {
+        // DESCRIBE HISTORY: the verb's own frame, via pure SQL
+        val hist = sqlS.sql(s"GRAFT DESCRIBE HISTORY '$d'")
+        assert(hist.columns.contains("operation"))
+        assert(hist.select("gen", "operation").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+          Seq((1L, "deleteWhere")))
+        // DESCRIBE DETAIL
+        val det = sqlS.sql(s"GRAFT DESCRIBE DETAIL '$d'").collect()(0)
+        assert(det.getAs[Boolean]("generations_enabled"))
+        assert(det.getAs[Long]("n_rows") === 80L)
+        // RESTORE VERSION AS OF: the undo verb, committed as gen 2
+        val rest = sqlS.sql(s"GRAFT RESTORE '$d' VERSION AS OF 0")
+          .collect()(0)
+        assert(rest.getAs[Boolean]("committed"))
+        assert(spark.read.parquet(d).count() === 100L)
+        assert(Layout.currentGeneration(spark, d) === 2L)
+        // OPTIMIZE: selective — nothing deep yet, a declined no-op…
+        val noop = sqlS.sql(s"GRAFT OPTIMIZE '$d' TARGET 100000 ROWS")
+          .collect()(0)
+        assert(!noop.getAs[Boolean]("reclustered"))
+        // …then 4 stacked appends over one band make it fire, and the
+        // kept files stay verbatim (the file-subset contract)
+        val churn = (0L to 20L).map(k => (k, k % 5, k)).toDF("k", "g", "v")
+          .repartition(1)
+        for (_ <- 1 to 4) Layout.appendWithManifest(churn, d, Seq("k"))
+        val fired = sqlS.sql(s"GRAFT OPTIMIZE '$d' TARGET 100000 ROWS")
+          .collect()(0)
+        assert(fired.getAs[Boolean]("reclustered") &&
+          fired.getAs[Int]("files_kept") > 0)
+        assert(spark.read.parquet(d).count() === 184L)
+        // VACUUM refuses below a registered pin, by consumer name;
+        // FORCE is the explicit override
+        Layout.registerSnapshotPin(spark, d, "nightly-report", 1L)
+        val blocked = intercept[Exception] {
+          sqlS.sql(s"GRAFT VACUUM '$d' RETAIN 1")
+        }
+        assert(blocked.getMessage.contains("nightly-report"))
+        val vac = sqlS.sql(s"GRAFT VACUUM '$d' RETAIN 1 FORCE").collect()(0)
+        assert(vac.getAs[Int]("manifests_dropped") >= 3)
+        // an unknown GRAFT statement fails with the dialect, never a
+        // generic syntax error
+        val bad = intercept[Exception] {
+          sqlS.sql(s"GRAFT FROBNICATE '$d'")
+        }
+        assert(bad.getMessage.contains("supported forms"))
+        // standard SQL delegates verbatim — the extension shadows
+        // nothing
+        assert(sqlS.sql("SELECT 1 + 1 AS v").collect()(0).getInt(0) === 2)
+        // and the injected native functions are SQL-reachable in the
+        // same session (the other half of GraftExtensions)
+        assert(sqlS.sql("SELECT ws_token_count('a b  c') AS n")
+          .collect()(0).getInt(0) === 3)
+      } finally {
+        SparkSession.clearDefaultSession()
+        SparkSession.clearActiveSession()
+        prevDefault.foreach(SparkSession.setDefaultSession)
+        prevActive.foreach(SparkSession.setActiveSession)
+      }
+    }
+  }
+}
