@@ -44,6 +44,36 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
       s"scan reads unfiltered:\n$plan")
   }
 
+  test("graft DataSourceV2 reader: filters push into the V2 parquet scan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    withTempDir("graft_plan_reader_") { dir =>
+      val d = s"$dir/t"
+      // w is neither filtered nor projected — the prune target
+      (0L to 99L).map(k => (k, k * 2, s"pad$k")).toDF("k", "v", "w")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.parquet(d)
+      graft.ext.Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      graft.ext.Layout.enableGenerations(spark, d)
+      val df = spark.read.format("graft").load(d)
+        .filter(col("k") > 10L).select("v")
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      // the reader is a thin shell over Spark's V2 parquet scan, so
+      // pushdown and column pruning must arrive for free — a scan
+      // reading unfiltered (or all columns) through the time-travel
+      // surface would quietly tax every SQL-first user
+      assert(plan.contains("BatchScan"), plan)
+      assert(plan.contains("PushedFilters: ["), plan)
+      assert(!plan.matches("(?s).*PushedFilters: \\[\\].*"),
+        s"graft reader scan reads unfiltered:\n$plan")
+      // k survives (the filter reads it); w must be pruned away
+      assert(plan.contains("ReadSchema: struct<k:bigint,v:bigint>"),
+        s"graft reader scan did not prune the unused column:\n$plan")
+    }
+  }
+
   test("aggregations are partial (map-side combine) before the shuffle") {
     val plan = finalPlan("q_pricing_summary")
     // partial + final HashAggregate pair around one exchange
