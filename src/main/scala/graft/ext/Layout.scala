@@ -2346,6 +2346,14 @@ object Layout {
                    path: String): DataFrame =
     spark.read.parquet(s"$path/_graft_manifest")
 
+  /** The stored manifest's key columns — the planning input surfaces
+    * that must FOLLOW the layout's existing keys (the SQL writer
+    * verbs, external ingest tools) read instead of asking the user to
+    * re-state them. */
+  def storedKeys(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): Seq[String] =
+    manifestKeysOf(loadManifest(spark, dir).schema)
+
   /** [[scanPruned]] against the manifest STORED with the data — the
     * cold-reader path: a fresh session prunes files using only the
     * manifest-sized stats read, never touching skipped data files. */

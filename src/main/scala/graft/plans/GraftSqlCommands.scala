@@ -21,7 +21,18 @@ import graft.ext.Layout
   *   GRAFT OPTIMIZE '<dir>' TARGET <n> ROWS
   *   GRAFT VACUUM '<dir>' RETAIN <n> [FORCE]
   *   GRAFT RESTORE '<dir>' VERSION AS OF <n>
+  *   GRAFT CREATE '<dir>' KEYS (k, …) [GENERATIONS] AS <query>
+  *   GRAFT APPEND INTO '<dir>' AS <query>
+  *   GRAFT UPSERT INTO '<dir>' KEYS (k, …) AS <query>
+  *   GRAFT DELETE FROM '<dir>' WHERE <key> BETWEEN <lo> AND <hi>
   * }}}
+  *
+  * The write statements' `AS <query>` tails parse through SPARK'S OWN
+  * parser (the dialect never grows a query grammar), so any SELECT
+  * the session can run can seed, extend, or merge into a layout;
+  * APPEND follows the layout's STORED manifest keys — the writer
+  * never re-states (or silently changes) them — and DELETE's bounds
+  * dispatch to the numeric or typed key box by literal form.
   *
   * Every statement is a THIN shell over the existing verb (no second
   * implementation of any semantics): OPTIMIZE dispatches to
@@ -37,7 +48,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlCommands.parse(session, sqlText)
+    GraftSqlCommands.parse(session, delegate, sqlText)
       .getOrElse(delegate.parsePlan(sqlText))
 
   override def parseExpression(sqlText: String) =
@@ -85,6 +96,16 @@ object GraftSqlCommands {
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)(\s+FORCE)?\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val CreateRe =
+    """(?is)\s*GRAFT\s+CREATE\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)(\s+GENERATIONS)?\s+AS\s+(.+?)\s*;?\s*""".r
+  private val AppendRe =
+    """(?is)\s*GRAFT\s+APPEND\s+INTO\s+'([^']+)'\s+AS\s+(.+?)\s*;?\s*""".r
+  private val UpsertRe =
+    """(?is)\s*GRAFT\s+UPSERT\s+INTO\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+AS\s+(.+?)\s*;?\s*""".r
+  private val DeleteNumRe =
+    """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)\s*;?\s*""".r
+  private val DeleteStrRe =
+    """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+'([^']*)'\s+AND\s+'([^']*)'\s*;?\s*""".r
   private val GraftPrefixRe = """(?is)\s*GRAFT\b.*""".r
 
   private def attrsOf(fields: (String, org.apache.spark.sql.types.DataType)*)
@@ -95,7 +116,8 @@ object GraftSqlCommands {
 
   import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType}
 
-  def parse(session: SparkSession, sqlText: String): Option[LogicalPlan] =
+  def parse(session: SparkSession, delegate: ParserInterface,
+            sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case DescribeHistoryRe(dir) =>
         // schema from the verb's own frame — construction is
@@ -139,6 +161,59 @@ object GraftSqlCommands {
             Seq(Row(st.committed, st.filesKept, st.filesCopied,
               st.filesRetired))
           }))
+      case CreateRe(dir, keys, gens, query) =>
+        // CTAS: the AS-tail parses through SPARK'S OWN parser (the
+        // dialect never grows a query grammar of its own), so any
+        // SELECT the session can run can seed a layout
+        val df = org.apache.spark.sql.GraftColumnBridge.frameOf(session,
+          delegate.parseQuery(query))
+        val keyCols = keys.split(',').map(_.trim).toSeq
+        Some(GraftVerbCommand(
+          attrsOf("files" -> IntegerType, "rows" -> LongType),
+          s => {
+            val fs = new org.apache.hadoop.fs.Path(dir)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            require(!fs.exists(new org.apache.hadoop.fs.Path(dir)),
+              s"GRAFT CREATE refuses to overwrite $dir — choose a " +
+                "fresh directory, or GRAFT APPEND INTO the existing one")
+            df.write.parquet(dir)
+            Layout.buildFileManifest(s, dir, keyCols)
+              .write.mode("overwrite").parquet(s"$dir/_graft_manifest")
+            if (gens != null) Layout.enableGenerations(s, dir)
+            val out = s.read.parquet(dir)
+            Seq(Row(out.inputFiles.length, out.count()))
+          }))
+      case AppendRe(dir, query) =>
+        val df = org.apache.spark.sql.GraftColumnBridge.frameOf(session,
+          delegate.parseQuery(query))
+        Some(GraftVerbCommand(attrsOf("rows_appended" -> LongType),
+          s => {
+            // the layout's EXISTING keys govern the new files' stats —
+            // the writer never re-states (or silently changes) them
+            Layout.appendWithManifest(df, dir, Layout.storedKeys(s, dir))
+            Seq(Row(df.count()))
+          }))
+      case UpsertRe(dir, keys, query) =>
+        val df = org.apache.spark.sql.GraftColumnBridge.frameOf(session,
+          delegate.parseQuery(query))
+        val keyCols = keys.split(',').map(_.trim).toSeq
+        Some(GraftVerbCommand(
+          attrsOf("files_rewritten" -> IntegerType,
+            "files_untouched" -> IntegerType, "rows_replaced" -> LongType,
+            "rows_upserted" -> LongType),
+          s => {
+            val st =
+              if (keyCols.lengthCompare(1) == 0)
+                Layout.upsertByKey(s, dir, df, keyCols.head)
+              else Layout.upsertByKeys(s, dir, df, keyCols)
+            Seq(Row(st.filesRewritten, st.filesUntouched, st.rowsReplaced,
+              st.rowsUpserted))
+          }))
+      case DeleteNumRe(dir, keyCol, lo, hi) =>
+        Some(deleteCommand(dir,
+          Layout.KeyBox(keyCol, lo.toLong, hi.toLong)))
+      case DeleteStrRe(dir, keyCol, lo, hi) =>
+        Some(deleteCommand(dir, Layout.TypedKeyBox(keyCol, lo, hi)))
       case GraftPrefixRe() =>
         // a GRAFT statement that matches no form must fail HERE with
         // the dialect spelled out — falling through to Spark's parser
@@ -148,7 +223,21 @@ object GraftSqlCommands {
             "GRAFT DESCRIBE HISTORY '<dir>' | GRAFT DESCRIBE DETAIL " +
             "'<dir>' | GRAFT OPTIMIZE '<dir>' TARGET <n> ROWS | GRAFT " +
             "VACUUM '<dir>' RETAIN <n> [FORCE] | GRAFT RESTORE '<dir>' " +
-            "VERSION AS OF <n>")
+            "VERSION AS OF <n> | GRAFT CREATE '<dir>' KEYS (k, …) " +
+            "[GENERATIONS] AS <query> | GRAFT APPEND INTO '<dir>' AS " +
+            "<query> | GRAFT UPSERT INTO '<dir>' KEYS (k, …) AS " +
+            "<query> | GRAFT DELETE FROM '<dir>' WHERE <key> BETWEEN " +
+            "<lo> AND <hi>")
       case _ => None
     }
+
+  private def deleteCommand(dir: String,
+                            box: Layout.PruneBox): LogicalPlan =
+    GraftVerbCommand(
+      attrsOf("files_dropped" -> IntegerType,
+        "files_rewritten" -> IntegerType, "rows_deleted" -> LongType),
+      s => {
+        val st = Layout.deleteWhere(s, dir, Seq(box))
+        Seq(Row(st.filesDropped, st.filesRewritten, st.rowsDeleted))
+      })
 }

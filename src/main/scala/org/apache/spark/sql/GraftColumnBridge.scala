@@ -23,6 +23,15 @@ object GraftColumnBridge {
       .internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
         isStreaming = true)
 
+  /** Materialize a DataFrame over an already-parsed logical plan —
+    * what a parser-extension command needs to run the `AS <query>`
+    * tail of a GRAFT write statement (`Dataset.ofRows` is
+    * `private[sql]`). */
+  def frameOf(spark: SparkSession,
+              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
   /** Register a custom expression as a SQL function in the session's
     * function registry (the `sessionState` accessor is package
     * private; `SparkSessionExtensions.injectFunction` is the

@@ -88,6 +88,45 @@ class GraftSqlSpec extends AnyFunSuite with SharedSpark {
         // same session (the other half of GraftExtensions)
         assert(sqlS.sql("SELECT ws_token_count('a b  c') AS n")
           .collect()(0).getInt(0) === 3)
+        // ── the WRITE statements: CTAS → APPEND → UPSERT → DELETE ──
+        val d2 = s"$dir/t2"
+        // CTAS: the AS-tail is arbitrary Spark SQL (here: a range)
+        val created = sqlS.sql(
+          s"GRAFT CREATE '$d2' KEYS (id) GENERATIONS AS " +
+            "SELECT id, id % 3 AS g, id * 10 AS v FROM range(0, 50)")
+          .collect()(0)
+        assert(created.getAs[Long]("rows") === 50L)
+        assert(Layout.currentGeneration(spark, d2) === 0L)
+        // CTAS refuses to land on an existing directory
+        val taken = intercept[Exception] {
+          sqlS.sql(s"GRAFT CREATE '$d2' KEYS (id) AS SELECT 1 AS id")
+        }
+        assert(taken.getMessage.contains("refuses to overwrite"))
+        // APPEND follows the layout's STORED keys (never re-stated)
+        val app = sqlS.sql(s"GRAFT APPEND INTO '$d2' AS " +
+          "SELECT id + 100 AS id, id % 3 AS g, id AS v FROM range(0, 10)")
+          .collect()(0)
+        assert(app.getAs[Long]("rows_appended") === 10L)
+        assert(spark.read.parquet(d2).count() === 60L)
+        // UPSERT: delete-and-insert by key through plain SQL
+        val ups = sqlS.sql(s"GRAFT UPSERT INTO '$d2' KEYS (id) AS " +
+          "SELECT id, CAST(9 AS BIGINT) AS g, CAST(999 AS BIGINT) AS v " +
+          "FROM range(5, 8)").collect()(0)
+        assert(ups.getAs[Long]("rows_upserted") === 3L &&
+          ups.getAs[Long]("rows_replaced") === 3L)
+        assert(spark.read.parquet(d2)
+          .filter(col("id") === 6L).select("v").as[Long].head() === 999L)
+        // DELETE with a numeric key box — manifest-proved drops
+        val del = sqlS.sql(
+          s"GRAFT DELETE FROM '$d2' WHERE id BETWEEN 100 AND 200")
+          .collect()(0)
+        assert(del.getAs[Long]("rows_deleted") === 10L)
+        assert(spark.read.parquet(d2).count() === 50L)
+        // the whole SQL-driven lifecycle is generation-tracked: the
+        // pre-append snapshot still reads
+        assert(spark.read.format("graft").option("versionAsOf", "0")
+          .load(d2).count() === 50L)
+        assert(sqlS.sql(s"GRAFT DESCRIBE HISTORY '$d2'").count() === 3L)
       } finally {
         SparkSession.clearDefaultSession()
         SparkSession.clearActiveSession()
