@@ -20,6 +20,7 @@ import graft.ext.Layout
   *   GRAFT DESCRIBE DETAIL '<dir>'
   *   GRAFT OPTIMIZE '<dir>' TARGET <n> ROWS
   *   GRAFT VACUUM '<dir>' RETAIN <n> [FORCE]
+  *   GRAFT SHOW PINS '<dir>'
   *   GRAFT RESTORE '<dir>' VERSION AS OF <n>
   *   GRAFT CREATE '<dir>' KEYS (k, …) [GENERATIONS] AS <query>
   *   GRAFT APPEND INTO '<dir>' AS <query>
@@ -106,6 +107,8 @@ object GraftSqlCommands {
     """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)\s*;?\s*""".r
   private val DeleteStrRe =
     """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+'([^']*)'\s+AND\s+'([^']*)'\s*;?\s*""".r
+  private val ShowPinsRe =
+    """(?is)\s*GRAFT\s+SHOW\s+PINS\s+'([^']+)'\s*;?\s*""".r
   private val GraftPrefixRe = """(?is)\s*GRAFT\b.*""".r
 
   private def attrsOf(fields: (String, org.apache.spark.sql.types.DataType)*)
@@ -161,6 +164,15 @@ object GraftSqlCommands {
             Seq(Row(st.committed, st.filesKept, st.filesCopied,
               st.filesRetired))
           }))
+      case ShowPinsRe(dir) =>
+        // what would block a vacuum, by consumer name — the reader
+        // side of the pin coordination (views and CDC streams
+        // register; vacuum refuses below the oldest)
+        Some(GraftVerbCommand(
+          attrsOf("consumer" -> org.apache.spark.sql.types.StringType,
+            "pinned_gen" -> LongType),
+          s => Layout.snapshotPins(s, dir).toSeq.sortBy(_._1)
+            .map { case (c, g) => Row(c, g) }))
       case CreateRe(dir, keys, gens, query) =>
         // CTAS: the AS-tail parses through SPARK'S OWN parser (the
         // dialect never grows a query grammar of its own), so any
@@ -222,7 +234,8 @@ object GraftSqlCommands {
           s"unrecognized GRAFT statement: $sqlText — supported forms: " +
             "GRAFT DESCRIBE HISTORY '<dir>' | GRAFT DESCRIBE DETAIL " +
             "'<dir>' | GRAFT OPTIMIZE '<dir>' TARGET <n> ROWS | GRAFT " +
-            "VACUUM '<dir>' RETAIN <n> [FORCE] | GRAFT RESTORE '<dir>' " +
+            "VACUUM '<dir>' RETAIN <n> [FORCE] | GRAFT SHOW PINS " +
+            "'<dir>' | GRAFT RESTORE '<dir>' " +
             "VERSION AS OF <n> | GRAFT CREATE '<dir>' KEYS (k, …) " +
             "[GENERATIONS] AS <query> | GRAFT APPEND INTO '<dir>' AS " +
             "<query> | GRAFT UPSERT INTO '<dir>' KEYS (k, …) AS " +

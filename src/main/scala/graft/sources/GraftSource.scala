@@ -152,17 +152,27 @@ class GraftSource extends TableProvider with DataSourceRegister
     ("graft-cdc", feedSchema(sqlContext.sparkSession, p))
   }
 
+  private def typedKeysOf(p: Map[String, String]): Option[Seq[String]] =
+    if (!p.get("changeTypes").exists(_.equalsIgnoreCase("true"))) None
+    else Some(p.getOrElse("keys", throw new IllegalArgumentException(
+      "changeTypes needs the pairing key(s): .option(\"keys\", \"k1,k2\")")
+    ).split(',').map(_.trim).toSeq)
+
   private def feedSchema(spark: SparkSession,
                          p: Map[String, String]): StructType = {
     val dir = p.getOrElse("path", throw new IllegalArgumentException(
       "the graft CDC source needs a layout path: " +
         "spark.readStream.format(\"graft\").load(dir)"))
     val g = graft.ext.Layout.currentGeneration(spark, dir)
+    val opCol = p.getOrElse("opCol", "op")
     // an EMPTY span through the real feed derivation — the
     // authoritative schema, never a parallel reimplementation
-    graft.ext.Layout
-      .changesBetween(spark, dir, g, g, p.getOrElse("opCol", "op"))
-      .schema
+    typedKeysOf(p) match {
+      case Some(keys) => graft.ext.Layout
+        .changesBetweenTyped(spark, dir, g, g, keys, opCol).schema
+      case None =>
+        graft.ext.Layout.changesBetween(spark, dir, g, g, opCol).schema
+    }
   }
 
   override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
@@ -182,7 +192,8 @@ class GraftSource extends TableProvider with DataSourceRegister
             s"startingVersion must be a generation number, got '$v'")
         }
       },
-      metadataPath, feedSchema(sqlContext.sparkSession, p))
+      metadataPath, feedSchema(sqlContext.sparkSession, p),
+      typedKeysOf(p))
   }
 }
 
@@ -194,7 +205,8 @@ class GraftSource extends TableProvider with DataSourceRegister
 private[sources] class GraftChangeSource(
     spark: SparkSession, dir: String, opCol: String,
     startingVersion: Option[Long], metadataPath: String,
-    override val schema: StructType)
+    override val schema: StructType,
+    typedKeys: Option[Seq[String]] = None)
     extends org.apache.spark.sql.execution.streaming.Source {
   import org.apache.spark.sql.execution.streaming.{Offset => V1Offset}
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -219,8 +231,16 @@ private[sources] class GraftChangeSource(
   override def getBatch(start: Option[V1Offset],
                         end: V1Offset): org.apache.spark.sql.DataFrame = {
     val from = start.map(genOf).getOrElse(initialGen)
-    val feed = graft.ext.Layout.changesBetween(spark, dir, from,
-      genOf(end), opCol)
+    // changeTypes mode ships each span TYPED ([[graft.ext.Layout
+    // .changesBetweenTyped]] — identical ±1 pairs netted out, same-key
+    // delete+insert paired into update pre/postimages): the streaming
+    // SCD2/audit shape, span semantics identical to the batch verb
+    val feed = typedKeys match {
+      case Some(keys) => graft.ext.Layout.changesBetweenTyped(spark, dir,
+        from, genOf(end), keys, opCol)
+      case None => graft.ext.Layout.changesBetween(spark, dir, from,
+        genOf(end), opCol)
+    }
     require(feed.schema == schema,
       s"the layout's schema changed under the stream (now " +
         s"${feed.schema.simpleString}, stream holds " +

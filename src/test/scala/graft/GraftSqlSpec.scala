@@ -67,8 +67,13 @@ class GraftSqlSpec extends AnyFunSuite with SharedSpark {
           fired.getAs[Int]("files_kept") > 0)
         assert(spark.read.parquet(d).count() === 184L)
         // VACUUM refuses below a registered pin, by consumer name;
-        // FORCE is the explicit override
+        // FORCE is the explicit override — and SHOW PINS surfaces
+        // what would block, before anyone trips on it
         Layout.registerSnapshotPin(spark, d, "nightly-report", 1L)
+        val pins = sqlS.sql(s"GRAFT SHOW PINS '$d'").collect()
+        assert(pins.length === 1 &&
+          pins(0).getString(0) === "nightly-report" &&
+          pins(0).getLong(1) === 1L)
         val blocked = intercept[Exception] {
           sqlS.sql(s"GRAFT VACUUM '$d' RETAIN 1")
         }

@@ -402,6 +402,54 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("refresh physically never opens untouched base files — proved by moving them away") {
+    import graft.ext.Layout
+    withTempDir("graft_mvproof_") { dir =>
+      val base = s"$dir/t"
+      val view = s"$dir/v"
+      (0L to 99L).map(k => (k, k % 5, k)).toDF("k", "g", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+        .write.parquet(base)
+      Layout.buildFileManifest(spark, base, Seq("k"))
+        .write.mode("overwrite").parquet(s"$base/_graft_manifest")
+      Layout.enableGenerations(spark, base)
+      Ivm.createView(spark, base, view, Seq("g"), Seq("v"))
+      // churn exactly ONE file's band: of the 4 range files, only the
+      // first overlaps [0, 9]
+      Layout.deleteWhere(spark, base, Seq(Layout.KeyBox("k", 0L, 9L)))
+      // the claim under test: refresh cost ∝ churn — the files BOTH
+      // manifests share are never opened. Proof by interference: move
+      // every shared file away; if the refresh (or its feed) touched
+      // one, it would fail with FileNotFound
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cur = Layout.currentGeneration(spark, base)
+      val live = spark.read.parquet(base).inputFiles.toSet
+      val gen0 = Layout.readSnapshot(spark, base, 0L).inputFiles.toSet
+      val shared = (live intersect gen0).toSeq.sorted
+      assert(shared.size >= 3, s"degenerate fixture: $shared")
+      val hidden = shared.map { f =>
+        val p = new org.apache.hadoop.fs.Path(new java.net.URI(f))
+        val away = new org.apache.hadoop.fs.Path(s"$dir/hidden_${p.getName}")
+        require(fs.rename(p, away), s"failed to hide $f")
+        (p, away)
+      }
+      try {
+        val r = Ivm.refreshView(spark, view)
+        assert(r.refreshed && r.toGen === cur)
+      } finally hidden.foreach { case (p, away) =>
+        require(fs.rename(away, p), s"failed to restore $p") }
+      // and the refreshed state is exact once the files are back
+      val got = Ivm.readView(spark, view).select("g", "cnt", "sum_v")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val want = Ivm.aggregateOf(
+          spark.read.parquet(base).select("g", "v"), Seq("g"), Seq("v"))
+        .select("g", "cnt", "sum_v")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === want)
+    }
+  }
+
   test("materialized view lifecycle: create/refresh/rebuild, crash healing, loud boundaries") {
     import graft.ext.Layout
     withTempDir("graft_mv_") { dir =>

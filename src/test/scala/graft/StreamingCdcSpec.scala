@@ -98,6 +98,48 @@ class StreamingCdcSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("changeTypes stream: each micro-batch arrives typed — updates paired, rewrite noise netted") {
+    withTempDir("graft_cdctyped_") { dir =>
+      val base = s"$dir/t"
+      (0L to 49L).map(k => (k, s"s$k", k)).toDF("k", "s", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.parquet(base)
+      Layout.buildFileManifest(spark, base, Seq("k"))
+        .write.mode("overwrite").parquet(s"$base/_graft_manifest")
+      Layout.enableGenerations(spark, base)
+      val batches = scala.collection.mutable.ArrayBuffer
+        .empty[Seq[(Long, Int, String)]]
+      val q = spark.readStream.format("graft")
+        .option("changeTypes", "true").option("keys", "k").load(base)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches += batch.select("k", "op", "_change_type").collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+            .sortBy(t => (t._1, t._2)).toSeq
+          ()
+        }.start()
+      try {
+        // one span: a delete (its file-rewrite survivors must NET OUT
+        // of the typed feed), an upsert (must pair pre/postimage), and
+        // an append (plain inserts)
+        Layout.deleteWhere(spark, base, Seq(Layout.KeyBox("k", 0L, 4L)))
+        Layout.upsertByKey(spark, base,
+          Seq((10L, "S10", 999L)).toDF("k", "s", "v"), "k")
+        Layout.appendWithManifest(
+          Seq((100L, "new", 1L)).toDF("k", "s", "v").repartition(1),
+          base, Seq("k"))
+        q.processAllAvailable()
+        val all = batches.flatten.toSeq.sortBy(t => (t._1, t._2))
+        assert(all === (
+          (0L to 4L).map(k => (k, -1, "delete")) ++
+            Seq((10L, -1, "update_preimage"), (10L, 1, "update_postimage"),
+              (100L, 1, "insert"))).sortBy(t => (t._1, t._2)),
+          s"typed stream mismatch: $all")
+      } finally q.stop()
+    }
+  }
+
   test("graft CDC source: vacuum coordination and loud boundaries") {
     withTempDir("graft_cdcvac_") { dir =>
       val base = s"$dir/t"
