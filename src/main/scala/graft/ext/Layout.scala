@@ -285,6 +285,20 @@ object Layout {
                         keyCols: Seq[String],
                         bloomKeys: Seq[String] = Nil): DataFrame = {
     requireEncodingStablePath(dir)
+    // a rebuilt manifest cannot reconstruct which deletion-vector
+    // store applies to which file — installing it would RESURRECT
+    // every vectorized row. If every vector was already materialized
+    // away, vacuum (tracked) or the purging verb (untracked) removed
+    // `_graft_dv`; while it exists, refuse
+    require(!new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(dvRoot(dir)),
+      s"$dir carries deletion-vector stores (_graft_dv) — a rebuilt " +
+        "manifest cannot know which files they apply to and would " +
+        "resurrect deleted rows; if the live manifest is intact, " +
+        "materialize the vectors (optimize/optimizeSelective) and " +
+        "vacuum, then rebuild; if it is lost, the vectorized rows " +
+        "are unrecoverable by rebuild alone")
     val src = spark.read.parquet(dir)
     // per-file too: an encoded partition SUBdirectory passes the
     // root check but would be recorded as an unstable URI that no
@@ -503,8 +517,13 @@ object Layout {
     val removedDf = removed.toDF("file")
     val kept = manifest.join(broadcast(removedDf), Seq("file"), "left_anti")
     val keptMigrated = widenWithNullCounts(kept, keyCols)
-    val updated = delta.fold(keptMigrated)(keptMigrated.unionByName(_))
-      .localCheckpoint(true)
+    val updated = delta.fold(keptMigrated) { d =>
+      // DV-format migration: a DV-bearing layout's delta rows (fresh
+      // rewrite outputs) lack the dv columns — widen both sides so
+      // the union cannot fail; any OTHER column mismatch stays loud
+      val (k2, d2) = alignDvCols(keptMigrated, d)
+      k2.unionByName(d2)
+    }.localCheckpoint(true)
     // a concurrent writer can slip between the verb's pre-destructive
     // OCC check and replaceManifest's commit-point check. By then the
     // verb has RETIRED files the winner's live manifest still
@@ -900,8 +919,13 @@ object Layout {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = snapshotManifestOf(spark, fs, dir, gen)
-    val files = manifest.select("file").collect().map(_.getString(0))
-    readResolved(spark, dir, resolveSnapshotFiles(fs, dir, gen, files))
+    val rows = manifest.select(col("file"),
+      dvPathExprOf(manifest.schema).as("dv_path")).collect()
+    val resolved = resolveSnapshotFiles(fs, dir, gen,
+      rows.map(_.getString(0)))
+    readResolvedDv(spark, dir, rows.toIndexedSeq.zip(resolved).map {
+      case (r, res) => (r.getString(0), res, Option(r.getString(1)))
+    })
   }
 
   /** [[readSnapshot]] with [[scanPruned]]'s skipping applied against
@@ -920,10 +944,13 @@ object Layout {
     val mSchema = manifest.schema
     val skip = boxes.map(skipExprOf(mSchema, _)).reduce(_ || _)
     val residual = boxes.map(residualExprOf(mSchema, _)).reduce(_ && _)
-    val survivors = manifest.filter(!skip)
-      .select("file").collect().map(_.getString(0))
-    readResolved(spark, dir,
-      resolveSnapshotFiles(fs, dir, gen, survivors)).where(residual)
+    val rows = manifest.filter(!skip)
+      .select(col("file"), dvPathExprOf(mSchema).as("dv_path")).collect()
+    val resolved = resolveSnapshotFiles(fs, dir, gen,
+      rows.map(_.getString(0)))
+    readResolvedDv(spark, dir, rows.toIndexedSeq.zip(resolved).map {
+      case (r, res) => (r.getString(0), res, Option(r.getString(1)))
+    }).where(residual)
   }
 
   /** The generation's manifest: live for `gen == current`, else the
@@ -1041,6 +1068,42 @@ object Layout {
     }
   }
 
+  /** [[readResolved]] with DELETION VECTORS applied: `items` pairs
+    * each manifest file URI with its resolved location and the DV
+    * store its manifest row references (None = no vector). Vector-
+    * free items keep [[readResolved]]'s exact plan; vectorized ones
+    * read with the parquet metadata identity stamped and anti-join
+    * their stores away, REMAPPING each store's recorded path onto
+    * the resolved one when they differ (a retired file's positions
+    * keep matching because retirement preserves content — only the
+    * path moved). */
+  private def readResolvedDv(spark: org.apache.spark.sql.SparkSession,
+                             dir: String,
+                             items: Seq[(String, String, Option[String])])
+      : DataFrame = {
+    if (items.forall(_._3.isEmpty))
+      return readResolved(spark, dir, items.map(_._2))
+    val stored = storedSchemaOf(spark, dir)
+    def reader = stored.fold(spark.read)(s => spark.read.schema(s))
+    def readGroups(xs: Seq[(String, String, Option[String])],
+                   stamp: Boolean): Option[DataFrame] =
+      xs.groupBy(i => snapshotAnchorOf(dir, i._2)).toSeq.sortBy(_._1)
+        .map { case (basePath, group) =>
+          val df = reader.option("basePath", basePath)
+            .parquet(group.map(_._2): _*)
+          if (stamp) stampDvCols(df) else df
+        }
+        .reduceOption(_ unionByName _)
+    val (dvItems, plainItems) = items.partition(_._3.isDefined)
+    val remap = dvItems.collect {
+      case (orig, resolved, _) if metaFormOf(orig) != metaFormOf(resolved) =>
+        metaFormOf(orig) -> metaFormOf(resolved)
+    }.toMap
+    val cleaned = antiJoinDv(spark, readGroups(dvItems, stamp = true).get,
+      dvItems.flatMap(_._3).distinct, remap)
+    readGroups(plainItems, stamp = false).fold(cleaned)(_ unionByName cleaned)
+  }
+
   /** CHANGE DATA FEED between two generations of a generation-tracked
     * layout: a signed row feed (the data columns plus `opCol` ∈
     * {+1, −1}) that turns snapshot `genFrom` into snapshot `genTo`
@@ -1080,24 +1143,100 @@ object Layout {
         "(swap the arguments and negate ops for the inverse feed)")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fromFiles = snapshotManifestOf(spark, fs, dir, genFrom)
-      .select("file").collect().map(_.getString(0)).toSet
-    val toFiles = snapshotManifestOf(spark, fs, dir, genTo)
-      .select("file").collect().map(_.getString(0)).toSet
+    def rowsOf(gen: Long): Map[String, Option[String]] = {
+      val m = snapshotManifestOf(spark, fs, dir, gen)
+      m.select(col("file"), dvPathExprOf(m.schema).as("dv_path"))
+        .collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    }
+    val fromRows = rowsOf(genFrom)
+    val toRows = rowsOf(genTo)
     // deterministic file order on both sides — the feed's physical
     // row order is not part of its contract, but plans should not
     // churn run-to-run on a Set's iteration order
-    val removed = (fromFiles -- toFiles).toArray.sorted
-    val added = (toFiles -- fromFiles).toArray.sorted
-    val minus = readResolved(spark, dir,
-      resolveSnapshotFiles(fs, dir, genFrom, removed))
+    val removed = (fromRows.keySet -- toRows.keySet).toArray.sorted
+    val added = (toRows.keySet -- fromRows.keySet).toArray.sorted
+    // a file BOTH generations hold contributes nothing UNLESS its
+    // deletion vector changed — then exactly the position DELTA does
+    // (new positions as −1 rows; positions the later generation no
+    // longer deletes — a RESTORE to a smaller vector — as +1),
+    // keeping the feed exact and churn-priced: only files whose
+    // vector moved are opened, and only their delta rows ride
+    val dvChanged = (fromRows.keySet & toRows.keySet).toArray.sorted
+      .filter(f => fromRows(f) != toRows(f))
+    def readSide(gen: Long, files: Array[String],
+                 rows: Map[String, Option[String]]): DataFrame = {
+      val resolved = resolveSnapshotFiles(fs, dir, gen, files)
+      readResolvedDv(spark, dir, files.toIndexedSeq.zip(resolved).map {
+        case (f, res) => (f, res, rows(f))
+      })
+    }
+    val minus = readSide(genFrom, removed, fromRows)
     require(!minus.columns.contains(opCol),
       s"the layout already carries a column named $opCol — pass a " +
         "different opCol for the feed's sign column")
-    val plus = readResolved(spark, dir,
-      resolveSnapshotFiles(fs, dir, genTo, added))
-    minus.withColumn(opCol, lit(-1))
+    val plus = readSide(genTo, added, toRows)
+    val base = minus.withColumn(opCol, lit(-1))
       .unionByName(plus.withColumn(opCol, lit(1)))
+    if (dvChanged.isEmpty) base
+    else base.unionByName(
+      dvDeltaFeed(spark, fs, dir, genTo, dvChanged, fromRows, toRows, opCol))
+  }
+
+  /** The signed rows of files whose DELETION VECTOR changed between
+    * two generations: read each changed file once (resolved live or
+    * retired — the file itself is in both manifests, so both
+    * generations resolve it to the same location), inner-join the
+    * position DELTA with its sign (+1 for positions the later
+    * generation no longer deletes, −1 for newly deleted ones), and
+    * return data columns + `opCol`. Cost ∝ the changed files and
+    * their vector sizes — never the table. */
+  private def dvDeltaFeed(spark: org.apache.spark.sql.SparkSession,
+                          fs: org.apache.hadoop.fs.FileSystem,
+                          dir: String, genTo: Long,
+                          changed: Array[String],
+                          fromRows: Map[String, Option[String]],
+                          toRows: Map[String, Option[String]],
+                          opCol: String): DataFrame = {
+    import spark.implicits._
+    val resolved = resolveSnapshotFiles(fs, dir, genTo, changed)
+    val remap = changed.toIndexedSeq.zip(resolved).collect {
+      case (orig, res) if metaFormOf(orig) != metaFormOf(res) =>
+        metaFormOf(orig) -> metaFormOf(res)
+    }.toMap
+    val changedMeta = changed.toIndexedSeq.map(metaFormOf).toDF("file")
+    def positions(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty)
+        Seq.empty[(String, Long)].toDF("file", "idx")
+      else spark.read.parquet(paths.distinct: _*)
+        .select(col("file"), col("idx"))
+        .join(broadcast(changedMeta), Seq("file"), "left_semi")
+    val fromPos = positions(changed.toIndexedSeq.flatMap(fromRows(_)))
+    val toPos = positions(changed.toIndexedSeq.flatMap(toRows(_)))
+    val delta = toPos.exceptAll(fromPos).withColumn(opCol, lit(-1))
+      .unionByName(fromPos.exceptAll(toPos).withColumn(opCol, lit(1)))
+    val mapped =
+      if (remap.isEmpty) delta
+      else delta.withColumn("file",
+        coalesce(element_at(typedLit(remap), col("file")), col("file")))
+    val stored = storedSchemaOf(spark, dir)
+    def reader = stored.fold(spark.read)(s => spark.read.schema(s))
+    val data = changed.toIndexedSeq.zip(resolved)
+      .groupBy { case (_, res) => snapshotAnchorOf(dir, res) }
+      .toSeq.sortBy(_._1)
+      .map { case (basePath, group) =>
+        stampDvCols(reader.option("basePath", basePath)
+          .parquet(group.map(_._2): _*))
+      }
+      .reduce(_ unionByName _)
+    val joined = data.join(broadcast(mapped),
+      data(DvFileCol) === mapped("file") &&
+        data(DvIdxCol) === mapped("idx"))
+    // select by side-qualified reference, never drop-by-name: a data
+    // column legitimately named `file`/`idx` must survive
+    val dataCols = data.columns
+      .filterNot(c => c == DvFileCol || c == DvIdxCol)
+    joined.select(dataCols.map(data(_)).toIndexedSeq :+ mapped(opCol): _*)
   }
 
   /** [[changesBetween]] with Delta-CDF-style ROW CHANGE TYPES: the
@@ -1202,36 +1341,66 @@ object Layout {
     // per-generation frames, whose plan grows linearly with history
     // depth and collapses at hundreds of retained generations;
     // mergeSchema absorbs the pre-null-counts manifest format
-    val live = loadManifest(spark, dir)
-      .select(col("file"), col("n_rows")).withColumn("gen", lit(cur))
+    val live0 = loadManifest(spark, dir)
+    val live = live0
+      .select(col("file"), col("n_rows"),
+        dvRowsExprOf(live0.schema).as("dv_rows"))
+      .withColumn("gen", lit(cur))
     val labeled =
       if (archived.isEmpty) live
-      else spark.read
-        .option("basePath", historyDir(dir).toString)
-        .option("mergeSchema", "true")
-        .parquet(archived.map(g =>
-          new org.apache.hadoop.fs.Path(historyDir(dir), s"gen=$g")
-            .toString): _*)
-        .select(col("file"), col("n_rows"), col("gen").cast("long").as("gen"))
-        .unionByName(live)
+      else {
+        val arch = spark.read
+          .option("basePath", historyDir(dir).toString)
+          .option("mergeSchema", "true")
+          .parquet(archived.map(g =>
+            new org.apache.hadoop.fs.Path(historyDir(dir), s"gen=$g")
+              .toString): _*)
+        arch.select(col("file"), col("n_rows"),
+            dvRowsExprOf(arch.schema).as("dv_rows"),
+            col("gen").cast("long").as("gen"))
+          .unionByName(live)
+      }
     // contiguous presence interval per file → two churn events: it is
     // ADDED at the transition to its first generation and REMOVED at
     // the transition past its last; interval ends at the range edges
-    // are not events (the file predates the window / is still live)
-    val spans = labeled.groupBy("file", "n_rows")
-      .agg(min(col("gen")).as("first_gen"), max(col("gen")).as("last_gen"))
+    // are not events (the file predates the window / is still live).
+    // Rows count LIVE (physical minus deletion vector at that
+    // generation) — on a vector-free layout this is exactly n_rows
+    val spans = labeled.groupBy("file")
+      .agg(min(col("gen")).as("first_gen"), max(col("gen")).as("last_gen"),
+        (first(col("n_rows")) -
+          min_by(col("dv_rows"), col("gen"))).as("first_live"),
+        (first(col("n_rows")) -
+          max_by(col("dv_rows"), col("gen"))).as("last_live"))
     val addEvents = spans.filter(col("first_gen") > lit(oldest))
       .select(col("first_gen").as("gen"),
         lit(1L).as("files_added"), lit(0L).as("files_removed"),
-        col("n_rows").as("rows_added"), lit(0L).as("rows_removed"))
+        col("first_live").as("rows_added"), lit(0L).as("rows_removed"))
     val dropEvents = spans.filter(col("last_gen") < lit(cur))
       .select((col("last_gen") + 1L).as("gen"),
         lit(0L).as("files_added"), lit(1L).as("files_removed"),
-        lit(0L).as("rows_added"), col("n_rows").as("rows_removed"))
+        lit(0L).as("rows_added"), col("last_live").as("rows_removed"))
+    // a DELETION-VECTOR commit moves rows without moving files: for
+    // each present→present generation step whose vector grew, the
+    // delta counts as rows_removed with ZERO file churn (and the
+    // rare shrink — a restore to a smaller vector — as rows_added)
+    val byFile = org.apache.spark.sql.expressions.Window
+      .partitionBy("file").orderBy("gen")
+    val dvEvents = labeled
+      .withColumn("__graft_prev_dv", lag(col("dv_rows"), 1).over(byFile))
+      .filter(col("__graft_prev_dv").isNotNull &&
+        col("dv_rows") =!= col("__graft_prev_dv"))
+      .select(col("gen"),
+        lit(0L).as("files_added"), lit(0L).as("files_removed"),
+        greatest(col("__graft_prev_dv") - col("dv_rows"), lit(0L))
+          .as("rows_added"),
+        greatest(col("dv_rows") - col("__graft_prev_dv"), lit(0L))
+          .as("rows_removed"))
     val transitions = spark.range(oldest + 1L, cur + 1L)
       .select(col("id").as("gen"))
     val churn = transitions
-      .join(addEvents.unionByName(dropEvents), Seq("gen"), "left")
+      .join(addEvents.unionByName(dropEvents).unionByName(dvEvents),
+        Seq("gen"), "left")
       .groupBy("gen")
       .agg(coalesce(sum(col("files_added")), lit(0L)).as("files_added"),
         coalesce(sum(col("files_removed")), lit(0L)).as("files_removed"),
@@ -1394,6 +1563,23 @@ object Layout {
       .map(f => snapshotAnchorOf(dir, f) -> f)
   }
 
+  /** Whether generation `gen`'s manifest references any deletion
+    * vector — the V2 reader's probe: a raw file relation cannot
+    * apply vectors, so it refuses instead of resurrecting rows. */
+  private[graft] def snapshotHasDv(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String, gen: Long): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dvRoot(dir))) false
+    else {
+      val m =
+        if (generationsEnabled(fs, dir)) snapshotManifestOf(spark, fs, dir, gen)
+        else loadManifest(spark, dir)
+      hasDvCols(m.schema) &&
+        m.filter(col("dv_path").isNotNull).head(1).nonEmpty
+    }
+  }
+
   /** Whether the layout root has hive `k=v` partition subdirectories —
     * the reader-side dispatch the `graft` DataSourceV2 source needs
     * (a partitioned tree's snapshot read must anchor a basePath). */
@@ -1493,7 +1679,18 @@ object Layout {
     requireExpectedGen(fs, dir, expectedGen, "restore")
     val cur = liveGenOf(fs, dir)
     val target = snapshotManifestOf(spark, fs, dir, gen)
-    val targetFiles = target.select("file").as[String].collect()
+    val targetRows = target.select(col("file"),
+        dvPathExprOf(target.schema).as("dv_path")).as[(String, Option[String])]
+      .collect()
+    val targetFiles = targetRows.map(_._1)
+    val targetDv = targetRows.collect { case (f, Some(p)) => f -> p }.toMap
+    // every store the target generation references must still exist
+    // (vacuum-protected while the generation is retained, but loud
+    // HERE beats a dangling reference that fails on first read)
+    for (p <- targetDv.values.toSeq.distinct)
+      require(fs.exists(new org.apache.hadoop.fs.Path(new java.net.URI(p))),
+        s"generation $gen of $dir references the deletion-vector " +
+          s"store $p, which no longer exists — vacuumed out of band?")
     if (gen == cur)
       return RestoreStats(committed = false, targetFiles.length, 0, 0)
     val resolved = resolveSnapshotFiles(fs, dir, gen, targetFiles)
@@ -1537,9 +1734,29 @@ object Layout {
     requireExpectedGen(fs, dir, expectedGen, "restore")
     retireOrDeleteAll(fs, dir, (liveBefore -- keptSet).toSeq.sorted,
       "restore")
-    val restored = remapManifestFiles(spark, target,
+    val restored0 = remapManifestFiles(spark, target,
       kept.toSeq.map(k => (k._1, k._1)) ++ mapping)
-      .localCheckpoint(true)
+    // copied-back files that carried a deletion vector at the target
+    // generation get their positions REWRITTEN onto the copies' new
+    // paths in one fresh store (content is byte-identical, so the
+    // positions stay valid); kept files' vector pointers ride the
+    // manifest verbatim — their stores still name them correctly
+    val dvCopyBack = mapping.collect {
+      case (orig, newFile) if targetDv.contains(orig) =>
+        (orig, targetDv(orig), newFile)
+    }
+    val restored = (if (dvCopyBack.isEmpty) restored0 else {
+      val newStore = rewriteDvStore(spark, fs, dvRoot(dir),
+        s"restore$cur", dvCopyBack)
+      val repoint = dvCopyBack
+        .map { case (_, _, nf) => (nf, newStore) }
+        .toDF("file", "__graft_new_dv_path")
+      widenWithDvCols(restored0)
+        .join(broadcast(repoint), Seq("file"), "left")
+        .withColumn("dv_path",
+          coalesce(col("__graft_new_dv_path"), col("dv_path")))
+        .drop("__graft_new_dv_path")
+    }).localCheckpoint(true)
     replaceManifest(spark, dir, restored, "restore", expectedGen)
     Checkpoints.unpersist(restored)
     RestoreStats(committed = true, kept.length, copyBack.length,
@@ -1572,7 +1789,15 @@ object Layout {
     require(!destFs.exists(destP),
       s"clone destination $destDir already exists — refusing to mix")
     val target = snapshotManifestOf(spark, fs, srcDir, gen)
-    val targetFiles = target.select("file").as[String].collect()
+    val targetRows = target.select(col("file"),
+        dvPathExprOf(target.schema).as("dv_path")).as[(String, Option[String])]
+      .collect()
+    val targetFiles = targetRows.map(_._1)
+    val targetDv = targetRows.collect { case (f, Some(p)) => f -> p }.toMap
+    for (p <- targetDv.values.toSeq.distinct)
+      require(fs.exists(new org.apache.hadoop.fs.Path(new java.net.URI(p))),
+        s"generation $gen of $srcDir references the deletion-vector " +
+          s"store $p, which no longer exists — vacuumed out of band?")
     val resolved = resolveSnapshotFiles(fs, srcDir, gen, targetFiles)
     val destQ = destFs.makeQualified(destP).toString
     val withRel = targetFiles.toSeq.zip(resolved).map { case (orig, r) =>
@@ -1593,8 +1818,27 @@ object Layout {
       if (withRel.isEmpty) Seq.empty[String]
       else spark.read.parquet(destDir).inputFiles.toSeq
     val mapping = withRel.map(m => (m._1, canonicalByRel(destCanonical, m._3)))
-    val cloned = remapManifestFiles(spark, target, mapping)
-      .localCheckpoint(true)
+    val cloned0 = remapManifestFiles(spark, target, mapping)
+    // vectorized files' positions travel with the clone: ONE new
+    // store under the clone's own `_graft_dv`, recorded paths
+    // remapped onto the copies (content is byte-identical) — the
+    // clone stays standalone, never referencing the source's stores
+    // a later vacuum of the source could reap
+    val dvPairs = mapping.collect {
+      case (orig, newFile) if targetDv.contains(orig) =>
+        (orig, targetDv(orig), newFile)
+    }
+    val cloned = (if (dvPairs.isEmpty) cloned0 else {
+      val newStore = rewriteDvStore(spark, destFs, dvRoot(destDir),
+        s"clone$gen", dvPairs)
+      val repoint = dvPairs.map { case (_, _, nf) => (nf, newStore) }
+        .toDF("file", "__graft_new_dv_path")
+      widenWithDvCols(cloned0)
+        .join(broadcast(repoint), Seq("file"), "left")
+        .withColumn("dv_path",
+          coalesce(col("__graft_new_dv_path"), col("dv_path")))
+        .drop("__graft_new_dv_path")
+    }).localCheckpoint(true)
     cloned.write.mode("overwrite").parquet(s"$destDir/_graft_manifest")
     Checkpoints.unpersist(cloned)
     // the CURRENT sidecar governs resolution of every file, including
@@ -1629,8 +1873,12 @@ object Layout {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val manifest = loadManifest(spark, dir)
     val mSchema = manifest.schema
+    // n_rows reports LIVE rows (physical minus deletion vectors) —
+    // identical on a vector-free layout
     val counts = manifest
-      .agg(count(lit(1)), coalesce(sum("n_rows"), lit(0L))).head()
+      .agg(count(lit(1)),
+        coalesce(sum(col("n_rows") - dvRowsExprOf(mSchema)), lit(0L)))
+      .head()
     val (nFiles, nRows) = (counts.getLong(0), counts.getLong(1))
     val keys = manifestKeysOf(mSchema)
     val blooms = bloomKeysOf(mSchema)
@@ -1850,6 +2098,12 @@ object Layout {
             .toLong < cut)
       require(fs.delete(st.getPath, false),
         s"vacuum: failed to drop the commit record at ${st.getPath}")
+    // deletion-vector stores follow the manifests that referenced
+    // them: with the sub-cut generations gone, reap every store no
+    // RETAINED manifest (live or archived) still references — the
+    // reference walk is manifest-sized, run AFTER the trim so the
+    // reap sees exactly the surviving reference set
+    reapUnreferencedDvStores(spark, fs, dir)
     (mfDropped, filesDropped)
   }
 
@@ -2060,6 +2314,153 @@ object Layout {
       s"failed to move the updated schema sidecar into place at $p")
   }
 
+  // ───────── CHECK constraints: sidecar-stored, writer-enforced ─────────
+  //
+  // Delta's table constraints: a named boolean SQL expression every
+  // row-ADDING writer ([[appendWithManifest]], [[upsertByKeys]]'s
+  // updates, and therefore [[streamAppend]] and the GRAFT SQL write
+  // statements) validates the INCOMING BATCH against before any
+  // mutation — batch-sized work, never a table rescan. SQL CHECK
+  // semantics: a row violates only when the expression evaluates to
+  // FALSE; NULL passes (use `x IS NOT NULL` for NOT NULL). Stored as
+  // one JSON sidecar (`_graft_constraints.json`, tmp + rename like
+  // every other sidecar); expressions parse through Spark's own
+  // parser at add time AND at enforcement time, so the dialect never
+  // forks. Delete/optimize/restore never add rows and skip the check.
+
+  private def constraintsSidecar(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$dir/_graft_constraints.json")
+
+  /** The layout's CHECK constraints, name → expression text. Torn
+    * sidecars fail loudly (json4s parse error names the path). */
+  def checkConstraintsOf(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): Seq[(String, String)] = {
+    val p = constraintsSidecar(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else {
+      val in = fs.open(p)
+      val json = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+        out.toString("UTF-8")
+      } finally in.close()
+      try {
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        org.json4s.jackson.JsonMethods.parse(json)
+          .extract[List[Map[String, String]]]
+          .map(m => (m("name"), m("expr")))
+      } catch {
+        case e: Exception => throw new IllegalStateException(
+          s"corrupt constraints sidecar at $p — repair or remove it " +
+            s"(${e.getMessage})")
+      }
+    }
+  }
+
+  private def writeConstraints(spark: org.apache.spark.sql.SparkSession,
+                               dir: String,
+                               cs: Seq[(String, String)]): Unit = {
+    val p = constraintsSidecar(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_graft_constraints.json.tmp")
+    import org.json4s.JsonDSL._
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        cs.map { case (n, e) => ("name" -> n) ~ ("expr" -> e) }))
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    require(fs.delete(p, false) || !fs.exists(p),
+      s"failed to clear the old constraints sidecar at $p")
+    require(fs.rename(tmp, p),
+      s"failed to move the constraints sidecar into place at $p")
+  }
+
+  /** The violation predicate of one constraint — FALSE-only, per SQL
+    * CHECK (null passes). Parsed through Spark's own expression
+    * parser; shared by add-time validation and write-time
+    * enforcement so the semantics cannot fork. */
+  private def violationOf(exprText: String): Column =
+    !coalesce(expr(exprText), lit(true))
+
+  /** Add a named CHECK constraint. The expression must resolve and
+    * type as boolean against the layout's canonical schema, the name
+    * must be fresh, and (by default) every EXISTING row must already
+    * satisfy it — an invalid-from-birth constraint would make every
+    * later append fail confusingly, so the one table-sized scan
+    * happens HERE, loudly, at add time (`validateExisting = false`
+    * skips it when the caller has external proof). */
+  def addCheckConstraint(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, name: String, exprText: String,
+                         validateExisting: Boolean = true): Unit = {
+    requireEncodingStablePath(dir)
+    require(name.nonEmpty && name.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-'),
+      s"constraint name '$name' must be a plain identifier")
+    val existing = checkConstraintsOf(spark, dir)
+    require(!existing.exists(_._1 == name),
+      s"constraint $name already exists at $dir " +
+        s"(CHECK (${existing.find(_._1 == name).get._2})) — drop it first")
+    val frame = readLayout(spark, dir)
+    // analysis-time resolution + boolean typing, before anything is
+    // stored: a typo'd column or a non-boolean expression must fail
+    // HERE, not on the next append
+    val probe =
+      try frame.select(expr(exprText).as("c"))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"constraint $name's expression ($exprText) does not " +
+              s"resolve against $dir: ${e.getMessage}")
+      }
+    require(probe.schema("c").dataType ==
+        org.apache.spark.sql.types.BooleanType,
+      s"constraint $name's expression ($exprText) is " +
+        s"${probe.schema("c").dataType}, not boolean")
+    if (validateExisting) {
+      val bad = frame.where(violationOf(exprText)).head(1)
+      require(bad.isEmpty,
+        s"existing rows at $dir violate $name (CHECK ($exprText)) — " +
+          s"e.g. ${bad.headOption.getOrElse("")}; clean the data or " +
+          "pass validateExisting = false with external proof")
+    }
+    writeConstraints(spark, dir, existing :+ (name -> exprText))
+  }
+
+  /** Drop a CHECK constraint by name — loud on an unknown name. */
+  def dropCheckConstraint(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, name: String): Unit = {
+    val existing = checkConstraintsOf(spark, dir)
+    require(existing.exists(_._1 == name),
+      s"no constraint named $name at $dir " +
+        s"(has: ${existing.map(_._1).mkString(", ")})")
+    writeConstraints(spark, dir, existing.filterNot(_._1 == name))
+  }
+
+  /** Enforce every stored constraint against an incoming BATCH — the
+    * row-adding writers' shared hook, batch-sized by construction.
+    * One pass evaluates all constraints (a single filter with the
+    * OR of the violation predicates would lose WHICH constraint
+    * fired; the per-constraint probes share the pinned batch the
+    * callers already hold, so the marginal cost is one cheap job per
+    * constraint). */
+  private def requireBatchSatisfies(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame, verb: String): Unit =
+    for ((name, exprText) <- checkConstraintsOf(spark, dir)) {
+      val bad =
+        try batch.where(violationOf(exprText)).head(1)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalStateException(
+              s"constraint $name (CHECK ($exprText)) at $dir no longer " +
+                s"resolves against the incoming batch: ${e.getMessage}")
+        }
+      require(bad.isEmpty,
+        s"$verb at $dir rejected: constraint $name (CHECK ($exprText)) " +
+          s"is violated by the incoming rows — e.g. ${bad.head}")
+    }
+
   private def droppedSidecar(dir: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(s"$dir/_graft_dropped.json")
 
@@ -2177,13 +2578,37 @@ object Layout {
     * column surface null for it — ADD COLUMN semantics), a plain
     * parquet read otherwise. THE read verb for evolved layouts —
     * a bare `spark.read.parquet(dir)` on one resolves the added
-    * columns nondeterministically (footer sampling). */
+    * columns nondeterministically (footer sampling) — and for
+    * DELETION-VECTOR-bearing ones, where a bare read resurrects the
+    * vectorized rows: when the live manifest references any vector,
+    * the read routes through the manifest's file list with the
+    * vectors anti-joined away (so an out-of-band file the manifest
+    * never blessed is invisible here — on a vectorized layout every
+    * legitimate file came through a manifest-keeping writer). */
   def readLayout(spark: org.apache.spark.sql.SparkSession,
-                 dir: String): DataFrame =
-    storedSchemaOf(spark, dir) match {
+                 dir: String): DataFrame = {
+    val plain = storedSchemaOf(spark, dir) match {
       case Some(s) => spark.read.schema(s).parquet(dir)
       case None => spark.read.parquet(dir)
     }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dvRoot(dir))) plain
+    else {
+      val manifest = loadManifest(spark, dir)
+      val rows =
+        if (!hasDvCols(manifest.schema)) Array.empty[(String, String)]
+        else manifest.filter(col("dv_path").isNotNull)
+          .select("file", "dv_path").collect()
+          .map(r => r.getString(0) -> r.getString(1))
+      if (rows.isEmpty) plain
+      else {
+        val files = manifest.select("file").collect().map(_.getString(0))
+        readFilesOf(spark, dir, files.toIndexedSeq,
+          storedSchemaOf(spark, dir), dv = rows.toMap)
+      }
+    }
+  }
 
   /** File-listed data read under the layout's canonical schema —
     * the survivor-read shape every pruning/rewrite verb uses:
@@ -2192,10 +2617,32 @@ object Layout {
     * even when every listed file predates them. */
   private def readFilesOf(spark: org.apache.spark.sql.SparkSession,
                           dir: String, files: Seq[String],
-                          stored: Option[org.apache.spark.sql.types.StructType])
+                          stored: Option[org.apache.spark.sql.types.StructType],
+                          dv: Map[String, String] = Map.empty,
+                          srcCol: Option[String] = None)
       : DataFrame = {
-    val r = spark.read.option("basePath", dir)
-    stored.fold(r)(s => r.schema(s)).parquet(files: _*)
+    // srcCol (when asked for) comes off the parquet METADATA struct,
+    // not input_file_name(): the metadata column is a real projected
+    // value that survives the DV anti-join below under any physical
+    // join choice, where input_file_name() is only valid inside the
+    // scan's own stage
+    def rd(sub: Seq[String]): DataFrame = {
+      val r = spark.read.option("basePath", dir)
+      val df = stored.fold(r)(s => r.schema(s)).parquet(sub: _*)
+      srcCol.fold(df)(c => df.withColumn(c, col("_metadata.file_path")))
+    }
+    val dvFiles = files.filter(dv.contains)
+    if (dvFiles.isEmpty) rd(files)
+    else {
+      // deletion-vector-bearing files read WITH the parquet metadata
+      // columns and anti-join their vectors away; DV-free files take
+      // the plain path (no metadata stamping, no join) — the split
+      // keeps the common case's plan untouched
+      val plain = files.filterNot(dv.contains)
+      val cleaned = antiJoinDv(spark, stampDvCols(rd(dvFiles)),
+        dvFiles.map(dv), Map.empty)
+      if (plain.isEmpty) cleaned else rd(plain).unionByName(cleaned)
+    }
   }
 
   /** Append rows to a manifest-carrying directory and PATCH the
@@ -2240,7 +2687,8 @@ object Layout {
   def appendWithManifest(df: DataFrame, path: String,
                          keyCols: Seq[String],
                          mergeSchema: Boolean = false,
-                         expectedGen: Option[Long] = None): Unit = {
+                         expectedGen: Option[Long] = None,
+                         operationLabel: String = "append"): Unit = {
     val spark = df.sparkSession
     requireEncodingStablePath(path)
     requireSupportedKeys(df.schema, keyCols)
@@ -2294,6 +2742,12 @@ object Layout {
     // (a new column can never be a manifest KEY: keyCols must equal
     // the stored manifest's keys — checked above — and those are
     // data columns of every existing file)
+    //
+    // CHECK constraints enforce on the incoming batch BEFORE anything
+    // commits (one extra batch-sized evaluation of `df` per stored
+    // constraint — a nondeterministic source should be pinned by the
+    // caller, as [[streamAppend]]'s micro-batches inherently are)
+    requireBatchSatisfies(spark, path, df, "append")
     if (newCols.nonEmpty)
       writeStoredSchema(spark, path,
         org.apache.spark.sql.types.StructType(current.schema ++ newCols))
@@ -2309,15 +2763,161 @@ object Layout {
     val delta = manifestOf(
       spark.read.option("basePath", path).parquet(newFiles: _*), keyCols,
       bloomKeysOf(existing.schema))
-    // pre-nulls-format migration ([[widenWithNullCounts]]), then the
-    // temp-dir + rename replace ([[replaceManifest]]). Note the data
-    // append itself commits first, so running with
-    // verifyCoverage=false after a mid-append crash is the one
-    // combination that can drop rows (documented on scanPruned).
-    val updated = widenWithNullCounts(existing, keyCols).unionByName(delta)
+    // pre-nulls-format migration ([[widenWithNullCounts]]) and the
+    // DV-format one ([[alignDvCols]] — appended files never carry a
+    // vector), then the temp-dir + rename replace
+    // ([[replaceManifest]]). Note the data append itself commits
+    // first, so running with verifyCoverage=false after a mid-append
+    // crash is the one combination that can drop rows (documented on
+    // scanPruned).
+    val (k2, d2) = alignDvCols(widenWithNullCounts(existing, keyCols), delta)
+    val updated = k2.unionByName(d2)
       .localCheckpoint(true)
-    replaceManifest(spark, path, updated, "append", expectedGen)
+    replaceManifest(spark, path, updated, operationLabel, expectedGen)
     Checkpoints.unpersist(updated)
+  }
+
+  // ───────── streaming ingest: exactly-once foreachBatch appends ─────────
+
+  private def streamDir(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$dir/_graft_stream")
+
+  private def sha1Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def streamLedgerPath(dir: String,
+                               queryId: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(streamDir(dir), s"${sha1Hex(queryId)}.json")
+
+  private val StreamLedgerRe =
+    """\{"queryId":"([^"]*)","batchId":(-?\d+)\}""".r
+
+  private def streamLedgerOf(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: String, queryId: String): Option[Long] = {
+    val p = streamLedgerPath(dir, queryId)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 256, false)
+        out.toString("UTF-8").trim
+      } finally in.close()
+      txt match {
+        case StreamLedgerRe(q, b) =>
+          require(q == queryId,
+            s"stream ledger $p belongs to query '$q', not '$queryId' — " +
+              "SHA-1 collision or corruption; remove it to recover")
+          Some(b.toLong)
+        case _ => throw new IllegalStateException(
+          s"corrupt stream ledger at $p (read '$txt') — remove it; the " +
+            "next batch re-derives idempotence from the commit records")
+      }
+    }
+  }
+
+  private def writeStreamLedger(fs: org.apache.hadoop.fs.FileSystem,
+                                dir: String, queryId: String,
+                                batchId: Long): Unit = {
+    fs.mkdirs(streamDir(dir))
+    val p = streamLedgerPath(dir, queryId)
+    val tmp = new org.apache.hadoop.fs.Path(streamDir(dir),
+      s"_${sha1Hex(queryId)}.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      s"""{"queryId":"${queryId.replace("\\", "\\\\").replace("\"", "\\\"")
+        }","batchId":$batchId}""".getBytes("UTF-8"))
+    finally out.close()
+    require(fs.delete(p, false) || !fs.exists(p),
+      s"failed to clear the old stream ledger at $p")
+    require(fs.rename(tmp, p),
+      s"failed to move the stream ledger into place at $p")
+  }
+
+  /** The commit-record operation label a [[streamAppend]] of this
+    * (query, batch) stamps — what makes the COMMIT itself carry the
+    * idempotence token, Delta's `txn` action recovered from the
+    * generation store. */
+  private def streamOpLabel(queryId: String, batchId: Long): String =
+    s"streamAppend:${sha1Hex(queryId).take(12)}:$batchId"
+
+  /** EXACTLY-ONCE streaming ingest into a generation-tracked layout —
+    * the `foreachBatch` body that completes the streaming loop the
+    * CDC source ([[graft.sources.GraftSource]] `readStream`) opens:
+    *
+    * {{{
+    *   stream.writeStream.foreachBatch(
+    *     Layout.streamAppend(dir, keys, queryId = "ingest-docs") _
+    *   ).option("checkpointLocation", ckpt).start()
+    * }}}
+    *
+    * Idempotence is two-layered, and the COMMIT carries the token:
+    * every batch's manifest commit stamps its (query, batch) into the
+    * generation's commit record ([[streamOpLabel]] — Delta's `txn`
+    * action), and a per-query LEDGER sidecar caches the last
+    * committed batch for the fast-path skip. A restart re-delivers
+    * the last batch (Structured Streaming's contract); the replay is
+    * skipped by the ledger, or — when the crash hit the window
+    * between the manifest commit and the ledger write — detected
+    * from the LIVE generation's commit record, which heals the
+    * ledger and skips. A live generation carrying NO record while
+    * the replayed batch is undecided is refused loudly (that window
+    * is the store-wide rename→record crash, already loud for
+    * TIMESTAMP AS OF) — never guessed into a duplicate or a drop.
+    *
+    * Generation tracking is REQUIRED: the commit records are what
+    * make the token atomic with the commit. Empty batches advance
+    * the ledger without committing a generation. Appends follow
+    * [[appendWithManifest]]'s full discipline (stats delta, schema
+    * compatibility, partition routing); concurrent DISTINCT streams
+    * interleave safely — their commits serialize on the archive CAS
+    * and their tokens live in separate records and ledgers. */
+  def streamAppend(dir: String, keys: Seq[String], queryId: String,
+                   mergeSchema: Boolean = false)
+                  (df: DataFrame, batchId: Long): Unit = {
+    require(queryId.nonEmpty, "streamAppend needs a stable queryId — " +
+      "it names the ledger a restart consults")
+    require(batchId >= 0L, s"negative batchId $batchId")
+    val spark = df.sparkSession
+    requireEncodingStablePath(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(generationsEnabled(fs, dir),
+      s"streamAppend needs a generation-tracked layout at $dir " +
+        "(enableGenerations first) — the commit records are what make " +
+        "batch idempotence atomic with the commit")
+    val recorded = streamLedgerOf(fs, dir, queryId)
+    if (recorded.exists(batchId <= _)) return // replayed and ledgered
+    // torn-ledger replay: the previous attempt may have COMMITTED and
+    // crashed before its ledger write — the live generation's commit
+    // record decides, never a guess
+    val g = liveGenOf(fs, dir)
+    commitInfoOf(fs, dir).get(g) match {
+      case Some((_, op)) if op == streamOpLabel(queryId, batchId) =>
+        writeStreamLedger(fs, dir, queryId, batchId)
+        return
+      case None if g > 0L && recorded.contains(batchId - 1L) =>
+        throw new IllegalStateException(
+          s"generation $g of $dir carries no commit record while " +
+            s"batch $batchId of '$queryId' replays — a commit crashed " +
+            "between the manifest rename and the record write, and the " +
+            "engine cannot decide whether that commit WAS this batch. " +
+            "Inspect describeHistory(gen=" + g + ") against the batch's " +
+            "rows; then either advance the ledger by hand (it was) or " +
+            "remove the generation's manifest from _graft_history and " +
+            "re-run (it was not)")
+      case _ => ()
+    }
+    if (df.isEmpty) {
+      // nothing to commit; the ledger alone advances so the replay
+      // fast path stays exact
+      writeStreamLedger(fs, dir, queryId, batchId)
+      return
+    }
+    appendWithManifest(df, dir, keys, mergeSchema,
+      operationLabel = streamOpLabel(queryId, batchId))
+    writeStreamLedger(fs, dir, queryId, batchId)
   }
 
   /** [[writeZOrdered]] + durable skipping stats in one step: after
@@ -2506,9 +3106,11 @@ object Layout {
       requireManifestCovers(spark, dirFrame,
         manifest.select("file").collect().map(_.getString(0)).toSet, dir,
         "pruning would silently drop rows")
-    val survivors = manifest
+    val survivorRows = manifest
       .filter(!skip) // per-box null coalescing lives in skipExprOf
-      .select("file").collect().map(_.getString(0))
+      .select(col("file"), dvPathExprOf(mSchema).as("dv_path"))
+      .collect()
+    val survivors = survivorRows.map(_.getString(0))
     if (survivors.isEmpty)
       // no file can contain a match; keep the schema (and exactness)
       // without opening any row group — dirFrame is reused from the
@@ -2521,8 +3123,13 @@ object Layout {
       // full scan holds there too (and a manifest keyed on a partition
       // column subsumes partition pruning — whole partitions drop, and
       // the range stats prune beyond what directory names alone can).
-      // On a flat directory the option is a no-op.
-      readFilesOf(spark, dir, survivors.toIndexedSeq, stored)
+      // On a flat directory the option is a no-op. Deletion vectors
+      // (when any survivor carries one) anti-join away inside
+      // readFilesOf — DV-free survivors keep the plain plan.
+      readFilesOf(spark, dir, survivors.toIndexedSeq, stored,
+          dv = survivorRows.collect {
+            case r if !r.isNullAt(1) => r.getString(0) -> r.getString(1)
+          }.toMap)
         .where(residual)
   }
 
@@ -2557,6 +3164,419 @@ object Layout {
         }
       }
     walk(tmp, destRoot)
+  }
+
+  // ───────── deletion vectors: row-level delete without rewrite ─────────
+  //
+  // The Delta/Iceberg "merge-on-read" delete granularity: instead of
+  // rewriting a partially-matching file, record the POSITIONS of its
+  // deleted rows in a sidecar parquet store under `_graft_dv/` and
+  // have every reader anti-join them away via the parquet metadata
+  // columns (`_metadata.file_path`, `_metadata.row_index`). At 100 TB
+  // this is the difference between a GDPR point-delete costing a
+  // full-file rewrite per touched file (copy-on-write — [[deleteWhere]])
+  // and costing ∝ the matched rows (merge-on-read — [[deleteWhereDv]]);
+  // the read-side tax is one churn-sized anti-join over ONLY the
+  // vectorized files, which [[optimize]]/[[optimizeSelective]] clears
+  // by materializing the vectors away (Delta's PURGE).
+  //
+  // Representation: the manifest gains two nullable columns —
+  // `dv_path` (the DV store directory holding this file's deleted
+  // positions; null = no vector) and `dv_rows` (their count). A DV
+  // store is one parquet directory per committing verb with rows
+  // `(file STRING, idx BIGINT)`: `file` in `_metadata.file_path`'s
+  // spelling ([[metaFormOf]] — the manifest's `inputFiles` spelling
+  // differs: `file:///…` vs `file:/…`), `idx` the 0-based physical
+  // row position. A store holds the FULL merged deleted set for every
+  // file it covers, so each manifest row references exactly ONE store.
+  // Stores are immutable and one-shot (a re-delete on a vectorized
+  // file writes a NEW merged store and repoints `dv_path`), which
+  // gives three load-bearing invariants:
+  //
+  //  1. Under a fixed file name the deleted set only ever GROWS
+  //     (shrinking happens only via rewrite, which renames) — so a
+  //     reader may anti-join the UNION of the stores its manifest
+  //     rows reference: a stale store's positions for some other file
+  //     are a subset of that file's current ones.
+  //  2. Per-file stats stay PHYSICAL (min/max/nulls/n_rows/bloom are
+  //     never recomputed on a DV commit): pruning proofs remain
+  //     conservative-correct — a file provably holding no matching
+  //     physical row holds no matching live row — while exact
+  //     metadata ANSWERS (countWhere / minMaxFromManifest) demote
+  //     vectorized files to churn-sized scans.
+  //  3. Snapshot reads need no special casing: each generation's
+  //     manifest names the `dv_path` that was live THEN, and stores
+  //     survive until [[vacuumGenerations]] proves no retained
+  //     manifest references them. A retired file's positions keep
+  //     matching because retirement preserves content — the read side
+  //     REMAPS the store's recorded path onto the resolved one.
+
+  /** Internal helper-column names the DV read path stamps; loudly
+    * refused as data column names where stamped. */
+  private val DvFileCol = "__graft_dv_file"
+  private val DvIdxCol = "__graft_dv_idx"
+
+  /** Broadcast the DV side of the read anti-join below this many
+    * positions (~16 B/row → ≤64 MiB); above it, let AQE pick. */
+  private val DvBroadcastRows = 4L * 1000L * 1000L
+
+  private def dvRoot(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$dir/_graft_dv")
+
+  private def hasDvCols(
+      mSchema: org.apache.spark.sql.types.StructType): Boolean =
+    mSchema.fieldNames.contains("dv_path")
+
+  /** The manifest's DV columns as expressions that also resolve on a
+    * pre-DV manifest (null path / zero rows). */
+  private def dvPathExprOf(
+      mSchema: org.apache.spark.sql.types.StructType): Column =
+    if (hasDvCols(mSchema)) col("dv_path") else lit(null).cast("string")
+
+  private def dvRowsExprOf(
+      mSchema: org.apache.spark.sql.types.StructType): Column =
+    if (hasDvCols(mSchema)) coalesce(col("dv_rows"), lit(0L)) else lit(0L)
+
+  /** Widen a manifest frame with null DV columns when missing — the
+    * [[widenWithNullCounts]] discipline for the DV format. */
+  private def widenWithDvCols(m: DataFrame): DataFrame = {
+    val a =
+      if (m.columns.contains("dv_path")) m
+      else m.withColumn("dv_path", lit(null).cast("string"))
+    if (a.columns.contains("dv_rows")) a
+    else a.withColumn("dv_rows", lit(null).cast("long"))
+  }
+
+  /** Widen BOTH patch sides when EITHER carries DV columns, so the
+    * manifest-patch union of a DV-bearing layout cannot fail on its
+    * delta stats (fresh rewrite outputs, never vectorized). */
+  private def alignDvCols(kept: DataFrame,
+                          delta: DataFrame): (DataFrame, DataFrame) =
+    if (kept.columns.contains("dv_path") ||
+        delta.columns.contains("dv_path"))
+      (widenWithDvCols(kept), widenWithDvCols(delta))
+    else (kept, delta)
+
+  /** `_metadata.file_path`'s spelling of a manifest file URI. */
+  private def metaFormOf(uri: String): String =
+    new org.apache.hadoop.fs.Path(new java.net.URI(uri)).toString
+
+  /** file → dv_path for exactly `files` (empty on a pre-DV manifest)
+    * — the per-read DV lookup consumers pass to [[readFilesOf]].
+    * Driver work is one manifest-sized collect, the standard
+    * planning bound. */
+  private def dvMapOf(manifest: DataFrame,
+                      files: Iterable[String]): Map[String, String] = {
+    if (!hasDvCols(manifest.schema)) Map.empty
+    else {
+      val want = files.toSet
+      manifest.filter(col("dv_path").isNotNull)
+        .select("file", "dv_path").collect()
+        .collect { case r if want(r.getString(0)) =>
+          r.getString(0) -> r.getString(1) }
+        .toMap
+    }
+  }
+
+  /** Stamp the parquet metadata identity columns the DV anti-join
+    * keys on. The frame must come straight off a parquet file-source
+    * read (the `_metadata` struct exists nowhere else). */
+  private def stampDvCols(df: DataFrame): DataFrame = {
+    require(!df.columns.contains(DvFileCol) &&
+        !df.columns.contains(DvIdxCol),
+      s"the layout carries a column named $DvFileCol/$DvIdxCol — " +
+        "these names are reserved by the deletion-vector read path")
+    df.withColumn(DvFileCol, col("_metadata.file_path"))
+      .withColumn(DvIdxCol, col("_metadata.row_index"))
+  }
+
+  /** Drop every row of `data` (stamped via [[stampDvCols]]) whose
+    * (file, position) appears in any of the `dvPaths` stores, then
+    * drop the helper columns. Reading the UNION of the referenced
+    * stores is exact by invariant 1 above (per-file deleted sets only
+    * grow under a fixed name, so a stale store's positions are a
+    * subset). `remap` rewrites store-recorded paths onto resolved
+    * ones (retired/restored files); `totalDvRows` ≤
+    * [[DvBroadcastRows]] hints the broadcast. */
+  private def antiJoinDv(spark: org.apache.spark.sql.SparkSession,
+                         data: DataFrame, dvPaths: Seq[String],
+                         remap: Map[String, String],
+                         totalDvRows: Long = 0L): DataFrame = {
+    val raw = spark.read.parquet(dvPaths.distinct: _*)
+      .select(col("file"), col("idx"))
+    val mapped =
+      if (remap.isEmpty) raw
+      else raw.withColumn("file",
+        coalesce(element_at(typedLit(remap), col("file")), col("file")))
+    val dv =
+      if (totalDvRows <= DvBroadcastRows) broadcast(mapped) else mapped
+    data.join(dv,
+        data(DvFileCol) === dv("file") && data(DvIdxCol) === dv("idx"),
+        "left_anti")
+      .drop(DvFileCol, DvIdxCol)
+  }
+
+  /** Loud refusal for a verb that reads or copies raw layout files
+    * without applying deletion vectors — a silent pass-through would
+    * RESURRECT deleted rows. Checks the manifest the verb will act
+    * on (the live one, or a snapshot's). */
+  private def requireNoDvRows(manifest: DataFrame, verb: String,
+                              what: String): Unit =
+    if (hasDvCols(manifest.schema)) {
+      val n = manifest.filter(col("dv_path").isNotNull).count()
+      require(n == 0L,
+        s"$verb does not apply deletion vectors and $what carries " +
+          s"$n vectorized file(s) — a raw pass would resurrect their " +
+          "deleted rows; materialize the vectors first " +
+          "(optimize / optimizeSelective) and retry")
+    }
+
+  /** [[requireNoDvRows]] off the live manifest, with a cheap
+    * `_graft_dv`-existence fast path for the overwhelmingly common
+    * vector-free layout (and for plain directories that never had a
+    * manifest at all). */
+  private def requireNoDvLive(spark: org.apache.spark.sql.SparkSession,
+                              fs: org.apache.hadoop.fs.FileSystem,
+                              dir: String, verb: String): Unit =
+    if (fs.exists(dvRoot(dir)))
+      requireNoDvRows(loadManifest(spark, dir), verb, dir)
+
+  /** Copy the deletion-vector positions of `triples` — (source file
+    * URI, its DV store, destination file URI) — into ONE new store
+    * under `destRoot`, remapping each recorded path onto its
+    * destination's spelling. The restore/clone DV carrier: a
+    * restored (copied-back) or cloned file keeps its content, so its
+    * positions stay valid — only the recorded path moves. Returns
+    * the new store's qualified path. */
+  private def rewriteDvStore(spark: org.apache.spark.sql.SparkSession,
+                             destFs: org.apache.hadoop.fs.FileSystem,
+                             destRoot: org.apache.hadoop.fs.Path,
+                             label: String,
+                             triples: Seq[(String, String, String)])
+      : String = {
+    import spark.implicits._
+    val remap = triples.map { case (o, _, n) =>
+      metaFormOf(o) -> metaFormOf(n) }.toMap
+    val wanted = remap.keys.toSeq.toDF("file")
+    val store = new org.apache.hadoop.fs.Path(destRoot,
+      s"dv-$label-${java.util.UUID.randomUUID().toString.take(8)}")
+    spark.read.parquet(triples.map(_._2).distinct: _*)
+      .select(col("file"), col("idx"))
+      .join(broadcast(wanted), Seq("file"), "left_semi")
+      .withColumn("file",
+        coalesce(element_at(typedLit(remap), col("file")), col("file")))
+      .write.parquet(store.toString)
+    destFs.makeQualified(store).toString
+  }
+
+  /** Per-file outcome counts of a [[deleteWhereDv]] call.
+    * `rowsDeleted` counts live rows only (covered files' physical
+    * rows minus their already-deleted positions, plus the new
+    * positions recorded). */
+  final case class DeleteDvStats(filesDropped: Int, filesVectorized: Int,
+                                 rowsDeleted: Long)
+
+  /** [[deleteWhere]]'s merge-on-read twin: delete every row matching
+    * ALL `boxes` by recording DELETION VECTORS instead of rewriting
+    * partially-matching files. Classification is [[deleteWhere]]'s,
+    * off the same stat proofs: COVERED files (every box proves full
+    * coverage and zero null keys) drop whole without being opened;
+    * DISJOINT files are untouched, their manifest rows kept verbatim;
+    * the PARTIAL remainder — where the copy-on-write verb pays a
+    * full-file rewrite — is instead read once (existing vectors
+    * excluded first, so re-deleting an already-deleted band is a
+    * no-op), the matching rows' positions merged with each file's
+    * existing vector into ONE new DV store, and the manifest rows
+    * repointed. Files whose predicate matches no live row keep their
+    * row (and old vector) verbatim.
+    *
+    * Cost model at 100 TB: the rewrite I/O disappears — the verb
+    * writes positions (∝ matched rows), never data; reads pay a
+    * churn-sized anti-join on the vectorized files until an
+    * [[optimize]]/[[optimizeSelective]] materializes the vectors
+    * away. Null-key rows survive (three-valued `DELETE WHERE`), and
+    * re-running the same call is a no-op by construction.
+    *
+    * Crash windows, loud not silent: the DV store commits BEFORE the
+    * covered files retire and the manifest is patched — an orphaned
+    * store (crash before the patch) is referenced by nothing,
+    * invisible to every read, and reaped by [[vacuumGenerations]];
+    * the retire/patch windows are [[deleteWhere]]'s. On an untracked
+    * layout the superseded stores (old vectors of re-deleted files)
+    * are deleted once unreferenced; generation-tracked layouts keep
+    * them for snapshot reads until vacuum proves them unreferenced. */
+  def deleteWhereDv(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    boxes: Seq[PruneBox],
+                    verifyCoverage: Boolean = true,
+                    expectedGen: Option[Long] = None): DeleteDvStats = {
+    require(boxes.nonEmpty, "deleteWhereDv needs at least one key box")
+    requireEncodingStablePath(dir)
+    val hDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireExpectedGen(fs, dir, expectedGen, "deleteWhereDv")
+    val manifest = loadManifest(spark, dir)
+    val mSchema = manifest.schema
+    val keyCols = manifestKeysOf(mSchema)
+    require(keyCols.nonEmpty, s"$dir carries no manifest keys")
+    // covered/disjoint proofs are deleteWhere's, off the same single
+    // sources ([[skipExprOf]] / bounds decoding) — the two delete
+    // flavors cannot drift on what "fully deletable" means. Covered
+    // stays correct on an already-vectorized file: all physical rows
+    // match, so dropping the file drops its live subset
+    val covered = boxes.map {
+      case _: KeySetBox => lit(false)
+      case b =>
+        val (lo, hi) = decodeBounds(mSchema, b)
+        col(s"min_${b.column}") >= lo && col(s"max_${b.column}") <= hi &&
+          nullsColOf(mSchema, b.column) === 0L
+    }.reduce(_ && _)
+    val disjoint = boxes.map(skipExprOf(mSchema, _)).reduce(_ || _)
+    val verdicts = manifest.select(col("file"), col("n_rows"),
+        dvPathExprOf(mSchema).as("dv_path"),
+        dvRowsExprOf(mSchema).as("dv_rows"),
+        coalesce(covered, lit(false)).as("covered"),
+        disjoint.as("disjoint"))
+      .collect()
+    val dropFiles = verdicts.filter(_.getBoolean(4))
+      .map(r => (r.getString(0), r.getLong(1) - r.getLong(3),
+        Option(r.getString(2))))
+    val candidates = verdicts
+      .filter(r => !r.getBoolean(4) && !r.getBoolean(5))
+      .map(r => (r.getString(0), Option(r.getString(2)), r.getLong(3)))
+    val stored = storedSchemaOf(spark, dir)
+    if (verifyCoverage)
+      requireManifestCovers(spark,
+        stored.fold(spark.read)(s => spark.read.schema(s)).parquet(dir),
+        verdicts.map(_.getString(0)).toSet, dir,
+        "their matching rows would survive the delete")
+    if (dropFiles.isEmpty && candidates.isEmpty)
+      return DeleteDvStats(0, 0, 0L)
+    // NEW deleted positions: the candidates' LIVE rows matching the
+    // predicate — existing vectors excluded first, which is what
+    // makes the verb idempotent and keeps merged counts exact
+    var newDvDir: Option[String] = None
+    var touched = Map.empty[String, Long] // manifest file → merged dv_rows
+    var newPositions = 0L
+    if (candidates.nonEmpty) {
+      val pred = boxes.map(residualExprOf(mSchema, _)).reduce(_ && _)
+      val candFiles = candidates.map(_._1).toIndexedSeq
+      val candDv = candidates.collect { case (f, Some(p), _) => f -> p }
+        .toMap
+      val oldDvRows = candidates.map(c => metaFormOf(c._1) -> c._3).toMap
+      val src = {
+        val r = spark.read.option("basePath", dir)
+        stampDvCols(stored.fold(r)(s => r.schema(s))
+          .parquet(candFiles: _*))
+      }
+      val live =
+        if (candDv.isEmpty) src
+        else {
+          val dv = spark.read.parquet(candDv.values.toSeq.distinct: _*)
+            .select(col("file"), col("idx"))
+          src.join(broadcast(dv),
+            src(DvFileCol) === dv("file") && src(DvIdxCol) === dv("idx"),
+            "left_anti")
+        }
+      val newPos = live.where(coalesce(pred, lit(false)))
+        .select(col(DvFileCol).as("file"), col(DvIdxCol).as("idx"))
+        .localCheckpoint(true)
+      try {
+        // per-file NEW counts (metadata-form keys) — churn-sized
+        val newCounts = newPos.groupBy("file").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        newPositions = newCounts.values.sum
+        if (newCounts.nonEmpty) {
+          val metaToManifest = candFiles.map(f => metaFormOf(f) -> f).toMap
+          touched = newCounts.map { case (mf, n) =>
+            metaToManifest(mf) -> (n + oldDvRows.getOrElse(mf, 0L)) }
+          // the merged store: new positions ∪ the touched files'
+          // existing positions — restricted by a semi-join against
+          // the (churn-sized) touched list, so an old store shared
+          // with untouched files does not bloat the new one
+          import spark.implicits._
+          val touchedMeta = newCounts.keys.toSeq.toDF("file")
+          val existingOfTouched = {
+            val paths = touched.keys.flatMap(candDv.get).toSeq.distinct
+            if (paths.isEmpty) None
+            else Some(spark.read.parquet(paths: _*)
+              .select(col("file"), col("idx"))
+              .join(broadcast(touchedMeta), Seq("file"), "left_semi"))
+          }
+          val merged = existingOfTouched.fold(newPos)(newPos.unionByName(_))
+          val gen =
+            if (generationsEnabled(fs, dir)) liveGenOf(fs, dir) else 0L
+          val store = new org.apache.hadoop.fs.Path(dvRoot(dir),
+            s"dv-$gen-${java.util.UUID.randomUUID().toString.take(8)}")
+          merged.write.parquet(store.toString)
+          // manifest rows for the touched files carry over VERBATIM
+          // (stats stay physical — invariant 2) with only the DV
+          // columns repointed
+          newDvDir = Some(fs.makeQualified(store).toString)
+        }
+      } finally Checkpoints.unpersist(newPos)
+    }
+    if (dropFiles.isEmpty && touched.isEmpty)
+      return DeleteDvStats(0, 0, 0L)
+    val delta = newDvDir.map { storePath =>
+      import spark.implicits._
+      val touchedDf = touched.toSeq.toDF("file", "__graft_new_dv_rows")
+      widenWithDvCols(manifest)
+        .join(broadcast(touchedDf), Seq("file"))
+        .withColumn("dv_path", lit(storePath))
+        .withColumn("dv_rows", col("__graft_new_dv_rows"))
+        .drop("__graft_new_dv_rows")
+        .localCheckpoint(true)
+    }
+    // OCC re-check before the destructive tail — see deleteWhere
+    requireExpectedGen(fs, dir, expectedGen, "deleteWhereDv")
+    val receipt = retireOrDeleteAll(fs, dir, dropFiles.map(_._1).toSeq,
+      "deleteWhereDv")
+    patchManifest(spark, dir, manifest, keyCols,
+      (dropFiles.map(_._1) ++ touched.keys).toSeq, delta,
+      "deleteWhereDv", expectedGen, receipt)
+    // untracked layouts reap superseded stores at once (nothing can
+    // reference them); tracked layouts leave them to vacuum — the
+    // archived manifests still do
+    if (!generationsEnabled(fs, dir)) reapUnreferencedDvStores(spark, fs, dir)
+    DeleteDvStats(dropFiles.length, touched.size,
+      dropFiles.map(_._2).sum + newPositions)
+  }
+
+  /** Delete every `_graft_dv` store no retained manifest references —
+    * the live manifest on untracked layouts; the live one plus every
+    * retained archived generation on tracked ones. Driver work is
+    * one listing plus manifest-sized reads. */
+  private def reapUnreferencedDvStores(
+      spark: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val root = dvRoot(dir)
+    if (!fs.exists(root)) return
+    val referenced: Set[String] = {
+      val live = loadManifest(spark, dir)
+      val liveRefs =
+        if (!hasDvCols(live.schema)) Set.empty[String]
+        else live.filter(col("dv_path").isNotNull)
+          .select("dv_path").distinct().collect()
+          .map(_.getString(0)).toSet
+      val archived = archivedGens(fs, dir)
+      if (archived.isEmpty) liveRefs
+      else {
+        val arch = spark.read
+          .option("basePath", historyDir(dir).toString)
+          .option("mergeSchema", "true")
+          .parquet(archived.map(g =>
+            new org.apache.hadoop.fs.Path(historyDir(dir), s"gen=$g")
+              .toString): _*)
+        if (!arch.columns.contains("dv_path")) liveRefs
+        else liveRefs ++ arch.filter(col("dv_path").isNotNull)
+          .select("dv_path").distinct().collect()
+          .map(_.getString(0)).toSet
+      }
+    }
+    for (st <- fs.listStatus(root) if st.isDirectory) {
+      val q = fs.makeQualified(st.getPath).toString
+      if (!referenced.contains(q)) fs.delete(st.getPath, true)
+    }
   }
 
   /** Per-file outcome counts of a [[deleteWhere]] call. `rowsDeleted`
@@ -2657,16 +3677,24 @@ object Layout {
         col(s"min_${b.column}") >= lo && col(s"max_${b.column}") <= hi &&
           nullsColOf(mSchema, b.column) === 0L
     }.reduce(_ && _)
-    // DISJOINT is scanPruned's skip predicate, from the same source
+    // DISJOINT is scanPruned's skip predicate, from the same source.
+    // Live rows (physical minus any deletion vector) drive the
+    // accounting; the covered-drop proof stays valid on a vectorized
+    // file (all physical rows match ⇒ the live subset does too)
     val disjoint = boxes.map(skipExprOf(mSchema, _)).reduce(_ || _)
-    val verdicts = manifest.select(col("file"), col("n_rows"),
-        coalesce(covered, lit(false)).as("covered"), disjoint.as("disjoint"))
+    val verdicts = manifest.select(col("file"),
+        (col("n_rows") - dvRowsExprOf(mSchema)).as("live_rows"),
+        coalesce(covered, lit(false)).as("covered"), disjoint.as("disjoint"),
+        dvPathExprOf(mSchema).as("dv_path"))
       .collect()
     val dropFiles = verdicts.filter(_.getBoolean(2))
       .map(r => r.getString(0) -> r.getLong(1))
     val rewriteFiles = verdicts
       .filter(r => !r.getBoolean(2) && !r.getBoolean(3))
       .map(r => r.getString(0) -> r.getLong(1))
+    val rewriteDv = verdicts
+      .filter(r => !r.getBoolean(2) && !r.getBoolean(3) && !r.isNullAt(4))
+      .map(r => r.getString(0) -> r.getString(4)).toMap
     val stored = storedSchemaOf(spark, dir)
     lazy val dirFrame = stored.fold(spark.read)(s => spark.read.schema(s))
       .parquet(dir)
@@ -2702,13 +3730,19 @@ object Layout {
       // layout has evolved) keeps added columns resolvable: a
       // rewritten pre-evolution file materializes them as nulls —
       // the values its rows denote
-      val src = readFilesOf(spark, dir, srcFiles, stored)
+      // vectorized partials read MINUS their deletion vectors — the
+      // rewrite materializes the vector away (its output files are
+      // DV-free and the old manifest rows, vector pointers included,
+      // are removed below)
+      val src = readFilesOf(spark, dir, srcFiles, stored, dv = rewriteDv,
+        srcCol = Some("__graft_src"))
       // src reads with basePath, so Spark's partition discovery
       // materializes the real k=v path columns in its schema — the
       // cross-check's reference
-      val partCols = hivePartColsChecked(fs, hDir, src.schema)
+      val partCols = hivePartColsChecked(fs, hDir,
+        org.apache.spark.sql.types.StructType(
+          src.schema.filterNot(_.name == "__graft_src")))
       val survivors = src
-        .withColumn("__graft_src", input_file_name())
         .where(!coalesce(pred, lit(false)))
         .repartition(rewriteFiles.length, col("__graft_src"))
         .drop("__graft_src")
@@ -2752,6 +3786,10 @@ object Layout {
     patchManifest(spark, dir, manifest, keyCols,
       (dropFiles ++ rewriteFiles).map(_._1).toSeq, delta,
       "deleteWhere", expectedGen, receipt)
+    // rewriting/dropping vectorized files strands their stores on an
+    // untracked layout (no archived manifest can reference them)
+    if (!generationsEnabled(fs, dir) && hasDvCols(mSchema))
+      reapUnreferencedDvStores(spark, fs, dir)
     DeleteStats(dropFiles.length, rewriteFiles.length,
       dropFiles.map(_._2).sum + rewriteFiles.map(_._2).sum - newRows)
   }
@@ -2899,6 +3937,10 @@ object Layout {
       val updCount = upd.count()
       if (updCount == 0L)
         return UpsertStats(0, manifest.count().toInt, 0L, 0L)
+      // CHECK constraints enforce on the updates batch (the only rows
+      // this verb ADDS — survivors already satisfied them) before any
+      // classification or rewrite work
+      requireBatchSatisfies(spark, dir, upd, "upsertByKeys")
       // the updates' PER-KEY footprint as prune boxes: sparse set for
       // a driver-small integral batch (prunes the gaps between CDC
       // keys), else the [min,max] range; typed keys round-trip
@@ -2921,12 +3963,20 @@ object Layout {
           TypedKeyBox(key, b.get(0).toString, b.get(1).toString)
         }
       }
-      // manifest-sized classification: DISJOINT files never open
-      val verdicts = manifest.select(col("file"), col("n_rows"),
-          boxes.map(skipExprOf(mSchema, _)).reduce(_ || _).as("skip"))
+      // manifest-sized classification: DISJOINT files never open.
+      // Live rows (physical minus any deletion vector) drive the
+      // replaced-rows accounting; touched vectorized files rewrite
+      // MINUS their vectors (materializing them away)
+      val verdicts = manifest.select(col("file"),
+          (col("n_rows") - dvRowsExprOf(mSchema)).as("live_rows"),
+          boxes.map(skipExprOf(mSchema, _)).reduce(_ || _).as("skip"),
+          dvPathExprOf(mSchema).as("dv_path"))
         .collect()
       val touched = verdicts.filter(!_.getBoolean(2))
         .map(r => r.getString(0) -> r.getLong(1))
+      val touchedDv = verdicts
+        .filter(r => !r.getBoolean(2) && !r.isNullAt(3))
+        .map(r => r.getString(0) -> r.getString(3)).toMap
       if (verifyCoverage)
         // sharper consequence than the read side's: a file the
         // manifest misses would KEEP its matched rows, and the
@@ -2942,9 +3992,9 @@ object Layout {
       if (touched.nonEmpty) {
         val tmp = new org.apache.hadoop.fs.Path(s"$dir/_graft_upsert_tmp")
         val srcFiles = touched.map(_._1).toIndexedSeq
-        val src = readFilesOf(spark, dir, srcFiles, stored)
+        val src = readFilesOf(spark, dir, srcFiles, stored,
+          dv = touchedDv, srcCol = Some("__graft_src"))
         val survivors = src
-          .withColumn("__graft_src", input_file_name())
           .join(upd.select(keys.map(col): _*), keys, "left_anti")
           .repartition(touched.length, col("__graft_src"))
           .drop("__graft_src")
@@ -2981,6 +4031,10 @@ object Layout {
       patchManifest(spark, dir, manifest, keyCols,
         touched.map(_._1).toSeq, Some(delta), "upsertByKeys", expectedGen,
         receipt)
+      // rewriting vectorized files strands their stores on an
+      // untracked layout (no archived manifest can reference them)
+      if (!generationsEnabled(fs, dir) && touchedDv.nonEmpty)
+        reapUnreferencedDvStores(spark, fs, dir)
       // newRows = survivors + updCount, so replaced = touched − survivors
       val touchedRows = touched.map(_._2).sum
       UpsertStats(touched.length, verdicts.length - touched.length,
@@ -3087,7 +4141,13 @@ object Layout {
     requireDisjointDirs(conf, dir, quarantineDir, "quarantineUncovered")
     val known = loadManifest(spark, dir).select("file").collect()
       .map(_.getString(0)).toSet
-    val dirFrame = readLayout(spark, dir)
+    // RAW directory read: the uncovered-file listing must come from
+    // the directory, which readLayout's manifest-routed path (on a
+    // vectorized layout) deliberately does not
+    val dirFrame = {
+      val stored = storedSchemaOf(spark, dir)
+      stored.fold(spark.read)(s => spark.read.schema(s)).parquet(dir)
+    }
     val listed = dirFrame.inputFiles
     listed.foreach(requireEncodingStablePath)
     val uncovered = listed.filterNot(known)
@@ -3157,15 +4217,26 @@ object Layout {
       when(nullsColOf(mSchema, k) > 0L, 1).otherwise(0)).reduce(_ + _)
     // the provable per-file contribution, null when no proof exists:
     // with ≤1 null-bearing key, greatest(nulls) is exactly the count
-    // of rows the value predicate excludes
+    // of rows the value predicate excludes. A file carrying a
+    // deletion vector can never be stat-answered (its stats are
+    // physical, the vectorized rows are not live) — it demotes to
+    // the scan path, which applies the vector
     val metaRows = when(
-      coalesce(rangeCovered && nullsKnown && nullBearing <= 1, lit(false)),
+      coalesce(rangeCovered && nullsKnown && nullBearing <= 1 &&
+        dvRowsExprOf(mSchema) === 0L, lit(false)),
       col("n_rows") - keys.map(k => coalesce(nullsColOf(mSchema, k), lit(0L)))
         .reduce(greatest(_, _)))
     val disjoint = boxes.map(skipExprOf(mSchema, _)).reduce(_ || _)
     val verdicts = manifest.select(col("file"),
-        metaRows.as("meta"), disjoint.as("disjoint")).collect()
-    lazy val dirFrame = readLayout(spark, dir)
+        metaRows.as("meta"), disjoint.as("disjoint"),
+        dvPathExprOf(mSchema).as("dv_path")).collect()
+    // the RAW directory read, not readLayout: the coverage guard
+    // compares the directory LISTING against the manifest, which a
+    // manifest-routed read would make vacuous on a vectorized layout
+    lazy val dirFrame = {
+      val stored = storedSchemaOf(spark, dir)
+      stored.fold(spark.read)(s => spark.read.schema(s)).parquet(dir)
+    }
     if (verifyCoverage)
       requireManifestCovers(spark, dirFrame,
         verdicts.map(_.getString(0)).toSet, dir,
@@ -3173,14 +4244,17 @@ object Layout {
     val metaSum = verdicts.collect {
       case r if !r.isNullAt(1) => r.getLong(1)
     }.sum
-    val scanFiles = verdicts.collect {
-      case r if r.isNullAt(1) && !r.getBoolean(2) => r.getString(0)
+    val scanRows = verdicts.collect {
+      case r if r.isNullAt(1) && !r.getBoolean(2) =>
+        r.getString(0) -> Option(r.getString(3))
     }
-    if (scanFiles.isEmpty) metaSum
+    if (scanRows.isEmpty) metaSum
     else {
       val residual = boxes.map(residualExprOf(mSchema, _)).reduce(_ && _)
-      metaSum + spark.read.option("basePath", dir)
-        .parquet(scanFiles.toIndexedSeq: _*).where(residual).count()
+      metaSum + readFilesOf(spark, dir, scanRows.map(_._1).toIndexedSeq,
+          storedSchemaOf(spark, dir),
+          dv = scanRows.collect { case (f, Some(p)) => f -> p }.toMap)
+        .where(residual).count()
     }
   }
 
@@ -3213,8 +4287,35 @@ object Layout {
         manifest.select("file").collect().map(_.getString(0)).toSet, dir,
         "the composed min/max would silently ignore their rows")
     }
-    manifest.agg(min(col(s"min_$key")).as(s"min_$key"),
-      max(col(s"max_$key")).as(s"max_$key"))
+    val mSchema = manifest.schema
+    val dvRows =
+      if (!hasDvCols(mSchema)) Array.empty[org.apache.spark.sql.Row]
+      else manifest.filter(dvRowsExprOf(mSchema) > 0L)
+        .select(col("file"), col("dv_path")).collect()
+    if (dvRows.isEmpty)
+      manifest.agg(min(col(s"min_$key")).as(s"min_$key"),
+        max(col(s"max_$key")).as(s"max_$key"))
+    else {
+      // a vectorized file's PHYSICAL extremes may be deleted rows —
+      // its stats cannot answer an exact min/max. Demote exactly the
+      // vectorized files to a churn-sized scan (vector applied) and
+      // compose with the stat answer over everything else; the stat
+      // min/max surface as long for integral keys, so the scan side
+      // casts to the same normalized type
+      val statT = mSchema(s"min_$key").dataType
+      val scanned = readFilesOf(spark, dir,
+          dvRows.map(_.getString(0)).toIndexedSeq,
+          storedSchemaOf(spark, dir),
+          dv = dvRows.map(r => r.getString(0) -> r.getString(1)).toMap)
+        .agg(min(col(key)).cast(statT).as(s"min_$key"),
+          max(col(key)).cast(statT).as(s"max_$key"))
+      manifest.filter(dvRowsExprOf(mSchema) === 0L)
+        .agg(min(col(s"min_$key")).as(s"min_$key"),
+          max(col(s"max_$key")).as(s"max_$key"))
+        .unionByName(scanned)
+        .agg(min(col(s"min_$key")).as(s"min_$key"),
+          max(col(s"max_$key")).as(s"max_$key"))
+    }
   }
 
   /** The monotone stat→long mapping of [[clusteringDepth]]'s integer
@@ -3552,20 +4653,29 @@ object Layout {
     val keys = manifestKeysOf(mSchema)
     val worst = keys.map(worstDepthOf(manifest, _)).max
     val before = spark.read.parquet(dir).inputFiles.toSet
-    if (!force && worst < maxDepth)
+    // the full rewrite is also the deletion-vector PURGE: vectors
+    // present count as a trigger (their read-side anti-join tax is
+    // exactly what the rewrite clears), and the source reads with
+    // them applied so the clustered output is vector-free
+    val dvMap = dvMapOf(manifest, before)
+    if (!force && worst < maxDepth && dvMap.isEmpty)
       return OptimizeStats(reclustered = false, before.size, before.size,
         worst, filesKept = before.size)
     val stored = storedSchemaOf(spark, dir)
-    val src = stored.fold(spark.read)(s => spark.read.schema(s)).parquet(dir)
+    val rawFrame = stored.fold(spark.read)(s => spark.read.schema(s))
+      .parquet(dir)
     if (verifyCoverage)
       // sharpest consequence of all the consumers': the rewrite reads
       // EVERY file, so rows the manifest never blessed (a crashed
       // delete's duplicate survivors, a crashed out-of-band append)
       // would be absorbed into the new layout and its rebuilt
       // manifest — made permanent, not just misread once
-      requireManifestCovers(spark, src,
+      requireManifestCovers(spark, rawFrame,
         manifest.select("file").collect().map(_.getString(0)).toSet, dir,
         "the rewrite would silently legitimize their rows into the new layout")
+    val src =
+      if (dvMap.isEmpty) rawFrame
+      else readFilesOf(spark, dir, before.toSeq.sorted, stored, dv = dvMap)
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/_graft_optimize_tmp")
     val allLong = keys.forall(k =>
       mSchema(s"min_$k").dataType == org.apache.spark.sql.types.LongType)
@@ -3594,7 +4704,12 @@ object Layout {
     // revert those snapshot reads to nondeterministic footer
     // sampling (the sidecar over the homogeneous live files is a
     // no-op, so keeping it costs nothing)
-    if (!generationsEnabled(fs, dir)) retireSchemaSidecars(fs, dir)
+    if (!generationsEnabled(fs, dir)) {
+      retireSchemaSidecars(fs, dir)
+      // the rewrite materialized every vector away; nothing can
+      // reference the stores on an untracked layout
+      if (dvMap.nonEmpty) reapUnreferencedDvStores(spark, fs, dir)
+    }
     OptimizeStats(reclustered = true, before.size,
       spark.read.parquet(dir).inputFiles.length, worst)
   }
@@ -3677,18 +4792,22 @@ object Layout {
     val keys = manifestKeysOf(mSchema)
     val worst = keys.map(worstDepthOf(manifest, _)).max
     val before = spark.read.parquet(dir).inputFiles.toSet
-    if (!force && worst < maxDepth)
+    // vectorized files are ALWAYS selected (and count as a trigger):
+    // rewriting them — vector applied — is the PURGE that clears the
+    // read-side anti-join tax, at file-subset granularity
+    val dvMap = dvMapOf(manifest, before)
+    if (!force && worst < maxDepth && dvMap.isEmpty)
       return OptimizeStats(reclustered = false, before.size, before.size,
         worst, filesKept = before.size)
     // the rewrite set: union of every key's deep-boundary files plus
-    // the small-file tail — manifest-sized driver work, like every
-    // other verb's planning
+    // the small-file tail plus the vectorized tail — manifest-sized
+    // driver work, like every other verb's planning
     val deep = keys.flatMap(deepFilesOf(manifest, _, maxDepth)).toSet
     val small =
       if (minFileRows <= 0L) Set.empty[String]
       else manifest.filter(col("n_rows") < minFileRows)
         .select("file").collect().map(_.getString(0)).toSet
-    val selected = (deep ++ small).toSeq.sorted
+    val selected = (deep ++ small ++ dvMap.keySet).toSeq.sorted
     if (selected.isEmpty)
       return OptimizeStats(reclustered = false, before.size, before.size,
         worst, filesKept = before.size)
@@ -3709,7 +4828,8 @@ object Layout {
       .join(broadcast(selectedDf), Seq("file"), "left_semi")
       .agg(coalesce(sum("n_rows"), lit(0L))).collect()(0).getLong(0)
     val nOut = math.max(1L, (selRows + targetRows - 1L) / targetRows).toInt
-    val src = readFilesOf(spark, dir, selected.toIndexedSeq, stored)
+    val src = readFilesOf(spark, dir, selected.toIndexedSeq, stored,
+      dv = dvMap)
     val allLong = keys.forall(k =>
       mSchema(s"min_$k").dataType == org.apache.spark.sql.types.LongType)
     val tmp = new org.apache.hadoop.fs.Path(s"$dir/_graft_optimize_tmp")
@@ -3733,6 +4853,10 @@ object Layout {
     // cannot drift
     patchManifest(spark, dir, manifest, keys, selected, Some(delta),
       "optimizeSelective", expectedGen, receipt)
+    // the selected (vectorized) files were rewritten vector-applied;
+    // nothing can reference their stores on an untracked layout
+    if (!generationsEnabled(fs, dir) && dvMap.nonEmpty)
+      reapUnreferencedDvStores(spark, fs, dir)
     OptimizeStats(reclustered = true, before.size,
       spark.read.parquet(dir).inputFiles.length, worst,
       filesKept = before.size - selected.size)
@@ -3788,6 +4912,7 @@ object Layout {
     val hDir = new org.apache.hadoop.fs.Path(dir)
     val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireExpectedGen(fs, dir, expectedGen, "optimizePartitioned")
+    requireNoDvLive(spark, fs, dir, "optimizePartitioned")
     val dirFrame = spark.read.parquet(dir)
     val partCols = hivePartColsChecked(fs, hDir, dirFrame.schema)
     require(partCols.nonEmpty,
@@ -3994,7 +5119,12 @@ object Layout {
       if (minFileRows <= 0L) Set.empty[String]
       else manifest.filter(col("n_rows") < minFileRows)
         .select("file").collect().map(_.getString(0)).toSet
-    val selected = deep ++ small
+    // vectorized files are always selected: their leaf-local rewrite
+    // (vector applied) is the PURGE, at the same file-subset
+    // granularity — a hot leaf's GDPR vectors clear without touching
+    // its cold files or any other leaf
+    val dvMap = dvMapOf(manifest, before)
+    val selected = deep ++ small ++ dvMap.keySet
     if (selected.isEmpty)
       return OptimizeStats(reclustered = false, before.size, before.size,
         worst, filesKept = before.size)
@@ -4022,8 +5152,15 @@ object Layout {
     for ((leaf, files) <- byLeaf.toSeq.sortBy(_._1.toString)) {
       val selRows = files.map(rowsByFile).sum
       val nOut = math.max(1L, (selRows + targetRows - 1L) / targetRows).toInt
-      val src = leafSchema.fold(spark.read)(s => spark.read.schema(s))
+      val src0 = leafSchema.fold(spark.read)(s => spark.read.schema(s))
         .parquet(files: _*)
+      // this leaf's vectors anti-join away so the clustered output is
+      // vector-free (paths in the stores are absolute, so the
+      // leaf-anchored read matches them unchanged)
+      val leafDv = files.flatMap(f => dvMap.get(f)).distinct
+      val src =
+        if (leafDv.isEmpty) src0
+        else antiJoinDv(spark, stampDvCols(src0), leafDv, Map.empty)
       val tmp = new org.apache.hadoop.fs.Path(leaf, "_graft_optimize_tmp")
       clusteredRewriteTo(src, fileKeys, allLong, tmp.toString, nOut)
       moveTreeInto(fs, tmp, leaf, "optimizePartitionedSelective")
@@ -4043,6 +5180,10 @@ object Layout {
     patchManifest(spark, dir, manifest, keys, selected.toSeq.sorted,
       Some(delta), "optimizePartitionedSelective", expectedGen,
       receipts.reduceOption((a, b) => RetireReceipt(a.gen, a.moved ++ b.moved)))
+    // the selected (vectorized) files were rewritten vector-applied;
+    // nothing can reference their stores on an untracked layout
+    if (!generationsEnabled(fs, dir) && dvMap.nonEmpty)
+      reapUnreferencedDvStores(spark, fs, dir)
     OptimizeStats(reclustered = true, before.size,
       spark.read.parquet(dir).inputFiles.length, worst,
       filesKept = before.size - selected.size)
@@ -4124,6 +5265,7 @@ object Layout {
       s"compact expects a flat parquet directory; $inPath has partition subdirectories — compact each partition directory instead")
     val parts = dataFiles(fs, hPath)
     require(parts.nonEmpty, s"compact: no data files in $inPath")
+    requireNoDvLive(spark, fs, inPath, "compact")
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val schema = fileSchema.orElse(storedSchemaOf(spark, inPath))
@@ -4233,6 +5375,7 @@ object Layout {
     val hIn = new org.apache.hadoop.fs.Path(inPath)
     val fs = hIn.getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireDisjointDirs(spark.sparkContext.hadoopConfiguration, inPath, outPath, "compactPartitioned")
+    requireNoDvLive(spark, fs, inPath, "compactPartitioned")
     // an evolved layout's sidecar lives at the ROOT; each leaf's
     // files carry the schema MINUS the path-encoded columns, so that
     // is the per-leaf override (compact would otherwise plain-read

@@ -26,6 +26,10 @@ import graft.ext.Layout
   *   GRAFT APPEND INTO '<dir>' AS <query>
   *   GRAFT UPSERT INTO '<dir>' KEYS (k, …) AS <query>
   *   GRAFT DELETE FROM '<dir>' WHERE <key> BETWEEN <lo> AND <hi>
+  *                    [USING VECTORS]
+  *   GRAFT ALTER '<dir>' ADD CONSTRAINT <name> CHECK (<expr>)
+  *   GRAFT ALTER '<dir>' DROP CONSTRAINT <name>
+  *   GRAFT SHOW CONSTRAINTS '<dir>'
   * }}}
   *
   * The write statements' `AS <query>` tails parse through SPARK'S OWN
@@ -104,9 +108,15 @@ object GraftSqlCommands {
   private val UpsertRe =
     """(?is)\s*GRAFT\s+UPSERT\s+INTO\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+AS\s+(.+?)\s*;?\s*""".r
   private val DeleteNumRe =
-    """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)(\s+USING\s+VECTORS)?\s*;?\s*""".r
   private val DeleteStrRe =
-    """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+'([^']*)'\s+AND\s+'([^']*)'\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+'([^']*)'\s+AND\s+'([^']*)'(\s+USING\s+VECTORS)?\s*;?\s*""".r
+  private val AddConstraintRe =
+    """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+([\w-]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+  private val DropConstraintRe =
+    """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+([\w-]+)\s*;?\s*""".r
+  private val ShowConstraintsRe =
+    """(?is)\s*GRAFT\s+SHOW\s+CONSTRAINTS\s+'([^']+)'\s*;?\s*""".r
   private val ShowPinsRe =
     """(?is)\s*GRAFT\s+SHOW\s+PINS\s+'([^']+)'\s*;?\s*""".r
   private val GraftPrefixRe = """(?is)\s*GRAFT\b.*""".r
@@ -221,11 +231,32 @@ object GraftSqlCommands {
             Seq(Row(st.filesRewritten, st.filesUntouched, st.rowsReplaced,
               st.rowsUpserted))
           }))
-      case DeleteNumRe(dir, keyCol, lo, hi) =>
+      case DeleteNumRe(dir, keyCol, lo, hi, vect) =>
         Some(deleteCommand(dir,
-          Layout.KeyBox(keyCol, lo.toLong, hi.toLong)))
-      case DeleteStrRe(dir, keyCol, lo, hi) =>
-        Some(deleteCommand(dir, Layout.TypedKeyBox(keyCol, lo, hi)))
+          Layout.KeyBox(keyCol, lo.toLong, hi.toLong), vect != null))
+      case DeleteStrRe(dir, keyCol, lo, hi, vect) =>
+        Some(deleteCommand(dir, Layout.TypedKeyBox(keyCol, lo, hi),
+          vect != null))
+      case AddConstraintRe(dir, name, exprText) =>
+        Some(GraftVerbCommand(
+          attrsOf("constraints" -> IntegerType),
+          s => {
+            Layout.addCheckConstraint(s, dir, name, exprText)
+            Seq(Row(Layout.checkConstraintsOf(s, dir).size))
+          }))
+      case DropConstraintRe(dir, name) =>
+        Some(GraftVerbCommand(
+          attrsOf("constraints" -> IntegerType),
+          s => {
+            Layout.dropCheckConstraint(s, dir, name)
+            Seq(Row(Layout.checkConstraintsOf(s, dir).size))
+          }))
+      case ShowConstraintsRe(dir) =>
+        Some(GraftVerbCommand(
+          attrsOf("name" -> org.apache.spark.sql.types.StringType,
+            "expr" -> org.apache.spark.sql.types.StringType),
+          s => Layout.checkConstraintsOf(s, dir).sortBy(_._1)
+            .map { case (n, e) => Row(n, e) }))
       case GraftPrefixRe() =>
         // a GRAFT statement that matches no form must fail HERE with
         // the dialect spelled out — falling through to Spark's parser
@@ -240,17 +271,27 @@ object GraftSqlCommands {
             "[GENERATIONS] AS <query> | GRAFT APPEND INTO '<dir>' AS " +
             "<query> | GRAFT UPSERT INTO '<dir>' KEYS (k, …) AS " +
             "<query> | GRAFT DELETE FROM '<dir>' WHERE <key> BETWEEN " +
-            "<lo> AND <hi>")
+            "<lo> AND <hi> [USING VECTORS] | GRAFT ALTER '<dir>' ADD " +
+            "CONSTRAINT <name> CHECK (<expr>) | GRAFT ALTER '<dir>' " +
+            "DROP CONSTRAINT <name> | GRAFT SHOW CONSTRAINTS '<dir>'")
       case _ => None
     }
 
-  private def deleteCommand(dir: String,
-                            box: Layout.PruneBox): LogicalPlan =
+  private def deleteCommand(dir: String, box: Layout.PruneBox,
+                            vectors: Boolean): LogicalPlan =
     GraftVerbCommand(
       attrsOf("files_dropped" -> IntegerType,
         "files_rewritten" -> IntegerType, "rows_deleted" -> LongType),
       s => {
-        val st = Layout.deleteWhere(s, dir, Seq(box))
-        Seq(Row(st.filesDropped, st.filesRewritten, st.rowsDeleted))
+        // USING VECTORS dispatches to the merge-on-read verb: partial
+        // files take a deletion vector instead of a rewrite (the
+        // files_rewritten column reports the vectorized count there)
+        if (vectors) {
+          val st = Layout.deleteWhereDv(s, dir, Seq(box))
+          Seq(Row(st.filesDropped, st.filesVectorized, st.rowsDeleted))
+        } else {
+          val st = Layout.deleteWhere(s, dir, Seq(box))
+          Seq(Row(st.filesDropped, st.filesRewritten, st.rowsDeleted))
+        }
       })
 }

@@ -202,6 +202,59 @@ object SketchQueries {
       p
     })
 
+  /** Deletion-vector fixture: the documents table range-clustered on
+    * doc_id, generation-tracked, then a band deleted MERGE-ON-READ
+    * ([[Layout.deleteWhereDv]] — positions recorded, files kept
+    * byte-identical). The build REQUIRES at least one vectorized file
+    * and zero rewrites, so every gate over it genuinely exercises the
+    * vector read path, not a degenerate all-covered drop. */
+  private def dvDocs(s: SparkSession, d: String): String =
+    prunedFixture.computeIfAbsent(s"$d#docs_dv", _ => {
+      val p = graft.Scratch.tempDir("graft_dv_") + "/documents"
+      val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(p)
+      Layout.buildFileManifest(s, p, Seq("doc_id"))
+        .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+      Layout.enableGenerations(s, p)
+      val before = s.read.parquet(p).inputFiles.toSet
+      val del = Layout.deleteWhereDv(s, p,
+        Seq(Layout.KeyBox("doc_id", 100L, 199L)))
+      require(del.filesVectorized >= 1 && del.rowsDeleted > 0L &&
+          s.read.parquet(p).inputFiles.toSet.intersect(before).nonEmpty &&
+          Layout.currentGeneration(s, p) == 1L,
+        s"degenerate DV fixture: $del")
+      p
+    })
+
+  /** [[dvDocs]] continued past a PURGE: a file-subset OPTIMIZE
+    * ([[Layout.optimizeSelective]]) rewrites the vectorized files
+    * with their vectors applied (gen 2), RETIRING them — so a
+    * generation-1 read exercises the hard path: the retired file
+    * resolves under its retirement label and the vector's recorded
+    * path is remapped onto it. */
+  private def dvPurgedDocs(s: SparkSession, d: String): String =
+    prunedFixture.computeIfAbsent(s"$d#docs_dv_purged", _ => {
+      val p = graft.Scratch.tempDir("graft_dvpurge_") + "/documents"
+      val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(p)
+      Layout.buildFileManifest(s, p, Seq("doc_id"))
+        .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+      Layout.enableGenerations(s, p)
+      val del = Layout.deleteWhereDv(s, p,
+        Seq(Layout.KeyBox("doc_id", 100L, 199L)))
+      val opt = Layout.optimizeSelective(s, p, targetRows = 100000L)
+      require(del.filesVectorized >= 1 && opt.reclustered &&
+          Layout.currentGeneration(s, p) == 2L &&
+          Layout.loadManifest(s, p)
+            .filter(col("dv_path").isNotNull).count() == 0L,
+        s"degenerate purge fixture: $del / $opt")
+      p
+    })
+
   /** Shared rolling-hash SQL fragment: 31-polynomial over codepoints
     * mod 1e9+7 — the DuckDB twin of
     * [[graft.functions.TextExpressions.rollingHash]]. */
@@ -2067,6 +2120,219 @@ object SketchQueries {
              |       THEN 'update_postimage' ELSE 'insert' END
              |FROM plus0 p
              |ORDER BY 1, 4""".stripMargin)),
+
+    // Deletion vectors — MERGE-ON-READ delete: a band delete records
+    // row POSITIONS ([[Layout.deleteWhereDv]]) instead of rewriting
+    // files (the fixture pins every data file byte-identical), and
+    // the pruned read anti-joins them away via the parquet metadata
+    // identity (`_metadata.file_path`, `_metadata.row_index`). At
+    // 100 TB this is Delta's deletion-vector granularity: delete cost
+    // ∝ matched rows, read tax ∝ the vectorized files only. Oracle =
+    // the plain filtered aggregate over the unmutated table.
+    QueryDef("q_layout_dv",
+      (s, d) => {
+        val dir = dvDocs(s, d)
+        Layout.scanPruned(s, dir, Seq(Layout.KeyBox("doc_id", 50L, 400L)))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH live AS (
+             |  SELECT * FROM documents
+             |  WHERE doc_id NOT BETWEEN 100 AND 199),
+             |pruned AS (
+             |  SELECT * FROM live WHERE doc_id BETWEEN 50 AND 400)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM pruned GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
+
+    // DV metadata count — [[Layout.countWhere]] on the vectorized
+    // layout: vector-free files still answer from stats alone, the
+    // vectorized ones demote to a churn-sized scan with the vector
+    // applied — exactness hash-proved against the plain SQL count.
+    QueryDef("q_layout_dv_count",
+      (s, d) => {
+        import s.implicits._
+        val dir = dvDocs(s, d)
+        Seq(Layout.countWhere(s, dir,
+          Seq(Layout.KeyBox("doc_id", 0L, 100000000L)))).toDF("n_docs")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+             |WHERE doc_id NOT BETWEEN 100 AND 199""".stripMargin)),
+
+    // DV change feed — [[Layout.changesBetween]] across a
+    // deletion-vector commit: the two manifests share every file
+    // NAME, so the diff is pure position-delta — exactly the deleted
+    // rows as op = −1, derived without opening any unchanged file.
+    QueryDef("q_layout_dv_cdf",
+      (s, d) => {
+        val dir = dvDocs(s, d)
+        Layout.changesBetween(s, dir, 0L, 1L).orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars, -1 AS op FROM documents
+             |WHERE doc_id BETWEEN 100 AND 199 ORDER BY doc_id""".stripMargin)),
+
+    // DV PURGE + time travel onto a retired vectorized file — the
+    // hard path: OPTIMIZE materialized the vectors away (gen 2,
+    // retiring the vectorized files), and the gate reads GENERATION 1
+    // — the retired file resolves under its retirement label and the
+    // vector's recorded path is REMAPPED onto it. Both worlds are
+    // hash-proved: the live (purged) read and the vectorized snapshot
+    // must agree with the same filtered oracle.
+    QueryDef("q_layout_dv_purge",
+      (s, d) => {
+        val dir = dvPurgedDocs(s, d)
+        val live = Layout.readLayout(s, dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"))
+          .withColumn("world", lit("live"))
+        val snap = Layout.readSnapshot(s, dir, 1L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"))
+          .withColumn("world", lit("snapshot_gen1"))
+        live.unionByName(snap).orderBy("world", "lang")
+      },
+      Some("""WITH live AS (
+             |  SELECT * FROM documents
+             |  WHERE doc_id NOT BETWEEN 100 AND 199),
+             |agg AS (
+             |  SELECT lang, count(*) AS n_docs,
+             |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+             |  FROM live GROUP BY 1)
+             |SELECT lang, n_docs, total_chars, 'live' AS world FROM agg
+             |UNION ALL
+             |SELECT lang, n_docs, total_chars, 'snapshot_gen1' FROM agg
+             |ORDER BY 4, 1""".stripMargin),
+      bench = true),
+
+    // EXACTLY-ONCE streaming ingest ([[Layout.streamAppend]]) — the
+    // foreachBatch sink that closes the loop the CDC source opens: a
+    // file-source stream lands two micro-batches into a
+    // generation-tracked layout THROUGH A RESTART (the checkpoint
+    // re-delivers the last batch; the per-query ledger + the
+    // commit-record token absorb the replay), each non-empty batch
+    // committing exactly one generation. The fixture REQUIRES one
+    // streamAppend commit per batch and the exact final row count —
+    // a duplicate or a drop fails the build before the oracle ever
+    // runs; the gate then hash-proves the final table against the
+    // full-corpus aggregate.
+    QueryDef("q_layout_stream_sink",
+      (s, d) => {
+        val dir = prunedFixture.computeIfAbsent(s"$d#docs_sink", _ => {
+          val root = graft.Scratch.tempDir("graft_sink_")
+          val p = root + "/documents"
+          val in = root + "/ingest"
+          val ckpt = root + "/ckpt"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          val total = docs.count()
+          docs.filter(col("doc_id") >= 300L)
+            .repartitionByRange(4, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          Layout.enableGenerations(s, p)
+          val schema = org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, lang STRING, n_chars BIGINT")
+          def run() = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(in)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(
+              Layout.streamAppend(p, Seq("doc_id"), "gate-sink") _)
+            .start()
+          docs.filter(col("doc_id") < 150L)
+            .select(col("doc_id").cast("long"), col("lang"),
+              col("n_chars").cast("long"))
+            .coalesce(1).write.mode("append").parquet(in)
+          val q1 = run()
+          q1.processAllAvailable(); q1.stop()
+          // new data arrives while stopped; the RESTART replays the
+          // last committed batch first — absorbed, never duplicated
+          docs.filter(col("doc_id") >= 150L && col("doc_id") < 300L)
+            .select(col("doc_id").cast("long"), col("lang"),
+              col("n_chars").cast("long"))
+            .coalesce(1).write.mode("append").parquet(in)
+          val q2 = run()
+          q2.processAllAvailable(); q2.stop()
+          val landed = s.read.parquet(p).count()
+          val commits = Layout.describeHistory(s, p)
+            .filter(col("operation").startsWith("streamAppend:")).count()
+          require(landed == total && commits == 2L,
+            s"degenerate sink fixture: $landed/$total rows, " +
+              s"$commits stream commits")
+          p
+        })
+        Layout.readLayout(s, dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // CHECK constraints — Delta's table constraints as sidecar +
+    // writer enforcement: the fixture adds two named boolean
+    // expressions (add-time validated against the EXISTING rows),
+    // proves a violating batch refuses BY CONSTRAINT NAME with
+    // nothing committed, then lands a valid append; the gate
+    // hash-proves the final table (base ∪ the valid batch) — so both
+    // the refusal and the pass-through are load-bearing. Enforcement
+    // is batch-sized (never a table rescan) and NULL passes, per SQL
+    // CHECK.
+    QueryDef("q_layout_constraint",
+      (s, d) => {
+        val dir = prunedFixture.computeIfAbsent(s"$d#docs_constraint", _ => {
+          val p = graft.Scratch.tempDir("graft_ck_") + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(4, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          Layout.addCheckConstraint(s, p, "chars_nonneg", "n_chars >= 0")
+          Layout.addCheckConstraint(s, p, "lang_present", "lang IS NOT NULL")
+          val bad = docs.limit(5)
+            .withColumn("n_chars", lit(-1L))
+            .withColumn("doc_id", col("doc_id") + lit(900000L))
+          val refused =
+            try { Layout.appendWithManifest(bad, p, Seq("doc_id")); false }
+            catch { case e: IllegalArgumentException =>
+              e.getMessage.contains("chars_nonneg") }
+          require(refused, "the violating batch must refuse by name")
+          require(s.read.parquet(p).count() == docs.count(),
+            "a refused batch must leave nothing behind")
+          Layout.appendWithManifest(
+            docs.filter(col("doc_id") < 100)
+              .withColumn("doc_id", col("doc_id") + lit(600000L)),
+            p, Seq("doc_id"))
+          p
+        })
+        Layout.readLayout(s, dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH final AS (
+             |  SELECT doc_id, lang, n_chars FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 600000, lang, n_chars FROM documents
+             |  WHERE doc_id < 100)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM final GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Partitioned snapshot read — generations over a HIVE-PARTITIONED
     // tree: a data-column delete spans every lang partition (gen 1,

@@ -86,6 +86,14 @@ class GraftSource extends TableProvider with DataSourceRegister
       .orElse(tstamp.map(t =>
         graft.ext.Layout.generationAsOf(spark, dir, parseTs(t))))
       .getOrElse(graft.ext.Layout.currentGeneration(spark, dir))
+    // a V2 file relation serves raw file bytes — it cannot apply
+    // deletion vectors, and silently skipping them would resurrect
+    // deleted rows. Refuse by name; the Scala verbs apply them
+    require(!graft.ext.Layout.snapshotHasDv(spark, dir, gen),
+      s"generation $gen of $dir carries deletion vectors, which the " +
+        "graft V2 reader cannot apply — read it with " +
+        "Layout.readSnapshot / Layout.scanPruned, or materialize the " +
+        "vectors (optimize / optimizeSelective) first")
     val pairs = graft.ext.Layout.snapshotFileAnchors(spark, dir, gen)
     val stored = graft.ext.Layout.storedSchemaOf(spark, dir)
     require(pairs.nonEmpty || stored.nonEmpty,

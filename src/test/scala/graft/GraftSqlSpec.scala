@@ -132,6 +132,19 @@ class GraftSqlSpec extends AnyFunSuite with SharedSpark {
         assert(spark.read.format("graft").option("versionAsOf", "0")
           .load(d2).count() === 50L)
         assert(sqlS.sql(s"GRAFT DESCRIBE HISTORY '$d2'").count() === 3L)
+        // DELETE … USING VECTORS: the same statement shape dispatches
+        // merge-on-read — files keep their names, positions recorded
+        val beforeDv = spark.read.parquet(d2).inputFiles.toSet
+        val dv = sqlS.sql(
+          s"GRAFT DELETE FROM '$d2' WHERE id BETWEEN 5 AND 7 USING VECTORS")
+          .collect()(0)
+        assert(dv.getAs[Long]("rows_deleted") === 3L)
+        // merge-on-read: covered files may still DROP whole (here the
+        // upsert's single-key insert files), but nothing REWRITES —
+        // every surviving file keeps its exact name
+        assert(spark.read.parquet(d2).inputFiles.toSet.subsetOf(beforeDv),
+          "USING VECTORS must not rewrite files")
+        assert(Layout.readLayout(spark, d2).count() === 47L)
       } finally {
         SparkSession.clearDefaultSession()
         SparkSession.clearActiveSession()
