@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => graft.functions.JlProject(exprs(0),
         graft.functions.FunctionArgs.foldableInt("jl_project", "out_dim", exprs(1))))
     e.injectOptimizerRule(_ => graft.plans.NativeTextRewrites)
+    // bare COUNT(*) over a graft V2 relation answers from the
+    // generation's manifest — zero data-file opens at any scale
+    e.injectOptimizerRule(_ => graft.plans.GraftCountFromManifest)
     // the lifecycle verbs as SQL (GRAFT DESCRIBE HISTORY / OPTIMIZE /
     // VACUUM / RESTORE …) — [[graft.plans.GraftSqlParser]] intercepts
     // the GRAFT keyword and delegates everything else verbatim

@@ -1563,6 +1563,25 @@ object Layout {
       .map(f => snapshotAnchorOf(dir, f) -> f)
   }
 
+  /** The generation's LIVE row count summed from its manifest alone
+    * (physical rows minus any deletion vector) — what
+    * [[graft.plans.GraftCountFromManifest]] answers a bare
+    * `SELECT count(*)` over the V2 reader with: one manifest-sized
+    * read, zero data-file opens. Exact because the reader's file list
+    * IS this manifest's and per-file `n_rows` is that file's scan
+    * count. */
+  private[graft] def snapshotLiveRowCount(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, gen: Long): Long = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m =
+      if (generationsEnabled(fs, dir)) snapshotManifestOf(spark, fs, dir, gen)
+      else loadManifest(spark, dir)
+    m.agg(coalesce(sum(col("n_rows") - dvRowsExprOf(m.schema)), lit(0L)))
+      .collect()(0).getLong(0)
+  }
+
   /** Whether generation `gen`'s manifest references any deletion
     * vector — the V2 reader's probe: a raw file relation cannot
     * apply vectors, so it refuses instead of resurrecting rows. */

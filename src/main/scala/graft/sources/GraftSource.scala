@@ -106,6 +106,11 @@ class GraftSource extends TableProvider with DataSourceRegister
       if (k != "path" && k != "versionasof" && k != "timestampasof")
         passthrough.put(e.getKey, e.getValue)
     }
+    // marker for [[graft.plans.GraftCountFromManifest]]: the relation
+    // knows which layout generation it serves, so a bare COUNT(*) can
+    // answer from the manifest (parquet ignores unknown options)
+    passthrough.put("graft.layout.dir", dir)
+    passthrough.put("graft.layout.gen", gen.toString)
     if (graft.ext.Layout.isHivePartitioned(spark, dir)) {
       // partition columns re-derive from ONE basePath; live and
       // retired files anchor at different roots, so a mixed snapshot

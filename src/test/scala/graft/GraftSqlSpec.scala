@@ -153,4 +153,67 @@ class GraftSqlSpec extends AnyFunSuite with SharedSpark {
       }
     }
   }
+
+  test("COUNT(*) over the graft reader answers from the manifest — no scan node") {
+    withTempDir("graft_cnt_") { dir =>
+      val d = s"$dir/t"
+      (0L to 499L).map(k => (k, k % 5, k)).toDF("k", "g", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+        .write.parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      Layout.enableGenerations(spark, d)
+      Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 99L)))
+      val prevDefault = SparkSession.getDefaultSession
+      val prevActive = SparkSession.getActiveSession
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      val sqlS = GraftSession.tuned(
+        SparkSession.builder().master("local[8]")
+          .withExtensions(new GraftExtensions),
+        shufflePartitions = 8).getOrCreate()
+      try {
+        // count every V2 relation form: the optimizer's scan pushdown
+        // rewrites DataSourceV2Relation → DataSourceV2ScanRelation, so
+        // probing only the pre-pushdown form reads 0 vacuously
+        def scans(df: org.apache.spark.sql.DataFrame): Int =
+          df.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r
+            case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+          }.size
+        // bare COUNT(*): rewritten to the manifest's live row count —
+        // the optimized plan holds NO relation at all
+        val live = sqlS.read.format("graft").load(d)
+          .agg(count(lit(1)).as("n"))
+        assert(scans(live) === 0, "count(*) must not plan a scan")
+        assert(live.as[Long].head() === 400L)
+        // time travel counts the GENERATION's manifest
+        val snap = sqlS.read.format("graft").option("versionAsOf", "0")
+          .load(d).agg(count(lit(1)).as("n"))
+        assert(scans(snap) === 0)
+        assert(snap.as[Long].head() === 500L)
+        // and through plain SQL over a USING graft view
+        sqlS.sql(s"CREATE OR REPLACE TEMPORARY VIEW cnt_t " +
+          s"USING graft OPTIONS (path '$d')")
+        val viaSql = sqlS.sql("SELECT count(*) AS n FROM cnt_t")
+        assert(scans(viaSql) === 0)
+        assert(viaSql.as[Long].head() === 400L)
+        // a FILTER blocks the rewrite — the scan stays and the value
+        // stays exact (the narrow-match contract)
+        val filtered = sqlS.sql(
+          "SELECT count(*) AS n FROM cnt_t WHERE k >= 300")
+        assert(scans(filtered) === 1, "a filtered count must scan")
+        assert(filtered.as[Long].head() === 200L)
+        // count(DISTINCT) blocks too
+        val distinct = sqlS.sql("SELECT count(DISTINCT g) AS n FROM cnt_t")
+        assert(scans(distinct) === 1)
+        assert(distinct.as[Long].head() === 5L)
+      } finally {
+        SparkSession.clearDefaultSession()
+        SparkSession.clearActiveSession()
+        prevDefault.foreach(SparkSession.setDefaultSession)
+        prevActive.foreach(SparkSession.setActiveSession)
+      }
+    }
+  }
 }
