@@ -1229,7 +1229,11 @@ object Layout {
           .parquet(group.map(_._2): _*))
       }
       .reduce(_ unionByName _)
-    val joined = data.join(broadcast(mapped),
+    // no broadcast hint: the position delta is churn-sized by
+    // construction, and AQE's runtime stats broadcast it when that
+    // holds — a pathological span degrades to a shuffled join instead
+    // of flattening the driver
+    val joined = data.join(mapped,
       data(DvFileCol) === mapped("file") &&
         data(DvIdxCol) === mapped("idx"))
     // select by side-qualified reference, never drop-by-name: a data
@@ -3315,8 +3319,11 @@ object Layout {
     * stores is exact by invariant 1 above (per-file deleted sets only
     * grow under a fixed name, so a stale store's positions are a
     * subset). `remap` rewrites store-recorded paths onto resolved
-    * ones (retired/restored files); `totalDvRows` ≤
-    * [[DvBroadcastRows]] hints the broadcast. */
+    * ones (retired/restored files). The broadcast is HINTED only when
+    * the caller proved the position count ≤ [[DvBroadcastRows]];
+    * otherwise the stores' own parquet size statistics decide (AQE:
+    * churn-sized vectors auto-broadcast, a pathological one falls
+    * back to a shuffled join instead of flattening the driver). */
   private def antiJoinDv(spark: org.apache.spark.sql.SparkSession,
                          data: DataFrame, dvPaths: Seq[String],
                          remap: Map[String, String],
@@ -3328,7 +3335,9 @@ object Layout {
       else raw.withColumn("file",
         coalesce(element_at(typedLit(remap), col("file")), col("file")))
     val dv =
-      if (totalDvRows <= DvBroadcastRows) broadcast(mapped) else mapped
+      if (totalDvRows > 0L && totalDvRows <= DvBroadcastRows)
+        broadcast(mapped)
+      else mapped
     data.join(dv,
         data(DvFileCol) === dv("file") && data(DvIdxCol) === dv("idx"),
         "left_anti")
@@ -3492,7 +3501,12 @@ object Layout {
         else {
           val dv = spark.read.parquet(candDv.values.toSeq.distinct: _*)
             .select(col("file"), col("idx"))
-          src.join(broadcast(dv),
+          // hint only when the manifest PROVED the existing vectors
+          // small; else the stores' size stats + AQE decide
+          val side =
+            if (candidates.map(_._3).sum <= DvBroadcastRows) broadcast(dv)
+            else dv
+          src.join(side,
             src(DvFileCol) === dv("file") && src(DvIdxCol) === dv("idx"),
             "left_anti")
         }
