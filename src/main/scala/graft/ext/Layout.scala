@@ -698,6 +698,30 @@ object Layout {
   private val CommitInfoRe =
     """\{"gen":(\d+),"tsMillis":(\d+),"operation":"([^"]*)"\}""".r
 
+  /** ONE generation's commit record (None when recordless) — the
+    * per-batch probe [[streamAppend]] uses: a streaming sink must not
+    * pay a full-history record sweep per micro-batch. */
+  private def commitInfoAt(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: String,
+                           gen: Long): Option[(Long, String)] = {
+    val p = commitInfoPath(dir, gen)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 256, false)
+        out.toString("UTF-8").trim
+      } finally in.close()
+      txt match {
+        case CommitInfoRe(_, ts, op) => Some((ts.toLong, op))
+        case _ => throw new IllegalStateException(
+          s"corrupt commit record at $p (read '$txt') — repair or " +
+            "remove it")
+      }
+    }
+  }
+
   /** gen → (commit millis, operation) for every recorded commit —
     * a file-count-sized driver read, like every other planning input.
     * A torn/corrupt record fails loudly: silently skipping one would
@@ -2440,6 +2464,13 @@ object Layout {
         org.apache.spark.sql.types.BooleanType,
       s"constraint $name's expression ($exprText) is " +
         s"${probe.schema("c").dataType}, not boolean")
+    // a nondeterministic expression (rand(), current_timestamp(), …)
+    // would pass add-time validation and then accept or reject the
+    // SAME batch at random — refuse it here, by name
+    require(probe.queryExecution.analyzed.expressions
+        .forall(_.deterministic),
+      s"constraint $name's expression ($exprText) is " +
+        "nondeterministic — enforcement would be a coin flip per batch")
     if (validateExisting) {
       val bad = frame.where(violationOf(exprText)).head(1)
       require(bad.isEmpty,
@@ -2914,9 +2945,10 @@ object Layout {
     if (recorded.exists(batchId <= _)) return // replayed and ledgered
     // torn-ledger replay: the previous attempt may have COMMITTED and
     // crashed before its ledger write — the live generation's commit
-    // record decides, never a guess
+    // record decides, never a guess. ONE record read, not a history
+    // sweep: a per-batch probe must stay O(1) in retained generations
     val g = liveGenOf(fs, dir)
-    commitInfoOf(fs, dir).get(g) match {
+    commitInfoAt(fs, dir, g) match {
       case Some((_, op)) if op == streamOpLabel(queryId, batchId) =>
         writeStreamLedger(fs, dir, queryId, batchId)
         return

@@ -23,7 +23,7 @@ import graft.ext.Layout
   *   GRAFT SHOW PINS '<dir>'
   *   GRAFT RESTORE '<dir>' VERSION AS OF <n>
   *   GRAFT CREATE '<dir>' KEYS (k, …) [GENERATIONS] AS <query>
-  *   GRAFT APPEND INTO '<dir>' AS <query>
+  *   GRAFT APPEND INTO '<dir>' [MERGE SCHEMA] AS <query>
   *   GRAFT UPSERT INTO '<dir>' KEYS (k, …) AS <query>
   *   GRAFT DELETE FROM '<dir>' WHERE <key> BETWEEN <lo> AND <hi>
   *                    [USING VECTORS]
@@ -104,7 +104,7 @@ object GraftSqlCommands {
   private val CreateRe =
     """(?is)\s*GRAFT\s+CREATE\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)(\s+GENERATIONS)?\s+AS\s+(.+?)\s*;?\s*""".r
   private val AppendRe =
-    """(?is)\s*GRAFT\s+APPEND\s+INTO\s+'([^']+)'\s+AS\s+(.+?)\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+APPEND\s+INTO\s+'([^']+)'(\s+MERGE\s+SCHEMA)?\s+AS\s+(.+?)\s*;?\s*""".r
   private val UpsertRe =
     """(?is)\s*GRAFT\s+UPSERT\s+INTO\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+AS\s+(.+?)\s*;?\s*""".r
   private val DeleteNumRe =
@@ -205,14 +205,19 @@ object GraftSqlCommands {
             val out = s.read.parquet(dir)
             Seq(Row(out.inputFiles.length, out.count()))
           }))
-      case AppendRe(dir, query) =>
+      case AppendRe(dir, mergeSchema, query) =>
         val df = org.apache.spark.sql.GraftColumnBridge.frameOf(session,
           delegate.parseQuery(query))
         Some(GraftVerbCommand(attrsOf("rows_appended" -> LongType),
           s => {
             // the layout's EXISTING keys govern the new files' stats —
-            // the writer never re-states (or silently changes) them
-            Layout.appendWithManifest(df, dir, Layout.storedKeys(s, dir))
+            // the writer never re-states (or silently changes) them.
+            // MERGE SCHEMA opts into ADD COLUMN evolution (the
+            // canonical-schema sidecar commits first — see
+            // appendWithManifest); without it a new column stays a
+            // loud error
+            Layout.appendWithManifest(df, dir, Layout.storedKeys(s, dir),
+              mergeSchema = mergeSchema != null)
             Seq(Row(df.count()))
           }))
       case UpsertRe(dir, keys, query) =>
@@ -268,7 +273,8 @@ object GraftSqlCommands {
             "VACUUM '<dir>' RETAIN <n> [FORCE] | GRAFT SHOW PINS " +
             "'<dir>' | GRAFT RESTORE '<dir>' " +
             "VERSION AS OF <n> | GRAFT CREATE '<dir>' KEYS (k, …) " +
-            "[GENERATIONS] AS <query> | GRAFT APPEND INTO '<dir>' AS " +
+            "[GENERATIONS] AS <query> | GRAFT APPEND INTO '<dir>' " +
+            "[MERGE SCHEMA] AS " +
             "<query> | GRAFT UPSERT INTO '<dir>' KEYS (k, …) AS " +
             "<query> | GRAFT DELETE FROM '<dir>' WHERE <key> BETWEEN " +
             "<lo> AND <hi> [USING VECTORS] | GRAFT ALTER '<dir>' ADD " +

@@ -90,6 +90,10 @@ class ConstraintSpec extends AnyFunSuite with SharedSpark {
         Layout.addCheckConstraint(spark, base, "not_bool", "v + 1")
       }
       assert(e2.getMessage.contains("not boolean"))
+      val eNd = intercept[IllegalArgumentException] {
+        Layout.addCheckConstraint(spark, base, "coin", "rand() < 0.9")
+      }
+      assert(eNd.getMessage.contains("nondeterministic"))
       // existing rows (v up to 98) violate v < 50 — refused at ADD
       // time, where the one table-sized scan belongs
       val e3 = intercept[IllegalArgumentException] {

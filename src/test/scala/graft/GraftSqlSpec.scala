@@ -145,6 +145,21 @@ class GraftSqlSpec extends AnyFunSuite with SharedSpark {
         assert(spark.read.parquet(d2).inputFiles.toSet.subsetOf(beforeDv),
           "USING VECTORS must not rewrite files")
         assert(Layout.readLayout(spark, d2).count() === 47L)
+        // APPEND … MERGE SCHEMA: ADD COLUMN evolution through SQL —
+        // refused without the flag, sidecar-committed with it (and it
+        // composes with the vectorized layout: old rows surface null
+        // for the new column, deleted rows stay deleted)
+        val evoSelect = "SELECT CAST(900 AS BIGINT) AS id, " +
+          "CAST(1 AS BIGINT) AS g, CAST(1 AS BIGINT) AS v, 'x' AS tag"
+        val noEvo = intercept[Exception] {
+          sqlS.sql(s"GRAFT APPEND INTO '$d2' AS $evoSelect").collect()
+        }
+        assert(noEvo.getMessage.contains("tag"))
+        sqlS.sql(s"GRAFT APPEND INTO '$d2' MERGE SCHEMA AS $evoSelect")
+          .collect()
+        val evolved = Layout.readLayout(spark, d2)
+        assert(evolved.count() === 48L)
+        assert(evolved.filter(col("tag").isNull).count() === 47L)
       } finally {
         SparkSession.clearDefaultSession()
         SparkSession.clearActiveSession()
