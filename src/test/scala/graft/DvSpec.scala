@@ -348,6 +348,36 @@ class DvSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("sparse-set and typed-key boxes vectorize too") {
+    withTempDir("graft_dv_boxes_") { dir =>
+      // KeySetBox: a sparse CDC-shaped delete — never range-provable,
+      // so every overlapping file vectorizes; gaps never open
+      val a = s"$dir/a"
+      mkLayout(a)
+      val keys = Seq(3L, 400L, 801L)
+      val st = Layout.deleteWhereDv(spark, a,
+        Seq(Layout.KeySetBox("k", keys)))
+      assert(st.filesDropped == 0 && st.rowsDeleted == 3L, s"$st")
+      assert(got(Layout.readLayout(spark, a)) ==
+        expect(1000, k => !keys.contains(k)))
+      // TypedKeyBox: a string-keyed layout (the GDPR-by-user-id shape)
+      val b = s"$dir/b"
+      spark.range(200).select(
+          format_string("u%03d", col("id")).as("k"),
+          (col("id") % 7).as("g"), (col("id") * 2).as("v"))
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(b)
+      Layout.buildFileManifest(spark, b, Seq("k"))
+        .write.mode("overwrite").parquet(s"$b/_graft_manifest")
+      val st2 = Layout.deleteWhereDv(spark, b,
+        Seq(Layout.TypedKeyBox("k", "u050", "u059")))
+      assert(st2.rowsDeleted == 10L, s"$st2")
+      assert(Layout.readLayout(spark, b).count() == 190L)
+      assert(Layout.scanPruned(spark, b,
+        Seq(Layout.TypedKeyBox("k", "u000", "u099"))).count() == 90L)
+    }
+  }
+
   test("a persisted MV refreshes over a DV delete: cost ∝ positions, result exact") {
     withTempDir("graft_dv_mv_") { dir =>
       val base = s"$dir/t"
