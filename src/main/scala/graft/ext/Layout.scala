@@ -2889,6 +2889,39 @@ object Layout {
       s"failed to move the stream ledger into place at $p")
   }
 
+  /** Every stream ledger on this layout, queryId → last committed
+    * batch — the observability read for [[streamAppend]]'s sinks
+    * (which stream owns which ledger, where each restart will
+    * resume). One directory listing plus one tiny read per ledger;
+    * torn ledgers fail loudly through [[streamLedgerOf]]'s parse. */
+  def streamLedgers(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Seq[(String, Long)] = {
+    requireEncodingStablePath(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = streamDir(dir)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json") &&
+        !st.getPath.getName.startsWith("_"))
+      .map { st =>
+        val in = fs.open(st.getPath)
+        val txt = try {
+          val out = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, out, 256, false)
+          out.toString("UTF-8").trim
+        } finally in.close()
+        txt match {
+          case StreamLedgerRe(q, b) => (q, b.toLong)
+          case _ => throw new IllegalStateException(
+            s"corrupt stream ledger at ${st.getPath} (read '$txt') — " +
+              "remove it; the owning stream re-derives idempotence " +
+              "from the commit records")
+        }
+      }
+      .sortBy(_._1)
+  }
+
   /** The commit-record operation label a [[streamAppend]] of this
     * (query, batch) stamps — what makes the COMMIT itself carry the
     * idempotence token, Delta's `txn` action recovered from the

@@ -30,6 +30,7 @@ import graft.ext.Layout
   *   GRAFT ALTER '<dir>' ADD CONSTRAINT <name> CHECK (<expr>)
   *   GRAFT ALTER '<dir>' DROP CONSTRAINT <name>
   *   GRAFT SHOW CONSTRAINTS '<dir>'
+  *   GRAFT SHOW STREAMS '<dir>'
   * }}}
   *
   * The write statements' `AS <query>` tails parse through SPARK'S OWN
@@ -117,6 +118,8 @@ object GraftSqlCommands {
     """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+([\w-]+)\s*;?\s*""".r
   private val ShowConstraintsRe =
     """(?is)\s*GRAFT\s+SHOW\s+CONSTRAINTS\s+'([^']+)'\s*;?\s*""".r
+  private val ShowStreamsRe =
+    """(?is)\s*GRAFT\s+SHOW\s+STREAMS\s+'([^']+)'\s*;?\s*""".r
   private val ShowPinsRe =
     """(?is)\s*GRAFT\s+SHOW\s+PINS\s+'([^']+)'\s*;?\s*""".r
   private val GraftPrefixRe = """(?is)\s*GRAFT\b.*""".r
@@ -256,6 +259,12 @@ object GraftSqlCommands {
             Layout.dropCheckConstraint(s, dir, name)
             Seq(Row(Layout.checkConstraintsOf(s, dir).size))
           }))
+      case ShowStreamsRe(dir) =>
+        Some(GraftVerbCommand(
+          attrsOf("query_id" -> org.apache.spark.sql.types.StringType,
+            "last_batch" -> LongType),
+          s => Layout.streamLedgers(s, dir)
+            .map { case (q, b) => Row(q, b) }))
       case ShowConstraintsRe(dir) =>
         Some(GraftVerbCommand(
           attrsOf("name" -> org.apache.spark.sql.types.StringType,
@@ -279,7 +288,8 @@ object GraftSqlCommands {
             "<query> | GRAFT DELETE FROM '<dir>' WHERE <key> BETWEEN " +
             "<lo> AND <hi> [USING VECTORS] | GRAFT ALTER '<dir>' ADD " +
             "CONSTRAINT <name> CHECK (<expr>) | GRAFT ALTER '<dir>' " +
-            "DROP CONSTRAINT <name> | GRAFT SHOW CONSTRAINTS '<dir>'")
+            "DROP CONSTRAINT <name> | GRAFT SHOW CONSTRAINTS '<dir>' | " +
+            "GRAFT SHOW STREAMS '<dir>'")
       case _ => None
     }
 

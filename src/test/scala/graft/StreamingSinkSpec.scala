@@ -127,6 +127,9 @@ class StreamingSinkSpec extends AnyFunSuite with SharedSpark {
       assert(Layout.currentGeneration(spark, base) === g)
       sink(Seq.empty[(Long, Long, Long)].toDF("k", "g", "v"), 3L) // replay
       assert(Layout.currentGeneration(spark, base) === g)
+      // observability: the ledger listing names the stream and where
+      // a restart resumes
+      assert(Layout.streamLedgers(spark, base) === Seq(("torn-spec", 3L)))
     }
   }
 
