@@ -48,6 +48,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // bare COUNT(*) over a graft V2 relation answers from the
     // generation's manifest — zero data-file opens at any scale
     e.injectOptimizerRule(_ => graft.plans.GraftCountFromManifest)
+    // merge-on-read through the V2 reader: a graft relation whose
+    // generation carries deletion vectors is REPLACED at analysis
+    // with the readSnapshot plan (anti-join of the stores) — the SQL
+    // surface keeps working the moment a table takes its first DV
+    e.injectPostHocResolutionRule(session =>
+      graft.plans.GraftDvReadRewrite(session))
+    // manifest data skipping through the V2 reader: WHERE conjuncts
+    // on stat-covered keys shrink the relation's file list before
+    // any file opens — scanPruned's skip semantics, SQL-reachable
+    e.injectOptimizerRule(session =>
+      graft.plans.GraftManifestPrune(session))
     // the lifecycle verbs as SQL (GRAFT DESCRIBE HISTORY / OPTIMIZE /
     // VACUUM / RESTORE …) — [[graft.plans.GraftSqlParser]] intercepts
     // the GRAFT keyword and delegates everything else verbatim

@@ -15,9 +15,20 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  /** Apply engine defaults to any builder (local or cluster). */
+  /** Apply engine defaults to any builder (local or cluster).
+    *
+    * Installs [[GraftExtensions]] too: a tuned session carries the
+    * whole engine surface — the native SQL functions, the GRAFT SQL
+    * dialect, and the reader rewrites (COUNT(*) from manifest,
+    * deletion-vector application, manifest data skipping) that the
+    * `format("graft")` relation depends on. Extensions only apply to
+    * a NEW session (getOrCreate returning an existing one ignores
+    * them — Spark's contract), and every injection is idempotent, so
+    * stacking an explicit `.withExtensions(new GraftExtensions)` on
+    * top is harmless. */
   def tuned(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    b.withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1394,11 +1394,16 @@ object Layout {
     // are not events (the file predates the window / is still live).
     // Rows count LIVE (physical minus deletion vector at that
     // generation) — on a vector-free layout this is exactly n_rows
+    // n_rows is PHYSICAL and immutable under a fixed file name (DV
+    // invariant: shrink only happens via rewrite to a new name), so
+    // any aggregate of it per file is the constant — max() makes the
+    // choice deterministic by construction rather than by first()'s
+    // arrival order
     val spans = labeled.groupBy("file")
       .agg(min(col("gen")).as("first_gen"), max(col("gen")).as("last_gen"),
-        (first(col("n_rows")) -
+        (max(col("n_rows")) -
           min_by(col("dv_rows"), col("gen"))).as("first_live"),
-        (first(col("n_rows")) -
+        (max(col("n_rows")) -
           max_by(col("dv_rows"), col("gen"))).as("last_live"))
     val addEvents = spans.filter(col("first_gen") > lit(oldest))
       .select(col("first_gen").as("gen"),
@@ -1591,6 +1596,64 @@ object Layout {
       .map(f => snapshotAnchorOf(dir, f) -> f)
   }
 
+  /** The stat schema of generation `gen`'s manifest — what the V2
+    * reader's pruning rule ([[graft.plans.GraftManifestPrune]])
+    * consults to translate pushed filter conjuncts into prune boxes
+    * (which keys carry stats, at what type). Memoized per (dir, gen):
+    * a tracked generation's manifest is immutable, and the rule runs
+    * on every (re-)optimization of a plan. Only meaningful on
+    * generation-tracked layouts — untracked manifests mutate in
+    * place, so the rule never prunes them. */
+  private[graft] def snapshotManifestSchema(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, gen: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!generationsEnabled(fs, dir)) None
+    else {
+      if (manifestSchemaCache.size > 4096) manifestSchemaCache.clear()
+      Some(manifestSchemaCache.computeIfAbsent((dir, gen),
+        _ => snapshotManifestOf(spark, fs, dir, gen).schema))
+    }
+  }
+
+  private val manifestSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), org.apache.spark.sql.types.StructType]()
+
+  /** [[snapshotFileAnchors]] with the files provably OUTSIDE `boxes`
+    * dropped — the V2 reader's data-skipping resolution
+    * ([[graft.plans.GraftManifestPrune]] swaps the relation's file
+    * list for this one and leaves the query's own Filter as the
+    * residual, so pruned ≡ full scan holds by the same construction
+    * as [[scanPruned]]). ONE skip semantics: the boxes evaluate
+    * through [[skipExprOf]], exactly the Scala path. The SURVIVOR
+    * NAMES memoize per (dir, gen, boxes) — the generation's manifest
+    * is immutable and the skip evaluation is a Spark job the
+    * optimizer would otherwise re-run on every explain/AQE replan —
+    * but the live-or-retired path RESOLUTION runs fresh each call
+    * (two bulk listings): a concurrent verb may retire a survivor at
+    * any time, and a cached resolution would dangle. */
+  private[graft] def prunedSnapshotFileAnchors(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, gen: Long,
+      boxes: Seq[PruneBox]): Seq[(String, String)] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (prunedFilesCache.size > 1024) prunedFilesCache.clear()
+    val files = prunedFilesCache.computeIfAbsent((dir, gen, boxes.toList),
+      _ => {
+        val manifest = snapshotManifestOf(spark, fs, dir, gen)
+        val skip = boxes.map(skipExprOf(manifest.schema, _)).reduce(_ || _)
+        manifest.filter(!skip).select("file").collect().map(_.getString(0))
+          .toIndexedSeq
+      })
+    resolveSnapshotFiles(fs, dir, gen, files.toArray)
+      .map(f => snapshotAnchorOf(dir, f) -> f)
+  }
+
+  private val prunedFilesCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, List[PruneBox]), IndexedSeq[String]]()
+
   /** The generation's LIVE row count summed from its manifest alone
     * (physical rows minus any deletion vector) — what
     * [[graft.plans.GraftCountFromManifest]] answers a bare
@@ -1603,12 +1666,31 @@ object Layout {
       dir: String, gen: Long): Long = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val m =
-      if (generationsEnabled(fs, dir)) snapshotManifestOf(spark, fs, dir, gen)
-      else loadManifest(spark, dir)
-    m.agg(coalesce(sum(col("n_rows") - dvRowsExprOf(m.schema)), lit(0L)))
-      .collect()(0).getLong(0)
+    // a generation NUMBER's manifest content is immutable once
+    // tracked (every replace archives the outgoing manifest and
+    // bumps the counter), so the count memoizes per (dir, gen) —
+    // the optimizer rule re-runs on every explain()/re-optimization
+    // of the same plan, and each uncached call is a driver-side
+    // Spark job. Untracked layouts (live manifest mutable in place)
+    // never cache.
+    if (!generationsEnabled(fs, dir)) {
+      val m = loadManifest(spark, dir)
+      m.agg(coalesce(sum(col("n_rows") - dvRowsExprOf(m.schema)), lit(0L)))
+        .collect()(0).getLong(0)
+    } else {
+      // bound the cache BEFORE the compute: a mapping function must
+      // not modify the map it is computing into
+      if (liveRowCountCache.size > 4096) liveRowCountCache.clear()
+      liveRowCountCache.computeIfAbsent((dir, gen), _ => {
+        val m = snapshotManifestOf(spark, fs, dir, gen)
+        m.agg(coalesce(sum(col("n_rows") - dvRowsExprOf(m.schema)), lit(0L)))
+          .collect()(0).getLong(0)
+      })
+    }
   }
+
+  private val liveRowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
 
   /** Whether generation `gen`'s manifest references any deletion
     * vector — the V2 reader's probe: a raw file relation cannot
@@ -1937,11 +2019,29 @@ object Layout {
         .getOrElse(gen.get))
       else None
     val depth = keys.map(k => worstDepthOf(manifest, k)).max
+    // operational-health tail: outstanding deletion-vector tax,
+    // registered constraints, stream ledgers, and vacuum pins — one
+    // row answers "what is the operational state of this table"
+    // without assembling four separate verb calls. All four are
+    // sidecar/manifest-sized reads, zero data-file opens.
+    val (dvFiles, dvRows) =
+      if (!hasDvCols(mSchema)) (0L, 0L)
+      else {
+        val r = manifest.filter(col("dv_path").isNotNull)
+          .agg(count(lit(1)), coalesce(sum(col("dv_rows")), lit(0L)))
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+    val nConstraints = checkConstraintsOf(spark, dir).size
+    val streams = streamLedgers(spark, dir).size
+    val pins = if (tracked) snapshotPinsOf(fs, dir).size else 0
     Seq((dir, nFiles, nRows, keys, blooms, partCols,
-        fs.exists(schemaSidecar(dir)), tracked, gen, oldest, depth))
+        fs.exists(schemaSidecar(dir)), tracked, gen, oldest, depth,
+        dvFiles, dvRows, nConstraints, streams, pins))
       .toDF("location", "n_files", "n_rows", "keys", "bloom_keys",
         "partition_cols", "schema_evolved", "generations_enabled",
-        "generation", "oldest_gen", "worst_depth")
+        "generation", "oldest_gen", "worst_depth",
+        "dv_files", "dv_rows", "n_constraints", "n_streams", "n_pins")
   }
 
   // ───────── snapshot pins: vacuum ↔ consumer coordination ─────────
@@ -2844,13 +2944,35 @@ object Layout {
                                queryId: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(streamDir(dir), s"${sha1Hex(queryId)}.json")
 
+  /** A stream ledger's parsed state: the last COMPLETED batch (None
+    * before any), and — when an append is in flight or crashed mid-
+    * flight — the write-ahead INTENT (batch it was about to commit,
+    * live generation at intent time). The intent is what makes every
+    * crash window decidable on replay: the replayer scans commit
+    * records only over `(intentGen, live]`, a span the intent proves
+    * contains any commit the crashed attempt could have made. */
+  private final case class StreamLedger(lastBatch: Option[Long],
+                                        intent: Option[(Long, Long)])
+
   private val StreamLedgerRe =
-    """\{"queryId":"([^"]*)","batchId":(-?\d+)\}""".r
+    ("""\{"queryId":"([^"]*)","batchId":(-?\d+)""" +
+      """(?:,"intentBatch":(-?\d+),"intentGen":(\d+))?\}""").r
+
+  private def parseStreamLedger(txt: String,
+                                where: String): (String, StreamLedger) =
+    txt match {
+      case StreamLedgerRe(q, b, ib, ig) =>
+        (q, StreamLedger(Some(b.toLong).filter(_ >= 0L),
+          Option(ib).map(i => (i.toLong, ig.toLong))))
+      case _ => throw new IllegalStateException(
+        s"corrupt stream ledger at $where (read '$txt') — remove it; " +
+          "the next batch re-derives idempotence from the commit records")
+    }
 
   private def streamLedgerOf(fs: org.apache.hadoop.fs.FileSystem,
-                             dir: String, queryId: String): Option[Long] = {
+                             dir: String, queryId: String): StreamLedger = {
     val p = streamLedgerPath(dir, queryId)
-    if (!fs.exists(p)) None
+    if (!fs.exists(p)) StreamLedger(None, None)
     else {
       val in = fs.open(p)
       val txt = try {
@@ -2858,30 +2980,29 @@ object Layout {
         org.apache.hadoop.io.IOUtils.copyBytes(in, out, 256, false)
         out.toString("UTF-8").trim
       } finally in.close()
-      txt match {
-        case StreamLedgerRe(q, b) =>
-          require(q == queryId,
-            s"stream ledger $p belongs to query '$q', not '$queryId' — " +
-              "SHA-1 collision or corruption; remove it to recover")
-          Some(b.toLong)
-        case _ => throw new IllegalStateException(
-          s"corrupt stream ledger at $p (read '$txt') — remove it; the " +
-            "next batch re-derives idempotence from the commit records")
-      }
+      val (q, ledger) = parseStreamLedger(txt, p.toString)
+      require(q == queryId,
+        s"stream ledger $p belongs to query '$q', not '$queryId' — " +
+          "SHA-1 collision or corruption; remove it to recover")
+      ledger
     }
   }
 
   private def writeStreamLedger(fs: org.apache.hadoop.fs.FileSystem,
                                 dir: String, queryId: String,
-                                batchId: Long): Unit = {
+                                lastBatch: Long,
+                                intent: Option[(Long, Long)] = None): Unit = {
     fs.mkdirs(streamDir(dir))
     val p = streamLedgerPath(dir, queryId)
     val tmp = new org.apache.hadoop.fs.Path(streamDir(dir),
       s"_${sha1Hex(queryId)}.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(
-      s"""{"queryId":"${queryId.replace("\\", "\\\\").replace("\"", "\\\"")
-        }","batchId":$batchId}""".getBytes("UTF-8"))
+      (s"""{"queryId":"${queryId.replace("\\", "\\\\").replace("\"", "\\\"")
+        }","batchId":$lastBatch""" +
+        intent.fold("") { case (ib, ig) =>
+          s""","intentBatch":$ib,"intentGen":$ig""" } + "}")
+        .getBytes("UTF-8"))
     finally out.close()
     require(fs.delete(p, false) || !fs.exists(p),
       s"failed to clear the old stream ledger at $p")
@@ -2911,13 +3032,9 @@ object Layout {
           org.apache.hadoop.io.IOUtils.copyBytes(in, out, 256, false)
           out.toString("UTF-8").trim
         } finally in.close()
-        txt match {
-          case StreamLedgerRe(q, b) => (q, b.toLong)
-          case _ => throw new IllegalStateException(
-            s"corrupt stream ledger at ${st.getPath} (read '$txt') — " +
-              "remove it; the owning stream re-derives idempotence " +
-              "from the commit records")
-        }
+        // −1 = intent-only ledger (first batch in flight, none done)
+        val (q, ledger) = parseStreamLedger(txt, st.getPath.toString)
+        (q, ledger.lastBatch.getOrElse(-1L))
       }
       .sortBy(_._1)
   }
@@ -2939,19 +3056,26 @@ object Layout {
     *   ).option("checkpointLocation", ckpt).start()
     * }}}
     *
-    * Idempotence is two-layered, and the COMMIT carries the token:
+    * Idempotence is three-layered, and the COMMIT carries the token:
     * every batch's manifest commit stamps its (query, batch) into the
     * generation's commit record ([[streamOpLabel]] — Delta's `txn`
-    * action), and a per-query LEDGER sidecar caches the last
-    * committed batch for the fast-path skip. A restart re-delivers
-    * the last batch (Structured Streaming's contract); the replay is
-    * skipped by the ledger, or — when the crash hit the window
-    * between the manifest commit and the ledger write — detected
-    * from the LIVE generation's commit record, which heals the
-    * ledger and skips. A live generation carrying NO record while
-    * the replayed batch is undecided is refused loudly (that window
-    * is the store-wide rename→record crash, already loud for
-    * TIMESTAMP AS OF) — never guessed into a duplicate or a drop.
+    * action); a per-query LEDGER sidecar caches the last committed
+    * batch for the fast-path skip; and a WRITE-AHEAD INTENT lands in
+    * that ledger just before each append (batch id + live generation
+    * at intent time). A restart re-delivers the last batch
+    * (Structured Streaming's contract); the replay is skipped by the
+    * ledger, or — when the crash hit between the manifest commit and
+    * the ledger write — detected by scanning the commit records of
+    * exactly the generations committed SINCE THE INTENT (usually one)
+    * for the token, which heals the ledger and skips. The intent is
+    * what makes the scan bounded AND complete: it covers the first
+    * batch of a brand-new query (no prior ledger to anchor on) and
+    * the case where concurrent writers commit between the crash and
+    * the replay — the two escapes a live-generation-only probe has.
+    * A RECORDLESS generation inside the intent span is refused loudly
+    * (the rename→record crash window: the commit could be this
+    * batch's or a concurrent writer's, already loud for TIMESTAMP AS
+    * OF) — never guessed into a duplicate or a drop.
     *
     * Generation tracking is REQUIRED: the commit records are what
     * make the token atomic with the commit. Empty batches advance
@@ -2974,35 +3098,89 @@ object Layout {
       s"streamAppend needs a generation-tracked layout at $dir " +
         "(enableGenerations first) — the commit records are what make " +
         "batch idempotence atomic with the commit")
-    val recorded = streamLedgerOf(fs, dir, queryId)
-    if (recorded.exists(batchId <= _)) return // replayed and ledgered
-    // torn-ledger replay: the previous attempt may have COMMITTED and
-    // crashed before its ledger write — the live generation's commit
-    // record decides, never a guess. ONE record read, not a history
-    // sweep: a per-batch probe must stay O(1) in retained generations
+    val ledger = streamLedgerOf(fs, dir, queryId)
+    if (ledger.lastBatch.exists(batchId <= _)) return // replayed, ledgered
     val g = liveGenOf(fs, dir)
-    commitInfoAt(fs, dir, g) match {
-      case Some((_, op)) if op == streamOpLabel(queryId, batchId) =>
-        writeStreamLedger(fs, dir, queryId, batchId)
-        return
-      case None if g > 0L && recorded.contains(batchId - 1L) =>
+    // replay with a pending INTENT for this batch: the crashed
+    // attempt reached the append call, so any commit it made lives in
+    // (intentGen, live] — scan THOSE records (usually zero or one)
+    // for the token. Token found → the commit happened, heal the
+    // ledger and skip. A RECORDLESS generation in the span → the
+    // rename→record crash window, undecidable (the recordless commit
+    // could be this batch's or a concurrent writer's) — refuse by
+    // name, never guess into a duplicate or a drop. All recorded,
+    // none ours → the attempt died before its commit; append below.
+    ledger.intent match {
+      case Some((ib, ig)) if ib == batchId =>
+        var gen = g
+        var committed = false
+        while (gen > ig && !committed) {
+          commitInfoAt(fs, dir, gen) match {
+            case Some((_, op)) if op == streamOpLabel(queryId, batchId) =>
+              committed = true
+            case Some(_) => gen -= 1L
+            case None => throw new IllegalStateException(
+              s"generation $gen of $dir carries no commit record while " +
+                s"batch $batchId of '$queryId' replays with an intent " +
+                s"at generation $ig — a commit crashed between the " +
+                "manifest rename and the record write, and the engine " +
+                "cannot decide whether that commit WAS this batch. " +
+                s"Inspect describeHistory(gen=$gen) against the " +
+                "batch's rows; then either advance the ledger by hand " +
+                "(it was) or remove the generation's manifest from " +
+                "_graft_history and re-run (it was not)")
+          }
+        }
+        if (committed) {
+          writeStreamLedger(fs, dir, queryId, batchId)
+          return
+        }
+      case Some((ib, _)) =>
+        // an intent for a DIFFERENT batch than the replay delivers
+        // cannot arise from the protocol (the checkpoint only
+        // advances past a finalized ledger) — only manual meddling
+        // or a foreign checkpoint reaches here
         throw new IllegalStateException(
-          s"generation $g of $dir carries no commit record while " +
-            s"batch $batchId of '$queryId' replays — a commit crashed " +
-            "between the manifest rename and the record write, and the " +
-            "engine cannot decide whether that commit WAS this batch. " +
-            "Inspect describeHistory(gen=" + g + ") against the batch's " +
-            "rows; then either advance the ledger by hand (it was) or " +
-            "remove the generation's manifest from _graft_history and " +
-            "re-run (it was not)")
-      case _ => ()
+          s"stream ledger of '$queryId' at $dir holds an intent for " +
+            s"batch $ib while batch $batchId replays — the ledger and " +
+            "the query's checkpoint disagree; remove the ledger only " +
+            "after deciding batch " + ib + " via describeHistory")
+      case None =>
+        // no intent: under the intent protocol this batch never
+        // reached the append call. Two pre-intent (ledger-format
+        // migration) windows still resolve here: a LIVE record
+        // carrying this batch's token heals the ledger exactly as
+        // before, and a recordless live generation refuses — some
+        // writer crashed in the rename→record window and the store
+        // needs the same repair generationAsOf demands, so never
+        // stack a commit on top
+        commitInfoAt(fs, dir, g) match {
+          case Some((_, op)) if op == streamOpLabel(queryId, batchId) =>
+            writeStreamLedger(fs, dir, queryId, batchId)
+            return
+          case None if g > 0L =>
+            throw new IllegalStateException(
+              s"generation $g of $dir carries no commit record — a " +
+                "commit crashed between the manifest rename and the " +
+                "record write. Decide it via describeHistory, restore " +
+                "the record (or remove the generation's manifest from " +
+                s"_graft_history), then re-run batch $batchId of " +
+                s"'$queryId'")
+          case _ => ()
+        }
     }
     if (df.isEmpty) {
-      // nothing to commit; the ledger alone advances so the replay
-      // fast path stays exact
+      // nothing to commit; the ledger alone advances (intent cleared)
+      // so the replay fast path stays exact
       writeStreamLedger(fs, dir, queryId, batchId)
       return
     }
+    // write-ahead INTENT before the commit — what makes every crash
+    // window of the commit+ledger pair decidable on replay, including
+    // the FIRST batch (no prior ledger) and the case where concurrent
+    // writers commit between the crash and the replay
+    writeStreamLedger(fs, dir, queryId, ledger.lastBatch.getOrElse(-1L),
+      intent = Some((batchId, g)))
     appendWithManifest(df, dir, keys, mergeSchema,
       operationLabel = streamOpLabel(queryId, batchId))
     writeStreamLedger(fs, dir, queryId, batchId)
@@ -3407,6 +3585,24 @@ object Layout {
         data(DvFileCol) === dv("file") && data(DvIdxCol) === dv("idx"),
         "left_anti")
       .drop(DvFileCol, DvIdxCol)
+  }
+
+  /** The vectorized files whose read tax crossed `minDvRatio`
+    * (`dv_rows / n_rows`) — the OPTIMIZE selection criterion that
+    * lets deletion-vector hotspots self-heal without a manual full
+    * rewrite: at ratio 0 (the default) every vectorized file selects
+    * (the conservative "optimize purges all vectors" contract);
+    * higher ratios rewrite only the files whose per-read anti-join
+    * has grown expensive and leave light vectors in place. */
+  private def heavyDvFiles(manifest: DataFrame, dvMap: Map[String, String],
+                           minDvRatio: Double, verb: String): Set[String] = {
+    require(minDvRatio >= 0.0 && minDvRatio <= 1.0,
+      s"$verb needs minDvRatio in [0, 1], got $minDvRatio")
+    if (dvMap.isEmpty || minDvRatio <= 0.0) dvMap.keySet
+    else manifest.filter(col("dv_path").isNotNull &&
+        coalesce(col("dv_rows"), lit(0L)) >=
+          col("n_rows") * lit(minDvRatio))
+      .select("file").collect().map(_.getString(0)).toSet
   }
 
   /** Loud refusal for a verb that reads or copies raw layout files
@@ -3890,6 +4086,159 @@ object Layout {
       reapUnreferencedDvStores(spark, fs, dir)
     DeleteStats(dropFiles.length, rewriteFiles.length,
       dropFiles.map(_._2).sum + rewriteFiles.map(_._2).sum - newRows)
+  }
+
+  /** Per-file outcome counts of an [[updateWhere]] call. */
+  final case class UpdateStats(filesRewritten: Int, filesUntouched: Int,
+                               rowsUpdated: Long)
+
+  /** SQL `UPDATE … SET … WHERE box ∧ …` over a manifest-carrying
+    * directory — the in-place transform that completes the DML
+    * surface (delete / upsert / UPDATE): rows matching EVERY box get
+    * each `set` column re-evaluated from the OLD row (simultaneous
+    * assignment, SQL UPDATE semantics — one select computes all set
+    * expressions against the pre-update values); every other row and
+    * every disjoint file is untouched. The box classification is
+    * [[scanPruned]]'s skip predicate, so at 100 TB the rewrite cost
+    * is proportional to the files that might hold a match, never the
+    * table — the same pay-for-the-touch contract as [[deleteWhere]],
+    * whose rewrite tail this mirrors exactly (hash-by-source-file
+    * output partitioning keeps surviving key ranges tight,
+    * partition-column routing via partitionBy, delta stats patch,
+    * OCC re-check before the destructive tail, retirement receipts
+    * for the undo path).
+    *
+    * Validation happens BEFORE anything lands: set columns must
+    * exist, must NOT be partition columns (updating one moves rows
+    * across partition directories — express that as
+    * delete + append / upsert instead), set expressions must be
+    * deterministic (an OCC retry re-runs the body) and must preserve
+    * each column's exact type (cast explicitly to change one — a
+    * silent coercion here could corrupt a column store-wide), and
+    * CHECK constraints are proved over the UPDATED rows before the
+    * write. Manifest KEY columns may be updated — the delta stats
+    * recompute for rewritten files, so pruning stays exact; the
+    * clustering quality simply degrades until the depth trigger
+    * fires, like any append. Vectorized files rewrite vector-applied
+    * (the update materializes their deletion vectors away, exactly
+    * like [[deleteWhere]]'s partials). Files whose range overlaps
+    * but where NO row actually matches are left byte-identical (the
+    * probe costs one scan of just those files). */
+  def updateWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  boxes: Seq[PruneBox],
+                  set: Seq[(String, Column)],
+                  verifyCoverage: Boolean = true,
+                  expectedGen: Option[Long] = None): UpdateStats = {
+    require(boxes.nonEmpty, "updateWhere needs at least one key box")
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    require(set.map(_._1).distinct.length == set.length,
+      s"duplicate SET column in ${set.map(_._1).mkString(", ")}")
+    requireEncodingStablePath(dir)
+    val hDir = new org.apache.hadoop.fs.Path(dir)
+    val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireExpectedGen(fs, dir, expectedGen, "updateWhere")
+    val manifest = loadManifest(spark, dir)
+    val mSchema = manifest.schema
+    val keyCols = manifestKeysOf(mSchema)
+    val disjoint = boxes.map(skipExprOf(mSchema, _)).reduce(_ || _)
+    val verdicts = manifest.select(col("file"), disjoint.as("disjoint"),
+        dvPathExprOf(mSchema).as("dv_path"))
+      .collect()
+    val touched = verdicts.filterNot(_.getBoolean(1)).map(_.getString(0))
+    val touchedDv = verdicts
+      .filter(r => !r.getBoolean(1) && !r.isNullAt(2))
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    val stored = storedSchemaOf(spark, dir)
+    lazy val dirFrame = stored.fold(spark.read)(s => spark.read.schema(s))
+      .parquet(dir)
+    if (verifyCoverage)
+      requireManifestCovers(spark, dirFrame,
+        verdicts.map(_.getString(0)).toSet, dir,
+        "their matching rows would dodge the update")
+    if (touched.isEmpty)
+      return UpdateStats(0, verdicts.length, 0L)
+    val pred = boxes.map(residualExprOf(mSchema, _)).reduce(_ && _)
+    val hit = coalesce(pred, lit(false))
+    val src = readFilesOf(spark, dir, touched.toIndexedSeq, stored,
+      dv = touchedDv, srcCol = Some("__graft_src"))
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      src.schema.filterNot(_.name == "__graft_src"))
+    val partCols = hivePartColsChecked(fs, hDir, dataSchema)
+    for ((c, e) <- set) {
+      require(dataSchema.fieldNames.contains(c),
+        s"SET column $c is not a column of $dir " +
+          s"(${dataSchema.fieldNames.mkString(", ")})")
+      require(!partCols.contains(c),
+        s"SET column $c is a partition column — updating it moves " +
+          "rows across partition directories; express that as a " +
+          "delete + append (or upsert) instead")
+      // determinism must be judged on the RESOLVED expression (a
+      // parsed-but-unresolved function defaults to "deterministic");
+      // an OCC retry re-runs the update body, so a nondeterministic
+      // SET would write different values on each attempt
+      require(src.select(e.as("__graft_probe")).queryExecution.analyzed
+          .expressions.forall(_.deterministic),
+        s"SET $c is nondeterministic — an OCC retry re-runs the " +
+          "update body, so every set expression must be deterministic")
+    }
+    // range-overlap is not a match: probe just the touched files and
+    // leave them byte-identical when nothing actually hits
+    val rowsUpdated = src.where(hit).count()
+    if (rowsUpdated == 0L)
+      return UpdateStats(0, verdicts.length, 0L)
+    val setMap = set.toMap
+    // the hit verdict is stamped BEFORE any column transforms: a SET
+    // that touches a box column must not shift rows in or out of the
+    // predicate mid-flight (post-update re-evaluation would skip
+    // exactly the changed rows in the constraint proof below)
+    require(!dataSchema.fieldNames.contains("__graft_hit"),
+      "the layout carries a column named __graft_hit — reserved by " +
+        "the update read path")
+    val marked = src.withColumn("__graft_hit", hit)
+    val updatedCols = dataSchema.fields.map { f =>
+      setMap.get(f.name) match {
+        case Some(e) =>
+          when(col("__graft_hit"), e).otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }
+    val updated = marked.select(
+      updatedCols ++ Seq(col("__graft_src"), col("__graft_hit")): _*)
+    for ((f, g) <- updated.schema.fields.zip(dataSchema.fields))
+      require(f.dataType == g.dataType,
+        s"SET ${f.name} changes the column's type from ${g.dataType} " +
+          s"to ${f.dataType} — cast the expression explicitly if the " +
+          "type really should change (it rewrites only the touched " +
+          "files, leaving a mixed layout)")
+    // CHECK constraints prove over the post-update rows BEFORE the
+    // write — all validation precedes any mutation
+    requireBatchSatisfies(spark, dir,
+      updated.where(col("__graft_hit"))
+        .drop("__graft_src", "__graft_hit"), "updateWhere")
+    val before = dirFrame.inputFiles.toSet
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_graft_update_tmp")
+    val rewritten = updated
+      .repartition(touched.length, col("__graft_src"))
+      .drop("__graft_src", "__graft_hit")
+    val w = rewritten.write.mode("overwrite")
+    if (partCols.isEmpty) w.parquet(tmp.toString)
+    else w.partitionBy(partCols.toIndexedSeq: _*).parquet(tmp.toString)
+    moveTreeInto(fs, tmp, hDir, "updateWhere")
+    fs.delete(tmp, true)
+    val newFiles = spark.read.parquet(dir).inputFiles.toSeq.filterNot(before)
+    val delta = manifestOf(
+        spark.read.option("basePath", dir).parquet(newFiles: _*),
+        keyCols, bloomKeysOf(mSchema))
+      .localCheckpoint(true)
+    // OCC re-check before the destructive tail — see deleteWhere
+    requireExpectedGen(fs, dir, expectedGen, "updateWhere")
+    val receipt = retireOrDeleteAll(fs, dir, touched.toSeq, "updateWhere")
+    patchManifest(spark, dir, manifest, keyCols, touched.toSeq,
+      Some(delta), "updateWhere", expectedGen, receipt)
+    if (!generationsEnabled(fs, dir) && touchedDv.nonEmpty)
+      reapUnreferencedDvStores(spark, fs, dir)
+    UpdateStats(touched.length, verdicts.length - touched.length,
+      rowsUpdated)
   }
 
   /** Per-file outcome counts of an [[upsertByKey]] call.
@@ -4878,7 +5227,8 @@ object Layout {
                         maxDepth: Long = 4L, minFileRows: Long = 0L,
                         force: Boolean = false,
                         verifyCoverage: Boolean = true,
-                        expectedGen: Option[Long] = None): OptimizeStats = {
+                        expectedGen: Option[Long] = None,
+                        minDvRatio: Double = 0.0): OptimizeStats = {
     require(targetRows >= 1, "optimizeSelective needs targetRows >= 1")
     requireEncodingStablePath(dir)
     val hDir = new org.apache.hadoop.fs.Path(dir)
@@ -4890,22 +5240,27 @@ object Layout {
     val keys = manifestKeysOf(mSchema)
     val worst = keys.map(worstDepthOf(manifest, _)).max
     val before = spark.read.parquet(dir).inputFiles.toSet
-    // vectorized files are ALWAYS selected (and count as a trigger):
-    // rewriting them — vector applied — is the PURGE that clears the
-    // read-side anti-join tax, at file-subset granularity
+    // vectorized files whose read tax crossed minDvRatio select (and
+    // count as a trigger): rewriting them — vector applied — is the
+    // PURGE that clears the read-side anti-join tax, at file-subset
+    // granularity; lightly-vectorized files keep their cheap
+    // anti-join until the ratio trips, so hotspots self-heal without
+    // churning the whole vectorized tail
     val dvMap = dvMapOf(manifest, before)
-    if (!force && worst < maxDepth && dvMap.isEmpty)
+    val heavyDv = heavyDvFiles(manifest, dvMap, minDvRatio,
+      "optimizeSelective")
+    if (!force && worst < maxDepth && heavyDv.isEmpty)
       return OptimizeStats(reclustered = false, before.size, before.size,
         worst, filesKept = before.size)
     // the rewrite set: union of every key's deep-boundary files plus
-    // the small-file tail plus the vectorized tail — manifest-sized
-    // driver work, like every other verb's planning
+    // the small-file tail plus the heavy-vectorized tail —
+    // manifest-sized driver work, like every other verb's planning
     val deep = keys.flatMap(deepFilesOf(manifest, _, maxDepth)).toSet
     val small =
       if (minFileRows <= 0L) Set.empty[String]
       else manifest.filter(col("n_rows") < minFileRows)
         .select("file").collect().map(_.getString(0)).toSet
-    val selected = (deep ++ small ++ dvMap.keySet).toSeq.sorted
+    val selected = (deep ++ small ++ heavyDv).toSeq.sorted
     if (selected.isEmpty)
       return OptimizeStats(reclustered = false, before.size, before.size,
         worst, filesKept = before.size)
@@ -5183,7 +5538,8 @@ object Layout {
                                    maxDepth: Long = 4L,
                                    minFileRows: Long = 0L,
                                    verifyCoverage: Boolean = true,
-                                   expectedGen: Option[Long] = None)
+                                   expectedGen: Option[Long] = None,
+                                   minDvRatio: Double = 0.0)
       : OptimizeStats = {
     require(targetRows >= 1,
       "optimizePartitionedSelective needs targetRows >= 1")
@@ -5217,12 +5573,14 @@ object Layout {
       if (minFileRows <= 0L) Set.empty[String]
       else manifest.filter(col("n_rows") < minFileRows)
         .select("file").collect().map(_.getString(0)).toSet
-    // vectorized files are always selected: their leaf-local rewrite
-    // (vector applied) is the PURGE, at the same file-subset
+    // vectorized files past minDvRatio select: their leaf-local
+    // rewrite (vector applied) is the PURGE, at the same file-subset
     // granularity — a hot leaf's GDPR vectors clear without touching
-    // its cold files or any other leaf
+    // its cold files, lightly-vectorized ones, or any other leaf
     val dvMap = dvMapOf(manifest, before)
-    val selected = deep ++ small ++ dvMap.keySet
+    val selected = deep ++ small ++
+      heavyDvFiles(manifest, dvMap, minDvRatio,
+        "optimizePartitionedSelective")
     if (selected.isEmpty)
       return OptimizeStats(reclustered = false, before.size, before.size,
         worst, filesKept = before.size)

@@ -42,7 +42,12 @@ object GraftCountFromManifest extends Rule[LogicalPlan] {
     * options. */
   private def markerOf(r: DataSourceV2Relation): Option[(String, Long)] =
     r.table match {
-      case pt: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable =>
+      case pt: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+          // a pruned relation's file list no longer equals the
+          // manifest's, and a DV relation is substituted at analysis —
+          // neither may answer a count from the manifest
+          if !"true".equalsIgnoreCase(pt.options.get("graft.pruned")) &&
+            !"true".equalsIgnoreCase(pt.options.get("graft.layout.dv")) =>
         for {
           dir <- Option(pt.options.get("graft.layout.dir"))
           gen <- Option(pt.options.get("graft.layout.gen"))

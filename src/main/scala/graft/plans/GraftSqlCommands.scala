@@ -18,15 +18,17 @@ import graft.ext.Layout
   * {{{
   *   GRAFT DESCRIBE HISTORY '<dir>'
   *   GRAFT DESCRIBE DETAIL '<dir>'
-  *   GRAFT OPTIMIZE '<dir>' TARGET <n> ROWS
+  *   GRAFT OPTIMIZE '<dir>' TARGET <n> ROWS [DV RATIO <x>]
   *   GRAFT VACUUM '<dir>' RETAIN <n> [FORCE]
   *   GRAFT SHOW PINS '<dir>'
   *   GRAFT RESTORE '<dir>' VERSION AS OF <n>
   *   GRAFT CREATE '<dir>' KEYS (k, …) [GENERATIONS] AS <query>
   *   GRAFT APPEND INTO '<dir>' [MERGE SCHEMA] AS <query>
   *   GRAFT UPSERT INTO '<dir>' KEYS (k, …) AS <query>
-  *   GRAFT DELETE FROM '<dir>' WHERE <key> BETWEEN <lo> AND <hi>
+  *   GRAFT UPDATE '<dir>' SET c = <expr>[, …] WHERE <pred> [AND <pred> …]
+  *   GRAFT DELETE FROM '<dir>' WHERE <pred> [AND <pred> …]
   *                    [USING VECTORS]
+  *     pred: <key> BETWEEN <lo> AND <hi>  |  <key> IN (<n>, …)
   *   GRAFT ALTER '<dir>' ADD CONSTRAINT <name> CHECK (<expr>)
   *   GRAFT ALTER '<dir>' DROP CONSTRAINT <name>
   *   GRAFT SHOW CONSTRAINTS '<dir>'
@@ -97,7 +99,7 @@ object GraftSqlCommands {
   private val DescribeDetailRe =
     """(?is)\s*GRAFT\s+DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
   private val OptimizeRe =
-    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+TARGET\s+(\d+)\s+ROWS\s*;?\s*""".r
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+TARGET\s+(\d+)\s+ROWS(?:\s+DV\s+RATIO\s+([0-9]*\.?[0-9]+))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)(\s+FORCE)?\s*;?\s*""".r
   private val RestoreRe =
@@ -108,10 +110,24 @@ object GraftSqlCommands {
     """(?is)\s*GRAFT\s+APPEND\s+INTO\s+'([^']+)'(\s+MERGE\s+SCHEMA)?\s+AS\s+(.+?)\s*;?\s*""".r
   private val UpsertRe =
     """(?is)\s*GRAFT\s+UPSERT\s+INTO\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+AS\s+(.+?)\s*;?\s*""".r
-  private val DeleteNumRe =
-    """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)(\s+USING\s+VECTORS)?\s*;?\s*""".r
-  private val DeleteStrRe =
-    """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+'([^']*)'\s+AND\s+'([^']*)'(\s+USING\s+VECTORS)?\s*;?\s*""".r
+  private val DeleteRe =
+    """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)(\s+USING\s+VECTORS)?\s*;?\s*""".r
+  // the WHERE tail parses as a CONJUNCTION of key predicates —
+  // consumed front-to-back with anchored forms (a naive split on
+  // AND would cut BETWEEN's own AND in half). Literal form picks the
+  // box: bare numbers → KeyBox, quoted strings → TypedKeyBox (date /
+  // timestamp / string stats), IN (…) → KeySetBox (point-lookup
+  // pruning through the manifest blooms).
+  private val PredNumRe =
+    """(?is)^(\w+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)\b(.*)""".r
+  private val PredStrRe =
+    """(?is)^(\w+)\s+BETWEEN\s+'([^']*)'\s+AND\s+'([^']*)'(.*)""".r
+  private val PredInRe =
+    """(?is)^(\w+)\s+IN\s*\(\s*(-?\d+(?:\s*,\s*-?\d+)*)\s*\)(.*)""".r
+  private val AndTailRe = """(?is)^\s+AND\s+(.+)""".r
+  private val UpdateRe =
+    """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val AssignRe = """(?is)^(\w+)\s*=\s*(.+)$""".r
   private val AddConstraintRe =
     """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+([\w-]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
   private val DropConstraintRe =
@@ -146,7 +162,11 @@ object GraftSqlCommands {
         val df = Layout.describeLayout(session, dir)
         Some(GraftVerbCommand(DataTypeUtils.toAttributes(df.schema),
           _ => df.collect().toIndexedSeq))
-      case OptimizeRe(dir, target) =>
+      case OptimizeRe(dir, target, dvRatio) =>
+        // DV RATIO <x> raises the deletion-vector compaction trigger:
+        // only files whose dv_rows/n_rows crossed x rewrite (the
+        // read-tax hotspots); without it every vectorized file purges
+        val ratio = if (dvRatio == null) 0.0 else dvRatio.toDouble
         Some(GraftVerbCommand(
           attrsOf("reclustered" -> BooleanType, "files_before" -> IntegerType,
             "files_after" -> IntegerType, "worst_depth_before" -> LongType,
@@ -154,8 +174,10 @@ object GraftSqlCommands {
           s => {
             val st =
               if (Layout.isHivePartitioned(s, dir))
-                Layout.optimizePartitionedSelective(s, dir, target.toLong)
-              else Layout.optimizeSelective(s, dir, target.toLong)
+                Layout.optimizePartitionedSelective(s, dir, target.toLong,
+                  minDvRatio = ratio)
+              else Layout.optimizeSelective(s, dir, target.toLong,
+                minDvRatio = ratio)
             Seq(Row(st.reclustered, st.filesBefore, st.filesAfter,
               st.worstDepthBefore, st.filesKept))
           }))
@@ -239,12 +261,29 @@ object GraftSqlCommands {
             Seq(Row(st.filesRewritten, st.filesUntouched, st.rowsReplaced,
               st.rowsUpserted))
           }))
-      case DeleteNumRe(dir, keyCol, lo, hi, vect) =>
-        Some(deleteCommand(dir,
-          Layout.KeyBox(keyCol, lo.toLong, hi.toLong), vect != null))
-      case DeleteStrRe(dir, keyCol, lo, hi, vect) =>
-        Some(deleteCommand(dir, Layout.TypedKeyBox(keyCol, lo, hi),
-          vect != null))
+      case UpdateRe(dir, setPart, whereTail) =>
+        // SET expressions parse through SPARK'S OWN expression parser
+        // (same discipline as the AS-tails — the dialect never grows
+        // an expression grammar); assignments split on TOP-LEVEL
+        // commas only, so `SET a = f(x, y), b = 2` parses whole
+        val assignments = splitTopLevel(setPart).map {
+          case AssignRe(c, exprText) =>
+            c -> org.apache.spark.sql.GraftColumnBridge.column(
+              delegate.parseExpression(exprText))
+          case other => throw new IllegalArgumentException(
+            s"cannot parse GRAFT UPDATE assignment '$other' — each " +
+              "must be <column> = <expression>")
+        }
+        val boxes = parseBoxes(whereTail)
+        Some(GraftVerbCommand(
+          attrsOf("files_rewritten" -> IntegerType,
+            "files_untouched" -> IntegerType, "rows_updated" -> LongType),
+          s => {
+            val st = Layout.updateWhere(s, dir, boxes, assignments)
+            Seq(Row(st.filesRewritten, st.filesUntouched, st.rowsUpdated))
+          }))
+      case DeleteRe(dir, whereTail, vect) =>
+        Some(deleteCommand(dir, parseBoxes(whereTail), vect != null))
       case AddConstraintRe(dir, name, exprText) =>
         Some(GraftVerbCommand(
           attrsOf("constraints" -> IntegerType),
@@ -278,36 +317,96 @@ object GraftSqlCommands {
         throw new IllegalArgumentException(
           s"unrecognized GRAFT statement: $sqlText — supported forms: " +
             "GRAFT DESCRIBE HISTORY '<dir>' | GRAFT DESCRIBE DETAIL " +
-            "'<dir>' | GRAFT OPTIMIZE '<dir>' TARGET <n> ROWS | GRAFT " +
+            "'<dir>' | GRAFT OPTIMIZE '<dir>' TARGET <n> ROWS " +
+            "[DV RATIO <x>] | GRAFT " +
             "VACUUM '<dir>' RETAIN <n> [FORCE] | GRAFT SHOW PINS " +
             "'<dir>' | GRAFT RESTORE '<dir>' " +
             "VERSION AS OF <n> | GRAFT CREATE '<dir>' KEYS (k, …) " +
             "[GENERATIONS] AS <query> | GRAFT APPEND INTO '<dir>' " +
             "[MERGE SCHEMA] AS " +
             "<query> | GRAFT UPSERT INTO '<dir>' KEYS (k, …) AS " +
-            "<query> | GRAFT DELETE FROM '<dir>' WHERE <key> BETWEEN " +
-            "<lo> AND <hi> [USING VECTORS] | GRAFT ALTER '<dir>' ADD " +
+            "<query> | GRAFT UPDATE '<dir>' SET c = <expr>, … WHERE " +
+            "<pred> [AND <pred> …] | GRAFT DELETE FROM '<dir>' WHERE " +
+            "<pred> [AND <pred> …] [USING VECTORS] (pred: <key> " +
+            "BETWEEN <lo> AND <hi> | <key> IN (<n>, …)) | GRAFT ALTER " +
+            "'<dir>' ADD " +
             "CONSTRAINT <name> CHECK (<expr>) | GRAFT ALTER '<dir>' " +
             "DROP CONSTRAINT <name> | GRAFT SHOW CONSTRAINTS '<dir>' | " +
             "GRAFT SHOW STREAMS '<dir>'")
       case _ => None
     }
 
-  private def deleteCommand(dir: String, box: Layout.PruneBox,
-                            vectors: Boolean): LogicalPlan =
-    GraftVerbCommand(
-      attrsOf("files_dropped" -> IntegerType,
-        "files_rewritten" -> IntegerType, "rows_deleted" -> LongType),
-      s => {
-        // USING VECTORS dispatches to the merge-on-read verb: partial
-        // files take a deletion vector instead of a rewrite (the
-        // files_rewritten column reports the vectorized count there)
-        if (vectors) {
-          val st = Layout.deleteWhereDv(s, dir, Seq(box))
-          Seq(Row(st.filesDropped, st.filesVectorized, st.rowsDeleted))
-        } else {
-          val st = Layout.deleteWhere(s, dir, Seq(box))
-          Seq(Row(st.filesDropped, st.filesRewritten, st.rowsDeleted))
+  /** Split on commas at paren depth zero outside string literals —
+    * what lets a SET list carry function calls and quoted strings. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new StringBuilder
+    var depth = 0
+    var inStr = false
+    for (ch <- s) ch match {
+      case '\'' => inStr = !inStr; sb += ch
+      case '(' if !inStr => depth += 1; sb += ch
+      case ')' if !inStr => depth -= 1; sb += ch
+      case ',' if !inStr && depth == 0 => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Parse a WHERE conjunction into prune boxes, front to back. */
+  private[plans] def parseBoxes(whereTail: String): Seq[Layout.PruneBox] = {
+    val boxes = scala.collection.mutable.ArrayBuffer[Layout.PruneBox]()
+    var rest = whereTail.trim
+    var done = false
+    while (!done) {
+      val after = rest match {
+        case PredNumRe(k, lo, hi, tail) =>
+          boxes += Layout.KeyBox(k, lo.toLong, hi.toLong); tail
+        case PredStrRe(k, lo, hi, tail) =>
+          boxes += Layout.TypedKeyBox(k, lo, hi); tail
+        case PredInRe(k, vs, tail) =>
+          boxes += Layout.KeySetBox(k,
+            vs.split(',').map(_.trim.toLong).toSeq); tail
+        case _ => throw new IllegalArgumentException(
+          s"cannot parse GRAFT DELETE predicate at '$rest' — each " +
+            "conjunct must be <key> BETWEEN <lo> AND <hi> (numeric or " +
+            "quoted) or <key> IN (<n>, …), joined with AND")
+      }
+      after.trim match {
+        case "" => done = true
+        case _ => after match {
+          case AndTailRe(next) => rest = next.trim
+          case _ => throw new IllegalArgumentException(
+            s"trailing text after a GRAFT DELETE predicate: '${after.trim}'" +
+              " — conjuncts join with AND")
         }
-      })
+      }
+    }
+    boxes.toSeq
+  }
+
+  private def deleteCommand(dir: String, boxes: Seq[Layout.PruneBox],
+                            vectors: Boolean): LogicalPlan =
+    // USING VECTORS dispatches to the merge-on-read verb, and its
+    // output schema says so: partial files take a deletion VECTOR
+    // instead of a rewrite, so the column is files_vectorized — a
+    // SQL consumer reading the schema can tell which mode ran
+    // instead of misreading vectorized files as rewritten ones
+    if (vectors)
+      GraftVerbCommand(
+        attrsOf("files_dropped" -> IntegerType,
+          "files_vectorized" -> IntegerType, "rows_deleted" -> LongType),
+        s => {
+          val st = Layout.deleteWhereDv(s, dir, boxes)
+          Seq(Row(st.filesDropped, st.filesVectorized, st.rowsDeleted))
+        })
+    else
+      GraftVerbCommand(
+        attrsOf("files_dropped" -> IntegerType,
+          "files_rewritten" -> IntegerType, "rows_deleted" -> LongType),
+        s => {
+          val st = Layout.deleteWhere(s, dir, boxes)
+          Seq(Row(st.filesDropped, st.filesRewritten, st.rowsDeleted))
+        })
 }

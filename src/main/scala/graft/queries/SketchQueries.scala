@@ -208,6 +208,23 @@ object SketchQueries {
     * byte-identical). The build REQUIRES at least one vectorized file
     * and zero rewrites, so every gate over it genuinely exercises the
     * vector read path, not a degenerate all-covered drop. */
+  /** 8-file doc_id-range-clustered, generation-tracked documents
+    * layout — the [[q_layout_reader_prune]] fixture (pruning needs a
+    * TRACKED manifest: an untracked one mutates in place under the
+    * relation, so the rule leaves it alone). */
+  private def readerPruneDocs(s: SparkSession, d: String): String =
+    prunedFixture.computeIfAbsent(s"$d#docs_rprune", _ => {
+      val p = graft.Scratch.tempDir("graft_rprune_") + "/documents"
+      t(s, d, "documents").select("doc_id", "lang", "n_chars")
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(p)
+      Layout.buildFileManifest(s, p, Seq("doc_id"))
+        .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+      Layout.enableGenerations(s, p)
+      p
+    })
+
   private def dvDocs(s: SparkSession, d: String): String =
     prunedFixture.computeIfAbsent(s"$d#docs_dv", _ => {
       val p = graft.Scratch.tempDir("graft_dv_") + "/documents"
@@ -2280,6 +2297,126 @@ object SketchQueries {
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // The DSL-native exactly-once sink —
+    // `writeStream.format("graft")` ([[graft.sources.GraftStreamSink]]):
+    // the SAME ledger/commit-token/intent protocol as streamAppend
+    // with zero foreachBatch plumbing, making source and sink
+    // symmetric DSL surfaces over the generation store. The fixture
+    // streams half the corpus in across a stop/restart (the restart
+    // re-delivers the last batch — absorbed), then the gate
+    // hash-proves the reassembled table.
+    QueryDef("q_layout_sink_dsl",
+      (s, d) => {
+        val dir = prunedFixture.computeIfAbsent(s"$d#docs_sink_dsl", _ => {
+          val root = graft.Scratch.tempDir("graft_sinkdsl_")
+          val p = root + "/documents"
+          val in = root + "/ingest"
+          val ckpt = root + "/ckpt"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          val total = docs.count()
+          docs.filter(col("doc_id") >= 250L)
+            .repartitionByRange(4, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          Layout.enableGenerations(s, p)
+          val schema = org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id BIGINT, lang STRING, n_chars BIGINT")
+          def run() = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(in)
+            .writeStream.format("graft")
+            .option("checkpointLocation", ckpt)
+            .option("queryId", "gate-sink-dsl")
+            .start(p)
+          docs.filter(col("doc_id") < 120L)
+            .select(col("doc_id").cast("long"), col("lang"),
+              col("n_chars").cast("long"))
+            .coalesce(1).write.mode("append").parquet(in)
+          val q1 = run()
+          q1.processAllAvailable(); q1.stop()
+          docs.filter(col("doc_id") >= 120L && col("doc_id") < 250L)
+            .select(col("doc_id").cast("long"), col("lang"),
+              col("n_chars").cast("long"))
+            .coalesce(1).write.mode("append").parquet(in)
+          val q2 = run()
+          q2.processAllAvailable(); q2.stop()
+          val landed = s.read.parquet(p).count()
+          val commits = Layout.describeHistory(s, p)
+            .filter(col("operation").startsWith("streamAppend:")).count()
+          require(landed == total && commits == 2L,
+            s"degenerate DSL-sink fixture: $landed/$total rows, " +
+              s"$commits stream commits")
+          p
+        })
+        Layout.readLayout(s, dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // SQL UPDATE — [[Layout.updateWhere]] through the GRAFT dialect:
+    // in-place transform of exactly the box-matching rows, file-
+    // subset rewrite cost, simultaneous assignment off the OLD row.
+    // The second statement updates the MANIFEST KEY itself (doc_id),
+    // proving the delta stats recompute keeps pruning exact (the
+    // countWhere probe below answers over the moved band from
+    // metadata+residual). Oracle: DuckDB recomputes both updates as
+    // CASE projections over the unmutated table.
+    QueryDef("q_layout_sql_update",
+      (s, d) => {
+        val dir = prunedFixture.computeIfAbsent(s"$d#docs_sqlupd", _ => {
+          val p = graft.Scratch.tempDir("graft_sqlupd_") + "/documents"
+          t(s, d, "documents").select("doc_id", "lang", "n_chars")
+            .repartitionByRange(4, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          Layout.enableGenerations(s, p)
+          val st1 = s.sql(s"GRAFT UPDATE '$p' SET n_chars = " +
+            "n_chars + 1000, lang = upper(lang) " +
+            "WHERE doc_id BETWEEN 100 AND 199").collect()(0)
+          require(st1.getAs[Long]("rows_updated") == 100L &&
+              st1.getAs[Int]("files_untouched") >= 1,
+            s"degenerate UPDATE fixture (file-subset contract): $st1")
+          val st2 = s.sql(s"GRAFT UPDATE '$p' SET doc_id = " +
+            "doc_id + 10000 WHERE doc_id BETWEEN 0 AND 49").collect()(0)
+          require(st2.getAs[Long]("rows_updated") == 50L, s"$st2")
+          require(Layout.countWhere(s, p,
+              Seq(Layout.KeyBox("doc_id", 10000L, 10049L))) == 50L,
+            "key-column update must keep metadata counts exact")
+          p
+        })
+        Layout.readLayout(s, dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH u1 AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id BETWEEN 100 AND 199
+             |         THEN upper(lang) ELSE lang END AS lang,
+             |    CASE WHEN doc_id BETWEEN 100 AND 199
+             |         THEN n_chars + 1000 ELSE n_chars END AS n_chars
+             |  FROM documents),
+             |u2 AS (
+             |  SELECT CASE WHEN doc_id BETWEEN 0 AND 49
+             |              THEN doc_id + 10000 ELSE doc_id END AS doc_id,
+             |    lang, n_chars FROM u1)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM u2 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // CHECK constraints — Delta's table constraints as sidecar +
     // writer enforcement: the fixture adds two named boolean
     // expressions (add-time validated against the EXISTING rows),
@@ -2430,6 +2567,82 @@ object SketchQueries {
              |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
+
+    // Merge-on-read THROUGH the V2 reader — the reader-surface
+    // closure: the same vectorized fixture as q_layout_dv read via
+    // `format("graft")` with no Scala verb in the query path.
+    // [[graft.plans.GraftDvReadRewrite]] swaps the relation for the
+    // readSnapshot plan at analysis (anti-join of the referenced
+    // stores), so the SQL/DataFrame surface keeps working the moment
+    // a table takes its first deletion vector; versionAsOf 0 must
+    // still serve the pre-delete world (answered from the manifest —
+    // the count rule composes). Oracle: the identical filtered
+    // aggregate q_layout_dv proves, recomputed by DuckDB.
+    QueryDef("q_layout_dv_reader",
+      (s, d) => {
+        val dir = dvDocs(s, d)
+        require(s.read.format("graft").option("versionAsOf", "0")
+            .load(dir).count() == 500L,
+          "versionAsOf 0 must read the pre-delete generation")
+        s.read.format("graft").load(dir)
+          .where(col("doc_id").between(50, 400))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH live AS (
+             |  SELECT * FROM documents
+             |  WHERE doc_id NOT BETWEEN 100 AND 199),
+             |pruned AS (
+             |  SELECT * FROM live WHERE doc_id BETWEEN 50 AND 400)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM pruned GROUP BY 1 ORDER BY 1""".stripMargin),
+      bench = true),
+
+    // Data skipping THROUGH the V2 reader —
+    // [[graft.plans.GraftManifestPrune]]: a WHERE over the manifest
+    // key shrinks the relation's FILE LIST before any file opens
+    // (asserted on the planned V2 scan below), while the query's own
+    // filter stays as the residual — pruned ≡ full scan by the
+    // scanPruned construction, hash-proved against the DuckDB
+    // recompute. At 100 TB this is the reader's biggest lever: the
+    // most common query shape (`WHERE key BETWEEN …` through plain
+    // SQL) opens the overlapping files, not the table.
+    QueryDef("q_layout_reader_prune",
+      (s, d) => {
+        val dir = readerPruneDocs(s, d)
+        def v2Files(df: org.apache.spark.sql.DataFrame): Int =
+          df.queryExecution.optimizedPlan.collect {
+            case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+              r.scan match {
+                case fsc: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+                  fsc.fileIndex.inputFiles.length
+                case _ => 0
+              }
+          }.sum
+        val total = v2Files(s.read.format("graft").load(dir))
+        val df = s.read.format("graft").load(dir)
+          .where(col("doc_id").between(120, 180))
+        val survivors = v2Files(df)
+        require(total == 8 && survivors >= 1 && survivors <= 3,
+          s"manifest pruning must shrink the V2 file list: " +
+            s"$survivors of $total")
+        df.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM documents WHERE doc_id BETWEEN 120 AND 180
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
       bench = true),
 
     // TIMESTAMP AS OF — [[Layout.readSnapshotAsOf]] resolves a

@@ -30,6 +30,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * unchanged. Registered via `META-INF/services`, hence
   * `format("graft")` by short name.
   *
+  * FULL-FIDELITY under the graft extensions (installed by
+  * [[graft.GraftSession]] `tuned` / `withExtensions(new
+  * GraftExtensions)`): a generation carrying DELETION VECTORS is
+  * replaced at analysis with the readSnapshot plan
+  * ([[graft.plans.GraftDvReadRewrite]] — merge-on-read through plain
+  * SQL), and a WHERE over a manifest key PRUNES the relation's file
+  * list with the generation's min/max/bloom stats before any file
+  * opens ([[graft.plans.GraftManifestPrune]] — scanPruned's data
+  * skipping, SQL-reachable). A session WITHOUT the extensions
+  * refuses DV snapshots loudly (a raw pass-through would resurrect
+  * deleted rows) and simply reads unpruned.
+  *
   * Reads with ZERO options serve the CURRENT manifest's file list —
   * a manifest-covered read (out-of-band debris files are invisible,
   * matching [[graft.ext.Layout.readLayout]]), which is already a
@@ -49,7 +61,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * serving its resolved file list; re-run `load()` to re-resolve.
   * Timestamps accept epoch millis or `yyyy-MM-dd HH:mm:ss[.f]`. */
 class GraftSource extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
   import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
   import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 
@@ -87,11 +100,20 @@ class GraftSource extends TableProvider with DataSourceRegister
         graft.ext.Layout.generationAsOf(spark, dir, parseTs(t))))
       .getOrElse(graft.ext.Layout.currentGeneration(spark, dir))
     // a V2 file relation serves raw file bytes — it cannot apply
-    // deletion vectors, and silently skipping them would resurrect
-    // deleted rows. Refuse by name; the Scala verbs apply them
-    require(!graft.ext.Layout.snapshotHasDv(spark, dir, gen),
-      s"generation $gen of $dir carries deletion vectors, which the " +
-        "graft V2 reader cannot apply — read it with " +
+    // deletion vectors itself. A DV-bearing generation is instead
+    // REPLACED at analysis time by [[graft.plans.GraftDvReadRewrite]]
+    // with the readSnapshot plan; that rule rides the session
+    // extensions, so a session WITHOUT them must refuse here — a raw
+    // pass-through would silently resurrect deleted rows. (The
+    // parser probe stands in for "GraftExtensions installed": both
+    // come from the same injection.)
+    val hasDv = graft.ext.Layout.snapshotHasDv(spark, dir, gen)
+    require(!hasDv ||
+        spark.sessionState.sqlParser.isInstanceOf[graft.plans.GraftSqlParser],
+      s"generation $gen of $dir carries deletion vectors, and this " +
+        "session lacks the graft extensions that apply them — build " +
+        "the session with GraftSession.tuned (or " +
+        ".withExtensions(new GraftExtensions)), or read it with " +
         "Layout.readSnapshot / Layout.scanPruned, or materialize the " +
         "vectors (optimize / optimizeSelective) first")
     val pairs = graft.ext.Layout.snapshotFileAnchors(spark, dir, gen)
@@ -106,11 +128,14 @@ class GraftSource extends TableProvider with DataSourceRegister
       if (k != "path" && k != "versionasof" && k != "timestampasof")
         passthrough.put(e.getKey, e.getValue)
     }
-    // marker for [[graft.plans.GraftCountFromManifest]]: the relation
-    // knows which layout generation it serves, so a bare COUNT(*) can
-    // answer from the manifest (parquet ignores unknown options)
+    // markers for the plan rewrites ([[graft.plans]]): the relation
+    // knows which layout generation it serves — a bare COUNT(*) can
+    // answer from the manifest, a Filter above it can prune the file
+    // list, and a DV flag routes the relation through the snapshot
+    // plan (parquet ignores unknown options)
     passthrough.put("graft.layout.dir", dir)
     passthrough.put("graft.layout.gen", gen.toString)
+    if (hasDv) passthrough.put("graft.layout.dv", "true")
     if (graft.ext.Layout.isHivePartitioned(spark, dir)) {
       // partition columns re-derive from ONE basePath; live and
       // retired files anchor at different roots, so a mixed snapshot
@@ -208,6 +233,65 @@ class GraftSource extends TableProvider with DataSourceRegister
       metadataPath, feedSchema(sqlContext.sparkSession, p),
       typedKeysOf(p))
   }
+
+  // ───────── streaming: the exactly-once sink, DSL-native ─────────
+  //
+  // `df.writeStream.format("graft").option("queryId", …).start(dir)`
+  // is [[graft.ext.Layout.streamAppend]] with zero foreachBatch
+  // plumbing: same ledger, same commit-record token, same
+  // write-ahead intent — source AND sink are now symmetric DSL
+  // surfaces over the generation store. The layout must already
+  // exist with a stored manifest and generation tracking (the same
+  // preconditions the verb enforces loudly), and its STORED keys
+  // govern the new files' stats — the writer never re-states them,
+  // exactly the GRAFT APPEND discipline. `queryId` names the ledger
+  // a restart consults; it defaults to the query's
+  // checkpointLocation, which is precisely as stable as the restart
+  // contract itself. Append-only by construction (a lakehouse append
+  // sink has no complete/update semantics) and partitionBy-free (the
+  // layout's own partitioning routes rows).
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val p = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(parameters)
+    val dir = p.getOrElse("path", throw new IllegalArgumentException(
+      "the graft sink needs a layout path: " +
+        ".writeStream.format(\"graft\").start(dir)"))
+    require(partitionColumns.isEmpty,
+      "the graft sink routes partitioning from the layout itself — " +
+        "drop partitionBy(...)")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"the graft sink is append-only (exactly-once streamAppend); " +
+        s"got $outputMode")
+    val queryId = p.get("queryId")
+      .orElse(p.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "the graft sink needs a stable query identity for its " +
+          "ledger: .option(\"queryId\", …) or a checkpointLocation"))
+    new GraftStreamSink(dir, queryId,
+      p.get("mergeSchema").exists(_.equalsIgnoreCase("true")))
+  }
+}
+
+/** The V1 micro-batch sink behind `writeStream.format("graft")` —
+  * see the provider doc on [[GraftSource]]. `addBatch` IS
+  * [[graft.ext.Layout.streamAppend]] (one implementation of the
+  * exactly-once protocol), over the batch rewrapped off the
+  * incremental execution. */
+private[sources] class GraftStreamSink(dir: String, queryId: String,
+                                       mergeSchema: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long,
+                        data: org.apache.spark.sql.DataFrame): Unit = {
+    val spark = data.sparkSession
+    val batch = org.apache.spark.sql.GraftColumnBridge.batchFrameOf(data)
+    graft.ext.Layout.streamAppend(dir,
+      graft.ext.Layout.storedKeys(spark, dir), queryId, mergeSchema)(
+      batch, batchId)
+  }
+  override def toString: String = s"GraftSink[$dir]"
 }
 
 /** The V1 micro-batch source behind `readStream.format("graft")` —

@@ -23,6 +23,19 @@ object GraftColumnBridge {
       .internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
         isStreaming = true)
 
+  /** The inverse of [[streamingFrameOf]]: rewrap the frame a V1
+    * streaming `Sink.addBatch` receives — wired to the incremental
+    * execution, `isStreaming = true` — as a plain BATCH frame over
+    * the SAME physical plan, so batch-side verbs (writes, isEmpty)
+    * can run it without tripping the start()-required analysis
+    * check. Each action re-executes the micro-batch's RDD lineage;
+    * streaming sources serve a batch's data stably, so this is the
+    * same re-execution contract `foreachBatch` has. */
+  def batchFrameOf(df: DataFrame): DataFrame =
+    df.sparkSession.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+        isStreaming = false)
+
   /** Materialize a DataFrame over an already-parsed logical plan —
     * what a parser-extension command needs to run the `AS <query>`
     * tail of a GRAFT write statement (`Dataset.ofRows` is

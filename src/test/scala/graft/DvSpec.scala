@@ -438,7 +438,88 @@ class DvSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
-  test("guards: rebuild, compact, and the V2 reader refuse on vectorized layouts") {
+  test("updateWhere on a vectorized layout applies and materializes the vector") {
+    withTempDir("graft_dv_upd_") { dir =>
+      val d = s"$dir/t"
+      mkLayout(d)
+      Layout.deleteWhereDv(spark, d, Seq(Layout.KeyBox("k", 100L, 119L)))
+      // update a band inside the vectorized file: deleted rows must
+      // NOT resurrect (the rewrite reads vector-applied), matching
+      // live rows transform, the vector materializes away
+      val st = Layout.updateWhere(spark, d,
+        Seq(Layout.KeyBox("k", 90L, 129L)), Seq("v" -> lit(-1L)))
+      assert(st.rowsUpdated == 20L, s"20 live rows in [90,129]: $st")
+      val live = got(Layout.readLayout(spark, d))
+      val wantRows = (0L until 1000L)
+        .filterNot(k => k >= 100L && k <= 119L)
+        .map(k => (k, k % 7, if (k >= 90L && k <= 129L) -1L else k * 2))
+      assert(live == wantRows, "update must transform exactly the live band")
+      // the touched file rewrote vector-applied: no dv rows remain
+      assert(Layout.loadManifest(spark, d)
+        .agg(coalesce(sum("dv_rows"), lit(0L))).as[Long].head() == 0L)
+      // probe-only fast path: a box overlapping file RANGES whose
+      // rows are all deleted updates nothing and rewrites nothing
+      Layout.deleteWhereDv(spark, d, Seq(Layout.KeyBox("k", 200L, 209L)))
+      val names = spark.read.parquet(d).inputFiles.toSet
+      val st2 = Layout.updateWhere(spark, d,
+        Seq(Layout.KeyBox("k", 200L, 209L)), Seq("v" -> lit(0L)))
+      assert(st2.rowsUpdated == 0L && st2.filesRewritten == 0, s"$st2")
+      assert(spark.read.parquet(d).inputFiles.toSet == names,
+        "a no-match probe must leave every file byte-identical")
+    }
+  }
+
+  test("minDvRatio: only read-tax hotspots rewrite; light vectors stay in place") {
+    withTempDir("graft_dv_ratio_") { dir =>
+      val d = s"$dir/t"
+      mkLayout(d)
+      // heavy vector on the first range file (~100/125 = 0.8), a
+      // light one on the second (~5/125 = 0.04)
+      Layout.deleteWhereDv(spark, d, Seq(Layout.KeyBox("k", 10L, 109L)))
+      Layout.deleteWhereDv(spark, d, Seq(Layout.KeyBox("k", 200L, 204L)))
+      val before = names(d)
+      val dvBefore = Layout.loadManifest(spark, d)
+        .filter(col("dv_path").isNotNull)
+        .select("file").as[String].collect().toSet
+      assert(dvBefore.size == 2, s"fixture wants 2 vectorized files: $dvBefore")
+      // ratio 0.3 selects ONLY the heavy file; the light one keeps
+      // its name (byte-identical) and its vector
+      val st = Layout.optimizeSelective(spark, d, targetRows = 100000L,
+        minDvRatio = 0.3)
+      assert(st.reclustered, s"the heavy vector must trigger: $st")
+      assert(st.filesKept == before.size - 1,
+        s"exactly one file may rewrite: $st")
+      val after = names(d)
+      val lightFile = Layout.loadManifest(spark, d)
+        .filter(col("dv_path").isNotNull)
+        .select("file").as[String].collect().toSeq
+      assert(lightFile.size == 1 && dvBefore.contains(lightFile.head),
+        "the light vector must survive in place")
+      assert(after.contains(lightFile.head), "light file must keep its name")
+      // reads stay exact through the mixed state
+      val want = expect(1000, k => (k < 10 || k > 109) && (k < 200 || k > 204))
+      assert(got(Layout.readLayout(spark, d)) == want)
+      assert(got(Layout.scanPruned(spark, d,
+        Seq(Layout.KeyBox("k", 0L, 400L)))) == want.filter(_._1 <= 400))
+      // the surviving light vector is below every reasonable ratio:
+      // the same call again declines (hotspots healed, tail left be)
+      val st2 = Layout.optimizeSelective(spark, d, targetRows = 100000L,
+        minDvRatio = 0.3)
+      assert(!st2.reclustered, s"no hotspot left, must decline: $st2")
+      // ratio 0 (the default contract) purges the remaining vector
+      val st3 = Layout.optimizeSelective(spark, d, targetRows = 100000L)
+      assert(st3.reclustered)
+      assert(Layout.loadManifest(spark, d)
+        .agg(coalesce(sum("dv_rows"), lit(0L))).as[Long].head() == 0L)
+      assert(got(Layout.readLayout(spark, d)) == want)
+      val bad = intercept[IllegalArgumentException] {
+        Layout.optimizeSelective(spark, d, 1000L, minDvRatio = 1.5)
+      }
+      assert(bad.getMessage.contains("[0, 1]"))
+    }
+  }
+
+  test("guards: rebuild and compact refuse on vectorized layouts; the V2 reader applies them") {
     withTempDir("graft_dv_guard_") { dir =>
       mkLayout(s"$dir/t")
       Layout.enableGenerations(spark, s"$dir/t")
@@ -452,10 +533,36 @@ class DvSpec extends AnyFunSuite with SharedSpark {
         Layout.compact(spark, s"$dir/t", s"$dir/out")
       }
       assert(e2.getMessage.contains("deletion vectors"))
-      val e3 = intercept[IllegalArgumentException] {
-        spark.read.format("graft").load(s"$dir/t").collect()
+      // this session carries the graft extensions (GraftSession
+      // .tuned), so the V2 reader APPLIES the vectors — live,
+      // filtered, and time-traveled reads all exact
+      val want = expect(1000, k => k < 100 || k > 149)
+      assert(got(spark.read.format("graft").load(s"$dir/t")) == want)
+      assert(got(spark.read.format("graft").load(s"$dir/t")
+          .where(col("k") < 300L)) == want.filter(_._1 < 300))
+      assert(got(spark.read.format("graft").option("versionAsOf", "0")
+          .load(s"$dir/t")) == expect(1000, _ => true))
+      assert(got(spark.read.format("graft").option("versionAsOf", "1")
+          .load(s"$dir/t")) == want)
+      // a session WITHOUT the extensions must refuse loudly — a raw
+      // V2 pass-through would resurrect the deleted rows
+      val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
+      val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      val bare = org.apache.spark.sql.SparkSession.builder()
+        .master("local[8]").getOrCreate()
+      try {
+        val e3 = intercept[IllegalArgumentException] {
+          bare.read.format("graft").load(s"$dir/t").collect()
+        }
+        assert(e3.getMessage.contains("deletion vectors"))
+      } finally {
+        org.apache.spark.sql.SparkSession.clearDefaultSession()
+        org.apache.spark.sql.SparkSession.clearActiveSession()
+        prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+        prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
       }
-      assert(e3.getMessage.contains("deletion vectors"))
     }
   }
 }

@@ -169,6 +169,114 @@ class GraftSqlSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("DELETE conjunctions, IN sets, DV RATIO, and the health DETAIL") {
+    withTempDir("graft_sql_dml_") { dir =>
+      val d = s"$dir/t"
+      (0L to 999L).map(k => (k, k % 5, k)).toDF("k", "g", "v")
+        .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+        .write.parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k", "g"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      Layout.enableGenerations(spark, d)
+      val prevDefault = SparkSession.getDefaultSession
+      val prevActive = SparkSession.getActiveSession
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      val sqlS = GraftSession.tuned(
+        SparkSession.builder().master("local[8]")
+          .withExtensions(new GraftExtensions),
+        shufflePartitions = 8).getOrCreate()
+      try {
+        // IN-set delete → KeySetBox (bloom-prunable point deletes)
+        val r1 = sqlS.sql(
+          s"GRAFT DELETE FROM '$d' WHERE k IN (5, 17, 800)").collect()(0)
+        assert(r1.getAs[Long]("rows_deleted") === 3L)
+        // conjunction of two BETWEEN boxes — intersection semantics,
+        // exactly Seq(KeyBox, KeyBox): k ∈ [0,99] with g = k%5 ∈
+        // {1,2} is 40 keys, minus 17 (g=2) already gone
+        val r2 = sqlS.sql(s"GRAFT DELETE FROM '$d' WHERE " +
+          "k BETWEEN 0 AND 99 AND g BETWEEN 1 AND 2").collect()(0)
+        assert(r2.getAs[Long]("rows_deleted") === 39L, s"$r2")
+        // mixed conjunction with IN, vectorized — and the output
+        // schema SAYS vectorized (files_vectorized, not
+        // files_rewritten): {200, 201, 210} with g = 0 keeps 200, 210
+        val r3 = sqlS.sql(s"GRAFT DELETE FROM '$d' WHERE " +
+          "k IN (200, 201, 210) AND g BETWEEN 0 AND 0 USING VECTORS")
+          .collect()(0)
+        assert(r3.schema.fieldNames.contains("files_vectorized") &&
+          !r3.schema.fieldNames.contains("files_rewritten"),
+          s"vectorized DELETE must report files_vectorized: ${r3.schema}")
+        assert(r3.getAs[Long]("rows_deleted") === 2L, s"$r3")
+        // the health DETAIL row: outstanding DV tax, streams, pins,
+        // constraints — one row, no data files opened
+        sqlS.sql(s"GRAFT ALTER '$d' ADD CONSTRAINT v_nonneg CHECK (v >= 0)")
+          .collect()
+        val det = sqlS.sql(s"GRAFT DESCRIBE DETAIL '$d'").collect()(0)
+        assert(det.getAs[Long]("dv_files") >= 1L)
+        assert(det.getAs[Long]("dv_rows") === 2L)
+        assert(det.getAs[Int]("n_constraints") === 1)
+        assert(det.getAs[Int]("n_streams") === 0)
+        assert(det.getAs[Int]("n_pins") === 0)
+        // OPTIMIZE … DV RATIO on a clustered single-key layout (the
+        // (k, g) manifest above is deep on g by construction, which
+        // would trip the depth trigger instead): 0.9 leaves the tiny
+        // vector in place, the bare form (ratio 0) purges it
+        val d2 = s"$dir/t2"
+        (0L to 999L).map(k => (k, k)).toDF("k", "v")
+          .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+          .write.parquet(d2)
+        Layout.buildFileManifest(spark, d2, Seq("k"))
+          .write.mode("overwrite").parquet(s"$d2/_graft_manifest")
+        sqlS.sql(s"GRAFT DELETE FROM '$d2' WHERE k IN (300, 301) " +
+          "USING VECTORS").collect()
+        val keep = sqlS.sql(
+          s"GRAFT OPTIMIZE '$d2' TARGET 100000 ROWS DV RATIO 0.9")
+          .collect()(0)
+        assert(!keep.getAs[Boolean]("reclustered"),
+          s"a 2-row vector is no hotspot at ratio 0.9: $keep")
+        val purge = sqlS.sql(s"GRAFT OPTIMIZE '$d2' TARGET 100000 ROWS")
+          .collect()(0)
+        assert(purge.getAs[Boolean]("reclustered"))
+        assert(sqlS.sql(s"GRAFT DESCRIBE DETAIL '$d2'").collect()(0)
+          .getAs[Long]("dv_rows") === 0L)
+        assert(Layout.readLayout(spark, d2).count() === 998L)
+        // GRAFT UPDATE: in-place transform of the matching rows,
+        // simultaneous assignment, file-subset rewrite
+        val up = sqlS.sql(s"GRAFT UPDATE '$d2' SET v = v * 10 " +
+          "WHERE k BETWEEN 10 AND 19").collect()(0)
+        assert(up.getAs[Long]("rows_updated") === 10L, s"$up")
+        assert(Layout.readLayout(spark, d2)
+          .filter(col("k").between(10, 19) && col("v") === col("k") * 10)
+          .count() === 10L)
+        assert(Layout.readLayout(spark, d2)
+          .filter(col("k") === 20L && col("v") === 20L).count() === 1L,
+          "rows outside the box stay untouched")
+        // refusals, by name: type change, nondeterminism, bad grammar
+        val badType = intercept[IllegalArgumentException] {
+          sqlS.sql(s"GRAFT UPDATE '$d2' SET v = 'x' WHERE k BETWEEN 0 AND 5")
+        }
+        assert(badType.getMessage.contains("type"), badType.getMessage)
+        val badRand = intercept[IllegalArgumentException] {
+          sqlS.sql(s"GRAFT UPDATE '$d2' SET v = rand() " +
+            "WHERE k BETWEEN 0 AND 5")
+        }
+        assert(badRand.getMessage.contains("nondeterministic"),
+          badRand.getMessage)
+        val bad = intercept[IllegalArgumentException] {
+          sqlS.sql(s"GRAFT DELETE FROM '$d' WHERE k LIKE 'x'")
+        }
+        assert(bad.getMessage.contains("BETWEEN"))
+        assert(Layout.readLayout(spark, d).count() ===
+          1000L - 3L - 39L - 2L)
+      } finally {
+        SparkSession.clearDefaultSession()
+        SparkSession.clearActiveSession()
+        prevDefault.foreach(SparkSession.setDefaultSession)
+        prevActive.foreach(SparkSession.setActiveSession)
+      }
+    }
+  }
+
   test("COUNT(*) over the graft reader answers from the manifest — no scan node") {
     withTempDir("graft_cnt_") { dir =>
       val d = s"$dir/t"

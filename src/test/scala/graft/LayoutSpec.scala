@@ -2465,6 +2465,54 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("updateWhere: in-place transform on a partitioned layout; partition-column SET refuses") {
+    import graft.ext.Layout
+    withTempDir("graft_upd_part_") { dir =>
+      val d = s"$dir/t"
+      (0L to 199L).map(k => (k, if (k % 2 == 0) "en" else "fr", k))
+        .toDF("k", "lang", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.partitionBy("lang").parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      // a partition-column box narrows via residual; updates route
+      // back into their k=v leaves through partitionBy
+      val st = Layout.updateWhere(spark, d,
+        Seq(Layout.KeyBox("k", 50L, 99L)),
+        Seq("v" -> (col("v") + 1000000L)))
+      assert(st.rowsUpdated === 50L, s"$st")
+      val back = spark.read.parquet(d)
+      assert(back.filter(col("k").between(50, 99) &&
+        col("v") === col("k") + 1000000L).count() === 50L)
+      assert(back.filter(col("k") < 50L && col("v") === col("k"))
+        .count() === 50L, "rows below the box stay verbatim")
+      assert(back.filter(col("lang").isin("en", "fr")).count() === 200L,
+        "partition routing must keep every row in a k=v leaf")
+      // pruning stays exact after the patch
+      assert(Layout.countWhere(spark, d,
+        Seq(Layout.KeyBox("k", 0L, 199L))) === 200L)
+      // SET on a partition column refuses by name
+      val e = intercept[IllegalArgumentException] {
+        Layout.updateWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 9L)),
+          Seq("lang" -> lit("de")))
+      }
+      assert(e.getMessage.contains("partition column"), e.getMessage)
+      // unknown SET column refuses by name
+      val e2 = intercept[IllegalArgumentException] {
+        Layout.updateWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 9L)),
+          Seq("nope" -> lit(1L)))
+      }
+      assert(e2.getMessage.contains("not a column"), e2.getMessage)
+      // a disjoint box touches nothing and leaves the layout
+      // byte-identical
+      val names = spark.read.parquet(d).inputFiles.toSet
+      val st2 = Layout.updateWhere(spark, d,
+        Seq(Layout.KeyBox("k", 500L, 600L)), Seq("v" -> lit(0L)))
+      assert(st2.rowsUpdated === 0L && st2.filesRewritten === 0, s"$st2")
+      assert(spark.read.parquet(d).inputFiles.toSet === names)
+    }
+  }
+
   test("CDF and MV refresh compose across a restore commit") {
     import graft.ext.Ivm
     import spark.implicits._

@@ -74,6 +74,61 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("graft reader: manifest stats shrink the V2 file list under a WHERE") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    withTempDir("graft_plan_prune_") { dir =>
+      val d = s"$dir/t"
+      (0L to 999L).map(k => (k, k * 2)).toDF("k", "v")
+        .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+        .write.parquet(d)
+      graft.ext.Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      def v2Files(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan match {
+              case fsc: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+                fsc.fileIndex.inputFiles.length
+              case _ => 0
+            }
+        }.sum
+      graft.ext.Layout.enableGenerations(spark, d)
+      def rd = spark.read.format("graft").load(d)
+      assert(v2Files(rd) === 8, "the fixture wants 8 range files")
+      // tracked: a key-range WHERE opens only the overlapping file(s)
+      // (range boundaries are sampled, so bands may straddle one edge
+      // — the assertion is the SHRINK, not an exact layout guess)
+      val banded = rd.where(col("k").between(100L, 149L))
+      assert(v2Files(banded) <= 2, "the [100,149] band spans ≤ 2 files")
+      assert(banded.select("k", "v").as[(Long, Long)].collect().sorted
+        .toSeq === (100L to 149L).map(k => (k, k * 2)))
+      // half-open bounds prune too (strict widens to closed — superset)
+      assert(v2Files(rd.where(col("k") > 900L)) <= 2)
+      // equality and IN prune; a non-key column cannot
+      assert(v2Files(rd.where(col("k") === 500L)) === 1)
+      assert(v2Files(rd.where(col("k").isin(1L, 2L, 3L))) === 1)
+      assert(v2Files(rd.where(col("v") > 100L)) === 8)
+      // a conjunct on a non-key rides along as residual, key still prunes
+      val mixed = rd.where(col("k").between(0L, 99L) && col("v") % 4 === 0)
+      assert(v2Files(mixed) <= 2)
+      assert(mixed.count() === 50L)
+      // provably-empty band: no scan at all, exact empty result
+      val empty = rd.where(col("k").between(5000L, 6000L))
+      assert(v2Files(empty) === 0)
+      assert(empty.count() === 0L)
+      // survivors resolve live-or-retired: retire the head of the
+      // layout via a delete, then prune a versionAsOf read onto it
+      graft.ext.Layout.deleteWhere(spark, d,
+        Seq(graft.ext.Layout.KeyBox("k", 0L, 149L)))
+      val snap = spark.read.format("graft").option("versionAsOf", "0")
+        .load(d).where(col("k").between(100L, 149L))
+      assert(v2Files(snap) <= 2 && v2Files(snap) >= 1)
+      assert(snap.count() === 50L)
+      assert(rd.where(col("k").between(100L, 149L)).count() === 0L)
+    }
+  }
+
   test("aggregations are partial (map-side combine) before the shuffle") {
     val plan = finalPlan("q_pricing_summary")
     // partial + final HashAggregate pair around one exchange

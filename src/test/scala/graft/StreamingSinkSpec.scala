@@ -133,6 +133,132 @@ class StreamingSinkSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("writeStream.format(\"graft\") is the DSL-native exactly-once sink") {
+    withTempDir("graft_sink_dsl_") { dir =>
+      val base = s"$dir/t"
+      mkTracked(base)
+      val srcDir = s"$dir/in"
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, g BIGINT, v BIGINT")
+      def feed(rows: Seq[(Long, Long, Long)]): Unit =
+        rows.toDF("k", "g", "v").coalesce(1)
+          .write.mode("append").parquet(srcDir)
+      def run(): org.apache.spark.sql.streaming.StreamingQuery =
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir)
+          .writeStream.format("graft")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .option("queryId", "dsl-spec")
+          .start(base)
+      feed(Seq((600L, 1L, 1L), (601L, 2L, 2L)))
+      val q = run()
+      try q.processAllAvailable() finally q.stop()
+      assert(spark.read.parquet(base).count() === 52L)
+      // restart from the checkpoint: the replay of the last batch is
+      // absorbed by the SAME ledger/token discipline as the verb
+      feed(Seq((602L, 3L, 3L)))
+      val q2 = run()
+      try q2.processAllAvailable() finally q2.stop()
+      val back = spark.read.parquet(base)
+      assert(back.count() === 53L, "replay must not duplicate")
+      assert(back.filter(col("k") >= 600L).count() === 3L)
+      assert(Layout.streamLedgers(spark, base).map(_._1) ===
+        Seq("dsl-spec"), "the sink writes the verb's own ledger")
+      assert(Layout.describeHistory(spark, base)
+        .filter(col("operation").startsWith("streamAppend:"))
+        .count() === 2L, "one token-stamped commit per non-empty batch")
+      // refusals arrive at start(), by name
+      val e1 = intercept[IllegalArgumentException] {
+        spark.readStream.schema(schema).parquet(srcDir)
+          .groupBy("g").count()
+          .writeStream.format("graft").outputMode("complete")
+          .option("checkpointLocation", s"$dir/ckpt2")
+          .option("queryId", "x").start(base)
+      }
+      assert(e1.getMessage.contains("append-only"), e1.getMessage)
+      val e2 = intercept[IllegalArgumentException] {
+        spark.readStream.schema(schema).parquet(srcDir)
+          .writeStream.format("graft").partitionBy("g")
+          .option("checkpointLocation", s"$dir/ckpt3")
+          .option("queryId", "x").start(base)
+      }
+      assert(e2.getMessage.contains("partitionBy"), e2.getMessage)
+    }
+  }
+
+  test("the write-ahead intent closes the first-batch and interleaved-commit windows") {
+    withTempDir("graft_sink_intent_") { dir =>
+      val base = s"$dir/t"
+      mkTracked(base)
+      val sink = Layout.streamAppend(base, Seq("k"), "intent-spec") _
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val lp = () => fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$base/_graft_stream")).head.getPath
+      def rewind(json: String): Unit = {
+        val out = fs.create(lp(), true)
+        try out.write(json.getBytes("UTF-8")) finally out.close()
+      }
+      // (a) FIRST-batch crash between commit and ledger finalize:
+      // commit batch 0, then rewind the ledger to the INTENT state
+      // the crashed attempt would have left (no completed batch yet).
+      // The pre-intent probe could never decide this (nothing to
+      // anchor recorded.contains(batchId-1) on) — the intent span can
+      val g0 = Layout.currentGeneration(spark, base)
+      sink(Seq((500L, 0L, 1L)).toDF("k", "g", "v"), 0L)
+      rewind(s"""{"queryId":"intent-spec","batchId":-1,""" +
+        s""""intentBatch":0,"intentGen":$g0}""")
+      sink(Seq((500L, 0L, 1L)).toDF("k", "g", "v"), 0L) // replay
+      assert(spark.read.parquet(base).filter(col("k") === 500L)
+        .count() === 1L, "first-batch replay must not duplicate")
+      assert(Layout.streamLedgers(spark, base) ===
+        Seq(("intent-spec", 0L)), "the heal must finalize the ledger")
+      // (b) crash BEFORE the commit: intent present, nothing
+      // committed since — the replay appends exactly once
+      val g1 = Layout.currentGeneration(spark, base)
+      rewind(s"""{"queryId":"intent-spec","batchId":0,""" +
+        s""""intentBatch":1,"intentGen":$g1}""")
+      sink(Seq((501L, 0L, 2L)).toDF("k", "g", "v"), 1L)
+      assert(spark.read.parquet(base).filter(col("k") === 501L)
+        .count() === 1L)
+      // (c) interleaved foreign commit HIDES the crashed batch from
+      // the live record: batch 2 commits, a deleteWhere commits on
+      // top, ledger rewound to batch 2's intent — the live-only probe
+      // would re-append; the intent span scan finds the token below
+      val g2 = Layout.currentGeneration(spark, base)
+      sink(Seq((502L, 0L, 3L)).toDF("k", "g", "v"), 2L)
+      Layout.deleteWhere(spark, base, Seq(Layout.KeyBox("k", 0L, 0L)))
+      rewind(s"""{"queryId":"intent-spec","batchId":1,""" +
+        s""""intentBatch":2,"intentGen":$g2}""")
+      sink(Seq((502L, 0L, 3L)).toDF("k", "g", "v"), 2L) // replay
+      assert(spark.read.parquet(base).filter(col("k") === 502L)
+        .count() === 1L, "an interleaved commit must not cause a re-append")
+      assert(Layout.streamLedgers(spark, base) === Seq(("intent-spec", 2L)))
+      // (d) recordless generation INSIDE the intent span: batch 3
+      // commits, its record vanishes (rename→record crash), a foreign
+      // commit lands on top — undecidable, refused by name
+      val g3 = Layout.currentGeneration(spark, base)
+      sink(Seq((503L, 0L, 4L)).toDF("k", "g", "v"), 3L)
+      assert(fs.delete(new org.apache.hadoop.fs.Path(
+        s"$base/_graft_history/commits/gen=${g3 + 1L}.json"), false))
+      Layout.deleteWhere(spark, base, Seq(Layout.KeyBox("k", 1L, 1L)))
+      rewind(s"""{"queryId":"intent-spec","batchId":2,""" +
+        s""""intentBatch":3,"intentGen":$g3}""")
+      val e = intercept[IllegalStateException] {
+        sink(Seq((503L, 0L, 4L)).toDF("k", "g", "v"), 3L)
+      }
+      assert(e.getMessage.contains("no commit record"), e.getMessage)
+      // (e) an intent for a different batch than the replay delivers
+      // is foreign meddling — refused by name
+      rewind(s"""{"queryId":"intent-spec","batchId":2,""" +
+        s""""intentBatch":7,"intentGen":$g3}""")
+      val e2 = intercept[IllegalStateException] {
+        sink(Seq((504L, 0L, 5L)).toDF("k", "g", "v"), 5L)
+      }
+      assert(e2.getMessage.contains("intent for"), e2.getMessage)
+    }
+  }
+
   test("the undecidable window refuses loudly; untracked layouts refuse") {
     withTempDir("graft_sink_refuse_") { dir =>
       val base = s"$dir/t"
