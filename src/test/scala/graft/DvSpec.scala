@@ -544,6 +544,10 @@ class DvSpec extends AnyFunSuite with SharedSpark {
           .load(s"$dir/t")) == expect(1000, _ => true))
       assert(got(spark.read.format("graft").option("versionAsOf", "1")
           .load(s"$dir/t")) == want)
+      // a SELF-JOIN of the substituted relation: each branch gets its
+      // own fresh snapshot plan (no duplicate exprIds)
+      val r1 = spark.read.format("graft").load(s"$dir/t")
+      assert(r1.as("a").join(r1.as("b"), Seq("k")).count() === 950L)
       // a session WITHOUT the extensions must refuse loudly — a raw
       // V2 pass-through would resurrect the deleted rows
       val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession

@@ -126,6 +126,27 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
       assert(v2Files(snap) <= 2 && v2Files(snap) >= 1)
       assert(snap.count() === 50L)
       assert(rd.where(col("k").between(100L, 149L)).count() === 0L)
+      // STRING-typed stats prune too (TypedKeyBox translation):
+      // a lang-clustered layout under a lang equality/range WHERE
+      val ds = s"$dir/s"
+      val langs = Seq("ar", "de", "en", "es", "fr", "hi", "ja", "zh")
+      (0L to 799L).map(k => (k, langs((k / 100L).toInt)))
+        .toDF("id", "lang")
+        .repartitionByRange(8, col("lang"), col("id"))
+        .sortWithinPartitions("lang", "id")
+        .write.parquet(ds)
+      graft.ext.Layout.buildFileManifest(spark, ds, Seq("lang"))
+        .write.mode("overwrite").parquet(s"$ds/_graft_manifest")
+      graft.ext.Layout.enableGenerations(spark, ds)
+      def rs = spark.read.format("graft").load(ds)
+      assert(v2Files(rs.where(col("lang") === "en")) <= 2)
+      val band = rs.where(col("lang") >= "de" && col("lang") <= "es")
+      assert(v2Files(band) <= 4 && v2Files(band) >= 1)
+      assert(band.count() === 300L, "de+en+es")
+      // strict string bounds widen to closed (superset) — exact result
+      val strict = rs.where(col("lang") > "de" && col("lang") < "es")
+      assert(v2Files(strict) <= 4)
+      assert(strict.count() === 100L, "just en")
     }
   }
 
