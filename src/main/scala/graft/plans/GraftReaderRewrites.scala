@@ -100,8 +100,10 @@ case class GraftDvReadRewrite(session: SparkSession)
   * swaps the relation's table for one over the survivors. The
   * query's own Filter STAYS as the residual, so pruned ≡ full scan
   * by construction — a box is only ever a SUPERSET of its conjunct's
-  * satisfying set (strict bounds widen to closed ones; conjuncts the
-  * translator cannot prove simply emit no box).
+  * satisfying set (strict bounds widen to closed ones; timestamp
+  * keys prune only in UTC sessions, the one zone where the bound's
+  * string round-trip is bijective; conjuncts the translator cannot
+  * prove simply emit no box).
   *
   * At 100 TB this is the lever that makes the SQL surface usable on
   * the most common query shape: `WHERE key BETWEEN …` through
@@ -130,7 +132,9 @@ case class GraftManifestPrune(session: SparkSession)
           case Some(m) if !m.hasDv && !m.pruned =>
             Layout.snapshotManifestSchema(session, m.dir, m.gen) match {
               case Some(mSchema) =>
-                val boxes = boxesOf(cond, mSchema)
+                val boxes = boxesOf(cond, mSchema,
+                  utcSession = session.sessionState.conf
+                    .sessionLocalTimeZone == "UTC")
                 if (boxes.isEmpty) f
                 else prune(f, cond, r, m, boxes)
               case None => f // untracked layout: manifest is mutable
@@ -189,18 +193,20 @@ private[plans] object GraftPruneBoxes {
   private def dayStr(days: Int): String =
     java.time.LocalDate.ofEpochDay(days.toLong).toString
 
-  /** A typed bound as its TypedKeyBox string form: date literals
-    * (internal: epoch days) render ISO, strings verbatim. Timestamps
-    * deliberately unsupported (their string round-trip is
-    * session-timezone-dependent — not worth a wrong prune). */
-  private def typedOf(l: Literal, t: DataType): Option[String] =
-    (l.dataType, t) match {
-      case (DateType, DateType) =>
-        Option(l.value).map(v => dayStr(v.asInstanceOf[Int]))
-      case (StringType, StringType) =>
-        Option(l.value).map(_.toString)
-      case _ => None
-    }
+  /** A timestamp literal (internal: epoch micros) as the string
+    * [[graft.ext.Layout.TypedKeyBox]] bounds take, rendered in UTC.
+    * Only used when the SESSION timezone is UTC: the box's bound is
+    * cast back to timestamp in the session zone, and only a
+    * DST-free zone makes format∘parse bijective — anywhere else the
+    * overlap hour could shift a bound and break the box⊇conjunct
+    * superset contract, so non-UTC sessions simply don't prune
+    * timestamp keys. */
+  private def tsStr(micros: Long): String =
+    java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.EPOCH.plus(micros,
+        java.time.temporal.ChronoUnit.MICROS))
 
   // per-column range accumulation; strict bounds widen to closed
   // (superset — see the object doc)
@@ -211,12 +217,14 @@ private[plans] object GraftPruneBoxes {
     def addHi(v: T): Unit = hi = Some(hi.fold(v)(ord.min(_, v)))
   }
 
-  def boxesOf(cond: Expression,
-              mSchema: StructType): Seq[Layout.PruneBox] = {
+  def boxesOf(cond: Expression, mSchema: StructType,
+              utcSession: Boolean = true): Seq[Layout.PruneBox] = {
     val longRanges =
       scala.collection.mutable.LinkedHashMap[String, Range[Long]]()
     val dateRanges =
       scala.collection.mutable.LinkedHashMap[String, Range[Int]]()
+    val tsRanges =
+      scala.collection.mutable.LinkedHashMap[String, Range[Long]]()
     val strRanges =
       scala.collection.mutable.LinkedHashMap[String, Range[String]]()
     val sets = scala.collection.mutable.ArrayBuffer[Layout.KeySetBox]()
@@ -235,13 +243,19 @@ private[plans] object GraftPruneBoxes {
             if (isLo) r.addLo(v.asInstanceOf[Int])
             if (isHi) r.addHi(v.asInstanceOf[Int])
           }
+        case TimestampType if l.dataType == TimestampType && utcSession =>
+          Option(l.value).foreach { v =>
+            val r = tsRanges.getOrElseUpdate(a.name, new Range[Long])
+            if (isLo) r.addLo(v.asInstanceOf[Long])
+            if (isHi) r.addHi(v.asInstanceOf[Long])
+          }
         case StringType if l.dataType == StringType =>
           Option(l.value).foreach { v =>
             val r = strRanges.getOrElseUpdate(a.name, new Range[String])
             if (isLo) r.addLo(v.toString)
             if (isHi) r.addHi(v.toString)
           }
-        case _ => () // timestamp / exotic stats: no box, stay exact
+        case _ => () // NTZ / exotic stats: no box, stay exact
       }
 
     def addSet(a: AttributeReference, vs: Seq[Long]): Unit =
@@ -298,10 +312,16 @@ private[plans] object GraftPruneBoxes {
         Layout.TypedKeyBox(c, r.lo.map(dayStr).getOrElse("0001-01-01"),
           r.hi.map(dayStr).getOrElse("9999-12-31"))
     }.toSeq
+    val tsBoxes = tsRanges.collect {
+      case (c, r) if r.lo.isDefined || r.hi.isDefined =>
+        Layout.TypedKeyBox(c,
+          r.lo.map(tsStr).getOrElse("0001-01-01 00:00:00"),
+          r.hi.map(tsStr).getOrElse("9999-12-31 23:59:59"))
+    }.toSeq
     val strBoxes = strRanges.collect {
       case (c, r) if r.lo.isDefined && r.hi.isDefined =>
         Layout.TypedKeyBox(c, r.lo.get, r.hi.get)
     }.toSeq
-    longBoxes ++ dateBoxes ++ strBoxes ++ sets.toSeq
+    longBoxes ++ dateBoxes ++ tsBoxes ++ strBoxes ++ sets.toSeq
   }
 }

@@ -147,6 +147,25 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
       val strict = rs.where(col("lang") > "de" && col("lang") < "es")
       assert(v2Files(strict) <= 4)
       assert(strict.count() === 100L, "just en")
+      // TIMESTAMP-typed stats prune in this UTC session (the only
+      // zone where the bound's string round-trip is bijective)
+      val dt = s"$dir/ts"
+      spark.range(800)
+        .select(col("id"), timestamp_seconds(col("id") * 3600L).as("ts"))
+        .repartitionByRange(8, col("ts")).sortWithinPartitions("ts")
+        .write.parquet(dt)
+      graft.ext.Layout.buildFileManifest(spark, dt, Seq("ts"))
+        .write.mode("overwrite").parquet(s"$dt/_graft_manifest")
+      graft.ext.Layout.enableGenerations(spark, dt)
+      def rt = spark.read.format("graft").load(dt)
+      val half = rt.where(
+        col("ts") >= lit(java.time.Instant.ofEpochSecond(700L * 3600L)))
+      assert(v2Files(half) <= 2, "the tail band opens at most 2 files")
+      assert(half.count() === 100L)
+      val point = rt.where(
+        col("ts") === lit(java.time.Instant.ofEpochSecond(10L * 3600L)))
+      assert(v2Files(point) === 1)
+      assert(point.count() === 1L)
     }
   }
 
