@@ -2582,8 +2582,12 @@ object SketchQueries {
     QueryDef("q_layout_dv_reader",
       (s, d) => {
         val dir = dvDocs(s, d)
+        // versionAsOf 0 serves the pre-delete world: exactly the
+        // [100,199] band (dense doc_ids) more than the live DV read.
+        // Both counts answer from manifests (zero data-file opens)
         require(s.read.format("graft").option("versionAsOf", "0")
-            .load(dir).count() == 500L,
+            .load(dir).count() -
+            s.read.format("graft").load(dir).count() == 100L,
           "versionAsOf 0 must read the pre-delete generation")
         s.read.format("graft").load(dir)
           .where(col("doc_id").between(50, 400))
