@@ -3010,13 +3010,17 @@ object Layout {
       s"failed to move the stream ledger into place at $p")
   }
 
-  /** Every stream ledger on this layout, queryId → last committed
-    * batch — the observability read for [[streamAppend]]'s sinks
-    * (which stream owns which ledger, where each restart will
-    * resume). One directory listing plus one tiny read per ledger;
-    * torn ledgers fail loudly through [[streamLedgerOf]]'s parse. */
-  def streamLedgers(spark: org.apache.spark.sql.SparkSession,
-                    dir: String): Seq[(String, Long)] = {
+  /** Every stream ledger on this layout: queryId, last committed
+    * batch (−1 before any), and — when an append is in flight or
+    * crashed mid-flight — the write-ahead intent (batch, generation
+    * at intent time). The observability read for [[streamAppend]]'s
+    * sinks: which stream owns which ledger, where each restart
+    * resumes, and whether one died holding an undecided intent (the
+    * state the refusal messages tell the operator to inspect). One
+    * directory listing plus one tiny read per ledger; torn ledgers
+    * fail loudly through the shared parse. */
+  def streamLedgers(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : Seq[(String, Long, Option[Long], Option[Long])] = {
     requireEncodingStablePath(dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -3034,7 +3038,8 @@ object Layout {
         } finally in.close()
         // −1 = intent-only ledger (first batch in flight, none done)
         val (q, ledger) = parseStreamLedger(txt, st.getPath.toString)
-        (q, ledger.lastBatch.getOrElse(-1L))
+        (q, ledger.lastBatch.getOrElse(-1L),
+          ledger.intent.map(_._1), ledger.intent.map(_._2))
       }
       .sortBy(_._1)
   }

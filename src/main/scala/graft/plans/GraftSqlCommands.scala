@@ -299,11 +299,22 @@ object GraftSqlCommands {
             Seq(Row(Layout.checkConstraintsOf(s, dir).size))
           }))
       case ShowStreamsRe(dir) =>
+        // intent columns are null unless an append is in flight or
+        // crashed mid-flight — the state the streamAppend refusal
+        // messages tell the operator to inspect
         Some(GraftVerbCommand(
-          attrsOf("query_id" -> org.apache.spark.sql.types.StringType,
-            "last_batch" -> LongType),
+          DataTypeUtils.toAttributes(org.apache.spark.sql.types.StructType(
+            Seq(org.apache.spark.sql.types.StructField("query_id",
+                org.apache.spark.sql.types.StringType, nullable = false),
+              org.apache.spark.sql.types.StructField("last_batch",
+                LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("intent_batch",
+                LongType, nullable = true),
+              org.apache.spark.sql.types.StructField("intent_gen",
+                LongType, nullable = true)))),
           s => Layout.streamLedgers(s, dir)
-            .map { case (q, b) => Row(q, b) }))
+            .map { case (q, b, ib, ig) =>
+              Row(q, b, ib.orNull, ig.orNull) }))
       case ShowConstraintsRe(dir) =>
         Some(GraftVerbCommand(
           attrsOf("name" -> org.apache.spark.sql.types.StringType,

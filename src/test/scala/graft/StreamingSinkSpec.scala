@@ -129,7 +129,8 @@ class StreamingSinkSpec extends AnyFunSuite with SharedSpark {
       assert(Layout.currentGeneration(spark, base) === g)
       // observability: the ledger listing names the stream and where
       // a restart resumes
-      assert(Layout.streamLedgers(spark, base) === Seq(("torn-spec", 3L)))
+      assert(Layout.streamLedgers(spark, base) ===
+        Seq(("torn-spec", 3L, None, None)))
     }
   }
 
@@ -208,11 +209,16 @@ class StreamingSinkSpec extends AnyFunSuite with SharedSpark {
       sink(Seq((500L, 0L, 1L)).toDF("k", "g", "v"), 0L)
       rewind(s"""{"queryId":"intent-spec","batchId":-1,""" +
         s""""intentBatch":0,"intentGen":$g0}""")
+      // the pending intent is VISIBLE (what SHOW STREAMS surfaces —
+      // the state the refusal messages tell the operator to inspect)
+      assert(Layout.streamLedgers(spark, base) ===
+        Seq(("intent-spec", -1L, Some(0L), Some(g0))))
       sink(Seq((500L, 0L, 1L)).toDF("k", "g", "v"), 0L) // replay
       assert(spark.read.parquet(base).filter(col("k") === 500L)
         .count() === 1L, "first-batch replay must not duplicate")
       assert(Layout.streamLedgers(spark, base) ===
-        Seq(("intent-spec", 0L)), "the heal must finalize the ledger")
+        Seq(("intent-spec", 0L, None, None)),
+        "the heal must finalize the ledger (intent cleared)")
       // (b) crash BEFORE the commit: intent present, nothing
       // committed since — the replay appends exactly once
       val g1 = Layout.currentGeneration(spark, base)
@@ -233,7 +239,8 @@ class StreamingSinkSpec extends AnyFunSuite with SharedSpark {
       sink(Seq((502L, 0L, 3L)).toDF("k", "g", "v"), 2L) // replay
       assert(spark.read.parquet(base).filter(col("k") === 502L)
         .count() === 1L, "an interleaved commit must not cause a re-append")
-      assert(Layout.streamLedgers(spark, base) === Seq(("intent-spec", 2L)))
+      assert(Layout.streamLedgers(spark, base) ===
+        Seq(("intent-spec", 2L, None, None)))
       // (d) recordless generation INSIDE the intent span: batch 3
       // commits, its record vanishes (rename→record crash), a foreign
       // commit lands on top — undecidable, refused by name
