@@ -173,8 +173,10 @@ class GraftSource extends TableProvider with DataSourceRegister
   // loop with zero manual generation bookkeeping; batches compose
   // exactly (offset G1→G2 then G2→G3 ≡ G1→G3 as multisets), and a
   // restart resumes from the checkpointed offset. `startingVersion`
-  // backfills from an older generation (default: the live generation
-  // at stream start — only NEW changes). The source REGISTERS a
+  // backfills from an older generation, `startingTimestamp` from the
+  // generation that instant resolves to through the commit records —
+  // exactly the TIMESTAMP AS OF resolution (default: the live
+  // generation at stream start — only NEW changes). The source REGISTERS a
   // snapshot pin at its last committed offset and advances it per
   // batch, so a vacuum cannot silently cut the history an active (or
   // checkpointed-but-stopped) stream still needs — `force` overrides,
@@ -222,15 +224,25 @@ class GraftSource extends TableProvider with DataSourceRegister
     val p = org.apache.spark.sql.catalyst.util.CaseInsensitiveMap(parameters)
     val dir = p.getOrElse("path", throw new IllegalArgumentException(
       "the graft CDC source needs a layout path"))
-    new GraftChangeSource(sqlContext.sparkSession, dir,
+    val spark = sqlContext.sparkSession
+    val fromVersion = p.get("startingVersion").map { v =>
+      try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"startingVersion must be a generation number, got '$v'")
+      }
+    }
+    // startingTimestamp resolves through the SAME per-commit records
+    // TIMESTAMP AS OF reads (generationAsOf — newest commit at or
+    // before the instant), so the stream backfills from exactly the
+    // generation a batch time-travel read of that instant would serve
+    val fromTimestamp = p.get("startingTimestamp").map(t =>
+      graft.ext.Layout.generationAsOf(spark, dir, parseTs(t)))
+    require(fromVersion.isEmpty || fromTimestamp.isEmpty,
+      "pass startingVersion OR startingTimestamp, not both")
+    new GraftChangeSource(spark, dir,
       p.getOrElse("opCol", "op"),
-      p.get("startingVersion").map { v =>
-        try v.toLong catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"startingVersion must be a generation number, got '$v'")
-        }
-      },
-      metadataPath, feedSchema(sqlContext.sparkSession, p),
+      fromVersion.orElse(fromTimestamp),
+      metadataPath, feedSchema(spark, p),
       typedKeysOf(p))
   }
 

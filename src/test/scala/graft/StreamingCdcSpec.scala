@@ -140,6 +140,60 @@ class StreamingCdcSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("startingTimestamp backfills from the commit the instant resolves to") {
+    withTempDir("graft_cdcts_") { dir =>
+      val base = s"$dir/t"
+      (0L to 49L).map(k => (k, k % 3, k)).toDF("k", "g", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.parquet(base)
+      Layout.buildFileManifest(spark, base, Seq("k"))
+        .write.mode("overwrite").parquet(s"$base/_graft_manifest")
+      Layout.enableGenerations(spark, base)
+      // gen 1: a delete; pin an instant strictly between its commit
+      // and the next (commit timestamps are clamped monotone)
+      Layout.deleteWhere(spark, base, Seq(Layout.KeyBox("k", 0L, 9L)))
+      Thread.sleep(2)
+      val between = System.currentTimeMillis()
+      Thread.sleep(2)
+      // gen 2: an append — the only change AFTER the pinned instant
+      Layout.appendWithManifest(
+        Seq((100L, 1L, 5L)).toDF("k", "g", "v").repartition(1),
+        base, Seq("k"))
+      var seen = 0L
+      val q = spark.readStream.format("graft")
+        .option("startingTimestamp", between.toString).load(base)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen += batch.agg(coalesce(sum(col("op").cast("long")), lit(0L)))
+            .head().getLong(0)
+          ()
+        }.start()
+      try {
+        q.processAllAvailable()
+        // the instant resolves to gen 1, so the backfill is exactly
+        // gen 1→2: the +1 append, never the delete before the instant
+        assert(seen === 1L,
+          s"backfill must start at the instant's generation, got $seen")
+      } finally q.stop()
+      // both start options together refuse (the V1 source constructs
+      // on the stream thread, so the refusal surfaces at the first
+      // pump, wrapped in StreamingQueryException)
+      val q2 = spark.readStream.format("graft")
+        .option("startingVersion", "0")
+        .option("startingTimestamp", between.toString).load(base)
+        .writeStream.option("checkpointLocation", s"$dir/ckpt2")
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      try {
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q2.processAllAvailable()
+        }
+        assert(e.getMessage.contains("not both"), e.getMessage)
+      } finally q2.stop()
+    }
+  }
+
   test("graft CDC source: vacuum coordination and loud boundaries") {
     withTempDir("graft_cdcvac_") { dir =>
       val base = s"$dir/t"
