@@ -205,6 +205,33 @@ object Bench {
 
     val steal0 = stealTicks()
     var contended = false // most recent canary reading was degraded
+    // PARTIAL capture, flushed after every query (stderr + a file):
+    // three rounds of driver captures timed out with "parsed: null"
+    // — the one JSON line printed at the very end is exactly the
+    // line a timeout never reaches. The driver keeps the log TAIL,
+    // so a cumulative partial line per query leaves machine-readable
+    // numbers however late the clock runs out; the file holds the
+    // same line for a reader with filesystem access.
+    val partialSoFar = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    def flushPartial(): Unit = {
+      val qs = partialSoFar.map { case (k, t) =>
+        "\"" + k + "\":" + (if (t < 0) "-1.0"
+          else BigDecimal(t).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      }.mkString("{", ",", "}")
+      val sum = partialSoFar.collect { case (_, t) if t >= 0 => t }.sum
+      val line =
+        s"""{"metric":"total","value":${BigDecimal(sum).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","queries":$qs,""" +
+          s""""partial":true,"n_done":${partialSoFar.size},""" +
+          s""""n_total":${benchQueries.size},"sf":"$sfDir"}"""
+      System.err.println(s"[bench] partial $line")
+      try {
+        val p = java.nio.file.Paths.get("benches")
+        java.nio.file.Files.createDirectories(p)
+        java.nio.file.Files.write(p.resolve("bench_last_run.json"),
+          (line + "\n").getBytes("UTF-8"))
+      } catch { case _: Throwable => () } // a read-only cwd never kills a capture
+    }
     val results = benchQueries.map { q =>
       val contendedBefore = contended
       try run(q) // per-query warmup: absorb this query's codegen/JIT
@@ -237,6 +264,8 @@ object Bench {
       val flagged = contendedBefore || contended
       System.err.println(
         f"[bench] ${q.name}%-22s median ${kept.median}%7.3f s  (min ${kept.min}%.3f / max ${kept.times.max}%.3f, steal ${kept.steal}%d ticks${if (remeasured) ", remeasured" else ""}${if (flagged) ", CONTENDED" else ""})")
+      partialSoFar += ((q.name, kept.median))
+      flushPartial()
       (q.name, kept, remeasured, flagged)
     }
     // Post-pass adjudication: a CONTENDED flag means the canary read
@@ -464,6 +493,16 @@ object Bench {
     if (out.length > 1900)
       System.err.println(s"[bench] WARNING: JSON line ${out.length} chars exceeds the driver's 2000-char tail even at maximum elision")
     println(out)
+    // persist the FINAL capture next to the partials — the capture
+    // artifact the verdict asked for ("the README's numbers are
+    // unverifiable prose"); overwrite the last partial so the file
+    // always holds the best line this run produced
+    try {
+      val p = java.nio.file.Paths.get("benches")
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve("bench_last_run.json"),
+        (out + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

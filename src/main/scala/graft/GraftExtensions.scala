@@ -49,10 +49,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // generation's manifest — zero data-file opens at any scale
     e.injectOptimizerRule(_ => graft.plans.GraftCountFromManifest)
     // merge-on-read through the V2 reader: a graft relation whose
-    // generation carries deletion vectors is REPLACED at analysis
-    // with the readSnapshot plan (anti-join of the stores) — the SQL
-    // surface keeps working the moment a table takes its first DV
-    e.injectPostHocResolutionRule(session =>
+    // generation carries deletion vectors is REPLACED in the
+    // optimizer with the readSnapshot plan (anti-join of the
+    // stores) — the SQL surface keeps working the moment a table
+    // takes its first DV. Runs AFTER the count rule in each batch
+    // iteration (injection order), so a bare COUNT(*) over a DV
+    // generation is manifest-answered before the substitution; and
+    // after Spark's own predicate pushdown, so an adjacent Filter's
+    // conjuncts route the substitution through readSnapshotPruned —
+    // merge-on-read tables keep data skipping through plain SQL
+    e.injectOptimizerRule(session =>
       graft.plans.GraftDvReadRewrite(session))
     // manifest data skipping through the V2 reader: WHERE conjuncts
     // on stat-covered keys shrink the relation's file list before

@@ -272,6 +272,38 @@ object Layout {
     require(values.nonEmpty, s"KeySetBox($column) needs at least one value")
   }
 
+  /** [[KeySetBox]]'s TYPED counterpart — an explicit value set on a
+    * date / timestamp / string key, values as literal strings cast to
+    * the stored stat type at plan time (ANSI-loud on malformed). A
+    * file skips unless SOME value falls inside its `[min, max]`; the
+    * residual is a typed containment probe. Like [[KeySetBox]],
+    * coverage PROOFS are impossible against a sparse set, so
+    * metadata-only consumers (deleteWhere's drop, countWhere) treat
+    * it as never-proved — correct, just not metadata-answered. This
+    * is what lets `lang IN ('fr','de')` or `day IN (…)` through the
+    * SQL surface prune files instead of falling back to a range that
+    * keeps everything between the extremes. */
+  final case class TypedKeySetBox(column: String, values: Seq[String])
+      extends PruneBox {
+    require(values.nonEmpty,
+      s"TypedKeySetBox($column) needs at least one value")
+  }
+
+  /** A HALF-OPEN (or closed) interval on a date / timestamp / string
+    * key — [[TypedKeyBox]] with either side optional. Exists because
+    * a one-sided conjunct (`ts >= lo`) has no finite sentinel for the
+    * missing side that preserves the box ⊇ conjunct SUPERSET
+    * contract: Spark timestamps extend beyond year 9999 and before
+    * year 1, so any string sentinel would wrongly prune files whose
+    * rows lie outside it. A missing side simply emits no comparison.
+    * Never covered-proved (conservative: demotes to the rewrite/scan
+    * path in metadata consumers). */
+  final case class TypedBoundsBox(column: String, lo: Option[String],
+                                  hi: Option[String]) extends PruneBox {
+    require(lo.isDefined || hi.isDefined,
+      s"TypedBoundsBox($column) needs at least one bound")
+  }
+
   /** Per-file min/max statistics manifest for `keyCols` over a
     * parquet directory — the Delta/Iceberg-style skipping index, as a
     * DataFrame `(file, n_rows, min_<k>, max_<k>, ...)` with one row
@@ -639,6 +671,15 @@ object Layout {
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest")),
       s"$dir carries no manifest — build one before enabling generations")
     fs.mkdirs(historyDir(dir))
+    // the layout's IDENTITY TOKEN (this file's mtime) — what the
+    // JVM-global per-(dir, gen) caches fold into their keys, so a
+    // layout deleted and rebuilt at the SAME path (generations
+    // restart at 0) can never be answered from the old table's
+    // cached row counts / schemas / file lists. Created once per
+    // enable; a recreate re-creates it with a fresh mtime, making
+    // every stale entry unreachable. Idempotent like the floor
+    // record below.
+    if (!fs.exists(identityPath(dir))) fs.create(identityPath(dir)).close()
     // stamp the generation that is live RIGHT NOW (the moment
     // timestamp tracking begins) so [[generationAsOf]] has a floor
     // record; idempotent — a re-enable must not restamp history
@@ -646,6 +687,25 @@ object Layout {
     if (!fs.exists(commitInfoPath(dir, g)))
       writeCommitInfo(fs, dir, g, "enableGenerations")
     ()
+  }
+
+  private def identityPath(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(historyDir(dir), "_identity")
+
+  /** The layout-identity token the per-(dir, gen) caches key on: the
+    * enable-time `_identity` marker's mtime. Generation NUMBERS are
+    * only unique within one table lifetime — delete the directory,
+    * rebuild it, re-enable, and gen 0 names different data — so a
+    * bare (dir, gen) cache key would silently serve the OLD table's
+    * counts/schemas/file lists to the new one. Layouts tracked by
+    * earlier versions (no marker) token as 0: consistent, and any
+    * in-place recreate goes through [[enableGenerations]], which now
+    * writes the marker and thereby retires every 0-keyed entry. */
+  private def layoutIdentity(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: String): Long = {
+    val p = identityPath(dir)
+    try if (fs.exists(p)) fs.getFileStatus(p).getModificationTime else 0L
+    catch { case _: java.io.IOException => 0L }
   }
 
   /** Per-generation commit record
@@ -942,15 +1002,39 @@ object Layout {
     requireEncodingStablePath(dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifest = snapshotManifestOf(spark, fs, dir, gen)
-    val rows = manifest.select(col("file"),
-      dvPathExprOf(manifest.schema).as("dv_path")).collect()
+    val rows = snapshotDvRows(spark, fs, dir, gen)
     val resolved = resolveSnapshotFiles(fs, dir, gen,
-      rows.map(_.getString(0)))
-    readResolvedDv(spark, dir, rows.toIndexedSeq.zip(resolved).map {
-      case (r, res) => (r.getString(0), res, Option(r.getString(1)))
+      rows.map(_._1).toArray)
+    readResolvedDv(spark, dir, rows.zip(resolved).map {
+      case ((f, dv), res) => (f, res, dv)
     })
   }
+
+  /** The generation manifest's (file, dv_path) rows — MEMOIZED per
+    * (dir, identity, gen): the content is immutable once tracked
+    * (every mutation archives the outgoing manifest and bumps the
+    * counter), and the uncached read is a driver-side Spark job the
+    * V2 reader's analysis/optimizer rewrites would otherwise re-run
+    * on every (re-)analysis of every query over the snapshot — the
+    * planner tax Delta's SnapshotManagement cache exists to avoid.
+    * Only the manifest ROWS memoize; live-or-retired resolution runs
+    * fresh each call (see [[prunedSnapshotFileAnchors]]). */
+  private def snapshotDvRows(spark: org.apache.spark.sql.SparkSession,
+                             fs: org.apache.hadoop.fs.FileSystem,
+                             dir: String, gen: Long)
+      : IndexedSeq[(String, Option[String])] = {
+    if (snapshotDvRowsCache.size > 1024) snapshotDvRowsCache.clear()
+    snapshotDvRowsCache.computeIfAbsent(
+      (dir, layoutIdentity(fs, dir), gen), _ => {
+        val m = snapshotManifestOf(spark, fs, dir, gen)
+        m.select(col("file"), dvPathExprOf(m.schema).as("dv_path"))
+          .collect()
+          .map(r => (r.getString(0), Option(r.getString(1)))).toIndexedSeq
+      })
+  }
+
+  private val snapshotDvRowsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), IndexedSeq[(String, Option[String])]]()
 
   /** [[readSnapshot]] with [[scanPruned]]'s skipping applied against
     * the GENERATION's manifest — time-traveled pruned reads: the
@@ -964,18 +1048,34 @@ object Layout {
     requireEncodingStablePath(dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val manifest = snapshotManifestOf(spark, fs, dir, gen)
-    val mSchema = manifest.schema
-    val skip = boxes.map(skipExprOf(mSchema, _)).reduce(_ || _)
-    val residual = boxes.map(residualExprOf(mSchema, _)).reduce(_ && _)
-    val rows = manifest.filter(!skip)
-      .select(col("file"), dvPathExprOf(mSchema).as("dv_path")).collect()
+    // the SURVIVOR rows memoize per (dir, identity, gen, boxes) —
+    // same contract as [[prunedSnapshotFileAnchors]]: the skip
+    // evaluation is a driver-side Spark job over an immutable
+    // manifest, and the V2 reader's DV rewrite re-runs this per
+    // analysis; resolution stays per-call
+    if (prunedDvRowsCache.size > 1024) prunedDvRowsCache.clear()
+    val (rows, residualBoxes) = prunedDvRowsCache.computeIfAbsent(
+      (dir, layoutIdentity(fs, dir), gen, boxes.toList), _ => {
+        val manifest = snapshotManifestOf(spark, fs, dir, gen)
+        val mSchema = manifest.schema
+        val skip = boxes.map(skipExprOf(mSchema, _)).reduce(_ || _)
+        (manifest.filter(!skip)
+          .select(col("file"), dvPathExprOf(mSchema).as("dv_path"))
+          .collect()
+          .map(r => (r.getString(0), Option(r.getString(1)))).toIndexedSeq,
+          boxes.map(residualExprOf(mSchema, _)).toIndexedSeq)
+      })
+    val residual = residualBoxes.reduce(_ && _)
     val resolved = resolveSnapshotFiles(fs, dir, gen,
-      rows.map(_.getString(0)))
-    readResolvedDv(spark, dir, rows.toIndexedSeq.zip(resolved).map {
-      case (r, res) => (r.getString(0), res, Option(r.getString(1)))
+      rows.map(_._1).toArray)
+    readResolvedDv(spark, dir, rows.zip(resolved).map {
+      case ((f, dv), res) => (f, res, dv)
     }).where(residual)
   }
+
+  private val prunedDvRowsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long, List[PruneBox]),
+    (IndexedSeq[(String, Option[String])], IndexedSeq[Column])]()
 
   /** The generation's manifest: live for `gen == current`, else the
     * archived copy — loudly naming a vacuumed generation. */
@@ -1484,6 +1584,49 @@ object Layout {
     eligible.max
   }
 
+  /** The CDC stream offset an INCLUSIVE `startingTimestamp` resolves
+    * to. A stream serves changes strictly AFTER its starting offset,
+    * so the instant maps to the generation BEFORE the earliest commit
+    * AT OR AFTER it — a commit landing exactly at the instant is
+    * included in the feed, the reference CDC contract
+    * ([[generationAsOf]]'s at-or-before resolution would silently
+    * exclude that commit's changes). Nothing committed at/after the
+    * instant → the live generation (the stream serves only new
+    * changes, exactly the no-option default). An instant predating
+    * the retained history refuses loudly: the feed below the oldest
+    * retained generation is vacuumed (or predates tracking), and
+    * serving a truncated backfill as if complete would be a silent
+    * hole. */
+  private[graft] def cdcStartGeneration(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String, tsMillis: Long): Long = {
+    requireEncodingStablePath(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(generationsEnabled(fs, dir),
+      s"$dir is not generation-tracked — no commit history to resolve " +
+        "startingTimestamp against")
+    val cur = liveGenOf(fs, dir)
+    val oldest = archivedGens(fs, dir).minOption.getOrElse(cur)
+    val info = commitInfoOf(fs, dir)
+    val missing = (oldest to cur).filterNot(info.contains)
+    require(missing.isEmpty,
+      s"generation(s) ${missing.mkString(", ")} at $dir carry no commit " +
+        "record — timestamp resolution would guess; pass " +
+        "startingVersion instead")
+    (oldest to cur).find(g => info(g)._1 >= tsMillis) match {
+      case None => cur
+      case Some(g) =>
+        require(g > oldest,
+          s"startingTimestamp $tsMillis predates the retained history " +
+            s"of $dir (oldest retained generation $oldest committed at " +
+            s"${info(oldest)._1}) — the earlier change feed is vacuumed " +
+            "or predates generation tracking; pass startingVersion, or " +
+            "a later timestamp")
+        g - 1L
+    }
+  }
+
   /** [[readSnapshot]] resolved by TIMESTAMP instead of generation
     * number: rows as of the newest commit at or before `tsMillis`. */
   def readSnapshotAsOf(spark: org.apache.spark.sql.SparkSession,
@@ -1612,13 +1755,14 @@ object Layout {
     if (!generationsEnabled(fs, dir)) None
     else {
       if (manifestSchemaCache.size > 4096) manifestSchemaCache.clear()
-      Some(manifestSchemaCache.computeIfAbsent((dir, gen),
+      Some(manifestSchemaCache.computeIfAbsent(
+        (dir, layoutIdentity(fs, dir), gen),
         _ => snapshotManifestOf(spark, fs, dir, gen).schema))
     }
   }
 
   private val manifestSchemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), org.apache.spark.sql.types.StructType]()
+    (String, Long, Long), org.apache.spark.sql.types.StructType]()
 
   /** [[snapshotFileAnchors]] with the files provably OUTSIDE `boxes`
     * dropped — the V2 reader's data-skipping resolution
@@ -1640,7 +1784,8 @@ object Layout {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (prunedFilesCache.size > 1024) prunedFilesCache.clear()
-    val files = prunedFilesCache.computeIfAbsent((dir, gen, boxes.toList),
+    val files = prunedFilesCache.computeIfAbsent(
+      (dir, layoutIdentity(fs, dir), gen, boxes.toList),
       _ => {
         val manifest = snapshotManifestOf(spark, fs, dir, gen)
         val skip = boxes.map(skipExprOf(manifest.schema, _)).reduce(_ || _)
@@ -1652,7 +1797,7 @@ object Layout {
   }
 
   private val prunedFilesCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, List[PruneBox]), IndexedSeq[String]]()
+    (String, Long, Long, List[PruneBox]), IndexedSeq[String]]()
 
   /** The generation's LIVE row count summed from its manifest alone
     * (physical rows minus any deletion vector) — what
@@ -1681,16 +1826,17 @@ object Layout {
       // bound the cache BEFORE the compute: a mapping function must
       // not modify the map it is computing into
       if (liveRowCountCache.size > 4096) liveRowCountCache.clear()
-      liveRowCountCache.computeIfAbsent((dir, gen), _ => {
-        val m = snapshotManifestOf(spark, fs, dir, gen)
-        m.agg(coalesce(sum(col("n_rows") - dvRowsExprOf(m.schema)), lit(0L)))
-          .collect()(0).getLong(0)
-      })
+      liveRowCountCache.computeIfAbsent(
+        (dir, layoutIdentity(fs, dir), gen), _ => {
+          val m = snapshotManifestOf(spark, fs, dir, gen)
+          m.agg(coalesce(sum(col("n_rows") - dvRowsExprOf(m.schema)), lit(0L)))
+            .collect()(0).getLong(0)
+        })
     }
   }
 
-  private val liveRowCountCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+  private val liveRowCountCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), java.lang.Long]()
 
   /** Whether generation `gen`'s manifest references any deletion
     * vector — the V2 reader's probe: a raw file relation cannot
@@ -1699,15 +1845,28 @@ object Layout {
                                    dir: String, gen: Long): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dvRoot(dir))) false
+    def probe(): Boolean =
+      if (!fs.exists(dvRoot(dir))) false
+      else {
+        val m =
+          if (generationsEnabled(fs, dir)) snapshotManifestOf(spark, fs, dir, gen)
+          else loadManifest(spark, dir)
+        hasDvCols(m.schema) &&
+          m.filter(col("dv_path").isNotNull).head(1).nonEmpty
+      }
+    // memoized per (dir, identity, gen) for TRACKED layouts only
+    // (the probe is a manifest-sized Spark job the V2 reader pays
+    // per load() otherwise); untracked manifests mutate in place
+    if (!generationsEnabled(fs, dir)) probe()
     else {
-      val m =
-        if (generationsEnabled(fs, dir)) snapshotManifestOf(spark, fs, dir, gen)
-        else loadManifest(spark, dir)
-      hasDvCols(m.schema) &&
-        m.filter(col("dv_path").isNotNull).head(1).nonEmpty
+      if (hasDvCache.size > 4096) hasDvCache.clear()
+      hasDvCache.computeIfAbsent((dir, layoutIdentity(fs, dir), gen),
+        _ => probe())
     }
   }
+
+  private val hasDvCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), java.lang.Boolean]()
 
   /** Whether the layout root has hive `k=v` partition subdirectories —
     * the reader-side dispatch the `graft` DataSourceV2 source needs
@@ -3271,7 +3430,27 @@ object Layout {
       case KeySetBox(c, _) =>
         throw new IllegalArgumentException(
           s"KeySetBox on $c has no [lo, hi] interval — internal misuse")
+      case TypedKeySetBox(c, _) =>
+        throw new IllegalArgumentException(
+          s"TypedKeySetBox on $c has no [lo, hi] interval — internal misuse")
+      case TypedBoundsBox(c, _, _) =>
+        throw new IllegalArgumentException(
+          s"TypedBoundsBox on $c may be half-open — internal misuse of " +
+            "the closed-interval decoder")
     }
+  }
+
+  /** The stored stat type of a TYPED key, loudly refusing integral
+    * stats — shared by the typed set/bounds box consumers. */
+  private def typedStatOf(mSchema: org.apache.spark.sql.types.StructType,
+                          c: String): org.apache.spark.sql.types.DataType = {
+    require(mSchema.fieldNames.contains(s"min_$c"),
+      s"manifest has no stats for key $c")
+    val t = mSchema(s"min_$c").dataType
+    require(isTypedKey(t),
+      s"typed box on $c needs date/timestamp/string stats but the " +
+        s"manifest stores $t — use KeyBox/KeySetBox with long values")
+    t
   }
 
   /** Per-box SKIP predicate over the manifest's stat columns — true
@@ -3308,6 +3487,21 @@ object Layout {
         !exists(set, v => Sketches.bloomContains(col(s"bloom_$c"),
           pmod(v, lit(Sketches.P)), BloomBits, 4)),
         lit(false))
+    case TypedKeySetBox(c, vs) =>
+      // typed sets skip on range stats only (blooms hash long keys);
+      // values cast once into a typed array literal, probed per
+      // manifest row — file-count × set-size work on stats, never data
+      val t = typedStatOf(mSchema, c)
+      val set = lit(vs.distinct.sorted.toArray)
+        .cast(org.apache.spark.sql.types.ArrayType(t))
+      coalesce(
+        !exists(set, v => v.between(col(s"min_$c"), col(s"max_$c"))),
+        lit(true))
+    case TypedBoundsBox(c, lo, hi) =>
+      val t = typedStatOf(mSchema, c)
+      val sides = lo.map(v => col(s"max_$c") < lit(v).cast(t)).toSeq ++
+        hi.map(v => col(s"min_$c") > lit(v).cast(t))
+      coalesce(sides.reduce(_ || _), lit(true))
     case _ =>
       val (lo, hi) = decodeBounds(mSchema, b)
       coalesce(col(s"max_${b.column}") < lo || col(s"min_${b.column}") > hi,
@@ -3320,6 +3514,16 @@ object Layout {
   private def residualExprOf(mSchema: org.apache.spark.sql.types.StructType,
                              b: PruneBox): Column = b match {
     case KeySetBox(c, vs) => col(c).isin(vs: _*)
+    case TypedKeySetBox(c, vs) =>
+      // one typed array literal probed per row (codegen'd contains) —
+      // a null key yields null, which the filter drops, matching IN
+      val t = typedStatOf(mSchema, c)
+      array_contains(lit(vs.distinct.sorted.toArray)
+        .cast(org.apache.spark.sql.types.ArrayType(t)), col(c))
+    case TypedBoundsBox(c, lo, hi) =>
+      val t = typedStatOf(mSchema, c)
+      (lo.map(v => col(c) >= lit(v).cast(t)).toSeq ++
+        hi.map(v => col(c) <= lit(v).cast(t))).reduce(_ && _)
     case _ =>
       val (lo, hi) = decodeBounds(mSchema, b)
       col(b.column).between(lo, hi)
@@ -3718,7 +3922,8 @@ object Layout {
     // stays correct on an already-vectorized file: all physical rows
     // match, so dropping the file drops its live subset
     val covered = boxes.map {
-      case _: KeySetBox => lit(false)
+      case _: KeySetBox | _: TypedKeySetBox | _: TypedBoundsBox =>
+        lit(false) // sparse/half-open forms are never range-proved
       case b =>
         val (lo, hi) = decodeBounds(mSchema, b)
         col(s"min_${b.column}") >= lo && col(s"max_${b.column}") <= hi &&
@@ -3970,7 +4175,8 @@ object Layout {
     // through to false, demoting the file to the rewrite path. A
     // sparse SET box can never be range-proved, so it demotes too
     val covered = boxes.map {
-      case _: KeySetBox => lit(false)
+      case _: KeySetBox | _: TypedKeySetBox | _: TypedBoundsBox =>
+        lit(false) // sparse/half-open forms are never range-proved
       case b =>
         val (lo, hi) = decodeBounds(mSchema, b)
         col(s"min_${b.column}") >= lo && col(s"max_${b.column}") <= hi &&
@@ -4347,19 +4553,63 @@ object Layout {
   def upsertByKeys(spark: org.apache.spark.sql.SparkSession, dir: String,
                    updates: DataFrame, keys: Seq[String],
                    verifyCoverage: Boolean = true,
-                   expectedGen: Option[Long] = None): UpsertStats = {
+                   expectedGen: Option[Long] = None): UpsertStats =
+    mergeByKeys(spark, dir, updates, keys, verifyCoverage, expectedGen,
+      insertUpdates = true)
+
+  /** `MERGE … WHEN MATCHED THEN DELETE` as a verb: drop every live
+    * row whose key tuple appears in `matches`, leaving unmatched rows
+    * (and every disjoint file) untouched. The REWRITE half of
+    * [[upsertByKeys]] with the insert leg off — same pay-for-the-touch
+    * classification (the matches' per-key footprint as prune boxes;
+    * disjoint files never open), same anti-join survivor rewrite, same
+    * commit/OCC/retirement discipline — so `filesRewritten` prices the
+    * churn, never the table. Null key components are dropped from
+    * `matches` (a null merge key matches nothing, the upsert rule) and
+    * duplicates are collapsed: only the KEY COLUMNS of `matches` are
+    * consulted, so any source shape joins. Contrast [[deleteWhere]]:
+    * that verb takes a value-interval predicate and can DROP covered
+    * files from stats alone; this one takes an explicit row set, whose
+    * sparse footprint is never coverage-provable — `filesDropped` is
+    * always 0 by construction. */
+  def deleteMatching(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     matches: DataFrame, keys: Seq[String],
+                     verifyCoverage: Boolean = true,
+                     expectedGen: Option[Long] = None): DeleteStats = {
+    require(keys.nonEmpty, "deleteMatching needs at least one key column")
+    for (k <- keys) require(matches.columns.contains(k),
+      s"deleteMatching key $k is not a column of matches " +
+        s"(${matches.columns.mkString(", ")})")
+    val tuples = matches.select(keys.map(col): _*)
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _)).distinct()
+    val st = mergeByKeys(spark, dir, tuples, keys, verifyCoverage,
+      expectedGen, insertUpdates = false)
+    DeleteStats(0, st.filesRewritten, st.rowsReplaced)
+  }
+
+  /** The shared body of [[upsertByKeys]] (insertUpdates = true) and
+    * [[deleteMatching]] (false): classify by the updates' key
+    * footprint, rewrite touched files anti-joined on the keys, then
+    * append the updates — or don't, for the delete arm, whose
+    * `updates` frame carries only the key columns. */
+  private def mergeByKeys(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, updates: DataFrame,
+                          keys: Seq[String], verifyCoverage: Boolean,
+                          expectedGen: Option[Long],
+                          insertUpdates: Boolean): UpsertStats = {
+    val verb = if (insertUpdates) "upsertByKeys" else "deleteMatching"
     requireEncodingStablePath(dir)
-    require(keys.nonEmpty, "upsertByKeys needs at least one key column")
+    require(keys.nonEmpty, s"$verb needs at least one key column")
     require(keys.distinct == keys,
       s"duplicate merge key columns: ${keys.mkString(", ")}")
     val hDir = new org.apache.hadoop.fs.Path(dir)
     val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireExpectedGen(fs, dir, expectedGen, "upsertByKeys")
+    requireExpectedGen(fs, dir, expectedGen, verb)
     val manifest = loadManifest(spark, dir)
     val mSchema = manifest.schema
     val keyCols = manifestKeysOf(mSchema)
     for (key <- keys) require(keyCols.contains(key),
-      s"upsertByKeys key $key is not a stored manifest key at $dir " +
+      s"$verb key $key is not a stored manifest key at $dir " +
         s"(stored: ${keyCols.mkString(", ")})")
     // ONE pre-upsert relation serves the schema check and the
     // before-files snapshot (at 100k-file scale each read is a full
@@ -4371,18 +4621,31 @@ object Layout {
       .parquet(dir)
     val before = current.inputFiles.toSet
     val partCols = hivePartColsChecked(fs, hDir, current.schema)
-    requireWriteCompatible(updates.schema, current.schema, partCols, dir)
+    if (insertUpdates)
+      requireWriteCompatible(updates.schema, current.schema, partCols, dir)
+    else for (k <- keys) {
+      // the delete arm inserts nothing, so only the KEY columns must
+      // exist — but their types must match EXACTLY: a coercing
+      // anti-join (string matches against a long key) would compare
+      // under promotion and silently miss (or hit) rows
+      require(updates.columns.contains(k),
+        s"$verb: matches carry no column $k")
+      require(updates.schema(k).dataType == current.schema(k).dataType,
+        s"$verb: key $k is ${updates.schema(k).dataType} in matches " +
+          s"but ${current.schema(k).dataType} in the layout — cast the " +
+          "source key explicitly")
+    }
     val upd = updates.localCheckpoint(true)
     try {
       require(upd.filter(keys.map(col(_).isNull).reduce(_ || _))
           .head(1).isEmpty,
-        s"upsertByKeys: updates carry null values in a key column " +
+        s"$verb: updates carry null values in a key column " +
           s"(${keys.mkString(", ")}) — a null merge-key component " +
           "matches nothing; fix or filter the feed upstream")
       val dup = upd.groupBy(keys.map(col): _*).count()
         .filter(col("count") > 1).head(2)
       require(dup.isEmpty,
-        s"upsertByKeys: duplicate (${keys.mkString(", ")}) tuples in " +
+        s"$verb: duplicate (${keys.mkString(", ")}) tuples in " +
           s"updates (e.g. ${dup.map(_.toSeq.init.mkString("(", ",", ")"))
             .mkString(", ")}) — delete-and-insert by key needs exactly " +
           "one row per key tuple")
@@ -4391,8 +4654,8 @@ object Layout {
         return UpsertStats(0, manifest.count().toInt, 0L, 0L)
       // CHECK constraints enforce on the updates batch (the only rows
       // this verb ADDS — survivors already satisfied them) before any
-      // classification or rewrite work
-      requireBatchSatisfies(spark, dir, upd, "upsertByKeys")
+      // classification or rewrite work; the delete arm adds no rows
+      if (insertUpdates) requireBatchSatisfies(spark, dir, upd, verb)
       // the updates' PER-KEY footprint as prune boxes: sparse set for
       // a driver-small integral batch (prunes the gaps between CDC
       // keys), else the [min,max] range; typed keys round-trip
@@ -4453,45 +4716,54 @@ object Layout {
         val w = survivors.write.mode("overwrite")
         if (partCols.isEmpty) w.parquet(tmp.toString)
         else w.partitionBy(partCols.toIndexedSeq: _*).parquet(tmp.toString)
-        moveTreeInto(fs, tmp, hDir, "upsertByKeys")
+        moveTreeInto(fs, tmp, hDir, verb)
         fs.delete(tmp, true)
       }
       // the inserts: every update row appends as new data (matched
       // keys' old rows are already absent from the just-committed
-      // survivors, so this lands the NEW row exactly once)
-      val wI = upd.write.mode("append")
-      if (partCols.isEmpty) wI.parquet(dir)
-      else wI.partitionBy(partCols.toIndexedSeq: _*).parquet(dir)
+      // survivors, so this lands the NEW row exactly once). The
+      // delete arm appends nothing
+      if (insertUpdates) {
+        val wI = upd.write.mode("append")
+        if (partCols.isEmpty) wI.parquet(dir)
+        else wI.partitionBy(partCols.toIndexedSeq: _*).parquet(dir)
+      }
       // delta stats over everything new (survivor rewrites + inserts)
       // in one pass; re-listed through spark.read so the manifest
-      // rows carry the canonical URI spelling
+      // rows carry the canonical URI spelling. A delete whose touched
+      // files were FULLY matched leaves no new file — a None delta
+      // (nothing survived the rewrite), never an unreadable empty scan
       val newFiles = spark.read.parquet(dir).inputFiles.toSeq
         .filterNot(before)
-      val delta = manifestOf(
-          spark.read.option("basePath", dir).parquet(newFiles: _*),
-          keyCols, bloomKeysOf(mSchema))
-        .localCheckpoint(true)
-      val newRows = delta.agg(coalesce(sum("n_rows"), lit(0L)))
-        .collect()(0).getLong(0)
+      val delta =
+        if (newFiles.isEmpty) None
+        else Some(manifestOf(
+            spark.read.option("basePath", dir).parquet(newFiles: _*),
+            keyCols, bloomKeysOf(mSchema))
+          .localCheckpoint(true))
+      val newRows = delta.fold(0L)(_.agg(coalesce(sum("n_rows"), lit(0L)))
+        .collect()(0).getLong(0))
       // destroy (or retire) old data only now: the touched files are
       // fully superseded by their survivors + the inserted updates.
       // OCC re-check first — see deleteWhere's destructive tail
-      requireExpectedGen(fs, dir, expectedGen, "upsertByKeys")
+      requireExpectedGen(fs, dir, expectedGen, verb)
       val receipt = retireOrDeleteAll(fs, dir, touched.map(_._1).toSeq,
-        "upsertByKeys")
+        verb)
       // manifest last ([[patchManifest]]'s temp-dir + rename replace)
       patchManifest(spark, dir, manifest, keyCols,
-        touched.map(_._1).toSeq, Some(delta), "upsertByKeys", expectedGen,
+        touched.map(_._1).toSeq, delta, verb, expectedGen,
         receipt)
       // rewriting vectorized files strands their stores on an
       // untracked layout (no archived manifest can reference them)
       if (!generationsEnabled(fs, dir) && touchedDv.nonEmpty)
         reapUnreferencedDvStores(spark, fs, dir)
-      // newRows = survivors + updCount, so replaced = touched − survivors
+      // newRows = survivors (+ updCount when inserting), so
+      // replaced = touched − survivors either way
       val touchedRows = touched.map(_._2).sum
+      val inserted = if (insertUpdates) updCount else 0L
       UpsertStats(touched.length, verdicts.length - touched.length,
-        rowsReplaced = touchedRows + updCount - newRows,
-        rowsUpserted = updCount)
+        rowsReplaced = touchedRows + inserted - newRows,
+        rowsUpserted = inserted)
     } finally Checkpoints.unpersist(upd)
   }
 
@@ -4659,7 +4931,8 @@ object Layout {
     // a sparse SET box can never be range-proved; its files resolve
     // to scanned-or-disjoint, same as deleteWhere's demotion
     val rangeCovered = boxes.map {
-      case _: KeySetBox => lit(false)
+      case _: KeySetBox | _: TypedKeySetBox | _: TypedBoundsBox =>
+        lit(false) // sparse/half-open forms are never range-proved
       case b =>
         val (lo, hi) = decodeBounds(mSchema, b)
         col(s"min_${b.column}") >= lo && col(s"max_${b.column}") <= hi

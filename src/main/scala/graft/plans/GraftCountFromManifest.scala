@@ -41,13 +41,22 @@ object GraftCountFromManifest extends Rule[LogicalPlan] {
     * relation's own `options` field holds only the user's reader
     * options. */
   private def markerOf(r: DataSourceV2Relation): Option[(String, Long)] =
-    r.table match {
-      case pt: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+    (r.table match {
+      case g: graft.sources.GraftTable => Some(g.parquet)
+      case pt: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable =>
+        Some(pt)
+      case _ => None
+    }) match {
+      case Some(pt)
           // a pruned relation's file list no longer equals the
-          // manifest's, and a DV relation is substituted at analysis —
-          // neither may answer a count from the manifest
-          if !"true".equalsIgnoreCase(pt.options.get("graft.pruned")) &&
-            !"true".equalsIgnoreCase(pt.options.get("graft.layout.dv")) =>
+          // manifest's and may not answer a count from it. A
+          // DV-bearing relation MAY: snapshotLiveRowCount sums
+          // n_rows − dv_rows, exactly the live rows the substituted
+          // merge-on-read plan would scan out — and this rule runs
+          // BEFORE GraftDvReadRewrite in each batch iteration
+          // (injection order), so the bare-count shape never pays
+          // the snapshot scan at all
+          if !"true".equalsIgnoreCase(pt.options.get("graft.pruned")) =>
         for {
           dir <- Option(pt.options.get("graft.layout.dir"))
           gen <- Option(pt.options.get("graft.layout.gen"))

@@ -18,23 +18,40 @@ import graft.ext.Layout
   * whether [[GraftManifestPrune]] already shrank its file list. */
 private[plans] object GraftReaderMarker {
   final case class Marker(dir: String, gen: Long, hasDv: Boolean,
-                          pruned: Boolean, basePath: Option[String])
+                          pruned: Boolean, basePath: Option[String],
+                          mixed: Boolean) {
+    /** Whether [[GraftDvReadRewrite]] must replace this relation with
+      * the snapshot plan: deletion vectors (a raw file scan would
+      * resurrect deleted rows) or a mixed-anchor partitioned snapshot
+      * (the relation is a one-anchor placeholder, not the table). */
+    def substituted: Boolean = hasDv || mixed
+  }
 
-  def of(r: DataSourceV2Relation): Option[Marker] = r.table match {
-    case pt: ParquetTable =>
+  /** The V2 parquet table under the relation — unwrapping the
+    * [[graft.sources.GraftTable]] shell `tableOf` serves (reads
+    * delegate to this table; the shell exists for the write path). */
+  private[plans] def parquetOf(r: DataSourceV2Relation)
+      : Option[ParquetTable] = r.table match {
+    case g: graft.sources.GraftTable => Some(g.parquet)
+    case pt: ParquetTable => Some(pt)
+    case _ => None
+  }
+
+  def of(r: DataSourceV2Relation): Option[Marker] = parquetOf(r).flatMap {
+    pt =>
       for {
         dir <- Option(pt.options.get("graft.layout.dir"))
         gen <- Option(pt.options.get("graft.layout.gen"))
       } yield Marker(dir, gen.toLong,
         "true".equalsIgnoreCase(pt.options.get("graft.layout.dv")),
         "true".equalsIgnoreCase(pt.options.get("graft.pruned")),
-        Option(pt.options.get("basePath")))
-    case _ => None
+        Option(pt.options.get("basePath")),
+        "true".equalsIgnoreCase(pt.options.get("graft.layout.mixed")))
   }
 }
 
 /** Deletion-vector application for the `graft` DataSourceV2 reader —
-  * the analysis-time half of merge-on-read: a V2 FILE relation serves
+  * the OPTIMIZER half of merge-on-read: a V2 FILE relation serves
   * raw parquet bytes and cannot anti-join vectors, so when the
   * resolved generation carries any ([[graft.sources.GraftSource]]
   * stamps `graft.layout.dv`), this rule REPLACES the relation with
@@ -42,52 +59,98 @@ private[plans] object GraftReaderMarker {
   * generation — the one existing implementation of snapshot + DV
   * semantics (resolve live-or-retired, split DV-free files onto the
   * plain scan, anti-join the referenced stores on the parquet
-  * metadata identity). The substitution happens at POST-HOC
-  * resolution, before any optimization, so predicate pushdown and
-  * column pruning land inside the substituted plan exactly as they
-  * would on a hand-written `readSnapshot` call.
+  * metadata identity).
+  *
+  * The rule runs in the operator-optimization batch (after Spark's
+  * own predicate pushdown has run within the same iteration), so a
+  * Filter sitting on the relation is VISIBLE here — and its pushable
+  * conjuncts translate through the same [[GraftPruneBoxes.boxesOf]]
+  * vocabulary [[GraftManifestPrune]] uses, substituting
+  * [[graft.ext.Layout.readSnapshotPruned]] instead: a merge-on-read
+  * table KEEPS manifest data skipping through plain SQL (at 100 TB,
+  * `WHERE key BETWEEN …` on a table with one DV'd file still opens
+  * three files, not the manifest's worth). The query's own Filter
+  * stays as the residual above the substitution, so pruned ≡ full
+  * snapshot scan by the scanPruned construction. The substituted
+  * child is the snapshot frame's OPTIMIZED plan (no alias/analysis
+  * residue reaches physical planning), and the driver-side inputs it
+  * needs — the generation's (file, dv_path) rows, with or without
+  * skipping — are memoized per immutable (dir, identity, generation)
+  * inside the Layout verbs, so re-analysis (explain, AQE, repeated
+  * queries) costs plan construction, not a manifest Spark job.
   *
   * Output fidelity: the replacement is wrapped in a Project aliasing
   * each snapshot column back to the relation's own attribute
   * (name-resolved, exprIds preserved), so nothing upstream
   * re-resolves; a name or type mismatch — impossible while both
   * sides derive from the same layout schema — fails loudly rather
-  * than mis-mapping a column.
+  * than mis-mapping a column. Each match builds a FRESH snapshot
+  * plan (fresh exprIds), so self-joins of a DV generation stay
+  * well-formed.
   *
-  * Installed by [[graft.GraftExtensions]]
-  * `injectPostHocResolutionRule`; sessions without the extensions are
-  * refused at `tableOf` time (never a silent raw read that would
-  * resurrect deleted rows). */
+  * The same substitution serves MIXED-ANCHOR partitioned snapshots
+  * (`graft.layout.mixed`): a historical generation whose files
+  * resolve under MORE THAN ONE anchor (live + retirement labels)
+  * cannot be one V2 file relation — partition columns re-derive from
+  * a single basePath — so `tableOf` builds a schema-correct
+  * placeholder and this rule swaps in the per-anchor union
+  * `readSnapshot` already is.
+  *
+  * Installed by [[graft.GraftExtensions]] `injectOptimizerRule`;
+  * sessions without the extensions are refused at `tableOf` time
+  * (never a silent raw read that would resurrect deleted rows or
+  * serve one anchor as the table). */
 case class GraftDvReadRewrite(session: SparkSession)
     extends Rule[LogicalPlan] {
+  import GraftPruneBoxes.boxesOf
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformUp {
-      case r: DataSourceV2Relation
-          if GraftReaderMarker.of(r).exists(_.hasDv) =>
+    // top-down: the Filter-over-relation case must claim the pair
+    // before the bare-relation case sees the child
+    plan.transformDown {
+      case Filter(cond, r: DataSourceV2Relation)
+          if GraftReaderMarker.of(r).exists(_.substituted) =>
         val m = GraftReaderMarker.of(r).get
-        val snap = Layout.readSnapshot(session, m.dir, m.gen)
-        val child = snap.queryExecution.analyzed
-        val resolver = session.sessionState.conf.resolver
-        val aliases: Seq[NamedExpression] = r.output.map { a =>
-          child.output.filter(c => resolver(c.name, a.name)) match {
-            case Seq(one) =>
-              require(one.dataType == a.dataType,
-                s"graft DV read of ${m.dir} gen=${m.gen}: column " +
-                  s"${a.name} resolves as ${one.dataType} in the " +
-                  s"snapshot but ${a.dataType} in the relation — " +
-                  "schema sidecar and manifest disagree")
-              Alias(one, a.name)(exprId = a.exprId,
-                qualifier = a.qualifier)
-            case other => throw new IllegalStateException(
-              s"graft DV read of ${m.dir} gen=${m.gen} cannot map " +
-                s"relation column ${a.name} onto the snapshot plan " +
-                s"(${other.size} candidates of " +
-                s"${child.output.map(_.name).mkString(", ")})")
-          }
-        }
-        Project(aliases, child)
+        val boxes = Layout.snapshotManifestSchema(session, m.dir, m.gen)
+          .map(ms => boxesOf(cond, ms,
+            utcSession = session.sessionState.conf
+              .sessionLocalTimeZone == "UTC"))
+          .getOrElse(Nil)
+        val snap =
+          if (boxes.nonEmpty)
+            Layout.readSnapshotPruned(session, m.dir, m.gen, boxes)
+          else Layout.readSnapshot(session, m.dir, m.gen)
+        Filter(cond, substitute(r, m, snap))
+      case r: DataSourceV2Relation
+          if GraftReaderMarker.of(r).exists(_.substituted) =>
+        val m = GraftReaderMarker.of(r).get
+        substitute(r, m, Layout.readSnapshot(session, m.dir, m.gen))
     }
+
+  private def substitute(r: DataSourceV2Relation,
+                         m: GraftReaderMarker.Marker,
+                         snap: org.apache.spark.sql.DataFrame): LogicalPlan = {
+    val child = snap.queryExecution.optimizedPlan
+    val resolver = session.sessionState.conf.resolver
+    val aliases: Seq[NamedExpression] = r.output.map { a =>
+      child.output.filter(c => resolver(c.name, a.name)) match {
+        case Seq(one) =>
+          require(one.dataType == a.dataType,
+            s"graft DV read of ${m.dir} gen=${m.gen}: column " +
+              s"${a.name} resolves as ${one.dataType} in the " +
+              s"snapshot but ${a.dataType} in the relation — " +
+              "schema sidecar and manifest disagree")
+          Alias(one, a.name)(exprId = a.exprId,
+            qualifier = a.qualifier)
+        case other => throw new IllegalStateException(
+          s"graft DV read of ${m.dir} gen=${m.gen} cannot map " +
+            s"relation column ${a.name} onto the snapshot plan " +
+            s"(${other.size} candidates of " +
+            s"${child.output.map(_.name).mkString(", ")})")
+      }
+    }
+    Project(aliases, child)
+  }
 }
 
 /** Manifest data skipping for the `graft` DataSourceV2 reader — the
@@ -129,7 +192,7 @@ case class GraftManifestPrune(session: SparkSession)
     plan.transformUp {
       case f @ Filter(cond, r: DataSourceV2Relation) =>
         GraftReaderMarker.of(r) match {
-          case Some(m) if !m.hasDv && !m.pruned =>
+          case Some(m) if !m.substituted && !m.pruned =>
             Layout.snapshotManifestSchema(session, m.dir, m.gen) match {
               case Some(mSchema) =>
                 val boxes = boxesOf(cond, mSchema,
@@ -156,7 +219,10 @@ case class GraftManifestPrune(session: SparkSession)
     if (pairs.isEmpty)
       // no file can contain a match: exact empty result, scan-free
       return Filter(cond, LocalRelation(r.output))
-    val pt = r.table.asInstanceOf[ParquetTable]
+    // the pruned relation is read-only by construction (writes target
+    // the live layout through a fresh load), so the bare ParquetTable
+    // replaces the wrapper
+    val pt = GraftReaderMarker.parquetOf(r).get
     val opts = new java.util.HashMap[String, String](
       pt.options.asCaseSensitiveMap())
     opts.put("graft.pruned", "true")
@@ -228,6 +294,8 @@ private[plans] object GraftPruneBoxes {
     val strRanges =
       scala.collection.mutable.LinkedHashMap[String, Range[String]]()
     val sets = scala.collection.mutable.ArrayBuffer[Layout.KeySetBox]()
+    val typedSets =
+      scala.collection.mutable.ArrayBuffer[Layout.TypedKeySetBox]()
 
     def addBound(a: AttributeReference, l: Literal, isLo: Boolean,
                  isHi: Boolean): Unit =
@@ -265,6 +333,35 @@ private[plans] object GraftPruneBoxes {
         case _ => ()
       }
 
+    // typed IN-lists: literal elements render to the string form the
+    // typed boxes take (dates/timestamps through the same canonical
+    // renderers as the range bounds — timestamps UTC-sessions only,
+    // same bijectivity argument as addBound). Elements that fail to
+    // render (nulls, exotic types) drop the WHOLE set — a partial set
+    // would claim rows the conjunct matches elsewhere don't exist.
+    def addTypedSet(a: AttributeReference, ls: Seq[Literal]): Unit =
+      statType(mSchema, a.name).foreach { st =>
+        if (st != LongType) {
+          // null elements drop (IN's three-valued semantics: a null
+          // element matches no row through the residual); any OTHER
+          // non-renderable element drops the whole set — a partial
+          // set would wrongly prune files holding its rows
+          val nonNull = ls.filter(_.value != null)
+          val rendered: Seq[Option[String]] = nonNull.map { l =>
+            (st, l.dataType) match {
+              case (DateType, DateType) =>
+                Some(dayStr(l.value.asInstanceOf[Int]))
+              case (TimestampType, TimestampType) if utcSession =>
+                Some(tsStr(l.value.asInstanceOf[Long]))
+              case (StringType, StringType) => Some(l.value.toString)
+              case _ => None
+            }
+          }
+          if (rendered.nonEmpty && rendered.forall(_.isDefined))
+            typedSets += Layout.TypedKeySetBox(a.name, rendered.flatten)
+        }
+      }
+
     splitConjuncts(cond).foreach {
       case EqualTo(a: AttributeReference, l: Literal) =>
         addBound(a, l, isLo = true, isHi = true)
@@ -290,38 +387,48 @@ private[plans] object GraftPruneBoxes {
           if vs.forall(_.isInstanceOf[Literal]) =>
         // null elements drop: `k IN (1, null)` only ever keeps k = 1
         // rows through the residual filter
-        addSet(a, vs.collect { case l: Literal =>
-          longOf(l) }.flatten)
+        val ls = vs.collect { case l: Literal => l }
+        addSet(a, ls.flatMap(longOf))
+        addTypedSet(a, ls)
       case InSet(a: AttributeReference, vs) =>
         if (statType(mSchema, a.name).contains(LongType) &&
             a.dataType == LongType)
           addSet(a, vs.toSeq.collect { case v: java.lang.Long =>
             v.longValue() })
+        else addTypedSet(a,
+          // InSet holds internal-form values (UTF8String / days /
+          // micros) — wrap with the internal-form constructor, never
+          // Literal.create (which converts EXTERNAL forms)
+          vs.toSeq.map(v => Literal(v, a.dataType)))
       case _ => () // unprovable conjunct: no box, residual keeps it exact
     }
 
     val longBoxes = longRanges.collect {
       case (c, r) if r.lo.isDefined || r.hi.isDefined =>
+        // Long.Min/Max are the type's TRUE extremes — exact, unlike
+        // the typed sentinels below which therefore don't exist
         Layout.KeyBox(c, r.lo.getOrElse(Long.MinValue),
           r.hi.getOrElse(Long.MaxValue))
     }.toSeq
-    // half-open typed ranges take wide-but-valid sentinels for the
-    // missing side (dates); strings need both bounds (no top element)
-    val dateBoxes = dateRanges.collect {
-      case (c, r) if r.lo.isDefined || r.hi.isDefined =>
-        Layout.TypedKeyBox(c, r.lo.map(dayStr).getOrElse("0001-01-01"),
-          r.hi.map(dayStr).getOrElse("9999-12-31"))
-    }.toSeq
-    val tsBoxes = tsRanges.collect {
-      case (c, r) if r.lo.isDefined || r.hi.isDefined =>
-        Layout.TypedKeyBox(c,
-          r.lo.map(tsStr).getOrElse("0001-01-01 00:00:00"),
-          r.hi.map(tsStr).getOrElse("9999-12-31 23:59:59"))
-    }.toSeq
-    val strBoxes = strRanges.collect {
-      case (c, r) if r.lo.isDefined && r.hi.isDefined =>
-        Layout.TypedKeyBox(c, r.lo.get, r.hi.get)
-    }.toSeq
-    longBoxes ++ dateBoxes ++ tsBoxes ++ strBoxes ++ sets.toSeq
+    // typed ranges: closed intervals keep the two-bound TypedKeyBox;
+    // a HALF-OPEN range emits a TypedBoundsBox with the missing side
+    // absent — never a finite string sentinel, which could not cover
+    // the type's full domain (Spark dates/timestamps extend beyond
+    // year 9999 and before year 1, so `ts > X` with a '9999-…'
+    // sentinel would wrongly prune a file of post-9999 rows,
+    // breaking the box ⊇ conjunct superset contract)
+    def typedBoxes[T](ranges: scala.collection.mutable.LinkedHashMap[
+        String, Range[T]], render: T => String): Seq[Layout.PruneBox] =
+      ranges.collect {
+        case (c, r) if r.lo.isDefined && r.hi.isDefined =>
+          Layout.TypedKeyBox(c, render(r.lo.get), render(r.hi.get))
+        case (c, r) if r.lo.isDefined || r.hi.isDefined =>
+          Layout.TypedBoundsBox(c, r.lo.map(render), r.hi.map(render))
+      }.toSeq
+    val dateBoxes = typedBoxes[Int](dateRanges, dayStr)
+    val tsBoxes = typedBoxes[Long](tsRanges, tsStr)
+    val strBoxes = typedBoxes[String](strRanges, identity)
+    longBoxes ++ dateBoxes ++ tsBoxes ++ strBoxes ++ sets.toSeq ++
+      typedSets.toSeq
   }
 }

@@ -25,10 +25,14 @@ import graft.ext.Layout
   *   GRAFT CREATE '<dir>' KEYS (k, …) [GENERATIONS] AS <query>
   *   GRAFT APPEND INTO '<dir>' [MERGE SCHEMA] AS <query>
   *   GRAFT UPSERT INTO '<dir>' KEYS (k, …) AS <query>
+  *   GRAFT MERGE INTO '<dir>' USING (<query>) ON (k, …)
+  *         WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT
+  *       | WHEN MATCHED THEN DELETE
   *   GRAFT UPDATE '<dir>' SET c = <expr>[, …] WHERE <pred> [AND <pred> …]
   *   GRAFT DELETE FROM '<dir>' WHERE <pred> [AND <pred> …]
   *                    [USING VECTORS]
-  *     pred: <key> BETWEEN <lo> AND <hi>  |  <key> IN (<n>, …)
+  *     pred: <key> BETWEEN <lo> AND <hi>  |  <key> = <v>
+  *         | <key> IN (<v>, …)   — values numeric or 'quoted' (typed)
   *   GRAFT ALTER '<dir>' ADD CONSTRAINT <name> CHECK (<expr>)
   *   GRAFT ALTER '<dir>' DROP CONSTRAINT <name>
   *   GRAFT SHOW CONSTRAINTS '<dir>'
@@ -110,6 +114,15 @@ object GraftSqlCommands {
     """(?is)\s*GRAFT\s+APPEND\s+INTO\s+'([^']+)'(\s+MERGE\s+SCHEMA)?\s+AS\s+(.+?)\s*;?\s*""".r
   private val UpsertRe =
     """(?is)\s*GRAFT\s+UPSERT\s+INTO\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+AS\s+(.+?)\s*;?\s*""".r
+  // the USING query is PARENTHESIZED so its own `… ON (…)` join
+  // syntax can never be mistaken for the merge keys: the greedy
+  // `(.+)` claims everything up to the LAST `) ON (keys) WHEN …`
+  private val MergeRe =
+    """(?is)\s*GRAFT\s+MERGE\s+INTO\s+'([^']+)'\s+USING\s*\((.+)\)\s+ON\s*\(([^)]+)\)\s+(WHEN\s+.+?)\s*;?\s*""".r
+  private val MergeUpsertRe =
+    """(?is)^WHEN\s+MATCHED\s+THEN\s+UPDATE\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT$""".r
+  private val MergeDeleteRe =
+    """(?is)^WHEN\s+MATCHED\s+THEN\s+DELETE$""".r
   private val DeleteRe =
     """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)(\s+USING\s+VECTORS)?\s*;?\s*""".r
   // the WHERE tail parses as a CONJUNCTION of key predicates —
@@ -124,6 +137,12 @@ object GraftSqlCommands {
     """(?is)^(\w+)\s+BETWEEN\s+'([^']*)'\s+AND\s+'([^']*)'(.*)""".r
   private val PredInRe =
     """(?is)^(\w+)\s+IN\s*\(\s*(-?\d+(?:\s*,\s*-?\d+)*)\s*\)(.*)""".r
+  private val PredInStrRe =
+    """(?is)^(\w+)\s+IN\s*\(\s*('[^']*'(?:\s*,\s*'[^']*')*)\s*\)(.*)""".r
+  // = desugars to the degenerate BETWEEN (point lookups without the
+  // ceremony); quoted form dispatches to the typed box like BETWEEN
+  private val PredEqNumRe = """(?is)^(\w+)\s*=\s*(-?\d+)\b(.*)""".r
+  private val PredEqStrRe = """(?is)^(\w+)\s*=\s*'([^']*)'(.*)""".r
   private val AndTailRe = """(?is)^\s+AND\s+(.+)""".r
   private val UpdateRe =
     """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
@@ -261,6 +280,42 @@ object GraftSqlCommands {
             Seq(Row(st.filesRewritten, st.filesUntouched, st.rowsReplaced,
               st.rowsUpserted))
           }))
+      case MergeRe(dir, query, keys, whenTail) =>
+        // the lakehouse workhorse, desugared onto the EXISTING verbs
+        // (never a third mutation implementation): MATCHED UPDATE +
+        // NOT MATCHED INSERT is exactly upsert-by-keys (whole-row
+        // replace from the source, source-only keys insert); MATCHED
+        // DELETE is the deleteMatching rewrite. Any other WHEN
+        // combination is refused with the two supported forms named
+        val df = org.apache.spark.sql.GraftColumnBridge.frameOf(session,
+          delegate.parseQuery(query))
+        val keyCols = keys.split(',').map(_.trim).toSeq
+        whenTail.trim match {
+          case MergeUpsertRe() =>
+            Some(GraftVerbCommand(
+              attrsOf("files_rewritten" -> IntegerType,
+                "files_untouched" -> IntegerType,
+                "rows_replaced" -> LongType, "rows_upserted" -> LongType),
+              s => {
+                val st = Layout.upsertByKeys(s, dir, df, keyCols)
+                Seq(Row(st.filesRewritten, st.filesUntouched,
+                  st.rowsReplaced, st.rowsUpserted))
+              }))
+          case MergeDeleteRe() =>
+            Some(GraftVerbCommand(
+              attrsOf("files_rewritten" -> IntegerType,
+                "rows_deleted" -> LongType),
+              s => {
+                val st = Layout.deleteMatching(s, dir, df, keyCols)
+                Seq(Row(st.filesRewritten, st.rowsDeleted))
+              }))
+          case other => throw new IllegalArgumentException(
+            s"unsupported GRAFT MERGE action clause '$other' — " +
+              "supported: WHEN MATCHED THEN UPDATE WHEN NOT MATCHED " +
+              "THEN INSERT (upsert semantics: matched rows replaced " +
+              "by the source row, unmatched source rows inserted) | " +
+              "WHEN MATCHED THEN DELETE (source-matched rows removed)")
+        }
       case UpdateRe(dir, setPart, whereTail) =>
         // SET expressions parse through SPARK'S OWN expression parser
         // (same discipline as the AS-tails — the dialect never grows
@@ -336,10 +391,14 @@ object GraftSqlCommands {
             "[GENERATIONS] AS <query> | GRAFT APPEND INTO '<dir>' " +
             "[MERGE SCHEMA] AS " +
             "<query> | GRAFT UPSERT INTO '<dir>' KEYS (k, …) AS " +
-            "<query> | GRAFT UPDATE '<dir>' SET c = <expr>, … WHERE " +
+            "<query> | GRAFT MERGE INTO '<dir>' USING (<query>) ON " +
+            "(k, …) WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN " +
+            "INSERT / WHEN MATCHED THEN DELETE | " +
+            "GRAFT UPDATE '<dir>' SET c = <expr>, … WHERE " +
             "<pred> [AND <pred> …] | GRAFT DELETE FROM '<dir>' WHERE " +
             "<pred> [AND <pred> …] [USING VECTORS] (pred: <key> " +
-            "BETWEEN <lo> AND <hi> | <key> IN (<n>, …)) | GRAFT ALTER " +
+            "BETWEEN <lo> AND <hi> | <key> = <v> | <key> IN (<v>, …)) " +
+            "| GRAFT ALTER " +
             "'<dir>' ADD " +
             "CONSTRAINT <name> CHECK (<expr>) | GRAFT ALTER '<dir>' " +
             "DROP CONSTRAINT <name> | GRAFT SHOW CONSTRAINTS '<dir>' | " +
@@ -379,10 +438,20 @@ object GraftSqlCommands {
         case PredInRe(k, vs, tail) =>
           boxes += Layout.KeySetBox(k,
             vs.split(',').map(_.trim.toLong).toSeq); tail
+        case PredInStrRe(k, vs, tail) =>
+          // quoted IN-list → the typed set box (the list splits on
+          // commas BETWEEN quotes, so values may hold commas)
+          boxes += Layout.TypedKeySetBox(k,
+            "'([^']*)'".r.findAllMatchIn(vs).map(_.group(1)).toSeq); tail
+        case PredEqNumRe(k, v, tail) =>
+          boxes += Layout.KeyBox(k, v.toLong, v.toLong); tail
+        case PredEqStrRe(k, v, tail) =>
+          boxes += Layout.TypedKeyBox(k, v, v); tail
         case _ => throw new IllegalArgumentException(
           s"cannot parse GRAFT DELETE predicate at '$rest' — each " +
-            "conjunct must be <key> BETWEEN <lo> AND <hi> (numeric or " +
-            "quoted) or <key> IN (<n>, …), joined with AND")
+            "conjunct must be <key> BETWEEN <lo> AND <hi>, <key> = <v>, " +
+            "or <key> IN (<v>, …) (values numeric or 'quoted'), " +
+            "joined with AND")
       }
       after.trim match {
         case "" => done = true

@@ -47,14 +47,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * matching [[graft.ext.Layout.readLayout]]), which is already a
   * different contract from `spark.read.parquet(dir)`.
   *
-  * One documented boundary: a HIVE-PARTITIONED snapshot whose files
-  * resolve under MORE THAN ONE anchor (some live, some under a
-  * retirement label) cannot be one V2 relation — partition columns
-  * re-derive from a single `basePath`, and those files anchor at
-  * different roots. That read is refused loudly with the recovery
-  * named (`Layout.readSnapshot`, which unions per-anchor reads);
-  * single-anchor partitioned snapshots (the live generation, or a
-  * snapshot whose churn is fully retired under one label) work.
+  * A HIVE-PARTITIONED snapshot whose files resolve under MORE THAN
+  * ONE anchor (some live, some under a retirement label) cannot be
+  * one V2 file relation — partition columns re-derive from a single
+  * `basePath`. Under the extensions it reads anyway: the relation is
+  * a placeholder the optimizer replaces with `readSnapshot`'s
+  * per-anchor union (same substitution machinery as DV generations);
+  * without the extensions it refuses loudly with the recovery named.
   *
   * Snapshot resolution happens at table-creation time (the same
   * moment `readSnapshot` resolves), so a cached DataFrame keeps
@@ -70,11 +69,29 @@ class GraftSource extends TableProvider with DataSourceRegister
 
   override def supportsExternalMetadata(): Boolean = false
 
+  private val TsFmt = new java.time.format.DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd HH:mm:ss")
+    .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND,
+      0, 9, true)
+    .toFormatter(java.util.Locale.ROOT)
+
+  /** A reader-option instant: epoch millis, or a wall-clock string
+    * read in the SESSION timezone — never the JVM default
+    * (`java.sql.Timestamp.valueOf` semantics), which would silently
+    * shift `timestampAsOf`/`startingTimestamp` by the zone offset on
+    * any deployment whose JVM zone differs from the session's. The
+    * engine pins its sessions to UTC; this keeps the option honest
+    * either way. */
   private def parseTs(t: String): Long =
     try t.toLong catch {
       case _: NumberFormatException =>
-        try java.sql.Timestamp.valueOf(t).getTime catch {
-          case _: IllegalArgumentException =>
+        try {
+          val zone = java.time.ZoneId.of(SparkSession.active
+            .sessionState.conf.sessionLocalTimeZone)
+          java.time.LocalDateTime.parse(t, TsFmt).atZone(zone)
+            .toInstant.toEpochMilli
+        } catch {
+          case _: java.time.format.DateTimeParseException =>
             throw new IllegalArgumentException(
               s"timestampAsOf must be epoch millis or " +
                 s"'yyyy-MM-dd HH:mm:ss[.f]', got '$t'")
@@ -107,9 +124,10 @@ class GraftSource extends TableProvider with DataSourceRegister
     // pass-through would silently resurrect deleted rows. (The
     // parser probe stands in for "GraftExtensions installed": both
     // come from the same injection.)
+    val extensionsInstalled =
+      spark.sessionState.sqlParser.isInstanceOf[graft.plans.GraftSqlParser]
     val hasDv = graft.ext.Layout.snapshotHasDv(spark, dir, gen)
-    require(!hasDv ||
-        spark.sessionState.sqlParser.isInstanceOf[graft.plans.GraftSqlParser],
+    require(!hasDv || extensionsInstalled,
       s"generation $gen of $dir carries deletion vectors, and this " +
         "session lacks the graft extensions that apply them — build " +
         "the session with GraftSession.tuned (or " +
@@ -136,21 +154,41 @@ class GraftSource extends TableProvider with DataSourceRegister
     passthrough.put("graft.layout.dir", dir)
     passthrough.put("graft.layout.gen", gen.toString)
     if (hasDv) passthrough.put("graft.layout.dv", "true")
+    var tableFiles = pairs.map(_._2)
     if (graft.ext.Layout.isHivePartitioned(spark, dir)) {
       // partition columns re-derive from ONE basePath; live and
-      // retired files anchor at different roots, so a mixed snapshot
-      // is not expressible as a single V2 relation
+      // retired files anchor at different roots, so a MIXED snapshot
+      // is not expressible as a single V2 file relation. Like a DV
+      // generation, it is instead REPLACED in the optimizer with the
+      // readSnapshot plan (which unions per-anchor reads) — the
+      // relation built here is a schema-correct PLACEHOLDER over the
+      // first anchor's files, never scanned. Requires the extensions
+      // that carry the substitution rule; refused loudly otherwise.
       val anchors = pairs.map(_._1).distinct
-      require(anchors.size <= 1,
-        s"generation $gen of the partitioned layout $dir spans " +
-          s"${anchors.size} anchors (live + retirement labels) — one " +
-          "V2 relation cannot re-derive partition columns across " +
-          "them; read it with Layout.readSnapshot instead")
+      if (anchors.size > 1) {
+        require(extensionsInstalled,
+          s"generation $gen of the partitioned layout $dir spans " +
+            s"${anchors.size} anchors (live + retirement labels), and " +
+            "this session lacks the graft extensions that substitute " +
+            "the per-anchor snapshot plan — build the session with " +
+            "GraftSession.tuned (or .withExtensions(new " +
+            "GraftExtensions)), or read it with Layout.readSnapshot")
+        passthrough.put("graft.layout.mixed", "true")
+        val a0 = anchors.head
+        tableFiles = pairs.collect { case (`a0`, f) => f }
+      }
       anchors.headOption.foreach(passthrough.put("basePath", _))
     }
-    ParquetTable(s"graft $dir gen=$gen", spark,
+    val pt = ParquetTable(s"graft $dir gen=$gen", spark,
       new CaseInsensitiveStringMap(passthrough),
-      pairs.map(_._2).toIndexedSeq, stored, classOf[ParquetFileFormat])
+      tableFiles.toIndexedSeq, stored, classOf[ParquetFileFormat])
+    // wrapped: reads delegate to the V2 parquet scan verbatim (the
+    // plan rewrites unwrap the marker through [[GraftTable.parquet]]),
+    // writes land as [[graft.ext.Layout.appendWithManifest]] — never
+    // ParquetTable's own file write, which would drop manifest-less
+    // debris a covered read can't see
+    new GraftTable(pt, dir,
+      timeTravel = version.isDefined || tstamp.isDefined)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -232,11 +270,13 @@ class GraftSource extends TableProvider with DataSourceRegister
       }
     }
     // startingTimestamp resolves through the SAME per-commit records
-    // TIMESTAMP AS OF reads (generationAsOf — newest commit at or
-    // before the instant), so the stream backfills from exactly the
-    // generation a batch time-travel read of that instant would serve
+    // TIMESTAMP AS OF reads, INCLUSIVELY: the offset is the
+    // generation BEFORE the earliest commit at or after the instant,
+    // so a commit landing exactly at the instant ships its changes
+    // (the reference CDC contract; an at-or-before resolution would
+    // silently exclude it)
     val fromTimestamp = p.get("startingTimestamp").map(t =>
-      graft.ext.Layout.generationAsOf(spark, dir, parseTs(t)))
+      graft.ext.Layout.cdcStartGeneration(spark, dir, parseTs(t)))
     require(fromVersion.isEmpty || fromTimestamp.isEmpty,
       "pass startingVersion OR startingTimestamp, not both")
     new GraftChangeSource(spark, dir,
@@ -277,13 +317,96 @@ class GraftSource extends TableProvider with DataSourceRegister
     require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
       s"the graft sink is append-only (exactly-once streamAppend); " +
         s"got $outputMode")
-    val queryId = p.get("queryId")
-      .orElse(p.get("checkpointLocation"))
-      .getOrElse(throw new IllegalArgumentException(
-        "the graft sink needs a stable query identity for its " +
-          "ledger: .option(\"queryId\", …) or a checkpointLocation"))
+    // an EXPLICIT queryId is the user's token, taken verbatim; the
+    // checkpointLocation default is a PATH, and equivalent spellings
+    // of one path (relative vs absolute, trailing slash, scheme-
+    // qualified) must hash to ONE ledger — a restart under a
+    // differently-spelled checkpoint would otherwise miss the replay
+    // check and append its last batch twice. Qualify against the
+    // session filesystem before the ledger name derives from it.
+    val queryId = p.get("queryId").getOrElse {
+      val ckpt = p.getOrElse("checkpointLocation",
+        throw new IllegalArgumentException(
+          "the graft sink needs a stable query identity for its " +
+            "ledger: .option(\"queryId\", …) or a checkpointLocation"))
+      val hp = new org.apache.hadoop.fs.Path(ckpt)
+      hp.getFileSystem(sqlContext.sparkSession.sparkContext
+        .hadoopConfiguration).makeQualified(hp).toString
+    }
     new GraftStreamSink(dir, queryId,
       p.get("mergeSchema").exists(_.equalsIgnoreCase("true")))
+  }
+}
+
+/** The table the `graft` provider serves: READS are the wrapped V2
+  * parquet table's scan verbatim (snapshot-resolved file list, full
+  * pushdown/pruning/vectorization — plus the marker options the plan
+  * rewrites key on), WRITES are the layout verb. `df.write
+  * .format("graft").mode("append").save(dir)` plans as a V1-fallback
+  * append ([[org.apache.spark.sql.connector.write.V1Write]] — the
+  * Delta pattern), whose insert IS
+  * [[graft.ext.Layout.appendWithManifest]]: stats from the layout's
+  * STORED keys, CHECK constraints enforced, schema drift refused (or
+  * evolved under `.option("mergeSchema", "true")`), one commit
+  * discipline with the Scala/SQL/stream writers. `ACCEPT_ANY_SCHEMA`
+  * hands the batch through UNRESOLVED so the verb's own schema
+  * discipline (exact-or-evolve, loud otherwise) is the single
+  * authority — Spark's positional by-name resolution would silently
+  * cast-align what the verb refuses. Unmappable modes refuse loudly:
+  * `overwrite` has no verb (no OVERWRITE capability → analysis
+  * error naming the table), `errorifexists`/`ignore` cannot create a
+  * layout (a manifest needs KEYS — GRAFT CREATE / Layout.create
+  * carry them), and a TIME-TRAVELED table (versionAsOf /
+  * timestampAsOf) is a snapshot, not a write target. */
+private[graft] class GraftTable(
+    private[graft] val parquet: org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable,
+    dir: String, timeTravel: Boolean)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  override def name(): String = parquet.name
+  override def columns() = parquet.columns()
+  // Table's DEFAULT schema() throws (override-one-of contract), and
+  // the provider's inferSchema calls schema() directly — delegate
+  // both accessors, not just columns()
+  override def schema(): StructType = parquet.schema
+  override def partitioning() = parquet.partitioning()
+  override def properties() = parquet.properties()
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap) =
+    parquet.newScanBuilder(options)
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(!timeTravel,
+      s"cannot write into a time-traveled read of $dir — a " +
+        "versionAsOf/timestampAsOf table is a snapshot; write to the " +
+        "live layout (drop the option)")
+    val mergeSchema = "true".equalsIgnoreCase(
+      info.options.getOrDefault("mergeSchema", "false"))
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              require(!overwrite,
+                s"the graft write surface is append-only ($dir) — " +
+                  "overwrite has no layout verb; GRAFT CREATE a fresh " +
+                  "directory or RESTORE a generation instead")
+              graft.ext.Layout.appendWithManifest(data, dir,
+                graft.ext.Layout.storedKeys(data.sparkSession, dir),
+                mergeSchema = mergeSchema)
+            }
+        }
+    }
   }
 }
 

@@ -2249,13 +2249,19 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
       // predicate pushdown reaches the parquet scan through the reader
       assert(live.filter(col("k") < 10L).count() === 10L)
       // a delete retires files: generation 0 now spans the live dir
-      // AND a retirement label — refused by name, with the recovery
+      // AND a retirement label — a MIXED snapshot, served through the
+      // optimizer substitution (the placeholder relation is replaced
+      // by readSnapshot's per-anchor union), partition columns intact
+      // across anchors
       Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 29L)))
-      val mixed = intercept[IllegalArgumentException] {
-        spark.read.format("graft").option("versionAsOf", "0").load(d)
-          .count()
-      }
-      assert(mixed.getMessage.contains("readSnapshot"))
+      val mixed = spark.read.format("graft")
+        .option("versionAsOf", "0").load(d)
+      assert(mixed.count() === 100L)
+      assert(mixed.groupBy("lang").count().as[(String, Long)]
+        .collect().sortBy(_._1).toSeq === Seq(("en", 50L), ("fr", 50L)))
+      // and a filtered mixed read stays exact (residual over the
+      // substituted union)
+      assert(mixed.filter(col("k") < 40L).count() === 40L)
       // the live generation still reads (files all live → one anchor)
       assert(spark.read.format("graft").load(d).count() === 70L)
       // and once the churn is FULLY retired under one label, a

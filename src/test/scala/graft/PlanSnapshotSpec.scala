@@ -169,6 +169,130 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("graft reader: a DV-bearing generation keeps manifest skipping (pruned substitution)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    withTempDir("graft_plan_dvprune_") { dir =>
+      val d = s"$dir/t"
+      (0L to 999L).map(k => (k, k * 2)).toDF("k", "v")
+        .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+        .write.parquet(d)
+      graft.ext.Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      graft.ext.Layout.enableGenerations(spark, d)
+      val del = graft.ext.Layout.deleteWhereDv(spark, d,
+        Seq(graft.ext.Layout.KeyBox("k", 100L, 149L)))
+      assert(del.filesVectorized >= 1, s"fixture wants a vectorized file: $del")
+      // the substituted merge-on-read plan reads V1 relations — count
+      // its DATA files (the anti-joined _graft_dv stores don't count)
+      def dataFiles(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation match {
+              case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                h.location.inputFiles.count(f => !f.contains("_graft_dv"))
+              case _ => 0
+            }
+        }.sum
+      def rd = spark.read.format("graft").load(d)
+      assert(dataFiles(rd) === 8, "unfiltered DV read resolves all 8 files")
+      // a key WHERE routes the substitution through readSnapshotPruned:
+      // only the overlapping file(s) open — the r16 full-scan gap
+      val banded = rd.where(col("k").between(120L, 180L))
+      assert(dataFiles(banded) <= 2 && dataFiles(banded) >= 1,
+        s"DV'd read must keep data skipping: ${dataFiles(banded)} of 8")
+      // …and the DV still applies inside the pruned read: [120,149]
+      // deleted, [150,180] live
+      assert(banded.select("k").as[Long].collect().sorted.toSeq ===
+        (150L to 180L))
+      // bare count over the DV generation answers from the manifest
+      // (n_rows − dv_rows), zero scans — the count rule runs first
+      val cnt = rd.agg(count(lit(1)).as("n"))
+      val scans = cnt.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => r: Any
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r: Any
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l: Any
+      }.size
+      assert(scans === 0, "DV count(*) must be manifest-answered")
+      assert(cnt.as[Long].head() === 950L)
+    }
+  }
+
+  test("graft reader: typed IN-lists and equality prune; half-open bounds stay exact past year 9999") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    withTempDir("graft_plan_typedin_") { dir =>
+      def v2Files(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+            r.scan match {
+              case fsc: org.apache.spark.sql.execution.datasources.v2.FileScan =>
+                fsc.fileIndex.inputFiles.length
+              case _ => 0
+            }
+        }.sum
+      // string-keyed layout: IN-lists prune via TypedKeySetBox — two
+      // far-apart langs skip the files between them, where the old
+      // range fallback (or no box at all) kept everything
+      val ds = s"$dir/s"
+      val langs = Seq("ar", "de", "en", "es", "fr", "hi", "ja", "zh")
+      (0L to 799L).map(k => (k, langs((k / 100L).toInt)))
+        .toDF("id", "lang")
+        .repartitionByRange(8, col("lang"), col("id"))
+        .sortWithinPartitions("lang", "id")
+        .write.parquet(ds)
+      graft.ext.Layout.buildFileManifest(spark, ds, Seq("lang"))
+        .write.mode("overwrite").parquet(s"$ds/_graft_manifest")
+      graft.ext.Layout.enableGenerations(spark, ds)
+      def rs = spark.read.format("graft").load(ds)
+      val in2 = rs.where(col("lang").isin("ar", "zh"))
+      assert(v2Files(in2) <= 4, s"typed IN kept ${v2Files(in2)} of 8 files")
+      assert(in2.count() === 200L)
+      // null elements drop from the set, never from the result
+      val inNull = rs.where(col("lang").isin("de", null))
+      assert(v2Files(inNull) <= 2)
+      assert(inNull.count() === 100L)
+      // date-keyed layout: date IN prunes; half-open date range prunes
+      val dd = s"$dir/d"
+      (0L to 799L).map(k => (k, java.sql.Date.valueOf(java.time.LocalDate
+        .of(2024, 1, 1).plusDays(k / 10L))))
+        .toDF("id", "day")
+        .repartitionByRange(8, col("day")).sortWithinPartitions("day")
+        .write.parquet(dd)
+      graft.ext.Layout.buildFileManifest(spark, dd, Seq("day"))
+        .write.mode("overwrite").parquet(s"$dd/_graft_manifest")
+      graft.ext.Layout.enableGenerations(spark, dd)
+      def rdd = spark.read.format("graft").load(dd)
+      val dayIn = rdd.where(col("day").isin(
+        java.sql.Date.valueOf("2024-01-03"), java.sql.Date.valueOf("2024-03-15")))
+      assert(v2Files(dayIn) <= 3, s"date IN kept ${v2Files(dayIn)} of 8")
+      assert(dayIn.count() === 20L)
+      val dayEq = rdd.where(col("day") === java.sql.Date.valueOf("2024-02-01"))
+      assert(v2Files(dayEq) <= 2)
+      assert(dayEq.count() === 10L)
+      val dayHalf = rdd.where(col("day") >= lit(java.sql.Date.valueOf("2024-03-10")))
+      assert(v2Files(dayHalf) <= 2, s"half-open date kept ${v2Files(dayHalf)}")
+      // the superset CONTRACT at the domain edge: rows past year 9999
+      // must survive a half-open lower bound (the r16 sentinel
+      // '9999-12-31 …' wrongly pruned them; now the missing side
+      // simply emits no comparison)
+      val dt = s"$dir/far"
+      // two APPENDS: exactly one file per era, deterministically
+      Seq((1L, java.time.Instant.parse("2024-06-01T00:00:00Z")))
+        .toDF("id", "ts").coalesce(1).write.parquet(dt)
+      Seq((2L, java.time.Instant.parse("+10123-01-01T00:00:00Z")))
+        .toDF("id", "ts").coalesce(1).write.mode("append").parquet(dt)
+      graft.ext.Layout.buildFileManifest(spark, dt, Seq("ts"))
+        .write.mode("overwrite").parquet(s"$dt/_graft_manifest")
+      graft.ext.Layout.enableGenerations(spark, dt)
+      val far = spark.read.format("graft").load(dt)
+        .where(col("ts") > lit(java.time.Instant.parse("2025-01-01T00:00:00Z")))
+      assert(far.select("id").as[Long].collect().toSeq === Seq(2L),
+        "a post-9999 row must survive a half-open lower bound")
+      assert(v2Files(far) === 1, "…and the 2024 file still prunes away")
+    }
+  }
+
   test("aggregations are partial (map-side combine) before the shuffle") {
     val plan = finalPlan("q_pricing_summary")
     // partial + final HashAggregate pair around one exchange

@@ -191,6 +191,42 @@ class StreamingCdcSpec extends AnyFunSuite with SharedSpark {
         }
         assert(e.getMessage.contains("not both"), e.getMessage)
       } finally q2.stop()
+      // INCLUSIVE at-instant: a stream starting exactly AT gen 2's
+      // recorded commit instant must serve gen 2's changes (the
+      // reference CDC contract) — the offset resolves to the
+      // generation BEFORE that commit, never to the commit itself
+      val ts2 = Layout.describeHistory(spark, base)
+        .filter(col("gen") === 2L).select(col("ts"))
+        .head().getTimestamp(0).getTime
+      var seenAt = 0L
+      val q3 = spark.readStream.format("graft")
+        .option("startingTimestamp", ts2.toString).load(base)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt3")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          seenAt += batch.agg(coalesce(sum(col("op").cast("long")), lit(0L)))
+            .head().getLong(0)
+          ()
+        }.start()
+      try {
+        q3.processAllAvailable()
+        assert(seenAt === 1L,
+          s"a commit landing exactly at the instant must be included, got $seenAt")
+      } finally q3.stop()
+      // an instant predating the retained history refuses loudly (the
+      // feed below the oldest retained generation cannot be served)
+      val q4 = spark.readStream.format("graft")
+        .option("startingTimestamp", "100").load(base)
+        .writeStream.option("checkpointLocation", s"$dir/ckpt4")
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .start()
+      try {
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q4.processAllAvailable()
+        }
+        assert(e.getMessage.contains("predates the retained history"),
+          e.getMessage)
+      } finally q4.stop()
     }
   }
 
