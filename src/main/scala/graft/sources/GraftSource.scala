@@ -17,6 +17,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   spark.read.format("graft").option("timestampAsOf", "2026-01-01 00:00:00").load(dir)
   *   spark.sql("CREATE TEMPORARY VIEW t USING graft " +
   *     "OPTIONS (path '...', versionAsOf '2')")                    // SQL-first surface
+  *   spark.sql("CREATE TABLE t USING graft OPTIONS (path '...')")  // catalog table:
+  *     // SELECT/INSERT INTO t with no view boilerplate, DROP TABLE
+  *     // removes only the entry — the layout stays the authority
   * }}}
   *
   * A THIN shell over the existing resolution — no second
@@ -67,7 +70,14 @@ class GraftSource extends TableProvider with DataSourceRegister
 
   override def shortName(): String = "graft"
 
-  override def supportsExternalMetadata(): Boolean = false
+  // TRUE so `CREATE TABLE t USING graft OPTIONS (path …)` resolves
+  // through the session catalog (FindDataSourceTable hands the
+  // catalog's STORED schema to getTable, which a false here refuses
+  // outright). The layout remains the schema AUTHORITY: getTable
+  // ignores the handed schema and re-resolves from the manifest +
+  // sidecar, so a table created before an ADD-COLUMN evolution
+  // serves the evolved schema — never the stale catalog copy.
+  override def supportsExternalMetadata(): Boolean = true
 
   private val TsFmt = new java.time.format.DateTimeFormatterBuilder()
     .appendPattern("yyyy-MM-dd HH:mm:ss")
@@ -194,6 +204,9 @@ class GraftSource extends TableProvider with DataSourceRegister
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     tableOf(options).schema()
 
+  // `schema`/`partitioning` (the catalog's stored copies) are
+  // deliberately unused: the layout's manifest + sidecar are the one
+  // authority, re-resolved per load — see supportsExternalMetadata
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
     tableOf(new CaseInsensitiveStringMap(properties))
