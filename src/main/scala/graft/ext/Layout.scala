@@ -304,6 +304,20 @@ object Layout {
       s"TypedBoundsBox($column) needs at least one bound")
   }
 
+  /** An exact timestamp interval in epoch MICROS — the reader path's
+    * timestamp range box. Bounds are INSTANTS, never rendered
+    * strings, so the stat comparison is session-zone-independent and
+    * every zone prunes timestamp keys exactly (a string bound's
+    * format∘parse round trip is only bijective in DST-free zones,
+    * which is why [[TypedKeyBox]]'s string timestamps stay
+    * UTC-gated). Either side may be absent (half-open). Like the
+    * other sparse/half-open forms, never covered-proved. */
+  final case class TsMicrosBox(column: String, lo: Option[Long],
+                               hi: Option[Long]) extends PruneBox {
+    require(lo.isDefined || hi.isDefined,
+      s"TsMicrosBox($column) needs at least one bound")
+  }
+
   /** Per-file min/max statistics manifest for `keyCols` over a
     * parquet directory — the Delta/Iceberg-style skipping index, as a
     * DataFrame `(file, n_rows, min_<k>, max_<k>, ...)` with one row
@@ -3437,6 +3451,10 @@ object Layout {
         throw new IllegalArgumentException(
           s"TypedBoundsBox on $c may be half-open — internal misuse of " +
             "the closed-interval decoder")
+      case TsMicrosBox(c, _, _) =>
+        throw new IllegalArgumentException(
+          s"TsMicrosBox on $c may be half-open — internal misuse of " +
+            "the closed-interval decoder")
     }
   }
 
@@ -3502,6 +3520,18 @@ object Layout {
       val sides = lo.map(v => col(s"max_$c") < lit(v).cast(t)).toSeq ++
         hi.map(v => col(s"min_$c") > lit(v).cast(t))
       coalesce(sides.reduce(_ || _), lit(true))
+    case TsMicrosBox(c, lo, hi) =>
+      // instant-to-instant comparison — no string render, no session
+      // zone in the loop; timestamp_micros builds the exact literal
+      require(mSchema.fieldNames.contains(s"min_$c"),
+        s"manifest has no stats for key $c")
+      require(mSchema(s"min_$c").dataType ==
+          org.apache.spark.sql.types.TimestampType,
+        s"TsMicrosBox on $c needs timestamp stats but the manifest " +
+          s"stores ${mSchema(s"min_$c").dataType}")
+      val sides = lo.map(v => col(s"max_$c") < timestamp_micros(lit(v)))
+        .toSeq ++ hi.map(v => col(s"min_$c") > timestamp_micros(lit(v)))
+      coalesce(sides.reduce(_ || _), lit(true))
     case _ =>
       val (lo, hi) = decodeBounds(mSchema, b)
       coalesce(col(s"max_${b.column}") < lo || col(s"min_${b.column}") > hi,
@@ -3524,6 +3554,9 @@ object Layout {
       val t = typedStatOf(mSchema, c)
       (lo.map(v => col(c) >= lit(v).cast(t)).toSeq ++
         hi.map(v => col(c) <= lit(v).cast(t))).reduce(_ && _)
+    case TsMicrosBox(c, lo, hi) =>
+      (lo.map(v => col(c) >= timestamp_micros(lit(v))).toSeq ++
+        hi.map(v => col(c) <= timestamp_micros(lit(v)))).reduce(_ && _)
     case _ =>
       val (lo, hi) = decodeBounds(mSchema, b)
       col(b.column).between(lo, hi)
@@ -3922,7 +3955,7 @@ object Layout {
     // stays correct on an already-vectorized file: all physical rows
     // match, so dropping the file drops its live subset
     val covered = boxes.map {
-      case _: KeySetBox | _: TypedKeySetBox | _: TypedBoundsBox =>
+      case _: KeySetBox | _: TypedKeySetBox | _: TypedBoundsBox | _: TsMicrosBox =>
         lit(false) // sparse/half-open forms are never range-proved
       case b =>
         val (lo, hi) = decodeBounds(mSchema, b)
@@ -4175,7 +4208,7 @@ object Layout {
     // through to false, demoting the file to the rewrite path. A
     // sparse SET box can never be range-proved, so it demotes too
     val covered = boxes.map {
-      case _: KeySetBox | _: TypedKeySetBox | _: TypedBoundsBox =>
+      case _: KeySetBox | _: TypedKeySetBox | _: TypedBoundsBox | _: TsMicrosBox =>
         lit(false) // sparse/half-open forms are never range-proved
       case b =>
         val (lo, hi) = decodeBounds(mSchema, b)
@@ -4931,7 +4964,7 @@ object Layout {
     // a sparse SET box can never be range-proved; its files resolve
     // to scanned-or-disjoint, same as deleteWhere's demotion
     val rangeCovered = boxes.map {
-      case _: KeySetBox | _: TypedKeySetBox | _: TypedBoundsBox =>
+      case _: KeySetBox | _: TypedKeySetBox | _: TypedBoundsBox | _: TsMicrosBox =>
         lit(false) // sparse/half-open forms are never range-proved
       case b =>
         val (lo, hi) = decodeBounds(mSchema, b)

@@ -164,9 +164,10 @@ case class GraftDvReadRewrite(session: SparkSession)
   * query's own Filter STAYS as the residual, so pruned ≡ full scan
   * by construction — a box is only ever a SUPERSET of its conjunct's
   * satisfying set (strict bounds widen to closed ones; timestamp
-  * keys prune only in UTC sessions, the one zone where the bound's
-  * string round-trip is bijective; conjuncts the translator cannot
-  * prove simply emit no box).
+  * RANGES carry epoch-micro instants and prune in every session
+  * zone, while string-rendered timestamp IN-lists stay UTC-gated —
+  * the one zone where the render round-trips bijectively; conjuncts
+  * the translator cannot prove simply emit no box).
   *
   * At 100 TB this is the lever that makes the SQL surface usable on
   * the most common query shape: `WHERE key BETWEEN …` through
@@ -260,13 +261,14 @@ private[plans] object GraftPruneBoxes {
     java.time.LocalDate.ofEpochDay(days.toLong).toString
 
   /** A timestamp literal (internal: epoch micros) as the string
-    * [[graft.ext.Layout.TypedKeyBox]] bounds take, rendered in UTC.
-    * Only used when the SESSION timezone is UTC: the box's bound is
-    * cast back to timestamp in the session zone, and only a
-    * DST-free zone makes format∘parse bijective — anywhere else the
-    * overlap hour could shift a bound and break the box⊇conjunct
-    * superset contract, so non-UTC sessions simply don't prune
-    * timestamp keys. */
+    * [[graft.ext.Layout.TypedKeySetBox]] elements take, rendered in
+    * UTC. Only used for IN-LIST elements, and only when the SESSION
+    * timezone is UTC: the element is cast back to timestamp in the
+    * session zone, and only a DST-free zone makes format∘parse
+    * bijective — anywhere else the overlap hour could shift a value
+    * and break the box⊇conjunct superset contract. Timestamp RANGES
+    * don't render at all ([[graft.ext.Layout.TsMicrosBox]] carries
+    * the instants), so they prune in every zone. */
   private def tsStr(micros: Long): String =
     java.time.format.DateTimeFormatter
       .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
@@ -311,7 +313,11 @@ private[plans] object GraftPruneBoxes {
             if (isLo) r.addLo(v.asInstanceOf[Int])
             if (isHi) r.addHi(v.asInstanceOf[Int])
           }
-        case TimestampType if l.dataType == TimestampType && utcSession =>
+        case TimestampType if l.dataType == TimestampType =>
+          // any session zone: the range emits a TsMicrosBox, whose
+          // bounds are epoch-micro INSTANTS — no string render, so
+          // no bijectivity concern (only the string-rendered IN-list
+          // form below stays UTC-gated)
           Option(l.value).foreach { v =>
             val r = tsRanges.getOrElseUpdate(a.name, new Range[Long])
             if (isLo) r.addLo(v.asInstanceOf[Long])
@@ -426,7 +432,12 @@ private[plans] object GraftPruneBoxes {
           Layout.TypedBoundsBox(c, r.lo.map(render), r.hi.map(render))
       }.toSeq
     val dateBoxes = typedBoxes[Int](dateRanges, dayStr)
-    val tsBoxes = typedBoxes[Long](tsRanges, tsStr)
+    // timestamp ranges carry their epoch-micro instants verbatim —
+    // exact in every session zone, closed or half-open alike
+    val tsBoxes = tsRanges.collect {
+      case (c, r) if r.lo.isDefined || r.hi.isDefined =>
+        Layout.TsMicrosBox(c, r.lo, r.hi)
+    }.toSeq
     val strBoxes = typedBoxes[String](strRanges, identity)
     longBoxes ++ dateBoxes ++ tsBoxes ++ strBoxes ++ sets.toSeq ++
       typedSets.toSeq

@@ -147,8 +147,9 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
       val strict = rs.where(col("lang") > "de" && col("lang") < "es")
       assert(v2Files(strict) <= 4)
       assert(strict.count() === 100L, "just en")
-      // TIMESTAMP-typed stats prune in this UTC session (the only
-      // zone where the bound's string round-trip is bijective)
+      // TIMESTAMP-typed stats prune via TsMicrosBox — epoch-micro
+      // instants, no string render, so the shrink holds in EVERY
+      // session zone (asserted below in a DST zone too)
       val dt = s"$dir/ts"
       spark.range(800)
         .select(col("id"), timestamp_seconds(col("id") * 3600L).as("ts"))
@@ -166,6 +167,17 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
         col("ts") === lit(java.time.Instant.ofEpochSecond(10L * 3600L)))
       assert(v2Files(point) === 1)
       assert(point.count() === 1L)
+      // a DST session zone prunes ranges identically (instants, not
+      // rendered strings); the string-rendered IN form stays exact
+      // but unpruned there — superset contract over precision
+      val priorZone = spark.conf.get("spark.sql.session.timeZone")
+      try {
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        val halfNy = rt.where(
+          col("ts") >= lit(java.time.Instant.ofEpochSecond(700L * 3600L)))
+        assert(v2Files(halfNy) <= 2, "DST zone must keep the ts shrink")
+        assert(halfNy.count() === 100L)
+      } finally spark.conf.set("spark.sql.session.timeZone", priorZone)
     }
   }
 
