@@ -318,6 +318,17 @@ object Layout {
       s"TsMicrosBox($column) needs at least one bound")
   }
 
+  /** [[TsMicrosBox]]'s SET counterpart — `ts IN (…)` with the
+    * elements as epoch-micro instants, pruning exactly in every
+    * session zone (the string-rendered [[TypedKeySetBox]] stays for
+    * date/string keys). A file skips unless SOME instant falls in its
+    * `[min, max]`. Never covered-proved. */
+  final case class TsMicrosSetBox(column: String, values: Seq[Long])
+      extends PruneBox {
+    require(values.nonEmpty,
+      s"TsMicrosSetBox($column) needs at least one value")
+  }
+
   /** Per-file min/max statistics manifest for `keyCols` over a
     * parquet directory — the Delta/Iceberg-style skipping index, as a
     * DataFrame `(file, n_rows, min_<k>, max_<k>, ...)` with one row
@@ -3455,6 +3466,9 @@ object Layout {
         throw new IllegalArgumentException(
           s"TsMicrosBox on $c may be half-open — internal misuse of " +
             "the closed-interval decoder")
+      case TsMicrosSetBox(c, _) =>
+        throw new IllegalArgumentException(
+          s"TsMicrosSetBox on $c has no [lo, hi] interval — internal misuse")
     }
   }
 
@@ -3532,6 +3546,19 @@ object Layout {
       val sides = lo.map(v => col(s"max_$c") < timestamp_micros(lit(v)))
         .toSeq ++ hi.map(v => col(s"min_$c") > timestamp_micros(lit(v)))
       coalesce(sides.reduce(_ || _), lit(true))
+    case TsMicrosSetBox(c, vs) =>
+      // one stats probe per set element (sets are literal-list-sized,
+      // never data-sized); null stats mean an all-null key file, which
+      // no non-null IN element can match — skip is exact there
+      require(mSchema.fieldNames.contains(s"min_$c"),
+        s"manifest has no stats for key $c")
+      require(mSchema(s"min_$c").dataType ==
+          org.apache.spark.sql.types.TimestampType,
+        s"TsMicrosSetBox on $c needs timestamp stats but the manifest " +
+          s"stores ${mSchema(s"min_$c").dataType}")
+      coalesce(!vs.distinct.sorted.map(v => timestamp_micros(lit(v))
+          .between(col(s"min_$c"), col(s"max_$c"))).reduce(_ || _),
+        lit(true))
     case _ =>
       val (lo, hi) = decodeBounds(mSchema, b)
       coalesce(col(s"max_${b.column}") < lo || col(s"min_${b.column}") > hi,
@@ -3557,6 +3584,11 @@ object Layout {
     case TsMicrosBox(c, lo, hi) =>
       (lo.map(v => col(c) >= timestamp_micros(lit(v))).toSeq ++
         hi.map(v => col(c) <= timestamp_micros(lit(v)))).reduce(_ && _)
+    case TsMicrosSetBox(c, vs) =>
+      // per-element equality OR (codegen'd); a null key yields null,
+      // which the filter drops — exactly IN's three-valued semantics
+      vs.distinct.sorted.map(v => col(c) === timestamp_micros(lit(v)))
+        .reduce(_ || _)
     case _ =>
       val (lo, hi) = decodeBounds(mSchema, b)
       col(b.column).between(lo, hi)
@@ -3955,7 +3987,7 @@ object Layout {
     // stays correct on an already-vectorized file: all physical rows
     // match, so dropping the file drops its live subset
     val covered = boxes.map {
-      case _: KeySetBox | _: TypedKeySetBox | _: TypedBoundsBox | _: TsMicrosBox =>
+      case _: KeySetBox | _: TypedKeySetBox | _: TypedBoundsBox | _: TsMicrosBox | _: TsMicrosSetBox =>
         lit(false) // sparse/half-open forms are never range-proved
       case b =>
         val (lo, hi) = decodeBounds(mSchema, b)
@@ -4208,7 +4240,7 @@ object Layout {
     // through to false, demoting the file to the rewrite path. A
     // sparse SET box can never be range-proved, so it demotes too
     val covered = boxes.map {
-      case _: KeySetBox | _: TypedKeySetBox | _: TypedBoundsBox | _: TsMicrosBox =>
+      case _: KeySetBox | _: TypedKeySetBox | _: TypedBoundsBox | _: TsMicrosBox | _: TsMicrosSetBox =>
         lit(false) // sparse/half-open forms are never range-proved
       case b =>
         val (lo, hi) = decodeBounds(mSchema, b)
@@ -4964,7 +4996,7 @@ object Layout {
     // a sparse SET box can never be range-proved; its files resolve
     // to scanned-or-disjoint, same as deleteWhere's demotion
     val rangeCovered = boxes.map {
-      case _: KeySetBox | _: TypedKeySetBox | _: TypedBoundsBox | _: TsMicrosBox =>
+      case _: KeySetBox | _: TypedKeySetBox | _: TypedBoundsBox | _: TsMicrosBox | _: TsMicrosSetBox =>
         lit(false) // sparse/half-open forms are never range-proved
       case b =>
         val (lo, hi) = decodeBounds(mSchema, b)

@@ -112,9 +112,7 @@ case class GraftDvReadRewrite(session: SparkSession)
           if GraftReaderMarker.of(r).exists(_.substituted) =>
         val m = GraftReaderMarker.of(r).get
         val boxes = Layout.snapshotManifestSchema(session, m.dir, m.gen)
-          .map(ms => boxesOf(cond, ms,
-            utcSession = session.sessionState.conf
-              .sessionLocalTimeZone == "UTC"))
+          .map(ms => boxesOf(cond, ms))
           .getOrElse(Nil)
         val snap =
           if (boxes.nonEmpty)
@@ -164,9 +162,8 @@ case class GraftDvReadRewrite(session: SparkSession)
   * query's own Filter STAYS as the residual, so pruned ≡ full scan
   * by construction — a box is only ever a SUPERSET of its conjunct's
   * satisfying set (strict bounds widen to closed ones; timestamp
-  * RANGES carry epoch-micro instants and prune in every session
-  * zone, while string-rendered timestamp IN-lists stay UTC-gated —
-  * the one zone where the render round-trips bijectively; conjuncts
+  * ranges AND IN-lists carry epoch-micro instants — no string
+  * render, so they prune exactly in every session zone; conjuncts
   * the translator cannot prove simply emit no box).
   *
   * At 100 TB this is the lever that makes the SQL surface usable on
@@ -196,9 +193,7 @@ case class GraftManifestPrune(session: SparkSession)
           case Some(m) if !m.substituted && !m.pruned =>
             Layout.snapshotManifestSchema(session, m.dir, m.gen) match {
               case Some(mSchema) =>
-                val boxes = boxesOf(cond, mSchema,
-                  utcSession = session.sessionState.conf
-                    .sessionLocalTimeZone == "UTC")
+                val boxes = boxesOf(cond, mSchema)
                 if (boxes.isEmpty) f
                 else prune(f, cond, r, m, boxes)
               case None => f // untracked layout: manifest is mutable
@@ -260,22 +255,6 @@ private[plans] object GraftPruneBoxes {
   private def dayStr(days: Int): String =
     java.time.LocalDate.ofEpochDay(days.toLong).toString
 
-  /** A timestamp literal (internal: epoch micros) as the string
-    * [[graft.ext.Layout.TypedKeySetBox]] elements take, rendered in
-    * UTC. Only used for IN-LIST elements, and only when the SESSION
-    * timezone is UTC: the element is cast back to timestamp in the
-    * session zone, and only a DST-free zone makes format∘parse
-    * bijective — anywhere else the overlap hour could shift a value
-    * and break the box⊇conjunct superset contract. Timestamp RANGES
-    * don't render at all ([[graft.ext.Layout.TsMicrosBox]] carries
-    * the instants), so they prune in every zone. */
-  private def tsStr(micros: Long): String =
-    java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
-      .withZone(java.time.ZoneOffset.UTC)
-      .format(java.time.Instant.EPOCH.plus(micros,
-        java.time.temporal.ChronoUnit.MICROS))
-
   // per-column range accumulation; strict bounds widen to closed
   // (superset — see the object doc)
   private final class Range[T](implicit ord: Ordering[T]) {
@@ -285,8 +264,8 @@ private[plans] object GraftPruneBoxes {
     def addHi(v: T): Unit = hi = Some(hi.fold(v)(ord.min(_, v)))
   }
 
-  def boxesOf(cond: Expression, mSchema: StructType,
-              utcSession: Boolean = true): Seq[Layout.PruneBox] = {
+  def boxesOf(cond: Expression, mSchema: StructType)
+      : Seq[Layout.PruneBox] = {
     val longRanges =
       scala.collection.mutable.LinkedHashMap[String, Range[Long]]()
     val dateRanges =
@@ -298,6 +277,8 @@ private[plans] object GraftPruneBoxes {
     val sets = scala.collection.mutable.ArrayBuffer[Layout.KeySetBox]()
     val typedSets =
       scala.collection.mutable.ArrayBuffer[Layout.TypedKeySetBox]()
+    val tsSets =
+      scala.collection.mutable.ArrayBuffer[Layout.TsMicrosSetBox]()
 
     def addBound(a: AttributeReference, l: Literal, isLo: Boolean,
                  isHi: Boolean): Unit =
@@ -315,9 +296,9 @@ private[plans] object GraftPruneBoxes {
           }
         case TimestampType if l.dataType == TimestampType =>
           // any session zone: the range emits a TsMicrosBox, whose
-          // bounds are epoch-micro INSTANTS — no string render, so
-          // no bijectivity concern (only the string-rendered IN-list
-          // form below stays UTC-gated)
+          // bounds are epoch-micro INSTANTS — no string render, no
+          // bijectivity concern (IN-lists take TsMicrosSetBox, same
+          // argument)
           Option(l.value).foreach { v =>
             val r = tsRanges.getOrElseUpdate(a.name, new Range[Long])
             if (isLo) r.addLo(v.asInstanceOf[Long])
@@ -339,32 +320,42 @@ private[plans] object GraftPruneBoxes {
         case _ => ()
       }
 
-    // typed IN-lists: literal elements render to the string form the
-    // typed boxes take (dates/timestamps through the same canonical
-    // renderers as the range bounds — timestamps UTC-sessions only,
-    // same bijectivity argument as addBound). Elements that fail to
-    // render (nulls, exotic types) drop the WHOLE set — a partial set
-    // would claim rows the conjunct matches elsewhere don't exist.
+    // typed IN-lists: timestamp elements keep their epoch-micro
+    // instants (TsMicrosSetBox — zone-independent); date/string
+    // elements render to the string form TypedKeySetBox takes.
+    // Elements that fail to conform (exotic types) drop the WHOLE
+    // set — a partial set would claim rows the conjunct matches
+    // elsewhere don't exist.
     def addTypedSet(a: AttributeReference, ls: Seq[Literal]): Unit =
       statType(mSchema, a.name).foreach { st =>
-        if (st != LongType) {
-          // null elements drop (IN's three-valued semantics: a null
-          // element matches no row through the residual); any OTHER
-          // non-renderable element drops the whole set — a partial
-          // set would wrongly prune files holding its rows
-          val nonNull = ls.filter(_.value != null)
-          val rendered: Seq[Option[String]] = nonNull.map { l =>
-            (st, l.dataType) match {
-              case (DateType, DateType) =>
-                Some(dayStr(l.value.asInstanceOf[Int]))
-              case (TimestampType, TimestampType) if utcSession =>
-                Some(tsStr(l.value.asInstanceOf[Long]))
-              case (StringType, StringType) => Some(l.value.toString)
-              case _ => None
+        // null elements drop (IN's three-valued semantics: a null
+        // element matches no row through the residual); any OTHER
+        // non-conforming element drops the whole set — a partial
+        // set would wrongly prune files holding its rows
+        val nonNull = ls.filter(_.value != null)
+        st match {
+          case TimestampType =>
+            // instants, not strings — a TsMicrosSetBox prunes in
+            // every session zone
+            val micros: Seq[Option[Long]] = nonNull.map { l =>
+              if (l.dataType == TimestampType)
+                Some(l.value.asInstanceOf[Long])
+              else None
             }
-          }
-          if (rendered.nonEmpty && rendered.forall(_.isDefined))
-            typedSets += Layout.TypedKeySetBox(a.name, rendered.flatten)
+            if (micros.nonEmpty && micros.forall(_.isDefined))
+              tsSets += Layout.TsMicrosSetBox(a.name, micros.flatten)
+          case DateType | StringType =>
+            val rendered: Seq[Option[String]] = nonNull.map { l =>
+              (st, l.dataType) match {
+                case (DateType, DateType) =>
+                  Some(dayStr(l.value.asInstanceOf[Int]))
+                case (StringType, StringType) => Some(l.value.toString)
+                case _ => None
+              }
+            }
+            if (rendered.nonEmpty && rendered.forall(_.isDefined))
+              typedSets += Layout.TypedKeySetBox(a.name, rendered.flatten)
+          case _ => () // long keys take KeySetBox; exotic stats: no box
         }
       }
 
@@ -440,6 +431,6 @@ private[plans] object GraftPruneBoxes {
     }.toSeq
     val strBoxes = typedBoxes[String](strRanges, identity)
     longBoxes ++ dateBoxes ++ tsBoxes ++ strBoxes ++ sets.toSeq ++
-      typedSets.toSeq
+      typedSets.toSeq ++ tsSets.toSeq
   }
 }

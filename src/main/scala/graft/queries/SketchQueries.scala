@@ -2813,6 +2813,48 @@ object SketchQueries {
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM appended GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Session-catalog tables — `CREATE TABLE t USING graft` then
+    // plain `SELECT … FROM t`, no temp-view boilerplate: the gate
+    // registers a layout fixture as a catalog table, mutates the
+    // LAYOUT after registration (a vectorized delete), and
+    // aggregates THROUGH THE TABLE NAME — proving catalog resolution
+    // re-resolves the live generation (merge-on-read included)
+    // rather than serving the stale registration-time state. Oracle:
+    // DuckDB recomputes the post-delete aggregate from the unmutated
+    // table.
+    QueryDef("q_layout_catalog",
+      (s, d) => {
+        prunedFixture.computeIfAbsent(s"$d#docs_catalog", _ => {
+          val p = graft.Scratch.tempDir("graft_cat_") + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(4, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          Layout.enableGenerations(s, p)
+          s.sql("DROP TABLE IF EXISTS graft_gate_docs")
+          s.sql(s"CREATE TABLE graft_gate_docs USING graft " +
+            s"OPTIONS (path '$p')")
+          // mutate AFTER registration: catalog resolution must track
+          Layout.deleteWhereDv(s, p,
+            Seq(Layout.KeyBox("doc_id", 100L, 199L)))
+          p
+        })
+        s.sql("""SELECT lang, count(*) AS n_docs,
+                |  sum(n_chars) AS total_chars,
+                |  sum(doc_id) AS id_sum
+                |FROM graft_gate_docs
+                |GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""WITH live AS (
+             |  SELECT * FROM documents
+             |  WHERE doc_id NOT BETWEEN 100 AND 199)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM live GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // TIMESTAMP AS OF — [[Layout.readSnapshotAsOf]] resolves a
     // wall-clock instant to the newest commit at or before it (the
     // per-generation commit records written at each manifest

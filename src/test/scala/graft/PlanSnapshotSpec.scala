@@ -177,6 +177,15 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
           col("ts") >= lit(java.time.Instant.ofEpochSecond(700L * 3600L)))
         assert(v2Files(halfNy) <= 2, "DST zone must keep the ts shrink")
         assert(halfNy.count() === 100L)
+        // ts IN-lists ride TsMicrosSetBox — instants too, so the
+        // point lookup prunes to one file in the DST zone as well
+        val inNy = rt.where(col("ts").isin(
+          java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(10L * 3600L)),
+          java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(11L * 3600L))))
+        assert(v2Files(inNy) === 1)
+        assert(inNy.count() === 2L)
       } finally spark.conf.set("spark.sql.session.timeZone", priorZone)
     }
   }
