@@ -4226,11 +4226,55 @@ object Layout {
                   boxes: Seq[PruneBox],
                   verifyCoverage: Boolean = true,
                   expectedGen: Option[Long] = None): DeleteStats = {
-    require(boxes.nonEmpty, "deleteWhere needs at least one key box")
+    val st = deleteOrReplaceCore(spark, dir, boxes, verifyCoverage,
+      expectedGen, insert = None, label = "deleteWhere")
+    DeleteStats(st.filesDropped, st.filesRewritten, st.rowsDeleted)
+  }
+
+  /** Per-file outcome counts of a [[replaceWhere]] call. */
+  final case class ReplaceStats(filesDropped: Int, filesRewritten: Int,
+                                filesInserted: Int, rowsDeleted: Long,
+                                rowsInserted: Long)
+
+  /** The idempotent-backfill verb — Delta's `replaceWhere` /
+    * `INSERT … REPLACE WHERE`: delete every row matching the box
+    * conjunction AND insert `df`'s rows, as ONE committed generation
+    * (one manifest patch — a reader never observes the deleted-but-
+    * not-yet-inserted intermediate state that a deleteWhere + append
+    * pair exposes, and a crash between the two can't strand a
+    * half-applied backfill). The delete half IS [[deleteWhere]]'s
+    * classification and rewrite (pay-for-the-touch: disjoint files
+    * never open, covered files drop unopened, partials rewrite
+    * vector-applied); the insert half follows
+    * [[appendWithManifest]]'s discipline (exact write-schema
+    * compatibility, CHECK constraints proved over the batch,
+    * partition-column routing) minus schema evolution — a backfill
+    * never evolves.
+    *
+    * STRICT containment, checked before anything lands: every
+    * incoming row must itself satisfy the box conjunction (Delta's
+    * replaceWhere contract). Without it "replace this region" could
+    * silently leak rows into regions the statement never named — at
+    * 100 TB, rows that land outside the re-run partition are exactly
+    * the duplicates the idempotent-backfill pattern exists to
+    * prevent. */
+  def replaceWhere(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   df: DataFrame, boxes: Seq[PruneBox],
+                   verifyCoverage: Boolean = true,
+                   expectedGen: Option[Long] = None): ReplaceStats =
+    deleteOrReplaceCore(spark, dir, boxes, verifyCoverage, expectedGen,
+      insert = Some(df), label = "replaceWhere")
+
+  private def deleteOrReplaceCore(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      boxes: Seq[PruneBox], verifyCoverage: Boolean,
+      expectedGen: Option[Long], insert: Option[DataFrame],
+      label: String): ReplaceStats = {
+    require(boxes.nonEmpty, s"$label needs at least one key box")
     requireEncodingStablePath(dir)
     val hDir = new org.apache.hadoop.fs.Path(dir)
     val fs = hDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    requireExpectedGen(fs, dir, expectedGen, "deleteWhere")
+    requireExpectedGen(fs, dir, expectedGen, label)
     val manifest = loadManifest(spark, dir)
     val mSchema = manifest.schema
     val keyCols = manifestKeysOf(mSchema)
@@ -4275,8 +4319,30 @@ object Layout {
       requireManifestCovers(spark, dirFrame,
         verdicts.map(_.getString(0)).toSet, dir,
         "their matching rows would survive the delete")
-    if (dropFiles.isEmpty && rewriteFiles.isEmpty)
-      return DeleteStats(0, 0, 0L)
+    // insert-side validation BEFORE anything lands (replaceWhere):
+    // exact write-schema compatibility (a backfill never evolves),
+    // STRICT box containment — every incoming row must satisfy the
+    // conjunction it claims to replace — and CHECK constraints over
+    // the batch, the appendWithManifest discipline
+    val insPartCols = insert.map { ins =>
+      val cols = hivePartColsChecked(fs, hDir, dirFrame.schema)
+      requireWriteCompatible(ins.schema, dirFrame.schema, cols, dir)
+      val contain = boxes.map(residualExprOf(mSchema, _)).reduce(_ && _)
+      val leaked = ins.where(!coalesce(contain, lit(false))).head(1)
+      require(leaked.isEmpty,
+        s"replaceWhere at $dir rejected: incoming rows fall OUTSIDE " +
+          s"the replaced region (e.g. ${leaked.headOption.getOrElse("")})" +
+          " — every inserted row must satisfy the WHERE boxes, or the " +
+          "backfill silently leaks rows into regions it never named")
+      requireBatchSatisfies(spark, dir, ins, label)
+      cols
+    }
+    if (dropFiles.isEmpty && rewriteFiles.isEmpty && insert.isEmpty)
+      return ReplaceStats(0, 0, 0, 0L, 0L)
+    val before =
+      if (rewriteFiles.nonEmpty || insert.isDefined)
+        dirFrame.inputFiles.toSet
+      else Set.empty[String]
     // rewrite FIRST: new data must be durable before anything old is
     // destroyed. The keep predicate is the null-safe negation of the
     // box conjunction; hashing on the source file name gives each
@@ -4288,7 +4354,6 @@ object Layout {
     if (rewriteFiles.nonEmpty) {
       val pred = boxes.map(residualExprOf(mSchema, _)).reduce(_ && _)
       val tmp = new org.apache.hadoop.fs.Path(s"$dir/_graft_delete_tmp")
-      val before = dirFrame.inputFiles.toSet
       val srcFiles = rewriteFiles.map(_._1).toIndexedSeq
       // basePath anchoring: on a hive-partitioned layout the k=v
       // path columns materialize, so a box on a partition column
@@ -4319,29 +4384,53 @@ object Layout {
       val w = survivors.write.mode("overwrite")
       if (partCols.isEmpty) w.parquet(tmp.toString)
       else w.partitionBy(partCols.toIndexedSeq: _*).parquet(tmp.toString)
-      moveTreeInto(fs, tmp, hDir, "deleteWhere")
+      moveTreeInto(fs, tmp, hDir, label)
       fs.delete(tmp, true)
       // re-list through spark.read (not the raw fs listing) so the
       // new manifest rows carry the exact URI spelling every other
       // manifest entry uses — the appendWithManifest discipline
       newFiles = spark.read.parquet(dir).inputFiles.toSeq.filterNot(before)
     }
-    val delta =
-      if (newFiles.isEmpty) None
-      else {
-        // basePath again: delta stats for a partition-column key must
-        // see the k=v path columns (harmless on flat dirs); bloom
-        // keys follow the stored format
-        val d = manifestOf(
-            spark.read.option("basePath", dir).parquet(newFiles: _*),
-            keyCols, bloomKeysOf(mSchema))
-          .localCheckpoint(true)
-        // coalesce: an all-empty rewrite leaves only zero-row part
-        // files, whose delta manifest is empty (sum → null)
-        newRows = d.agg(coalesce(sum("n_rows"), lit(0L)))
-          .collect()(0).getLong(0)
-        Some(d)
-      }
+    // the INSERT half (replaceWhere): durable under the same
+    // tmp-then-move discipline as the rewrite, BEFORE anything old
+    // is destroyed; partition-column routing mirrors the append path
+    var insFiles = Seq.empty[String]
+    var insRows = 0L
+    insert.foreach { ins =>
+      val cols = insPartCols.get
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/_graft_replace_tmp")
+      val w = ins.write.mode("overwrite")
+      if (cols.isEmpty) w.parquet(tmp.toString)
+      else w.partitionBy(cols.toIndexedSeq: _*).parquet(tmp.toString)
+      moveTreeInto(fs, tmp, hDir, label)
+      fs.delete(tmp, true)
+      val newSet = newFiles.toSet
+      insFiles = spark.read.parquet(dir).inputFiles.toSeq
+        .filterNot(before).filterNot(newSet)
+    }
+    // two deltas over DISJOINT file sets (no duplicated footer I/O),
+    // separately summed so the stats can tell deleted from inserted;
+    // basePath: delta stats for a partition-column key must see the
+    // k=v path columns (harmless on flat dirs); bloom keys follow
+    // the stored format
+    def deltaOf(files: Seq[String]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(manifestOf(
+          spark.read.option("basePath", dir).parquet(files: _*),
+          keyCols, bloomKeysOf(mSchema))
+        .localCheckpoint(true))
+    // coalesce: an all-empty rewrite leaves only zero-row part
+    // files, whose delta manifest is empty (sum → null)
+    def rowsOf(d: DataFrame): Long =
+      d.agg(coalesce(sum("n_rows"), lit(0L))).collect()(0).getLong(0)
+    val survDelta = deltaOf(newFiles)
+    survDelta.foreach(d => newRows = rowsOf(d))
+    val insDelta = deltaOf(insFiles)
+    insDelta.foreach(d => insRows = rowsOf(d))
+    val delta = (survDelta, insDelta) match {
+      case (Some(a), Some(b)) => Some(a.unionByName(b))
+      case (a, b) => a.orElse(b)
+    }
     // destroy (or retire, on a generation-tracked layout) old data
     // only now: covered files drop unopened (the whole point of the
     // null-count stats), partial files are superseded by their
@@ -4349,19 +4438,20 @@ object Layout {
     // committed during the rewrite must be detected before anything
     // moves — retirement under a superseded label would strand the
     // winner's live files
-    requireExpectedGen(fs, dir, expectedGen, "deleteWhere")
+    requireExpectedGen(fs, dir, expectedGen, label)
     val receipt = retireOrDeleteAll(fs, dir,
-      (dropFiles ++ rewriteFiles).map(_._1), "deleteWhere")
+      (dropFiles ++ rewriteFiles).map(_._1), label)
     // manifest last ([[patchManifest]]'s temp-dir + rename replace)
     patchManifest(spark, dir, manifest, keyCols,
       (dropFiles ++ rewriteFiles).map(_._1).toSeq, delta,
-      "deleteWhere", expectedGen, receipt)
+      label, expectedGen, receipt)
     // rewriting/dropping vectorized files strands their stores on an
     // untracked layout (no archived manifest can reference them)
     if (!generationsEnabled(fs, dir) && hasDvCols(mSchema))
       reapUnreferencedDvStores(spark, fs, dir)
-    DeleteStats(dropFiles.length, rewriteFiles.length,
-      dropFiles.map(_._2).sum + rewriteFiles.map(_._2).sum - newRows)
+    ReplaceStats(dropFiles.length, rewriteFiles.length, insFiles.length,
+      dropFiles.map(_._2).sum + rewriteFiles.map(_._2).sum - newRows,
+      insRows)
   }
 
   /** Per-file outcome counts of an [[updateWhere]] call. */

@@ -16,28 +16,38 @@ import graft.ext.Layout
   * SQL-only session manages a layout end to end:
   *
   * {{{
-  *   GRAFT DESCRIBE HISTORY '<dir>'
-  *   GRAFT DESCRIBE DETAIL '<dir>'
-  *   GRAFT OPTIMIZE '<dir>' TARGET <n> ROWS [DV RATIO <x>]
-  *   GRAFT VACUUM '<dir>' RETAIN <n> [FORCE]
-  *   GRAFT SHOW PINS '<dir>'
-  *   GRAFT RESTORE '<dir>' VERSION AS OF <n>
+  *   GRAFT DESCRIBE HISTORY <t>
+  *   GRAFT DESCRIBE DETAIL <t>
+  *   GRAFT OPTIMIZE <t> TARGET <n> ROWS [DV RATIO <x>]
+  *   GRAFT VACUUM <t> RETAIN <n> [FORCE]
+  *   GRAFT SHOW PINS <t>
+  *   GRAFT RESTORE <t> VERSION AS OF <n> | TIMESTAMP AS OF '<instant>'
+  *   GRAFT CLONE <t> [VERSION AS OF <n>] TO '<dir>'
   *   GRAFT CREATE '<dir>' KEYS (k, …) [GENERATIONS] AS <query>
-  *   GRAFT APPEND INTO '<dir>' [MERGE SCHEMA] AS <query>
-  *   GRAFT UPSERT INTO '<dir>' KEYS (k, …) AS <query>
-  *   GRAFT MERGE INTO '<dir>' USING (<query>) ON (k, …)
+  *   GRAFT APPEND INTO <t> [MERGE SCHEMA] AS <query>
+  *   GRAFT UPSERT INTO <t> KEYS (k, …) AS <query>
+  *   GRAFT MERGE INTO <t> USING (<query>) ON (k, …)
   *         WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT
   *       | WHEN MATCHED THEN DELETE
-  *   GRAFT UPDATE '<dir>' SET c = <expr>[, …] WHERE <pred> [AND <pred> …]
-  *   GRAFT DELETE FROM '<dir>' WHERE <pred> [AND <pred> …]
+  *   GRAFT UPDATE <t> SET c = <expr>[, …] WHERE <pred> [AND <pred> …]
+  *   GRAFT DELETE FROM <t> WHERE <pred> [AND <pred> …]
   *                    [USING VECTORS]
+  *   GRAFT REPLACE INTO <t> WHERE <pred> [AND <pred> …] AS <query>
   *     pred: <key> BETWEEN <lo> AND <hi>  |  <key> = <v>
   *         | <key> IN (<v>, …)   — values numeric or 'quoted' (typed)
-  *   GRAFT ALTER '<dir>' ADD CONSTRAINT <name> CHECK (<expr>)
-  *   GRAFT ALTER '<dir>' DROP CONSTRAINT <name>
-  *   GRAFT SHOW CONSTRAINTS '<dir>'
-  *   GRAFT SHOW STREAMS '<dir>'
+  *   GRAFT ALTER <t> ADD CONSTRAINT <name> CHECK (<expr>)
+  *   GRAFT ALTER <t> DROP CONSTRAINT <name>
+  *   GRAFT SHOW CONSTRAINTS <t>
+  *   GRAFT SHOW STREAMS <t>
   * }}}
+  *
+  * `<t>` is a layout reference: a `'/path'` literal, or the NAME of a
+  * table registered with `CREATE TABLE … USING graft` (optionally
+  * db-qualified) — the dialect and the catalog surface name the same
+  * tables, so a SQL session that created `events USING graft` writes
+  * `GRAFT OPTIMIZE events TARGET 5000000 ROWS` with no path
+  * restating. CREATE's and CLONE's DESTINATION stay path literals
+  * (the directory does not exist yet — there is nothing to name).
   *
   * The write statements' `AS <query>` tails parse through SPARK'S OWN
   * parser (the dialect never grows a query grammar), so any SELECT
@@ -45,6 +55,11 @@ import graft.ext.Layout
   * APPEND follows the layout's STORED manifest keys — the writer
   * never re-states (or silently changes) them — and DELETE's bounds
   * dispatch to the numeric or typed key box by literal form.
+  *
+  * Plain SELECT time travel composes with the same catalog names:
+  * `SELECT … FROM <name> VERSION AS OF <n> / TIMESTAMP AS OF '…'`
+  * rewrites at parse time onto the graft reader's own snapshot
+  * resolution — see [[GraftTimeTravel]].
   *
   * Every statement is a THIN shell over the existing verb (no second
   * implementation of any semantics): OPTIMIZE dispatches to
@@ -61,7 +76,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlCommands.parse(session, delegate, sqlText)
-      .getOrElse(delegate.parsePlan(sqlText))
+      .getOrElse(GraftTimeTravel.rewrite(session,
+        delegate.parsePlan(sqlText)))
 
   override def parseExpression(sqlText: String) =
     delegate.parseExpression(sqlText)
@@ -94,37 +110,51 @@ private case class GraftVerbCommand(override val output: Seq[Attribute],
 }
 
 object GraftSqlCommands {
-  // paths ride in standard single-quoted SQL string literals; the
-  // statement forms are deliberately regex-simple (keyword dialect,
-  // one layout path, scalar options) — anything more belongs in the
-  // Scala API
+  // a layout reference is a PATH in a standard single-quoted SQL
+  // string literal, or a catalog TABLE NAME (optionally db-qualified)
+  // registered with `CREATE TABLE … USING graft` — [[dirOf]] resolves
+  // the name through the session catalog to the stored layout path,
+  // so the dialect and the catalog surface name the same tables. The
+  // statement forms stay deliberately regex-simple (keyword dialect,
+  // one layout reference, scalar options) — anything more belongs in
+  // the Scala API. The quotes travel INSIDE the one capture group so
+  // dirOf can tell path from name.
+  private val Ref = """('[^']+'|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)?)"""
   private val DescribeHistoryRe =
-    """(?is)\s*GRAFT\s+DESCRIBE\s+HISTORY\s+'([^']+)'\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+DESCRIBE\s+HISTORY\s+""" + Ref + """\s*;?\s*""").r
   private val DescribeDetailRe =
-    """(?is)\s*GRAFT\s+DESCRIBE\s+DETAIL\s+'([^']+)'\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+DESCRIBE\s+DETAIL\s+""" + Ref + """\s*;?\s*""").r
   private val OptimizeRe =
-    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'\s+TARGET\s+(\d+)\s+ROWS(?:\s+DV\s+RATIO\s+([0-9]*\.?[0-9]+))?\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+OPTIMIZE\s+""" + Ref + """\s+TARGET\s+(\d+)\s+ROWS(?:\s+DV\s+RATIO\s+([0-9]*\.?[0-9]+))?\s*;?\s*""").r
   private val VacuumRe =
-    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+RETAIN\s+(\d+)(\s+FORCE)?\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+VACUUM\s+""" + Ref + """\s+RETAIN\s+(\d+)(\s+FORCE)?\s*;?\s*""").r
   private val RestoreRe =
-    """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+RESTORE\s+""" + Ref + """\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')\s*;?\s*""").r
+  // CLONE's destination (like CREATE's) is a PATH literal only — the
+  // directory does not exist yet, so there is no table to name
+  private val CloneRe =
+    ("""(?is)\s*GRAFT\s+CLONE\s+""" + Ref + """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+TO\s+'([^']+)'\s*;?\s*""").r
   private val CreateRe =
     """(?is)\s*GRAFT\s+CREATE\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)(\s+GENERATIONS)?\s+AS\s+(.+?)\s*;?\s*""".r
   private val AppendRe =
-    """(?is)\s*GRAFT\s+APPEND\s+INTO\s+'([^']+)'(\s+MERGE\s+SCHEMA)?\s+AS\s+(.+?)\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+APPEND\s+INTO\s+""" + Ref + """(\s+MERGE\s+SCHEMA)?\s+AS\s+(.+?)\s*;?\s*""").r
   private val UpsertRe =
-    """(?is)\s*GRAFT\s+UPSERT\s+INTO\s+'([^']+)'\s+KEYS\s*\(([^)]+)\)\s+AS\s+(.+?)\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+UPSERT\s+INTO\s+""" + Ref + """\s+KEYS\s*\(([^)]+)\)\s+AS\s+(.+?)\s*;?\s*""").r
   // the USING query is PARENTHESIZED so its own `… ON (…)` join
   // syntax can never be mistaken for the merge keys: the greedy
   // `(.+)` claims everything up to the LAST `) ON (keys) WHEN …`
   private val MergeRe =
-    """(?is)\s*GRAFT\s+MERGE\s+INTO\s+'([^']+)'\s+USING\s*\((.+)\)\s+ON\s*\(([^)]+)\)\s+(WHEN\s+.+?)\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+MERGE\s+INTO\s+""" + Ref + """\s+USING\s*\((.+)\)\s+ON\s*\(([^)]+)\)\s+(WHEN\s+.+?)\s*;?\s*""").r
   private val MergeUpsertRe =
     """(?is)^WHEN\s+MATCHED\s+THEN\s+UPDATE\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT$""".r
   private val MergeDeleteRe =
     """(?is)^WHEN\s+MATCHED\s+THEN\s+DELETE$""".r
   private val DeleteRe =
-    """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+?)(\s+USING\s+VECTORS)?\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+DELETE\s+FROM\s+""" + Ref + """\s+WHERE\s+(.+?)(\s+USING\s+VECTORS)?\s*;?\s*""").r
+  // the WHERE tail is LAZY and the box grammar carries no AS, so the
+  // first `AS` after the predicates starts the query verbatim
+  private val ReplaceRe =
+    ("""(?is)\s*GRAFT\s+REPLACE\s+INTO\s+""" + Ref + """\s+WHERE\s+(.+?)\s+AS\s+(.+?)\s*;?\s*""").r
   // the WHERE tail parses as a CONJUNCTION of key predicates —
   // consumed front-to-back with anchored forms (a naive split on
   // AND would cut BETWEEN's own AND in half). Literal form picks the
@@ -145,18 +175,18 @@ object GraftSqlCommands {
   private val PredEqStrRe = """(?is)^(\w+)\s*=\s*'([^']*)'(.*)""".r
   private val AndTailRe = """(?is)^\s+AND\s+(.+)""".r
   private val UpdateRe =
-    """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+UPDATE\s+""" + Ref + """\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""").r
   private val AssignRe = """(?is)^(\w+)\s*=\s*(.+)$""".r
   private val AddConstraintRe =
-    """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+([\w-]+)\s+CHECK\s*\((.+)\)\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+ALTER\s+""" + Ref + """\s+ADD\s+CONSTRAINT\s+([\w-]+)\s+CHECK\s*\((.+)\)\s*;?\s*""").r
   private val DropConstraintRe =
-    """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+([\w-]+)\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+ALTER\s+""" + Ref + """\s+DROP\s+CONSTRAINT\s+([\w-]+)\s*;?\s*""").r
   private val ShowConstraintsRe =
-    """(?is)\s*GRAFT\s+SHOW\s+CONSTRAINTS\s+'([^']+)'\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+SHOW\s+CONSTRAINTS\s+""" + Ref + """\s*;?\s*""").r
   private val ShowStreamsRe =
-    """(?is)\s*GRAFT\s+SHOW\s+STREAMS\s+'([^']+)'\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+SHOW\s+STREAMS\s+""" + Ref + """\s*;?\s*""").r
   private val ShowPinsRe =
-    """(?is)\s*GRAFT\s+SHOW\s+PINS\s+'([^']+)'\s*;?\s*""".r
+    ("""(?is)\s*GRAFT\s+SHOW\s+PINS\s+""" + Ref + """\s*;?\s*""").r
   private val GraftPrefixRe = """(?is)\s*GRAFT\b.*""".r
 
   private def attrsOf(fields: (String, org.apache.spark.sql.types.DataType)*)
@@ -165,23 +195,83 @@ object GraftSqlCommands {
       fields.map { case (n, t) =>
         org.apache.spark.sql.types.StructField(n, t, nullable = false) }))
 
+  /** The layout path a session-catalog graft table stores — `None`
+    * when `parts` is a temp view, unknown, or a table of another
+    * provider (the caller decides whether that's an error or a
+    * pass-through). Accepts 1-part, db-qualified 2-part, and
+    * `spark_catalog`-prefixed 3-part names. */
+  private[plans] def catalogGraftPath(session: SparkSession,
+                                      parts: Seq[String]): Option[String] = {
+    val cat = session.sessionState.catalog
+    // "spark_catalog" = CatalogManager.SESSION_CATALOG_NAME (the
+    // constant is private[sql]; the NAME is a stable public contract)
+    val norm = parts match {
+      case Seq(c, db, t) if c.equalsIgnoreCase("spark_catalog") =>
+        Seq(db, t)
+      case p => p
+    }
+    if (norm.isEmpty || norm.size > 2) None
+    else if (cat.isTempView(norm)) None
+    else {
+      val ident =
+        if (norm.size == 2)
+          org.apache.spark.sql.catalyst.TableIdentifier(norm(1), Some(norm(0)))
+        else org.apache.spark.sql.catalyst.TableIdentifier(norm.head)
+      if (!cat.tableExists(ident)) None
+      else {
+        val meta = cat.getTableMetadata(ident)
+        if (!meta.provider.exists(_.equalsIgnoreCase("graft"))) None
+        else meta.storage.properties.collectFirst {
+          case (k, v) if k.equalsIgnoreCase("path") => v
+        }.orElse(meta.storage.locationUri.map(u =>
+          new org.apache.hadoop.fs.Path(u).toString))
+      }
+    }
+  }
+
+  /** Resolve a statement's layout reference: a `'quoted'` token IS
+    * the path; a bare identifier resolves through the session
+    * catalog ([[catalogGraftPath]]) and refuses loudly when it names
+    * anything but a registered graft table — a silent fall-through
+    * would run a lifecycle verb against a directory named after a
+    * typo. */
+  private def dirOf(session: SparkSession, ref: String): String =
+    if (ref.startsWith("'")) ref.substring(1, ref.length - 1)
+    else {
+      val parts = ref.split('.').toSeq
+      catalogGraftPath(session, parts).getOrElse {
+        val why =
+          if (session.sessionState.catalog.isTempView(parts))
+            "names a TEMPORARY VIEW — GRAFT verbs mutate layouts; " +
+              "reference the table registered with CREATE TABLE … " +
+              "USING graft, or quote the layout path"
+          else "is not a registered graft catalog table — CREATE " +
+            "TABLE <name> USING graft OPTIONS (path '…') first, or " +
+            "quote the layout path directly ('/path/to/layout')"
+        throw new IllegalArgumentException(s"$ref $why")
+      }
+    }
+
   import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType}
 
   def parse(session: SparkSession, delegate: ParserInterface,
             sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case DescribeHistoryRe(dir) =>
+      case DescribeHistoryRe(ref) =>
+        val dir = dirOf(session, ref)
         // schema from the verb's own frame — construction is
         // manifest-sized driver planning, executed (collected) only
         // when the command runs
         val df = Layout.describeHistory(session, dir)
         Some(GraftVerbCommand(DataTypeUtils.toAttributes(df.schema),
           _ => df.collect().toIndexedSeq))
-      case DescribeDetailRe(dir) =>
+      case DescribeDetailRe(ref) =>
+        val dir = dirOf(session, ref)
         val df = Layout.describeLayout(session, dir)
         Some(GraftVerbCommand(DataTypeUtils.toAttributes(df.schema),
           _ => df.collect().toIndexedSeq))
-      case OptimizeRe(dir, target, dvRatio) =>
+      case OptimizeRe(ref, target, dvRatio) =>
+        val dir = dirOf(session, ref)
         // DV RATIO <x> raises the deletion-vector compaction trigger:
         // only files whose dv_rows/n_rows crossed x rewrite (the
         // read-tax hotspots); without it every vectorized file purges
@@ -200,7 +290,8 @@ object GraftSqlCommands {
             Seq(Row(st.reclustered, st.filesBefore, st.filesAfter,
               st.worstDepthBefore, st.filesKept))
           }))
-      case VacuumRe(dir, retain, force) =>
+      case VacuumRe(ref, retain, force) =>
+        val dir = dirOf(session, ref)
         Some(GraftVerbCommand(
           attrsOf("manifests_dropped" -> IntegerType,
             "files_dropped" -> IntegerType),
@@ -209,16 +300,37 @@ object GraftSqlCommands {
               force = force != null)
             Seq(Row(mf, fd))
           }))
-      case RestoreRe(dir, gen) =>
+      case RestoreRe(ref, gen, ts) =>
+        val dir = dirOf(session, ref)
         Some(GraftVerbCommand(
           attrsOf("committed" -> BooleanType, "files_kept" -> IntegerType,
             "files_copied" -> IntegerType, "files_retired" -> IntegerType),
           s => {
-            val st = Layout.restoreSnapshot(s, dir, gen.toLong)
+            // TIMESTAMP AS OF resolves through the same per-commit
+            // records as the reader option — at-or-before semantics
+            val g = if (gen != null) gen.toLong
+              else Layout.generationAsOf(s, dir,
+                graft.sources.GraftInstants.millisOf(ts))
+            val st = Layout.restoreSnapshot(s, dir, g)
             Seq(Row(st.committed, st.filesKept, st.filesCopied,
               st.filesRetired))
           }))
-      case ShowPinsRe(dir) =>
+      case CloneRe(ref, gen, dst) =>
+        // the pin-the-training-set verb as SQL: a snapshot exported
+        // as a standalone layout ([[Layout.cloneSnapshot]] — files
+        // copied executor-distributed, manifest rewritten to the
+        // copied URIs, carried stats stay exact). Version defaults
+        // to the LIVE generation at execution time.
+        val dir = dirOf(session, ref)
+        Some(GraftVerbCommand(
+          attrsOf("generation" -> LongType, "files_copied" -> LongType),
+          s => {
+            val g = if (gen == null) Layout.currentGeneration(s, dir)
+                    else gen.toLong
+            Seq(Row(g, Layout.cloneSnapshot(s, dir, g, dst)))
+          }))
+      case ShowPinsRe(ref) =>
+        val dir = dirOf(session, ref)
         // what would block a vacuum, by consumer name — the reader
         // side of the pin coordination (views and CDC streams
         // register; vacuum refuses below the oldest)
@@ -249,7 +361,8 @@ object GraftSqlCommands {
             val out = s.read.parquet(dir)
             Seq(Row(out.inputFiles.length, out.count()))
           }))
-      case AppendRe(dir, mergeSchema, query) =>
+      case AppendRe(ref, mergeSchema, query) =>
+        val dir = dirOf(session, ref)
         val df = org.apache.spark.sql.GraftColumnBridge.frameOf(session,
           delegate.parseQuery(query))
         Some(GraftVerbCommand(attrsOf("rows_appended" -> LongType),
@@ -264,7 +377,8 @@ object GraftSqlCommands {
               mergeSchema = mergeSchema != null)
             Seq(Row(df.count()))
           }))
-      case UpsertRe(dir, keys, query) =>
+      case UpsertRe(ref, keys, query) =>
+        val dir = dirOf(session, ref)
         val df = org.apache.spark.sql.GraftColumnBridge.frameOf(session,
           delegate.parseQuery(query))
         val keyCols = keys.split(',').map(_.trim).toSeq
@@ -280,7 +394,8 @@ object GraftSqlCommands {
             Seq(Row(st.filesRewritten, st.filesUntouched, st.rowsReplaced,
               st.rowsUpserted))
           }))
-      case MergeRe(dir, query, keys, whenTail) =>
+      case MergeRe(ref, query, keys, whenTail) =>
+        val dir = dirOf(session, ref)
         // the lakehouse workhorse, desugared onto the EXISTING verbs
         // (never a third mutation implementation): MATCHED UPDATE +
         // NOT MATCHED INSERT is exactly upsert-by-keys (whole-row
@@ -316,7 +431,8 @@ object GraftSqlCommands {
               "by the source row, unmatched source rows inserted) | " +
               "WHEN MATCHED THEN DELETE (source-matched rows removed)")
         }
-      case UpdateRe(dir, setPart, whereTail) =>
+      case UpdateRe(ref, setPart, whereTail) =>
+        val dir = dirOf(session, ref)
         // SET expressions parse through SPARK'S OWN expression parser
         // (same discipline as the AS-tails — the dialect never grows
         // an expression grammar); assignments split on TOP-LEVEL
@@ -337,23 +453,46 @@ object GraftSqlCommands {
             val st = Layout.updateWhere(s, dir, boxes, assignments)
             Seq(Row(st.filesRewritten, st.filesUntouched, st.rowsUpdated))
           }))
-      case DeleteRe(dir, whereTail, vect) =>
+      case DeleteRe(ref, whereTail, vect) =>
+        val dir = dirOf(session, ref)
         Some(deleteCommand(dir, parseBoxes(whereTail), vect != null))
-      case AddConstraintRe(dir, name, exprText) =>
+      case ReplaceRe(ref, whereTail, query) =>
+        // the idempotent-backfill statement: delete the region AND
+        // insert the query's rows as ONE committed generation
+        // ([[Layout.replaceWhere]] — strict containment, constraint
+        // checks, pay-for-the-touch classification)
+        val dir = dirOf(session, ref)
+        val df = org.apache.spark.sql.GraftColumnBridge.frameOf(session,
+          delegate.parseQuery(query))
+        val boxes = parseBoxes(whereTail)
+        Some(GraftVerbCommand(
+          attrsOf("files_dropped" -> IntegerType,
+            "files_rewritten" -> IntegerType,
+            "files_inserted" -> IntegerType,
+            "rows_deleted" -> LongType, "rows_inserted" -> LongType),
+          s => {
+            val st = Layout.replaceWhere(s, dir, df, boxes)
+            Seq(Row(st.filesDropped, st.filesRewritten, st.filesInserted,
+              st.rowsDeleted, st.rowsInserted))
+          }))
+      case AddConstraintRe(ref, name, exprText) =>
+        val dir = dirOf(session, ref)
         Some(GraftVerbCommand(
           attrsOf("constraints" -> IntegerType),
           s => {
             Layout.addCheckConstraint(s, dir, name, exprText)
             Seq(Row(Layout.checkConstraintsOf(s, dir).size))
           }))
-      case DropConstraintRe(dir, name) =>
+      case DropConstraintRe(ref, name) =>
+        val dir = dirOf(session, ref)
         Some(GraftVerbCommand(
           attrsOf("constraints" -> IntegerType),
           s => {
             Layout.dropCheckConstraint(s, dir, name)
             Seq(Row(Layout.checkConstraintsOf(s, dir).size))
           }))
-      case ShowStreamsRe(dir) =>
+      case ShowStreamsRe(ref) =>
+        val dir = dirOf(session, ref)
         // intent columns are null unless an append is in flight or
         // crashed mid-flight — the state the streamAppend refusal
         // messages tell the operator to inspect
@@ -370,7 +509,8 @@ object GraftSqlCommands {
           s => Layout.streamLedgers(s, dir)
             .map { case (q, b, ib, ig) =>
               Row(q, b, ib.orNull, ig.orNull) }))
-      case ShowConstraintsRe(dir) =>
+      case ShowConstraintsRe(ref) =>
+        val dir = dirOf(session, ref)
         Some(GraftVerbCommand(
           attrsOf("name" -> org.apache.spark.sql.types.StringType,
             "expr" -> org.apache.spark.sql.types.StringType),
@@ -381,28 +521,33 @@ object GraftSqlCommands {
         // the dialect spelled out — falling through to Spark's parser
         // would surface a baffling generic syntax error
         throw new IllegalArgumentException(
-          s"unrecognized GRAFT statement: $sqlText — supported forms: " +
-            "GRAFT DESCRIBE HISTORY '<dir>' | GRAFT DESCRIBE DETAIL " +
-            "'<dir>' | GRAFT OPTIMIZE '<dir>' TARGET <n> ROWS " +
+          s"unrecognized GRAFT statement: $sqlText — supported forms " +
+            "(<t>: a '/path' literal or a CREATE TABLE … USING graft " +
+            "catalog name): " +
+            "GRAFT DESCRIBE HISTORY <t> | GRAFT DESCRIBE DETAIL " +
+            "<t> | GRAFT OPTIMIZE <t> TARGET <n> ROWS " +
             "[DV RATIO <x>] | GRAFT " +
-            "VACUUM '<dir>' RETAIN <n> [FORCE] | GRAFT SHOW PINS " +
-            "'<dir>' | GRAFT RESTORE '<dir>' " +
-            "VERSION AS OF <n> | GRAFT CREATE '<dir>' KEYS (k, …) " +
-            "[GENERATIONS] AS <query> | GRAFT APPEND INTO '<dir>' " +
+            "VACUUM <t> RETAIN <n> [FORCE] | GRAFT SHOW PINS " +
+            "<t> | GRAFT RESTORE <t> " +
+            "VERSION AS OF <n> | GRAFT CLONE <t> [VERSION AS OF <n>] " +
+            "TO '<dir>' | GRAFT CREATE '<dir>' KEYS (k, …) " +
+            "[GENERATIONS] AS <query> | GRAFT APPEND INTO <t> " +
             "[MERGE SCHEMA] AS " +
-            "<query> | GRAFT UPSERT INTO '<dir>' KEYS (k, …) AS " +
-            "<query> | GRAFT MERGE INTO '<dir>' USING (<query>) ON " +
+            "<query> | GRAFT UPSERT INTO <t> KEYS (k, …) AS " +
+            "<query> | GRAFT MERGE INTO <t> USING (<query>) ON " +
             "(k, …) WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN " +
             "INSERT / WHEN MATCHED THEN DELETE | " +
-            "GRAFT UPDATE '<dir>' SET c = <expr>, … WHERE " +
-            "<pred> [AND <pred> …] | GRAFT DELETE FROM '<dir>' WHERE " +
-            "<pred> [AND <pred> …] [USING VECTORS] (pred: <key> " +
+            "GRAFT UPDATE <t> SET c = <expr>, … WHERE " +
+            "<pred> [AND <pred> …] | GRAFT DELETE FROM <t> WHERE " +
+            "<pred> [AND <pred> …] [USING VECTORS] | GRAFT REPLACE " +
+            "INTO <t> WHERE <pred> [AND <pred> …] AS <query> (pred: " +
+            "<key> " +
             "BETWEEN <lo> AND <hi> | <key> = <v> | <key> IN (<v>, …)) " +
             "| GRAFT ALTER " +
-            "'<dir>' ADD " +
-            "CONSTRAINT <name> CHECK (<expr>) | GRAFT ALTER '<dir>' " +
-            "DROP CONSTRAINT <name> | GRAFT SHOW CONSTRAINTS '<dir>' | " +
-            "GRAFT SHOW STREAMS '<dir>'")
+            "<t> ADD " +
+            "CONSTRAINT <name> CHECK (<expr>) | GRAFT ALTER <t> " +
+            "DROP CONSTRAINT <name> | GRAFT SHOW CONSTRAINTS <t> | " +
+            "GRAFT SHOW STREAMS <t>")
       case _ => None
     }
 

@@ -2813,6 +2813,117 @@ object SketchQueries {
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM appended GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Time travel SQL + named GRAFT verbs + SQL CLONE in one gate:
+    // the fixture registers a layout as a catalog table, CLONEs
+    // generation 0 through the SQL verb (by NAME), then mutates the
+    // table through `GRAFT DELETE FROM <name>` — and the gate query
+    // reads THREE snapshots of the same table: the live state through
+    // the catalog name, the pre-delete state through ANSI
+    // `VERSION AS OF 0` (the [[graft.plans.GraftTimeTravel]] parse
+    // rewrite), and the clone directory (independence: the clone is
+    // the pre-delete bytes, standalone). Oracle: DuckDB recomputes
+    // live from the band-filtered table, v0/clone from the raw table.
+    QueryDef("q_layout_tt_sql",
+      (s, d) => {
+        val clone = prunedFixture.computeIfAbsent(s"$d#docs_tt_sql", _ => {
+          val p0 = graft.Scratch.tempDir("graft_tt_")
+          val p = s"$p0/documents"
+          val c = s"$p0/clone"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(4, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          Layout.enableGenerations(s, p)
+          s.sql("DROP TABLE IF EXISTS graft_gate_tt")
+          s.sql(s"CREATE TABLE graft_gate_tt USING graft " +
+            s"OPTIONS (path '$p')")
+          s.sql(s"GRAFT CLONE graft_gate_tt VERSION AS OF 0 TO '$c'")
+            .collect()
+          s.sql("GRAFT DELETE FROM graft_gate_tt " +
+            "WHERE doc_id BETWEEN 100 AND 199").collect()
+          c
+        })
+        s.read.parquet(clone).createOrReplaceTempView("graft_gate_tt_clone")
+        s.sql("""SELECT 'live' AS snap, lang, count(*) AS n_docs,
+                |  sum(n_chars) AS total_chars, sum(doc_id) AS id_sum
+                |FROM graft_gate_tt GROUP BY lang
+                |UNION ALL
+                |SELECT 'v0' AS snap, lang, count(*) AS n_docs,
+                |  sum(n_chars) AS total_chars, sum(doc_id) AS id_sum
+                |FROM graft_gate_tt VERSION AS OF 0 GROUP BY lang
+                |UNION ALL
+                |SELECT 'clone' AS snap, lang, count(*) AS n_docs,
+                |  sum(n_chars) AS total_chars, sum(doc_id) AS id_sum
+                |FROM graft_gate_tt_clone GROUP BY lang
+                |ORDER BY snap, lang""".stripMargin)
+      },
+      Some("""WITH live AS (
+             |  SELECT * FROM documents
+             |  WHERE doc_id NOT BETWEEN 100 AND 199)
+             |SELECT 'live' AS snap, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM live GROUP BY lang
+             |UNION ALL
+             |SELECT 'v0' AS snap, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM documents GROUP BY lang
+             |UNION ALL
+             |SELECT 'clone' AS snap, lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM documents GROUP BY lang
+             |ORDER BY snap, lang""".stripMargin)),
+
+    // REPLACE INTO — the idempotent-backfill statement
+    // ([[Layout.replaceWhere]]): one committed generation deletes the
+    // doc_id band AND inserts the corrected rows (n_chars shifted by
+    // +1000), with strict containment proved over the incoming batch.
+    // The gate aggregates the post-backfill table; the oracle
+    // recomputes band-outside ∪ corrected-band from the raw table.
+    // The fixture also proves the ONE-generation contract in-gate.
+    QueryDef("q_layout_replace",
+      (s, d) => {
+        val dir = prunedFixture.computeIfAbsent(s"$d#docs_replace", _ => {
+          val p = graft.Scratch.tempDir("graft_repl_") + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(4, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          Layout.enableGenerations(s, p)
+          docs.where(col("doc_id").between(100, 199))
+            .select(col("doc_id"), col("lang"),
+              (col("n_chars") + 1000).as("n_chars"))
+            .createOrReplaceTempView("graft_replace_src")
+          s.sql(s"GRAFT REPLACE INTO '$p' WHERE doc_id BETWEEN 100 " +
+            "AND 199 AS SELECT * FROM graft_replace_src").collect()
+          require(Layout.currentGeneration(s, p) == 1L,
+            "REPLACE INTO must commit exactly one generation")
+          p
+        })
+        Layout.readLayout(s, dir)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("total_chars"),
+            sum(col("doc_id")).as("id_sum"))
+          .orderBy("lang")
+      },
+      Some("""WITH replaced AS (
+             |  SELECT doc_id, lang, n_chars FROM documents
+             |  WHERE doc_id NOT BETWEEN 100 AND 199
+             |  UNION ALL
+             |  SELECT doc_id, lang, n_chars + 1000 AS n_chars
+             |  FROM documents WHERE doc_id BETWEEN 100 AND 199)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM replaced GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Session-catalog tables — `CREATE TABLE t USING graft` then
     // plain `SELECT … FROM t`, no temp-view boilerplate: the gate
     // registers a layout fixture as a catalog table, mutates the

@@ -62,6 +62,40 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * moment `readSnapshot` resolves), so a cached DataFrame keeps
   * serving its resolved file list; re-run `load()` to re-resolve.
   * Timestamps accept epoch millis or `yyyy-MM-dd HH:mm:ss[.f]`. */
+/** ONE instant-parsing rule for every surface that takes a
+  * wall-clock option — the reader's `timestampAsOf`, the CDC
+  * source's `startingTimestamp`, and the dialect's
+  * `RESTORE … TIMESTAMP AS OF`: epoch millis, or
+  * `yyyy-MM-dd HH:mm:ss[.f]` read in the SESSION timezone — never
+  * the JVM default (`java.sql.Timestamp.valueOf` semantics), which
+  * would silently shift the instant by the zone offset on any
+  * deployment whose JVM zone differs from the session's. The engine
+  * pins its sessions to UTC; this keeps the options honest either
+  * way. */
+private[graft] object GraftInstants {
+  private val TsFmt = new java.time.format.DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd HH:mm:ss")
+    .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND,
+      0, 9, true)
+    .toFormatter(java.util.Locale.ROOT)
+
+  def millisOf(t: String): Long =
+    try t.toLong catch {
+      case _: NumberFormatException =>
+        try {
+          val zone = java.time.ZoneId.of(SparkSession.active
+            .sessionState.conf.sessionLocalTimeZone)
+          java.time.LocalDateTime.parse(t, TsFmt).atZone(zone)
+            .toInstant.toEpochMilli
+        } catch {
+          case _: java.time.format.DateTimeParseException =>
+            throw new IllegalArgumentException(
+              s"instant must be epoch millis or " +
+                s"'yyyy-MM-dd HH:mm:ss[.f]', got '$t'")
+        }
+    }
+}
+
 class GraftSource extends TableProvider with DataSourceRegister
     with org.apache.spark.sql.sources.StreamSourceProvider
     with org.apache.spark.sql.sources.StreamSinkProvider {
@@ -79,34 +113,7 @@ class GraftSource extends TableProvider with DataSourceRegister
   // serves the evolved schema — never the stale catalog copy.
   override def supportsExternalMetadata(): Boolean = true
 
-  private val TsFmt = new java.time.format.DateTimeFormatterBuilder()
-    .appendPattern("yyyy-MM-dd HH:mm:ss")
-    .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND,
-      0, 9, true)
-    .toFormatter(java.util.Locale.ROOT)
-
-  /** A reader-option instant: epoch millis, or a wall-clock string
-    * read in the SESSION timezone — never the JVM default
-    * (`java.sql.Timestamp.valueOf` semantics), which would silently
-    * shift `timestampAsOf`/`startingTimestamp` by the zone offset on
-    * any deployment whose JVM zone differs from the session's. The
-    * engine pins its sessions to UTC; this keeps the option honest
-    * either way. */
-  private def parseTs(t: String): Long =
-    try t.toLong catch {
-      case _: NumberFormatException =>
-        try {
-          val zone = java.time.ZoneId.of(SparkSession.active
-            .sessionState.conf.sessionLocalTimeZone)
-          java.time.LocalDateTime.parse(t, TsFmt).atZone(zone)
-            .toInstant.toEpochMilli
-        } catch {
-          case _: java.time.format.DateTimeParseException =>
-            throw new IllegalArgumentException(
-              s"timestampAsOf must be epoch millis or " +
-                s"'yyyy-MM-dd HH:mm:ss[.f]', got '$t'")
-        }
-    }
+  private def parseTs(t: String): Long = GraftInstants.millisOf(t)
 
   private def tableOf(options: CaseInsensitiveStringMap): Table = {
     val dir = options.get("path")

@@ -65,4 +65,131 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
       assert(Layout.readLayout(spark, d).count() === 42L)
     }
   }
+
+  test("time travel SQL: VERSION AS OF / TIMESTAMP AS OF resolve graft catalog tables") {
+    withTempDir("graft_cat_tt_") { dir =>
+      val d = s"$dir/t"
+      mkTracked(d) // gen 0: 50 rows
+      Thread.sleep(2)
+      val ts0 = System.currentTimeMillis() // after the gen-0 stamp
+      Thread.sleep(2)
+      spark.sql(s"CREATE TABLE graft_tt_t USING graft OPTIONS (path '$d')")
+      try {
+        Layout.deleteWhere(spark, d, Seq(Layout.KeyBox("k", 0L, 9L)))
+        // live vs VERSION AS OF 0 through plain SQL, same table name
+        assert(spark.table("graft_tt_t").count() === 40L)
+        assert(spark.sql(
+            "SELECT count(*) AS n FROM graft_tt_t VERSION AS OF 0")
+          .as[Long].head() === 50L)
+        // the traveled relation keeps its alias: qualified refs and
+        // self-joins of two different versions resolve
+        assert(spark.sql(
+            """SELECT count(*) AS n FROM graft_tt_t VERSION AS OF 0
+              |WHERE graft_tt_t.k < 10""".stripMargin)
+          .as[Long].head() === 10L)
+        assert(spark.sql(
+            """SELECT count(*) AS n
+              |FROM graft_tt_t VERSION AS OF 0 v0
+              |LEFT ANTI JOIN graft_tt_t live ON v0.k = live.k""".stripMargin)
+          .as[Long].head() === 10L)
+        // TIMESTAMP AS OF: an instant between the gen-0 and gen-1
+        // commits resolves to gen 0 — epoch-millis and wall-clock
+        // string spellings both ride the reader's own parseTs
+        assert(spark.sql(
+            s"SELECT count(*) AS n FROM graft_tt_t TIMESTAMP AS OF '$ts0'")
+          .as[Long].head() === 50L)
+        val wallClock = java.time.Instant.ofEpochMilli(ts0)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDateTime
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+        assert(spark.sql("SELECT count(*) AS n FROM graft_tt_t " +
+            s"TIMESTAMP AS OF '$wallClock'")
+          .as[Long].head() === 50L)
+        // a typed timestamp literal in the far future resolves live
+        assert(spark.sql(
+            """SELECT count(*) AS n FROM graft_tt_t
+              |TIMESTAMP AS OF TIMESTAMP '2100-01-01 00:00:00'"""
+            .stripMargin)
+          .as[Long].head() === 40L)
+        // merge-on-read time travel: a DV generation's snapshot
+        // substitutes through the same SQL spelling
+        Layout.deleteWhereDv(spark, d, Seq(Layout.KeyBox("k", 10L, 14L)))
+        assert(spark.table("graft_tt_t").count() === 35L)
+        assert(spark.sql(
+            "SELECT count(*) AS n FROM graft_tt_t VERSION AS OF 1")
+          .as[Long].head() === 40L)
+        // a non-literal instant refuses loudly at parse
+        val nf = intercept[IllegalArgumentException] {
+          spark.sql("SELECT * FROM graft_tt_t TIMESTAMP AS OF rand()")
+        }
+        assert(nf.getMessage.contains("literal instant"))
+        // a non-graft relation is untouched: Spark's own refusal
+        spark.range(3).createOrReplaceTempView("graft_tt_view")
+        try intercept[Exception] {
+          spark.sql("SELECT * FROM graft_tt_view VERSION AS OF 0")
+            .collect()
+        } finally spark.catalog.dropTempView("graft_tt_view")
+      } finally spark.sql("DROP TABLE IF EXISTS graft_tt_t")
+    }
+  }
+
+  test("GRAFT verbs take catalog table names; CLONE exports a snapshot by name") {
+    withTempDir("graft_cat_verb_") { dir =>
+      val d = s"$dir/t"
+      mkTracked(d) // gen 0: 50 rows
+      Thread.sleep(2)
+      val ts0 = System.currentTimeMillis() // after the gen-0 stamp
+      Thread.sleep(2)
+      spark.sql(s"CREATE TABLE graft_verb_t USING graft OPTIONS (path '$d')")
+      try {
+        // lifecycle reads resolve the name through the catalog
+        val det = spark.sql("GRAFT DESCRIBE DETAIL graft_verb_t")
+          .collect()(0)
+        assert(det.getAs[Long]("n_rows") === 50L)
+        // a db-qualified spelling resolves too
+        assert(spark.sql("GRAFT DESCRIBE DETAIL default.graft_verb_t")
+          .collect()(0).getAs[Long]("n_rows") === 50L)
+        // mutations through the name are the same layout verbs
+        val del = spark.sql(
+          "GRAFT DELETE FROM graft_verb_t WHERE k BETWEEN 0 AND 9")
+          .collect()(0)
+        assert(del.getAs[Long]("rows_deleted") === 10L)
+        assert(spark.table("graft_verb_t").count() === 40L)
+        // CLONE by name: gen 0 exported as a standalone layout
+        val c = s"$dir/clone"
+        val cl = spark.sql(
+          s"GRAFT CLONE graft_verb_t VERSION AS OF 0 TO '$c'")
+          .collect()(0)
+        assert(cl.getAs[Long]("generation") === 0L)
+        assert(cl.getAs[Long]("files_copied") > 0L)
+        assert(spark.read.parquet(c).count() === 50L)
+        // CLONE defaulting to the live generation
+        val c2 = s"$dir/clone_live"
+        assert(spark.sql(s"GRAFT CLONE graft_verb_t TO '$c2'")
+          .collect()(0).getAs[Long]("generation") === 1L)
+        assert(spark.read.parquet(c2).count() === 40L)
+        // RESTORE TIMESTAMP AS OF: the instant between the gen-0 and
+        // gen-1 commits undoes the delete through the same commit
+        // records the reader resolves
+        val rest = spark.sql(
+          s"GRAFT RESTORE graft_verb_t TIMESTAMP AS OF '$ts0'")
+          .collect()(0)
+        assert(rest.getAs[Boolean]("committed"))
+        assert(spark.table("graft_verb_t").count() === 50L)
+        // a name that is not a graft table refuses loudly …
+        val unknown = intercept[IllegalArgumentException] {
+          spark.sql("GRAFT DESCRIBE DETAIL graft_no_such_table")
+        }
+        assert(unknown.getMessage.contains("not a registered graft"))
+        // … and a TEMP VIEW is never silently treated as a layout
+        spark.range(3).createOrReplaceTempView("graft_verb_view")
+        try {
+          val tv = intercept[IllegalArgumentException] {
+            spark.sql("GRAFT DESCRIBE DETAIL graft_verb_view")
+          }
+          assert(tv.getMessage.contains("TEMPORARY VIEW"))
+        } finally spark.catalog.dropTempView("graft_verb_view")
+      } finally spark.sql("DROP TABLE IF EXISTS graft_verb_t")
+    }
+  }
 }

@@ -356,6 +356,45 @@ class GraftSqlSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("GRAFT REPLACE INTO: delete + insert as ONE generation through SQL") {
+    withTempDir("graft_sql_repl_") { dir =>
+      val d = s"$dir/t"
+      (0L to 49L).map(k => (k, k)).toDF("k", "v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k")
+        .write.parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      Layout.enableGenerations(spark, d)
+      // the backfill replaces band [10, 19] with TWO corrected rows
+      Seq((10L, 100L), (11L, 110L)).toDF("k", "v")
+        .createOrReplaceTempView("sql_repl_src")
+      try {
+        val row = spark.sql(s"GRAFT REPLACE INTO '$d' WHERE k " +
+          "BETWEEN 10 AND 19 AS SELECT * FROM sql_repl_src").collect()(0)
+        assert(row.getAs[Long]("rows_deleted") === 10L)
+        assert(row.getAs[Long]("rows_inserted") === 2L)
+        assert(Layout.currentGeneration(spark, d) === 1L,
+          "REPLACE INTO must be one commit")
+        val out = spark.read.parquet(d)
+        assert(out.count() === 42L)
+        assert(out.where(col("k") === 10L).select("v").as[Long]
+          .head() === 100L)
+        // containment refusal surfaces through the SQL shell too
+        Seq((99L, 0L)).toDF("k", "v")
+          .createOrReplaceTempView("sql_repl_bad")
+        val e = intercept[IllegalArgumentException] {
+          spark.sql(s"GRAFT REPLACE INTO '$d' WHERE k BETWEEN 10 " +
+            "AND 19 AS SELECT * FROM sql_repl_bad").collect()
+        }
+        assert(e.getMessage.contains("OUTSIDE"))
+        assert(Layout.currentGeneration(spark, d) === 1L)
+      } finally {
+        spark.catalog.dropTempView("sql_repl_src")
+        spark.catalog.dropTempView("sql_repl_bad")
+      }
+    }
+  }
+
   test("COUNT(*) over the graft reader answers from the manifest — no scan node") {
     withTempDir("graft_cnt_") { dir =>
       val d = s"$dir/t"

@@ -741,6 +741,72 @@ class LayoutSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("replaceWhere: idempotent backfill in ONE generation, strict containment, constraints") {
+    withTempDir("graft_replace_") { dir =>
+      val d = s"$dir/t"
+      (0L to 99L).map(k => (k, k)).toDF("k", "v")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+        .write.parquet(d)
+      Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      Layout.enableGenerations(spark, d)
+      // backfill band [20, 39] with corrected rows — delete + insert
+      // as ONE committed generation
+      val fresh = (20L to 39L).map(k => (k, k * 10)).toDF("k", "v")
+      val st = Layout.replaceWhere(spark, d, fresh,
+        Seq(Layout.KeyBox("k", 20L, 39L)))
+      assert(st.rowsDeleted === 20L, st.toString)
+      assert(st.rowsInserted === 20L, st.toString)
+      assert(st.filesInserted >= 1, st.toString)
+      assert(Layout.currentGeneration(spark, d) === 1L,
+        "replaceWhere must commit ONE generation, not a delete + append pair")
+      val out = spark.read.parquet(d)
+      assert(out.count() === 100L)
+      assert(out.where(col("k").between(20, 39) &&
+        col("v") =!= col("k") * 10).count() === 0L)
+      assert(out.where(!col("k").between(20, 39) &&
+        col("v") =!= col("k")).count() === 0L)
+      // the patched manifest serves exact pruned reads over the
+      // replaced band (delta stats cover the inserted files)
+      assert(Layout.scanPruned(spark, d,
+        Seq(Layout.KeyBox("k", 25L, 30L))).count() === 6L)
+      // re-running the same backfill is idempotent on CONTENT (the
+      // point of the verb): one more generation, same rows
+      val st2 = Layout.replaceWhere(spark, d, fresh,
+        Seq(Layout.KeyBox("k", 20L, 39L)))
+      assert(st2.rowsInserted === 20L)
+      assert(Layout.currentGeneration(spark, d) === 2L)
+      assert(spark.read.parquet(d).count() === 100L)
+      // time travel still serves the pre-backfill state
+      assert(Layout.readSnapshot(spark, d, 0L)
+        .where(col("v") === col("k")).count() === 100L)
+      // STRICT containment: a row outside the replaced region refuses
+      // before anything lands
+      val leak = Seq((500L, 1L)).toDF("k", "v")
+      val e = intercept[IllegalArgumentException] {
+        Layout.replaceWhere(spark, d, leak,
+          Seq(Layout.KeyBox("k", 20L, 39L)))
+      }
+      assert(e.getMessage.contains("OUTSIDE"))
+      assert(Layout.currentGeneration(spark, d) === 2L,
+        "a refused replace must not commit")
+      // CHECK constraints prove over the incoming batch
+      Layout.addCheckConstraint(spark, d, "v_nonneg", "v >= 0")
+      val bad = Seq((21L, -5L)).toDF("k", "v")
+      val c = intercept[IllegalArgumentException] {
+        Layout.replaceWhere(spark, d, bad,
+          Seq(Layout.KeyBox("k", 20L, 39L)))
+      }
+      assert(c.getMessage.contains("v_nonneg"))
+      // write-schema compatibility is exact — a retyped column refuses
+      val retyped = Seq((21, 1)).toDF("k", "v") // int, not long
+      intercept[IllegalArgumentException] {
+        Layout.replaceWhere(spark, d, retyped,
+          Seq(Layout.KeyBox("k", 20L, 39L)))
+      }
+    }
+  }
+
   test("deleteWhere on a hive-partitioned layout: data-column and partition-column deletes") {
     withTempDir("graft_delete_part_") { dir =>
       val d = s"$dir/t"

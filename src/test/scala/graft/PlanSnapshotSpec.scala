@@ -74,6 +74,41 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("graft reader: a small dim table auto-broadcasts from reported scan statistics") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    withTempDir("graft_plan_bcast_") { dir =>
+      val d = s"$dir/dim"
+      (0L to 49L).map(k => (k, s"name$k")).toDF("k", "name")
+        .repartition(1).write.parquet(d)
+      graft.ext.Layout.buildFileManifest(spark, d, Seq("k"))
+        .write.mode("overwrite").parquet(s"$d/_graft_manifest")
+      graft.ext.Layout.enableGenerations(spark, d)
+      // NO broadcast hint anywhere: the V2 file scan must REPORT its
+      // size (FileScan.estimateStatistics) so the planner's own
+      // threshold picks the broadcast — a relation defaulting to
+      // "unknown" stats would shuffle both sides, the silent tax
+      // that turns every dim join at 100 TB into an exchange
+      val dim = spark.read.format("graft").load(d)
+      val fact = spark.range(0L, 100000L).toDF("k")
+      val j = fact.join(dim, "k")
+      j.write.format("noop").mode("overwrite").save()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("SortMergeJoin"), plan)
+      // merge-on-read keeps the property: a DV generation substitutes
+      // the snapshot plan, whose stats still derive from file scans
+      graft.ext.Layout.deleteWhereDv(spark, d,
+        Seq(graft.ext.Layout.KeyBox("k", 0L, 4L)))
+      val dim2 = spark.read.format("graft").load(d)
+      val j2 = fact.join(dim2, "k")
+      j2.write.format("noop").mode("overwrite").save()
+      val plan2 = j2.queryExecution.executedPlan.toString
+      assert(plan2.contains("BroadcastHashJoin"), plan2)
+      assert(!plan2.contains("SortMergeJoin"), plan2)
+    }
+  }
+
   test("graft reader: manifest stats shrink the V2 file list under a WHERE") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
