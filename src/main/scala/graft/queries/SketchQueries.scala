@@ -2924,6 +2924,46 @@ object SketchQueries {
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM replaced GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ANSI DELETE — `DELETE FROM <name> WHERE …` in PLAIN SQL (no
+    // GRAFT dialect): the catalog table routes through
+    // SupportsDelete, [[graft.sources.GraftDeleteFilters]] renders
+    // the condition as EXACT boxes (a BETWEEN → two range conjuncts
+    // here), and the execution is the same pay-for-the-touch
+    // deleteWhere every other surface uses. Oracle: DuckDB
+    // recomputes the post-delete aggregate from the raw table.
+    QueryDef("q_layout_ansi_delete",
+      (s, d) => {
+        prunedFixture.computeIfAbsent(s"$d#docs_ansi_del", _ => {
+          val p = graft.Scratch.tempDir("graft_adel_") + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(4, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          Layout.enableGenerations(s, p)
+          s.sql("DROP TABLE IF EXISTS graft_gate_ansi")
+          s.sql(s"CREATE TABLE graft_gate_ansi USING graft " +
+            s"OPTIONS (path '$p')")
+          s.sql("DELETE FROM graft_gate_ansi " +
+            "WHERE doc_id BETWEEN 150 AND 249")
+          require(Layout.currentGeneration(s, p) == 1L,
+            "ANSI DELETE must commit exactly one generation")
+          p
+        })
+        s.sql("""SELECT lang, count(*) AS n_docs,
+                |  sum(n_chars) AS total_chars, sum(doc_id) AS id_sum
+                |FROM graft_gate_ansi
+                |GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""WITH live AS (
+             |  SELECT * FROM documents
+             |  WHERE doc_id NOT BETWEEN 150 AND 249)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM live GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Session-catalog tables — `CREATE TABLE t USING graft` then
     // plain `SELECT … FROM t`, no temp-view boilerplate: the gate
     // registers a layout fixture as a catalog table, mutates the

@@ -383,7 +383,8 @@ private[graft] class GraftTable(
     dir: String, timeTravel: Boolean)
     extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   import org.apache.spark.sql.connector.catalog.TableCapability
 
   override def name(): String = parquet.name
@@ -401,6 +402,47 @@ private[graft] class GraftTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap) =
     parquet.newScanBuilder(options)
+
+  // ── ANSI DELETE: `DELETE FROM t WHERE …` in PLAIN SQL ──
+  //
+  // Spark routes a DeleteFromTable over this relation through
+  // SupportsDelete when the condition translates to source filters;
+  // [[GraftDeleteFilters]] then demands an EXACT box rendering
+  // (point / range / IN / successor-closed strict bounds on the
+  // layout's declared keys) — anything weaker refuses loudly via
+  // canDeleteWhere, never a partial delete. The execution IS
+  // [[graft.ext.Layout.deleteWhere]]: pay-for-the-touch file
+  // classification, covered files drop unopened, partials rewrite
+  // vector-applied, one commit. DELETE without WHERE refuses (a
+  // whole-table truncate has no box form — GRAFT RESTORE / CREATE
+  // express that intent explicitly).
+  private def deleteBoxesOf(
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Option[Seq[graft.ext.Layout.PruneBox]] = {
+    val spark = SparkSession.active
+    val keys = graft.ext.Layout.storedKeys(spark, dir).toSet
+    GraftDeleteFilters.boxesOf(parquet.schema, keys,
+      filters.toIndexedSeq)
+  }
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    !timeTravel && deleteBoxesOf(filters).isDefined
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(!timeTravel,
+      s"cannot DELETE from a time-traveled read of $dir — a " +
+        "versionAsOf/timestampAsOf table is a snapshot")
+    val boxes = deleteBoxesOf(filters).getOrElse(
+      throw new IllegalArgumentException(
+        s"DELETE condition ${filters.mkString(" AND ")} has no exact " +
+          s"box form over the declared keys of $dir — supported: " +
+          "=, IN, range and BETWEEN conjuncts on manifest key " +
+          "columns; use GRAFT DELETE FROM or the Scala verbs for " +
+          "anything richer"))
+    graft.ext.Layout.deleteWhere(SparkSession.active, dir, boxes)
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)

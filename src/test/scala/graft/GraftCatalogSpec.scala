@@ -133,6 +133,39 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("ANSI DELETE FROM resolves through SupportsDelete onto the layout verb") {
+    withTempDir("graft_cat_del_") { dir =>
+      val d = s"$dir/t"
+      mkTracked(d) // gen 0: 50 rows, keys (k)
+      spark.sql(s"CREATE TABLE graft_del_t USING graft OPTIONS (path '$d')")
+      try {
+        // plain SQL BETWEEN → two range boxes, one committed
+        // generation, pay-for-the-touch classification underneath
+        spark.sql("DELETE FROM graft_del_t WHERE k BETWEEN 0 AND 9")
+        assert(spark.table("graft_del_t").count() === 40L)
+        assert(Layout.currentGeneration(spark, d) === 1L)
+        // IN-list and strict bounds translate exactly
+        spark.sql("DELETE FROM graft_del_t WHERE k IN (10, 11, 12)")
+        assert(spark.table("graft_del_t").count() === 37L)
+        spark.sql("DELETE FROM graft_del_t WHERE k > 47")
+        assert(spark.table("graft_del_t").count() === 35L)
+        assert(spark.table("graft_del_t").where(col("k") > 45)
+          .select("k").as[Long].collect().sorted.toSeq ===
+          Seq(46L, 47L))
+        // a non-key predicate refuses — never a partial delete
+        intercept[Exception] {
+          spark.sql("DELETE FROM graft_del_t WHERE v = 20")
+        }
+        // DELETE without WHERE refuses (truncate has no box form)
+        intercept[Exception] {
+          spark.sql("DELETE FROM graft_del_t")
+        }
+        assert(spark.table("graft_del_t").count() === 35L)
+        assert(Layout.currentGeneration(spark, d) === 3L)
+      } finally spark.sql("DROP TABLE IF EXISTS graft_del_t")
+    }
+  }
+
   test("GRAFT verbs take catalog table names; CLONE exports a snapshot by name") {
     withTempDir("graft_cat_verb_") { dir =>
       val d = s"$dir/t"
