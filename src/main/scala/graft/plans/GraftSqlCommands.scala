@@ -76,8 +76,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlCommands.parse(session, delegate, sqlText)
-      .getOrElse(GraftTimeTravel.rewrite(session,
-        delegate.parsePlan(sqlText)))
+      .getOrElse(GraftAnsiDml.rewrite(session,
+        GraftTimeTravel.rewrite(session, delegate.parsePlan(sqlText))))
 
   override def parseExpression(sqlText: String) =
     delegate.parseExpression(sqlText)

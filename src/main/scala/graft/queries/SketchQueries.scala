@@ -2964,6 +2964,47 @@ object SketchQueries {
              |  CAST(sum(doc_id) AS BIGINT) AS id_sum
              |FROM live GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ANSI UPDATE — `UPDATE <name> SET … WHERE …` in PLAIN SQL: the
+    // parse-time rewrite ([[graft.plans.GraftAnsiDml]]) renders the
+    // condition as EXACT boxes and lands on [[Layout.updateWhere]]
+    // (simultaneous assignment from pre-update values, constraint
+    // proofs, pay-for-the-touch). Oracle: DuckDB recomputes the
+    // band-shifted aggregate from the raw table.
+    QueryDef("q_layout_ansi_update",
+      (s, d) => {
+        prunedFixture.computeIfAbsent(s"$d#docs_ansi_upd", _ => {
+          val p = graft.Scratch.tempDir("graft_aupd_") + "/documents"
+          val docs = t(s, d, "documents").select("doc_id", "lang", "n_chars")
+          docs.repartitionByRange(4, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(p)
+          Layout.buildFileManifest(s, p, Seq("doc_id"))
+            .write.mode("overwrite").parquet(s"$p/_graft_manifest")
+          Layout.enableGenerations(s, p)
+          s.sql("DROP TABLE IF EXISTS graft_gate_upd")
+          s.sql(s"CREATE TABLE graft_gate_upd USING graft " +
+            s"OPTIONS (path '$p')")
+          s.sql("UPDATE graft_gate_upd SET n_chars = n_chars + 5000 " +
+            "WHERE doc_id BETWEEN 200 AND 299").collect()
+          require(Layout.currentGeneration(s, p) == 1L,
+            "ANSI UPDATE must commit exactly one generation")
+          p
+        })
+        s.sql("""SELECT lang, count(*) AS n_docs,
+                |  sum(n_chars) AS total_chars, sum(doc_id) AS id_sum
+                |FROM graft_gate_upd
+                |GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      Some("""WITH updated AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN doc_id BETWEEN 200 AND 299
+             |         THEN n_chars + 5000 ELSE n_chars END AS n_chars
+             |  FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+             |FROM updated GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Session-catalog tables — `CREATE TABLE t USING graft` then
     // plain `SELECT … FROM t`, no temp-view boilerplate: the gate
     // registers a layout fixture as a catalog table, mutates the

@@ -94,6 +94,23 @@ private[graft] object GraftInstants {
                 s"'yyyy-MM-dd HH:mm:ss[.f]', got '$t'")
         }
     }
+
+  /** A wall-clock string's epoch MICROS in the session zone, or
+    * `None` when it isn't `yyyy-MM-dd HH:mm:ss[.f]` — the exact
+    * rendering a string-vs-timestamp comparison needs (the analyzer
+    * would cast the string the same way; a refusing `None` keeps
+    * the caller loud instead of approximating). */
+  def microsOf(t: String): Option[Long] =
+    try {
+      val zone = java.time.ZoneId.of(SparkSession.active
+        .sessionState.conf.sessionLocalTimeZone)
+      val i = java.time.LocalDateTime.parse(t, TsFmt).atZone(zone)
+        .toInstant
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        (i.getNano / 1000).toLong))
+    } catch {
+      case _: java.time.format.DateTimeParseException => None
+    }
 }
 
 class GraftSource extends TableProvider with DataSourceRegister

@@ -166,6 +166,72 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("ANSI UPDATE and MERGE INTO desugar onto the layout verbs") {
+    withTempDir("graft_cat_dml_") { dir =>
+      val d = s"$dir/t"
+      mkTracked(d) // gen 0: 50 rows (k, g, v = k), keys (k)
+      spark.sql(s"CREATE TABLE graft_dml_t USING graft OPTIONS (path '$d')")
+      try {
+        // UPDATE with BETWEEN — exact boxes, one committed generation
+        val up = spark.sql(
+          "UPDATE graft_dml_t SET v = v + 1000 WHERE k BETWEEN 0 AND 9")
+          .collect()(0)
+        assert(up.getAs[Long]("rows_updated") === 10L)
+        assert(Layout.currentGeneration(spark, d) === 1L)
+        assert(spark.table("graft_dml_t")
+          .where(col("v") >= 1000L).count() === 10L)
+        // qualified spellings in assignment and condition both strip
+        spark.sql("UPDATE graft_dml_t SET v = graft_dml_t.v + 1 " +
+          "WHERE graft_dml_t.k IN (20, 21)")
+        assert(spark.table("graft_dml_t").where(col("k").isin(20L, 21L))
+          .agg(sum("v")).as[Long].head() === 43L) // (20+1) + (21+1)
+        // refusals: no WHERE, and a non-key condition
+        intercept[IllegalArgumentException] {
+          spark.sql("UPDATE graft_dml_t SET v = 0")
+        }
+        intercept[IllegalArgumentException] {
+          spark.sql("UPDATE graft_dml_t SET v = 0 WHERE g = 1")
+        }
+        // MERGE upsert: matched row replaced, unmatched inserted
+        Seq((5L, 9L, 500L), (100L, 0L, 100L)).toDF("k", "g", "v")
+          .createOrReplaceTempView("dml_src")
+        val mg = spark.sql(
+          """MERGE INTO graft_dml_t t USING dml_src s ON t.k = s.k
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()(0)
+        assert(mg.getAs[Long]("rows_replaced") === 1L)
+        // rows_upserted is the FULL batch (replacements + inserts)
+        assert(mg.getAs[Long]("rows_upserted") === 2L)
+        assert(spark.table("graft_dml_t").count() === 51L)
+        assert(spark.table("graft_dml_t").where(col("k") === 5L)
+          .select("v").as[Long].head() === 500L)
+        // MERGE delete: source-matched rows removed
+        Seq(Tuple1(100L)).toDF("k").createOrReplaceTempView("dml_del")
+        spark.sql(
+          """MERGE INTO graft_dml_t t USING dml_del s ON t.k = s.k
+            |WHEN MATCHED THEN DELETE""".stripMargin).collect()
+        assert(spark.table("graft_dml_t").count() === 50L)
+        // unsupported combinations refuse with the shapes named
+        val bad = intercept[IllegalArgumentException] {
+          spark.sql(
+            """MERGE INTO graft_dml_t t USING dml_del s ON t.k = s.k
+              |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+        }
+        assert(bad.getMessage.contains("supported"))
+        // ambiguous unqualified key refuses
+        intercept[IllegalArgumentException] {
+          spark.sql(
+            """MERGE INTO graft_dml_t t USING dml_del s ON k = s.k
+              |WHEN MATCHED THEN DELETE""".stripMargin)
+        }
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS graft_dml_t")
+        spark.catalog.dropTempView("dml_src")
+        spark.catalog.dropTempView("dml_del")
+      }
+    }
+  }
+
   test("GRAFT verbs take catalog table names; CLONE exports a snapshot by name") {
     withTempDir("graft_cat_verb_") { dir =>
       val d = s"$dir/t"
