@@ -412,9 +412,15 @@ private[graft] class GraftTable(
   override def schema(): StructType = parquet.schema
   override def partitioning() = parquet.partitioning()
   override def properties() = parquet.properties()
+  // OVERWRITE_BY_FILTER admits `REPLACE WHERE` (routed onto
+  // [[graft.ext.Layout.replaceWhere]] below); TRUNCATE is
+  // deliberately ABSENT, so whole-table `INSERT OVERWRITE` refuses
+  // at analysis — truncation intent belongs to the explicit
+  // lifecycle verbs (GRAFT RESTORE / CREATE)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap) =
@@ -470,20 +476,53 @@ private[graft] class GraftTable(
         "live layout (drop the option)")
     val mergeSchema = "true".equalsIgnoreCase(
       info.options.getOrDefault("mergeSchema", "false"))
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    // SupportsOverwrite admits `REPLACE WHERE` — `df.writeTo(t)
+    // .overwrite(cond)` and the SQL spelling both plan
+    // OverwriteByExpression, whose condition must render as EXACT
+    // boxes (the same translation and the same reasoning as the
+    // ANSI DELETE path: an overwrite-by-filter has no residual).
+    // The execution IS [[graft.ext.Layout.replaceWhere]] — delete
+    // the region + insert the batch as ONE committed generation,
+    // strict containment proved over the incoming rows. A plain
+    // append never calls overwrite() and keeps the append verb.
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsOverwrite {
+      private var replaceBoxes
+          : Option[Seq[graft.ext.Layout.PruneBox]] = None
+      override def canOverwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : Boolean = deleteBoxesOf(filters).isDefined
+      override def overwrite(
+          filters: Array[org.apache.spark.sql.sources.Filter])
+          : org.apache.spark.sql.connector.write.WriteBuilder = {
+        replaceBoxes = Some(deleteBoxesOf(filters).getOrElse(
+          throw new IllegalArgumentException(
+            s"REPLACE WHERE ${filters.mkString(" AND ")} has no " +
+              s"exact box form over the declared keys of $dir — " +
+              "supported: =, IN, range and BETWEEN conjuncts on " +
+              "manifest key columns; whole-table overwrite has no " +
+              "layout verb (GRAFT CREATE a fresh directory or " +
+              "RESTORE a generation instead)")))
+        this
+      }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
-            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-              require(!overwrite,
-                s"the graft write surface is append-only ($dir) — " +
-                  "overwrite has no layout verb; GRAFT CREATE a fresh " +
-                  "directory or RESTORE a generation instead")
-              graft.ext.Layout.appendWithManifest(data, dir,
-                graft.ext.Layout.storedKeys(data.sparkSession, dir),
-                mergeSchema = mergeSchema)
-            }
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) =>
+              replaceBoxes match {
+                case Some(boxes) =>
+                  graft.ext.Layout.replaceWhere(data.sparkSession,
+                    dir, data, boxes)
+                case None =>
+                  require(!overwrite,
+                    s"the graft write surface is append-only ($dir) — " +
+                      "overwrite has no layout verb; GRAFT CREATE a " +
+                      "fresh directory or RESTORE a generation instead")
+                  graft.ext.Layout.appendWithManifest(data, dir,
+                    graft.ext.Layout.storedKeys(data.sparkSession, dir),
+                    mergeSchema = mergeSchema)
+              }
         }
     }
   }

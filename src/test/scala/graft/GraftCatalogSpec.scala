@@ -232,6 +232,51 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("REPLACE WHERE routes writeTo().overwrite onto replaceWhere; whole-table overwrite refuses") {
+    withTempDir("graft_cat_rw_") { dir =>
+      val d = s"$dir/t"
+      mkTracked(d) // gen 0: 50 rows (k, g, v = k), keys (k)
+      spark.sql(s"CREATE TABLE graft_rw_t USING graft OPTIONS (path '$d')")
+      try {
+        // the idempotent backfill through the V2 write surface: one
+        // committed generation, band replaced by the fresh batch
+        val fresh = (10L to 19L).map(k => (k, 0L, k * 100)).toDF("k", "g", "v")
+        fresh.writeTo("graft_rw_t").overwrite(col("k").between(10L, 19L))
+        assert(spark.table("graft_rw_t").count() === 50L)
+        assert(Layout.currentGeneration(spark, d) === 1L)
+        assert(spark.table("graft_rw_t")
+          .where(col("k").between(10L, 19L) &&
+            col("v") =!= col("k") * 100L).count() === 0L)
+        assert(spark.table("graft_rw_t")
+          .where(!col("k").between(10L, 19L) &&
+            col("v") =!= col("k")).count() === 0L)
+        // the SQL spelling plans the same OverwriteByExpression
+        spark.sql(
+          """INSERT INTO graft_rw_t REPLACE WHERE k BETWEEN 20 AND 24
+            |SELECT k, 0L AS g, k * 7 AS v
+            |FROM VALUES (20L), (21L), (22L), (23L), (24L) AS src(k)"""
+            .stripMargin)
+        assert(spark.table("graft_rw_t").count() === 50L)
+        assert(spark.table("graft_rw_t")
+          .where(col("k").between(20L, 24L) &&
+            col("v") =!= col("k") * 7L).count() === 0L)
+        assert(Layout.currentGeneration(spark, d) === 2L)
+        // strict containment holds through this surface too
+        intercept[Exception] {
+          Seq((99L, 0L, 1L)).toDF("k", "g", "v")
+            .writeTo("graft_rw_t")
+            .overwrite(col("k").between(10L, 19L))
+        }
+        // whole-table overwrite refuses: TRUNCATE capability is
+        // deliberately absent
+        intercept[Exception] {
+          spark.sql("INSERT OVERWRITE graft_rw_t VALUES (1L, 1L, 1L)")
+        }
+        assert(spark.table("graft_rw_t").count() === 50L)
+      } finally spark.sql("DROP TABLE IF EXISTS graft_rw_t")
+    }
+  }
+
   test("GRAFT verbs take catalog table names; CLONE exports a snapshot by name") {
     withTempDir("graft_cat_verb_") { dir =>
       val d = s"$dir/t"
