@@ -401,8 +401,59 @@ private[graft] class GraftTable(
     extends Table
     with org.apache.spark.sql.connector.catalog.SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.GraftV1FallbackTable {
   import org.apache.spark.sql.connector.catalog.TableCapability
+
+  /** The V1-fallback identity (the Delta pattern):
+    * `writeStream.format("graft").toTable(t)` routes through this
+    * CatalogTable back to the provider's OWN V1 streaming sink — the
+    * exactly-once ledger sink, path taken from `location` — so the
+    * table-name spelling carries the same one-implementation
+    * semantics as `format("graft").start(dir)`. The IDENTIFIER must
+    * be the real registered name (Spark refreshes it per batch), and
+    * the provider is never handed one, so it re-resolves through the
+    * session catalog by layout path: for a catalog-loaded table the
+    * stored `path` option IS the dir this table was built from, so
+    * string equality finds exactly the registration. A layout never
+    * registered (or a time-traveled snapshot) refuses with the
+    * path-based spelling named. */
+  override def v1Table
+      : org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    require(!timeTravel,
+      s"cannot stream a time-traveled read of $dir — a versionAsOf/" +
+        "timestampAsOf table is a snapshot; stream the live table")
+    val spark = SparkSession.active
+    val cat = spark.sessionState.catalog
+    val dbs =
+      (cat.getCurrentDatabase +: Seq("default")).distinct
+    val ident = dbs.iterator.flatMap { db =>
+      cat.listTables(db).iterator.filter { ti =>
+        try {
+          val m = cat.getTableMetadata(ti)
+          m.provider.exists(_.equalsIgnoreCase("graft")) &&
+            (m.storage.properties.collectFirst {
+              case (k, v) if k.equalsIgnoreCase("path") => v
+            }.contains(dir) ||
+              m.storage.locationUri.map(u =>
+                new org.apache.hadoop.fs.Path(u).toString).contains(dir))
+        } catch { case _: Exception => false }
+      }
+    }.toSeq.headOption.getOrElse(throw new IllegalArgumentException(
+      s"no catalog table registers the graft layout at $dir — " +
+        "CREATE TABLE <name> USING graft OPTIONS (path '…') first, " +
+        "or stream via .format(\"graft\").start/load of the path"))
+    org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      identifier = ident,
+      tableType =
+        org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      storage = org.apache.spark.sql.catalyst.catalog
+        .CatalogStorageFormat.empty.copy(
+          locationUri = Some(new org.apache.hadoop.fs.Path(dir).toUri),
+          properties = Map("path" -> dir)),
+      schema = schema(),
+      provider = Some("graft"))
+  }
 
   override def name(): String = parquet.name
   override def columns() = parquet.columns()

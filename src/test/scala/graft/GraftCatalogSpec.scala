@@ -277,6 +277,34 @@ class GraftCatalogSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("writeStream.toTable streams into a catalog graft table through the verb's sink") {
+    withTempDir("graft_cat_stream_") { dir =>
+      val d = s"$dir/t"
+      mkTracked(d) // gen 0: 50 rows (k, g, v), keys (k)
+      spark.sql(s"CREATE TABLE graft_st_t USING graft OPTIONS (path '$d')")
+      try {
+        val srcDir = s"$dir/in"
+        (600L to 604L).map(k => (k, 0L, k)).toDF("k", "g", "v")
+          .coalesce(1).write.parquet(srcDir)
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, g BIGINT, v BIGINT")
+        // the V1-fallback contract: the writer's format must name the
+        // table's provider (Spark refuses a mismatched default)
+        val q = spark.readStream.schema(schema).parquet(srcDir)
+          .writeStream.format("graft")
+          .option("checkpointLocation", s"$dir/ckpt")
+          .toTable("graft_st_t")
+        try q.processAllAvailable() finally q.stop()
+        assert(spark.table("graft_st_t").count() === 55L)
+        // the TABLE-NAME spelling rides the same exactly-once sink:
+        // the verb's ledger exists (queryId defaulted from the
+        // qualified checkpoint path)
+        assert(Layout.streamLedgers(spark, d).nonEmpty,
+          "toTable must land on the graft sink's ledger discipline")
+      } finally spark.sql("DROP TABLE IF EXISTS graft_st_t")
+    }
+  }
+
   test("GRAFT verbs take catalog table names; CLONE exports a snapshot by name") {
     withTempDir("graft_cat_verb_") { dir =>
       val d = s"$dir/t"
