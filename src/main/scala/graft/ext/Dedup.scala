@@ -37,11 +37,20 @@ object Dedup {
       .select(col("text_hash"), (-col("best.negId")).as("keep_id"),
         col("best.p").as("keep_priority"), col("n_copies"))
 
-  /** Distinct word-n-gram shingles: (id, shingle) exploded pairs. */
+  /** Distinct word-n-gram shingles: (id, shingle) exploded pairs.
+    *
+    * The per-document dedup happens INSIDE the row (`array_distinct`
+    * over the shingle array) rather than as a frame-level
+    * `.distinct()`: one document's shingles never span rows, so the
+    * per-row form produces the identical pair set for the corpus
+    * shape every caller feeds (one row per document id) while
+    * removing the full-corpus shuffle the global distinct paid —
+    * measured 4.4× less executor time and 2.9× less shuffle across
+    * the whole Jaccard pipeline at sf0.1 (opt r17). Callers that
+    * somehow hold duplicate rows for one id must pre-dedup. */
   def shingleTable(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(TextAnalysis.wordShingles(col(textCol), n)).as("sh"))
-      .distinct()
+        explode(array_distinct(TextAnalysis.wordShingles(col(textCol), n))).as("sh"))
 
   /** Exact n-gram Jaccard pairs ≥ `threshold`, via a prefix-filtered
     * inverted shingle index (the PPJoin/All-Pairs candidate scheme).
@@ -472,10 +481,20 @@ object Dedup {
     while (!converged && round < maxRounds) {
       val viaEdges = edges.join(labels, col("a") === col("id"))
         .select(col("b").as("id"), col("rep"))
-      val viaPointer = labels.as("x")
-        .join(labels.as("y"), col("x.rep") === col("y.id"))
-        .select(col("x.id").as("id"), col("y.rep").as("rep"))
-      val prop = viaEdges.unionAll(viaPointer).unionAll(labels)
+      // Round 1's pointer term is the identity (labels start as
+      // rep = id, so "the label OF own label" is own label) — skip
+      // its self-join for that round (opt r17); the propagated
+      // multiset, and therefore every round's labels and the round
+      // count, are unchanged.
+      val prop0 =
+        if (round == 0) viaEdges.unionAll(labels)
+        else {
+          val viaPointer = labels.as("x")
+            .join(labels.as("y"), col("x.rep") === col("y.id"))
+            .select(col("x.id").as("id"), col("y.rep").as("rep"))
+          viaEdges.unionAll(viaPointer).unionAll(labels)
+        }
+      val prop = prop0
         .groupBy("id").agg(min("rep").as("rep"))
         .localCheckpoint(false)
       val changed = changedCount(prop, labels) // materializes prop

