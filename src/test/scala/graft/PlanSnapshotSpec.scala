@@ -398,12 +398,15 @@ class PlanSnapshotSpec extends AnyFunSuite with SharedSpark {
       s"a stage re-derives shingles from text:\n$plan")
   }
 
-  test("e2e pipeline: every stage scans the materialized shingles; packing has no global window") {
+  test("e2e pipeline: every stage scans materialized intermediates; packing has no global window") {
     val plan = finalPlan("q_pipeline_e2e")
-    // the corpus is shingled once into <scratch>/shingles; decontam,
-    // pairing and the split all read it back
-    assert(plan.contains("shingles"),
-      s"no stage scans the materialized shingle parquet:\n$plan")
+    // the corpus is shingled once into <scratch>/shingles, and since
+    // opt r17 the decontaminated corpus is materialized too
+    // (<scratch>/clean): the final frame scans the clean parquet and
+    // the cluster labels — the decontamination join and the shingle
+    // explode must not re-run inside it
+    assert(plan.contains("clean"),
+      s"the final frame does not scan the materialized clean corpus:\n$plan")
     assert(!plan.toLowerCase.contains("wordshingles"),
       s"a stage silently re-explodes text into shingles:\n$plan")
     // the packing running total is the two-phase distributed prefix
