@@ -462,62 +462,83 @@ object Dedup {
     val edges = fwd.unionAll(fwd.select(col("b").as("a"), col("a").as("b")))
       .distinct()
       .persist()
-    // convergence = NO id changed its rep this round — an exact,
-    // type-agnostic scalar (string ids and full-range 64-bit hash ids
-    // both work, where a sum("rep") fingerprint would fail to resolve
-    // on strings and overflow under ANSI on big longs). Per-id reps
-    // are monotone non-increasing, so zero changes is exactly the
-    // fixed point. The count is the round's materializing action
-    // (LAZY checkpoints: one job per round), over a |V|-sized join —
-    // dwarfed by the round's own |E| propagation join.
-    def changedCount(next: DataFrame, cur: DataFrame): Long =
-      next.join(cur.select(col("id"), col("rep").as("__prev")), "id")
-        .filter(col("rep") =!= col("__prev")).count()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("rep", col("id"))
-      .localCheckpoint(false)
+    val idType = edges.schema("a").dataType
+    val nullCur = lit(null).cast(idType).as("cur")
+    // Round shape (opt r18 — one join, one shuffle, one action per
+    // round, down from three joins plus a compare-join):
+    //   - the pointer-jump term "rep OF own rep" is the edge term
+    //     over the POINTER EDGES (a = rep, b = id): joining
+    //     edges ∪ pointerEdges against labels on a = id distributes
+    //     over the union, so one join replaces the former
+    //     viaEdges/viaPointer pair — identical propagated multiset;
+    //   - convergence = NO id changed its rep this round, an exact,
+    //     type-agnostic scalar (string ids and full-range 64-bit hash
+    //     ids both work, where a sum("rep") fingerprint would fail on
+    //     strings and overflow under ANSI on big longs). Per-id reps
+    //     are monotone non-increasing, so zero changes is exactly the
+    //     fixed point. Instead of a |V|⋈|V| next-vs-current join, the
+    //     identity branch of the union CARRIES the current rep in a
+    //     `cur` column (propagation rows carry null); max(cur) in the
+    //     SAME aggregation recovers it — each id has exactly one
+    //     identity row per round (many at round 0, all equal to id) —
+    //     and the change count is a plain filter over the round's
+    //     checkpoint, no join;
+    //   - round 0 needs no join at all: labels start as rep = id, so
+    //     the edge term is edges.select(b, a) verbatim and the
+    //     identity term is edges.select(a, a, a) (duplicates collapse
+    //     under min/max), which also deletes the former pre-loop
+    //     |E|-distinct node derivation.
+    // The count is the round's materializing action (LAZY
+    // checkpoints: one job per round).
+    var labels: DataFrame = null // round-k checkpoint: (id, rep, cur)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
-      val viaEdges = edges.join(labels, col("a") === col("id"))
-        .select(col("b").as("id"), col("rep"))
-      // Round 1's pointer term is the identity (labels start as
-      // rep = id, so "the label OF own label" is own label) — skip
-      // its self-join for that round (opt r17); the propagated
-      // multiset, and therefore every round's labels and the round
-      // count, are unchanged.
       val prop0 =
-        if (round == 0) viaEdges.unionAll(labels)
+        if (round == 0)
+          edges.select(col("b").as("id"), col("a").as("rep"), nullCur)
+            .unionAll(edges.select(col("a").as("id"), col("a").as("rep"),
+              col("a").as("cur")))
         else {
-          val viaPointer = labels.as("x")
-            .join(labels.as("y"), col("x.rep") === col("y.id"))
-            .select(col("x.id").as("id"), col("y.rep").as("rep"))
-          viaEdges.unionAll(viaPointer).unionAll(labels)
+          val cur = labels.select(col("id"), col("rep"))
+          val pointerEdges = cur.select(col("rep").as("a"), col("id").as("b"))
+          edges.unionAll(pointerEdges)
+            .join(cur.select(col("id").as("__jid"), col("rep")),
+              col("a") === col("__jid"))
+            .select(col("b").as("id"), col("rep"), nullCur)
+            .unionAll(cur.select(col("id"), col("rep"), col("rep").as("cur")))
         }
       val prop = prop0
-        .groupBy("id").agg(min("rep").as("rep"))
+        .groupBy("id").agg(min("rep").as("rep"), max("cur").as("cur"))
         .localCheckpoint(false)
-      val changed = changedCount(prop, labels) // materializes prop
-      unpersistCheckpoint(labels) // prop is already eagerly materialized
+      val changed = prop.filter(col("rep") =!= col("cur")).count() // materializes prop
+      if (labels != null)
+        unpersistCheckpoint(labels) // prop is already eagerly materialized
       labels = prop
       converged = changed == 0L
       round += 1
     }
-    edges.unpersist()
+    val labelsOut =
+      if (labels != null) labels.select(col("id"), col("rep"))
+      else // maxRounds == 0: the identity labeling, never iterated
+        edges.select(col("a").as("id")).distinct().withColumn("rep", col("id"))
     val out = scratchDir match {
       case Some(dir) =>
         // materialize to parquet and drop the in-memory checkpoint:
         // the caller gets a plain file-backed frame and the session
         // keeps zero cached label RDDs
         val path = s"$dir/cc_labels"
-        labels.write.mode("overwrite").parquet(path)
-        unpersistCheckpoint(labels) // data now lives in parquet
+        labelsOut.write.mode("overwrite").parquet(path)
+        if (labels != null) unpersistCheckpoint(labels) // data now lives in parquet
+        edges.unpersist()
         pairs.sparkSession.read.parquet(path)
       case None =>
-        // the returned frame is a materialized localCheckpoint: flat
-        // lineage, (id, rep) payload only — callers that care can
-        // unpersist after consuming
-        labels
+        // the returned frame is a projection of a materialized
+        // localCheckpoint: flat lineage, (id, rep) payload only —
+        // callers that care can unpersist after consuming
+        // ([[Checkpoints.unpersist]] strips the projection)
+        edges.unpersist()
+        labelsOut
     }
     (out, round)
   }
