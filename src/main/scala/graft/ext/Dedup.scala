@@ -96,6 +96,14 @@ object Dedup {
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= prefixLen)
       .select(col("id"), col("sh"), col("n_sh"))
+    // NOTE (opt r18): forcing a shuffled self-join here (one
+    // exchange-by-sh, ReusedExchange on both sides — the prefix
+    // pipeline would run once instead of twice) was A/B'd and LOST on
+    // materialized-shingle callers (q_curate_pipeline 2.29 → 3.10 s):
+    // when `sh` is a parquet scan the duplicate subtree is cheap,
+    // while the forced exchange moves the full prefix frame. Callers
+    // for whom the recompute is expensive materialize `sh` first
+    // (the documented composition contract above).
     val cand = prefix.as("pa").join(prefix.as("pb"),
         col("pa.sh") === col("pb.sh") && col("pa.id") < col("pb.id"))
       .select(col("pa.id").as("d1"), col("pb.id").as("d2"),

@@ -27,6 +27,25 @@ import org.apache.spark.sql.functions._
   */
 object Ivm {
 
+  /** Run two INDEPENDENT eager jobs (pins, state merges) from two
+    * driver threads and return both results (guide §2.6: Spark's
+    * scheduler happily overlaps jobs inside one application; calling
+    * them sequentially leaves the cluster idle through each job's
+    * scheduling tail, which dominates state-sized maintenance work).
+    * `fa` runs on the calling thread — its thread-local job
+    * group/description behave exactly as in the sequential form —
+    * and a failure on either side propagates unchanged (Await
+    * rethrows the future's exception). Only for side-effect-free
+    * pairs whose relative order carries no contract. */
+  private[graft] def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut = Future(fb)
+    val a = fa
+    (a, Await.result(fut, Duration.Inf))
+  }
+
   /** Full recompute of the maintainable aggregate — the bootstrap
     * that materializes a view's initial state, and the twin every
     * maintenance result must equal. Output: `keys`, `cnt`, one
@@ -344,10 +363,12 @@ object Ivm {
     val (aKeys, aSums) = partialShapeOf(aState)
     val (bKeys, bSums) = partialShapeOf(bState)
     // folding each feed to a signed partial validates the ±1 contract
-    // in the same pass and pins the result for its two consumers
-    maintainJoinAggDelta(view, aState, bState,
+    // in the same pass and pins the result for its two consumers; the
+    // two feeds are independent, so their pin jobs overlap (opt r18)
+    val (aD, bD) = inParallel(
       signedPartialOf(aChanges, aKeys, aSums, opCol),
-      signedPartialOf(bChanges, bKeys, bSums, opCol),
+      signedPartialOf(bChanges, bKeys, bSums, opCol))
+    maintainJoinAggDelta(view, aState, bState, aD, bD,
       joinKeys, groupKeys, sumCols, where)
   }
 
@@ -395,14 +416,17 @@ object Ivm {
         case _: org.apache.spark.sql.execution.LogicalRDD => df
         case _ => df.localCheckpoint(true)
       }
-    val aD = pinnedOnce(aDelta)
-    val bD = pinnedOnce(bDelta)
+    val (aD, bD) = inParallel(pinnedOnce(aDelta), pinnedOnce(bDelta))
     // side states first: their maintenance catches phantom deletes
-    // (negative side counts) before the view merge runs
+    // (negative side counts) before the view merge runs. The two
+    // sides' merges are independent of each other, so their pin+probe
+    // jobs overlap (opt r18) — both still complete before the view
+    // merge below starts, which is the ordering the contract needs
     requireMergeCompatible(aState, aD, aSums, "a-side delta")
     requireMergeCompatible(bState, bD, bSums, "b-side delta")
-    val aNew = mergeStates(aState, aD, aKeys, aSums)
-    val bNew = mergeStates(bState, bD, bKeys, bSums)
+    val (aNew, bNew) = inParallel(
+      mergeStates(aState, aD, aKeys, aSums),
+      mergeStates(bState, bD, bKeys, bSums))
     // one delta-join term per side, pre-aggregated straight to the
     // view's group keys, so the merge below is state-sized. The
     // view's WHERE filters each term over the SAME joined key tuple

@@ -1154,12 +1154,16 @@ object RelationalQueries {
         // The lineitem side is a PARTIAL state: qty pre-aggregates to
         // a sum_qty per (orderkey, returnflag) group — ~|orderkey ×
         // flag| rows, not ~|lineitem| as a raw-qty multiset would be
-        val a0 = graft.ext.Ivm.aggregateOf(
-          o.filter(col("o_orderkey") % 2 === 0), aCols, Nil)
-          .localCheckpoint(true)
-        val b0 = graft.ext.Ivm.aggregateOf(
-          li.filter(col("o_orderkey") % 2 === 0), bKeys, Seq("qty"))
-          .localCheckpoint(true)
+        // the two bootstraps are independent full-table aggregates:
+        // pin them from two driver threads so the jobs overlap
+        // (opt r18, guide §2.6) — same frames, same results
+        val (a0, b0) = graft.ext.Ivm.inParallel(
+          graft.ext.Ivm.aggregateOf(
+            o.filter(col("o_orderkey") % 2 === 0), aCols, Nil)
+            .localCheckpoint(true),
+          graft.ext.Ivm.aggregateOf(
+            li.filter(col("o_orderkey") % 2 === 0), bKeys, Seq("qty"))
+            .localCheckpoint(true))
         // view0 has ONE consumer (the maintenance merge) — left lazy;
         // the multi-consumer side states above are what need the pins
         val view0 = graft.ext.Ivm.aggregateOfJoin(a0, b0, jk, gk, Seq("qty"))

@@ -32,6 +32,21 @@ class IvmSpec extends AnyFunSuite with SharedSpark {
     }.toSeq.sortBy(_._1)
   }
 
+  test("inParallel returns both results and propagates either side's failure unchanged") {
+    assert(Ivm.inParallel(1 + 1, "x" * 2) === ((2, "xx")))
+    // the b side runs in a Future: its exception must surface as-is,
+    // not wrapped — the loud-contract messages (phantom deletes, ±1
+    // refusals) are part of the maintenance verbs' API
+    val eb = intercept[IllegalArgumentException] {
+      Ivm.inParallel({ Thread.sleep(20); 1 }, require(false, "boom-b"))
+    }
+    assert(eb.getMessage.contains("boom-b"))
+    val ea = intercept[IllegalArgumentException] {
+      Ivm.inParallel(require(false, "boom-a"), 42)
+    }
+    assert(ea.getMessage.contains("boom-a"))
+  }
+
   test("maintain ≡ recompute across group birth, death, and updates") {
     val baseRows = Seq(("a", 1L), ("a", 2L), ("b", 10L), ("b", 20L), ("c", 5L))
     val base = baseRows.toDF("k", "v")
