@@ -8,7 +8,26 @@ import org.apache.spark.sql.DataFrame
   * a localCheckpoint's blocks live on the underlying RDD, so loops
   * that supersede a checkpoint each round must drop the RDD blocks
   * directly or a long run accumulates executor storage. */
-private[ext] object Checkpoints {
+private[graft] object Checkpoints {
+
+  /** Run two INDEPENDENT eager jobs (pins, state merges) from two
+    * driver threads and return both results (guide §2.6: Spark's
+    * scheduler happily overlaps jobs inside one application; calling
+    * them sequentially leaves the cluster idle through each job's
+    * scheduling tail, which dominates state-sized work). `fa` runs on
+    * the calling thread — its thread-local job group/description
+    * behave exactly as in the sequential form — and a failure on
+    * either side propagates unchanged (Await rethrows the future's
+    * exception). Only for side-effect-free pairs whose relative
+    * order carries no contract. */
+  def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fut = Future(fb)
+    val a = fa
+    (a, Await.result(fut, Duration.Inf))
+  }
   /** RDD-level unpersist for a localCheckpoint'ed frame; no-op for
     * any other plan shape. Narrow wrappers over the checkpoint (a
     * projection like `.drop`/`.select`, an alias) are stripped so a

@@ -54,15 +54,18 @@ object GraphRank {
     val e = edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    // nodes and eDeg derive independently from the pinned e — overlap
+    // their pin jobs from two driver threads (opt r18, guide §2.6)
+    val (nodes, eDeg) = Checkpoints.inParallel(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .localCheckpoint(true),
+      e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")), "src")
+        .localCheckpoint(true))
     val n = nodes.count()
     require(n > 0, "pageRank: empty graph")
     val base = scale * 15L / 100L / n
-    val eDeg = e.join(
-      e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")), "src")
-      .localCheckpoint(true)
     unpersistCheckpoint(e) // nodes/eDeg hold everything the loop needs
     var ranks = nodes.withColumn("rank", lit(scale / n))
     for (_ <- 1 to iters) {
@@ -169,9 +172,15 @@ object GraphRank {
     val e = edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    // nodes and eDeg derive independently from the pinned e — overlap
+    // their pin jobs from two driver threads (opt r18, guide §2.6)
+    val (nodes, eDeg) = Checkpoints.inParallel(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .localCheckpoint(true),
+      e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")), "src")
+        .localCheckpoint(true))
     // None = uniform loop: the seed set IS the node set, so the
     // semi-join and the seed-flag left join would both be identity
     // operations — skip them (identical __s/ns/base arithmetic)
@@ -184,9 +193,6 @@ object GraphRank {
     val ns = seedSet.count()
     require(ns > 0, "personalizedPageRankUntilConverged: no seed overlaps the graph")
     val base = scale * 15L / 100L / ns
-    val eDeg = e.join(
-      e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")), "src")
-      .localCheckpoint(true)
     unpersistCheckpoint(e)
     // loop state carries (node, __s, rank): folding the seed flag AND
     // the previous rank into one frame makes the per-round cost
@@ -488,9 +494,15 @@ object GraphRank {
     val e = edges.select(srcCol.cast("long").as("src"), dstCol.cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+    // nodes and eDeg derive independently from the pinned e — overlap
+    // their pin jobs from two driver threads (opt r18, guide §2.6)
+    val (nodes, eDeg) = Checkpoints.inParallel(
+      e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node"))).distinct()
+        .localCheckpoint(true),
+      e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")), "src")
+        .localCheckpoint(true))
     val nNodes = nodes.count()
     val seedSet = seeds.select(seedCol.cast("long").as("node")).distinct()
       .join(nodes, Seq("node"), "left_semi")
@@ -500,9 +512,6 @@ object GraphRank {
       .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
       .localCheckpoint(true)
     val base = scale * 15L / 100L / ns
-    val eDeg = e.join(
-      e.groupBy(col("src")).agg(count(lit(1)).as("__outdeg")), "src")
-      .localCheckpoint(true)
     unpersistCheckpoint(e)
     var ranks = flagged.withColumn("rank", col("__s") * lit(scale / ns))
     for (_ <- 1 to iters) {

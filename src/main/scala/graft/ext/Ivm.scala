@@ -27,24 +27,10 @@ import org.apache.spark.sql.functions._
   */
 object Ivm {
 
-  /** Run two INDEPENDENT eager jobs (pins, state merges) from two
-    * driver threads and return both results (guide §2.6: Spark's
-    * scheduler happily overlaps jobs inside one application; calling
-    * them sequentially leaves the cluster idle through each job's
-    * scheduling tail, which dominates state-sized maintenance work).
-    * `fa` runs on the calling thread — its thread-local job
-    * group/description behave exactly as in the sequential form —
-    * and a failure on either side propagates unchanged (Await
-    * rethrows the future's exception). Only for side-effect-free
-    * pairs whose relative order carries no contract. */
-  private[graft] def inParallel[A, B](fa: => A, fb: => B): (A, B) = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val fut = Future(fb)
-    val a = fa
-    (a, Await.result(fut, Duration.Inf))
-  }
+  /** See [[Checkpoints.inParallel]] — re-exported where the
+    * maintenance verbs and their gates already look for it. */
+  private[graft] def inParallel[A, B](fa: => A, fb: => B): (A, B) =
+    Checkpoints.inParallel(fa, fb)
 
   /** Full recompute of the maintainable aggregate — the bootstrap
     * that materializes a view's initial state, and the twin every
